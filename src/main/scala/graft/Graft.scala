@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table-loading helpers shared by Verify / Bench / tests.
+  *
+  * Tuning rationale (designed for a 1000-executor cluster, tested on
+  * local[N]): AQE on (runtime coalesce + skew-join splitting), shuffle
+  * partitions sized to cores locally (on a real cluster this is set to
+  * 2-3x total cores or left to AQE), UTC session timezone for oracle
+  * parity with the reference's DateTime semantics.
+  */
+object Graft {
+
+  /** Apply engine-standard configs onto a builder. */
+  def tune(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    // the corpus's `events.ts` is a nanosecond parquet timestamp, which
+    // Spark cannot read natively: read as long and convert in table()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    val s = tune(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load one of the driver-generated tables from a scale-factor dir.
+    * `events.ts` arrives as nanos-since-epoch (see nanosAsLong above);
+    * integer-DIV to micros (double division would lose precision at 1e18)
+    * matches DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
+}
+
+/** One engine query: a Spark DataFrame program plus (optionally) the
+  * equivalent ANSI SQL the DuckDB oracle can run on the same parquet
+  * tables. `bench = true` marks headline queries timed by [[Bench]].
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)

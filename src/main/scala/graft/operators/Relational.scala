@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational combinators the reference exercises but Spark has no single
+  * builtin for (SURVEY.md §2.4/§2.6 ⚠ rows).
+  */
+object Relational {
+
+  /** ClickHouse `GROUP BY k WITH TOTALS` (README.md:83): the grouped rows
+    * plus ONE grand-total row (group keys null). Implemented with `rollup`
+    * + `grouping_id` so Spark computes groups and totals in a single
+    * aggregation pass (partial aggregation still applies; no second scan).
+    * Multi-key rollups' intermediate subtotal levels are filtered out —
+    * CH TOTALS has only the grand total.
+    */
+  def withTotals(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty)
+    val keyCols = keys.map(col)
+    val gid = (1L << keys.size) - 1 // all keys rolled up = grand total
+    df.rollup(keyCols: _*)
+      .agg(grouping_id().as("__gid"), aggs: _*)
+      .filter(col("__gid") === 0 || col("__gid") === gid)
+      .drop("__gid")
+  }
+
+  /** ClickHouse/MySQL `LIMIT offset, n` (README.md:86,119). */
+  def limitOffset(df: DataFrame, offset: Int, n: Int): DataFrame =
+    if (offset == 0) df.limit(n) else df.offset(offset).limit(n)
+
+  /** Deterministic hash sampling — the Spark analogue of the reference's
+    * `SAMPLE BY CounterUserIDHash` (ddl/hits.sql:119): same rows selected
+    * on every run and every engine, because selection is a pure function
+    * of the sampling key. `hashFn` defaults to Spark's Murmur3 `hash`;
+    * pass an arithmetic function for cross-engine reproducibility.
+    */
+  def sampleByHash(df: DataFrame, key: Column, everyKth: Int,
+      hashFn: Column => Column = c => hash(c)): DataFrame =
+    df.filter(pmod(hashFn(key), lit(everyKth)) === 0)
+
+  /** SCD2 / temporal-validity join (README.md:292-296): equi-join on
+    * `key` with a range residual on the fact's date vs the dimension's
+    * [from, to] validity window. The dimension is broadcast — SCD2 dims
+    * are small by construction, and at 100 TB fact scale a shuffle of the
+    * fact table to join a KB-sized dim would be the single worst plan
+    * choice available. Catalyst keeps the equi conjunct as the hash key
+    * and evaluates the range conjuncts as a join filter.
+    */
+  def scd2Join(fact: DataFrame, dim: DataFrame, keyCond: Column,
+      factDate: Column, dimFrom: Column, dimTo: Column,
+      joinType: String = "inner"): DataFrame =
+    fact.join(broadcast(dim),
+      keyCond && factDate >= dimFrom && factDate <= dimTo,
+      joinType)
+
+  /** Latest-version-per-entity compaction for VersionedCollapsingMergeTree
+    * data (ddl/visits.sql:229-233): a state row (sign=+1) is live unless a
+    * cancel row (sign=-1) with the same (id, version) exists; the current
+    * state of an entity is its live row with the highest version.
+    *
+    * Shuffle analysis: the anti-join and the window both hash-partition by
+    * `idCols`, so AQE/EnsureRequirements reuses one exchange; cancel rows
+    * are a small fraction of state rows, so the anti-join's right side is
+    * cheap. At 100 TB this runs per week-partition (versions of a visit
+    * share StartDate's week), keeping state bounded.
+    */
+  def latestVersions(df: DataFrame, idCols: Seq[String], versionCol: String,
+      signCol: String): DataFrame = {
+    val plus = df.filter(col(signCol) === 1)
+    val minus = df.filter(col(signCol) === -1)
+      .select((idCols :+ versionCol).map(col): _*)
+    val live = plus.join(minus, idCols :+ versionCol, "left_anti")
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    live.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Graft, QueryDef}
+import graft.functions.ch._
+import graft.operators.Relational._
+
+/** Core relational operator coverage (SURVEY.md §2.2-§2.6) expressed over
+  * the driver's TPC-H-ish corpus, each with a DuckDB oracle.
+  *
+  * The `events` table plays the role of the reference's collapsing
+  * `visits` stream: a deterministic `sign` column (-1 for every 7th
+  * event id, +1 otherwise) reproduces VersionedCollapsingMergeTree's
+  * state/cancel encoding (ddl/visits.sql:9-10) so the Sign-weighted
+  * aggregate semantics of README.md:75-119 are exercised end-to-end.
+  */
+object CoreQueries {
+
+  /** Deterministic Sign column: same expression in Spark and the oracle. */
+  private def withSign(df: DataFrame): DataFrame =
+    df.withColumn("sign",
+      when(pmod(col("event_id"), lit(7)) === 0, -1).otherwise(1))
+
+  private val signSql = "CASE WHEN event_id % 7 = 0 THEN -1 ELSE 1 END"
+
+  // ---------------------------------------------------------------------
+  // Q1 analogue (README.md:75-86): daily signed visit counts.
+  // A1/A2/A7/P6/O1: sign-weighted count + measure, group by day, sort.
+  val q01DailySignedAgg = QueryDef(
+    "q01_daily_signed_agg",
+    (s, dir) => {
+      val e = withSign(Graft.table(s, dir, "events"))
+      e.filter(col("ts") >= lit("2024-01-01") && col("ts") < lit("2024-02-01"))
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(
+          sum(col("sign")).cast("long").as("visits"),
+          sum(when(col("event_type") === "purchase", col("sign"))
+            .otherwise(0)).cast("long").as("purchases"),
+          round(sum(col("value") * col("sign")), 2).as("value_sum"))
+        .orderBy(col("d"))
+    },
+    Some(s"""
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum($signSql) AS BIGINT) AS visits,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN $signSql ELSE 0 END) AS BIGINT) AS purchases,
+             round(sum(value * ($signSql)), 2) AS value_sum
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // A10/A11: GROUP BY ... WITH TOTALS emulation + HAVING over the agg.
+  val q02WithTotals = QueryDef(
+    "q02_with_totals",
+    (s, dir) => {
+      val e = withSign(Graft.table(s, dir, "events"))
+      withTotals(e, Seq("event_type"),
+        Seq(sum(col("sign")).cast("long").as("visits"),
+          round(sum(col("value") * col("sign")), 2).as("value_sum")))
+        .filter(col("visits") >= 0L)
+        .orderBy(col("event_type").asc_nulls_last)
+    },
+    Some(s"""
+      SELECT event_type,
+             CAST(sum($signSql) AS BIGINT) AS visits,
+             round(sum(value * ($signSql)), 2) AS value_sum
+      FROM events
+      GROUP BY ROLLUP(event_type)
+      HAVING CAST(sum($signSql) AS BIGINT) >= 0
+      ORDER BY event_type ASC NULLS LAST"""))
+
+  // ---------------------------------------------------------------------
+  // O2/O5: multi-key mixed-direction ORDER BY + LIMIT (top-k).
+  val q03TopkMulti = QueryDef(
+    "q03_topk_multi",
+    (s, dir) =>
+      Graft.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(20),
+    Some("""
+      SELECT user_id, CAST(count(1) AS BIGINT) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1
+      ORDER BY n DESC, user_id ASC LIMIT 20"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // O4: ClickHouse `LIMIT offset, n` form (README.md:86,119).
+  val q04LimitOffset = QueryDef(
+    "q04_limit_offset",
+    (s, dir) =>
+      limitOffset(
+        Graft.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+        offset = 100, n = 50),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+      LIMIT 50 OFFSET 100"""))
+
+  // ---------------------------------------------------------------------
+  // O6/P5/A6: UNION ALL with literal tags + a per-branch LIMIT branch —
+  // the reference's count-reconciliation shape (README.md:150-168).
+  val q05UnionTagged = QueryDef(
+    "q05_union_tagged",
+    (s, dir) => {
+      val e = Graft.table(s, dir, "events")
+      val a = e.agg(count(lit(1)).as("n")).select(lit("events").as("src"), col("n"))
+      val b = e.filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n")).select(lit("purchases").as("src"), col("n"))
+      val c = e.orderBy(col("event_id")).limit(1)
+        .select(lit("first_event").as("src"), col("event_id").as("n"))
+      a.unionAll(b).unionAll(c).orderBy(col("src"))
+    },
+    Some("""
+      SELECT 'events' AS src, CAST(count(1) AS BIGINT) AS n FROM events
+      UNION ALL
+      SELECT 'purchases' AS src, CAST(count(1) AS BIGINT) AS n FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT * FROM (SELECT 'first_event' AS src, event_id AS n FROM events ORDER BY event_id LIMIT 1)
+      ORDER BY src"""))
+
+  // ---------------------------------------------------------------------
+  // J1/J2: SCD2 temporal join, broadcast dim (README.md:287-302).
+  val q06Scd2Join = QueryDef(
+    "q06_scd2_join",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "Click era 1", "2024-01-01", "2024-01-15"),
+        ("click", "Click era 2", "2024-01-16", "2099-12-31"),
+        ("view", "View all-time", "2024-01-01", "2099-12-31"),
+        ("purchase", "Purchase all-time", "2024-01-01", "2099-12-31"))
+        .toDF("etype", "descr", "from_s", "to_s")
+        .select(col("etype"), col("descr"),
+          to_date(col("from_s")).as("from_dt"), to_date(col("to_s")).as("to_dt"))
+      val fact = Graft.table(s, dir, "events")
+        .withColumn("d", to_date(col("ts")))
+      scd2Join(fact, dim,
+          keyCond = fact("event_type") === dim("etype"),
+          factDate = fact("d"),
+          dimFrom = dim("from_dt"), dimTo = dim("to_dt"))
+        .groupBy(col("descr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("descr"))
+    },
+    Some("""
+      WITH dim(etype, descr, from_dt, to_dt) AS (VALUES
+        ('click', 'Click era 1', DATE '2024-01-01', DATE '2024-01-15'),
+        ('click', 'Click era 2', DATE '2024-01-16', DATE '2099-12-31'),
+        ('view', 'View all-time', DATE '2024-01-01', DATE '2099-12-31'),
+        ('purchase', 'Purchase all-time', DATE '2024-01-01', DATE '2099-12-31'))
+      SELECT descr, CAST(count(1) AS BIGINT) AS n, round(sum(value), 2) AS value_sum
+      FROM events e JOIN dim d
+        ON e.event_type = d.etype
+       AND CAST(e.ts AS DATE) >= d.from_dt AND CAST(e.ts AS DATE) <= d.to_dt
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // J1/A9: 3-table star join with multi-key aggregation. Catalyst should
+  // broadcast customer (small) and shuffle-join lineitem x orders.
+  val q07StarJoinAgg = QueryDef(
+    "q07_star_join_agg",
+    (s, dir) => {
+      val li = Graft.table(s, dir, "lineitem")
+      val o = Graft.table(s, dir, "orders")
+      val c = Graft.table(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("c_mktsegment"), col("l_returnflag"))
+    },
+    Some("""
+      SELECT c_mktsegment, l_returnflag,
+             CAST(count(1) AS BIGINT) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // §2.5: latest-version-per-entity via ranking window (the collapsing
+  // compaction pattern), aggregated to a compact result.
+  val q08LatestVersion = QueryDef(
+    "q08_latest_version",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Graft.table(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_latest"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n_latest
+      FROM (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // P1/P3/P4/P5: projection with computed expressions and Metrica-style
+  // colon-bearing aliases (README.md:75-76), literal column.
+  val q09ProjAlias = QueryDef(
+    "q09_proj_alias",
+    (s, dir) =>
+      Graft.table(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(
+          col("l_orderkey").as("ym:l:order"),
+          col("l_linenumber").as("ym:l:line"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("ym:l:net"),
+          when(col("l_returnflag") === "R", lit("returned"))
+            .otherwise(lit("kept")).as("ym:l:status"),
+          lit("warehouse").as("storage"))
+        .orderBy(col("ym:l:order"), col("ym:l:line"))
+        .limit(100),
+    Some("""
+      SELECT l_orderkey AS "ym:l:order", l_linenumber AS "ym:l:line",
+             round(l_extendedprice * (1 - l_discount), 2) AS "ym:l:net",
+             CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS "ym:l:status",
+             'warehouse' AS storage
+      FROM lineitem WHERE l_quantity > 45
+      ORDER BY 1, 2 LIMIT 100"""))
+
+  // ---------------------------------------------------------------------
+  // P6-P11: compound predicates (AND/OR, BETWEEN, casts, equality).
+  val q10Filters = QueryDef(
+    "q10_filters",
+    (s, dir) =>
+      Graft.table(s, dir, "lineitem")
+        .filter(
+          (col("l_returnflag") === "R" || col("l_linestatus") === "F") &&
+            col("l_shipdate").between(lit("1995-01-01").cast("timestamp"),
+              lit("1996-12-31").cast("timestamp")) &&
+            col("l_quantity") > 10)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("price_sum"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+        .select(col("n"), col("price_sum"), col("avg_disc")),
+    Some("""
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             round(sum(l_extendedprice), 2) AS price_sum,
+             round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem
+      WHERE (l_returnflag = 'R' OR l_linestatus = 'F')
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        AND l_quantity > 10"""))
+
+  // ---------------------------------------------------------------------
+  // A4: uniqExact/least pattern from the traffic-sources query
+  // (README.md:105).
+  val q11DistinctUsers = QueryDef(
+    "q11_distinct_users",
+    (s, dir) =>
+      Graft.table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          uniqExact(col("user_id")).as("users"),
+          least(uniqExact(col("user_id")), count(lit(1))).as("users_capped"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             CAST(least(count(DISTINCT user_id), count(1)) AS BIGINT) AS users_capped,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
+  // Sampling (ddl/hits.sql:119): deterministic key-hash sample. The hash
+  // here is the identity (key mod k) so the DuckDB oracle selects the
+  // exact same rows; Murmur3-based sampling is covered in ScalaTest.
+  val q12SampleHash = QueryDef(
+    "q12_sample_hash",
+    (s, dir) =>
+      sampleByHash(Graft.table(s, dir, "events"), col("user_id"), 10,
+        hashFn = identity)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             round(sum(value), 2) AS value_sum
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
+    q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
+    q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash)
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's correctness gate:
+run graft.Verify output (parquet per query + oracle_sql.json) against
+DuckDB on the same sf tables, compare values (columns sorted by name,
+rows sorted, floats rounded). NOT part of the library.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif "datetime" in str(df[c].dtype):
+            dt = pd.to_datetime(df[c])
+            if (dt.dt.time == pd.Timestamp("00:00:00").time()).all():
+                df[c] = dt.dt.date.astype(str)
+            else:
+                df[c] = dt.astype("datetime64[us]").astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not pq:
+        print(f"FAIL {name}: no spark output")
+        n_fail += 1
+        continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(p) for p in sorted(pq)])
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        n_fail += 1
+        continue
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+        n_fail += 1
+        continue
+    if len(s) != len(d):
+        print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+        n_fail += 1
+        continue
+    try:
+        pd.testing.assert_frame_equal(s, d, check_dtype=False,
+                                      check_exact=False, rtol=1e-9, atol=1e-6)
+        print(f"PASS {name} ({len(s)} rows)")
+        n_pass += 1
+    except AssertionError as e:
+        print(f"FAIL {name}: {str(e)[:500]}")
+        n_fail += 1
+
+# queries without oracle: rows-only check
+all_outs = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
+for name in sorted(all_outs - set(oracle)):
+    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+    rows = sum(len(pd.read_parquet(p)) for p in pq) if pq else 0
+    status = "PASS" if rows > 0 else "FAIL"
+    print(f"{status} {name} (rows-only: {rows})")
+    if rows > 0: n_pass += 1
+    else: n_fail += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
