@@ -13,7 +13,9 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def all: Seq[QueryDef] =
-    graft.queries.CoreQueries.defs
+    graft.queries.CoreQueries.defs ++
+      graft.queries.SourceQueries.defs ++
+      graft.queries.ArrayQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

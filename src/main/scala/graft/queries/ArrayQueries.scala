@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Graft, QueryDef}
+import graft.functions.ch._
+
+/** Array / scalar function coverage (SURVEY.md §2.7): CH-style 1-based
+  * element access with default-on-miss, indexOf, arrayMap, sumArray,
+  * notEmpty, if/isFinite/toInt64, int division semantics.
+  */
+object ArrayQueries {
+
+  // ---------------------------------------------------------------------
+  // F1/F2/A5 over the embeddings table: sumArray, element access in and
+  // out of range (CH `arr[i]` default-on-miss), 1-based indexing.
+  val q17ArrayFuncs = QueryDef(
+    "q17_array_funcs",
+    (s, dir) =>
+      Graft.table(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          round(sumArrayDouble(col("embedding")), 4).as("esum"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+          round(chElementAt(col("embedding"), lit(100), lit(-1.0)).cast("double"), 6)
+            .as("e100_miss"),
+          round(chElementAt(col("embedding"), lit(0), lit(-1.0)).cast("double"), 6)
+            .as("e0_miss"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("vec_id"))
+        .limit(50),
+    Some("""
+      SELECT vec_id,
+             round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS esum,
+             round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+             round(CASE WHEN len(embedding) >= 100 THEN CAST(embedding[100] AS DOUBLE) ELSE -1.0 END, 6) AS e100_miss,
+             -1.0 AS e0_miss,
+             CAST(len(embedding) AS BIGINT) AS dim
+      FROM embeddings ORDER BY vec_id LIMIT 50"""))
+
+  // ---------------------------------------------------------------------
+  // F1/F2/F4/F6/F10 over documents tokens: the traffic-sources access
+  // pattern `arr[indexOf(arr, v)]` with '' on miss (README.md:103),
+  // notEmpty, conditional, int/int float division.
+  val q18TokenFuncs = QueryDef(
+    "q18_token_funcs",
+    (s, dir) => {
+      val tokens = split(col("text"), " ")
+      Graft.table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          array_position(tokens, "spark").cast("long").as("spark_pos"),
+          chElementAt(tokens, array_position(tokens, "spark"), lit(""))
+            .as("hit"),
+          size(tokens).cast("long").as("n_tokens"),
+          notEmpty(col("lang")).as("has_lang"),
+          chIf(col("n_chars") > 250, lit("long"), lit("short")).as("len_class"),
+          round(col("n_chars") / size(tokens), 4).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+             CAST(coalesce(list_position(toks, 'spark'), 0) AS BIGINT) AS spark_pos,
+             CASE WHEN coalesce(list_position(toks, 'spark'), 0) BETWEEN 1 AND len(toks)
+                  THEN toks[coalesce(list_position(toks, 'spark'), 0)] ELSE '' END AS hit,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN length(lang) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_lang,
+             CASE WHEN n_chars > 250 THEN 'long' ELSE 'short' END AS len_class,
+             round(n_chars / len(toks), 4) AS avg_token_len
+      FROM t ORDER BY doc_id LIMIT 200"""))
+
+  // ---------------------------------------------------------------------
+  // The full nested-arrayMap aggregate from the traffic-sources query
+  // (README.md:109): sumArray(arrayMap(x -> if(isFinite(x),x,0) * Sign,
+  // arrayMap(x0 -> toInt64(notEmpty(x0)), arr))) — sign-weighted count of
+  // non-empty array elements, aggregated per group.
+  val q19ArrayMapSign = QueryDef(
+    "q19_arraymap_sign",
+    (s, dir) => {
+      val sign = when(pmod(col("doc_id"), lit(7)) === 0, -1L).otherwise(1L)
+      val tokens = split(col("text"), " ")
+      val inner = arrayMap(tokens, x0 => toInt64(notEmpty(x0)))
+      val weighted = arrayMap(inner, x => chIf(isFiniteCol(x), x, lit(0L)) * sign)
+      Graft.table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(sumArrayLong(weighted)).cast("long").as("purchases"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang,
+             CAST(sum(coalesce(list_aggregate(list_transform(
+               string_split(text, ' '),
+               x -> (CASE WHEN length(x) > 0 THEN 1 ELSE 0 END)
+                    * (CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END)), 'sum'), 0)) AS BIGINT) AS purchases
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q17ArrayFuncs, q18TokenFuncs, q19ArrayMapSign)
+}
