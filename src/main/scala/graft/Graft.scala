@@ -39,14 +39,41 @@ object Graft {
     * `events.ts` arrives as nanos-since-epoch (see nanosAsLong above);
     * integer-DIV to micros (double division would lose precision at 1e18)
     * matches DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation.
+    *
+    * ⚠ the converted `ts` is a computed column, so predicates on it do
+    * NOT reach the Parquet scan. Queries with a time-range filter should
+    * use [[events]], which pushes the range down on the raw nanos long
+    * (row-group min/max pruning) before converting.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+    if (name == "events") convertTs(df) else df
+  }
+
+  private def convertTs(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+
+  /** `events` with a [fromUtc, toUtc) time-range predicate applied on the
+    * RAW nanos column, below the ns->µs conversion, so it pushes to the
+    * Parquet scan (PushedFilters + row-group stats pruning). At 100 TB a
+    * date-bounded query must not scan unbounded history; this is the
+    * difference between reading one week of row groups and reading all of
+    * them. Bounds are ISO instants interpreted in UTC (session TZ).
+    */
+  def events(spark: SparkSession, sfDir: String,
+      fromUtc: String, toUtc: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    convertTs(raw.filter(
+      col("ts") >= lit(utcNanos(fromUtc)) && col("ts") < lit(utcNanos(toUtc))))
+  }
+
+  /** Epoch nanos of an ISO date or date-time string, UTC. */
+  def utcNanos(iso: String): Long = {
+    val t = if (iso.length == 10) iso + "T00:00:00Z" else iso + "Z"
+    java.time.Instant.parse(t).getEpochSecond * 1000000000L
   }
 }
 

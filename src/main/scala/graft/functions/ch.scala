@@ -25,10 +25,12 @@ object ch {
     when(i >= 1 && i <= size(arr), element_at(arr, i)).otherwise(default)
   }
 
-  /** ClickHouse `indexOf(arr, v)`: 1-based position, 0 when absent —
-    * `array_position` has identical semantics.
+  /** ClickHouse `indexOf(arr, v)`: 1-based position, 0 when absent.
+    * `array_position` matches except for NULL inputs (it returns NULL
+    * where ClickHouse returns 0) — coalesce restores CH semantics.
     */
-  def indexOf(arr: Column, v: Column): Column = array_position(arr, v)
+  def indexOf(arr: Column, v: Column): Column =
+    coalesce(array_position(arr, v), lit(0L))
 
   /** ClickHouse `arrayMap(x -> e, arr)`. */
   def arrayMap(arr: Column, f: Column => Column): Column = transform(arr, f)
@@ -48,8 +50,12 @@ object ch {
   def sumArrayDouble(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
 
-  /** ClickHouse `notEmpty(s)` → 1/0 (UInt8-as-int). */
-  def notEmpty(s: Column): Column = (length(s) > 0).cast("long")
+  /** ClickHouse `notEmpty(s)` → 1/0 (UInt8-as-int). A NULL string maps
+    * to 0, matching CH's non-nullable String default (`length(null)>0`
+    * alone would propagate NULL and silently break oracle parity).
+    */
+  def notEmpty(s: Column): Column =
+    (coalesce(length(s), lit(0)) > 0).cast("long")
 
   /** ClickHouse `isFinite(x)` for doubles; constant-true for integers. */
   def isFiniteCol(x: Column): Column = {

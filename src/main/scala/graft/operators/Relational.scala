@@ -55,6 +55,26 @@ object Relational {
       keyCond && factDate >= dimFrom && factDate <= dimTo,
       joinType)
 
+  /** Latest-row-per-key via `max_by` aggregation — the scale-preferred
+    * form of the row_number-window compaction. A window forces a full
+    * shuffle AND a per-partition sort of every row with no map-side
+    * reduction (and AQE skew splitting does not apply to windows); this
+    * aggregation form gets partial aggregation, so each map task reduces
+    * its rows to one candidate per key before the shuffle — on a skewed
+    * key (power users) at 100x scale that is the difference between a
+    * bounded shuffle and a scale-killer. Rows are compared by the
+    * lexicographic order of `ordCols` (make the combination unique, e.g.
+    * include an id column, for deterministic results).
+    */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(ordCols.map(col): _*)).as("__latest"))
+      .select(keyCols.map(col) :+ col("__latest.*"): _*)
+  }
+
   /** Latest-version-per-entity compaction for VersionedCollapsingMergeTree
     * data (ddl/visits.sql:229-233): a state row (sign=+1) is live unless a
     * cancel row (sign=-1) with the same (id, version) exists; the current

@@ -33,8 +33,8 @@ object ArrayQueries {
       SELECT vec_id,
              round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS esum,
              round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
-             round(CASE WHEN len(embedding) >= 100 THEN CAST(embedding[100] AS DOUBLE) ELSE -1.0 END, 6) AS e100_miss,
-             -1.0 AS e0_miss,
+             round(CASE WHEN 100 BETWEEN 1 AND len(embedding) THEN CAST(embedding[100] AS DOUBLE) ELSE -1.0 END, 6) AS e100_miss,
+             round(CASE WHEN 0 BETWEEN 1 AND len(embedding) THEN CAST(embedding[0] AS DOUBLE) ELSE -1.0 END, 6) AS e0_miss,
              CAST(len(embedding) AS BIGINT) AS dim
       FROM embeddings ORDER BY vec_id LIMIT 50"""))
 

@@ -31,9 +31,11 @@ object CoreQueries {
   val q01DailySignedAgg = QueryDef(
     "q01_daily_signed_agg",
     (s, dir) => {
-      val e = withSign(Graft.table(s, dir, "events"))
-      e.filter(col("ts") >= lit("2024-01-01") && col("ts") < lit("2024-02-01"))
-        .groupBy(to_date(col("ts")).as("d"))
+      // Graft.events pushes the range on the raw nanos long (Parquet
+      // row-group pruning) before the ns->µs conversion — a filter on the
+      // converted ts would reach the scan as a residual, not a pushdown.
+      val e = withSign(Graft.events(s, dir, "2024-01-01", "2024-02-01"))
+      e.groupBy(to_date(col("ts")).as("d"))
         .agg(
           sum(col("sign")).cast("long").as("visits"),
           sum(when(col("event_type") === "purchase", col("sign"))
@@ -191,17 +193,17 @@ object CoreQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
-  // §2.5: latest-version-per-entity via ranking window (the collapsing
-  // compaction pattern), aggregated to a compact result.
+  // §2.5: latest-version-per-entity, aggregation form (Relational
+  // .latestByKey): groupBy + max_by gets partial aggregation, so each map
+  // task reduces to one candidate row per user before the shuffle — the
+  // row_number-window form (kept in the library for full-history uses)
+  // would full-sort every partition with no map-side reduction and is the
+  // scale-killer on skewed keys. Same result, verified by the same oracle.
   val q08LatestVersion = QueryDef(
     "q08_latest_version",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Graft.table(s, dir, "events")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      e.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      latestByKey(e, Seq("user_id"), Seq("ts", "event_id"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_latest"))
         .orderBy(col("event_type"))
@@ -303,8 +305,52 @@ object CoreQueries {
       FROM events WHERE user_id % 10 = 0
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // A3/P9/A8: the bounce-rate pattern at the heart of the reference's Q2
+  // (README.md:102-119): `100. * (sum(IsBounce*Sign) / `ym:s:visits`)` —
+  // a ratio of two aggregates where the divisor is referenced by its
+  // SELECT alias; plus WHERE on a SELECT alias and GROUP BY on a SELECT
+  // alias. ClickHouse resolves aliases anywhere in the statement; Spark
+  // does not, so the engine's staging discipline is: define the alias
+  // with withColumn (pre-agg aliases) / a second select over the
+  // aggregated frame (agg aliases), then reference it freely.
+  val q20RatioAlias = QueryDef(
+    "q20_ratio_alias",
+    (s, dir) => {
+      val e = withSign(Graft.table(s, dir, "events"))
+        // A8/P9: `src_grp` is a SELECT-alias in CH terms; staged as a
+        // real column so both WHERE and GROUP BY can reference it.
+        .withColumn("src_grp",
+          when(col("user_id") % 3 === 0, lit("cohort_a"))
+            .otherwise(lit("cohort_b")))
+        .filter(col("src_grp") =!= "")
+      e.groupBy(col("src_grp"))
+        .agg(
+          sum(col("sign")).cast("long").as("visits"),
+          sum(when(col("event_type") === "purchase", col("sign"))
+            .otherwise(0)).cast("long").as("purchases"))
+        // A3: ratio-of-aggregates referencing the agg aliases by name.
+        .select(col("src_grp"), col("visits"), col("purchases"),
+          round(lit(100.0) * col("purchases") / col("visits"), 4)
+            .as("purchase_rate"))
+        .filter(col("visits") > 0) // A11: HAVING on the agg alias
+        .orderBy(col("src_grp"))
+    },
+    Some(s"""
+      SELECT src_grp, visits, purchases,
+             round(100.0 * purchases / visits, 4) AS purchase_rate
+      FROM (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 'cohort_a' ELSE 'cohort_b' END AS src_grp,
+               CAST(sum($signSql) AS BIGINT) AS visits,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN $signSql ELSE 0 END) AS BIGINT) AS purchases
+        FROM events
+        GROUP BY 1) t
+      WHERE visits > 0
+      ORDER BY src_grp"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
-    q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash)
+    q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
+    q20RatioAlias)
 }

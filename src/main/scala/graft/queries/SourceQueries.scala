@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,19 +13,23 @@ import graft.sources.{Binding, Catalog, CsvGzip}
 object SourceQueries {
 
   // ---------------------------------------------------------------------
-  // S3/S4/S7: export 3 days of events as CSVWithNames+gzip (one append
-  // per day = new files per insert), re-read with an explicit schema,
-  // aggregate. The oracle computes the same result straight from parquet,
-  // so the roundtrip itself is what's being verified (README.md:145-168).
+  // S3/S4/S7: export 3 days of events as CSVWithNames+gzip (single-pass
+  // partitionBy: one scan, one directory of fresh objects per day),
+  // re-read with an explicit schema, aggregate. The oracle computes the
+  // same result straight from parquet, so the roundtrip itself is what's
+  // being verified (README.md:145-168). The export path is deterministic
+  // and written with mode=overwrite, so reruns replace instead of
+  // accumulating gzipped copies in /tmp.
   val q13CsvRoundtrip = QueryDef(
     "q13_csv_roundtrip",
     (s, dir) => {
       val days = Seq("2024-01-05", "2024-01-06", "2024-01-07")
-      val out = Files.createTempDirectory("graft_csv_export").toString
+      val out = s"${sys.props("java.io.tmpdir")}/graft_csv_export"
       val e = Graft.table(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      CsvGzip.exportDaySliced(e, to_date(col("ts")), days, out)
+      CsvGzip.exportDaySliced(e, to_date(col("ts")), days, out,
+        mode = "overwrite")
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("ts", TimestampType),
@@ -49,17 +51,23 @@ object SourceQueries {
       GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------------
-  // S5: `_path`/`_file` virtual columns (README.md:150-154). The corpus
-  // table is a single parquet file, so `_file` is a known constant the
-  // oracle can assert.
+  // S5: `_path`/`_file` virtual columns (README.md:150-154). The oracle
+  // asserts derived properties (every row's provenance is a .parquet
+  // file whose path contains the table name) rather than a literal file
+  // name, so the check survives the table becoming a multi-part
+  // directory.
   val q14FileMeta = QueryDef(
     "q14_file_meta",
     (s, dir) =>
       CsvGzip.withFileMeta(Graft.table(s, dir, "lineitem"))
-        .groupBy(col("_file"))
-        .agg(count(lit(1)).as("n")),
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("_file").endsWith(".parquet") &&
+            col("_path").contains("lineitem"), 1L).otherwise(0L))
+            .as("n_provenance_ok")),
     Some("""
-      SELECT 'lineitem.parquet' AS _file, CAST(count(1) AS BIGINT) AS n
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             CAST(count(1) AS BIGINT) AS n_provenance_ok
       FROM lineitem"""))
 
   // ---------------------------------------------------------------------

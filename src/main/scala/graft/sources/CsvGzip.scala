@@ -22,21 +22,43 @@ object CsvGzip {
       .option("compression", "gzip")
       .csv(path)
 
-  /** Day-sliced export (README.md:145-147): one INSERT per day so a
-    * single oversized write can't time out — and, at 100 TB, so each
-    * slice's tasks parallelize independently and failures retry a day,
-    * not the whole export.
+  /** Day-sliced export, single-pass (README.md:145-147): ONE scan of the
+    * source, `partitionBy` on the slice date, so every day still lands in
+    * its own directory of fresh objects but the source is read once. At
+    * 100 TB a 30-day export must not be 30 full scans — this is the
+    * default path. Use [[exportDaySlicedLooped]] only as the
+    * timeout-mitigation mode the reference describes (README.md:171),
+    * where each day must be an independently retryable job.
     */
   def exportDaySliced(df: DataFrame, dateCol: Column, days: Seq[String],
+      path: String, mode: String = "append"): Unit =
+    df.filter(dateCol.isin(days.map(d => java.sql.Date.valueOf(d)): _*))
+      .withColumn("__day", dateCol)
+      .write.mode(mode)
+      .partitionBy("__day")
+      .option("header", "true")
+      .option("compression", "gzip")
+      .csv(path)
+
+  /** Day-sliced export, one job per day (one scan each) — the fallback
+    * mode for oversized single exports (README.md:171): a failed or
+    * timed-out day retries alone instead of restarting the whole export.
+    */
+  def exportDaySlicedLooped(df: DataFrame, dateCol: Column, days: Seq[String],
       path: String): Unit =
     days.foreach { d =>
       export(df.filter(dateCol === to_date(lit(d))), path)
     }
 
-  /** Schema-on-read import over a glob path (README.md:234-254). */
+  /** Schema-on-read import over a glob path (README.md:234-254).
+    * `recursiveFileLookup` descends into `partitionBy` day directories
+    * without inferring partition columns, so the declared schema is the
+    * whole schema.
+    */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
+      .option("recursiveFileLookup", "true")
       .csv(path)
 
   /** The reference's `_path` / `_file` virtual columns (README.md:150-154)
