@@ -15,7 +15,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     graft.queries.CoreQueries.defs ++
       graft.queries.SourceQueries.defs ++
-      graft.queries.ArrayQueries.defs
+      graft.queries.ArrayQueries.defs ++
+      graft.queries.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

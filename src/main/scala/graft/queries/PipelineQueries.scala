@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Graft, QueryDef}
+import graft.functions.text
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: exact + near dedup, similarity search, text
+  * metrics. Oracles are exact: candidate generation is probabilistic
+  * (LSH), but every emitted pair/row is verified with exact math in
+  * BOTH engines, and the DuckDB side computes ground truth via an
+  * inverted-index join (not all-pairs list scans) so the oracle stays
+  * fast.
+  */
+object PipelineQueries {
+
+  /** Shared DuckDB CTE: distinct 3-gram shingles per document, matching
+    * `text.ngrams(text.tokenize(text), 3)` exactly.
+    */
+  private val duckShingles = """
+    t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+                  ELSE [] END AS sh
+      FROM t
+    )"""
+
+  /** DuckDB ground-truth near-dup pairs at a Jaccard threshold, via an
+    * inverted shingle index: pairs sharing ≥1 shingle get their exact
+    * intersection counted by a hash join; |A∪B| = |A|+|B|-|A∩B|.
+    */
+  private def duckNearDup(threshold: String): String = s"""
+    WITH $duckShingles,
+    e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(sh) AS n FROM s)
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+           round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= $threshold
+    ORDER BY id_a, id_b"""
+
+  // ---------------------------------------------------------------------
+  // Exact dedup: hash-groupBy on a prefix fingerprint key, deterministic
+  // representative (min doc_id), group sizes carried through.
+  val q21ExactDedup = QueryDef(
+    "q21_exact_dedup",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val key = text.prefixKey(text.tokenize(col("text")), 10)
+      Dedup.exactDedup(docs, key, "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_survivors"),
+          sum(col("dup_count")).cast("long").as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH k AS (
+        SELECT doc_id, lang,
+               array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[1:10], ' ') AS key
+        FROM documents
+      ), g AS (
+        SELECT key, min(doc_id) AS rep, count(*) AS c FROM k GROUP BY key
+      ), j AS (
+        SELECT g.rep, g.c, k.lang FROM g JOIN k ON k.doc_id = g.rep
+      )
+      SELECT lang,
+             CAST(count(1) AS BIGINT) AS n_survivors,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(sum(rep) AS BIGINT) AS id_sum
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
+  // MinHash-LSH near-dedup: 64-hash signatures, 16 bands x 4 rows →
+  // band-bucket join for candidates, exact Jaccard ≥ 0.5 verification.
+  // The oracle recomputes ground truth exactly in DuckDB — the check
+  // passes only if LSH candidate generation missed nothing (at this
+  // corpus the near-dup pairs sit at J ≥ 0.9 where the 16x4 detection
+  // probability is 1 - (1-J^4)^16 ≈ 1 - 3e-17).
+  val q22MinhashNeardup = QueryDef(
+    "q22_minhash_neardup",
+    (s, dir) =>
+      Dedup.nearDupPairs(Graft.table(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some(duckNearDup("0.5")),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // SimHash near-dedup: 64-bit token-set SimHash, 8 bands of 8 bits
+  // (pigeonhole-guaranteed detection to Hamming distance 7), candidates
+  // verified by exact shingle-Jaccard ≥ 0.8 in both engines.
+  val q23SimhashNeardup = QueryDef(
+    "q23_simhash_neardup",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          text.tokenize(col("text")).as("__toks"),
+          text.ngrams(text.tokenize(col("text")), 3).as("__sh"))
+      val cands = Dedup.simHashCandidatePairs(docs, "doc_id", "__toks",
+        bands = 8)
+      Dedup.jaccardVerify(docs, cands, "doc_id", "__sh")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(duckNearDup("0.8")))
+
+  // ---------------------------------------------------------------------
+  // Text metrics: language-ID heuristic, quality score, token counts
+  // (whitespace + BPE-ish), rolling-hash fingerprint — one map stage,
+  // no shuffle except the final order/limit.
+  val q24TextMetrics = QueryDef(
+    "q24_text_metrics",
+    (s, dir) => {
+      val toks = text.tokenize(col("text"))
+      Graft.table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          text.langId(toks).as("lang_guess"),
+          text.qualityScore(col("text")).as("quality"),
+          text.tokenCountWs(col("text")).as("n_tok_ws"),
+          text.tokenCountBpe(col("text")).as("n_tok_bpe"),
+          text.fingerprint(col("text")).as("fp"),
+          round(text.punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+               lower(text) AS lt
+        FROM documents
+      ), sc AS (
+        SELECT doc_id, norm, toks, lt,
+               len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS s_en,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('le','la','les','et','des','un'))) AS s_fr,
+               len(list_filter(toks, x -> x IN ('el','los','las','y','un','una'))) AS s_es,
+               CASE WHEN length(norm) > 0
+                    THEN (length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g'))) / length(norm)
+                    ELSE 0.0 END AS punct
+        FROM t
+      )
+      SELECT doc_id,
+             CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS lang_guess,
+             round(0.4 * least(len(toks) / 100.0, 1.0)
+                 + 0.3 * (1.0 - punct)
+                 + 0.3 * (CASE WHEN len(toks) > 0
+                               THEN s_en / CAST(len(toks) AS DOUBLE) ELSE 0.0 END), 6) AS quality,
+             CAST(len(toks) AS BIGINT) AS n_tok_ws,
+             CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok_bpe,
+             list_reduce(list_prepend(0::BIGINT, [unicode(norm[i])::BIGINT for i in range(1, length(norm) + 1)]),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+             round(punct, 6) AS punct_ratio
+      FROM sc ORDER BY doc_id LIMIT 200"""))
+
+  // ---------------------------------------------------------------------
+  // Exact brute-force cosine top-k per probe (the ANN baseline): probes
+  // broadcast, one corpus scan, per-probe ranking.
+  val q25AnnTopk = QueryDef(
+    "q25_ann_topk",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("sim"), 3).as("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5
+      ), sc AS (
+        SELECT p.probe_id, e.vec_id AS id,
+               list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(p.pv::DOUBLE[], p.pv::DOUBLE[]))) AS sim
+        FROM embeddings e CROSS JOIN p
+        WHERE e.vec_id <> p.probe_id
+      ), r AS (
+        SELECT probe_id, id, sim,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, id ASC) AS rank
+        FROM sc
+      )
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, id, round(sim, 3) AS sim
+      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // Embedding-cosine near-dup: all pairs above a cosine threshold,
+  // exact in both engines (verification-scale; the LSH candidates +
+  // exact verify composition is the 100 TB path).
+  val q26CosinePairs = QueryDef(
+    "q26_cosine_pairs",
+    (s, dir) =>
+      Similarity.cosinePairsAbove(Graft.table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.46)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 3).as("sim"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 3) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.46
+      ORDER BY id_a, id_b"""))
+
+  // ---------------------------------------------------------------------
+  // LSH-bucketed ANN (the scale path): 4-bit hyperplane buckets +
+  // Hamming-1 multiprobe, exact cosine within candidates. Recall is
+  // probabilistic, so there is no SQL oracle (driver records rows>0);
+  // SimilaritySpec asserts recall against bruteForceTopK on planted
+  // clusters.
+  val q27AnnLshTopk = QueryDef(
+    "q27_ann_lsh_topk",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 5)
+      Similarity.annTopK(vecs, probes, "vec_id", "embedding", k = 10,
+          nBits = 4)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("sim"), 3).as("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(
+    q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
+    q25AnnTopk, q26CosinePairs, q27AnnLshTopk)
+}
