@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.CoreQueries.defs ++
       graft.queries.SourceQueries.defs ++
       graft.queries.ArrayQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.MetricaQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,227 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.functions.ch._
+import graft.operators.Relational._
+import graft.schemas.Metrica
+import graft.sources.Warehouse
+
+/** The reference's own two DataLens queries, verbatim, over a
+  * Metrica-shaped visits warehouse (full 224-column schema, week
+  * partitions, ORDER-BY clustering):
+  *
+  *  - Q1 "Посещаемость" (README.md:75-86): daily sum(Sign) WITH TOTALS,
+  *    HAVING, WHERE on the SELECT alias, LIMIT 0,10.
+  *  - Q2 "Источники трафика" (README.md:102-119): last-click UTM via
+  *    `arr[indexOf(...)]` with default-on-miss, Sign-weighted measures,
+  *    ratio-of-aggregates with alias reuse, uniqExact/least, nested
+  *    arrayMap purchases counter, HAVING OR-of-three, LIMIT 0,50.
+  *
+  * The fixture is deterministic (pure function of the row index): 40
+  * visits over two weeks, 1-3 versions each arriving as
+  * VersionedCollapsingMergeTree state/cancel pairs (ddl/visits.sql:
+  * 229-233), some visits without a model-2 traffic source (the
+  * `arr[0] -> ''` miss path), some with empty-string purchase ids.
+  * Both query entries rebuild and overwrite it, so they are
+  * order-independent; the oracle reads the same parquet files DuckDB-
+  * side via read_parquet.
+  */
+object MetricaQueries {
+
+  val fixtureDir = "/tmp/graft_metrica/visits"
+
+  private val utms = Seq("google", "yandex", "newsletter")
+
+  /** One (version, sign) row of the fixture. Cancel rows carry the
+    * canceled version's measures, as the collapsing engine requires.
+    */
+  private def row(i: Int, k: Int, sign: Int) = {
+    val (model, utm) =
+      if (i % 4 == 3) (Seq(1), Seq(""))
+      else (Seq(1, 2), Seq("", utms(i % 3)))
+    val purchase = if (i % 5 == 0) Seq(s"p$i", "") else Seq.empty[String]
+    (1000L + i % 3, // CounterID
+      java.sql.Date.valueOf(LocalDate.of(2023, 11, 1).plusDays(i % 14)),
+      10000L + i % 17, // CounterUserIDHash
+      1L + i, // VisitID
+      sign,
+      k.toLong, // VisitVersion
+      1 + (i + k) % 4, // PageViews
+      (30 * k + (i % 7) * 10).toLong, // Duration
+      if ((i + k) % 5 == 0) 1 else 0, // IsBounce
+      model, utm, purchase)
+  }
+
+  /** Build + write the fixture warehouse; returns the read-back frame. */
+  def fixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until 40
+      nv = 1 + i % 3
+      k <- 1 to nv
+      r <- (if (k > 1) Seq(row(i, k - 1, -1)) else Nil) :+ row(i, k, 1)
+    } yield r
+    val df = rows.toDF("CounterID", "StartDate", "CounterUserIDHash",
+      "VisitID", "Sign", "VisitVersion", "PageViews", "Duration",
+      "IsBounce", "TrafficSource.Model", "TrafficSource.UTMSource",
+      "EPurchase.ID")
+    Warehouse.write(Metrica.conform(df, Metrica.visits), fixtureDir,
+      Metrica.visitsPartitionDate, Metrica.visitsOrderKey,
+      mode = "overwrite")
+    Warehouse.read(spark, fixtureDir)
+  }
+
+  /** Q1 verbatim (README.md:75-86), parameterized like the DataLens
+    * `{{interval_from}}`/`{{interval_to}}` placeholders. The WHERE
+    * references the SELECT alias `ym:s:date` (P9) — staged as a real
+    * column first, per the engine's alias discipline.
+    */
+  def q1Visits(visits: DataFrame, from: String, to: String): DataFrame = {
+    val staged = visits
+      .withColumn("ym:s:date", col("StartDate"))
+      .filter(col("`ym:s:date`") >= lit(from).cast("date") &&
+        col("`ym:s:date`") <= lit(to).cast("date"))
+    val totals = withTotals(staged, Seq("ym:s:date"),
+      Seq(sum(col("Sign")).cast("long").as("ym:s:visits")))
+    limitOffset(
+      totals.filter(col("`ym:s:visits`") >= 0.0)
+        .orderBy(col("`ym:s:date`").asc_nulls_last),
+      offset = 0, n = 10)
+  }
+
+  /** Q2 verbatim (README.md:102-119). Ratio aggregates are rounded to 4
+    * decimals on both sides (the one deviation from verbatim — needed
+    * for cross-engine float hash parity).
+    */
+  def q2TrafficSources(visits: DataFrame, from: String, to: String): DataFrame = {
+    // `ym:s:lastSignUTMSource` := UTMSource[indexOf(Model, 2)] with
+    // CH default '' on miss; referenced by WHERE and GROUP BY (P9/A8).
+    val staged = visits
+      .withColumn("ym:s:lastSignUTMSource",
+        chElementAt(col("`TrafficSource.UTMSource`"),
+          indexOf(col("`TrafficSource.Model`"), lit(2)), lit("")))
+      .filter(col("StartDate") >= lit(from).cast("date") &&
+        col("StartDate") <= lit(to).cast("date") &&
+        col("`ym:s:lastSignUTMSource`") =!= "")
+    // sumArray(arrayMap(x -> if(isFinite(x), x, 0) * Sign,
+    //          arrayMap(x0 -> toInt64(notEmpty(x0)), `EPurchase.ID`)))
+    val purchasesPerRow = sumArrayLong(
+      arrayMap(
+        arrayMap(col("`EPurchase.ID`"), x0 => toInt64(notEmpty(x0))),
+        x => chIf(isFiniteCol(x), x, lit(0L)) * col("Sign")))
+    val agged = staged.groupBy(col("`ym:s:lastSignUTMSource`"))
+      .agg(
+        sum(col("Sign")).cast("long").as("ym:s:visits"),
+        uniqExact(col("CounterUserIDHash")).as("__uniq"),
+        sum(col("IsBounce") * col("Sign")).cast("long").as("__bounces"),
+        sum(col("PageViews") * col("Sign")).cast("long").as("__pv"),
+        sum(col("Duration") * col("Sign")).cast("long").as("__dur"),
+        sum(purchasesPerRow).cast("long").as("ym:s:ecommercePurchases"))
+    // A3: `least(uniqExact(...), ym:s:visits)`, `100.*(x/ym:s:visits)`
+    // reference sibling aggregate aliases — second select stage.
+    val proj = agged.select(
+      col("`ym:s:lastSignUTMSource`"),
+      col("`ym:s:visits`"),
+      least(col("__uniq"), col("`ym:s:visits`")).as("ym:s:users"),
+      round(lit(100.0) * col("__bounces") / col("`ym:s:visits`"), 4)
+        .as("ym:s:bounceRate"),
+      round(col("__pv") / col("`ym:s:visits`"), 4).as("ym:s:pageDepth"),
+      round(col("__dur") / col("`ym:s:visits`"), 4)
+        .as("ym:s:avgVisitDurationSeconds"),
+      col("`ym:s:ecommercePurchases`"))
+    limitOffset(
+      proj.filter(col("`ym:s:visits`") > 0.0 || col("`ym:s:users`") > 0.0 ||
+          col("`ym:s:ecommercePurchases`") > 0.0)
+        .orderBy(col("`ym:s:visits`").desc,
+          col("`ym:s:lastSignUTMSource`").asc),
+      offset = 0, n = 50)
+  }
+
+  private val duckVisits =
+    s"(SELECT * FROM read_parquet('$fixtureDir/*/*.parquet'))"
+
+  // ---------------------------------------------------------------------
+  val q28MetricaQ1 = QueryDef(
+    "q28_metrica_q1_visits",
+    // the TOTALS row's date key is NULL; emit the date as its ISO string
+    // on both sides so the null survives engine-neutral value compare
+    (s, _) => q1Visits(fixture(s), "2023-11-01", "2023-11-08")
+      .withColumn("ym:s:date", col("`ym:s:date`").cast("string")),
+    Some(s"""
+      SELECT CAST(StartDate AS VARCHAR) AS "ym:s:date",
+             CAST(sum(Sign) AS BIGINT) AS "ym:s:visits"
+      FROM $duckVisits v
+      WHERE StartDate >= DATE '2023-11-01' AND StartDate <= DATE '2023-11-08'
+      GROUP BY ROLLUP(StartDate)
+      HAVING CAST(sum(Sign) AS BIGINT) >= 0.0
+      ORDER BY "ym:s:date" ASC NULLS LAST
+      LIMIT 10"""))
+
+  // ---------------------------------------------------------------------
+  val q29MetricaQ2 = QueryDef(
+    "q29_metrica_q2_traffic",
+    (s, _) => q2TrafficSources(fixture(s), "2023-11-01", "2023-11-14"),
+    Some(s"""
+      WITH st AS (
+        SELECT *,
+               CASE WHEN coalesce(list_position("TrafficSource.Model", 2), 0)
+                         BETWEEN 1 AND len("TrafficSource.UTMSource")
+                    THEN "TrafficSource.UTMSource"[coalesce(list_position("TrafficSource.Model", 2), 0)]
+                    ELSE '' END AS src
+        FROM $duckVisits v
+        WHERE StartDate >= DATE '2023-11-01' AND StartDate <= DATE '2023-11-14'
+      ), a AS (
+        SELECT src,
+               CAST(sum(Sign) AS BIGINT) AS visits,
+               CAST(count(DISTINCT CounterUserIDHash) AS BIGINT) AS uq,
+               CAST(sum(IsBounce * Sign) AS BIGINT) AS bounces,
+               CAST(sum(PageViews * Sign) AS BIGINT) AS pv,
+               CAST(sum(Duration * Sign) AS BIGINT) AS dur,
+               CAST(sum(coalesce(list_aggregate(list_transform("EPurchase.ID",
+                    x -> (CASE WHEN length(x) > 0 THEN 1 ELSE 0 END) * Sign), 'sum'), 0)) AS BIGINT) AS purch
+        FROM st WHERE src <> ''
+        GROUP BY 1
+      )
+      SELECT src AS "ym:s:lastSignUTMSource",
+             visits AS "ym:s:visits",
+             least(uq, visits) AS "ym:s:users",
+             round(100.0 * bounces / visits, 4) AS "ym:s:bounceRate",
+             round(pv / CAST(visits AS DOUBLE), 4) AS "ym:s:pageDepth",
+             round(dur / CAST(visits AS DOUBLE), 4) AS "ym:s:avgVisitDurationSeconds",
+             purch AS "ym:s:ecommercePurchases"
+      FROM a
+      WHERE visits > 0.0 OR least(uq, visits) > 0.0 OR purch > 0.0
+      ORDER BY "ym:s:visits" DESC, "ym:s:lastSignUTMSource" ASC
+      LIMIT 50"""))
+
+  // ---------------------------------------------------------------------
+  // F12/partition layout: group by the warehouse week (= toMonday of
+  // StartDate, the PARTITION BY expression) with a filter on the week
+  // partition column — pruned at planning time to one directory
+  // (asserted by explain in MetricaSpec).
+  val q30WeekPrune = QueryDef(
+    "q30_week_prune",
+    (s, _) => {
+      val v = fixture(s)
+      v.filter(col(Warehouse.weekCol) === lit("2023-11-06").cast("date"))
+        .groupBy(toMonday(col("StartDate")).as("wk"))
+        .agg(
+          sum(col("Sign")).cast("long").as("visits"),
+          uniqExact(col("CounterID")).as("counters"))
+        .orderBy(col("wk"))
+    },
+    Some(s"""
+      SELECT CAST(date_trunc('week', StartDate) AS DATE) AS wk,
+             CAST(sum(Sign) AS BIGINT) AS visits,
+             CAST(count(DISTINCT CounterID) AS BIGINT) AS counters
+      FROM $duckVisits v
+      WHERE CAST(date_trunc('week', StartDate) AS DATE) = DATE '2023-11-06'
+      GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q28MetricaQ1, q29MetricaQ2, q30WeekPrune)
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ch.toMonday
+
+/** Week-partitioned Parquet warehouse — the engine's analogue of the
+  * reference's MergeTree physical layout (ddl/hits.sql:112-120):
+  *
+  *  - `PARTITION BY toMonday(date)` → a `week` partition directory per
+  *    Monday, so date-range queries prune whole weeks at planning time;
+  *  - `ORDER BY (clustering key)` → `sortWithinPartitions`, so Parquet
+  *    page/row-group min-max stats act as the sparse index;
+  *  - `ReplicatedMergeTree` appends → `SaveMode.Append` (replication is
+  *    the storage layer's job).
+  *
+  * `repartition(week)` before the write makes each task own whole weeks
+  * (one sorted file per week per task generation) instead of every task
+  * writing a sliver of every week — at 1000 executors that is the
+  * difference between W files and W×1000 files per batch.
+  */
+object Warehouse {
+
+  val weekCol = "week"
+
+  /** Append `df` into `tableDir` partitioned by the Monday of
+    * `dateCol`, clustered by `orderKey` within each partition.
+    */
+  def write(df: DataFrame, tableDir: String, dateCol: String,
+      orderKey: Seq[String], mode: String = "append"): Unit =
+    df.withColumn(weekCol, toMonday(col(s"`$dateCol`")))
+      .repartition(col(weekCol))
+      .sortWithinPartitions((weekCol +: orderKey).map(c => col(s"`$c`")): _*)
+      .write.mode(mode)
+      .partitionBy(weekCol)
+      .parquet(tableDir)
+
+  /** Read the warehouse table back (partition column `week` included;
+    * filters on it prune directories).
+    */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
+}
