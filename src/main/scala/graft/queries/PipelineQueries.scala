@@ -254,7 +254,48 @@ object PipelineQueries {
     },
     None)
 
+  // ---------------------------------------------------------------------
+  // Multimodal plumbing: documents wrapped as binary media payloads with
+  // typed metadata, batched partition-local feature extraction (decode
+  // STUB — see Multimodal.decodeStub), frame-sampling plan from
+  // metadata. The byte-level checksums recomputed by DuckDB prove the
+  // binary payload path round-trips exactly.
+  val q32MultimodalFeatures = QueryDef(
+    "q32_multimodal_features",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val docs = Graft.table(s, dir, "documents")
+      val media = Multimodal.mediaFromDocuments(s, docs)
+      val feats = Multimodal.extractFeatures(media).toDF()
+      val meta = media.toDF().select(col("media_id"), col("kind"),
+        col("duration_ms"))
+      feats.join(meta, "media_id")
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_bytes")).cast("long").as("bytes_total"),
+          sum(col("checksum")).cast("long").as("checksum_total"),
+          sum(size(Multimodal.frameSampleMs(col("duration_ms"), 1000, 8)))
+            .cast("long").as("frames_planned"))
+        .orderBy(col("kind"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               list_aggregate([unicode(text[i]) for i in range(1, length(text) + 1)], 'sum') % 997 AS checksum,
+               n_chars * 10 AS duration_ms
+        FROM documents)
+      SELECT kind, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+             CAST(sum(checksum) AS BIGINT) AS checksum_total,
+             CAST(sum(CASE WHEN duration_ms > 0
+                           THEN least((duration_ms - 1) // 1000 + 1, 8)
+                           ELSE 0 END) AS BIGINT) AS frames_planned
+      FROM m GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
-    q25AnnTopk, q26CosinePairs, q27AnnLshTopk)
+    q25AnnTopk, q26CosinePairs, q27AnnLshTopk, q32MultimodalFeatures)
 }

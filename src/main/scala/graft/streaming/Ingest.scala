@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Warehouse
+
+/** Continuous replication ingest — the engine's form of the reference's
+  * Data Transfer pipeline (README.md:46-58):
+  *
+  *  - S1 source: a file-based Structured Streaming source of
+  *    Metrica-schema rows (the sandbox stand-in for the Metrica
+  *    firehose); `visits`-style streams carry Sign/VisitVersion pairs
+  *    and are appended RAW — versions resolve at query time via
+  *    Sign-weighted aggregates or `Relational.latestVersions`, exactly
+  *    as VersionedCollapsingMergeTree does (ST3/ST4: late cancel pairs
+  *    need no state, they just append).
+  *  - S2 sink: `foreachBatch` append into the week-partitioned Parquet
+  *    warehouse ([[Warehouse.write]]); the table directory is
+  *    auto-created on first batch and named `<table>_<transferId>`,
+  *    mirroring the transfer-id suffix (README.md:47,58; ST5).
+  *  - ST1 continuity: the checkpoint directory makes restart resume
+  *    from the last committed batch — stop/start loses nothing and
+  *    duplicates nothing (IngestSpec proves it).
+  *  - Cleanup policy on (re)activation (data-transfer-endpoint.tf:15):
+  *    DISABLED keeps existing data (the reference's choice), DROP
+  *    clears table + checkpoint for a from-scratch run.
+  *  - ST2: there is no historical backfill — rows exist in the stream
+  *    only from activation on; anything already in the source directory
+  *    is the initial replication snapshot.
+  *
+  * At scale: each micro-batch is one bounded append job; partitioning
+  * work is [[Warehouse.write]]'s (repartition by week → whole sorted
+  * files per week). Throughput tuning = `maxFilesPerTrigger` ×
+  * executor count; no stateful operator, so no state store to size.
+  */
+object Ingest {
+
+  /** Sink configuration (terraform/data-transfer-endpoint.tf:4-18). */
+  final case class Sink(
+      warehouseDir: String,
+      tableName: String,
+      transferId: String,
+      dateCol: String,
+      orderKey: Seq[String],
+      cleanupPolicy: String = "DISABLED")
+
+  /** `<warehouse>/<table>_<transferId>` — the suffixed target table. */
+  def tableDir(sink: Sink): String =
+    s"${sink.warehouseDir}/${sink.tableName}_${sink.transferId}"
+
+  /** Apply the cleanup policy before (re)activation: DROP/TRUNCATE
+    * clear the table (and DROP also the checkpoint — a from-scratch
+    * transfer); DISABLED keeps everything (re-activation appends).
+    */
+  def applyCleanupPolicy(sink: Sink, checkpointDir: String): Unit = {
+    def rm(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.exists()) {
+        java.nio.file.Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => x.toFile.delete())
+      }
+    }
+    sink.cleanupPolicy match {
+      case "DROP" => rm(tableDir(sink)); rm(checkpointDir)
+      case "TRUNCATE" => rm(tableDir(sink))
+      case _ => ()
+    }
+  }
+
+  /** Activate the transfer: stream `srcDir` → warehouse table.
+    *
+    * @param prepare per-batch ELT applied before the write (e.g. derive
+    *                the partition date from a raw timestamp)
+    * @param availableNow true = drain everything currently available
+    *                     and stop (batch-shaped run of the same
+    *                     pipeline); false = run continuously
+    * @param maxFilesPerTrigger bound micro-batch size (throughput /
+    *                           latency knob; also forces multi-batch
+    *                           runs in tests)
+    */
+  def activate(spark: SparkSession, srcDir: String, schema: StructType,
+      sink: Sink, checkpointDir: String,
+      prepare: DataFrame => DataFrame = identity,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    applyCleanupPolicy(sink, checkpointDir)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    val writer = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Warehouse.write(prepare(batch), tableDir(sink), sink.dateCol,
+          sink.orderKey)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Activate with AvailableNow and block until the drain completes. */
+  def runToCompletion(spark: SparkSession, srcDir: String,
+      schema: StructType, sink: Sink, checkpointDir: String,
+      prepare: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None): Unit =
+    activate(spark, srcDir, schema, sink, checkpointDir, prepare,
+      availableNow = true, maxFilesPerTrigger).awaitTermination()
+}
