@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ch._
+
+/** Unit coverage for the ClickHouse-compat function library
+  * (SURVEY.md §2.7 ⚠ semantics: 1-based access with default-on-miss,
+  * indexOf null handling, notEmpty on NULL, toMonday).
+  */
+class ChFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chElementAt: hit, index 0, out of range, null-safe default") {
+    val df = Seq((Seq("a", "b", "c"), 2), (Seq("a"), 0), (Seq("a"), 9))
+      .toDF("arr", "i")
+    val got = df.select(chElementAt($"arr", $"i", lit("MISS"))).as[String]
+      .collect().toSeq
+    assert(got == Seq("b", "MISS", "MISS"))
+  }
+
+  test("indexOf: 1-based, 0 when absent, 0 for NULL search value") {
+    val df = Seq(
+      (Seq("x", "y"), Some("y")),
+      (Seq("x", "y"), Some("z")),
+      (Seq("x", "y"), None))
+      .toDF("arr", "v")
+    val got = df.select(indexOf($"arr", $"v")).as[Long].collect().toSeq
+    assert(got == Seq(2L, 0L, 0L))
+  }
+
+  test("notEmpty: 1 for non-empty, 0 for empty AND for NULL") {
+    val df = Seq(Some("hi"), Some(""), None).toDF("s")
+    assert(df.select(notEmpty($"s")).as[Long].collect().toSeq == Seq(1L, 0L, 0L))
+  }
+
+  test("toMonday matches ClickHouse week starts") {
+    val df = Seq("2023-11-01", "2023-11-06", "2023-11-12", "2024-01-01")
+      .toDF("d").select(toMonday($"d".cast("date")).cast("string"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("2023-10-30", "2023-11-06", "2023-11-06", "2024-01-01"))
+  }
+
+  test("sumArray over long and double arrays; empty array sums to zero") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(0.5, 0.25)), (Seq.empty[Long], Seq.empty[Double]))
+      .toDF("l", "d")
+    val got = df.select(sumArrayLong($"l"), sumArrayDouble($"d"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((6L, 0.75), (0L, 0.0)))
+  }
+
+  test("isFinite flags NaN and infinities, true for ordinary values") {
+    val df = Seq(1.5, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("x")
+    assert(df.select(isFiniteCol($"x")).as[Boolean].collect().toSeq ==
+      Seq(true, false, false, false))
+  }
+
+  test("chIf and toInt64 compose like CH if/toInt64") {
+    val df = Seq(3, 7).toDF("x")
+    assert(df.select(chIf($"x" > 5, lit("big"), lit("small"))).as[String]
+      .collect().toSeq == Seq("small", "big"))
+    assert(df.select(toInt64($"x")).schema.head.dataType.typeName == "long")
+  }
+
+  test("uniqExact is exact distinct; uniq approximates") {
+    val df = (1 to 100).map(i => i % 7).toDF("k")
+    assert(df.select(uniqExact($"k")).as[Long].head() == 7L)
+    val approx = df.select(uniq($"k")).as[Long].head()
+    assert(approx >= 6L && approx <= 8L)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+import graft.operators.Dedup
+
+/** Unit coverage for the dedup operators on planted fixtures. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1 near-identical (one token changed), 2 identical to 0, 3 unrelated
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "one two three four five six seven eight nine ten"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps min-id representative and counts the group") {
+    val got = Dedup.exactDedup(docs, text.normalizeText($"text"), "doc_id")
+      .select($"doc_id", $"dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L), (1L, 1L), (3L, 1L)))
+  }
+
+  test("identical shingle sets give identical MinHash signatures") {
+    val sh = docs.select($"doc_id",
+      text.ngrams(text.tokenize($"text"), 3).as("sh"))
+    val sigs = sh.select($"doc_id",
+      Dedup.minHashSignature($"sh", 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == sigs(2L))
+    assert(sigs(0L) != sigs(3L))
+    assert(sigs(0L).length == 64)
+  }
+
+  test("LSH candidates find planted near-dups, skip unrelated docs") {
+    val sh = docs.select($"doc_id",
+      text.ngrams(text.tokenize($"text"), 3).as("sh"))
+    val pairs = Dedup.lshCandidatePairs(sh, "doc_id", "sh", 64, 16)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // identical: guaranteed
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L))) // near
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccardVerify computes exact intersection/union/jaccard") {
+    val sh = docs.select($"doc_id",
+      text.ngrams(text.tokenize($"text"), 3).as("sh"))
+    val pairs = Seq((0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardVerify(sh, pairs, "doc_id", "sh")
+      .select($"id_a", $"id_b", $"n_inter", $"n_union", $"jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got((0L, 2L))._5 == 1.0) // identical docs
+    assert(got((0L, 3L))._3 == 0L) // unrelated: empty intersection
+    assert(got((0L, 3L))._5 == 0.0)
+  }
+
+  test("SimHash: small Hamming distance for near-identical token sets") {
+    val sh = docs.select($"doc_id",
+      Dedup.simHash(text.tokenize($"text")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(2L)) // identical tokens → identical simhash
+    val near = Dedup.hamming(lit(sh(0L)), lit(sh(1L)))
+    val far = Dedup.hamming(lit(sh(0L)), lit(sh(3L)))
+    val (n, f) = docs.limit(1).select(near, far).as[(Long, Long)].head()
+    assert(n < f, s"near=$n should differ in fewer bits than far=$f")
+    assert(n <= 16L) // one token of ten changed → few sign flips
+  }
+
+  test("SimHash band candidates include near-identical pairs") {
+    val toks = docs.select($"doc_id", text.tokenize($"text").as("toks"))
+    val pairs = Dedup.simHashCandidatePairs(toks, "doc_id", "toks", bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 1L)))
+  }
+}

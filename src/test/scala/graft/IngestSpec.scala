@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Warehouse
+import graft.streaming.Ingest
+
+/** Streaming ingest invariants (ST1-ST4): checkpointed restart without
+  * loss or duplication, and late-arriving cancel pairs resolving at
+  * query time with no stream-side state.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def visitRows(rows: Seq[(Long, Long, Int, String)]) =
+    rows.toDF("id", "ver", "sign", "d")
+      .select($"id", $"ver", $"sign", $"d".cast("date").as("d"))
+
+  test("restart resumes from checkpoint: no loss, no dups, late cancels apply") {
+    val base = Files.createTempDirectory("graft_ingest_spec").toString
+    val srcDir = s"$base/src"
+    val cp = s"$base/cp"
+    val sink = Ingest.Sink(s"$base/wh", "visits", "t1",
+      dateCol = "d", orderKey = Seq("id", "ver"),
+      cleanupPolicy = "DISABLED") // the reference's policy: keep data
+    val schema = visitRows(Nil).schema
+
+    // batch 1: two visits, one already at version 2
+    visitRows(Seq(
+      (1L, 1L, 1, "2023-11-01"),
+      (2L, 1L, 1, "2023-11-02"),
+      (2L, 1L, -1, "2023-11-02"), (2L, 2L, 1, "2023-11-02")))
+      .write.mode("append").parquet(srcDir)
+    Ingest.runToCompletion(spark, srcDir, schema, sink, cp)
+    val t = Ingest.tableDir(sink)
+    assert(Warehouse.read(spark, t).count() == 4)
+
+    // batch 2 after a "restart": late cancel pair for visit 1 (ST3)
+    visitRows(Seq(
+      (1L, 1L, -1, "2023-11-01"), (1L, 2L, 1, "2023-11-01"),
+      (3L, 1L, 1, "2023-11-08")))
+      .write.mode("append").parquet(srcDir)
+    Ingest.runToCompletion(spark, srcDir, schema, sink, cp)
+    val afterRestart = Warehouse.read(spark, t)
+    assert(afterRestart.count() == 7, "batch 2 appended exactly once")
+
+    // a third activation with no new files must be a no-op (no dups)
+    Ingest.runToCompletion(spark, srcDir, schema, sink, cp)
+    assert(Warehouse.read(spark, t).count() == 7)
+
+    // query-time collapsing sees the post-restart truth
+    val latest = Relational.latestVersions(
+      Warehouse.read(spark, t), Seq("id"), "ver", "sign")
+      .select($"id", $"ver").as[(Long, Long)].collect().toSet
+    assert(latest == Set((1L, 2L), (2L, 2L), (3L, 1L)))
+    // sign-weighted count of live visits
+    val live = Warehouse.read(spark, t).agg(sum($"sign")).as[Long].head()
+    assert(live == 3L)
+  }
+
+  test("cleanup policy DROP clears table and checkpoint; TRUNCATE keeps checkpoint") {
+    val base = Files.createTempDirectory("graft_ingest_spec2").toString
+    val srcDir = s"$base/src"
+    val sink = Ingest.Sink(s"$base/wh", "visits", "t2",
+      dateCol = "d", orderKey = Seq("id", "ver"), cleanupPolicy = "DROP")
+    val schema = visitRows(Nil).schema
+    visitRows(Seq((1L, 1L, 1, "2023-11-01"))).write.mode("append").parquet(srcDir)
+    Ingest.runToCompletion(spark, srcDir, schema, sink, s"$base/cp")
+    assert(Warehouse.read(spark, Ingest.tableDir(sink)).count() == 1)
+    // re-activation with DROP reprocesses from scratch → still exactly 1
+    Ingest.runToCompletion(spark, srcDir, schema, sink, s"$base/cp")
+    assert(Warehouse.read(spark, Ingest.tableDir(sink)).count() == 1)
+  }
+
+  test("multi-batch drain (maxFilesPerTrigger) lands every file once") {
+    val base = Files.createTempDirectory("graft_ingest_spec3").toString
+    val srcDir = s"$base/src"
+    val sink = Ingest.Sink(s"$base/wh", "visits", "t3",
+      dateCol = "d", orderKey = Seq("id", "ver"), cleanupPolicy = "DROP")
+    val schema = visitRows(Nil).schema
+    val rows = (1L to 40L).map(i => (i, 1L, 1, "2023-11-0" + (1 + i % 7)))
+    visitRows(rows).repartition(8).write.mode("append").parquet(srcDir)
+    Ingest.runToCompletion(spark, srcDir, schema, sink, s"$base/cp",
+      maxFilesPerTrigger = Some(3))
+    val got = Warehouse.read(spark, Ingest.tableDir(sink))
+    assert(got.count() == 40)
+    assert(got.select("id").distinct().count() == 40)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.MetricaQueries
+import graft.schemas.Metrica
+import graft.sources.Warehouse
+
+/** Schema-transcription invariants (SURVEY.md §7.4 #7) and physical
+  * layout checks: partition pruning on the warehouse, predicate
+  * pushdown below the events ns→µs conversion.
+  */
+class MetricaSpec extends SparkSpec {
+
+  test("hits schema: 106 fields, 12 arrays, 89 nullable") {
+    assert(Metrica.hits.fields.length == 106)
+    assert(Metrica.hits.fields.count(_.dataType.isInstanceOf[ArrayType]) == 12)
+    assert(Metrica.hits.fields.count(_.nullable) == 89)
+  }
+
+  test("visits schema: 224 fields, 164 arrays, 54 nullable") {
+    assert(Metrica.visits.fields.length == 224)
+    assert(Metrica.visits.fields.count(_.dataType.isInstanceOf[ArrayType]) == 164)
+    assert(Metrica.visits.fields.count(_.nullable) == 54)
+  }
+
+  test("the ddl/visits.sql:227 two-columns-one-line pair survived") {
+    assert(Metrica.visits.fieldNames.contains("WindowClientHeight"))
+    assert(Metrica.visits.fieldNames.contains("WindowClientWidth"))
+  }
+
+  test("key columns carry the documented type mapping") {
+    def t(s: StructType, n: String) = s(n).dataType
+    assert(t(Metrica.visits, "Sign") == ByteType) // Int8
+    assert(t(Metrica.visits, "VisitVersion") == LongType) // UInt32 widened
+    assert(t(Metrica.visits, "CounterUserIDHash") == LongType) // UInt64 reinterpret
+    assert(t(Metrica.hits, "EventDate") == DateType)
+    assert(t(Metrica.hits, "ClientIP6") == BinaryType) // FixedString(16)
+    assert(t(Metrica.hits, "BrowserCountry") == StringType) // FixedString(2)
+    assert(t(Metrica.visits, "TrafficSource.Model") ==
+      ArrayType(ShortType, containsNull = false)) // Array(UInt8)
+  }
+
+  test("conform fills missing columns with typed nulls in schema order") {
+    import spark.implicits._
+    val slim = Seq((1L, "2023-11-01")).toDF("CounterID", "StartDate")
+      .select($"CounterID", $"StartDate".cast("date").as("StartDate"))
+    val full = Metrica.conform(slim, Metrica.visits)
+    assert(full.columns.toSeq == Metrica.visits.fieldNames.toSeq)
+    val row = full.select($"Sign", $"`TrafficSource.Model`").head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("warehouse week partition prunes at planning time") {
+    val v = MetricaQueries.fixture(spark)
+    val pruned = v.filter(col(Warehouse.weekCol) === lit("2023-11-06").cast("date"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("week"), plan)
+    // all three fixture weeks present unpruned, exactly one after filter
+    assert(v.select(Warehouse.weekCol).distinct().count() == 3)
+    assert(pruned.select(Warehouse.weekCol).distinct().count() == 1)
+  }
+
+  test("events date-range predicate reaches the parquet scan as a pushdown") {
+    val df = Graft.events(spark, "/root/testdata/sf0.001",
+      "2024-01-01", "2024-02-01")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"expected raw-nanos pushdown in:\n$plan")
+  }
+
+  test("warehouse files are sorted by the clustering key within partitions") {
+    val v = MetricaQueries.fixture(spark)
+    // per input file, the order key must be non-decreasing in row order
+    val key = concat_ws("|",
+      lpad(col("CounterID").cast("string"), 8, "0"),
+      col("StartDate").cast("string"),
+      lpad(col("CounterUserIDHash").cast("string"), 8, "0"),
+      lpad(col("VisitID").cast("string"), 8, "0"))
+    import spark.implicits._
+    val violations = v
+      .withColumn("f", input_file_name())
+      .select($"f", key.as("k"))
+      .as[(String, String)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (_, rows) => rows.map(_._2).toSeq }
+      .count(ks => ks != ks.sorted)
+    assert(violations == 0)
+  }
+}

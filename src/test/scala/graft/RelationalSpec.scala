@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational._
+
+/** Unit coverage for the relational combinators (SURVEY.md §2.4/§2.6 ⚠
+  * rows): WITH TOTALS incl. HAVING over the totals row, LIMIT offset,
+  * Murmur3 hash sampling, collapsing compaction both ways.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sales = Seq(
+    ("a", 10L), ("a", 20L), ("b", 5L), ("b", -40L), ("c", 1L))
+    .toDF("k", "v")
+
+  test("withTotals: groups plus ONE grand-total row with null key") {
+    val got = withTotals(sales, Seq("k"), Seq(sum($"v").as("s")))
+      .as[(Option[String], Long)].collect().toMap
+    assert(got == Map(Some("a") -> 30L, Some("b") -> -35L, Some("c") -> 1L,
+      None -> -4L))
+  }
+
+  test("withTotals: HAVING applies to the totals row too (CH default)") {
+    val got = withTotals(sales, Seq("k"), Seq(sum($"v").as("s")))
+      .filter($"s" >= 0)
+      .as[(Option[String], Long)].collect().toMap
+    // b (-35) and the grand total (-4) both fail the HAVING
+    assert(got == Map(Some("a") -> 30L, Some("c") -> 1L))
+  }
+
+  test("limitOffset: offset skips in sorted order; offset 0 is plain limit") {
+    val df = (1 to 20).toDF("x").orderBy($"x")
+    assert(limitOffset(df, 5, 3).as[Int].collect().toSeq == Seq(6, 7, 8))
+    assert(limitOffset(df, 0, 2).as[Int].collect().toSeq == Seq(1, 2))
+  }
+
+  test("sampleByHash (Murmur3 default): deterministic, correct membership") {
+    val df = (1L to 1000L).toDF("id")
+    val s1 = sampleByHash(df, $"id", 10).as[Long].collect().toSet
+    val s2 = sampleByHash(df, $"id", 10).as[Long].collect().toSet
+    assert(s1 == s2) // pure function of the key → repeatable
+    assert(s1.nonEmpty && s1.size < 1000) // nontrivial subset
+    // membership is exactly the hash predicate
+    val expect = df.filter(pmod(hash($"id"), lit(10)) === 0)
+      .as[Long].collect().toSet
+    assert(s1 == expect)
+  }
+
+  private lazy val versioned = Seq(
+    // id 1: v1 replaced by v2 (cancel pair), v2 live
+    (1L, 1L, 1, "v1-state"), (1L, 1L, -1, "v1-cancel"), (1L, 2L, 1, "v2-state"),
+    // id 2: single live version
+    (2L, 1L, 1, "only"),
+    // id 3: fully canceled → no live row
+    (3L, 1L, 1, "gone"), (3L, 1L, -1, "gone-cancel"))
+    .toDF("id", "ver", "sign", "tag")
+
+  test("latestVersions: cancel pairs drop, highest live version wins") {
+    val got = latestVersions(versioned, Seq("id"), "ver", "sign")
+      .select($"id", $"ver", $"tag").as[(Long, Long, String)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, "v2-state"), (2L, 1L, "only")))
+  }
+
+  test("latestByKey (max_by aggregation) ≡ row_number window compaction") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 30L, "b"), (1L, 20L, "c"),
+      (2L, 5L, "d"), (3L, 1L, "e"), (3L, 1L, "f"))
+      .toDF("k", "ts", "payload").withColumn("uid", monotonically_increasing_id())
+    val agg = latestByKey(df, Seq("k"), Seq("ts", "uid"))
+      .select($"k", $"ts", $"payload").as[(Long, Long, String)].collect().toSet
+    val w = Window.partitionBy($"k").orderBy($"ts".desc, $"uid".desc)
+    val win = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"k", $"ts", $"payload").as[(Long, Long, String)].collect().toSet
+    assert(agg == win)
+    assert(agg.map(_._1) == Set(1L, 2L, 3L))
+  }
+
+  test("scd2Join picks the validity window containing the fact date") {
+    val dim = Seq(
+      ("x", "era1", "2024-01-01", "2024-01-15"),
+      ("x", "era2", "2024-01-16", "2024-12-31"))
+      .toDF("k", "descr", "f", "t")
+      .select($"k", $"descr", $"f".cast("date").as("f"), $"t".cast("date").as("t"))
+    val fact = Seq(("x", "2024-01-10"), ("x", "2024-02-01"))
+      .toDF("k", "d").select($"k", $"d".cast("date").as("d"))
+    val got = scd2Join(fact, dim, fact("k") === dim("k"), fact("d"),
+      dim("f"), dim("t")).select($"d".cast("string"), $"descr")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("2024-01-10", "era1"), ("2024-02-01", "era2")))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Unit coverage for cosine similarity search: hand-checked math, exact
+  * brute-force ranking, and LSH-ANN recall on planted clusters.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine match hand math") {
+    val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 0f, 1f))).toDF("a", "b")
+    val (d, na, c) = df.select(
+      Similarity.dot($"a", $"b"),
+      Similarity.norm($"a"),
+      Similarity.cosine($"a", $"b")).as[(Double, Double, Double)].head()
+    assert(d == 4.0)
+    assert(na == 3.0)
+    assert(math.abs(c - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+  }
+
+  test("cosine guards zero-norm vectors") {
+    val df = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    assert(df.select(Similarity.cosine($"a", $"b")).as[Double].head() == 0.0)
+  }
+
+  /** 3 orthogonal cluster directions × 10 members each; members are
+    * positive scalings of the center so within-cluster cosine is exactly
+    * 1 and cross-cluster is 0 — brute-force and ANN rankings are fully
+    * determined (tie-break on id).
+    */
+  private lazy val clustered = {
+    val rows = for {
+      k <- 0 until 3
+      j <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0f)
+      v(2 * k) = 1f * (1 + 0.05f * j)
+      v(2 * k + 1) = 0.5f * (1 + 0.05f * j)
+      ((k * 10 + j).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK returns own-cluster members first") {
+    val probes = clustered.filter($"vec_id".isin(0L, 10L, 20L))
+    val got = Similarity.bruteForceTopK(clustered, probes, "vec_id",
+      "embedding", k = 5)
+      .select($"probe_id", $"id").as[(Long, Long)].collect()
+    got.foreach { case (p, id) =>
+      assert(id / 10 == p / 10, s"probe $p got cross-cluster neighbor $id")
+    }
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+  }
+
+  test("annTopK (LSH buckets + multiprobe) achieves recall 1 here") {
+    val probes = clustered.filter($"vec_id".isin(0L, 10L, 20L))
+    val brute = Similarity.bruteForceTopK(clustered, probes, "vec_id",
+      "embedding", k = 5)
+      .select($"probe_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().toSet
+    val ann = Similarity.annTopK(clustered, probes, "vec_id",
+      "embedding", k = 5, nBits = 4)
+      .select($"probe_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(ann == brute)
+  }
+
+  test("cosinePairsAbove finds exactly the within-cluster pairs") {
+    val got = Similarity.cosinePairsAbove(clustered, "vec_id", "embedding",
+      threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      k <- 0 until 3
+      a <- 0 until 10; b <- (a + 1) until 10
+    } yield ((k * 10 + a).toLong, (k * 10 + b).toLong)).toSet
+    assert(got == expect)
+  }
+}
