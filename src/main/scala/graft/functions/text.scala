@@ -29,8 +29,20 @@ object text {
   /** Distinct word n-grams ("shingles") of a token array, each n-gram
     * space-joined. The unit set for MinHash/Jaccard near-dedup. Empty
     * when the document has fewer than n tokens.
+    *
+    * Backed by the native `NGramsExpr` kernel — the equivalent
+    * `array_distinct(transform(sequence, i -> concat_ws(slice)))`
+    * combinator evaluates interpreted (higher-order functions skip
+    * codegen) and was the top CPU line of the dedup pipeline; the
+    * native expression emits the same values in first-occurrence order
+    * from one tight loop. [[ngramsColumn]] keeps the combinator form as
+    * the executable specification (TextSpec proves them equal).
     */
   def ngrams(toks: Column, n: Int): Column =
+    graft.plans.NativeHashes.nGrams(toks, n)
+
+  /** Reference combinator formulation of [[ngrams]]. */
+  def ngramsColumn(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))

@@ -58,27 +58,62 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       j => xxhash64(j, slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))))
 
-  /** Candidate pairs via the band-bucket self-join: explode (band,
-    * bucket) keys, shuffle on them, pair up within buckets only, dedup
-    * pairs that collide in several bands. `id_a < id_b` keeps each pair
-    * once.
+  /** Evaluate `e` ONCE per row and pass the result to `f` as a bound
+    * lambda variable. Catalyst's project collapsing inlines expression
+    * aliases into every consumer, so an expensive expression referenced
+    * N times is computed N times — routing it through a one-element
+    * `transform` makes it a lambda binding the optimizer cannot
+    * duplicate. (Measured on the MinHash path: 16 band keys referencing
+    * the 64-hash signature re-inlined it 16x → 73 s at sf0.1; bound
+    * once → ~3 s.)
+    */
+  private def bindOnce(e: Column, f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** All (id_a < id_b) pairs within each bucket of a (band, key)
+    * bucketing: ONE shuffle on the bucket key, collect ids per bucket,
+    * expand combinations in-expression. Deliberately not a self-join —
+    * a self-join would execute the (expensive) bucketing subtree once
+    * per side; this shape computes it once and pairs up map-free.
+    * Pathological buckets (a band value shared by a large fraction of
+    * the corpus) would expand quadratically — cap them: a bucket wider
+    * than maxBucket is dropped, because a "near-duplicate class" that
+    * large is really a template/boilerplate cluster that deserves its
+    * own handling, not C(n,2) pair emission.
+    */
+  private def pairsWithinBuckets(buckets: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame =
+    buckets.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** Candidate pairs via band buckets: explode (band, bucket-key) rows,
+    * group by bucket, pair up within buckets only, dedup pairs that
+    * collide in several bands.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 10000): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
-    val sig = minHashSignature(col(shinglesCol), numHashes)
+    // native kernel (graft.plans.NativeHashes): the Column formulation
+    // of the signature is interpreted HOF evaluation and dominates the
+    // whole pipeline's CPU; the custom expression does the same loop
+    // codegen'd. bindOnce still guards the 16 band keys from
+    // re-inlining the signature.
+    val keys = bindOnce(
+      graft.plans.NativeHashes.minHashSignature64(col(shinglesCol), numHashes),
+      sig => lshBandKeys(sig, bands, r))
     val buckets = df
       .filter(size(col(shinglesCol)) > 0)
-      .select(col(idCol), posexplode(lshBandKeys(sig, bands, r)))
+      .select(col(idCol), posexplode(keys))
       .toDF(idCol, "band", "bkey")
-    val l = buckets.as("l")
-    val rt = buckets.as("r")
-    l.join(rt,
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
+    pairsWithinBuckets(buckets, idCol, maxBucket)
   }
 
   /** Exact Jaccard verification of candidate pairs: join the shingle
@@ -159,17 +194,14 @@ object Dedup {
     * shape as the MinHash path (never all-pairs).
     */
   def simHashCandidatePairs(df: DataFrame, idCol: String, toksCol: String,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    // native SimHash kernel; bindOnce guards the band slices from
+    // re-inlining it 8x (see bindOnce above)
+    val keys = bindOnce(graft.plans.NativeHashes.simHash64(col(toksCol)),
+      sh => simHashBands(sh, bands))
     val buckets = df
-      .select(col(idCol), simHash(col(toksCol)).as("__simhash"))
-      .select(col(idCol), posexplode(simHashBands(col("__simhash"), bands)))
+      .select(col(idCol), posexplode(keys))
       .toDF(idCol, "band", "bkey")
-    val l = buckets.as("l")
-    val rt = buckets.as("r")
-    l.join(rt,
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
+    pairsWithinBuckets(buckets, idCol, maxBucket)
   }
 }

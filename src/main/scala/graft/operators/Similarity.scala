@@ -129,10 +129,14 @@ object Similarity {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__vn"),
       annBucket(col(vecCol), nBits).as("__bucket"))
+    // bind the bucket id once per probe row — the nBits+1 probe-bucket
+    // entries would otherwise each re-inline the hyperplane projections
+    val buckets = element_at(
+      transform(array(annBucket(col(vecCol), nBits)),
+        b => probeBuckets(b, nBits)), 1)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__p"),
       norm(col(vecCol)).as("__pn"),
-      explode(probeBuckets(annBucket(col(vecCol), nBits), nBits))
-        .as("__bucket"))
+      explode(buckets).as("__bucket"))
     val scored = v.join(p, "__bucket")
       .filter(col("id") =!= col("probe_id"))
       .withColumn("sim",

@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expressions for the two hash kernels that dominate
+  * near-dedup CPU. The pure-Column formulations (Dedup.minHashSignature
+  * / Dedup.simHash) are nested higher-order functions, which Catalyst
+  * evaluates interpreted — tree-walking per array element per hash. At
+  * 64 hashes × ~200 shingles per document that interpretation is the
+  * bottleneck of the whole pipeline (measured ~2 s for 5000 docs).
+  * These expressions do the identical work in one tight JVM loop and
+  * stay inside whole-stage codegen (`doGenCode` emits a single static
+  * call), cutting the kernel to microseconds per row — the difference
+  * between a CPU-bound and a scan-bound dedup at 100 TB.
+  *
+  * Hash choice: Spark's own XXH64 (the `xxhash64` function's kernel) on
+  * the shingle bytes, then XXH64.hashLong as the per-signature-slot
+  * mixer. MinHash correctness requires only a good hash family;
+  * downstream results never depend on the specific values because every
+  * emitted pair is verified with exact Jaccard.
+  */
+object NativeHashes {
+
+  /** `Array[String] shingles -> Array[Long](k)` MinHash signature. */
+  def minHashSignature64(shingles: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      MinHashSignature64Expr(GraftSqlBridge.expression(shingles), numHashes))
+
+  /** `Array[String] tokens -> Long` 64-bit SimHash over distinct tokens. */
+  def simHash64(tokens: Column): Column =
+    GraftSqlBridge.column(
+      SimHash64Expr(GraftSqlBridge.expression(tokens)))
+
+  /** `Array[String] tokens -> Array[String]` distinct space-joined
+    * n-grams (first-occurrence order, empty when fewer than n tokens).
+    */
+  def nGrams(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(NGramsExpr(GraftSqlBridge.expression(tokens), n))
+
+  /** SQL surface: `graft_minhash64(shingles, k)`, `graft_simhash64(toks)`
+    * on an existing session (the extensions route below covers sessions
+    * built with spark.sql.extensions).
+    */
+  def register(spark: SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(spark, "graft_minhash64",
+      args => MinHashSignature64Expr(args.head, args(1) match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Int]
+      }))
+    GraftSqlBridge.registerFunction(spark, "graft_simhash64",
+      args => SimHash64Expr(args.head))
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` injects the
+  * native functions into every session at build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash64"),
+      new ExpressionInfo(classOf[MinHashSignature64Expr].getName,
+        "graft_minhash64"),
+      (args: Seq[Expression]) => MinHashSignature64Expr(args.head,
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+  }
+}
+
+case class MinHashSignature64Expr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashKernels.minhash($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class NGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashKernels.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Tight-loop kernels shared by interpreted eval and generated code. */
+object HashKernels {
+
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Distinct space-joined n-grams in first-occurrence order —
+    * value-identical to
+    * `array_distinct(transform(sequence, i -> concat_ws(' ', slice)))`.
+    */
+  def ngrams(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= cnt - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = tokens.getUTF8String(i + j)
+        if (j < n - 1) parts(2 * j + 1) = Space
+        j += 1
+      }
+      out.add(org.apache.spark.unsafe.types.UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  private final val Seed = 42L
+
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, Seed)
+      var j = 0
+      while (j < k) {
+        val hj = XXH64.hashLong(h, j)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, Seed)
+      if (seen.add(h)) { // SimHash is over the distinct token SET
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
