@@ -117,6 +117,17 @@ object SourceQueries {
       FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       ORDER BY kind"""))
 
+  // ---------------------------------------------------------------------
+  // P2: plain `SELECT *` (README.md:145,265) — full projection, every
+  // column, no pruning; the ORDER BY pins row identity for the compare.
+  val q33SelectStar = QueryDef(
+    "q33_select_star",
+    (s, dir) =>
+      Graft.table(s, dir, "region").select(col("*"))
+        .orderBy(col("r_regionkey")),
+    Some("SELECT * FROM region ORDER BY r_regionkey"))
+
   val defs: Seq[QueryDef] =
-    Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti)
+    Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
+      q33SelectStar)
 }

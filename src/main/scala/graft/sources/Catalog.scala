@@ -10,6 +10,16 @@ import org.apache.spark.sql.types.StructType
   * triple that queries then address by name. Registered bindings become
   * Spark temp views, so `spark.sql("SELECT ... FROM `binding`")` works
   * exactly like YQ's `SELECT ... FROM `metrica-hits-s3``.
+  *
+  * Federation (S8, README.md:264-266): a second engine joins the plan
+  * as just another binding — `format = "jdbc"` with
+  * `options = Map("url" -> "jdbc:clickhouse://...", "dbtable" -> t,
+  * "driver" -> ...)` resolves through `spark.read.format("jdbc")`
+  * (path is unused; Spark pushes filters/projection to the remote
+  * engine where the dialect allows). The sandbox has no JDBC endpoint
+  * or driver jar, so the shipped queries exercise federation as
+  * multi-binding file joins (q15); the binding layer itself is
+  * format-agnostic.
   */
 final case class Binding(
     name: String,
@@ -25,7 +35,10 @@ object Catalog {
     */
   def resolve(spark: SparkSession, b: Binding): DataFrame = {
     val reader = spark.read.format(b.format).options(b.options)
-    b.schema.fold(reader)(reader.schema).load(b.path)
+    val withSchema = b.schema.fold(reader)(reader.schema)
+    // connection-style sources (jdbc) take their address from options,
+    // not a path
+    if (b.format == "jdbc") withSchema.load() else withSchema.load(b.path)
   }
 
   /** Register bindings as temp views addressable from spark.sql. */
