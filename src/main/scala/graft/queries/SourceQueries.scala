@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Graft, QueryDef}
+import graft.functions.ch.uniqExact
 import graft.sources.{Binding, Catalog, CsvGzip}
 
 /** Source/sink operator coverage (SURVEY.md §2.1): CSV-gzip export +
@@ -127,7 +128,55 @@ object SourceQueries {
         .orderBy(col("r_regionkey")),
     Some("SELECT * FROM region ORDER BY r_regionkey"))
 
+  // ---------------------------------------------------------------------
+  // S10: the SCD2 dimension loaded from an actual CSV FILE (the
+  // reference's csv/dim_browser_country.csv path: 2-row versioned dim
+  // uploaded to object storage, bound, then range-joined), not an
+  // inline DataFrame. The file is written deterministically, read back
+  // schema-on-read, broadcast-joined with the temporal predicate.
+  val q34Scd2CsvDim = QueryDef(
+    "q34_scd2_csv_dim",
+    (s, dir) => {
+      import graft.operators.Relational.scd2Join
+      val dimDir = s"${sys.props("java.io.tmpdir")}/graft_dim_csv"
+      val csv =
+        "etype,descr,from_dt,to_dt\n" +
+          "click,Click era 1,2024-01-01,2024-01-15\n" +
+          "click,Click era 2,2024-01-16,2099-12-31\n" +
+          "view,View all-time,2024-01-01,2099-12-31\n"
+      val f = new java.io.File(dimDir)
+      f.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dimDir/dim.csv"), csv)
+      val dim = CsvGzip.read(s, s"$dimDir/dim.csv", StructType(Seq(
+        StructField("etype", StringType),
+        StructField("descr", StringType),
+        StructField("from_dt", DateType),
+        StructField("to_dt", DateType))))
+      val fact = Graft.table(s, dir, "events")
+        .withColumn("d", to_date(col("ts")))
+      scd2Join(fact, dim,
+          keyCond = fact("event_type") === dim("etype"),
+          factDate = fact("d"),
+          dimFrom = dim("from_dt"), dimTo = dim("to_dt"))
+        .groupBy(col("descr"))
+        .agg(count(lit(1)).as("n"),
+          uniqExact(col("user_id")).as("users"))
+        .orderBy(col("descr"))
+    },
+    Some("""
+      WITH dim(etype, descr, from_dt, to_dt) AS (VALUES
+        ('click', 'Click era 1', DATE '2024-01-01', DATE '2024-01-15'),
+        ('click', 'Click era 2', DATE '2024-01-16', DATE '2099-12-31'),
+        ('view', 'View all-time', DATE '2024-01-01', DATE '2099-12-31'))
+      SELECT descr, CAST(count(1) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      FROM events e JOIN dim d
+        ON e.event_type = d.etype
+       AND CAST(e.ts AS DATE) >= d.from_dt AND CAST(e.ts AS DATE) <= d.to_dt
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
-      q33SelectStar)
+      q33SelectStar, q34Scd2CsvDim)
 }
