@@ -14,6 +14,8 @@ object Graft {
 
   /** Apply engine-standard configs onto a builder. */
   def tune(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    // native function surface (graft_minhash64 / graft_simhash64)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
