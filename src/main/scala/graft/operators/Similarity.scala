@@ -38,8 +38,15 @@ object Similarity {
 
   /** Exact top-k neighbors per probe: broadcast the (small) probe set
     * against the corpus, compute cosine once per (vector, probe) with
-    * pre-computed norms, rank per probe. One corpus scan total; the
-    * per-probe ranking is the only sort. Deterministic tie-break on id.
+    * pre-computed norms, rank per probe. One corpus scan total.
+    *
+    * Two-stage top-k: a single `Window.partitionBy(probe_id)` would
+    * funnel ALL candidates of a probe through one task (parallelism =
+    * #probes, a scale-killer when probes ≪ cores); instead stage 1
+    * takes a LOCAL top-k per (probe, input partition) — fully parallel,
+    * and it shrinks the data to k×partitions rows per probe before any
+    * shuffle — and stage 2 ranks that small residue globally. Identical
+    * result, deterministic tie-break on id.
     *
     * Output: (probe_id, rank, id, sim).
     */
@@ -55,11 +62,30 @@ object Similarity {
         when(col("__vn") > 0 && col("__pn") > 0,
           dot(col("__v"), col("__p")) / (col("__vn") * col("__pn")))
           .otherwise(lit(0.0)))
-    val w = Window.partitionBy(col("probe_id"))
+      .select(col("probe_id"), col("id"), col("sim"))
+    topKPerKey(scored, "probe_id", k)
+  }
+
+  /** Exact top-k rows per key by (sim desc, id asc): stage 1 ranks
+    * within (key, input-partition) — the shuffle key has cardinality
+    * keys × partitions, so every core participates and each sort is a
+    * partition-sized slice; stage 2 ranks the ≤ k×partitions survivors
+    * per key, which is tiny.
+    */
+  private[graft] def topKPerKey(scored: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    val local = Window
+      .partitionBy(col(keyCol), spark_partition_id())
       .orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val survivors = scored
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .drop("__lr")
+    val global = Window.partitionBy(col(keyCol))
+      .orderBy(col("sim").desc, col("id").asc)
+    survivors.withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+      .select(col(keyCol), col("rank").cast("long").as("rank"),
         col("id"), col("sim"))
   }
 

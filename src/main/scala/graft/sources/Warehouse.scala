@@ -26,15 +26,25 @@ object Warehouse {
 
   /** Append `df` into `tableDir` partitioned by the Monday of
     * `dateCol`, clustered by `orderKey` within each partition.
+    *
+    * `repartitionByRange(week, orderKey...)` rather than
+    * `repartition(week)`: a plain hash-on-week gives ONE task per week
+    * — at 100 TB a single hot week would serialize through one core
+    * and one output file. Range partitioning on (week, clustering key)
+    * splits big weeks across many contiguous-key tasks (AQE coalesces
+    * small ones) while each task still writes whole sorted runs — the
+    * MergeTree "many sorted parts per partition" shape.
     */
   def write(df: DataFrame, tableDir: String, dateCol: String,
-      orderKey: Seq[String], mode: String = "append"): Unit =
+      orderKey: Seq[String], mode: String = "append"): Unit = {
+    val cluster = (weekCol +: orderKey).map(c => col(s"`$c`"))
     df.withColumn(weekCol, toMonday(col(s"`$dateCol`")))
-      .repartition(col(weekCol))
-      .sortWithinPartitions((weekCol +: orderKey).map(c => col(s"`$c`")): _*)
+      .repartitionByRange(cluster: _*)
+      .sortWithinPartitions(cluster: _*)
       .write.mode(mode)
       .partitionBy(weekCol)
       .parquet(tableDir)
+  }
 
   /** Read the warehouse table back (partition column `week` included;
     * filters on it prune directories).
