@@ -237,10 +237,27 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------------
   // LSH-bucketed ANN (the scale path): 4-bit hyperplane buckets +
-  // Hamming-1 multiprobe, exact cosine within candidates. Recall is
-  // probabilistic, so there is no SQL oracle (driver records rows>0);
-  // SimilaritySpec asserts recall against bruteForceTopK on planted
-  // clusters.
+  // Hamming-1 multiprobe, exact cosine within candidates. The oracle is
+  // EXACT despite LSH being probabilistic: the hyperplanes are
+  // deterministic functions of xxhash64 constants, so the ±1 sign
+  // matrix is precomputed here (via Spark's own XXH64, chained from
+  // seed 42 exactly as the `xxhash64(h, i)` Column does) and embedded
+  // as literals in the SQL — DuckDB then reproduces bucket assignment,
+  // multiprobe candidate generation, and in-bucket ranking
+  // bit-for-bit. This verifies the whole ANN pipeline, not just the
+  // scoring math.
+  private def hyperplaneSignsSql(nBits: Int, dim: Int): String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until nBits).map { h =>
+      val signs = (0 until dim).map { i =>
+        // xxhash64(lit(h), i): fold over int children from seed 42
+        val hash = XXH64.hashInt(i, XXH64.hashInt(h, 42L))
+        if (((hash % 2) + 2) % 2 == 0) "1.0" else "-1.0"
+      }.mkString("[", ",", "]")
+      s"($h, $signs::DOUBLE[])"
+    }.mkString(",\n        ")
+  }
+
   val q27AnnLshTopk = QueryDef(
     "q27_ann_lsh_topk",
     (s, dir) => {
@@ -252,7 +269,41 @@ object PipelineQueries {
           round(col("sim"), 3).as("sim"))
         .orderBy(col("probe_id"), col("rank"))
     },
-    None)
+    Some(s"""
+      WITH planes(h, signs) AS (VALUES
+        ${hyperplaneSignsSql(nBits = 4, dim = 64)}),
+      v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), b AS (
+        -- bucket = fold(acc*2 + signbit) over h ascending: h=0 is the MSB
+        SELECT v.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(v.e, p.signs) >= 0 THEN 1 ELSE 0 END
+                        * (CASE p.h WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+                    AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id
+      ), pb AS (
+        -- probe's own bucket + every Hamming-1 neighbor (multiprobe)
+        SELECT b.vec_id AS probe_id,
+               unnest([b.bucket, xor(b.bucket, 1::BIGINT), xor(b.bucket, 2::BIGINT),
+                       xor(b.bucket, 4::BIGINT), xor(b.bucket, 8::BIGINT)]) AS bucket
+        FROM b WHERE b.vec_id < 5
+      ), sc AS (
+        SELECT pb.probe_id, cb.vec_id AS id,
+               list_dot_product(cv.e, pv.e) / (cv.n * pv.n) AS sim
+        FROM pb
+        JOIN b cb ON cb.bucket = pb.bucket
+        JOIN v cv ON cv.vec_id = cb.vec_id
+        JOIN v pv ON pv.vec_id = pb.probe_id
+        WHERE cb.vec_id <> pb.probe_id
+      ), r AS (
+        SELECT probe_id, id, sim,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, id ASC) AS rank
+        FROM sc
+      )
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, id, round(sim, 3) AS sim
+      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing: documents wrapped as binary media payloads with
