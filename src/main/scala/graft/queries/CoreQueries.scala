@@ -348,9 +348,48 @@ object CoreQueries {
       WHERE visits > 0
       ORDER BY src_grp"""))
 
+  // ---------------------------------------------------------------------
+  // P9/A8 verbatim shape (README.md:113-114): a backticked `ym:s:...`
+  // SELECT alias that the statement then FILTERS on (`... != ''`, and
+  // here the predicate is selective, not vacuous), GROUPs on, HAVINGs
+  // over, and sorts mixed-direction (O2). ClickHouse resolves the alias
+  // everywhere; the Spark staging is select-first (the alias becomes a
+  // real column), then filter/groupBy reference it by its backticked
+  // name exactly as the reference SQL spells it.
+  val q36AliasWhere = QueryDef(
+    "q36_alias_where",
+    (s, dir) => {
+      val staged = withSign(Graft.table(s, dir, "events"))
+        .select(
+          when(col("value") >= 50, col("event_type")).otherwise(lit(""))
+            .as("ym:s:lastSignSource"),
+          col("user_id").as("ym:s:user"),
+          col("sign"))
+      staged
+        .filter(col("`ym:s:lastSignSource`") =!= "") // P9: WHERE on alias
+        .groupBy(col("`ym:s:lastSignSource`"))       // A8: GROUP BY alias
+        .agg(
+          sum(col("sign")).cast("long").as("ym:s:visits"),
+          uniqExact(col("`ym:s:user`")).as("ym:s:users"))
+        .filter(col("`ym:s:visits`") > 0)            // A11 on the agg alias
+        .orderBy(col("`ym:s:visits`").desc, col("`ym:s:lastSignSource`").asc)
+    },
+    Some(s"""
+      SELECT "ym:s:lastSignSource",
+             CAST(sum(sign) AS BIGINT) AS "ym:s:visits",
+             CAST(count(DISTINCT "ym:s:user") AS BIGINT) AS "ym:s:users"
+      FROM (
+        SELECT CASE WHEN value >= 50 THEN event_type ELSE '' END AS "ym:s:lastSignSource",
+               user_id AS "ym:s:user",
+               $signSql AS sign
+        FROM events) t
+      WHERE "ym:s:lastSignSource" <> ''
+      GROUP BY 1 HAVING sum(sign) > 0
+      ORDER BY "ym:s:visits" DESC, "ym:s:lastSignSource" ASC"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
-    q20RatioAlias)
+    q20RatioAlias, q36AliasWhere)
 }

@@ -176,7 +176,41 @@ object SourceQueries {
        AND CAST(e.ts AS DATE) >= d.from_dt AND CAST(e.ts AS DATE) <= d.to_dt
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // S8: REAL federated JDBC leg (README.md:264-266). The nation dim is
+  // published into a second engine (embedded Derby — the JDBC database
+  // available in this offline harness; in production the url is the
+  // ClickHouse cluster) and then joined back against the parquet fact
+  // through a `format = "jdbc"` binding — one plan mixing a JDBC scan
+  // and a file scan. The BROADCAST hint matters: JDBC relations report
+  // no size statistics (Spark assumes `defaultSizeInBytes` = huge), so
+  // without it the 25-row remote dim would drag the fact table through
+  // a shuffle join.
+  val q35JdbcFederated = QueryDef(
+    "q35_jdbc_federated",
+    (s, dir) => {
+      val url = "jdbc:derby:memory:graft_dim;create=true"
+      Graft.table(s, dir, "nation")
+        .write.mode("overwrite")
+        .jdbc(url, "nation_dim", new java.util.Properties())
+      Catalog.register(s,
+        Binding("b_supplier", s"$dir/supplier.parquet"),
+        Binding("b_nation_jdbc", "", format = "jdbc",
+          options = Map("url" -> url, "dbtable" -> "nation_dim")))
+      s.sql("""
+        SELECT /*+ BROADCAST(n) */
+               n.n_name AS nation, CAST(count(1) AS BIGINT) AS n_suppliers,
+               round(sum(s.s_acctbal), 2) AS acctbal_total
+        FROM b_supplier s JOIN b_nation_jdbc n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation""")
+    },
+    Some("""
+      SELECT n_name AS nation, CAST(count(1) AS BIGINT) AS n_suppliers,
+             round(sum(s_acctbal), 2) AS acctbal_total
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
-      q33SelectStar, q34Scd2CsvDim)
+      q33SelectStar, q34Scd2CsvDim, q35JdbcFederated)
 }

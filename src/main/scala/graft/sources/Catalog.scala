@@ -16,10 +16,10 @@ import org.apache.spark.sql.types.StructType
   * `options = Map("url" -> "jdbc:clickhouse://...", "dbtable" -> t,
   * "driver" -> ...)` resolves through `spark.read.format("jdbc")`
   * (path is unused; Spark pushes filters/projection to the remote
-  * engine where the dialect allows). The sandbox has no JDBC endpoint
-  * or driver jar, so the shipped queries exercise federation as
-  * multi-binding file joins (q15); the binding layer itself is
-  * format-agnostic.
+  * engine where the dialect allows). In production the url points at
+  * ClickHouse; in this harness q35 exercises the identical code path
+  * against an embedded Derby database (the JDBC engine available
+  * offline), and q15 additionally covers multi-binding file joins.
   */
 final case class Binding(
     name: String,
