@@ -144,6 +144,132 @@ object Similarity {
     array((bucket +: (0 until nBits).map(b =>
       bucket.bitwiseXOR(lit(1L << b)))): _*)
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN
+
+  /** Deterministic coarse quantizer: every `modulus`-th vector by id is
+    * a centroid. SQL-replicable (so the q37 oracle can reproduce cell
+    * assignment exactly); for data-adaptive cells use
+    * [[kmeansCentroids]] instead — [[ivfTopK]] takes either.
+    * Returns (cent_id: Long, vector) ordered by cent_id.
+    */
+  def seedCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      modulus: Int): Array[(Long, Seq[Double])] =
+    vecs.filter(pmod(col(idCol), lit(modulus)) === 0)
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .orderBy(col(idCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Lloyd's k-means over the embedding column — the production coarse
+    * quantizer for IVF at scale. Each iteration is one broadcast-
+    * assignment pass (cell = argmax cosine against the literal centroid
+    * table, a pure projection — no shuffle) plus one groupBy(cell)
+    * average (one shuffle of partial sums, map-side combined).
+    * Deterministic: seeds are the k first vectors in id-HASH order — a
+    * pseudo-random but reproducible sample (TakeOrdered, fully
+    * parallel) — and argmax tie-breaks on centroid position. Cells
+    * that go empty are dropped and centroids re-indexed, so the
+    * result may have fewer than k cells on degenerate data.
+    */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[(Long, Seq[Double])] = {
+    var cents: Array[(Long, Seq[Double])] =
+      vecs.orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+        .select(col(idCol).cast("long"),
+          transform(col(vecCol), x => x.cast("double")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("__cell",
+        assignCell(col(vecCol), cents))
+      val dim = cents.head._2.length
+      val sums = assigned.groupBy(col("__cell"))
+        .agg(
+          count(lit(1)).as("__n"),
+          (0 until dim).map(i =>
+            sum(element_at(col(vecCol), i + 1).cast("double")).as(s"__s$i")): _*)
+        .collect()
+      cents = sums.map { r =>
+        val n = r.getAs[Long]("__n").toDouble
+        val mean = (0 until dim).map(i => r.getAs[Double](s"__s$i") / n)
+        (r.getAs[Long]("__cell"), mean)
+      }.sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    }
+    cents
+  }
+
+  /** Cell id of a vector: argmax-cosine centroid, computed inline over
+    * the literal centroid table (ties → first centroid in id order).
+    * A projection, not a join: the corpus is never shuffled to be
+    * assigned.
+    */
+  private def assignCell(v: Column, cents: Array[(Long, Seq[Double])]): Column = {
+    val centVecs = typedLit(cents.map(_._2).toSeq)
+    val centIds = typedLit(cents.map(_._1).toSeq)
+    val sims = transform(centVecs, c => {
+      val cn = norm(c)
+      val vn = norm(v)
+      when(vn > 0 && cn > 0, dot(v, c) / (vn * cn)).otherwise(lit(0.0))
+    })
+    element_at(centIds, array_position(sims, array_max(sims)).cast("int"))
+  }
+
+  /** IVF top-k per probe: corpus vectors are binned once into their
+    * nearest-centroid cell (inline argmax projection); each probe ranks
+    * the centroids and searches only its `nprobe` best cells via a cell
+    * equi-join — the fraction of the corpus scanned per probe is
+    * nprobe/#cells instead of 1. Exact cosine + two-stage top-k within
+    * the candidate set. Recall is probabilistic (a true neighbor binned
+    * into an unprobed cell is missed) — q37's oracle replicates the
+    * structure exactly, and SimilaritySpec asserts recall vs
+    * [[bruteForceTopK]].
+    */
+  def ivfTopK(vecs: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[(Long, Seq[Double])],
+      nprobe: Int): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__vn"),
+      assignCell(col(vecCol), cents).as("__cell"))
+    // probe side: rank ALL centroids per probe inline, keep the nprobe
+    // best cells (the centroid table is a literal — no join, no shuffle)
+    val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__p"),
+      norm(col(vecCol)).as("__pn"),
+      explode(probeCells(col(vecCol), cents, nprobe)).as("__cell"))
+    val scored = v.join(p0, "__cell")
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("sim",
+        when(col("__vn") > 0 && col("__pn") > 0,
+          dot(col("__v"), col("__p")) / (col("__vn") * col("__pn")))
+          .otherwise(lit(0.0)))
+      .select(col("probe_id"), col("id"), col("sim"))
+    topKPerKey(scored, "probe_id", k)
+  }
+
+  /** The `nprobe` best cells for a probe vector, ranked by centroid
+    * cosine (desc) with centroid order as tie-break — as an inline
+    * array expression, mirroring [[assignCell]].
+    */
+  private def probeCells(v: Column, cents: Array[(Long, Seq[Double])],
+      nprobe: Int): Column = {
+    val centVecs = typedLit(cents.map(_._2).toSeq)
+    val centIds = typedLit(cents.map(_._1).toSeq)
+    val scored = zip_with(centIds, centVecs, (cid, c) => {
+      val cn = norm(c)
+      val vn = norm(v)
+      struct(
+        when(vn > 0 && cn > 0, dot(v, c) / (vn * cn)).otherwise(lit(0.0))
+          .as("sim"),
+        cid.as("cid"))
+    })
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("sim") > r.getField("sim"), lit(-1))
+        .when(l.getField("sim") < r.getField("sim"), lit(1))
+        .otherwise(signum(l.getField("cid") - r.getField("cid")).cast("int")))
+    transform(slice(sorted, 1, nprobe), s => s.getField("cid"))
+  }
+
   /** ANN top-k per probe: corpus bucketed once by [[annBucket]]; each
     * probe joins only its multiprobe bucket list (bucket equi-join →
     * shuffle on the bucket key, never a cross join); exact cosine +

@@ -306,6 +306,71 @@ object PipelineQueries {
       FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
 
   // ---------------------------------------------------------------------
+  // IVF ANN (the second scale path, alongside LSH): corpus vectors are
+  // binned to their nearest centroid once (inline argmax projection —
+  // no shuffle), probes search only their nprobe best cells via a cell
+  // equi-join. The quantizer here is the deterministic seed-vector one
+  // (every 25th vec_id) precisely so the oracle can replicate cell
+  // assignment, probe-cell ranking and in-cell top-k EXACTLY in SQL —
+  // the whole IVF structure is verified, not just the scoring.
+  // (The data-adaptive kmeans quantizer is `Similarity.kmeansCentroids`,
+  // recall-asserted in SimilaritySpec.)
+  val q37AnnIvfTopk = QueryDef(
+    "q37_ann_ivf_topk",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 5)
+      val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding",
+        modulus = 25)
+      Similarity.ivfTopK(vecs, probes, "vec_id", "embedding", k = 10,
+          cents, nprobe = 4)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("sim"), 3).as("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cent_id, e AS ce, n AS cn FROM v WHERE vec_id % 25 = 0
+      ), sim0 AS (
+        SELECT v.vec_id, c.cent_id,
+               CASE WHEN v.n > 0 AND c.cn > 0
+                    THEN list_dot_product(v.e, c.ce) / (v.n * c.cn)
+                    ELSE 0.0 END AS sim
+        FROM v CROSS JOIN c
+      ), ranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM sim0
+      ), cells AS (
+        SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1
+      ), pcells AS (
+        SELECT vec_id AS probe_id, cent_id AS cell
+        FROM ranked WHERE vec_id < 5 AND rn <= 4
+      ), sc AS (
+        SELECT p.probe_id, ce.vec_id AS id,
+               CASE WHEN cv.n > 0 AND pv.n > 0
+                    THEN list_dot_product(cv.e, pv.e) / (cv.n * pv.n)
+                    ELSE 0.0 END AS sim
+        FROM pcells p
+        JOIN cells ce ON ce.cell = p.cell
+        JOIN v cv ON cv.vec_id = ce.vec_id
+        JOIN v pv ON pv.vec_id = p.probe_id
+        WHERE ce.vec_id <> p.probe_id
+      ), r AS (
+        SELECT probe_id, id, sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, id ASC) AS rank
+        FROM sc
+      )
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, id, round(sim, 3) AS sim
+      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
+
+  // ---------------------------------------------------------------------
   // Multimodal plumbing: documents wrapped as binary media payloads with
   // typed metadata, batched partition-local feature extraction (decode
   // STUB — see Multimodal.decodeStub), frame-sampling plan from
@@ -348,5 +413,6 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
-    q25AnnTopk, q26CosinePairs, q27AnnLshTopk, q32MultimodalFeatures)
+    q25AnnTopk, q26CosinePairs, q27AnnLshTopk, q37AnnIvfTopk,
+    q32MultimodalFeatures)
 }

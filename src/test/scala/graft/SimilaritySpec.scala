@@ -68,6 +68,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ann == brute)
   }
 
+  test("ivfTopK with seed centroids achieves recall 1 here") {
+    val probes = clustered.filter($"vec_id".isin(0L, 10L, 20L))
+    val brute = Similarity.bruteForceTopK(clustered, probes, "vec_id",
+      "embedding", k = 5)
+      .select($"probe_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().toSet
+    // one seed per cluster (ids 0/10/20 are cluster members), nprobe 1:
+    // every probe's own cell contains its whole cluster
+    val cents = Similarity.seedCentroids(clustered, "vec_id", "embedding",
+      modulus = 10)
+    assert(cents.map(_._1).toSeq == Seq(0L, 10L, 20L))
+    val ivf = Similarity.ivfTopK(clustered, probes, "vec_id",
+      "embedding", k = 5, cents, nprobe = 1)
+      .select($"probe_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("kmeansCentroids converge to the cluster directions (recall 1)") {
+    val probes = clustered.filter($"vec_id".isin(0L, 10L, 20L))
+    val brute = Similarity.bruteForceTopK(clustered, probes, "vec_id",
+      "embedding", k = 5)
+      .select($"probe_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().toSet
+    val cents = Similarity.kmeansCentroids(clustered, "vec_id", "embedding",
+      k = 3, iters = 5)
+    assert(cents.length == 3)
+    val ivf = Similarity.ivfTopK(clustered, probes, "vec_id",
+      "embedding", k = 5, cents, nprobe = 1)
+      .select($"probe_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(ivf == brute)
+  }
+
   test("cosinePairsAbove finds exactly the within-cluster pairs") {
     val got = Similarity.cosinePairsAbove(clustered, "vec_id", "embedding",
       threshold = 0.9)
