@@ -19,15 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two numeric-array columns, accumulated in double.
+    * Backed by the native `DotProduct64Expr` kernel (codegen; the
+    * combinator spec [[dotColumn]] evaluates interpreted and was the
+    * hot loop of every ANN path).
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.NativeMath.dot64(a, b)
+
+  /** Reference combinator formulation of [[dot]] (value-identical;
+    * SimilaritySpec proves it).
+    */
+  def dotColumn(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Euclidean norm of a float-array column. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  /** Euclidean norm of a numeric-array column: sqrt of the native
+    * self-dot (same index-ordered accumulation as the combinator).
+    */
+  def norm(a: Column): Column = sqrt(graft.plans.NativeMath.dot64(a, a))
 
   /** Cosine similarity; 0 when either side has zero norm. */
   def cosine(a: Column, b: Column): Column = {

@@ -21,6 +21,23 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
   }
 
+  test("native dot64 is bit-for-bit equal to the combinator spec") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextFloat() * 4f - 2f),
+      Seq.fill(64)(rnd.nextFloat() * 4f - 2f)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      Similarity.dot($"a", $"b"),
+      Similarity.dotColumn($"a", $"b"),
+      Similarity.norm($"a"),
+      sqrt(Similarity.dotColumn($"a", $"a"))).as[(Double, Double, Double, Double)]
+      .collect()
+    got.foreach { case (nat, comb, nn, cn) =>
+      assert(nat == comb); assert(nn == cn)
+    }
+  }
+
   test("cosine guards zero-norm vectors") {
     val df = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
     assert(df.select(Similarity.cosine($"a", $"b")).as[Double].head() == 0.0)
