@@ -411,8 +411,83 @@ object PipelineQueries {
                            ELSE 0 END) AS BIGINT) AS frames_planned
       FROM m GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // End-to-end training-data prep: the operators composed the way a real
+  // pipeline uses them — exact dedup on the content fingerprint, then a
+  // quality + language gate, then per-source token accounting. One map
+  // stage per document plus the dedup groupBy and the final rollup; no
+  // other shuffles. This is the "library user" path: every stage is a
+  // reusable operator, and the whole composition is still one Catalyst
+  // plan DuckDB can replicate.
+  val q38PipelineE2e = QueryDef(
+    "q38_pipeline_e2e",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val deduped = Dedup.exactDedup(docs, text.fingerprint(col("text")),
+        "doc_id")
+      val toks = text.tokenize(col("text"))
+      deduped
+        .withColumn("lang_guess", text.langId(toks))
+        .withColumn("quality", text.qualityScore(col("text")))
+        .filter(col("lang_guess") === "en" && col("quality") >= 0.35)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("dup_count")).cast("long").as("n_docs_raw"),
+          sum(text.tokenCountWs(col("text"))).cast("long").as("tokens_total"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id, source, text,
+               list_reduce(list_prepend(0::BIGINT,
+                 [unicode((regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))[i])::BIGINT
+                  for i in range(1, length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) + 1)]),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fpk
+        FROM documents
+      ), g AS (
+        SELECT fpk, min(doc_id) AS rep, count(*) AS c FROM fp GROUP BY fpk
+      ), d AS (
+        SELECT f.doc_id, f.source, f.text, g.c AS dup_count
+        FROM g JOIN fp f ON f.doc_id = g.rep
+      ), m AS (
+        SELECT doc_id, source, dup_count,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM d
+      ), sc AS (
+        SELECT doc_id, source, dup_count, toks,
+               len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS s_en,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('le','la','les','et','des','un'))) AS s_fr,
+               len(list_filter(toks, x -> x IN ('el','los','las','y','un','una'))) AS s_es,
+               CASE WHEN length(norm) > 0
+                    THEN (length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g'))) / length(norm)
+                    ELSE 0.0 END AS punct
+        FROM m
+      ), q AS (
+        SELECT doc_id, source, dup_count, toks,
+               CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                    WHEN s_es > 0 THEN 'es'
+                    ELSE 'und' END AS lang_guess,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * (1.0 - punct)
+                   + 0.3 * (CASE WHEN len(toks) > 0
+                                 THEN s_en / CAST(len(toks) AS DOUBLE) ELSE 0.0 END), 6) AS quality
+        FROM sc
+      )
+      SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(dup_count) AS BIGINT) AS n_docs_raw,
+             CAST(sum(len(toks)) AS BIGINT) AS tokens_total,
+             round(avg(quality), 6) AS avg_quality
+      FROM q WHERE lang_guess = 'en' AND quality >= 0.35
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q25AnnTopk, q26CosinePairs, q27AnnLshTopk, q37AnnIvfTopk,
-    q32MultimodalFeatures)
+    q32MultimodalFeatures, q38PipelineE2e)
 }
