@@ -67,8 +67,17 @@ object text {
     "fr" -> Seq("le", "la", "les", "et", "des", "un"),
     "es" -> Seq("el", "los", "las", "y", "un", "una"))
 
-  /** Occurrences (with repeats) of any of `words` in the token array. */
+  /** Occurrences (with repeats) of any of `words` in the token array.
+    * Backed by the native `ProfileCountExpr` kernel (the interpreted
+    * `filter` lambda × 4 profiles was the text-metrics hot loop);
+    * [[stopwordCountColumn]] is the combinator spec (TextSpec proves
+    * them equal).
+    */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
+    graft.plans.NativeHashes.profileCount(toks, words)
+
+  /** Reference combinator formulation of [[stopwordCount]]. */
+  def stopwordCountColumn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
 
   /** Heuristic language ID: argmax of profile hit-counts, earlier
@@ -132,13 +141,23 @@ object text {
   // Fingerprinting
 
   /** Rolling polynomial content hash over the characters of normalized
-    * text: h = (h*31 + code(ch)) mod p. Engine-portable (the same fold
-    * is expressible in any SQL dialect with list folds) and stable, so
-    * it can key exact dedup across heterogeneous pipelines. Empty
-    * splits are filtered because Java-regex split keeps a trailing
-    * empty element.
+    * text: h = (h*31 + codepoint(ch)) mod p. Engine-portable (the same
+    * fold is expressible in any SQL dialect with list folds) and
+    * stable, so it can key exact dedup across heterogeneous pipelines.
+    *
+    * Backed by the native `RollingHashExpr` kernel — the per-character
+    * combinator fold ([[fingerprintColumn]]) evaluates interpreted and
+    * was the top CPU line of the q38 prep pipeline; TextSpec proves the
+    * two equal.
     */
   def fingerprint(c: Column, p: Long = 1000000007L): Column =
+    graft.plans.NativeHashes.rollingHash(normalizeText(c), p)
+
+  /** Reference combinator formulation of [[fingerprint]]. Empty splits
+    * are filtered because Java-regex split keeps a trailing empty
+    * element.
+    */
+  def fingerprintColumn(c: Column, p: Long = 1000000007L): Column =
     aggregate(
       filter(split(normalizeText(c), ""), ch => length(ch) > 0),
       lit(0L),

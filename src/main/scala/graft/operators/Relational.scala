@@ -55,6 +55,30 @@ object Relational {
       keyCond && factDate >= dimFrom && factDate <= dimTo,
       joinType)
 
+  /** Skew-safe equi-join by key salting. For a hot fact key at 100 TB
+    * (one key = a double-digit share of the table) the join-key hash
+    * sends the whole hot key to ONE task. Preference order is broadcast
+    * (dim small) then AQE skew-join splitting (sort-merge only); this is
+    * the explicit fallback when neither applies — e.g. a shuffled hash
+    * join, or when downstream work must also spread. Mechanics: the
+    * fact side derives a deterministic salt in [0, saltN) from
+    * `spreadBy` (any fact column that varies within a key — an id/line
+    * number), the other side is replicated saltN times, and the join
+    * key becomes (key, salt) — the hot key now lands on saltN tasks.
+    * Output equals the unsalted join exactly (q39's oracle asserts it);
+    * cost is saltN copies of the replicated side's shuffle.
+    */
+  def saltedJoin(fact: DataFrame, other: DataFrame, factKey: String,
+      otherKey: String, spreadBy: Column, saltN: Int,
+      joinType: String = "inner"): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(hash(spreadBy), lit(saltN)))
+    val o = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltN - 1))))
+    f.join(o, f(factKey) === o(otherKey) && f("__salt") === o("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+
   /** Latest-row-per-key via `max_by` aggregation — the scale-preferred
     * form of the row_number-window compaction. A window forces a full
     * shuffle AND a per-partition sort of every row with no map-side

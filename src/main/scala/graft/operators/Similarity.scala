@@ -212,9 +212,21 @@ object Similarity {
   /** Cell id of a vector: argmax-cosine centroid, computed inline over
     * the literal centroid table (ties → first centroid in id order).
     * A projection, not a join: the corpus is never shuffled to be
-    * assigned.
+    * assigned. Backed by the native `ArgMaxCosineExpr` kernel — the
+    * `transform`+`array_position` combinator ([[assignCellColumn]])
+    * evaluates one interpreted lambda per centroid per row, which was
+    * the hot loop of the IVF path at #cells ≈ √N.
     */
-  private def assignCell(v: Column, cents: Array[(Long, Seq[Double])]): Column = {
+  private[graft] def assignCell(v: Column, cents: Array[(Long, Seq[Double])]): Column =
+    element_at(typedLit(cents.map(_._1).toSeq),
+      graft.plans.NativeMath.argmaxCosine(v, typedLit(cents.map(_._2).toSeq))
+        + 1)
+
+  /** Reference combinator formulation of [[assignCell]] (value-identical;
+    * SimilaritySpec proves it).
+    */
+  private[graft] def assignCellColumn(v: Column,
+      cents: Array[(Long, Seq[Double])]): Column = {
     val centVecs = typedLit(cents.map(_._2).toSeq)
     val centIds = typedLit(cents.map(_._1).toSeq)
     val sims = transform(centVecs, c => {

@@ -42,6 +42,26 @@ object NativeHashes {
   def nGrams(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(NGramsExpr(GraftSqlBridge.expression(tokens), n))
 
+  /** `String -> Long` rolling polynomial hash over the string's code
+    * points: h = (h*31 + codepoint) mod p. Value-identical to the
+    * `aggregate(split(s, ''), ...)` combinator (Java-regex split is
+    * codepoint-aware, `ascii` returns the code point) without the
+    * per-character lambda interpretation — fingerprinting was the top
+    * CPU line of the q38 prep pipeline.
+    */
+  def rollingHash(s: Column, p: Long): Column =
+    GraftSqlBridge.column(RollingHashExpr(GraftSqlBridge.expression(s), p))
+
+  /** `Array[String] tokens -> Long` count of tokens (with repeats) that
+    * belong to a fixed word set — value-identical to
+    * `size(filter(toks, _.isin(words)))`, whose per-token interpreted
+    * lambda × 4 language profiles was the hot loop of the text-metrics
+    * stage.
+    */
+  def profileCount(toks: Column, words: Seq[String]): Column =
+    GraftSqlBridge.column(
+      ProfileCountExpr(GraftSqlBridge.expression(toks), words))
+
   /** SQL surface: `graft_minhash64(shingles, k)`, `graft_simhash64(toks)`
     * on an existing session (the extensions route below covers sessions
     * built with spark.sql.extensions).
@@ -131,6 +151,57 @@ case class NGramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+case class ProfileCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_profile_count"
+
+  // one shared immutable set per expression instance; UTF8String keys
+  // so tokens compare without decoding
+  @transient private lazy val wordSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    words.foreach(w =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.profileCount(input.asInstanceOf[ArrayData], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // materialize the word set once as a reference object in the
+    // generated class; the per-row code is a single static call
+    val setRef = ctx.addReferenceObj("graftWordSet", wordSet,
+      "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashKernels.profileCount($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RollingHashExpr(child: Expression, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.rollingHash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashKernels.rollingHash($c, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Tight-loop kernels shared by interpreted eval and generated code. */
 object HashKernels {
 
@@ -157,6 +228,37 @@ object HashKernels {
       i += 1
     }
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  /** Tokens (with repeats, nulls skipped) contained in the word set —
+    * same result as `size(filter(toks, isin(words...)))` where null
+    * tokens fail the predicate.
+    */
+  def profileCount(toks: ArrayData,
+      words: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Long = {
+    val n = toks.numElements()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && words.contains(toks.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  /** h = (h*31 + codepoint) mod p over the string's code points, in
+    * order. No overflow: h < p ≤ 1e9+7, so h*31 + cp < 2^63.
+    */
+  def rollingHash(s: org.apache.spark.unsafe.types.UTF8String, p: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % p
+      i += Character.charCount(cp)
+    }
+    h
   }
 
   private final val Seed = 42L

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native vector-math kernel for the similarity operators.
   *
@@ -28,6 +28,17 @@ object NativeMath {
   def dot64(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct64Expr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** 0-based index of the max-cosine centroid for `v` among `cents`
+    * (an `array<array<double>>`, normally a literal). First max wins on
+    * ties; zero-norm sides score 0 — value-identical to the
+    * `array_position(sims, array_max(sims))` combinator over a
+    * `transform`-computed sims array, evaluated in one codegen'd loop
+    * instead of one interpreted lambda per centroid per row.
+    */
+  def argmaxCosine(v: Column, cents: Column): Column =
+    GraftSqlBridge.column(
+      ArgMaxCosineExpr(GraftSqlBridge.expression(v), GraftSqlBridge.expression(cents)))
 }
 
 case class DotProduct64Expr(left: Expression, right: Expression)
@@ -50,6 +61,27 @@ case class DotProduct64Expr(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+case class ArgMaxCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // inferred Seq[ArrayType] <: Seq[AbstractDataType]
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_argmax_cosine"
+
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    MathKernels.argmaxCosine(v.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.plans.MathKernels.argmaxCosine($v, $c)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object MathKernels {
 
   /** Index-ordered double accumulation — the same operation order as
@@ -66,5 +98,26 @@ object MathKernels {
       i += 1
     }
     acc
+  }
+
+  /** First index of the max-cosine centroid (strict > keeps the first
+    * max, matching `array_position`'s first-occurrence semantics);
+    * cosine is `dot/(|v||c|)` with 0 for zero-norm sides — the same
+    * doubles as the combinator formulation.
+    */
+  def argmaxCosine(v: ArrayData, cents: ArrayData): Int = {
+    val vn = math.sqrt(dot(v, v))
+    var best = Double.NegativeInfinity
+    var bestI = 0
+    var i = 0
+    val n = cents.numElements()
+    while (i < n) {
+      val c = cents.getArray(i)
+      val cn = math.sqrt(dot(c, c))
+      val sim = if (vn > 0 && cn > 0) dot(v, c) / (vn * cn) else 0.0
+      if (sim > best) { best = sim; bestI = i }
+      i += 1
+    }
+    bestI
   }
 }

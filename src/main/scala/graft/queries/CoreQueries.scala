@@ -387,9 +387,35 @@ object CoreQueries {
       GROUP BY 1 HAVING sum(sign) > 0
       ORDER BY "ym:s:visits" DESC, "ym:s:lastSignSource" ASC"""))
 
+  // ---------------------------------------------------------------------
+  // Skew-safe salted join (SURVEY.md §4 scale discipline): the fact side
+  // salted on a within-key-varying column, the other side replicated,
+  // join key (key, salt) — a hot order key spreads over 8 tasks instead
+  // of one. The shuffle_hash hint forces the shuffled-join shape this
+  // operator exists for (broadcast would bypass the skew problem, and
+  // AQE skew splitting only applies to sort-merge); the oracle is the
+  // PLAIN join — salting must not change a single row.
+  val q39SaltedJoin = QueryDef(
+    "q39_salted_join",
+    (s, dir) => {
+      val l = Graft.table(s, dir, "lineitem")
+      val o = Graft.table(s, dir, "orders").hint("shuffle_hash")
+      saltedJoin(l, o, "l_orderkey", "o_orderkey",
+          spreadBy = col("l_linenumber"), saltN = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("price_sum"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n,
+             round(sum(l_extendedprice), 2) AS price_sum
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
-    q20RatioAlias, q36AliasWhere)
+    q20RatioAlias, q36AliasWhere, q39SaltedJoin)
 }

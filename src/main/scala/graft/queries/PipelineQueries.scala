@@ -368,7 +368,8 @@ object PipelineQueries {
         FROM sc
       )
       SELECT probe_id, CAST(rank AS BIGINT) AS rank, id, round(sim, 3) AS sim
-      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
+      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing: documents wrapped as binary media payloads with
@@ -484,7 +485,8 @@ object PipelineQueries {
              CAST(sum(len(toks)) AS BIGINT) AS tokens_total,
              round(avg(quality), 6) AS avg_quality
       FROM q WHERE lang_guess = 'en' AND quality >= 0.35
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,

@@ -35,6 +35,32 @@ class CatalogSpec extends SparkSpec {
     assert(got == Seq((2L, "y")))
   }
 
+  test("streaming foreachBatch appends into a JDBC sink (S2 via JDBC)") {
+    // the reference's sink is ClickHouse; this drives the identical
+    // writeStream -> foreachBatch -> df.write.jdbc(append) path against
+    // the embedded engine (append auto-creates the table on first batch)
+    val url = "jdbc:derby:memory:graft_spec;create=true"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_jdbc_src")
+      .toString
+    import org.apache.spark.sql.functions._
+    spark.range(0, 100).select(col("id"), (col("id") % 5).as("grp"))
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$srcDir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").jdbc(url, "stream_sink",
+          new java.util.Properties())
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.read.format("jdbc")
+      .options(Map("url" -> url, "dbtable" -> "stream_sink")).load()
+    assert(got.count() == 100L)
+    assert(got.agg(sum(col("id"))).as[Long].head() == 4950L)
+  }
+
   test("file binding applies the declared schema on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bind").toString
     java.nio.file.Files.writeString(

@@ -38,6 +38,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native argmaxCosine cell assignment equals the combinator spec") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val cents: Array[(Long, Seq[Double])] = Array.tabulate(7)(i =>
+      (i.toLong * 3, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val got = vecs.select(
+      Similarity.assignCell($"embedding", cents),
+      Similarity.assignCellColumn($"embedding", cents))
+      .as[(Long, Long)].collect()
+    got.foreach { case (nat, comb) => assert(nat == comb) }
+  }
+
   test("cosine guards zero-norm vectors") {
     val df = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
     assert(df.select(Similarity.cosine($"a", $"b")).as[Double].head() == 0.0)

@@ -65,6 +65,27 @@ class TextSpec extends SparkSpec {
     assert(got(0) != got(2))
   }
 
+  test("native fingerprint equals the combinator spec (incl. empty/punct/accents)") {
+    val df = Seq("hi", "", "  Mixed CASE  text! 42 ", "déjà vu — naïve",
+      "a" * 500).toDF("t")
+    val got = df.select(fingerprint($"t"), fingerprintColumn($"t"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (nat, comb) => assert(nat == comb) }
+  }
+
+  test("native stopwordCount equals the combinator spec on every profile") {
+    val df = Seq("the cat and the hat is in the house",
+      "der hund und die katze", "", "no profile words here xyz")
+      .toDF("t")
+    langProfiles.foreach { case (_, words) =>
+      val got = df.select(
+        stopwordCount(tokenize($"t"), words),
+        stopwordCountColumn(tokenize($"t"), words))
+        .as[(Long, Long)].collect()
+      got.foreach { case (nat, comb) => assert(nat == comb) }
+    }
+  }
+
   test("punctRatio counts only non [a-z0-9 space] chars") {
     val got = Seq("ab!?").toDF("t").select(punctRatio($"t")).as[Double].head()
     assert(math.abs(got - 0.5) < 1e-12)
