@@ -159,6 +159,12 @@ object Dedup {
     * iff the sum over tokens of ±1 (sign of bit b of the token's hash)
     * is positive. Near-identical token sets differ in few bits, so
     * Hamming-window banding finds them.
+    *
+    * Operating envelope: documents with tens of tokens or more. On very
+    * short documents one differing token flips a large share of the
+    * bits (its ±1 vote is a big fraction of every bit's total), pushing
+    * even J≥0.9 pairs beyond banding's Hamming guarantee — gate short
+    * docs to the exact/MinHash paths instead (see q23's gate).
     */
   def simHash(toks: Column): Column = {
     val th = transform(array_distinct(toks), t => xxhash64(t))

