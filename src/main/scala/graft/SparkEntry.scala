@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.ArrayQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.MetricaQueries.defs ++
-      graft.queries.StreamingQueries.defs
+      graft.queries.StreamingQueries.defs ++
+      graft.queries.DialectQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -74,6 +74,9 @@ object NativeHashes {
       }))
     GraftSqlBridge.registerFunction(spark, "graft_simhash64",
       args => SimHash64Expr(args.head))
+    ChDialect.functions.foreach { case (name, builder) =>
+      GraftSqlBridge.registerFunction(spark, name, builder)
+    }
   }
 }
 
@@ -92,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64Expr(args.head)))
+    // ClickHouse-named dialect functions (toMonday, notEmpty, uniqExact,
+    // arrayElement, sumArray, ...) — see ChDialect
+    ChDialect.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(ChDialect.getClass.getName, name),
+        builder))
+    }
   }
 }
 

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{Graft, QueryDef}
+
+/** ClickHouse-dialect SQL surface (SURVEY.md §2.9): the reference
+  * user's SQL — CH function names and all — running verbatim through
+  * `spark.sql` on sessions built with the graft extensions. The
+  * function registry rows delegate to the `graft.functions.ch`
+  * combinators (plans/ChDialect.scala), so dialect SQL and the Scala
+  * API are the same expressions.
+  */
+object DialectQueries {
+
+  // ---------------------------------------------------------------------
+  // toMonday / uniqExact / notEmpty / toInt64 over the events stream —
+  // the reference Q1's function vocabulary (README.md:75-86,
+  // ddl/hits.sql:114) in SQL. The view is pre-bounded via Graft.events
+  // so the time range pushes down on the raw nanos (the SQL's own
+  // WHERE would sit above the ns→µs conversion and reach the scan as a
+  // residual, not a pushdown).
+  val q40ChDialectSql = QueryDef(
+    "q40_ch_dialect_sql",
+    (s, dir) => {
+      Graft.events(s, dir, "2024-01-01", "2024-01-29")
+        .createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT toMonday(CAST(ts AS DATE)) AS wk,
+               toInt64(count(1)) AS n,
+               uniqExact(user_id) AS users,
+               toInt64(sum(notEmpty(event_type))) AS n_typed
+        FROM events_v
+        GROUP BY toMonday(CAST(ts AS DATE))
+        ORDER BY wk""")
+    },
+    Some("""
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             CAST(sum(CASE WHEN event_type IS NOT NULL AND length(event_type) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_typed
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-28'
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
+  // sumArray / arrayElement (CH `arr[i]` with default-on-miss) / uniq* /
+  // toInt64 over the embeddings table. `arrayElement(embedding, 0)`
+  // exercises the CH miss path: the element type's default (0.0), never
+  // null — the oracle recomputes the same CASE rather than asserting a
+  // constant.
+  val q41ChDialectArrays = QueryDef(
+    "q41_ch_dialect_arrays",
+    (s, dir) => {
+      Graft.table(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        SELECT label,
+               toInt64(count(1)) AS n,
+               uniqExact(vec_id) AS ids,
+               round(sumArray(embedding), 2) AS emb_sum,
+               round(sum(arrayElement(embedding, 1)), 3) AS first_sum,
+               round(sum(arrayElement(embedding, 0)), 3) AS miss_sum
+        FROM embeddings_v
+        GROUP BY label
+        ORDER BY label""")
+    },
+    Some("""
+      SELECT label,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS ids,
+             round(sum(list_aggregate(embedding::DOUBLE[], 'sum')), 2) AS emb_sum,
+             round(sum(CASE WHEN len(embedding) >= 1
+                            THEN embedding[1]::DOUBLE ELSE 0.0 END), 3) AS first_sum,
+             round(sum(CASE WHEN 0 >= 1
+                            THEN embedding[0]::DOUBLE ELSE 0.0 END), 3) AS miss_sum
+      FROM embeddings
+      GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q40ChDialectSql, q41ChDialectArrays)
+}

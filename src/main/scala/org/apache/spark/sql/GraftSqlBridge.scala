@@ -12,7 +12,17 @@ object GraftSqlBridge {
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** EAGER Column -> Expression conversion. `ExpressionUtils.expression`
+    * wraps the column node in a lazy `ColumnNodeExpression`; that wrapper
+    * is only unwrapped by the DataFrame analysis entry points, so an
+    * expression built inside a FunctionRegistry builder (which runs
+    * mid-analysis, e.g. the ChDialect functions) would survive to codegen
+    * un-converted and fail. Converting the node up front yields a plain
+    * catalyst tree (possibly with Unresolved* leaves, which the analyzer
+    * handles normally).
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Register a function builder on an existing (classic) session. */
   def registerFunction(spark: SparkSession, name: String,

@@ -1,0 +1,61 @@
+package graft
+
+/** The ClickHouse-named SQL functions registered by the graft
+  * extensions: hand-checked values through `spark.sql`, including the
+  * CH default-on-miss and NULL conventions that differ from Spark's
+  * builtins.
+  */
+class ChDialectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toMonday / toInt64 / isFinite / notEmpty scalar semantics") {
+    val r = spark.sql("""
+      SELECT toMonday(DATE '2024-01-10') AS m,
+             toInt64('42') AS i,
+             isFinite(1.0) AS f1,
+             isFinite(cast('NaN' as double)) AS f2,
+             notEmpty('x') AS ne1,
+             notEmpty('') AS ne2,
+             notEmpty(cast(null as string)) AS ne3
+    """).collect().head
+    assert(r.getDate(0).toString == "2024-01-08") // Wednesday -> Monday
+    assert(r.getLong(1) == 42L)
+    assert(r.getBoolean(2))
+    assert(!r.getBoolean(3))
+    assert(r.getLong(4) == 1L && r.getLong(5) == 0L && r.getLong(6) == 0L)
+  }
+
+  test("indexOf: 1-based, 0 for absent AND for null (CH convention)") {
+    val r = spark.sql("""
+      SELECT indexOf(array('a','b'), 'b') AS hit,
+             indexOf(array('a','b'), 'z') AS miss,
+             indexOf(array('a','b'), cast(null as string)) AS nul
+    """).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+  }
+
+  test("arrayElement: element-type default on i=0/out-of-range, never null") {
+    val r = spark.sql("""
+      SELECT arrayElement(array(10, 20), 2) AS hit,
+             arrayElement(array(10, 20), 0) AS zero,
+             arrayElement(array(10, 20), 9) AS oob,
+             arrayElement(array('x'), 0) AS szero
+    """).collect().head
+    assert(r.getInt(0) == 20 && r.getInt(1) == 0 && r.getInt(2) == 0)
+    assert(r.getString(3) == "")
+  }
+
+  test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {
+    Seq((1, Seq(1L, 2L)), (1, Seq(3L)), (2, Seq(10L)))
+      .toDF("k", "arr").createOrReplaceTempView("dialect_t")
+    val r = spark.sql("""
+      SELECT uniqExact(k) AS ue, sumArray(arr) AS sa FROM dialect_t
+    """).collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 16L)
+    // uniq = HLL++: exact-ish at tiny cardinality, within 5% at 10k
+    val n = spark.sql(
+      "SELECT uniq(id) AS u FROM range(10000)").as[Long].head()
+    assert(math.abs(n - 10000L) <= 500L)
+  }
+}
