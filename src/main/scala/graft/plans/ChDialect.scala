@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Expression, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
 
@@ -33,15 +33,22 @@ object ChDialect {
 
   /** CH `sumArray(arr)`: aggregate sum of every element of every row's
     * array. Accumulator type follows the element type (double for
-    * fractional, long otherwise), matching CH's widening.
+    * fractional, long otherwise), matching CH's widening. When the
+    * argument's type is not yet known at build time (a lambda-derived
+    * array whose variables bind in a later analyzer rule), the integral
+    * accumulator is used — CH's own default for Int arrays.
     */
   private def sumArray(args: Seq[Expression]): Expression = {
-    val elemType = args.head.dataType.asInstanceOf[ArrayType].elementType
-    val perRow = elemType match {
-      case DoubleType | FloatType | _: DecimalType =>
-        ch.sumArrayDouble(col(args.head))
-      case _ => ch.sumArrayLong(col(args.head))
-    }
+    val floating =
+      try {
+        args.head.dataType.asInstanceOf[ArrayType].elementType match {
+          case DoubleType | FloatType | _: DecimalType => true
+          case _ => false
+        }
+      } catch { case _: Throwable => false }
+    val perRow =
+      if (floating) ch.sumArrayDouble(col(args.head))
+      else ch.sumArrayLong(col(args.head))
     ex(sum(perRow))
   }
 
@@ -55,5 +62,7 @@ object ChDialect {
     "uniq" -> (args => ex(ch.uniq(col(args.head)))),
     "arrayElement" -> arrayElement,
     "sumArray" -> sumArray,
+    // CH argument order: lambda FIRST — arrayMap(x -> e, arr)
+    "arrayMap" -> (args => ArrayTransform(args(1), args(0))),
   )
 }

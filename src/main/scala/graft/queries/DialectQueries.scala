@@ -75,5 +75,59 @@ object DialectQueries {
       FROM embeddings
       GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q40ChDialectSql, q41ChDialectArrays)
+  // ---------------------------------------------------------------------
+  // The reference's Q2 "Traffic sources" (README.md:102-119) as
+  // CH-dialect SQL through spark.sql — arrayMap (lambda-first), nested,
+  // if/isFinite/notEmpty/toInt64, sumArray, indexOf + arrayElement
+  // (the named form of CH `arr[i]`, since Spark's bracket syntax is
+  // 0-based), uniqExact, least, Sign-weighted measures, ratio
+  // aggregates. The two CH alias-resolution liberties (WHERE on a
+  // SELECT alias, aggregate-alias reuse) become the documented staging:
+  // one subquery level each. Hash-checked against the SAME oracle as
+  // the DataFrame form (q29) — both front ends must agree with each
+  // other and with DuckDB.
+  val q42MetricaQ2DialectSql = QueryDef(
+    "q42_metrica_q2_dialect_sql",
+    (s, _) => {
+      MetricaQueries.fixture(s).createOrReplaceTempView("visits_v")
+      s.sql("""
+        SELECT `ym:s:lastSignUTMSource`,
+               `ym:s:visits`,
+               least(__uniq, `ym:s:visits`) AS `ym:s:users`,
+               round(100.0D * __bounces / `ym:s:visits`, 4) AS `ym:s:bounceRate`,
+               round(__pv / CAST(`ym:s:visits` AS DOUBLE), 4) AS `ym:s:pageDepth`,
+               round(__dur / CAST(`ym:s:visits` AS DOUBLE), 4) AS `ym:s:avgVisitDurationSeconds`,
+               `ym:s:ecommercePurchases`
+        FROM (
+          SELECT `ym:s:lastSignUTMSource`,
+                 toInt64(sum(Sign)) AS `ym:s:visits`,
+                 uniqExact(CounterUserIDHash) AS __uniq,
+                 toInt64(sum(IsBounce * Sign)) AS __bounces,
+                 toInt64(sum(PageViews * Sign)) AS __pv,
+                 toInt64(sum(Duration * Sign)) AS __dur,
+                 toInt64(sumArray(arrayMap(x -> if(isFinite(x), x, 0L) * Sign,
+                          arrayMap(x0 -> toInt64(notEmpty(x0)), `EPurchase.ID`))))
+                   AS `ym:s:ecommercePurchases`
+          FROM (
+            SELECT *,
+                   arrayElement(`TrafficSource.UTMSource`,
+                                indexOf(`TrafficSource.Model`, 2))
+                     AS `ym:s:lastSignUTMSource`
+            FROM visits_v
+            WHERE StartDate >= DATE '2023-11-01' AND StartDate <= DATE '2023-11-14'
+          )
+          WHERE `ym:s:lastSignUTMSource` != ''
+          GROUP BY `ym:s:lastSignUTMSource`
+        )
+        WHERE (`ym:s:visits` > 0.0) OR (least(__uniq, `ym:s:visits`) > 0.0)
+           OR (`ym:s:ecommercePurchases` > 0.0)
+        ORDER BY `ym:s:visits` DESC, `ym:s:lastSignUTMSource` ASC
+        LIMIT 50""")
+    },
+    // both front ends (DataFrame q29, dialect SQL q42) must match the
+    // same DuckDB ground truth
+    MetricaQueries.q29MetricaQ2.oracle)
+
+  val defs: Seq[QueryDef] =
+    Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql)
 }
