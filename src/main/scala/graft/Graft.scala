@@ -37,6 +37,15 @@ object Graft {
     s
   }
 
+  /** Cluster entry point: the same engine configs WITHOUT a master —
+    * spark-submit / the cluster manager supplies deployment. Shuffle
+    * partitions default to AQE coalescing from `shufflePartitions`
+    * (set it to 2-3x total executor cores).
+    */
+  def session(appName: String, shufflePartitions: Int = 200): SparkSession =
+    tune(SparkSession.builder().appName(appName), shufflePartitions.toString)
+      .getOrCreate()
+
   /** Load one of the driver-generated tables from a scale-factor dir.
     * `events.ts` arrives as nanos-since-epoch (see nanosAsLong above);
     * integer-DIV to micros (double division would lose precision at 1e18)

@@ -58,6 +58,26 @@ class RelationalSpec extends SparkSpec {
     (3L, 1L, 1, "gone"), (3L, 1L, -1, "gone-cancel"))
     .toDF("id", "ver", "sign", "tag")
 
+  test("saltedJoin: identical rows to the plain join; salt spreads a hot key") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(0, 1000)
+      .select((col("id") % 3).as("k"), col("id").as("line"))
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "unmatched"))
+      .toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select(col("k"), col("line"), col("name"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = saltedJoin(fact, dim, "k", "dk",
+        spreadBy = col("line"), saltN = 8)
+      .select(col("k"), col("line"), col("name"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    // the hot key's rows really do carry several distinct salts
+    val salts = fact.filter(col("k") === 0)
+      .select(pmod(hash(col("line")), lit(8))).distinct().count()
+    assert(salts > 4)
+  }
+
   test("latestVersions: cancel pairs drop, highest live version wins") {
     val got = latestVersions(versioned, Seq("id"), "ver", "sign")
       .select($"id", $"ver", $"tag").as[(Long, Long, String)]
