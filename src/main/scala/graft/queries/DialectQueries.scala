@@ -128,6 +128,33 @@ object DialectQueries {
     // same DuckDB ground truth
     MetricaQueries.q29MetricaQ2.oracle)
 
+  // ---------------------------------------------------------------------
+  // The reference's Q1 "Visits" (README.md:75-86) as dialect SQL: CH
+  // `GROUP BY x WITH TOTALS` becomes `GROUP BY ROLLUP(x)` (for a single
+  // key they are the same lattice: the groups plus one grand-total row
+  // with a NULL key), HAVING applies to the totals row exactly as CH
+  // defaults to, WHERE on the `ym:s:date` SELECT alias is staged one
+  // subquery down. Same oracle as the DataFrame form q28.
+  val q43MetricaQ1DialectSql = QueryDef(
+    "q43_metrica_q1_dialect_sql",
+    (s, _) => {
+      MetricaQueries.fixture(s).createOrReplaceTempView("visits_v")
+      s.sql("""
+        SELECT CAST(`ym:s:date` AS STRING) AS `ym:s:date`,
+               toInt64(sum(Sign)) AS `ym:s:visits`
+        FROM (
+          SELECT StartDate AS `ym:s:date`, Sign
+          FROM visits_v
+          WHERE StartDate >= DATE '2023-11-01' AND StartDate <= DATE '2023-11-08'
+        )
+        GROUP BY ROLLUP(`ym:s:date`)
+        HAVING sum(Sign) >= 0.0
+        ORDER BY CAST(`ym:s:date` AS STRING) ASC NULLS LAST
+        LIMIT 10""")
+    },
+    MetricaQueries.q28MetricaQ1.oracle)
+
   val defs: Seq[QueryDef] =
-    Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql)
+    Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
+      q43MetricaQ1DialectSql)
 }
