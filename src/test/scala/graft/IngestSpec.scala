@@ -61,6 +61,26 @@ class IngestSpec extends SparkSpec {
     assert(live == 3L)
   }
 
+  test("continuous mode (ST1): a live query drains files as they arrive") {
+    val base = Files.createTempDirectory("graft_ingest_spec_cont").toString
+    val srcDir = s"$base/src"
+    val sink = Ingest.Sink(s"$base/wh", "visits", "t_cont",
+      dateCol = "d", orderKey = Seq("id", "ver"), cleanupPolicy = "DISABLED")
+    val schema = visitRows(Nil).schema
+    visitRows(Seq((1L, 1L, 1, "2023-11-01"))).write.mode("append").parquet(srcDir)
+    val q = Ingest.activate(spark, srcDir, schema, sink, s"$base/cp",
+      availableNow = false) // continuous micro-batch trigger
+    try {
+      q.processAllAvailable()
+      assert(Warehouse.read(spark, Ingest.tableDir(sink)).count() == 1)
+      // rows arriving WHILE the query runs are picked up — no restart
+      visitRows(Seq((2L, 1L, 1, "2023-11-02"), (3L, 1L, 1, "2023-11-03")))
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(Warehouse.read(spark, Ingest.tableDir(sink)).count() == 3)
+    } finally q.stop()
+  }
+
   test("cleanup policy DROP clears table and checkpoint; TRUNCATE keeps checkpoint") {
     val base = Files.createTempDirectory("graft_ingest_spec2").toString
     val srcDir = s"$base/src"
