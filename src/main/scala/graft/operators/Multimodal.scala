@@ -97,6 +97,59 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** A resized media item: real output dimensions, stub-resampled
+    * payload.
+    */
+  final case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Aspect-preserving fit of (w, h) into (maxW, maxH); never
+    * upscales; degenerate inputs map to (0, 0). Pure metadata math —
+    * this part is REAL (it is what decides bytes decoded per item at
+    * 100 TB), only the pixel resample is stubbed.
+    */
+  def fitDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= 0 || h <= 0) (0, 0)
+    else {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / w, maxH.toDouble / h))
+      (math.max(1, math.round(w * scale).toInt),
+        math.max(1, math.round(h * scale).toInt))
+    }
+
+  /** ??? STUB ??? — stands in for the real resampler: deterministic
+    * byte decimation proportional to the area reduction, so payload
+    * size scales the way a real resize would and the batch contract is
+    * testable.
+    */
+  def resizeStub(payload: Array[Byte], inW: Int, inH: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    val inArea = math.max(1L, inW.toLong * inH)
+    val outArea = math.max(1L, outW.toLong * outH)
+    val stride = math.max(1L, inArea / outArea).toInt
+    payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+  }
+
+  /** Batched partition-local resize (same shape discipline as
+    * [[extractFeatures]]): one pass, no shuffle, peak memory one batch.
+    */
+  def resize(ds: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { m =>
+          val (w, h) = fitDims(m.width, m.height, maxW, maxH)
+          ResizedMedia(m.media_id, m.kind, w, h,
+            resizeStub(m.payload, m.width, m.height, w, h))
+        }
+      }
+    }
+  }
+
   /** Frame-sampling plan for a video payload: evenly spaced frame
     * timestamps (ms), at most `maxFrames`, from typed metadata only —
     * the decode of each frame is again [[decodeStub]] territory.

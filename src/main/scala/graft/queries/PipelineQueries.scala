@@ -399,12 +399,18 @@ object PipelineQueries {
       val feats = Multimodal.extractFeatures(media).toDF()
       val meta = media.toDF().select(col("media_id"), col("kind"),
         col("duration_ms"))
-      feats.join(meta, "media_id")
+      // resize to fit 64x64: 640x480 -> 64x48, a 100x area reduction,
+      // so the stub resample keeps ceil(n/100) bytes — deterministic
+      // and recomputed by the oracle
+      val resized = Multimodal.resize(media, 64, 64).toDF()
+        .select(col("media_id"), length(col("payload")).as("n_resized"))
+      feats.join(meta, "media_id").join(resized, "media_id")
         .groupBy(col("kind"))
         .agg(
           count(lit(1)).as("n"),
           sum(col("n_bytes")).cast("long").as("bytes_total"),
           sum(col("checksum")).cast("long").as("checksum_total"),
+          sum(col("n_resized")).cast("long").as("bytes_resized"),
           sum(size(Multimodal.frameSampleMs(col("duration_ms"), 1000, 8)))
             .cast("long").as("frames_planned"))
         .orderBy(col("kind"))
@@ -420,6 +426,7 @@ object PipelineQueries {
       SELECT kind, CAST(count(1) AS BIGINT) AS n,
              CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
              CAST(sum(checksum) AS BIGINT) AS checksum_total,
+             CAST(sum((n_bytes + 99) // 100) AS BIGINT) AS bytes_resized,
              CAST(sum(CASE WHEN duration_ms > 0
                            THEN least((duration_ms - 1) // 1000 + 1, 8)
                            ELSE 0 END) AS BIGINT) AS frames_planned
