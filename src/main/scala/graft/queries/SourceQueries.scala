@@ -26,7 +26,11 @@ object SourceQueries {
     (s, dir) => {
       val days = Seq("2024-01-05", "2024-01-06", "2024-01-07")
       val out = s"${sys.props("java.io.tmpdir")}/graft_csv_export"
-      val e = Graft.table(s, dir, "events")
+      // Graft.events bounds the scan on the raw nanos BELOW the ns→µs
+      // conversion, so the 3-day export prunes parquet row groups
+      // instead of scanning all history (the in-query isin filter then
+      // only slices days within the bound).
+      val e = Graft.events(s, dir, "2024-01-05", "2024-01-08")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       CsvGzip.exportDaySliced(e, to_date(col("ts")), days, out,

@@ -95,6 +95,26 @@ class IngestSpec extends SparkSpec {
     assert(Warehouse.read(spark, Ingest.tableDir(sink)).count() == 1)
   }
 
+  test("weekly compaction keeps only the latest live version per entity") {
+    val base = Files.createTempDirectory("graft_compact_spec").toString
+    // two weeks of versioned rows: id 1 upgraded to v2, id 2 untouched,
+    // id 3 (next week) fully canceled
+    Warehouse.write(visitRows(Seq(
+        (1L, 1L, 1, "2023-11-01"), (1L, 1L, -1, "2023-11-01"),
+        (1L, 2L, 1, "2023-11-01"),
+        (2L, 1L, 1, "2023-11-02"),
+        (3L, 1L, 1, "2023-11-08"), (3L, 1L, -1, "2023-11-08"))),
+      s"$base/t", "d", Seq("id", "ver"))
+    Warehouse.compact(spark, s"$base/t", s"$base/t_compacted",
+      dateCol = "d", orderKey = Seq("id", "ver"),
+      idCols = Seq("id"), versionCol = "ver", signCol = "sign")
+    val got = Warehouse.read(spark, s"$base/t_compacted")
+    assert(got.select($"id", $"ver").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 1L)))
+    // compacted table keeps the week-partitioned layout
+    assert(got.columns.contains(Warehouse.weekCol))
+  }
+
   test("multi-batch drain (maxFilesPerTrigger) lands every file once") {
     val base = Files.createTempDirectory("graft_ingest_spec3").toString
     val srcDir = s"$base/src"
