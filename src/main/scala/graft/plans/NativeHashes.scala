@@ -103,6 +103,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(ChDialect.getClass.getName, name),
         builder))
     }
+    // CH `GROUP BY x WITH TOTALS` clause — rewrite-on-parse-failure only
+    ext.injectParser((_, delegate) => new TotalsParser(delegate))
   }
 }
 

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** ClickHouse `GROUP BY x WITH TOTALS` surface (README.md:83).
+  *
+  * Spark's grammar has no TOTALS clause, so this parser delegates
+  * everything to Spark's parser and ONLY when that fails with a parse
+  * error AND the text contains a single-key `GROUP BY <expr> WITH
+  * TOTALS` does it rewrite the clause to `GROUP BY ROLLUP(<expr>)` —
+  * for one key the same lattice: the groups plus one grand-total row
+  * with a NULL key, HAVING applying to the totals row as CH defaults
+  * to. Valid Spark SQL is never touched (the rewrite sits behind the
+  * delegate's failure), and a multi-key TOTALS re-throws the original
+  * error rather than silently producing CH-divergent subtotal rows.
+  */
+class TotalsParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val totals =
+    """(?is)(GROUP\s+BY\s+)(.+?)\s+WITH\s+TOTALS""".r
+
+  private def rewrite(sqlText: String): Option[String] =
+    totals.findFirstMatchIn(sqlText).flatMap { m =>
+      val keys = m.group(2).trim
+      // single key only: a top-level comma means multi-key TOTALS,
+      // whose CH semantics (grand total only) ROLLUP does not match
+      var depth = 0
+      val topLevelComma = keys.exists {
+        case '(' | '[' => depth += 1; false
+        case ')' | ']' => depth -= 1; false
+        case ',' if depth == 0 => true
+        case _ => false
+      }
+      if (topLevelComma) None
+      else Some(totals.replaceFirstIn(sqlText,
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}ROLLUP($keys)")))
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    try delegate.parsePlan(sqlText)
+    catch {
+      case e: ParseException =>
+        rewrite(sqlText) match {
+          case Some(rw) =>
+            try delegate.parsePlan(rw) catch { case _: ParseException => throw e }
+          case None => throw e
+        }
+    }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    try delegate.parseQuery(sqlText)
+    catch {
+      case e: ParseException =>
+        rewrite(sqlText) match {
+          case Some(rw) =>
+            try delegate.parseQuery(rw) catch { case _: ParseException => throw e }
+          case None => throw e
+        }
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

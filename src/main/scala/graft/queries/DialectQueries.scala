@@ -154,7 +154,32 @@ object DialectQueries {
     },
     MetricaQueries.q28MetricaQ1.oracle)
 
+  // ---------------------------------------------------------------------
+  // The SAME Q1, but with ClickHouse's literal `GROUP BY x WITH TOTALS`
+  // clause — accepted by the injected TotalsParser (rewrites to ROLLUP
+  // only after Spark's own grammar rejects the text, so valid SQL is
+  // never touched). Same oracle again: three front-end forms of Q1
+  // (DataFrame q28, ROLLUP SQL q43, TOTALS SQL q44) must all agree.
+  val q44MetricaQ1Totals = QueryDef(
+    "q44_metrica_q1_totals_sql",
+    (s, _) => {
+      MetricaQueries.fixture(s).createOrReplaceTempView("visits_v")
+      s.sql("""
+        SELECT CAST(`ym:s:date` AS STRING) AS `ym:s:date`,
+               toInt64(sum(Sign)) AS `ym:s:visits`
+        FROM (
+          SELECT StartDate AS `ym:s:date`, Sign
+          FROM visits_v
+          WHERE StartDate >= DATE '2023-11-01' AND StartDate <= DATE '2023-11-08'
+        )
+        GROUP BY `ym:s:date` WITH TOTALS
+        HAVING sum(Sign) >= 0.0
+        ORDER BY CAST(`ym:s:date` AS STRING) ASC NULLS LAST
+        LIMIT 10""")
+    },
+    MetricaQueries.q28MetricaQ1.oracle)
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
-      q43MetricaQ1DialectSql)
+      q43MetricaQ1DialectSql, q44MetricaQ1Totals)
 }

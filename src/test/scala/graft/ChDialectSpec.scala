@@ -6,6 +6,7 @@ package graft
   * builtins.
   */
 class ChDialectSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
   import spark.implicits._
 
   test("toMonday / toInt64 / isFinite / notEmpty scalar semantics") {
@@ -43,6 +44,24 @@ class ChDialectSpec extends SparkSpec {
     """).collect().head
     assert(r.getInt(0) == 20 && r.getInt(1) == 0 && r.getInt(2) == 0)
     assert(r.getString(3) == "")
+  }
+
+  test("WITH TOTALS: groups + grand total; valid SQL untouched; multi-key rejected") {
+    spark.range(0, 10).select((col("id") % 2).as("k"), col("id").as("v"))
+      .createOrReplaceTempView("totals_t")
+    val got = spark.sql(
+      "SELECT k, sum(v) AS s FROM totals_t GROUP BY k WITH TOTALS")
+      .orderBy(col("k").asc_nulls_last)
+      .as[(java.lang.Long, Long)].collect().toSeq
+    assert(got == Seq((0L: java.lang.Long, 20L), (1L: java.lang.Long, 25L),
+      (null: java.lang.Long, 45L)))
+    // a string literal containing the phrase parses as plain Spark SQL
+    assert(spark.sql("SELECT 'GROUP BY x WITH TOTALS' AS s")
+      .as[String].head() == "GROUP BY x WITH TOTALS")
+    // multi-key TOTALS: CH grand-total-only semantics != ROLLUP lattice
+    intercept[Exception] {
+      spark.sql("SELECT k, v, count(1) FROM totals_t GROUP BY k, v WITH TOTALS")
+    }
   }
 
   test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {
