@@ -6,40 +6,50 @@ import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** ClickHouse `GROUP BY x WITH TOTALS` surface (README.md:83).
+/** ClickHouse SQL-clause surface Spark's grammar lacks (README.md:83,86):
   *
-  * Spark's grammar has no TOTALS clause, so this parser delegates
-  * everything to Spark's parser and ONLY when that fails with a parse
-  * error AND the text contains a single-key `GROUP BY <expr> WITH
-  * TOTALS` does it rewrite the clause to `GROUP BY ROLLUP(<expr>)` —
-  * for one key the same lattice: the groups plus one grand-total row
-  * with a NULL key, HAVING applying to the totals row as CH defaults
-  * to. Valid Spark SQL is never touched (the rewrite sits behind the
-  * delegate's failure), and a multi-key TOTALS re-throws the original
-  * error rather than silently producing CH-divergent subtotal rows.
+  *  - `GROUP BY <expr> WITH TOTALS` → `GROUP BY ROLLUP(<expr>)`. For
+  *    one key the same lattice: the groups plus one grand-total row
+  *    with a NULL key, HAVING applying to the totals row as CH
+  *    defaults to. Multi-key TOTALS re-throws the original error
+  *    rather than silently producing CH-divergent subtotal rows.
+  *  - `LIMIT offset, n` (the CH/MySQL form) → `LIMIT n OFFSET offset`.
+  *
+  * Both rewrites sit BEHIND the delegate parser's failure: Spark's
+  * parser runs first and only a text it rejects is rewritten, so valid
+  * Spark SQL — including string literals containing these phrases — is
+  * never touched.
   */
 class TotalsParser(delegate: ParserInterface) extends ParserInterface {
 
   private val totals =
     """(?is)(GROUP\s+BY\s+)(.+?)\s+WITH\s+TOTALS""".r
+  private val limitOffset =
+    """(?is)LIMIT\s+(\d+)\s*,\s*(\d+)""".r
 
-  private def rewrite(sqlText: String): Option[String] =
-    totals.findFirstMatchIn(sqlText).flatMap { m =>
-      val keys = m.group(2).trim
-      // single key only: a top-level comma means multi-key TOTALS,
-      // whose CH semantics (grand total only) ROLLUP does not match
-      var depth = 0
-      val topLevelComma = keys.exists {
-        case '(' | '[' => depth += 1; false
-        case ')' | ']' => depth -= 1; false
-        case ',' if depth == 0 => true
-        case _ => false
-      }
-      if (topLevelComma) None
-      else Some(totals.replaceFirstIn(sqlText,
-        java.util.regex.Matcher.quoteReplacement(
-          s"${m.group(1)}ROLLUP($keys)")))
+  private def rewrite(sqlText: String): Option[String] = {
+    val afterTotals = totals.findFirstMatchIn(sqlText) match {
+      case None => Some(sqlText)
+      case Some(m) =>
+        val keys = m.group(2).trim
+        // single key only: a top-level comma means multi-key TOTALS,
+        // whose CH semantics (grand total only) ROLLUP does not match
+        var depth = 0
+        val topLevelComma = keys.exists {
+          case '(' | '[' => depth += 1; false
+          case ')' | ']' => depth -= 1; false
+          case ',' if depth == 0 => true
+          case _ => false
+        }
+        if (topLevelComma) None
+        else Some(totals.replaceFirstIn(sqlText,
+          java.util.regex.Matcher.quoteReplacement(
+            s"${m.group(1)}ROLLUP($keys)")))
     }
+    val rewritten = afterTotals.map(t =>
+      limitOffset.replaceAllIn(t, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
+    rewritten.filter(_ != sqlText)
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan =
     try delegate.parsePlan(sqlText)

@@ -175,7 +175,7 @@ object DialectQueries {
         GROUP BY `ym:s:date` WITH TOTALS
         HAVING sum(Sign) >= 0.0
         ORDER BY CAST(`ym:s:date` AS STRING) ASC NULLS LAST
-        LIMIT 10""")
+        LIMIT 0, 10""")
     },
     MetricaQueries.q28MetricaQ1.oracle)
 

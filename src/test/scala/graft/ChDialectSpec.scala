@@ -64,6 +64,13 @@ class ChDialectSpec extends SparkSpec {
     }
   }
 
+  test("LIMIT offset,n (CH/MySQL form) = LIMIT n OFFSET offset") {
+    val got = spark.sql(
+      "SELECT id FROM range(10) ORDER BY id LIMIT 3, 4")
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 4L, 5L, 6L))
+  }
+
   test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {
     Seq((1, Seq(1L, 2L)), (1, Seq(3L)), (2, Seq(10L)))
       .toDF("k", "arr").createOrReplaceTempView("dialect_t")
