@@ -137,18 +137,36 @@ object Dedup {
       .drop("__sh_a", "__sh_b")
   }
 
+  /** The distinct document ids mentioned by a candidate-pair set —
+    * the verification stage's working set. Joining THIS back first
+    * (semi-join) makes verify cost proportional to candidates, not
+    * corpus: without it each verify side recomputes shingles for every
+    * document. The candidate subtree ends in an exchange (`distinct`),
+    * so Spark's exchange reuse evaluates it once even though both the
+    * id set and the pair join consume it.
+    */
+  private[graft] def candidateIds(pairs: DataFrame, idCol: String): DataFrame =
+    pairs.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+
   /** End-to-end MinHash-LSH near-dedup: shingle → signature → band
     * buckets → candidate pairs → exact Jaccard ≥ threshold. Output is
-    * exact (verified), the LSH only bounds the candidate set.
+    * exact (verified), the LSH only bounds the candidate set. Shingles
+    * are recomputed ONLY for candidate documents (semi-join on the
+    * candidate id set) — the property that keeps the verify stage
+    * candidate-bounded at 100 TB.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     import graft.functions.text
-    val docs = df.select(col(idCol),
+    def shingled(base: DataFrame) = base.select(col(idCol),
       text.ngrams(text.tokenize(col(textCol)), shingleN).as("__sh"))
-    val cands = lshCandidatePairs(docs, idCol, "__sh", numHashes, bands)
-    jaccardVerify(docs, cands, idCol, "__sh")
+    val cands = lshCandidatePairs(shingled(df), idCol, "__sh",
+      numHashes, bands)
+    val candDocs = shingled(
+      df.join(broadcast(candidateIds(cands, idCol)), Seq(idCol), "left_semi"))
+    jaccardVerify(candDocs, cands, idCol, "__sh")
       .filter(col("jaccard") >= threshold)
   }
 

@@ -124,14 +124,19 @@ object PipelineQueries {
   val q23SimhashNeardup = QueryDef(
     "q23_simhash_neardup",
     (s, dir) => {
-      val docs = Graft.table(s, dir, "documents")
+      val base = Graft.table(s, dir, "documents")
         .filter(size(text.tokenize(col("text"))) >= 20)
-        .select(col("doc_id"),
-          text.tokenize(col("text")).as("__toks"),
-          text.ngrams(text.tokenize(col("text")), 3).as("__sh"))
-      val cands = Dedup.simHashCandidatePairs(docs, "doc_id", "__toks",
+      val toksDocs = base.select(col("doc_id"),
+        text.tokenize(col("text")).as("__toks"))
+      val cands = Dedup.simHashCandidatePairs(toksDocs, "doc_id", "__toks",
         bands = 8)
-      Dedup.jaccardVerify(docs, cands, "doc_id", "__sh")
+      // shingles only for candidate docs (see Dedup.candidateIds)
+      val candDocs = base
+        .join(broadcast(Dedup.candidateIds(cands, "doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          text.ngrams(text.tokenize(col("text")), 3).as("__sh"))
+      Dedup.jaccardVerify(candDocs, cands, "doc_id", "__sh")
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
           round(col("jaccard"), 6).as("jaccard"))
