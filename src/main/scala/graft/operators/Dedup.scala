@@ -164,8 +164,11 @@ object Dedup {
       text.ngrams(text.tokenize(col(textCol)), shingleN).as("__sh"))
     val cands = lshCandidatePairs(shingled(df), idCol, "__sh",
       numHashes, bands)
+    // no broadcast hint: the candidate id set is usually tiny (AQE will
+    // broadcast it), but a boilerplate-heavy corpus can push it past
+    // the broadcast ceiling — let the planner decide
     val candDocs = shingled(
-      df.join(broadcast(candidateIds(cands, idCol)), Seq(idCol), "left_semi"))
+      df.join(candidateIds(cands, idCol), Seq(idCol), "left_semi"))
     jaccardVerify(candDocs, cands, idCol, "__sh")
       .filter(col("jaccard") >= threshold)
   }

@@ -71,6 +71,15 @@ object Relational {
   def saltedJoin(fact: DataFrame, other: DataFrame, factKey: String,
       otherKey: String, spreadBy: Column, saltN: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched REPLICATED-side row
+    // once per salt value (and once per uncovered salt of matched
+    // keys), breaking the equals-the-plain-join contract; the fact
+    // side is never replicated, so fact-preserving types are safe
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti", "semi", "anti")
+        .contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/semi/anti join types, not $joinType " +
+        "(outer-preserving the replicated side would duplicate its rows)")
     val f = fact.withColumn("__salt", pmod(hash(spreadBy), lit(saltN)))
     val o = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltN - 1))))

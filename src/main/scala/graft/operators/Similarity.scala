@@ -190,6 +190,7 @@ object Similarity {
           transform(col(vecCol), x => x.cast("double")))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "kmeansCentroids: input has no vectors")
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("__cell",
         assignCell(col(vecCol), cents))

@@ -26,29 +26,34 @@ object ChDialect {
     * array element type, exactly as ClickHouse derives it.
     */
   private def arrayElement(args: Seq[Expression]): Expression = {
-    val elemType = args.head.dataType.asInstanceOf[ArrayType].elementType
+    val elemType = args.head.dataType match {
+      case ArrayType(t, _) => t
+      case other => throw new IllegalArgumentException(
+        s"arrayElement expects an array argument, got ${other.catalogString}")
+    }
     ex(ch.chElementAt(col(args.head), col(args(1)),
       col(Literal.default(elemType))))
   }
 
   /** CH `sumArray(arr)`: aggregate sum of every element of every row's
     * array. Accumulator type follows the element type (double for
-    * fractional, long otherwise), matching CH's widening. When the
-    * argument's type is not yet known at build time (a lambda-derived
-    * array whose variables bind in a later analyzer rule), the integral
-    * accumulator is used — CH's own default for Int arrays.
+    * fractional, long otherwise), matching CH's widening. Builders run
+    * after the analyzer has resolved the argument (verified: lambda-
+    * derived arrays arrive resolved), so the type is inspectable; a
+    * non-array argument fails loudly rather than guessing an
+    * accumulator and silently truncating.
     */
   private def sumArray(args: Seq[Expression]): Expression = {
-    val floating =
-      try {
-        args.head.dataType.asInstanceOf[ArrayType].elementType match {
-          case DoubleType | FloatType | _: DecimalType => true
-          case _ => false
-        }
-      } catch { case _: Throwable => false }
-    val perRow =
-      if (floating) ch.sumArrayDouble(col(args.head))
-      else ch.sumArrayLong(col(args.head))
+    val elemType = args.head.dataType match {
+      case ArrayType(t, _) => t
+      case other => throw new IllegalArgumentException(
+        s"sumArray expects an array argument, got ${other.catalogString}")
+    }
+    val perRow = elemType match {
+      case DoubleType | FloatType | _: DecimalType =>
+        ch.sumArrayDouble(col(args.head))
+      case _ => ch.sumArrayLong(col(args.head))
+    }
     ex(sum(perRow))
   }
 

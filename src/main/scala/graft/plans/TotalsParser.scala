@@ -26,10 +26,38 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)(GROUP\s+BY\s+)(.+?)\s+WITH\s+TOTALS""".r
   private val limitOffset =
     """(?is)LIMIT\s+(\d+)\s*,\s*(\d+)""".r
+  // a single-quoted SQL literal, '' being the escaped quote
+  private val stringLit = """'(?:[^']|'')*'""".r
+
+  /** Replace every string literal with an opaque placeholder before the
+    * clause regexes run, and restore afterwards — so neither rewrite
+    * can fire inside a literal, and a comma inside a quoted string is
+    * never mistaken for a multi-key TOTALS.
+    */
+  // \u0001 cannot appear in parseable SQL text, so the placeholder can
+  // never collide with real query content
+  private def placeholder(i: Int): String = "\u0001" + i + "\u0001"
+
+  private def maskLiterals(sqlText: String): (String, Seq[String]) = {
+    val found = stringLit.findAllIn(sqlText).toVector
+    val masked = found.zipWithIndex.foldLeft(sqlText) {
+      case (acc, (lit, i)) =>
+        acc.replaceFirst(java.util.regex.Pattern.quote(lit),
+          java.util.regex.Matcher.quoteReplacement(placeholder(i)))
+    }
+    (masked, found)
+  }
+
+  private def unmaskLiterals(sqlText: String, lits: Seq[String]): String =
+    lits.zipWithIndex.foldLeft(sqlText) {
+      case (acc, (lit, i)) =>
+        acc.replace(placeholder(i), lit)
+    }
 
   private def rewrite(sqlText: String): Option[String] = {
-    val afterTotals = totals.findFirstMatchIn(sqlText) match {
-      case None => Some(sqlText)
+    val (masked, lits) = maskLiterals(sqlText)
+    val afterTotals = totals.findFirstMatchIn(masked) match {
+      case None => Some(masked)
       case Some(m) =>
         val keys = m.group(2).trim
         // single key only: a top-level comma means multi-key TOTALS,
@@ -42,13 +70,14 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
           case _ => false
         }
         if (topLevelComma) None
-        else Some(totals.replaceFirstIn(sqlText,
+        else Some(totals.replaceFirstIn(masked,
           java.util.regex.Matcher.quoteReplacement(
             s"${m.group(1)}ROLLUP($keys)")))
     }
     val rewritten = afterTotals.map(t =>
-      limitOffset.replaceAllIn(t, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
-    rewritten.filter(_ != sqlText)
+      limitOffset.replaceAllIn(t,
+        m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
+    rewritten.map(unmaskLiterals(_, lits)).filter(_ != sqlText)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

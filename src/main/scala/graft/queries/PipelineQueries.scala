@@ -132,8 +132,7 @@ object PipelineQueries {
         bands = 8)
       // shingles only for candidate docs (see Dedup.candidateIds)
       val candDocs = base
-        .join(broadcast(Dedup.candidateIds(cands, "doc_id")),
-          Seq("doc_id"), "left_semi")
+        .join(Dedup.candidateIds(cands, "doc_id"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           text.ngrams(text.tokenize(col("text")), 3).as("__sh"))
       Dedup.jaccardVerify(candDocs, cands, "doc_id", "__sh")
@@ -309,7 +308,9 @@ object PipelineQueries {
         FROM b WHERE b.vec_id < 5
       ), sc AS (
         SELECT pb.probe_id, cb.vec_id AS id,
-               list_dot_product(cv.e, pv.e) / (cv.n * pv.n) AS sim
+               CASE WHEN cv.n > 0 AND pv.n > 0
+                    THEN list_dot_product(cv.e, pv.e) / (cv.n * pv.n)
+                    ELSE 0.0 END AS sim
         FROM pb
         JOIN b cb ON cb.bucket = pb.bucket
         JOIN v cv ON cv.vec_id = cb.vec_id

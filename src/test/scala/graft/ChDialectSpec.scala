@@ -71,6 +71,23 @@ class ChDialectSpec extends SparkSpec {
     assert(got == Seq(3L, 4L, 5L, 6L))
   }
 
+  test("clause rewrites never touch string literals, even when a rewrite fires") {
+    // the literal contains both clause shapes; the query itself needs
+    // both rewrites — the literal must come through verbatim
+    val r = spark.sql("""
+      SELECT 'LIMIT 1,2 GROUP BY x WITH TOTALS' AS note, id
+      FROM range(10) ORDER BY id LIMIT 3, 4""").collect()
+    assert(r.head.getString(0) == "LIMIT 1,2 GROUP BY x WITH TOTALS")
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 4L, 5L, 6L))
+    // a comma inside a literal is not a multi-key TOTALS
+    spark.range(0, 4).selectExpr("id % 2 AS k", "id AS v")
+      .createOrReplaceTempView("totals_lit_t")
+    val tot = spark.sql("""
+      SELECT concat(cast(k AS STRING), 'a,b') AS g, sum(v) AS s
+      FROM totals_lit_t GROUP BY concat(cast(k AS STRING), 'a,b') WITH TOTALS""")
+    assert(tot.count() == 3) // 2 groups + totals row
+  }
+
   test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {
     Seq((1, Seq(1L, 2L)), (1, Seq(3L)), (2, Seq(10L)))
       .toDF("k", "arr").createOrReplaceTempView("dialect_t")
