@@ -292,6 +292,51 @@ object Similarity {
     transform(slice(sorted, 1, nprobe), s => s.getField("cid"))
   }
 
+  /** Materialized LSH index: the corpus bucketed once by [[annBucket]]
+    * and STORED `partitionBy(bucket)` with precomputed norms, so
+    * probe-time reads prune to the multiprobe bucket directories —
+    * at scale the difference between scanning the corpus per probe
+    * batch and reading nprobe/2^nBits of it. Append-friendly: new
+    * vectors land in their bucket partition (`mode = "append"` from a
+    * `foreachBatch` makes this the streaming index-maintenance path).
+    * `repartitionByRange(bucket, id)` keeps whole sorted bucket runs
+    * per task, the same file-count discipline as [[graft.sources.Warehouse]].
+    */
+  def writeAnnIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      dir: String, nBits: Int, mode: String = "overwrite"): Unit =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__vn"),
+        annBucket(col(vecCol), nBits).as("__bucket"))
+      .repartitionByRange(col("__bucket"), col("id"))
+      .write.mode(mode).partitionBy("__bucket").parquet(dir)
+
+  /** ANN top-k served FROM the materialized index: identical results
+    * to [[annTopK]] (same buckets, same multiprobe, same ranking), but
+    * the corpus side is the stored index — the probe bucket list
+    * reaches the scan as a partition filter (dynamic partition
+    * pruning against the broadcast probe side), and stored norms skip
+    * recomputation.
+    */
+  def annTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBits: Int = 4): DataFrame = {
+    val v = spark.read.parquet(dir)
+    val buckets = element_at(
+      transform(array(annBucket(col(vecCol), nBits)),
+        b => probeBuckets(b, nBits)), 1)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__p"),
+      norm(col(vecCol)).as("__pn"),
+      explode(buckets).as("__bucket"))
+    val scored = v.join(broadcast(p), "__bucket")
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("sim",
+        when(col("__vn") > 0 && col("__pn") > 0,
+          dot(col("__v"), col("__p")) / (col("__vn") * col("__pn")))
+          .otherwise(lit(0.0)))
+      .select(col("probe_id"), col("id"), col("sim"))
+    topKPerKey(scored, "probe_id", k)
+  }
+
   /** ANN top-k per probe: corpus bucketed once by [[annBucket]]; each
     * probe joins only its multiprobe bucket list (bucket equi-join →
     * shuffle on the bucket key, never a cross join); exact cosine +

@@ -325,6 +325,31 @@ object PipelineQueries {
       FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
 
   // ---------------------------------------------------------------------
+  // The LSH ANN served from a MATERIALIZED index: the corpus is written
+  // once partitionBy(bucket) with precomputed norms, probes then read
+  // only their multiprobe bucket partitions (partition pruning at the
+  // scan). Identical semantics to q27 — same buckets, same ranking —
+  // so it reuses q27's exact embedded-hyperplane oracle; what this
+  // entry adds is the INDEX lifecycle (build → prune-read), the
+  // foreachBatch-appendable shape of a continuously-maintained ANN
+  // index.
+  val q45AnnIndexTopk = QueryDef(
+    "q45_ann_index_topk",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 5)
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_ann_index"
+      Similarity.writeAnnIndex(vecs, "vec_id", "embedding", idxDir,
+        nBits = 4)
+      Similarity.annTopKFromIndex(s, idxDir, probes, "vec_id", "embedding",
+          k = 10, nBits = 4)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("sim"), 3).as("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    q27AnnLshTopk.oracle)
+
+  // ---------------------------------------------------------------------
   // IVF ANN (the second scale path, alongside LSH): corpus vectors are
   // binned to their nearest centroid once (inline argmax projection —
   // no shuffle), probes search only their nprobe best cells via a cell
@@ -516,6 +541,6 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
-    q25AnnTopk, q26CosinePairs, q27AnnLshTopk, q37AnnIvfTopk,
-    q32MultimodalFeatures, q38PipelineE2e)
+    q25AnnTopk, q26CosinePairs, q27AnnLshTopk, q45AnnIndexTopk,
+    q37AnnIvfTopk, q32MultimodalFeatures, q38PipelineE2e)
 }

@@ -133,6 +133,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("materialized ANN index serves identical results to the inline path") {
+    val probes = clustered.filter($"vec_id".isin(0L, 10L, 20L))
+    val inline = Similarity.annTopK(clustered, probes, "vec_id",
+      "embedding", k = 5, nBits = 4)
+      .select($"probe_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    Similarity.writeAnnIndex(clustered, "vec_id", "embedding", dir, nBits = 4)
+    val fromIndex = Similarity.annTopKFromIndex(spark, dir, probes,
+      "vec_id", "embedding", k = 5, nBits = 4)
+      .select($"probe_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(fromIndex == inline)
+    // appending new vectors lands them in their bucket partitions
+    val more = Seq((100L, Seq.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(more, "vec_id", "embedding", dir, nBits = 4,
+      mode = "append")
+    assert(spark.read.parquet(dir).count() == 31)
+  }
+
   test("cosinePairsAbove finds exactly the within-cluster pairs") {
     val got = Similarity.cosinePairsAbove(clustered, "vec_id", "embedding",
       threshold = 0.9)
