@@ -33,6 +33,36 @@ object Dedup {
       .select(col("__rep.*"), col("dup_count"))
   }
 
+  /** Incremental exact dedup against a persistent fingerprint store:
+    * a batch keeps only rows whose `key` is NEITHER in the store NOR
+    * duplicated within the batch (first-by-id wins), then the novel
+    * keys are appended to the store. The streaming form of
+    * [[exactDedup]] — inside `foreachBatch` this dedups a continuous
+    * document feed against ALL history while touching only the
+    * fingerprint column of it: the store holds (key, id), never
+    * payloads, so the anti-join's build side stays orders of magnitude
+    * smaller than the corpus. At warehouse scale the store would be
+    * bucketed by key to co-locate the anti-join; idempotent re-runs of
+    * a failed batch are safe (re-appended keys dedup on read via the
+    * min-id rule).
+    */
+  def incrementalDedup(batch: DataFrame, key: Column, idCol: String,
+      storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val inBatch = exactDedup(batch, key, idCol).drop("dup_count")
+      .withColumn("__key", key)
+    val novel =
+      if (!new java.io.File(storeDir).exists()) inBatch
+      else inBatch.join(spark.read.parquet(storeDir).select(col("__key")),
+        Seq("__key"), "left_anti")
+    // materialize the survivors BEFORE appending their keys, so the
+    // returned frame cannot be re-planned against the grown store
+    val out = novel.localCheckpoint(true)
+    out.select(col("__key"), col(idCol).cast("long").as("__id"))
+      .write.mode("append").parquet(storeDir)
+    out.drop("__key")
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH
 

@@ -464,6 +464,54 @@ object PipelineQueries {
       FROM m GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------------
+  // Incremental dedup against a persistent fingerprint store — the
+  // streaming form of exact dedup: an initial corpus slice (every 3rd
+  // doc) seeds the store, then the full feed arrives and only
+  // fingerprints never seen before survive. The store holds (key, id)
+  // only, so history's cost in the anti-join is fingerprints, not
+  // payloads. The oracle replays both rounds declaratively.
+  val q46IncrementalDedup = QueryDef(
+    "q46_incremental_dedup",
+    (s, dir) => {
+      val store = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_fp_store")
+      if (store.exists()) {
+        java.nio.file.Files.walk(store.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => p.toFile.delete())
+      }
+      val docs = Graft.table(s, dir, "documents")
+      val fp = text.fingerprint(col("text"))
+      Dedup.incrementalDedup(docs.filter(col("doc_id") % 3 === 0), fp,
+        "doc_id", store.toString)
+      Dedup.incrementalDedup(docs, fp, "doc_id", store.toString)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_novel"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id, lang,
+               list_reduce(list_prepend(0::BIGINT,
+                 [unicode((regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))[i])::BIGINT
+                  for i in range(1, length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) + 1)]),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fpk
+        FROM documents
+      ), seeded AS (
+        SELECT DISTINCT fpk FROM fp WHERE doc_id % 3 = 0
+      ), reps AS (
+        SELECT fpk, min(doc_id) AS rep FROM fp GROUP BY fpk
+      ), novel AS (
+        SELECT f.lang, f.doc_id
+        FROM reps r JOIN fp f ON f.doc_id = r.rep
+        WHERE NOT EXISTS (SELECT 1 FROM seeded s WHERE s.fpk = r.fpk)
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n_novel,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM novel GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
   // End-to-end training-data prep: the operators composed the way a real
   // pipeline uses them — exact dedup on the content fingerprint, then a
   // quality + language gate, then per-source token accounting. One map
@@ -542,5 +590,6 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q25AnnTopk, q26CosinePairs, q27AnnLshTopk, q45AnnIndexTopk,
-    q37AnnIvfTopk, q32MultimodalFeatures, q38PipelineE2e)
+    q37AnnIvfTopk, q32MultimodalFeatures, q38PipelineE2e,
+    q46IncrementalDedup)
 }

@@ -76,4 +76,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("incrementalDedup: store-backed novelty across batches") {
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_inc_store").toString + "/fp"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "t")
+    val fp = text.fingerprint(col("t"))
+    // batch 1: two distinct texts, one in-batch dup (min id wins)
+    val b1 = Dedup.incrementalDedup(
+      batch((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text")),
+      fp, "id", store)
+      .select($"id").as[Long].collect().toSet
+    assert(b1 == Set(1L, 2L))
+    // batch 2: one seen text (dropped), one novel
+    val b2 = Dedup.incrementalDedup(
+      batch((10L, "beta text"), (11L, "gamma text")),
+      fp, "id", store)
+      .select($"id").as[Long].collect().toSet
+    assert(b2 == Set(11L))
+    // batch 3: everything already known → empty
+    val b3 = Dedup.incrementalDedup(
+      batch((20L, "alpha text"), (21L, "gamma text")), fp, "id", store)
+    assert(b3.count() == 0L)
+  }
 }
