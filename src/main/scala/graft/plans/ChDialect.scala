@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, ArrayTransform, Expression, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
 
@@ -69,5 +69,23 @@ object ChDialect {
     "sumArray" -> sumArray,
     // CH argument order: lambda FIRST — arrayMap(x -> e, arr)
     "arrayMap" -> (args => ArrayTransform(args(1), args(0))),
+    "arrayFilter" -> (args => ArrayFilter(args(1), args(0))),
+    "arrayExists" -> (args => ArrayExists(args(1), args(0))),
+    // CH `has(arr, v)` returns UInt8 (1/0)
+    "has" -> (args =>
+      ex(array_contains(col(args.head), col(args(1))).cast("long"))),
+    // conditional aggregates — the countIf/sumIf/avgIf family
+    "countIf" -> (args =>
+      ex(sum(when(col(args.head), 1L).otherwise(0L)))),
+    "sumIf" -> (args =>
+      ex(sum(when(col(args(1)), col(args.head))))),
+    "avgIf" -> (args =>
+      ex(avg(when(col(args(1)), col(args.head))))),
+    // date helpers
+    "toStartOfMonth" -> (args =>
+      ex(date_trunc("month", col(args.head)).cast("date"))),
+    "toYYYYMM" -> (args =>
+      ex(date_format(col(args.head), "yyyyMM").cast("long"))),
+    "toDate" -> (args => ex(col(args.head).cast("date"))),
   )
 }

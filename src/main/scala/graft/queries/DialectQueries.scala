@@ -179,7 +179,34 @@ object DialectQueries {
     },
     MetricaQueries.q28MetricaQ1.oracle)
 
+  // ---------------------------------------------------------------------
+  // The countIf/sumIf/avgIf conditional-aggregate family + the month
+  // helpers — the most common CH idioms beyond the reference's own two
+  // queries, exercised over the events stream.
+  val q47ChConditionalAggs = QueryDef(
+    "q47_ch_conditional_aggs",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT toStartOfMonth(CAST(ts AS DATE)) AS mo,
+               toYYYYMM(CAST(ts AS DATE)) AS yyyymm,
+               countIf(event_type = 'purchase') AS purchases,
+               round(sumIf(value, event_type = 'purchase'), 2) AS purchase_value,
+               round(avgIf(value, event_type = 'view'), 4) AS avg_view_value
+        FROM events_all_v
+        GROUP BY toStartOfMonth(CAST(ts AS DATE)), toYYYYMM(CAST(ts AS DATE))
+        ORDER BY mo""")
+    },
+    Some("""
+      SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS mo,
+             CAST(strftime(CAST(ts AS DATE), '%Y%m') AS BIGINT) AS yyyymm,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_value,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS avg_view_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
-      q43MetricaQ1DialectSql, q44MetricaQ1Totals)
+      q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs)
 }

@@ -88,6 +88,34 @@ class ChDialectSpec extends SparkSpec {
     assert(tot.count() == 3) // 2 groups + totals row
   }
 
+  test("conditional aggregates, array predicates, date helpers") {
+    spark.range(0, 10).selectExpr("id % 2 AS k", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("cif_t")
+    val r = spark.sql("""
+      SELECT countIf(k = 0) AS c0,
+             sumIf(v, k = 0) AS s0,
+             avgIf(v, k = 1) AS a1
+      FROM cif_t""").collect().head
+    assert(r.getLong(0) == 5L)     // ids 0,2,4,6,8
+    assert(r.getDouble(1) == 20.0) // 0+2+4+6+8
+    assert(r.getDouble(2) == 5.0)  // (1+3+5+7+9)/5
+    val r2 = spark.sql("""
+      SELECT has(array(1, 2, 3), 2) AS h1,
+             has(array(1, 2, 3), 9) AS h0,
+             arrayFilter(x -> x > 1, array(1, 2, 3)) AS f,
+             arrayExists(x -> x = 3, array(1, 2, 3)) AS e,
+             toStartOfMonth(DATE '2024-03-17') AS som,
+             toYYYYMM(DATE '2024-03-17') AS ym,
+             toDate('2024-03-17') AS d
+    """).collect().head
+    assert(r2.getLong(0) == 1L && r2.getLong(1) == 0L)
+    assert(r2.getSeq[Int](2) == Seq(2, 3))
+    assert(r2.getBoolean(3))
+    assert(r2.getDate(4).toString == "2024-03-01")
+    assert(r2.getLong(5) == 202403L)
+    assert(r2.getDate(6).toString == "2024-03-17")
+  }
+
   test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {
     Seq((1, Seq(1L, 2L)), (1, Seq(3L)), (2, Seq(10L)))
       .toDF("k", "arr").createOrReplaceTempView("dialect_t")
