@@ -523,18 +523,25 @@ object PipelineQueries {
     "q38_pipeline_e2e",
     (s, dir) => {
       val docs = Graft.table(s, dir, "documents")
-      val deduped = Dedup.exactDedup(docs, text.fingerprint(col("text")),
-        "doc_id")
       val toks = text.tokenize(col("text"))
-      deduped
-        .withColumn("lang_guess", text.langId(toks))
-        .withColumn("quality", text.qualityScore(col("text")))
+      // metrics BEFORE dedup: the min_by shuffle then carries ~40-byte
+      // metric structs instead of kilobyte text payloads — the
+      // representative's metrics are identical either way (they are a
+      // pure function of its own text), and at 100 TB the shuffle
+      // volume is the whole cost of this stage
+      val slim = docs.select(
+        col("doc_id"), col("source"),
+        text.fingerprint(col("text")).as("__fp"),
+        text.langId(toks).as("lang_guess"),
+        text.qualityScore(col("text")).as("quality"),
+        text.tokenCountWs(col("text")).as("n_tok"))
+      Dedup.exactDedup(slim, col("__fp"), "doc_id")
         .filter(col("lang_guess") === "en" && col("quality") >= 0.35)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("dup_count")).cast("long").as("n_docs_raw"),
-          sum(text.tokenCountWs(col("text"))).cast("long").as("tokens_total"),
+          sum(col("n_tok")).cast("long").as("tokens_total"),
           round(avg(col("quality")), 6).as("avg_quality"))
         .orderBy(col("source"))
     },
