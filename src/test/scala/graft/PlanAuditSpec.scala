@@ -1,0 +1,37 @@
+package graft
+
+/** Physical-plan regression guards: the plan properties that make the
+  * headline queries scale are asserted, not just observed — a change
+  * that silently loses a broadcast, gains a cartesian product, or
+  * drops partition pruning fails the build.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q06: the SCD2 dim is broadcast, the fact is never shuffled for it") {
+    assert(plan("q06_scd2_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q07: star join plans without cartesian or nested-loop fallbacks") {
+    val p = plan("q07_star_join_agg")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q35: the federated JDBC dim is broadcast") {
+    assert(plan("q35_jdbc_federated").contains("BroadcastHashJoin"))
+  }
+
+  test("q39: the salted join takes the shuffled-hash shape it exists for") {
+    assert(plan("q39_salted_join").contains("ShuffledHashJoin"))
+  }
+
+  test("q45: the ANN index scan is dynamically partition-pruned") {
+    assert(plan("q45_ann_index_topk").contains("dynamicpruning"))
+  }
+}
