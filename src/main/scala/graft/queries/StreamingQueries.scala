@@ -51,5 +51,37 @@ object StreamingQueries {
              max(CAST(ts AS DATE)) AS last_day
       FROM events GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q31StreamIngest)
+  // ---------------------------------------------------------------------
+  // ST6: the stream as a QUERY source — a streaming aggregation
+  // (stateful operator, complete output mode) over the staged file
+  // stream, drained with AvailableNow into a memory sink, then the
+  // final state is hash-checked against the batch oracle. Proves the
+  // streaming and batch engines agree on the same aggregation.
+  val q48StreamSourceAgg = QueryDef(
+    "q48_stream_source_agg",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q48"
+      val srcDir = s"$base/src"
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val q = s.readStream.schema(raw.schema).parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .writeStream.format("memory").queryName("graft_q48_state")
+        .outputMode("complete")
+        // no explicit checkpoint: a kept checkpoint would make reruns
+        // see "no new files" and leave the memory table empty; the
+        // ephemeral default gives every run a full deterministic drain
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q48_state").orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             round(sum(value), 2) AS value_sum
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q31StreamIngest, q48StreamSourceAgg)
 }
