@@ -8,11 +8,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** ClickHouse SQL-clause surface Spark's grammar lacks (README.md:83,86):
   *
-  *  - `GROUP BY <expr> WITH TOTALS` → `GROUP BY ROLLUP(<expr>)`. For
-  *    one key the same lattice: the groups plus one grand-total row
-  *    with a NULL key, HAVING applying to the totals row as CH
-  *    defaults to. Multi-key TOTALS re-throws the original error
-  *    rather than silently producing CH-divergent subtotal rows.
+  *  - `GROUP BY <keys> WITH TOTALS` → `GROUP BY GROUPING SETS
+  *    ((<keys>), ())` — exactly CH's lattice for ANY key count: the
+  *    groups plus ONE grand-total row with NULL keys (never ROLLUP's
+  *    intermediate subtotals), HAVING applying to the totals row as CH
+  *    defaults to.
   *  - `LIMIT offset, n` (the CH/MySQL form) → `LIMIT n OFFSET offset`.
   *
   * Both rewrites sit BEHIND the delegate parser's failure: Spark's
@@ -60,19 +60,9 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       case None => Some(masked)
       case Some(m) =>
         val keys = m.group(2).trim
-        // single key only: a top-level comma means multi-key TOTALS,
-        // whose CH semantics (grand total only) ROLLUP does not match
-        var depth = 0
-        val topLevelComma = keys.exists {
-          case '(' | '[' => depth += 1; false
-          case ')' | ']' => depth -= 1; false
-          case ',' if depth == 0 => true
-          case _ => false
-        }
-        if (topLevelComma) None
-        else Some(totals.replaceFirstIn(masked,
+        Some(totals.replaceFirstIn(masked,
           java.util.regex.Matcher.quoteReplacement(
-            s"${m.group(1)}ROLLUP($keys)")))
+            s"${m.group(1)}GROUPING SETS (($keys), ())")))
     }
     val rewritten = afterTotals.map(t =>
       limitOffset.replaceAllIn(t,

@@ -58,10 +58,14 @@ class ChDialectSpec extends SparkSpec {
     // a string literal containing the phrase parses as plain Spark SQL
     assert(spark.sql("SELECT 'GROUP BY x WITH TOTALS' AS s")
       .as[String].head() == "GROUP BY x WITH TOTALS")
-    // multi-key TOTALS: CH grand-total-only semantics != ROLLUP lattice
-    intercept[Exception] {
-      spark.sql("SELECT k, v, count(1) FROM totals_t GROUP BY k, v WITH TOTALS")
-    }
+    // multi-key TOTALS: CH's lattice is groups + ONE grand total —
+    // GROUPING SETS ((k, v), ()), never ROLLUP's subtotal levels
+    val mk = spark.sql(
+      "SELECT k, v, sum(v) AS s FROM totals_t GROUP BY k, v WITH TOTALS")
+      .collect()
+    assert(mk.length == 11) // 10 (k, v) groups + 1 grand total
+    val totalRow = mk.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(totalRow.length == 1 && totalRow.head.getLong(2) == 45L)
   }
 
   test("LIMIT offset,n (CH/MySQL form) = LIMIT n OFFSET offset") {
