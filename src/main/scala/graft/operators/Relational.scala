@@ -9,21 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** ClickHouse `GROUP BY k WITH TOTALS` (README.md:83): the grouped rows
-    * plus ONE grand-total row (group keys null). Implemented with `rollup`
-    * + `grouping_id` so Spark computes groups and totals in a single
-    * aggregation pass (partial aggregation still applies; no second scan).
-    * Multi-key rollups' intermediate subtotal levels are filtered out —
-    * CH TOTALS has only the grand total.
+  /** ClickHouse `GROUP BY keys WITH TOTALS` (README.md:83): the grouped
+    * rows plus ONE grand-total row (group keys null). Implemented with
+    * `groupingSets((keys), ())` — exactly CH's lattice, one aggregation
+    * pass with partial aggregation. (A `rollup` would also compute every
+    * intermediate subtotal level for multi-key calls only to discard
+    * them — at scale that is Expand output proportional to the key
+    * count for nothing.)
     */
   def withTotals(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
     require(keys.nonEmpty)
     val keyCols = keys.map(col)
-    val gid = (1L << keys.size) - 1 // all keys rolled up = grand total
-    df.rollup(keyCols: _*)
-      .agg(grouping_id().as("__gid"), aggs: _*)
-      .filter(col("__gid") === 0 || col("__gid") === gid)
-      .drop("__gid")
+    df.groupingSets(Seq(keyCols, Seq.empty), keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** ClickHouse/MySQL `LIMIT offset, n` (README.md:86,119). */
