@@ -58,4 +58,26 @@ object CollapsingProps extends Properties("collapsing") {
       (signSum == expectedLive) :| s"sum(Sign)=$signSum live=$expectedLive" &&
         (latest == expectedLatest) :| s"latest=$latest expected=$expectedLatest"
     }
+
+  /** withTotals invariant: for ANY grouped data, the extra row is
+    * exactly one, has null keys, and carries the sum of all group rows
+    * — the CH `WITH TOTALS` contract (README.md:83).
+    */
+  property("withTotals adds exactly the grand total") =
+    Prop.forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 3), Gen.choose(-50, 50)))) { kvs =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = kvs.toDF("k", "v")
+      val out = Relational.withTotals(df, Seq("k"),
+        Seq(sum($"v").cast("long").as("s"))).collect()
+      val groups = out.filter(!_.isNullAt(0))
+      val totals = out.filter(_.isNullAt(0))
+      val expectedGroups = kvs.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).sum).toMap
+      (totals.length == 1) :| "exactly one totals row" &&
+        (totals.head.getLong(1) == kvs.map(_._2.toLong).sum) :| "grand total" &&
+        (groups.map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+          expectedGroups) :| "group rows"
+    }
 }
