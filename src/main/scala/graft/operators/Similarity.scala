@@ -153,6 +153,37 @@ object Similarity {
     array((bucket +: (0 until nBits).map(b =>
       bucket.bitwiseXOR(lit(1L << b)))): _*)
 
+  /** Embedding near-dup at scale: all pairs above a cosine threshold
+    * whose buckets are equal or 1 bit apart — candidates come from a
+    * bucket equi-join (each vector probes its own bucket plus the
+    * Hamming-1 flips), NEVER an all-pairs product; exact cosine inside
+    * the candidate set. The deterministic hyperplanes make the
+    * candidate structure itself oracle-replicable (q49); for the
+    * target regime (near-dup cosine ≥ ~0.9) same-or-adjacent-bucket
+    * probability is high — SimilaritySpec asserts recall 1 vs
+    * [[cosinePairsAbove]] on planted clusters.
+    */
+  def cosinePairsAboveLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 4): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__vn"),
+      annBucket(col(vecCol), nBits).as("__bucket"))
+    val buckets = element_at(
+      transform(array(annBucket(col(vecCol), nBits)),
+        b => probeBuckets(b, nBits)), 1)
+    val probing = vecs.select(col(idCol).as("id_p"),
+      col(vecCol).as("__vp"), norm(col(vecCol)).as("__vpn"),
+      explode(buckets).as("__bucket"))
+    v.join(probing, "__bucket")
+      .filter(col("id") < col("id_p"))
+      .select(col("id").as("id_a"), col("id_p").as("id_b"),
+        when(col("__vn") > 0 && col("__vpn") > 0,
+          dot(col("__v"), col("__vp")) / (col("__vn") * col("__vpn")))
+          .otherwise(lit(0.0)).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct() // a pair can meet in two buckets (a's and b's)
+  }
+
   // -------------------------------------------------------------------
   // IVF (inverted-file) ANN
 

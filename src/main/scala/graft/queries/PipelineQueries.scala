@@ -325,6 +325,48 @@ object PipelineQueries {
       FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
 
   // ---------------------------------------------------------------------
+  // Embedding near-dup AT SCALE (the bucket-join form of q26): pairs
+  // meet only through a bucket equi-join (own bucket + Hamming-1
+  // flips), never an all-pairs product. The oracle embeds the same
+  // hyperplane sign matrix as q27 and reproduces the candidate
+  // structure exactly — pair admitted iff buckets equal or 1 bit
+  // apart — so the probabilistic stage is itself verified, not assumed.
+  val q49CosinePairsLsh = QueryDef(
+    "q49_cosine_pairs_lsh",
+    (s, dir) =>
+      Similarity.cosinePairsAboveLsh(Graft.table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.46, nBits = 4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 3).as("sim"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH planes(h, signs) AS (VALUES
+        ${hyperplaneSignsSql(nBits = 4, dim = 64)}),
+      v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), b AS (
+        SELECT v.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(v.e, p.signs) >= 0 THEN 1 ELSE 0 END
+                        * (CASE p.h WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+                    AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id
+      )
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(CASE WHEN va.n > 0 AND vc.n > 0
+                        THEN list_dot_product(va.e, vc.e) / (va.n * vc.n)
+                        ELSE 0.0 END, 3) AS sim
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND (a.bucket = c.bucket OR xor(a.bucket, c.bucket) IN (1, 2, 4, 8))
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vc ON vc.vec_id = c.vec_id
+      WHERE CASE WHEN va.n > 0 AND vc.n > 0
+                 THEN list_dot_product(va.e, vc.e) / (va.n * vc.n)
+                 ELSE 0.0 END >= 0.46
+      ORDER BY id_a, id_b"""))
+
+  // ---------------------------------------------------------------------
   // The LSH ANN served from a MATERIALIZED index: the corpus is written
   // once partitionBy(bucket) with precomputed norms, probes then read
   // only their multiprobe bucket partitions (partition pruning at the
@@ -596,7 +638,7 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
-    q25AnnTopk, q26CosinePairs, q27AnnLshTopk, q45AnnIndexTopk,
-    q37AnnIvfTopk, q32MultimodalFeatures, q38PipelineE2e,
+    q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
+    q45AnnIndexTopk, q37AnnIvfTopk, q32MultimodalFeatures, q38PipelineE2e,
     q46IncrementalDedup)
 }

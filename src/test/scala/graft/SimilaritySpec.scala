@@ -153,6 +153,16 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 31)
   }
 
+  test("cosinePairsAboveLsh (bucket join) achieves recall 1 on clusters") {
+    val exact = Similarity.cosinePairsAbove(clustered, "vec_id",
+      "embedding", threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsAboveLsh(clustered, "vec_id",
+      "embedding", threshold = 0.9, nBits = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
   test("cosinePairsAbove finds exactly the within-cluster pairs") {
     val got = Similarity.cosinePairsAbove(clustered, "vec_id", "embedding",
       threshold = 0.9)
