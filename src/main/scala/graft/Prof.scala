@@ -32,23 +32,10 @@ object Prof {
     time("full_q22_again")(noop(
       graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)))
 
-    // q38 staging experiment: current form vs bindOnce-staged toks/norm
-    def q38(df: org.apache.spark.sql.DataFrame) = {
-      val deduped = graft.operators.Dedup.exactDedup(df,
-        text.fingerprint(col("text")), "doc_id")
-      val toks = text.tokenize(col("text"))
-      deduped
-        .withColumn("lang_guess", text.langId(toks))
-        .withColumn("quality", text.qualityScore(col("text")))
-        .filter(col("lang_guess") === "en" && col("quality") >= 0.35)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("dup_count")).cast("long").as("n_docs_raw"),
-          sum(text.tokenCountWs(col("text"))).cast("long").as("tokens_total"),
-          round(avg(col("quality")), 6).as("avg_quality"))
-    }
-    time("q38_current")(noop(q38(docs)))
-    time("q38_current_again")(noop(q38(docs)))
+    // the registered q38 (cold + steady state)
+    def q38() = SparkEntry.queries("q38_pipeline_e2e")(spark, dir)
+    time("q38")(noop(q38()))
+    time("q38_again")(noop(q38()))
     spark.stop()
   }
 }

@@ -24,7 +24,7 @@ object Dedup {
     * per (mapper, key).
     */
   def exactDedup(df: DataFrame, key: Column, idCol: String): DataFrame = {
-    val payload = df.columns
+    val payload = df.columns.toIndexedSeq
     df.withColumn("__key", key)
       .groupBy(col("__key"))
       .agg(

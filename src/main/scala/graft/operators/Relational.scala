@@ -99,7 +99,7 @@ object Relational {
     */
   def latestByKey(df: DataFrame, keyCols: Seq[String],
       ordCols: Seq[String]): DataFrame = {
-    val payload = df.columns.filterNot(keyCols.contains)
+    val payload = df.columns.toIndexedSeq.filterNot(keyCols.contains)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*),
         struct(ordCols.map(col): _*)).as("__latest"))

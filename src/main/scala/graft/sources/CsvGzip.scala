@@ -15,7 +15,7 @@ object CsvGzip {
     * so every append is a new set of files — the
     * `s3_create_new_file_on_insert=1` behavior is the default here.
     */
-  def export(df: DataFrame, path: String,
+  def exportCsv(df: DataFrame, path: String,
       mode: String = "append"): Unit =
     df.write.mode(mode)
       .option("header", "true")
@@ -47,7 +47,7 @@ object CsvGzip {
   def exportDaySlicedLooped(df: DataFrame, dateCol: Column, days: Seq[String],
       path: String): Unit =
     days.foreach { d =>
-      export(df.filter(dateCol === to_date(lit(d))), path)
+      exportCsv(df.filter(dateCol === to_date(lit(d))), path)
     }
 
   /** Schema-on-read import over a glob path (README.md:234-254).
