@@ -123,6 +123,32 @@ object SourceQueries {
       ORDER BY kind"""))
 
   // ---------------------------------------------------------------------
+  // Left-outer join (SURVEY.md §2.3 "ship them anyway"): preserved-side
+  // rows survive with nulls, counted both ways.
+  val q50LeftOuter = QueryDef(
+    "q50_left_outer",
+    (s, dir) => {
+      val c = Graft.table(s, dir, "customer")
+      val o = Graft.table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_matched"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("n_unmatched"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+             CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(count(o_orderkey) AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
   // P2: plain `SELECT *` (README.md:145,265) — full projection, every
   // column, no pruning; the ORDER BY pins row identity for the compare.
   val q33SelectStar = QueryDef(
@@ -216,5 +242,5 @@ object SourceQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
-      q33SelectStar, q34Scd2CsvDim, q35JdbcFederated)
+      q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated)
 }
