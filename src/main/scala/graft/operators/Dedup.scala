@@ -51,10 +51,16 @@ object Dedup {
     val spark = batch.sparkSession
     val inBatch = exactDedup(batch, key, idCol).drop("dup_count")
       .withColumn("__key", key)
-    val novel =
-      if (!new java.io.File(storeDir).exists()) inBatch
-      else inBatch.join(spark.read.parquet(storeDir).select(col("__key")),
-        Seq("__key"), "left_anti")
+    // store detection by attempting the read (not java.io.File, which
+    // only sees the local filesystem — the store may be object storage)
+    val store =
+      try Some(spark.read.parquet(storeDir).select(col("__key")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val novel = store.fold(inBatch) { st =>
+      // null-safe equality: a NULL key (e.g. fingerprint of NULL text)
+      // must match its stored NULL, or the row re-emits every batch
+      inBatch.join(st, inBatch("__key") <=> st("__key"), "left_anti")
+    }
     // materialize the survivors BEFORE appending their keys, so the
     // returned frame cannot be re-planned against the grown store
     val out = novel.localCheckpoint(true)

@@ -18,7 +18,8 @@ object Relational {
     * count for nothing.)
     */
   def withTotals(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
-    require(keys.nonEmpty)
+    require(keys.nonEmpty, "withTotals needs at least one group key")
+    require(aggs.nonEmpty, "withTotals needs at least one aggregate")
     val keyCols = keys.map(col)
     df.groupingSets(Seq(keyCols, Seq.empty), keyCols: _*)
       .agg(aggs.head, aggs.tail: _*)

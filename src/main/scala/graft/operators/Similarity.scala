@@ -39,11 +39,16 @@ object Similarity {
   def norm(a: Column): Column = sqrt(graft.plans.NativeMath.dot64(a, a))
 
   /** Cosine similarity; 0 when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val na = norm(a)
-    val nb = norm(b)
-    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
-  }
+  def cosine(a: Column, b: Column): Column =
+    guardedSim(a, b, norm(a), norm(b))
+
+  /** The shared scoring expression: cosine from PRE-computed norms,
+    * zero-guarded. Every similarity operator scores through this one
+    * definition so tie-break/guard changes cannot diverge between the
+    * inline, indexed and pair variants.
+    */
+  private def guardedSim(v: Column, p: Column, vn: Column, pn: Column): Column =
+    when(vn > 0 && pn > 0, dot(v, p) / (vn * pn)).otherwise(lit(0.0))
 
   /** Exact top-k neighbors per probe: broadcast the (small) probe set
     * against the corpus, compute cosine once per (vector, probe) with
@@ -67,10 +72,8 @@ object Similarity {
       norm(col(vecCol)).as("__pn"))
     val scored = v.crossJoin(broadcast(p))
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("sim",
-        when(col("__vn") > 0 && col("__pn") > 0,
-          dot(col("__v"), col("__p")) / (col("__vn") * col("__pn")))
-          .otherwise(lit(0.0)))
+      .withColumn("sim", guardedSim(col("__v"), col("__p"),
+        col("__vn"), col("__pn")))
       .select(col("probe_id"), col("id"), col("sim"))
     topKPerKey(scored, "probe_id", k)
   }
@@ -111,10 +114,8 @@ object Similarity {
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       norm(col(vecCol)).as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim",
-        when(col("__na") > 0 && col("__nb") > 0,
-          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-          .otherwise(lit(0.0)))
+      .withColumn("sim", guardedSim(col("__va"), col("__vb"),
+        col("__na"), col("__nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -177,11 +178,12 @@ object Similarity {
     v.join(probing, "__bucket")
       .filter(col("id") < col("id_p"))
       .select(col("id").as("id_a"), col("id_p").as("id_b"),
-        when(col("__vn") > 0 && col("__vpn") > 0,
-          dot(col("__v"), col("__vp")) / (col("__vn") * col("__vpn")))
-          .otherwise(lit(0.0)).as("sim"))
+        guardedSim(col("__v"), col("__vp"), col("__vn"), col("__vpn"))
+          .as("sim"))
       .filter(col("sim") >= threshold)
-      .distinct() // a pair can meet in two buckets (a's and b's)
+    // no dedup needed: only the id < id_p orientation survives, the
+    // probing side's 5 bucket values are distinct, and the other side
+    // sits in exactly one bucket — each pair matches at most once
   }
 
   // -------------------------------------------------------------------
@@ -292,10 +294,8 @@ object Similarity {
       explode(probeCells(col(vecCol), cents, nprobe)).as("__cell"))
     val scored = v.join(p0, "__cell")
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("sim",
-        when(col("__vn") > 0 && col("__pn") > 0,
-          dot(col("__v"), col("__p")) / (col("__vn") * col("__pn")))
-          .otherwise(lit(0.0)))
+      .withColumn("sim", guardedSim(col("__v"), col("__p"),
+        col("__vn"), col("__pn")))
       .select(col("probe_id"), col("id"), col("sim"))
     topKPerKey(scored, "probe_id", k)
   }
@@ -360,10 +360,8 @@ object Similarity {
       explode(buckets).as("__bucket"))
     val scored = v.join(broadcast(p), "__bucket")
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("sim",
-        when(col("__vn") > 0 && col("__pn") > 0,
-          dot(col("__v"), col("__p")) / (col("__vn") * col("__pn")))
-          .otherwise(lit(0.0)))
+      .withColumn("sim", guardedSim(col("__v"), col("__p"),
+        col("__vn"), col("__pn")))
       .select(col("probe_id"), col("id"), col("sim"))
     topKPerKey(scored, "probe_id", k)
   }
@@ -389,10 +387,8 @@ object Similarity {
       explode(buckets).as("__bucket"))
     val scored = v.join(p, "__bucket")
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("sim",
-        when(col("__vn") > 0 && col("__pn") > 0,
-          dot(col("__v"), col("__p")) / (col("__vn") * col("__pn")))
-          .otherwise(lit(0.0)))
+      .withColumn("sim", guardedSim(col("__v"), col("__p"),
+        col("__vn"), col("__pn")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))

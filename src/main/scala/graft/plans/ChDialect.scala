@@ -71,16 +71,21 @@ object ChDialect {
     "arrayMap" -> (args => ArrayTransform(args(1), args(0))),
     "arrayFilter" -> (args => ArrayFilter(args(1), args(0))),
     "arrayExists" -> (args => ArrayExists(args(1), args(0))),
-    // CH `has(arr, v)` returns UInt8 (1/0)
+    // CH `has(arr, v)` returns UInt8 (1/0) — 0 for a NULL needle, the
+    // same null convention as indexOf
     "has" -> (args =>
-      ex(array_contains(col(args.head), col(args(1))).cast("long"))),
-    // conditional aggregates — the countIf/sumIf/avgIf family
+      ex(coalesce(array_contains(col(args.head), col(args(1)))
+        .cast("long"), lit(0L)))),
+    // conditional aggregates — the countIf/sumIf family returns 0 (not
+    // NULL) over an empty/no-match set, as CH does; avgIf of an empty
+    // set is CH's nan
     "countIf" -> (args =>
-      ex(sum(when(col(args.head), 1L).otherwise(0L)))),
+      ex(coalesce(sum(when(col(args.head), 1L).otherwise(0L)), lit(0L)))),
     "sumIf" -> (args =>
-      ex(sum(when(col(args(1)), col(args.head))))),
+      ex(coalesce(sum(when(col(args(1)), col(args.head))), lit(0)))),
     "avgIf" -> (args =>
-      ex(avg(when(col(args(1)), col(args.head))))),
+      ex(coalesce(avg(when(col(args(1)), col(args.head))),
+        lit(Double.NaN)))),
     // date helpers
     "toStartOfMonth" -> (args =>
       ex(date_trunc("month", col(args.head)).cast("date"))),

@@ -380,7 +380,8 @@ object PipelineQueries {
     (s, dir) => {
       val vecs = Graft.table(s, dir, "embeddings")
       val probes = vecs.filter(col("vec_id") < 5)
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_ann_index"
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_" +
+        new java.io.File(dir).getName
       Similarity.writeAnnIndex(vecs, "vec_id", "embedding", idxDir,
         nBits = 4)
       Similarity.annTopKFromIndex(s, idxDir, probes, "vec_id", "embedding",
@@ -515,18 +516,16 @@ object PipelineQueries {
   val q46IncrementalDedup = QueryDef(
     "q46_incremental_dedup",
     (s, dir) => {
-      val store = new java.io.File(
-        s"${sys.props("java.io.tmpdir")}/graft_fp_store")
-      if (store.exists()) {
-        java.nio.file.Files.walk(store.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => p.toFile.delete())
-      }
+      // per-SF path: concurrent runs at different scale factors must
+      // not share fixture state
+      val store = s"${sys.props("java.io.tmpdir")}/graft_fp_store_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(store)
       val docs = Graft.table(s, dir, "documents")
       val fp = text.fingerprint(col("text"))
       Dedup.incrementalDedup(docs.filter(col("doc_id") % 3 === 0), fp,
-        "doc_id", store.toString)
-      Dedup.incrementalDedup(docs, fp, "doc_id", store.toString)
+        "doc_id", store)
+      Dedup.incrementalDedup(docs, fp, "doc_id", store)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_novel"),
           sum(col("doc_id")).cast("long").as("id_sum"))

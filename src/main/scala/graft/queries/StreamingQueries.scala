@@ -60,7 +60,8 @@ object StreamingQueries {
   val q48StreamSourceAgg = QueryDef(
     "q48_stream_source_agg",
     (s, dir) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q48"
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q48_" +
+        new java.io.File(dir).getName
       val srcDir = s"$base/src"
       val raw = s.read.parquet(s"$dir/events.parquet")
       raw.repartition(3).write.mode("overwrite").parquet(srcDir)

@@ -54,21 +54,14 @@ object Ingest {
     * clear the table (and DROP also the checkpoint — a from-scratch
     * transfer); DISABLED keeps everything (re-activation appends).
     */
-  def applyCleanupPolicy(sink: Sink, checkpointDir: String): Unit = {
-    def rm(p: String): Unit = {
-      val f = new java.io.File(p)
-      if (f.exists()) {
-        java.nio.file.Files.walk(f.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(x => x.toFile.delete())
-      }
-    }
+  def applyCleanupPolicy(sink: Sink, checkpointDir: String): Unit =
     sink.cleanupPolicy match {
-      case "DROP" => rm(tableDir(sink)); rm(checkpointDir)
-      case "TRUNCATE" => rm(tableDir(sink))
+      case "DROP" =>
+        graft.FsUtil.rmTree(tableDir(sink))
+        graft.FsUtil.rmTree(checkpointDir)
+      case "TRUNCATE" => graft.FsUtil.rmTree(tableDir(sink))
       case _ => ()
     }
-  }
 
   /** Activate the transfer: stream `srcDir` → warehouse table.
     *

@@ -16,12 +16,7 @@ class BucketingSpec extends SparkSpec {
     // left table dirs behind, so clear before and after
     def drop(): Unit = Seq("graft_bkt_left", "graft_bkt_right").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(s"/tmp/graft_spark_warehouse/$t")
-      if (dir.exists()) {
-        java.nio.file.Files.walk(dir.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => p.toFile.delete())
-      }
+      FsUtil.rmTree(s"/tmp/graft_spark_warehouse/$t")
     }
     drop()
     try {
