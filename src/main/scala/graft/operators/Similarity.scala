@@ -154,6 +154,21 @@ object Similarity {
     array((bucket +: (0 until nBits).map(b =>
       bucket.bitwiseXOR(lit(1L << b)))): _*)
 
+  /** The multiprobe side of a bucket join: (id, vector, norm) exploded
+    * to one row per probed bucket — own bucket + every Hamming-1 flip,
+    * the bucket id bound ONCE per row (the nBits+1 entries would
+    * otherwise each re-inline the hyperplane projections). All three
+    * bucket-join operators build their probing side here.
+    */
+  private def multiprobeSide(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, idOut: String): DataFrame = {
+    val buckets = element_at(
+      transform(array(annBucket(col(vecCol), nBits)),
+        b => probeBuckets(b, nBits)), 1)
+    df.select(col(idCol).as(idOut), col(vecCol).as("__p"),
+      norm(col(vecCol)).as("__pn"), explode(buckets).as("__bucket"))
+  }
+
   /** Embedding near-dup at scale: all pairs above a cosine threshold
     * whose buckets are equal or 1 bit apart — candidates come from a
     * bucket equi-join (each vector probes its own bucket plus the
@@ -169,16 +184,11 @@ object Similarity {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__vn"),
       annBucket(col(vecCol), nBits).as("__bucket"))
-    val buckets = element_at(
-      transform(array(annBucket(col(vecCol), nBits)),
-        b => probeBuckets(b, nBits)), 1)
-    val probing = vecs.select(col(idCol).as("id_p"),
-      col(vecCol).as("__vp"), norm(col(vecCol)).as("__vpn"),
-      explode(buckets).as("__bucket"))
+    val probing = multiprobeSide(vecs, idCol, vecCol, nBits, "id_p")
     v.join(probing, "__bucket")
       .filter(col("id") < col("id_p"))
       .select(col("id").as("id_a"), col("id_p").as("id_b"),
-        guardedSim(col("__v"), col("__vp"), col("__vn"), col("__vpn"))
+        guardedSim(col("__v"), col("__p"), col("__vn"), col("__pn"))
           .as("sim"))
       .filter(col("sim") >= threshold)
     // no dedup needed: only the id < id_p orientation survives, the
@@ -352,12 +362,7 @@ object Similarity {
       probes: DataFrame, idCol: String, vecCol: String, k: Int,
       nBits: Int = 4): DataFrame = {
     val v = spark.read.parquet(dir)
-    val buckets = element_at(
-      transform(array(annBucket(col(vecCol), nBits)),
-        b => probeBuckets(b, nBits)), 1)
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__p"),
-      norm(col(vecCol)).as("__pn"),
-      explode(buckets).as("__bucket"))
+    val p = multiprobeSide(probes, idCol, vecCol, nBits, "probe_id")
     val scored = v.join(broadcast(p), "__bucket")
       .filter(col("id") =!= col("probe_id"))
       .withColumn("sim", guardedSim(col("__v"), col("__p"),
@@ -377,14 +382,7 @@ object Similarity {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__vn"),
       annBucket(col(vecCol), nBits).as("__bucket"))
-    // bind the bucket id once per probe row — the nBits+1 probe-bucket
-    // entries would otherwise each re-inline the hyperplane projections
-    val buckets = element_at(
-      transform(array(annBucket(col(vecCol), nBits)),
-        b => probeBuckets(b, nBits)), 1)
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__p"),
-      norm(col(vecCol)).as("__pn"),
-      explode(buckets).as("__bucket"))
+    val p = multiprobeSide(probes, idCol, vecCol, nBits, "probe_id")
     val scored = v.join(p, "__bucket")
       .filter(col("id") =!= col("probe_id"))
       .withColumn("sim", guardedSim(col("__v"), col("__p"),
