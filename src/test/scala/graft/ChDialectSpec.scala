@@ -118,6 +118,16 @@ class ChDialectSpec extends SparkSpec {
     assert(r2.getDate(4).toString == "2024-03-01")
     assert(r2.getLong(5) == 202403L)
     assert(r2.getDate(6).toString == "2024-03-17")
+    // CH conventions on empty/no-match sets and NULL needles: counts
+    // and sums are 0 (never NULL), avg of nothing is nan, has(NULL)=0
+    val r3 = spark.sql("""
+      SELECT countIf(k = 9) AS c, sumIf(v, k = 9) AS s, avgIf(v, k = 9) AS a,
+             has(array(1, 2), CAST(NULL AS INT)) AS h
+      FROM cif_t""").collect().head
+    assert(r3.getLong(0) == 0L)
+    assert(r3.getDouble(1) == 0.0)
+    assert(r3.getDouble(2).isNaN)
+    assert(r3.getLong(3) == 0L)
   }
 
   test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {
