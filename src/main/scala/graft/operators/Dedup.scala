@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact
@@ -118,15 +118,27 @@ object Dedup {
     * own handling, not C(n,2) pair emission.
     */
   private def pairsWithinBuckets(buckets: DataFrame, idCol: String,
-      maxBucket: Int): DataFrame =
-    buckets.groupBy(col("band"), col("bkey"))
+      maxBucket: Int, obs: Option[Observation]): DataFrame = {
+    val sized = buckets.groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .filter(size(col("ids")) > 1)
+    // observability for the cap: a boilerplate-heavy corpus silently
+    // losing recall through dropped buckets must be visible — the
+    // observation rides the existing aggregation (no extra job) and
+    // reports after the consuming action completes
+    val metered = obs.fold(sized)(o => sized.observe(o,
+      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+        .as("dropped_buckets"),
+      sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))
+        .otherwise(0L)).as("dropped_ids"),
+      coalesce(max(size(col("ids"))), lit(0)).as("widest_bucket")))
+    metered.filter(size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
 
   /** Candidate pairs via band buckets: explode (band, bucket-key) rows,
     * group by bucket, pair up within buckets only, dedup pairs that
@@ -134,7 +146,7 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, obs: Option[Observation] = None): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
     // native kernel (graft.plans.NativeHashes): the Column formulation
@@ -149,7 +161,7 @@ object Dedup {
       .filter(size(col(shinglesCol)) > 0)
       .select(col(idCol), posexplode(keys))
       .toDF(idCol, "band", "bkey")
-    pairsWithinBuckets(buckets, idCol, maxBucket)
+    pairsWithinBuckets(buckets, idCol, maxBucket, obs)
   }
 
   /** Exact Jaccard verification of candidate pairs: join the shingle
@@ -194,12 +206,13 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 10000,
+      obs: Option[Observation] = None): DataFrame = {
     import graft.functions.text
     def shingled(base: DataFrame) = base.select(col(idCol),
       text.ngrams(text.tokenize(col(textCol)), shingleN).as("__sh"))
     val cands = lshCandidatePairs(shingled(df), idCol, "__sh",
-      numHashes, bands)
+      numHashes, bands, maxBucket, obs)
     // no broadcast hint: the candidate id set is usually tiny (AQE will
     // broadcast it), but a boilerplate-heavy corpus can push it past
     // the broadcast ceiling — let the planner decide
@@ -257,7 +270,8 @@ object Dedup {
     * shape as the MinHash path (never all-pairs).
     */
   def simHashCandidatePairs(df: DataFrame, idCol: String, toksCol: String,
-      bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+      bands: Int = 8, maxBucket: Int = 10000,
+      obs: Option[Observation] = None): DataFrame = {
     // native SimHash kernel; bindOnce guards the band slices from
     // re-inlining it 8x (see bindOnce above)
     val keys = bindOnce(graft.plans.NativeHashes.simHash64(col(toksCol)),
@@ -265,6 +279,6 @@ object Dedup {
     val buckets = df
       .select(col(idCol), posexplode(keys))
       .toDF(idCol, "band", "bkey")
-    pairsWithinBuckets(buckets, idCol, maxBucket)
+    pairsWithinBuckets(buckets, idCol, maxBucket, obs)
   }
 }

@@ -387,11 +387,7 @@ object Similarity {
       .filter(col("id") =!= col("probe_id"))
       .withColumn("sim", guardedSim(col("__v"), col("__p"),
         col("__vn"), col("__pn")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("id"), col("sim"))
+      .select(col("probe_id"), col("id"), col("sim"))
+    topKPerKey(scored, "probe_id", k)
   }
 }

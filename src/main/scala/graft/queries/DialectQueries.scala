@@ -206,7 +206,34 @@ object DialectQueries {
       FROM events
       GROUP BY 1, 2 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // CH `uniq` (HLL-approximate distinct). An approximate value has no
+  // exact oracle, so the entry verifies the CONTRACT instead: the Spark
+  // side emits a flag that `uniq` landed within ±10% of `uniqExact`
+  // (double the sketch's 5% target rsd) and the oracle asserts the flag
+  // is 1 for every group — the hash matches iff the band held on real
+  // data. ChFunctionsSpec additionally asserts the band corpus-wide.
+  val q53ChUniqBand = QueryDef(
+    "q53_ch_uniq_band",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT event_type,
+               uniqExact(user_id) AS exact_users,
+               toInt64(if(abs(uniq(user_id) - uniqExact(user_id))
+                          <= 0.1D * uniqExact(user_id), 1L, 0L)) AS uniq_in_band
+        FROM events_all_v
+        GROUP BY event_type
+        ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(1 AS BIGINT) AS uniq_in_band
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
-      q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs)
+      q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
+      q53ChUniqBand)
 }

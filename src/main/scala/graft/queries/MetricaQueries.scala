@@ -160,7 +160,8 @@ object MetricaQueries {
       GROUP BY ROLLUP(StartDate)
       HAVING CAST(sum(Sign) AS BIGINT) >= 0.0
       ORDER BY "ym:s:date" ASC NULLS LAST
-      LIMIT 10"""))
+      LIMIT 10"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   val q29MetricaQ2 = QueryDef(
@@ -197,7 +198,8 @@ object MetricaQueries {
       FROM a
       WHERE visits > 0.0 OR least(uq, visits) > 0.0 OR purch > 0.0
       ORDER BY "ym:s:visits" DESC, "ym:s:lastSignUTMSource" ASC
-      LIMIT 50"""))
+      LIMIT 50"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // F12/partition layout: group by the warehouse week (= toMonday of

@@ -390,7 +390,8 @@ object PipelineQueries {
           round(col("sim"), 3).as("sim"))
         .orderBy(col("probe_id"), col("rank"))
     },
-    q27AnnLshTopk.oracle)
+    q27AnnLshTopk.oracle,
+    bench = true)
 
   // ---------------------------------------------------------------------
   // IVF ANN (the second scale path, alongside LSH): corpus vectors are
@@ -457,6 +458,44 @@ object PipelineQueries {
       SELECT probe_id, CAST(rank AS BIGINT) AS rank, id, round(sim, 3) AS sim
       FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
     bench = true)
+
+  // ---------------------------------------------------------------------
+  // The PRODUCTION IVF quantizer (kmeansCentroids, data-adaptive) with a
+  // driver-visible check. A learned quantizer is not SQL-replicable, so
+  // there is no value oracle; instead the entry computes recall@10 of
+  // the kmeans-IVF path against the exact brute-force baseline over the
+  // same probes and emits its summary row ONLY when recall reaches the
+  // documented floor — a quantizer regression means 0 rows, a hard
+  // rows-only FAIL in the driver's gate. Floor: 0.7 at nprobe=8 of
+  // k=16 cells (SimilaritySpec asserts recall 1.0 on planted clusters;
+  // this corpus is near-uniform, the adversarial case for IVF, so the
+  // floor is set below the clustered ideal but far above the ~nprobe/k
+  // level a broken quantizer would give).
+  val q54IvfKmeansRecall = QueryDef(
+    "q54_ivf_kmeans_recall",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 5)
+      val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+        k = 16, iters = 3)
+      val ivf = Similarity.ivfTopK(vecs, probes, "vec_id", "embedding",
+        k = 10, cents, nprobe = 8)
+      val bf = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding",
+        k = 10)
+      val floor = 0.7
+      bf.select(col("probe_id"), col("id"))
+        .join(ivf.select(col("probe_id"), col("id"))
+            .withColumn("__hit", lit(1L)),
+          Seq("probe_id", "id"), "left")
+        .agg(
+          count(lit(1)).as("n_baseline"),
+          sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_baseline"), 4))
+        .withColumn("recall_floor", lit(floor))
+        .filter(col("recall") >= lit(floor))
+    },
+    None)
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing: documents wrapped as binary media payloads with
@@ -583,7 +622,12 @@ object PipelineQueries {
           count(lit(1)).as("n_docs"),
           sum(col("dup_count")).cast("long").as("n_docs_raw"),
           sum(col("n_tok")).cast("long").as("tokens_total"),
-          round(avg(col("quality")), 6).as("avg_quality"))
+          // order-independent average: per-doc quality is already an
+          // exact 6-dp value, so sum it in fixed point (integer
+          // micro-units) and divide once — float summation order then
+          // cannot shift the 4-dp result between engines
+          round(sum(round(col("quality") * 1e6).cast("long"))
+            .cast("double") / (count(lit(1)) * 1e6), 4).as("avg_quality"))
         .orderBy(col("source"))
     },
     Some("""
@@ -630,7 +674,8 @@ object PipelineQueries {
       SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
              CAST(sum(dup_count) AS BIGINT) AS n_docs_raw,
              CAST(sum(len(toks)) AS BIGINT) AS tokens_total,
-             round(avg(quality), 6) AS avg_quality
+             round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE)
+                   / (count(1) * 1e6), 4) AS avg_quality
       FROM q WHERE lang_guess = 'en' AND quality >= 0.35
       GROUP BY 1 ORDER BY 1"""),
     bench = true)
@@ -638,6 +683,6 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
-    q45AnnIndexTopk, q37AnnIvfTopk, q32MultimodalFeatures, q38PipelineE2e,
-    q46IncrementalDedup)
+    q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall,
+    q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup)
 }

@@ -84,5 +84,73 @@ object StreamingQueries {
              round(sum(value), 2) AS value_sum
       FROM events GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q31StreamIngest, q48StreamSourceAgg)
+  // ---------------------------------------------------------------------
+  // ST4 (compaction half): the scheduled VersionedCollapsing merge as an
+  // oracle-checked entry. A versioned fixture derived from events
+  // (entity = user_id, version = event micros, every third version also
+  // gets a cancel row) is appended into the week-partitioned warehouse,
+  // compacted in ONE job (all weeks parallel — the grouping key carries
+  // the week scope), and the compacted table is hash-checked against
+  // the latest-live-version-per-(entity, week) relation computed
+  // straight from the raw rows in SQL.
+  val q52CompactWarehouse = QueryDef(
+    "q52_compact_warehouse",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_compact_q52_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      // raw nanos long (nanosAsLong): DIV 1000 = DuckDB's epoch_us
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val state = raw.select(
+        col("user_id").as("id"),
+        expr("ts DIV 1000").as("version"),
+        col("value"),
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("d"),
+        lit(1).as("sign"))
+      val cancels = state.filter(pmod(col("version"), lit(3)) === 0)
+        .withColumn("sign", lit(-1))
+      Warehouse.write(state.unionByName(cancels), s"$base/tbl", "d",
+        orderKey = Seq("id", "version"))
+      Warehouse.compact(s, s"$base/tbl", s"$base/compacted", "d",
+        orderKey = Seq("id", "version"), idCols = Seq("id"),
+        versionCol = "version", signCol = "sign")
+      Warehouse.read(s, s"$base/compacted")
+        .groupBy(pmod(col("id"), lit(7)).cast("long").as("id_bucket"))
+        .agg(
+          count(lit(1)).as("n_latest"),
+          sum(col("version")).cast("long").as("version_sum"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("id_bucket"))
+    },
+    Some("""
+      WITH state AS (
+        SELECT user_id AS id, epoch_us(ts) AS version, value,
+               CAST(ts AS DATE) AS d, 1 AS sign
+        FROM events
+      ), v AS (
+        SELECT * FROM state
+        UNION ALL
+        SELECT id, version, value, d, -1 AS sign
+        FROM state WHERE version % 3 = 0
+      ), live AS (
+        SELECT p.* FROM v p
+        WHERE p.sign = 1 AND NOT EXISTS (
+          SELECT 1 FROM v m
+          WHERE m.sign = -1 AND m.id = p.id AND m.version = p.version)
+      ), latest AS (
+        SELECT id, version, value,
+               row_number() OVER (
+                 PARTITION BY id, date_trunc('week', d)
+                 ORDER BY version DESC) AS rn
+        FROM live
+      )
+      SELECT CAST(id % 7 AS BIGINT) AS id_bucket,
+             CAST(count(1) AS BIGINT) AS n_latest,
+             CAST(sum(version) AS BIGINT) AS version_sum,
+             round(sum(value), 2) AS value_sum
+      FROM latest WHERE rn = 1
+      GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse)
 }

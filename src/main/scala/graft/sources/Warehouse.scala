@@ -55,25 +55,25 @@ object Warehouse {
   /** Periodic compaction (SURVEY §2.8 ST4): rewrite the versioned
     * append-only table so only the latest live version of each entity
     * remains — the engine's scheduled analogue of
-    * VersionedCollapsingMergeTree's background merge. Runs week-by-week
-    * (versions of an entity share their week by construction), each
-    * week an independent bounded job, so state never exceeds one
-    * partition — the property that keeps compaction feasible at 100 TB.
-    * Writes to `outDir` (atomically replacing a prior compaction is the
-    * caller's move/swap; compaction never rewrites the live table in
-    * place).
+    * VersionedCollapsingMergeTree's background merge. Week-scoped
+    * (versions of an entity share their week by construction): the
+    * `week` partition column joins the entity key, so every week
+    * compacts independently — and because that scoping lives in the
+    * grouping key rather than a driver loop over week filters, ALL
+    * weeks run inside one job, parallel across the cluster, instead of
+    * years×52 serial passes. State per task stays bounded by one
+    * (week, entity) group — the property that keeps compaction
+    * feasible at 100 TB. Writes to `outDir` (atomically replacing a
+    * prior compaction is the caller's move/swap; compaction never
+    * rewrites the live table in place).
     */
   def compact(spark: SparkSession, tableDir: String, outDir: String,
       dateCol: String, orderKey: Seq[String], idCols: Seq[String],
       versionCol: String, signCol: String): Unit = {
     import graft.operators.Relational.latestVersions
-    val weeks = read(spark, tableDir).select(col(weekCol)).distinct()
-      .collect().map(_.get(0))
-    weeks.foreach { wk =>
-      val part = read(spark, tableDir).filter(col(weekCol) === wk)
-      write(latestVersions(part, idCols, versionCol, signCol)
-          .drop(weekCol),
-        outDir, dateCol, orderKey)
-    }
+    write(latestVersions(read(spark, tableDir), weekCol +: idCols,
+        versionCol, signCol)
+        .drop(weekCol),
+      outDir, dateCol, orderKey)
   }
 }

@@ -69,4 +69,23 @@ class ChFunctionsSpec extends SparkSpec {
     val approx = df.select(uniq($"k")).as[Long].head()
     assert(approx >= 6L && approx <= 8L)
   }
+
+  test("uniq stays inside its documented band on the events corpus") {
+    // the q53 contract, corpus-wide: HLL++ at the default 5% target rsd
+    // must land within ±10% of uniqExact on real key distributions —
+    // overall and per event_type group
+    val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
+    val rows = ev.groupBy($"event_type")
+      .agg(uniqExact($"user_id").as("exact"), uniq($"user_id").as("approx"))
+      .unionByName(ev.groupBy(lit("__all").as("event_type"))
+        .agg(uniqExact($"user_id").as("exact"), uniq($"user_id").as("approx")))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact")
+      val approx = r.getAs[Long]("approx")
+      assert(math.abs(approx - exact) <= 0.1 * exact,
+        s"uniq out of band for ${r.get(0)}: exact=$exact approx=$approx")
+    }
+  }
 }

@@ -100,4 +100,26 @@ class DedupSpec extends SparkSpec {
       batch((20L, "alpha text"), (21L, "gamma text")), fp, "id", store)
     assert(b3.count() == 0L)
   }
+
+  test("maxBucket drops are observable, not silent") {
+    import org.apache.spark.sql.Observation
+    // 5 identical docs (one bucket of width 5) + the planted near-dups
+    val boiler = (100L to 104L).map(i =>
+      (i, "same boilerplate template text repeated everywhere always"))
+      .toDF("doc_id", "text")
+    val sh = docs.unionByName(boiler).select($"doc_id",
+      text.ngrams(text.tokenize($"text"), 3).as("sh"))
+    val obs = Observation("graft_bucket_drops")
+    val pairs = Dedup.lshCandidatePairs(sh, "doc_id", "sh", 64, 16,
+      maxBucket = 4, obs = Some(obs))
+    val got = pairs.as[(Long, Long)].collect().toSet
+    // the boilerplate cluster is wider than maxBucket → no pairs from it
+    assert(!got.exists { case (a, b) => a >= 100L || b >= 100L })
+    assert(got.contains((0L, 2L))) // small buckets still pair up
+    val m = obs.get
+    // all 16 bands bucket the 5 identical docs together → 16 drops
+    assert(m("dropped_buckets").asInstanceOf[Long] == 16L)
+    assert(m("dropped_ids").asInstanceOf[Long] == 16L * 5)
+    assert(m("widest_bucket").asInstanceOf[Int] == 5)
+  }
 }

@@ -34,4 +34,11 @@ class PlanAuditSpec extends SparkSpec {
   test("q45: the ANN index scan is dynamically partition-pruned") {
     assert(plan("q45_ann_index_topk").contains("dynamicpruning"))
   }
+
+  test("q27: ANN ranking is two-stage, not a single per-probe window") {
+    // the local stage of topKPerKey partitions by (key, spark_partition_id);
+    // a plan without that marker has collapsed to the one-task-per-probe
+    // window rank this operator must avoid
+    assert(plan("q27_ann_lsh_topk").contains("SPARK_PARTITION_ID"))
+  }
 }
