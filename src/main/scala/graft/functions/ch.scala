@@ -26,11 +26,15 @@ object ch {
   }
 
   /** ClickHouse `indexOf(arr, v)`: 1-based position, 0 when absent.
-    * `array_position` matches except for NULL inputs (it returns NULL
-    * where ClickHouse returns 0) — coalesce restores CH semantics.
+    * NULL is a matchable value in CH arrays — indexOf([1,NULL], NULL)
+    * = 2 — so a NULL needle searches for the first stored NULL (as a
+    * position scan over the isNull map, keeping the non-null fast path
+    * on the `array_position` builtin); only a NULL array gives 0.
     */
   def indexOf(arr: Column, v: Column): Column =
-    coalesce(array_position(arr, v), lit(0L))
+    when(v.isNotNull, coalesce(array_position(arr, v), lit(0L)))
+      .otherwise(coalesce(
+        array_position(transform(arr, x => x.isNull), lit(true)), lit(0L)))
 
   /** ClickHouse `arrayMap(x -> e, arr)`. */
   def arrayMap(arr: Column, f: Column => Column): Column = transform(arr, f)

@@ -52,10 +52,16 @@ object Dedup {
     val inBatch = exactDedup(batch, key, idCol).drop("dup_count")
       .withColumn("__key", key)
     // store detection by attempting the read (not java.io.File, which
-    // only sees the local filesystem — the store may be object storage)
+    // only sees the local filesystem — the store may be object storage).
+    // ONLY the missing-path condition means "no history yet": a corrupt
+    // or unreadable store must propagate, not silently disable all
+    // dedup history and be re-seeded
     val store =
       try Some(spark.read.parquet(storeDir).select(col("__key")))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
     val novel = store.fold(inBatch) { st =>
       // null-safe equality: a NULL key (e.g. fingerprint of NULL text)
       // must match its stored NULL, or the row re-emits every batch

@@ -71,11 +71,18 @@ object ChDialect {
     "arrayMap" -> (args => ArrayTransform(args(1), args(0))),
     "arrayFilter" -> (args => ArrayFilter(args(1), args(0))),
     "arrayExists" -> (args => ArrayExists(args(1), args(0))),
-    // CH `has(arr, v)` returns UInt8 (1/0) — 0 for a NULL needle, the
-    // same null convention as indexOf
-    "has" -> (args =>
-      ex(coalesce(array_contains(col(args.head), col(args(1)))
-        .cast("long"), lit(0L)))),
+    // CH `has(arr, v)` returns UInt8 (1/0). NULL is a MATCHABLE value
+    // in CH arrays: has([1,NULL], NULL) = 1 — so a NULL needle looks
+    // for a stored NULL element rather than short-circuiting to 0.
+    // Only a NULL array gives 0.
+    "has" -> (args => {
+      val arr = col(args.head)
+      val v = col(args(1))
+      ex(coalesce(
+        when(v.isNotNull, array_contains(arr, v))
+          .otherwise(exists(arr, x => x.isNull)),
+        lit(false)).cast("long"))
+    }),
     // conditional aggregates — the countIf/sumIf family returns 0 (not
     // NULL) over an empty/no-match set, as CH does; avgIf of an empty
     // set is CH's nan

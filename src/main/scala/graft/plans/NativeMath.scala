@@ -50,12 +50,23 @@ case class DotProduct64Expr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot64"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    MathKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // NULL on malformed inputs (length mismatch / null element), exactly
+  // like the zip_with+aggregate combinator — so corrupt embeddings
+  // surface as null sims instead of silently scoring over garbage
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (MathKernels.dotDefined(x, y)) MathKernels.dot(x, y) else null
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.plans.MathKernels.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.plans.MathKernels.dotDefined($a, $b)) {
+        ${ev.value} = graft.plans.MathKernels.dot($a, $b);
+      } else {
+        ${ev.isNull} = true;
+      }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
@@ -84,10 +95,26 @@ case class ArgMaxCosineExpr(left: Expression, right: Expression)
 
 object MathKernels {
 
+  /** The combinator's definedness domain: `zip_with` pads the shorter
+    * side with nulls and a null product poisons the whole aggregate,
+    * so the dot product is non-null exactly when lengths match and no
+    * element is null. One branch-predictable validity pass; the caller
+    * ([[DotProduct64Expr]]) turns false into SQL NULL.
+    */
+  def dotDefined(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (b.numElements() != n) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Index-ordered double accumulation — the same operation order as
     * the `zip_with`+`aggregate` combinator, so results are bit-for-bit
-    * equal. Vectors are expected non-null element-wise and same-length
-    * (embedding columns); the shorter length is used if they differ.
+    * equal on defined inputs (see [[dotDefined]]).
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

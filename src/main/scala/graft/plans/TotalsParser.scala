@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class TotalsParser(delegate: ParserInterface) extends ParserInterface {
 
+  // the keys group refuses to cross another GROUP BY, so each WITH
+  // TOTALS binds to its NEAREST preceding GROUP BY — a plain lazy `.+?`
+  // would pair a TOTALS-less GROUP BY earlier in the text (e.g. in a
+  // sibling subquery) with a later clause's TOTALS
   private val totals =
-    """(?is)(GROUP\s+BY\s+)(.+?)\s+WITH\s+TOTALS""".r
+    """(?is)(GROUP\s+BY\s+)((?:(?!GROUP\s+BY).)+?)\s+WITH\s+TOTALS""".r
   private val limitOffset =
     """(?is)LIMIT\s+(\d+)\s*,\s*(\d+)""".r
   // a single-quoted SQL literal, '' being the escaped quote
@@ -56,18 +60,14 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
 
   private def rewrite(sqlText: String): Option[String] = {
     val (masked, lits) = maskLiterals(sqlText)
-    val afterTotals = totals.findFirstMatchIn(masked) match {
-      case None => Some(masked)
-      case Some(m) =>
-        val keys = m.group(2).trim
-        Some(totals.replaceFirstIn(masked,
-          java.util.regex.Matcher.quoteReplacement(
-            s"${m.group(1)}GROUPING SETS (($keys), ())")))
-    }
-    val rewritten = afterTotals.map(t =>
-      limitOffset.replaceAllIn(t,
-        m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
-    rewritten.map(unmaskLiterals(_, lits)).filter(_ != sqlText)
+    // ALL occurrences: the clause may appear in a subquery AND the
+    // outer query (each match substitutes its own keys)
+    val afterTotals = totals.replaceAllIn(masked, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}GROUPING SETS ((${m.group(2).trim}), ())"))
+    val rewritten = limitOffset.replaceAllIn(afterTotals,
+      m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    Some(unmaskLiterals(rewritten, lits)).filter(_ != sqlText)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -240,7 +240,119 @@ object SourceQueries {
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // The reference's ONE golden number (README.md:145-168): export the
+  // 106-column hits table day-by-day as CSVWithNames+gzip objects, then
+  // reconcile the object-store row count against the source with the
+  // union-tagged `'s3' vs 'ch'` query. This entry runs it over the FULL
+  // hits schema — arrays (GoalsReached, ParsedParams.*) ride the CSV as
+  // JSON cells, the raw IPv6 as hex — and the oracle recounts BOTH
+  // sides itself: the warehouse from its parquet files and the export
+  // from the actual csv.gz objects (DuckDB's read_csv over the same
+  // glob), so the wide-row roundtrip is verified end-to-end by a
+  // second engine. `sliced_ok` is the README.md:150-154 per-day object
+  // check: at least one object per exported day.
+  val q51HitsExportReconcile = QueryDef(
+    "q51_hits_export_reconcile",
+    (s, _) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_hits"
+      graft.FsUtil.rmTree(base)
+      val days = Seq("2023-11-01", "2023-11-02", "2023-11-03")
+      graft.sources.Warehouse.write(hitsFixture(s), s"$base/warehouse",
+        graft.schemas.Metrica.hitsPartitionDate,
+        graft.schemas.Metrica.hitsOrderKey, mode = "overwrite")
+      val wh = graft.sources.Warehouse.read(s, s"$base/warehouse")
+        .drop(graft.sources.Warehouse.weekCol)
+      CsvGzip.exportDaySliced(CsvGzip.encodeComplex(wh), col("EventDate"),
+        days, s"$base/s3", mode = "overwrite")
+      val enc = CsvGzip.encodedSchema(graft.schemas.Metrica.hits)
+      val back = CsvGzip.withFileMeta(CsvGzip.read(s, s"$base/s3", enc))
+      val goals = from_json(col("GoalsReached"),
+        ArrayType(LongType, containsNull = true))
+      val quant = from_json(col("`ParsedParams.Quantity`"),
+        ArrayType(LongType, containsNull = true))
+      val s3Side = back.agg(
+        count(lit(1)).as("cnt"),
+        uniqExact(col("EventDate")).as("n_days"),
+        sum(size(goals)).cast("long").as("goals_total"),
+        sum(graft.functions.ch.sumArrayLong(quant)).cast("long")
+          .as("quant_total"),
+        // _path, not _file: partitionBy names each day's object
+        // part-00000-<same job uuid>, so bare file names coincide
+        // across day directories — the full path is the object identity
+        (uniqExact(col("_path")) >= uniqExact(col("EventDate")))
+          .as("sliced_ok"))
+        .withColumn("storage", lit("s3"))
+      val chSide = wh
+        .filter(col("EventDate").between(lit(days.head).cast("date"),
+          lit(days.last).cast("date")))
+        .agg(
+          count(lit(1)).as("cnt"),
+          uniqExact(col("EventDate")).as("n_days"),
+          sum(size(col("GoalsReached"))).cast("long").as("goals_total"),
+          sum(graft.functions.ch.sumArrayLong(col("`ParsedParams.Quantity`")))
+            .cast("long").as("quant_total"),
+          lit(true).as("sliced_ok"))
+        .withColumn("storage", lit("ch"))
+      chSide.unionByName(s3Side)
+        .select(col("storage"), col("cnt"), col("n_days"),
+          col("goals_total"), col("quant_total"), col("sliced_ok"))
+        .orderBy(col("storage"))
+    },
+    Some(s"""
+      WITH ch AS (
+        SELECT 'ch' AS storage, CAST(count(1) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT EventDate) AS BIGINT) AS n_days,
+               CAST(sum(len(GoalsReached)) AS BIGINT) AS goals_total,
+               CAST(sum(coalesce(list_aggregate("ParsedParams.Quantity", 'sum'), 0)) AS BIGINT) AS quant_total,
+               TRUE AS sliced_ok
+        FROM read_parquet('${sys.props("java.io.tmpdir")}/graft_hits/warehouse/*/*.parquet')
+        WHERE EventDate BETWEEN DATE '2023-11-01' AND DATE '2023-11-03'
+      ), s3 AS (
+        SELECT 's3' AS storage, CAST(count(1) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT EventDate) AS BIGINT) AS n_days,
+               CAST(sum(json_array_length(GoalsReached)) AS BIGINT) AS goals_total,
+               CAST(sum(coalesce(list_aggregate(CAST(json_transform("ParsedParams.Quantity", '["BIGINT"]') AS BIGINT[]), 'sum'), 0)) AS BIGINT) AS quant_total,
+               count(DISTINCT filename) >= count(DISTINCT EventDate) AS sliced_ok
+        FROM read_csv('${sys.props("java.io.tmpdir")}/graft_hits/s3/*/*.csv.gz',
+                      header=true, all_varchar=true, filename=true)
+      )
+      SELECT * FROM ch UNION ALL SELECT * FROM s3 ORDER BY storage"""))
+
+  /** Deterministic 106-column hits fixture: 3000 rows across the
+    * reference's three export days, a pure function of the row index.
+    * Populates the clustering keys, URL/Title strings (with commas and
+    * quotes — the CSV-quoting stress), the GoalsReached and
+    * ParsedParams array columns, and the raw-IPv6 binary; the remaining
+    * columns conform to typed nulls (`Metrica.conform`), exactly like a
+    * schema-clone insert of a column subset.
+    */
+  private def hitsFixture(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val rows = (0 until 3000).map { i =>
+      val day = java.time.LocalDate.of(2023, 11, 1).plusDays(i % 3)
+      (1000L + i % 5,
+        java.sql.Date.valueOf(day),
+        10000L + i % 101,
+        java.sql.Timestamp.from(day.atStartOfDay(java.time.ZoneOffset.UTC)
+          .plusSeconds((i.toLong * 37) % 86400).toInstant),
+        1L + i,
+        s"""https://example.com/p/${i % 40}?q=a,b&r="${i % 9}"""",
+        s"Title $i, part ${i % 7}",
+        (0 until i % 4).map(g => (i % 10 + g).toLong),
+        (0 until i % 3).map(k => s"k${i % 11},v$k"),
+        (0 until i % 3).map(q => (q + i % 5).toLong),
+        Array.tabulate(16)(b => ((i + b) % 251).toByte))
+    }
+    val df = rows.toDF("CounterID", "EventDate", "CounterUserIDHash",
+      "UTCEventTime", "WatchID", "URL", "Title", "GoalsReached",
+      "ParsedParams.Key1", "ParsedParams.Quantity", "ClientIP6")
+    graft.schemas.Metrica.conform(df, graft.schemas.Metrica.hits)
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
-      q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated)
+      q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated,
+      q51HitsExportReconcile)
 }

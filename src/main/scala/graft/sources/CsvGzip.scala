@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType, StructType}
 
 /** CSV-with-header + gzip export/import — the reference's S3 export path
   * (README.md:138-168): `ENGINE = S3(url, 'CSVWithNames', 'gzip')`,
@@ -20,6 +20,9 @@ object CsvGzip {
     df.write.mode(mode)
       .option("header", "true")
       .option("compression", "gzip")
+      // RFC 4180 quote-doubling (Spark's default is backslash-escape):
+      // the objects must be readable by ANY downstream engine
+      .option("escape", "\"")
       .csv(path)
 
   /** Day-sliced export, single-pass (README.md:145-147): ONE scan of the
@@ -38,6 +41,7 @@ object CsvGzip {
       .partitionBy("__day")
       .option("header", "true")
       .option("compression", "gzip")
+      .option("escape", "\"")
       .csv(path)
 
   /** Day-sliced export, one job per day (one scan each) — the fallback
@@ -58,6 +62,7 @@ object CsvGzip {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
+      .option("escape", "\"")
       .option("recursiveFileLookup", "true")
       .csv(path)
 
@@ -67,4 +72,52 @@ object CsvGzip {
   def withFileMeta(df: DataFrame): DataFrame =
     df.withColumn("_path", col("_metadata.file_path"))
       .withColumn("_file", col("_metadata.file_name"))
+
+  // -------------------------------------------------------------------
+  // Wide-row support: CSV cells are scalar, but the reference exports
+  // its FULL hits row through CSVWithNames — including Array columns
+  // (ClickHouse serializes them as quoted array literals) and the raw
+  // IPv6 FixedString(16). The engine-neutral equivalents: arrays ride
+  // as JSON text (losslessly parseable back by schema on ANY reader —
+  // DuckDB included), binary as hex.
+
+  /** Encode complex-typed columns to CSV-safe strings (arrays → JSON,
+    * binary → hex). Scalar columns pass through untouched.
+    */
+  def encodeComplex(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.toSeq.map { f =>
+      val c = col(s"`${f.name}`")
+      (f.dataType match {
+        case _: ArrayType => to_json(c)
+        case BinaryType => hex(c)
+        case _ => c
+      }).as(f.name)
+    }: _*)
+
+  /** The schema [[encodeComplex]] output conforms to: array and binary
+    * fields become strings — the schema to declare when reading the
+    * exported CSV back.
+    */
+  def encodedSchema(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | BinaryType =>
+          f.copy(dataType = StringType, nullable = true)
+        case _ => f
+      }
+    })
+
+  /** Decode an [[encodeComplex]]-encoded frame back to `schema`:
+    * JSON cells parse to their array types, hex to binary. The exact
+    * inverse — the wide-row roundtrip q51 hash-checks.
+    */
+  def decodeComplex(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      val c = col(s"`${f.name}`")
+      (f.dataType match {
+        case a: ArrayType => from_json(c, a)
+        case BinaryType => unhex(c)
+        case _ => c
+      }).as(f.name)
+    }: _*)
 }

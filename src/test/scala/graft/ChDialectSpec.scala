@@ -66,6 +66,27 @@ class ChDialectSpec extends SparkSpec {
     assert(mk.length == 11) // 10 (k, v) groups + 1 grand total
     val totalRow = mk.filter(r => r.isNullAt(0) && r.isNullAt(1))
     assert(totalRow.length == 1 && totalRow.head.getLong(2) == 45L)
+    // the clause in BOTH a subquery and the outer query: every
+    // occurrence rewrites (each binding to its own keys)
+    val nested = spark.sql("""
+      SELECT k2, sum(s) AS s2 FROM (
+        SELECT k AS k2, sum(v) AS s FROM totals_t GROUP BY k WITH TOTALS
+      ) GROUP BY k2 WITH TOTALS
+      ORDER BY k2 ASC NULLS LAST, s2""")
+      .as[(java.lang.Long, Long)].collect().toSeq
+    // inner: (0,20),(1,25),(null,45); outer groups those three rows
+    // (the inner totals row becomes the null group) + grand total 90
+    assert(nested == Seq((0L: java.lang.Long, 20L), (1L: java.lang.Long, 25L),
+      (null: java.lang.Long, 45L), (null: java.lang.Long, 90L)))
+    // a TOTALS-less GROUP BY in a sibling subquery must not steal a
+    // later clause's TOTALS (nearest-GROUP-BY pairing)
+    val sibling = spark.sql("""
+      SELECT a.k, a.s, b.t FROM
+        (SELECT k, sum(v) AS s FROM totals_t GROUP BY k) a
+        JOIN (SELECT k, sum(v) AS t FROM totals_t GROUP BY k WITH TOTALS) b
+          ON a.k = b.k
+      ORDER BY a.k""").collect()
+    assert(sibling.length == 2) // totals row has null k, drops in join
   }
 
   test("LIMIT offset,n (CH/MySQL form) = LIMIT n OFFSET offset") {
@@ -119,15 +140,23 @@ class ChDialectSpec extends SparkSpec {
     assert(r2.getLong(5) == 202403L)
     assert(r2.getDate(6).toString == "2024-03-17")
     // CH conventions on empty/no-match sets and NULL needles: counts
-    // and sums are 0 (never NULL), avg of nothing is nan, has(NULL)=0
+    // and sums are 0 (never NULL), avg of nothing is nan; NULL is a
+    // MATCHABLE array value — has([1,NULL],NULL)=1, indexOf gives its
+    // position — and a NULL needle over a null-free array gives 0
     val r3 = spark.sql("""
       SELECT countIf(k = 9) AS c, sumIf(v, k = 9) AS s, avgIf(v, k = 9) AS a,
-             has(array(1, 2), CAST(NULL AS INT)) AS h
+             has(array(1, 2), CAST(NULL AS INT)) AS h,
+             has(array(1, NULL, 2), CAST(NULL AS INT)) AS hn,
+             indexOf(array(1, NULL, 2), CAST(NULL AS INT)) AS ixn,
+             indexOf(array(1, 2), CAST(NULL AS INT)) AS ix0
       FROM cif_t""").collect().head
     assert(r3.getLong(0) == 0L)
     assert(r3.getDouble(1) == 0.0)
     assert(r3.getDouble(2).isNaN)
     assert(r3.getLong(3) == 0L)
+    assert(r3.getLong(4) == 1L)
+    assert(r3.getLong(5) == 2L)
+    assert(r3.getLong(6) == 0L)
   }
 
   test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {

@@ -90,4 +90,41 @@ class MetricaSpec extends SparkSpec {
       .count(ks => ks != ks.sorted)
     assert(violations == 0)
   }
+
+  test("wide-row CSV encode/decode is a lossless inverse on hits rows") {
+    import spark.implicits._
+    import graft.sources.CsvGzip
+    val df = Metrica.conform(
+      Seq(
+        (1L, java.sql.Date.valueOf("2023-11-01"), 7L,
+          Seq(1L, 2L), Seq("a,b", "c\"d"), Seq.empty[Long],
+          Array[Byte](1, 2, 3)),
+        // empty ARRAYS roundtrip (JSON "[]" is a non-empty cell); an
+        // empty binary/string cell would read back null — the CSV
+        // format's own empty-vs-null ambiguity, not the codec's
+        (2L, java.sql.Date.valueOf("2023-11-02"), 8L,
+          Seq.empty[Long], Seq.empty[String], Seq(9L),
+          Array[Byte](4, 5)))
+        .toDF("CounterID", "EventDate", "CounterUserIDHash",
+          "GoalsReached", "ParsedParams.Key1", "ParsedParams.Quantity",
+          "ClientIP6"),
+      Metrica.hits)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_widecsv").toString
+    CsvGzip.exportCsv(CsvGzip.encodeComplex(df), dir, mode = "overwrite")
+    val back = CsvGzip.decodeComplex(
+      CsvGzip.read(spark, dir, CsvGzip.encodedSchema(Metrica.hits)),
+      Metrica.hits)
+    // equal up to nullability (a CSV read is always nullable)
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    val cols = Seq("CounterID", "GoalsReached", "ParsedParams.Key1",
+      "ParsedParams.Quantity").map(c => col(s"`$c`")) :+
+      hex(col("ClientIP6")).as("ip6") // bytes compare by content, not ref
+    val a = df.select(cols: _*).orderBy(col("CounterID"))
+      .collect().map(_.toString).toSeq
+    val b = back.select(cols: _*).orderBy(col("CounterID"))
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }

@@ -38,6 +38,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dot64 matches the combinator on MALFORMED inputs too: null") {
+    // zip_with pads a length mismatch with nulls and a null element
+    // poisons the aggregate — the kernel must return the same NULL,
+    // not a truncated/garbage finite score
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val got = df.select(
+      Similarity.dot($"a", $"b").as("nat"),
+      Similarity.dotColumn($"a", $"b").as("comb"))
+      .collect()
+    got.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1)) }
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0))
+    assert(got(2).getDouble(0) == 11.0)
+  }
+
   test("native argmaxCosine cell assignment equals the combinator spec") {
     val rnd = new scala.util.Random(11)
     val vecs = Seq.tabulate(100)(i =>
