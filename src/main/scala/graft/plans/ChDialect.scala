@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, ArrayTransform, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, ArrayTransform, Explode, Expression, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
 
@@ -98,6 +98,73 @@ object ChDialect {
       ex(date_trunc("month", col(args.head)).cast("date"))),
     "toYYYYMM" -> (args =>
       ex(date_format(col(args.head), "yyyyMM").cast("long"))),
+    "toYYYYMMDD" -> (args =>
+      ex(date_format(col(args.head), "yyyyMMdd").cast("long"))),
     "toDate" -> (args => ex(col(args.head).cast("date"))),
+    "toHour" -> (args => ex(hour(col(args.head)).cast("long"))),
+    // CH numbers days Monday=1..Sunday=7 (ISO); Spark's dayofweek is
+    // Sunday=1 — remap
+    "toDayOfWeek" -> (args =>
+      ex((pmod(dayofweek(col(args.head)) + lit(5), lit(7)) + lit(1))
+        .cast("long"))),
+    // argMax/argMin(a, b): the value of a at the max/min of b — CH's
+    // workhorse "latest value" aggregates
+    "argMax" -> (args => ex(max_by(col(args.head), col(args(1))))),
+    "argMin" -> (args => ex(min_by(col(args.head), col(args(1))))),
+    // (CH `median` needs no registration: Spark's builtin median IS
+    // quantile(0.5), the same exact interpolated quantile as DuckDB's
+    // quantile_cont)
+    // groupArray collects in encounter order (nondeterministic under
+    // parallelism in BOTH CH-distributed and Spark — wrap in arraySort
+    // for reproducible output, as CH users do)
+    "groupArray" -> (args => ex(collect_list(col(args.head)))),
+    "groupUniqArray" -> (args => ex(collect_set(col(args.head)))),
+    // CH arrayJoin expands the row per array element (dropping rows
+    // with empty arrays) — exactly Spark's explode generator, which
+    // the analyzer plans as a Generate when it appears in a SELECT
+    "arrayJoin" -> (args => Explode(args.head)),
+    // splitByChar(sep, s): sep is a one-char literal in CH; quote it
+    // so the Spark split regex treats it literally
+    "splitByChar" -> (args => {
+      val sep = args.head match {
+        case Literal(v, _) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"splitByChar expects a literal separator, got $other")
+      }
+      ex(split(col(args(1)), java.util.regex.Pattern.quote(sep), -1))
+    }),
+    "arrayDistinct" -> (args => ex(array_distinct(col(args.head)))),
+    "arraySort" -> (args => ex(array_sort(col(args.head)))),
+    "arrayReverse" -> (args => ex(reverse(col(args.head)))),
+    // arrayCount(x -> pred, arr) lambda-first; 1-arg form counts
+    // non-zero elements (CH's default lambda). When a lambda argument
+    // is present the analyzer requires the ROOT expression to be the
+    // higher-order function, so the 2-arg form folds the user's
+    // predicate into an ArrayAggregate rather than wrapping a
+    // size(arrayFilter(...)) composite
+    "arrayCount" -> (args =>
+      if (args.length == 1)
+        ex(size(filter(col(args.head), x => x =!= 0)).cast("long"))
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, If, LambdaFunction, UnresolvedNamedLambdaVariable}
+        val lf = args.head.asInstanceOf[LambdaFunction]
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+        val merge = LambdaFunction(
+          If(lf.function, Add(acc, Literal(1L)), acc),
+          acc +: lf.arguments)
+        val res = UnresolvedNamedLambdaVariable(Seq("__graft_res"))
+        ArrayAggregate(args(1), Literal(0L), merge,
+          LambdaFunction(res, Seq(res)))
+      }),
+    // empty(x): 1 for an empty (or NULL) string/array, 0 otherwise —
+    // the complement of notEmpty, type-aware like CH
+    "empty" -> (args => {
+      val c = col(args.head)
+      val isEmpty = args.head.dataType match {
+        case _: ArrayType => coalesce(size(c) <= 0, lit(true))
+        case _ => coalesce(length(c), lit(0)) <= 0
+      }
+      ex(isEmpty.cast("long"))
+    }),
   )
 }

@@ -232,8 +232,69 @@ object DialectQueries {
              CAST(1 AS BIGINT) AS uniq_in_band
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // The everyday CH aggregate/date vocabulary beyond the reference's own
+  // two queries: argMax ("value at latest"), median (= quantile(0.5),
+  // the same exact interpolated quantile as DuckDB's quantile_cont),
+  // groupUniqArray (+ arraySort for reproducible output — collection
+  // order is nondeterministic under parallelism in CH-distributed and
+  // Spark alike), and the toYYYYMMDD/toDayOfWeek/toHour family
+  // (toDayOfWeek remapped to CH's ISO Monday=1 from Spark's Sunday=1).
+  // argMax determinism: (event_type, µs) is unique in this corpus, so
+  // the max-ts row per group is unique (checked at all three SFs).
+  val q55ChAggVocabulary = QueryDef(
+    "q55_ch_agg_vocabulary",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT event_type,
+               toYYYYMMDD(min(CAST(ts AS DATE))) AS first_day,
+               toDayOfWeek(min(CAST(ts AS DATE))) AS first_dow,
+               toHour(min(ts)) AS first_hour,
+               argMax(user_id, ts) AS last_user,
+               argMin(user_id, ts) AS first_user,
+               round(median(value), 4) AS med_value,
+               array_join(arraySort(groupUniqArray(CAST(user_id % 10 AS STRING))), ',') AS buckets
+        FROM events_all_v
+        GROUP BY event_type
+        ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(strftime(min(CAST(ts AS DATE)), '%Y%m%d') AS BIGINT) AS first_day,
+             CAST(isodow(min(CAST(ts AS DATE))) AS BIGINT) AS first_dow,
+             CAST(hour(min(ts)) AS BIGINT) AS first_hour,
+             arg_max(user_id, ts) AS last_user,
+             arg_min(user_id, ts) AS first_user,
+             round(quantile_cont(value, 0.5), 4) AS med_value,
+             array_to_string(list_sort(list_distinct(list(CAST(user_id % 10 AS VARCHAR)))), ',') AS buckets
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
+  // arrayJoin — CH's row-expanding function (its explode) — composed
+  // with splitByChar: the canonical CH word-count. arrayJoin drops
+  // rows whose array is empty, exactly like explode; split keeps empty
+  // tokens (both engines split the same way), so counts match to the
+  // token.
+  val q56ChArrayJoin = QueryDef(
+    "q56_ch_arrayjoin_wordcount",
+    (s, dir) => {
+      Graft.table(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT tok, toInt64(count(1)) AS n
+        FROM (SELECT arrayJoin(splitByChar(' ', text)) AS tok
+              FROM documents_v)
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20""")
+    },
+    Some("""
+      SELECT tok, CAST(count(1) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
-      q53ChUniqBand)
+      q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin)
 }

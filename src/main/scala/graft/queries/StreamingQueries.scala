@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.sources.Warehouse
-import graft.streaming.Ingest
+import graft.streaming.{Ingest, Sessionize}
 
 /** Streaming ingest coverage (S1/S2, ST1-ST5): the events table staged
   * as a directory of parquet files, drained through the replication
@@ -151,6 +151,142 @@ object StreamingQueries {
       FROM latest WHERE rn = 1
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // Event-time windowed aggregation under a WATERMARK, append mode —
+  // the finalization semantics that matter at 100 TB (complete mode
+  // holds all state forever; append emits a window once the watermark
+  // passes its end and then DROPS the state). A sentinel event two days
+  // past the real range pushes the final watermark beyond every real
+  // window's end, so all real windows finalize in the closing
+  // no-data micro-batch; the sentinel's own window stays open and is
+  // never emitted — which IS the semantics under test. The oracle
+  // computes the same day windows from the batch table (it never sees
+  // the sentinel).
+  val q57StreamWindowedAgg = QueryDef(
+    "q57_stream_windowed_agg",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q57_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val srcDir = s"$base/src"
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts = nanos long
+      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 2L * 86400L * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      raw.unionByName(sentinel).repartition(3)
+        .write.mode("overwrite").parquet(srcDir)
+      val q = s.readStream.schema(raw.schema).parquet(srcDir)
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .writeStream.format("memory").queryName("graft_q57_state")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q57_state")
+        .select(col("window.start").cast("date").as("day"),
+          col("event_type"), col("n"), col("value_sum"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(1) AS BIGINT) AS n,
+             round(sum(value), 2) AS value_sum
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------------
+  // Custom streaming state (flatMapGroupsWithState): gap-based
+  // sessionization of the event stream — state per user is the open
+  // session INTERVALS (bounded by sessions, not events), emission is
+  // event-time-timeout-driven (the watermark passed the session's last
+  // event by more than the gap). The same sentinel trick as q57 closes
+  // every real session at end of stream; the oracle recomputes the
+  // sessions with the batch gaps-and-islands idiom (lag + running sum)
+  // and must agree bucket-for-bucket on counts, sizes and session-start
+  // hashes — multi-batch split (maxFilesPerTrigger=1 over 3 files)
+  // exercises the cross-batch interval merge.
+  val q58StreamSessionize = QueryDef(
+    "q58_stream_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q58_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val srcDir = s"$base/src"
+      val gapUs = 30L * 60 * 1000000 // 30 min
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts = nanos long
+      val maxUs = raw.agg(max(expr("ts DIV 1000"))).head().getLong(0)
+      val real = raw.select(col("user_id"), expr("ts DIV 1000").as("ets_us"))
+      real.repartition(3).write.mode("overwrite").parquet(srcDir)
+      // the sentinel must be the LAST micro-batch (a watermark jump in
+      // an early batch would mark every later real file late): append
+      // it as its own file and push its mtime forward -- the file
+      // source processes oldest-first
+      val before = new java.io.File(srcDir).listFiles().map(_.getName).toSet
+      s.range(1).select(lit(-1L).as("user_id"),
+          lit(maxUs + 500L * 86400 * 1000000).as("ets_us"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      new java.io.File(srcDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+        .foreach(f => f.setLastModified(f.lastModified() + 600000))
+      val stream = s.readStream.schema(real.schema)
+        .option("maxFilesPerTrigger", "1") // one file per batch: the
+        // cross-batch interval merge is actually exercised
+        .parquet(srcDir)
+        .as[(Long, Long)]
+      // watermark delay > the corpus's whole time span: real files
+      // split arbitrarily across batches, so disorder is unbounded
+      // within the range -- only the sentinel may close sessions
+      val out = Sessionize.sessionizeStream(stream, gapUs,
+        watermarkDelay = "400 days")
+      val q = out.writeStream.format("memory").queryName("graft_q58_state")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q58_state")
+        .filter(col("user_id") >= 0)
+        .groupBy(pmod(col("user_id"), lit(10)).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          max(col("n_events")).cast("long").as("max_session_events"),
+          sum(pmod(col("start_us"), lit(1000000007L))).cast("long")
+            .as("start_hash"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, epoch_us(ts) AS u,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+      ), sx AS (
+        SELECT user_id, u,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY u
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+      ), sess AS (
+        SELECT user_id, sid, min(u) AS start_us, count(*) AS n
+        FROM sx GROUP BY 1, 2
+      )
+      SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+             CAST(count(1) AS BIGINT) AS n_sessions,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(max(n) AS BIGINT) AS max_session_events,
+             CAST(sum(start_us % 1000000007) AS BIGINT) AS start_hash
+      FROM sess GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse)
+    Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
+      q57StreamWindowedAgg, q58StreamSessionize)
 }

@@ -159,6 +159,47 @@ class ChDialectSpec extends SparkSpec {
     assert(r3.getLong(6) == 0L)
   }
 
+  test("aggregate/date/array vocabulary: argMax, median, groupArray, arrayJoin") {
+    spark.range(0, 10).selectExpr("id % 2 AS k", "id AS v",
+      "CAST(id AS DOUBLE) AS d").createOrReplaceTempView("vocab_t")
+    val r = spark.sql("""
+      SELECT argMax(v, d) AS amax, argMin(v, d) AS amin,
+             round(median(d), 2) AS med,
+             array_join(arraySort(groupUniqArray(CAST(k AS STRING))), ',') AS ks,
+             toYYYYMMDD(DATE '2024-03-17') AS ymd,
+             toDayOfWeek(DATE '2024-03-17') AS dow,
+             toDayOfWeek(DATE '2024-03-18') AS dowMon,
+             toHour(TIMESTAMP '2024-03-17 13:45:00') AS h
+      FROM vocab_t""").collect().head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 0L)
+    assert(r.getDouble(2) == 4.5)
+    assert(r.getString(3) == "0,1")
+    assert(r.getLong(4) == 20240317L)
+    assert(r.getLong(5) == 7L) // 2024-03-17 is a Sunday: CH dow = 7
+    assert(r.getLong(6) == 1L) // Monday = 1
+    assert(r.getLong(7) == 13L)
+    val arr = spark.sql("""
+      SELECT arrayCount(x -> x > 2, array(1, 2, 3, 4)) AS c2,
+             arrayCount(array(0, 1, 2, 0)) AS cnz,
+             arrayDistinct(array(1, 2, 1)) AS dist,
+             arrayReverse(array(1, 2, 3)) AS rev,
+             empty(array()) AS ea, empty(array(1)) AS ena,
+             empty('') AS es, empty('x') AS ens,
+             splitByChar(',', 'a,b,,c') AS sp
+    """).collect().head
+    assert(arr.getLong(0) == 2L && arr.getLong(1) == 2L)
+    assert(arr.getSeq[Int](2) == Seq(1, 2))
+    assert(arr.getSeq[Int](3) == Seq(3, 2, 1))
+    assert(arr.getLong(4) == 1L && arr.getLong(5) == 0L)
+    assert(arr.getLong(6) == 1L && arr.getLong(7) == 0L)
+    assert(arr.getSeq[String](8) == Seq("a", "b", "", "c"))
+    // arrayJoin expands rows and drops empty arrays, like CH
+    val aj = spark.sql("""
+      SELECT arrayJoin(a) AS x FROM VALUES (array(1, 2)), (array()) t(a)
+    """).as[Int].collect().toSeq.sorted
+    assert(aj == Seq(1, 2))
+  }
+
   test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {
     Seq((1, Seq(1L, 2L)), (1, Seq(3L)), (2, Seq(10L)))
       .toDF("k", "arr").createOrReplaceTempView("dialect_t")

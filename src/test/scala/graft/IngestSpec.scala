@@ -129,4 +129,41 @@ class IngestSpec extends SparkSpec {
     assert(got.count() == 40)
     assert(got.select("id").distinct().count() == 40)
   }
+
+  test("sessionize interval merge equals batch gaps-and-islands, any split") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Sess
+    val gap = 100L
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(200)(rnd.nextLong(5000).abs).distinct.sorted
+    // batch reference: split the sorted points on gap > 100
+    def reference(ps: Seq[Long]): Seq[Sess] =
+      ps.foldLeft(List.empty[Sess]) { (acc, p) =>
+        acc match {
+          case h :: t if p - h.last <= gap =>
+            Sess(h.start, p, h.n + 1) :: t
+          case _ => Sess(p, p, 1) :: acc
+        }
+      }.reverse
+    val expect = reference(pts)
+    // incremental: shuffle the points, split into arbitrary chunks,
+    // merge chunk-by-chunk through the operator's state transition
+    for (trial <- 0 until 10) {
+      val shuffled = rnd.shuffle(pts)
+      val chunks = {
+        var rem = shuffled
+        val out = Seq.newBuilder[Seq[Long]]
+        while (rem.nonEmpty) {
+          val k = 1 + rnd.nextInt(40)
+          out += rem.take(k); rem = rem.drop(k)
+        }
+        out.result()
+      }
+      val got = chunks.foldLeft(Seq.empty[Sess]) { (state, chunk) =>
+        Sessionize.mergeWithGap(
+          state ++ chunk.sorted.map(p => Sess(p, p, 1)), gap)
+      }
+      assert(got == expect, s"trial $trial")
+    }
+  }
 }
