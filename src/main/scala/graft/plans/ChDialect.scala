@@ -166,5 +166,24 @@ object ChDialect {
       }
       ex(isEmpty.cast("long"))
     }),
+    // type conversions (unsigned ints widen one level per SURVEY §1.2;
+    // UInt64 is the bit-preserving long reinterpret)
+    "toString" -> (args => ex(col(args.head).cast("string"))),
+    "toFloat64" -> (args => ex(col(args.head).cast("double"))),
+    "toFloat32" -> (args => ex(col(args.head).cast("float"))),
+    "toUInt8" -> (args => ex(col(args.head).cast("short"))),
+    "toUInt16" -> (args => ex(col(args.head).cast("int"))),
+    "toUInt32" -> (args => ex(col(args.head).cast("long"))),
+    "toUInt64" -> (args => ex(col(args.head).cast("long"))),
+    "toInt8" -> (args => ex(col(args.head).cast("byte"))),
+    "toInt16" -> (args => ex(col(args.head).cast("short"))),
+    "toInt32" -> (args => ex(col(args.head).cast("int"))),
+    // CH intDiv truncates toward zero — exactly Spark's `div` operator
+    "intDiv" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        args.head, args(1))),
+    // assumeNotNull: identity on the value (CH uses it to strip
+    // Nullable; Spark nullability is advisory, so pass through)
+    "assumeNotNull" -> (args => args.head),
   )
 }

@@ -105,6 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // CH `GROUP BY x WITH TOTALS` clause — rewrite-on-parse-failure only
     ext.injectParser((_, delegate) => new TotalsParser(delegate))
+    // partition-prune week directories from date predicates (the
+    // PARTITION BY toMonday(date) behavior) — see WeekBoundsRule
+    ext.injectOptimizerRule(_ => WeekBoundsRule)
   }
 }
 

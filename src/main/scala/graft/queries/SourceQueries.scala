@@ -351,8 +351,68 @@ object SourceQueries {
     graft.schemas.Metrica.conform(df, graft.schemas.Metrica.hits)
   }
 
+  // ---------------------------------------------------------------------
+  // Hybrid-storage TTL (README.md:178-180): week partitions older than
+  // the keep horizon MOVE to the cold tier (partition renames, zero
+  // rewrite), the tiered read unions them back. The entry verifies the
+  // partition-level split (cold = exactly the weeks before the cutoff,
+  // hot = the rest, nothing lost or duplicated) against the oracle's
+  // recomputation of the same week buckets from the raw table.
+  val q59TtlTiering = QueryDef(
+    "q59_ttl_tiering",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ttl_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val cutoff = "2024-01-15" // keep 2 weeks as of the corpus's end
+      val ev = Graft.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("d"))
+      graft.sources.Warehouse.write(ev, s"$base/hot", "d", Seq("event_id"))
+      graft.sources.Warehouse.tierByTtl(s"$base/hot", s"$base/cold",
+        java.time.LocalDate.parse(cutoff))
+      def side(dirName: String, tag: String, ok: org.apache.spark.sql.Column) =
+        graft.sources.Warehouse.read(s, s"$base/$dirName")
+          .agg(count(lit(1)).as("n_rows"),
+            uniqExact(col(graft.sources.Warehouse.weekCol)).as("n_weeks"),
+            ok.as("weeks_ok"))
+          .withColumn("tier", lit(tag))
+      val cut = lit(cutoff).cast("date")
+      val cold = side("cold", "cold",
+        max(col(graft.sources.Warehouse.weekCol)) < cut)
+      val hot = side("hot", "hot",
+        min(col(graft.sources.Warehouse.weekCol)) >= cut)
+      // the tiered union must still see every row exactly once
+      val total = graft.sources.Warehouse
+        .readTiered(s, s"$base/hot", s"$base/cold")
+        .agg(count(lit(1)).as("n_rows"),
+          uniqExact(col(graft.sources.Warehouse.weekCol)).as("n_weeks"),
+          lit(true).as("weeks_ok"))
+        .withColumn("tier", lit("total"))
+      cold.unionByName(hot).unionByName(total)
+        .select(col("tier"), col("n_rows"), col("n_weeks"), col("weeks_ok"))
+        .orderBy(col("tier"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+        FROM events
+      )
+      SELECT 'cold' AS tier, CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks, TRUE AS weeks_ok
+      FROM w WHERE wk < DATE '2024-01-15'
+      UNION ALL
+      SELECT 'hot', CAST(count(1) AS BIGINT),
+             CAST(count(DISTINCT wk) AS BIGINT), TRUE
+      FROM w WHERE wk >= DATE '2024-01-15'
+      UNION ALL
+      SELECT 'total', CAST(count(1) AS BIGINT),
+             CAST(count(DISTINCT wk) AS BIGINT), TRUE
+      FROM w
+      ORDER BY tier"""))
+
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
       q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated,
-      q51HitsExportReconcile)
+      q51HitsExportReconcile, q59TtlTiering)
 }

@@ -38,7 +38,14 @@ object Warehouse {
   def write(df: DataFrame, tableDir: String, dateCol: String,
       orderKey: Seq[String], mode: String = "append"): Unit = {
     val cluster = (weekCol +: orderKey).map(c => col(s"`$c`"))
-    df.withColumn(weekCol, toMonday(col(s"`$dateCol`")))
+    // stamp the physical invariant `week = toMonday(dateCol)` into the
+    // date column's field metadata (it survives the parquet schema
+    // roundtrip) — WeekBoundsRule reads it back to partition-prune
+    // week directories from date predicates
+    val stamped = df.withColumn(dateCol, col(s"`$dateCol`").as(dateCol,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(graft.plans.WeekBoundsRule.flag, true).build()))
+    stamped.withColumn(weekCol, toMonday(col(s"`$dateCol`")))
       .repartitionByRange(cluster: _*)
       .sortWithinPartitions(cluster: _*)
       .write.mode(mode)
@@ -75,5 +82,47 @@ object Warehouse {
         versionCol, signCol)
         .drop(weekCol),
       outDir, dateCol, orderKey)
+  }
+
+  /** Hybrid-storage TTL (README.md:178-180: the reference moves aged
+    * data to object storage via MergeTree `TTL ... TO DISK`): week
+    * partitions whose Monday is before `cutoffMonday` MOVE to
+    * `coldDir`. A move is one directory rename per partition — never a
+    * data rewrite; at 100 TB a TTL that rewrites is a full-table job,
+    * a partition move is a metadata operation (on object storage this
+    * maps to the store's rename/lifecycle API). Returns the moved
+    * partition names. [[readTiered]] unions the tiers back into one
+    * logical table.
+    */
+  def tierByTtl(tableDir: String, coldDir: String,
+      cutoffMonday: java.time.LocalDate): Seq[String] = {
+    val hot = new java.io.File(tableDir)
+    val aged = Option(hot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$weekCol="))
+      .filter { f =>
+        val day = f.getName.substring(weekCol.length + 1)
+        java.time.LocalDate.parse(day).isBefore(cutoffMonday)
+      }
+    val cold = new java.io.File(coldDir)
+    cold.mkdirs()
+    aged.map { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(cold, f.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      f.getName
+    }.toSeq.sorted
+  }
+
+  /** The tiered table as one frame: hot ∪ cold (cold may not exist
+    * yet). Week-partition pruning still applies per tier — a query
+    * bounded to recent weeks never touches the cold store's files.
+    */
+  def readTiered(spark: SparkSession, hotDir: String,
+      coldDir: String): DataFrame = {
+    val hot = read(spark, hotDir)
+    if (new java.io.File(coldDir).isDirectory &&
+        Option(new java.io.File(coldDir).list()).exists(_.nonEmpty))
+      hot.unionByName(read(spark, coldDir))
+    else hot
   }
 }

@@ -200,6 +200,27 @@ class ChDialectSpec extends SparkSpec {
     assert(aj == Seq(1, 2))
   }
 
+  test("type conversions widen per the documented mapping; intDiv truncates") {
+    val r = spark.sql("""
+      SELECT toString(42) AS s, toFloat64('2.5') AS f, toFloat32(1) AS f32,
+             toUInt8(3) AS u8, toUInt16(5) AS u16, toUInt32(7) AS u32,
+             toUInt64(9) AS u64, toInt8(1) AS i8, toInt16(2) AS i16,
+             toInt32('9') AS i32,
+             intDiv(7, 2) AS d1, intDiv(-7, 2) AS d2,
+             assumeNotNull(5) AS an
+    """).collect().head
+    assert(r.getString(0) == "42")
+    assert(r.getDouble(1) == 2.5)
+    assert(r.getFloat(2) == 1.0f)
+    assert(r.getShort(3) == 3) // UInt8 -> short
+    assert(r.getInt(4) == 5) // UInt16 -> int
+    assert(r.getLong(5) == 7L) // UInt32 -> long
+    assert(r.getLong(6) == 9L) // UInt64 -> long reinterpret
+    assert(r.getByte(7) == 1 && r.getShort(8) == 2 && r.getInt(9) == 9)
+    assert(r.getLong(10) == 3L && r.getLong(11) == -3L) // toward zero
+    assert(r.getInt(12) == 5)
+  }
+
   test("uniqExact exact; uniq approximate within HLL tolerance; sumArray") {
     Seq((1, Seq(1L, 2L)), (1, Seq(3L)), (2, Seq(10L)))
       .toDF("k", "arr").createOrReplaceTempView("dialect_t")

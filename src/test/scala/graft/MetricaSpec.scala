@@ -91,6 +91,30 @@ class MetricaSpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("date predicates alone prune week partitions (WeekBoundsRule)") {
+    val v = MetricaQueries.fixture(spark)
+    // filter ONLY on StartDate — no manual week predicate
+    val q = v.filter(col("StartDate") >= "2023-11-06" &&
+        col("StartDate") <= "2023-11-07")
+      .groupBy(col("CounterID")).count()
+    val plan = q.queryExecution.executedPlan.toString
+    // the derived week bounds must reach the scan as PARTITION filters
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("week"), s"no week partition filter in: $pf")
+    // and the result is unchanged by the derived predicates
+    assert(q.collect().map(_.getLong(1)).sum ==
+      v.filter(col("StartDate") >= "2023-11-06" &&
+          col("StartDate") <= "2023-11-07").count())
+    // equality form prunes to exactly one week
+    val eq = v.filter(col("StartDate") === "2023-11-02")
+    val eqPf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(eq.queryExecution.executedPlan.toString)
+      .map(_.group(1)).getOrElse("")
+    assert(eqPf.contains("week") && eqPf.contains("="),
+      s"no week equality partition filter in: $eqPf")
+  }
+
   test("wide-row CSV encode/decode is a lossless inverse on hits rows") {
     import spark.implicits._
     import graft.sources.CsvGzip
