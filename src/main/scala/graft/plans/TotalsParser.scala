@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** ClickHouse SQL-clause surface Spark's grammar lacks (README.md:83,86):
+/** ClickHouse SQL-clause surface Spark's grammar lacks (README.md:83,86,
+  * 145-147):
   *
   *  - `GROUP BY <keys> WITH TOTALS` → `GROUP BY GROUPING SETS
   *    ((<keys>), ())` — exactly CH's lattice for ANY key count: the
@@ -14,8 +15,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    intermediate subtotals), HAVING applying to the totals row as CH
   *    defaults to.
   *  - `LIMIT offset, n` (the CH/MySQL form) → `LIMIT n OFFSET offset`.
+  *  - parameterized quantiles: `quantile(L)(x)` / `quantileExact(L)(x)`
+  *    / `median(x)` family → `percentile(x, L)` (the same exact
+  *    interpolated quantile).
+  *  - `PREWHERE cond` → `WHERE cond` (merged with an existing WHERE) —
+  *    CH's manual pushdown hint; Spark's optimizer does the pushdown
+  *    itself, so the split carries no information here.
+  *  - a trailing/insert `SETTINGS k=v, ...` clause is dropped — CH
+  *    execution tuning (e.g. README.md:146's
+  *    `s3_create_new_file_on_insert=1`) with no Spark counterpart.
   *
-  * Both rewrites sit BEHIND the delegate parser's failure: Spark's
+  * Every rewrite sits BEHIND the delegate parser's failure: Spark's
   * parser runs first and only a text it rejects is rewritten, so valid
   * Spark SQL — including string literals containing these phrases — is
   * never touched.
@@ -30,6 +40,14 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)(GROUP\s+BY\s+)((?:(?!GROUP\s+BY).)+?)\s+WITH\s+TOTALS""".r
   private val limitOffset =
     """(?is)LIMIT\s+(\d+)\s*,\s*(\d+)""".r
+  // quantile(0.5)(  — the CH parameterized-aggregate call shape; the
+  // argument list that follows is matched by a balanced-paren scan
+  private val quantileHead =
+    """(?i)\b(quantile|quantileExact|quantileExactInclusive)\s*\(\s*([0-9.eE+-]+)\s*\)\s*\(""".r
+  private val prewhereBoth = """(?is)\bPREWHERE\b(.+?)\bWHERE\b""".r
+  private val prewhereAlone = """(?i)\bPREWHERE\b""".r
+  private val settings =
+    """(?is)\bSETTINGS\s+\w+\s*=\s*[\w.]+(\s*,\s*\w+\s*=\s*[\w.]+)*""".r
   // a single-quoted SQL literal, '' being the escaped quote
   private val stringLit = """'(?:[^']|'')*'""".r
 
@@ -58,6 +76,35 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         acc.replace(placeholder(i), lit)
     }
 
+  /** Rewrite every `quantile*(L)(args)` to `percentile(args, L)`,
+    * scanning the second argument list with balanced parens (the
+    * argument may itself contain calls).
+    */
+  private def rewriteQuantiles(text: String): String = {
+    quantileHead.findFirstMatchIn(text) match {
+      case None => text
+      case Some(m) =>
+        val argStart = m.end // first char after the opening '('
+        var depth = 1
+        var i = argStart
+        while (i < text.length && depth > 0) {
+          text.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (depth != 0) text // unbalanced: leave for the parser to reject
+        else {
+          val arg = text.substring(argStart, i - 1).trim
+          val replaced = text.substring(0, m.start) +
+            s"percentile($arg, ${m.group(2)})" + text.substring(i)
+          rewriteQuantiles(replaced) // next occurrence
+        }
+    }
+  }
+
   private def rewrite(sqlText: String): Option[String] = {
     val (masked, lits) = maskLiterals(sqlText)
     // ALL occurrences: the clause may appear in a subquery AND the
@@ -65,8 +112,16 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val afterTotals = totals.replaceAllIn(masked, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}GROUPING SETS ((${m.group(2).trim}), ())"))
-    val rewritten = limitOffset.replaceAllIn(afterTotals,
+    val afterLimit = limitOffset.replaceAllIn(afterTotals,
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    val afterQuantile = rewriteQuantiles(afterLimit)
+    // PREWHERE: fold into WHERE (with AND when both clauses exist)
+    val afterPrewhere = prewhereAlone.replaceAllIn(
+      prewhereBoth.replaceAllIn(afterQuantile,
+        m => java.util.regex.Matcher.quoteReplacement(
+          s"WHERE (${m.group(1).trim}) AND ")),
+      "WHERE")
+    val rewritten = settings.replaceAllIn(afterPrewhere, "")
     Some(unmaskLiterals(rewritten, lits)).filter(_ != sqlText)
   }
 

@@ -293,8 +293,39 @@ object DialectQueries {
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
 
+  // ---------------------------------------------------------------------
+  // CH query TEXT fidelity: parameterized quantiles
+  // (`quantileExact(L)(x)` — the CH parameterized-aggregate call
+  // shape), PREWHERE (CH's manual pushdown split; Spark's optimizer
+  // already pushes, so it folds into WHERE) and a SETTINGS clause
+  // (dropped — engine tuning with no Spark counterpart), all through
+  // the injected parser, verbatim over the events table.
+  val q60ChQuantilePrewhere = QueryDef(
+    "q60_ch_quantile_prewhere",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT event_type,
+               round(quantileExact(0.5)(value), 4) AS p50,
+               round(quantile(0.9)(value), 4) AS p90,
+               toInt64(count(1)) AS n
+        FROM events_all_v
+        PREWHERE value > 0
+        GROUP BY event_type
+        ORDER BY event_type
+        SETTINGS max_threads=8""")
+    },
+    Some("""
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events WHERE value > 0
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
-      q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin)
+      q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
+      q60ChQuantilePrewhere)
 }

@@ -200,6 +200,28 @@ class ChDialectSpec extends SparkSpec {
     assert(aj == Seq(1, 2))
   }
 
+  test("parameterized quantiles, PREWHERE, SETTINGS clause all rewrite") {
+    spark.range(0, 11).selectExpr("id % 2 AS k", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("chx_t")
+    val r = spark.sql("""
+      SELECT quantileExact(0.5)(v) AS med, quantile(0.25)(v + 0) AS q1
+      FROM chx_t PREWHERE k = 0 SETTINGS max_threads=4""").collect().head
+    // k = 0 keeps v in {0,2,4,6,8,10}
+    assert(r.getDouble(0) == 5.0)
+    assert(r.getDouble(1) == 2.5)
+    // PREWHERE merges with an existing WHERE (CH applies both)
+    val r2 = spark.sql("""
+      SELECT count(1) AS n FROM chx_t
+      PREWHERE k = 0 WHERE v >= 4 SETTINGS a=1, b=2.5""").collect().head
+    assert(r2.getLong(0) == 4L) // {4, 6, 8, 10}
+    // a literal containing the phrases is untouched when a rewrite fires
+    val r3 = spark.sql("""
+      SELECT 'PREWHERE x SETTINGS a=1' AS s, quantile(0.5)(v) AS m
+      FROM chx_t""").collect().head
+    assert(r3.getString(0) == "PREWHERE x SETTINGS a=1")
+    assert(r3.getDouble(1) == 5.0)
+  }
+
   test("type conversions widen per the documented mapping; intDiv truncates") {
     val r = spark.sql("""
       SELECT toString(42) AS s, toFloat64('2.5') AS f, toFloat32(1) AS f32,
