@@ -107,6 +107,67 @@ object Relational {
       .select(keyCols.map(col) :+ col("__latest.*"): _*)
   }
 
+  /** As-of join (ClickHouse `ASOF JOIN`): for every left row, the
+    * single right row with the same key and the LATEST `rightTime` ≤
+    * `leftTime` (the "prevailing record" — rates, prices, config
+    * versions). Spark has no builtin; the naive formulation (equi-join
+    * + inequality + per-left max) plans the inequality as a join
+    * filter after a full equi-match — every left row meets every
+    * same-key right row. This implementation is the scalable shape:
+    * UNION both sides tagged, ONE shuffle on the key, one sort by
+    * (time, side), and a running `last(right_payload)` window — each
+    * left row reads the prevailing right values in a single pass, cost
+    * O((|L|+|R|) log) per key with no pair blowup on hot keys.
+    *
+    * Ties (right.time == left.time) match, as in CH ASOF `<=`: the
+    * right row sorts before the left row at equal times. Rows with no
+    * prior right row get nulls (left-outer semantics). `rightCols` are
+    * emitted with their own names — they must not collide with left
+    * columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.toIndexedSeq
+    val rType = org.apache.spark.sql.types.StructType(
+      right.select(rightCols.map(col): _*).schema.fields)
+    val l = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(0).as("__side"),
+          struct(leftPayload.map(col): _*).as("__l"),
+          lit(null).cast(rType).as("__r")): _*)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(l.schema("__l").dataType).as("__l"),
+          struct(rightCols.map(col): _*).as("__r")): _*)
+    // at equal __t the right row (side=1) must precede the left row so
+    // a same-instant right record prevails (CH's <= bound)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__prev", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__l.*") +: rightCols.map(c =>
+        col(s"__prev.`$c`").as(c)): _*)
+  }
+
+  /** ClickHouse `LIMIT n BY key`: the first `n` rows of each key group
+    * under an explicit per-group order (CH takes them in stream order;
+    * a distributed engine needs the order stated). Two-stage like
+    * topKPerKey is unnecessary here — Spark 4 plans rank-limit windows
+    * with map-side WindowGroupLimit, so the shuffle already carries at
+    * most n rows per (key, input partition).
+    */
+  def limitBy(df: DataFrame, keyCols: Seq[String], n: Int,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Latest-version-per-entity compaction for VersionedCollapsingMergeTree
     * data (ddl/visits.sql:229-233): a state row (sign=+1) is live unless a
     * cancel row (sign=-1) with the same (id, version) exists; the current

@@ -413,9 +413,83 @@ object CoreQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // As-of join (CH ASOF JOIN): every event matched to the PREVAILING
+  // rate checkpoint — the latest checkpoint for its type at or before
+  // its timestamp. Checkpoints derive deterministically from the data
+  // (per (type, week): the week's first event instant, rate = the
+  // week's event count), and skip the first week so the no-prior-row
+  // null path is exercised. The oracle is DuckDB's native ASOF LEFT
+  // JOIN — two engines, two completely different implementations
+  // (union+window running-last here, sorted merge there), same rows.
+  val q61AsofJoin = QueryDef(
+    "q61_asof_join",
+    (s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val e = raw.select(col("event_type"),
+        expr("ts DIV 1000").as("t"),
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("d"))
+        .withColumn("wk", toMonday(col("d")))
+      val cp = e.filter(col("wk") > lit("2024-01-01").cast("date"))
+        .groupBy(col("event_type"), col("wk"))
+        .agg(min(col("t")).as("cp_ts"), count(lit(1)).as("rate"))
+        .select(col("event_type"), col("cp_ts"), col("rate"))
+      asofJoin(e.select(col("event_type"), col("t")), cp,
+          Seq("event_type"), "t", "cp_ts", Seq("cp_ts", "rate"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("rate")).as("n_matched"),
+          sum(col("rate")).cast("long").as("rate_sum"),
+          count_distinct(col("cp_ts")).as("n_cp"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS t,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+        FROM events
+      ), cp AS (
+        SELECT event_type, min(t) AS cp_ts, CAST(count(1) AS BIGINT) AS rate
+        FROM e WHERE wk > DATE '2024-01-01'
+        GROUP BY event_type, wk
+      )
+      SELECT e.event_type,
+             CAST(count(1) AS BIGINT) AS n_events,
+             CAST(count(cp.rate) AS BIGINT) AS n_matched,
+             CAST(sum(cp.rate) AS BIGINT) AS rate_sum,
+             CAST(count(DISTINCT cp.cp_ts) AS BIGINT) AS n_cp
+      FROM e ASOF LEFT JOIN cp
+        ON e.event_type = cp.event_type AND e.t >= cp.cp_ts
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
+  // CH `LIMIT n BY key` — first n rows per key under an explicit order:
+  // the three earliest events per type. Spark 4 plans the rank window
+  // with a map-side WindowGroupLimit, so the shuffle carries ≤ n rows
+  // per (key, input partition).
+  val q62LimitBy = QueryDef(
+    "q62_limit_by",
+    (s, dir) => {
+      val e = Graft.table(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("t"))
+      limitBy(e, Seq("event_type"), 3, Seq(col("t").asc, col("event_id").asc))
+        .orderBy(col("event_type"), col("t"), col("event_id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, event_id, epoch_us(ts) AS t,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+      )
+      SELECT event_type, event_id, t
+      FROM r WHERE rn <= 3 ORDER BY event_type, t, event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
-    q20RatioAlias, q36AliasWhere, q39SaltedJoin)
+    q20RatioAlias, q36AliasWhere, q39SaltedJoin, q61AsofJoin, q62LimitBy)
 }

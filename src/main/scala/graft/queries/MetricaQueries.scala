@@ -57,22 +57,31 @@ object MetricaQueries {
       model, utm, purchase)
   }
 
-  /** Build + write the fixture warehouse; returns the read-back frame. */
+  // the fixture is a pure function of the row index, so one build per
+  // JVM suffices — without this, every q28/q29 execution (bench runs
+  // included) times a warehouse WRITE in front of the query
+  private val built = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Build + write the fixture warehouse (once per JVM); returns the
+    * read-back frame.
+    */
   def fixture(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rows = for {
-      i <- 0 until 40
-      nv = 1 + i % 3
-      k <- 1 to nv
-      r <- (if (k > 1) Seq(row(i, k - 1, -1)) else Nil) :+ row(i, k, 1)
-    } yield r
-    val df = rows.toDF("CounterID", "StartDate", "CounterUserIDHash",
-      "VisitID", "Sign", "VisitVersion", "PageViews", "Duration",
-      "IsBounce", "TrafficSource.Model", "TrafficSource.UTMSource",
-      "EPurchase.ID")
-    Warehouse.write(Metrica.conform(df, Metrica.visits), fixtureDir,
-      Metrica.visitsPartitionDate, Metrica.visitsOrderKey,
-      mode = "overwrite")
+    if (!built.getAndSet(true)) {
+      import spark.implicits._
+      val rows = for {
+        i <- 0 until 40
+        nv = 1 + i % 3
+        k <- 1 to nv
+        r <- (if (k > 1) Seq(row(i, k - 1, -1)) else Nil) :+ row(i, k, 1)
+      } yield r
+      val df = rows.toDF("CounterID", "StartDate", "CounterUserIDHash",
+        "VisitID", "Sign", "VisitVersion", "PageViews", "Duration",
+        "IsBounce", "TrafficSource.Model", "TrafficSource.UTMSource",
+        "EPurchase.ID")
+      Warehouse.write(Metrica.conform(df, Metrica.visits), fixtureDir,
+        Metrica.visitsPartitionDate, Metrica.visitsOrderKey,
+        mode = "overwrite")
+    }
     Warehouse.read(spark, fixtureDir)
   }
 

@@ -99,6 +99,30 @@ class RelationalSpec extends SparkSpec {
     assert(agg.map(_._1) == Set(1L, 2L, 3L))
   }
 
+  test("asofJoin picks the prevailing right row per key; ties match") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"),
+      (3L, 10L, "t4")).toDF("k", "t", "tag")
+    val quotes = Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (1L, 300L, 3.0),
+      (2L, 49L, 9.0)).toDF("k", "qt", "px")
+    val got = asofJoin(trades, quotes, Seq("k"), "t", "qt", Seq("px"))
+      .select($"k", $"t", $"tag", $"px")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 100L, "t1", Some(1.0)), // tie: right at the same instant
+      (1L, 205L, "t2", Some(2.0)), // not yet 300
+      (2L, 50L, "t3", Some(9.0)),
+      (3L, 10L, "t4", None))) // key with no right rows
+  }
+
+  test("limitBy keeps the first n per key under the stated order") {
+    val df = spark.range(0, 20)
+      .select(($"id" % 3).as("k"), $"id".as("v"))
+    val got = limitBy(df, Seq("k"), 2, Seq($"v".desc))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 18L), (0L, 15L), (1L, 19L), (1L, 16L),
+      (2L, 17L), (2L, 14L)))
+  }
+
   test("scd2Join picks the validity window containing the fact date") {
     val dim = Seq(
       ("x", "era1", "2024-01-01", "2024-01-15"),
