@@ -153,6 +153,32 @@ object Relational {
         col(s"__prev.`$c`").as(c)): _*)
   }
 
+  /** Range (interval) join at scale: match points to the intervals
+    * containing them WITHOUT a broadcast and without the
+    * nested-loop/cartesian plan Spark gives a bare inequality join.
+    * Intervals explode to every fixed-width bin they overlap, points
+    * map to their single bin, and the match becomes a BIN EQUI-JOIN
+    * (one shuffle each side) plus the exact residual `lo ≤ p ≤ hi`.
+    * Each (interval, point) pair meets in exactly the point's bin, so
+    * no dedup pass is needed. Cost: interval replication ×
+    * (span/binWidth + 1) — pick `binWidth` near the typical interval
+    * span so replication stays O(1). Optional `keyCols` adds an
+    * equality dimension to the bin key (e.g. per-type intervals).
+    */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String, binWidth: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p2 = points.withColumn("__bin",
+      floor(col(pointCol).cast("long") / binWidth))
+    val i2 = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol).cast("long") / binWidth),
+        floor(col(hiCol).cast("long") / binWidth))))
+    p2.join(i2, keyCols :+ "__bin")
+      .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** ClickHouse `LIMIT n BY key`: the first `n` rows of each key group
     * under an explicit per-group order (CH takes them in stream order;
     * a distributed engine needs the order stated). Two-stage like

@@ -461,7 +461,8 @@ object CoreQueries {
              CAST(count(DISTINCT cp.cp_ts) AS BIGINT) AS n_cp
       FROM e ASOF LEFT JOIN cp
         ON e.event_type = cp.event_type AND e.t >= cp.cp_ts
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // CH `LIMIT n BY key` — first n rows per key under an explicit order:
@@ -487,9 +488,57 @@ object CoreQueries {
       SELECT event_type, event_id, t
       FROM r WHERE rn <= 3 ORDER BY event_type, t, event_id"""))
 
+  // ---------------------------------------------------------------------
+  // Range (interval) join at scale: events matched to OVERLAPPING
+  // per-(type, week) validity intervals (each week's [first−2d,
+  // last+2d]) via interval bin explosion + bin equi-join — one shuffle
+  // per side, never the nested-loop plan a bare inequality join gets.
+  // The oracle runs the same match as a plain inequality join (fine at
+  // oracle scale) — both engines must agree on every (event, interval)
+  // pair.
+  val q63RangeJoin = QueryDef(
+    "q63_range_join_binned",
+    (s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val e = raw.select(col("event_type"), expr("ts DIV 1000").as("t"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).as("d"))
+        .withColumn("wk", toMonday(col("d")))
+      val twoDays = 2L * 86400 * 1000000
+      val iv = e.groupBy(col("event_type"), col("wk"))
+        .agg((min(col("t")) - twoDays).as("lo"),
+          (max(col("t")) + twoDays).as("hi"))
+      rangeJoinBinned(e.select(col("event_type"), col("t")), "t",
+          iv, "lo", "hi", binWidth = 7L * 86400 * 1000000,
+          keyCols = Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_matches"),
+          count_distinct(col("t")).as("n_points"),
+          count_distinct(col("wk")).as("n_intervals"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS t,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+        FROM events
+      ), iv AS (
+        SELECT event_type, wk, min(t) - 172800000000 AS lo,
+               max(t) + 172800000000 AS hi
+        FROM e GROUP BY 1, 2
+      )
+      SELECT e.event_type,
+             CAST(count(1) AS BIGINT) AS n_matches,
+             CAST(count(DISTINCT e.t) AS BIGINT) AS n_points,
+             CAST(count(DISTINCT iv.wk) AS BIGINT) AS n_intervals
+      FROM e JOIN iv
+        ON e.event_type = iv.event_type AND iv.lo <= e.t AND e.t <= iv.hi
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
-    q20RatioAlias, q36AliasWhere, q39SaltedJoin, q61AsofJoin, q62LimitBy)
+    q20RatioAlias, q36AliasWhere, q39SaltedJoin, q61AsofJoin, q62LimitBy,
+    q63RangeJoin)
 }

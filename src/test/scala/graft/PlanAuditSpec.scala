@@ -41,4 +41,14 @@ class PlanAuditSpec extends SparkSpec {
     // window rank this operator must avoid
     assert(plan("q27_ann_lsh_topk").contains("SPARK_PARTITION_ID"))
   }
+
+  test("q61/q63: asof and range joins never take a nested-loop plan") {
+    // the whole point of union+window (asof) and bin-explosion (range)
+    // is avoiding the cartesian/nested-loop shape inequality joins get
+    for (q <- Seq("q61_asof_join", "q63_range_join_binned")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
 }

@@ -114,6 +114,23 @@ class RelationalSpec extends SparkSpec {
       (3L, 10L, "t4", None))) // key with no right rows
   }
 
+  test("rangeJoinBinned equals the naive inequality join") {
+    val pts = Seq((1L, "p1"), (15L, "p2"), (25L, "p3"), (99L, "p4"))
+      .toDF("p", "tag")
+    val ivs = Seq((0L, 10L, "a"), (5L, 30L, "b"), (90L, 95L, "c"))
+      .toDF("lo", "hi", "label")
+    val got = rangeJoinBinned(pts, "p", ivs, "lo", "hi", binWidth = 8)
+      .select($"tag", $"label").as[(String, String)].collect().toSet
+    val naive = pts.join(ivs, $"lo" <= $"p" && $"p" <= $"hi")
+      .select($"tag", $"label").as[(String, String)].collect().toSet
+    assert(got == naive)
+    assert(got == Set(("p1", "a"), ("p2", "b"), ("p3", "b")))
+    // no pair is emitted twice even when an interval spans many bins
+    val wide = rangeJoinBinned(pts, "p", ivs, "lo", "hi", binWidth = 2)
+      .select($"tag", $"label").as[(String, String)].collect()
+    assert(wide.length == wide.distinct.length)
+  }
+
   test("limitBy keeps the first n per key under the stated order") {
     val df = spark.range(0, 20)
       .select(($"id" % 3).as("k"), $"id".as("v"))
