@@ -63,6 +63,27 @@ object Metrica {
     }: _*)
   }
 
+  /** Nested view of a parallel-array group (SURVEY §7.3): zips the
+    * flat `Group.Field` columns into ONE `Group: array<struct<Field…>>`
+    * column — CH Nested ergonomics (`TrafficSource[1].UTMSource`)
+    * without changing the storage layout, which stays flat and
+    * roundtrip-faithful to the reference DDL. The zip is positional,
+    * exactly the Nested contract (parallel arrays share their index).
+    */
+  def nested(df: DataFrame, group: String): DataFrame = {
+    import org.apache.spark.sql.functions.{arrays_zip, array, coalesce}
+    val members = df.columns.filter(_.startsWith(group + "."))
+    require(members.nonEmpty, s"no $group.* columns to nest")
+    df.withColumn(group,
+      arrays_zip(members.toSeq.map { c =>
+        // a NULL member (e.g. a conform-filled absent column) must act
+        // as an empty array — arrays_zip would otherwise null the
+        // whole zipped group
+        coalesce(col(s"`$c`"), array().cast(df.schema(c).dataType))
+          .as(c.stripPrefix(group + "."))
+      }: _*))
+  }
+
   private def relax(dt: DataType): DataType = dt match {
     case ArrayType(e, _) => ArrayType(relax(e), containsNull = true)
     case StructType(fs) =>

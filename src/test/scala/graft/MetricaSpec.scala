@@ -91,6 +91,19 @@ class MetricaSpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("nested view zips Group.Field parallel arrays positionally") {
+    val v = Metrica.nested(MetricaQueries.fixture(spark), "TrafficSource")
+    import spark.implicits._
+    val got = v
+      .filter(size(col("`TrafficSource.Model`")) >= 2)
+      .select(
+        expr("TrafficSource[1].UTMSource").as("nested_utm"),
+        element_at(col("`TrafficSource.UTMSource`"), 2).as("flat_utm"))
+      .as[(String, String)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (n, f) => assert(n == f) }
+  }
+
   test("date predicates alone prune week partitions (WeekBoundsRule)") {
     val v = MetricaQueries.fixture(spark)
     // filter ONLY on StartDate — no manual week predicate
