@@ -179,6 +179,26 @@ object Relational {
       .drop("__bin")
   }
 
+  /** ClickHouse `ORDER BY d WITH FILL` over a date axis: emit a row
+    * for EVERY date in [from, to], filling absent dates with the given
+    * per-column defaults (CH fills numeric columns with 0). The fill
+    * axis is generated once (a handful of rows — one per day) and
+    * LEFT-joins the data; at scale the generated side broadcasts, so
+    * the data is never shuffled for the fill.
+    */
+  def withFillDates(df: DataFrame, dateCol: String, from: String,
+      to: String, defaults: Seq[(String, Column)]): DataFrame = {
+    val axis = df.sparkSession.range(1)
+      .select(explode(sequence(lit(from).cast("date"), lit(to).cast("date"),
+        expr("interval 1 day"))).as(dateCol))
+    val defMap = defaults.toMap
+    axis.join(df, Seq(dateCol), "left")
+      .select(col(dateCol) +:
+        df.columns.toIndexedSeq.filterNot(_ == dateCol).map(c =>
+          defMap.get(c).map(d => coalesce(col(s"`$c`"), d).as(c))
+            .getOrElse(col(s"`$c`"))): _*)
+  }
+
   /** ClickHouse `LIMIT n BY key`: the first `n` rows of each key group
     * under an explicit per-group order (CH takes them in stream order;
     * a distributed engine needs the order stated). Two-stage like

@@ -535,10 +535,45 @@ object CoreQueries {
         ON e.event_type = iv.event_type AND iv.lo <= e.t AND e.t <= iv.hi
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // CH `ORDER BY d WITH FILL`: a sparse daily aggregate (a ~1% event
+  // sample) gap-filled so every calendar day of the month emits a row,
+  // absent days carrying CH's zero defaults. The oracle generates the
+  // same axis with generate_series + LEFT JOIN + coalesce.
+  val q64WithFill = QueryDef(
+    "q64_with_fill",
+    (s, dir) => {
+      val sparse = withSign(Graft.table(s, dir, "events"))
+        .filter(pmod(col("event_id"), lit(97)) === 0)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("sign")).cast("long").as("n_signed"),
+          round(sum(col("value") * col("sign")), 2).as("value_signed"))
+      withFillDates(sparse, "day", "2024-01-01", "2024-01-30",
+          Seq("n_signed" -> lit(0L), "value_signed" -> lit(0.0)))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      WITH axis AS (
+        SELECT CAST(gs.d AS DATE) AS day
+        FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                             INTERVAL 1 DAY) gs(d)
+      ), sparse AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum($signSql) AS BIGINT) AS n_signed,
+               round(sum(value * ($signSql)), 2) AS value_signed
+        FROM events WHERE event_id % 97 = 0
+        GROUP BY 1
+      )
+      SELECT axis.day,
+             coalesce(sparse.n_signed, 0) AS n_signed,
+             coalesce(sparse.value_signed, 0.0) AS value_signed
+      FROM axis LEFT JOIN sparse USING (day)
+      ORDER BY day"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
     q20RatioAlias, q36AliasWhere, q39SaltedJoin, q61AsofJoin, q62LimitBy,
-    q63RangeJoin)
+    q63RangeJoin, q64WithFill)
 }
