@@ -136,7 +136,10 @@ object Relational {
         Seq(col(leftTime).as("__t"), lit(0).as("__side"),
           struct(leftPayload.map(col): _*).as("__l"),
           lit(null).cast(rType).as("__r")): _*)
-    val r = right.select(
+    // a NULL rightTime row would sort FIRST (asc nulls-first) and
+    // become the prevailing match for everything before the first real
+    // right row — CH ASOF never matches a NULL asof key; drop them
+    val r = right.filter(col(rightTime).isNotNull).select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("__t"), lit(1).as("__side"),
           lit(null).cast(l.schema("__l").dataType).as("__l"),
@@ -169,11 +172,20 @@ object Relational {
       intervals: DataFrame, loCol: String, hiCol: String, binWidth: Long,
       keyCols: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p2 = points.withColumn("__bin",
-      floor(col(pointCol).cast("long") / binWidth))
+    // INTEGRAL division: Column `/` on longs is double division, whose
+    // 53-bit mantissa mis-bins values past 2^53 (epoch NANOS are
+    // ~2^60) — a boundary point would land in a bin its interval never
+    // exploded to and the pair would silently vanish. Truncating
+    // integer division is monotone for any sign, so lo ≤ p ≤ hi still
+    // implies bin(lo) ≤ bin(p) ≤ bin(hi).
+    def bin(c: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftSqlBridge.expression(c.cast("long")),
+          org.apache.spark.sql.catalyst.expressions.Literal(binWidth)))
+    val p2 = points.withColumn("__bin", bin(col(pointCol)))
     val i2 = intervals.withColumn("__bin",
-      explode(sequence(floor(col(loCol).cast("long") / binWidth),
-        floor(col(hiCol).cast("long") / binWidth))))
+      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
     p2.join(i2, keyCols :+ "__bin")
       .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
@@ -181,10 +193,11 @@ object Relational {
 
   /** ClickHouse `ORDER BY d WITH FILL` over a date axis: emit a row
     * for EVERY date in [from, to], filling absent dates with the given
-    * per-column defaults (CH fills numeric columns with 0). The fill
-    * axis is generated once (a handful of rows — one per day) and
-    * LEFT-joins the data; at scale the generated side broadcasts, so
-    * the data is never shuffled for the fill.
+    * per-column defaults (CH fills numeric columns with 0). Rows whose
+    * date falls OUTSIDE the range are kept, as CH keeps them — the
+    * axis full-outer-joins the data (the generated side is a handful
+    * of rows, so at scale the join broadcasts and the data is never
+    * shuffled for the fill).
     */
   def withFillDates(df: DataFrame, dateCol: String, from: String,
       to: String, defaults: Seq[(String, Column)]): DataFrame = {
@@ -192,7 +205,7 @@ object Relational {
       .select(explode(sequence(lit(from).cast("date"), lit(to).cast("date"),
         expr("interval 1 day"))).as(dateCol))
     val defMap = defaults.toMap
-    axis.join(df, Seq(dateCol), "left")
+    axis.join(df, Seq(dateCol), "full")
       .select(col(dateCol) +:
         df.columns.toIndexedSeq.filterNot(_ == dateCol).map(c =>
           defMap.get(c).map(d => coalesce(col(s"`$c`"), d).as(c))

@@ -44,10 +44,12 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // argument list that follows is matched by a balanced-paren scan
   private val quantileHead =
     """(?i)\b(quantile|quantileExact|quantileExactInclusive)\s*\(\s*([0-9.eE+-]+)\s*\)\s*\(""".r
-  private val prewhereBoth = """(?is)\bPREWHERE\b(.+?)\bWHERE\b""".r
-  private val prewhereAlone = """(?i)\bPREWHERE\b""".r
+  private val prewhereKw = """(?i)\bPREWHERE\b""".r
+  // values may be bare words/numbers OR a masked string literal (the
+  // \u0001N\u0001 placeholder — CH settings like join_algorithm='hash')
   private val settings =
-    """(?is)\bSETTINGS\s+\w+\s*=\s*[\w.]+(\s*,\s*\w+\s*=\s*[\w.]+)*""".r
+    ("""(?is)\bSETTINGS\s+\w+\s*=\s*(?:[\w.]+|\u0001\d+\u0001)""" +
+      """(\s*,\s*\w+\s*=\s*(?:[\w.]+|\u0001\d+\u0001))*""").r
   // a single-quoted SQL literal, '' being the escaped quote
   private val stringLit = """'(?:[^']|'')*'""".r
 
@@ -105,6 +107,47 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  /** Fold each PREWHERE into its own scope's WHERE. The merge target
+    * is found by a forward scan at paren depth 0 — a WHERE inside (or
+    * beyond) another subquery never pairs (a lazy regex would merge
+    * across scopes and corrupt the text). Stops at scope end or a
+    * same-depth clause keyword; with no WHERE in scope, PREWHERE
+    * simply becomes WHERE.
+    */
+  private def rewritePrewhere(text: String): String =
+    prewhereKw.findFirstMatchIn(text) match {
+      case None => text
+      case Some(m) =>
+        val rest = text.substring(m.end)
+        val stops = Set("GROUP", "ORDER", "HAVING", "LIMIT", "SETTINGS",
+          "UNION", "WINDOW", "QUALIFY")
+        var depth = 0
+        var i = 0
+        var whereAt = -1
+        var done = false
+        while (i < rest.length && whereAt < 0 && !done) {
+          val c = rest.charAt(i)
+          if (c == '(') { depth += 1; i += 1 }
+          else if (c == ')') {
+            if (depth == 0) done = true else { depth -= 1; i += 1 }
+          } else if (c.isLetter && depth == 0) {
+            val w = rest.substring(i)
+              .takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+            val up = w.toUpperCase
+            if (up == "WHERE") whereAt = i
+            else if (stops.contains(up)) done = true
+            else i += w.length
+          } else i += 1
+        }
+        val folded =
+          if (whereAt >= 0)
+            text.substring(0, m.start) +
+              s"WHERE (${rest.substring(0, whereAt).trim}) AND " +
+              rest.substring(whereAt + "WHERE".length)
+          else text.substring(0, m.start) + "WHERE" + rest
+        rewritePrewhere(folded) // each pass consumes one PREWHERE
+    }
+
   private def rewrite(sqlText: String): Option[String] = {
     val (masked, lits) = maskLiterals(sqlText)
     // ALL occurrences: the clause may appear in a subquery AND the
@@ -115,12 +158,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val afterLimit = limitOffset.replaceAllIn(afterTotals,
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     val afterQuantile = rewriteQuantiles(afterLimit)
-    // PREWHERE: fold into WHERE (with AND when both clauses exist)
-    val afterPrewhere = prewhereAlone.replaceAllIn(
-      prewhereBoth.replaceAllIn(afterQuantile,
-        m => java.util.regex.Matcher.quoteReplacement(
-          s"WHERE (${m.group(1).trim}) AND ")),
-      "WHERE")
+    val afterPrewhere = rewritePrewhere(afterQuantile)
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     Some(unmaskLiterals(rewritten, lits)).filter(_ != sqlText)
   }

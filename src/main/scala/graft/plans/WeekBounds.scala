@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DateType
 
 /** Partition-prune week directories from DATE predicates — the
@@ -76,8 +76,24 @@ object WeekBoundsRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** `week` must be an actual PARTITION column of the relation — the
+    * stamped date attribute alone is not enough: metadata travels with
+    * the column through arbitrary user transforms and rewrites, so a
+    * table carrying the stamp but a re-derived `week` DATA column
+    * would get a false bound. A partition-column `week` next to the
+    * stamped date column is the Warehouse layout (only
+    * `Warehouse.write` produces it), and it is also the only case
+    * where the derived predicate prunes anything.
+    */
+  private def weekIsPartitionCol(rel: LogicalRelation): Boolean =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.partitionSchema.fieldNames.contains(graft.sources.Warehouse.weekCol)
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, rel: LogicalRelation) =>
+    case f @ Filter(cond, rel: LogicalRelation) if weekIsPartitionCol(rel) =>
       rel.output.find(a =>
           a.name == graft.sources.Warehouse.weekCol &&
             a.dataType == DateType) match {

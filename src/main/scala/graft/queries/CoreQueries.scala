@@ -564,10 +564,10 @@ object CoreQueries {
         FROM events WHERE event_id % 97 = 0
         GROUP BY 1
       )
-      SELECT axis.day,
+      SELECT day,
              coalesce(sparse.n_signed, 0) AS n_signed,
              coalesce(sparse.value_signed, 0.0) AS value_signed
-      FROM axis LEFT JOIN sparse USING (day)
+      FROM axis FULL JOIN sparse USING (day)
       ORDER BY day"""))
 
   val defs: Seq[QueryDef] = Seq(

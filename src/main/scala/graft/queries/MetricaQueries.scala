@@ -59,14 +59,18 @@ object MetricaQueries {
 
   // the fixture is a pure function of the row index, so one build per
   // JVM suffices — without this, every q28/q29 execution (bench runs
-  // included) times a warehouse WRITE in front of the query
-  private val built = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // included) times a warehouse WRITE in front of the query. The flag
+  // flips only AFTER a successful write, under a lock: a concurrent
+  // caller must not read a half-written fixture, and a failed build
+  // must retry rather than poison every later call.
+  @volatile private var built = false
+  private val buildLock = new Object
 
   /** Build + write the fixture warehouse (once per JVM); returns the
     * read-back frame.
     */
   def fixture(spark: SparkSession): DataFrame = {
-    if (!built.getAndSet(true)) {
+    if (!built) buildLock.synchronized { if (!built) {
       import spark.implicits._
       val rows = for {
         i <- 0 until 40
@@ -81,7 +85,8 @@ object MetricaQueries {
       Warehouse.write(Metrica.conform(df, Metrica.visits), fixtureDir,
         Metrica.visitsPartitionDate, Metrica.visitsOrderKey,
         mode = "overwrite")
-    }
+      built = true
+    } }
     Warehouse.read(spark, fixtureDir)
   }
 

@@ -376,9 +376,10 @@ object PipelineQueries {
   // foreachBatch-appendable shape of a continuously-maintained ANN
   // index.
   // the index is a materialized artifact: build it once per (JVM, SF)
-  // — the benched operation is probe SERVING, not index construction
-  private val annIndexBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // — the benched operation is probe SERVING, not index construction.
+  // Marked built only AFTER a successful write, under a lock (a racing
+  // caller must not probe a half-written index; a failed build retries)
+  private val annIndexBuilt = scala.collection.mutable.Set[String]()
 
   val q45AnnIndexTopk = QueryDef(
     "q45_ann_index_topk",
@@ -387,9 +388,13 @@ object PipelineQueries {
       val probes = vecs.filter(col("vec_id") < 5)
       val idxDir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_" +
         new java.io.File(dir).getName
-      if (annIndexBuilt.add(idxDir))
-        Similarity.writeAnnIndex(vecs, "vec_id", "embedding", idxDir,
-          nBits = 4)
+      annIndexBuilt.synchronized {
+        if (!annIndexBuilt.contains(idxDir)) {
+          Similarity.writeAnnIndex(vecs, "vec_id", "embedding", idxDir,
+            nBits = 4)
+          annIndexBuilt += idxDir
+        }
+      }
       Similarity.annTopKFromIndex(s, idxDir, probes, "vec_id", "embedding",
           k = 10, nBits = 4)
         .select(col("probe_id"), col("rank"), col("id"),

@@ -66,12 +66,25 @@ object Sessionize {
             val prev = state.getOption.map(_.sessions).getOrElse(Seq.empty)
             val merged = mergeWithGap(
               prev ++ pts.iterator.map(p => Sess(p, p, 1)), gapUs)
-            state.update(UserSessions(merged))
-            // timeout in event-time MILLIS: fire once the watermark is
-            // past the newest event by more than the gap
-            state.setTimeoutTimestamp(
-              merged.iterator.map(_.last).max / 1000 + gapUs / 1000 + 1)
-            Iterator.empty
+            // a session already more than `gap` behind the watermark
+            // can never be extended (an extending event would be late
+            // beyond the watermark and dropped) — emit it NOW and drop
+            // it from state. Without this, a continuously-active key
+            // keeps resetting its timeout and closed sessions pile up
+            // in state forever: emission would wait for the key to go
+            // completely quiet, and state would not be bounded.
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val (closed, open) =
+              merged.partition(s => s.last + gapUs < wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(UserSessions(open))
+              // timeout in event-time MILLIS: fire once the watermark
+              // is past the newest event by more than the gap
+              state.setTimeoutTimestamp(
+                open.iterator.map(_.last).max / 1000 + gapUs / 1000 + 1)
+            }
+            closed.iterator.map(s => SessionOut(user, s.start, s.n))
           }
       }
   }

@@ -220,6 +220,18 @@ class ChDialectSpec extends SparkSpec {
       FROM chx_t""").collect().head
     assert(r3.getString(0) == "PREWHERE x SETTINGS a=1")
     assert(r3.getDouble(1) == 5.0)
+    // a PREWHERE must NOT merge with a WHERE from a sibling subquery
+    val r4 = spark.sql("""
+      SELECT a.n + b.m AS s FROM
+        (SELECT count(1) AS n FROM chx_t PREWHERE k = 0) a
+        CROSS JOIN (SELECT count(1) AS m FROM chx_t WHERE v >= 9) b
+      SETTINGS x=1""").collect().head
+    assert(r4.getLong(0) == 6L + 2L) // 6 evens + {9, 10}
+    // string-valued settings strip too
+    val r5 = spark.sql("""
+      SELECT quantile(0.5)(v) AS m FROM chx_t
+      SETTINGS join_algorithm='hash', max_threads=2""").collect().head
+    assert(r5.getDouble(0) == 5.0)
   }
 
   test("type conversions widen per the documented mapping; intDiv truncates") {

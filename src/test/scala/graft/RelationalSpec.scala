@@ -112,6 +112,13 @@ class RelationalSpec extends SparkSpec {
       (1L, 205L, "t2", Some(2.0)), // not yet 300
       (2L, 50L, "t3", Some(9.0)),
       (3L, 10L, "t4", None))) // key with no right rows
+    // a NULL right time must never become the prevailing match
+    val badQuotes = Seq((3L, Option.empty[Long], 7.0),
+      (3L, Some(20L), 8.0)).toDF("k", "qt", "px")
+    val g2 = asofJoin(trades.filter($"k" === 3), badQuotes, Seq("k"),
+      "t", "qt", Seq("px"))
+      .select($"tag", $"px").as[(String, Option[Double])].collect().toSet
+    assert(g2 == Set(("t4", None))) // t=10 < 20; null-time row ignored
   }
 
   test("rangeJoinBinned equals the naive inequality join") {
@@ -129,6 +136,16 @@ class RelationalSpec extends SparkSpec {
     val wide = rangeJoinBinned(pts, "p", ivs, "lo", "hi", binWidth = 2)
       .select($"tag", $"label").as[(String, String)].collect()
     assert(wide.length == wide.distinct.length)
+    // epoch-NANO magnitudes (> 2^53, where double division mis-bins):
+    // a boundary point one ns inside the interval must still match
+    val base = 1700000000000000000L // ~2^60.6
+    val npts = Seq((base + 999999999L, "n1"), (base + 1000000000L, "n2"))
+      .toDF("p", "tag")
+    val nivs = Seq((base, base + 999999999L, "w1")).toDF("lo", "hi", "label")
+    val ngot = rangeJoinBinned(npts, "p", nivs, "lo", "hi",
+        binWidth = 1000000000L)
+      .select($"tag", $"label").as[(String, String)].collect().toSet
+    assert(ngot == Set(("n1", "w1"))) // n2 is 1 ns past hi
   }
 
   test("limitBy keeps the first n per key under the stated order") {
