@@ -48,8 +48,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // values may be bare words/numbers OR a masked string literal (the
   // \u0001N\u0001 placeholder — CH settings like join_algorithm='hash')
   private val settings =
-    ("""(?is)\bSETTINGS\s+\w+\s*=\s*(?:[\w.]+|\u0001\d+\u0001)""" +
-      """(\s*,\s*\w+\s*=\s*(?:[\w.]+|\u0001\d+\u0001))*""").r
+    ("""(?is)\bSETTINGS\s+\w+\s*=\s*(?:[\w.]+|\x01\d+\x01)""" +
+      """(\s*,\s*\w+\s*=\s*(?:[\w.]+|\x01\d+\x01))*""").r
   // a single-quoted SQL literal, '' being the escaped quote
   private val stringLit = """'(?:[^']|'')*'""".r
 
