@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Truncating INTEGRAL division `c DIV divisor` as a Column. Column
+    * `/` on longs is double division, whose 53-bit mantissa mis-bins
+    * values past 2^53 (epoch NANOS are ~2^60); truncating integer
+    * division is exact and monotone for a positive divisor, so
+    * lo ≤ p ≤ hi still implies bin(lo) ≤ bin(p) ≤ bin(hi).
+    */
+  private def intDiv(c: Column, divisor: Long): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftSqlBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(divisor)))
+
   /** ClickHouse `GROUP BY keys WITH TOTALS` (README.md:83): the grouped
     * rows plus ONE grand-total row (group keys null). Implemented with
     * `groupingSets((keys), ())` — exactly CH's lattice, one aggregation
@@ -113,11 +125,30 @@ object Relational {
     * versions). Spark has no builtin; the naive formulation (equi-join
     * + inequality + per-left max) plans the inequality as a join
     * filter after a full equi-match — every left row meets every
-    * same-key right row. This implementation is the scalable shape:
-    * UNION both sides tagged, ONE shuffle on the key, one sort by
-    * (time, side), and a running `last(right_payload)` window — each
-    * left row reads the prevailing right values in a single pass, cost
-    * O((|L|+|R|) log) per key with no pair blowup on hot keys.
+    * same-key right row. This implementation is the scalable
+    * two-pass prefix-scan shape:
+    *
+    *  1. UNION both sides tagged and partition by (key, CHUNK) where
+    *     chunk = time DIV chunkWidth — a running `last(right_payload)`
+    *     window inside each chunk resolves every left row whose
+    *     prevailing right row lives in its own chunk. Parallelism is
+    *     #keys × #chunks, not #keys: a hot key's history spreads over
+    *     many tasks instead of sorting in one (the classic asof
+    *     scale-killer — the join key is often low-cardinality, e.g. an
+    *     event type or instrument class).
+    *  2. A tiny carry table — one row per (key, chunk) present in the
+    *     data, payload = the chunk's LAST right record — is windowed
+    *     per key (cheap: the table is already aggregate-sized) to give
+    *     each chunk the prevailing record carried in from earlier
+    *     chunks, then BROADCAST-joined back to fix up rows that
+    *     precede their chunk's first right row.
+    *
+    * Cost: one full shuffle on (key, chunk) for the window, plus one
+    * map-side-reduced shuffle (partial aggregation collapses each task
+    * to one row per (key, chunk)) for the carry table. Pick
+    * `chunkWidth` so a single key's rows per chunk fit a task
+    * comfortably and #chunks per key stays ≤ ~10⁵ (the carry table
+    * must broadcast).
     *
     * Ties (right.time == left.time) match, as in CH ASOF `<=`: the
     * right row sorts before the left row at equal times. Rows with no
@@ -127,7 +158,8 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], chunkWidth: Long = Long.MaxValue): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
     val leftPayload = left.columns.toIndexedSeq
     val rType = org.apache.spark.sql.types.StructType(
       right.select(rightCols.map(col): _*).schema.fields)
@@ -144,14 +176,39 @@ object Relational {
         Seq(col(rightTime).as("__t"), lit(1).as("__side"),
           lit(null).cast(l.schema("__l").dataType).as("__l"),
           struct(rightCols.map(col): _*).as("__r")): _*)
-    // at equal __t the right row (side=1) must precede the left row so
-    // a same-instant right record prevails (CH's <= bound)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    // truncating integral division is monotone for a positive divisor
+    // (see rangeJoinBinned), so t1 ≤ t2 ⇒ chunk(t1) ≤ chunk(t2) and the
+    // carry logic below is sound; a NULL left time yields a NULL chunk,
+    // joins nothing, and matches nothing — same as the unchunked form
+    val u = l.unionByName(r).withColumn("__chunk",
+      intDiv(col("__t").cast("long"), chunkWidth))
+    val grpCols = (keyCols :+ "__chunk").map(col)
+    // pass 1: within-chunk running last; at equal __t the right row
+    // (side=1) must precede the left row so a same-instant right
+    // record prevails (CH's <= bound)
+    val wIn = Window.partitionBy(grpCols: _*)
       .orderBy(col("__t").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("__prev", last(col("__r"), ignoreNulls = true).over(w))
+    val within = u
+      .withColumn("__in", last(col("__r"), ignoreNulls = true).over(wIn))
       .filter(col("__side") === 0)
+    // pass 2: per-(key, chunk) last right record (max_by ignores rows
+    // whose ordering expr is NULL, i.e. left rows), windowed per key
+    // over the CHUNK axis to produce each chunk's carried-in record.
+    // Column pruning drops __l from this branch, and partial
+    // aggregation makes its shuffle carry ~one row per (key, chunk).
+    val carry = u
+      .groupBy(grpCols: _*)
+      .agg(max_by(col("__r"),
+        when(col("__side") === 1, col("__t"))).as("__last"))
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true)
+        .over(Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__chunk").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(grpCols :+ col("__carry"): _*)
+    within
+      .join(broadcast(carry), keyCols :+ "__chunk", "left")
+      .withColumn("__prev", coalesce(col("__in"), col("__carry")))
       .select(col("__l.*") +: rightCols.map(c =>
         col(s"__prev.`$c`").as(c)): _*)
   }
@@ -172,17 +229,9 @@ object Relational {
       intervals: DataFrame, loCol: String, hiCol: String, binWidth: Long,
       keyCols: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // INTEGRAL division: Column `/` on longs is double division, whose
-    // 53-bit mantissa mis-bins values past 2^53 (epoch NANOS are
-    // ~2^60) — a boundary point would land in a bin its interval never
-    // exploded to and the pair would silently vanish. Truncating
-    // integer division is monotone for any sign, so lo ≤ p ≤ hi still
-    // implies bin(lo) ≤ bin(p) ≤ bin(hi).
-    def bin(c: Column): Column =
-      org.apache.spark.sql.GraftSqlBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftSqlBridge.expression(c.cast("long")),
-          org.apache.spark.sql.catalyst.expressions.Literal(binWidth)))
+    // a double-division bin would silently vanish boundary pairs past
+    // 2^53 (see intDiv)
+    def bin(c: Column): Column = intDiv(c.cast("long"), binWidth)
     val p2 = points.withColumn("__bin", bin(col(pointCol)))
     val i2 = intervals.withColumn("__bin",
       explode(sequence(bin(col(loCol)), bin(col(hiCol)))))

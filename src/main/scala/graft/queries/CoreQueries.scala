@@ -434,8 +434,12 @@ object CoreQueries {
         .groupBy(col("event_type"), col("wk"))
         .agg(min(col("t")).as("cp_ts"), count(lit(1)).as("rate"))
         .select(col("event_type"), col("cp_ts"), col("rate"))
+      // chunkWidth = 1 day in micros: event_type has cardinality ~5, so
+      // the unchunked form would sort each type's whole history in ONE
+      // task; day chunks spread it over #types × #days tasks
       asofJoin(e.select(col("event_type"), col("t")), cp,
-          Seq("event_type"), "t", "cp_ts", Seq("cp_ts", "rate"))
+          Seq("event_type"), "t", "cp_ts", Seq("cp_ts", "rate"),
+          chunkWidth = 86_400_000_000L)
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),

@@ -51,4 +51,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
     }
   }
+
+  test("q61: the asof window shuffle partitions by (key, chunk), " +
+      "and the carry fix-up is broadcast") {
+    // the scale property of the two-pass asof: the full-data exchange
+    // must spread a hot key over its time chunks, never funnel it into
+    // one task; the chunk-boundary carry table joins back via broadcast
+    val p = plan("q61_asof_join")
+    val exchangeOnChunk = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__chunk"))
+    assert(exchangeOnChunk, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

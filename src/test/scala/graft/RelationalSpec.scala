@@ -104,21 +104,44 @@ class RelationalSpec extends SparkSpec {
       (3L, 10L, "t4")).toDF("k", "t", "tag")
     val quotes = Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (1L, 300L, 3.0),
       (2L, 49L, 9.0)).toDF("k", "qt", "px")
-    val got = asofJoin(trades, quotes, Seq("k"), "t", "qt", Seq("px"))
+    // chunkWidth 64 puts t=100 and t=205 in DIFFERENT chunks from their
+    // prevailing quotes' neighbours, exercising the carry path alongside
+    // the within-chunk path
+    val got = asofJoin(trades, quotes, Seq("k"), "t", "qt", Seq("px"),
+        chunkWidth = 64)
       .select($"k", $"t", $"tag", $"px")
       .as[(Long, Long, String, Option[Double])].collect().toSet
     assert(got == Set(
       (1L, 100L, "t1", Some(1.0)), // tie: right at the same instant
-      (1L, 205L, "t2", Some(2.0)), // not yet 300
+      (1L, 205L, "t2", Some(2.0)), // not yet 300; 200 carried from chunk 3
       (2L, 50L, "t3", Some(9.0)),
       (3L, 10L, "t4", None))) // key with no right rows
     // a NULL right time must never become the prevailing match
     val badQuotes = Seq((3L, Option.empty[Long], 7.0),
       (3L, Some(20L), 8.0)).toDF("k", "qt", "px")
     val g2 = asofJoin(trades.filter($"k" === 3), badQuotes, Seq("k"),
-      "t", "qt", Seq("px"))
+      "t", "qt", Seq("px"), chunkWidth = 64)
       .select($"tag", $"px").as[(String, Option[Double])].collect().toSet
     assert(g2 == Set(("t4", None))) // t=10 < 20; null-time row ignored
+  }
+
+  test("asofJoin: chunked two-pass equals the single-chunk form") {
+    // dense per-key histories where most chunks contain NO right row
+    // (carry must skip over empty chunks) and some contain several
+    val left = (0 until 400).map(i => ((i % 3).toLong, (i * 7L) % 997, s"e$i"))
+      .toDF("k", "t", "tag")
+    val right = (0 until 40).map(i => ((i % 3).toLong, (i * 53L) % 991, i))
+      .toDF("k", "rt", "rv")
+    for (width <- Seq(1L, 10L, 128L, 100000L)) {
+      val chunked = asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"),
+          chunkWidth = width)
+        .select($"k", $"t", $"tag", $"rv")
+        .as[(Long, Long, String, Option[Int])].collect().toSet
+      val single = asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+        .select($"k", $"t", $"tag", $"rv")
+        .as[(Long, Long, String, Option[Int])].collect().toSet
+      assert(chunked == single, s"chunkWidth=$width")
+    }
   }
 
   test("rangeJoinBinned equals the naive inequality join") {
