@@ -243,22 +243,64 @@ object Relational {
   /** ClickHouse `ORDER BY d WITH FILL` over a date axis: emit a row
     * for EVERY date in [from, to], filling absent dates with the given
     * per-column defaults (CH fills numeric columns with 0). Rows whose
-    * date falls OUTSIDE the range are kept, as CH keeps them — the
-    * axis full-outer-joins the data (the generated side is a handful
-    * of rows, so at scale the join broadcasts and the data is never
-    * shuffled for the fill).
+    * date falls OUTSIDE the range are kept, as CH keeps them.
+    *
+    * Scale shape (see [[fillAxis]]): the data is NEVER joined or
+    * shuffled — every data row passes through untouched, and only the
+    * MISSING axis rows (axis ANTI-JOIN distinct-present-dates, both
+    * axis-bounded) are unioned in.
     */
   def withFillDates(df: DataFrame, dateCol: String, from: String,
       to: String, defaults: Seq[(String, Column)]): DataFrame = {
     val axis = df.sparkSession.range(1)
       .select(explode(sequence(lit(from).cast("date"), lit(to).cast("date"),
         expr("interval 1 day"))).as(dateCol))
+    fillAxis(df, dateCol, axis,
+      col(dateCol) >= lit(from).cast("date") &&
+        col(dateCol) <= lit(to).cast("date"),
+      defaults)
+  }
+
+  /** CH `WITH FILL FROM a TO b STEP s` on a NUMERIC axis: emit a row
+    * for every grid value a, a+s, … < b (CH's TO bound is exclusive),
+    * filling absent grid values with the given defaults; off-grid and
+    * out-of-range data rows pass through, as in CH. Same
+    * never-shuffle-the-data shape as [[withFillDates]].
+    */
+  def withFillNumeric(df: DataFrame, axisCol: String, from: Long, to: Long,
+      step: Long, defaults: Seq[(String, Column)]): DataFrame = {
+    require(step > 0, "STEP must be positive")
+    val axisType = df.schema(axisCol).dataType
+    val axis = df.sparkSession.range(1)
+      .select(explode(sequence(lit(from), lit(to), lit(step))).as(axisCol))
+      .filter(col(axisCol) < to) // CH TO is exclusive; sequence() is not
+      .select(col(axisCol).cast(axisType).as(axisCol))
+    fillAxis(df, axisCol, axis,
+      col(axisCol) >= lit(from) && col(axisCol) < lit(to), defaults)
+  }
+
+  /** Shared WITH FILL core. The earlier formulation full-outer-joined
+    * axis×data — a full outer is never broadcast-hash-joinable
+    * (JoinSelection excludes it), so the whole data side shuffled on
+    * the axis key. Here the data side streams through with ZERO
+    * shuffle: the only aggregation is `distinct` of the axis column
+    * RESTRICTED to the fill range (map-side partial aggregation
+    * reduces it to ≤ range-cardinality rows per task), the anti-join
+    * against the generated axis is tiny×small (present side
+    * broadcast), and the missing rows union in. `inRange` must bound
+    * the axis column to the fill range so the distinct is
+    * axis-bounded, not data-bounded.
+    */
+  private def fillAxis(df: DataFrame, axisCol: String, axis: DataFrame,
+      inRange: Column, defaults: Seq[(String, Column)]): DataFrame = {
     val defMap = defaults.toMap
-    axis.join(df, Seq(dateCol), "full")
-      .select(col(dateCol) +:
-        df.columns.toIndexedSeq.filterNot(_ == dateCol).map(c =>
-          defMap.get(c).map(d => coalesce(col(s"`$c`"), d).as(c))
-            .getOrElse(col(s"`$c`"))): _*)
+    val present = df.select(col(s"`$axisCol`")).filter(inRange).distinct()
+    val missing = axis.join(broadcast(present), Seq(axisCol), "left_anti")
+      .select(col(s"`$axisCol`") +:
+        df.columns.toIndexedSeq.filterNot(_ == axisCol).map(c =>
+          defMap.getOrElse(c, lit(null))
+            .cast(df.schema(c).dataType).as(c)): _*)
+    df.unionByName(missing)
   }
 
   /** ClickHouse `LIMIT n BY key`: the first `n` rows of each key group

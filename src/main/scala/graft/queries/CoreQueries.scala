@@ -574,10 +574,43 @@ object CoreQueries {
       FROM axis FULL JOIN sparse USING (day)
       ORDER BY day"""))
 
+  // ---------------------------------------------------------------------
+  // CH `WITH FILL FROM 0 TO 100 STEP 2` on a NUMERIC axis: events
+  // bucketed onto multiples of 3 (sparse on the even grid), absent grid
+  // values filled with zero defaults, off-grid buckets (odd multiples
+  // of 3) passing through as CH keeps them. TO is exclusive (CH
+  // semantics); the oracle generates the same grid with DuckDB's
+  // exclusive-stop range() + FULL JOIN + coalesce.
+  val q66WithFillNumeric = QueryDef(
+    "q66_with_fill_numeric",
+    (s, dir) => {
+      val binned = Graft.table(s, dir, "events")
+        .groupBy((pmod(col("event_id"), lit(37)) * 3).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("value")), 2).as("v"))
+      withFillNumeric(binned, "bucket", from = 0, to = 100, step = 2,
+          Seq("n" -> lit(0L), "v" -> lit(0.0)))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH sparse AS (
+        SELECT CAST((event_id % 37) * 3 AS BIGINT) AS bucket,
+               CAST(count(1) AS BIGINT) AS n,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1
+      ), axis AS (
+        SELECT CAST(r.range AS BIGINT) AS bucket FROM range(0, 100, 2) r
+      )
+      SELECT bucket, coalesce(sparse.n, 0) AS n,
+             coalesce(sparse.v, 0.0) AS v
+      FROM axis FULL JOIN sparse USING (bucket)
+      ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
     q20RatioAlias, q36AliasWhere, q39SaltedJoin, q61AsofJoin, q62LimitBy,
-    q63RangeJoin, q64WithFill)
+    q63RangeJoin, q64WithFill, q66WithFillNumeric)
 }

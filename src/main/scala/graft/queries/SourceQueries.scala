@@ -369,7 +369,7 @@ object SourceQueries {
         .select(col("event_id"), col("user_id"), col("value"),
           to_date(col("ts")).as("d"))
       graft.sources.Warehouse.write(ev, s"$base/hot", "d", Seq("event_id"))
-      graft.sources.Warehouse.tierByTtl(s"$base/hot", s"$base/cold",
+      graft.sources.Warehouse.tierByTtl(s, s"$base/hot", s"$base/cold",
         java.time.LocalDate.parse(cutoff))
       def side(dirName: String, tag: String, ok: org.apache.spark.sql.Column) =
         graft.sources.Warehouse.read(s, s"$base/$dirName")

@@ -89,27 +89,38 @@ object Warehouse {
     * partitions whose Monday is before `cutoffMonday` MOVE to
     * `coldDir`. A move is one directory rename per partition — never a
     * data rewrite; at 100 TB a TTL that rewrites is a full-table job,
-    * a partition move is a metadata operation (on object storage this
-    * maps to the store's rename/lifecycle API). Returns the moved
-    * partition names. [[readTiered]] unions the tiers back into one
-    * logical table.
+    * a partition move is a metadata operation. Goes through Hadoop
+    * [[org.apache.hadoop.fs.FileSystem]] resolved from the session's
+    * configuration, so the same call works on `file:`, HDFS, and
+    * s3a (where the store maps rename to its server-side copy). Both
+    * tiers must resolve to the SAME FileSystem — a cross-store tier
+    * move is a data copy, not a rename, and belongs to a distcp-style
+    * job, not a metadata pass. Returns the moved partition names.
+    * [[readTiered]] unions the tiers back into one logical table.
     */
-  def tierByTtl(tableDir: String, coldDir: String,
+  def tierByTtl(spark: SparkSession, tableDir: String, coldDir: String,
       cutoffMonday: java.time.LocalDate): Seq[String] = {
-    val hot = new java.io.File(tableDir)
-    val aged = Option(hot.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$weekCol="))
-      .filter { f =>
-        val day = f.getName.substring(weekCol.length + 1)
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val hotPath = new Path(tableDir)
+    val fs = hotPath.getFileSystem(conf)
+    val coldPath = fs.makeQualified(new Path(coldDir))
+    require(coldPath.getFileSystem(conf).getUri == fs.getUri,
+      s"hot ($tableDir) and cold ($coldDir) tiers must share a FileSystem")
+    if (!fs.exists(hotPath)) return Nil
+    val aged = fs.listStatus(hotPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$weekCol="))
+      .filter { st =>
+        val day = st.getPath.getName.substring(weekCol.length + 1)
         java.time.LocalDate.parse(day).isBefore(cutoffMonday)
       }
-    val cold = new java.io.File(coldDir)
-    cold.mkdirs()
-    aged.map { f =>
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(cold, f.getName).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      f.getName
+    fs.mkdirs(coldPath)
+    aged.map { st =>
+      val dest = new Path(coldPath, st.getPath.getName)
+      require(fs.rename(st.getPath, dest),
+        s"tier move failed: ${st.getPath} -> $dest")
+      st.getPath.getName
     }.toSeq.sorted
   }
 
@@ -119,9 +130,11 @@ object Warehouse {
     */
   def readTiered(spark: SparkSession, hotDir: String,
       coldDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val hot = read(spark, hotDir)
-    if (new java.io.File(coldDir).isDirectory &&
-        Option(new java.io.File(coldDir).list()).exists(_.nonEmpty))
+    val coldPath = new Path(coldDir)
+    val fs = coldPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(coldPath) && fs.listStatus(coldPath).nonEmpty)
       hot.unionByName(read(spark, coldDir))
     else hot
   }

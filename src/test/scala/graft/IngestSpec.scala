@@ -115,6 +115,27 @@ class IngestSpec extends SparkSpec {
     assert(got.columns.contains(Warehouse.weekCol))
   }
 
+  test("tierByTtl moves aged week partitions via the Hadoop FileSystem " +
+      "(explicit file: scheme)") {
+    val base = Files.createTempDirectory("graft_ttl_spec").toString
+    Warehouse.write(visitRows(Seq(
+        (1L, 1L, 1, "2023-11-01"), (2L, 1L, 1, "2023-11-08"),
+        (3L, 1L, 1, "2023-11-15"))),
+      s"$base/hot", "d", Seq("id", "ver"))
+    // scheme-qualified URIs exercise the FileSystem resolution path the
+    // java.io.File implementation could not serve (s3a/HDFS analogue)
+    val moved = Warehouse.tierByTtl(spark, s"file:$base/hot",
+      s"file:$base/cold", java.time.LocalDate.parse("2023-11-13"))
+    assert(moved == Seq("week=2023-10-30", "week=2023-11-06"))
+    assert(Warehouse.read(spark, s"$base/cold").count() == 2)
+    assert(Warehouse.read(spark, s"$base/hot").count() == 1)
+    assert(Warehouse.readTiered(spark, s"file:$base/hot", s"file:$base/cold")
+      .count() == 3)
+    // idempotent: nothing left to move
+    assert(Warehouse.tierByTtl(spark, s"file:$base/hot", s"file:$base/cold",
+      java.time.LocalDate.parse("2023-11-13")).isEmpty)
+  }
+
   test("multi-batch drain (maxFilesPerTrigger) lands every file once") {
     val base = Files.createTempDirectory("graft_ingest_spec3").toString
     val srcDir = s"$base/src"

@@ -52,6 +52,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q64/q66: WITH FILL never full-outer-joins or reshuffles the data " +
+      "side — missing axis rows arrive via a broadcast anti-join union") {
+    // a full outer join is never broadcast-hash-joinable, so the old
+    // axis-FULL-JOIN-data fill shuffled the whole data side on the axis
+    // key; the union shape must keep the fill off the data path
+    for (q <- Seq("q64_with_fill", "q66_with_fill_numeric")) {
+      val p = plan(q)
+      assert(!p.contains("FullOuter"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), q)
+    }
+  }
+
   test("q61: the asof window shuffle partitions by (key, chunk), " +
       "and the carry fix-up is broadcast") {
     // the scale property of the two-pass asof: the full-data exchange
