@@ -122,8 +122,23 @@ object Dedup {
     * than maxBucket is dropped, because a "near-duplicate class" that
     * large is really a template/boilerplate cluster that deserves its
     * own handling, not C(n,2) pair emission.
+    *
+    * Buckets under the cap can still be huge — C(10⁴, 2) ≈ 5·10⁷ pairs
+    * would expand inside ONE task if a bucket's sorted id list pairs up
+    * where it lands after the group-by. So expansion is CHUNKED: a
+    * bucket's list splits into √maxBucket-sized contiguous slices, one
+    * row per (slice_i, slice_j ≥ i) chunk pair, and a repartition on
+    * (bucket, ci, cj) spreads those rows across tasks before they
+    * expand — each task row yields ≤ maxBucket pairs. Buckets that fit
+    * one chunk (the overwhelming majority) emit a single chunk-pair
+    * row, so their cost is unchanged except the repartition pass,
+    * whose volume is ≈ the bucket lists themselves (each id travels
+    * once per chunk-pair touching its slice — once, for one-chunk
+    * buckets). Sortedness of the list makes cross-chunk pairs ordered
+    * (everything in slice i < everything in slice j>i), so the a<b
+    * invariant holds without comparison.
     */
-  private def pairsWithinBuckets(buckets: DataFrame, idCol: String,
+  private[graft] def pairsWithinBuckets(buckets: DataFrame, idCol: String,
       maxBucket: Int, obs: Option[Observation]): DataFrame = {
     val sized = buckets.groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
@@ -131,17 +146,39 @@ object Dedup {
     // observability for the cap: a boilerplate-heavy corpus silently
     // losing recall through dropped buckets must be visible — the
     // observation rides the existing aggregation (no extra job) and
-    // reports after the consuming action completes
+    // reports after the consuming action completes. Single consumer
+    // downstream: a branched plan would duplicate the observe node and
+    // double-count the metrics.
     val metered = obs.fold(sized)(o => sized.observe(o,
       sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
         .as("dropped_buckets"),
       sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))
         .otherwise(0L)).as("dropped_ids"),
       coalesce(max(size(col("ids"))), lit(0)).as("widest_bucket")))
+    val chunkSize = math.max(16, math.ceil(math.sqrt(maxBucket)).toInt)
+    val cs = lit(chunkSize)
+    val nChunks = when(size(col("ids")) <= cs, lit(1))
+      .otherwise(ceil(size(col("ids")).cast("double") / cs).cast("int"))
     metered.filter(size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("band"), col("bkey"), col("ids"),
+        explode(flatten(transform(sequence(lit(0), nChunks - 1), ci =>
+          transform(sequence(ci, nChunks - 1), cj =>
+            struct(ci.as("ci"), cj.as("cj")))))).as("cp"))
+      .select(col("band"), col("bkey"),
+        col("cp.ci").as("ci"), col("cp.cj").as("cj"),
+        slice(col("ids"), col("cp.ci") * cs + 1, cs).as("ids_a"),
+        slice(col("ids"), col("cp.cj") * cs + 1, cs).as("ids_b"))
+      .repartition(col("band"), col("bkey"), col("ci"), col("cj"))
+      .select(explode(when(col("ci") === col("cj"),
+          // within-chunk: ordered combinations of the slice
+          flatten(transform(col("ids_a"), (a, i) =>
+            transform(slice(col("ids_a"), i + 2, size(col("ids_a"))),
+              b => struct(a.as("id_a"), b.as("id_b"))))))
+        .otherwise(
+          // cross-chunk: full product; slice ci < slice cj elementwise
+          flatten(transform(col("ids_a"), a =>
+            transform(col("ids_b"),
+              b => struct(a.as("id_a"), b.as("id_b"))))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }

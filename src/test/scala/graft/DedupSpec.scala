@@ -122,4 +122,26 @@ class DedupSpec extends SparkSpec {
     assert(m("dropped_ids").asInstanceOf[Long] == 16L * 5)
     assert(m("widest_bucket").asInstanceOf[Int] == 5)
   }
+
+  test("giant buckets expand chunk-pairs across tasks, never C(n,2) in one") {
+    // a planted single bucket of 600 ids: chunkSize = ceil(sqrt(10000))
+    // = 100 → 6 chunks → 21 chunk-pair rows spread by the repartition;
+    // output must still be every one of the C(600,2) ordered pairs
+    val n = 600
+    val buckets = (0 until n).map(i => (i.toLong, 0, 7L))
+      .toDF("doc_id", "band", "bkey")
+    val pairs = Dedup.pairsWithinBuckets(buckets, "doc_id",
+      maxBucket = 10000, obs = None)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    val sample = pairs.filter($"id_a" === 0L).as[(Long, Long)]
+      .collect().toSet
+    assert(sample == (1 until n).map(b => (0L, b.toLong)).toSet)
+    assert(pairs.filter($"id_a" >= $"id_b").isEmpty)
+    // the scale property: the expansion runs AFTER an exchange keyed by
+    // the chunk indices, so one bucket's 21 chunk-pair rows spread over
+    // distinct tasks instead of expanding C(600,2) pairs in one
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("hashpartitioning") &&
+      l.contains("ci#") && l.contains("cj#")), plan)
+  }
 }
