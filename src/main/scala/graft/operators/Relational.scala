@@ -291,7 +291,7 @@ object Relational {
     * the axis column to the fill range so the distinct is
     * axis-bounded, not data-bounded.
     */
-  private def fillAxis(df: DataFrame, axisCol: String, axis: DataFrame,
+  private[graft] def fillAxis(df: DataFrame, axisCol: String, axis: DataFrame,
       inRange: Column, defaults: Seq[(String, Column)]): DataFrame = {
     val defMap = defaults.toMap
     val present = df.select(col(s"`$axisCol`")).filter(inRange).distinct()

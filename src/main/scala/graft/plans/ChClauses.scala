@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** CH clauses that cannot be expressed as a pure text rewrite because
+  * their expansion needs the child's resolved schema:
+  *
+  *  - `LIMIT [offset,] n BY keys` — first n rows per key group under
+  *    the scope's ORDER BY. Expands to window-rank + filter, with the
+  *    final re-sort kept ABOVE the filter so the global order contract
+  *    survives.
+  *  - `ORDER BY ax WITH FILL FROM a TO b [STEP s]` — emit a row for
+  *    every axis grid value in [a, b) (CH's TO is exclusive), filling
+  *    the other columns with CH TYPE DEFAULTS (0 / '' / ...), which are
+  *    unknowable until the child resolves.
+  *
+  * [[graft.plans.TotalsParser]] strips the clause from the SQL text,
+  * parses the reduced text with the delegate, and wraps these MARKER
+  * nodes around the right subplan; [[ChClauseRule]] (injected as a
+  * resolution rule) expands each marker once its child is resolved.
+  * The fill expansion is the same never-shuffle-the-data shape as
+  * `Relational.fillAxis`: the axis grid is a driver-built
+  * LocalRelation (bounds are constants by CH grammar), the present
+  * axis values aggregate map-side, the anti-join is broadcast, and the
+  * data branch streams into the Union untouched.
+  */
+case class ChLimitBy(n: Int, offset: Int, keys: Seq[Expression],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): ChLimitBy =
+    copy(child = newChild)
+}
+
+case class ChWithFill(axis: String, from: Literal, to: Literal,
+    step: Option[Literal], child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): ChWithFill =
+    copy(child = newChild)
+}
+
+case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case ChLimitBy(n, off, keys, child)
+          if child.resolved && keys.forall(_.resolved) =>
+        rewriteLimitBy(n, off, keys, child)
+      case ChWithFill(ax, from, to, step, child) if child.resolved =>
+        rewriteFill(ax, from, to, step, child)
+    }
+
+  /** CH applies LIMIT BY after ORDER BY: when the marker sits on a
+    * Sort, the rank window reuses the sort order (computed on the
+    * UNSORTED child — the window's partition-local sort is all it
+    * needs) and the global Sort re-applies above the filter. Without
+    * an ORDER BY the keys themselves order (CH would use stream
+    * order, which a distributed engine cannot reproduce).
+    */
+  private def rewriteLimitBy(n: Int, off: Int, keys: Seq[Expression],
+      child: LogicalPlan): LogicalPlan = child match {
+    case Sort(order, true, inner, _) =>
+      Sort(order, global = true, limitByCore(n, off, keys, order, inner))
+    case _ =>
+      limitByCore(n, off, keys,
+        keys.map(k => SortOrder(k, Ascending)), child)
+  }
+
+  private def limitByCore(n: Int, off: Int, keys: Seq[Expression],
+      order: Seq[SortOrder], child: LogicalPlan): LogicalPlan = {
+    val rn = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(keys, order, UnspecifiedFrame)), "__graft_rn")()
+    val windowed = Project(child.output :+ rn, child)
+    val rnRef = rn.toAttribute
+    val cond =
+      if (off > 0) And(GreaterThan(rnRef, Literal(off)),
+        LessThanOrEqual(rnRef, Literal(off + n)))
+      else LessThanOrEqual(rnRef, Literal(n))
+    Project(child.output, Filter(cond, windowed))
+  }
+
+  private def rewriteFill(axName: String, from: Literal, to: Literal,
+      stepOpt: Option[Literal], child: LogicalPlan): LogicalPlan = {
+    val resolver = spark.sessionState.conf.resolver
+    val axisAttr = child.output.find(a => resolver(a.name, axName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"WITH FILL axis `$axName` is not an output column of the query"))
+    def asLong(l: Literal): Long = l.value match {
+      case i: Int => i.toLong
+      case l2: Long => l2
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"WITH FILL bound must be integral or date, got $other")
+    }
+    // step: plain integer, or INTERVAL n DAY on a date axis
+    val step: Long = stepOpt.fold(1L) { s =>
+      s.value match {
+        case iv: org.apache.spark.unsafe.types.CalendarInterval
+            if iv.months == 0 && iv.microseconds == 0 => iv.days.toLong
+        case _ => asLong(s)
+      }
+    }
+    require(step > 0, "WITH FILL STEP must be positive")
+    // the grid is constant-bounded by grammar — build it driver-side;
+    // internal reps: DateType = Int epoch days, integrals as themselves
+    val (axisType, rows): (DataType, Seq[InternalRow]) =
+      axisAttr.dataType match {
+        case DateType =>
+          require(from.dataType == DateType && to.dataType == DateType,
+            "WITH FILL bounds on a date axis must be DATE literals")
+          (DateType, (asLong(from) until asLong(to) by step)
+            .map(d => InternalRow(d.toInt)))
+        case dt @ (LongType | IntegerType | ShortType) =>
+          val vs = asLong(from) until asLong(to) by step
+          (dt, dt match {
+            case LongType => vs.map(InternalRow(_))
+            case IntegerType => vs.map(v => InternalRow(v.toInt))
+            case _ => vs.map(v => InternalRow(v.toShort))
+          })
+        case other => throw new IllegalArgumentException(
+          s"WITH FILL supports date/integral axes, got $other")
+      }
+    val axisOut =
+      AttributeReference(axisAttr.name, axisType, nullable = false)()
+    val axisRel = LocalRelation(Seq(axisOut), rows)
+    // Compose the expansion through the DATASET API and hand back the
+    // analyzed subtree: the fill's anti-join branch references `child`
+    // a second time, and an eagerly-analyzed Dataset runs relation
+    // dedup atomically — hand-building the same Union mid-fixpoint
+    // leaves the duplicate ids half-rewritten (observed: the dedup pass
+    // re-instanced a temp view's relation under the hand-built
+    // Aggregate without remapping the Aggregate itself). The shape is
+    // Relational.fillAxis's: data branch untouched, range-bounded
+    // distinct, broadcast anti-join, union.
+    import org.apache.spark.sql.GraftSqlBridge.{column, ofRows}
+    val inRange = column(And(GreaterThanOrEqual(axisAttr, from),
+      LessThan(axisAttr, to)))
+    // missing grid rows carry CH TYPE DEFAULTS (0 / '' / epoch ...);
+    // fall back to NULL where no default exists for the type
+    val defaults = child.output.filterNot(_.exprId == axisAttr.exprId)
+      .map(a => a.name -> column(
+        scala.util.Try(Literal.default(a.dataType))
+          .getOrElse(Literal(null, a.dataType))))
+    graft.operators.Relational.fillAxis(ofRows(spark, child),
+        axisAttr.name, ofRows(spark, axisRel), inRange, defaults)
+      .queryExecution.analyzed
+  }
+}

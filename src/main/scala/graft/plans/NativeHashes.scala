@@ -105,6 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // CH `GROUP BY x WITH TOTALS` clause — rewrite-on-parse-failure only
     ext.injectParser((_, delegate) => new TotalsParser(delegate))
+    // expand the parser's LIMIT BY / WITH FILL marker nodes once their
+    // child resolves (the rewrite needs the child's schema)
+    ext.injectResolutionRule(session => ChClauseRule(session))
     // partition-prune week directories from date predicates (the
     // PARTITION BY toMonday(date) behavior) — see WeekBoundsRule
     ext.injectOptimizerRule(_ => WeekBoundsRule)

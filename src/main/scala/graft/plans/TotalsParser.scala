@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Sort}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** ClickHouse SQL-clause surface Spark's grammar lacks (README.md:83,86,
@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - a trailing/insert `SETTINGS k=v, ...` clause is dropped — CH
   *    execution tuning (e.g. README.md:146's
   *    `s3_create_new_file_on_insert=1`) with no Spark counterpart.
+  *  - `LIMIT [offset,] n BY keys` and `ORDER BY ax WITH FILL FROM a TO
+  *    b [STEP s]` (outer query scope): the clause is STRIPPED from the
+  *    text and a marker node ([[ChLimitBy]]/[[ChWithFill]]) wraps the
+  *    parsed reduced plan — their expansion needs the resolved child
+  *    schema, so [[ChClauseRule]] finishes the job during analysis.
   *
   * Every rewrite sits BEHIND the delegate parser's failure: Spark's
   * parser runs first and only a text it rejects is rewritten, so valid
@@ -148,11 +153,114 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         rewritePrewhere(folded) // each pass consumes one PREWHERE
     }
 
-  private def rewrite(sqlText: String): Option[String] = {
+  // `LIMIT [offset,] n BY keys` — outer scope only (depth-0 parens);
+  // keys run to the trailing LIMIT/SETTINGS clause or end of text
+  private val limitByRe =
+    """(?is)\bLIMIT\s+(\d+)\s*(?:,\s*(\d+))?\s+BY\s+(.+?)(?=\s+LIMIT\b|\s+SETTINGS\b|\s*$)""".r
+  // `ORDER BY ax [ASC|DESC] WITH FILL FROM a TO b [STEP s]` — single
+  // fill axis (the common CH form); bounds may be DATE literals whose
+  // string part is masked at this point
+  private val withFillRe =
+    ("""(?is)\b(ORDER\s+BY\s+)((?:`[^`]*`|[\w.:])+)(\s+(?:ASC|DESC))?\s+WITH\s+FILL""" +
+      """\s+FROM\s+(.+?)\s+TO\s+(.+?)(?:\s+STEP\s+(.+?))?(?=\s+LIMIT\b|\s+SETTINGS\b|\s*$)""").r
+
+  private def depth0At(text: String, pos: Int): Boolean = {
+    val prefix = text.substring(0, pos)
+    prefix.count(_ == '(') == prefix.count(_ == ')')
+  }
+
+  /** Split an expression list on top-level commas only. */
+  private def splitTopLevel(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    for (i <- text.indices) text.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += text.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += text.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse + constant-fold a clause bound (`DATE '...'`, a number, an
+    * INTERVAL) into a Literal.
+    */
+  private def foldLit(text: String): Literal = {
+    val e = delegate.parseExpression(text)
+    require(e.foldable, s"clause bound must be a constant: $text")
+    Literal.create(e.eval(null), e.dataType)
+  }
+
+  private def extractLimitBy(masked: String, lits: Seq[String])
+      : (String, Option[LogicalPlan => LogicalPlan]) =
+    limitByRe.findFirstMatchIn(masked) match {
+      case Some(m) if depth0At(masked, m.start) =>
+        val (off, n) = Option(m.group(2)) match {
+          case Some(nn) => (m.group(1).toInt, nn.toInt)
+          case None => (0, m.group(1).toInt)
+        }
+        val keys = splitTopLevel(unmaskLiterals(m.group(3), lits))
+          .map(delegate.parseExpression)
+        val reduced = masked.substring(0, m.start) + masked.substring(m.end)
+        (reduced, Some(insertAboveSort(_, ChLimitBy(n, off, keys, _))))
+      case _ => (masked, None)
+    }
+
+  private def extractWithFill(masked: String, lits: Seq[String])
+      : (String, Option[LogicalPlan => LogicalPlan]) =
+    withFillRe.findFirstMatchIn(masked) match {
+      case Some(m) if depth0At(masked, m.start) =>
+        val axis = m.group(2).replace("`", "")
+        val from = foldLit(unmaskLiterals(m.group(4), lits))
+        val to = foldLit(unmaskLiterals(m.group(5), lits))
+        val step = Option(m.group(6))
+          .map(s => foldLit(unmaskLiterals(s, lits)))
+        val reduced = masked.substring(0, m.start) +
+          m.group(1) + m.group(2) + Option(m.group(3)).getOrElse("") +
+          masked.substring(m.end)
+        (reduced,
+          Some(insertUnderSort(_, ChWithFill(axis, from, to, step, _))))
+      case _ => (masked, None)
+    }
+
+  /** The marker must wrap the scope's relation BELOW any trailing
+    * LIMIT (CH applies LIMIT BY / fill before the final LIMIT) —
+    * descend through the Limit pair the delegate built.
+    */
+  private def insertAboveSort(plan: LogicalPlan,
+      mk: LogicalPlan => LogicalPlan): LogicalPlan = plan match {
+    case gl @ GlobalLimit(_, ll @ LocalLimit(_, p)) =>
+      gl.copy(child = ll.copy(child = mk(p)))
+    case other => mk(other)
+  }
+
+  /** WITH FILL emits rows BEFORE the ordering applies — the marker
+    * goes under the scope's Sort so the fill rows participate in it.
+    */
+  private def insertUnderSort(plan: LogicalPlan,
+      mk: LogicalPlan => LogicalPlan): LogicalPlan = plan match {
+    case gl @ GlobalLimit(_, ll @ LocalLimit(_, p)) =>
+      gl.copy(child = ll.copy(child = insertUnderSort(p, mk)))
+    case s @ Sort(_, true, inner, _) => s.copy(child = mk(inner))
+    case other => mk(other)
+  }
+
+  private case class Rewritten(text: String,
+      wrap: LogicalPlan => LogicalPlan)
+
+  private def rewrite(sqlText: String): Option[Rewritten] = {
     val (masked, lits) = maskLiterals(sqlText)
+    // marker-clause extraction runs FIRST: `LIMIT o, n BY` must not be
+    // half-eaten by the limitOffset rewrite below
+    val (m1, lbWrap) =
+      try extractLimitBy(masked, lits) catch { case _: Exception => (masked, None) }
+    val (m2, fillWrap) =
+      try extractWithFill(m1, lits) catch { case _: Exception => (m1, None) }
     // ALL occurrences: the clause may appear in a subquery AND the
     // outer query (each match substitutes its own keys)
-    val afterTotals = totals.replaceAllIn(masked, m =>
+    val afterTotals = totals.replaceAllIn(m2, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}GROUPING SETS ((${m.group(2).trim}), ())"))
     val afterLimit = limitOffset.replaceAllIn(afterTotals,
@@ -160,7 +268,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val afterQuantile = rewriteQuantiles(afterLimit)
     val afterPrewhere = rewritePrewhere(afterQuantile)
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
-    Some(unmaskLiterals(rewritten, lits)).filter(_ != sqlText)
+    val finalText = unmaskLiterals(rewritten, lits)
+    if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty) None
+    else Some(Rewritten(finalText, plan => {
+      // fill first (deeper), then limit-by above it
+      val f = fillWrap.fold(plan)(w => w(plan))
+      lbWrap.fold(f)(w => w(f))
+    }))
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -169,7 +283,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       case e: ParseException =>
         rewrite(sqlText) match {
           case Some(rw) =>
-            try delegate.parsePlan(rw) catch { case _: ParseException => throw e }
+            try rw.wrap(delegate.parsePlan(rw.text))
+            catch { case _: ParseException => throw e }
           case None => throw e
         }
     }
@@ -180,7 +295,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       case e: ParseException =>
         rewrite(sqlText) match {
           case Some(rw) =>
-            try delegate.parseQuery(rw) catch { case _: ParseException => throw e }
+            try rw.wrap(delegate.parseQuery(rw.text))
+            catch { case _: ParseException => throw e }
           case None => throw e
         }
     }

@@ -323,9 +323,66 @@ object DialectQueries {
       FROM events WHERE value > 0
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // CH `LIMIT n BY key` as VERBATIM SQL TEXT through the injected
+  // parser: the clause is stripped, the reduced text parses, and a
+  // marker node expands to window-rank + filter during analysis
+  // (plans/ChClauses.scala). Same relation and oracle as q62's
+  // combinator form — two front-ends, one semantic.
+  val q67ChLimitBySql = QueryDef(
+    "q67_ch_limit_by_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_lb_v")
+      s.sql("""
+        SELECT event_type, event_id, unix_micros(ts) AS t
+        FROM events_lb_v
+        ORDER BY event_type, t, event_id
+        LIMIT 3 BY event_type""")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, event_id, epoch_us(ts) AS t,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+      )
+      SELECT event_type, event_id, t
+      FROM r WHERE rn <= 3 ORDER BY event_type, t, event_id"""))
+
+  // ---------------------------------------------------------------------
+  // CH `ORDER BY d WITH FILL FROM a TO b` as VERBATIM SQL TEXT: missing
+  // calendar days materialize with CH TYPE DEFAULTS (count column fills
+  // with 0), TO exclusive per CH. The expansion (ChClauseRule) is the
+  // same broadcast-anti-join-union shape as withFillDates — the data
+  // side is never reshuffled for the fill.
+  val q68ChWithFillSql = QueryDef(
+    "q68_ch_with_fill_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_wf_v")
+      s.sql("""
+        SELECT CAST(ts AS DATE) AS day, toInt64(count(1)) AS n
+        FROM events_wf_v
+        WHERE event_id % 97 = 0
+        GROUP BY day
+        ORDER BY day WITH FILL FROM DATE '2024-01-01' TO DATE '2024-01-31'""")
+    },
+    Some("""
+      WITH axis AS (
+        SELECT CAST(gs.d AS DATE) AS day
+        FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                             INTERVAL 1 DAY) gs(d)
+      ), sparse AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(1) AS BIGINT) AS n
+        FROM events WHERE event_id % 97 = 0
+        GROUP BY 1
+      )
+      SELECT day, coalesce(sparse.n, 0) AS n
+      FROM axis FULL JOIN sparse USING (day)
+      ORDER BY day"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
-      q60ChQuantilePrewhere)
+      q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql)
 }

@@ -66,23 +66,31 @@ object MetricaQueries {
   @volatile private var built = false
   private val buildLock = new Object
 
+  /** The conformed full-width (224-column) collapsing-pair frame — a
+    * pure build of the fixture rows, shared by the warehouse fixture
+    * and the q65 CDC stream source.
+    */
+  private[graft] def rawVisitPairs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until 40
+      nv = 1 + i % 3
+      k <- 1 to nv
+      r <- (if (k > 1) Seq(row(i, k - 1, -1)) else Nil) :+ row(i, k, 1)
+    } yield r
+    val df = rows.toDF("CounterID", "StartDate", "CounterUserIDHash",
+      "VisitID", "Sign", "VisitVersion", "PageViews", "Duration",
+      "IsBounce", "TrafficSource.Model", "TrafficSource.UTMSource",
+      "EPurchase.ID")
+    Metrica.conform(df, Metrica.visits)
+  }
+
   /** Build + write the fixture warehouse (once per JVM); returns the
     * read-back frame.
     */
   def fixture(spark: SparkSession): DataFrame = {
     if (!built) buildLock.synchronized { if (!built) {
-      import spark.implicits._
-      val rows = for {
-        i <- 0 until 40
-        nv = 1 + i % 3
-        k <- 1 to nv
-        r <- (if (k > 1) Seq(row(i, k - 1, -1)) else Nil) :+ row(i, k, 1)
-      } yield r
-      val df = rows.toDF("CounterID", "StartDate", "CounterUserIDHash",
-        "VisitID", "Sign", "VisitVersion", "PageViews", "Duration",
-        "IsBounce", "TrafficSource.Model", "TrafficSource.UTMSource",
-        "EPurchase.ID")
-      Warehouse.write(Metrica.conform(df, Metrica.visits), fixtureDir,
+      Warehouse.write(rawVisitPairs(spark), fixtureDir,
         Metrica.visitsPartitionDate, Metrica.visitsOrderKey,
         mode = "overwrite")
       built = true
@@ -239,5 +247,92 @@ object MetricaQueries {
       WHERE CAST(date_trunc('week', StartDate) AS DATE) = DATE '2023-11-06'
       GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q28MetricaQ1, q29MetricaQ2, q30WeekPrune)
+  // ---------------------------------------------------------------------
+  // The reference's CORE CDC semantic at full table width
+  // (ddl/visits.sql:229-233): stream the 224-column collapsing
+  // state/cancel pairs through the transfer (Ingest.activate,
+  // multi-batch), background-merge them (Warehouse.compact), and run
+  // Q1-shaped measures over the compacted current state. The oracle
+  // recomputes the current state INDEPENDENTLY from the raw pairs
+  // (live = state rows without a matching cancel; latest version per
+  // (visit, week)) — so a payload bug anywhere in the wide-row
+  // stream→warehouse→compact path (column drop, array roundtrip,
+  // partition mixup) breaks the hash. `n_cols` pins the full schema
+  // width surviving the roundtrip; sum measures over PageViews/
+  // Duration/IsBounce/EPurchase.ID lengths pin the payload values, and
+  // uniqExact pins row identity beyond sums. Transitively with q28
+  // (whose oracle is the query-time Sign-weighted form over the same
+  // raw pairs), this proves Q1-over-compacted == Q1-query-time.
+  val q65VisitsCdcE2e = QueryDef(
+    "q65_visits_cdc_e2e",
+    (s, dir) => {
+      import graft.streaming.Ingest
+      fixture(s) // the oracle reads the raw pairs from the fixture dir
+      val base = s"${sys.props("java.io.tmpdir")}/graft_cdc_q65_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val raw = rawVisitPairs(s)
+      raw.repartition(5).write.mode("overwrite").parquet(s"$base/src")
+      val sink = Ingest.Sink(s"$base/wh", "visits", "t65",
+        dateCol = Metrica.visitsPartitionDate,
+        orderKey = Metrica.visitsOrderKey, cleanupPolicy = "DROP")
+      Ingest.runToCompletion(s, s"$base/src", raw.schema, sink,
+        s"$base/cp", maxFilesPerTrigger = Some(2))
+      Warehouse.compact(s, Ingest.tableDir(sink), s"$base/compacted",
+        Metrica.visitsPartitionDate, orderKey = Metrica.visitsOrderKey,
+        idCols = Seq("VisitID"), versionCol = "VisitVersion",
+        signCol = "Sign")
+      val compacted = Warehouse.read(s, s"$base/compacted")
+      val staged = compacted
+        .withColumn("ym:s:date", col("StartDate"))
+        .filter(col("`ym:s:date`") >= lit("2023-11-01").cast("date") &&
+          col("`ym:s:date`") <= lit("2023-11-08").cast("date"))
+      withTotals(staged, Seq("ym:s:date"), Seq(
+          sum(col("Sign")).cast("long").as("ym:s:visits"),
+          sum(col("PageViews") * col("Sign")).cast("long").as("pv"),
+          sum(col("Duration") * col("Sign")).cast("long").as("dur"),
+          sum(col("IsBounce") * col("Sign")).cast("long").as("bounces"),
+          sum(size(col("`EPurchase.ID`")) * col("Sign")).cast("long")
+            .as("purchase_len"),
+          uniqExact(col("CounterUserIDHash")).as("users")))
+        .filter(col("`ym:s:visits`") >= 0.0)
+        .withColumn("ym:s:date", col("`ym:s:date`").cast("string"))
+        .withColumn("n_cols", lit(compacted.columns.length))
+        .orderBy(col("`ym:s:date`").asc_nulls_last)
+        .limit(10)
+    },
+    Some(s"""
+      WITH raw AS (SELECT * FROM read_parquet('$fixtureDir/*/*.parquet')),
+      live AS (
+        SELECT p.* FROM raw p
+        WHERE p.Sign = 1 AND NOT EXISTS (
+          SELECT 1 FROM raw m
+          WHERE m.Sign = -1 AND m.VisitID = p.VisitID
+            AND m.VisitVersion = p.VisitVersion)
+      ), latest AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY VisitID, date_trunc('week', StartDate)
+            ORDER BY VisitVersion DESC) AS rn
+        FROM live
+      ), cur AS (
+        SELECT * FROM latest
+        WHERE rn = 1 AND StartDate BETWEEN DATE '2023-11-01'
+                                       AND DATE '2023-11-08'
+      )
+      SELECT CAST(StartDate AS VARCHAR) AS "ym:s:date",
+             CAST(sum(Sign) AS BIGINT) AS "ym:s:visits",
+             CAST(sum(PageViews * Sign) AS BIGINT) AS pv,
+             CAST(sum(Duration * Sign) AS BIGINT) AS dur,
+             CAST(sum(IsBounce * Sign) AS BIGINT) AS bounces,
+             CAST(sum(len("EPurchase.ID") * Sign) AS BIGINT) AS purchase_len,
+             CAST(count(DISTINCT CounterUserIDHash) AS BIGINT) AS users,
+             225 AS n_cols
+      FROM cur
+      GROUP BY ROLLUP(StartDate)
+      HAVING CAST(sum(Sign) AS BIGINT) >= 0.0
+      ORDER BY "ym:s:date" ASC NULLS LAST
+      LIMIT 10"""))
+
+  val defs: Seq[QueryDef] = Seq(q28MetricaQ1, q29MetricaQ2, q30WeekPrune,
+    q65VisitsCdcE2e)
 }

@@ -24,6 +24,15 @@ object GraftSqlBridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wrap an analyzed/analyzable LogicalPlan as a DataFrame — lets an
+    * analyzer rule compose its rewrite with the Dataset API (which
+    * analyzes eagerly, so relation self-references dedup through the
+    * standard path instead of half-rewriting mid-fixpoint).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a function builder on an existing (classic) session. */
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =

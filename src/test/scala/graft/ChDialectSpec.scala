@@ -234,6 +234,32 @@ class ChDialectSpec extends SparkSpec {
     assert(r5.getDouble(0) == 5.0)
   }
 
+  test("LIMIT offset, n BY key: per-group offset+take under the ORDER BY") {
+    Seq((1, 10), (1, 20), (1, 30), (1, 40), (2, 5), (2, 6))
+      .toDF("k", "v").createOrReplaceTempView("lb_v")
+    // skip 1, take 2 per k, under ORDER BY k, v
+    val got = spark.sql(
+      "SELECT k, v FROM lb_v ORDER BY k, v LIMIT 1, 2 BY k")
+      .as[(Int, Int)].collect().toSeq
+    assert(got == Seq((1, 20), (1, 30), (2, 6)))
+    // trailing global LIMIT applies AFTER the per-group limit
+    val capped = spark.sql(
+      "SELECT k, v FROM lb_v ORDER BY k, v LIMIT 2 BY k LIMIT 3")
+      .as[(Int, Int)].collect().toSeq
+    assert(capped == Seq((1, 10), (1, 20), (2, 5)))
+  }
+
+  test("WITH FILL on a numeric axis with STEP; TO exclusive; CH defaults") {
+    Seq((0L, "a"), (4L, "b"), (9L, "c")).toDF("x", "s")
+      .createOrReplaceTempView("wf_v")
+    val got = spark.sql(
+      "SELECT x, s FROM wf_v ORDER BY x WITH FILL FROM 0 TO 8 STEP 2")
+      .as[(Long, String)].collect().toSeq
+    // grid 0,2,4,6 (8 exclusive); present 0,4; filled rows carry the
+    // CH type default '' for the string column; off-grid 9 passes through
+    assert(got == Seq((0L, "a"), (2L, ""), (4L, "b"), (6L, ""), (9L, "c")))
+  }
+
   test("type conversions widen per the documented mapping; intDiv truncates") {
     val r = spark.sql("""
       SELECT toString(42) AS s, toFloat64('2.5') AS f, toFloat32(1) AS f32,
