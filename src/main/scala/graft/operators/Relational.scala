@@ -318,6 +318,60 @@ object Relational {
       .drop("__rn")
   }
 
+  /** CH `topK(k)(x)` per group — the k most frequent values of
+    * `valueCol` within each key group, as an array ordered by
+    * descending frequency (value ascending on ties; CH's topK orders
+    * by ESTIMATED count — this exact form is deterministic, which the
+    * cross-engine oracle needs). Scale shape: one counting aggregation
+    * (map-side partial agg) bounds the data to distinct (key, value)
+    * pairs, and the rank-limit window plans with Spark 4's map-side
+    * WindowGroupLimit (Partial before the shuffle, plan-asserted), so
+    * the rank shuffle carries ≤ k rows per (key, map partition) — the
+    * two-stage top-k shape natively, never a full per-key sort of
+    * every distinct value. The final per-key array is ≤ k elements by
+    * construction.
+    */
+  def topKFreq(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    val v = col(s"`$valueCol`")
+    val counted = df.groupBy((keyCols :+ valueCol).map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__cnt").desc, v.asc)
+    counted.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(keyCols.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__r"), v.as("v")))),
+        s => s.getField("v")).as("topk"))
+  }
+
+  /** First-row-per-key under the lexicographic order of `ordCols` —
+    * the `min_by` twin of [[latestByKey]], same partial-aggregation
+    * scale argument. */
+  def firstByKey(df: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String]): DataFrame = {
+    val payload = df.columns.toIndexedSeq.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*),
+        struct(ordCols.map(col): _*)).as("__first"))
+      .select(keyCols.map(col) :+ col("__first.*"): _*)
+  }
+
+  /** CH `ANY LEFT JOIN`: at most ONE right-side match per left row.
+    * CH picks an arbitrary match; a distributed engine must be
+    * deterministic, so the right side reduces to one row per key
+    * FIRST ([[firstByKey]] — partial aggregation, never materializing
+    * the unreduced side through the join) and the join becomes an
+    * ordinary equi-join that Catalyst broadcasts when small. Also the
+    * correct scale shape: reducing before joining beats joining then
+    * deduping by exactly one shuffle of the fact table.
+    */
+  def anyLeftJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, rightOrd: Seq[String]): DataFrame =
+    left.join(firstByKey(right, Seq(rightKey), rightOrd),
+      left(leftKey) === col(s"`$rightKey`"), "left")
+
   /** Latest-version-per-entity compaction for VersionedCollapsingMergeTree
     * data (ddl/visits.sql:229-233): a state row (sign=+1) is live unless a
     * cancel row (sign=-1) with the same (id, version) exists; the current

@@ -45,10 +45,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)(GROUP\s+BY\s+)((?:(?!GROUP\s+BY).)+?)\s+WITH\s+TOTALS""".r
   private val limitOffset =
     """(?is)LIMIT\s+(\d+)\s*,\s*(\d+)""".r
-  // quantile(0.5)(  — the CH parameterized-aggregate call shape; the
-  // argument list that follows is matched by a balanced-paren scan
+  // quantile(0.5)( / quantiles(0.25, 0.5, 0.75)( — the CH
+  // parameterized-aggregate call shape; the argument list that follows
+  // is matched by a balanced-paren scan. The plural forms take a level
+  // LIST and return an array (→ percentile(x, array(...))).
   private val quantileHead =
-    """(?i)\b(quantile|quantileExact|quantileExactInclusive)\s*\(\s*([0-9.eE+-]+)\s*\)\s*\(""".r
+    ("""(?i)\b(quantiles?|quantiles?Exact|quantiles?ExactInclusive)\s*\(\s*""" +
+      """([0-9.eE+-]+(?:\s*,\s*[0-9.eE+-]+)*)\s*\)\s*\(""").r
   private val prewhereKw = """(?i)\bPREWHERE\b""".r
   // values may be bare words/numbers OR a masked string literal (the
   // \u0001N\u0001 placeholder — CH settings like join_algorithm='hash')
@@ -105,8 +108,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         if (depth != 0) text // unbalanced: leave for the parser to reject
         else {
           val arg = text.substring(argStart, i - 1).trim
+          val levels = m.group(2).split(",").map(_.trim)
+          // a level LIST (the quantiles(...) plural form) returns an
+          // array, exactly percentile's array-of-percentages behavior
+          val lv = if (levels.length == 1) levels.head
+            else levels.mkString("array(", ", ", ")")
           val replaced = text.substring(0, m.start) +
-            s"percentile($arg, ${m.group(2)})" + text.substring(i)
+            s"percentile($arg, $lv)" + text.substring(i)
           rewriteQuantiles(replaced) // next occurrence
         }
     }

@@ -607,10 +607,77 @@ object CoreQueries {
       FROM axis FULL JOIN sparse USING (bucket)
       ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------------
+  // CH `topK(k)(x)`: the k most frequent values per group. CH's native
+  // aggregate is approximate (filtered space-saving); this exact
+  // two-stage form (count agg → local rank → global rank) is the
+  // deterministic equivalent the oracle can reproduce — and the scale
+  // shape never funnels a key's full distinct-value set into one task.
+  val q69TopKFreq = QueryDef(
+    "q69_topk_freq",
+    (s, dir) => {
+      val e = Graft.table(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(50)).as("u"))
+      topKFreq(e, Seq("event_type"), "u", 3)
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, user_id % 50 AS u, count(1) AS cnt
+        FROM events GROUP BY 1, 2
+      ), r AS (
+        SELECT event_type, u,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, u) AS rn
+        FROM c
+      )
+      SELECT event_type, list(u ORDER BY rn) AS topk
+      FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
+  // CH `ANY LEFT JOIN`: at most one right match per left row. CH picks
+  // an arbitrary one; the engine's deterministic contract picks the
+  // min by an explicit order (first lineitem line per order here), so
+  // both engines agree row-for-row. The right side reduces BEFORE the
+  // join (min_by with partial aggregation) — one shuffle cheaper than
+  // join-then-dedup at fact scale.
+  val q70AnyLeftJoin = QueryDef(
+    "q70_any_left_join",
+    (s, dir) => {
+      val o = Graft.table(s, dir, "orders")
+      val l = Graft.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // corpus — l_quantity joins the pick order so the aggregate is
+      // deterministic on both engines even under full ties
+      anyLeftJoin(o, l, "o_orderkey", "l_orderkey",
+          Seq("l_linenumber", "l_quantity"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("l_quantity")).as("n_matched"),
+          round(sum(col("l_quantity")), 2).as("qty_first_line"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT l_orderkey, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_quantity) AS rn
+        FROM lineitem
+      )
+      SELECT o_orderpriority,
+             CAST(count(1) AS BIGINT) AS n_orders,
+             CAST(count(f.l_quantity) AS BIGINT) AS n_matched,
+             round(sum(f.l_quantity), 2) AS qty_first_line
+      FROM orders o LEFT JOIN f
+        ON o.o_orderkey = f.l_orderkey AND f.rn = 1
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01DailySignedAgg, q02WithTotals, q03TopkMulti, q04LimitOffset,
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
     q20RatioAlias, q36AliasWhere, q39SaltedJoin, q61AsofJoin, q62LimitBy,
-    q63RangeJoin, q64WithFill, q66WithFillNumeric)
+    q63RangeJoin, q64WithFill, q66WithFillNumeric, q69TopKFreq,
+    q70AnyLeftJoin)
 }

@@ -234,6 +234,16 @@ class ChDialectSpec extends SparkSpec {
     assert(r5.getDouble(0) == 5.0)
   }
 
+  test("quantiles(l1, l2, ...)(x) plural form returns the level array") {
+    val r = spark.sql("""
+      SELECT quantiles(0.0, 0.5, 1.0)(x) AS q,
+             quantilesExact(0.25, 0.75)(x) AS qe
+      FROM (SELECT explode(sequence(0, 10)) AS x)""")
+      .as[(Seq[Double], Seq[Double])].head()
+    assert(r._1 == Seq(0.0, 5.0, 10.0))
+    assert(r._2 == Seq(2.5, 7.5))
+  }
+
   test("LIMIT offset, n BY key: per-group offset+take under the ORDER BY") {
     Seq((1, 10), (1, 20), (1, 30), (1, 40), (2, 5), (2, 6))
       .toDF("k", "v").createOrReplaceTempView("lb_v")

@@ -144,6 +144,37 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("topKFreq: k most frequent per group, two-stage (never one task per key)") {
+    val df = (0 until 300).map(i => (i % 2, i % (3 + i % 2)))
+      .toDF("g", "v")
+    val got = topKFreq(df, Seq("g"), "v", 2)
+      .orderBy($"g").as[(Int, Seq[Int])].collect().toSeq
+    // g=0: values 0,1,2 of v uniform-ish — compute expected exactly
+    val expect = (0 to 1).map { g =>
+      val counts = (0 until 300).filter(_ % 2 == g).groupBy(i => i % (3 + g))
+        .view.mapValues(_.size).toSeq
+      (g, counts.sortBy { case (v, c) => (-c, v) }.take(2).map(_._1))
+    }
+    assert(got == expect)
+    // scale shape: the rank limit must run map-side (Partial) before
+    // the shuffle, so the exchange carries ≤ k rows per (key, mapper)
+    val plan = topKFreq(df, Seq("g"), "v", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      plan)
+  }
+
+  test("anyLeftJoin: one deterministic right match per left row") {
+    val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "tag")
+    val right = Seq((1, 5, "r15"), (1, 2, "r12"), (2, 9, "r29"))
+      .toDF("rk", "ord", "payload")
+    val got = anyLeftJoin(left, right, "k", "rk", Seq("ord"))
+      .select($"k", $"tag", $"payload")
+      .as[(Int, String, Option[String])].collect().toSet
+    assert(got == Set((1, "a", Some("r12")), (2, "b", Some("r29")),
+      (3, "c", None)))
+  }
+
   test("rangeJoinBinned equals the naive inequality join") {
     val pts = Seq((1L, "p1"), (15L, "p2"), (25L, "p3"), (99L, "p4"))
       .toDF("p", "tag")
