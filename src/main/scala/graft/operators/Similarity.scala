@@ -101,6 +101,61 @@ object Similarity {
         col("id"), col("sim"))
   }
 
+  /** Int8 scalar quantization codes of an embedding: round(127·x/maxAbs)
+    * as a tinyint array — 4× less memory/IO than float32 (8× vs the
+    * float64 compute form). Cosine is scale-invariant, so ranking by
+    * the cosine OF THE CODES approximates ranking by true cosine with
+    * no need to carry the per-vector scale. The max-abs binds through a
+    * one-element `transform` so project collapsing cannot inline the
+    * array_max once per element (the bindOnce discipline, see Dedup).
+    * An all-zero vector quantizes to all-zero codes → the zero-norm
+    * guard scores it 0, as everywhere else.
+    */
+  def quantize8(vec: Column): Column =
+    element_at(transform(array(array_max(transform(vec, x => abs(x)))),
+      s => transform(vec, x =>
+        when(s > 0, round(x * lit(127.0) / s)).otherwise(lit(0.0))
+          .cast("byte"))), 1)
+
+  /** Two-phase quantized ANN: phase 1 scans ONLY int8 codes (a quarter
+    * of the float32 bytes — at 100 TB of embeddings that factor applies
+    * to the scan, the shuffle and the broadcast alike) and keeps a
+    * margin×k candidate pool per probe via the two-stage rank; phase 2
+    * re-ranks just the pool with exact float cosine, joining the float
+    * vectors back by id — candidate-bounded, like every verify stage in
+    * this engine. Output schema equals [[bruteForceTopK]]; results are
+    * EQUAL to the exact top-k as long as quantization error never
+    * pushes a true top-k member below the margin pool (the oracle pins
+    * that equality at every test SF — margin 4 is conservative for
+    * 64-dim int8).
+    */
+  def quantizedTopK(vecs: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, margin: Int = 4): DataFrame = {
+    val vq = vecs.select(col(idCol).as("id"),
+      quantize8(col(vecCol)).cast("array<double>").as("__qv"))
+    val pq = probes.select(col(idCol).as("probe_id"),
+      quantize8(col(vecCol)).cast("array<double>").as("__qp"))
+    val pool = topKPerKey(
+      vq.crossJoin(broadcast(pq))
+        .filter(col("id") =!= col("probe_id"))
+        .withColumn("sim", guardedSim(col("__qv"), col("__qp"),
+          norm(col("__qv")), norm(col("__qp"))))
+        .select(col("probe_id"), col("id"), col("sim")),
+      "probe_id", k * margin)
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__vn"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__p"),
+      norm(col(vecCol)).as("__pn"))
+    topKPerKey(
+      pool.select(col("probe_id"), col("id"))
+        .join(v, "id")
+        .join(broadcast(p), "probe_id")
+        .withColumn("sim", guardedSim(col("__v"), col("__p"),
+          col("__vn"), col("__pn")))
+        .select(col("probe_id"), col("id"), col("sim")),
+      "probe_id", k)
+  }
+
   /** All pairs with cosine ≥ threshold — embedding-level near-dedup.
     * Exact (block-nested over the broadcast side); use for verification
     * scale or as the in-bucket verify step of an LSH pipeline. At

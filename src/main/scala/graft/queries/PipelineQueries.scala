@@ -231,6 +231,40 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // Int8-quantized two-phase ANN: candidate generation over int8 codes
+  // (4x less scan/broadcast bytes than float32), exact float re-rank of
+  // the margin pool. The oracle is the EXACT brute-force top-k (q25's
+  // relation) — quantization must be invisible in the output, which
+  // pins the margin-pool recall at every test SF.
+  val q72AnnQuantized = QueryDef(
+    "q72_ann_quantized_topk",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 5)
+      Similarity.quantizedTopK(vecs, probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("sim"), 3).as("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5
+      ), sc AS (
+        SELECT p.probe_id, e.vec_id AS id,
+               list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(p.pv::DOUBLE[], p.pv::DOUBLE[]))) AS sim
+        FROM embeddings e CROSS JOIN p
+        WHERE e.vec_id <> p.probe_id
+      ), r AS (
+        SELECT probe_id, id, sim,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, id ASC) AS rank
+        FROM sc
+      )
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, id, round(sim, 3) AS sim
+      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
+
+  // ---------------------------------------------------------------------
   // Embedding-cosine near-dup: all pairs above a cosine threshold,
   // exact in both engines (verification-scale; the LSH candidates +
   // exact verify composition is the 100 TB path).
@@ -694,6 +728,6 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
-    q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall,
+    q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall, q72AnnQuantized,
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
+import graft.functions.ch.uniqExact
 import graft.sources.Warehouse
 import graft.streaming.{Ingest, Sessionize}
 
@@ -286,7 +287,54 @@ object StreamingQueries {
              CAST(sum(start_us % 1000000007) AS BIGINT) AS start_hash
       FROM sess GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // STREAMING exact dedup — the at-least-once-delivery half of the
+  // dedup story (batch exact = q21, store-backed incremental = q46):
+  // a source with planted re-deliveries (every 10th event duplicated)
+  // drains through `dropDuplicatesWithinWatermark(event_id)` into a
+  // parquet sink; the deduped table must equal the ORIGINAL event set,
+  // so the oracle is simply the aggregate over the raw table. State is
+  // BOUNDED by the watermark horizon (distinct ids within 1 hour of
+  // event time) — the property that lets exact streaming dedup run
+  // forever at 100 TB/day, with the fingerprint-store path (q46)
+  // covering dedup against all history.
+  val q71StreamDedup = QueryDef(
+    "q71_stream_dedup",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q71_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts = nanos long
+      val redelivered = raw.unionByName(
+        raw.filter(pmod(col("event_id"), lit(10)) === 3))
+      redelivered.repartition(4).write.mode("overwrite")
+        .parquet(s"$base/src")
+      val deduped = s.readStream.schema(raw.schema).parquet(s"$base/src")
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .drop("ets")
+      val q = deduped.writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .option("path", s"$base/out")
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          uniqExact(col("event_id")).as("n_ids"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+             round(sum(value), 2) AS value_sum
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
-      q57StreamWindowedAgg, q58StreamSessionize)
+      q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup)
 }

@@ -181,6 +181,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("quantize8: codes bounded, max component hits ±127, zero vec → zeros") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0f, 0f, 0f))).toDF("id", "v")
+    val got = df.select($"id", Similarity.quantize8($"v").as("q"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(got(1L) == Seq[Byte](64, -127, 32)) // round(127·x/maxAbs)
+    assert(got(2L) == Seq[Byte](0, 0, 0))
+  }
+
+  test("quantizedTopK equals bruteForceTopK on the clustered corpus") {
+    val probes = clustered.filter($"vec_id" < 2)
+    val exact = Similarity.bruteForceTopK(clustered, probes, "vec_id",
+      "embedding", k = 5).collect().toSet
+    val quant = Similarity.quantizedTopK(clustered, probes, "vec_id",
+      "embedding", k = 5).collect().toSet
+    assert(quant == exact)
+  }
+
   test("cosinePairsAbove finds exactly the within-cluster pairs") {
     val got = Similarity.cosinePairsAbove(clustered, "vec_id", "embedding",
       threshold = 0.9)
