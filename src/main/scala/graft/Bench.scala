@@ -84,7 +84,13 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","sf1_queries":$sf1,"sf1_dir":"$sf1Dir""""
       } catch { case e: Throwable =>
-        s""","sf1_error":"${e.getMessage.replaceAll("[\"\\\\\n\r\t]", " ")}""""
+        // getMessage may be null (NPE et al.) — never let the guard
+        // itself kill the base line
+        val msg = String.valueOf(e.getMessage) match {
+          case "null" => e.getClass.getName
+          case m => m
+        }
+        s""","sf1_error":"${msg.replaceAll("[\"\\\\\n\r\t]", " ")}""""
       }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$sf1Section,"sf":"$sfDir"}"""

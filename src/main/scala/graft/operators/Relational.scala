@@ -176,10 +176,26 @@ object Relational {
         Seq(col(rightTime).as("__t"), lit(1).as("__side"),
           lit(null).cast(l.schema("__l").dataType).as("__l"),
           struct(rightCols.map(col): _*).as("__r")): _*)
+    if (chunkWidth == Long.MaxValue) {
+      // single-chunk fast path: the carry pass would be provably
+      // all-NULL (everything lands in chunk 0), so skip its extra
+      // scan + aggregation + broadcast entirely — this is the
+      // small-key-history form, one shuffle, one window
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__t").asc, col("__side").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return l.unionByName(r)
+        .withColumn("__prev", last(col("__r"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 0)
+        .select(col("__l.*") +: rightCols.map(c =>
+          col(s"__prev.`$c`").as(c)): _*)
+    }
     // truncating integral division is monotone for a positive divisor
     // (see rangeJoinBinned), so t1 ≤ t2 ⇒ chunk(t1) ≤ chunk(t2) and the
     // carry logic below is sound; a NULL left time yields a NULL chunk,
-    // joins nothing, and matches nothing — same as the unchunked form
+    // whose group holds no right rows (NULL right times are filtered),
+    // sorts FIRST on the carry axis, and so carries in NULL — same
+    // no-match semantics as the unchunked window's nulls-first sort
     val u = l.unionByName(r).withColumn("__chunk",
       intDiv(col("__t").cast("long"), chunkWidth))
     val grpCols = (keyCols :+ "__chunk").map(col)
@@ -205,9 +221,18 @@ object Relational {
         .over(Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("__chunk").asc)
           .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(grpCols :+ col("__carry"): _*)
+      .select((keyCols.zipWithIndex.map { case (k, i) =>
+        col(s"`$k`").as(s"__ck$i") } :+
+        col("__chunk").as("__cchunk")) :+ col("__carry"): _*)
+    // NULL-SAFE fix-up join: the window partitioning groups NULL keys
+    // (and the NULL chunk) together, so the carry lookup must match
+    // them too — a plain equi-join would silently diverge from the
+    // single-chunk form on NULL keys
+    val cond = (keyCols.zipWithIndex.map { case (k, i) =>
+      within(k) <=> carry(s"__ck$i") } :+
+      (within("__chunk") <=> carry("__cchunk"))).reduce(_ && _)
     within
-      .join(broadcast(carry), keyCols :+ "__chunk", "left")
+      .join(broadcast(carry), cond, "left")
       .withColumn("__prev", coalesce(col("__in"), col("__carry")))
       .select(col("__l.*") +: rightCols.map(c =>
         col(s"__prev.`$c`").as(c)): _*)
@@ -252,6 +277,10 @@ object Relational {
     */
   def withFillDates(df: DataFrame, dateCol: String, from: String,
       to: String, defaults: Seq[(String, Column)]): DataFrame = {
+    // an inverted range fills nothing (sequence() would throw on a
+    // positive step with from > to) — all data rows still pass through
+    if (java.time.LocalDate.parse(from)
+        .isAfter(java.time.LocalDate.parse(to))) return df
     val axis = df.sparkSession.range(1)
       .select(explode(sequence(lit(from).cast("date"), lit(to).cast("date"),
         expr("interval 1 day"))).as(dateCol))
@@ -270,6 +299,9 @@ object Relational {
   def withFillNumeric(df: DataFrame, axisCol: String, from: Long, to: Long,
       step: Long, defaults: Seq[(String, Column)]): DataFrame = {
     require(step > 0, "STEP must be positive")
+    // empty grid for from >= to (TO is exclusive; sequence() would
+    // throw on a positive step with from > to) — matches the SQL path
+    if (from >= to) return df
     val axisType = df.schema(axisCol).dataType
     val axis = df.sparkSession.range(1)
       .select(explode(sequence(lit(from), lit(to), lit(step))).as(axisCol))
@@ -368,9 +400,12 @@ object Relational {
     * deduping by exactly one shuffle of the fact table.
     */
   def anyLeftJoin(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKey: String, rightOrd: Seq[String]): DataFrame =
-    left.join(firstByKey(right, Seq(rightKey), rightOrd),
-      left(leftKey) === col(s"`$rightKey`"), "left")
+      rightKey: String, rightOrd: Seq[String]): DataFrame = {
+    val reduced = firstByKey(right, Seq(rightKey), rightOrd)
+    // bind the right key through the reduced frame — an unqualified
+    // col() would be ambiguous when both sides share the key name
+    left.join(reduced, left(leftKey) === reduced(rightKey), "left")
+  }
 
   /** Latest-version-per-entity compaction for VersionedCollapsingMergeTree
     * data (ddl/visits.sql:229-233): a state row (sign=+1) is live unless a

@@ -131,15 +131,20 @@ object Similarity {
     */
   def quantizedTopK(vecs: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, margin: Int = 4): DataFrame = {
+    // norms precomputed per ROW, not per pair — the convention every
+    // scorer here follows (a post-crossJoin norm would recompute the
+    // 64-element dot once per (vector, probe) pair)
     val vq = vecs.select(col(idCol).as("id"),
-      quantize8(col(vecCol)).cast("array<double>").as("__qv"))
+        quantize8(col(vecCol)).cast("array<double>").as("__qv"))
+      .withColumn("__qvn", norm(col("__qv")))
     val pq = probes.select(col(idCol).as("probe_id"),
-      quantize8(col(vecCol)).cast("array<double>").as("__qp"))
+        quantize8(col(vecCol)).cast("array<double>").as("__qp"))
+      .withColumn("__qpn", norm(col("__qp")))
     val pool = topKPerKey(
       vq.crossJoin(broadcast(pq))
         .filter(col("id") =!= col("probe_id"))
         .withColumn("sim", guardedSim(col("__qv"), col("__qp"),
-          norm(col("__qv")), norm(col("__qp"))))
+          col("__qvn"), col("__qpn")))
         .select(col("probe_id"), col("id"), col("sim")),
       "probe_id", k * margin)
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),

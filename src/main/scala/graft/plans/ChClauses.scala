@@ -107,28 +107,9 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     require(step > 0, "WITH FILL STEP must be positive")
-    // the grid is constant-bounded by grammar — build it driver-side;
-    // internal reps: DateType = Int epoch days, integrals as themselves
-    val (axisType, rows): (DataType, Seq[InternalRow]) =
-      axisAttr.dataType match {
-        case DateType =>
-          require(from.dataType == DateType && to.dataType == DateType,
-            "WITH FILL bounds on a date axis must be DATE literals")
-          (DateType, (asLong(from) until asLong(to) by step)
-            .map(d => InternalRow(d.toInt)))
-        case dt @ (LongType | IntegerType | ShortType) =>
-          val vs = asLong(from) until asLong(to) by step
-          (dt, dt match {
-            case LongType => vs.map(InternalRow(_))
-            case IntegerType => vs.map(v => InternalRow(v.toInt))
-            case _ => vs.map(v => InternalRow(v.toShort))
-          })
-        case other => throw new IllegalArgumentException(
-          s"WITH FILL supports date/integral axes, got $other")
-      }
-    val axisOut =
-      AttributeReference(axisAttr.name, axisType, nullable = false)()
-    val axisRel = LocalRelation(Seq(axisOut), rows)
+    // an inverted range fills nothing (matching the combinators);
+    // data rows still pass through unchanged
+    if (asLong(from) >= asLong(to)) return child
     // Compose the expansion through the DATASET API and hand back the
     // analyzed subtree: the fill's anti-join branch references `child`
     // a second time, and an eagerly-analyzed Dataset runs relation
@@ -137,8 +118,30 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // re-instanced a temp view's relation under the hand-built
     // Aggregate without remapping the Aggregate itself). The shape is
     // Relational.fillAxis's: data branch untouched, range-bounded
-    // distinct, broadcast anti-join, union.
+    // distinct, broadcast anti-join, union. The grid itself is
+    // generated LAZILY executor-side (sequence + explode, like the
+    // combinators) — a driver-side LocalRelation would materialize a
+    // `FROM 0 TO 1e9 STEP 1` grid in analyzer heap.
     import org.apache.spark.sql.GraftSqlBridge.{column, ofRows}
+    import org.apache.spark.sql.functions.{col => fcol, explode, lit,
+      sequence, expr}
+    val one = ofRows(spark,
+      LocalRelation(Seq.empty[Attribute], Seq(InternalRow.empty)))
+    val axisDf = axisAttr.dataType match {
+      case DateType =>
+        require(from.dataType == DateType && to.dataType == DateType,
+          "WITH FILL bounds on a date axis must be DATE literals")
+        one.select(explode(sequence(column(from), column(to),
+            expr(s"interval $step day"))).as(axisAttr.name))
+          .filter(fcol(axisAttr.name) < column(to)) // CH TO is exclusive
+      case dt @ (LongType | IntegerType | ShortType) =>
+        one.select(explode(sequence(lit(asLong(from)), lit(asLong(to)),
+            lit(step))).as(axisAttr.name))
+          .filter(fcol(axisAttr.name) < lit(asLong(to)))
+          .select(fcol(axisAttr.name).cast(dt).as(axisAttr.name))
+      case other => throw new IllegalArgumentException(
+        s"WITH FILL supports date/integral axes, got $other")
+    }
     val inRange = column(And(GreaterThanOrEqual(axisAttr, from),
       LessThan(axisAttr, to)))
     // missing grid rows carry CH TYPE DEFAULTS (0 / '' / epoch ...);
@@ -148,7 +151,7 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         scala.util.Try(Literal.default(a.dataType))
           .getOrElse(Literal(null, a.dataType))))
     graft.operators.Relational.fillAxis(ofRows(spark, child),
-        axisAttr.name, ofRows(spark, axisRel), inRange, defaults)
+        axisAttr.name, axisDf, inRange, defaults)
       .queryExecution.analyzed
   }
 }

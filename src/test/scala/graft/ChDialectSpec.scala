@@ -268,6 +268,11 @@ class ChDialectSpec extends SparkSpec {
     // grid 0,2,4,6 (8 exclusive); present 0,4; filled rows carry the
     // CH type default '' for the string column; off-grid 9 passes through
     assert(got == Seq((0L, "a"), (2L, ""), (4L, "b"), (6L, ""), (9L, "c")))
+    // inverted range fills nothing but keeps every data row
+    val inv = spark.sql(
+      "SELECT x, s FROM wf_v ORDER BY x WITH FILL FROM 8 TO 0 STEP 2")
+      .as[(Long, String)].collect().toSeq
+    assert(inv == Seq((0L, "a"), (4L, "b"), (9L, "c")))
   }
 
   test("type conversions widen per the documented mapping; intDiv truncates") {

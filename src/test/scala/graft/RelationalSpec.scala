@@ -127,21 +127,32 @@ class RelationalSpec extends SparkSpec {
 
   test("asofJoin: chunked two-pass equals the single-chunk form") {
     // dense per-key histories where most chunks contain NO right row
-    // (carry must skip over empty chunks) and some contain several
-    val left = (0 until 400).map(i => ((i % 3).toLong, (i * 7L) % 997, s"e$i"))
+    // (carry must skip over empty chunks) and some contain several; a
+    // NULL key batch proves the carry fix-up join is null-safe like
+    // the window partitioning
+    val left = ((0 until 400).map(i =>
+        (Some((i % 3).toLong), (i * 7L) % 997, s"e$i")) ++
+      (0 until 20).map(i => (Option.empty[Long], i * 31L, s"n$i")))
       .toDF("k", "t", "tag")
-    val right = (0 until 40).map(i => ((i % 3).toLong, (i * 53L) % 991, i))
+    val right = ((0 until 40).map(i =>
+        (Some((i % 3).toLong), (i * 53L) % 991, i)) ++
+      Seq((Option.empty[Long], 100L, 777)))
       .toDF("k", "rt", "rv")
     for (width <- Seq(1L, 10L, 128L, 100000L)) {
       val chunked = asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"),
           chunkWidth = width)
         .select($"k", $"t", $"tag", $"rv")
-        .as[(Long, Long, String, Option[Int])].collect().toSet
+        .as[(Option[Long], Long, String, Option[Int])].collect().toSet
       val single = asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
         .select($"k", $"t", $"tag", $"rv")
-        .as[(Long, Long, String, Option[Int])].collect().toSet
+        .as[(Option[Long], Long, String, Option[Int])].collect().toSet
       assert(chunked == single, s"chunkWidth=$width")
     }
+    // and the NULL key really matches its own right row (t >= 100)
+    val nulls = asofJoin(left.filter($"k".isNull), right, Seq("k"),
+        "t", "rt", Seq("rv"), chunkWidth = 64)
+      .filter($"t" >= 100 && $"rv" === 777)
+    assert(nulls.count() == left.filter($"k".isNull && $"t" >= 100).count())
   }
 
   test("topKFreq: k most frequent per group, two-stage (never one task per key)") {
@@ -173,6 +184,13 @@ class RelationalSpec extends SparkSpec {
       .as[(Int, String, Option[String])].collect().toSet
     assert(got == Set((1, "a", Some("r12")), (2, "b", Some("r29")),
       (3, "c", None)))
+    // both sides sharing the key NAME must not be ambiguous
+    val sameName = anyLeftJoin(left, right.withColumnRenamed("rk", "k"),
+        "k", "k", Seq("ord"))
+      .select($"tag", $"payload")
+      .as[(String, Option[String])].collect().toSet
+    assert(sameName == Set(("a", Some("r12")), ("b", Some("r29")),
+      ("c", None)))
   }
 
   test("rangeJoinBinned equals the naive inequality join") {
