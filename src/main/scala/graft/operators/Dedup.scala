@@ -265,6 +265,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination scan — the training-data hygiene pass:
+    * which corpus documents share at least `minHits` DISTINCT n-gram
+    * shingles with a (small) benchmark/eval set. Asymmetric by
+    * design: the benchmark side is eval-suite-sized, so its exploded
+    * shingles BROADCAST and the corpus is scanned exactly once with no
+    * shuffle of document payloads — the per-(doc, bench) hit counts
+    * that do shuffle are collision-sized. No banding needed (unlike
+    * near-dedup) because the right side is small; the absolute-hits
+    * threshold is the decontamination convention (a single shared
+    * 13-gram is the usual flag; the tests use 3-grams with a higher
+    * floor because the synthetic vocabulary is tiny).
+    * Output: (contaminated_id, bench_id, n_shared).
+    */
+  def contaminationScan(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, minHits: Long): DataFrame = {
+    import graft.functions.text
+    def shingled(df: DataFrame, idOut: String) = df.select(
+      col(idCol).as(idOut),
+      explode(array_distinct(
+        text.ngrams(text.tokenize(col(textCol)), shingleN))).as("__g"))
+    shingled(docs, "contaminated_id")
+      .join(broadcast(shingled(bench, "bench_id")), "__g")
+      .groupBy(col("contaminated_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minHits)
+  }
+
   // -------------------------------------------------------------------
   // SimHash
 

@@ -58,6 +58,34 @@ object PipelineQueries {
     ORDER BY id_a, id_b"""
 
   // ---------------------------------------------------------------------
+  // Benchmark-contamination scan: corpus docs sharing ≥ 5 distinct
+  // 3-gram shingles with the planted eval set (doc_id % 17 == 0).
+  // The eval side broadcasts; the corpus scans once — the asymmetric
+  // decontamination shape, distinct from near-dedup's banding.
+  val q73Contamination = QueryDef(
+    "q73_contamination_scan",
+    (s, dir) => {
+      val all = Graft.table(s, dir, "documents")
+      val bench = all.filter(pmod(col("doc_id"), lit(17)) === 0)
+      val corpus = all.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      Dedup.contaminationScan(corpus, bench, "doc_id", "text",
+          shingleN = 3, minHits = 5)
+        .orderBy(col("contaminated_id"), col("bench_id"))
+    },
+    Some(s"""
+      WITH ${duckShingles(0)},
+      e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      hits AS (
+        SELECT d.doc_id AS contaminated_id, b.doc_id AS bench_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM e d JOIN e b ON d.g = b.g
+        WHERE b.doc_id % 17 = 0 AND d.doc_id % 17 <> 0
+        GROUP BY 1, 2
+      )
+      SELECT * FROM hits WHERE n_shared >= 5
+      ORDER BY contaminated_id, bench_id"""))
+
+  // ---------------------------------------------------------------------
   // Exact dedup: hash-groupBy on a prefix fingerprint key, deterministic
   // representative (min doc_id), group sizes carried through.
   val q21ExactDedup = QueryDef(
@@ -729,5 +757,6 @@ object PipelineQueries {
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
     q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall, q72AnnQuantized,
-    q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup)
+    q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,
+    q73Contamination)
 }
