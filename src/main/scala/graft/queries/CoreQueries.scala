@@ -613,12 +613,16 @@ object CoreQueries {
   // two-stage form (count agg → local rank → global rank) is the
   // deterministic equivalent the oracle can reproduce — and the scale
   // shape never funnels a key's full distinct-value set into one task.
+  // The driver-facing entry serializes the ranked list to a CSV string:
+  // the comparison harness sorts/hashes scalar cells only.
   val q69TopKFreq = QueryDef(
     "q69_topk_freq",
     (s, dir) => {
       val e = Graft.table(s, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(50)).as("u"))
       topKFreq(e, Seq("event_type"), "u", 3)
+        .select(col("event_type"),
+          concat_ws(",", col("topk").cast("array<string>")).as("topk"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -631,7 +635,8 @@ object CoreQueries {
                                   ORDER BY cnt DESC, u) AS rn
         FROM c
       )
-      SELECT event_type, list(u ORDER BY rn) AS topk
+      SELECT event_type,
+             string_agg(CAST(u AS VARCHAR), ',' ORDER BY rn) AS topk
       FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------------
