@@ -275,42 +275,56 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
   /** Lloyd's k-means over the embedding column — the production coarse
-    * quantizer for IVF at scale. Each iteration is one broadcast-
-    * assignment pass (cell = argmax cosine against the literal centroid
-    * table, a pure projection — no shuffle) plus one groupBy(cell)
-    * average (one shuffle of partial sums, map-side combined).
-    * Deterministic: seeds are the k first vectors in id-HASH order — a
-    * pseudo-random but reproducible sample (TakeOrdered, fully
-    * parallel) — and argmax tie-breaks on centroid position. Cells
-    * that go empty are dropped and centroids re-indexed, so the
+    * quantizer for IVF at scale. Training runs on a bounded
+    * deterministic sample (id-hash modulus filter, ≤ ~`maxTrainRows`
+    * rows, persisted across iterations): at corpus scale the quantizer
+    * needs a representative sample, not the data — full-corpus Lloyd's
+    * would re-scan 100 TB per iteration for no recall gain. Each
+    * iteration is one broadcast-assignment pass (cell = argmax cosine
+    * against the literal centroid table, a pure projection — no
+    * shuffle) plus one groupBy(cell) average (one shuffle of partial
+    * sums, map-side combined).
+    * Deterministic: the sample filter and the seeds (the k first
+    * vectors in id-HASH order — TakeOrdered, fully parallel) are pure
+    * functions of the ids, and argmax tie-breaks on centroid position.
+    * Cells that go empty are dropped and centroids re-indexed, so the
     * result may have fewer than k cells on degenerate data.
     */
   def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Array[(Long, Seq[Double])] = {
-    var cents: Array[(Long, Seq[Double])] =
-      vecs.orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
-        .select(col(idCol).cast("long"),
-          transform(col(vecCol), x => x.cast("double")))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(cents.nonEmpty, "kmeansCentroids: input has no vectors")
-    for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("__cell",
-        assignCell(col(vecCol), cents))
-      val dim = cents.head._2.length
-      val sums = assigned.groupBy(col("__cell"))
-        .agg(
-          count(lit(1)).as("__n"),
-          (0 until dim).map(i =>
-            sum(element_at(col(vecCol), i + 1).cast("double")).as(s"__s$i")): _*)
-        .collect()
-      cents = sums.map { r =>
-        val n = r.getAs[Long]("__n").toDouble
-        val mean = (0 until dim).map(i => r.getAs[Double](s"__s$i") / n)
-        (r.getAs[Long]("__cell"), mean)
-      }.sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-    }
-    cents
+      k: Int, iters: Int,
+      maxTrainRows: Long = 100000L): Array[(Long, Seq[Double])] = {
+    val total = vecs.select(col(idCol)).count()
+    val denom = math.max(1L, total / math.max(1L, maxTrainRows))
+    val train0 =
+      if (denom == 1L) vecs
+      else vecs.filter(pmod(xxhash64(col(idCol)), lit(denom)) === 0)
+    val train = train0.select(col(idCol), col(vecCol)).persist()
+    try {
+      var cents: Array[(Long, Seq[Double])] =
+        train.orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+          .select(col(idCol).cast("long"),
+            transform(col(vecCol), x => x.cast("double")))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      require(cents.nonEmpty, "kmeansCentroids: input has no vectors")
+      for (_ <- 0 until iters) {
+        val assigned = train.withColumn("__cell",
+          assignCell(col(vecCol), cents))
+        val dim = cents.head._2.length
+        val sums = assigned.groupBy(col("__cell"))
+          .agg(
+            count(lit(1)).as("__n"),
+            (0 until dim).map(i =>
+              sum(element_at(col(vecCol), i + 1).cast("double")).as(s"__s$i")): _*)
+          .collect()
+        cents = sums.map { r =>
+          val n = r.getAs[Long]("__n").toDouble
+          val mean = (0 until dim).map(i => r.getAs[Double](s"__s$i") / n)
+          (r.getAs[Long]("__cell"), mean)
+        }.sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      }
+      cents
+    } finally train.unpersist()
   }
 
   /** Cell id of a vector: argmax-cosine centroid, computed inline over

@@ -471,7 +471,9 @@ object PipelineQueries {
   // binned to their nearest centroid once (inline argmax projection —
   // no shuffle), probes search only their nprobe best cells via a cell
   // equi-join. The quantizer here is the deterministic seed-vector one
-  // (every 25th vec_id) precisely so the oracle can replicate cell
+  // (every ⌈√N⌉-th vec_id → #cells ≈ √N, the IVF balance point: per-row
+  // assignment cost and per-probe candidate count both grow as √corpus
+  // instead of linearly) precisely so the oracle can replicate cell
   // assignment, probe-cell ranking and in-cell top-k EXACTLY in SQL —
   // the whole IVF structure is verified, not just the scoring.
   // (The data-adaptive kmeans quantizer is `Similarity.kmeansCentroids`,
@@ -481,8 +483,10 @@ object PipelineQueries {
     (s, dir) => {
       val vecs = Graft.table(s, dir, "embeddings")
       val probes = vecs.filter(col("vec_id") < 5)
+      val modulus = math.ceil(math.sqrt(
+        vecs.select(col("vec_id")).count().toDouble)).toInt
       val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding",
-        modulus = 25)
+        modulus = modulus)
       Similarity.ivfTopK(vecs, probes, "vec_id", "embedding", k = 10,
           cents, nprobe = 4)
         .select(col("probe_id"), col("rank"), col("id"),
@@ -495,7 +499,8 @@ object PipelineQueries {
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
         FROM embeddings
       ), c AS (
-        SELECT vec_id AS cent_id, e AS ce, n AS cn FROM v WHERE vec_id % 25 = 0
+        SELECT vec_id AS cent_id, e AS ce, n AS cn FROM v
+        WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0
       ), sim0 AS (
         SELECT v.vec_id, c.cent_id,
                CASE WHEN v.n > 0 AND c.cn > 0
