@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** ClickHouse URL-function vocabulary.
+  *
+  * Metrica is web analytics: the reference's tables carry page and
+  * referrer URLs (`/root/reference/ddl/hits.sql:11` `URL String`,
+  * `:13` `Referer`, `/root/reference/ddl/visits.sql:14` `StartURL`),
+  * and ClickHouse's URL function family (`domain`, `path`,
+  * `queryString`, `extractURLParameter`, …) is the idiomatic query
+  * vocabulary over them. Everything here is composed from native
+  * `regexp_extract` / `regexp_replace` / `split` — whole-stage
+  * codegen'd, no UDFs — and follows CH's contract of returning the
+  * EMPTY STRING (never NULL, never an error) when a component is
+  * absent, so the functions are safe in aggregations over dirty data.
+  *
+  * Parsing strategy: a URL's scheme (`https://`) and userinfo (`u@`)
+  * prefixes are stripped first with ANCHORED replaces, then components
+  * are extracted from the remainder. A single optional-prefix regex
+  * looks simpler but backtracks wrongly on scheme-less or path-less
+  * URLs (the optional group gives back its match and the authority is
+  * re-parsed as a path), so the two-step form is load-bearing.
+  *
+  * CH accepts URLs with or without a scheme; so do these. Divergences
+  * (documented, not bugs): `protocol` requires the `://` form (CH also
+  * accepts `mailto:`), and `firstSignificantSubdomain` uses CH's
+  * documented {com, net, org, co} second-level list rather than the
+  * full public-suffix table.
+  */
+object url {
+
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+  private val UserinfoRe = "^[^/@?#]*@"
+
+  /** Scheme + userinfo stripped: the remainder starts at the host. */
+  private def rest(u: Column): Column =
+    regexp_replace(regexp_replace(u, SchemeRe, ""), UserinfoRe, "")
+
+  /** CH `protocol(url)`: the scheme, '' when the URL has none. */
+  def protocol(u: Column): Column =
+    regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+
+  /** CH `domain(url)`: the hostname, with or without a scheme in the
+    * URL, excluding userinfo and port; '' for scheme-relative garbage.
+    */
+  def domain(u: Column): Column =
+    regexp_extract(rest(u), "^([^/:?#]+)", 1)
+
+  /** CH `domainWithoutWWW(url)`: [[domain]] minus one leading `www.`. */
+  def domainWithoutWWW(u: Column): Column =
+    regexp_replace(domain(u), "^www\\.", "")
+
+  /** CH `topLevelDomain(url)`: the last dot-label of the domain, ''
+    * when the domain has no dot.
+    */
+  def topLevelDomain(u: Column): Column =
+    regexp_extract(domain(u), "\\.([^.]+)$", 1)
+
+  /** CH `firstSignificantSubdomain(url)`: the owner-level label —
+    * `news.portal.com.tr` → `portal`, `metrica.yandex.ru` → `yandex`.
+    * CH's rule: step over a second-level label in {com, net, org, co}
+    * (effective-TLD stand-ins), else take the label left of the TLD.
+    */
+  def firstSignificantSubdomain(u: Column): Column = {
+    val parts = split(domain(u), "\\.")
+    val n = size(parts)
+    when(n >= 3 && element_at(parts, -2).isin("com", "net", "org", "co"),
+        element_at(parts, -3))
+      .when(n >= 2, element_at(parts, -2))
+      .otherwise(lit(""))
+  }
+
+  /** CH `port(url[, default])`: the explicit port, else `default`. */
+  def port(u: Column, default: Column = lit(0)): Column = {
+    val p = regexp_extract(rest(u), "^[^/:?#]+:([0-9]+)", 1)
+    when(p === "", default.cast("int")).otherwise(p.cast("int"))
+  }
+
+  /** CH `path(url)`: from the first `/` after the authority up to the
+    * query string or fragment; '' when the URL has no path.
+    */
+  def path(u: Column): Column =
+    regexp_extract(rest(u), "^[^/?#]*(/[^?#]*)", 1)
+
+  /** CH `pathFull(url)`: [[path]] plus query string and fragment. */
+  def pathFull(u: Column): Column =
+    regexp_extract(rest(u), "^[^/?#]*(/.*)$", 1)
+
+  /** CH `queryString(url)`: between `?` and `#`, without the `?`. */
+  def queryString(u: Column): Column =
+    regexp_extract(u, "\\?([^#]*)", 1)
+
+  /** CH `fragment(url)`: after `#`, without the `#`. */
+  def fragment(u: Column): Column =
+    regexp_extract(u, "#(.*)$", 1)
+
+  /** CH `extractURLParameter(url, name)`: the raw (undecoded) value of
+    * the first `name=` parameter, '' when absent. `name` is a literal;
+    * regex metacharacters in it are escaped.
+    */
+  def extractURLParameter(u: Column, name: String): Column =
+    regexp_extract(u,
+      "[?&]" + java.util.regex.Pattern.quote(name) + "=([^&#]*)", 1)
+
+  /** CH `cutQueryString(url)`: the URL without its query string (the
+    * `?` goes too); the fragment survives.
+    */
+  def cutQueryString(u: Column): Column =
+    concat(regexp_extract(u, "^([^?#]*)", 1),
+      regexp_extract(u, "(#.*)$", 1))
+
+  /** CH `cutFragment(url)`: the URL without its `#fragment`. */
+  def cutFragment(u: Column): Column =
+    regexp_extract(u, "^([^#]*)", 1)
+
+  /** CH `cutQueryStringAndFragment(url)`. */
+  def cutQueryStringAndFragment(u: Column): Column =
+    regexp_extract(u, "^([^?#]*)", 1)
+}

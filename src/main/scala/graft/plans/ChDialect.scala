@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, Arra
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
 
-import graft.functions.ch
+import graft.functions.{ch, url}
 
 /** ClickHouse-named SQL functions (README.md:103-109; ddl/hits.sql:114),
   * so a reference user's SQL runs verbatim through `spark.sql`. Every
@@ -185,5 +185,35 @@ object ChDialect {
     // assumeNotNull: identity on the value (CH uses it to strip
     // Nullable; Spark nullability is advisory, so pass through)
     "assumeNotNull" -> (args => args.head),
+    // URL family (graft.functions.url — Metrica's web-analytics
+    // vocabulary over URL/Referer/StartURL columns)
+    "protocol" -> (args => ex(url.protocol(col(args.head)))),
+    "domain" -> (args => ex(url.domain(col(args.head)))),
+    "domainWithoutWWW" -> (args => ex(url.domainWithoutWWW(col(args.head)))),
+    "topLevelDomain" -> (args => ex(url.topLevelDomain(col(args.head)))),
+    "firstSignificantSubdomain" -> (args =>
+      ex(url.firstSignificantSubdomain(col(args.head)))),
+    "port" -> (args =>
+      if (args.length == 1) ex(url.port(col(args.head)))
+      else ex(url.port(col(args.head), col(args(1))))),
+    "path" -> (args => ex(url.path(col(args.head)))),
+    "pathFull" -> (args => ex(url.pathFull(col(args.head)))),
+    "queryString" -> (args => ex(url.queryString(col(args.head)))),
+    "fragment" -> (args => ex(url.fragment(col(args.head)))),
+    // extractURLParameter(url, 'name'): the parameter name is a string
+    // literal in CH queries; it parameterizes the extraction regex, so
+    // a non-literal cannot be compiled into the expression
+    "extractURLParameter" -> (args => {
+      val name = args(1) match {
+        case Literal(v, _) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"extractURLParameter expects a literal parameter name, got $other")
+      }
+      ex(url.extractURLParameter(col(args.head), name))
+    }),
+    "cutQueryString" -> (args => ex(url.cutQueryString(col(args.head)))),
+    "cutFragment" -> (args => ex(url.cutFragment(col(args.head)))),
+    "cutQueryStringAndFragment" -> (args =>
+      ex(url.cutQueryStringAndFragment(col(args.head)))),
   )
 }

@@ -380,9 +380,106 @@ object DialectQueries {
       FROM axis FULL JOIN sparse USING (day)
       ORDER BY day"""))
 
+  // ---------------------------------------------------------------------
+  // The CH URL-function family (protocol/domain/domainWithoutWWW/
+  // topLevelDomain/firstSignificantSubdomain/port/path/pathFull/
+  // queryString/fragment/extractURLParameter/cutQueryString) — the
+  // idiomatic Metrica vocabulary over page/referrer URL columns
+  // (ddl/hits.sql:11,13, ddl/visits.sql:14). The corpus is a
+  // deterministic URL per document covering every structural case
+  // (scheme present/absent, userinfo, www, multi-label com.tr domains,
+  // port, empty path, query params, fragment); the oracle rebuilds the
+  // same URLs and re-extracts with the same anchored-strip regexes.
+  // All combinators are native regexp expressions — one codegen'd
+  // projection, no UDFs, no shuffle before the final orderBy.
+  val q74ChUrlFuncs = QueryDef(
+    "q74_ch_url_funcs",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.url
+      val id = col("doc_id")
+      val u = concat(
+        when(pmod(id, lit(3)) === 0, "https://")
+          .when(pmod(id, lit(3)) === 1, "http://").otherwise(""),
+        when(pmod(id, lit(7)) === 0,
+          concat(lit("u"), pmod(id, lit(5)).cast("string"), lit("@")))
+          .otherwise(""),
+        when(pmod(id, lit(5)) === 0, "www.example.com")
+          .when(pmod(id, lit(5)) === 1, "news.portal.com.tr")
+          .when(pmod(id, lit(5)) === 2, "metrica.yandex.ru")
+          .when(pmod(id, lit(5)) === 3, "blog.example.org")
+          .otherwise("cdn.io"),
+        when(pmod(id, lit(4)) === 0, ":8080").otherwise(""),
+        when(pmod(id, lit(9)) === 0, "").otherwise(concat(
+          lit("/sec"), pmod(id, lit(11)).cast("string"),
+          lit("/page"), pmod(id, lit(13)).cast("string"), lit(".html"))),
+        when(pmod(id, lit(2)) === 0, concat(
+          lit("?utm_source=s"), pmod(id, lit(3)).cast("string"),
+          lit("&page="), pmod(id, lit(7)).cast("string"))).otherwise(""),
+        when(pmod(id, lit(6)) === 0,
+          concat(lit("#c"), pmod(id, lit(4)).cast("string"))).otherwise(""))
+      Graft.table(s, dir, "documents")
+        .select(id, u.as("url"))
+        .select(id, col("url"),
+          url.protocol(col("url")).as("proto"),
+          url.domain(col("url")).as("dom"),
+          url.domainWithoutWWW(col("url")).as("dom_nw"),
+          url.topLevelDomain(col("url")).as("tld"),
+          url.firstSignificantSubdomain(col("url")).as("fsd"),
+          url.port(col("url")).as("prt"),
+          url.path(col("url")).as("pth"),
+          url.pathFull(col("url")).as("pfull"),
+          url.queryString(col("url")).as("qs"),
+          url.fragment(col("url")).as("frag"),
+          url.extractURLParameter(col("url"), "utm_source").as("utm"),
+          url.cutQueryString(col("url")).as("cut_qs"))
+        .orderBy(id).limit(60)
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+          (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://' ELSE '' END)
+          || (CASE WHEN doc_id % 7 = 0 THEN 'u' || CAST(doc_id % 5 AS VARCHAR) || '@' ELSE '' END)
+          || (CASE doc_id % 5 WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'news.portal.com.tr'
+               WHEN 2 THEN 'metrica.yandex.ru' WHEN 3 THEN 'blog.example.org' ELSE 'cdn.io' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END)
+          || (CASE WHEN doc_id % 9 = 0 THEN '' ELSE '/sec' || CAST(doc_id % 11 AS VARCHAR) || '/page' || CAST(doc_id % 13 AS VARCHAR) || '.html' END)
+          || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=s' || CAST(doc_id % 3 AS VARCHAR) || '&page=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+          || (CASE WHEN doc_id % 6 = 0 THEN '#c' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+          AS url
+        FROM documents
+      ), s AS (
+        SELECT doc_id, url,
+          regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                         '^[^/@?#]*@', '') AS rest
+        FROM u
+      ), x AS (
+        SELECT doc_id, url, rest,
+          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS proto,
+          regexp_extract(rest, '^([^/:?#]+)', 1) AS dom
+        FROM s
+      ), y AS (
+        SELECT *, string_split(dom, '.') AS parts FROM x
+      )
+      SELECT doc_id, url, proto, dom,
+        regexp_replace(dom, '^www\.', '') AS dom_nw,
+        regexp_extract(dom, '\.([^.]+)$', 1) AS tld,
+        CASE WHEN len(parts) >= 3 AND parts[-2] IN ('com','net','org','co') THEN parts[-3]
+             WHEN len(parts) >= 2 THEN parts[-2] ELSE '' END AS fsd,
+        CAST(CASE WHEN regexp_extract(rest, '^[^/:?#]+:([0-9]+)', 1) = '' THEN '0'
+                  ELSE regexp_extract(rest, '^[^/:?#]+:([0-9]+)', 1) END AS INTEGER) AS prt,
+        regexp_extract(rest, '^[^/?#]*(/[^?#]*)', 1) AS pth,
+        regexp_extract(rest, '^[^/?#]*(/.*)$', 1) AS pfull,
+        regexp_extract(url, '\?([^#]*)', 1) AS qs,
+        regexp_extract(url, '#(.*)$', 1) AS frag,
+        regexp_extract(url, '[?&]utm_source=([^&#]*)', 1) AS utm,
+        regexp_extract(url, '^([^?#]*)', 1) || regexp_extract(url, '(#.*)$', 1) AS cut_qs
+      FROM y ORDER BY doc_id LIMIT 60"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
-      q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql)
+      q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
+      q74ChUrlFuncs)
 }
