@@ -351,4 +351,79 @@ object Dedup {
       .toDF(idCol, "band", "bkey")
     pairsWithinBuckets(buckets, idCol, maxBucket, obs)
   }
+
+  /** Connected components over a near-dup pair set: every document in a
+    * component gets the component's MINIMUM id as `cluster_id` — the
+    * transitive-closure step that turns pairwise matches into dedup
+    * clusters (a ~ b and b ~ c dedup to one survivor even when a ~ c
+    * was never emitted). Only ids that appear in `pairs` are returned;
+    * everything else is its own singleton and needs no row.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (1) lowers every node's label to the min over its neighbors'
+    * labels (one equi-join + partial-min aggregation) and (2) replaces
+    * each label by its label's label (one self-join) — the pointer
+    * jump that contracts chains geometrically, so rounds grow with
+    * log(diameter), not diameter. Each round is hash-partitioned
+    * equi-joins only — no windows, no driver-side data; the edge list
+    * is persisted once and the label frame is `localCheckpoint`ed per
+    * round to cut the iterative lineage (at cluster scale swap in a
+    * reliable checkpoint dir). Convergence is detected by an aggregated
+    * change count (one long to the driver per round). The fixpoint —
+    * every label the component minimum — is unique, so the result is
+    * deterministic regardless of join order.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    try {
+      var labels = bi.select(col("u").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // (1) min over neighbor labels (bi is symmetric, so grouping on
+        // u sees every neighbor of u)
+        val nbrMin = bi.join(labels, bi("v") === labels("id"))
+          .groupBy(col("u")).agg(min(col("lbl")).as("nbr"))
+        val lowered = labels.join(nbrMin, labels("id") === nbrMin("u"),
+            "left")
+          .select(col("id"), col("lbl"),
+            least(col("lbl"), coalesce(col("nbr"), col("lbl")))
+              .as("low"))
+        // (2) pointer jump: follow the lowered label one hop
+        val byId = lowered.select(col("id").as("jid"), col("low").as("jlbl"))
+        val jumped = lowered.join(byId, lowered("low") === byId("jid"),
+            "left")
+          .select(col("id"), col("lbl"),
+            coalesce(col("jlbl"), col("low")).as("next"))
+        val next = jumped
+          .select(col("id"), col("next").as("lbl"),
+            (col("next") =!= col("lbl")).cast("long").as("__chg"))
+          .localCheckpoint()
+        changed = next.agg(coalesce(sum(col("__chg")), lit(0L)))
+          .head().getLong(0)
+        labels = next.select(col("id"), col("lbl"))
+        iter += 1
+      }
+      require(changed == 0,
+        s"connectedComponents: no fixpoint after $maxIter rounds")
+      labels.select(col("id"), col("lbl").as("cluster_id"))
+    } finally bi.unpersist()
+  }
+
+  /** Cluster-dedup survivors: drop every row whose id sits in a pair
+    * cluster and is not the cluster's representative (min id). The
+    * anti-join ships only the loser id set — never the payload.
+    */
+  def dedupByClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
 }

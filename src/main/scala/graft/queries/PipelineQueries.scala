@@ -35,27 +35,37 @@ object PipelineQueries {
       FROM t${if (minToks > 0) s"\n      WHERE len(toks) >= $minToks" else ""}
     )"""
 
-  /** DuckDB ground-truth near-dup pairs at a Jaccard threshold, via an
-    * inverted shingle index: pairs sharing ≥1 shingle get their exact
-    * intersection counted by a hash join; |A∪B| = |A|+|B|-|A∩B|.
+  /** CTE block ending in `pr(id_a, id_b, n_inter, n_union, jaccard)` —
+    * the ground-truth near-dup pairs a composed oracle builds on.
+    * See [[duckNearDup]] for the shape rationale.
     */
-  private def duckNearDup(threshold: String, minToks: Int = 0): String = s"""
-    WITH ${duckShingles(minToks)},
+  private def duckNearDupCtes(threshold: String, minToks: Int = 0): String = s"""
+    ${duckShingles(minToks)},
     e AS (SELECT doc_id, unnest(sh) AS g FROM s),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), sz AS (SELECT doc_id, len(sh) AS n FROM s)
-    SELECT i.id_a, i.id_b,
-           CAST(i.n_inter AS BIGINT) AS n_inter,
-           CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
-           round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sz sa ON sa.doc_id = i.id_a
-    JOIN sz sb ON sb.doc_id = i.id_b
-    WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= $threshold
-    ORDER BY id_a, id_b"""
+    ), sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    pr AS (
+      SELECT i.id_a, i.id_b,
+             CAST(i.n_inter AS BIGINT) AS n_inter,
+             CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+             round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.id_a
+      JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= $threshold
+    )"""
+
+  /** DuckDB ground-truth near-dup pairs at a Jaccard threshold, via an
+    * inverted shingle index: pairs sharing ≥1 shingle get their exact
+    * intersection counted by a hash join; |A∪B| = |A|+|B|-|A∩B|.
+    */
+  private def duckNearDup(threshold: String, minToks: Int = 0): String = s"""
+    WITH ${duckNearDupCtes(threshold, minToks)}
+    SELECT id_a, id_b, n_inter, n_union, jaccard
+    FROM pr ORDER BY id_a, id_b"""
 
   // ---------------------------------------------------------------------
   // Benchmark-contamination scan: corpus docs sharing ≥ 5 distinct
@@ -135,6 +145,48 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b")),
     Some(duckNearDup("0.5")),
     bench = true)
+
+  // ---------------------------------------------------------------------
+  // Cluster resolution on top of near-dup pairs: connected components
+  // (min-label propagation + pointer jumping) turn pairwise matches
+  // into dedup clusters, so a~b~c collapses to ONE survivor even when
+  // a~c was never emitted — the transitivity step a production dedup
+  // needs between pair generation and survivor selection. The oracle
+  // recomputes the same clusters from the exact ground-truth pairs via
+  // a recursive transitive closure labelled by min reachable id (the
+  // same fixpoint the propagation converges to). Member lists are
+  // sorted and CSV-serialized for the scalar-cell compare.
+  val q75DedupClusters = QueryDef(
+    "q75_dedup_clusters",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          concat_ws(",",
+            array_sort(collect_list(col("id"))).cast("array<string>"))
+            .as("members"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${duckNearDupCtes("0.5")},
+      nodes AS (SELECT DISTINCT id FROM
+        (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)),
+      bi AS (SELECT id_a AS u, id_b AS v FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, b.v FROM reach r JOIN bi b ON b.u = r.dst
+      ),
+      lab AS (SELECT src AS id, min(dst) AS cluster_id
+              FROM reach GROUP BY src)
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      FROM lab GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------------
   // SimHash near-dedup: 64-bit token-set SimHash, 8 bands of 8 bits
@@ -760,6 +812,7 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
+    q75DedupClusters,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
     q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall, q72AnnQuantized,
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,

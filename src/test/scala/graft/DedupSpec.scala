@@ -144,4 +144,35 @@ class DedupSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("hashpartitioning") &&
       l.contains("ci#") && l.contains("cj#")), plan)
   }
+
+  test("connectedComponents: chain, star and disjoint components label to min") {
+    // a 12-node chain (diameter >> default rounds without pointer
+    // jumping), a star, a 2-cycle-ish pair, all disjoint
+    val chain = (100L until 111L).map(i => (i, i + 1))
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val pair = Seq((21L, 20L)) // min on the RIGHT side
+    val pairs = (chain ++ star ++ pair).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    (100L to 111L).foreach(i => assert(got(i) == 100L, s"chain node $i"))
+    Seq(10L, 11L, 12L, 13L).foreach(i => assert(got(i) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 12 + 4 + 2) // only ids that appear in pairs
+  }
+
+  test("connectedComponents: transitive a~b~c without a~c in one cluster") {
+    val got = Dedup.connectedComponents(
+      Seq((5L, 9L), (9L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+
+  test("dedupByClusters keeps the min-id survivor per cluster, payload intact") {
+    val corpus = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+      .toDF("doc_id", "payload")
+    val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupByClusters(corpus, pairs, "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x"), (2L, "y"))) // 3,4 lose to 2; 1 untouched
+  }
 }
