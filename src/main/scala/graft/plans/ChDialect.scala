@@ -185,6 +185,16 @@ object ChDialect {
     // assumeNotNull: identity on the value (CH uses it to strip
     // Nullable; Spark nullability is advisory, so pass through)
     "assumeNotNull" -> (args => args.head),
+    // CH uniqState/uniqMerge — the re-aggregable distinct-count sketch
+    // pair behind AggregatingMergeTree rollups (store per-partition
+    // uniqState, merge at query time without rescanning raw data).
+    // Mapped onto Spark's Datasketches HLL: uniqState builds a binary
+    // sketch aggregate, uniqMerge unions stored sketches and
+    // estimates. The sketch FORMAT differs from CH's (a CH state blob
+    // is not portable anyway); the role and the rollup algebra match.
+    "uniqState" -> (args => ex(hll_sketch_agg(col(args.head)))),
+    "uniqMerge" -> (args =>
+      ex(hll_sketch_estimate(hll_union_agg(col(args.head))))),
     // URL family (graft.functions.url — Metrica's web-analytics
     // vocabulary over URL/Referer/StartURL columns)
     "protocol" -> (args => ex(url.protocol(col(args.head)))),

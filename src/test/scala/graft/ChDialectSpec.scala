@@ -309,4 +309,22 @@ class ChDialectSpec extends SparkSpec {
       "SELECT uniq(id) AS u FROM range(10000)").as[Long].head()
     assert(math.abs(n - 10000L) <= 500L)
   }
+
+  test("uniqState/uniqMerge: sketch rollup re-aggregates across partitions") {
+    // 5000 distinct ids split across 10 daily partitions with overlap:
+    // merge-of-states must estimate the DISTINCT union, not the sum
+    val est = spark.sql("""
+      SELECT uniqMerge(st) AS u FROM (
+        SELECT id % 10 AS day, uniqState(id % 5000) AS st
+        FROM range(20000) GROUP BY id % 10
+      )""").collect().head.getLong(0)
+    assert(math.abs(est - 5000L) <= 250L, s"estimate $est")
+    // partial rollup: merging a subset of states covers that subset only
+    val half = spark.sql("""
+      SELECT uniqMerge(st) AS u FROM (
+        SELECT id % 2 AS half, uniqState(id) AS st
+        FROM range(10000) GROUP BY id % 2
+      ) WHERE half = 0""").collect().head.getLong(0)
+    assert(math.abs(half - 5000L) <= 250L, s"estimate $half")
+  }
 }
