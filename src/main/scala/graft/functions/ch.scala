@@ -82,4 +82,69 @@ object ch {
 
   /** ClickHouse `uniq` — HLL-approximate distinct count. */
   def uniq(c: Column): Column = approx_count_distinct(c)
+
+  /** ClickHouse `retention(cond1, …, condN)`: an aggregate returning
+    * `[r1, …, rN]` where r1 = 1 iff cond1 held on any row of the group
+    * and ri = 1 iff BOTH cond1 and condi held (on any rows) — the
+    * cohort-retention primitive (did the user show up on the anchor
+    * day, and again on day k). Composed of per-condition `max`
+    * aggregates, so it partial-aggregates map-side like any plain max.
+    */
+  def retention(conds: Seq[Column]): Column = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val states = conds.map(c => max(coalesce(c.cast("boolean"), lit(false))))
+    val first = states.head
+    array(first.cast("int") +:
+      states.tail.map(s => (first && s).cast("int")): _*)
+  }
+
+  /** ClickHouse `windowFunnel(window)(ts, cond1, …, condN)`: an
+    * aggregate returning the deepest funnel level reached — the max k
+    * such that events matching cond1 … condk occurred in order with
+    * every step within `window` SECONDS of the chain's cond1 start.
+    *
+    * Shape: collect the group's (ts, flags) events, sort by time, and
+    * fold once. The fold state holds, per level i, the chain-START
+    * time of a chain that has reached level i+1; a cond1 event
+    * restarts the chain (a later start can only extend reach, so the
+    * overwrite is monotone), and a cond(i+1) event at time t promotes
+    * the level-i start when `t <= start + window`. Each step reads the
+    * PRE-update state, so one event advances at most one step of any
+    * given chain — a row matching cond1 and cond2 does not complete a
+    * two-step funnel by itself. Deterministic: ties in `ts` sort by
+    * the flag tuple identically in Spark and the DuckDB oracle.
+    *
+    * Scale: the per-group state is the sorted event list — bounded by
+    * the busiest single key (a per-user funnel over months of events
+    * fits comfortably; an unbounded global key would not, as with any
+    * collect-based aggregate).
+    */
+  def windowFunnel(window: Column, ts: Column, conds: Seq[Column]): Column = {
+    val n = conds.length
+    require(n >= 1, "windowFunnel needs at least one condition")
+    val ev = struct(ts.cast("long").as("ts") +:
+      conds.zipWithIndex.map { case (c, i) =>
+        coalesce(c.cast("boolean"), lit(false)).as(s"c$i")
+      }: _*)
+    val sorted = array_sort(collect_list(ev))
+    val init = struct((0 until n).map(i =>
+      lit(null).cast("bigint").as(s"t$i")): _*)
+    val folded = aggregate(sorted, init, (acc, e) => {
+      val t = e.getField("ts")
+      val fields = (0 until n).map { i =>
+        if (i == 0)
+          when(e.getField("c0"), t).otherwise(acc.getField("t0")).as("t0")
+        else {
+          val prev = acc.getField(s"t${i - 1}")
+          when(e.getField(s"c$i") && prev.isNotNull &&
+              t <= prev + window.cast("long"), prev)
+            .otherwise(acc.getField(s"t$i")).as(s"t$i")
+        }
+      }
+      struct(fields: _*)
+    })
+    (0 until n).foldLeft(lit(0)) { (els, i) =>
+      when(folded.getField(s"t$i").isNotNull, lit(i + 1)).otherwise(els)
+    }
+  }
 }

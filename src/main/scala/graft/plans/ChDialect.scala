@@ -185,6 +185,17 @@ object ChDialect {
     // assumeNotNull: identity on the value (CH uses it to strip
     // Nullable; Spark nullability is advisory, so pass through)
     "assumeNotNull" -> (args => args.head),
+    // behavioral-analytics aggregates: retention cohorts and the
+    // windowFunnel sliding-window event chain (graft.functions.ch).
+    // The CH parameterized call windowFunnel(w)(ts, conds...) arrives
+    // flattened by the TotalsParser to windowFunnel(w, ts, conds...).
+    "retention" -> (args => ex(ch.retention(args.map(col)))),
+    "windowFunnel" -> (args => {
+      require(args.length >= 3,
+        "windowFunnel(window, ts, cond1, ...) needs at least 3 arguments")
+      ex(ch.windowFunnel(col(args.head), col(args(1)),
+        args.drop(2).map(col)))
+    }),
     // CH uniqState/uniqMerge — the re-aggregable distinct-count sketch
     // pair behind AggregatingMergeTree rollups (store per-partition
     // uniqState, merge at query time without rescanning raw data).

@@ -86,6 +86,14 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         acc.replace(placeholder(i), lit)
     }
 
+  /** Strip ONLY real whitespace. `String.trim` removes every char
+    * <= 0x20 — including the \u0001 literal-mask bytes — so trimming a
+    * masked argument that ends in a string literal would corrupt the
+    * placeholder and the literal would never be restored.
+    */
+  private def stripWs(s: String): String =
+    s.replaceAll("^[ \t\r\n]+|[ \t\r\n]+$", "")
+
   /** Rewrite every `quantile*(L)(args)` to `percentile(args, L)`,
     * scanning the second argument list with balanced parens (the
     * argument may itself contain calls).
@@ -107,7 +115,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         }
         if (depth != 0) text // unbalanced: leave for the parser to reject
         else {
-          val arg = text.substring(argStart, i - 1).trim
+          val arg = stripWs(text.substring(argStart, i - 1))
           val levels = m.group(2).split(",").map(_.trim)
           // a level LIST (the quantiles(...) plural form) returns an
           // array, exactly percentile's array-of-percentages behavior
@@ -116,6 +124,40 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
           val replaced = text.substring(0, m.start) +
             s"percentile($arg, $lv)" + text.substring(i)
           rewriteQuantiles(replaced) // next occurrence
+        }
+    }
+  }
+
+  // windowFunnel(7200)( — the other parameterized-aggregate call in
+  // the dialect; flattens to windowFunnel(window, args...) for the
+  // registered function
+  private val funnelHead =
+    """(?i)\b(windowFunnel)\s*\(\s*([0-9]+)\s*\)\s*\(""".r
+
+  /** Rewrite every `windowFunnel(w)(args)` to `windowFunnel(w, args)`,
+    * same balanced-paren scan as [[rewriteQuantiles]].
+    */
+  private def rewriteFunnel(text: String): String = {
+    funnelHead.findFirstMatchIn(text) match {
+      case None => text
+      case Some(m) =>
+        val argStart = m.end
+        var depth = 1
+        var i = argStart
+        while (i < text.length && depth > 0) {
+          text.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (depth != 0) text
+        else {
+          val arg = stripWs(text.substring(argStart, i - 1))
+          val replaced = text.substring(0, m.start) +
+            s"windowFunnel(${m.group(2)}, $arg)" + text.substring(i)
+          rewriteFunnel(replaced)
         }
     }
   }
@@ -273,7 +315,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         s"${m.group(1)}GROUPING SETS ((${m.group(2).trim}), ())"))
     val afterLimit = limitOffset.replaceAllIn(afterTotals,
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
-    val afterQuantile = rewriteQuantiles(afterLimit)
+    val afterQuantile = rewriteFunnel(rewriteQuantiles(afterLimit))
     val afterPrewhere = rewritePrewhere(afterQuantile)
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     val finalText = unmaskLiterals(rewritten, lits)

@@ -640,6 +640,40 @@ object CoreQueries {
       FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------------
+  // CH `retention(cond1, …)` — the cohort primitive: per user, r1 =
+  // "was there on the anchor day", ri = "anchor AND day-k return";
+  // summed over users it is the day-1 / day-7 retention funnel every
+  // analytics UI draws. Composed of plain max aggregates (map-side
+  // partial agg); the oracle reproduces the algebra with bool_or.
+  val q77Retention = QueryDef(
+    "q77_retention",
+    (s, dir) => {
+      val e = Graft.table(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val per = e.groupBy(col("user_id"))
+        .agg(retention(Seq(
+          col("day") === lit("2024-01-02").cast("date"),
+          col("day") === lit("2024-01-03").cast("date"),
+          col("day") === lit("2024-01-09").cast("date"))).as("r"))
+      per.agg(
+        sum(element_at(col("r"), 1)).cast("long").as("n_anchor"),
+        sum(element_at(col("r"), 2)).cast("long").as("n_next_day"),
+        sum(element_at(col("r"), 3)).cast("long").as("n_next_week"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT user_id,
+               CAST(bool_or(CAST(ts AS DATE) = DATE '2024-01-02') AS INT) AS r1,
+               CAST(bool_or(CAST(ts AS DATE) = DATE '2024-01-03') AS INT) AS r2,
+               CAST(bool_or(CAST(ts AS DATE) = DATE '2024-01-09') AS INT) AS r3
+        FROM events GROUP BY 1
+      )
+      SELECT CAST(sum(r1) AS BIGINT) AS n_anchor,
+             CAST(sum(r1 * r2) AS BIGINT) AS n_next_day,
+             CAST(sum(r1 * r3) AS BIGINT) AS n_next_week
+      FROM per"""))
+
+  // ---------------------------------------------------------------------
   // Re-aggregable distinct-count sketches — CH's uniqState/uniqMerge
   // AggregatingMergeTree rollup (store a per-(type, day) sketch table,
   // answer weekly uniques by MERGING sketches, never rescanning raw
@@ -723,5 +757,5 @@ object CoreQueries {
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
     q20RatioAlias, q36AliasWhere, q39SaltedJoin, q61AsofJoin, q62LimitBy,
     q63RangeJoin, q64WithFill, q66WithFillNumeric, q69TopKFreq,
-    q70AnyLeftJoin, q76HllSketchRollup)
+    q70AnyLeftJoin, q76HllSketchRollup, q77Retention)
 }

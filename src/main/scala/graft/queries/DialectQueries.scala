@@ -381,6 +381,68 @@ object DialectQueries {
       ORDER BY day"""))
 
   // ---------------------------------------------------------------------
+  // CH `windowFunnel(window)(ts, cond…)` as verbatim dialect SQL (the
+  // parameterized call flattens through the TotalsParser): per user,
+  // the deepest view→click→purchase chain with every step within 2 h
+  // of the chain's start, then the level distribution over users. The
+  // oracle replays the same per-user chain with WINDOW functions —
+  // valid because promoted chain-start times are MONOTONE over the
+  // event order (a later cond1 restart never has an earlier start), so
+  // the fold state at any event equals a running max over 1-PRECEDING
+  // rows: w1 = latest cond1 time (= fold t0), p1 = that start when a
+  // cond2 event lands inside the window (= fold t1 assignments), m1 =
+  // running max of p1 (= fold t1), p2 likewise for cond3. Tie order
+  // (t, c0, c1, c2) mirrors the Spark-side struct sort. (A DuckDB 1.0
+  // list_reduce formulation was rejected: its lambda accumulator
+  // leaks state across rows under vectorized execution.)
+  val q78WindowFunnel = QueryDef(
+    "q78_window_funnel",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT lvl, toInt64(count(1)) AS n_users FROM (
+          SELECT user_id,
+                 windowFunnel(7200)(ts,
+                   event_type = 'view',
+                   event_type = 'click',
+                   event_type = 'purchase') AS lvl
+          FROM events_all_v GROUP BY user_id
+        ) GROUP BY lvl ORDER BY lvl""")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               coalesce(event_type = 'view', false) AS c0,
+               coalesce(event_type = 'click', false) AS c1,
+               coalesce(event_type = 'purchase', false) AS c2
+        FROM events
+      ), a AS (
+        SELECT *, max(CASE WHEN c0 THEN t END) OVER
+          (PARTITION BY user_id ORDER BY t, c0, c1, c2
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS w1
+        FROM e
+      ), b AS (
+        SELECT *, CASE WHEN c1 AND w1 IS NOT NULL AND t <= w1 + 7200
+                       THEN w1 END AS p1 FROM a
+      ), c AS (
+        SELECT *, max(p1) OVER
+          (PARTITION BY user_id ORDER BY t, c0, c1, c2
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        FROM b
+      ), d AS (
+        SELECT *, CASE WHEN c2 AND m1 IS NOT NULL AND t <= m1 + 7200
+                       THEN m1 END AS p2 FROM c
+      ), lv AS (
+        SELECT user_id,
+               CASE WHEN bool_or(p2 IS NOT NULL) THEN 3
+                    WHEN bool_or(p1 IS NOT NULL) THEN 2
+                    WHEN bool_or(c0) THEN 1 ELSE 0 END AS lvl
+        FROM d GROUP BY 1
+      )
+      SELECT lvl, CAST(count(1) AS BIGINT) AS n_users
+      FROM lv GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
   // The CH URL-function family (protocol/domain/domainWithoutWWW/
   // topLevelDomain/firstSignificantSubdomain/port/path/pathFull/
   // queryString/fragment/extractURLParameter/cutQueryString) — the
@@ -481,5 +543,5 @@ object DialectQueries {
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
-      q74ChUrlFuncs)
+      q74ChUrlFuncs, q78WindowFunnel)
 }

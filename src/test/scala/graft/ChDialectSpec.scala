@@ -310,6 +310,63 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(n - 10000L) <= 500L)
   }
 
+  test("retention: anchor-gated cohort flags") {
+    // u1: anchor+day1; u2: day1 only (no anchor -> all zero);
+    // u3: anchor only; u4: anchor+day7
+    Seq((1, "a"), (1, "b"), (2, "b"), (3, "a"), (4, "a"), (4, "c"))
+      .toDF("u", "d").createOrReplaceTempView("ret_t")
+    val rows = spark.sql("""
+      SELECT u, retention(d = 'a', d = 'b', d = 'c') AS r
+      FROM ret_t GROUP BY u ORDER BY u""")
+      .collect().map(r => (r.getInt(0), r.getSeq[Int](1)))
+    assert(rows(0) == (1, Seq(1, 1, 0)))
+    assert(rows(1) == (2, Seq(0, 0, 0))) // day-1 without anchor
+    assert(rows(2) == (3, Seq(1, 0, 0)))
+    assert(rows(3) == (4, Seq(1, 0, 1)))
+  }
+
+  test("windowFunnel: ordered chain within window, restarts, pre-update state") {
+    import graft.functions.ch
+    def funnel(events: Seq[(Long, String)], window: Long = 10L): Int = {
+      val df = events.toDF("t", "e")
+        .select(org.apache.spark.sql.functions.timestamp_seconds($"t")
+          .as("ts"), $"e")
+      df.agg(ch.windowFunnel(org.apache.spark.sql.functions.lit(window),
+        $"ts", Seq($"e" === "v", $"e" === "c", $"e" === "p")))
+        .collect().head.getInt(0)
+    }
+    // full chain inside the window
+    assert(funnel(Seq((0L, "v"), (3L, "c"), (7L, "p"))) == 3)
+    // step 2 within window, step 3 outside (window measured from START)
+    assert(funnel(Seq((0L, "v"), (9L, "c"), (11L, "p"))) == 2)
+    // restart: the later 'v' reopens the window for the chain
+    assert(funnel(Seq((0L, "v"), (20L, "v"), (25L, "c"), (28L, "p"))) == 3)
+    // out-of-order does not count: c before v contributes nothing, and
+    // p needs a completed v->c prefix
+    assert(funnel(Seq((0L, "c"), (1L, "v"), (2L, "p"))) == 1)
+    // no first step -> level 0
+    assert(funnel(Seq((0L, "c"), (1L, "p"))) == 0)
+    // one event advances at most one step (pre-update state)
+    val both = Seq((0L, "b")).toDF("t", "e")
+      .select(org.apache.spark.sql.functions.timestamp_seconds($"t")
+        .as("ts"), $"e")
+      .agg(ch.windowFunnel(org.apache.spark.sql.functions.lit(10L),
+        $"ts", Seq($"e" === "b", $"e" === "b")))
+      .collect().head.getInt(0)
+    assert(both == 1)
+  }
+
+  test("windowFunnel parameterized SQL form flattens through the parser") {
+    Seq((1, 0L, "v"), (1, 3L, "c"), (1, 7L, "p"), (2, 0L, "v"), (2, 50L, "c"))
+      .toDF("u", "t", "e").createOrReplaceTempView("wf_t")
+    val rows = spark.sql("""
+      SELECT u, windowFunnel(10)(timestamp_seconds(t),
+               e = 'v', e = 'c', e = 'p') AS lvl
+      FROM wf_t GROUP BY u ORDER BY u""")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1, 3), (2, 1)))
+  }
+
   test("uniqState/uniqMerge: sketch rollup re-aggregates across partitions") {
     // 5000 distinct ids split across 10 daily partitions with overlap:
     // merge-of-states must estimate the DISTINCT union, not the sum
