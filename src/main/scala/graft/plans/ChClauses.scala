@@ -44,6 +44,23 @@ case class ChWithFill(axis: String, from: Literal, to: Literal,
     copy(child = newChild)
 }
 
+/** CH `FROM t SAMPLE f` (0 < f < 1): the deterministic hash-prefix
+  * subset of the table declared `SAMPLE BY <key>` in its DDL
+  * (`/root/reference/ddl/hits.sql:119`, `ddl/visits.sql:239`:
+  * `SAMPLE BY CounterUserIDHash`). The sample-key declaration travels
+  * as FIELD METADATA (`graft.sampleKey`) on the binding's schema —
+  * the engine's analogue of the DDL clause — and the rule pushes the
+  * sample filter down to the LEAF relation carrying the key, so the
+  * scan is reduced before any join/aggregate, exactly like CH.
+  * Deterministic and NESTED like CH: SAMPLE 0.1 ⊂ SAMPLE 0.3 (both
+  * are prefixes of the same hash order).
+  */
+case class ChSample(fraction: Double, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): ChSample =
+    copy(child = newChild)
+}
+
 case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -53,7 +70,48 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rewriteLimitBy(n, off, keys, child)
       case ChWithFill(ax, from, to, step, child) if child.resolved =>
         rewriteFill(ax, from, to, step, child)
+      case ChSample(f, child) if child.resolved =>
+        pushSample(f, child)
     }
+
+  /** Push the sample filter to the leaf relation whose output declares
+    * the sample key (`graft.sampleKey` field metadata). Hash choice:
+    * `graft.samplePortable` metadata selects a pure-arithmetic
+    * multiplicative hash (Knuth 2654435761 on the key's low 16 bits —
+    * replicable in any SQL engine, used by the correctness harness);
+    * the default is xxhash64, the cheap production path.
+    */
+  private def pushSample(f: Double, child: LogicalPlan): LogicalPlan = {
+    require(f > 0 && f < 1, s"SAMPLE fraction must be in (0, 1), got $f")
+    val flag = "graft.sampleKey"
+    var applied = false
+    // the LOWEST node exposing the stamped key takes the filter (a
+    // declared-schema scan exposes it at the leaf; a view that stamps
+    // via an alias exposes it at its Project) — transformUp visits
+    // children first, so the scan is reduced before joins/aggregates
+    val out = child.transformUp {
+      case rel if !applied && rel.output.exists(_.metadata.contains(flag)) =>
+        applied = true
+        val key = rel.output.find(_.metadata.contains(flag)).get
+        Filter(sampleCond(key, f), rel)
+    }
+    require(applied,
+      "SAMPLE: no table in scope declares a sample key " +
+        "(graft.sampleKey field metadata — the DDL's SAMPLE BY)")
+    out
+  }
+
+  // built as RESOLVED catalyst expressions (not bridged Columns, which
+  // stay unresolved until an analyzer pass — but the enclosing View's
+  // invariant checks child.resolved the moment the tree is copied)
+  private def sampleCond(key: Attribute, f: Double): Expression =
+    if (key.metadata.contains("graft.samplePortable")) {
+      val h = Pmod(Multiply(Pmod(Cast(key, LongType), Literal(65536L)),
+        Literal(2654435761L)), Literal(4294967296L))
+      LessThan(h, Literal((f * 4294967296L).toLong))
+    } else
+      LessThan(Pmod(new XxHash64(Seq(key)), Literal(1L << 24)),
+        Literal((f * (1L << 24)).toLong))
 
   /** CH applies LIMIT BY after ORDER BY: when the marker sits on a
     * Sort, the rank window reuses the sort order (computed on the

@@ -297,6 +297,21 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     case other => mk(other)
   }
 
+  // CH `FROM t SAMPLE 0.1` — decimal-fraction form only (the SAMPLE n
+  // approximate-row-count form needs table statistics CH has and a
+  // plain scan does not)
+  private val sampleRe = """(?i)\bSAMPLE\s+([0-9]*\.[0-9]+)""".r
+
+  private def extractSample(masked: String)
+      : (String, Option[LogicalPlan => LogicalPlan]) =
+    sampleRe.findFirstMatchIn(masked) match {
+      case Some(m) if depth0At(masked, m.start) =>
+        val f = m.group(1).toDouble
+        val reduced = masked.substring(0, m.start) + masked.substring(m.end)
+        (reduced, Some(p => ChSample(f, p)))
+      case _ => (masked, None)
+    }
+
   private case class Rewritten(text: String,
       wrap: LogicalPlan => LogicalPlan)
 
@@ -308,9 +323,11 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       try extractLimitBy(masked, lits) catch { case _: Exception => (masked, None) }
     val (m2, fillWrap) =
       try extractWithFill(m1, lits) catch { case _: Exception => (m1, None) }
+    val (m3, sampleWrap) =
+      try extractSample(m2) catch { case _: Exception => (m2, None) }
     // ALL occurrences: the clause may appear in a subquery AND the
     // outer query (each match substitutes its own keys)
-    val afterTotals = totals.replaceAllIn(m2, m =>
+    val afterTotals = totals.replaceAllIn(m3, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}GROUPING SETS ((${m.group(2).trim}), ())"))
     val afterLimit = limitOffset.replaceAllIn(afterTotals,
@@ -319,10 +336,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val afterPrewhere = rewritePrewhere(afterQuantile)
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     val finalText = unmaskLiterals(rewritten, lits)
-    if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty) None
+    if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&
+      sampleWrap.isEmpty) None
     else Some(Rewritten(finalText, plan => {
-      // fill first (deeper), then limit-by above it
-      val f = fillWrap.fold(plan)(w => w(plan))
+      // sample innermost (its rule pushes to the scan), then fill,
+      // then limit-by above it
+      val sp = sampleWrap.fold(plan)(w => w(plan))
+      val f = fillWrap.fold(sp)(w => w(sp))
       lbWrap.fold(f)(w => w(f))
     }))
   }

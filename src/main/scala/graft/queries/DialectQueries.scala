@@ -538,10 +538,50 @@ object DialectQueries {
         regexp_extract(url, '^([^?#]*)', 1) || regexp_extract(url, '(#.*)$', 1) AS cut_qs
       FROM y ORDER BY doc_id LIMIT 60"""))
 
+  // ---------------------------------------------------------------------
+  // CH `SAMPLE f` as verbatim SQL over a binding whose schema declares
+  // the sample key as field metadata — the engine's analogue of the
+  // DDLs' `SAMPLE BY CounterUserIDHash` (ddl/hits.sql:119,
+  // ddl/visits.sql:239). The ChSample rule pushes the deterministic
+  // hash-prefix filter down to the SCAN (before the aggregate), and
+  // the portable-hash stamp makes the subset replicable in the oracle:
+  // both engines keep rows with knuth_hash(user_id) in the bottom 30%
+  // of hash space, so counts/sums/uniques hash-match exactly.
+  val q79ChSampleSql = QueryDef(
+    "q79_ch_sample_sql",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val keyMd = new MetadataBuilder()
+        .putBoolean("graft.sampleKey", true)
+        .putBoolean("graft.samplePortable", true).build()
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType), // raw nanos; unused here
+        StructField("user_id", LongType, nullable = true, keyMd),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      graft.sources.Catalog.register(s, graft.sources.Binding(
+        "events_sampled", s"$dir/events.parquet", schema = Some(schema)))
+      s.sql("""
+        SELECT event_type, toInt64(count(1)) AS n,
+               uniqExact(user_id) AS users,
+               round(sum(value), 2) AS value_sum
+        FROM events_sampled SAMPLE 0.3
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             round(sum(value), 2) AS value_sum
+      FROM events
+      WHERE (user_id % 65536) * 2654435761 % 4294967296 < 1288490188
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
-      q74ChUrlFuncs, q78WindowFunnel)
+      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql)
 }

@@ -367,6 +367,32 @@ class ChDialectSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1, 3), (2, 1)))
   }
 
+  test("SAMPLE clause: deterministic, nested, pushed to the stamped scan") {
+    import org.apache.spark.sql.types._
+    val keyMd = new MetadataBuilder()
+      .putBoolean("graft.sampleKey", true)
+      .putBoolean("graft.samplePortable", true).build()
+    spark.range(0, 1000)
+      .select(col("id").as("k", keyMd), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("sample_t")
+    def ids(sql: String): Set[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).toSet
+    val s30 = ids("SELECT k FROM sample_t SAMPLE 0.3")
+    val s10 = ids("SELECT k FROM sample_t SAMPLE 0.1")
+    assert(s30 == ids("SELECT k FROM sample_t SAMPLE 0.3")) // deterministic
+    assert(s10.subsetOf(s30)) // nested prefixes like CH
+    assert(s30.size > 200 && s30.size < 400, s"got ${s30.size}") // ~30%
+    // the filter reduces the scan BEFORE the aggregate
+    val n = spark.sql(
+      "SELECT count(1) AS n FROM sample_t SAMPLE 0.3").collect().head.getLong(0)
+    assert(n == s30.size)
+    // no stamped key -> loud failure, not a silent full scan
+    spark.range(3).createOrReplaceTempView("nokey_t")
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM nokey_t SAMPLE 0.5").collect())
+    assert(err.getMessage.contains("sample key"))
+  }
+
   test("uniqState/uniqMerge: sketch rollup re-aggregates across partitions") {
     // 5000 distinct ids split across 10 daily partitions with overlap:
     // merge-of-states must estimate the DISTINCT union, not the sum
