@@ -69,7 +69,8 @@ object Bench {
           sys.props("java.io.tmpdir") + "/graft_sf1")
         GenScale.ensure(spark, src, sf1Dir)
         val sf1Names = Seq("q22_minhash_neardup", "q61_asof_join",
-          "q38_pipeline_e2e", "q37_ann_ivf_topk", "q25_ann_topk")
+          "q38_pipeline_e2e", "q37_ann_ivf_topk", "q25_ann_topk",
+          "q75_dedup_clusters")
         // no separate warmup: the same query shapes just ran at sfDir
         val sf1 = sf1Names.map { name =>
           val t0 = System.nanoTime()

@@ -186,7 +186,8 @@ object PipelineQueries {
       SELECT cluster_id,
              CAST(count(*) AS BIGINT) AS n_members,
              string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-      FROM lab GROUP BY 1 ORDER BY 1"""))
+      FROM lab GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // SimHash near-dedup: 64-bit token-set SimHash, 8 bands of 8 bits

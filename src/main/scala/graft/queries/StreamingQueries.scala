@@ -334,7 +334,74 @@ object StreamingQueries {
              round(sum(value), 2) AS value_sum
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // Stream-STREAM inner join (the remaining classic of the streaming
+  // matrix): each purchase event joins the SAME user's view events
+  // from the preceding hour — attribution. Both sides are watermarked
+  // and the join condition carries the event-time range, so Spark
+  // bounds both state stores (a view older than the watermark minus
+  // the range can never match and is dropped — the unbounded-stream
+  // contract). Inner-join results emit as matches arrive (append
+  // mode); the memory-sink table is then batch-aggregated per user.
+  // Timestamps are µs-exact on BOTH engines (ts DIV 1000 here,
+  // epoch_ns//1000 in the oracle), so the range boundary never
+  // truncation-flips.
+  val q80StreamStreamJoin = QueryDef(
+    "q80_stream_stream_join",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q80_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val srcDir = s"$base/src"
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts = nanos long
+      raw.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream.schema(raw.schema).parquet(srcDir)
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ets").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ets").as("p_ts"),
+          col("value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_q80_pairs").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q80_pairs")
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("p_ts").cast("long") - col("v_ts").cast("long")))
+            .cast("long").as("delay_s_sum"),
+          round(sum(col("value")), 2).as("attr_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, value,
+               epoch_ns(ts) // 1000 AS us
+        FROM events
+      ), pairs AS (
+        SELECT p.user_id, p.us AS p_us, v.us AS v_us, p.value
+        FROM e p JOIN e v
+          ON p.event_type = 'purchase' AND v.event_type = 'view'
+         AND p.user_id = v.user_id
+         AND v.us <= p.us AND v.us >= p.us - 3600000000
+      )
+      SELECT user_id,
+             CAST(count(1) AS BIGINT) AS n_pairs,
+             CAST(sum(p_us // 1000000 - v_us // 1000000) AS BIGINT)
+               AS delay_s_sum,
+             round(sum(value), 2) AS attr_value
+      FROM pairs GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
-      q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup)
+      q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
+      q80StreamStreamJoin)
 }

@@ -76,4 +76,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeOnChunk, p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q79: the SAMPLE filter runs below the aggregate, at the scan") {
+    // the whole point of the pushed sample is reducing the scan before
+    // any aggregate state builds; a sample applied at the plan root
+    // would aggregate the full table first
+    val df = SparkEntry.queries("q79_ch_sample_sql")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val aggs = optimized.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    // every aggregate must have the sample filter somewhere BELOW it
+    val hasSampleBelow = aggs.head.collect {
+      case f: Filter if f.condition.toString.contains("2654435761") => f
+    }
+    assert(hasSampleBelow.nonEmpty, optimized.toString)
+  }
+
+  test("q76: the sketch rollup partial-aggregates map-side") {
+    // daily sketches must combine before the shuffle (partial HLL
+    // aggregation) — the property that makes the rollup O(groups), not
+    // O(rows), on the wire
+    val p = plan("q76_hll_sketch_rollup")
+    assert(p.contains("partial_hll_sketch_agg") ||
+      p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
 }
