@@ -54,6 +54,40 @@ object ch {
   def sumArrayDouble(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
 
+  /** CH `arrayEnumerate(arr)`: `[1, 2, …, len]` — the index array the
+    * parallel-arrays convention zips against. Empty in → empty out;
+    * NULL in → NULL out (sequence(1, 0) alone would misfire: Spark
+    * infers a DESCENDING step and returns [1, 0]).
+    */
+  def arrayEnumerate(arr: Column): Column = {
+    val n = size(arr)
+    when(n > 0, sequence(lit(1), n))
+      .when(n === 0, array().cast("array<int>"))
+      .otherwise(lit(null).cast("array<int>"))
+  }
+
+  /** CH `arrayCumSum(arr)` for integral elements: running prefix sums,
+    * one single-pass fold per row.
+    */
+  def arrayCumSumLong(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(0L).as("s"), array().cast("array<long>").as("o")),
+      (acc, x) => {
+        val ns = acc.getField("s") + x.cast("long")
+        struct(ns.as("s"), array_append(acc.getField("o"), ns).as("o"))
+      },
+      acc => acc.getField("o"))
+
+  /** CH `arrayCumSum(arr)` for fractional elements. */
+  def arrayCumSumDouble(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(0.0).as("s"), array().cast("array<double>").as("o")),
+      (acc, x) => {
+        val ns = acc.getField("s") + x.cast("double")
+        struct(ns.as("s"), array_append(acc.getField("o"), ns).as("o"))
+      },
+      acc => acc.getField("o"))
+
   /** ClickHouse `notEmpty(s)` → 1/0 (UInt8-as-int). A NULL string maps
     * to 0, matching CH's non-nullable String default (`length(null)>0`
     * alone would propagate NULL and silently break oracle parity).
@@ -126,7 +160,10 @@ object ch {
       conds.zipWithIndex.map { case (c, i) =>
         coalesce(c.cast("boolean"), lit(false)).as(s"c$i")
       }: _*)
-    val sorted = array_sort(collect_list(ev))
+    // a NULL-ts event can neither start nor extend a chain (a null
+    // start would silently reset level 1) — collect_list drops nulls,
+    // so the guard excludes those events entirely
+    val sorted = array_sort(collect_list(when(ts.isNotNull, ev)))
     val init = struct((0 until n).map(i =>
       lit(null).cast("bigint").as(s"t$i")): _*)
     val folded = aggregate(sorted, init, (acc, e) => {

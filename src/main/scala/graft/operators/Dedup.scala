@@ -377,6 +377,9 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
+      // a null endpoint would ride along as an unreachable phantom node
+      // (null never equi-joins) and emit a (null, null) label row
+      .filter(col("u").isNotNull && col("v").isNotNull)
     val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
     try {

@@ -136,6 +136,32 @@ object ChDialect {
     "arrayDistinct" -> (args => ex(array_distinct(col(args.head)))),
     "arraySort" -> (args => ex(array_sort(col(args.head)))),
     "arrayReverse" -> (args => ex(reverse(col(args.head)))),
+    "arrayEnumerate" -> (args => ex(ch.arrayEnumerate(col(args.head)))),
+    // arrayCumSum / arraySum (per-ROW element sum — distinct from the
+    // sumArray AGGREGATE above): accumulator type follows the element
+    // type, CH's widening
+    "arrayCumSum" -> (args => args.head.dataType match {
+      case ArrayType(DoubleType | FloatType | _: DecimalType, _) =>
+        ex(ch.arrayCumSumDouble(col(args.head)))
+      case _: ArrayType => ex(ch.arrayCumSumLong(col(args.head)))
+      case other => throw new IllegalArgumentException(
+        s"arrayCumSum expects an array argument, got ${other.catalogString}")
+    }),
+    "arraySum" -> (args => args.head.dataType match {
+      case ArrayType(DoubleType | FloatType | _: DecimalType, _) =>
+        ex(ch.sumArrayDouble(col(args.head)))
+      case _: ArrayType => ex(ch.sumArrayLong(col(args.head)))
+      case other => throw new IllegalArgumentException(
+        s"arraySum expects an array argument, got ${other.catalogString}")
+    }),
+    // arraySlice(arr, offset[, length]): 1-based, negative offset from
+    // the end — Spark's slice shares both conventions; the 2-arg form
+    // runs to the end of the array
+    "arraySlice" -> (args =>
+      if (args.length >= 3) ex(slice(col(args.head), col(args(1)), col(args(2))))
+      else ex(slice(col(args.head), col(args(1)), size(col(args.head))))),
+    "arrayConcat" -> (args => ex(concat(args.map(col): _*))),
+    "arrayFlatten" -> (args => ex(flatten(col(args.head)))),
     // arrayCount(x -> pred, arr) lambda-first; 1-arg form counts
     // non-zero elements (CH's default lambda). When a lambda argument
     // is present the analyzer requires the ROOT expression to be the

@@ -96,5 +96,59 @@ object ArrayQueries {
                     * (CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END)), 'sum'), 0)) AS BIGINT) AS purchases
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q17ArrayFuncs, q18TokenFuncs, q19ArrayMapSign)
+  // ---------------------------------------------------------------------
+  // The wider CH array vocabulary as verbatim dialect SQL:
+  // arrayEnumerate (the parallel-arrays index generator), arrayCumSum
+  // (single-pass prefix-sum fold), arraySum (per-ROW element sum —
+  // distinct from the sumArray aggregate), arraySlice (1-based,
+  // negative offset from the end, 2-arg to-end form), arrayConcat,
+  // arrayFlatten. Array outputs serialize to CSV strings for the
+  // scalar-cell compare; the ≥5-token gate (both engines) keeps
+  // negative slices off degenerate short docs where Spark (empty) and
+  // DuckDB (clamped) disagree by convention.
+  val q81ChArrayVocab = QueryDef(
+    "q81_ch_array_vocab",
+    (s, dir) => {
+      Graft.table(s, dir, "documents").createOrReplaceTempView("docs_arr_v")
+      s.sql("""
+        SELECT doc_id,
+          array_join(CAST(arraySlice(arrayEnumerate(toks), 1, 5)
+                     AS ARRAY<STRING>), ',') AS idx5,
+          array_join(CAST(arraySlice(arrayCumSum(lens), 1, 5)
+                     AS ARRAY<STRING>), ',') AS cum5,
+          arraySum(lens) AS total_len,
+          array_join(arrayConcat(arraySlice(toks, 1, 2),
+                     arraySlice(toks, -2)), ',') AS head_tail,
+          array_join(arrayFlatten(array(arraySlice(toks, 1, 2),
+                     arraySlice(toks, -2))), ',') AS flat_head_tail
+        FROM (
+          SELECT doc_id, toks,
+                 arrayMap(x -> toInt64(length(x)), toks) AS lens
+          FROM (SELECT doc_id, splitByChar(' ', text) AS toks
+                FROM docs_arr_v)
+          WHERE size(toks) >= 5
+        )
+        ORDER BY doc_id LIMIT 100""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), f AS (
+        SELECT doc_id, toks,
+               list_transform(toks, x -> CAST(length(x) AS BIGINT)) AS lens
+        FROM t WHERE len(toks) >= 5
+      )
+      SELECT doc_id,
+        array_to_string([CAST(i AS VARCHAR)
+          for i in range(1, least(len(toks), 5) + 1)], ',') AS idx5,
+        array_to_string(list_transform(
+          [list_sum(lens[1:i]) for i in range(1, least(len(lens), 5) + 1)],
+          x -> CAST(x AS VARCHAR)), ',') AS cum5,
+        CAST(list_sum(lens) AS BIGINT) AS total_len,
+        array_to_string(list_concat(toks[1:2], toks[-2:]), ',') AS head_tail,
+        array_to_string(flatten([toks[1:2], toks[-2:]]), ',') AS flat_head_tail
+      FROM f ORDER BY doc_id LIMIT 100"""))
+
+  val defs: Seq[QueryDef] = Seq(q17ArrayFuncs, q18TokenFuncs,
+    q19ArrayMapSign, q81ChArrayVocab)
 }

@@ -310,6 +310,31 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(n - 10000L) <= 500L)
   }
 
+  test("array vocabulary: enumerate/cumSum/sum/slice/concat/flatten edges") {
+    val r = spark.sql("""
+      SELECT arrayEnumerate(array(7, 8, 9)) AS en,
+             arrayEnumerate(array()) AS en_empty,
+             arrayCumSum(array(1, 2, 3)) AS cs_long,
+             arrayCumSum(array(0.5D, 0.25D)) AS cs_dbl,
+             arraySum(array(1, 2, 3)) AS s_long,
+             arraySlice(array('a','b','c','d'), 2, 2) AS sl,
+             arraySlice(array('a','b','c','d'), 3) AS sl_toend,
+             arraySlice(array('a','b','c','d'), -2, 2) AS sl_neg,
+             arrayConcat(array(1), array(2, 3)) AS cc,
+             arrayFlatten(array(array(1), array(2, 3))) AS fl
+    """).collect().head
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](1).isEmpty)
+    assert(r.getSeq[Long](2) == Seq(1L, 3L, 6L))
+    assert(r.getSeq[Double](3) == Seq(0.5, 0.75))
+    assert(r.getLong(4) == 6L)
+    assert(r.getSeq[String](5) == Seq("b", "c"))
+    assert(r.getSeq[String](6) == Seq("c", "d"))
+    assert(r.getSeq[String](7) == Seq("c", "d"))
+    assert(r.getSeq[Int](8) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](9) == Seq(1, 2, 3))
+  }
+
   test("retention: anchor-gated cohort flags") {
     // u1: anchor+day1; u2: day1 only (no anchor -> all zero);
     // u3: anchor only; u4: anchor+day7
@@ -346,6 +371,15 @@ class ChDialectSpec extends SparkSpec {
     assert(funnel(Seq((0L, "c"), (1L, "v"), (2L, "p"))) == 1)
     // no first step -> level 0
     assert(funnel(Seq((0L, "c"), (1L, "p"))) == 0)
+    // a NULL-ts event neither starts nor extends a chain
+    val withNull = Seq((Some(0L), "v"), (None, "v"), (Some(3L), "c"))
+      .toDF("t", "e")
+      .select(org.apache.spark.sql.functions
+        .timestamp_seconds($"t").as("ts"), $"e")
+      .agg(ch.windowFunnel(org.apache.spark.sql.functions.lit(10L),
+        $"ts", Seq($"e" === "v", $"e" === "c")))
+      .collect().head.getInt(0)
+    assert(withNull == 2) // the null view is ignored, chain v@0 -> c@3 holds
     // one event advances at most one step (pre-update state)
     val both = Seq((0L, "b")).toDF("t", "e")
       .select(org.apache.spark.sql.functions.timestamp_seconds($"t")
