@@ -54,6 +54,28 @@ object ch {
   def sumArrayDouble(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
 
+  /** CH `JSONExtractString(json, key)`: the string value at a top-level
+    * key, '' (never NULL) when the key is absent or the document is
+    * malformed — CH's default-on-miss contract. Backed by Spark's
+    * codegen'd `get_json_object`. (Also the semantics of the legacy
+    * Metrica-era `visitParamExtractString` — the visits `params` column
+    * is exactly this shape of JSON.)
+    */
+  def jsonExtractString(j: Column, key: String): Column =
+    coalesce(get_json_object(j, "$." + key), lit(""))
+
+  /** CH `JSONExtractInt(json, key)`: 0 on miss/malformed. */
+  def jsonExtractInt(j: Column, key: String): Column =
+    coalesce(get_json_object(j, "$." + key).cast("long"), lit(0L))
+
+  /** CH `JSONExtractFloat(json, key)`: 0.0 on miss/malformed. */
+  def jsonExtractFloat(j: Column, key: String): Column =
+    coalesce(get_json_object(j, "$." + key).cast("double"), lit(0.0))
+
+  /** CH `JSONHas(json, key)` → 1/0. */
+  def jsonHas(j: Column, key: String): Column =
+    get_json_object(j, "$." + key).isNotNull.cast("long")
+
   /** CH `arrayEnumerate(arr)`: `[1, 2, …, len]` — the index array the
     * parallel-arrays convention zips against. Empty in → empty out;
     * NULL in → NULL out (sequence(1, 0) alone would misfire: Spark

@@ -20,6 +20,12 @@ object ChDialect {
   private def col(e: Expression): Column = GraftSqlBridge.column(e)
   private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
 
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   /** CH `arr[i]` as a function (CH spells it `arrayElement`): 1-based,
     * returning the element type's default (empty string / 0), not null,
     * on i=0 or out of range. The default is derived from the resolved
@@ -222,6 +228,30 @@ object ChDialect {
       ex(ch.windowFunnel(col(args.head), col(args(1)),
         args.drop(2).map(col)))
     }),
+    // JSON extraction over string columns (the events/visits `params`
+    // shape). The key is a literal top-level name, as in the
+    // reference-era usage; the visitParam* rows are the legacy Metrica
+    // spellings of the same functions.
+    "JSONExtractString" -> (args =>
+      ex(ch.jsonExtractString(col(args.head), litString(args(1),
+        "JSONExtractString key")))),
+    "JSONExtractInt" -> (args =>
+      ex(ch.jsonExtractInt(col(args.head), litString(args(1),
+        "JSONExtractInt key")))),
+    "JSONExtractFloat" -> (args =>
+      ex(ch.jsonExtractFloat(col(args.head), litString(args(1),
+        "JSONExtractFloat key")))),
+    "JSONHas" -> (args =>
+      ex(ch.jsonHas(col(args.head), litString(args(1), "JSONHas key")))),
+    "visitParamExtractString" -> (args =>
+      ex(ch.jsonExtractString(col(args.head), litString(args(1),
+        "visitParamExtractString key")))),
+    "visitParamExtractUInt" -> (args =>
+      ex(ch.jsonExtractInt(col(args.head), litString(args(1),
+        "visitParamExtractUInt key")))),
+    "visitParamHas" -> (args =>
+      ex(ch.jsonHas(col(args.head), litString(args(1),
+        "visitParamHas key")))),
     // CH uniqState/uniqMerge — the re-aggregable distinct-count sketch
     // pair behind AggregatingMergeTree rollups (store per-partition
     // uniqState, merge at query time without rescanning raw data).

@@ -578,10 +578,47 @@ object DialectQueries {
       WHERE (user_id % 65536) * 2654435761 % 4294967296 < 1288490188
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // CH JSON extraction (JSONExtractInt/Float/String, JSONHas, and the
+  // legacy Metrica visitParam* spellings) over the events `props` JSON
+  // column — the params-column access pattern of the visits table.
+  // CH's default-on-miss contract ('' / 0, never NULL) is exercised by
+  // the 'missing' key; the float average stays order-independent
+  // because the values are small integers (exact in double).
+  val q82ChJsonFuncs = QueryDef(
+    "q82_ch_json_funcs",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT event_type,
+               toInt64(sum(JSONExtractInt(props, 'k'))) AS k_sum,
+               toInt64(sum(visitParamHas(props, 'k'))) AS n_with_k,
+               toInt64(sum(JSONHas(props, 'missing'))) AS n_with_missing,
+               toInt64(sum(JSONExtractInt(props, 'missing'))) AS miss_sum,
+               round(avg(JSONExtractFloat(props, 'k')), 4) AS k_avg,
+               min(visitParamExtractString(props, 'k')) AS k_min_str
+        FROM events_all_v
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+               AS BIGINT) AS k_sum,
+             CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+             CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_with_missing,
+             CAST(sum(coalesce(CAST(json_extract(props, '$.missing') AS BIGINT),
+               0)) AS BIGINT) AS miss_sum,
+             round(avg(coalesce(CAST(json_extract(props, '$.k') AS DOUBLE),
+               0.0)), 4) AS k_avg,
+             min(coalesce(json_extract_string(props, '$.k'), '')) AS k_min_str
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
-      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql)
+      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs)
 }

@@ -310,6 +310,26 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(n - 10000L) <= 500L)
   }
 
+  test("JSON extraction: default-on-miss contract, visitParam aliases") {
+    val r = spark.sql("""
+      SELECT JSONExtractString('{"a": "x", "n": 7}', 'a') AS s,
+             JSONExtractString('{"a": "x"}', 'zz') AS s_miss,
+             JSONExtractInt('{"n": 7}', 'n') AS i,
+             JSONExtractInt('{"n": 7}', 'zz') AS i_miss,
+             JSONExtractInt('not json', 'n') AS i_bad,
+             JSONExtractFloat('{"n": 2.5}', 'n') AS f,
+             JSONHas('{"n": 7}', 'n') AS h1,
+             JSONHas('{"n": 7}', 'zz') AS h0,
+             visitParamExtractUInt('{"n": 7}', 'n') AS vp,
+             visitParamHas('{"n": 7}', 'n') AS vph
+    """).collect().head
+    assert(r.getString(0) == "x" && r.getString(1) == "")
+    assert(r.getLong(2) == 7L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.getDouble(5) == 2.5)
+    assert(r.getLong(6) == 1L && r.getLong(7) == 0L)
+    assert(r.getLong(8) == 7L && r.getLong(9) == 1L)
+  }
+
   test("array vocabulary: enumerate/cumSum/sum/slice/concat/flatten edges") {
     val r = spark.sql("""
       SELECT arrayEnumerate(array(7, 8, 9)) AS en,
