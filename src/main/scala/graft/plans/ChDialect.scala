@@ -99,6 +99,15 @@ object ChDialect {
     "avgIf" -> (args =>
       ex(coalesce(avg(when(col(args(1)), col(args.head))),
         lit(Double.NaN)))),
+    // conditional-aggregate family completion (same 0/NaN-on-empty
+    // conventions as countIf/sumIf/avgIf above; min/max/any of an
+    // empty set are NULL in CH's Nullable result — kept as NULL)
+    "minIf" -> (args =>
+      ex(min(when(col(args(1)), col(args.head))))),
+    "maxIf" -> (args =>
+      ex(max(when(col(args(1)), col(args.head))))),
+    "anyIf" -> (args =>
+      ex(min(when(col(args(1)), col(args.head))))), // deterministic "any"
     // date helpers
     "toStartOfMonth" -> (args =>
       ex(date_trunc("month", col(args.head)).cast("date"))),
@@ -113,6 +122,28 @@ object ChDialect {
     "toDayOfWeek" -> (args =>
       ex((pmod(dayofweek(col(args.head)) + lit(5), lit(7)) + lit(1))
         .cast("long"))),
+    "toStartOfDay" -> (args =>
+      ex(date_trunc("day", col(args.head)))),
+    "toStartOfHour" -> (args =>
+      ex(date_trunc("hour", col(args.head)))),
+    "toStartOfQuarter" -> (args =>
+      ex(date_trunc("quarter", col(args.head)).cast("date"))),
+    "toStartOfYear" -> (args =>
+      ex(date_trunc("year", col(args.head)).cast("date"))),
+    "toYear" -> (args => ex(year(col(args.head)).cast("long"))),
+    "toQuarter" -> (args => ex(quarter(col(args.head)).cast("long"))),
+    "toMonth" -> (args => ex(month(col(args.head)).cast("long"))),
+    "toDayOfMonth" -> (args => ex(dayofmonth(col(args.head)).cast("long"))),
+    "toMinute" -> (args => ex(minute(col(args.head)).cast("long"))),
+    "toSecond" -> (args => ex(second(col(args.head)).cast("long"))),
+    "addDays" -> (args => ex(date_add(col(args.head), col(args(1))))),
+    "subtractDays" -> (args => ex(date_sub(col(args.head), col(args(1))))),
+    // (CH dateDiff needs no registration: Spark's builtin 3-arg
+    // dateDiff(unit, start, end) shares CH's argument order — the one
+    // divergence is the unit spelling: Spark wants the bare keyword
+    // (dateDiff(day, a, b)), CH quotes it. The name cannot be
+    // overridden anyway: Spark's parser special-cases 3-arg datediff
+    // into TimestampDiff before consulting the function registry.)
     // argMax/argMin(a, b): the value of a at the max/min of b — CH's
     // workhorse "latest value" aggregates
     "argMax" -> (args => ex(max_by(col(args.head), col(args(1))))),

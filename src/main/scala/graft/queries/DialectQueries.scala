@@ -615,10 +615,54 @@ object DialectQueries {
              min(coalesce(json_extract_string(props, '$.k'), '')) AS k_min_str
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // The remaining CH date/time + conditional-aggregate vocabulary:
+  // toStartOfMonth/Day, toYear/Quarter/Month/DayOfMonth, dateDiff
+  // (Spark's builtin shares CH's argument order; the unit is the bare
+  // keyword where CH quotes it), addDays, minIf/maxIf. Monthly rollup
+  // over events with purchase-gated min/max buyer ids.
+  val q83ChDateVocab = QueryDef(
+    "q83_ch_date_vocab",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT toStartOfMonth(CAST(ts AS DATE)) AS mon,
+               addDays(toStartOfMonth(CAST(ts AS DATE)), 10) AS mon_plus10,
+               toInt64(count(1)) AS n,
+               minIf(user_id, event_type = 'purchase') AS min_buyer,
+               maxIf(user_id, event_type = 'purchase') AS max_buyer,
+               toInt64(dateDiff(day, min(CAST(ts AS DATE)),
+                                max(CAST(ts AS DATE)))) AS span_days,
+               toInt64(max(toDayOfMonth(CAST(ts AS DATE)))) AS max_dom,
+               toInt64(min(toYear(CAST(ts AS DATE)))) AS yr,
+               toInt64(min(toQuarter(CAST(ts AS DATE)))) AS qtr,
+               CAST(toStartOfDay(min(ts)) AS DATE) AS first_day
+        FROM events_all_v
+        GROUP BY toStartOfMonth(CAST(ts AS DATE))
+        ORDER BY mon""")
+    },
+    Some("""
+      WITH g AS (
+        SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS mon,
+               CAST(count(1) AS BIGINT) AS n,
+               min(user_id) FILTER (event_type = 'purchase') AS min_buyer,
+               max(user_id) FILTER (event_type = 'purchase') AS max_buyer,
+               CAST(date_diff('day', min(CAST(ts AS DATE)),
+                              max(CAST(ts AS DATE))) AS BIGINT) AS span_days,
+               CAST(max(date_part('day', CAST(ts AS DATE))) AS BIGINT) AS max_dom,
+               CAST(min(date_part('year', CAST(ts AS DATE))) AS BIGINT) AS yr,
+               CAST(min(date_part('quarter', CAST(ts AS DATE))) AS BIGINT) AS qtr,
+               CAST(min(ts) AS DATE) AS first_day
+        FROM events GROUP BY 1
+      )
+      SELECT mon, CAST(mon + INTERVAL 10 DAY AS DATE) AS mon_plus10,
+             n, min_buyer, max_buyer, span_days, max_dom, yr, qtr, first_day
+      FROM g ORDER BY mon"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
-      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs)
+      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs, q83ChDateVocab)
 }

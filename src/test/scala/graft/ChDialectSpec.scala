@@ -310,6 +310,31 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(n - 10000L) <= 500L)
   }
 
+  test("date vocabulary and conditional-aggregate completion") {
+    val r = spark.sql("""
+      SELECT toStartOfHour(TIMESTAMP '2024-03-07 13:45:21') AS sh,
+             toStartOfQuarter(DATE '2024-05-09') AS sq,
+             toStartOfYear(DATE '2024-05-09') AS sy,
+             toMinute(TIMESTAMP '2024-03-07 13:45:21') AS mi,
+             toSecond(TIMESTAMP '2024-03-07 13:45:21') AS se,
+             subtractDays(DATE '2024-03-07', 7) AS sub7,
+             dateDiff(day, DATE '2024-01-01', DATE '2024-03-01') AS dd
+    """).collect().head
+    assert(r.getTimestamp(0).toString == "2024-03-07 13:00:00.0")
+    assert(r.getDate(1).toString == "2024-04-01")
+    assert(r.getDate(2).toString == "2024-01-01")
+    assert(r.getLong(3) == 45L && r.getLong(4) == 21L)
+    assert(r.getDate(5).toString == "2024-02-29")
+    assert(r.getLong(6) == 60L)
+    val agg = spark.sql("""
+      SELECT minIf(v, k = 'a') AS mn, maxIf(v, k = 'a') AS mx,
+             anyIf(v, k = 'z') AS none
+      FROM VALUES ('a', 3), ('a', 9), ('b', 100) AS t(k, v)
+    """).collect().head
+    assert(agg.getInt(0) == 3 && agg.getInt(1) == 9)
+    assert(agg.isNullAt(2)) // empty set -> NULL, CH's Nullable result
+  }
+
   test("JSON extraction: default-on-miss contract, visitParam aliases") {
     val r = spark.sql("""
       SELECT JSONExtractString('{"a": "x", "n": 7}', 'a') AS s,
