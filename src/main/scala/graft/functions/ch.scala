@@ -54,6 +54,30 @@ object ch {
   def sumArrayDouble(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
 
+  /** CH `sumMap(keys, values)`: aggregate the parallel-array pairs of
+    * every row in the group into (sorted unique keys, per-key sums) —
+    * the ParsedParams.Key1/ValueDouble rollup idiom of Metrica tables
+    * (`/root/reference/ddl/visits.sql:130-140`). Keys coerce to
+    * string, values to long; the result is a struct of two aligned
+    * arrays (CH's tuple of arrays). The fold merges one single-entry
+    * map per element via `map_zip_with` — per-group cost is
+    * O(pairs x distinct keys), the right shape for the dozens-of-keys
+    * maps this models (an unbounded key domain belongs in an
+    * explode+groupBy, not inside one aggregate value).
+    */
+  def sumMap(keys: Column, values: Column): Column = {
+    val pairs = flatten(collect_list(zip_with(keys, values,
+      (k, v) => struct(k.cast("string").as("k"), v.cast("long").as("v")))))
+    val emptyMap = map_from_arrays(
+      array().cast("array<string>"), array().cast("array<long>"))
+    val folded = aggregate(pairs, emptyMap, (acc, e) =>
+      map_zip_with(acc, map(e.getField("k"), e.getField("v")),
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+    val sortedKeys = array_sort(map_keys(folded))
+    struct(sortedKeys.as("keys"),
+      transform(sortedKeys, k => element_at(folded, k)).as("sums"))
+  }
+
   /** CH `JSONExtractString(json, key)`: the string value at a top-level
     * key, '' (never NULL) when the key is absent or the document is
     * malformed — CH's default-on-miss contract. Backed by Spark's

@@ -259,6 +259,8 @@ object ChDialect {
       ex(ch.windowFunnel(col(args.head), col(args(1)),
         args.drop(2).map(col)))
     }),
+    // sumMap(keys, values): the ParsedParams parallel-array rollup
+    "sumMap" -> (args => ex(ch.sumMap(col(args.head), col(args(1))))),
     // JSON extraction over string columns (the events/visits `params`
     // shape). The key is a literal top-level name, as in the
     // reference-era usage; the visitParam* rows are the legacy Metrica

@@ -50,7 +50,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // is matched by a balanced-paren scan. The plural forms take a level
   // LIST and return an array (→ percentile(x, array(...))).
   private val quantileHead =
-    ("""(?i)\b(quantiles?|quantiles?Exact|quantiles?ExactInclusive)\s*\(\s*""" +
+    ("""(?i)\b(quantiles?|quantiles?Exact|quantiles?ExactInclusive""" +
+      """|quantiles?Timing|quantiles?TDigest)\s*\(\s*""" +
       """([0-9.eE+-]+(?:\s*,\s*[0-9.eE+-]+)*)\s*\)\s*\(""").r
   private val prewhereKw = """(?i)\bPREWHERE\b""".r
   // values may be bare words/numbers OR a masked string literal (the

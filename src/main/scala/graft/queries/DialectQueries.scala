@@ -659,10 +659,49 @@ object DialectQueries {
              n, min_buyer, max_buyer, span_days, max_dom, yr, qtr, first_day
       FROM g ORDER BY mon"""))
 
+  // ---------------------------------------------------------------------
+  // CH `sumMap(keys, values)` — the ParsedParams parallel-array rollup
+  // (ddl/visits.sql:130-140): per group, zip the key/value arrays of
+  // every row and sum values per key, returning aligned sorted arrays.
+  // Synthetic parallel arrays (two keys per event, including same-key
+  // collisions within one row when id%3 == id%5) exercise the
+  // in-row-merge path; the oracle zips with positional unnest.
+  val q84ChSumMap = QueryDef(
+    "q84_ch_summap",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT event_type,
+               array_join(sm.keys, ',') AS keys,
+               array_join(CAST(sm.sums AS ARRAY<STRING>), ',') AS sums
+        FROM (
+          SELECT event_type,
+                 sumMap(array(concat('k', CAST(event_id % 3 AS STRING)),
+                              concat('k', CAST(event_id % 5 AS STRING))),
+                        array(event_id % 7, event_id % 11)) AS sm
+          FROM events_all_v GROUP BY event_type
+        ) ORDER BY event_type""")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type,
+               unnest(['k' || CAST(event_id % 3 AS VARCHAR),
+                       'k' || CAST(event_id % 5 AS VARCHAR)]) AS k,
+               unnest([event_id % 7, event_id % 11]) AS v
+        FROM events
+      ), g AS (
+        SELECT event_type, k, CAST(sum(v) AS BIGINT) AS s
+        FROM p GROUP BY 1, 2
+      )
+      SELECT event_type,
+             string_agg(k, ',' ORDER BY k) AS keys,
+             string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS sums
+      FROM g GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
-      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs, q83ChDateVocab)
+      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs, q83ChDateVocab, q84ChSumMap)
 }

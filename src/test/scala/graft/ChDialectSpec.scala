@@ -310,6 +310,28 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(n - 10000L) <= 500L)
   }
 
+  test("sumMap merges parallel-array pairs, within and across rows") {
+    val r = spark.sql("""
+      SELECT sumMap(k, v) AS sm FROM VALUES
+        (array('b', 'a'), array(1, 2)),
+        (array('a', 'a'), array(10, 100)),
+        (array('c'), array(7))
+      AS t(k, v)
+    """).collect().head.getStruct(0)
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[Long](1) == Seq(112L, 1L, 7L))
+  }
+
+  test("quantileTiming/quantileTDigest parameterized forms map to percentile") {
+    val r = spark.sql("""
+      SELECT quantileTiming(0.5)(v) AS med,
+             quantilesTDigest(0.25, 0.75)(v) AS qs
+      FROM VALUES (1), (2), (3), (4), (5) AS t(v)
+    """).collect().head
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getSeq[Double](1) == Seq(2.0, 4.0))
+  }
+
   test("date vocabulary and conditional-aggregate completion") {
     val r = spark.sql("""
       SELECT toStartOfHour(TIMESTAMP '2024-03-07 13:45:21') AS sh,
