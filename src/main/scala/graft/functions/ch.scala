@@ -178,6 +178,108 @@ object ch {
       states.tail.map(s => (first && s).cast("int")): _*)
   }
 
+  /** CH `topK(k)(x)`: the k most frequent values of the group, most
+    * frequent first, ties broken by value — deterministic where CH's
+    * space-saving sketch is approximate. One count-map fold over the
+    * collected values, then a (-count, value) struct sort; per-group
+    * cost O(n × distinct), the dozens-of-distinct-values dimension
+    * shape. High-cardinality columns belong in the two-stage
+    * `topKFreq` operator, whose rank never funnels a key's full
+    * distinct set into one task.
+    */
+  def topK(k: Column, x: Column, elemType: String = "string"): Column = {
+    val emptyMap = map_from_arrays(
+      array().cast(s"array<$elemType>"), array().cast("array<long>"))
+    val counted = aggregate(collect_list(x), emptyMap, (acc, v) =>
+      map_zip_with(acc, map(v, lit(1L)),
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+    val entries = transform(map_keys(counted), key =>
+      struct((-element_at(counted, key)).as("nc"), key.as("v")))
+    transform(slice(array_sort(entries), lit(1), k.cast("int")),
+      e => e.getField("v"))
+  }
+
+  /** Encoding alphabet for [[sequenceMatch]]/[[sequenceCount]]: the
+    * char at (1-based) index `b` stands for an event whose condition
+    * bitmask is `b`. 31 chars cover up to 5 conditions; every char is
+    * alphanumeric, so it is safe inside a regex character class.
+    */
+  private val seqAlphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcde"
+
+  /** The group's matched events as one string: keep events matching at
+    * least one condition, sort by (ts, bitmask), and emit one alphabet
+    * char per event encoding WHICH conditions it matched. NULL-ts
+    * events are dropped (they have no position in the sequence).
+    * Per-group state is the matched-event list — bounded by the
+    * busiest key, like every collect-based aggregate here.
+    */
+  private def sequenceEventString(ts: Column, conds: Seq[Column]): Column = {
+    val n = conds.length
+    require(n >= 1 && n <= 5,
+      s"sequence functions support 1..5 conditions, got $n")
+    val b = conds.zipWithIndex.map { case (c, i) =>
+      when(coalesce(c.cast("boolean"), lit(false)), lit(1 << i))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val ev = struct(ts.as("t"), b.as("b"))
+    val sorted = array_sort(collect_list(when(ts.isNotNull && b > 0, ev)))
+    array_join(transform(sorted, e =>
+      element_at(split(lit(seqAlphabet), ""), e.getField("b"))), "")
+  }
+
+  /** Translate a CH sequence pattern — `(?N)` event refs and `.*` gaps
+    * — into a regex over [[seqAlphabet]]. `(?N)` becomes the class of
+    * every bitmask char with bit N-1 set (an event matching several
+    * conditions satisfies any of them); `.*` becomes a LAZY `.*?` so
+    * non-overlapping counting finds minimal chains, CH's
+    * earliest-completion behavior. The `(?t…)` time-constraint form is
+    * rejected loudly (windowFunnel covers the time-bounded chain).
+    */
+  private[graft] def compileSequencePattern(pattern: String, n: Int): String = {
+    val token = """\(\?(\d+)\)|\.\*|\(\?t[^)]*\)""".r
+    val sb = new StringBuilder
+    var pos = 0
+    token.findAllMatchIn(pattern).foreach { m =>
+      require(m.start == pos,
+        s"unrecognized sequence pattern fragment at ${pos}: '$pattern'")
+      pos = m.end
+      if (m.matched == ".*") sb.append(".*?")
+      else if (m.group(1) != null) {
+        val k = m.group(1).toInt
+        require(k >= 1 && k <= n,
+          s"pattern refers to condition $k but only $n conditions given")
+        val chars = (1 until (1 << n))
+          .filter(b => (b & (1 << (k - 1))) != 0)
+          .map(b => seqAlphabet.charAt(b - 1))
+        sb.append('[').append(chars.mkString).append(']')
+      } else throw new IllegalArgumentException(
+        "sequence (?t...) time constraints are not supported; " +
+          "use windowFunnel for time-bounded chains")
+    }
+    require(pos == pattern.length,
+      s"unrecognized sequence pattern fragment at ${pos}: '$pattern'")
+    sb.toString
+  }
+
+  /** ClickHouse `sequenceMatch(pattern)(ts, cond1, …)`: 1 iff the
+    * group's matched events, time-ordered, contain a chain matching
+    * the pattern. Events matching NO condition are invisible to the
+    * pattern; adjacent refs (`(?1)(?2)`) therefore mean "no OTHER
+    * matched event in between", exactly CH's contract. Runs as one
+    * regex over the encoded event string.
+    */
+  def sequenceMatch(pattern: String, ts: Column, conds: Seq[Column]): Column =
+    regexp_like(sequenceEventString(ts, conds),
+      lit(compileSequencePattern(pattern, conds.length))).cast("long")
+
+  /** ClickHouse `sequenceCount(pattern)(ts, cond1, …)`: the number of
+    * NON-OVERLAPPING chains matching the pattern, scanning from the
+    * earliest event — leftmost minimal-match regex counting.
+    */
+  def sequenceCount(pattern: String, ts: Column, conds: Seq[Column]): Column =
+    regexp_count(sequenceEventString(ts, conds),
+      lit(compileSequencePattern(pattern, conds.length))).cast("long")
+
   /** ClickHouse `windowFunnel(window)(ts, cond1, …, condN)`: an
     * aggregate returning the deepest funnel level reached — the max k
     * such that events matching cond1 … condk occurred in order with

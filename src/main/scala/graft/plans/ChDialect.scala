@@ -261,6 +261,34 @@ object ChDialect {
     }),
     // sumMap(keys, values): the ParsedParams parallel-array rollup
     "sumMap" -> (args => ex(ch.sumMap(col(args.head), col(args(1))))),
+    // sequenceMatch('(?1)(?2)')(ts, conds...) — flattened by the
+    // TotalsParser to sequenceMatch(pattern, ts, conds...); the
+    // pattern must be a literal (it compiles into the regex)
+    "sequenceMatch" -> (args => {
+      require(args.length >= 3,
+        "sequenceMatch(pattern, ts, cond1, ...) needs at least 3 arguments")
+      ex(ch.sequenceMatch(litString(args.head, "sequenceMatch pattern"),
+        col(args(1)), args.drop(2).map(col)))
+    }),
+    "sequenceCount" -> (args => {
+      require(args.length >= 3,
+        "sequenceCount(pattern, ts, cond1, ...) needs at least 3 arguments")
+      ex(ch.sequenceCount(litString(args.head, "sequenceCount pattern"),
+        col(args(1)), args.drop(2).map(col)))
+    }),
+    // uniqUpTo(N)(x): exact distinct count capped at N — returns the
+    // count when <= N, else N+1 (CH's "more than N" sentinel)
+    "uniqUpTo" -> (args =>
+      ex(least(count_distinct(col(args(1))),
+        col(args.head).cast("long") + lit(1L)))),
+    // topK(k)(x): the k most frequent values, ties broken by value —
+    // CH's is approximate (filtered space-saving); this exact fold is
+    // the deterministic equivalent for the dozens-of-distinct-values
+    // dimensions it is used on. High-cardinality columns belong in the
+    // two-stage topKFreq operator (graft.operators), not here.
+    "topK" -> (args =>
+      ex(ch.topK(col(args.head), col(args(1)),
+        args(1).dataType.catalogString))),
     // JSON extraction over string columns (the events/visits `params`
     // shape). The key is a literal top-level name, as in the
     // reference-era usage; the visitParam* rows are the legacy Metrica

@@ -129,17 +129,21 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
-  // windowFunnel(7200)( — the other parameterized-aggregate call in
-  // the dialect; flattens to windowFunnel(window, args...) for the
-  // registered function
-  private val funnelHead =
-    """(?i)\b(windowFunnel)\s*\(\s*([0-9]+)\s*\)\s*\(""".r
+  // windowFunnel(7200)( / sequenceMatch('(?1)(?2)')( / uniqUpTo(10)( —
+  // the CH parameterized-aggregate calls whose parameter list simply
+  // PREPENDS to the argument list for the registered function. The
+  // parameter group admits numbers, bare words, commas, and masked
+  // string literals (\u0001N\u0001 — the sequence pattern arrives
+  // masked at this point), but no parens.
+  private val paramAggHead =
+    ("""(?i)\b(windowFunnel|sequenceMatch|sequenceCount|uniqUpTo""" +
+      """|topK)\s*\(\s*([^()]+?)\s*\)\s*\(""").r
 
-  /** Rewrite every `windowFunnel(w)(args)` to `windowFunnel(w, args)`,
+  /** Rewrite every `name(params)(args)` to `name(params, args)`,
     * same balanced-paren scan as [[rewriteQuantiles]].
     */
-  private def rewriteFunnel(text: String): String = {
-    funnelHead.findFirstMatchIn(text) match {
+  private def rewriteParamAggs(text: String): String = {
+    paramAggHead.findFirstMatchIn(text) match {
       case None => text
       case Some(m) =>
         val argStart = m.end
@@ -157,8 +161,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         else {
           val arg = stripWs(text.substring(argStart, i - 1))
           val replaced = text.substring(0, m.start) +
-            s"windowFunnel(${m.group(2)}, $arg)" + text.substring(i)
-          rewriteFunnel(replaced)
+            s"${m.group(1)}(${m.group(2)}, $arg)" + text.substring(i)
+          rewriteParamAggs(replaced)
         }
     }
   }
@@ -333,7 +337,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         s"${m.group(1)}GROUPING SETS ((${m.group(2).trim}), ())"))
     val afterLimit = limitOffset.replaceAllIn(afterTotals,
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
-    val afterQuantile = rewriteFunnel(rewriteQuantiles(afterLimit))
+    val afterQuantile = rewriteParamAggs(rewriteQuantiles(afterLimit))
     val afterPrewhere = rewritePrewhere(afterQuantile)
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     val finalText = unmaskLiterals(rewritten, lits)

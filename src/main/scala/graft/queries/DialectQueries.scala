@@ -698,10 +698,69 @@ object DialectQueries {
              string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS sums
       FROM g GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // CH sequence aggregates + capped/top-frequency distincts in one
+  // dialect round-trip: sequenceMatch / sequenceCount (regex over the
+  // time-ordered matched-event encoding), uniqUpTo(N) (exact count
+  // capped at N+1) and topK(k) (exact most-frequent, value tie-break).
+  // The oracle rebuilds the same event encoding with string_agg and
+  // runs the same regex; chars A..G encode the 3-condition bitmask
+  // (view=1, click=2, purchase=4), so (?1)=[ACEG], (?2)=[BCFG],
+  // (?3)=[DEFG].
+  val q85ChSequence = QueryDef(
+    "q85_ch_sequence",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT u,
+               sequenceMatch('(?1).*(?2).*(?3)')(ts,
+                 event_type = 'view', event_type = 'click',
+                 event_type = 'purchase') AS sm,
+               sequenceCount('(?1)(?2)')(ts,
+                 event_type = 'view', event_type = 'click',
+                 event_type = 'purchase') AS sc,
+               uniqUpTo(3)(event_type) AS uut,
+               array_join(topK(2)(event_type), ',') AS top2
+        FROM (SELECT user_id % 17 AS u, ts, event_type FROM events_all_v)
+        GROUP BY u ORDER BY u""")
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id % 17 AS u, ts, event_type,
+               (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                + CASE WHEN event_type = 'click' THEN 2 ELSE 0 END
+                + CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END) AS b
+        FROM events
+      ), s AS (
+        SELECT u, string_agg(substr('ABCDEFG', b, 1), '' ORDER BY ts, b) AS str
+        FROM f WHERE b > 0 GROUP BY 1
+      ), k AS (
+        SELECT u, event_type, count(1) AS cnt FROM f GROUP BY 1, 2
+      ), r AS (
+        SELECT u, event_type,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY cnt DESC, event_type) AS rn
+        FROM k
+      ), t AS (
+        SELECT u, string_agg(event_type, ',' ORDER BY rn) AS top2
+        FROM r WHERE rn <= 2 GROUP BY 1
+      ), uu AS (
+        SELECT u, CAST(least(count(DISTINCT event_type), 4) AS BIGINT) AS uut
+        FROM f GROUP BY 1
+      )
+      SELECT s.u,
+             CAST(CASE WHEN regexp_matches(s.str,
+               '[ACEG].*?[BCFG].*?[DEFG]') THEN 1 ELSE 0 END AS BIGINT) AS sm,
+             CAST(len(regexp_extract_all(s.str, '[ACEG][BCFG]')) AS BIGINT) AS sc,
+             uu.uut, t.top2
+      FROM s JOIN uu USING (u) JOIN t USING (u)
+      ORDER BY u"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
-      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs, q83ChDateVocab, q84ChSumMap)
+      q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs,
+      q83ChDateVocab, q84ChSumMap, q85ChSequence)
 }

@@ -322,6 +322,58 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getSeq[Long](1) == Seq(112L, 1L, 7L))
   }
 
+  test("sequenceMatch: filtered adjacency, gaps, and blocking events") {
+    // CH docs shape: events 1, 3, 2 — the 3 is invisible when it
+    // matches no condition, so (?1)(?2) holds; making it condition 3
+    // breaks the adjacency
+    val r = spark.sql("""
+      SELECT sequenceMatch('(?1)(?2)')(t, n = 1, n = 2) AS adj2,
+             sequenceMatch('(?1)(?2)')(t, n = 1, n = 2, n = 3) AS adj3,
+             sequenceMatch('(?1).*(?2)')(t, n = 1, n = 2, n = 3) AS gap3
+      FROM VALUES (TIMESTAMP '2024-01-01 00:00:01', 1),
+                  (TIMESTAMP '2024-01-01 00:00:02', 3),
+                  (TIMESTAMP '2024-01-01 00:00:03', 2) AS t(t, n)
+    """).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 0L, 1L)))
+  }
+
+  test("sequenceCount counts non-overlapping minimal chains") {
+    val r = spark.sql("""
+      SELECT sequenceCount('(?1)(?2)')(t, n = 1, n = 2) AS c
+      FROM VALUES (TIMESTAMP '2024-01-01 00:00:01', 1),
+                  (TIMESTAMP '2024-01-01 00:00:02', 2),
+                  (TIMESTAMP '2024-01-01 00:00:03', 1),
+                  (TIMESTAMP '2024-01-01 00:00:04', 2) AS t(t, n)
+    """).collect().head
+    assert(r.getLong(0) == 2L)
+  }
+
+  test("sequence pattern rejects (?t...) time constraints loudly") {
+    val e = intercept[Exception] {
+      spark.sql("""
+        SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(t, n = 1, n = 2)
+        FROM VALUES (TIMESTAMP '2024-01-01 00:00:01', 1) AS t(t, n)
+      """).collect()
+    }
+    assert(e.getMessage.contains("windowFunnel"))
+  }
+
+  test("uniqUpTo caps the exact distinct count at N+1") {
+    val r = spark.sql("""
+      SELECT uniqUpTo(3)(v) AS capped, uniqUpTo(10)(v) AS exact
+      FROM VALUES (1), (2), (3), (4), (5) AS t(v)
+    """).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 5L)))
+  }
+
+  test("topK returns the k most frequent values, ties by value") {
+    val r = spark.sql("""
+      SELECT topK(2)(v) AS top2
+      FROM VALUES ('a'), ('a'), ('a'), ('b'), ('b'), ('c') AS t(v)
+    """).collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+  }
+
   test("quantileTiming/quantileTDigest parameterized forms map to percentile") {
     val r = spark.sql("""
       SELECT quantileTiming(0.5)(v) AS med,
