@@ -178,6 +178,67 @@ object ch {
       states.tail.map(s => (first && s).cast("int")): _*)
   }
 
+  /** CH `roundToExp2(x)`: 0 for x < 1, else the largest power of two
+    * <= x — Metrica's log-scale bucketing for counts/durations. The
+    * exponent comes from log2 with a one-step correction in each
+    * direction, so a libm result a half-ulp off an exact power can
+    * never pick the wrong bucket.
+    */
+  def roundToExp2(x: Column): Column = {
+    val xd = x.cast("double")
+    val cand = pow(lit(2.0), floor(log2(xd)))
+    val corrected = when(cand > xd, cand / 2)
+      .when(cand * 2 <= xd, cand * 2)
+      .otherwise(cand)
+    when(x < 1, lit(0L)).otherwise(corrected.cast("long"))
+  }
+
+  /** CH `roundDuration(x)`: round a session duration in seconds down
+    * to Metrica's fixed report buckets
+    * (0, 1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600,
+    * 7200, 18000, 36000). A literal comparison ladder — branch-only,
+    * fully codegen'd.
+    */
+  def roundDuration(x: Column): Column =
+    when(x < 1, lit(0L)).when(x < 10, lit(1L)).when(x < 30, lit(10L))
+      .when(x < 60, lit(30L)).when(x < 120, lit(60L))
+      .when(x < 180, lit(120L)).when(x < 240, lit(180L))
+      .when(x < 300, lit(240L)).when(x < 600, lit(300L))
+      .when(x < 1200, lit(600L)).when(x < 1800, lit(1200L))
+      .when(x < 3600, lit(1800L)).when(x < 7200, lit(3600L))
+      .when(x < 18000, lit(7200L)).when(x < 36000, lit(18000L))
+      .otherwise(lit(36000L))
+
+  /** CH `roundAge(x)`: Metrica's demographic age buckets —
+    * 0 (unknown), 17, 18, 25, 35, 45, 55.
+    */
+  def roundAge(x: Column): Column =
+    when(x < 1, lit(0L)).when(x < 18, lit(17L)).when(x < 25, lit(18L))
+      .when(x < 35, lit(25L)).when(x < 45, lit(35L))
+      .when(x < 55, lit(45L)).otherwise(lit(55L))
+
+  /** CH `roundDown(x, arr)`: the largest array element <= x, or the
+    * array minimum when x is below every element.
+    */
+  def roundDown(x: Column, arr: Column): Column =
+    coalesce(array_max(filter(arr, e => e <= x)), array_min(arr))
+
+  /** CH `transform(x, from, to, default)` as a Scala combinator — the
+    * inline dictionary map (TraficSourceID → name being the canonical
+    * Metrica use). NOT registered in the SQL dialect: the CH name
+    * collides with Spark's builtin array `transform`, which this
+    * library uses pervasively, so the SQL spelling stays Spark's
+    * (`CASE ... WHEN`) while Scala callers get the CH shape here.
+    */
+  def transformLookup[A, B](x: Column, from: Seq[A], to: Seq[B],
+      default: Column): Column = {
+    require(from.length == to.length,
+      s"transform needs matching arrays, got ${from.length}/${to.length}")
+    from.zip(to).foldRight(default) { case ((f, t), acc) =>
+      when(x === lit(f), lit(t)).otherwise(acc)
+    }
+  }
+
   /** CH `topK(k)(x)`: the k most frequent values of the group, most
     * frequent first, ties broken by value — deterministic where CH's
     * space-saving sketch is approximate. One count-map fold over the
@@ -197,6 +258,86 @@ object ch {
       struct((-element_at(counted, key)).as("nc"), key.as("v")))
     transform(slice(array_sort(entries), lit(1), k.cast("int")),
       e => e.getField("v"))
+  }
+
+  /** CH `avgWeighted(x, w)`: sum(x·w)/sum(w), NaN over an empty or
+    * zero-weight group (CH's contract; a bare division would throw
+    * under ANSI).
+    */
+  def avgWeighted(x: Column, w: Column): Column = {
+    val sw = sum(w.cast("double"))
+    val sxw = sum(x.cast("double") * w.cast("double"))
+    when(coalesce(sw, lit(0.0)) === 0.0, lit(Double.NaN)).otherwise(sxw / sw)
+  }
+
+  /** CH `skewPop` IS Spark's skewness (population third moment over
+    * sigma^3); `kurtPop` is NON-excess — Spark's excess kurtosis
+    * plus 3. The *Samp variants rescale the population value by the
+    * Bessel factor on the variance denominator, CH's definition.
+    */
+  def kurtPop(x: Column): Column = kurtosis(x) + lit(3.0)
+
+  def skewSamp(x: Column): Column = {
+    val n = count(x).cast("double")
+    skewness(x) * pow((n - 1) / n, 1.5)
+  }
+
+  def kurtSamp(x: Column): Column = {
+    val n = count(x).cast("double")
+    kurtPop(x) * pow((n - 1) / n, 2.0)
+  }
+
+  /** CH `replaceOne(h, p, r)`: replace only the FIRST occurrence of
+    * the plain substring `p` (Spark's replace is replace-all). Prefix
+    * via substring_index, suffix via an offset substr — branch-only,
+    * no regex.
+    */
+  def replaceOne(h: Column, p: Column, r: Column): Column = {
+    val pos = call_function("locate", p, h)
+    when(p === lit(""), h)
+      .when(pos > 0,
+        concat(h.substr(lit(1), pos - 1), r,
+          h.substr(pos + length(p), length(h))))
+      .otherwise(h)
+  }
+
+  /** CH `countSubstrings(h, n)`: non-overlapping occurrence count of a
+    * plain substring — the length-delta arithmetic form, no regex.
+    */
+  def countSubstrings(h: Column, n: Column): Column =
+    when(length(n) === 0, lit(0L)).otherwise(
+      ((length(h) - length(replace(h, n, lit("")))) / length(n)).cast("long"))
+
+  /** CH `multiSearchAny(h, [n1, …])`: 1 iff any needle occurs in the
+    * haystack.
+    */
+  def multiSearchAny(h: Column, needles: Column): Column =
+    coalesce(exists(needles, x => h.contains(x)), lit(false)).cast("long")
+
+  /** CH `IPv4NumToString(n)`: dotted-quad text from a UInt32 address
+    * (the hits/visits ClientIP column shape, ddl/hits.sql:16) — pure
+    * shift/mask/concat, fully codegen'd.
+    */
+  def ipv4NumToString(n: Column): Column = {
+    val x = n.cast("long")
+    concat_ws(".",
+      shiftright(x, 24).bitwiseAND(lit(255L)),
+      shiftright(x, 16).bitwiseAND(lit(255L)),
+      shiftright(x, 8).bitwiseAND(lit(255L)),
+      x.bitwiseAND(lit(255L)))
+  }
+
+  /** CH `IPv4StringToNum(s)`: UInt32 from dotted-quad text, 0 for
+    * anything malformed (CH's OrDefault contract — the throwing
+    * variant has no place in a full-scan pipeline).
+    */
+  def ipv4StringToNum(s: Column): Column = {
+    val octets = transform(split(s, "\\."), p => p.cast("long"))
+    val wellFormed = s.rlike("^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$") &&
+      forall(octets, o => o <= 255)
+    when(wellFormed,
+      aggregate(octets, lit(0L), (acc, o) => acc * 256 + o))
+      .otherwise(lit(0L))
   }
 
   /** Encoding alphabet for [[sequenceMatch]]/[[sequenceCount]]: the

@@ -26,6 +26,13 @@ object ChDialect {
       s"$what must be a string literal, got $other")
   }
 
+  /** Whether a regex literal contains a capturing group — drives CH
+    * extract/extractAll's "first group if present, else whole match"
+    * contract. An unescaped `(` not starting a `(?...)` construct.
+    */
+  private def hasCapturingGroup(re: String): Boolean =
+    """(?<!\\)\((?!\?)""".r.findFirstIn(re).isDefined
+
   /** CH `arr[i]` as a function (CH spells it `arrayElement`): 1-based,
     * returning the element type's default (empty string / 0), not null,
     * on i=0 or out of range. The default is derived from the resolved
@@ -289,6 +296,165 @@ object ChDialect {
     "topK" -> (args =>
       ex(ch.topK(col(args.head), col(args(1)),
         args(1).dataType.catalogString))),
+    // ----- statistical aggregates (CH camelCase → Spark snake_case;
+    // corr needs no registration, the names coincide). kurtPop is
+    // CH's non-excess kurtosis; the *Samp moment variants rescale by
+    // the Bessel factor (graft.functions.ch). `any` REPLACES Spark's
+    // builtin bool_or alias: in this dialect it is CH's
+    // first-encountered-value aggregate (nondeterministic under
+    // parallelism in both engines — same caveat as groupArray).
+    "stddevPop" -> (args => ex(stddev_pop(col(args.head)))),
+    "stddevSamp" -> (args => ex(stddev_samp(col(args.head)))),
+    "varPop" -> (args => ex(var_pop(col(args.head)))),
+    "varSamp" -> (args => ex(var_samp(col(args.head)))),
+    "covarPop" -> (args => ex(covar_pop(col(args.head), col(args(1))))),
+    "covarSamp" -> (args => ex(covar_samp(col(args.head), col(args(1))))),
+    "avgWeighted" -> (args =>
+      ex(ch.avgWeighted(col(args.head), col(args(1))))),
+    "skewPop" -> (args => ex(skewness(col(args.head)))),
+    "skewSamp" -> (args => ex(ch.skewSamp(col(args.head)))),
+    "kurtPop" -> (args => ex(ch.kurtPop(col(args.head)))),
+    "kurtSamp" -> (args => ex(ch.kurtSamp(col(args.head)))),
+    "any" -> (args => ex(first(col(args.head), ignoreNulls = true))),
+    "anyLast" -> (args => ex(last(col(args.head), ignoreNulls = true))),
+    // anyHeavy: CH's heavy-hitter sketch; Spark's exact mode fills the
+    // role deterministically
+    "anyHeavy" -> (args => ex(mode(col(args.head)))),
+    // ----- string vocabulary (SearchPhrase/Title/URL text columns) -----
+    // position REPLACES Spark's builtin: CH argument order is
+    // (haystack, needle) — the reverse of Spark's position(substr,
+    // str). In this dialect the CH contract wins (same policy as MD5
+    // below). Positions are CHARACTER-based, 1-based, 0 on miss; CH's
+    // byte offsets only differ on non-ASCII haystacks, where the *UTF8
+    // spellings are the CH-equivalent forms anyway.
+    "position" -> (args =>
+      ex(col(org.apache.spark.sql.catalyst.expressions.StringLocate(
+        args(1), args.head, Literal(1))).cast("long"))),
+    "positionUTF8" -> (args =>
+      ex(col(org.apache.spark.sql.catalyst.expressions.StringLocate(
+        args(1), args.head, Literal(1))).cast("long"))),
+    "positionCaseInsensitive" -> (args =>
+      ex(col(org.apache.spark.sql.catalyst.expressions.StringLocate(
+        ex(lower(col(args(1)))), ex(lower(col(args.head))),
+        Literal(1))).cast("long"))),
+    "lengthUTF8" -> (args => ex(length(col(args.head)).cast("long"))),
+    "substringUTF8" -> (args =>
+      if (args.length >= 3)
+        ex(col(args.head).substr(col(args(1)), col(args(2))))
+      else
+        ex(col(args.head).substr(col(args(1)),
+          length(col(args.head))))),
+    "lowerUTF8" -> (args => ex(lower(col(args.head)))),
+    "upperUTF8" -> (args => ex(upper(col(args.head)))),
+    "reverseUTF8" -> (args => ex(reverse(col(args.head)))),
+    // CH extract(h, re): first match — the first capturing group when
+    // the pattern has one, else the whole match; '' on miss. The SAME
+    // name also serves SQL's EXTRACT(field FROM datetime), which the
+    // parser routes here as extract(field, source) — a non-string
+    // second argument disambiguates.
+    "extract" -> (args =>
+      if (args.length == 2 &&
+          args(1).dataType == org.apache.spark.sql.types.StringType) {
+        val re = litString(args(1), "extract pattern")
+        val grp = if (hasCapturingGroup(re)) 1 else 0
+        ex(regexp_extract(col(args.head), re, grp))
+      } else
+        ex(date_part(col(args.head), col(args(1))))),
+    "extractAll" -> (args => {
+      val re = litString(args(1), "extractAll pattern")
+      val grp = if (hasCapturingGroup(re)) 1 else 0
+      ex(regexp_extract_all(col(args.head), lit(re), lit(grp)))
+    }),
+    // CH match(h, re): regex containment as UInt8
+    "match" -> (args =>
+      ex(col(args.head).rlike(litString(args(1), "match pattern"))
+        .cast("long"))),
+    "replaceOne" -> (args =>
+      ex(ch.replaceOne(col(args.head), col(args(1)), col(args(2))))),
+    "replaceAll" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.StringReplace(
+        args.head, args(1), args(2))),
+    // replaceRegexpAll: CH spells backrefs \1, Java $1 — a literal
+    // replacement is converted; a computed one cannot carry backrefs
+    "replaceRegexpAll" -> (args => {
+      val repl = args(2) match {
+        case Literal(v, _) if v != null =>
+          Literal(v.toString.replaceAll("""\\(\d)""", "\\$$1"))
+        case other => other
+      }
+      ex(regexp_replace(col(args.head), col(args(1)), col(repl)))
+    }),
+    "trimBoth" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.StringTrim(args.head)),
+    "trimLeft" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.StringTrimLeft(args.head)),
+    "trimRight" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.StringTrimRight(args.head)),
+    "leftPad" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.StringLPad(args.head,
+        args(1), if (args.length >= 3) args(2) else Literal(" "))),
+    "rightPad" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.StringRPad(args.head,
+        args(1), if (args.length >= 3) args(2) else Literal(" "))),
+    "countSubstrings" -> (args =>
+      ex(ch.countSubstrings(col(args.head), col(args(1))))),
+    "multiSearchAny" -> (args =>
+      ex(ch.multiSearchAny(col(args.head), col(args(1))))),
+    // IPv4 vocabulary over the ClientIP UInt32 shape (ddl/hits.sql:16).
+    // IPv6 stays raw-hex (the q51 export convention): RFC 5952 zero
+    // compression is presentation-layer and out of scope here.
+    "IPv4NumToString" -> (args => ex(ch.ipv4NumToString(col(args.head)))),
+    "IPv4StringToNum" -> (args => ex(ch.ipv4StringToNum(col(args.head)))),
+    "toIPv4" -> (args => ex(ch.ipv4StringToNum(col(args.head)))),
+    // bit vocabulary (the hits/visits flag columns): direct Catalyst
+    // bitwise expressions, whole-stage codegen'd
+    "bitAnd" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.BitwiseAnd(args.head, args(1))),
+    "bitOr" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.BitwiseOr(args.head, args(1))),
+    "bitXor" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.BitwiseXor(args.head, args(1))),
+    "bitNot" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.BitwiseNot(args.head)),
+    "bitShiftLeft" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(args.head, args(1))),
+    "bitShiftRight" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(args.head, args(1))),
+    // bitTest(x, n): the n-th bit as 0/1
+    "bitTest" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.BitwiseAnd(
+        org.apache.spark.sql.catalyst.expressions.ShiftRight(args.head, args(1)),
+        Literal(1L))),
+    // encoding/digest vocabulary. MD5/SHA256 return BINARY like CH's
+    // FixedString digests, so the idiomatic CH spelling hex(MD5(x))
+    // works verbatim (Spark's builtin hex is uppercase, as CH's).
+    // sipHash64/cityHash64 map to xxhash64: a deterministic 64-bit
+    // hash with the same role — NOT bit-compatible with CH's output
+    // (a stored CH hash is not portable across engines anyway).
+    // NOTE: "MD5" deliberately REPLACES Spark's builtin md5 (the
+    // registry is case-insensitive): in this dialect the CH contract —
+    // binary digest, hex(MD5(x)) spelled exactly as CH users write it
+    // — wins over Spark's hex-string md5. Built from Catalyst nodes
+    // directly; a name-based functions.md5 call would resolve back to
+    // this very registration and loop the analyzer.
+    "base64Encode" -> (args => ex(base64(col(args.head)))),
+    "base64Decode" -> (args => ex(unbase64(col(args.head)).cast("string"))),
+    "MD5" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Unhex(
+        org.apache.spark.sql.catalyst.expressions.Md5(args.head))),
+    "SHA256" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Unhex(
+        org.apache.spark.sql.catalyst.expressions.Sha2(args.head,
+          Literal(256)))),
+    "sipHash64" -> (args => ex(xxhash64(args.map(col): _*))),
+    "cityHash64" -> (args => ex(xxhash64(args.map(col): _*))),
+    // Metrica report-bucketing vocabulary (roundToExp2/roundDuration/
+    // roundAge/roundDown — graft.functions.ch)
+    "roundToExp2" -> (args => ex(ch.roundToExp2(col(args.head)))),
+    "roundDuration" -> (args => ex(ch.roundDuration(col(args.head)))),
+    "roundAge" -> (args => ex(ch.roundAge(col(args.head)))),
+    "roundDown" -> (args =>
+      ex(ch.roundDown(col(args.head), col(args(1))))),
     // JSON extraction over string columns (the events/visits `params`
     // shape). The key is a literal top-level name, as in the
     // reference-era usage; the visitParam* rows are the legacy Metrica

@@ -756,11 +756,207 @@ object DialectQueries {
       FROM s JOIN uu USING (u) JOIN t USING (u)
       ORDER BY u"""))
 
+  // ---------------------------------------------------------------------
+  // Metrica report bucketing: roundDuration (session-length buckets),
+  // roundAge (demographics), roundToExp2 (log-scale counts), roundDown
+  // (explicit bucket array). The oracle reproduces each as an explicit
+  // CASE ladder — for roundToExp2 the input domain [1, 1000] makes the
+  // power list finite, so no cross-engine log2 edge exists.
+  val q86ChRounding = QueryDef(
+    "q86_ch_rounding",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT roundDuration(CAST(event_id % 4000 AS INT)) AS dur,
+               roundAge(CAST(user_id % 70 AS INT)) AS age,
+               roundToExp2(CAST(event_id % 1000 + 1 AS INT)) AS e2,
+               roundDown(value, array(0.0D, 5.0D, 20.0D, 100.0D)) AS vb,
+               count(1) AS n
+        FROM events_all_v
+        GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""")
+    },
+    Some("""
+      WITH b AS (
+        SELECT CASE WHEN d < 1 THEN 0 WHEN d < 10 THEN 1 WHEN d < 30 THEN 10
+                    WHEN d < 60 THEN 30 WHEN d < 120 THEN 60
+                    WHEN d < 180 THEN 120 WHEN d < 240 THEN 180
+                    WHEN d < 300 THEN 240 WHEN d < 600 THEN 300
+                    WHEN d < 1200 THEN 600 WHEN d < 1800 THEN 1200
+                    WHEN d < 3600 THEN 1800 ELSE 3600 END AS dur,
+               CASE WHEN a < 1 THEN 0 WHEN a < 18 THEN 17 WHEN a < 25 THEN 18
+                    WHEN a < 35 THEN 25 WHEN a < 45 THEN 35
+                    WHEN a < 55 THEN 45 ELSE 55 END AS age,
+               CASE WHEN x >= 512 THEN 512 WHEN x >= 256 THEN 256
+                    WHEN x >= 128 THEN 128 WHEN x >= 64 THEN 64
+                    WHEN x >= 32 THEN 32 WHEN x >= 16 THEN 16
+                    WHEN x >= 8 THEN 8 WHEN x >= 4 THEN 4
+                    WHEN x >= 2 THEN 2 ELSE 1 END AS e2,
+               CASE WHEN value >= 100 THEN 100.0 WHEN value >= 20 THEN 20.0
+                    WHEN value >= 5 THEN 5.0 ELSE 0.0 END AS vb
+        FROM (SELECT event_id % 4000 AS d, user_id % 70 AS a,
+                     event_id % 1000 + 1 AS x, value FROM events)
+      )
+      SELECT CAST(dur AS BIGINT) AS dur, CAST(age AS BIGINT) AS age,
+             CAST(e2 AS BIGINT) AS e2, vb, CAST(count(1) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"""))
+
+  // ---------------------------------------------------------------------
+  // IPv4 / bit / digest vocabulary: a synthetic UInt32 address per user
+  // (knuth-hash modulo 2^32) rendered as dotted-quad, round-tripped
+  // through IPv4StringToNum (rt counts successes — the oracle
+  // re-parses its own rendering the same way), bit-mixing over
+  // event_id, and the base64/MD5/SHA256 digests of the group key.
+  val q87ChIpBits = QueryDef(
+    "q87_ch_ip_bits",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT event_type,
+               base64Encode(event_type) AS b64,
+               hex(MD5(event_type)) AS md5h,
+               hex(SHA256(event_type)) AS sh2,
+               ip_min, rt, bx, n
+        FROM (
+          SELECT event_type,
+                 min(IPv4NumToString(n32)) AS ip_min,
+                 CAST(sum(IF(IPv4StringToNum(IPv4NumToString(n32)) = n32,
+                             1, 0)) AS BIGINT) AS rt,
+                 CAST(sum(bitXor(bitAnd(event_id, 255),
+                     bitShiftLeft(bitTest(event_id, 3), 7))) AS BIGINT) AS bx,
+                 count(1) AS n
+          FROM (SELECT event_type, event_id,
+                       (user_id * 2654435761) % 4294967296 AS n32
+                FROM events_all_v)
+          GROUP BY event_type
+        ) ORDER BY event_type""")
+    },
+    Some("""
+      WITH src AS (
+        SELECT event_type, event_id,
+               (user_id * 2654435761) % 4294967296 AS n32
+        FROM events
+      ), ip AS (
+        SELECT event_type, event_id, n32,
+               CAST(n32 // 16777216 AS VARCHAR) || '.' ||
+               CAST((n32 // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((n32 // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(n32 % 256 AS VARCHAR) AS ips
+        FROM src
+      ), g AS (
+        SELECT event_type, min(ips) AS ip_min,
+               CAST(sum(CASE WHEN
+                 CAST(split_part(ips, '.', 1) AS BIGINT) * 16777216 +
+                 CAST(split_part(ips, '.', 2) AS BIGINT) * 65536 +
+                 CAST(split_part(ips, '.', 3) AS BIGINT) * 256 +
+                 CAST(split_part(ips, '.', 4) AS BIGINT) = n32
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rt,
+               CAST(sum(xor(event_id & 255,
+                 CASE WHEN (event_id >> 3) & 1 = 1 THEN 128 ELSE 0 END))
+                 AS BIGINT) AS bx,
+               CAST(count(1) AS BIGINT) AS n
+        FROM ip GROUP BY 1
+      )
+      SELECT event_type,
+             base64(CAST(event_type AS BLOB)) AS b64,
+             upper(md5(event_type)) AS md5h,
+             upper(sha256(event_type)) AS sh2,
+             ip_min, rt, bx, n
+      FROM g ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // CH string vocabulary over the events props JSON text: position /
+  // match / countSubstrings / replaceRegexpAll / extract-with-group /
+  // replaceOne / multiSearchAny / pads+trims, aggregated per
+  // event_type. The oracle rebuilds each from DuckDB's spellings
+  // (strpos, regexp_matches, first-occurrence regexp_replace, ...).
+  val q88ChStrings = QueryDef(
+    "q88_ch_strings",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT event_type,
+               CAST(sum(position(props, '9')) AS BIGINT) AS sp,
+               CAST(sum(match(props, '[0-9]{2}')) AS BIGINT) AS m2,
+               CAST(sum(countSubstrings(props, '9')) AS BIGINT) AS c9,
+               CAST(sum(lengthUTF8(replaceRegexpAll(props, '[0-9]', 'x')))
+                 AS BIGINT) AS lrep,
+               min(replaceOne(event_type, 'e', 'E')) AS rone,
+               max(extract(props, '"k": ([0-9]+)')) AS ex1,
+               CAST(sum(multiSearchAny(event_type, array('ck', 'rr', 'zz')))
+                 AS BIGINT) AS msa,
+               min(concat(leftPad(event_type, 10, '_'),
+                          trimBoth('  x  '))) AS pads
+        FROM events_all_v GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(sum(strpos(props, '9')) AS BIGINT) AS sp,
+             CAST(sum(CASE WHEN regexp_matches(props, '[0-9]{2}')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+             CAST(sum(length(props) - length(replace(props, '9', '')))
+               AS BIGINT) AS c9,
+             CAST(sum(length(regexp_replace(props, '[0-9]', 'x', 'g')))
+               AS BIGINT) AS lrep,
+             min(regexp_replace(event_type, 'e', 'E')) AS rone,
+             max(regexp_extract(props, '"k": ([0-9]+)', 1)) AS ex1,
+             CAST(sum(CASE WHEN strpos(event_type, 'ck') > 0
+                             OR strpos(event_type, 'rr') > 0
+                             OR strpos(event_type, 'zz') > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS msa,
+             min(lpad(event_type, 10, '_') || 'x') AS pads
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // CH statistical-aggregate vocabulary. The oracle recomputes the
+  // moment family from DuckDB's builtins plus explicit central-moment
+  // arithmetic for skewPop/kurtPop (DuckDB's skewness/kurtosis are
+  // sample-corrected, CH's *Pop are not). Doubles round on BOTH sides:
+  // 6dp for the variance family, 3dp for the higher moments.
+  val q89ChStats = QueryDef(
+    "q89_ch_stats",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT event_type,
+               round(stddevPop(value), 6) AS sdp,
+               round(stddevSamp(value), 6) AS sds,
+               round(varPop(value), 6) AS vp,
+               round(varSamp(value), 6) AS vs,
+               round(covarPop(value, user_id), 6) AS cvp,
+               round(covarSamp(value, user_id), 6) AS cvs,
+               round(corr(value, user_id), 6) AS cr,
+               round(avgWeighted(value, user_id % 5 + 1), 6) AS aw,
+               round(skewPop(value), 3) AS sk,
+               round(kurtPop(value), 3) AS kt
+        FROM events_all_v GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH mu AS (
+        SELECT event_type, avg(value) AS m FROM events GROUP BY 1
+      )
+      SELECT e.event_type,
+             round(stddev_pop(value), 6) AS sdp,
+             round(stddev_samp(value), 6) AS sds,
+             round(var_pop(value), 6) AS vp,
+             round(var_samp(value), 6) AS vs,
+             round(covar_pop(value, user_id), 6) AS cvp,
+             round(covar_samp(value, user_id), 6) AS cvs,
+             round(corr(value, user_id), 6) AS cr,
+             round(sum(value * (user_id % 5 + 1)) / sum(user_id % 5 + 1), 6)
+               AS aw,
+             round(avg(power(value - m, 3))
+                   / power(avg(power(value - m, 2)), 1.5), 3) AS sk,
+             round(avg(power(value - m, 4))
+                   / power(avg(power(value - m, 2)), 2.0), 3) AS kt
+      FROM events e JOIN mu USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
       q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs,
-      q83ChDateVocab, q84ChSumMap, q85ChSequence)
+      q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
+      q87ChIpBits, q88ChStrings, q89ChStats)
 }

@@ -374,6 +374,143 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getSeq[String](0) == Seq("a", "b"))
   }
 
+  test("Metrica rounding: roundToExp2 / roundDuration / roundAge / roundDown") {
+    val r = spark.sql("""
+      SELECT roundToExp2(0) AS z, roundToExp2(1) AS one,
+             roundToExp2(511) AS below, roundToExp2(512) AS exact,
+             roundToExp2(1023) AS big, roundToExp2(1024) AS pow10,
+             roundDuration(0) AS d0, roundDuration(59) AS d59,
+             roundDuration(60) AS d60, roundDuration(99999) AS dmax,
+             roundAge(0) AS a0, roundAge(17) AS a17, roundAge(25) AS a25,
+             roundAge(90) AS a90,
+             roundDown(3.0D, array(0.0D, 5.0D, 20.0D)) AS rd_lo,
+             roundDown(7.5D, array(0.0D, 5.0D, 20.0D)) AS rd_mid,
+             roundDown(-2.0D, array(1.0D, 5.0D)) AS rd_below
+    """).collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 256L && r.getLong(3) == 512L)
+    assert(r.getLong(4) == 512L && r.getLong(5) == 1024L)
+    assert(r.getLong(6) == 0L && r.getLong(7) == 30L)
+    assert(r.getLong(8) == 60L && r.getLong(9) == 36000L)
+    assert(r.getLong(10) == 0L && r.getLong(11) == 17L)
+    assert(r.getLong(12) == 25L && r.getLong(13) == 55L)
+    assert(r.getDouble(14) == 0.0 && r.getDouble(15) == 5.0)
+    assert(r.getDouble(16) == 1.0)
+  }
+
+  test("transformLookup maps values through parallel arrays with default") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3, 99).toDF("src")
+    val out = df.select(graft.functions.ch.transformLookup($"src",
+      Seq(1, 2, 3), Seq("organic", "direct", "ad"),
+      org.apache.spark.sql.functions.lit("other")).as("name"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("organic", "direct", "ad", "other"))
+  }
+
+  test("IPv4 dotted-quad rendering, parsing, and malformed fallbacks") {
+    val r = spark.sql("""
+      SELECT IPv4NumToString(3232235777) AS home,
+             IPv4NumToString(0) AS zero,
+             IPv4NumToString(4294967295) AS bcast,
+             IPv4StringToNum('192.168.1.1') AS parsed,
+             IPv4StringToNum('256.1.1.1') AS octet_over,
+             IPv4StringToNum('not an ip') AS junk,
+             toIPv4('10.0.0.1') AS ten
+    """).collect().head
+    assert(r.getString(0) == "192.168.1.1")
+    assert(r.getString(1) == "0.0.0.0")
+    assert(r.getString(2) == "255.255.255.255")
+    assert(r.getLong(3) == 3232235777L)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+    assert(r.getLong(6) == 167772161L)
+  }
+
+  test("bit vocabulary and digests match their CH shapes") {
+    val r = spark.sql("""
+      SELECT bitAnd(12, 10) AS a, bitOr(12, 10) AS o, bitXor(12, 10) AS x,
+             bitShiftLeft(1, 10) AS sl, bitShiftRight(1024, 3) AS sr,
+             bitTest(5, 0) AS t0, bitTest(5, 1) AS t1,
+             hex(MD5('abc')) AS md5h,
+             base64Decode(base64Encode('graft')) AS rt
+    """).collect().head
+    assert(r.getInt(0) == 8 && r.getInt(1) == 14 && r.getInt(2) == 6)
+    assert(r.getInt(3) == 1024 && r.getInt(4) == 128)
+    assert(r.getLong(5) == 1L && r.getLong(6) == 0L)
+    // RFC 1321 test vector
+    assert(r.getString(7) == "900150983CD24FB0D6963F7D28E17F72")
+    assert(r.getString(8) == "graft")
+  }
+
+  test("string vocabulary: positions, extract, replaces, pads, searches") {
+    val r = spark.sql("""
+      SELECT position('clickhouse', 'house') AS p1,
+             position('clickhouse', 'zzz') AS p0,
+             positionCaseInsensitive('ClickHouse', 'house') AS pci,
+             lengthUTF8('граф') AS l8,
+             substringUTF8('clickhouse', 6, 5) AS sub,
+             substringUTF8('clickhouse', 6) AS sub2,
+             extract('a=17;b=2', '=([0-9]+)') AS exg,
+             extract('abc123', '[0-9]+') AS exw,
+             extract(YEAR FROM DATE '2024-03-07') AS exy,
+             extractAll('a=1;b=22', '=([0-9]+)') AS exa,
+             match('abc123', '^[a-z]+[0-9]+$') AS m1,
+             replaceOne('aXbXc', 'X', '_') AS ro,
+             replaceAll('aXbXc', 'X', '_') AS ra,
+             replaceRegexpAll('2024-03-07', '([0-9]+)-([0-9]+)-([0-9]+)',
+                              '\\3/\\2/\\1') AS rra,
+             trimBoth('  x  ') AS tb, trimLeft('  x  ') AS tl,
+             trimRight('  x  ') AS tr2,
+             leftPad('7', 3, '0') AS lp, rightPad('7', 3, '0') AS rp,
+             countSubstrings('abcabcab', 'ab') AS cs,
+             multiSearchAny('clickhouse', array('zz', 'web', 'hou')) AS msa,
+             multiSearchAny('clickhouse', array('zz', 'web')) AS msn
+    """).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 0L && r.getLong(2) == 6L)
+    assert(r.getLong(3) == 4L)
+    assert(r.getString(4) == "house" && r.getString(5) == "house")
+    assert(r.getString(6) == "17" && r.getString(7) == "123")
+    assert(r.getInt(8) == 2024)
+    assert(r.getSeq[String](9) == Seq("1", "22"))
+    assert(r.getLong(10) == 1L)
+    assert(r.getString(11) == "a_bXc" && r.getString(12) == "a_b_c")
+    assert(r.getString(13) == "07/03/2024")
+    assert(r.getString(14) == "x" && r.getString(15) == "x  " &&
+      r.getString(16) == "  x")
+    assert(r.getString(17) == "007" && r.getString(18) == "700")
+    assert(r.getLong(19) == 3L)
+    assert(r.getLong(20) == 1L && r.getLong(21) == 0L)
+  }
+
+  test("statistical aggregates: moments, weighted avg, any family") {
+    val r = spark.sql("""
+      SELECT round(stddevPop(v), 6) AS sdp, round(varSamp(v), 6) AS vs,
+             round(covarPop(v, w), 6) AS cvp,
+             round(avgWeighted(v, w), 6) AS aw,
+             round(skewPop(v), 6) AS sk, round(kurtPop(v), 6) AS kt,
+             any(v) AS a, anyLast(v) AS al, anyHeavy(h) AS ah
+      FROM VALUES (1.0D, 1, 'x'), (2.0D, 2, 'y'), (3.0D, 3, 'y'),
+                  (4.0D, 4, 'y') AS t(v, w, h)
+    """).collect().head
+    // v = 1..4: varPop = 1.25, sdPop = 1.1180.., varSamp = 5/3
+    assert(r.getDouble(0) == 1.118034 && r.getDouble(1) == 1.666667)
+    assert(r.getDouble(2) == 1.25)
+    // avgWeighted = (1+4+9+16)/10 = 3.0
+    assert(r.getDouble(3) == 3.0)
+    // symmetric uniform: skew 0; kurtPop of discrete uniform(4) = 1.64
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 1.64)
+    assert(r.getDouble(6) == 1.0 && r.getDouble(7) == 4.0)
+    assert(r.getString(8) == "y")
+  }
+
+  test("avgWeighted of a zero-weight group is NaN, CH's contract") {
+    val r = spark.sql("""
+      SELECT avgWeighted(v, w) AS aw
+      FROM VALUES (1.0D, 0), (2.0D, 0) AS t(v, w)
+    """).collect().head
+    assert(r.getDouble(0).isNaN)
+  }
+
   test("quantileTiming/quantileTDigest parameterized forms map to percentile") {
     val r = spark.sql("""
       SELECT quantileTiming(0.5)(v) AS med,
