@@ -260,6 +260,92 @@ object ch {
       e => e.getField("v"))
   }
 
+  /** CH `arrayCompact(arr)`: collapse CONSECUTIVE duplicate elements
+    * (run-length dedup, not arrayDistinct). Index-tagged filter
+    * against the previous element — no typed empty-array literal
+    * needed, so the element type flows through untouched.
+    */
+  def arrayCompact(arr: Column): Column = {
+    val tagged = transform(arr, (x, i) => struct(x.as("x"), i.as("i")))
+    transform(
+      filter(tagged, e => e.getField("i") === 0 ||
+        !(element_at(arr, e.getField("i")) <=> e.getField("x"))),
+      e => e.getField("x"))
+  }
+
+  /** CH `arrayResize(arr, size[, extender])`: truncate or right-pad to
+    * exactly `size` elements.
+    */
+  def arrayResize(arr: Column, n: Column, extender: Column): Column =
+    when(n <= size(arr), slice(arr, lit(1), greatest(n, lit(0))))
+      .otherwise(concat(arr, array_repeat(extender, (n - size(arr)).cast("int"))))
+
+  /** CH `formatDateTime(t, '%Y-%m-%d …')`: MySQL-style percent format.
+    * The literal format compiles once to a java.time pattern
+    * (%M is MINUTE in CH, unlike MySQL); any literal text between
+    * placeholders is single-quoted so pattern letters cannot leak.
+    */
+  def formatDateTime(t: Column, fmt: String): Column =
+    date_format(t, translateChFormat(fmt))
+
+  private val chFormatMap = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M", 'd' -> "dd",
+    'e' -> "d", 'j' -> "DDD", 'H' -> "HH", 'I' -> "hh", 'h' -> "hh",
+    'M' -> "mm", 'i' -> "mm", 'S' -> "ss", 's' -> "ss", 'f' -> "SSSSSS",
+    'p' -> "a", 'a' -> "EEE", 'W' -> "EEEE", 'b' -> "MMM", 'Q' -> "Q",
+    'F' -> "yyyy-MM-dd", 'D' -> "MM/dd/yy", 'T' -> "HH:mm:ss",
+    'R' -> "HH:mm", 'n' -> "\n", 't' -> "\t")
+
+  private[graft] def translateChFormat(fmt: String): String = {
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      // quote any run containing letters (potential pattern chars);
+      // bare punctuation/digits pass through
+      if (s.exists(_.isLetter) || s.contains("'"))
+        sb.append("'").append(s.replace("'", "''")).append("'")
+      else sb.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val spec = fmt.charAt(i + 1)
+        if (spec == '%') lit.append('%')
+        else chFormatMap.get(spec) match {
+          case Some(p) => flushLit(); sb.append(p)
+          case None => throw new IllegalArgumentException(
+            s"formatDateTime: unsupported specifier %$spec in '$fmt'")
+        }
+        i += 2
+      } else { lit.append(c); i += 1 }
+    }
+    flushLit()
+    sb.toString
+  }
+
+  /** CH `toStartOfFiveMinutes` family: epoch-floor to an N-second
+    * grid — pure integer arithmetic on the timestamp.
+    */
+  def toStartOfInterval(t: Column, seconds: Long): Column =
+    timestamp_seconds(
+      floor(unix_timestamp(t) / seconds).cast("long") * seconds)
+
+  /** CH `toStartOfWeek(d[, mode])`: mode 0 (default) weeks start
+    * SUNDAY; mode 1/3 start Monday (= toMonday).
+    */
+  def toStartOfWeek(d: Column, mode: Int = 0): Column =
+    if (mode % 2 == 1) toMonday(d)
+    else date_sub(d.cast("date"), dayofweek(d.cast("date")) - lit(1))
+
+  /** CH `toTime(t)`: keep the time of day, move the date to
+    * 1970-01-02 (CH's convention for time-only arithmetic).
+    */
+  def toTime(t: Column): Column =
+    timestamp_seconds(lit(86400L) + pmod(unix_timestamp(t), lit(86400L)))
+
   /** CH `avgWeighted(x, w)`: sum(x·w)/sum(w), NaN over an empty or
     * zero-weight group (CH's contract; a bare division would throw
     * under ANSI).

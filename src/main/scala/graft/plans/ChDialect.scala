@@ -296,6 +296,79 @@ object ChDialect {
     "topK" -> (args =>
       ex(ch.topK(col(args.head), col(args(1)),
         args(1).dataType.catalogString))),
+    // ----- array-vocabulary completion -----
+    "hasAll" -> (args =>
+      ex((size(array_except(col(args(1)), col(args.head))) === 0)
+        .cast("long"))),
+    "hasAny" -> (args =>
+      ex(coalesce(arrays_overlap(col(args.head), col(args(1))),
+        lit(false)).cast("long"))),
+    "arrayIntersect" -> (args =>
+      ex(args.map(col).reduce(array_intersect))),
+    "arrayStringConcat" -> (args =>
+      if (args.length >= 2)
+        ex(array_join(col(args.head), litString(args(1),
+          "arrayStringConcat separator")))
+      else ex(array_join(col(args.head), ""))),
+    "arrayCompact" -> (args => ex(ch.arrayCompact(col(args.head)))),
+    "arrayResize" -> (args => {
+      val extender =
+        if (args.length >= 3) col(args(2))
+        else args.head.dataType match {
+          case ArrayType(t, _) => col(Literal.default(t))
+          case other => throw new IllegalArgumentException(
+            s"arrayResize expects an array, got ${other.catalogString}")
+        }
+      ex(ch.arrayResize(col(args.head), col(args(1)), extender))
+    }),
+    "arrayPushBack" -> (args =>
+      ex(concat(col(args.head), array(col(args(1)))))),
+    "arrayPushFront" -> (args =>
+      ex(concat(array(col(args(1))), col(args.head)))),
+    "arrayPopBack" -> (args =>
+      ex(slice(col(args.head), lit(1),
+        greatest(size(col(args.head)) - 1, lit(0))))),
+    "arrayPopFront" -> (args =>
+      ex(slice(col(args.head), lit(2),
+        greatest(size(col(args.head)) - 1, lit(0))))),
+    // ----- date/time completion -----
+    "toStartOfMinute" -> (args => ex(date_trunc("minute", col(args.head)))),
+    "toStartOfFiveMinutes" -> (args =>
+      ex(ch.toStartOfInterval(col(args.head), 300L))),
+    "toStartOfTenMinutes" -> (args =>
+      ex(ch.toStartOfInterval(col(args.head), 600L))),
+    "toStartOfFifteenMinutes" -> (args =>
+      ex(ch.toStartOfInterval(col(args.head), 900L))),
+    "toStartOfWeek" -> (args => {
+      val mode = if (args.length >= 2) args(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"toStartOfWeek mode must be a literal, got $other")
+      } else 0
+      ex(ch.toStartOfWeek(col(args.head), mode))
+    }),
+    "toTime" -> (args => ex(ch.toTime(col(args.head)))),
+    "toUnixTimestamp" -> (args =>
+      ex(unix_timestamp(col(args.head)))),
+    "fromUnixTimestamp" -> (args =>
+      ex(timestamp_seconds(col(args.head)))),
+    "today" -> (_ => ex(current_date())),
+    "yesterday" -> (_ => ex(date_sub(current_date(), 1))),
+    // formatDateTime(t, '%Y-%m-%d'): the literal CH/MySQL percent
+    // format compiles to a java.time pattern at registration
+    "formatDateTime" -> (args =>
+      ex(ch.formatDateTime(col(args.head),
+        litString(args(1), "formatDateTime format")))),
+    // ----- window functions (CH lagInFrame/leadInFrame are the
+    // standard lag/lead under explicit-frame names) -----
+    "lagInFrame" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Lag(args.head,
+        if (args.length >= 2) args(1) else Literal(1),
+        if (args.length >= 3) args(2) else Literal(null), false)),
+    "leadInFrame" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Lead(args.head,
+        if (args.length >= 2) args(1) else Literal(1),
+        if (args.length >= 3) args(2) else Literal(null), false)),
     // ----- statistical aggregates (CH camelCase → Spark snake_case;
     // corr needs no registration, the names coincide). kurtPop is
     // CH's non-excess kurtosis; the *Samp moment variants rescale by
