@@ -61,6 +61,26 @@ case class ChSample(fraction: Double, child: LogicalPlan) extends UnaryNode {
     copy(child = newChild)
 }
 
+/** CH `FROM t FINAL` — apply the table engine's merge semantics at
+  * read time (`ddl/visits.sql:229-233`:
+  * `VersionedCollapsingMergeTree(Sign, Version)`): only the latest
+  * LIVE version of each entity is visible. Which columns play key /
+  * version / sign travels as FIELD METADATA on the binding's schema
+  * (`graft.finalKey` on each key column, `graft.finalVersion`,
+  * `graft.finalSign`) — the engine's analogue of the DDL's ENGINE
+  * clause, mirroring how `graft.sampleKey` carries `SAMPLE BY`. With
+  * no sign stamp the semantics are ReplacingMergeTree's (latest
+  * version wins, nothing cancels). The expansion reuses
+  * [[graft.operators.Relational.latestVersions]] — one shuffle on
+  * the entity key, state bounded per (key) group, the same shape
+  * `Warehouse.compact` runs at scale.
+  */
+case class ChFinal(child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): ChFinal =
+    copy(child = newChild)
+}
+
 case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -72,7 +92,55 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rewriteFill(ax, from, to, step, child)
       case ChSample(f, child) if child.resolved =>
         pushSample(f, child)
+      case ChFinal(child) if child.resolved =>
+        applyFinal(child)
     }
+
+  /** Rewrite every relation in scope whose output declares the
+    * collapsing metadata into its latest-live-version view. The
+    * rewritten subtree KEEPS the relation's attribute ids (filters /
+    * anti-join / window preserve the left branch's attributes), so
+    * references above the marker stay bound.
+    */
+  private def applyFinal(child: LogicalPlan): LogicalPlan = {
+    val verFlag = "graft.finalVersion"
+    var applied = false
+    val out = child.transformUp {
+      case rel if rel.output.exists(_.metadata.contains(verFlag)) &&
+          // lowest stamped node only: the flag survives upward through
+          // the rewritten subtree's own attributes, so every ancestor
+          // sees a flagged CHILD and skips
+          rel.children.forall(c =>
+            !c.output.exists(_.metadata.contains(verFlag))) =>
+        applied = true
+        val keys = rel.output.filter(_.metadata.contains("graft.finalKey"))
+          .map(_.name)
+        require(keys.nonEmpty,
+          "FINAL: relation declares graft.finalVersion but no graft.finalKey")
+        val ver = rel.output.find(_.metadata.contains(verFlag)).get.name
+        val sign = rel.output.find(_.metadata.contains("graft.finalSign"))
+          .map(_.name)
+        import org.apache.spark.sql.GraftSqlBridge.ofRows
+        import org.apache.spark.sql.functions.{col => fcol, row_number}
+        import org.apache.spark.sql.expressions.{Window => W}
+        val df = ofRows(spark, rel)
+        val fin = sign match {
+          case Some(sc) =>
+            graft.operators.Relational.latestVersions(df, keys, ver, sc)
+          case None => // ReplacingMergeTree: latest version, no cancels
+            df.withColumn("__graft_rn", row_number().over(
+                W.partitionBy(keys.map(fcol): _*).orderBy(fcol(ver).desc)))
+              .filter(fcol("__graft_rn") === 1).drop("__graft_rn")
+        }
+        fin.select(rel.output.map(a => fcol(s"`${a.name}`")): _*)
+          .queryExecution.analyzed
+    }
+    require(applied,
+      "FINAL: no relation in scope declares collapsing metadata " +
+        "(graft.finalVersion / graft.finalKey field metadata — the " +
+        "DDL's VersionedCollapsingMergeTree clause)")
+    out
+  }
 
   /** Push the sample filter to the leaf relation whose output declares
     * the sample key (`graft.sampleKey` field metadata). Hash choice:

@@ -307,6 +307,110 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // plain scan does not)
   private val sampleRe = """(?i)\bSAMPLE\s+([0-9]*\.[0-9]+)""".r
 
+  // ---------------------------------------------------------------------
+  // CH `[LEFT] ARRAY JOIN items` (ddl/visits.sql:40-227 — 164 array
+  // columns and 8 Nested groups are QUERIED through this clause) and
+  // `FROM t FINAL` (the read mode that applies
+  // VersionedCollapsingMergeTree merge semantics at query time,
+  // ddl/visits.sql:229-233). Both are VALID Spark SQL by accident —
+  // `FROM t FINAL` parses as an alias, `t ARRAY JOIN e` as an
+  // alias + condition-less join — so the rewrite-on-parse-failure
+  // route never fires for them. [[parsePlan]] pre-rewrites when (and
+  // only when) the literal-masked text contains one of these shapes;
+  // if the rewritten text fails to parse, the original text proceeds
+  // down the normal path untouched.
+
+  private val arrayJoinKw = """(?i)\b(LEFT\s+)?ARRAY\s+JOIN\b""".r
+  // a table reference (possibly backticked / dotted) followed by FINAL
+  private val finalRe =
+    """(?is)\b(FROM\s+(?:`[^`]+`|[\w.])+)\s+FINAL\b""".r
+
+  private def needsPreRewrite(sqlText: String): Boolean = {
+    val (masked, _) = maskLiterals(sqlText)
+    arrayJoinKw.findFirstIn(masked).isDefined ||
+      finalRe.findFirstIn(masked).isDefined
+  }
+
+  /** Strip every `FROM t FINAL` to `FROM t` and mark the plan: the
+    * [[ChFinal]] marker's rule applies latest-live-version-per-key
+    * compaction at the relation(s) whose schema declares the
+    * collapsing metadata (`graft.finalKey` / `graft.finalVersion` /
+    * `graft.finalSign`) — the engine's analogue of the DDL's engine
+    * clause. With several FINAL table refs in one text, one marker
+    * serves all (the rule rewrites every stamped relation in scope).
+    */
+  private def extractFinal(masked: String)
+      : (String, Option[LogicalPlan => LogicalPlan]) =
+    if (finalRe.findFirstIn(masked).isEmpty) (masked, None)
+    else (finalRe.replaceAllIn(masked,
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1))),
+      Some(p => ChFinal(p)))
+
+  // clause keywords that terminate an ARRAY JOIN item list at depth 0
+  private val arrayJoinStops = Set("WHERE", "PREWHERE", "GROUP", "HAVING",
+    "ORDER", "LIMIT", "SETTINGS", "UNION", "WINDOW", "QUALIFY", "JOIN",
+    "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "LATERAL", "SAMPLE",
+    "FINAL", "ON", "USING", "ANY", "ASOF", "GLOBAL", "SEMI", "ANTI")
+
+  private val asAliasRe = """(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$""".r
+  private val bareNameRe = """[A-Za-z_][\w.]*""".r
+
+  /** Rewrite each `[LEFT] ARRAY JOIN e1 AS a1, e2 AS a2, ...` into
+    * Spark's generator join at the SAME position in the FROM clause:
+    * one item → `LATERAL VIEW [OUTER] explode(e1) X AS a1`; several →
+    * `LATERAL VIEW [OUTER] inline(arrays_zip(e1, e2, ...)) X AS a1,
+    * a2, ...` — the zip keeps CH's LOCKSTEP unroll (multiple arrays in
+    * one clause advance together, never cross-product). Divergences
+    * from CH, both documented: unequal lengths pad with NULL (CH
+    * errors), and LEFT emits NULL elements for empty arrays (CH emits
+    * type defaults). Items keep the array column itself in scope
+    * (CH's `AS` form); a bare identifier unrolls under its own name.
+    */
+  private def rewriteArrayJoin(text: String, n: Int = 0): String =
+    arrayJoinKw.findFirstMatchIn(text) match {
+      case None => text
+      case Some(m) =>
+        val outer = if (m.group(1) != null) "OUTER " else ""
+        // scan the item list: ends at a depth-0 clause keyword, the
+        // enclosing subquery's ')', or end of text
+        var i = m.end
+        var depth = 0
+        var end = text.length
+        var done = false
+        while (i < text.length && !done) {
+          val c = text.charAt(i)
+          if (c == '(') { depth += 1; i += 1 }
+          else if (c == ')') {
+            if (depth == 0) { end = i; done = true }
+            else { depth -= 1; i += 1 }
+          } else if (c.isLetter && depth == 0) {
+            val w = text.substring(i)
+              .takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+            if (arrayJoinStops.contains(w.toUpperCase)) {
+              end = i; done = true
+            } else i += w.length
+          } else i += 1
+        }
+        val items = splitTopLevel(text.substring(m.end, end)).map {
+          case asAliasRe(e, a) => (e, a)
+          case bare if bareNameRe.matches(bare) =>
+            (bare, bare.split('.').last)
+          case other => throw new IllegalArgumentException(
+            s"ARRAY JOIN item needs an AS alias: $other")
+        }
+        require(items.nonEmpty, "ARRAY JOIN with no items")
+        val gen =
+          if (items.length == 1)
+            s"explode(${items.head._1})"
+          else
+            s"inline(arrays_zip(${items.map(_._1).mkString(", ")}))"
+        val replacement = s" LATERAL VIEW $outer$gen __graft_aj$n AS " +
+          items.map(_._2).mkString(", ") + " "
+        rewriteArrayJoin(
+          text.substring(0, m.start) + replacement + text.substring(end),
+          n + 1)
+    }
+
   private def extractSample(masked: String)
       : (String, Option[LogicalPlan => LogicalPlan]) =
     sampleRe.findFirstMatchIn(masked) match {
@@ -330,9 +434,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       try extractWithFill(m1, lits) catch { case _: Exception => (m1, None) }
     val (m3, sampleWrap) =
       try extractSample(m2) catch { case _: Exception => (m2, None) }
+    val (m4, finalWrap) =
+      try extractFinal(m3) catch { case _: Exception => (m3, None) }
+    val m5 =
+      try rewriteArrayJoin(m4) catch { case _: Exception => m4 }
     // ALL occurrences: the clause may appear in a subquery AND the
     // outer query (each match substitutes its own keys)
-    val afterTotals = totals.replaceAllIn(m3, m =>
+    val afterTotals = totals.replaceAllIn(m5, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}GROUPING SETS ((${m.group(2).trim}), ())"))
     val afterLimit = limitOffset.replaceAllIn(afterTotals,
@@ -342,39 +450,52 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     val finalText = unmaskLiterals(rewritten, lits)
     if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&
-      sampleWrap.isEmpty) None
+      sampleWrap.isEmpty && finalWrap.isEmpty) None
     else Some(Rewritten(finalText, plan => {
-      // sample innermost (its rule pushes to the scan), then fill,
-      // then limit-by above it
-      val sp = sampleWrap.fold(plan)(w => w(plan))
+      // final innermost (compaction applies at the relation before
+      // anything else reads it), then sample (its rule pushes to the
+      // scan), then fill, then limit-by above it
+      val fin = finalWrap.fold(plan)(w => w(plan))
+      val sp = sampleWrap.fold(fin)(w => w(fin))
       val f = fillWrap.fold(sp)(w => w(sp))
       lbWrap.fold(f)(w => w(f))
     }))
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    try delegate.parsePlan(sqlText)
-    catch {
-      case e: ParseException =>
-        rewrite(sqlText) match {
-          case Some(rw) =>
-            try rw.wrap(delegate.parsePlan(rw.text))
-            catch { case _: ParseException => throw e }
-          case None => throw e
-        }
+  /** ARRAY JOIN / FINAL texts parse SUCCESSFULLY in Spark's grammar
+    * (as aliases/joins) with the wrong meaning, so when those shapes
+    * are present the rewrite runs FIRST; a rewritten text the
+    * delegate rejects falls back to the untouched original.
+    */
+  private def parseWith[T](sqlText: String,
+      parse: String => T, wrap: (Rewritten, T) => T): T = {
+    val pre: Option[T] =
+      if (!needsPreRewrite(sqlText)) None
+      else rewrite(sqlText).flatMap { rw =>
+        try Some(wrap(rw, parse(rw.text)))
+        catch { case _: ParseException => None }
+      }
+    pre.getOrElse {
+      try parse(sqlText)
+      catch {
+        case e: ParseException =>
+          rewrite(sqlText) match {
+            case Some(rw) =>
+              try wrap(rw, parse(rw.text))
+              catch { case _: ParseException => throw e }
+            case None => throw e
+          }
+      }
     }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseWith[LogicalPlan](sqlText, delegate.parsePlan,
+      (rw, p) => rw.wrap(p))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    try delegate.parseQuery(sqlText)
-    catch {
-      case e: ParseException =>
-        rewrite(sqlText) match {
-          case Some(rw) =>
-            try rw.wrap(delegate.parseQuery(rw.text))
-            catch { case _: ParseException => throw e }
-          case None => throw e
-        }
-    }
+    parseWith[LogicalPlan](sqlText, delegate.parseQuery,
+      (rw, p) => rw.wrap(p))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

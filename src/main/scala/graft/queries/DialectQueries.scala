@@ -951,6 +951,112 @@ object DialectQueries {
       FROM events e JOIN mu USING (event_type)
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
+  // ---------------------------------------------------------------------
+  // CH `ARRAY JOIN` CLAUSE as verbatim SQL — how every one of the
+  // visits table's 164 array columns and 8 Nested groups is actually
+  // queried (ddl/visits.sql:40-227; e.g. `ARRAY JOIN Goals`). The
+  // parser rewrites the clause into a LATERAL VIEW generator at the
+  // same FROM position: multiple items unroll in LOCKSTEP (one
+  // arrays_zip + inline, never a cross product), and
+  // `arrayEnumerate(arr) AS i` is CH's positional-index idiom. The
+  // oracle unrolls the same zip with DuckDB's aligned multi-unnest.
+  val q90ChArrayJoinSql = QueryDef(
+    "q90_ch_array_join_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        SELECT label, toInt64(i) AS i, round(sum(e), 2) AS s,
+               toInt64(count(1)) AS n,
+               round(min(e), 5) AS mn, round(max(e), 5) AS mx
+        FROM embeddings_v ARRAY JOIN embedding AS e, arrayEnumerate(embedding) AS i
+        WHERE i <= 4
+        GROUP BY label, i ORDER BY label, i""")
+    },
+    Some("""
+      SELECT label, CAST(i AS BIGINT) AS i, round(sum(e), 2) AS s,
+             CAST(count(1) AS BIGINT) AS n,
+             round(min(e), 5) AS mn, round(max(e), 5) AS mx
+      FROM (SELECT label, unnest(embedding) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+      WHERE i <= 4
+      GROUP BY label, i ORDER BY label, i"""))
+
+  // ---------------------------------------------------------------------
+  // CH `FROM t FINAL` as verbatim SQL — the read mode that applies
+  // VersionedCollapsingMergeTree merge semantics at query time
+  // (ddl/visits.sql:229-233): only the latest LIVE version of each
+  // entity is visible. The engine clause travels as field metadata on
+  // the binding's schema (graft.finalKey / finalVersion / finalSign),
+  // and the ChFinal rule expands to the same latest-live-versions
+  // relation Warehouse.compact materializes — one shuffle on the
+  // entity key, per-key bounded state. Fixture: every click event's
+  // v1 is cancelled by a -1 row and superseded by a v2 with doubled
+  // value, so both the cancel and the update path are exercised.
+  val q91ChFinalSql = QueryDef(
+    "q91_ch_final_sql",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.types._
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_final_q91_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(tmp)
+      val base = s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id").as("eid"), lit(1L).as("ver"), lit(1).as("sign"),
+        col("event_type"), col("value"))
+      val cancels = base.filter(col("event_type") === "click")
+        .withColumn("sign", lit(-1))
+      val updates = base.filter(col("event_type") === "click")
+        .withColumn("ver", lit(2L))
+        .withColumn("value", col("value") * 2)
+      base.unionByName(cancels).unionByName(updates).write.parquet(tmp)
+      val keyMd = new MetadataBuilder()
+        .putBoolean("graft.finalKey", true).build()
+      val verMd = new MetadataBuilder()
+        .putBoolean("graft.finalVersion", true).build()
+      val signMd = new MetadataBuilder()
+        .putBoolean("graft.finalSign", true).build()
+      val schema = StructType(Seq(
+        StructField("eid", LongType, nullable = true, keyMd),
+        StructField("ver", LongType, nullable = true, verMd),
+        StructField("sign", IntegerType, nullable = true, signMd),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      graft.sources.Catalog.register(s,
+        graft.sources.Binding("events_versioned", tmp, schema = Some(schema)))
+      s.sql("""
+        SELECT event_type, toInt64(count(1)) AS n,
+               toInt64(sum(ver)) AS ver_sum, round(sum(value), 2) AS v
+        FROM events_versioned FINAL
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id AS eid, 1 AS ver, 1 AS sign, event_type, value
+        FROM events
+      ), v AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT eid, 1 AS ver, -1 AS sign, event_type, value
+        FROM base WHERE event_type = 'click'
+        UNION ALL
+        SELECT eid, 2 AS ver, 1 AS sign, event_type, value * 2 AS value
+        FROM base WHERE event_type = 'click'
+      ), live AS (
+        SELECT p.* FROM v p
+        WHERE p.sign = 1 AND NOT EXISTS (
+          SELECT 1 FROM v m
+          WHERE m.sign = -1 AND m.eid = p.eid AND m.ver = p.ver)
+      ), latest AS (
+        SELECT eid, ver, event_type, value,
+               row_number() OVER (PARTITION BY eid ORDER BY ver DESC) AS rn
+        FROM live
+      )
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(ver) AS BIGINT) AS ver_sum, round(sum(value), 2) AS v
+      FROM latest WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -958,5 +1064,6 @@ object DialectQueries {
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
       q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs,
       q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
-      q87ChIpBits, q88ChStrings, q89ChStats)
+      q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
+      q91ChFinalSql)
 }

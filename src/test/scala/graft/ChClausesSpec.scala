@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** CH `ARRAY JOIN` clause and `FROM t FINAL` read mode — both shapes
+  * Spark's grammar accepts with the WRONG meaning (alias / bare join),
+  * so they go through the parser's gated pre-rewrite.
+  */
+class ChClausesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(): Unit =
+    Seq(
+      (1L, Seq(10, 20, 30), "a"),
+      (2L, Seq(40), "b"),
+      (3L, Seq.empty[Int], "a"))
+      .toDF("id", "arr", "tag").createOrReplaceTempView("aj_t")
+
+  test("ARRAY JOIN unrolls an array column (aliased element)") {
+    fixture()
+    val rows = spark.sql(
+      "SELECT id, x FROM aj_t ARRAY JOIN arr AS x ORDER BY id, x")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1L, 10), (1L, 20), (1L, 30), (2L, 40)))
+  }
+
+  test("ARRAY JOIN keeps the array column itself in scope") {
+    fixture()
+    val rows = spark.sql("""
+      SELECT id, x, size(arr) AS n FROM aj_t ARRAY JOIN arr AS x
+      WHERE x > 15 ORDER BY id, x""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, 20, 3), (1L, 30, 3), (2L, 40, 1)))
+  }
+
+  test("ARRAY JOIN zips multiple items in lockstep (never a cross product)") {
+    fixture()
+    val rows = spark.sql("""
+      SELECT id, x, i FROM aj_t
+      ARRAY JOIN arr AS x, arrayEnumerate(arr) AS i
+      ORDER BY id, i""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, 10, 1), (1L, 20, 2), (1L, 30, 3), (2L, 40, 1)))
+  }
+
+  test("LEFT ARRAY JOIN keeps empty-array rows (NULL element)") {
+    fixture()
+    val rows = spark.sql("""
+      SELECT id, x FROM aj_t LEFT ARRAY JOIN arr AS x
+      ORDER BY id, x""").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(rows == Seq((1L, 10), (1L, 20), (1L, 30), (2L, 40), (3L, -1)))
+  }
+
+  test("ARRAY JOIN works below GROUP BY and inside a subquery") {
+    fixture()
+    val agg = spark.sql("""
+      SELECT tag, sum(x) AS s FROM aj_t ARRAY JOIN arr AS x
+      GROUP BY tag ORDER BY tag""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(agg == Seq(("a", 60L), ("b", 40L)))
+    val sub = spark.sql("""
+      SELECT max(x) AS m FROM (
+        SELECT id, x FROM aj_t ARRAY JOIN arr AS x WHERE id = 1)""")
+      .collect().head.getInt(0)
+    assert(sub == 30)
+  }
+
+  test("valid Spark SQL containing the words stays untouched") {
+    // a literal mentioning the clause never triggers the rewrite
+    val s = spark.sql("SELECT 'LEFT ARRAY JOIN arr AS x' AS t")
+      .collect().head.getString(0)
+    assert(s == "LEFT ARRAY JOIN arr AS x")
+  }
+
+  private def finalFixture(name: String): Unit = {
+    val keyMd = new MetadataBuilder().putBoolean("graft.finalKey", true).build()
+    val verMd = new MetadataBuilder().putBoolean("graft.finalVersion", true).build()
+    val signMd = new MetadataBuilder().putBoolean("graft.finalSign", true).build()
+    // entity 1: v1 cancelled, v2 live (value 200); entity 2: v1 live
+    Seq(
+      (1L, 1L, 1, 100.0),
+      (1L, 1L, -1, 100.0),
+      (1L, 2L, 1, 200.0),
+      (2L, 1L, 1, 50.0))
+      .toDF("id", "ver", "sign", "value")
+      .select(col("id").as("id", keyMd), col("ver").as("ver", verMd),
+        col("sign").as("sign", signMd), col("value"))
+      .createOrReplaceTempView(name)
+  }
+
+  test("FROM t FINAL collapses to the latest live version per key") {
+    finalFixture("fin_t")
+    val rows = spark.sql(
+      "SELECT id, ver, value FROM fin_t FINAL ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 2L, 200.0), (2L, 1L, 50.0)))
+    // aggregates above FINAL see only the collapsed rows
+    val sum = spark.sql(
+      "SELECT sum(value) AS s FROM fin_t FINAL").collect().head.getDouble(0)
+    assert(sum == 250.0)
+  }
+
+  test("FINAL without a sign stamp uses Replacing semantics") {
+    val keyMd = new MetadataBuilder().putBoolean("graft.finalKey", true).build()
+    val verMd = new MetadataBuilder().putBoolean("graft.finalVersion", true).build()
+    Seq((1L, 1L, "old"), (1L, 2L, "new"), (2L, 5L, "only"))
+      .toDF("id", "ver", "v")
+      .select(col("id").as("id", keyMd), col("ver").as("ver", verMd), col("v"))
+      .createOrReplaceTempView("fin_r")
+    val rows = spark.sql("SELECT id, v FROM fin_r FINAL ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("FINAL without collapsing metadata fails loudly") {
+    spark.range(3).createOrReplaceTempView("fin_nometa")
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM fin_nometa FINAL").collect())
+    assert(err.getMessage.contains("collapsing metadata"))
+  }
+}
