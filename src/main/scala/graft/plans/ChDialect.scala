@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, ArrayTransform, Explode, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, ArrayTransform, Cast, Explode, Expression, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
 
@@ -592,5 +592,21 @@ object ChDialect {
     "cutFragment" -> (args => ex(url.cutFragment(col(args.head)))),
     "cutQueryStringAndFragment" -> (args =>
       ex(url.cutQueryStringAndFragment(col(args.head)))),
+    // CH external-dictionary functions — O(1) probes into a
+    // driver-built replica registered via Dictionaries.register
+    // (plans/Dictionaries.scala); typed dictGetX variants cast the
+    // attribute like their CH namesakes
+    "dictGet" -> Dictionaries.dictGet,
+    "dictGetOrDefault" -> Dictionaries.dictGetOrDefault,
+    "dictGetOrNull" -> Dictionaries.dictGetOrNull,
+    "dictHas" -> Dictionaries.dictHas,
+    "dictGetString" -> (args =>
+      Cast(Dictionaries.dictGet(args),
+        org.apache.spark.sql.types.StringType)),
+    "dictGetInt64" -> (args =>
+      Cast(Dictionaries.dictGet(args), org.apache.spark.sql.types.LongType)),
+    "dictGetFloat64" -> (args =>
+      Cast(Dictionaries.dictGet(args),
+        org.apache.spark.sql.types.DoubleType)),
   )
 }

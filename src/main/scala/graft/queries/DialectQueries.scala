@@ -1057,6 +1057,43 @@ object DialectQueries {
       FROM latest WHERE rn = 1
       GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // CH external-dictionary functions (dictGet / dictHas / typed
+  // variants) — the Metrica-stack idiom for enriching facts with small
+  // dimension attributes (CH answers RegionID lookups from in-RAM
+  // dictionary replicas). The engine's analogue: the dimension is
+  // collected ONCE into a hash replica that rides the task binary,
+  // and every probe is an O(1) codegen'd lookup — no join, no
+  // shuffle, exactly CH's cost model. The oracle is the equivalent
+  // equi-join. shifted_hits exercises the miss path (nationkey+20
+  // exists only for keys <= 4).
+  val q92ChDictFuncs = QueryDef(
+    "q92_ch_dict_funcs",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.Dictionaries.register("nations",
+        Graft.table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        "n_nationkey")
+      Graft.table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT dictGet('nations', 'n_name', c_nationkey) AS nation,
+               toInt64(dictGet('nations', 'n_regionkey', c_nationkey)) AS region,
+               toInt64(count(1)) AS n,
+               round(sum(c_acctbal), 2) AS bal,
+               toInt64(sum(dictHas('nations', c_nationkey + 20))) AS shifted_hits
+        FROM customer_v
+        GROUP BY 1, 2 ORDER BY 1""")
+    },
+    Some("""
+      SELECT n.n_name AS nation, CAST(n.n_regionkey AS BIGINT) AS region,
+             CAST(count(1) AS BIGINT) AS n,
+             round(sum(c.c_acctbal), 2) AS bal,
+             CAST(sum(CASE WHEN c.c_nationkey + 20 <= 24 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS shifted_hits
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1065,5 +1102,5 @@ object DialectQueries {
       q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs,
       q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
-      q91ChFinalSql)
+      q91ChFinalSql, q92ChDictFuncs)
 }
