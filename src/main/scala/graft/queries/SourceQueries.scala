@@ -411,8 +411,57 @@ object SourceQueries {
       FROM w
       ORDER BY tier"""))
 
+  // ---------------------------------------------------------------------
+  // CH mutations (`ALTER TABLE ... DELETE / UPDATE`) — the GDPR-erasure
+  // / bad-batch-repair path. Both mutations rewrite ONLY the week
+  // partitions that contain matching rows (a pushed-down discovery
+  // scan finds the weeks; one partition-pruned job rewrites them and
+  // swaps directories) — at 100 TB a delete touching 3 weeks costs 3
+  // weeks of IO, never a full-table rewrite. The entry deletes one
+  // user cohort, zeroes error-event values, and aggregates what's
+  // left; the oracle applies the same predicate algebra to the raw
+  // table.
+  val q93MutationDelete = QueryDef(
+    "q93_mutation_delete",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_mut_q93_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val ev = Graft.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), to_date(col("ts")).as("d"))
+      graft.sources.Warehouse.write(ev, s"$base/tbl", "d", Seq("event_id"))
+      val deletedWeeks = graft.sources.Warehouse.deleteWhere(s,
+        s"$base/tbl", pmod(col("user_id"), lit(10)) === 3,
+        orderKey = Seq("event_id"))
+      graft.sources.Warehouse.updateWhere(s, s"$base/tbl",
+        col("event_type") === "error", Map("value" -> lit(0.0)),
+        orderKey = Seq("event_id"))
+      graft.sources.Warehouse.read(s, s"$base/tbl")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("value")), 2).as("v"),
+          uniqExact(col("user_id")).as("users"))
+        .withColumn("weeks_rewritten", lit(deletedWeeks.size).cast("long"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH wk AS (
+        SELECT CAST(count(DISTINCT date_trunc('week', CAST(ts AS DATE)))
+                    AS BIGINT) AS n
+        FROM events WHERE user_id % 10 = 3
+      )
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             round(sum(CASE WHEN event_type = 'error' THEN 0
+                            ELSE value END), 2) AS v,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             (SELECT n FROM wk) AS weeks_rewritten
+      FROM events
+      WHERE user_id % 10 <> 3
+      GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
       q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated,
-      q51HitsExportReconcile, q59TtlTiering)
+      q51HitsExportReconcile, q59TtlTiering, q93MutationDelete)
 }

@@ -124,6 +124,83 @@ object Warehouse {
     }.toSeq.sorted
   }
 
+  /** CH `ALTER TABLE t DELETE WHERE cond` — the mutation path (GDPR
+    * erasure, bad-batch rollback). CH rewrites only the PARTS that
+    * contain matching rows; the analogue here rewrites only the WEEK
+    * PARTITIONS that do. Two passes: (1) a pushed-down scan finds the
+    * affected week values (a handful of strings on the driver — never
+    * the rows); (2) ONE job reads just those weeks (partition-pruned),
+    * drops matching rows, and the rewritten weeks swap in via
+    * per-partition Hadoop renames. A 100 TB table with matches in 3
+    * weeks costs 3 weeks of IO, not a full-table rewrite; untouched
+    * partitions keep their files byte-identical. Readers see old or
+    * new data per partition while the swap runs — the same
+    * parts-progressing visibility CH mutations have. Returns the
+    * rewritten week partition names.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      cond: org.apache.spark.sql.Column,
+      orderKey: Seq[String] = Nil): Seq[String] =
+    mutate(spark, tableDir, cond, orderKey, df => df.filter(!cond))
+
+  /** CH `ALTER TABLE t UPDATE col = expr WHERE cond`: same selective
+    * partition rewrite, replacing each assigned column with
+    * `IF(cond, expr, col)`. Assignments may not move rows across week
+    * partitions (CH likewise forbids mutating partition/key columns)
+    * — the week column itself is rejected, and assigning the
+    * partition-defining date column is the caller's contract to avoid.
+    */
+  def updateWhere(spark: SparkSession, tableDir: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      orderKey: Seq[String] = Nil): Seq[String] = {
+    require(!assignments.contains(weekCol),
+      s"cannot UPDATE the partition column $weekCol")
+    mutate(spark, tableDir, cond, orderKey, df =>
+      assignments.foldLeft(df) { case (acc, (c, e)) =>
+        acc.withColumn(c, org.apache.spark.sql.functions
+          .when(cond, e).otherwise(col(s"`$c`")))
+      })
+  }
+
+  private def mutate(spark: SparkSession, tableDir: String,
+      cond: org.apache.spark.sql.Column, orderKey: Seq[String],
+      transform: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    // pass 1: affected weeks only — the predicate pushes to the scan
+    // and only the partition column comes back
+    val affected = read(spark, tableDir).filter(cond)
+      .select(col(weekCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (affected.isEmpty) return Nil
+    val tablePath = new Path(tableDir)
+    val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(tablePath.getParent,
+      s".${tablePath.getName}_mutation_${System.nanoTime()}")
+    // pass 2: one job over just the affected weeks (directory-pruned)
+    val subset = read(spark, tableDir)
+      .filter(col(weekCol).isin(affected.map(w => w: Any): _*))
+    val rewritten = transform(subset)
+    val clustered =
+      if (orderKey.nonEmpty) {
+        val cluster = (weekCol +: orderKey).map(c => col(s"`$c`"))
+        rewritten.repartitionByRange(cluster: _*)
+          .sortWithinPartitions(cluster: _*)
+      } else rewritten
+    clustered.write.partitionBy(weekCol).parquet(tmp.toString)
+    // swap each affected week: old dir out, rewritten dir in (a week
+    // whose rows ALL matched a delete simply disappears)
+    affected.foreach { w =>
+      val live = new Path(tablePath, s"$weekCol=$w")
+      val fresh = new Path(tmp, s"$weekCol=$w")
+      if (fs.exists(live)) fs.delete(live, true)
+      if (fs.exists(fresh))
+        require(fs.rename(fresh, live), s"mutation swap failed for $w")
+    }
+    fs.delete(tmp, true)
+    affected
+  }
+
   /** The tiered table as one frame: hot ∪ cold (cold may not exist
     * yet). Week-partition pruning still applies per tier — a query
     * bounded to recent weeks never touches the cold store's files.

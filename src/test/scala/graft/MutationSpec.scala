@@ -1,0 +1,96 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warehouse
+
+/** CH mutation analogues (`ALTER TABLE ... DELETE / UPDATE`):
+  * selective week-partition rewrite — untouched partitions keep their
+  * files byte-identical.
+  */
+class MutationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_mutspec_$name"
+    FsUtil.rmTree(base)
+    // three Mondays: 2024-01-01, 2024-01-08, 2024-01-15
+    val rows = for {
+      day <- 1 to 21
+      i <- 1 to 5
+    } yield (f"2024-01-$day%02d", (day * 10 + i).toLong, i.toLong, 1.0 * i)
+    val df = rows.toDF("ds", "id", "grp", "v")
+      .select(to_date($"ds").as("d"), $"id", $"grp", $"v")
+    Warehouse.write(df, base, "d", orderKey = Seq("id"))
+    base
+  }
+
+  private def files(dir: String, week: String): Set[String] = {
+    val d = new File(dir, s"week=$week")
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet
+  }
+
+  test("deleteWhere rewrites only the affected week partitions") {
+    val t = freshTable("del")
+    val w1Before = files(t, "2024-01-01")
+    val w3Before = files(t, "2024-01-15")
+    // matches live only in week 2 (Jan 8-14)
+    val touched = Warehouse.deleteWhere(spark, t,
+      col("d").between("2024-01-08", "2024-01-14") && col("grp") === 2,
+      orderKey = Seq("id"))
+    assert(touched == Seq("2024-01-08"))
+    assert(files(t, "2024-01-01") == w1Before) // byte-untouched
+    assert(files(t, "2024-01-15") == w3Before)
+    val left = Warehouse.read(spark, t)
+    assert(left.count() == 21 * 5 - 7) // 7 days x 1 matching row gone
+    assert(left.filter(col("grp") === 2 &&
+      col("d").between("2024-01-08", "2024-01-14")).count() == 0)
+    // other weeks' grp=2 rows survive
+    assert(left.filter(col("grp") === 2).count() == 14)
+  }
+
+  test("a week whose rows all match a delete disappears") {
+    val t = freshTable("delall")
+    val touched = Warehouse.deleteWhere(spark, t,
+      col("d") >= "2024-01-15")
+    assert(touched == Seq("2024-01-15"))
+    assert(!new File(t, "week=2024-01-15").exists())
+    assert(Warehouse.read(spark, t).count() == 14 * 5)
+  }
+
+  test("no matches: nothing touched, Nil returned") {
+    val t = freshTable("nomatch")
+    val before = (1 to 15 by 7)
+      .map(d => files(t, f"2024-01-$d%02d")).toSet
+    assert(Warehouse.deleteWhere(spark, t, col("grp") === 99) == Nil)
+    assert((1 to 15 by 7).map(d => files(t, f"2024-01-$d%02d")).toSet
+      == before)
+  }
+
+  test("updateWhere assigns only matching rows, other weeks untouched") {
+    val t = freshTable("upd")
+    val w1Before = files(t, "2024-01-01")
+    val touched = Warehouse.updateWhere(spark, t,
+      col("d") >= "2024-01-15" && col("grp") === 3,
+      Map("v" -> lit(0.0)), orderKey = Seq("id"))
+    assert(touched == Seq("2024-01-15"))
+    assert(files(t, "2024-01-01") == w1Before)
+    val after = Warehouse.read(spark, t)
+    assert(after.filter(col("v") === 0.0).count() == 7)
+    assert(after.count() == 21 * 5) // update never drops rows
+    // non-matching rows in the rewritten week keep their values
+    assert(after.filter(col("d") >= "2024-01-15" && col("grp") === 5
+      && col("v") === 5.0).count() == 7)
+  }
+
+  test("the partition column cannot be assigned") {
+    val t = freshTable("updweek")
+    val err = intercept[IllegalArgumentException](
+      Warehouse.updateWhere(spark, t, col("grp") === 1,
+        Map(Warehouse.weekCol -> lit("2030-01-06"))))
+    assert(err.getMessage.contains("partition column"))
+  }
+}
