@@ -157,6 +157,18 @@ object ch {
     */
   def toMonday(d: Column): Column = date_trunc("week", d).cast("date")
 
+  /** CH `runningDifference(x)` with a DEFINED order: x minus the
+    * previous row's x within `w`, 0 for the partition's first row. CH
+    * computes this over block order — nondeterministic on any
+    * distributed engine — so the engine demands the window spec the
+    * CH docs themselves recommend migrating to (lagInFrame).
+    */
+  def runningDifference(x: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val prev = lag(x, 1).over(w)
+    when(prev.isNull, lit(0)).otherwise(x - prev)
+  }
+
   /** ClickHouse `uniqExact` — exact distinct count. */
   def uniqExact(c: Column): Column = count_distinct(c)
 

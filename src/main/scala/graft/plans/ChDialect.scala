@@ -592,6 +592,29 @@ object ChDialect {
     "cutFragment" -> (args => ex(url.cutFragment(col(args.head)))),
     "cutQueryStringAndFragment" -> (args =>
       ex(url.cutQueryStringAndFragment(col(args.head)))),
+    // CH window functions (lagInFrame / leadInFrame — the
+    // well-defined in-frame forms) and neighbor. CH's neighbor /
+    // runningDifference read BLOCK order, which is nondeterministic
+    // in any distributed engine — here they require an explicit
+    // OVER (...) clause, trading CH's footgun for a defined order;
+    // neighbor's offset sign picks the direction like CH (+ = ahead).
+    // A default omitted falls to the value type's default (CH's
+    // contract), not NULL.
+    "lagInFrame" -> (args =>
+      new org.apache.spark.sql.catalyst.expressions.Lag(args.head,
+        if (args.length > 1) args(1) else Literal(1),
+        if (args.length > 2) args(2)
+        else Literal.default(args.head.dataType), false)),
+    "leadInFrame" -> (args =>
+      new org.apache.spark.sql.catalyst.expressions.Lead(args.head,
+        if (args.length > 1) args(1) else Literal(1),
+        if (args.length > 2) args(2)
+        else Literal.default(args.head.dataType), false)),
+    "neighbor" -> (args =>
+      new org.apache.spark.sql.catalyst.expressions.Lead(args.head,
+        if (args.length > 1) args(1) else Literal(1),
+        if (args.length > 2) args(2)
+        else Literal.default(args.head.dataType), false)),
     // CH external-dictionary functions — O(1) probes into a
     // driver-built replica registered via Dictionaries.register
     // (plans/Dictionaries.scala); typed dictGetX variants cast the

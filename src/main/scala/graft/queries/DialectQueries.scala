@@ -1094,6 +1094,38 @@ object DialectQueries {
       FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY 1, 2 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // CH window-function vocabulary: lagInFrame / leadInFrame (CH's
+  // well-defined in-frame window functions) and neighbor — which in CH
+  // reads BLOCK order, nondeterministic on any distributed engine, so
+  // the engine requires the explicit OVER the CH docs themselves
+  // recommend migrating to. Omitted defaults fall to the value type's
+  // default (CH's contract, not NULL). Session deltas per user ordered
+  // by event time; tie-broken by event_id for full determinism.
+  val q94ChWindowSql = QueryDef(
+    "q94_ch_window_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_all_v")
+      s.sql("""
+        SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+               round(lagInFrame(value, 1, 0.0D) OVER w, 4) AS prev_v,
+               round(leadInFrame(value, 1, 0.0D) OVER w, 4) AS next_v,
+               round(neighbor(value, 2, -1.0D) OVER w, 4) AS nb2,
+               round(value - lagInFrame(value, 1, value) OVER w, 4) AS rdiff
+        FROM events_all_v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id LIMIT 300""")
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             round(coalesce(lag(value, 1) OVER w, 0.0), 4) AS prev_v,
+             round(coalesce(lead(value, 1) OVER w, 0.0), 4) AS next_v,
+             round(coalesce(lead(value, 2) OVER w, -1.0), 4) AS nb2,
+             round(value - coalesce(lag(value, 1) OVER w, value), 4) AS rdiff
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id LIMIT 300"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1102,5 +1134,5 @@ object DialectQueries {
       q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs,
       q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
-      q91ChFinalSql, q92ChDictFuncs)
+      q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql)
 }
