@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.QueryDef
+import graft.{Graft, QueryDef}
 import graft.functions.ch.uniqExact
 import graft.sources.Warehouse
 import graft.streaming.{Ingest, Sessionize}
@@ -400,8 +400,53 @@ object StreamingQueries {
              round(sum(value), 2) AS attr_value
       FROM pairs GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // CH MATERIALIZED VIEW -> AggregatingMergeTree: the INGEST-TIME
+  // rollup. Each micro-batch folds its partial HLL sketches into a
+  // persisted per-(event_type, day) state table (cost O(batch +
+  // |groups|), never O(history)); weekly uniques are answered by
+  // MERGING daily states — raw events are never rescanned. The oracle
+  // recomputes exact weekly uniques and pins the 5% band to 1 (the
+  // sketch registers are order-independent, so the multi-batch split
+  // changes nothing).
+  val q95StreamMvRollup = QueryDef(
+    "q95_stream_mv_rollup",
+    (s, dir) => {
+      import graft.streaming.MatView
+      import graft.functions.ch.toMonday
+      val base = s"${sys.props("java.io.tmpdir")}/graft_mv_q95_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.repartition(4).write.parquet(s"$base/src")
+      MatView.runHllRollup(s, s"$base/src", raw.schema, s"$base/state",
+        s"$base/ckpt",
+        groupCols = Seq("event_type", "day"), keyCol = "user_id",
+        prepare = b => b.withColumn("day",
+          to_date(timestamp_micros(expr("ts DIV 1000")))),
+        maxFilesPerTrigger = Some(2)) // force a multi-batch drain
+      val weekly = MatView.estimateAt(
+        MatView.readState(s, s"$base/state"),
+        Seq(col("event_type"), toMonday(col("day")).as("wk")))
+      val exact = Graft.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          toMonday(col("ts").cast("date")).as("wk"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      exact.join(weekly, Seq("event_type", "wk"))
+        .select(col("event_type"), col("wk"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).cast("long").as("mv_in_band"))
+        .orderBy(col("event_type"), col("wk"))
+    },
+    Some("""
+      SELECT event_type,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(1 AS BIGINT) AS mv_in_band
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
-      q80StreamStreamJoin)
+      q80StreamStreamJoin, q95StreamMvRollup)
 }
