@@ -82,7 +82,24 @@ object MetricaQueries {
       "VisitID", "Sign", "VisitVersion", "PageViews", "Duration",
       "IsBounce", "TrafficSource.Model", "TrafficSource.UTMSource",
       "EPurchase.ID")
+    // populate the Goals Nested group (a pure function of VisitID so
+    // every version and its cancel row carry identical arrays, as the
+    // collapsing engine requires): VisitID % 4 goals per visit, the
+    // three columns aligned by position — the Nested contract the
+    // ARRAY JOIN entry (q96) unrolls
     Metrica.conform(df, Metrica.visits)
+      .withColumn("Goals.ID", expr(
+        """CASE WHEN VisitID % 4 = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+           ELSE transform(sequence(1, CAST(VisitID % 4 AS INT)),
+                          g -> VisitID * 10 + g) END"""))
+      .withColumn("Goals.Price", expr(
+        """CASE WHEN VisitID % 4 = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+           ELSE transform(sequence(1, CAST(VisitID % 4 AS INT)),
+                          g -> CAST(g * 100 AS BIGINT)) END"""))
+      .withColumn("Goals.Serial", expr(
+        """CASE WHEN VisitID % 4 = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+           ELSE CAST(sequence(1, CAST(VisitID % 4 AS INT))
+                     AS ARRAY<BIGINT>) END"""))
   }
 
   /** Build + write the fixture warehouse (once per JVM); returns the
@@ -333,6 +350,42 @@ object MetricaQueries {
       ORDER BY "ym:s:date" ASC NULLS LAST
       LIMIT 10"""))
 
+  // ---------------------------------------------------------------------
+  // The Nested-group ARRAY JOIN over the full-width visits table — the
+  // canonical Metrica goals query (ddl/visits.sql:142-156: `Goals`
+  // Nested group; CH unrolls its parallel arrays in LOCKSTEP). The
+  // verbatim-SQL clause zips the group's columns positionally, Sign
+  // weighting stays correct per unrolled row (state and cancel rows
+  // carry identical arrays), and zero-goal visits drop out of the
+  // inner unroll exactly as in CH. The oracle replays the same
+  // lockstep unnest in DuckDB over the fixture parquet.
+  val q96ChNestedGoals = QueryDef(
+    "q96_ch_nested_goals",
+    (s, _) => {
+      fixture(s).createOrReplaceTempView("visits_goals_v")
+      s.sql("""
+        SELECT gprice, toInt64(sum(Sign)) AS goal_visits,
+               uniqExact(VisitID) AS visits,
+               toInt64(sum(gserial * Sign)) AS serial_sum,
+               toInt64(min(gid)) AS min_gid, toInt64(max(gid)) AS max_gid
+        FROM visits_goals_v
+        ARRAY JOIN `Goals.ID` AS gid, `Goals.Price` AS gprice,
+                   `Goals.Serial` AS gserial
+        GROUP BY gprice ORDER BY gprice""")
+    },
+    Some(s"""
+      SELECT gprice, CAST(sum(Sign) AS BIGINT) AS goal_visits,
+             CAST(count(DISTINCT VisitID) AS BIGINT) AS visits,
+             CAST(sum(gserial * Sign) AS BIGINT) AS serial_sum,
+             CAST(min(gid) AS BIGINT) AS min_gid,
+             CAST(max(gid) AS BIGINT) AS max_gid
+      FROM (SELECT Sign, VisitID,
+                   unnest("Goals.ID") AS gid,
+                   unnest("Goals.Price") AS gprice,
+                   unnest("Goals.Serial") AS gserial
+            FROM $duckVisits v)
+      GROUP BY gprice ORDER BY gprice"""))
+
   val defs: Seq[QueryDef] = Seq(q28MetricaQ1, q29MetricaQ2, q30WeekPrune,
-    q65VisitsCdcE2e)
+    q65VisitsCdcE2e, q96ChNestedGoals)
 }
