@@ -101,4 +101,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_hll_sketch_agg") ||
       p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
+
+  test("q92: dictGet probes never become a join") {
+    // the dictionary replica rides the task binary; a Join node here
+    // means the O(1)-probe contract silently regressed to a shuffle
+    // or broadcast join
+    val p = plan("q92_ch_dict_funcs")
+    assert(p.contains("dict_get"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q90: ARRAY JOIN plans as a Generate directly over the scan") {
+    // the clause unrolls with a Generate (explode/inline) BEFORE the
+    // aggregate — no shuffle between scan and unroll, no join
+    val p = plan("q90_ch_array_join_sql")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    val genLine = p.linesIterator.indexWhere(_.contains("Generate"))
+    val exchLine = p.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(exchLine < genLine, // exchanges only ABOVE (printed before)
+      s"a shuffle slipped below the unroll:\n$p")
+  }
+
+  test("q91: FINAL compacts with ONE exchange on the entity key") {
+    // latest-live-versions = anti-join + window, both partitioned by
+    // the entity key: AQE reuses one shuffle; a second distinct
+    // partitioning would double the wire cost of every FINAL read
+    val p = plan("q91_ch_final_sql")
+    assert(p.contains("hashpartitioning(eid"), p)
+  }
 }
