@@ -421,6 +421,40 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       case _ => (masked, None)
     }
 
+  // CH mutations — DDL-shaped statements Spark's grammar rejects
+  // outright, so they only ever reach the rewrite-on-failure path.
+  // The WHERE condition runs to end of text (SETTINGS already
+  // stripped by the masked-clause pass would not apply here, so the
+  // regex accepts and drops a trailing SETTINGS itself).
+  private val alterDeleteRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+DELETE\s+WHERE\s+""" +
+      """(.+?)(?:\s+SETTINGS\s+.*)?\s*$""").r
+  private val alterUpdateRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+UPDATE\s+(.+?)\s+WHERE\s+""" +
+      """(.+?)(?:\s+SETTINGS\s+.*)?\s*$""").r
+
+  /** Parse `ALTER TABLE t DELETE/UPDATE ... WHERE ...` into the
+    * mutation command, or None for any other text. Runs on the masked
+    * text so literals cannot fake clause keywords; extracted pieces
+    * unmask before they become expression SQL.
+    */
+  private def parseAlterTable(sqlText: String): Option[LogicalPlan] = {
+    val (masked, lits) = maskLiterals(sqlText)
+    masked match {
+      case alterDeleteRe(table, cond) =>
+        Some(ChAlterTableCommand(table, Nil, unmaskLiterals(cond, lits)))
+      case alterUpdateRe(table, assigns, cond) =>
+        val pairs = splitTopLevel(assigns).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"ALTER TABLE UPDATE expects col = expr, got $a")
+          (stripWs(a.substring(0, eq)).replace("`", ""),
+            unmaskLiterals(stripWs(a.substring(eq + 1)), lits))
+        }
+        Some(ChAlterTableCommand(table, pairs, unmaskLiterals(cond, lits)))
+      case _ => None
+    }
+  }
+
   private case class Rewritten(text: String,
       wrap: LogicalPlan => LogicalPlan)
 
@@ -489,13 +523,22 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  /** Mutation statements parse to the command node directly — they
+    * have no delegate-parseable form to rewrite into.
+    */
+  private def planOrAlter(sqlText: String,
+      parse: String => LogicalPlan): LogicalPlan =
+    try parseWith[LogicalPlan](sqlText, parse, (rw, p) => rw.wrap(p))
+    catch {
+      case e: ParseException =>
+        parseAlterTable(sqlText).getOrElse(throw e)
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseWith[LogicalPlan](sqlText, delegate.parsePlan,
-      (rw, p) => rw.wrap(p))
+    planOrAlter(sqlText, delegate.parsePlan)
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    parseWith[LogicalPlan](sqlText, delegate.parseQuery,
-      (rw, p) => rw.wrap(p))
+    planOrAlter(sqlText, delegate.parseQuery)
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -41,7 +41,21 @@ object Catalog {
     if (b.format == "jdbc") withSchema.load() else withSchema.load(b.path)
   }
 
-  /** Register bindings as temp views addressable from spark.sql. */
+  /** Register bindings as temp views addressable from spark.sql. The
+    * binding definition is also retained by name so DDL-shaped
+    * statements (the `ALTER TABLE ... DELETE/UPDATE` mutations) can
+    * find the storage path behind the view.
+    */
   def register(spark: SparkSession, bindings: Binding*): Unit =
-    bindings.foreach(b => resolve(spark, b).createOrReplaceTempView(b.name))
+    bindings.foreach { b =>
+      resolve(spark, b).createOrReplaceTempView(b.name)
+      bound.put(b.name, b)
+    }
+
+  // JVM-wide like the dictionary registry; last registration wins
+  private val bound =
+    new java.util.concurrent.ConcurrentHashMap[String, Binding]()
+
+  /** The binding behind a registered name, if any. */
+  def binding(name: String): Option[Binding] = Option(bound.get(name))
 }

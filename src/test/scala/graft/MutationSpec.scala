@@ -86,6 +86,28 @@ class MutationSpec extends SparkSpec {
       && col("v") === 5.0).count() == 7)
   }
 
+  test("ALTER TABLE ... DELETE / UPDATE run as verbatim SQL") {
+    val t = freshTable("sql")
+    graft.sources.Catalog.register(spark,
+      graft.sources.Binding("mut_sql_t", t))
+    val del = spark.sql(
+      "ALTER TABLE mut_sql_t DELETE WHERE grp = 2 AND d >= '2024-01-15'")
+      .collect().map(_.getString(0)).toSeq
+    assert(del == Seq("2024-01-15"))
+    assert(spark.table("mut_sql_t").filter(col("grp") === 2).count() == 14)
+    val upd = spark.sql(
+      "ALTER TABLE mut_sql_t UPDATE v = v * 10, grp = 0 WHERE id = 11")
+      .collect().map(_.getString(0)).toSeq
+    assert(upd == Seq("2024-01-01"))
+    val row = spark.table("mut_sql_t").filter(col("id") === 11)
+      .select(col("grp"), col("v")).collect().head
+    assert(row.getLong(0) == 0L && row.getDouble(1) == 10.0)
+    // unknown binding fails loudly, not silently
+    val err = intercept[Exception](
+      spark.sql("ALTER TABLE nope DELETE WHERE 1 = 1").collect())
+    assert(err.getMessage.contains("not a registered Catalog binding"))
+  }
+
   test("the partition column cannot be assigned") {
     val t = freshTable("updweek")
     val err = intercept[IllegalArgumentException](
