@@ -46,3 +46,70 @@ case class ChAlterTableCommand(table: String,
     weeks.map(Row(_))
   }
 }
+
+/** CH `OPTIMIZE TABLE t FINAL` — force the background merge NOW: the
+  * versioned append-only warehouse is compacted in place to the latest
+  * live version of each entity, and subsequent reads skip both the
+  * cancelled pairs and the FINAL read-mode work. Which columns play
+  * key / version / sign comes from the SAME field-metadata stamps the
+  * `FROM t FINAL` read mode uses (graft.finalKey / finalVersion /
+  * finalSign on the binding's schema), and the partition date column
+  * from the warehouse's week stamp — the binding's schema IS the
+  * engine clause. Without a sign stamp the merge is ReplacingMergeTree
+  * semantics (latest version wins). One job for all weeks (the week
+  * partition column joins the grouping key), then an atomic
+  * directory swap. Returns the surviving week partitions.
+  */
+case class ChOptimizeTableCommand(table: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("week_compacted", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.hadoop.fs.Path
+    val b = graft.sources.Catalog.binding(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"OPTIMIZE TABLE: '$table' is not a registered Catalog binding"))
+    val schema = b.schema.getOrElse(
+      spark.read.parquet(b.path).schema)
+    def stamped(flag: String): Seq[String] =
+      schema.fields.filter(_.metadata.contains(flag)).map(_.name).toSeq
+    val keys = stamped("graft.finalKey")
+    val ver = stamped("graft.finalVersion").headOption
+    val sign = stamped("graft.finalSign").headOption
+    val dateCol = stamped(WeekBoundsRule.flag).headOption
+    require(keys.nonEmpty && ver.nonEmpty && dateCol.nonEmpty,
+      s"OPTIMIZE TABLE: binding '$table' must stamp graft.finalKey, " +
+        "graft.finalVersion and the warehouse date column " +
+        s"(${WeekBoundsRule.flag}) in its schema")
+    val wh = graft.sources.Warehouse
+    val orderKey = keys :+ ver.get
+    val tablePath = new Path(b.path)
+    val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = new Path(tablePath.getParent,
+      s".${tablePath.getName}_optimize_${System.nanoTime()}")
+    sign match {
+      case Some(sc) =>
+        wh.compact(spark, b.path, out.toString, dateCol.get, orderKey,
+          keys, ver.get, sc)
+      case None => // Replacing semantics: latest version wins, no cancels
+        wh.write(graft.operators.Relational.latestByKey(
+            wh.read(spark, b.path), wh.weekCol +: keys, Seq(ver.get))
+            .drop(wh.weekCol),
+          out.toString, dateCol.get, orderKey)
+    }
+    val old = new Path(tablePath.getParent,
+      s".${tablePath.getName}_retired_${System.nanoTime()}")
+    require(fs.rename(tablePath, old), s"optimize swap-out failed: $table")
+    require(fs.rename(out, tablePath), s"optimize swap-in failed: $table")
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(b.path)
+    graft.sources.Catalog.register(spark, b)
+    fs.listStatus(tablePath).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"${wh.weekCol}="))
+      .map(st => st.getPath.getName.substring(wh.weekCol.length + 1))
+      .sorted.map(Row(_))
+  }
+}

@@ -432,6 +432,11 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private val alterUpdateRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+UPDATE\s+(.+?)\s+WHERE\s+""" +
       """(.+?)(?:\s+SETTINGS\s+.*)?\s*$""").r
+  // `OPTIMIZE TABLE t [FINAL]` — force the background merge now; with
+  // or without FINAL the engine compacts fully (CH's FINAL forces the
+  // merge even for a single part, a distinction parquet doesn't have)
+  private val optimizeRe =
+    """(?is)^\s*OPTIMIZE\s+TABLE\s+`?([\w.]+?)`?(?:\s+FINAL)?\s*$""".r
 
   /** Parse `ALTER TABLE t DELETE/UPDATE ... WHERE ...` into the
     * mutation command, or None for any other text. Runs on the masked
@@ -451,6 +456,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
             unmaskLiterals(stripWs(a.substring(eq + 1)), lits))
         }
         Some(ChAlterTableCommand(table, pairs, unmaskLiterals(cond, lits)))
+      case optimizeRe(table) =>
+        Some(ChOptimizeTableCommand(table))
       case _ => None
     }
   }

@@ -108,6 +108,35 @@ class MutationSpec extends SparkSpec {
     assert(err.getMessage.contains("not a registered Catalog binding"))
   }
 
+  test("OPTIMIZE TABLE FINAL compacts the versioned warehouse in place") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val b = s"${sys.props("java.io.tmpdir")}/graft_mutspec_opt"
+    FsUtil.rmTree(b)
+    val keyMd = new MetadataBuilder().putBoolean("graft.finalKey", true).build()
+    val verMd = new MetadataBuilder().putBoolean("graft.finalVersion", true).build()
+    val signMd = new MetadataBuilder().putBoolean("graft.finalSign", true).build()
+    // entity 1: v1 cancelled + v2 live; entity 2: v1 live — across two weeks
+    val raw = Seq(
+      ("2024-01-02", 1L, 1L, 1, 10.0),
+      ("2024-01-02", 1L, 1L, -1, 10.0),
+      ("2024-01-03", 1L, 2L, 1, 20.0),
+      ("2024-01-09", 2L, 1L, 1, 5.0))
+      .toDF("ds", "id", "ver", "sign", "v")
+      .select(to_date($"ds").as("d"),
+        $"id".as("id", keyMd), $"ver".as("ver", verMd),
+        $"sign".as("sign", signMd), $"v")
+    Warehouse.write(raw, b, "d", orderKey = Seq("id", "ver"))
+    graft.sources.Catalog.register(spark,
+      graft.sources.Binding("opt_sql_t", b))
+    val weeks = spark.sql("OPTIMIZE TABLE opt_sql_t FINAL")
+      .collect().map(_.getString(0)).toSeq
+    assert(weeks == Seq("2024-01-01", "2024-01-08"))
+    val rows = spark.table("opt_sql_t")
+      .select($"id", $"ver", $"v").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 2L, 20.0), (2L, 1L, 5.0)))
+  }
+
   test("the partition column cannot be assigned") {
     val t = freshTable("updweek")
     val err = intercept[IllegalArgumentException](
