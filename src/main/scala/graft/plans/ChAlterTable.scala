@@ -47,6 +47,42 @@ case class ChAlterTableCommand(table: String,
   }
 }
 
+/** CH `INSERT INTO t [SETTINGS ...] SELECT ...` against a registered
+  * binding — the reference's VERBATIM export statement
+  * (`README.md:145-147`: `insert into hits_s3 settings
+  * s3_create_new_file_on_insert=1 select * from hits_x where
+  * EventDate = ...`). A csv binding appends CSVWithNames+gzip objects
+  * (every insert creates new files — the
+  * `s3_create_new_file_on_insert=1` behavior is Spark's default write
+  * model); a parquet binding appends files. The inner SELECT runs
+  * through the full dialect parser, so CH vocabulary works inside.
+  * The parser only intercepts names registered in the Catalog —
+  * INSERT into real catalog tables still goes to Spark.
+  */
+case class ChInsertIntoCommand(table: String, selectSql: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq.empty
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val b = graft.sources.Catalog.binding(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"INSERT INTO: '$table' is not a registered Catalog binding"))
+    val df = spark.sql(selectSql)
+    b.format match {
+      case "csv" =>
+        graft.sources.CsvGzip.exportCsv(
+          graft.sources.CsvGzip.encodeComplex(df), b.path)
+      case "parquet" => df.write.mode("append").parquet(b.path)
+      case f => throw new IllegalArgumentException(
+        s"INSERT INTO a binding supports csv/parquet targets, got $f")
+    }
+    spark.catalog.refreshByPath(b.path)
+    graft.sources.Catalog.register(spark, b)
+    Seq.empty
+  }
+}
+
 /** CH `OPTIMIZE TABLE t FINAL` — force the background merge NOW: the
   * versioned append-only warehouse is compacted in place to the latest
   * live version of each entity, and subsequent reads skip both the

@@ -437,6 +437,27 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // merge even for a single part, a distinction parquet doesn't have)
   private val optimizeRe =
     """(?is)^\s*OPTIMIZE\s+TABLE\s+`?([\w.]+?)`?(?:\s+FINAL)?\s*$""".r
+  // `INSERT INTO t [SETTINGS k=v, ...] SELECT ...` — CH's export
+  // statement shape (settings come BETWEEN table and select)
+  private val insertRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?`?([\w.]+?)`?""" +
+      """(?:\s+SETTINGS\s+.*?)?\s+(SELECT\b.+)$""").r
+
+  /** `INSERT INTO <registered binding> ... SELECT ...` → export
+    * command. Spark parses this shape successfully but cannot insert
+    * into a temp view, so the interception happens BEFORE the
+    * delegate — gated on the target being a Catalog binding, which a
+    * real Spark catalog table never is.
+    */
+  private def parseInsertBinding(sqlText: String): Option[LogicalPlan] = {
+    val (masked, lits) = maskLiterals(sqlText)
+    masked match {
+      case insertRe(table, select)
+          if graft.sources.Catalog.binding(table).isDefined =>
+        Some(ChInsertIntoCommand(table, unmaskLiterals(select, lits)))
+      case _ => None
+    }
+  }
 
   /** Parse `ALTER TABLE t DELETE/UPDATE ... WHERE ...` into the
     * mutation command, or None for any other text. Runs on the masked
@@ -535,10 +556,12 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     */
   private def planOrAlter(sqlText: String,
       parse: String => LogicalPlan): LogicalPlan =
-    try parseWith[LogicalPlan](sqlText, parse, (rw, p) => rw.wrap(p))
-    catch {
-      case e: ParseException =>
-        parseAlterTable(sqlText).getOrElse(throw e)
+    parseInsertBinding(sqlText).getOrElse {
+      try parseWith[LogicalPlan](sqlText, parse, (rw, p) => rw.wrap(p))
+      catch {
+        case e: ParseException =>
+          parseAlterTable(sqlText).getOrElse(throw e)
+      }
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =

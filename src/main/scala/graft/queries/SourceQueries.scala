@@ -460,8 +460,66 @@ object SourceQueries {
       WHERE user_id % 10 <> 3
       GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // The reference's export + reconcile block as VERBATIM SQL
+  // (README.md:145-167): three day-sliced `INSERT INTO <s3 table>
+  // SETTINGS s3_create_new_file_on_insert=1 SELECT ... WHERE day = X`
+  // statements into a csv-gzip binding, then the literal
+  // source-vs-S3 count comparison (`select 's3', count(1) ... union
+  // all select 'ch', count(1) ...`). The parser intercepts INSERT
+  // only for registered bindings; each insert appends fresh gzip
+  // objects (the s3_create_new_file_on_insert behavior is the write
+  // model's default). The oracle recomputes the day-bounded count —
+  // both UNION branches must equal it, proving the roundtrip lost
+  // nothing.
+  val q97ChInsertSelectSql = QueryDef(
+    "q97_ch_insert_select_sql",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ins_q97_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      new java.io.File(s"$base/s3").mkdirs()
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_src_v")
+      graft.sources.Catalog.register(s, Binding(
+        "events_s3_q97", s"$base/s3", format = "csv",
+        schema = Some(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("d", DateType)))),
+        options = Map("header" -> "true")))
+      Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { day =>
+        s.sql(s"""
+          INSERT INTO events_s3_q97 SETTINGS s3_create_new_file_on_insert=1
+          SELECT event_id, user_id, event_type, value,
+                 CAST(ts AS DATE) AS d
+          FROM events_src_v
+          WHERE CAST(ts AS DATE) = cast('$day' as date)""")
+      }
+      s.sql("""
+        select 's3' as storage, toInt64(count(1)) as cnt
+        from events_s3_q97
+        union all
+        select 'ch' as storage, toInt64(count(1)) as cnt
+        from events_src_v
+        where CAST(ts AS DATE) between cast('2024-01-01' as date)
+                                   and cast('2024-01-03' as date)
+        order by storage""")
+    },
+    Some("""
+      SELECT 'ch' AS storage, CAST(count(1) AS BIGINT) AS cnt
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-03'
+      UNION ALL
+      SELECT 's3' AS storage, CAST(count(1) AS BIGINT) AS cnt
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-03'
+      ORDER BY storage"""))
+
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
       q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated,
-      q51HitsExportReconcile, q59TtlTiering, q93MutationDelete)
+      q51HitsExportReconcile, q59TtlTiering, q93MutationDelete,
+      q97ChInsertSelectSql)
 }

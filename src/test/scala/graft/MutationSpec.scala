@@ -137,6 +137,34 @@ class MutationSpec extends SparkSpec {
     assert(rows == Seq((1L, 2L, 20.0), (2L, 1L, 5.0)))
   }
 
+  test("INSERT INTO a csv binding appends fresh gzip objects") {
+    import org.apache.spark.sql.types._
+    val b = s"${sys.props("java.io.tmpdir")}/graft_mutspec_ins"
+    FsUtil.rmTree(b)
+    new java.io.File(b).mkdirs()
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "t")
+      .createOrReplaceTempView("ins_src")
+    graft.sources.Catalog.register(spark, graft.sources.Binding(
+      "ins_s3_t", b, format = "csv",
+      schema = Some(StructType(Seq(StructField("k", LongType),
+        StructField("t", StringType)))),
+      options = Map("header" -> "true")))
+    spark.sql("""INSERT INTO ins_s3_t SETTINGS s3_create_new_file_on_insert=1
+                 SELECT k, t FROM ins_src WHERE t = 'a'""")
+    spark.sql("INSERT INTO ins_s3_t SELECT k, t FROM ins_src WHERE t = 'b'")
+    val back = spark.table("ins_s3_t").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    // every insert creates new gzip objects, never rewrites
+    val objs = new java.io.File(b).listFiles()
+      .filter(_.getName.endsWith(".csv.gz"))
+    assert(objs.length >= 2)
+    // a non-binding INSERT target still reaches Spark's own error
+    val err = intercept[Exception](
+      spark.sql("INSERT INTO ins_src SELECT 4L, 'c'").collect())
+    assert(!err.getMessage.contains("Catalog binding"))
+  }
+
   test("the partition column cannot be assigned") {
     val t = freshTable("updweek")
     val err = intercept[IllegalArgumentException](
