@@ -73,7 +73,14 @@ case class ChInsertIntoCommand(table: String, selectSql: String)
       case "csv" =>
         graft.sources.CsvGzip.exportCsv(
           graft.sources.CsvGzip.encodeComplex(df), b.path)
-      case "parquet" => df.write.mode("append").parquet(b.path)
+      // a warehouse table (CH DDL with PARTITION BY) appends through
+      // the week-partitioned clustered writer; a plain parquet binding
+      // appends files
+      case "parquet" => b.dateCol match {
+        case Some(dc) =>
+          graft.sources.Warehouse.write(df, b.path, dc, b.orderKey)
+        case None => df.write.mode("append").parquet(b.path)
+      }
       case f => throw new IllegalArgumentException(
         s"INSERT INTO a binding supports csv/parquet targets, got $f")
     }

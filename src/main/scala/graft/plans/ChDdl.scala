@@ -1,0 +1,300 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** The reference's own DDL, verbatim (`/root/reference/ddl/hits.sql`,
+  * `ddl/visits.sql`): `CREATE TABLE name (cols) ENGINE = X(params)
+  * PARTITION BY toMonday(d) ORDER BY (keys) SAMPLE BY k SETTINGS ...`.
+  *
+  * The engine clause becomes the FIELD-METADATA stamps the rest of the
+  * engine already reads — the DDL is the single source of truth:
+  *
+  *  - `PARTITION BY toMonday(d)` → the week stamp
+  *    ([[WeekBoundsRule.flag]]) on `d`: INSERTs write week-partitioned
+  *    ([[graft.sources.Warehouse.write]]), date predicates prune.
+  *  - `SAMPLE BY k` → `graft.sampleKey` on `k`: `SAMPLE f` works.
+  *  - `[Replicated]VersionedCollapsingMergeTree(..., Sign, Version)` →
+  *    `graft.finalSign` / `graft.finalVersion`, and `graft.finalKey`
+  *    on the ORDER BY columns: `FROM t FINAL` and `OPTIMIZE TABLE`
+  *    work. `ReplacingMergeTree(ver)` stamps version only (Replacing
+  *    semantics). Replication itself is the storage layer's job.
+  *  - `ENGINE = S3('path', 'CSVWithNames', 'gzip')` → a csv-gzip
+  *    export binding (the reference's S3 export table,
+  *    `README.md:134-147`).
+  *
+  * Type mapping is SURVEY §1.2's, byte-for-byte the hand-transcribed
+  * [[graft.schemas.Metrica]] schemas (the spec parses the reference
+  * DDLs and asserts equality): unsigned ints widen one level,
+  * UInt64 → Long (bit-preserving reinterpret), FixedString(2) → String
+  * but FixedString(16) (raw IPv6) → Binary, Nullable(T) → nullable,
+  * Array(T) → non-null-element array, LowCardinality is transparent.
+  */
+object ChDdl {
+
+  /** CH type → (Spark type, nullable). */
+  def chType(t: String): (DataType, Boolean) = {
+    val s = t.trim
+    def inner(prefix: String): String =
+      s.substring(prefix.length, s.lastIndexOf(')'))
+    if (s.startsWith("Nullable(")) (chType(inner("Nullable(")) ._1, true)
+    else if (s.startsWith("LowCardinality(")) chType(inner("LowCardinality("))
+    else if (s.startsWith("Array(")) {
+      val (et, en) = chType(inner("Array("))
+      (ArrayType(et, containsNull = en), false)
+    } else if (s.startsWith("FixedString(")) {
+      val n = inner("FixedString(").trim.toInt
+      (if (n >= 16) BinaryType else StringType, false)
+    } else if (s.startsWith("DateTime64")) (TimestampType, false)
+    else if (s.startsWith("Decimal")) (DoubleType, false)
+    else if (s.startsWith("Enum")) (StringType, false)
+    else (s match {
+      case "UInt8" => ShortType
+      case "UInt16" => IntegerType
+      case "UInt32" | "UInt64" => LongType
+      case "Int8" => ByteType
+      case "Int16" => ShortType
+      case "Int32" => IntegerType
+      case "Int64" => LongType
+      case "Float32" => FloatType
+      case "Float64" => DoubleType
+      case "String" => StringType
+      case "Date" | "Date32" => DateType
+      case "DateTime" => TimestampType
+      case "Bool" => BooleanType
+      case "UUID" | "IPv4" | "IPv6" => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported ClickHouse type: $other")
+    }, false)
+  }
+
+  final case class Parsed(
+      name: String,
+      schema: StructType,
+      engine: String,
+      engineParams: Seq[String],
+      partitionBy: Option[String], // the partition DATE column
+      orderKey: Seq[String],
+      sampleBy: Option[String],
+      s3Target: Option[(String, String, String)]) // path, format, compression
+
+  private val stringLit = """'(?:[^']|'')*'""".r
+  private val createHead =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s*\(""".r
+
+  /** Strip `-- comments`, mask literals, balanced-scan the column list
+    * and tail clauses. Returns None when the text is not a CH CREATE
+    * TABLE with an ENGINE clause (Spark DDL stays Spark's).
+    */
+  def parseCreateTable(sqlText: String): Option[Parsed] = {
+    val noComments = sqlText.linesIterator
+      .map(l => l.replaceAll("--.*$", "")).mkString("\n")
+    val lits = stringLit.findAllIn(noComments).toVector
+    val masked = lits.zipWithIndex.foldLeft(noComments) {
+      case (acc, (l, i)) => acc.replaceFirst(
+        java.util.regex.Pattern.quote(l),
+        java.util.regex.Matcher.quoteReplacement("\u0001" + i + "\u0001"))
+    }
+    def unmask(s: String): String = lits.zipWithIndex.foldLeft(s) {
+      case (acc, (l, i)) => acc.replace("\u0001" + i + "\u0001", l)
+    }
+    createHead.findFirstMatchIn(masked).flatMap { m =>
+      if (!masked.toUpperCase.contains("ENGINE")) None
+      else {
+        val rawName = m.group(1).replace("`", "")
+        val name = rawName.substring(rawName.lastIndexOf('.') + 1)
+        val (colsBody, tailStart) = balancedSpan(masked, m.end - 1)
+        val fields = splitTop(colsBody).map(parseColumn)
+        val tail = masked.substring(tailStart).replaceAll(";\\s*$", "")
+        val clauses = splitClauses(tail)
+        val engineFull = clauses.getOrElse("ENGINE",
+          throw new IllegalArgumentException("CH DDL needs ENGINE ="))
+          .replaceFirst("^\\s*=\\s*", "").trim
+        val (engine, params) = engineFull.indexOf('(') match {
+          case -1 => (engineFull.trim, Nil)
+          case p => (engineFull.substring(0, p).trim,
+            splitTop(engineFull.substring(p + 1,
+              engineFull.lastIndexOf(')'))).map(x => unmask(x).trim))
+        }
+        val partCol = clauses.get("PARTITION BY").map { e =>
+          val t = e.trim
+          val mo = """(?i)toMonday\s*\(\s*`?([\w.]+)`?\s*\)""".r
+          t match {
+            case mo(c) => c
+            case bare => bare.replace("`", "")
+          }
+        }
+        val orderKey = clauses.get("ORDER BY").toSeq.flatMap { e =>
+          val t = e.trim
+          val body = if (t.startsWith("(")) t.substring(1, t.lastIndexOf(')'))
+            else t
+          splitTop(body).map(_.replace("`", "").trim)
+        }
+        val sampleBy = clauses.get("SAMPLE BY").map(_.trim.replace("`", ""))
+        // engine clause → metadata stamps
+        val signVer: (Option[String], Option[String]) = engine match {
+          case e if e.endsWith("VersionedCollapsingMergeTree") =>
+            val Seq(sgn, ver) = params.takeRight(2).map(_.replace("`", ""))
+            (Some(sgn), Some(ver))
+          case e if e.endsWith("CollapsingMergeTree") =>
+            (params.lastOption.map(_.replace("`", "")), None)
+          case e if e.endsWith("ReplacingMergeTree") =>
+            (None, params.lastOption.map(_.replace("`", "")))
+          case _ => (None, None)
+        }
+        val s3 = if (engine == "S3") {
+          val path = params.headOption.map(stripQuotes).getOrElse(
+            throw new IllegalArgumentException("ENGINE = S3 needs a path"))
+          val fmt = params.lift(1).map(stripQuotes).getOrElse("CSVWithNames")
+          val comp = params.lift(2).map(stripQuotes).getOrElse("none")
+          Some((path, fmt, comp))
+        } else None
+        val stamped = StructType(fields.map { f =>
+          var md = new MetadataBuilder()
+          if (partCol.contains(f.name))
+            md = md.putBoolean(WeekBoundsRule.flag, true)
+          if (sampleBy.contains(f.name))
+            md = md.putBoolean("graft.sampleKey", true)
+          if (signVer._1.contains(f.name))
+            md = md.putBoolean("graft.finalSign", true)
+          if (signVer._2.contains(f.name))
+            md = md.putBoolean("graft.finalVersion", true)
+          if (signVer._2.isDefined && orderKey.contains(f.name))
+            md = md.putBoolean("graft.finalKey", true)
+          f.copy(metadata = md.build())
+        })
+        Some(Parsed(name, stamped, engine, params, partCol, orderKey,
+          sampleBy, s3))
+      }
+    }
+  }
+
+  private def stripQuotes(s: String): String =
+    s.trim.stripPrefix("'").stripSuffix("'")
+
+  /** From the '(' at `open`, the balanced body and the index after ')'. */
+  private def balancedSpan(text: String, open: Int): (String, Int) = {
+    var depth = 0
+    var i = open
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (text.substring(open + 1, i), i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parens in DDL")
+  }
+
+  /** `String.trim` strips every char <= 0x20 — including the 
+    * literal-mask sentinels — so masked fragments must strip REAL
+    * whitespace only (the same trap TotalsParser documents).
+    */
+  private def stripWs(s: String): String =
+    s.replaceAll("^[ \t\r\n]+|[ \t\r\n]+$", "")
+
+  private def splitTop(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    for (i <- body.indices) body.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += body.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += body.substring(start)
+    out.result().map(stripWs).filter(_.nonEmpty)
+  }
+
+  private def parseColumn(def0: String): StructField = {
+    val d = def0.trim
+    val (name, rest) =
+      if (d.startsWith("`")) {
+        val e = d.indexOf('`', 1)
+        (d.substring(1, e), d.substring(e + 1).trim)
+      } else {
+        val e = d.indexWhere(_.isWhitespace)
+        require(e > 0, s"cannot parse column definition: $d")
+        (d.substring(0, e), d.substring(e + 1).trim)
+      }
+    val (dt, nullable) = chType(rest)
+    StructField(name, dt, nullable)
+  }
+
+  private val clauseKws = Seq("ENGINE", "PARTITION BY", "PRIMARY KEY",
+    "ORDER BY", "SAMPLE BY", "TTL", "SETTINGS")
+
+  /** Slice the DDL tail into its clauses (TTL and SETTINGS parse but
+    * are dropped: execution tuning / the TTL move is
+    * [[graft.sources.Warehouse.tierByTtl]]'s scheduled job).
+    */
+  private def splitClauses(tail: String): Map[String, String] = {
+    val upper = tail.toUpperCase
+    val hits = clauseKws.flatMap { kw =>
+      var idx = upper.indexOf(kw)
+      val found = Seq.newBuilder[(Int, String)]
+      while (idx >= 0) {
+        val before = if (idx == 0) ' ' else upper.charAt(idx - 1)
+        val afterI = idx + kw.length
+        val after = if (afterI >= upper.length) ' ' else upper.charAt(afterI)
+        if (!before.isLetterOrDigit && !after.isLetterOrDigit &&
+          depth0(tail, idx)) found += ((idx, kw))
+        idx = upper.indexOf(kw, idx + 1)
+      }
+      found.result()
+    }.sortBy(_._1)
+    hits.zipWithIndex.map { case ((pos, kw), i) =>
+      val end = if (i + 1 < hits.length) hits(i + 1)._1 else tail.length
+      kw -> tail.substring(pos + kw.length, end).trim
+    }.toMap
+  }
+
+  private def depth0(text: String, pos: Int): Boolean = {
+    val p = text.substring(0, pos)
+    p.count(_ == '(') == p.count(_ == ')')
+  }
+}
+
+/** Execute the CH CREATE TABLE: register a [[graft.sources.Catalog]]
+  * binding whose schema carries the engine stamps. MergeTree-family
+  * tables bind as week-partitioned Parquet warehouses under
+  * `spark.graft.warehouse` (default `<tmp>/graft_warehouse`), with the
+  * DDL's partition date and ORDER BY clustering wired into INSERT;
+  * ENGINE = S3 binds the csv-gzip export path. Returns (table, path).
+  */
+case class ChCreateTableCommand(parsed: ChDdl.Parsed)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val p = parsed
+    val b = p.s3Target match {
+      case Some((path, fmt, comp)) =>
+        require(fmt.equalsIgnoreCase("CSVWithNames"),
+          s"ENGINE = S3 supports CSVWithNames here, got $fmt")
+        require(comp == "gzip" || comp == "none",
+          s"ENGINE = S3 supports gzip/none compression, got $comp")
+        graft.sources.Binding(p.name, path, format = "csv",
+          schema = Some(graft.sources.CsvGzip.encodedSchema(p.schema)),
+          options = Map("header" -> "true"))
+      case None =>
+        val root = spark.conf.getOption("spark.graft.warehouse")
+          .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+        graft.sources.Binding(p.name, s"$root/${p.name}",
+          schema = Some(p.schema),
+          dateCol = p.partitionBy, orderKey = p.orderKey)
+    }
+    new java.io.File(b.path).mkdirs()
+    graft.sources.Catalog.register(spark, b)
+    Seq(Row(p.name, b.path))
+  }
+}

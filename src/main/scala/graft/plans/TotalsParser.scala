@@ -560,7 +560,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       try parseWith[LogicalPlan](sqlText, parse, (rw, p) => rw.wrap(p))
       catch {
         case e: ParseException =>
-          parseAlterTable(sqlText).getOrElse(throw e)
+          parseAlterTable(sqlText)
+            .orElse(
+              // CH CREATE TABLE ... ENGINE = X — Spark's grammar has
+              // no ENGINE clause, so only CH DDL lands here
+              try ChDdl.parseCreateTable(sqlText).map(ChCreateTableCommand(_))
+              catch { case _: Exception => None })
+            .getOrElse(throw e)
       }
     }
 

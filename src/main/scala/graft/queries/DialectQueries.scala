@@ -1126,6 +1126,85 @@ object DialectQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, event_id LIMIT 300"""))
 
+  // ---------------------------------------------------------------------
+  // The CH DDL front-end end-to-end, all SQL: CREATE TABLE with a
+  // VersionedCollapsingMergeTree ENGINE clause (the engine clause
+  // BECOMES the metadata stamps — plans/ChDdl.scala; the spec proves
+  // the reference's own 106/224-column hits.sql/visits.sql parse to
+  // the transcribed schemas), INSERT INTO ... SELECT through the
+  // week-partitioned clustered writer, and a FINAL read. Every click
+  // event's v1 is cancelled and superseded by a doubled-value v2 —
+  // the same collapse the q91 oracle replays independently.
+  val q98ChDdlWorkflow = QueryDef(
+    "q98_ch_ddl_workflow",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ddl_q98_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events").createOrReplaceTempView("events_src_v")
+        s.sql("""
+          CREATE TABLE metrica.events_vers
+          (
+              `eid` UInt64,
+              `d` Date,
+              `ver` UInt64,
+              `sign` Int8,
+              `event_type` String,
+              `value` Float64
+          )
+          ENGINE = VersionedCollapsingMergeTree(sign, ver)
+          PARTITION BY toMonday(d)
+          ORDER BY (eid)
+          SETTINGS index_granularity = 8192""")
+        s.sql("""
+          INSERT INTO events_vers
+          SELECT event_id AS eid, CAST(ts AS DATE) AS d, 1 AS ver,
+                 CAST(1 AS TINYINT) AS sign, event_type, value
+          FROM events_src_v
+          UNION ALL
+          SELECT event_id, CAST(ts AS DATE), 1, CAST(-1 AS TINYINT),
+                 event_type, value
+          FROM events_src_v WHERE event_type = 'click'
+          UNION ALL
+          SELECT event_id, CAST(ts AS DATE), 2, CAST(1 AS TINYINT),
+                 event_type, value * 2
+          FROM events_src_v WHERE event_type = 'click'""")
+        s.sql("""
+          SELECT event_type, toInt64(count(1)) AS n,
+                 toInt64(sum(ver)) AS ver_sum, round(sum(value), 2) AS v
+          FROM events_vers FINAL
+          GROUP BY event_type ORDER BY event_type""")
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id AS eid, 1 AS ver, 1 AS sign, event_type, value
+        FROM events
+      ), v AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT eid, 1 AS ver, -1 AS sign, event_type, value
+        FROM base WHERE event_type = 'click'
+        UNION ALL
+        SELECT eid, 2 AS ver, 1 AS sign, event_type, value * 2 AS value
+        FROM base WHERE event_type = 'click'
+      ), live AS (
+        SELECT p.* FROM v p
+        WHERE p.sign = 1 AND NOT EXISTS (
+          SELECT 1 FROM v m
+          WHERE m.sign = -1 AND m.eid = p.eid AND m.ver = p.ver)
+      ), latest AS (
+        SELECT eid, ver, event_type, value,
+               row_number() OVER (PARTITION BY eid ORDER BY ver DESC) AS rn
+        FROM live
+      )
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(ver) AS BIGINT) AS ver_sum, round(sum(value), 2) AS v
+      FROM latest WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1134,5 +1213,5 @@ object DialectQueries {
       q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs,
       q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
-      q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql)
+      q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow)
 }

@@ -26,7 +26,11 @@ final case class Binding(
     path: String,
     format: String = "parquet",
     schema: Option[StructType] = None,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    // warehouse-table bindings (CH DDL's PARTITION BY / ORDER BY):
+    // INSERTs write week-partitioned + clustered when dateCol is set
+    dateCol: Option[String] = None,
+    orderKey: Seq[String] = Nil)
 
 object Catalog {
 
@@ -34,11 +38,67 @@ object Catalog {
     * declared — nullability included, matching YQ's `NOT NULL` markers).
     */
   def resolve(spark: SparkSession, b: Binding): DataFrame = {
+    if (b.format == "parquet" && b.dateCol.isDefined)
+      return resolveWarehouse(spark, b)
     val reader = spark.read.format(b.format).options(b.options)
     val withSchema = b.schema.fold(reader)(reader.schema)
     // connection-style sources (jdbc) take their address from options,
     // not a path
     if (b.format == "jdbc") withSchema.load() else withSchema.load(b.path)
+  }
+
+  /** A warehouse-table binding (CH DDL) reads the week-partitioned
+    * layout: parquet's own schema + the `week` partition column, with
+    * the DECLARED schema's types and engine-clause metadata stamps
+    * re-applied per field — the stamps (sample key, collapsing
+    * engine, week invariant) must survive into every read for the
+    * SAMPLE / FINAL / pruning machinery to see them. An empty (just
+    * created) table resolves to an empty frame of the declared shape.
+    */
+  private def resolveWarehouse(spark: SparkSession, b: Binding): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = b.schema.getOrElse(throw new IllegalArgumentException(
+      s"warehouse binding '${b.name}' needs a declared schema"))
+    try {
+      val raw = Warehouse.read(spark, b.path)
+      // Spark refuses to cast away element nullability (see
+      // Metrica.conform) — cast to the nullability-relaxed target,
+      // and skip the cast when types already match up to nullability
+      def relax(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case org.apache.spark.sql.types.ArrayType(e, _) =>
+          org.apache.spark.sql.types.ArrayType(relax(e), true)
+        case org.apache.spark.sql.types.StructType(fs) =>
+          org.apache.spark.sql.types.StructType(fs.map(f =>
+            f.copy(dataType = relax(f.dataType), nullable = true)))
+        case other => other
+      }
+      val have = raw.schema.fields.map(f => f.name -> f.dataType).toMap
+      val declared = schema.fields.toSeq.map { f =>
+        val c = have.get(f.name) match {
+          case Some(src) if relax(src) == relax(f.dataType) =>
+            col(s"`${f.name}`")
+          case Some(_) => col(s"`${f.name}`").cast(relax(f.dataType))
+          case None =>
+            org.apache.spark.sql.functions.lit(null).cast(relax(f.dataType))
+        }
+        c.as(f.name, f.metadata)
+      }
+      val extras = raw.columns.toSeq
+        .filterNot(schema.fieldNames.contains)
+        .map(c => col(s"`$c`"))
+      raw.select(declared ++ extras: _*)
+    } catch {
+      // no files yet: the declared shape, plus the partition column
+      // the first write will create
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+            e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField(Warehouse.weekCol,
+              org.apache.spark.sql.types.DateType)))
+    }
   }
 
   /** Register bindings as temp views addressable from spark.sql. The

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.ChDdl
+import graft.schemas.Metrica
+
+/** The reference's own CREATE TABLE DDL, verbatim: type mapping must
+  * equal the hand-transcribed Metrica schemas field-for-field, the
+  * engine clause must become the metadata stamps, and the full
+  * CREATE → INSERT → FINAL/OPTIMIZE/DELETE workflow must run as SQL.
+  */
+class ChDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refDdl(file: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/reference/ddl/$file")), "UTF-8")
+      .replace("<id трансфера>", "x1")
+
+  test("the reference hits.sql parses to the transcribed 106-col schema") {
+    val p = ChDdl.parseCreateTable(refDdl("hits.sql")).get
+    assert(p.name == "hits_x1")
+    assert(p.engine == "ReplicatedMergeTree")
+    assert(p.partitionBy.contains("EventDate"))
+    assert(p.orderKey == Metrica.hitsOrderKey)
+    assert(p.sampleBy.contains("CounterUserIDHash"))
+    val got = p.schema.fields.map(f => (f.name, f.dataType, f.nullable))
+    val want = Metrica.hits.fields.map(f => (f.name, f.dataType, f.nullable))
+    assert(got.length == 106)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    // engine stamps: sample key + week invariant; plain MergeTree has
+    // no collapsing stamps
+    assert(p.schema("CounterUserIDHash").metadata
+      .contains("graft.sampleKey"))
+    assert(p.schema("EventDate").metadata
+      .contains(graft.plans.WeekBoundsRule.flag))
+    assert(!p.schema.fields.exists(_.metadata.contains("graft.finalSign")))
+  }
+
+  test("the reference visits.sql parses to the transcribed 224-col schema " +
+      "with the collapsing engine stamped") {
+    val p = ChDdl.parseCreateTable(refDdl("visits.sql")).get
+    assert(p.name == "visits_x1")
+    assert(p.engine == "ReplicatedVersionedCollapsingMergeTree")
+    assert(p.orderKey == Metrica.visitsOrderKey)
+    val got = p.schema.fields.map(f => (f.name, f.dataType, f.nullable))
+    val want = Metrica.visits.fields.map(f => (f.name, f.dataType, f.nullable))
+    assert(got.length == 224)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    assert(p.schema("Sign").metadata.contains("graft.finalSign"))
+    assert(p.schema("VisitVersion").metadata.contains("graft.finalVersion"))
+    Metrica.visitsOrderKey.foreach(k =>
+      assert(p.schema(k).metadata.contains("graft.finalKey"), k))
+    assert(p.schema("StartDate").metadata
+      .contains(graft.plans.WeekBoundsRule.flag))
+  }
+
+  test("CREATE -> INSERT -> FINAL -> OPTIMIZE -> ALTER DELETE, all SQL") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_wh"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      val created = spark.sql("""
+        CREATE TABLE metrica.mini_visits
+        (
+            `VisitID` UInt64,
+            `StartDate` Date,
+            `Sign` Int8,
+            `VisitVersion` UInt64,
+            `PageViews` Nullable(UInt16),
+            `Goals.ID` Array(UInt32)
+        )
+        ENGINE = VersionedCollapsingMergeTree(Sign, VisitVersion)
+        PARTITION BY toMonday(StartDate)
+        ORDER BY (VisitID)
+        SETTINGS index_granularity = 8192;""").collect()
+      assert(created.head.getString(0) == "mini_visits")
+      // v1 state+cancel and v2 for visit 1; v1 only for visit 2
+      Seq(
+        (1L, "2024-01-02", 1, 1L, 3, Seq(10L)),
+        (1L, "2024-01-02", -1, 1L, 3, Seq(10L)),
+        (1L, "2024-01-02", 1, 2L, 5, Seq(10L, 11L)),
+        (2L, "2024-01-09", 1, 1L, 7, Seq.empty[Long]))
+        .toDF("VisitID", "ds", "Sign", "VisitVersion", "PageViews", "gid")
+        .createOrReplaceTempView("mini_src")
+      spark.sql("""
+        INSERT INTO mini_visits
+        SELECT VisitID, CAST(ds AS DATE) AS StartDate,
+               CAST(Sign AS TINYINT) AS Sign, VisitVersion,
+               CAST(PageViews AS INT) AS PageViews, gid AS `Goals.ID`
+        FROM mini_src""")
+      // FINAL read mode straight off the DDL stamps
+      val fin = spark.sql("""
+        SELECT VisitID, VisitVersion, PageViews
+        FROM mini_visits FINAL ORDER BY VisitID""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(fin == Seq((1L, 2L, 5), (2L, 1L, 7)))
+      // OPTIMIZE compacts in place; the raw row count drops to 2
+      spark.sql("OPTIMIZE TABLE mini_visits FINAL")
+      assert(spark.table("mini_visits").count() == 2)
+      // mutations address the same binding
+      spark.sql("ALTER TABLE mini_visits DELETE WHERE VisitID = 2")
+      assert(spark.table("mini_visits").count() == 1)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  test("ENGINE = S3 DDL binds the csv-gzip export path") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_s3"
+    FsUtil.rmTree(dir)
+    spark.sql(s"""
+      CREATE TABLE mini_s3
+      (`k` UInt64, `t` String)
+      ENGINE = S3('$dir', 'CSVWithNames', 'gzip')""")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "t")
+      .createOrReplaceTempView("mini_s3_src")
+    spark.sql("INSERT INTO mini_s3 SELECT k, t FROM mini_s3_src")
+    val back = spark.table("mini_s3").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a"), (2L, "b")))
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".csv.gz")))
+  }
+}
