@@ -68,22 +68,70 @@ case class ChInsertIntoCommand(table: String, selectSql: String)
     val b = graft.sources.Catalog.binding(table).getOrElse(
       throw new IllegalArgumentException(
         s"INSERT INTO: '$table' is not a registered Catalog binding"))
-    val df = spark.sql(selectSql)
+    val raw = spark.sql(selectSql)
+    // CH inserts BY POSITION; when the select's names don't cover the
+    // declared schema but the arity matches, rename positionally
+    val named = b.schema match {
+      case Some(sc) if raw.columns.length == sc.fields.length &&
+          !sc.fieldNames.forall(raw.columns.contains) =>
+        raw.toDF(sc.fieldNames.toIndexedSeq: _*)
+      case _ => raw
+    }
     b.format match {
       case "csv" =>
+        // complex types go through the csv codec (to_json / hex), not
+        // a schema cast — the declared schema is the ENCODED one
         graft.sources.CsvGzip.exportCsv(
-          graft.sources.CsvGzip.encodeComplex(df), b.path)
-      // a warehouse table (CH DDL with PARTITION BY) appends through
-      // the week-partitioned clustered writer; a plain parquet binding
-      // appends files
-      case "parquet" => b.dateCol match {
-        case Some(dc) =>
-          graft.sources.Warehouse.write(df, b.path, dc, b.orderKey)
-        case None => df.write.mode("append").parquet(b.path)
-      }
+          graft.sources.CsvGzip.encodeComplex(named), b.path)
+      // a warehouse table (CH DDL with PARTITION BY) conforms to the
+      // declared schema (order, types, typed nulls for omitted
+      // columns) and appends through the week-partitioned clustered
+      // writer; a plain parquet binding appends files
+      case "parquet" =>
+        val df = b.schema.fold(named)(sc =>
+          graft.schemas.Metrica.conform(named, sc))
+        b.dateCol match {
+          case Some(dc) =>
+            graft.sources.Warehouse.write(df, b.path, dc, b.orderKey)
+          case None => df.write.mode("append").parquet(b.path)
+        }
       case f => throw new IllegalArgumentException(
         s"INSERT INTO a binding supports csv/parquet targets, got $f")
     }
+    spark.catalog.refreshByPath(b.path)
+    graft.sources.Catalog.register(spark, b)
+    Seq.empty
+  }
+}
+
+/** CH `DROP TABLE t` against a registered binding: the binding and
+  * its view detach; the files stay (storage is external to the
+  * engine, so this is CH's DETACH-like half of DROP — deleting data
+  * is [[ChTruncateTableCommand]]'s explicit job).
+  */
+case class ChDropTableCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.Catalog.unregister(spark, table)
+    Seq.empty
+  }
+}
+
+/** CH `TRUNCATE TABLE t`: delete the binding's data files and leave
+  * the (re-registered, now empty) table in place.
+  */
+case class ChTruncateTableCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.hadoop.fs.Path
+    val b = graft.sources.Catalog.binding(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"TRUNCATE TABLE: '$table' is not a registered Catalog binding"))
+    val p = new Path(b.path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    fs.mkdirs(p)
     spark.catalog.refreshByPath(b.path)
     graft.sources.Catalog.register(spark, b)
     Seq.empty

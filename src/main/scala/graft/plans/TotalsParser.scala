@@ -443,18 +443,28 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?`?([\w.]+?)`?""" +
       """(?:\s+SETTINGS\s+.*?)?\s+(SELECT\b.+)$""").r
 
-  /** `INSERT INTO <registered binding> ... SELECT ...` → export
-    * command. Spark parses this shape successfully but cannot insert
-    * into a temp view, so the interception happens BEFORE the
-    * delegate — gated on the target being a Catalog binding, which a
-    * real Spark catalog table never is.
+  private val dropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.]+?)`?\s*$""".r
+  private val truncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.]+?)`?\s*$""".r
+
+  /** `INSERT INTO / DROP TABLE / TRUNCATE TABLE <registered binding>`
+    * → the binding-lifecycle commands. Spark parses these shapes
+    * successfully but cannot run them against a temp view, so the
+    * interception happens BEFORE the delegate — gated on the target
+    * being a Catalog binding, which a real Spark catalog table never
+    * is.
     */
   private def parseInsertBinding(sqlText: String): Option[LogicalPlan] = {
     val (masked, lits) = maskLiterals(sqlText)
+    def isBinding(t: String) = graft.sources.Catalog.binding(t).isDefined
     masked match {
-      case insertRe(table, select)
-          if graft.sources.Catalog.binding(table).isDefined =>
+      case insertRe(table, select) if isBinding(table) =>
         Some(ChInsertIntoCommand(table, unmaskLiterals(select, lits)))
+      case dropRe(table) if isBinding(table) =>
+        Some(ChDropTableCommand(table))
+      case truncateRe(table) if isBinding(table) =>
+        Some(ChTruncateTableCommand(table))
       case _ => None
     }
   }

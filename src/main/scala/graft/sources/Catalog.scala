@@ -118,4 +118,12 @@ object Catalog {
 
   /** The binding behind a registered name, if any. */
   def binding(name: String): Option[Binding] = Option(bound.get(name))
+
+  /** Remove a binding and its temp view (CH `DROP TABLE` — storage is
+    * external, so this is detach-like: files stay).
+    */
+  def unregister(spark: SparkSession, name: String): Unit = {
+    bound.remove(name)
+    spark.catalog.dropTempView(name)
+  }
 }

@@ -122,4 +122,29 @@ class ChDdlSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles()
       .exists(_.getName.endsWith(".csv.gz")))
   }
+
+  test("TRUNCATE empties a binding's data; DROP detaches it") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_drop"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE mini_drop (`k` UInt64, `d` Date)
+        ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (k)""")
+      Seq((1L, "2024-01-02"), (2L, "2024-01-09")).toDF("k", "ds")
+        .createOrReplaceTempView("mini_drop_src")
+      spark.sql(
+        "INSERT INTO mini_drop SELECT k, CAST(ds AS DATE) AS d FROM mini_drop_src")
+      assert(spark.table("mini_drop").count() == 2)
+      spark.sql("TRUNCATE TABLE mini_drop")
+      assert(spark.table("mini_drop").count() == 0) // table stays, empty
+      spark.sql("DROP TABLE mini_drop")
+      assert(graft.sources.Catalog.binding("mini_drop").isEmpty)
+      assert(!spark.catalog.tableExists("mini_drop"))
+      // Spark's own DROP TABLE error path is untouched for non-bindings
+      val err = intercept[Exception](spark.sql("DROP TABLE never_was"))
+      assert(err.getMessage.toLowerCase.contains("cannot be found") ||
+        err.getMessage.toLowerCase.contains("not found"))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
 }
