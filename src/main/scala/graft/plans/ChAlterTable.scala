@@ -32,12 +32,15 @@ case class ChAlterTableCommand(table: String,
       s"ALTER TABLE mutations support parquet warehouse bindings, " +
         s"'$table' is ${b.format}")
     val cond = expr(condSql)
+    // the binding's ORDER BY clustering survives the rewrite
     val weeks =
       if (assignments.isEmpty)
-        graft.sources.Warehouse.deleteWhere(spark, b.path, cond)
+        graft.sources.Warehouse.deleteWhere(spark, b.path, cond,
+          orderKey = b.orderKey)
       else
         graft.sources.Warehouse.updateWhere(spark, b.path, cond,
-          assignments.map { case (c, e) => c -> expr(e) }.toMap)
+          assignments.map { case (c, e) => c -> expr(e) }.toMap,
+          orderKey = b.orderKey)
     // the registered view captured its file listing at registration —
     // re-register so the next read sees the mutated files, and drop
     // any cache entries for the path
@@ -79,10 +82,15 @@ case class ChInsertIntoCommand(table: String, selectSql: String)
     }
     b.format match {
       case "csv" =>
-        // complex types go through the csv codec (to_json / hex), not
-        // a schema cast — the declared schema is the ENCODED one
-        graft.sources.CsvGzip.exportCsv(
-          graft.sources.CsvGzip.encodeComplex(named), b.path)
+        // complex types go through the csv codec (to_json / hex)
+        // FIRST; then the frame conforms to the declared (encoded)
+        // schema — csv read-back is positional, so the written column
+        // ORDER must match the declared order even when the select
+        // listed the same names shuffled
+        val encoded = graft.sources.CsvGzip.encodeComplex(named)
+        val out = b.schema.fold(encoded)(sc =>
+          graft.schemas.Metrica.conform(encoded, sc))
+        graft.sources.CsvGzip.exportCsv(out, b.path)
       // a warehouse table (CH DDL with PARTITION BY) conforms to the
       // declared schema (order, types, typed nulls for omitted
       // columns) and appends through the week-partitioned clustered
@@ -128,12 +136,21 @@ case class ChTruncateTableCommand(table: String)
     val b = graft.sources.Catalog.binding(table).getOrElse(
       throw new IllegalArgumentException(
         s"TRUNCATE TABLE: '$table' is not a registered Catalog binding"))
+    // a schema-less binding cannot re-resolve over an empty dir —
+    // capture the current view's shape BEFORE the files go
+    val fallbackSchema =
+      if (b.schema.isDefined) None else Some(spark.table(table).schema)
     val p = new Path(b.path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
     fs.mkdirs(p)
     spark.catalog.refreshByPath(b.path)
-    graft.sources.Catalog.register(spark, b)
+    fallbackSchema match {
+      case Some(schema) =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+          .createOrReplaceTempView(table)
+      case None => graft.sources.Catalog.register(spark, b)
+    }
     Seq.empty
   }
 }

@@ -70,12 +70,15 @@ case class ChSample(fraction: Double, child: LogicalPlan) extends UnaryNode {
   * `graft.finalSign`) — the engine's analogue of the DDL's ENGINE
   * clause, mirroring how `graft.sampleKey` carries `SAMPLE BY`. With
   * no sign stamp the semantics are ReplacingMergeTree's (latest
-  * version wins, nothing cancels). The expansion reuses
+  * version wins, nothing cancels). `tables` carries the names that
+  * were marked FINAL in the text, so OTHER stamped tables in the
+  * same query stay raw. The expansion reuses
   * [[graft.operators.Relational.latestVersions]] — one shuffle on
   * the entity key, state bounded per (key) group, the same shape
   * `Warehouse.compact` runs at scale.
   */
-case class ChFinal(child: LogicalPlan) extends UnaryNode {
+case class ChFinal(tables: Seq[String], child: LogicalPlan)
+    extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): ChFinal =
     copy(child = newChild)
@@ -92,48 +95,70 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rewriteFill(ax, from, to, step, child)
       case ChSample(f, child) if child.resolved =>
         pushSample(f, child)
-      case ChFinal(child) if child.resolved =>
-        applyFinal(child)
+      case ChFinal(tables, child) if child.resolved =>
+        applyFinal(tables, child)
     }
 
-  /** Rewrite every relation in scope whose output declares the
-    * collapsing metadata into its latest-live-version view. The
-    * rewritten subtree KEEPS the relation's attribute ids (filters /
-    * anti-join / window preserve the left branch's attributes), so
-    * references above the marker stay bound.
+  /** Rewrite the marked tables' stamped relations into their
+    * latest-live-version view. Matching is by SubqueryAlias name
+    * (the view/binding name the FROM clause used), descending into
+    * subquery expressions too; when no alias matches (the name was
+    * rewritten away by nested views), the lowest stamped relation
+    * anywhere in the plan collapses as a fallback. The rewritten
+    * subtree KEEPS the relation's attribute ids (filters / anti-join
+    * / window preserve the left branch's attributes), so references
+    * above the marker stay bound.
     */
-  private def applyFinal(child: LogicalPlan): LogicalPlan = {
+  private def applyFinal(tables: Seq[String],
+      child: LogicalPlan): LogicalPlan = {
     val verFlag = "graft.finalVersion"
+    val resolver = spark.sessionState.conf.resolver
     var applied = false
+    def collapse(rel: LogicalPlan): LogicalPlan = {
+      applied = true
+      val keys = rel.output.filter(_.metadata.contains("graft.finalKey"))
+        .map(_.name)
+      require(keys.nonEmpty,
+        "FINAL: relation declares graft.finalVersion but no graft.finalKey")
+      val ver = rel.output.find(_.metadata.contains(verFlag)).get.name
+      val sign = rel.output.find(_.metadata.contains("graft.finalSign"))
+        .map(_.name)
+      import org.apache.spark.sql.GraftSqlBridge.ofRows
+      import org.apache.spark.sql.functions.{col => fcol, row_number}
+      import org.apache.spark.sql.expressions.{Window => W}
+      val df = ofRows(spark, rel)
+      val fin = sign match {
+        case Some(sc) =>
+          graft.operators.Relational.latestVersions(df, keys, ver, sc)
+        case None => // ReplacingMergeTree: latest version, no cancels
+          df.withColumn("__graft_rn", row_number().over(
+              W.partitionBy(keys.map(fcol): _*).orderBy(fcol(ver).desc)))
+            .filter(fcol("__graft_rn") === 1).drop("__graft_rn")
+      }
+      fin.select(rel.output.map(a => fcol(s"`${a.name}`")): _*)
+        .queryExecution.analyzed
+    }
+    def stamped(p: LogicalPlan): Boolean =
+      p.output.exists(_.metadata.contains(verFlag))
+    val byName = child.transformUpWithSubqueries {
+      case sa @ SubqueryAlias(id, inner)
+          if tables.exists(t => resolver(t, id.name)) && stamped(inner) &&
+            // lowest matching alias only (nested aliases of the same
+            // name would otherwise collapse twice)
+            !inner.exists {
+              case SubqueryAlias(id2, inner2) =>
+                tables.exists(t => resolver(t, id2.name)) && stamped(inner2)
+              case _ => false
+            } =>
+        sa.copy(child = collapse(inner))
+    }
+    if (applied) return byName
+    // fallback: the alias was erased (nested views) — collapse the
+    // lowest stamped relation in the plan
     val out = child.transformUp {
-      case rel if rel.output.exists(_.metadata.contains(verFlag)) &&
-          // lowest stamped node only: the flag survives upward through
-          // the rewritten subtree's own attributes, so every ancestor
-          // sees a flagged CHILD and skips
-          rel.children.forall(c =>
-            !c.output.exists(_.metadata.contains(verFlag))) =>
-        applied = true
-        val keys = rel.output.filter(_.metadata.contains("graft.finalKey"))
-          .map(_.name)
-        require(keys.nonEmpty,
-          "FINAL: relation declares graft.finalVersion but no graft.finalKey")
-        val ver = rel.output.find(_.metadata.contains(verFlag)).get.name
-        val sign = rel.output.find(_.metadata.contains("graft.finalSign"))
-          .map(_.name)
-        import org.apache.spark.sql.GraftSqlBridge.ofRows
-        import org.apache.spark.sql.functions.{col => fcol, row_number}
-        import org.apache.spark.sql.expressions.{Window => W}
-        val df = ofRows(spark, rel)
-        val fin = sign match {
-          case Some(sc) =>
-            graft.operators.Relational.latestVersions(df, keys, ver, sc)
-          case None => // ReplacingMergeTree: latest version, no cancels
-            df.withColumn("__graft_rn", row_number().over(
-                W.partitionBy(keys.map(fcol): _*).orderBy(fcol(ver).desc)))
-              .filter(fcol("__graft_rn") === 1).drop("__graft_rn")
-        }
-        fin.select(rel.output.map(a => fcol(s"`${a.name}`")): _*)
-          .queryExecution.analyzed
+      case rel if stamped(rel) &&
+          rel.children.forall(c => !stamped(c)) =>
+        collapse(rel)
     }
     require(applied,
       "FINAL: no relation in scope declares collapsing metadata " +

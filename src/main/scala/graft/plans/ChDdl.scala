@@ -240,10 +240,13 @@ object ChDdl {
       var idx = upper.indexOf(kw)
       val found = Seq.newBuilder[(Int, String)]
       while (idx >= 0) {
+        // '_' is a word char: ENGINE inside a snake_case SETTINGS key
+        // (engine_flag = 1) must not start a clause
+        def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
         val before = if (idx == 0) ' ' else upper.charAt(idx - 1)
         val afterI = idx + kw.length
         val after = if (afterI >= upper.length) ' ' else upper.charAt(afterI)
-        if (!before.isLetterOrDigit && !after.isLetterOrDigit &&
+        if (!wordChar(before) && !wordChar(after) &&
           depth0(tail, idx)) found += ((idx, kw))
         idx = upper.indexOf(kw, idx + 1)
       }
@@ -283,17 +286,26 @@ case class ChCreateTableCommand(parsed: ChDdl.Parsed)
           s"ENGINE = S3 supports CSVWithNames here, got $fmt")
         require(comp == "gzip" || comp == "none",
           s"ENGINE = S3 supports gzip/none compression, got $comp")
-        graft.sources.Binding(p.name, path, format = "csv",
+        // the escape option must match CsvGzip.exportCsv's RFC-4180
+        // quote-doubling, or read-back corrupts quoted values
+        val sb = graft.sources.Binding(p.name, path, format = "csv",
           schema = Some(graft.sources.CsvGzip.encodedSchema(p.schema)),
-          options = Map("header" -> "true"))
+          options = Map("header" -> "true", "escape" -> "\""))
+        // a local export dir is created so the (empty) table resolves;
+        // a storage URL ("scheme://...") is the store's to manage
+        if (!path.contains("://")) new java.io.File(path).mkdirs()
+        sb
       case None =>
         val root = spark.conf.getOption("spark.graft.warehouse")
           .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_warehouse")
-        graft.sources.Binding(p.name, s"$root/${p.name}",
+        val wb = graft.sources.Binding(p.name, s"$root/${p.name}",
           schema = Some(p.schema),
           dateCol = p.partitionBy, orderKey = p.orderKey)
+        // warehouse paths are engine-managed local/DFS dirs; an S3
+        // binding's path is a storage URL and is never mkdir'd here
+        new java.io.File(wb.path).mkdirs()
+        wb
     }
-    new java.io.File(b.path).mkdirs()
     graft.sources.Catalog.register(spark, b)
     Seq(Row(p.name, b.path))
   }

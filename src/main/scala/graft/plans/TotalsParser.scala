@@ -224,7 +224,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     prefix.count(_ == '(') == prefix.count(_ == ')')
   }
 
-  /** Split an expression list on top-level commas only. */
+  /** Split an expression list on top-level commas only. Items strip
+    * real whitespace via [[stripWs]] — the inputs are MASKED text, and
+    * `String.trim` would eat the  literal-mask sentinels.
+    */
   private def splitTopLevel(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
@@ -236,7 +239,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       case _ =>
     }
     out += text.substring(start)
-    out.result().map(_.trim).filter(_.nonEmpty)
+    out.result().map(stripWs).filter(_.nonEmpty)
   }
 
   /** Parse + constant-fold a clause bound (`DATE '...'`, a number, an
@@ -331,20 +334,28 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       finalRe.findFirstIn(masked).isDefined
   }
 
-  /** Strip every `FROM t FINAL` to `FROM t` and mark the plan: the
-    * [[ChFinal]] marker's rule applies latest-live-version-per-key
-    * compaction at the relation(s) whose schema declares the
-    * collapsing metadata (`graft.finalKey` / `graft.finalVersion` /
-    * `graft.finalSign`) — the engine's analogue of the DDL's engine
-    * clause. With several FINAL table refs in one text, one marker
-    * serves all (the rule rewrites every stamped relation in scope).
+  /** Strip every `FROM t FINAL` to `FROM t` and mark the plan with
+    * the NAMES that carried FINAL: the [[ChFinal]] marker's rule
+    * applies latest-live-version-per-key compaction at those tables'
+    * stamped relations (`graft.finalKey` / `graft.finalVersion` /
+    * `graft.finalSign` field metadata — the engine's analogue of the
+    * DDL's engine clause). FINAL is per-TABLE here: every reference
+    * to a marked name collapses (CH distinguishes per-reference; a
+    * query mixing `t` and `t FINAL` is not representable and reads
+    * both collapsed).
     */
   private def extractFinal(masked: String)
-      : (String, Option[LogicalPlan => LogicalPlan]) =
-    if (finalRe.findFirstIn(masked).isEmpty) (masked, None)
+      : (String, Option[LogicalPlan => LogicalPlan]) = {
+    val names = finalRe.findAllMatchIn(masked)
+      .map(_.group(1).replaceFirst("(?is)^FROM\\s+", "")
+        .replace("`", ""))
+      .map(n => n.substring(n.lastIndexOf('.') + 1))
+      .toSeq.distinct
+    if (names.isEmpty) (masked, None)
     else (finalRe.replaceAllIn(masked,
       m => java.util.regex.Matcher.quoteReplacement(m.group(1))),
-      Some(p => ChFinal(p)))
+      Some(p => ChFinal(names, p)))
+  }
 
   // clause keywords that terminate an ARRAY JOIN item list at depth 0
   private val arrayJoinStops = Set("WHERE", "PREWHERE", "GROUP", "HAVING",
@@ -508,8 +519,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       try extractSample(m2) catch { case _: Exception => (m2, None) }
     val (m4, finalWrap) =
       try extractFinal(m3) catch { case _: Exception => (m3, None) }
-    val m5 =
-      try rewriteArrayJoin(m4) catch { case _: Exception => m4 }
+    // deliberately NOT swallowed: its IllegalArgumentExceptions
+    // ("item needs an AS alias") are the user-facing diagnostics, and
+    // only ARRAY JOIN texts can reach them
+    val m5 = rewriteArrayJoin(m4)
     // ALL occurrences: the clause may appear in a subquery AND the
     // outer query (each match substitutes its own keys)
     val afterTotals = totals.replaceAllIn(m5, m =>

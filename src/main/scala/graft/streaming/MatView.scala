@@ -79,9 +79,18 @@ object MatView {
       statePath.getParent, s".${statePath.getName}_next")
     fs.delete(tmp, true)
     rows.write.parquet(tmp.toString)
-    fs.delete(statePath, true)
+    // swap via retire-then-rename: at no instant is the only full
+    // state copy in a dot-dir a restart would ignore (delete-then-
+    // rename has a crash window that loses the whole rollup)
+    val retired = new org.apache.hadoop.fs.Path(
+      statePath.getParent, s".${statePath.getName}_retired")
+    fs.delete(retired, true)
+    if (fs.exists(statePath))
+      require(fs.rename(statePath, retired),
+        s"state retire failed: $statePath")
     require(fs.rename(tmp, statePath),
       s"state swap failed: $tmp -> $statePath")
+    fs.delete(retired, true)
   }
 
   /** The persisted rollup state (one sketch row per group). */

@@ -120,4 +120,27 @@ class ChClausesSpec extends SparkSpec {
       spark.sql("SELECT * FROM fin_nometa FINAL").collect())
     assert(err.getMessage.contains("collapsing metadata"))
   }
+
+  test("FINAL is gated to the marked table; other stamped tables stay raw") {
+    finalFixture("fin_a")
+    finalFixture("fin_b") // same stamped shape, NOT marked FINAL
+    val rows = spark.sql("""
+      SELECT a.id, a.ver, b.n_raw FROM fin_a FINAL a
+      JOIN (SELECT id, count(1) AS n_raw FROM fin_b GROUP BY id) b
+        ON a.id = b.id
+      ORDER BY a.id""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // fin_a collapsed (latest live per key); fin_b keeps ALL raw rows
+    assert(rows == Seq((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("FINAL inside a subquery expression is reachable") {
+    finalFixture("fin_sub")
+    val n = spark.sql("""
+      SELECT count(1) AS n FROM fin_sub
+      WHERE ver IN (SELECT max(ver) FROM fin_sub FINAL)""")
+      .collect().head.getLong(0)
+    // max live version is 2; raw rows with ver=2: exactly one
+    assert(n == 1L)
+  }
 }

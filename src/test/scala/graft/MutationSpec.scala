@@ -108,6 +108,43 @@ class MutationSpec extends SparkSpec {
     assert(err.getMessage.contains("not a registered Catalog binding"))
   }
 
+  test("ALTER UPDATE with string-literal values survives literal masking") {
+    val t = freshTable("strlit")
+    graft.sources.Catalog.register(spark,
+      graft.sources.Binding("mut_strlit_t", t))
+    // two masked literals in the assignments, one in the condition —
+    // the GDPR string-redaction shape
+    Seq((11L, "alice"), (12L, "bob")).toDF("id2", "name")
+    spark.sql("ALTER TABLE mut_strlit_t UPDATE grp = 0 WHERE d = '2024-01-03'")
+    assert(spark.table("mut_strlit_t")
+      .filter(col("d") === "2024-01-03" && col("grp") === 0).count() == 5)
+    val touched = spark.sql(
+      """ALTER TABLE mut_strlit_t UPDATE v = -1.0 WHERE
+         d >= '2024-01-15' AND d <= '2024-01-21'""")
+      .collect().map(_.getString(0)).toSeq
+    assert(touched == Seq("2024-01-15"))
+    assert(spark.table("mut_strlit_t").filter(col("v") === -1.0)
+      .count() == 35)
+  }
+
+  test("csv INSERT with shuffled column names writes the declared order") {
+    import org.apache.spark.sql.types._
+    val b = s"${sys.props("java.io.tmpdir")}/graft_mutspec_shuf"
+    FsUtil.rmTree(b)
+    new java.io.File(b).mkdirs()
+    graft.sources.Catalog.register(spark, graft.sources.Binding(
+      "ins_shuf_t", b, format = "csv",
+      schema = Some(StructType(Seq(StructField("k", LongType),
+        StructField("t", StringType)))),
+      options = Map("header" -> "true", "escape" -> "\"")))
+    Seq((7L, "x")).toDF("k", "t").createOrReplaceTempView("ins_shuf_src")
+    // names cover the schema but arrive reversed — read-back is
+    // positional, so the writer must reorder to the declared schema
+    spark.sql("INSERT INTO ins_shuf_t SELECT t, k FROM ins_shuf_src")
+    val r = spark.table("ins_shuf_t").collect().head
+    assert(r.getLong(0) == 7L && r.getString(1) == "x")
+  }
+
   test("OPTIMIZE TABLE FINAL compacts the versioned warehouse in place") {
     import org.apache.spark.sql.types.MetadataBuilder
     val b = s"${sys.props("java.io.tmpdir")}/graft_mutspec_opt"
