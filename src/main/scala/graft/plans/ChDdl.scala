@@ -78,11 +78,16 @@ object ChDdl {
       partitionBy: Option[String], // the partition DATE column
       orderKey: Seq[String],
       sampleBy: Option[String],
-      s3Target: Option[(String, String, String)]) // path, format, compression
+      s3Target: Option[(String, String, String)], // path, format, compression
+      cloneFrom: Option[String]) // CREATE TABLE x AS other (schema clone)
 
   private val stringLit = """'(?:[^']|'')*'""".r
+  // name, optional ON CLUSTER (the cluster is the platform's concern —
+  // parsed and dropped), then either a column list '(' or `AS other`
+  // (the reference's schema-clone S3 table, README.md:136)
   private val createHead =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s*\(""".r
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(]+)""" +
+      """(?:\s+ON\s+CLUSTER\s+\S+)?\s*(?:(\()|AS\s+`?([\w.]+)`?)""").r
 
   /** Strip `-- comments`, mask literals, balanced-scan the column list
     * and tail clauses. Returns None when the text is not a CH CREATE
@@ -105,8 +110,16 @@ object ChDdl {
       else {
         val rawName = m.group(1).replace("`", "")
         val name = rawName.substring(rawName.lastIndexOf('.') + 1)
-        val (colsBody, tailStart) = balancedSpan(masked, m.end - 1)
-        val fields = splitTop(colsBody).map(parseColumn)
+        val hasCols = m.group(2) != null
+        val cloneFrom = Option(m.group(3)).map { src =>
+          val s = src.replace("`", "")
+          s.substring(s.lastIndexOf('.') + 1)
+        }
+        val (fields, tailStart) =
+          if (hasCols) {
+            val (colsBody, after) = balancedSpan(masked, m.end - 1)
+            (splitTop(colsBody).map(parseColumn), after)
+          } else (Seq.empty[StructField], m.end)
         val tail = masked.substring(tailStart).replaceAll(";\\s*$", "")
         val clauses = splitClauses(tail)
         val engineFull = clauses.getOrElse("ENGINE",
@@ -133,17 +146,6 @@ object ChDdl {
           splitTop(body).map(_.replace("`", "").trim)
         }
         val sampleBy = clauses.get("SAMPLE BY").map(_.trim.replace("`", ""))
-        // engine clause → metadata stamps
-        val signVer: (Option[String], Option[String]) = engine match {
-          case e if e.endsWith("VersionedCollapsingMergeTree") =>
-            val Seq(sgn, ver) = params.takeRight(2).map(_.replace("`", ""))
-            (Some(sgn), Some(ver))
-          case e if e.endsWith("CollapsingMergeTree") =>
-            (params.lastOption.map(_.replace("`", "")), None)
-          case e if e.endsWith("ReplacingMergeTree") =>
-            (None, params.lastOption.map(_.replace("`", "")))
-          case _ => (None, None)
-        }
         val s3 = if (engine == "S3") {
           val path = params.headOption.map(stripQuotes).getOrElse(
             throw new IllegalArgumentException("ENGINE = S3 needs a path"))
@@ -151,25 +153,49 @@ object ChDdl {
           val comp = params.lift(2).map(stripQuotes).getOrElse("none")
           Some((path, fmt, comp))
         } else None
-        val stamped = StructType(fields.map { f =>
-          var md = new MetadataBuilder()
-          if (partCol.contains(f.name))
-            md = md.putBoolean(WeekBoundsRule.flag, true)
-          if (sampleBy.contains(f.name))
-            md = md.putBoolean("graft.sampleKey", true)
-          if (signVer._1.contains(f.name))
-            md = md.putBoolean("graft.finalSign", true)
-          if (signVer._2.contains(f.name))
-            md = md.putBoolean("graft.finalVersion", true)
-          if (signVer._2.isDefined && orderKey.contains(f.name))
-            md = md.putBoolean("graft.finalKey", true)
-          f.copy(metadata = md.build())
-        })
-        Some(Parsed(name, stamped, engine, params, partCol, orderKey,
-          sampleBy, s3))
+        val parsed = Parsed(name, StructType(fields), engine, params,
+          partCol, orderKey, sampleBy, s3, cloneFrom)
+        Some(parsed.copy(schema =
+          stamp(parsed.schema, parsed, signVerOf(parsed))))
       }
     }
   }
+
+  /** Apply the engine-clause metadata stamps to a schema — also used
+    * when the schema arrives by CLONE (`AS other`) rather than a
+    * column list.
+    */
+  private[plans] def stamp(schema: StructType, p: Parsed,
+      signVer: (Option[String], Option[String])): StructType =
+    StructType(schema.fields.map { f =>
+      var md = new MetadataBuilder()
+      if (p.partitionBy.contains(f.name))
+        md = md.putBoolean(WeekBoundsRule.flag, true)
+      if (p.sampleBy.contains(f.name))
+        md = md.putBoolean("graft.sampleKey", true)
+      if (signVer._1.contains(f.name))
+        md = md.putBoolean("graft.finalSign", true)
+      if (signVer._2.contains(f.name))
+        md = md.putBoolean("graft.finalVersion", true)
+      if (signVer._2.isDefined && p.orderKey.contains(f.name))
+        md = md.putBoolean("graft.finalKey", true)
+      f.copy(metadata = md.build())
+    })
+
+  /** Recompute the (sign, version) engine params for [[stamp]] from a
+    * Parsed — mirrors the ENGINE dispatch in the parser.
+    */
+  private[plans] def signVerOf(p: Parsed): (Option[String], Option[String]) =
+    p.engine match {
+      case e if e.endsWith("VersionedCollapsingMergeTree") =>
+        val Seq(sgn, ver) = p.engineParams.takeRight(2).map(_.replace("`", ""))
+        (Some(sgn), Some(ver))
+      case e if e.endsWith("CollapsingMergeTree") =>
+        (p.engineParams.lastOption.map(_.replace("`", "")), None)
+      case e if e.endsWith("ReplacingMergeTree") =>
+        (None, p.engineParams.lastOption.map(_.replace("`", "")))
+      case _ => (None, None)
+    }
 
   private def stripQuotes(s: String): String =
     s.trim.stripPrefix("'").stripSuffix("'")
@@ -279,7 +305,27 @@ case class ChCreateTableCommand(parsed: ChDdl.Parsed)
     AttributeReference("path", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val p = parsed
+    // schema by CLONE (`AS other`): the source binding's (or view's)
+    // structure, re-stamped by THIS table's engine clause —
+    // `create table hits_s3 as hits_x ENGINE = S3(...)` verbatim
+    // (README.md:136). The encoded-csv conversion below still applies.
+    val p = parsed.cloneFrom match {
+      case Some(src) =>
+        val srcSchema = graft.sources.Catalog.binding(src)
+          .flatMap(_.schema)
+          .getOrElse(spark.table(src).schema)
+        // structure only: the source's stamps don't transfer (this
+        // table's ENGINE clause decides), and a warehouse view's
+        // appended partition column is physical, not declared
+        val clean = org.apache.spark.sql.types.StructType(
+          srcSchema.fields
+            .filterNot(_.name == graft.sources.Warehouse.weekCol)
+            .map(_.copy(
+              metadata = org.apache.spark.sql.types.Metadata.empty)))
+        parsed.copy(schema =
+          ChDdl.stamp(clean, parsed, ChDdl.signVerOf(parsed)))
+      case None => parsed
+    }
     val b = p.s3Target match {
       case Some((path, fmt, comp)) =>
         require(fmt.equalsIgnoreCase("CSVWithNames"),

@@ -123,6 +123,37 @@ class ChDdlSpec extends SparkSpec {
       .exists(_.getName.endsWith(".csv.gz")))
   }
 
+  test("CREATE TABLE ... AS other ENGINE = S3: the reference's schema-clone " +
+      "export table (README.md:136)") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_clone"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE hits_x9
+        (`WatchID` UInt64, `EventDate` Date, `URL` Nullable(String))
+        ENGINE = MergeTree PARTITION BY toMonday(EventDate)
+        ORDER BY (WatchID)""")
+      Seq((5L, "2024-01-02", "http://a"), (6L, "2024-01-09", "http://b"))
+        .toDF("WatchID", "ds", "URL")
+        .createOrReplaceTempView("hits_src9")
+      spark.sql("""INSERT INTO hits_x9
+        SELECT WatchID, CAST(ds AS DATE) AS EventDate, URL FROM hits_src9""")
+      // the reference's verbatim clone shape (ON CLUSTER parsed+dropped)
+      spark.sql(s"""
+        create table metrica.hits_s3_c on cluster xyz as hits_x9
+        ENGINE = S3('$root/s3_export', 'CSVWithNames', 'gzip')""")
+      spark.sql("""INSERT INTO hits_s3_c SETTINGS s3_create_new_file_on_insert=1
+        SELECT WatchID, EventDate, URL FROM hits_x9
+        WHERE EventDate = CAST('2024-01-02' AS DATE)""")
+      val back = spark.table("hits_s3_c").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq
+      assert(back == Seq((5L, "http://a")))
+      assert(new java.io.File(s"$root/s3_export").listFiles()
+        .exists(_.getName.endsWith(".csv.gz")))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("TRUNCATE empties a binding's data; DROP detaches it") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_drop"
     FsUtil.rmTree(root)
