@@ -79,15 +79,18 @@ object ChDdl {
       orderKey: Seq[String],
       sampleBy: Option[String],
       s3Target: Option[(String, String, String)], // path, format, compression
-      cloneFrom: Option[String]) // CREATE TABLE x AS other (schema clone)
+      cloneFrom: Option[String], // CREATE TABLE x AS other (schema clone)
+      ctasSelect: Option[String]) // CREATE TABLE x ENGINE=... AS SELECT ...
 
   private val stringLit = """'(?:[^']|'')*'""".r
   // name, optional ON CLUSTER (the cluster is the platform's concern —
-  // parsed and dropped), then either a column list '(' or `AS other`
-  // (the reference's schema-clone S3 table, README.md:136)
+  // parsed and dropped), then one of: a column list '(', `AS other`
+  // (the reference's schema-clone S3 table, README.md:136), or
+  // directly an ENGINE clause (the CTAS form, `ENGINE = e AS SELECT`)
   private val createHead =
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(]+)""" +
-      """(?:\s+ON\s+CLUSTER\s+\S+)?\s*(?:(\()|AS\s+`?([\w.]+)`?)""").r
+      """(?:\s+ON\s+CLUSTER\s+\S+)?\s*""" +
+      """(?:(\()|AS\s+(?!SELECT\b)`?([\w.]+)`?|(?=ENGINE\b))""").r
 
   /** Strip `-- comments`, mask literals, balanced-scan the column list
     * and tail clauses. Returns None when the text is not a CH CREATE
@@ -120,7 +123,18 @@ object ChDdl {
             val (colsBody, after) = balancedSpan(masked, m.end - 1)
             (splitTop(colsBody).map(parseColumn), after)
           } else (Seq.empty[StructField], m.end)
-        val tail = masked.substring(tailStart).replaceAll(";\\s*$", "")
+        val fullTail = masked.substring(tailStart).replaceAll(";\\s*$", "")
+        // the CTAS form: a depth-0 `AS SELECT ...` terminates the
+        // clause tail; the select re-enters the full dialect parser
+        // at execution
+        val ctasRe = """(?is)\bAS\s+(SELECT\b.*)$""".r
+        val (tail, ctasSelect) =
+          ctasRe.findFirstMatchIn(fullTail) match {
+            case Some(cm) if depth0(fullTail, cm.start) =>
+              (fullTail.substring(0, cm.start),
+                Some(unmask(cm.group(1))))
+            case _ => (fullTail, None)
+          }
         val clauses = splitClauses(tail)
         val engineFull = clauses.getOrElse("ENGINE",
           throw new IllegalArgumentException("CH DDL needs ENGINE ="))
@@ -154,7 +168,7 @@ object ChDdl {
           Some((path, fmt, comp))
         } else None
         val parsed = Parsed(name, StructType(fields), engine, params,
-          partCol, orderKey, sampleBy, s3, cloneFrom)
+          partCol, orderKey, sampleBy, s3, cloneFrom, ctasSelect)
         Some(parsed.copy(schema =
           stamp(parsed.schema, parsed, signVerOf(parsed))))
       }
@@ -305,25 +319,32 @@ case class ChCreateTableCommand(parsed: ChDdl.Parsed)
     AttributeReference("path", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    // schema by CLONE (`AS other`): the source binding's (or view's)
-    // structure, re-stamped by THIS table's engine clause —
+    // schema by CLONE (`AS other`) or from the CTAS select: the
+    // source structure, re-stamped by THIS table's engine clause —
     // `create table hits_s3 as hits_x ENGINE = S3(...)` verbatim
     // (README.md:136). The encoded-csv conversion below still applies.
+    def restamped(srcSchema: org.apache.spark.sql.types.StructType) = {
+      // structure only: the source's stamps don't transfer (this
+      // table's ENGINE clause decides), and a warehouse view's
+      // appended partition column is physical, not declared
+      val clean = org.apache.spark.sql.types.StructType(
+        srcSchema.fields
+          .filterNot(_.name == graft.sources.Warehouse.weekCol)
+          .map(_.copy(
+            metadata = org.apache.spark.sql.types.Metadata.empty)))
+      parsed.copy(schema =
+        ChDdl.stamp(clean, parsed, ChDdl.signVerOf(parsed)))
+    }
     val p = parsed.cloneFrom match {
       case Some(src) =>
-        val srcSchema = graft.sources.Catalog.binding(src)
+        restamped(graft.sources.Catalog.binding(src)
           .flatMap(_.schema)
-          .getOrElse(spark.table(src).schema)
-        // structure only: the source's stamps don't transfer (this
-        // table's ENGINE clause decides), and a warehouse view's
-        // appended partition column is physical, not declared
-        val clean = org.apache.spark.sql.types.StructType(
-          srcSchema.fields
-            .filterNot(_.name == graft.sources.Warehouse.weekCol)
-            .map(_.copy(
-              metadata = org.apache.spark.sql.types.Metadata.empty)))
-        parsed.copy(schema =
-          ChDdl.stamp(clean, parsed, ChDdl.signVerOf(parsed)))
+          .getOrElse(spark.table(src).schema))
+      case None if parsed.schema.isEmpty =>
+        val sel = parsed.ctasSelect.getOrElse(
+          throw new IllegalArgumentException(
+            "CREATE TABLE needs a column list, AS <table>, or AS SELECT"))
+        restamped(spark.sql(sel).schema)
       case None => parsed
     }
     val b = p.s3Target match {
@@ -353,6 +374,10 @@ case class ChCreateTableCommand(parsed: ChDdl.Parsed)
         wb
     }
     graft.sources.Catalog.register(spark, b)
+    // CTAS: populate through the same INSERT path the standalone
+    // statement uses
+    p.ctasSelect.foreach(sel =>
+      ChInsertIntoCommand(p.name, sel).run(spark))
     Seq(Row(p.name, b.path))
   }
 }

@@ -154,6 +154,26 @@ class ChDdlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("CTAS: CREATE TABLE ... ENGINE = ... AS SELECT creates and fills") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_ctas"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      Seq((1L, "2024-01-02", 2.5), (2L, "2024-01-09", 4.0))
+        .toDF("k", "ds", "v").createOrReplaceTempView("ctas_src")
+      spark.sql("""
+        CREATE TABLE ctas_t ENGINE = MergeTree
+        PARTITION BY toMonday(d) ORDER BY (k)
+        AS SELECT k, CAST(ds AS DATE) AS d, v FROM ctas_src""")
+      val rows = spark.table("ctas_t").select(col("k"), col("v"))
+        .orderBy(col("k")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((1L, 2.5), (2L, 4.0)))
+      // week-partitioned like any warehouse table
+      assert(new java.io.File(s"$root/ctas_t/week=2024-01-08").exists())
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("TRUNCATE empties a binding's data; DROP detaches it") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_drop"
     FsUtil.rmTree(root)
