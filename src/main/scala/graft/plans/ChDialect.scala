@@ -198,6 +198,38 @@ object ChDialect {
       case other => throw new IllegalArgumentException(
         s"arraySum expects an array argument, got ${other.catalogString}")
     }),
+    // arrayReduce('agg', arr): CH's generic per-row array aggregator,
+    // dispatched to the codegen'd array combinators for the common
+    // aggregate names (an unknown name fails loudly — no silent
+    // fallback to a slow generic path)
+    "arrayReduce" -> (args => {
+      val fn = litString(args.head, "arrayReduce aggregate name")
+      val arr = col(args(1))
+      def isFrac = args(1).dataType match {
+        case ArrayType(DoubleType | FloatType | _: DecimalType, _) => true
+        case _: ArrayType => false
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce expects an array argument, got ${other.catalogString}")
+      }
+      fn.toLowerCase match {
+        case "sum" =>
+          if (isFrac) ex(ch.sumArrayDouble(arr)) else ex(ch.sumArrayLong(arr))
+        case "min" => ex(array_min(arr))
+        case "max" => ex(array_max(arr))
+        case "count" => ex(size(arr).cast("long"))
+        case "avg" => ex(when(size(arr) === 0, lit(null))
+          .otherwise(ch.sumArrayDouble(arr) / size(arr).cast("double")))
+        case "uniqexact" | "uniq" =>
+          ex(size(array_distinct(arr)).cast("long"))
+        case "any" => ex(ch.chElementAt(arr, lit(1),
+          col(Literal.default(args(1).dataType
+            .asInstanceOf[ArrayType].elementType))))
+        case "anylast" => ex(element_at(arr, -1))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other' (supported: " +
+            "sum, min, max, count, avg, uniqExact, any, anyLast)")
+      }
+    }),
     // arraySlice(arr, offset[, length]): 1-based, negative offset from
     // the end — Spark's slice shares both conventions; the 2-arg form
     // runs to the end of the array

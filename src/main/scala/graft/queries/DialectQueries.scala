@@ -1205,6 +1205,39 @@ object DialectQueries {
       FROM latest WHERE rn = 1
       GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // arrayReduce('agg', arr) — CH's generic per-row array aggregator,
+  // dispatched at analysis to the codegen'd array combinators (sum /
+  // min / max / count / avg / uniqExact / any / anyLast); an unknown
+  // aggregate fails loudly. The oracle replays each reduction with
+  // DuckDB's list_aggregate family.
+  val q99ChArrayReduce = QueryDef(
+    "q99_ch_array_reduce",
+    (s, dir) => {
+      Graft.table(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        SELECT label,
+               round(sum(arrayReduce('sum', embedding)), 2) AS s,
+               round(sum(arrayReduce('max', embedding)), 4) AS mx,
+               round(sum(arrayReduce('min', embedding)), 4) AS mn,
+               round(sum(arrayReduce('avg', embedding)), 4) AS av,
+               toInt64(sum(arrayReduce('count', embedding))) AS cnt,
+               toInt64(sum(arrayReduce('uniqExact', embedding))) AS uq,
+               round(sum(arrayReduce('any', embedding)), 4) AS first_sum
+        FROM embeddings_v GROUP BY label ORDER BY label""")
+    },
+    Some("""
+      SELECT label,
+             round(sum(list_aggregate(embedding, 'sum')), 2) AS s,
+             round(sum(list_aggregate(embedding, 'max')), 4) AS mx,
+             round(sum(list_aggregate(embedding, 'min')), 4) AS mn,
+             round(sum(list_aggregate(embedding, 'sum')
+                       / len(embedding)), 4) AS av,
+             CAST(sum(len(embedding)) AS BIGINT) AS cnt,
+             CAST(sum(len(list_distinct(embedding))) AS BIGINT) AS uq,
+             round(sum(embedding[1]), 4) AS first_sum
+      FROM embeddings GROUP BY label ORDER BY label"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1213,5 +1246,6 @@ object DialectQueries {
       q74ChUrlFuncs, q78WindowFunnel, q79ChSampleSql, q82ChJsonFuncs,
       q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
-      q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow)
+      q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
+      q99ChArrayReduce)
 }
