@@ -108,6 +108,11 @@ case class ChInsertIntoCommand(table: String, selectSql: String)
     }
     spark.catalog.refreshByPath(b.path)
     graft.sources.Catalog.register(spark, b)
+    // CH's materialized-view trigger: every INSERT into a source
+    // table folds the inserted batch into its MVs' states —
+    // O(batch + groups), the batch is in hand, history never rescans
+    ChMatView.onTable(table).foreach(mv =>
+      ChMatView.mergeInsert(spark, mv, named))
     Seq.empty
   }
 }
@@ -120,7 +125,8 @@ case class ChInsertIntoCommand(table: String, selectSql: String)
 case class ChDropTableCommand(table: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
-    graft.sources.Catalog.unregister(spark, table)
+    if (ChMatView.isMv(table)) ChMatView.remove(spark, table)
+    else graft.sources.Catalog.unregister(spark, table)
     Seq.empty
   }
 }

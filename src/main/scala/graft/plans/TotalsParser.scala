@@ -448,6 +448,12 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // merge even for a single part, a distinction parquet doesn't have)
   private val optimizeRe =
     """(?is)^\s*OPTIMIZE\s+TABLE\s+`?([\w.]+?)`?(?:\s+FINAL)?\s*$""".r
+  // `CREATE MATERIALIZED VIEW mv [TO t] [ENGINE = ...] [POPULATE]
+  // AS SELECT ...` — the middle section (engine, order, populate) is
+  // scanned for POPULATE and otherwise dropped
+  private val createMvRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """`?([\w.]+)`?((?:(?!\bAS\b).)*?)\bAS\s+(SELECT\b.*)$""").r
   // `INSERT INTO t [SETTINGS k=v, ...] SELECT ...` — CH's export
   // statement shape (settings come BETWEEN table and select)
   private val insertRe =
@@ -468,13 +474,18 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     */
   private def parseInsertBinding(sqlText: String): Option[LogicalPlan] = {
     val (masked, lits) = maskLiterals(sqlText)
-    def isBinding(t: String) = graft.sources.Catalog.binding(t).isDefined
+    def managed(t: String) =
+      graft.sources.Catalog.binding(t).isDefined || ChMatView.isMv(t)
     masked match {
-      case insertRe(table, select) if isBinding(table) =>
+      case insertRe(table, select)
+          if graft.sources.Catalog.binding(table).isDefined =>
         Some(ChInsertIntoCommand(table, unmaskLiterals(select, lits)))
-      case dropRe(table) if isBinding(table) =>
+      // DROP TABLE also detaches materialized views (CH accepts both
+      // spellings for MVs)
+      case dropRe(table) if managed(table) =>
         Some(ChDropTableCommand(table))
-      case truncateRe(table) if isBinding(table) =>
+      case truncateRe(table)
+          if graft.sources.Catalog.binding(table).isDefined =>
         Some(ChTruncateTableCommand(table))
       case _ => None
     }
@@ -500,6 +511,11 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         Some(ChAlterTableCommand(table, pairs, unmaskLiterals(cond, lits)))
       case optimizeRe(table) =>
         Some(ChOptimizeTableCommand(table))
+      case createMvRe(name0, mid, select) =>
+        val name = name0.substring(name0.lastIndexOf('.') + 1)
+        Some(ChCreateMvCommand(name,
+          """(?i)\bPOPULATE\b""".r.findFirstIn(mid).isDefined,
+          unmaskLiterals(select, lits)))
       case _ => None
     }
   }

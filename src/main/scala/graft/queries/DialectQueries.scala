@@ -1238,6 +1238,68 @@ object DialectQueries {
              round(sum(embedding[1]), 4) AS first_sum
       FROM embeddings GROUP BY label ORDER BY label"""))
 
+  // ---------------------------------------------------------------------
+  // The full CH materialized-view workflow as verbatim SQL: CREATE
+  // TABLE (DDL), CREATE MATERIALIZED VIEW ... AS SELECT ...
+  // uniqState(...), three day-sliced INSERTs (each fold is
+  // O(batch + groups) — the MV never rescans history; users
+  // overlapping across inserts prove the state unions, not sums),
+  // then the canonical uniqMerge read at the MV's own grain. The
+  // oracle recomputes exact uniques and pins the 5% band to 1
+  // (sketch registers are order-independent, so the insert split
+  // changes nothing).
+  val q100ChMvWorkflow = QueryDef(
+    "q100_ch_mv_workflow",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{abs, col, lit}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_mv_q100_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events").createOrReplaceTempView("events_src_v")
+        s.sql("""
+          CREATE TABLE ev_mv_src (`uid` UInt64, `event_type` String, `d` Date)
+          ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
+        s.sql("""
+          CREATE MATERIALIZED VIEW ev_mv ENGINE = AggregatingMergeTree
+          AS SELECT toMonday(d) AS wk, event_type, uniqState(uid) AS u
+          FROM ev_mv_src GROUP BY wk, event_type""")
+        Seq(("2024-01-01", "2024-01-10"), ("2024-01-11", "2024-01-20"),
+          ("2024-01-21", "2024-01-31")).foreach { case (a, z) =>
+          s.sql(s"""
+            INSERT INTO ev_mv_src
+            SELECT user_id AS uid, event_type, CAST(ts AS DATE) AS d
+            FROM events_src_v
+            WHERE CAST(ts AS DATE) BETWEEN cast('$a' as date)
+                                       AND cast('$z' as date)""")
+        }
+        val est = s.sql("""
+          SELECT wk, event_type, uniqMerge(u) AS est
+          FROM ev_mv GROUP BY wk, event_type""")
+        val exact = s.sql("""
+          SELECT toMonday(CAST(ts AS DATE)) AS wk, event_type,
+                 toInt64(count(DISTINCT user_id)) AS exact_users
+          FROM events_src_v
+          WHERE CAST(ts AS DATE) BETWEEN cast('2024-01-01' as date)
+                                     AND cast('2024-01-31' as date)
+          GROUP BY 1, 2""")
+        exact.join(est, Seq("wk", "event_type"))
+          .select(col("wk"), col("event_type"), col("exact_users"),
+            (abs(col("est") - col("exact_users")) <=
+              lit(0.05) * col("exact_users")).cast("long").as("mv_in_band"))
+          .orderBy(col("wk"), col("event_type"))
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(1 AS BIGINT) AS mv_in_band
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1247,5 +1309,5 @@ object DialectQueries {
       q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
-      q99ChArrayReduce)
+      q99ChArrayReduce, q100ChMvWorkflow)
 }

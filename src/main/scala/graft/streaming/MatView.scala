@@ -59,17 +59,29 @@ object MatView {
     * for batch-shaped backfills (the same merge serves both).
     */
   def mergeBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-      groupCols: Seq[String], keyCol: String): Unit = {
+      groupCols: Seq[String], keyCol: String): Unit =
+    foldPartial(spark,
+      batch.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+        .agg(hll_sketch_agg(col(s"`$keyCol`"), lit(LgK)).as("sk")),
+      stateDir, groupCols, "sk")
+
+  /** Union a pre-computed partial-sketch frame into the state table
+    * and swap atomically — the merge half of [[mergeBatch]], also
+    * driven by the MATERIALIZED VIEW insert trigger
+    * ([[graft.plans.ChMatView]]) whose partials carry user-defined
+    * group expressions and sketch alias.
+    */
+  def foldPartial(spark: SparkSession, partial: DataFrame,
+      stateDir: String, groupCols: Seq[String], sketchCol: String): Unit = {
     val gcols = groupCols.map(c => col(s"`$c`"))
-    val partial = batch.groupBy(gcols: _*)
-      .agg(hll_sketch_agg(col(s"`$keyCol`"), lit(LgK)).as("sk"))
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
       if (!fs.exists(statePath)) partial
       else spark.read.parquet(stateDir).unionByName(partial)
         .groupBy(gcols: _*)
-        .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+        .agg(hll_union_agg(col(s"`$sketchCol`"), lit(true))
+          .as(sketchCol))
     // state tables are |groups|-sized — collect-to-swap stays tiny;
     // localCheckpoint materializes BEFORE the old state dir is
     // replaced (reading and overwriting the same files in one plan

@@ -174,6 +174,74 @@ class ChDdlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("CREATE MATERIALIZED VIEW: updates on INSERT, reads via uniqMerge") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_mv"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE mv_src (`uid` UInt64, `d` Date)
+        ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
+      // pre-MV data: NOT included (CH's rule)
+      Seq((999L, "2024-01-02")).toDF("uid", "ds")
+        .createOrReplaceTempView("mv_pre")
+      spark.sql("INSERT INTO mv_src SELECT uid, CAST(ds AS DATE) FROM mv_pre")
+      spark.sql("""
+        CREATE MATERIALIZED VIEW mv_uniq ENGINE = AggregatingMergeTree
+        AS SELECT toMonday(d) AS wk, uniqState(uid) AS u
+        FROM mv_src GROUP BY wk""")
+      assert(spark.table("mv_uniq").count() == 0) // starts empty
+      // two inserts with overlapping users across one week
+      Seq((1L, "2024-01-02"), (2L, "2024-01-03"), (3L, "2024-01-09"))
+        .toDF("uid", "ds").createOrReplaceTempView("mv_b1")
+      Seq((2L, "2024-01-04"), (4L, "2024-01-10"))
+        .toDF("uid", "ds").createOrReplaceTempView("mv_b2")
+      spark.sql("INSERT INTO mv_src SELECT uid, CAST(ds AS DATE) FROM mv_b1")
+      spark.sql("INSERT INTO mv_src SELECT uid, CAST(ds AS DATE) FROM mv_b2")
+      // the CH query shape: finish states with uniqMerge
+      val got = spark.sql("""
+        SELECT wk, uniqMerge(u) AS users FROM mv_uniq
+        GROUP BY wk ORDER BY wk""").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      // week1: users {1,2} (2 deduped across inserts); week2: {3,4};
+      // the pre-MV uid 999 is absent
+      assert(got == Seq(("2024-01-01", 2L), ("2024-01-08", 2L)))
+      // all-time grain from the same states
+      val total = spark.sql("SELECT uniqMerge(u) AS n FROM mv_uniq")
+        .collect().head.getLong(0)
+      assert(total == 4L)
+      // DROP TABLE detaches the MV and stops the trigger
+      spark.sql("DROP TABLE mv_uniq")
+      assert(!spark.catalog.tableExists("mv_uniq"))
+      spark.sql("INSERT INTO mv_src SELECT uid, CAST(ds AS DATE) FROM mv_b1")
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  test("MATERIALIZED VIEW with POPULATE folds pre-existing data in") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_mvpop"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE mvp_src (`uid` UInt64, `grp` String, `d` Date)
+        ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
+      Seq((1L, "a", "2024-01-02"), (2L, "a", "2024-01-03"),
+        (3L, "b", "2024-01-02"))
+        .toDF("uid", "grp", "ds").createOrReplaceTempView("mvp_pre")
+      spark.sql(
+        "INSERT INTO mvp_src SELECT uid, grp, CAST(ds AS DATE) FROM mvp_pre")
+      spark.sql("""
+        CREATE MATERIALIZED VIEW mvp_uniq ENGINE = AggregatingMergeTree
+        POPULATE AS SELECT grp, uniqState(uid) AS u
+        FROM mvp_src GROUP BY grp""")
+      val got = spark.sql("""
+        SELECT grp, uniqMerge(u) AS users FROM mvp_uniq
+        GROUP BY grp ORDER BY grp""").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("a", 2L), ("b", 1L)))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("TRUNCATE empties a binding's data; DROP detaches it") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_drop"
     FsUtil.rmTree(root)
