@@ -594,6 +594,26 @@ object ChDialect {
     "uniqState" -> (args => ex(hll_sketch_agg(col(args.head)))),
     "uniqMerge" -> (args =>
       ex(hll_sketch_estimate(hll_union_agg(col(args.head))))),
+    // the rest of the -State/-Merge family (AggregatingMergeTree
+    // rollups): sum/min/max/count states are their own values (the
+    // merge re-applies the same associative aggregate — count MERGES
+    // BY SUM); avg needs the composite (sum, count) state. All exact,
+    // unlike the uniq sketch pair.
+    "sumState" -> (args => ex(sum(col(args.head)))),
+    "sumMerge" -> (args => ex(sum(col(args.head)))),
+    "minState" -> (args => ex(min(col(args.head)))),
+    "minMerge" -> (args => ex(min(col(args.head)))),
+    "maxState" -> (args => ex(max(col(args.head)))),
+    "maxMerge" -> (args => ex(max(col(args.head)))),
+    "countState" -> (args => ex(count(
+      if (args.isEmpty) lit(1) else col(args.head)))),
+    "countMerge" -> (args => ex(sum(col(args.head)).cast("long"))),
+    "avgState" -> (args => ex(struct(
+      sum(col(args.head)).cast("double").as("s"),
+      count(col(args.head)).as("c")))),
+    "avgMerge" -> (args => ex(
+      sum(col(args.head).getField("s")) /
+        sum(col(args.head).getField("c")))),
     // URL family (graft.functions.url — Metrica's web-analytics
     // vocabulary over URL/Referer/StartURL columns)
     "protocol" -> (args => ex(url.protocol(col(args.head)))),

@@ -22,20 +22,26 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *    at any grain, exactly the CH query shape.
   *
   * The supported SELECT shape is the AggregatingMergeTree rollup: any
-  * scalar group expressions (aliased), exactly one `uniqState(expr)`
-  * aggregate, one source table. Wider MV shapes (sumState etc.) are
-  * additive future work — uniqState is the one the Metrica stack
-  * leans on.
+  * scalar group expressions (aliased), one source table, and any mix
+  * of `-State` aggregates — `uniqState` (HLL sketch, approximate) and
+  * the exact family `sumState` / `minState` / `maxState` /
+  * `countState` / `avgState` (avg keeps the composite (sum, count)
+  * state; count MERGES BY SUM). Each finishes with its `-Merge`
+  * twin at read time.
   */
 object ChMatView {
+
+  /** One -State aggregate of the MV's select list. `kind` is the CH
+    * family name (uniq / sum / min / max / count / avg).
+    */
+  final case class AggItem(kind: String, argSql: String, alias: String)
 
   final case class MvDef(
       name: String,
       srcTable: String,
       stateDir: String,
       groupItems: Seq[(String, String)], // (exprSql, alias)
-      keyExprSql: String,
-      sketchAlias: String,
+      aggItems: Seq[AggItem],
       viewSchema: StructType)
 
   private val registry =
@@ -72,19 +78,56 @@ object ChMatView {
   }
 
   /** The INSERT trigger: compute the inserted batch's partial
-    * sketches with the MV's own expressions and fold them into the
-    * state.
+    * states with the MV's own expressions and fold them into the
+    * persisted state.
     */
   def mergeInsert(spark: SparkSession, mv: MvDef,
       inserted: DataFrame): Unit = {
+    val argCols = mv.aggItems.zipWithIndex.map { case (it, i) =>
+      val argSql = if (it.argSql.trim.isEmpty) "1" else it.argSql
+      s"$argSql AS `__graft_mv_arg$i`"
+    }
     val prepared = inserted.selectExpr(
-      (mv.groupItems.map { case (e, a) => s"$e AS `$a`" } :+
-        s"${mv.keyExprSql} AS `__graft_mv_key`"): _*)
+      (mv.groupItems.map { case (e, a) => s"$e AS `$a`" } ++ argCols): _*)
+    val partials = mv.aggItems.zipWithIndex.map { case (it, i) =>
+      val arg = col(s"`__graft_mv_arg$i`")
+      (it.kind match {
+        case "uniq" => hll_sketch_agg(arg)
+        case "sum" => sum(arg)
+        case "min" => min(arg)
+        case "max" => max(arg)
+        case "count" => count(arg)
+        case "avg" => struct(sum(arg).cast("double").as("s"),
+          count(arg).as("c"))
+      }).as(it.alias)
+    }
     val partial = prepared
       .groupBy(mv.groupItems.map { case (_, a) => col(s"`$a`") }: _*)
-      .agg(hll_sketch_agg(col("`__graft_mv_key`")).as(mv.sketchAlias))
-    graft.streaming.MatView.foldPartial(spark, partial, mv.stateDir,
-      mv.groupItems.map(_._2), mv.sketchAlias)
+      .agg(partials.head, partials.tail: _*)
+    // fold: union prior state, re-merge each state with its family's
+    // associative merge (count merges BY SUM; avg merges per field)
+    val statePath = new org.apache.hadoop.fs.Path(mv.stateDir)
+    val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (!fs.exists(statePath)) partial
+      else {
+        val merges = mv.aggItems.map { it =>
+          val c = col(s"`${it.alias}`")
+          (it.kind match {
+            case "uniq" => hll_union_agg(c, lit(true))
+            case "sum" => sum(c)
+            case "min" => min(c)
+            case "max" => max(c)
+            case "count" => sum(c).cast("long")
+            case "avg" => struct(sum(c.getField("s")).as("s"),
+              sum(c.getField("c")).as("c"))
+          }).as(it.alias)
+        }
+        spark.read.parquet(mv.stateDir).unionByName(partial)
+          .groupBy(mv.groupItems.map { case (_, a) => col(s"`$a`") }: _*)
+          .agg(merges.head, merges.tail: _*)
+      }
+    graft.streaming.MatView.swapState(spark, merged, mv.stateDir)
     refreshView(spark, mv)
   }
 
@@ -93,16 +136,16 @@ object ChMatView {
   // inside strings never split the list)
 
   private val stringLit = """'(?:[^']|'')*'""".r
-  private val uniqStateRe =
-    """(?is)^uniqState\s*\((.*)\)(?:\s+AS\s+`?(\w+)`?)?$""".r
+  private val stateRe =
+    ("""(?is)^(uniq|sum|min|max|count|avg)State\s*\((.*)\)""" +
+      """(?:\s+AS\s+`?(\w+)`?)?$""").r
   private val aliasedRe = """(?is)^(.*\S)\s+AS\s+`?(\w+)`?$""".r
   private val bareRe = """[A-Za-z_][\w.]*""".r
   private val fromRe = """(?is)\bFROM\s+`?([\w.]+)`?""".r
 
   final case class ParsedMvSelect(
       groupItems: Seq[(String, String)], // (exprSql, alias)
-      keyExprSql: String,
-      sketchAlias: String,
+      aggItems: Seq[AggItem],
       srcTable: String,
       aliasesInOrder: Seq[String]) // select-list output names, in order
 
@@ -142,23 +185,25 @@ object ChMatView {
         "cannot find the materialized view's source table"))
     // classify IN ORDER so the readable view's columns can be named
     // from the select list positionally
-    val classified = items.map {
-      case uniqStateRe(k, a) =>
-        Right((unmask(k), Option(a).getOrElse("st")))
-      case aliasedRe(e, a) => Left((unmask(e), a))
-      case bare if bareRe.matches(bare) => Left((bare, bare.split('.').last))
-      case other => throw new IllegalArgumentException(
+    val classified = items.zipWithIndex.map {
+      case (stateRe(kind, arg, a), i) =>
+        Right(AggItem(kind.toLowerCase, unmask(arg),
+          Option(a).getOrElse(s"st$i")))
+      case (aliasedRe(e, a), _) => Left((unmask(e), a))
+      case (bare, _) if bareRe.matches(bare) =>
+        Left((bare, bare.split('.').last))
+      case (other, _) => throw new IllegalArgumentException(
         s"materialized view group expression needs an AS alias: $other")
     }
-    val sketches = classified.collect { case Right(x) => x }
-    require(sketches.length == 1,
-      "materialized view needs exactly one uniqState(...) aggregate")
-    val (keyExpr, sketchAlias) = sketches.head
+    val aggItems = classified.collect { case Right(x) => x }
+    require(aggItems.nonEmpty,
+      "materialized view needs at least one -State aggregate " +
+        "(uniqState / sumState / minState / maxState / countState / avgState)")
     val groupItems = classified.collect { case Left(x) => x }
     require(groupItems.nonEmpty,
       "materialized view needs at least one group column")
-    ParsedMvSelect(groupItems, keyExpr, sketchAlias, srcTable,
-      classified.map(_.fold(_._2, _._2)))
+    ParsedMvSelect(groupItems, aggItems, srcTable,
+      classified.map(_.fold(_._2, _.alias)))
   }
 
   private def splitTop(body: String): Seq[String] = {
@@ -205,7 +250,7 @@ case class ChCreateMvCommand(name: String, populate: Boolean,
     val viewSchema = StructType(analyzed.fields
       .zip(ps.aliasesInOrder).map { case (f, a) => f.copy(name = a) })
     val mv = ChMatView.MvDef(name, ps.srcTable, stateDir, ps.groupItems,
-      ps.keyExprSql, ps.sketchAlias, viewSchema)
+      ps.aggItems, viewSchema)
     ChMatView.register(spark, mv)
     if (populate)
       ChMatView.mergeInsert(spark, mv, spark.table(ps.srcTable))

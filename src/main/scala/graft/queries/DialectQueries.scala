@@ -1259,23 +1259,30 @@ object DialectQueries {
       try {
         Graft.table(s, dir, "events").createOrReplaceTempView("events_src_v")
         s.sql("""
-          CREATE TABLE ev_mv_src (`uid` UInt64, `event_type` String, `d` Date)
+          CREATE TABLE ev_mv_src (`uid` UInt64, `event_type` String,
+            `v` Float64, `d` Date)
           ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
         s.sql("""
           CREATE MATERIALIZED VIEW ev_mv ENGINE = AggregatingMergeTree
-          AS SELECT toMonday(d) AS wk, event_type, uniqState(uid) AS u
+          AS SELECT toMonday(d) AS wk, event_type,
+                    countState() AS n, sumState(v) AS sv,
+                    uniqState(uid) AS u
           FROM ev_mv_src GROUP BY wk, event_type""")
         Seq(("2024-01-01", "2024-01-10"), ("2024-01-11", "2024-01-20"),
           ("2024-01-21", "2024-01-31")).foreach { case (a, z) =>
           s.sql(s"""
             INSERT INTO ev_mv_src
-            SELECT user_id AS uid, event_type, CAST(ts AS DATE) AS d
+            SELECT user_id AS uid, event_type, value AS v,
+                   CAST(ts AS DATE) AS d
             FROM events_src_v
             WHERE CAST(ts AS DATE) BETWEEN cast('$a' as date)
                                        AND cast('$z' as date)""")
         }
+        // count/sum merges are EXACT (hash-compared outright); the
+        // uniq sketch gets the 5% band
         val est = s.sql("""
-          SELECT wk, event_type, uniqMerge(u) AS est
+          SELECT wk, event_type, countMerge(n) AS n,
+                 round(sumMerge(sv), 2) AS v_sum, uniqMerge(u) AS est
           FROM ev_mv GROUP BY wk, event_type""")
         val exact = s.sql("""
           SELECT toMonday(CAST(ts AS DATE)) AS wk, event_type,
@@ -1285,7 +1292,8 @@ object DialectQueries {
                                      AND cast('2024-01-31' as date)
           GROUP BY 1, 2""")
         exact.join(est, Seq("wk", "event_type"))
-          .select(col("wk"), col("event_type"), col("exact_users"),
+          .select(col("wk"), col("event_type"), col("n"), col("v_sum"),
+            col("exact_users"),
             (abs(col("est") - col("exact_users")) <=
               lit(0.05) * col("exact_users")).cast("long").as("mv_in_band"))
           .orderBy(col("wk"), col("event_type"))
@@ -1294,6 +1302,8 @@ object DialectQueries {
     Some("""
       SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
              event_type,
+             CAST(count(1) AS BIGINT) AS n,
+             round(sum(value), 2) AS v_sum,
              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
              CAST(1 AS BIGINT) AS mv_in_band
       FROM events

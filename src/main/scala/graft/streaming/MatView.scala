@@ -82,18 +82,27 @@ object MatView {
         .groupBy(gcols: _*)
         .agg(hll_union_agg(col(s"`$sketchCol`"), lit(true))
           .as(sketchCol))
-    // state tables are |groups|-sized — collect-to-swap stays tiny;
-    // localCheckpoint materializes BEFORE the old state dir is
-    // replaced (reading and overwriting the same files in one plan
-    // would race)
+    swapState(spark, merged, stateDir)
+  }
+
+  /** Materialize `merged` and swap it in as the new state table. The
+    * frame may READ the current state (the usual fold) — it
+    * localCheckpoints BEFORE any file moves, so the plan never reads
+    * files the swap is replacing. Swap is retire-then-rename: at no
+    * instant is the only full state copy in a dot-dir a restart would
+    * ignore (delete-then-rename has a crash window that loses the
+    * whole rollup). State tables are |groups|-sized, so the
+    * checkpoint stays tiny.
+    */
+  def swapState(spark: SparkSession, merged: DataFrame,
+      stateDir: String): Unit = {
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
     val rows = merged.localCheckpoint(eager = true)
     val tmp = new org.apache.hadoop.fs.Path(
       statePath.getParent, s".${statePath.getName}_next")
     fs.delete(tmp, true)
     rows.write.parquet(tmp.toString)
-    // swap via retire-then-rename: at no instant is the only full
-    // state copy in a dot-dir a restart would ignore (delete-then-
-    // rename has a crash window that loses the whole rollup)
     val retired = new org.apache.hadoop.fs.Path(
       statePath.getParent, s".${statePath.getName}_retired")
     fs.delete(retired, true)

@@ -217,6 +217,44 @@ class ChDdlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("MATERIALIZED VIEW with the full -State family: exact merges") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_mvfam"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE fam_src (`uid` UInt64, `grp` String, `v` Float64,
+          `d` Date)
+        ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
+      spark.sql("""
+        CREATE MATERIALIZED VIEW fam_mv ENGINE = AggregatingMergeTree
+        AS SELECT grp, countState() AS n, sumState(v) AS sv,
+                  minState(v) AS mn, maxState(v) AS mx,
+                  avgState(v) AS av, uniqState(uid) AS u
+        FROM fam_src GROUP BY grp""")
+      Seq((1L, "a", 2.0, "2024-01-02"), (2L, "a", 4.0, "2024-01-03"))
+        .toDF("uid", "grp", "v", "ds").createOrReplaceTempView("fam_b1")
+      Seq((1L, "a", 6.0, "2024-01-09"), (3L, "b", 1.5, "2024-01-09"))
+        .toDF("uid", "grp", "v", "ds").createOrReplaceTempView("fam_b2")
+      spark.sql(
+        "INSERT INTO fam_src SELECT uid, grp, v, CAST(ds AS DATE) FROM fam_b1")
+      spark.sql(
+        "INSERT INTO fam_src SELECT uid, grp, v, CAST(ds AS DATE) FROM fam_b2")
+      val got = spark.sql("""
+        SELECT grp, countMerge(n) AS n, round(sumMerge(sv), 2) AS sv,
+               minMerge(mn) AS mn, maxMerge(mx) AS mx,
+               round(avgMerge(av), 4) AS av, uniqMerge(u) AS uu
+        FROM fam_mv GROUP BY grp ORDER BY grp""").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .toSeq
+      // grp a: 3 rows across two inserts, values {2,4,6}, users {1,2}
+      assert(got == Seq(
+        ("a", 3L, 12.0, 2.0, 6.0, 4.0, 2L),
+        ("b", 1L, 1.5, 1.5, 1.5, 1.5, 1L)))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("MATERIALIZED VIEW with POPULATE folds pre-existing data in") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_mvpop"
     FsUtil.rmTree(root)
