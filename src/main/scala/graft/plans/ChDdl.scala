@@ -121,7 +121,7 @@ object ChDdl {
         val (fields, tailStart) =
           if (hasCols) {
             val (colsBody, after) = balancedSpan(masked, m.end - 1)
-            (splitTop(colsBody).map(parseColumn), after)
+            (splitTop(colsBody).flatMap(parseColumn), after)
           } else (Seq.empty[StructField], m.end)
         val fullTail = masked.substring(tailStart).replaceAll(";\\s*$", "")
         // the CTAS form: a depth-0 `AS SELECT ...` terminates the
@@ -252,8 +252,17 @@ object ChDdl {
     out.result().map(stripWs).filter(_.nonEmpty)
   }
 
-  private def parseColumn(def0: String): StructField = {
+  // column modifiers parsed-and-dropped: defaults/codecs/comments are
+  // storage-engine concerns the parquet layout doesn't carry
+  private val columnModifiers = Set("DEFAULT", "MATERIALIZED", "EPHEMERAL",
+    "ALIAS", "CODEC", "COMMENT", "TTL")
+  // table-level entries that share the column list but define no column
+  private val nonColumnEntries = Set("INDEX", "CONSTRAINT", "PROJECTION")
+
+  private def parseColumn(def0: String): Option[StructField] = {
     val d = def0.trim
+    val firstWord = d.takeWhile(c => c.isLetterOrDigit || c == '_')
+    if (nonColumnEntries.contains(firstWord.toUpperCase)) return None
     val (name, rest) =
       if (d.startsWith("`")) {
         val e = d.indexOf('`', 1)
@@ -263,8 +272,25 @@ object ChDdl {
         require(e > 0, s"cannot parse column definition: $d")
         (d.substring(0, e), d.substring(e + 1).trim)
       }
-    val (dt, nullable) = chType(rest)
-    StructField(name, dt, nullable)
+    // the type runs to the first depth-0 modifier keyword
+    var i = 0
+    var depth = 0
+    var typeEnd = rest.length
+    while (i < rest.length && typeEnd == rest.length) {
+      rest.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if c.isLetter && depth == 0 =>
+          val w = rest.substring(i)
+            .takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+          if (columnModifiers.contains(w.toUpperCase) && i > 0)
+            typeEnd = i
+          else i += w.length
+        case _ => i += 1
+      }
+    }
+    val (dt, nullable) = chType(rest.substring(0, typeEnd))
+    Some(StructField(name, dt, nullable))
   }
 
   private val clauseKws = Seq("ENGINE", "PARTITION BY", "PRIMARY KEY",

@@ -280,6 +280,27 @@ class ChDdlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("column modifiers and table-level INDEX entries parse-and-drop") {
+    val p = graft.plans.ChDdl.parseCreateTable("""
+      CREATE TABLE modded
+      (
+          `k` UInt64 CODEC(Delta, ZSTD(3)),
+          `d` Date DEFAULT toDate(now()) COMMENT 'event day',
+          `s` Nullable(String) DEFAULT 'none',
+          `v` Float64 TTL d + INTERVAL 1 MONTH,
+          INDEX idx_s s TYPE bloom_filter GRANULARITY 4,
+          CONSTRAINT c1 CHECK v >= 0,
+          `z` LowCardinality(String)
+      )
+      ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (k)""").get
+    import org.apache.spark.sql.types._
+    assert(p.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq
+      == Seq(("k", LongType, false), ("d", DateType, false),
+        ("s", StringType, true), ("v", DoubleType, false),
+        ("z", StringType, false)))
+    assert(p.partitionBy.contains("d"))
+  }
+
   test("TRUNCATE empties a binding's data; DROP detaches it") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_drop"
     FsUtil.rmTree(root)
