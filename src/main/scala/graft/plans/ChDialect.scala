@@ -644,6 +644,16 @@ object ChDialect {
     "cutFragment" -> (args => ex(url.cutFragment(col(args.head)))),
     "cutQueryStringAndFragment" -> (args =>
       ex(url.cutQueryStringAndFragment(col(args.head)))),
+    // multiIf(c1, v1, c2, v2, ..., else) — CH's n-way conditional
+    "multiIf" -> (args => {
+      require(args.length >= 3 && args.length % 2 == 1,
+        "multiIf needs cond/value pairs plus an else branch")
+      val (pairs, Seq(orElse)) = args.splitAt(args.length - 1)
+      ex(pairs.grouped(2).foldLeft(Option.empty[Column]) {
+        case (acc, Seq(c, v)) =>
+          Some(acc.fold(when(col(c), col(v)))(_.when(col(c), col(v))))
+      }.get.otherwise(col(orElse)))
+    }),
     // CH window functions (lagInFrame / leadInFrame — the
     // well-defined in-frame forms) and neighbor. CH's neighbor /
     // runningDifference read BLOCK order, which is nondeterministic

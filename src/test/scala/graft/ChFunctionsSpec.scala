@@ -88,4 +88,14 @@ class ChFunctionsSpec extends SparkSpec {
         s"uniq out of band for ${r.get(0)}: exact=$exact approx=$approx")
     }
   }
+
+  test("multiIf: n-way conditional with CH argument order") {
+    val rows = spark.sql("""
+      SELECT multiIf(id < 2, 'low', id < 4, 'mid', 'high') AS b
+      FROM range(6) ORDER BY id""").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("low", "low", "mid", "mid", "high", "high"))
+    val err = intercept[Exception](
+      spark.sql("SELECT multiIf(true, 1)").collect())
+    assert(err.getMessage.contains("pairs"))
+  }
 }
