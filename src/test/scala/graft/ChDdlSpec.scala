@@ -280,6 +280,40 @@ class ChDdlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("the reference's visits DDL + collapsing pairs + Q1 over FINAL " +
+      "end-to-end") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_visits"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      // the reference's own 224-column CREATE TABLE, verbatim
+      spark.sql(refDdl("visits.sql"))
+      graft.queries.MetricaQueries.rawVisitPairs(spark)
+        .createOrReplaceTempView("visits_raw_src")
+      spark.sql("INSERT INTO visits_x1 SELECT * FROM visits_raw_src")
+      // Q1's daily visits measure: over FINAL every surviving row is
+      // the latest LIVE version, so count(1) equals the query-time
+      // sum(Sign) over the raw pairs — the collapsing invariant
+      val overFinal = spark.sql("""
+        SELECT StartDate AS d, count(1) AS visits
+        FROM visits_x1 FINAL
+        GROUP BY StartDate ORDER BY d""").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      val queryTime = spark.table("visits_raw_src")
+        .groupBy(col("StartDate"))
+        .agg(sum(col("Sign")).cast("long").as("visits"))
+        .orderBy(col("StartDate")).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      assert(overFinal.nonEmpty && overFinal == queryTime)
+      // the engine stamps came from the DDL: SAMPLE works too
+      val sampled = spark.sql(
+        "SELECT count(1) AS n FROM visits_x1 SAMPLE 0.5")
+        .collect().head.getLong(0)
+      val all = spark.table("visits_x1").count()
+      assert(sampled > 0 && sampled < all)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("column modifiers and table-level INDEX entries parse-and-drop") {
     val p = graft.plans.ChDdl.parseCreateTable("""
       CREATE TABLE modded
