@@ -591,6 +591,11 @@ object ChDialect {
     // sketch aggregate, uniqMerge unions stored sketches and
     // estimates. The sketch FORMAT differs from CH's (a CH state blob
     // is not portable anyway); the role and the rollup algebra match.
+    // uniqCombined/uniqHLL12 are CH's other HLL-family estimators —
+    // same contract class as uniq (approximate distinct count), so
+    // they share the HLL++ implementation here
+    "uniqCombined" -> (args => ex(ch.uniq(col(args.head)))),
+    "uniqHLL12" -> (args => ex(ch.uniq(col(args.head)))),
     "uniqState" -> (args => ex(hll_sketch_agg(col(args.head)))),
     "uniqMerge" -> (args =>
       ex(hll_sketch_estimate(hll_union_agg(col(args.head))))),
