@@ -331,7 +331,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private def needsPreRewrite(sqlText: String): Boolean = {
     val (masked, _) = maskLiterals(sqlText)
     arrayJoinKw.findFirstIn(masked).isDefined ||
-      finalRe.findFirstIn(masked).isDefined
+      finalRe.findFirstIn(masked).isDefined ||
+      // `quantile(L)(x)` / `windowFunnel(w)(...)` parse in Spark's
+      // grammar as CHAINED CALLS (no ParseException, then
+      // UNRESOLVED_ROUTINE at analysis) — standalone uses must
+      // pre-rewrite like ARRAY JOIN / FINAL
+      quantileHead.findFirstIn(masked).isDefined ||
+      paramAggHead.findFirstIn(masked).isDefined
   }
 
   /** Strip every `FROM t FINAL` to `FROM t` and mark the plan with

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+/** ScalaCheck properties for the dialect parser's text machinery: for
+  * ANY string literal — including ones spelling clause keywords,
+  * commas, parens, doubled quotes, and mask-sentinel look-alikes —
+  * the literal masking must be a perfect roundtrip through every
+  * rewrite, and the CH clause rewrites must be value-equivalent to
+  * their ANSI forms on arbitrary parameters.
+  */
+object ParserProps extends Properties("parser") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  // literal fragments chosen to ambush the clause regexes
+  private val fragment: Gen[String] = Gen.oneOf(
+    "GROUP BY x WITH TOTALS", "LIMIT 5, 10", "ARRAY JOIN arr AS a",
+    "FROM t FINAL", "SAMPLE 0.3", "PREWHERE z", "SETTINGS a=1",
+    "quantile(0.5)(x)", "a, b, c", "((", "))", "'", "plain",
+    "INSERT INTO t SELECT", "ALTER TABLE t DELETE WHERE 1",
+    "", "0", "AS SELECT")
+
+  private val literal: Gen[String] = for {
+    parts <- Gen.listOfN(3, fragment)
+  } yield parts.mkString(" ")
+
+  property("string literals pass through every rewrite untouched") =
+    Prop.forAll(literal) { lit =>
+      val spark = SparkSpec.spark
+      val quoted = lit.replace("'", "''")
+      // a CH clause in the text forces the full rewrite machinery to
+      // run around the literal
+      val out = spark.sql(
+        s"SELECT '$quoted' AS s, count(1) AS n FROM range(7) " +
+          "GROUP BY 1 WITH TOTALS ORDER BY s NULLS LAST LIMIT 0, 5")
+        .collect()
+      (out.length == 2) :| s"rows: ${out.length}" &&
+        (out.head.getString(0) == lit) :| s"got '${out.head.getString(0)}'"
+    }
+
+  property("LIMIT o,n equals LIMIT n OFFSET o for any offsets") =
+    Prop.forAll(Gen.choose(0, 30), Gen.choose(1, 30)) { (o, n) =>
+      val spark = SparkSpec.spark
+      val ch = spark.sql(
+        s"SELECT id FROM range(25) ORDER BY id LIMIT $o, $n")
+        .collect().map(_.getLong(0)).toSeq
+      val ansi = spark.sql(
+        s"SELECT id FROM range(25) ORDER BY id LIMIT $n OFFSET $o")
+        .collect().map(_.getLong(0)).toSeq
+      (ch == ansi) :| s"CH $ch vs ANSI $ansi"
+    }
+
+  property("quantile(L)(x) equals percentile(x, L) for any level") =
+    Prop.forAll(Gen.choose(1, 99)) { pct =>
+      val spark = SparkSpec.spark
+      val l = pct / 100.0
+      val ch = spark.sql(
+        s"SELECT quantile($l)(id) FROM range(101)")
+        .collect().head.getDouble(0)
+      val ansi = spark.sql(
+        s"SELECT percentile(id, $l) FROM range(101)")
+        .collect().head.getDouble(0)
+      (ch == ansi) :| s"CH $ch vs ANSI $ansi"
+    }
+
+  property("SAMPLE f is a nested deterministic subset for any fraction") =
+    Prop.forAll(Gen.choose(5, 45), Gen.choose(50, 95)) { (fa, fb) =>
+      val spark = SparkSpec.spark
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.MetadataBuilder
+      val md = new MetadataBuilder()
+        .putBoolean("graft.sampleKey", true).build()
+      spark.range(0, 500).select(col("id").as("k", md))
+        .createOrReplaceTempView("props_sample_t")
+      def ids(f: Double) = spark.sql(
+        s"SELECT k FROM props_sample_t SAMPLE $f")
+        .collect().map(_.getLong(0)).toSet
+      val small = ids(fa / 100.0)
+      val big = ids(fb / 100.0)
+      (small == ids(fa / 100.0)) :| "deterministic" &&
+        small.subsetOf(big) :| s"${fa}% not nested in ${fb}%"
+    }
+}
