@@ -374,7 +374,8 @@ object Dedup {
     * deterministic regardless of join order.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      smallGraphEdges: Long = 2L * 1024 * 1024): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
       // a null endpoint would ride along as an unreachable phantom node
@@ -383,6 +384,16 @@ object Dedup {
     val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
     try {
+      // SCALE-ADAPTIVE: a near-dup pair graph is tiny relative to its
+      // corpus (pairs ≪ docs). Below the threshold a driver
+      // union-find answers in ONE collect instead of ~log(diameter)
+      // shuffle+checkpoint rounds of pure job latency; past it the
+      // distributed loop below takes over. 2M directed edges ≈ 32 MB
+      // on the driver — far under any sane driver heap.
+      val biCount = bi.count()
+      if (biCount <= smallGraphEdges)
+        return driverComponents(pairs.sparkSession, bi.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
       var labels = bi.select(col("u").as("id")).distinct()
         .withColumn("lbl", col("id")).localCheckpoint()
       var changed = 1L
@@ -416,6 +427,40 @@ object Dedup {
         s"connectedComponents: no fixpoint after $maxIter rounds")
       labels.select(col("id"), col("lbl").as("cluster_id"))
     } finally bi.unpersist()
+  }
+
+  /** Driver-side union-find for small pair graphs — value-identical
+    * to the distributed loop: every node labels with the MINIMUM id
+    * reachable in its component.
+    */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val nodes = parent.keys.toArray
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    nodes.toSeq.map(n => (n, minOfRoot(find(n))))
+      .toDF("id", "cluster_id")
   }
 
   /** Cluster-dedup survivors: drop every row whose id sits in a pair

@@ -152,12 +152,18 @@ class DedupSpec extends SparkSpec {
     val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
     val pair = Seq((21L, 20L)) // min on the RIGHT side
     val pairs = (chain ++ star ++ pair).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
-    (100L to 111L).foreach(i => assert(got(i) == 100L, s"chain node $i"))
-    Seq(10L, 11L, 12L, 13L).foreach(i => assert(got(i) == 10L))
-    assert(got(20L) == 20L && got(21L) == 20L)
-    assert(got.size == 12 + 4 + 2) // only ids that appear in pairs
+    // BOTH execution paths must agree: the driver union-find (small
+    // graphs — the default here) and the distributed label-propagation
+    // loop (smallGraphEdges = 0 forces it)
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val got = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        smallGraphEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      (100L to 111L).foreach(i => assert(got(i) == 100L, s"chain node $i"))
+      Seq(10L, 11L, 12L, 13L).foreach(i => assert(got(i) == 10L))
+      assert(got(20L) == 20L && got(21L) == 20L)
+      assert(got.size == 12 + 4 + 2) // only ids that appear in pairs
+    }
   }
 
   test("connectedComponents: transitive a~b~c without a~c in one cluster") {
