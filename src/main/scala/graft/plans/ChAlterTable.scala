@@ -174,7 +174,8 @@ case class ChTruncateTableCommand(table: String)
   * partition column joins the grouping key), then an atomic
   * directory swap. Returns the surviving week partitions.
   */
-case class ChOptimizeTableCommand(table: String)
+case class ChOptimizeTableCommand(table: String,
+    partition: Option[String] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -203,26 +204,48 @@ case class ChOptimizeTableCommand(table: String)
     val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = new Path(tablePath.getParent,
       s".${tablePath.getName}_optimize_${System.nanoTime()}")
+    // PARTITION 'monday': only that week's rows compact and only that
+    // week's directory swaps — the IO is one partition, not the table
+    val source = partition.fold(wh.read(spark, b.path))(w =>
+      wh.read(spark, b.path)
+        .filter(org.apache.spark.sql.functions.col(wh.weekCol) ===
+          org.apache.spark.sql.functions.lit(w).cast("date")))
     sign match {
       case Some(sc) =>
-        wh.compact(spark, b.path, out.toString, dateCol.get, orderKey,
-          keys, ver.get, sc)
+        wh.write(graft.operators.Relational.latestVersions(source,
+            wh.weekCol +: keys, ver.get, sc).drop(wh.weekCol),
+          out.toString, dateCol.get, orderKey)
       case None => // Replacing semantics: latest version wins, no cancels
         wh.write(graft.operators.Relational.latestByKey(
-            wh.read(spark, b.path), wh.weekCol +: keys, Seq(ver.get))
+            source, wh.weekCol +: keys, Seq(ver.get))
             .drop(wh.weekCol),
           out.toString, dateCol.get, orderKey)
     }
-    val old = new Path(tablePath.getParent,
-      s".${tablePath.getName}_retired_${System.nanoTime()}")
-    require(fs.rename(tablePath, old), s"optimize swap-out failed: $table")
-    require(fs.rename(out, tablePath), s"optimize swap-in failed: $table")
-    fs.delete(old, true)
+    partition match {
+      case Some(w) =>
+        val live = new Path(tablePath, s"${wh.weekCol}=$w")
+        val fresh = new Path(out, s"${wh.weekCol}=$w")
+        if (fs.exists(live)) fs.delete(live, true)
+        if (fs.exists(fresh))
+          require(fs.rename(fresh, live),
+            s"optimize partition swap failed: $w")
+        fs.delete(out, true)
+      case None =>
+        val old = new Path(tablePath.getParent,
+          s".${tablePath.getName}_retired_${System.nanoTime()}")
+        require(fs.rename(tablePath, old),
+          s"optimize swap-out failed: $table")
+        require(fs.rename(out, tablePath),
+          s"optimize swap-in failed: $table")
+        fs.delete(old, true)
+    }
     spark.catalog.refreshByPath(b.path)
     graft.sources.Catalog.register(spark, b)
     fs.listStatus(tablePath).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(s"${wh.weekCol}="))
+      .filter(st => partition.forall(w =>
+        st.getPath.getName == s"${wh.weekCol}=$w"))
       .map(st => st.getPath.getName.substring(wh.weekCol.length + 1))
       .sorted.map(Row(_))
   }

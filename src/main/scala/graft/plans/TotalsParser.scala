@@ -449,11 +449,15 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private val alterUpdateRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+UPDATE\s+(.+?)\s+WHERE\s+""" +
       """(.+?)(?:\s+SETTINGS\s+.*)?\s*$""").r
-  // `OPTIMIZE TABLE t [FINAL]` — force the background merge now; with
-  // or without FINAL the engine compacts fully (CH's FINAL forces the
-  // merge even for a single part, a distinction parquet doesn't have)
+  // `OPTIMIZE TABLE t [PARTITION 'monday'] [FINAL]` — force the
+  // background merge now, whole-table or one week partition (the ops
+  // reality at scale: you merge the partition that took writes, never
+  // the table). With or without FINAL the engine compacts fully
+  // (CH's FINAL forces the merge even for a single part, a
+  // distinction parquet doesn't have).
   private val optimizeRe =
-    """(?is)^\s*OPTIMIZE\s+TABLE\s+`?([\w.]+?)`?(?:\s+FINAL)?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+TABLE\s+`?([\w.]+?)`?""" +
+      """(?:\s+PARTITION\s+(\S+))?(?:\s+FINAL)?\s*$""").r
   // `CREATE MATERIALIZED VIEW mv [TO t] [ENGINE = ...] [POPULATE]
   // AS SELECT ...` — the middle section (engine, order, populate) is
   // scanned for POPULATE and otherwise dropped
@@ -515,8 +519,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
             unmaskLiterals(stripWs(a.substring(eq + 1)), lits))
         }
         Some(ChAlterTableCommand(table, pairs, unmaskLiterals(cond, lits)))
-      case optimizeRe(table) =>
-        Some(ChOptimizeTableCommand(table))
+      case optimizeRe(table, partition) =>
+        Some(ChOptimizeTableCommand(table,
+          Option(partition).map(p =>
+            unmaskLiterals(p, lits).replaceAll("^'|'$", ""))))
       case createMvRe(name0, mid, select) =>
         val name = name0.substring(name0.lastIndexOf('.') + 1)
         Some(ChCreateMvCommand(name,

@@ -165,6 +165,16 @@ class MutationSpec extends SparkSpec {
     Warehouse.write(raw, b, "d", orderKey = Seq("id", "ver"))
     graft.sources.Catalog.register(spark,
       graft.sources.Binding("opt_sql_t", b))
+    // PARTITION-scoped first: only week 1 compacts (week 2's raw rows
+    // stay), only week 1's directory is touched
+    val w2Before = files(b, "2024-01-08")
+    val part = spark.sql(
+      "OPTIMIZE TABLE opt_sql_t PARTITION '2024-01-01' FINAL")
+      .collect().map(_.getString(0)).toSeq
+    assert(part == Seq("2024-01-01"))
+    assert(files(b, "2024-01-08") == w2Before)
+    assert(spark.table("opt_sql_t")
+      .filter($"week" === "2024-01-01").count() == 1) // collapsed
     val weeks = spark.sql("OPTIMIZE TABLE opt_sql_t FINAL")
       .collect().map(_.getString(0)).toSeq
     assert(weeks == Seq("2024-01-01", "2024-01-08"))
