@@ -84,6 +84,23 @@ case class ChFinal(tables: Seq[String], child: LogicalPlan)
     copy(child = newChild)
 }
 
+/** CH `a ASOF [LEFT] JOIN b ON a.k = b.k AND a.t >= b.t` — for every
+  * left row, the single right row with the same key and the latest
+  * `b.t <= a.t`. The parser strips `ASOF` (the reduced text parses as
+  * a plain join) and marks the plan; the rule rewrites the Join node
+  * whose condition carries the >= conjunct into
+  * [[graft.operators.Relational.asofJoin]] — the two-pass prefix-scan
+  * shape, never the equi-match-then-filter pair blowup. ASOF JOIN
+  * (inner) drops left rows with no prior right row; ASOF LEFT JOIN
+  * keeps them with NULLs, exactly CH. Only the `>=` direction is
+  * expressible (CH's other directions are rare and API-reachable).
+  */
+case class ChAsofJoin(child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): ChAsofJoin =
+    copy(child = newChild)
+}
+
 case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -97,7 +114,100 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         pushSample(f, child)
       case ChFinal(tables, child) if child.resolved =>
         applyFinal(tables, child)
+      case ChAsofJoin(child) if child.resolved =>
+        applyAsof(child)
     }
+
+  /** Rewrite the (single) marked Join into the asof operator. The
+    * replacement keeps the Join's output attribute ids via forced-id
+    * aliases, so references above stay bound.
+    */
+  private def applyAsof(child: LogicalPlan): LogicalPlan = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    var done = false
+    val out = child.transformUp {
+      case j @ Join(l, r, joinType, Some(cond), _) if !done &&
+          conjuncts(cond).exists(_.isInstanceOf[GreaterThanOrEqual]) =>
+        done = true
+        val lSet = l.outputSet
+        val rSet = r.outputSet
+        val parts = conjuncts(cond)
+        val eqPairs = parts.collect {
+          case EqualTo(a: Attribute, b: Attribute)
+              if lSet.contains(a) && rSet.contains(b) => (a, b)
+          case EqualTo(b: Attribute, a: Attribute)
+              if lSet.contains(a) && rSet.contains(b) => (a, b)
+        }
+        val ineqs = parts.collect {
+          case GreaterThanOrEqual(lt: Attribute, rt: Attribute)
+              if lSet.contains(lt) && rSet.contains(rt) => (lt, rt)
+          case LessThanOrEqual(rt: Attribute, lt: Attribute)
+              if lSet.contains(lt) && rSet.contains(rt) => (lt, rt)
+        }
+        require(eqPairs.nonEmpty,
+          "ASOF JOIN needs at least one equality conjunct")
+        require(ineqs.length == 1,
+          "ASOF JOIN needs exactly one left >= right time conjunct")
+        require(parts.length == eqPairs.length + 1,
+          "ASOF JOIN supports equality conjuncts plus ONE >= bound")
+        val (lt, rt) = ineqs.head
+        import org.apache.spark.sql.GraftSqlBridge.ofRows
+        import org.apache.spark.sql.functions.{col => fcol}
+        val leftDf = ofRows(spark, l)
+        // right columns rename to collision-proof temp names; the key
+        // columns take their LEFT partner's temp-free name so the
+        // equi-join keys align
+        val rAttrs = r.output
+        val tmpNames = rAttrs.indices.map(i => s"__graft_asof_r$i")
+        val rightDf = ofRows(spark, r).toDF(tmpNames: _*)
+        def tmpOf(a: Attribute): String =
+          tmpNames(rAttrs.indexWhere(_.exprId == a.exprId))
+        // align key names: temp right frame gets the left key names
+        val keyedRight = eqPairs.foldLeft(rightDf) { case (df, (la, ra)) =>
+          df.withColumnRenamed(tmpOf(ra), la.name + "__graft_asof_k")
+        }
+        val keyedLeft = eqPairs.foldLeft(leftDf) { case (df, (la, _)) =>
+          df.withColumn(la.name + "__graft_asof_k",
+            fcol(s"`${la.name}`"))
+        }
+        val keyNames = eqPairs.map(_._1.name + "__graft_asof_k")
+        val rightPayload = rAttrs.filterNot(a =>
+          eqPairs.exists(_._2.exprId == a.exprId)).map(tmpOf)
+        val joined = graft.operators.Relational.asofJoin(
+          keyedLeft, keyedRight, keyNames,
+          leftTime = lt.name, rightTime = tmpOf(rt),
+          rightCols = rightPayload)
+        // inner semantics: a left row with no prior right row drops
+        val filtered = joinType match {
+          case org.apache.spark.sql.catalyst.plans.Inner =>
+            joined.filter(fcol(s"`${tmpOf(rt)}`").isNotNull)
+          case org.apache.spark.sql.catalyst.plans.LeftOuter => joined
+          case other => throw new IllegalArgumentException(
+            s"ASOF JOIN supports inner/left, got $other")
+        }
+        // project back to the Join's own output: left attrs, then
+        // right attrs (key columns re-emitted from the left partner,
+        // as the equality guarantees equal values)
+        val analyzed = filtered.queryExecution.analyzed
+        val byName = analyzed.output.map(a => a.name -> a).toMap
+        val projected = j.output.map { oa =>
+          val src =
+            if (lSet.contains(oa)) byName(oa.name)
+            else eqPairs.find(_._2.exprId == oa.exprId) match {
+              case Some((la, _)) => byName(la.name + "__graft_asof_k")
+              case None => byName(tmpOf(oa))
+            }
+          Alias(src, oa.name)(exprId = oa.exprId)
+        }
+        Project(projected, analyzed)
+    }
+    require(done,
+      "ASOF JOIN: no join with a left >= right conjunct found")
+    out
+  }
 
   /** Rewrite the marked tables' stamped relations into their
     * latest-live-version view. Matching is by SubqueryAlias name

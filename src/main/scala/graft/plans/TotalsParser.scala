@@ -327,11 +327,15 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // a table reference (possibly backticked / dotted) followed by FINAL
   private val finalRe =
     """(?is)\b(FROM\s+(?:`[^`]+`|[\w.])+)\s+FINAL\b""".r
+  // `ASOF [LEFT] JOIN` — strip the ASOF keyword (the reduced text is
+  // a plain join) and mark the plan for the asof rewrite
+  private val asofRe = """(?i)\bASOF\s+(?=(?:LEFT\s+)?JOIN\b)""".r
 
   private def needsPreRewrite(sqlText: String): Boolean = {
     val (masked, _) = maskLiterals(sqlText)
     arrayJoinKw.findFirstIn(masked).isDefined ||
       finalRe.findFirstIn(masked).isDefined ||
+      asofRe.findFirstIn(masked).isDefined ||
       // `quantile(L)(x)` / `windowFunnel(w)(...)` parse in Spark's
       // grammar as CHAINED CALLS (no ParseException, then
       // UNRESOLVED_ROUTINE at analysis) — standalone uses must
@@ -547,10 +551,14 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       try extractSample(m2) catch { case _: Exception => (m2, None) }
     val (m4, finalWrap) =
       try extractFinal(m3) catch { case _: Exception => (m3, None) }
+    val (m4a, asofWrap) =
+      if (asofRe.findFirstIn(m4).isEmpty) (m4, None)
+      else (asofRe.replaceAllIn(m4, ""),
+        Some((p: LogicalPlan) => ChAsofJoin(p)))
     // deliberately NOT swallowed: its IllegalArgumentExceptions
     // ("item needs an AS alias") are the user-facing diagnostics, and
     // only ARRAY JOIN texts can reach them
-    val m5 = rewriteArrayJoin(m4)
+    val m5 = rewriteArrayJoin(m4a)
     // ALL occurrences: the clause may appear in a subquery AND the
     // outer query (each match substitutes its own keys)
     val afterTotals = totals.replaceAllIn(m5, m =>
@@ -563,13 +571,15 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     val finalText = unmaskLiterals(rewritten, lits)
     if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&
-      sampleWrap.isEmpty && finalWrap.isEmpty) None
+      sampleWrap.isEmpty && finalWrap.isEmpty && asofWrap.isEmpty) None
     else Some(Rewritten(finalText, plan => {
       // final innermost (compaction applies at the relation before
-      // anything else reads it), then sample (its rule pushes to the
-      // scan), then fill, then limit-by above it
+      // anything else reads it), then asof (its Join sits above the
+      // relations), then sample (its rule pushes to the scan), then
+      // fill, then limit-by above it
       val fin = finalWrap.fold(plan)(w => w(plan))
-      val sp = sampleWrap.fold(fin)(w => w(fin))
+      val asf = asofWrap.fold(fin)(w => w(fin))
+      val sp = sampleWrap.fold(asf)(w => w(asf))
       val f = fillWrap.fold(sp)(w => w(sp))
       lbWrap.fold(f)(w => w(f))
     }))

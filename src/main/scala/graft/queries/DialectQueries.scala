@@ -1310,6 +1310,59 @@ object DialectQueries {
       WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------------
+  // ASOF LEFT JOIN as verbatim SQL — q61's prevailing-checkpoint
+  // semantics through the parser: the ASOF keyword strips, the marked
+  // Join rewrites into the two-pass prefix-scan operator (never the
+  // equi-match-then-filter pair blowup), and the DuckDB oracle runs
+  // its OWN native ASOF LEFT JOIN over the same relations.
+  val q101ChAsofSql = QueryDef(
+    "q101_ch_asof_join_sql",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, expr, lit, min,
+        timestamp_micros, to_date}
+      import graft.functions.ch.toMonday
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val e = raw.select(col("event_type"),
+        expr("ts DIV 1000").as("t"),
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("d"))
+        .withColumn("wk", toMonday(col("d")))
+      e.select(col("event_type"), col("t"))
+        .createOrReplaceTempView("asof_e_v")
+      e.filter(col("wk") > lit("2024-01-01").cast("date"))
+        .groupBy(col("event_type"), col("wk"))
+        .agg(min(col("t")).as("cp_ts"), count(lit(1)).as("rate"))
+        .select(col("event_type"), col("cp_ts"), col("rate"))
+        .createOrReplaceTempView("asof_cp_v")
+      s.sql("""
+        SELECT e.event_type,
+               toInt64(count(1)) AS n_events,
+               toInt64(count(cp.rate)) AS n_matched,
+               toInt64(sum(cp.rate)) AS rate_sum,
+               uniqExact(cp.cp_ts) AS n_cp
+        FROM asof_e_v e ASOF LEFT JOIN asof_cp_v cp
+          ON e.event_type = cp.event_type AND e.t >= cp.cp_ts
+        GROUP BY e.event_type ORDER BY e.event_type""")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS t,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+        FROM events
+      ), cp AS (
+        SELECT event_type, min(t) AS cp_ts, CAST(count(1) AS BIGINT) AS rate
+        FROM e WHERE wk > DATE '2024-01-01'
+        GROUP BY event_type, wk
+      )
+      SELECT e.event_type,
+             CAST(count(1) AS BIGINT) AS n_events,
+             CAST(count(cp.rate) AS BIGINT) AS n_matched,
+             CAST(sum(cp.rate) AS BIGINT) AS rate_sum,
+             CAST(count(DISTINCT cp.cp_ts) AS BIGINT) AS n_cp
+      FROM e ASOF LEFT JOIN cp
+        ON e.event_type = cp.event_type AND e.t >= cp.cp_ts
+      GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1319,5 +1372,5 @@ object DialectQueries {
       q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
-      q99ChArrayReduce, q100ChMvWorkflow)
+      q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql)
 }

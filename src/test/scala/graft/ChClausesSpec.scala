@@ -134,6 +134,39 @@ class ChClausesSpec extends SparkSpec {
     assert(rows == Seq((1L, 2L, 3L), (2L, 1L, 1L)))
   }
 
+  test("ASOF JOIN: prevailing right record per left row, verbatim SQL") {
+    // trades join the latest quote with quote.t <= trade.t per symbol
+    Seq(("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 5L, 99.0),
+      ("B", 7L, 50.0))
+      .toDF("sym", "qt", "px").createOrReplaceTempView("asof_quotes")
+    Seq(("A", 12L), ("A", 4L), ("A", 25L), ("B", 7L), ("C", 9L))
+      .toDF("sym", "tt").createOrReplaceTempView("asof_trades")
+    // LEFT: unmatched trades keep NULLs
+    val left = spark.sql("""
+      SELECT t.sym, t.tt, q.qt, q.px
+      FROM asof_trades t ASOF LEFT JOIN asof_quotes q
+        ON t.sym = q.sym AND t.tt >= q.qt
+      ORDER BY t.sym, t.tt""").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    assert(left == Seq(
+      ("A", 4L, -1L, -1.0), // before any quote
+      ("A", 12L, 10L, 100.0),
+      ("A", 25L, 20L, 101.0),
+      ("B", 7L, 7L, 50.0), // tie: <= matches
+      ("C", 9L, -1L, -1.0))) // no quotes for C
+    // INNER: unmatched trades drop
+    val inner = spark.sql("""
+      SELECT t.sym, t.tt, q.px
+      FROM asof_trades t ASOF JOIN asof_quotes q
+        ON t.sym = q.sym AND t.tt >= q.qt
+      ORDER BY t.sym, t.tt""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inner == Seq(("A", 12L, 100.0), ("A", 25L, 101.0),
+      ("B", 7L, 50.0)))
+  }
+
   test("FINAL inside a subquery expression is reachable") {
     finalFixture("fin_sub")
     val n = spark.sql("""
