@@ -375,7 +375,7 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25,
-      smallGraphEdges: Long = 2L * 1024 * 1024): DataFrame = {
+      smallGraphEdges: Long = 512L * 1024): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
       // a null endpoint would ride along as an unreachable phantom node
@@ -388,8 +388,10 @@ object Dedup {
       // corpus (pairs ≪ docs). Below the threshold a driver
       // union-find answers in ONE collect instead of ~log(diameter)
       // shuffle+checkpoint rounds of pure job latency; past it the
-      // distributed loop below takes over. 2M directed edges ≈ 32 MB
-      // on the driver — far under any sane driver heap.
+      // distributed loop below takes over. The collect materializes
+      // boxed Rows — ~100 B each transiently, so the 512k default is
+      // ~50 MB of driver heap at worst, comfortably inside even a
+      // small driver.
       val biCount = bi.count()
       if (biCount <= smallGraphEdges)
         return driverComponents(pairs.sparkSession, bi.collect()
@@ -453,13 +455,9 @@ object Dedup {
       val (ru, rv) = (find(u), find(v))
       if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
     }
-    val nodes = parent.keys.toArray
-    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
-    nodes.foreach { n =>
-      val r = find(n)
-      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
-    }
-    nodes.toSeq.map(n => (n, minOfRoot(find(n))))
+    // union always points max-root at min-root, so every root IS its
+    // component's minimum id — find(n) is the label directly
+    parent.keys.toSeq.map(n => (n, find(n)))
       .toDF("id", "cluster_id")
   }
 

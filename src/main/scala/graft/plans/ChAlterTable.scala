@@ -94,25 +94,32 @@ case class ChInsertIntoCommand(table: String, selectSql: String)
       // a warehouse table (CH DDL with PARTITION BY) conforms to the
       // declared schema (order, types, typed nulls for omitted
       // columns) and appends through the week-partitioned clustered
-      // writer; a plain parquet binding appends files
+      // writer; a plain parquet binding appends files. MVs hang off
+      // these tables (CH's MVs trigger on MergeTree inserts, not S3
+      // exports): the trigger folds the SAME conformed frame that
+      // was written, cached so the select executes once even with
+      // several MVs attached.
       case "parquet" =>
         val df = b.schema.fold(named)(sc =>
           graft.schemas.Metrica.conform(named, sc))
-        b.dateCol match {
-          case Some(dc) =>
-            graft.sources.Warehouse.write(df, b.path, dc, b.orderKey)
-          case None => df.write.mode("append").parquet(b.path)
-        }
+        val mvs = ChMatView.onTable(table)
+        if (mvs.nonEmpty) df.persist()
+        try {
+          b.dateCol match {
+            case Some(dc) =>
+              graft.sources.Warehouse.write(df, b.path, dc, b.orderKey)
+            case None => df.write.mode("append").parquet(b.path)
+          }
+          // CH's materialized-view trigger: every INSERT folds the
+          // inserted batch into its MVs' states — O(batch + groups),
+          // the batch is in hand, history never rescans
+          mvs.foreach(mv => ChMatView.mergeInsert(spark, mv, df))
+        } finally if (mvs.nonEmpty) df.unpersist()
       case f => throw new IllegalArgumentException(
         s"INSERT INTO a binding supports csv/parquet targets, got $f")
     }
     spark.catalog.refreshByPath(b.path)
     graft.sources.Catalog.register(spark, b)
-    // CH's materialized-view trigger: every INSERT into a source
-    // table folds the inserted batch into its MVs' states —
-    // O(batch + groups), the batch is in hand, history never rescans
-    ChMatView.onTable(table).foreach(mv =>
-      ChMatView.mergeInsert(spark, mv, named))
     Seq.empty
   }
 }
@@ -206,29 +213,37 @@ case class ChOptimizeTableCommand(table: String,
       s".${tablePath.getName}_optimize_${System.nanoTime()}")
     // PARTITION 'monday': only that week's rows compact and only that
     // week's directory swaps — the IO is one partition, not the table
-    val source = partition.fold(wh.read(spark, b.path))(w =>
-      wh.read(spark, b.path)
-        .filter(org.apache.spark.sql.functions.col(wh.weekCol) ===
-          org.apache.spark.sql.functions.lit(w).cast("date")))
+    val filter: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = partition.fold(
+      identity[org.apache.spark.sql.DataFrame] _)(w => df =>
+      df.filter(org.apache.spark.sql.functions.col(wh.weekCol) ===
+        org.apache.spark.sql.functions.lit(w).cast("date")))
     sign match {
       case Some(sc) =>
-        wh.write(graft.operators.Relational.latestVersions(source,
-            wh.weekCol +: keys, ver.get, sc).drop(wh.weekCol),
-          out.toString, dateCol.get, orderKey)
+        wh.compact(spark, b.path, out.toString, dateCol.get, orderKey,
+          keys, ver.get, sc, sourceFilter = filter)
       case None => // Replacing semantics: latest version wins, no cancels
         wh.write(graft.operators.Relational.latestByKey(
-            source, wh.weekCol +: keys, Seq(ver.get))
+            filter(wh.read(spark, b.path)), wh.weekCol +: keys,
+            Seq(ver.get))
             .drop(wh.weekCol),
           out.toString, dateCol.get, orderKey)
     }
+    // retire-then-rename everywhere: at no instant is the only copy
+    // of live data in a hidden dir a restart would ignore
     partition match {
       case Some(w) =>
         val live = new Path(tablePath, s"${wh.weekCol}=$w")
         val fresh = new Path(out, s"${wh.weekCol}=$w")
-        if (fs.exists(live)) fs.delete(live, true)
+        val retired = new Path(tablePath.getParent,
+          s".${tablePath.getName}_retired_${System.nanoTime()}")
+        if (fs.exists(live))
+          require(fs.rename(live, retired),
+            s"optimize partition retire failed: $w")
         if (fs.exists(fresh))
           require(fs.rename(fresh, live),
             s"optimize partition swap failed: $w")
+        fs.delete(retired, true)
         fs.delete(out, true)
       case None =>
         val old = new Path(tablePath.getParent,

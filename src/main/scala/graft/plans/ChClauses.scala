@@ -120,17 +120,34 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Rewrite the (single) marked Join into the asof operator. The
     * replacement keeps the Join's output attribute ids via forced-id
-    * aliases, so references above stay bound.
+    * aliases, so references above stay bound. The marker wraps the
+    * whole plan, so the target join is found by SHAPE — exactly one
+    * join in scope may carry a time-bound conjunct, otherwise the
+    * statement is rejected rather than risking a silent rewrite of
+    * the wrong join (a query mixing ASOF with a plain range join, or
+    * using two ASOF joins, must split into staged views).
     */
   private def applyAsof(child: LogicalPlan): LogicalPlan = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
+    def isBound(e: Expression): Boolean = e match {
+      case _: GreaterThanOrEqual | _: LessThanOrEqual => true
+      case _ => false
+    }
+    val candidates = child.collectWithSubqueries {
+      case j @ Join(_, _, _, Some(cond), _)
+          if conjuncts(cond).exists(isBound) => j
+    }
+    require(candidates.length == 1,
+      s"ASOF JOIN: expected exactly one join with a time-bound " +
+        s"conjunct in scope, found ${candidates.length} — stage " +
+        "additional range/asof joins through views")
     var done = false
-    val out = child.transformUp {
+    val out = child.transformUpWithSubqueries {
       case j @ Join(l, r, joinType, Some(cond), _) if !done &&
-          conjuncts(cond).exists(_.isInstanceOf[GreaterThanOrEqual]) =>
+          conjuncts(cond).exists(isBound) =>
         done = true
         val lSet = l.outputSet
         val rSet = r.outputSet
@@ -189,15 +206,22 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"ASOF JOIN supports inner/left, got $other")
         }
         // project back to the Join's own output: left attrs, then
-        // right attrs (key columns re-emitted from the left partner,
-        // as the equality guarantees equal values)
+        // right attrs. Right KEY columns re-emit from the left
+        // partner (equal by the join condition) but only for MATCHED
+        // rows — an unmatched ASOF LEFT row carries NULL right keys
+        // like any outer join, gated on the right time column's
+        // null-ness
         val analyzed = filtered.queryExecution.analyzed
         val byName = analyzed.output.map(a => a.name -> a).toMap
+        val matchedRt = byName(tmpOf(rt))
         val projected = j.output.map { oa =>
-          val src =
+          val src: Expression =
             if (lSet.contains(oa)) byName(oa.name)
             else eqPairs.find(_._2.exprId == oa.exprId) match {
-              case Some((la, _)) => byName(la.name + "__graft_asof_k")
+              case Some((la, _)) =>
+                If(IsNotNull(matchedRt),
+                  byName(la.name + "__graft_asof_k"),
+                  Literal(null, oa.dataType))
               case None => byName(tmpOf(oa))
             }
           Alias(src, oa.name)(exprId = oa.exprId)

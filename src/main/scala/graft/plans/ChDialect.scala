@@ -224,7 +224,12 @@ object ChDialect {
         case "any" => ex(ch.chElementAt(arr, lit(1),
           col(Literal.default(args(1).dataType
             .asInstanceOf[ArrayType].elementType))))
-        case "anylast" => ex(element_at(arr, -1))
+        // via chElementAt, not element_at(arr, -1): ANSI mode (Spark
+        // 4's default) throws on an empty array, CH returns the
+        // element default
+        case "anylast" => ex(ch.chElementAt(arr, size(arr),
+          col(Literal.default(args(1).dataType
+            .asInstanceOf[ArrayType].elementType))))
         case other => throw new IllegalArgumentException(
           s"arrayReduce: unsupported aggregate '$other' (supported: " +
             "sum, min, max, count, avg, uniqExact, any, anyLast)")

@@ -54,7 +54,13 @@ object ChMatView {
     registry.values().asScala.filter(_.srcTable == src).toSeq
   }
   def remove(spark: SparkSession, name: String): Unit = {
-    registry.remove(name)
+    // CH DROP TABLE on an MV drops its inner state table too — a
+    // later CREATE MATERIALIZED VIEW under the same name must start
+    // EMPTY, never resurrect the dropped rollup
+    Option(registry.remove(name)).foreach { mv =>
+      val p = new org.apache.hadoop.fs.Path(mv.stateDir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
     spark.catalog.dropTempView(name)
   }
 
@@ -240,7 +246,13 @@ case class ChCreateMvCommand(name: String, populate: Boolean,
     val ps = ChMatView.parseSelect(selectSql)
     val root = spark.conf.getOption("spark.graft.warehouse")
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_warehouse")
-    val stateDir = s"$root/$name"
+    // dot-prefixed: table names cannot start with '.', so MV state
+    // can never collide with (or clobber) a CREATE TABLE data dir
+    val stateDir = s"$root/.mv_$name"
+    // a NEW view starts empty even if an earlier same-named MV left
+    // state behind
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
     // analysis-only: the declared shape of the readable view, with
     // columns renamed to the state's names (group aliases + sketch
     // alias) so the empty view and the persisted state agree

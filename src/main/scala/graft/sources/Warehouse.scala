@@ -76,10 +76,11 @@ object Warehouse {
     */
   def compact(spark: SparkSession, tableDir: String, outDir: String,
       dateCol: String, orderKey: Seq[String], idCols: Seq[String],
-      versionCol: String, signCol: String): Unit = {
+      versionCol: String, signCol: String,
+      sourceFilter: DataFrame => DataFrame = identity): Unit = {
     import graft.operators.Relational.latestVersions
-    write(latestVersions(read(spark, tableDir), weekCol +: idCols,
-        versionCol, signCol)
+    write(latestVersions(sourceFilter(read(spark, tableDir)),
+        weekCol +: idCols, versionCol, signCol)
         .drop(weekCol),
       outDir, dateCol, orderKey)
   }
