@@ -130,4 +130,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q91_ch_final_sql")
     assert(p.contains("hashpartitioning(eid"), p)
   }
+
+  test("q101: SQL ASOF JOIN takes the prefix-scan shape, not a pair blowup") {
+    // the rewrite must produce the union+window operator — an
+    // equi-match-then-filter plan shows up as a Join with a >= in its
+    // condition (every left row meets every same-key right row)
+    val p = plan("q101_ch_asof_join_sql")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("last("), p) // the running-last prefix window
+  }
 }
