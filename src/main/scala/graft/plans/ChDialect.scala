@@ -348,6 +348,23 @@ object ChDialect {
           "arrayStringConcat separator")))
       else ex(array_join(col(args.head), ""))),
     "arrayCompact" -> (args => ex(ch.arrayCompact(col(args.head)))),
+    // arrayZip(a, b, ...) → array of tuples (structs here, positional
+    // field access preserved); arrayDifference(a) → [0, a2-a1, ...]
+    // (CH: first element 0, then adjacent deltas)
+    "arrayZip" -> (args => ex(arrays_zip(args.map(col): _*))),
+    "arrayDifference" -> (args => {
+      val arr = col(args.head)
+      // prev = [a1, a1, a2, ...] truncated to |arr| (zip_with pads
+      // the SHORTER side with nulls, so lengths must already agree)
+      val prev = slice(concat(slice(arr, 1, 1), arr), lit(1), size(arr))
+      ex(zip_with(arr, prev, (cur, p) => cur - p))
+    }),
+    // splitByString(sep, s): multi-char separator, literal like
+    // splitByChar
+    "splitByString" -> (args => {
+      val sep = litString(args.head, "splitByString separator")
+      ex(split(col(args(1)), java.util.regex.Pattern.quote(sep)))
+    }),
     "arrayResize" -> (args => {
       val extender =
         if (args.length >= 3) col(args(2))

@@ -89,6 +89,20 @@ class ChFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("arrayZip / arrayDifference / splitByString") {
+    val r = spark.sql("""
+      SELECT arrayDifference(array(1L, 4L, 9L, 2L)) AS d,
+             arrayZip(array(1, 2), array('a', 'b')) AS z,
+             splitByString('::', 'a::b::c') AS sp,
+             arrayDifference(CAST(array() AS ARRAY<BIGINT>)) AS empty""")
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(0L, 3L, 5L, -7L))
+    assert(r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+      (x.getInt(0), x.getString(1))) == Seq((1, "a"), (2, "b")))
+    assert(r.getSeq[String](2) == Seq("a", "b", "c"))
+    assert(r.getSeq[Long](3).isEmpty)
+  }
+
   test("multiIf: n-way conditional with CH argument order") {
     val rows = spark.sql("""
       SELECT multiIf(id < 2, 'low', id < 4, 'mid', 'high') AS b
