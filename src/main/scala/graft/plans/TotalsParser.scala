@@ -330,6 +330,12 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // `ASOF [LEFT] JOIN` — strip the ASOF keyword (the reduced text is
   // a plain join) and mark the plan for the asof rewrite
   private val asofRe = """(?i)\bASOF\s+(?=(?:LEFT\s+)?JOIN\b)""".r
+  // CH `GLOBAL IN` / `GLOBAL JOIN` — a distributed-execution hint
+  // (broadcast the subquery to every shard instead of re-executing it
+  // per shard). Spark's optimizer makes that placement decision
+  // itself, so the keyword strips with no semantic residue.
+  private val globalRe =
+    """(?i)\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|(?:ANY\s+|LEFT\s+|INNER\s+|RIGHT\s+|FULL\s+)?JOIN\b)""".r
 
   private def needsPreRewrite(sqlText: String): Boolean = {
     val (masked, _) = maskLiterals(sqlText)
@@ -558,7 +564,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     // deliberately NOT swallowed: its IllegalArgumentExceptions
     // ("item needs an AS alias") are the user-facing diagnostics, and
     // only ARRAY JOIN texts can reach them
-    val m5 = rewriteArrayJoin(m4a)
+    val m5 = globalRe.replaceAllIn(rewriteArrayJoin(m4a), "")
     // ALL occurrences: the clause may appear in a subquery AND the
     // outer query (each match substitutes its own keys)
     val afterTotals = totals.replaceAllIn(m5, m =>

@@ -167,6 +167,19 @@ class ChClausesSpec extends SparkSpec {
       ("B", 7L, 50.0)))
   }
 
+  test("GLOBAL IN / GLOBAL JOIN strip as execution hints") {
+    fixture()
+    val n = spark.sql("""
+      SELECT count(1) AS n FROM aj_t
+      WHERE id GLOBAL IN (SELECT id FROM aj_t WHERE tag = 'a')""")
+      .collect().head.getLong(0)
+    assert(n == 2)
+    val j = spark.sql("""
+      SELECT count(1) AS n FROM aj_t a GLOBAL JOIN aj_t b ON a.id = b.id""")
+      .collect().head.getLong(0)
+    assert(j == 3)
+  }
+
   test("FINAL inside a subquery expression is reachable") {
     finalFixture("fin_sub")
     val n = spark.sql("""
