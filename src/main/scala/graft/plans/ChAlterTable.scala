@@ -138,6 +138,38 @@ case class ChDropTableCommand(table: String) extends LeafRunnableCommand {
   }
 }
 
+/** CH `RENAME TABLE a TO b` / `EXCHANGE TABLES a AND b`: pure
+  * catalog operations — bindings re-register under the new names,
+  * data stays where it is. EXCHANGE is the atomic blue-green swap
+  * (CTAS a rebuilt table, EXCHANGE it with the live one, DROP the
+  * old) — both names must exist; RENAME requires the target name to
+  * be free.
+  */
+case class ChRenameTableCommand(from: String, to: String,
+    exchange: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val a = graft.sources.Catalog.binding(from).getOrElse(
+      throw new IllegalArgumentException(
+        s"${if (exchange) "EXCHANGE TABLES" else "RENAME TABLE"}: " +
+          s"'$from' is not a registered Catalog binding"))
+    if (exchange) {
+      val b = graft.sources.Catalog.binding(to).getOrElse(
+        throw new IllegalArgumentException(
+          s"EXCHANGE TABLES: '$to' is not a registered Catalog binding"))
+      graft.sources.Catalog.register(spark,
+        a.copy(name = to), b.copy(name = from))
+    } else {
+      require(graft.sources.Catalog.binding(to).isEmpty,
+        s"RENAME TABLE: '$to' already exists")
+      graft.sources.Catalog.unregister(spark, from)
+      graft.sources.Catalog.register(spark, a.copy(name = to))
+    }
+    Seq.empty
+  }
+}
+
 /** CH `TRUNCATE TABLE t`: delete the binding's data files and leave
   * the (re-registered, now empty) table in place.
   */

@@ -47,6 +47,22 @@ object ChDdl {
     } else if (s.startsWith("FixedString(")) {
       val n = inner("FixedString(").trim.toInt
       (if (n >= 16) BinaryType else StringType, false)
+    } else if (s.startsWith("Map(")) {
+      val body = inner("Map(")
+      // split K, V at the top-level comma
+      var depth = 0
+      val cut = body.indices.find { i =>
+        body.charAt(i) match {
+          case '(' => depth += 1; false
+          case ')' => depth -= 1; false
+          case ',' => depth == 0
+          case _ => false
+        }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"cannot parse Map type: $s"))
+      val (kt, _) = chType(body.substring(0, cut))
+      val (vt, vn) = chType(body.substring(cut + 1))
+      (MapType(kt, vt, valueContainsNull = vn), false)
     } else if (s.startsWith("DateTime64")) (TimestampType, false)
     else if (s.startsWith("Decimal")) (DoubleType, false)
     else if (s.startsWith("Enum")) (StringType, false)

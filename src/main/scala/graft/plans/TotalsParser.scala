@@ -484,6 +484,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.]+?)`?\s*$""".r
   private val truncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.]+?)`?\s*$""".r
+  private val renameRe =
+    """(?is)^\s*RENAME\s+TABLE\s+`?([\w.]+?)`?\s+TO\s+`?([\w.]+?)`?\s*$""".r
+  private val exchangeRe =
+    """(?is)^\s*EXCHANGE\s+TABLES\s+`?([\w.]+?)`?\s+AND\s+`?([\w.]+?)`?\s*$""".r
 
   /** `INSERT INTO / DROP TABLE / TRUNCATE TABLE <registered binding>`
     * → the binding-lifecycle commands. Spark parses these shapes
@@ -533,6 +537,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         Some(ChOptimizeTableCommand(table,
           Option(partition).map(p =>
             unmaskLiterals(p, lits).replaceAll("^'|'$", ""))))
+      case renameRe(from, to) =>
+        Some(ChRenameTableCommand(from, to, exchange = false))
+      case exchangeRe(a, b) =>
+        Some(ChRenameTableCommand(a, b, exchange = true))
       case createMvRe(name0, mid, select) =>
         val name = name0.substring(name0.lastIndexOf('.') + 1)
         Some(ChCreateMvCommand(name,

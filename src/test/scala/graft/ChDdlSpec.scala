@@ -314,6 +314,18 @@ class ChDdlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("Map types parse (the newer Metrica params shape)") {
+    import org.apache.spark.sql.types._
+    val (dt, n) = graft.plans.ChDdl.chType("Map(String, UInt64)")
+    assert(dt == MapType(StringType, LongType, valueContainsNull = false)
+      && !n)
+    val (dt2, _) = graft.plans.ChDdl.chType(
+      "Map(LowCardinality(String), Array(Nullable(String)))")
+    assert(dt2 == MapType(StringType,
+      ArrayType(StringType, containsNull = true),
+      valueContainsNull = false))
+  }
+
   test("column modifiers and table-level INDEX entries parse-and-drop") {
     val p = graft.plans.ChDdl.parseCreateTable("""
       CREATE TABLE modded

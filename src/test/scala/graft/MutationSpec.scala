@@ -212,6 +212,33 @@ class MutationSpec extends SparkSpec {
     assert(!err.getMessage.contains("Catalog binding"))
   }
 
+  test("RENAME / EXCHANGE TABLES: the CTAS blue-green swap") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_mutspec_bg"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      Seq((1L, "2024-01-02"), (2L, "2024-01-02")).toDF("k", "ds")
+        .createOrReplaceTempView("bg_src")
+      spark.sql("""CREATE TABLE bg_live ENGINE = MergeTree
+        PARTITION BY toMonday(d) ORDER BY (k)
+        AS SELECT k, CAST(ds AS DATE) AS d FROM bg_src""")
+      // rebuild with a filter, then swap atomically
+      spark.sql("""CREATE TABLE bg_next ENGINE = MergeTree
+        PARTITION BY toMonday(d) ORDER BY (k)
+        AS SELECT k, d FROM bg_live WHERE k = 1""")
+      spark.sql("EXCHANGE TABLES bg_live AND bg_next")
+      assert(spark.table("bg_live").count() == 1) // the rebuilt one
+      assert(spark.table("bg_next").count() == 2) // the old data
+      spark.sql("DROP TABLE bg_next")
+      spark.sql("RENAME TABLE bg_live TO bg_current")
+      assert(spark.table("bg_current").count() == 1)
+      assert(graft.sources.Catalog.binding("bg_live").isEmpty)
+      val err = intercept[Exception](
+        spark.sql("RENAME TABLE bg_current TO bg_current"))
+      assert(err.getMessage.contains("already exists"))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("the partition column cannot be assigned") {
     val t = freshTable("updweek")
     val err = intercept[IllegalArgumentException](
