@@ -675,11 +675,13 @@ object ChDialect {
     "multiIf" -> (args => {
       require(args.length >= 3 && args.length % 2 == 1,
         "multiIf needs cond/value pairs plus an else branch")
-      val (pairs, Seq(orElse)) = args.splitAt(args.length - 1)
-      ex(pairs.grouped(2).foldLeft(Option.empty[Column]) {
-        case (acc, Seq(c, v)) =>
-          Some(acc.fold(when(col(c), col(v)))(_.when(col(c), col(v))))
-      }.get.otherwise(col(orElse)))
+      val orElse = args.last
+      val branches = args.dropRight(1).grouped(2)
+        .map(g => (col(g(0)), col(g(1)))).toSeq
+      ex(branches.tail.foldLeft(
+        when(branches.head._1, branches.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }.otherwise(col(orElse)))
     }),
     // CH window functions (lagInFrame / leadInFrame — the
     // well-defined in-frame forms) and neighbor. CH's neighbor /
