@@ -80,6 +80,21 @@ object Ingest {
       availableNow: Boolean = true,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     applyCleanupPolicy(sink, checkpointDir)
+    // the replicated table registers as a Catalog binding, so it is
+    // immediately queryable by name AND materialized views can hang
+    // off it — the reference stack's production shape (Data Transfer
+    // feeds a table; MVs keep the dashboards fresh). The binding's
+    // schema resolves from the parquet files, so registration happens
+    // per batch below (the first batch creates the table).
+    val name = s"${sink.tableName}_${sink.transferId}"
+    // upfront registration with the PREPARED schema (derived on an
+    // empty typed frame), so MVs can be created before the first
+    // batch arrives — CH's create-MV-then-attach-transfer order
+    val preparedSchema = prepare(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)).schema
+    graft.sources.Catalog.register(spark, graft.sources.Binding(
+      name, tableDir(sink), dateCol = Some(sink.dateCol),
+      orderKey = sink.orderKey, schema = Some(preparedSchema)))
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -87,8 +102,21 @@ object Ingest {
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Warehouse.write(prepare(batch), tableDir(sink), sink.dateCol,
-          sink.orderKey)
+        val prepared = prepare(batch)
+        // MVs fold the SAME frame that lands in the table; cached so
+        // the batch plan executes once for write + all triggers
+        val mvs = graft.plans.ChMatView.onTable(name)
+        if (mvs.nonEmpty) prepared.persist()
+        try {
+          Warehouse.write(prepared, tableDir(sink), sink.dateCol,
+            sink.orderKey)
+          graft.sources.Catalog.register(spark, graft.sources.Binding(
+            name, tableDir(sink),
+            dateCol = Some(sink.dateCol), orderKey = sink.orderKey,
+            schema = Some(prepared.schema)))
+          mvs.foreach(mv =>
+            graft.plans.ChMatView.mergeInsert(spark, mv, prepared))
+        } finally if (mvs.nonEmpty) prepared.unpersist()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
