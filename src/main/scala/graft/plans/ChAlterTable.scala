@@ -160,11 +160,15 @@ case class ChRenameTableCommand(from: String, to: String,
           s"EXCHANGE TABLES: '$to' is not a registered Catalog binding"))
       graft.sources.Catalog.register(spark,
         a.copy(name = to), b.copy(name = from))
+      // MVs attach to the TABLE identity (CH's rule) — they follow
+      // their source through the swap
+      ChMatView.retargetSources(Map(from -> to, to -> from))
     } else {
       require(graft.sources.Catalog.binding(to).isEmpty,
         s"RENAME TABLE: '$to' already exists")
       graft.sources.Catalog.unregister(spark, from)
       graft.sources.Catalog.register(spark, a.copy(name = to))
+      ChMatView.retargetSources(Map(from -> to))
     }
     Seq.empty
   }

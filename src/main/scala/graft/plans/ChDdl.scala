@@ -407,7 +407,18 @@ case class ChCreateTableCommand(parsed: ChDdl.Parsed)
       case None =>
         val root = spark.conf.getOption("spark.graft.warehouse")
           .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_warehouse")
-        val wb = graft.sources.Binding(p.name, s"$root/${p.name}",
+        // RENAME/EXCHANGE move names, not directories — a re-created
+        // name whose derived path is now OWNED by a different table
+        // (the blue-green cycle's second round) must refuse loudly,
+        // never silently write into the live table's storage
+        val path = s"$root/${p.name}"
+        graft.sources.Catalog.bindings
+          .find(b2 => b2.name != p.name && b2.path == path)
+          .foreach(b2 => throw new IllegalArgumentException(
+            s"CREATE TABLE ${p.name}: storage '$path' is owned by " +
+              s"table '${b2.name}' (a RENAME/EXCHANGE artifact) — " +
+              "DROP it or choose another name"))
+        val wb = graft.sources.Binding(p.name, path,
           schema = Some(p.schema),
           dateCol = p.partitionBy, orderKey = p.orderKey)
         // warehouse paths are engine-managed local/DFS dirs; an S3

@@ -349,8 +349,10 @@ object ChDialect {
       else ex(array_join(col(args.head), ""))),
     "arrayCompact" -> (args => ex(ch.arrayCompact(col(args.head)))),
     // arrayZip(a, b, ...) → array of tuples (structs here, positional
-    // field access preserved); arrayDifference(a) → [0, a2-a1, ...]
-    // (CH: first element 0, then adjacent deltas)
+    // field access preserved). Documented divergence (same as the
+    // ARRAY JOIN clause): unequal lengths NULL-pad where CH errors.
+    // arrayDifference(a) → [0, a2-a1, ...] (CH: first element 0,
+    // then adjacent deltas)
     "arrayZip" -> (args => ex(arrays_zip(args.map(col): _*))),
     "arrayDifference" -> (args => {
       val arr = col(args.head)
@@ -360,10 +362,14 @@ object ChDialect {
       ex(zip_with(arr, prev, (cur, p) => cur - p))
     }),
     // splitByString(sep, s): multi-char separator, literal like
-    // splitByChar
+    // splitByChar. CH's empty-separator form splits into single
+    // characters — the (?!$) lookahead avoids Spark's trailing empty
+    // element
     "splitByString" -> (args => {
       val sep = litString(args.head, "splitByString separator")
-      ex(split(col(args(1)), java.util.regex.Pattern.quote(sep)))
+      val pattern =
+        if (sep.isEmpty) "(?!$)" else java.util.regex.Pattern.quote(sep)
+      ex(split(col(args(1)), pattern))
     }),
     "arrayResize" -> (args => {
       val extender =

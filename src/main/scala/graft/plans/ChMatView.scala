@@ -69,6 +69,18 @@ object ChMatView {
     refreshView(spark, mv)
   }
 
+  /** Follow a source-table RENAME/EXCHANGE: MVs attach to the TABLE
+    * (CH's identity rule), so their srcTable entries track the new
+    * names. `swap` maps old→new; applied atomically per entry.
+    */
+  def retargetSources(swap: Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    registry.values().asScala.toSeq
+      .filter(mv => swap.contains(mv.srcTable))
+      .foreach(mv =>
+        registry.put(mv.name, mv.copy(srcTable = swap(mv.srcTable))))
+  }
+
   /** The MV's readable face: the persisted state rows (empty with the
     * declared shape until the first triggering insert).
     */

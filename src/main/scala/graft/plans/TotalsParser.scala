@@ -330,18 +330,23 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // `ASOF [LEFT] JOIN` — strip the ASOF keyword (the reduced text is
   // a plain join) and mark the plan for the asof rewrite
   private val asofRe = """(?i)\bASOF\s+(?=(?:LEFT\s+)?JOIN\b)""".r
-  // CH `GLOBAL IN` / `GLOBAL JOIN` — a distributed-execution hint
-  // (broadcast the subquery to every shard instead of re-executing it
-  // per shard). Spark's optimizer makes that placement decision
-  // itself, so the keyword strips with no semantic residue.
+  // CH `GLOBAL IN` / `GLOBAL [modifiers] JOIN` — a distributed-
+  // execution hint (broadcast the subquery to every shard instead of
+  // re-executing it per shard). Spark's optimizer makes that
+  // placement decision itself, so the keyword strips with no semantic
+  // residue. Like CH's own parser, an UNQUOTED `global` before
+  // IN/JOIN is the keyword — a column named global must backtick.
   private val globalRe =
-    """(?i)\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|(?:ANY\s+|LEFT\s+|INNER\s+|RIGHT\s+|FULL\s+)?JOIN\b)""".r
+    ("""(?i)\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|""" +
+      """(?:(?:ANY|ALL|LEFT|RIGHT|INNER|FULL|CROSS|SEMI|ANTI|OUTER)\s+)*JOIN\b)""").r
 
   private def needsPreRewrite(sqlText: String): Boolean = {
     val (masked, _) = maskLiterals(sqlText)
     arrayJoinKw.findFirstIn(masked).isDefined ||
       finalRe.findFirstIn(masked).isDefined ||
       asofRe.findFirstIn(masked).isDefined ||
+      // `t GLOBAL JOIN u` parses as `t AS GLOBAL` without this
+      globalRe.findFirstIn(masked).isDefined ||
       // `quantile(L)(x)` / `windowFunnel(w)(...)` parse in Spark's
       // grammar as CHAINED CALLS (no ParseException, then
       // UNRESOLVED_ROUTINE at analysis) — standalone uses must

@@ -119,6 +119,12 @@ object Catalog {
   /** The binding behind a registered name, if any. */
   def binding(name: String): Option[Binding] = Option(bound.get(name))
 
+  /** All registered bindings (snapshot). */
+  def bindings: Seq[Binding] = {
+    import scala.jdk.CollectionConverters._
+    bound.values().asScala.toSeq
+  }
+
   /** Remove a binding and its temp view (CH `DROP TABLE` — storage is
     * external, so this is detach-like: files stay).
     */

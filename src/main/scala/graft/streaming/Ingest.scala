@@ -46,9 +46,13 @@ object Ingest {
       orderKey: Seq[String],
       cleanupPolicy: String = "DISABLED")
 
+  /** `<table>_<transferId>` — the suffixed table/binding name. */
+  def tableName(sink: Sink): String =
+    s"${sink.tableName}_${sink.transferId}"
+
   /** `<warehouse>/<table>_<transferId>` — the suffixed target table. */
   def tableDir(sink: Sink): String =
-    s"${sink.warehouseDir}/${sink.tableName}_${sink.transferId}"
+    s"${sink.warehouseDir}/${tableName(sink)}"
 
   /** Apply the cleanup policy before (re)activation: DROP/TRUNCATE
     * clear the table (and DROP also the checkpoint — a from-scratch
@@ -86,37 +90,49 @@ object Ingest {
     // feeds a table; MVs keep the dashboards fresh). The binding's
     // schema resolves from the parquet files, so registration happens
     // per batch below (the first batch creates the table).
-    val name = s"${sink.tableName}_${sink.transferId}"
+    val name = tableName(sink)
     // upfront registration with the PREPARED schema (derived on an
     // empty typed frame), so MVs can be created before the first
     // batch arrives — CH's create-MV-then-attach-transfer order
     val preparedSchema = prepare(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)).schema
-    graft.sources.Catalog.register(spark, graft.sources.Binding(
+    def binding(sc: StructType) = graft.sources.Binding(
       name, tableDir(sink), dateCol = Some(sink.dateCol),
-      orderKey = sink.orderKey, schema = Some(preparedSchema)))
+      orderKey = sink.orderKey, schema = Some(sc))
+    graft.sources.Catalog.register(spark, binding(preparedSchema))
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prepared = prepare(batch)
-        // MVs fold the SAME frame that lands in the table; cached so
-        // the batch plan executes once for write + all triggers
-        val mvs = graft.plans.ChMatView.onTable(name)
-        if (mvs.nonEmpty) prepared.persist()
-        try {
-          Warehouse.write(prepared, tableDir(sink), sink.dateCol,
-            sink.orderKey)
-          graft.sources.Catalog.register(spark, graft.sources.Binding(
-            name, tableDir(sink),
-            dateCol = Some(sink.dateCol), orderKey = sink.orderKey,
-            schema = Some(prepared.schema)))
-          mvs.foreach(mv =>
-            graft.plans.ChMatView.mergeInsert(spark, mv, prepared))
-        } finally if (mvs.nonEmpty) prepared.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotence marker: a batch REPLAYED after it fully
+        // processed (checkpoint lag, the common restart case) must
+        // not re-append the table or re-fold MV counters. Underscore
+        // files are invisible to parquet readers. A crash strictly
+        // inside the batch still replays it — the append path has
+        // always had that at-least-once window; the marker closes
+        // the after-success one.
+        val marker = new org.apache.hadoop.fs.Path(
+          tableDir(sink), s"_graft_batch_$batchId")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val prepared = prepare(batch)
+          // MVs fold the SAME frame that lands in the table; cached
+          // so the batch plan executes once for write + all triggers
+          val mvs = graft.plans.ChMatView.onTable(name)
+          if (mvs.nonEmpty) prepared.persist()
+          try {
+            Warehouse.write(prepared, tableDir(sink), sink.dateCol,
+              sink.orderKey)
+            graft.sources.Catalog.register(spark,
+              binding(prepared.schema))
+            mvs.foreach(mv =>
+              graft.plans.ChMatView.mergeInsert(spark, mv, prepared))
+            fs.create(marker, true).close()
+          } finally if (mvs.nonEmpty) prepared.unpersist()
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -178,6 +178,17 @@ class ChClausesSpec extends SparkSpec {
       SELECT count(1) AS n FROM aj_t a GLOBAL JOIN aj_t b ON a.id = b.id""")
       .collect().head.getLong(0)
     assert(j == 3)
+    // UN-aliased table (Spark would parse `aj_t GLOBAL` as an alias)
+    // and stacked modifiers both strip
+    val k = spark.sql("""
+      SELECT count(1) AS n FROM aj_t GLOBAL JOIN aj_t b ON aj_t.id = b.id""")
+      .collect().head.getLong(0)
+    assert(k == 3)
+    val m = spark.sql("""
+      SELECT count(1) AS n
+      FROM aj_t a GLOBAL LEFT OUTER JOIN aj_t b ON a.id = b.id""")
+      .collect().head.getLong(0)
+    assert(m == 3)
   }
 
   test("FINAL inside a subquery expression is reachable") {

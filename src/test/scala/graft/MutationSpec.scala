@@ -236,6 +236,13 @@ class MutationSpec extends SparkSpec {
       val err = intercept[Exception](
         spark.sql("RENAME TABLE bg_current TO bg_current"))
       assert(err.getMessage.contains("already exists"))
+      // round 2 of the cycle: re-creating a name whose derived path
+      // is owned by another table must refuse, not corrupt it
+      val clash = intercept[Exception](
+        spark.sql("""CREATE TABLE bg_next ENGINE = MergeTree
+          PARTITION BY toMonday(d) ORDER BY (k)
+          AS SELECT k, d FROM bg_current"""))
+      assert(clash.getMessage.contains("owned by"))
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
