@@ -66,6 +66,35 @@ object ParserProps extends Properties("parser") {
       (ch == ansi) :| s"CH $ch vs ANSI $ansi"
     }
 
+  property("chType maps every generated CH type, Nullable/Array composing") = {
+    import org.apache.spark.sql.types._
+    val base = Gen.oneOf("UInt8", "UInt16", "UInt32", "UInt64", "Int8",
+      "Int16", "Int32", "Int64", "Float32", "Float64", "String", "Date",
+      "DateTime", "Bool", "FixedString(2)", "FixedString(16)",
+      "LowCardinality(String)", "Enum8('a' = 1)", "Decimal(18, 4)")
+    def wrap(t: String, depth: Int): Gen[String] =
+      if (depth == 0) Gen.const(t)
+      else Gen.oneOf(
+        wrap(s"Array($t)", depth - 1),
+        wrap(s"Nullable($t)", depth - 1),
+        Gen.const(t))
+    val typeGen = for {
+      b <- base
+      d <- Gen.choose(0, 3)
+      t <- wrap(b, d)
+    } yield t
+    Prop.forAll(typeGen) { t =>
+      val (dt, _) = graft.plans.ChDdl.chType(t)
+      // every generated spelling maps; arrays nest to the same depth
+      val arrayDepth = "Array\\(".r.findAllIn(t).length
+      def depthOf(d: DataType): Int = d match {
+        case ArrayType(e, _) => 1 + depthOf(e)
+        case _ => 0
+      }
+      (depthOf(dt) == arrayDepth) :| s"$t -> $dt"
+    }
+  }
+
   property("SAMPLE f is a nested deterministic subset for any fraction") =
     Prop.forAll(Gen.choose(5, 45), Gen.choose(50, 95)) { (fa, fb) =>
       val spark = SparkSpec.spark
