@@ -142,7 +142,13 @@ object Warehouse {
   def deleteWhere(spark: SparkSession, tableDir: String,
       cond: org.apache.spark.sql.Column,
       orderKey: Seq[String] = Nil): Seq[String] =
-    mutate(spark, tableDir, cond, orderKey, df => df.filter(!cond))
+    // `!cond` alone would also drop rows where cond is NULL (3VL);
+    // CH's ALTER DELETE removes only rows where the predicate is
+    // true, so NULL-condition rows must survive the rewrite. Pass 1's
+    // filter(cond) stays consistent with this: a week whose only
+    // candidates are NULL-condition rows needs no rewrite at all.
+    mutate(spark, tableDir, cond, orderKey,
+      df => df.filter(!coalesce(cond, lit(false))))
 
   /** CH `ALTER TABLE t UPDATE col = expr WHERE cond`: same selective
     * partition rewrite, replacing each assigned column with
@@ -189,14 +195,23 @@ object Warehouse {
           .sortWithinPartitions(cluster: _*)
       } else rewritten
     clustered.write.partitionBy(weekCol).parquet(tmp.toString)
-    // swap each affected week: old dir out, rewritten dir in (a week
-    // whose rows ALL matched a delete simply disappears)
+    // swap each affected week retire-then-rename (the ChAlterTable /
+    // MatView.swapState discipline): live renames to a retired
+    // sibling, fresh renames in, THEN the retired copy deletes — at
+    // no instant is the only copy of a week inside the hidden tmp
+    // dir, so a crash mid-swap leaves either the old or the new week
+    // visible to readers and restarts. (A week whose rows ALL matched
+    // a delete simply disappears: retire without replacement.)
     affected.foreach { w =>
       val live = new Path(tablePath, s"$weekCol=$w")
       val fresh = new Path(tmp, s"$weekCol=$w")
-      if (fs.exists(live)) fs.delete(live, true)
+      val retired = new Path(tablePath.getParent,
+        s".${tablePath.getName}_retired_${System.nanoTime()}")
+      if (fs.exists(live))
+        require(fs.rename(live, retired), s"mutation retire failed for $w")
       if (fs.exists(fresh))
         require(fs.rename(fresh, live), s"mutation swap failed for $w")
+      fs.delete(retired, true)
     }
     fs.delete(tmp, true)
     affected

@@ -52,6 +52,29 @@ class MutationSpec extends SparkSpec {
     assert(left.filter(col("grp") === 2).count() == 14)
   }
 
+  test("deleteWhere keeps NULL-condition rows (3VL, CH semantics)") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_mutspec_delnull"
+    FsUtil.rmTree(base)
+    // grp is nullable: NULL rows make `grp = 2` evaluate NULL, and CH's
+    // ALTER DELETE removes only predicate-TRUE rows — NULLs survive
+    val df = Seq(
+      ("2024-01-02", 1L, Some(1L)),
+      ("2024-01-03", 2L, Some(2L)),
+      ("2024-01-04", 3L, None: Option[Long]),
+      ("2024-01-09", 4L, None: Option[Long])) // week 2: NULL only
+      .toDF("ds", "id", "grp")
+      .select(to_date($"ds").as("d"), $"id", $"grp")
+    Warehouse.write(df, base, "d", orderKey = Seq("id"))
+    val touched = Warehouse.deleteWhere(spark, base, col("grp") === 2,
+      orderKey = Seq("id"))
+    // week 2 has no TRUE match → untouched, its NULL row trivially kept
+    assert(touched == Seq("2024-01-01"))
+    val left = Warehouse.read(spark, base)
+    assert(left.count() == 3) // only the grp=2 row went
+    // the NULL-grp row in the REWRITTEN week survived too
+    assert(left.filter(col("id") === 3).count() == 1)
+  }
+
   test("a week whose rows all match a delete disappears") {
     val t = freshTable("delall")
     val touched = Warehouse.deleteWhere(spark, t,
