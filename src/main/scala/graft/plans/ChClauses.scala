@@ -287,18 +287,30 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         sa.copy(child = collapse(inner))
     }
     if (applied) return byName
-    // fallback: the alias was erased (nested views) — collapse the
-    // lowest stamped relation in the plan
-    val out = child.transformUp {
-      case rel if stamped(rel) &&
-          rel.children.forall(c => !stamped(c)) =>
-        collapse(rel)
+    // fallback: the alias was erased (nested views). Collapsing "by
+    // shape" is only safe when the plan holds exactly ONE stamped
+    // leaf subtree — with two stamped tables (one read FINAL through
+    // a view, one joined raw) a shape-match would collapse both and
+    // silently drop the raw table's pre-collapse rows. Ambiguity is
+    // an error, not a guess.
+    val stampedLeaves = child.collectWithSubqueries {
+      case rel if stamped(rel) && rel.children.forall(c => !stamped(c)) =>
+        rel
     }
-    require(applied,
+    require(stampedLeaves.nonEmpty,
       "FINAL: no relation in scope declares collapsing metadata " +
         "(graft.finalVersion / graft.finalKey field metadata — the " +
         "DDL's VersionedCollapsingMergeTree clause)")
-    out
+    require(stampedLeaves.size == 1,
+      s"FINAL on ${tables.mkString(", ")}: the name matches no alias in " +
+        s"the plan and ${stampedLeaves.size} collapsing-stamped relations " +
+        "are in scope — cannot tell which one FINAL names. Alias the " +
+        "FINAL table in the FROM clause (FROM t AS name FINAL) so the " +
+        "marker can bind to it.")
+    val target = stampedLeaves.head
+    child.transformUpWithSubqueries {
+      case rel if rel eq target => collapse(rel)
+    }
   }
 
   /** Push the sample filter to the leaf relation whose output declares

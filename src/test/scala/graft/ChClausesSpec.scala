@@ -134,6 +134,31 @@ class ChClausesSpec extends SparkSpec {
     assert(rows == Seq((1L, 2L, 3L), (2L, 1L, 1L)))
   }
 
+  test("FINAL fallback: unmatched name over TWO stamped tables rejects") {
+    // the alias-erased fallback may only collapse by shape when the
+    // plan holds exactly one stamped leaf — with two, guessing would
+    // silently collapse a table the query reads raw
+    finalFixture("fin_amb1")
+    finalFixture("fin_amb2")
+    val joined = spark.table("fin_amb1").as("l")
+      .join(spark.table("fin_amb2").as("r"), "id")
+    val marked = graft.plans.ChFinal(Seq("erased_name"),
+      joined.queryExecution.analyzed)
+    val err = intercept[Exception](
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, marked).collect())
+    assert(err.getMessage.contains("cannot tell which one FINAL names"))
+  }
+
+  test("FINAL fallback: unmatched name over ONE stamped table collapses") {
+    finalFixture("fin_solo")
+    val marked = graft.plans.ChFinal(Seq("erased_name"),
+      spark.table("fin_solo").queryExecution.analyzed)
+    val rows = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, marked)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(rows == Seq((1L, 2L, 200.0), (2L, 1L, 50.0)))
+  }
+
   test("ASOF JOIN: prevailing right record per left row, verbatim SQL") {
     // trades join the latest quote with quote.t <= trade.t per symbol
     Seq(("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 5L, 99.0),
