@@ -25,22 +25,46 @@ import org.apache.spark.sql.types._
 object Dictionaries {
 
   final case class Dict(keyType: DataType,
-      attrs: Map[String, (java.util.HashMap[Any, Any], DataType)])
+      attrs: Map[String, (java.util.HashMap[Any, Any], DataType)],
+      generation: Long)
 
   // JVM-wide, like CH's server-wide dictionary config; sessions share
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Dict]()
+  private val generations = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Default [[register]] row cap — CH-dictionary scale (the embedded
+    * geobase is ~500k regions), far below anything that threatens a
+    * 100+ GB driver heap but loud enough to catch a fact table
+    * mistakenly registered as a dictionary.
+    */
+  val defaultMaxRows: Int = 5000000
 
   /** Collect `df` as dictionary `name` keyed by `keyCol`; every other
     * column becomes an addressable attribute. Values are stored
     * pre-converted to Catalyst internal form so lookups never convert.
+    *
+    * The collect is bounded by `maxRows` and fails LOUDLY past it:
+    * a dictionary is a driver-materialized replica, so an unguarded
+    * register of a 100 GB dimension is a driver OOM, not a slow query.
+    * A dimension past the cap belongs in a broadcast equi-join
+    * (`queries/CoreQueries` J1), which never materializes on the
+    * driver.
     */
-  def register(name: String, df: DataFrame, keyCol: String): Unit = {
+  def register(name: String, df: DataFrame, keyCol: String,
+      maxRows: Int = defaultMaxRows): Unit = {
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val keyType = schema(keyIdx).dataType
     val keyConv = CatalystTypeConverters.createToCatalystConverter(keyType)
-    val rows = df.collect()
+    // limit(maxRows+1) bounds what can ever reach the driver — the
+    // guard never depends on a pre-count of the full input
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"dictionary '$name' exceeds $maxRows rows — a dictionary is a " +
+        "driver-RAM replica (CH semantics: small, hot, O(1) probes). " +
+        "Use a broadcast equi-join for large dimensions, or raise " +
+        "maxRows explicitly if the driver heap truly allows it.")
     val attrs = schema.fields.zipWithIndex
       .filter { case (_, i) => i != keyIdx }
       .map { case (f, i) =>
@@ -51,7 +75,7 @@ object Dictionaries {
         }
         f.name -> (m, f.dataType)
       }.toMap
-    registry.put(name, Dict(keyType, attrs))
+    registry.put(name, Dict(keyType, attrs, generations.incrementAndGet()))
   }
 
   def lookup(name: String): Dict = {
@@ -95,7 +119,7 @@ object Dictionaries {
       throw new IllegalArgumentException(
         s"dictionary '$name' has no attributes"))
     Coalesce(Seq(DictLookupExpr(Cast(args(1), d.keyType), name, m,
-      IntegerType, asContains = true), Literal(0)))
+      IntegerType, asContains = true, d.generation), Literal(0)))
   }
 
   private def lookupExpr(args: Seq[Expression]): (Expression, DataType) = {
@@ -108,7 +132,7 @@ object Dictionaries {
         s"dictionary '$name' has no attribute '$attr'; " +
           s"known: ${d.attrs.keys.mkString(", ")}"))
     (DictLookupExpr(Cast(args(2), d.keyType), name, m, vt,
-      asContains = false), vt)
+      asContains = false, d.generation), vt)
   }
 }
 
@@ -118,11 +142,20 @@ object Dictionaries {
   * probes it directly — the lookup stays inside whole-stage codegen.
   * NULL on miss (builders compose the CH default with Coalesce);
   * `asContains = true` returns 1/0 instead (NULL only for a NULL key).
-  * Equality keys on the dictionary NAME, not map identity.
+  * Equality keys on (dictionary NAME, registration GENERATION), not
+  * map identity: the generation makes a probe built before a
+  * `Dictionaries.register` refresh semantically DISTINCT from one
+  * built after, so plan-fragment caches and reused Column objects
+  * can never silently substitute a stale replica for a fresh one
+  * (they re-derive instead of hitting a false cache equality). A
+  * plan ANALYZED before the refresh still carries its old map — by
+  * design, matching CH where a running query keeps the dictionary
+  * snapshot it started with; re-analyze (re-create the DataFrame)
+  * to pick up the new registration.
   */
 case class DictLookupExpr(child: Expression, dictName: String,
     map: java.util.HashMap[Any, Any], valueType: DataType,
-    asContains: Boolean)
+    asContains: Boolean, generation: Long)
     extends UnaryExpression {
 
   override def dataType: DataType =
@@ -131,15 +164,17 @@ case class DictLookupExpr(child: Expression, dictName: String,
   override def prettyName: String =
     if (asContains) "dict_has" else "dict_get"
 
-  // the map is not part of the semantic identity (the name is)
+  // the map is not part of the semantic identity (name+generation is)
   override def equals(o: Any): Boolean = o match {
     case e: DictLookupExpr => e.child == child && e.dictName == dictName &&
-      e.valueType == valueType && e.asContains == asContains
+      e.valueType == valueType && e.asContains == asContains &&
+      e.generation == generation
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(child, dictName, valueType,
-      java.lang.Boolean.valueOf(asContains))
+      java.lang.Boolean.valueOf(asContains),
+      java.lang.Long.valueOf(generation))
 
   override def nullSafeEval(k: Any): Any =
     if (asContains) { if (map.containsKey(k)) 1 else 0 }

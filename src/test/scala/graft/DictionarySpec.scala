@@ -81,6 +81,32 @@ class DictionarySpec extends SparkSpec {
     assert(plan.contains("*(1) Project") && plan.contains("dict_get"))
   }
 
+  test("register rejects a dimension past the row cap, loudly") {
+    val err = intercept[IllegalArgumentException](
+      Dictionaries.register("too_big",
+        spark.range(0, 100).toDF("id"), "id", maxRows = 50))
+    assert(err.getMessage.contains("broadcast equi-join"))
+    // the refused dictionary never registered
+    val e2 = intercept[Exception](
+      spark.sql("SELECT dictGet('too_big', 'id', 1)").collect())
+    assert(e2.getMessage.contains("not registered"))
+  }
+
+  test("re-registering bumps the generation: fresh plans see fresh data") {
+    Dictionaries.register("gen_d",
+      Seq((1L, "old")).toDF("id", "v"), "id")
+    def probe(): String = spark.range(1, 2)
+      .select(expr("dictGet('gen_d', 'v', id)").as("v"))
+      .collect().head.getString(0)
+    assert(probe() == "old")
+    Dictionaries.register("gen_d",
+      Seq((1L, "new")).toDF("id", "v"), "id")
+    // a NEWLY analyzed plan must probe the new replica — generation
+    // is part of DictLookupExpr's semantic identity, so no plan/
+    // fragment cache can satisfy this with the stale expression
+    assert(probe() == "new")
+  }
+
   test("unknown dictionary / attribute fail loudly") {
     registerDims()
     val e1 = intercept[Exception](
