@@ -98,9 +98,26 @@ object ChMatView {
   /** The INSERT trigger: compute the inserted batch's partial
     * states with the MV's own expressions and fold them into the
     * persisted state.
+    *
+    * `batchId` (streaming ingest replays only): the folded batch's id
+    * is stamped INTO the swapped state dir (one atomic rename covers
+    * data + stamp), and a batch whose stamp is already present is
+    * skipped — sum/count/avg states are not idempotent under refold
+    * (unlike HLL union), so a replay after a crash between
+    * `Warehouse.write` and the sink's done-marker must not double-
+    * count. Only the LATEST stamp needs to survive a swap: Structured
+    * Streaming replays at most the last uncommitted batch.
     */
   def mergeInsert(spark: SparkSession, mv: MvDef,
-      inserted: DataFrame): Unit = {
+      inserted: DataFrame, batchId: Option[Long] = None): Unit = {
+    val stamp = batchId.map(id => s"graft_folded_$id")
+    val sp0 = new org.apache.hadoop.fs.Path(mv.stateDir)
+    val fs0 = sp0.getFileSystem(spark.sessionState.newHadoopConf())
+    if (stamp.exists(m =>
+        fs0.exists(new org.apache.hadoop.fs.Path(sp0, s"_$m")))) {
+      refreshView(spark, mv) // already folded by the crashed attempt
+      return
+    }
     val argCols = mv.aggItems.zipWithIndex.map { case (it, i) =>
       val argSql = if (it.argSql.trim.isEmpty) "1" else it.argSql
       s"$argSql AS `__graft_mv_arg$i`"
@@ -145,7 +162,7 @@ object ChMatView {
           .groupBy(mv.groupItems.map { case (_, a) => col(s"`$a`") }: _*)
           .agg(merges.head, merges.tail: _*)
       }
-    graft.streaming.MatView.swapState(spark, merged, mv.stateDir)
+    graft.streaming.MatView.swapState(spark, merged, mv.stateDir, stamp)
     refreshView(spark, mv)
   }
 

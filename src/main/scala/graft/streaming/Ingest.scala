@@ -111,9 +111,13 @@ object Ingest {
         // processed (checkpoint lag, the common restart case) must
         // not re-append the table or re-fold MV counters. Underscore
         // files are invisible to parquet readers. A crash strictly
-        // inside the batch still replays it — the append path has
-        // always had that at-least-once window; the marker closes
-        // the after-success one.
+        // inside the batch still replays it: the TABLE append is
+        // at-least-once in that window (duplicate raw rows; versioned
+        // tables resolve them at read time via FINAL/latestVersions,
+        // CH's own replication contract), while MV folds stay
+        // exactly-once — each fold stamps its batch id inside the
+        // atomically-swapped state (mergeInsert skips a stamped
+        // batch), so exact sum/count states never double-fold.
         val marker = new org.apache.hadoop.fs.Path(
           tableDir(sink), s"_graft_batch_$batchId")
         val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
@@ -128,8 +132,8 @@ object Ingest {
               sink.orderKey)
             graft.sources.Catalog.register(spark,
               binding(prepared.schema))
-            mvs.foreach(mv =>
-              graft.plans.ChMatView.mergeInsert(spark, mv, prepared))
+            mvs.foreach(mv => graft.plans.ChMatView.mergeInsert(
+              spark, mv, prepared, batchId = Some(batchId)))
             fs.create(marker, true).close()
           } finally if (mvs.nonEmpty) prepared.unpersist()
         }

@@ -93,9 +93,16 @@ object MatView {
     * ignore (delete-then-rename has a crash window that loses the
     * whole rollup). State tables are |groups|-sized, so the
     * checkpoint stays tiny.
+    *
+    * `publishMarker`, when set, names an underscore file written into
+    * the NEW state dir before the rename — data and marker publish in
+    * the same atomic move, so a reader can trust "marker present ⇒
+    * this exact state includes the marked fold" with no crash window
+    * between them ([[graft.plans.ChMatView.mergeInsert]]'s per-batch
+    * idempotence stamp).
     */
   def swapState(spark: SparkSession, merged: DataFrame,
-      stateDir: String): Unit = {
+      stateDir: String, publishMarker: Option[String] = None): Unit = {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
     val rows = merged.localCheckpoint(eager = true)
@@ -103,6 +110,9 @@ object MatView {
       statePath.getParent, s".${statePath.getName}_next")
     fs.delete(tmp, true)
     rows.write.parquet(tmp.toString)
+    publishMarker.foreach { m =>
+      fs.create(new org.apache.hadoop.fs.Path(tmp, s"_$m"), true).close()
+    }
     val retired = new org.apache.hadoop.fs.Path(
       statePath.getParent, s".${statePath.getName}_retired")
     fs.delete(retired, true)

@@ -255,6 +255,37 @@ class ChDdlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("MV fold with a batch id is exactly-once: replays never refold") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_mvbatch"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE mvb_src (`uid` UInt64, `grp` String, `d` Date)
+        ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
+      spark.sql("""
+        CREATE MATERIALIZED VIEW mvb_mv ENGINE = AggregatingMergeTree
+        AS SELECT grp, countState() AS n FROM mvb_src GROUP BY grp""")
+      val mv = graft.plans.ChMatView.get("mvb_mv").get
+      val batch = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+        .toDF("uid", "grp")
+      def counts(): Map[String, Long] = spark.sql(
+        "SELECT grp, countMerge(n) AS n FROM mvb_mv GROUP BY grp")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.plans.ChMatView.mergeInsert(spark, mv, batch, Some(7L))
+      assert(counts() == Map("a" -> 2L, "b" -> 1L))
+      // the crash-replay shape: same batch id arrives again — the
+      // stamp rode the atomic state swap, so the refold is a no-op
+      // (countState is NOT idempotent; without the stamp this would
+      // read a=4, b=2)
+      graft.plans.ChMatView.mergeInsert(spark, mv, batch, Some(7L))
+      assert(counts() == Map("a" -> 2L, "b" -> 1L))
+      // the NEXT batch id folds normally
+      graft.plans.ChMatView.mergeInsert(spark, mv, batch, Some(8L))
+      assert(counts() == Map("a" -> 4L, "b" -> 2L))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("MATERIALIZED VIEW with POPULATE folds pre-existing data in") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_mvpop"
     FsUtil.rmTree(root)
