@@ -593,15 +593,18 @@ object PipelineQueries {
   // ---------------------------------------------------------------------
   // The PRODUCTION IVF quantizer (kmeansCentroids, data-adaptive) with a
   // driver-visible check. A learned quantizer is not SQL-replicable, so
-  // there is no value oracle; instead the entry computes recall@10 of
-  // the kmeans-IVF path against the exact brute-force baseline over the
-  // same probes and emits its summary row ONLY when recall reaches the
-  // documented floor — a quantizer regression means 0 rows, a hard
-  // rows-only FAIL in the driver's gate. Floor: 0.7 at nprobe=8 of
-  // k=16 cells (SimilaritySpec asserts recall 1.0 on planted clusters;
-  // this corpus is near-uniform, the adversarial case for IVF, so the
-  // floor is set below the clustered ideal but far above the ~nprobe/k
-  // level a broken quantizer would give).
+  // the measured recall cannot be a hashed column; instead the entry is
+  // SELF-GRADING: it computes recall@10 of the kmeans-IVF path against
+  // the exact brute-force baseline over the same probes, THROWS (with
+  // the measured value) when recall misses the documented floor — a
+  // hard per-query failure in the driver's gate — and otherwise
+  // returns the deterministic (recall_floor, recall_ok) row the DuckDB
+  // oracle replicates, so the entry grades hash-green like every other
+  // query. Floor: 0.7 at nprobe=8 of k=16 cells (SimilaritySpec
+  // asserts recall 1.0 on planted clusters; this corpus is
+  // near-uniform, the adversarial case for IVF, so the floor is set
+  // below the clustered ideal but far above the ~nprobe/k level a
+  // broken quantizer would give).
   val q54IvfKmeansRecall = QueryDef(
     "q54_ivf_kmeans_recall",
     (s, dir) => {
@@ -614,19 +617,23 @@ object PipelineQueries {
       val bf = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding",
         k = 10)
       val floor = 0.7
-      bf.select(col("probe_id"), col("id"))
+      val m = bf.select(col("probe_id"), col("id"))
         .join(ivf.select(col("probe_id"), col("id"))
             .withColumn("__hit", lit(1L)),
           Seq("probe_id", "id"), "left")
         .agg(
           count(lit(1)).as("n_baseline"),
           sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hit"))
-        .withColumn("recall",
-          round(col("n_hit").cast("double") / col("n_baseline"), 4))
-        .withColumn("recall_floor", lit(floor))
-        .filter(col("recall") >= lit(floor))
+        .collect().head
+      val recall = m.getLong(1).toDouble / m.getLong(0)
+      require(recall >= floor,
+        f"q54: kmeans-IVF recall@10 = $recall%.4f fell below the " +
+          f"$floor floor (nprobe=8 of k=16) — quantizer regression")
+      s.sql("SELECT CAST(0.7 AS DOUBLE) AS recall_floor, " +
+        "CAST(1 AS BIGINT) AS recall_ok")
     },
-    None)
+    Some("""SELECT CAST(0.7 AS DOUBLE) AS recall_floor,
+               CAST(1 AS BIGINT) AS recall_ok"""))
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing: documents wrapped as binary media payloads with
