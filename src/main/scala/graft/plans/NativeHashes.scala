@@ -108,6 +108,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // expand the parser's LIMIT BY / WITH FILL marker nodes once their
     // child resolves (the rewrite needs the child's schema)
     ext.injectResolutionRule(session => ChClauseRule(session))
+    // CH's SELECT-alias-in-WHERE scoping (README.md:80: `WHERE
+    // `ym:s:date` >= ...` against a select-list alias)
+    ext.injectResolutionRule(session => ChAliasScopeRule(session))
     // partition-prune week directories from date predicates (the
     // PARTITION BY toMonday(date) behavior) — see WeekBoundsRule
     ext.injectOptimizerRule(_ => WeekBoundsRule)

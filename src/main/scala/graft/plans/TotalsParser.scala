@@ -650,11 +650,48 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       }
     }
 
+  // DataLens `{{param}}` placeholders substitute FIRST — before
+  // literal masking and every clause rewrite — exactly where DataLens
+  // itself substitutes (client-side, before CH sees the text). A text
+  // that carried placeholders is DataLens/CH text BY CONSTRUCTION
+  // (`{{` can never appear in valid Spark SQL outside a literal), so
+  // it also gets the one rewrite that cannot be gated on parse
+  // failure: CH bracket indexing `arr[i]` (1-based, type-default on
+  // miss), which Spark's grammar accepts as 0-based null-on-miss
+  // GetArrayItem — silently wrong semantics, same trap class as
+  // `FROM t FINAL`.
   override def parsePlan(sqlText: String): LogicalPlan =
-    planOrAlter(sqlText, delegate.parsePlan)
+    planOrAlter(substituteParams(sqlText), delegate.parsePlan)
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    planOrAlter(sqlText, delegate.parseQuery)
+    planOrAlter(substituteParams(sqlText), delegate.parseQuery)
+
+  private def substituteParams(sqlText: String): String =
+    if (!sqlText.contains("{{")) sqlText
+    else chBracketIndex(QueryParams.substitute(sqlText))
+
+  // `ident[expr]` / `` `quoted`[expr] `` → `arrayElement(ident, expr)`
+  // — innermost-first via fixpoint (an index expression may itself
+  // contain a rewritten bracket), on literal-masked text so brackets
+  // inside strings never match. Map subscripts are not distinguished
+  // (the gated DataLens texts are array-typed; CH spells both the
+  // same way).
+  private val bracketIdx =
+    """(`[^`]+`|[A-Za-z_][\w.]*)\s*\[([^\[\]]+)\]""".r
+
+  private def chBracketIndex(sqlText: String): String = {
+    val (masked, lits) = maskLiterals(sqlText)
+    var cur = masked
+    var changed = true
+    while (changed) {
+      val next = bracketIdx.replaceAllIn(cur,
+        m => java.util.regex.Matcher.quoteReplacement(
+          s"arrayElement(${m.group(1)}, ${m.group(2)})"))
+      changed = next != cur
+      cur = next
+    }
+    unmaskLiterals(cur, lits)
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -386,6 +386,68 @@ object MetricaQueries {
             FROM $duckVisits v)
       GROUP BY gprice ORDER BY gprice"""))
 
+  // ---------------------------------------------------------------------
+  // The README's chart queries BYTE-VERBATIM from the reference file —
+  // `{{interval_from}}`/`{{interval_to}}` placeholders included
+  // (README.md:80-81,111-112), comments included, `arr[indexOf(...)]`
+  // bracket indexing included. The ONE edit is the README's own
+  // instruction ("не забыть указать корректное имя таблицы…"): the
+  // `metrica_copy.visits_<id трансфера>` table stand-in becomes our
+  // fixture view. QueryParams carries the DataLens date-interval
+  // parameter; the injected parser substitutes it and applies the CH
+  // bracket-index rewrite (gated on the placeholder presence).
+
+  /** The fenced ```sql block of the README containing `anchor`, table
+    * stand-in replaced with `view`.
+    */
+  private def readmeChartSql(anchor: String, view: String): String = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sql = """(?s)```sql\s*\n(.*?)```""".r.findAllMatchIn(text)
+      .map(_.group(1))
+      .find(b => b.contains(anchor) && b.contains("{{interval_from}}"))
+      .getOrElse(throw new IllegalStateException(
+        s"README chart query with '$anchor' not found"))
+    sql.replace("metrica_copy.visits_<id трансфера>", view)
+  }
+
+  val q102MetricaQ1Placeholders = QueryDef(
+    "q102_metrica_q1_placeholders",
+    (s, _) => {
+      fixture(s).createOrReplaceTempView("visits_q102")
+      graft.plans.QueryParams.setDate("interval_from", "2023-11-01")
+      graft.plans.QueryParams.setDate("interval_to", "2023-11-08")
+      // Q1 "Посещаемость": WITH TOTALS, HAVING, WHERE on the SELECT
+      // alias, limit 0,10 — all from the untouched README text
+      val verbatim = s.sql(readmeChartSql("WITH TOTALS", "visits_q102"))
+      // same totals-row convention as q28: the date as its ISO string
+      // so the NULL key survives engine-neutral compare
+      verbatim.withColumn("ym:s:date", col("`ym:s:date`").cast("string"))
+    },
+    q28MetricaQ1.oracle)
+
+  val q103MetricaQ2Placeholders = QueryDef(
+    "q103_metrica_q2_placeholders",
+    (s, _) => {
+      fixture(s).createOrReplaceTempView("visits_q103")
+      graft.plans.QueryParams.setDate("interval_from", "2023-11-01")
+      graft.plans.QueryParams.setDate("interval_to", "2023-11-14")
+      // Q2 "Источники трафика": `arr[indexOf(...)]`, alias reuse in
+      // ratio aggregates, HAVING OR-of-three, LIMIT 0, 50
+      val verbatim = s.sql(
+        readmeChartSql("lastSignUTMSource", "visits_q103"))
+      // q29's documented deviation, applied OUTSIDE the verbatim text:
+      // ratio measures round to 4 decimals for cross-engine hash parity
+      verbatim
+        .withColumn("ym:s:bounceRate", round(col("`ym:s:bounceRate`"), 4))
+        .withColumn("ym:s:pageDepth", round(col("`ym:s:pageDepth`"), 4))
+        .withColumn("ym:s:avgVisitDurationSeconds",
+          round(col("`ym:s:avgVisitDurationSeconds`"), 4))
+    },
+    q29MetricaQ2.oracle)
+
   val defs: Seq[QueryDef] = Seq(q28MetricaQ1, q29MetricaQ2, q30WeekPrune,
-    q65VisitsCdcE2e, q96ChNestedGoals)
+    q65VisitsCdcE2e, q96ChNestedGoals, q102MetricaQ1Placeholders,
+    q103MetricaQ2Placeholders)
 }

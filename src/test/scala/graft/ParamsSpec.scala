@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.QueryParams
+import graft.queries.MetricaQueries
+
+/** DataLens `{{param}}` placeholders + the CH scoping liberties the
+  * README's chart queries need to run byte-verbatim: SELECT alias in
+  * WHERE, bracket indexing gated on placeholder presence.
+  */
+class ParamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("{{param}} substitutes registered fragments; unknown is loud") {
+    QueryParams.setDate("p_from", "2024-01-02")
+    QueryParams.set("p_n", "41 + 1")
+    try {
+      val r = spark.sql(
+        "SELECT {{p_from}} AS d, {{ p_n }} AS n").collect().head
+      assert(r.getDate(0).toString == "2024-01-02" && r.getInt(1) == 42)
+      val err = intercept[Exception](
+        spark.sql("SELECT {{nope}} AS x").collect())
+      assert(err.getMessage.contains("{{nope}} is not set"))
+      // placeholders inside string literals are substituted too —
+      // DataLens substitutes client-side, before any SQL lexing
+      val s = spark.sql("SELECT '{{p_n}}' AS t").collect().head.getString(0)
+      assert(s == "41 + 1")
+    } finally { QueryParams.remove("p_from"); QueryParams.remove("p_n") }
+  }
+
+  test("setDate rejects a non-ISO value (no SQL smuggling)") {
+    val err = intercept[IllegalArgumentException](
+      QueryParams.setDate("bad", "2024-01-02' OR '1'='1"))
+    assert(err.getMessage.contains("YYYY-MM-DD"))
+  }
+
+  test("SELECT alias resolves from WHERE; a real column still wins") {
+    Seq((java.sql.Date.valueOf("2024-01-02"), 1L),
+      (java.sql.Date.valueOf("2024-02-02"), 2L))
+      .toDF("StartDate", "id").createOrReplaceTempView("alias_scope_t")
+    // plain Project above Filter
+    val n = spark.sql("""
+      SELECT StartDate AS `ym:s:date` FROM alias_scope_t
+      WHERE `ym:s:date` >= DATE '2024-02-01'""").collect()
+    assert(n.length == 1 && n.head.getDate(0).toString == "2024-02-02")
+    // Aggregate above Filter
+    val a = spark.sql("""
+      SELECT StartDate AS d2, sum(id) AS s FROM alias_scope_t
+      WHERE d2 < DATE '2024-02-01' GROUP BY d2""").collect()
+    assert(a.length == 1 && a.head.getLong(1) == 1L)
+    // a source column named like the alias: the COLUMN binds (ANSI),
+    // the alias never shadows it — valid Spark SQL keeps its meaning
+    Seq((1L, 10L), (2L, 20L)).toDF("x", "y")
+      .createOrReplaceTempView("alias_shadow_t")
+    val shadow = spark.sql(
+      "SELECT y AS x, x AS orig FROM alias_shadow_t WHERE x = 2")
+      .collect()
+    assert(shadow.length == 1 && shadow.head.getLong(0) == 20L)
+    // an aggregate alias in WHERE fails analysis, as in CH
+    val err = intercept[Exception](spark.sql("""
+      SELECT sum(id) AS s FROM alias_scope_t WHERE s > 0 GROUP BY 1
+      """).collect())
+    assert(err != null)
+  }
+
+  test("bracket indexing is CH 1-based ONLY for placeholder texts") {
+    Seq((Seq("a", "b", "c"), 1)).toDF("arr", "one")
+      .createOrReplaceTempView("br_t")
+    // vanilla Spark text: 0-based GetArrayItem, untouched
+    val spark0 = spark.sql("SELECT arr[1] AS e FROM br_t")
+      .collect().head.getString(0)
+    assert(spark0 == "b")
+    // placeholder-carrying text: CH semantics — 1-based, '' on miss
+    QueryParams.set("i", "1")
+    try {
+      val ch1 = spark.sql("SELECT arr[{{i}}] AS e FROM br_t")
+        .collect().head.getString(0)
+      assert(ch1 == "a")
+      val miss = spark.sql("SELECT arr[{{i}} - 1] AS e FROM br_t")
+        .collect().head.getString(0)
+      assert(miss == "") // CH type default, not NULL
+      // nested: the index expression itself is a bracket index
+      // (arr['a'-position... spelled with indexOf like the README)
+      val nested = spark.sql(
+        "SELECT arr[indexOf(arr, arr[{{i}}])] AS e FROM br_t")
+        .collect().head.getString(0)
+      assert(nested == "a")
+    } finally QueryParams.remove("i")
+  }
+
+  test("README Q1/Q2 run byte-verbatim and match the DataFrame forms") {
+    val q1 = MetricaQueries.q102MetricaQ1Placeholders.fn(spark, "unused")
+      .orderBy(col("`ym:s:date`").asc_nulls_last).collect().toSeq
+    val q1df = MetricaQueries.q28MetricaQ1.fn(spark, "unused")
+      .orderBy(col("`ym:s:date`").asc_nulls_last).collect().toSeq
+    assert(q1 == q1df && q1.nonEmpty)
+    val q2 = MetricaQueries.q103MetricaQ2Placeholders.fn(spark, "unused")
+      .collect().toSeq
+    val q2df = MetricaQueries.q29MetricaQ2.fn(spark, "unused")
+      .collect().toSeq
+    assert(q2 == q2df && q2.nonEmpty)
+    // the texts really carried the placeholders into the parser
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/README.md")))
+    assert(raw.contains("{{interval_from}}"))
+  }
+}
