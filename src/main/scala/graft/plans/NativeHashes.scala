@@ -111,6 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CH's SELECT-alias-in-WHERE scoping (README.md:80: `WHERE
     // `ym:s:date` >= ...` against a select-list alias)
     ext.injectResolutionRule(session => ChAliasScopeRule(session))
+    // YQL inline-schema scans + non-identifier binding names
+    // (README.md:231-254, `metrica-hits-s3`)
+    ext.injectResolutionRule(session => YqlScanRule(session))
     // partition-prune week directories from date predicates (the
     // PARTITION BY toMonday(date) behavior) — see WeekBoundsRule
     ext.injectOptimizerRule(_ => WeekBoundsRule)

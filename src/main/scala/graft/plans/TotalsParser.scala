@@ -485,6 +485,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?`?([\w.]+?)`?""" +
       """(?:\s+SETTINGS\s+.*?)?\s+(SELECT\b.+)$""").r
 
+  // YQ `INSERT INTO `binding`.`/path/` WITH (format='csv_with_names')
+  // SELECT ...` (README.md:281-286) — the options body is flat (no
+  // nested parens in YQ insert options), so the regex suffices
+  private val yqlInsertRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+`([^`]+)`\s*\.\s*`([^`]+)`\s*""" +
+      """WITH\s*\(([^()]*)\)\s*(SELECT\b.+)$""").r
+
   private val dropRe =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.]+?)`?\s*$""".r
   private val truncateRe =
@@ -506,6 +513,12 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     def managed(t: String) =
       graft.sources.Catalog.binding(t).isDefined || ChMatView.isMv(t)
     masked match {
+      // the backtick.path form is YQL-only (a `/` path can never be a
+      // Spark table name) — no binding gate, so an unregistered name
+      // reaches the command's helpful error instead of a ParseException
+      case yqlInsertRe(conn, path, opts, select) =>
+        Some(ChYqlInsertCommand(conn, path, unmaskLiterals(opts, lits),
+          unmaskLiterals(select, lits)))
       case insertRe(table, select)
           if graft.sources.Catalog.binding(table).isDefined =>
         Some(ChInsertIntoCommand(table, unmaskLiterals(select, lits)))
@@ -558,12 +571,51 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private case class Rewritten(text: String,
       wrap: LogicalPlan => LogicalPlan)
 
+  // YQL inline-schema connection scan (README.md:231-254): the head
+  // matches up to the opening paren; the options body is found by a
+  // balanced scan (the Schema list nests parens)
+  private val yqlScanHead =
+    """(?is)\bFROM\s+`([^`]+)`\s*\.\s*`([^`]+)`\s+WITH\s*\(""".r
+
+  /** Splice every `FROM \`conn\`.\`glob\` WITH (...)` into a
+    * registered-scan reference `FROM \`__graft_yql_scan_*\`` that
+    * [[YqlScanRule]] resolves during analysis (the parser has no
+    * session to build the scan here).
+    */
+  private def extractYqlScan(masked: String, lits: Seq[String]): String = {
+    var cur = masked
+    var m = yqlScanHead.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      var i = mm.end
+      var depth = 1
+      while (i < cur.length && depth > 0) {
+        cur.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      require(depth == 0, "YQL WITH clause: unbalanced parentheses")
+      val body = unmaskLiterals(cur.substring(mm.end, i - 1), lits)
+      val (format, compression, schema) = YqlText.parseOptions(body)
+      val id = YqlText.registerScan(YqlText.ScanSpec(
+        mm.group(1), mm.group(2), format, compression, schema))
+      cur = cur.substring(0, mm.start) + s"FROM `$id`" + cur.substring(i)
+      m = yqlScanHead.findFirstMatchIn(cur)
+    }
+    cur
+  }
+
   private def rewrite(sqlText: String): Option[Rewritten] = {
     val (masked, lits) = maskLiterals(sqlText)
+    val m0 =
+      try extractYqlScan(masked, lits) catch { case _: Exception => masked }
     // marker-clause extraction runs FIRST: `LIMIT o, n BY` must not be
     // half-eaten by the limitOffset rewrite below
     val (m1, lbWrap) =
-      try extractLimitBy(masked, lits) catch { case _: Exception => (masked, None) }
+      try extractLimitBy(m0, lits) catch { case _: Exception => (m0, None) }
     val (m2, fillWrap) =
       try extractWithFill(m1, lits) catch { case _: Exception => (m1, None) }
     val (m3, sampleWrap) =

@@ -517,9 +517,129 @@ object SourceQueries {
       WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-03'
       ORDER BY storage"""))
 
+  // ---------------------------------------------------------------------
+  // The YQL text forms of the federated chapter, end-to-end against the
+  // oracle. q104: the inline-schema connection scan (README.md:231-254)
+  // — gzip csv objects under a connection root, read back through the
+  // verbatim `FROM `conn`.`glob` WITH (format, compression, Schema)`
+  // clause, aggregated so DuckDB replays from the source events table.
+  val q104YqlInlineScan = QueryDef(
+    "q104_yql_inline_scan",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_yql_q104_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      Graft.events(s, dir, "2024-01-05", "2024-01-08")
+        .select(col("event_id"), to_date(col("ts")).as("d"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.option("header", "true").option("compression", "gzip")
+        .option("escape", "\"")
+        .csv(s"$root/metrica/hits")
+      Catalog.register(s, Binding("yq_conn_q104", root,
+        format = "connection"))
+      s.sql("""
+        SELECT `event_type`, toInt64(count(1)) AS n,
+               round(sum(`value`), 2) AS value_sum,
+               toInt64(count(DISTINCT `user_id`)) AS users
+        FROM `yq_conn_q104`.`/metrica/hits/part*.csv.gz`
+            WITH
+            (
+                format = csv_with_names,
+                compression = gzip,
+                Schema =
+                (
+                    event_id UInt64 Not null,
+                    d date not null,
+                    user_id uint64,
+                    event_type string,
+                    value double
+                )
+            )
+        GROUP BY `event_type`
+        ORDER BY `event_type`""")
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             round(sum(value), 2) AS value_sum,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+        AND CAST(ts AS DATE) < DATE '2024-01-08'
+      GROUP BY 1 ORDER BY 1"""))
+
+  // q105: the YQ federated insert (README.md:281-299) — facts join an
+  // SCD2-windowed csv dim on `==` with a validity range, the result
+  // lands as fresh csv objects under `binding`.`/path/` WITH
+  // (format='csv_with_names'), and the entry returns the read-back —
+  // so the oracle checks the WHOLE write-then-read path.
+  val q105YqlFederatedInsert = QueryDef(
+    "q105_yql_federated_insert",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_yql_q105_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      new java.io.File(s"$root/dim").mkdirs()
+      // the README's versioned dim shape (README.md:273-277), over
+      // event types: the second window supersedes the first mid-range
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/dim/dim.csv"),
+        ("\"EvType\",\"EvDesc\",\"FromDT\",\"ToDT\"\n" +
+          "\"click\",\"Click (old)\",\"2024-01-01\",\"2024-01-05\"\n" +
+          "\"click\",\"Click\",\"2024-01-06\",\"2099-12-31\"\n" +
+          "\"view\",\"View\",\"2024-01-01\",\"2099-12-31\"\n")
+          .getBytes("UTF-8"))
+      Graft.events(s, dir, "2024-01-06", "2024-01-09")
+        .select(col("event_type"), to_date(col("ts")).as("EventDate"))
+        .createOrReplaceTempView("yql_q105_facts")
+      Catalog.register(s,
+        Binding("dim_ev_q105", s"$root/dim", format = "csv",
+          options = Map("header" -> "true", "escape" -> "\"")),
+        Binding("yq_out_q105", root, format = "connection"))
+      s.sql("""
+        insert into `yq_out_q105`.`/metrica/yq/`
+            WITH
+            (
+                format='csv_with_names'
+            )
+        SELECT
+            f.`event_type`,
+            f.`EventDate`,
+            d.`EvDesc`,
+            count(1) as cnt
+        FROM yql_q105_facts f
+        join `dim_ev_q105` d
+        on f.`event_type` == d.`EvType`
+        where f.`EventDate` >= d.`FromDT` and f.`EventDate` <= d.`ToDT`
+        group by
+            f.`event_type`,
+            f.`EventDate`,
+            d.`EvDesc`
+        order by f.`EventDate`""")
+      CsvGzip.read(s, s"$root/metrica/yq", StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("EventDate", DateType),
+        StructField("EvDesc", StringType),
+        StructField("cnt", LongType))))
+        .orderBy(col("EventDate"), col("event_type"))
+    },
+    Some("""
+      WITH dim(EvType, EvDesc, FromDT, ToDT) AS (VALUES
+        ('click', 'Click (old)', DATE '2024-01-01', DATE '2024-01-05'),
+        ('click', 'Click', DATE '2024-01-06', DATE '2099-12-31'),
+        ('view', 'View', DATE '2024-01-01', DATE '2099-12-31'))
+      SELECT f.event_type, CAST(f.EventDate AS DATE) AS EventDate,
+             d.EvDesc, CAST(count(1) AS BIGINT) AS cnt
+      FROM (SELECT event_type, CAST(ts AS DATE) AS EventDate
+            FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-06'
+              AND CAST(ts AS DATE) < DATE '2024-01-09') f
+      JOIN dim d ON f.event_type = d.EvType
+        AND f.EventDate >= d.FromDT AND f.EventDate <= d.ToDT
+      GROUP BY 1, 2, 3 ORDER BY 2, 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
       q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated,
       q51HitsExportReconcile, q59TtlTiering, q93MutationDelete,
-      q97ChInsertSelectSql)
+      q97ChInsertSelectSql, q104YqlInlineScan, q105YqlFederatedInsert)
 }

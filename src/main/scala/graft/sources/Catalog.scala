@@ -38,6 +38,13 @@ object Catalog {
     * declared — nullability included, matching YQ's `NOT NULL` markers).
     */
   def resolve(spark: SparkSession, b: Binding): DataFrame = {
+    // a CONNECTION (YQ's object-storage connection, README.md:219-221)
+    // is a bucket pointer, not a table: it is addressed as
+    // `connection`.`/path/glob` WITH (...) and has no bare-name frame
+    if (b.format == "connection")
+      throw new IllegalArgumentException(
+        s"'${b.name}' is a connection — address it with a path: " +
+          s"`${b.name}`.`/path/obj*.csv.gz` WITH (format = ..., Schema = (...))")
     if (b.format == "parquet" && b.dateCol.isDefined)
       return resolveWarehouse(spark, b)
     val reader = spark.read.format(b.format).options(b.options)
@@ -105,11 +112,21 @@ object Catalog {
     * binding definition is also retained by name so DDL-shaped
     * statements (the `ALTER TABLE ... DELETE/UPDATE` mutations) can
     * find the storage path behind the view.
+    *
+    * YQ binding names need not be valid Spark view identifiers
+    * (README.md:216: `metrica-hits-s3`) — when the view cannot be
+    * created, the name still resolves from SQL through
+    * [[graft.plans.YqlScanRule]], which reads this registry.
     */
   def register(spark: SparkSession, bindings: Binding*): Unit =
     bindings.foreach { b =>
-      resolve(spark, b).createOrReplaceTempView(b.name)
-      bound.put(b.name, b)
+      if (b.format == "connection") bound.put(b.name, b)
+      else {
+        val df = resolve(spark, b) // loud on a bad path/format
+        bound.put(b.name, b)
+        try df.createOrReplaceTempView(b.name)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
     }
 
   // JVM-wide like the dictionary registry; last registration wins
