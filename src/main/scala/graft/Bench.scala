@@ -31,6 +31,25 @@ object Bench {
       sfDir: String): Unit =
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+  /** Corpus fingerprint `rowcount:contenthash` per table — makes
+    * run-to-run drift attributable: identical fingerprints mean a
+    * timing delta is code/plan/machine, different fingerprints mean
+    * the corpus itself changed (the sf1 vocabulary derives from the
+    * driver's sf0.1 documents, which a driver restart may regenerate).
+    */
+  private def fingerprint(spark: SparkSession, dir: String,
+      tables: Seq[String]): String =
+    tables.map { t =>
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      // pmod before the sum keeps the total under 2^63 for any
+      // realistic row count (ANSI mode makes a raw hash sum overflow)
+      val r = df.select(count(lit(1)).cast("long"),
+        sum(pmod(xxhash64(struct(df.columns.map(c => col(s"`$c`")): _*)),
+          lit(1000000007L)))).head()
+      s""""$t":"${r.getLong(0)}:${java.lang.Long.toHexString(r.getLong(1))}""""
+    }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.local("graft-bench")
@@ -71,19 +90,30 @@ object Bench {
         val sf1Names = Seq("q22_minhash_neardup", "q61_asof_join",
           "q38_pipeline_e2e", "q37_ann_ivf_topk", "q25_ann_topk",
           "q75_dedup_clusters")
-        // no separate warmup: the same query shapes just ran at sfDir
+        // no separate warmup: the same query shapes just ran at sfDir.
+        // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
+        // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the
+        // whole sfDir suite) — round 6 read that noise as a regression.
+        // The median is what the scale claim should be judged on.
+        val reps = 3
         val sf1 = sf1Names.map { name =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { materialize(spark, name, qmap(name), sf1Dir); true }
-            catch { case e: Throwable =>
+          val times = (1 to reps).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { materialize(spark, name, qmap(name), sf1Dir)
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
               System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
-              false
+              None
             }
+          }
           "\"" + name + "\":" +
-            (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+            (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
         }.mkString("{", ",", "}")
-        s""","sf1_queries":$sf1,"sf1_dir":"$sf1Dir""""
+        val pipelineTables = Seq("documents", "events", "embeddings")
+        val fps = fingerprint(spark, src, pipelineTables)
+        val fp1 = fingerprint(spark, sf1Dir, pipelineTables)
+        s""","sf1_queries":$sf1,"sf1_reps":$reps,"sf1_dir":"$sf1Dir"""" +
+          s""","sf_fingerprint":$fps,"sf1_fingerprint":$fp1"""
       } catch { case e: Throwable =>
         // getMessage may be null (NPE et al.) — never let the guard
         // itself kill the base line
