@@ -40,18 +40,33 @@ object QueryParams {
 
   private val phRe = """\{\{\s*([A-Za-z_][\w.-]*)\s*\}\}""".r
 
-  /** Replace every `{{name}}` in `sqlText`; an unregistered name is a
-    * loud error (the alternative is the delegate's opaque parse
-    * error on the `{{` token). No-op (zero regex work) for the usual
-    * placeholder-free text.
+  /** Replace every REGISTERED `{{name}}` in `sqlText`; unregistered
+    * placeholders stay untouched — `'{{x}}'` inside a string literal
+    * is valid Spark SQL that must keep meaning (DataLens texts with a
+    * forgotten parameter instead fail at parse, where the parser adds
+    * a QueryParams hint via [[unresolved]]). Returns the text and
+    * whether any substitution happened (the gate for the CH
+    * bracket-index rewrite). No-op for placeholder-free text.
     */
-  def substitute(sqlText: String): String =
-    if (!sqlText.contains("{{")) sqlText
-    else phRe.replaceAllIn(sqlText, m => {
-      val v = params.get(m.group(1))
-      require(v != null,
-        s"query parameter {{${m.group(1)}}} is not set " +
-          s"(QueryParams.set/setDate); known: ${params.keySet()}")
-      java.util.regex.Matcher.quoteReplacement(v)
-    })
+  def substitute(sqlText: String): (String, Boolean) =
+    if (!sqlText.contains("{{")) (sqlText, false)
+    else {
+      var any = false
+      val out = phRe.replaceAllIn(sqlText, m => {
+        params.get(m.group(1)) match {
+          case null => java.util.regex.Matcher.quoteReplacement(m.matched)
+          case v =>
+            any = true
+            java.util.regex.Matcher.quoteReplacement(v)
+        }
+      })
+      (out, any)
+    }
+
+  /** The unregistered placeholder names in `sqlText` (for the parse-
+    * failure hint).
+    */
+  def unresolved(sqlText: String): Seq[String] =
+    phRe.findAllMatchIn(sqlText).map(_.group(1)).distinct.toSeq
+      .filterNot(params.containsKey)
 }

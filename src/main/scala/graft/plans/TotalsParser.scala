@@ -713,14 +713,32 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // GetArrayItem — silently wrong semantics, same trap class as
   // `FROM t FINAL`.
   override def parsePlan(sqlText: String): LogicalPlan =
-    planOrAlter(substituteParams(sqlText), delegate.parsePlan)
+    withParams(sqlText, t => planOrAlter(t, delegate.parsePlan))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    planOrAlter(substituteParams(sqlText), delegate.parseQuery)
+    withParams(sqlText, t => planOrAlter(t, delegate.parseQuery))
 
-  private def substituteParams(sqlText: String): String =
-    if (!sqlText.contains("{{")) sqlText
-    else chBracketIndex(QueryParams.substitute(sqlText))
+  private def withParams(sqlText: String,
+      parse: String => LogicalPlan): LogicalPlan = {
+    val (subst, any) = QueryParams.substitute(sqlText)
+    // the bracket rewrite is gated on a substitution actually having
+    // happened — `'{{x}}'` in a literal of plain Spark SQL must not
+    // flip the statement's arr[i] semantics
+    val text = if (any) chBracketIndex(subst) else subst
+    try parse(text)
+    catch {
+      case e: ParseException
+          if QueryParams.unresolved(sqlText).nonEmpty =>
+        // a DataLens text with a FORGOTTEN parameter fails to parse on
+        // the raw `{{` token — point at the registry, not the token
+        throw new IllegalArgumentException(
+          "query has unset {{parameters}}: " +
+            QueryParams.unresolved(sqlText)
+              .map(n => s"{{$n}}").mkString(", ") +
+            " — register them with QueryParams.set/setDate " +
+            s"(underlying: ${e.getMessage})")
+    }
+  }
 
   // `ident[expr]` / `` `quoted`[expr] `` → `arrayElement(ident, expr)`
   // — innermost-first via fixpoint (an index expression may itself

@@ -19,14 +19,31 @@ class ParamsSpec extends SparkSpec {
       val r = spark.sql(
         "SELECT {{p_from}} AS d, {{ p_n }} AS n").collect().head
       assert(r.getDate(0).toString == "2024-01-02" && r.getInt(1) == 42)
+      // a forgotten parameter fails at parse with a registry hint,
+      // not an opaque `{{` token error
       val err = intercept[Exception](
         spark.sql("SELECT {{nope}} AS x").collect())
-      assert(err.getMessage.contains("{{nope}} is not set"))
-      // placeholders inside string literals are substituted too —
-      // DataLens substitutes client-side, before any SQL lexing
+      assert(err.getMessage.contains("unset {{parameters}}: {{nope}}"))
+      // registered placeholders inside string literals substitute too
+      // (DataLens substitutes client-side, before any SQL lexing) ...
       val s = spark.sql("SELECT '{{p_n}}' AS t").collect().head.getString(0)
       assert(s == "41 + 1")
+      // ... but an UNREGISTERED {{...}} inside a literal of otherwise
+      // valid Spark SQL keeps its meaning — no new failure mode
+      val keep = spark.sql("SELECT '{{not_a_param}}' AS t")
+        .collect().head.getString(0)
+      assert(keep == "{{not_a_param}}")
     } finally { QueryParams.remove("p_from"); QueryParams.remove("p_n") }
+  }
+
+  test("no substitution -> no bracket rewrite: arr[i] stays Spark") {
+    Seq((Seq("a", "b"), 1)).toDF("arr", "one")
+      .createOrReplaceTempView("br_gate_t")
+    // '{{x}}' (unregistered) in a literal must NOT flip arr[1] to
+    // CH 1-based semantics
+    val r = spark.sql(
+      "SELECT arr[1] AS e, '{{x}}' AS t FROM br_gate_t").collect().head
+    assert(r.getString(0) == "b" && r.getString(1) == "{{x}}")
   }
 
   test("setDate rejects a non-ISO value (no SQL smuggling)") {

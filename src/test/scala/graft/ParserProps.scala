@@ -95,6 +95,64 @@ object ParserProps extends Properties("parser") {
     }
   }
 
+  property("CH arr[e] matches CH semantics for any index expression") = {
+    // index expressions of random arithmetic over a {{param}} — the
+    // placeholder gates the bracket rewrite, and the result must be
+    // CH's 1-based element / type-default-on-miss for every value the
+    // expression can take (incl. 0, negatives, past-the-end)
+    Prop.forAll(Gen.choose(-3, 6), Gen.choose(-2, 2)) { (base, off) =>
+      val spark = SparkSpec.spark
+      graft.plans.QueryParams.set("pp_i", base.toString)
+      try {
+        val arr = Seq("a", "b", "c")
+        import spark.implicits._
+        Seq(Tuple1(arr)).toDF("arr").createOrReplaceTempView("props_br_t")
+        val got = spark.sql(
+          s"SELECT arr[{{pp_i}} + ($off)] AS e FROM props_br_t")
+          .collect().head.getString(0)
+        val i = base + off
+        val want = if (i >= 1 && i <= arr.length) arr(i - 1) else ""
+        (got == want) :| s"arr[$i]: got '$got' want '$want'"
+      } finally graft.plans.QueryParams.remove("pp_i")
+    }
+  }
+
+  property("YQL schema items parse for any case/not-null spelling") = {
+    val types = Map(
+      "uint64" -> "long", "uint32" -> "long", "int32" -> "integer",
+      "uint16" -> "integer", "string" -> "string", "utf8" -> "string",
+      "double" -> "double", "float" -> "float", "date" -> "date",
+      "datetime" -> "timestamp", "bool" -> "boolean")
+    def mixCase(s: String, seed: Long): String =
+      s.zipWithIndex.map { case (c, i) =>
+        if (((seed >> (i % 60)) & 1) == 1) c.toUpper else c
+      }.mkString
+    Prop.forAll(Gen.oneOf(types.keys.toSeq), Gen.long,
+      Gen.oneOf("", " not null", " NOT NULL", " Not null")) {
+      (t, seed, nn) =>
+        val item = s"col1 ${mixCase(t, seed)}$nn"
+        val f = graft.plans.YqlText.yqlField(item)
+        (f.name == "col1") :| "name" &&
+          (f.dataType.typeName == types(t)) :| s"$item -> ${f.dataType}" &&
+          (f.nullable == nn.isEmpty) :| s"nullable for '$item'"
+    }
+  }
+
+  property("YQL WITH options parse under any order and spacing") =
+    Prop.forAll(Gen.oneOf(true, false), Gen.choose(0, 4)) { (quoted, pad) =>
+      val sp = " " * pad
+      val fmt = if (quoted) "'csv_with_names'" else "csv_with_names"
+      val opts = Seq(
+        s"compression$sp=$sp gzip",
+        s"format$sp=$sp$fmt",
+        s"Schema$sp=$sp(a uint64 not null,${sp}b string)")
+      val body = scala.util.Random.shuffle(opts).mkString(", ")
+      val (f, c, s) = graft.plans.YqlText.parseOptions(body)
+      (f == "csv_with_names") :| "format" &&
+        (c.contains("gzip")) :| "compression" &&
+        (s.exists(_.fieldNames.toSeq == Seq("a", "b"))) :| "schema"
+    }
+
   property("SAMPLE f is a nested deterministic subset for any fraction") =
     Prop.forAll(Gen.choose(5, 45), Gen.choose(50, 95)) { (fa, fb) =>
       val spark = SparkSpec.spark
