@@ -162,4 +162,84 @@ object text {
       filter(split(normalizeText(c), ""), ch => length(ch) > 0),
       lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(p)))
+
+  // -------------------------------------------------------------------
+  // PII scrubbing — the redaction pass every shareable training corpus
+  // runs before anything else. Pure regexp_replace chains (codegen'd,
+  // map-side only); the patterns are deliberately conservative and
+  // RE2-compatible, so ANY downstream engine (DuckDB, CH, BigQuery)
+  // replays the identical scrub — portability is the point, a corpus
+  // scrubbed differently per engine is a compliance bug.
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  // dots excluded from the body so an IPv4 never half-matches as a
+  // phone; applied AFTER the ip/email passes
+  val phonePattern = "\\+?\\d[\\d() -]{7,}\\d"
+
+  /** Redact emails, IPv4s and phone-shaped digit runs to typed tags.
+    * Email first (its local part may contain digits), then IP (dotted
+    * quads would otherwise shadow into the phone run), then phone.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-type PII hit counts as a struct (email, ip, phone) — the audit
+    * measure that decides whether a source is quarantined. Counted in
+    * the same order redaction applies, on the progressively-redacted
+    * text, so counts and redaction always agree.
+    */
+  def piiCounts(c: Column): Column = {
+    val afterEmail = regexp_replace(c, emailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
+    struct(
+      regexp_count(c, lit(emailPattern)).cast("long").as("email"),
+      regexp_count(afterEmail, lit(ipv4Pattern)).cast("long").as("ip"),
+      regexp_count(afterIp, lit(phonePattern)).cast("long").as("phone"))
+  }
+
+  // -------------------------------------------------------------------
+  // Repetition metrics (the Gopher-style quality gates): machine-
+  // generated and boilerplate text shows up as duplicate n-grams long
+  // before a human reads it. Both measures are per-document Column
+  // combinators — constant work per row, no shuffle, 100 TB-safe.
+
+  /** Fraction of n-gram OCCURRENCES that are repeats of an earlier
+    * n-gram in the same document: 1 - distinct/total. 0 for documents
+    * shorter than n tokens.
+    */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val total = size(toks) - (n - 1)
+    when(total > 0,
+      round(lit(1.0) - size(ngrams(toks, n)).cast("double") / total, 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of the single most frequent n-gram among all n-gram
+    * occurrences of the document (Gopher's top-ngram fraction). A
+    * sort + linear run-length fold per row — O(L log L) in document
+    * length, still map-side.
+    */
+  def topNgramShare(toks: Column, n: Int): Column = {
+    val grams = when(size(toks) >= n,
+      sort_array(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    // fold: (previous gram, current run, best run)
+    val best = aggregate(grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(grams) > 0,
+      round(best.cast("double") / size(grams), 6)).otherwise(lit(0.0))
+  }
 }

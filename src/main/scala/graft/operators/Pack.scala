@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: assign documents to
+  * fixed-token-budget bins (the pre-tokenization step that turns a
+  * document pile into context-window-sized training sequences).
+  *
+  * Packing is SHARD-LOCAL by design: documents are first assigned to
+  * `shards` deterministic hash shards, and the running token total
+  * resets per shard. A single global ordered prefix-sum would funnel
+  * 100 TB through ONE window partition — the canonical scale killer —
+  * while training shards are independent files anyway, so bin
+  * identity only ever needs to be unique, not globally ordered. Within
+  * a shard documents pack in id order (deterministic, replayable by
+  * any engine with window functions — the DuckDB oracle replays it
+  * verbatim).
+  *
+  * The bin rule is budgeted chunking: a document starts a new bin when
+  * the exclusive running total crosses a budget multiple —
+  * `bin = floor(prefix / budget)`. An oversized document (longer than
+  * the budget) occupies its bins alone and the next document starts
+  * cleanly after it; nothing is dropped or truncated silently — the
+  * `oversize` flag marks such documents for the caller to split
+  * upstream.
+  */
+object Pack {
+
+  /** Add (shard, bin, oversize) to `df`. `tokenCol` must be a non-null
+    * long (compute it with `text.tokenCountWs`/`tokenCountBpe`).
+    *
+    * Shard assignment is `id mod shards` — portable across engines
+    * (the oracle replays it; a hash-based shard would pin the corpus
+    * to one engine's hash) and uniform for the sequential ids
+    * training corpora carry. Swap in a hash of the id upstream if
+    * ids are adversarially skewed.
+    */
+  def packBudgeted(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "packBudgeted: budget/shards > 0")
+    val id = col(s"`$idCol`")
+    val toks = col(s"`$tokenCol`")
+    val shard = pmod(id, lit(shards.toLong)).as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("__prefix", coalesce(sum(toks).over(w), lit(0L)))
+      .withColumn("bin", (col("__prefix") / budget).cast("long"))
+      .withColumn("oversize", toks > budget)
+      .drop("__prefix")
+  }
+
+  /** Bin-level packing summary: documents, tokens, and fill ratio per
+    * (shard, bin) — the measure that tells whether the budget wastes
+    * context (fill << 1) or the corpus needs upstream splitting
+    * (oversize bins).
+    */
+  def packSummary(packed: DataFrame, tokenCol: String,
+      budget: Long): DataFrame =
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col(s"`$tokenCol`")).cast("long").as("tokens"),
+        max(col("oversize")).as("has_oversize"))
+      .withColumn("fill",
+        round(col("tokens").cast("double") / budget, 6))
+}

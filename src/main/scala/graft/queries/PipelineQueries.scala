@@ -818,11 +818,213 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // PII scrubbing (X8-family extension): redact emails / IPv4s / phone
+  // runs to typed tags and audit per-type hit counts. The corpus has no
+  // planted PII, so the entry injects a deterministic PII suffix per
+  // document — both engines replay the same injection, redaction and
+  // counts, so the oracle checks the SCRUB itself, not the fixture.
+  // RE2-compatible patterns on purpose: a corpus scrubbed differently
+  // per engine is a compliance bug.
+  val q106PiiRedact = QueryDef(
+    "q106_pii_redact",
+    (s, dir) => {
+      val withPii = Graft.table(s, dir, "documents")
+        .withColumn("t", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com tel +1 555 010 "),
+          pmod(col("doc_id"), lit(10000L)), lit(" host 10.0."),
+          pmod(col("doc_id"), lit(256L)), lit("."),
+          pmod(col("doc_id"), lit(200L)), lit(" end")))
+      withPii.select(col("doc_id"),
+          text.redactPii(col("t")).as("red"),
+          text.piiCounts(col("t")).as("pii"))
+        .groupBy(lit(1).as("g"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("pii.email")).cast("long").as("emails"),
+          sum(col("pii.ip")).cast("long").as("ips"),
+          sum(col("pii.phone")).cast("long").as("phones"),
+          sum(length(col("red"))).cast("long").as("red_len"),
+          sum(when(col("red").contains("<EMAIL>") &&
+            col("red").contains("<IP>") && col("red").contains("<PHONE>"),
+            1L).otherwise(0L)).as("fully_tagged"))
+        .drop("g")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com tel +1 555 010 ' || (doc_id % 10000) ||
+               ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 200) ||
+               ' end' AS t
+        FROM documents
+      ), r AS (
+        SELECT doc_id, t,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                 '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS red,
+               len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(
+                 regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+               len(regexp_extract_all(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                 '\+?\d[\d() -]{7,}\d')) AS n_phone
+        FROM p
+      )
+      SELECT CAST(count(1) AS BIGINT) AS docs,
+             CAST(sum(n_email) AS BIGINT) AS emails,
+             CAST(sum(n_ip) AS BIGINT) AS ips,
+             CAST(sum(n_phone) AS BIGINT) AS phones,
+             CAST(sum(length(red)) AS BIGINT) AS red_len,
+             CAST(sum(CASE WHEN red LIKE '%<EMAIL>%' AND red LIKE '%<IP>%'
+                           AND red LIKE '%<PHONE>%' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fully_tagged
+      FROM r"""))
+
+  // ---------------------------------------------------------------------
+  // Repetition quality gates (Gopher-style): duplicate-2gram fraction
+  // and top-2gram share per document, aggregated per language. Both are
+  // per-row Column folds — constant work per document, no shuffle until
+  // the final rollup, the property that keeps a quality pass at 100 TB
+  // a single map stage.
+  val q107RepetitionQuality = QueryDef(
+    "q107_repetition_quality",
+    (s, dir) => {
+      val toks = text.tokenize(col("text"))
+      Graft.table(s, dir, "documents")
+        .select(col("lang"),
+          text.dupNgramFraction(toks, 2).as("dup2"),
+          text.topNgramShare(toks, 2).as("top2"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          round(avg(col("dup2")), 4).as("avg_dup2"),
+          round(avg(col("top2")), 4).as("avg_top2"),
+          sum(when(col("dup2") > 0.2, 1L).otherwise(0L)).as("flagged"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), g AS (
+        SELECT lang,
+               CASE WHEN len(toks) >= 2
+                    THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                    ELSE [] END AS grams
+        FROM t
+      ), m AS (
+        SELECT lang,
+               CASE WHEN len(grams) > 0
+                    THEN round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+                    ELSE 0.0 END AS dup2,
+               CASE WHEN len(grams) > 0
+                    THEN round(list_max(list_transform(list_distinct(grams),
+                           x -> len(list_filter(grams, y -> y = x))))
+                         / CAST(len(grams) AS DOUBLE), 6)
+                    ELSE 0.0 END AS top2
+        FROM g
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS docs,
+             round(avg(dup2), 4) AS avg_dup2,
+             round(avg(top2), 4) AS avg_top2,
+             CAST(sum(CASE WHEN dup2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS flagged
+      FROM m GROUP BY lang ORDER BY lang"""))
+
+  // ---------------------------------------------------------------------
+  // Sequence packing (budgeted chunking into context-window bins),
+  // shard-local so the prefix sum distributes — see operators/Pack.
+  // The output is the per-shard packing profile a training-data owner
+  // reads before launching tokenization.
+  val q108SeqPack = QueryDef(
+    "q108_seq_pack",
+    (s, dir) => {
+      import graft.operators.Pack
+      val budget = 512L
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          text.tokenCountWs(col("text")).as("n_tok"))
+      val packed = Pack.packBudgeted(docs, "doc_id", "n_tok",
+        budget, shards = 8)
+      Pack.packSummary(packed, "n_tok", budget)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("bins"),
+          sum(col("docs")).cast("long").as("docs"),
+          sum(col("tokens")).cast("long").as("tokens"),
+          round(avg(col("fill")), 4).as("avg_fill"),
+          sum(when(col("has_oversize"), 1L).otherwise(0L))
+            .as("oversize_bins"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tok
+        FROM documents
+      ), pk AS (
+        SELECT shard, n_tok,
+               CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY shard
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin,
+               n_tok > 512 AS oversize
+        FROM d
+      ), b AS (
+        SELECT shard, bin, count(1) AS docs, sum(n_tok) AS tokens,
+               max(oversize) AS has_oversize
+        FROM pk GROUP BY 1, 2
+      )
+      SELECT shard, CAST(count(1) AS BIGINT) AS bins,
+             CAST(sum(docs) AS BIGINT) AS docs,
+             CAST(sum(tokens) AS BIGINT) AS tokens,
+             round(avg(round(tokens / 512.0, 6)), 4) AS avg_fill,
+             CAST(sum(CASE WHEN has_oversize THEN 1 ELSE 0 END) AS BIGINT)
+               AS oversize_bins
+      FROM b GROUP BY shard ORDER BY shard"""))
+
+  // ---------------------------------------------------------------------
+  // Vocabulary building: the corpus-global token frequency table
+  // (min-frequency floor, deterministic top-k) that seeds tokenizer
+  // training. One shuffle keyed by token — partial aggregation does the
+  // heavy lifting map-side, so the reduce sees |vocab|, not |corpus|.
+  val q109VocabTopk = QueryDef(
+    "q109_vocab_topk",
+    (s, dir) => {
+      Graft.table(s, dir, "documents")
+        .select(explode(text.tokenize(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(50)
+    },
+    Some("""
+      SELECT word, CAST(count(1) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+              AS word
+            FROM documents)
+      WHERE length(word) > 0
+      GROUP BY word HAVING count(1) >= 5
+      ORDER BY freq DESC, word ASC LIMIT 50"""))
+
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
     q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall, q72AnnQuantized,
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,
-    q73Contamination)
+    q73Contamination, q106PiiRedact, q107RepetitionQuality,
+    q108SeqPack, q109VocabTopk)
 }

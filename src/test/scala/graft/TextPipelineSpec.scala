@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+import graft.operators.Pack
+
+/** PII scrubbing, repetition quality gates, and sequence packing —
+  * known-answer cases for the X-family additions of round 7.
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii: emails, IPv4s, phones — in the order that composes") {
+    val cases = Seq(
+      ("write to bob.smith+x@corp.example.org today",
+        "write to <EMAIL> today"),
+      ("server 192.168.0.1 answered", "server <IP> answered"),
+      ("call +1 (555) 010-1234 now", "call <PHONE> now"),
+      // all three, adjacent: email first (digits inside), ip before
+      // phone (the dotted quad must not half-match as a phone)
+      ("a1@b.co 10.0.0.7 +44 20 7946 0958 done",
+        "<EMAIL> <IP> <PHONE> done"),
+      ("no pii here at all", "no pii here at all"),
+      // a bare short number is NOT a phone (>= 9 chars total)
+      ("only 12345 here", "only 12345 here"))
+    val got = cases.map(_._1).toDF("t")
+      .select(text.redactPii(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("piiCounts agrees with redaction") {
+    val r = Seq("x@y.io and z@w.dev via 10.1.1.1 call +1 555 010 9999")
+      .toDF("t").select(text.piiCounts(col("t")).as("p"))
+      .select(col("p.email"), col("p.ip"), col("p.phone"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
+  test("dupNgramFraction / topNgramShare: hand-computed documents") {
+    val df = Seq(
+      "a b a b a b",  // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+      "w x y z",      // 3 total, 3 distinct -> dup 0, top 1/3
+      "solo",         // shorter than n -> 0, 0
+      "t t t t t")    // 4 total, 1 distinct ("t t" x4)
+      .toDF("text")
+    val r = df.select(
+      text.dupNgramFraction(text.tokenize(col("text")), 2).as("d"),
+      text.topNgramShare(text.tokenize(col("text")), 2).as("s"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1)))
+    assert(r(0) == ((1.0 - 2.0 / 5, 3.0 / 5)))  // "a b" occurs 3x
+    assert(r(1) == ((0.0, math.floor(1.0 / 3 * 1e6) / 1e6)))
+    assert(r(2) == ((0.0, 0.0)))
+    assert(r(3) == ((0.75, 1.0)))
+  }
+
+  test("packBudgeted: bins chunk at the budget, oversize flagged") {
+    // one shard (shards=1) for a hand-checkable sequence
+    val docs = Seq((0L, 300L), (1L, 300L), (2L, 2000L), (3L, 100L))
+      .toDF("doc_id", "n_tok")
+    val packed = Pack.packBudgeted(docs, "doc_id", "n_tok",
+      budget = 512L, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "bin", "oversize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // prefixes: 0, 300, 600, 2600 -> bins 0, 0, 1, 5
+    assert(packed.toSeq == Seq((0L, 0L, false), (1L, 0L, false),
+      (2L, 1L, true), (3L, 5L, false)))
+    // shard-local: two shards pack independently
+    val sharded = Pack.packBudgeted(docs, "doc_id", "n_tok",
+      budget = 512L, shards = 2)
+      .select("doc_id", "shard", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // shard 0: ids 0,2 (prefix 0,300); shard 1: ids 1,3 (prefix 0,300)
+    assert(sharded.toSeq == Seq((0L, 0L, 0L), (1L, 1L, 0L),
+      (2L, 0L, 0L), (3L, 1L, 0L)))
+    val summary = Pack.packSummary(
+      Pack.packBudgeted(docs, "doc_id", "n_tok", 512L, 1), "n_tok", 512L)
+      .orderBy("bin").collect()
+    assert(summary.length == 3) // bins 0, 1, 5
+    assert(summary.head.getAs[Long]("docs") == 2L)
+  }
+
+  test("plans stay map-side: repetition metrics add no shuffle") {
+    val df = Seq("a b c a b").toDF("text")
+      .select(text.dupNgramFraction(text.tokenize(col("text")), 2))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
