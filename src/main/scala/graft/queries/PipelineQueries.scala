@@ -1019,6 +1019,71 @@ object PipelineQueries {
       GROUP BY word HAVING count(1) >= 5
       ORDER BY freq DESC, word ASC LIMIT 50"""))
 
+  // ---------------------------------------------------------------------
+  // Stratified quota sampling (data mixing, pass 1): exactly
+  // min(quota, |stratum|) documents per language, chosen by the
+  // engine-portable hash order. Two-pass — threshold filter map-side,
+  // exact window trim over ~1.3x-quota survivors — so the window never
+  // sees the corpus (see operators/Mix for the scale argument). The
+  // oracle replays counts, thresholds, hash and trim verbatim.
+  val q110StratifiedSample = QueryDef(
+    "q110_stratified_sample",
+    (s, dir) => {
+      import graft.operators.Mix
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"))
+      Mix.stratifiedSample(docs, "lang", "doc_id", quota = 40)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, count(1) AS n FROM documents GROUP BY lang
+      ), h AS (
+        SELECT d.lang, d.doc_id,
+               ((d.doc_id % 65536) * 2654435761) % 4294967296 AS h,
+               CASE WHEN c.n <= 40 THEN 4294967296
+                    ELSE least(4294967296,
+                      CAST(floor(4294967296 * 1.3 * 40 / c.n) AS BIGINT) + 1)
+               END AS thr
+        FROM documents d JOIN c ON d.lang = c.lang
+      ), f AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                 AS rk
+        FROM h WHERE h < thr
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM f WHERE rk <= 40
+      GROUP BY lang ORDER BY lang"""))
+
+  // Data mixing, pass 2: temperature-scaled mixture weights over
+  // per-language token mass (w ~ tokens^alpha, alpha=0.5 — the
+  // standard multilingual rebalancing dial).
+  val q111MixtureWeights = QueryDef(
+    "q111_mixture_weights",
+    (s, dir) => {
+      import graft.operators.Mix
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("lang"), text.tokenCountWs(col("text")).as("n_tok"))
+      Mix.mixtureWeights(docs, "lang", "n_tok", alpha = 0.5)
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT lang,
+               CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+                    AS BIGINT) AS measure
+        FROM documents GROUP BY lang
+      )
+      SELECT lang, measure,
+             round(pow(measure, 0.5) / sum(pow(measure, 0.5)) OVER (), 6)
+               AS weight
+      FROM m ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
@@ -1026,5 +1091,5 @@ object PipelineQueries {
     q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall, q72AnnQuantized,
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
-    q108SeqPack, q109VocabTopk)
+    q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights)
 }

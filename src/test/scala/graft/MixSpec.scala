@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mix
+
+/** Data-mixing operators: stratified quota sampling (two-pass,
+  * threshold + exact trim) and temperature-scaled mixture weights.
+  */
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 3000L).map { i =>
+    val lang = i % 3 match {
+      case 0 => "en"; case 1 => "de"; case _ => "fr"
+    }
+    (i, lang)
+  }.toDF("doc_id", "lang")
+
+  test("stratifiedSample: exact quota per stratum, deterministic") {
+    val s1 = Mix.stratifiedSample(corpus, "lang", "doc_id", quota = 50)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 50L, "de" -> 50L, "fr" -> 50L))
+    // deterministic: a second draw picks the identical ids
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Mix.stratifiedSample(corpus, "lang", "doc_id", quota = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // nested like SAMPLE: the 20-quota draw is a subset of the 50
+    val small = Mix.stratifiedSample(corpus, "lang", "doc_id", quota = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(ids1))
+  }
+
+  test("a stratum smaller than the quota keeps all its rows") {
+    val tiny = Seq((1L, "en"), (2L, "en"), (3L, "rare"))
+      .toDF("doc_id", "lang")
+    val out = Mix.stratifiedSample(tiny, "lang", "doc_id", quota = 10)
+    assert(out.count() == 3)
+  }
+
+  test("the threshold filter really prunes before the window") {
+    // 1000 en docs, quota 10: survivors of the map-side filter must be
+    // ~13, far below the stratum size — the scale property
+    val en = (0L until 1000L).map((_, "en")).toDF("doc_id", "lang")
+    val quota = 10
+    val thr = (4294967296L * 1.3 * quota / 1000).toLong + 1
+    val survivors = en
+      .withColumn("h", Mix.portableHash(col("doc_id")))
+      .filter(col("h") < thr).count()
+    assert(survivors >= quota && survivors < 60,
+      s"survivors $survivors out of expected ~13")
+    assert(Mix.stratifiedSample(en, "lang", "doc_id", quota).count()
+      == quota)
+  }
+
+  test("too many strata fail loudly") {
+    val wide = (0L until 500L).map(i => (i, s"s$i")).toDF("doc_id", "lang")
+    val err = intercept[IllegalArgumentException](
+      Mix.stratifiedSample(wide, "lang", "doc_id", 1, maxStrata = 100))
+    assert(err.getMessage.contains("strata"))
+  }
+
+  test("mixtureWeights: alpha dial between proportional and uniform") {
+    val m = Seq(("en", 900L), ("de", 90L), ("fr", 10L))
+      .toDF("lang", "n_tok")
+    def weights(alpha: Double): Map[String, Double] =
+      Mix.mixtureWeights(m, "lang", "n_tok", alpha).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val w1 = weights(1.0)
+    assert(math.abs(w1("en") - 0.9) < 1e-6)
+    val w0 = weights(0.0) // uniform
+    assert(w0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-5))
+    val wh = weights(0.5) // in between: en dampened, fr boosted
+    assert(wh("en") < w1("en") && wh("fr") > w1("fr"))
+    // weights sum to 1 at any alpha
+    assert(math.abs(weights(0.7).values.sum - 1.0) < 1e-5)
+  }
+}
