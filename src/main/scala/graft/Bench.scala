@@ -43,10 +43,12 @@ object Bench {
       import org.apache.spark.sql.functions._
       val df = spark.read.parquet(s"$dir/$t.parquet")
       // pmod before the sum keeps the total under 2^63 for any
-      // realistic row count (ANSI mode makes a raw hash sum overflow)
+      // realistic row count (ANSI mode makes a raw hash sum overflow);
+      // coalesce because sum over an EMPTY table is null
       val r = df.select(count(lit(1)).cast("long"),
-        sum(pmod(xxhash64(struct(df.columns.map(c => col(s"`$c`")): _*)),
-          lit(1000000007L)))).head()
+        coalesce(sum(pmod(
+          xxhash64(struct(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)),
+          lit(1000000007L))), lit(0L))).head()
       s""""$t":"${r.getLong(0)}:${java.lang.Long.toHexString(r.getLong(1))}""""
     }.mkString("{", ",", "}")
 
@@ -109,11 +111,21 @@ object Bench {
           "\"" + name + "\":" +
             (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
         }.mkString("{", ",", "}")
+        // fingerprints in their OWN guard: minutes of measured sf1
+        // timings must never be discarded because a diagnostic read
+        // failed after them
         val pipelineTables = Seq("documents", "events", "embeddings")
-        val fps = fingerprint(spark, src, pipelineTables)
-        val fp1 = fingerprint(spark, sf1Dir, pipelineTables)
+        val fpSection =
+          try {
+            val fps = fingerprint(spark, src, pipelineTables)
+            val fp1 = fingerprint(spark, sf1Dir, pipelineTables)
+            s""","sf_fingerprint":$fps,"sf1_fingerprint":$fp1"""
+          } catch { case e: Throwable =>
+            s""","fingerprint_error":"${String.valueOf(e.getMessage)
+              .replaceAll("[\"\\\\\n\r\t]", " ")}""""
+          }
         s""","sf1_queries":$sf1,"sf1_reps":$reps,"sf1_dir":"$sf1Dir"""" +
-          s""","sf_fingerprint":$fps,"sf1_fingerprint":$fp1"""
+          fpSection
       } catch { case e: Throwable =>
         // getMessage may be null (NPE et al.) — never let the guard
         // itself kill the base line

@@ -48,6 +48,8 @@ object Mix {
         "stratum column? Bucket it first.")
     // threshold = share of the 32-bit hash space that yields ~1.3x the
     // quota; full space when the stratum is smaller than the quota
+    val expected = counts.map(r => (r.get(0), math.min(quota.toLong,
+      r.getLong(1)))).toMap
     val thresholds = counts.map { r =>
       val n = r.getLong(1)
       val t =
@@ -55,18 +57,52 @@ object Mix {
         else math.min(4294967296L,
           (4294967296L * 1.3 * quota / n).toLong + 1)
       (r.get(0), t)
-    }.toMap
-    val thrCol = thresholds.foldLeft(lit(4294967296L)) {
-      case (acc, (k, t)) => when(stratum <=> lit(k), lit(t)).otherwise(acc)
     }
+    // thresholds ride a BROADCAST join, never a when-chain: a
+    // |strata|-deep CaseWhen is O(|strata|) per scanned row and
+    // overflows the analyzer's stack thousands of strata before the
+    // maxStrata guard
+    val spark = df.sparkSession
+    val thrDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(thresholds.toSeq.map {
+        case (k, t) => org.apache.spark.sql.Row(k, t)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__mix_stratum",
+          df.schema(stratumCol).dataType),
+        org.apache.spark.sql.types.StructField("__mix_thr",
+          org.apache.spark.sql.types.LongType))))
     val w = Window.partitionBy(stratum)
       .orderBy(col("__mix_h"), id)
-    df.withColumn("__mix_h", portableHash(id))
-      // map-side: the corpus never reaches the window
-      .filter(col("__mix_h") < thrCol)
-      .withColumn("__mix_rk", row_number().over(w))
-      .filter(col("__mix_rk") <= quota)
-      .drop("__mix_h", "__mix_rk")
+    def draw(frame: DataFrame, thr: Column): DataFrame =
+      frame.filter(col("__mix_h") < thr)
+        .withColumn("__mix_rk", row_number().over(w))
+        .filter(col("__mix_rk") <= quota)
+    val hashed = df.withColumn("__mix_h", portableHash(id))
+      .join(broadcast(thrDf), stratum <=> col("__mix_stratum"))
+    // pass 1: map-side threshold filter, window over ~1.3x-quota
+    // survivors. The headroom is probabilistic AND the portable hash
+    // keys on the id's low 16 bits (correlated ids can collapse to
+    // one hash value), so the quota contract is VERIFIED: strata the
+    // threshold under-filled re-draw over their full hash space.
+    val first = draw(hashed, col("__mix_thr")).localCheckpoint()
+    val got = first.groupBy(stratum).count().collect()
+      .map(r => (r.get(0), r.getLong(1))).toMap
+    val short = expected.filter { case (k, want) =>
+      got.getOrElse(k, 0L) < want
+    }.keys.toSeq
+    val sampled =
+      if (short.isEmpty) first
+      else {
+        // pathological strata only: the naive full-stratum window —
+        // correctness over the fast path, and only where needed
+        val redo = draw(
+          hashed.filter(stratum.isin(short.map(k => k: Any): _*)),
+          lit(4294967296L))
+        first.filter(!stratum.isin(short.map(k => k: Any): _*))
+          .unionByName(redo)
+      }
+    sampled.drop("__mix_h", "__mix_rk", "__mix_stratum", "__mix_thr")
   }
 
   /** Temperature-scaled mixture weights per stratum:

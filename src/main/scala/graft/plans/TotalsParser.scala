@@ -743,20 +743,29 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // `ident[expr]` / `` `quoted`[expr] `` → `arrayElement(ident, expr)`
   // — innermost-first via fixpoint (an index expression may itself
   // contain a rewritten bracket), on literal-masked text so brackets
-  // inside strings never match. Map subscripts are not distinguished
-  // (the gated DataLens texts are array-typed; CH spells both the
-  // same way).
+  // inside strings never match. A CHAIN of subscripts (`m[1][2]`,
+  // valid CH nested-array indexing) matches as one unit and folds
+  // left-associatively — rewriting only the first would leave the
+  // outer subscript 0-based (its prefix is then `)`, which the
+  // identifier alternative can never match). Map subscripts are not
+  // distinguished (the gated DataLens texts are array-typed; CH
+  // spells both the same way).
   private val bracketIdx =
-    """(`[^`]+`|[A-Za-z_][\w.]*)\s*\[([^\[\]]+)\]""".r
+    """(`[^`]+`|[A-Za-z_][\w.]*)((?:\s*\[[^\[\]]+\])+)""".r
+  private val bracketGroup = """\[([^\[\]]+)\]""".r
 
   private def chBracketIndex(sqlText: String): String = {
     val (masked, lits) = maskLiterals(sqlText)
     var cur = masked
     var changed = true
     while (changed) {
-      val next = bracketIdx.replaceAllIn(cur,
-        m => java.util.regex.Matcher.quoteReplacement(
-          s"arrayElement(${m.group(1)}, ${m.group(2)})"))
+      val next = bracketIdx.replaceAllIn(cur, m => {
+        val folded = bracketGroup.findAllMatchIn(m.group(2))
+          .foldLeft(m.group(1)) { (acc, g) =>
+            s"arrayElement($acc, ${g.group(1)})"
+          }
+        java.util.regex.Matcher.quoteReplacement(folded)
+      })
       changed = next != cur
       cur = next
     }

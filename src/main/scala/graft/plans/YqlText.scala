@@ -79,16 +79,22 @@ object YqlText {
       compression: Option[String], schema: Option[StructType])
 
   // parse-time registrations resolved by [[YqlScanRule]] during
-  // analysis (the parser has no session to build the scan itself);
-  // keyed by a content hash so identical texts reuse one entry
+  // analysis (the parser has no session to build the scan itself).
+  // Keyed by the FULL spec, never a 32-bit hash: a hash collision
+  // would silently rebind an existing scan id to a different
+  // path/schema. Distinct specs are bounded by distinct query texts.
   private val scans =
     new java.util.concurrent.ConcurrentHashMap[String, ScanSpec]()
+  private val specIds =
+    new java.util.concurrent.ConcurrentHashMap[ScanSpec, String]()
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def registerScan(spec: ScanSpec): String = {
-    val id = f"__graft_yql_scan_${spec.hashCode}%08x"
-    scans.put(id, spec)
-    id
-  }
+  def registerScan(spec: ScanSpec): String =
+    specIds.computeIfAbsent(spec, { sp =>
+      val id = s"__graft_yql_scan_${nextId.incrementAndGet()}"
+      scans.put(id, sp)
+      id
+    })
 
   def scan(id: String): Option[ScanSpec] = Option(scans.get(id))
 
@@ -177,7 +183,23 @@ case class YqlScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val schema = spec.schema.getOrElse(
               throw new IllegalArgumentException(
                 "YQL csv_with_names scan needs a Schema option"))
-            // gzip decompresses by extension; csv_with_names = header
+            // decompression is EXTENSION-driven in Spark's file source
+            // (there is no read-side compression option) — a declared
+            // compression whose suffix the glob cannot match would
+            // silently decode gzip bytes as text, so reject it loudly
+            spec.compression.foreach { c =>
+              val suffix = c match {
+                case "gzip" => ".gz"
+                case other => s".$other"
+              }
+              require(spec.glob.endsWith(suffix) ||
+                spec.glob.endsWith("*") || spec.glob.contains(s"$suffix"),
+                s"YQL scan declares compression=$c but the glob " +
+                  s"'${spec.glob}' cannot match $suffix objects — " +
+                  "Spark decompresses by file extension, so the " +
+                  "objects must carry the suffix and the glob must " +
+                  "reach it")
+            }
             spark.read.schema(schema)
               .option("header", "true")
               .option("escape", "\"")

@@ -416,13 +416,21 @@ object MetricaQueries {
     "q102_metrica_q1_placeholders",
     (s, _) => {
       fixture(s).createOrReplaceTempView("visits_q102")
+      // parameters are JVM-global parser state — registered only for
+      // the parse (s.sql parses eagerly) and removed after, so no
+      // later statement in the session sees them
       graft.plans.QueryParams.setDate("interval_from", "2023-11-01")
       graft.plans.QueryParams.setDate("interval_to", "2023-11-08")
+      val verbatim =
+        try s.sql(readmeChartSql("WITH TOTALS", "visits_q102"))
+        finally {
+          graft.plans.QueryParams.remove("interval_from")
+          graft.plans.QueryParams.remove("interval_to")
+        }
       // Q1 "Посещаемость": WITH TOTALS, HAVING, WHERE on the SELECT
-      // alias, limit 0,10 — all from the untouched README text
-      val verbatim = s.sql(readmeChartSql("WITH TOTALS", "visits_q102"))
-      // same totals-row convention as q28: the date as its ISO string
-      // so the NULL key survives engine-neutral compare
+      // alias, limit 0,10 — all from the untouched README text; same
+      // totals-row convention as q28: the date as its ISO string so
+      // the NULL key survives engine-neutral compare
       verbatim.withColumn("ym:s:date", col("`ym:s:date`").cast("string"))
     },
     q28MetricaQ1.oracle)
@@ -435,8 +443,12 @@ object MetricaQueries {
       graft.plans.QueryParams.setDate("interval_to", "2023-11-14")
       // Q2 "Источники трафика": `arr[indexOf(...)]`, alias reuse in
       // ratio aggregates, HAVING OR-of-three, LIMIT 0, 50
-      val verbatim = s.sql(
-        readmeChartSql("lastSignUTMSource", "visits_q103"))
+      val verbatim =
+        try s.sql(readmeChartSql("lastSignUTMSource", "visits_q103"))
+        finally {
+          graft.plans.QueryParams.remove("interval_from")
+          graft.plans.QueryParams.remove("interval_to")
+        }
       // q29's documented deviation, applied OUTSIDE the verbatim text:
       // ratio measures round to 4 decimals for cross-engine hash parity
       verbatim

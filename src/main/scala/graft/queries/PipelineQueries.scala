@@ -1038,22 +1038,18 @@ object PipelineQueries {
           sum(col("doc_id")).cast("long").as("id_sum"))
         .orderBy(col("lang"))
     },
+    // the oracle is the SEMANTIC definition — the plain full-window
+    // draw. The operator's threshold pass is an optimization that is
+    // provably equivalent (when the threshold fills the quota it
+    // contains the true lowest-hash rows; when it undershoots, the
+    // verified fallback re-draws that stratum over the full space).
     Some("""
-      WITH c AS (
-        SELECT lang, count(1) AS n FROM documents GROUP BY lang
-      ), h AS (
-        SELECT d.lang, d.doc_id,
-               ((d.doc_id % 65536) * 2654435761) % 4294967296 AS h,
-               CASE WHEN c.n <= 40 THEN 4294967296
-                    ELSE least(4294967296,
-                      CAST(floor(4294967296 * 1.3 * 40 / c.n) AS BIGINT) + 1)
-               END AS thr
-        FROM documents d JOIN c ON d.lang = c.lang
-      ), f AS (
+      WITH f AS (
         SELECT lang, doc_id,
-               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
-                 AS rk
-        FROM h WHERE h < thr
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ((doc_id % 65536) * 2654435761) % 4294967296,
+                          doc_id) AS rk
+        FROM documents
       )
       SELECT lang, CAST(count(1) AS BIGINT) AS n,
              CAST(sum(doc_id) AS BIGINT) AS id_sum

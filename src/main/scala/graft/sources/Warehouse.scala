@@ -170,10 +170,38 @@ object Warehouse {
       })
   }
 
+  /** Restore any week a crashed mutation left retired: a retired dir
+    * whose live week is MISSING renames back (the crash hit between
+    * the two swap renames); one whose live week exists is a stale
+    * leftover and deletes. Called before every mutation, so the table
+    * self-heals on the next write path touch.
+    */
+  private def recoverRetired(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val prefix = s".${tablePath.getName}_retired_$weekCol="
+    val parent = tablePath.getParent
+    if (!fs.exists(parent)) return
+    fs.listStatus(parent)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .foreach { st =>
+        val week = st.getPath.getName
+          .substring(prefix.length).takeWhile(_ != '_')
+        val live = new Path(tablePath, s"$weekCol=$week")
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"mutation recovery failed for week $week")
+        else fs.delete(st.getPath, true)
+      }
+  }
+
   private def mutate(spark: SparkSession, tableDir: String,
       cond: org.apache.spark.sql.Column, orderKey: Seq[String],
       transform: DataFrame => DataFrame): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    val tp0 = new Path(tableDir)
+    recoverRetired(tp0.getFileSystem(spark.sessionState.newHadoopConf()),
+      tp0)
     // pass 1: affected weeks only — the predicate pushes to the scan
     // and only the partition column comes back
     val affected = read(spark, tableDir).filter(cond)
@@ -196,17 +224,22 @@ object Warehouse {
       } else rewritten
     clustered.write.partitionBy(weekCol).parquet(tmp.toString)
     // swap each affected week retire-then-rename (the ChAlterTable /
-    // MatView.swapState discipline): live renames to a retired
-    // sibling, fresh renames in, THEN the retired copy deletes — at
-    // no instant is the only copy of a week inside the hidden tmp
-    // dir, so a crash mid-swap leaves either the old or the new week
-    // visible to readers and restarts. (A week whose rows ALL matched
-    // a delete simply disappears: retire without replacement.)
+    // MatView.swapState discipline): live renames to a WEEK-TAGGED
+    // retired sibling, fresh renames in, then the retired copy
+    // deletes. No copy of a week is ever deleted before its
+    // replacement is in place, and a crash between the two renames is
+    // healed by [[recoverRetired]] on the next mutation (the tag
+    // says which week to restore). A concurrent reader can observe
+    // the week absent for the instant between the renames — the
+    // price of swapping without a catalog; CH mutations hide it
+    // behind part-level MVCC, this engine behind the recovery sweep.
+    // (A week whose rows ALL matched a delete simply disappears:
+    // retire without replacement.)
     affected.foreach { w =>
       val live = new Path(tablePath, s"$weekCol=$w")
       val fresh = new Path(tmp, s"$weekCol=$w")
       val retired = new Path(tablePath.getParent,
-        s".${tablePath.getName}_retired_${System.nanoTime()}")
+        s".${tablePath.getName}_retired_$weekCol=${w}_${System.nanoTime()}")
       if (fs.exists(live))
         require(fs.rename(live, retired), s"mutation retire failed for $w")
       if (fs.exists(fresh))

@@ -55,6 +55,20 @@ class MixSpec extends SparkSpec {
       == quota)
   }
 
+  test("quota holds even when ids collapse to one hash value") {
+    // ids k*65536 + 7: the portable hash sees only the low 16 bits,
+    // so EVERY row hashes identically — the threshold filter keeps
+    // all-or-nothing and the verified fallback must still deliver the
+    // exact quota
+    val collapsed = (0L until 500L).map(k => (k * 65536L + 7L, "en"))
+      .toDF("doc_id", "lang")
+    val out = Mix.stratifiedSample(collapsed, "lang", "doc_id", quota = 25)
+    assert(out.count() == 25)
+    // deterministic tie-break by id: the 25 smallest ids
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 25L).map(_ * 65536L + 7L).toSet)
+  }
+
   test("too many strata fail loudly") {
     val wide = (0L until 500L).map(i => (i, s"s$i")).toDF("doc_id", "lang")
     val err = intercept[IllegalArgumentException](

@@ -84,6 +84,22 @@ class MutationSpec extends SparkSpec {
     assert(Warehouse.read(spark, t).count() == 14 * 5)
   }
 
+  test("a crashed swap self-heals: retired week restores on next mutation") {
+    val t = freshTable("recover")
+    val before = Warehouse.read(spark, t).count()
+    // simulate the crash window: live week retired, replacement never
+    // renamed in (the dir name carries the week tag recovery reads)
+    val dir = new File(t)
+    val retired = new File(dir.getParentFile,
+      s".${dir.getName}_retired_week=2024-01-08_12345")
+    assert(new File(dir, "week=2024-01-08").renameTo(retired))
+    assert(Warehouse.read(spark, t).count() < before) // week gone
+    // ANY next mutation heals first — this one matches nothing
+    assert(Warehouse.deleteWhere(spark, t, col("grp") === 99) == Nil)
+    assert(!retired.exists())
+    assert(Warehouse.read(spark, t).count() == before)
+  }
+
   test("no matches: nothing touched, Nil returned") {
     val t = freshTable("nomatch")
     val before = (1 to 15 by 7)

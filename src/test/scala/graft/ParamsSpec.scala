@@ -103,6 +103,15 @@ class ParamsSpec extends SparkSpec {
         "SELECT arr[indexOf(arr, arr[{{i}}])] AS e FROM br_t")
         .collect().head.getString(0)
       assert(nested == "a")
+      // CHAINED subscripts (CH nested-array indexing): both levels
+      // must fold 1-based — a half-rewrite would leave the outer
+      // subscript 0-based
+      Seq((Seq(Seq("x", "y"), Seq("z")), 1)).toDF("m", "one")
+        .createOrReplaceTempView("br_chain_t")
+      val chain = spark.sql(
+        "SELECT m[{{i}}][2] AS e FROM br_chain_t")
+        .collect().head.getString(0)
+      assert(chain == "y") // m[1] = [x, y] (1-based), [2] = y (1-based)
     } finally QueryParams.remove("i")
   }
 

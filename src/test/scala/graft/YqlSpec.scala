@@ -65,6 +65,21 @@ class YqlSpec extends SparkSpec {
       sch("d").dataType.typeName == "date")
   }
 
+  test("declared compression must be reachable by the glob suffix") {
+    val root = bucket("csuffix")
+    new java.io.File(s"$root/metrica/hits").mkdirs()
+    Catalog.register(spark,
+      Binding("yq_conn_sfx", root, format = "connection"))
+    // Spark decompresses by extension — a glob that cannot match .gz
+    // with compression=gzip declared would silently read gzip bytes
+    // as text, so it must reject instead
+    val err = intercept[Exception](spark.sql("""
+      SELECT * FROM `yq_conn_sfx`.`/metrica/hits/part-00000.csv`
+      WITH (format = csv_with_names, compression = gzip,
+            Schema = (k uint64))""").collect())
+    assert(err.getMessage.contains("file extension"))
+  }
+
   test("YQ insert-select into a binding path writes fresh csv objects") {
     val root = bucket("ins")
     Catalog.register(spark, Binding("yq_out_t", root, format = "connection"))
