@@ -36,8 +36,13 @@ object Mix {
     * driver — strata are categorical (languages, sources), bounded by
     * the same contract as dictionaries, and guarded by `maxStrata`.
     */
+  /** `checkpoint = false` skips the pass-1 localCheckpoint (which
+    * keeps the corpus single-scan in production but truncates the
+    * inspectable plan) — for plan audits and tests only.
+    */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
-      quota: Int, maxStrata: Int = 100000): DataFrame = {
+      quota: Int, maxStrata: Int = 100000,
+      checkpoint: Boolean = true): DataFrame = {
     require(quota > 0, "stratifiedSample: quota > 0")
     val stratum = col(s"`$stratumCol`")
     val id = col(s"`$idCol`")
@@ -85,7 +90,10 @@ object Mix {
     // keys on the id's low 16 bits (correlated ids can collapse to
     // one hash value), so the quota contract is VERIFIED: strata the
     // threshold under-filled re-draw over their full hash space.
-    val first = draw(hashed, col("__mix_thr")).localCheckpoint()
+    val pass1 = draw(hashed, col("__mix_thr"))
+    // cache the SMALL pass-1 result (≤ strata x 1.3-quota rows): the
+    // verification count below must not trigger a second corpus scan
+    val first = if (checkpoint) pass1.localCheckpoint() else pass1
     val got = first.groupBy(stratum).count().collect()
       .map(r => (r.get(0), r.getLong(1))).toMap
     val short = expected.filter { case (k, want) =>

@@ -445,8 +445,108 @@ object StreamingQueries {
              CAST(1 AS BIGINT) AS mv_in_band
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------------
+  // The streaming TRAINING-DATA INTAKE pipeline — the round-7 operators
+  // composed into the continuous-ingestion shape: documents stream in
+  // (with exact-duplicate redeliveries under fresh ids, the crawler
+  // reality), each micro-batch is PII-scrubbed and quality-gated
+  // map-side (codegen'd Column ops — the stream adds no state for
+  // them), survivors append RAW to the sink, and deduplication
+  // resolves at read time by content fingerprint with min-id winners —
+  // the same append-then-resolve contract the CDC warehouse uses
+  // (ST4), so the result is independent of batch boundaries and
+  // arrival order. The oracle rebuilds the whole pipeline in DuckDB:
+  // same redelivery, same quality formula, same rolling-hash
+  // fingerprint, same min-id dedup.
+  val q112StreamIntake = QueryDef(
+    "q112_stream_intake",
+    (s, dir) => {
+      import graft.functions.text
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q112_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      // every 10th doc redelivers under a shifted id — same content
+      val redelivered = raw.unionByName(
+        raw.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      redelivered.repartition(4).write.mode("overwrite")
+        .parquet(s"$base/src")
+      val toks = text.tokenize(col("text"))
+      val stream = s.readStream.schema(raw.schema).parquet(s"$base/src")
+        .withColumn("red", text.redactPii(col("text")))
+        .withColumn("n_tok", text.tokenCountWs(col("text")))
+        .withColumn("dup2", text.dupNgramFraction(toks, 2))
+        .withColumn("fp", text.fingerprint(col("text")))
+        .filter(col("n_tok") >= 20 && col("dup2") <= lit(0.6))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .option("path", s"$base/out")
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // read-time dedup: min doc_id per content fingerprint
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      s.read.parquet(s"$base/out")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_tok")).cast("long").as("tok_sum"),
+          sum(length(col("red"))).cast("long").as("red_len"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH delivered AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, text FROM documents
+        WHERE doc_id % 10 = 3
+      ), m AS (
+        SELECT doc_id, lang,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                 '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS red
+        FROM delivered
+      ), g AS (
+        SELECT doc_id, lang, norm, red,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CASE WHEN len(toks) >= 2 THEN
+                 round(1.0 - len(list_distinct(
+                   [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]))
+                   / CAST(len(toks) - 1 AS DOUBLE), 6)
+               ELSE 0.0 END AS dup2
+        FROM m
+      ), kept AS (
+        SELECT doc_id, lang, red, n_tok,
+               list_reduce(list_prepend(0::BIGINT,
+                 [unicode(norm[i])::BIGINT
+                  for i in range(1, length(norm) + 1)]),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        FROM g WHERE n_tok >= 20 AND dup2 <= 0.6
+      ), dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+          AS rn
+        FROM kept
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+             CAST(sum(length(red)) AS BIGINT) AS red_len
+      FROM dedup WHERE rn = 1
+      GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
-      q80StreamStreamJoin, q95StreamMvRollup)
+      q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake)
 }

@@ -140,4 +140,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("last("), p) // the running-last prefix window
   }
+
+  test("stratified sample: threshold filters BELOW the window exchange") {
+    // the scale property of Mix.stratifiedSample: the corpus is cut by
+    // the hash threshold map-side, so the window's exchange only ever
+    // carries ~1.3x-quota survivors. The threshold join must be a
+    // broadcast (never a shuffle of the corpus against a tiny map),
+    // and the __mix_h filter must sit under the window's
+    // hashpartitioning exchange, not above it. (checkpoint = false:
+    // the production localCheckpoint truncates the inspectable plan.)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("doc_id"))
+    val p = graft.operators.Mix
+      .stratifiedSample(docs, "lang", "doc_id", quota = 40,
+        checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    val lines = p.linesIterator.toVector
+    val exch = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(lang"))
+    // Catalyst folds the threshold predicate INTO the broadcast-join
+    // condition (`__mix_h < __mix_thr` on the BHJ line) — assert that
+    // joint filter+join executes before (prints after) the exchange
+    val bhj = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("__mix_thr"))
+    assert(exch >= 0 && bhj > exch,
+      s"threshold filter not under the window exchange:\n$p")
+    // bonus property: the rank trims map-side too (partial
+    // WindowGroupLimit below the exchange)
+    val wgl = lines.lastIndexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(wgl > exch, s"no map-side rank trim:\n$p")
+  }
 }
