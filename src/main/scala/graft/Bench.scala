@@ -121,7 +121,8 @@ object Bench {
             val fp1 = fingerprint(spark, sf1Dir, pipelineTables)
             s""","sf_fingerprint":$fps,"sf1_fingerprint":$fp1"""
           } catch { case e: Throwable =>
-            s""","fingerprint_error":"${String.valueOf(e.getMessage)
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            s""","fingerprint_error":"${msg
               .replaceAll("[\"\\\\\n\r\t]", " ")}""""
           }
         s""","sf1_queries":$sf1,"sf1_reps":$reps,"sf1_dir":"$sf1Dir"""" +

@@ -103,12 +103,13 @@ object Mix {
       if (short.isEmpty) first
       else {
         // pathological strata only: the naive full-stratum window —
-        // correctness over the fast path, and only where needed
-        val redo = draw(
-          hashed.filter(stratum.isin(short.map(k => k: Any): _*)),
-          lit(4294967296L))
-        first.filter(!stratum.isin(short.map(k => k: Any): _*))
-          .unionByName(redo)
+        // correctness over the fast path, and only where needed.
+        // Membership is NULL-SAFE (<=>, like the threshold join): a
+        // 3VL isin would silently drop null-stratum rows from the
+        // kept side — or, with null itself short, empty it entirely
+        val isShort = short.map(k => stratum <=> lit(k)).reduce(_ || _)
+        val redo = draw(hashed.filter(isShort), lit(4294967296L))
+        first.filter(!isShort).unionByName(redo)
       }
     sampled.drop("__mix_h", "__mix_rk", "__mix_stratum", "__mix_thr")
   }

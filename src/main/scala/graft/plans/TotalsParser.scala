@@ -750,8 +750,12 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // identifier alternative can never match). Map subscripts are not
   // distinguished (the gated DataLens texts are array-typed; CH
   // spells both the same way).
+  // the trailing lookahead keeps the fold strictly innermost-first: a
+  // chain still FOLLOWED by an unreduced bracket group (`m[1][a[2]]`
+  // — the second group can't match while it nests) must wait for the
+  // next fixpoint pass, or the tail subscript would strand 0-based
   private val bracketIdx =
-    """(`[^`]+`|[A-Za-z_][\w.]*)((?:\s*\[[^\[\]]+\])+)""".r
+    """(`[^`]+`|[A-Za-z_][\w.]*)((?:\s*\[[^\[\]]+\])+)(?!\s*\[)""".r
   private val bracketGroup = """\[([^\[\]]+)\]""".r
 
   private def chBracketIndex(sqlText: String): String = {

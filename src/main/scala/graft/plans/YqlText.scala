@@ -192,8 +192,7 @@ case class YqlScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 case "gzip" => ".gz"
                 case other => s".$other"
               }
-              require(spec.glob.endsWith(suffix) ||
-                spec.glob.endsWith("*") || spec.glob.contains(s"$suffix"),
+              require(spec.glob.endsWith("*") || spec.glob.contains(suffix),
                 s"YQL scan declares compression=$c but the glob " +
                   s"'${spec.glob}' cannot match $suffix objects — " +
                   "Spark decompresses by file extension, so the " +

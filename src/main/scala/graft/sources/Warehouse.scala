@@ -170,28 +170,46 @@ object Warehouse {
       })
   }
 
-  /** Restore any week a crashed mutation left retired: a retired dir
-    * whose live week is MISSING renames back (the crash hit between
-    * the two swap renames); one whose live week exists is a stale
-    * leftover and deletes. Called before every mutation, so the table
-    * self-heals on the next write path touch.
+  /** How old a crashed mutation's leftover dirs must be before the
+    * recovery sweep touches them. The grace period is what keeps two
+    * CONCURRENT mutations of one table from interfering: without it,
+    * mutation B's sweep would "restore" a week that mutation A has
+    * retired mid-swap, making A's fresh-rename fail and stranding its
+    * rewrite. A genuinely crashed swap heals on the first mutation
+    * that runs after the grace elapses.
+    */
+  val recoveryGraceMs: Long = 10 * 60 * 1000L
+
+  /** Self-heal a crashed mutation, touching only leftovers older than
+    * `graceMs`: a retired week dir whose live week is MISSING renames
+    * back (the crash hit between the two swap renames); one whose
+    * live week exists is stale and deletes; an orphaned `_mutation_`
+    * tmp dir deletes too (its content never swapped in — live +
+    * retired copies cover every week, so it is a pure leak).
     */
   private def recoverRetired(fs: org.apache.hadoop.fs.FileSystem,
-      tablePath: org.apache.hadoop.fs.Path): Unit = {
+      tablePath: org.apache.hadoop.fs.Path,
+      graceMs: Long = recoveryGraceMs): Unit = {
     import org.apache.hadoop.fs.Path
     val prefix = s".${tablePath.getName}_retired_$weekCol="
+    val tmpPrefix = s".${tablePath.getName}_mutation_"
     val parent = tablePath.getParent
     if (!fs.exists(parent)) return
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(parent)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(st => st.isDirectory && st.getModificationTime < cutoff)
       .foreach { st =>
-        val week = st.getPath.getName
-          .substring(prefix.length).takeWhile(_ != '_')
-        val live = new Path(tablePath, s"$weekCol=$week")
-        if (!fs.exists(live))
-          require(fs.rename(st.getPath, live),
-            s"mutation recovery failed for week $week")
-        else fs.delete(st.getPath, true)
+        val name = st.getPath.getName
+        if (name.startsWith(prefix)) {
+          val week = name.substring(prefix.length).takeWhile(_ != '_')
+          val live = new Path(tablePath, s"$weekCol=$week")
+          if (!fs.exists(live))
+            require(fs.rename(st.getPath, live),
+              s"mutation recovery failed for week $week")
+          else fs.delete(st.getPath, true)
+        } else if (name.startsWith(tmpPrefix)) {
+          fs.delete(st.getPath, true)
+        }
       }
   }
 

@@ -69,6 +69,19 @@ class MixSpec extends SparkSpec {
     assert(ids == (0L until 25L).map(_ * 65536L + 7L).toSet)
   }
 
+  test("null strata survive the fallback path (null-safe membership)") {
+    // the 'en' stratum collapses to one hash value and under-fills the
+    // threshold -> fallback fires; the null stratum must keep its rows
+    // (3VL isin would silently drop them from the kept side)
+    val rows = (0L until 500L).map(k => (k * 65536L + 7L, Some("en"))) ++
+      (5000L until 5030L).map(i => (i, None: Option[String]))
+    val df = rows.toDF("doc_id", "lang")
+    val out = Mix.stratifiedSample(df, "lang", "doc_id", quota = 25)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byLang == Map(Some("en") -> 25L, None -> 25L))
+  }
+
   test("too many strata fail loudly") {
     val wide = (0L until 500L).map(i => (i, s"s$i")).toDF("doc_id", "lang")
     val err = intercept[IllegalArgumentException](

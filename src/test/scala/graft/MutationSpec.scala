@@ -88,16 +88,39 @@ class MutationSpec extends SparkSpec {
     val t = freshTable("recover")
     val before = Warehouse.read(spark, t).count()
     // simulate the crash window: live week retired, replacement never
-    // renamed in (the dir name carries the week tag recovery reads)
+    // renamed in (the dir name carries the week tag recovery reads),
+    // plus an orphaned mutation tmp dir — both from "long ago"
     val dir = new File(t)
     val retired = new File(dir.getParentFile,
       s".${dir.getName}_retired_week=2024-01-08_12345")
     assert(new File(dir, "week=2024-01-08").renameTo(retired))
+    val orphanTmp = new File(dir.getParentFile,
+      s".${dir.getName}_mutation_99999")
+    orphanTmp.mkdirs()
+    val old = System.currentTimeMillis() - Warehouse.recoveryGraceMs - 60000
+    retired.setLastModified(old)
+    orphanTmp.setLastModified(old)
     assert(Warehouse.read(spark, t).count() < before) // week gone
     // ANY next mutation heals first — this one matches nothing
     assert(Warehouse.deleteWhere(spark, t, col("grp") === 99) == Nil)
     assert(!retired.exists())
+    assert(!orphanTmp.exists()) // the leaked rewrite is swept too
     assert(Warehouse.read(spark, t).count() == before)
+  }
+
+  test("the recovery sweep leaves FRESH leftovers alone (grace period)") {
+    // a concurrent mutation's just-retired week must not be 'restored'
+    // out from under it — only leftovers older than the grace heal
+    val t = freshTable("grace")
+    val dir = new File(t)
+    val retired = new File(dir.getParentFile,
+      s".${dir.getName}_retired_week=2024-01-08_777")
+    assert(new File(dir, "week=2024-01-08").renameTo(retired))
+    // modification time is NOW -> inside the grace window
+    assert(Warehouse.deleteWhere(spark, t, col("grp") === 99) == Nil)
+    assert(retired.exists()) // untouched
+    // put it back for cleanliness
+    assert(retired.renameTo(new File(dir, "week=2024-01-08")))
   }
 
   test("no matches: nothing touched, Nil returned") {

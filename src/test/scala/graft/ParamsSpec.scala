@@ -112,6 +112,15 @@ class ParamsSpec extends SparkSpec {
         "SELECT m[{{i}}][2] AS e FROM br_chain_t")
         .collect().head.getString(0)
       assert(chain == "y") // m[1] = [x, y] (1-based), [2] = y (1-based)
+      // a LATER subscript in the chain nesting its own bracket: the
+      // fold must wait for the inner rewrite, or the tail strands
+      // 0-based. idx[1] = 2 (1-based), so m[1][2] = y again
+      Seq((Seq(Seq("x", "y"), Seq("z")), Seq(2)))
+        .toDF("m", "idx").createOrReplaceTempView("br_tail_t")
+      val tail = spark.sql(
+        "SELECT m[{{i}}][idx[{{i}}]] AS e FROM br_tail_t")
+        .collect().head.getString(0)
+      assert(tail == "y")
     } finally QueryParams.remove("i")
   }
 
