@@ -266,13 +266,16 @@ case class ChOptimizeTableCommand(table: String,
           out.toString, dateCol.get, orderKey)
     }
     // retire-then-rename everywhere: at no instant is the only copy
-    // of live data in a hidden dir a restart would ignore
+    // of live data in a hidden dir a restart would ignore. The
+    // partition retire carries the WEEK TAG Warehouse.recoverRetired
+    // reads, so a crash between the two renames self-heals on the
+    // next mutation of the table (after the grace period).
     partition match {
       case Some(w) =>
         val live = new Path(tablePath, s"${wh.weekCol}=$w")
         val fresh = new Path(out, s"${wh.weekCol}=$w")
         val retired = new Path(tablePath.getParent,
-          s".${tablePath.getName}_retired_${System.nanoTime()}")
+          s".${tablePath.getName}_retired_${wh.weekCol}=${w}_${System.nanoTime()}")
         if (fs.exists(live))
           require(fs.rename(live, retired),
             s"optimize partition retire failed: $w")
