@@ -91,7 +91,12 @@ object Bench {
         GenScale.ensure(spark, src, sf1Dir)
         val sf1Names = Seq("q22_minhash_neardup", "q61_asof_join",
           "q38_pipeline_e2e", "q37_ann_ivf_topk", "q25_ann_topk",
-          "q75_dedup_clusters")
+          "q75_dedup_clusters",
+          // the Metrica hot path at 10x: FINAL collapse (q91) and
+          // FINAL + nested-goals ARRAY JOIN composed (q113); their
+          // fixture warehouses are built once per JVM (first rep),
+          // so the median reflects the read plans
+          "q91_ch_final_sql", "q113_goals_final_scaled")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

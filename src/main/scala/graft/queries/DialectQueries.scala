@@ -993,6 +993,13 @@ object DialectQueries {
   // entity key, per-key bounded state. Fixture: every click event's
   // v1 is cancelled by a -1 row and superseded by a v2 with doubled
   // value, so both the cancel and the update path are exercised.
+  // built once per JVM per dir (pure function of the events table) so
+  // a bench pass times the FINAL read, not the fixture write; the
+  // first call per JVM still rebuilds from scratch, so a stale /tmp
+  // dir from an earlier process can never be read
+  private val q91Built = scala.collection.mutable.Set.empty[String]
+  private val q91Lock = new Object
+
   val q91ChFinalSql = QueryDef(
     "q91_ch_final_sql",
     (s, dir) => {
@@ -1000,16 +1007,21 @@ object DialectQueries {
       import org.apache.spark.sql.types._
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_final_q91_" +
         new java.io.File(dir).getName
-      graft.FsUtil.rmTree(tmp)
-      val base = s.read.parquet(s"$dir/events.parquet").select(
-        col("event_id").as("eid"), lit(1L).as("ver"), lit(1).as("sign"),
-        col("event_type"), col("value"))
-      val cancels = base.filter(col("event_type") === "click")
-        .withColumn("sign", lit(-1))
-      val updates = base.filter(col("event_type") === "click")
-        .withColumn("ver", lit(2L))
-        .withColumn("value", col("value") * 2)
-      base.unionByName(cancels).unionByName(updates).write.parquet(tmp)
+      q91Lock.synchronized {
+        if (!q91Built.contains(tmp)) {
+          graft.FsUtil.rmTree(tmp)
+          val base = s.read.parquet(s"$dir/events.parquet").select(
+            col("event_id").as("eid"), lit(1L).as("ver"), lit(1).as("sign"),
+            col("event_type"), col("value"))
+          val cancels = base.filter(col("event_type") === "click")
+            .withColumn("sign", lit(-1))
+          val updates = base.filter(col("event_type") === "click")
+            .withColumn("ver", lit(2L))
+            .withColumn("value", col("value") * 2)
+          base.unionByName(cancels).unionByName(updates).write.parquet(tmp)
+          q91Built += tmp
+        }
+      }
       val keyMd = new MetadataBuilder()
         .putBoolean("graft.finalKey", true).build()
       val verMd = new MetadataBuilder()
@@ -1030,7 +1042,8 @@ object DialectQueries {
         FROM events_versioned FINAL
         GROUP BY event_type ORDER BY event_type""")
     },
-    Some("""
+    bench = true,
+    oracle = Some("""
       WITH base AS (
         SELECT event_id AS eid, 1 AS ver, 1 AS sign, event_type, value
         FROM events

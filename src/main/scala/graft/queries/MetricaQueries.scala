@@ -384,7 +384,107 @@ object MetricaQueries {
                    unnest("Goals.Price") AS gprice,
                    unnest("Goals.Serial") AS gserial
             FROM $duckVisits v)
-      GROUP BY gprice ORDER BY gprice"""))
+      GROUP BY gprice ORDER BY gprice"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // The SCALED Metrica hot path: `FROM t FINAL` (latest-live collapse)
+  // and the Nested-goals ARRAY JOIN unroll — the two plans a real
+  // Metrica user runs most — composed in ONE verbatim statement over a
+  // collapsing warehouse that scales with the input dir. q91/q96 prove
+  // each clause's semantics on fixed fixtures; this entry records
+  // their wall-time at sfDir and sf1 (Bench). The warehouse is a pure
+  // function of the `events` table (every click arrives as v1 + its
+  // cancel + a v2 with doubled value — both the cancel and the
+  // supersede path of VersionedCollapsingMergeTree are live at scale;
+  // the Goals arrays are a pure function of the visit id, identical on
+  // every version row as the collapsing engine requires). It is built
+  // once per JVM per dir so the timed pass measures the READ plans,
+  // not fixture construction; the money sum runs in integer cents so
+  // the cross-engine hash never rides double summation order.
+
+  private val goalsBuilt = scala.collection.mutable.Set.empty[String]
+  private val goalsLock = new Object
+
+  private def goalsArray(body: String): org.apache.spark.sql.Column = expr(
+    s"""CASE WHEN VisitID % 4 = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+        ELSE $body END""")
+
+  private[graft] def scaledGoalsWarehouse(s: SparkSession,
+      dir: String): String = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_goals_" +
+      new java.io.File(dir).getName
+    goalsLock.synchronized {
+      if (!goalsBuilt.contains(out)) {
+        val base = graft.Graft.table(s, dir, "events").select(
+          col("event_id").as("VisitID"),
+          to_date(col("ts")).as("StartDate"),
+          lit(1L).as("VisitVersion"),
+          lit(1).as("Sign"),
+          col("event_type"),
+          col("value").as("Duration"))
+        val clicks = base.filter(col("event_type") === "click")
+        val pairs = base
+          .unionByName(clicks.withColumn("Sign", lit(-1)))
+          .unionByName(clicks.withColumn("VisitVersion", lit(2L))
+            .withColumn("Duration", col("Duration") * 2))
+          .withColumn("Goals.ID", goalsArray(
+            "transform(sequence(1, CAST(VisitID % 4 AS INT)), g -> VisitID * 10 + g)"))
+          .withColumn("Goals.Price", goalsArray(
+            "transform(sequence(1, CAST(VisitID % 4 AS INT)), g -> CAST(g * 100 AS BIGINT))"))
+          .withColumn("Goals.Serial", goalsArray(
+            "CAST(sequence(1, CAST(VisitID % 4 AS INT)) AS ARRAY<BIGINT>)"))
+        Warehouse.write(pairs, out, "StartDate", Seq("VisitID"),
+          mode = "overwrite")
+        goalsBuilt += out
+      }
+    }
+    out
+  }
+
+  val q113GoalsFinalScaled = QueryDef(
+    "q113_goals_final_scaled",
+    (s, dir) => {
+      val wh = scaledGoalsWarehouse(s, dir)
+      def md(flag: String) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(flag, true).build()
+      Warehouse.read(s, wh).select(
+        col("VisitID").as("VisitID", md("graft.finalKey")),
+        col("VisitVersion").as("VisitVersion", md("graft.finalVersion")),
+        col("Sign").as("Sign", md("graft.finalSign")),
+        col("event_type"), col("Duration"),
+        col("`Goals.ID`"), col("`Goals.Price`"), col("`Goals.Serial`"))
+        .createOrReplaceTempView("visits_goals_scaled")
+      s.sql("""
+        SELECT gprice, toInt64(sum(Sign)) AS goal_visits,
+               uniqExact(VisitID) AS visits,
+               toInt64(sum(gserial * Sign)) AS serial_sum,
+               toInt64(sum(toInt64(round(Duration * 100)) * Sign))
+                 AS dur_cents
+        FROM visits_goals_scaled FINAL
+        ARRAY JOIN `Goals.ID` AS gid, `Goals.Price` AS gprice,
+                   `Goals.Serial` AS gserial
+        GROUP BY gprice ORDER BY gprice""")
+    },
+    Some("""
+      WITH live AS (
+        SELECT event_id AS vid,
+               CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+                 AS dur
+        FROM events
+      ), unrolled AS (
+        SELECT vid, dur,
+               unnest(generate_series(1, CAST(vid % 4 AS INT))) AS g
+        FROM live WHERE vid % 4 <> 0
+      )
+      SELECT g * 100 AS gprice,
+             CAST(count(1) AS BIGINT) AS goal_visits,
+             CAST(count(DISTINCT vid) AS BIGINT) AS visits,
+             CAST(sum(g) AS BIGINT) AS serial_sum,
+             CAST(sum(CAST(round(dur * 100) AS BIGINT)) AS BIGINT)
+               AS dur_cents
+      FROM unrolled GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // The README's chart queries BYTE-VERBATIM from the reference file —
@@ -461,5 +561,5 @@ object MetricaQueries {
 
   val defs: Seq[QueryDef] = Seq(q28MetricaQ1, q29MetricaQ2, q30WeekPrune,
     q65VisitsCdcE2e, q96ChNestedGoals, q102MetricaQ1Placeholders,
-    q103MetricaQ2Placeholders)
+    q103MetricaQ2Placeholders, q113GoalsFinalScaled)
 }

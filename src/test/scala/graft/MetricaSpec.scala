@@ -164,4 +164,32 @@ class MetricaSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("q113: FINAL + ARRAY JOIN compose in one verbatim statement") {
+    val dir = "/root/testdata/sf0.001"
+    val out = MetricaQueries.q113GoalsFinalScaled.fn(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    // independent replay in plain Spark: after the collapse, clicks
+    // survive only as their v2 (doubled value) row; goals unroll in
+    // lockstep as a pure function of the id
+    val live = Graft.table(spark, dir, "events").select(
+      col("event_id").as("vid"),
+      when(col("event_type") === "click", col("value") * 2)
+        .otherwise(col("value")).as("dur"))
+    val exp = live.filter(pmod(col("vid"), lit(4)) =!= 0)
+      .select(col("vid"), col("dur"),
+        explode(sequence(lit(1L), pmod(col("vid"), lit(4)))).as("g"))
+      .groupBy((col("g") * 100).as("gprice"))
+      .agg(count(lit(1)).as("goal_visits"),
+        countDistinct(col("vid")).as("visits"),
+        sum(col("g")).as("serial_sum"),
+        sum(round(col("dur") * 100).cast("long")).as("dur_cents"))
+      .orderBy(col("gprice"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    assert(out.nonEmpty && out == exp)
+  }
 }
