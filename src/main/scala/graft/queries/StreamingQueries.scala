@@ -545,8 +545,113 @@ object StreamingQueries {
       FROM dedup WHERE rn = 1
       GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------------
+  // The production composition the pieces were spec'd for, end-to-end:
+  // a BLUE-GREEN table rebuild with an attached materialized view,
+  // ACROSS an Ingest checkpoint restart.
+  //
+  //   1. transfer replicates leg 1 (multi-batch); the MV folds per batch
+  //   2. transfer stopped: CTAS a re-clustered rebuild, EXCHANGE TABLES
+  //      — the serving name flips to the rebuilt copy atomically, while
+  //      the MV follows the ORIGINAL physical table (CH's identity
+  //      rule, ChMatView.retargetSources) to its new name
+  //   3. transfer restarts from checkpoint (leg 2): the sink feeds a
+  //      physical DIRECTORY, so it resolves the name that directory
+  //      carries NOW (Ingest.currentName) — appends and MV folds
+  //      continue under the swapped-out name, nothing detaches
+  //   4. roll forward: EXCHANGE back (the live name again carries the
+  //      streaming table, complete with leg 2 and its MV), DROP the
+  //      retired snapshot
+  //
+  // The result reads the MV (exact countState/sumState merges) joined
+  // against a direct aggregate of the serving table; the oracle
+  // recomputes both from the raw events — green means no batch was
+  // lost, duplicated, or double-folded anywhere across the swap +
+  // restart. Money sums run in integer cents (no double-sum ordering).
+  val q114BlueGreenMvSwap = QueryDef(
+    "q114_bluegreen_mv_swap",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q114_" +
+        new java.io.File(dir).getName
+      // same-JVM re-run hygiene: detach anything a previous execution
+      // of this entry registered, then start from empty dirs
+      if (graft.plans.ChMatView.isMv("q114_mv"))
+        graft.plans.ChMatView.remove(s, "q114_mv")
+      graft.sources.Catalog.bindings.filter(_.path.startsWith(base))
+        .foreach(b => graft.sources.Catalog.unregister(s, b.name))
+      graft.FsUtil.rmTree(base)
+      s.conf.set("spark.graft.warehouse", s"$base/wh")
+      try {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val srcDir = s"$base/src"
+        new java.io.File(srcDir).mkdirs()
+        val sink = Ingest.Sink(s"$base/warehouse", "ev", "q114",
+          dateCol = "EventDate", orderKey = Seq("event_id"),
+          cleanupPolicy = "DROP")
+        val prep = (b: org.apache.spark.sql.DataFrame) =>
+          b.withColumn("EventDate",
+            to_date(timestamp_micros(expr("ts DIV 1000"))))
+        // activate over the empty source: registers the table so the
+        // MV can attach before data flows (CH's create-MV-then-
+        // attach-transfer order)
+        Ingest.runToCompletion(s, srcDir, raw.schema, sink,
+          checkpointDir = s"$base/cp", prepare = prep)
+        s.sql("""
+          CREATE MATERIALIZED VIEW q114_mv
+          ENGINE = AggregatingMergeTree
+          AS SELECT toMonday(EventDate) AS wk, countState() AS n,
+                    sumState(toInt64(round(value * 100))) AS cents
+          FROM ev_q114 GROUP BY wk""")
+        // leg 1: even event_ids, drained in 2 micro-batches
+        raw.filter(pmod(col("event_id"), lit(2)) === 0)
+          .repartition(2).write.mode("append").parquet(srcDir)
+        Ingest.runToCompletion(s, srcDir, raw.schema,
+          sink.copy(cleanupPolicy = "DISABLED"), s"$base/cp",
+          prepare = prep, maxFilesPerTrigger = Some(1))
+        // blue-green, transfer stopped: re-clustered rebuild + swap
+        s.sql("""CREATE TABLE ev_q114_rb
+          ENGINE = MergeTree PARTITION BY toMonday(EventDate)
+          ORDER BY (event_id)
+          AS SELECT event_id, ts, user_id, event_type, value, props,
+                    EventDate
+          FROM ev_q114""")
+        s.sql("EXCHANGE TABLES ev_q114 AND ev_q114_rb")
+        // leg 2 lands across the restart: odd event_ids, 2 new files;
+        // the checkpoint resumes, the sink follows its directory to
+        // the swapped-out name, the MV keeps folding
+        raw.filter(pmod(col("event_id"), lit(2)) === 1)
+          .repartition(2).write.mode("append").parquet(srcDir)
+        Ingest.runToCompletion(s, srcDir, raw.schema,
+          sink.copy(cleanupPolicy = "DISABLED"), s"$base/cp",
+          prepare = prep, maxFilesPerTrigger = Some(1))
+        // roll forward and retire the snapshot
+        s.sql("EXCHANGE TABLES ev_q114 AND ev_q114_rb")
+        s.sql("DROP TABLE ev_q114_rb")
+        val merged = s.sql("""
+          SELECT wk, countMerge(n) AS n, toInt64(sumMerge(cents)) AS cents
+          FROM q114_mv GROUP BY wk""")
+        val table = s.sql("""
+          SELECT toMonday(EventDate) AS wk, toInt64(count(1)) AS tn,
+                 toInt64(sum(toInt64(round(value * 100)))) AS tcents
+          FROM ev_q114 GROUP BY wk""")
+        merged.join(table, Seq("wk"))
+          .select(col("wk"), col("n"), col("cents"),
+            (col("n") === col("tn") && col("cents") === col("tcents"))
+              .cast("long").as("mv_agrees_table"))
+          .orderBy(col("wk"))
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(1 AS BIGINT) AS mv_agrees_table
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
-      q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake)
+      q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake,
+      q114BlueGreenMvSwap)
 }

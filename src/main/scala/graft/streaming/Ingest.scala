@@ -54,6 +54,23 @@ object Ingest {
   def tableDir(sink: Sink): String =
     s"${sink.warehouseDir}/${tableName(sink)}"
 
+  /** The name the sink's directory CURRENTLY carries. The transfer
+    * feeds a physical table; RENAME/EXCHANGE move names over fixed
+    * directories and attached MVs follow the physical table through a
+    * swap ([[graft.plans.ChMatView.retargetSources]]) — so the stream
+    * follows its directory too: batches re-register the binding and
+    * fold the MVs of whatever name the table holds NOW, and a
+    * blue-green swap between two micro-batches (or across a
+    * checkpoint restart) never detaches the replication from its
+    * views. Falls back to the static `<table>_<transferId>` name
+    * before first registration.
+    */
+  def currentName(sink: Sink): String = {
+    val dir = tableDir(sink)
+    graft.sources.Catalog.bindings.find(_.path == dir).map(_.name)
+      .getOrElse(tableName(sink))
+  }
+
   /** Apply the cleanup policy before (re)activation: DROP/TRUNCATE
     * clear the table (and DROP also the checkpoint — a from-scratch
     * transfer); DISABLED keeps everything (re-activation appends).
@@ -90,14 +107,16 @@ object Ingest {
     // feeds a table; MVs keep the dashboards fresh). The binding's
     // schema resolves from the parquet files, so registration happens
     // per batch below (the first batch creates the table).
-    val name = tableName(sink)
     // upfront registration with the PREPARED schema (derived on an
     // empty typed frame), so MVs can be created before the first
-    // batch arrives — CH's create-MV-then-attach-transfer order
+    // batch arrives — CH's create-MV-then-attach-transfer order.
+    // The binding name resolves PER CALL (currentName): a re-activation
+    // after a RENAME/EXCHANGE must refresh the table under the name it
+    // carries now, not resurrect the original transfer-suffixed name.
     val preparedSchema = prepare(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)).schema
     def binding(sc: StructType) = graft.sources.Binding(
-      name, tableDir(sink), dateCol = Some(sink.dateCol),
+      currentName(sink), tableDir(sink), dateCol = Some(sink.dateCol),
       orderKey = sink.orderKey, schema = Some(sc))
     graft.sources.Catalog.register(spark, binding(preparedSchema))
     val reader = spark.readStream.schema(schema)
@@ -124,8 +143,10 @@ object Ingest {
         if (!fs.exists(marker)) {
           val prepared = prepare(batch)
           // MVs fold the SAME frame that lands in the table; cached
-          // so the batch plan executes once for write + all triggers
-          val mvs = graft.plans.ChMatView.onTable(name)
+          // so the batch plan executes once for write + all triggers.
+          // Looked up under the directory's CURRENT name, so views
+          // follow the table through a mid-stream RENAME/EXCHANGE.
+          val mvs = graft.plans.ChMatView.onTable(currentName(sink))
           if (mvs.nonEmpty) prepared.persist()
           try {
             Warehouse.write(prepared, tableDir(sink), sink.dateCol,

@@ -236,4 +236,48 @@ class IngestSpec extends SparkSpec {
       spark.sql("DROP TABLE ev_mv_ingest")
     } finally spark.conf.unset("spark.graft.warehouse")
   }
+
+  test("the sink follows its table through RENAME across a restart") {
+    import org.apache.spark.sql.functions._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_rename"
+    FsUtil.rmTree(base)
+    spark.conf.set("spark.graft.warehouse", s"$base/wh")
+    try {
+      val df = (0 until 20).map(i => (i.toLong, f"2024-02-${1 + i % 5}%02d"))
+        .toDF("event_id", "ds")
+        .select($"event_id", to_date($"ds").as("d"))
+      val sink = graft.streaming.Ingest.Sink(s"$base/sink", "ev", "t15",
+        dateCol = "d", orderKey = Seq("event_id"), cleanupPolicy = "DROP")
+      // leg 1 under the transfer-suffixed name, with an attached MV
+      df.filter($"event_id" < 10).repartition(1)
+        .write.mode("append").parquet(s"$base/src")
+      graft.streaming.Ingest.runToCompletion(spark, s"$base/src",
+        df.schema, sink, s"$base/cp")
+      spark.sql("""
+        CREATE MATERIALIZED VIEW ev_mv_rename
+        ENGINE = AggregatingMergeTree
+        AS SELECT d, countState() AS n FROM ev_t15 GROUP BY d""")
+      // publish cutover while the transfer is stopped
+      spark.sql("RENAME TABLE ev_t15 TO ev_pub")
+      assert(graft.streaming.Ingest.currentName(sink) == "ev_pub")
+      // leg 2 across the restart: appends land under the published
+      // name, the MV (which followed the rename) keeps folding, and
+      // the old transfer-suffixed name is NOT resurrected
+      df.filter($"event_id" >= 10).repartition(1)
+        .write.mode("append").parquet(s"$base/src")
+      graft.streaming.Ingest.runToCompletion(spark, s"$base/src",
+        df.schema, sink.copy(cleanupPolicy = "DISABLED"), s"$base/cp")
+      assert(spark.table("ev_pub").count() == 20)
+      assert(graft.sources.Catalog.binding("ev_t15").isEmpty)
+      // created between the legs without POPULATE, the MV folds only
+      // post-creation inserts (CH semantics) — 10 = all of leg 2,
+      // which only reaches the MV if the fold FOLLOWED the rename
+      val mvTotal = spark.sql(
+        "SELECT countMerge(n) AS n FROM ev_mv_rename")
+        .collect().head.getLong(0)
+      assert(mvTotal == 10, "MV folded leg 2 through the rename")
+      spark.sql("DROP TABLE ev_mv_rename")
+      spark.sql("DROP TABLE ev_pub")
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
 }
