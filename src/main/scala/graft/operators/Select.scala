@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quality-ranked corpus selection under a global token budget — the
+  * data-selection step of an LLM pipeline ("keep the best B tokens"),
+  * composed after a scorer such as [[Lm.logProbScore]].
+  *
+  * The selection SPEC is the global greedy prefix: order documents by
+  * (score desc, id asc), keep each document while the running token
+  * total stays within the budget. The naive implementation of that
+  * spec — one ordered window over the corpus — funnels 100 TB through
+  * a single partition, so the operator computes the identical set in
+  * three bounded steps:
+  *
+  *  1. '''Histogram''': per-score token totals (scores must be
+  *     integral, e.g. the 1e-4-nat units of [[Lm.logProbScore]]), a
+  *     groupBy whose cardinality is bounded by the score RANGE, not
+  *     the corpus — collected and capped like a dictionary.
+  *  2. '''Cutoff on the driver''': walking the histogram best-first
+  *     finds the boundary score c — every document scoring above c is
+  *     selected with a map-side filter, no ordering anywhere.
+  *  3. '''Boundary fill''': only documents scoring EXACTLY c need the
+  *     prefix discipline. They are chunked by deterministic id ranges
+  *     (`(id - minId) / chunkWidth` — portable arithmetic, no engine
+  *     hash, no sampled partitioner), per-chunk token sums prefix-sum
+  *     on the driver (≤ `boundaryChunks` values), and each chunk
+  *     computes its inclusive running total in parallel. Chunk order
+  *     equals id order, so the result is EXACTLY the spec's greedy
+  *     prefix — any engine replays it as a plain ordered cumsum.
+  *
+  * The one ordered window runs per-chunk over the single boundary
+  * score — the corpus-sized scan stays window-free.
+  */
+object Select {
+
+  /** Rows of `df` selected under `budget` total `tokenCol`, greedy
+    * best-`scoreCol`-first (ties broken by ascending `idCol`).
+    * Returns the input columns unchanged.
+    *
+    * `maxScores` caps the histogram collect (driver safety, the
+    * [[graft.plans.Dictionaries]] contract): integral score scales
+    * bound it by construction — widen scores, don't raise the cap,
+    * if a continuous score ever hits it.
+    */
+  def byTokenBudget(df: DataFrame, scoreCol: String, tokenCol: String,
+      idCol: String, budget: Long, maxScores: Int = 1 << 20,
+      boundaryChunks: Int = 64): DataFrame = {
+    require(budget >= 0, "byTokenBudget: budget must be >= 0")
+    val score = col(s"`$scoreCol`")
+    val toks = col(s"`$tokenCol`")
+    val id = col(s"`$idCol`")
+    val outCols = df.columns.toIndexedSeq.map(c => col(s"`$c`"))
+
+    // 1. bounded per-score histogram
+    val hist = df.groupBy(score.as("s"))
+      .agg(sum(toks).as("tok"))
+      .limit(maxScores + 1).collect()
+    require(hist.length <= maxScores,
+      s"byTokenBudget: more than $maxScores distinct scores — the " +
+        "cutoff histogram is a driver-RAM pass; use an integral score " +
+        "scale (e.g. Lm.logProbScore's 1e-4 units) whose range bounds it")
+    if (hist.isEmpty) return df.filter(lit(false)).select(outCols: _*)
+
+    // 2. cutoff: full buckets best-first while they fit whole
+    val desc = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var used = 0L
+    var i = 0
+    while (i < desc.length && used + desc(i)._2 <= budget) {
+      used += desc(i)._2; i += 1
+    }
+    if (i == desc.length) return df.select(outCols: _*) // all fits
+    val boundaryScore = desc(i)._1
+    val remaining = budget - used
+    val above = df.filter(score > lit(boundaryScore)).select(outCols: _*)
+    if (remaining == 0L) return above
+
+    // 3. boundary fill: deterministic id-range chunks, driver prefix
+    val boundary = df.filter(score === lit(boundaryScore))
+    val Row(minId: Long, maxId: Long) =
+      boundary.agg(min(id.cast("long")), max(id.cast("long"))).head()
+    val width = math.max(1L, (maxId - minId) / boundaryChunks + 1)
+    val chunked = boundary
+      .withColumn("__chunk", ((id.cast("long") - minId) / width).cast("long"))
+    val offsets = chunked.groupBy(col("__chunk"))
+      .agg(sum(toks).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prefix = offsets.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (c, t)) => (c, acc + t)
+    }.tail // per-chunk EXCLUSIVE prefix = sum of all earlier chunks
+    val offMap = prefix.zip(offsets).map {
+      case ((c, inclusive), (_, own)) => c -> (inclusive - own)
+    }.toMap
+    val offCol = coalesce(
+      element_at(typedlit(offMap), col("__chunk")), lit(0L))
+    val w = Window.partitionBy(col("__chunk")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = chunked
+      .withColumn("__cum", sum(toks).over(w) + offCol)
+      .filter(col("__cum") <= lit(remaining))
+      .select(outCols: _*)
+    above.unionByName(filled)
+  }
+}

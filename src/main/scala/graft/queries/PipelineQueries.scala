@@ -1080,6 +1080,122 @@ object PipelineQueries {
                AS weight
       FROM m ORDER BY lang"""))
 
+  // Corpus-trained LM quality scoring (CCNet-style perplexity filter):
+  // a unigram model trains on the corpus (one token shuffle, top-16
+  // vocabulary with add-one smoothing, deterministic count-desc/token-
+  // asc tie-break), registers as an engine dictionary, and every
+  // document scores as the mean token log-probability via O(1)
+  // dictionary probes inside the array fold — NO explode, NO join, NO
+  // shuffle in the scoring pass (plan-audited in TextPipelineSpec).
+  // V=16 < the 31-token corpus vocabulary, so both the in-vocabulary
+  // and the OOV-floor path carry real weight. Scores travel as
+  // integer 1e-4 log-prob units; the gate keeps documents above
+  // -6.0 nats mean log-prob. The oracle retrains and rescores the
+  // identical model in DuckDB (same smoothing, same tie-break, same
+  // floor).
+  val q115LmQuality = QueryDef(
+    "q115_lm_quality",
+    (s, dir) => {
+      import graft.operators.Lm
+      val docs = Graft.table(s, dir, "documents")
+      val m = Lm.trainUnigram(docs, "text", "lm_q115", topV = 16)
+      docs.select(col("lang"), Lm.logProbScore(m, col("text")).as("lp_i"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum((col("lp_i") >= lit(-60000L)).cast("long")).as("n_pass"),
+          sum(col("lp_i")).cast("long").as("lp_sum"),
+          min(col("lp_i")).as("lp_min"),
+          max(col("lp_i")).as("lp_max"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+      ), cnt AS (
+        SELECT t, count(1) AS c FROM toks GROUP BY t
+      ), tot AS (
+        SELECT count(1) AS n FROM toks
+      ), vocab AS (
+        SELECT t, c FROM cnt
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 16
+      ), scored AS (
+        SELECT k.doc_id, k.lang,
+               CAST(round(avg(ln(CAST(coalesce(v.c + 1, 1) AS DOUBLE) /
+                    (tot.n + 16 + 1))) * 10000) AS BIGINT) AS lp_i
+        FROM toks k LEFT JOIN vocab v ON k.t = v.t CROSS JOIN tot
+        GROUP BY k.doc_id, k.lang
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lp_i >= -60000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pass,
+             CAST(sum(lp_i) AS BIGINT) AS lp_sum,
+             CAST(min(lp_i) AS BIGINT) AS lp_min,
+             CAST(max(lp_i) AS BIGINT) AS lp_max
+      FROM scored GROUP BY lang ORDER BY lang"""))
+
+  // Token-budget corpus selection (keep the best B tokens): LM-scored
+  // documents selected greedy best-score-first under half the corpus'
+  // token mass. The operator computes the global greedy prefix WITHOUT
+  // a global ordered window (bounded score histogram → driver cutoff →
+  // map-side keep above the boundary score → chunked prefix-sum fill
+  // at the boundary); the oracle replays the SPEC directly as one
+  // ordered cumsum — identical sets prove the decomposition exact.
+  val q116BudgetSelect = QueryDef(
+    "q116_token_budget_select",
+    (s, dir) => {
+      import graft.operators.{Lm, Select}
+      val docs = Graft.table(s, dir, "documents")
+      val m = Lm.trainUnigram(docs, "text", "lm_q116", topV = 16)
+      val scored = docs.select(col("doc_id"), col("lang"),
+        text.tokenCountWs(col("text")).as("n_tok"),
+        Lm.logProbScore(m, col("text")).as("lp_i"))
+      val budget =
+        scored.agg(coalesce(sum(col("n_tok")), lit(0L)))
+          .head().getLong(0) / 2
+      Select.byTokenBudget(scored, "lp_i", "n_tok", "doc_id", budget)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_tok")).cast("long").as("tok_sum"),
+          min(col("lp_i")).as("lp_worst"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+      ), cnt AS (
+        SELECT t, count(1) AS c FROM toks GROUP BY t
+      ), tot AS (
+        SELECT count(1) AS n FROM toks
+      ), vocab AS (
+        SELECT t, c FROM cnt
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 16
+      ), scored AS (
+        SELECT k.doc_id, k.lang, CAST(count(1) AS BIGINT) AS n_tok,
+               CAST(round(avg(ln(CAST(coalesce(v.c + 1, 1) AS DOUBLE) /
+                    (tot.n + 16 + 1))) * 10000) AS BIGINT) AS lp_i
+        FROM toks k LEFT JOIN vocab v ON k.t = v.t CROSS JOIN tot
+        GROUP BY k.doc_id, k.lang
+      ), budget AS (
+        SELECT CAST(floor(sum(n_tok) / 2.0) AS BIGINT) AS b FROM scored
+      ), ranked AS (
+        SELECT *, sum(n_tok) OVER (ORDER BY lp_i DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+             CAST(min(lp_i) AS BIGINT) AS lp_worst
+      FROM ranked WHERE cum <= (SELECT b FROM budget)
+      GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
@@ -1087,5 +1203,6 @@ object PipelineQueries {
     q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall, q72AnnQuantized,
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
-    q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights)
+    q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,
+    q115LmQuality, q116BudgetSelect)
 }

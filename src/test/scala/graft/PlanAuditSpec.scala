@@ -173,4 +173,19 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("WindowGroupLimit") && l.contains("Partial"))
     assert(wgl > exch, s"no map-side rank trim:\n$p")
   }
+
+  test("q113: scaled FINAL + ARRAY JOIN — one fact shuffle, broadcast " +
+      "cancels, map-side collapse trim, Sign pushed to the scan") {
+    // the composed Metrica hot path at scale: the collapse must cost
+    // ONE entity-key exchange of the state rows (cancels broadcast to
+    // the anti-join; row_number(=1) trims partial BEFORE the shuffle),
+    // and the goals unroll is a Generate that adds no exchange of its
+    // own — the plan shape that keeps FINAL reads one-pass at 100 TB
+    val p = plan("q113_goals_final_scaled")
+    assert(p.contains("Generate inline"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2, p) // Partial+Final
+    assert("Exchange hashpartitioning\\(VisitID".r.findAllIn(p).size == 1, p)
+    assert(p.contains("EqualTo(Sign,1)"), p) // live-rows scan pushdown
+  }
 }

@@ -87,4 +87,58 @@ class TextPipelineSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("LM scoring: smoothing math by hand, OOV floor, shuffle-free plan") {
+    import graft.operators.Lm
+    import spark.implicits._
+    // corpus: 6 tokens total — "a" x3, "b" x2, "c" x1; top-2 vocab is
+    // {a, b} (count desc), "c" falls to the OOV floor
+    val corpus = Seq("a a b", "a b c").toDF("text")
+    val m = Lm.trainUnigram(corpus, "text", "lm_spec", topV = 2)
+    assert(m.totalTokens == 6L)
+    val denom = 6.0 + 2 + 1
+    val expA = math.log(4.0 / denom) // (3+1)/9
+    val expB = math.log(3.0 / denom) // (2+1)/9
+    val floor = math.log(1.0 / denom)
+    assert(math.abs(m.floorLogp - floor) < 1e-12)
+    val scored = Seq("a b", "c c").toDF("text")
+      .select(Lm.avgLogProb(m, col("text")).as("lp"))
+    val got = scored.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - (expA + expB) / 2) < 1e-12)
+    assert(math.abs(got(1) - floor) < 1e-12) // all-OOV doc = the floor
+    // the scale contract: scoring is a pure projection — dictionary
+    // probes ride the task binary, no explode, no join, no exchange.
+    // (asserted over a FILE scan: a local relation constant-folds the
+    // whole expression away and proves nothing)
+    val plan = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Lm.avgLogProb(m, col("text")).as("lp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dict_get"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("byTokenBudget: greedy prefix by hand — cutoff, fill, edges") {
+    import graft.operators.Select
+    import spark.implicits._
+    // scores: {1,2: s=3} {3,4,5: s=2} {6: s=1}; every doc 10 tokens
+    val df = Seq((1L, 3L, 10L), (2L, 3L, 10L), (3L, 2L, 10L),
+      (4L, 2L, 10L), (5L, 2L, 10L), (6L, 1L, 10L)).toDF("id", "s", "t")
+    def sel(b: Long) =
+      Select.byTokenBudget(df, "s", "t", "id", b, boundaryChunks = 2)
+        .select($"id").collect().map(_.getLong(0)).toSet
+    assert(sel(0) == Set.empty[Long])
+    assert(sel(20) == Set(1L, 2L)) // best bucket fits exactly
+    assert(sel(35) == Set(1L, 2L, 3L)) // fill 15 at boundary: id 3 only
+    assert(sel(45) == Set(1L, 2L, 3L, 4L)) // fill 25: ids 3, 4
+    assert(sel(59) == Set(1L, 2L, 3L, 4L, 5L)) // 9 left: s=1 excluded
+    assert(sel(60) == Set(1L, 2L, 3L, 4L, 5L, 6L)) // everything fits
+    // the corpus-sized scan stays window-free: the one ordered window
+    // runs per-chunk over the boundary score only
+    val plan = Select
+      .byTokenBudget(df, "s", "t", "id", 35, boundaryChunks = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
