@@ -53,9 +53,15 @@ object Select {
     val toks = col(s"`$tokenCol`")
     val id = col(s"`$idCol`")
     val outCols = df.columns.toIndexedSeq.map(c => col(s"`$c`"))
+    // a NULL score cannot be ranked and a NULL token count cannot be
+    // budgeted — both are excluded up front (the histogram's driver
+    // walk would otherwise read the NULL group as score 0 and rank
+    // unjudged rows above every negative score)
+    val judged = df.filter(score.isNotNull && toks.isNotNull)
 
-    // 1. bounded per-score histogram
-    val hist = df.groupBy(score.as("s"))
+    // 1. bounded per-score histogram (key widened to long so any
+    // integral score column walks the same driver path)
+    val hist = judged.groupBy(score.cast("long").as("s"))
       .agg(sum(toks).as("tok"))
       .limit(maxScores + 1).collect()
     require(hist.length <= maxScores,
@@ -71,14 +77,14 @@ object Select {
     while (i < desc.length && used + desc(i)._2 <= budget) {
       used += desc(i)._2; i += 1
     }
-    if (i == desc.length) return df.select(outCols: _*) // all fits
+    if (i == desc.length) return judged.select(outCols: _*) // all fits
     val boundaryScore = desc(i)._1
     val remaining = budget - used
-    val above = df.filter(score > lit(boundaryScore)).select(outCols: _*)
+    val above = judged.filter(score > lit(boundaryScore)).select(outCols: _*)
     if (remaining == 0L) return above
 
     // 3. boundary fill: deterministic id-range chunks, driver prefix
-    val boundary = df.filter(score === lit(boundaryScore))
+    val boundary = judged.filter(score === lit(boundaryScore))
     val Row(minId: Long, maxId: Long) =
       boundary.agg(min(id.cast("long")), max(id.cast("long"))).head()
     val width = math.max(1L, (maxId - minId) / boundaryChunks + 1)
