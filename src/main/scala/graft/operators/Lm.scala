@@ -53,16 +53,22 @@ object Lm {
     */
   def trainUnigram(corpus: DataFrame, textCol: String, dict: String,
       topV: Int): UnigramModel = {
+    // cached across its two actions (the N total and the top-V
+    // collect) — without it the explode+groupBy corpus scan runs
+    // twice and the one-shuffle contract above is false
     val cnt = corpus
       .select(explode(text.tokenize(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val n = cnt.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-    val vocab = cnt.orderBy(col("c").desc, col("t").asc).limit(topV)
-      .select(col("t"),
-        log((col("c") + 1).cast("double") /
-          lit((n + topV + 1).toDouble)).as("logp"))
-    graft.plans.Dictionaries.register(dict, vocab, "t")
-    UnigramModel(dict, topV, n)
+      .persist()
+    try {
+      val n = cnt.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      val vocab = cnt.orderBy(col("c").desc, col("t").asc).limit(topV)
+        .select(col("t"),
+          log((col("c") + 1).cast("double") /
+            lit((n + topV + 1).toDouble)).as("logp"))
+      graft.plans.Dictionaries.register(dict, vocab, "t")
+      UnigramModel(dict, topV, n)
+    } finally cnt.unpersist()
   }
 
   private def probe(dict: String, t: Column): Column =

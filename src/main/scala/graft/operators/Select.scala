@@ -49,6 +49,16 @@ object Select {
       idCol: String, budget: Long, maxScores: Int = 1 << 20,
       boundaryChunks: Int = 64): DataFrame = {
     require(budget >= 0, "byTokenBudget: budget must be >= 0")
+    // the histogram buckets by the long value and the keep filters
+    // compare the raw column — only integral scores keep those two
+    // views identical (a double 2.5 would bucket as 2 but pass a
+    // `> 2` filter unbudgeted). Fail loudly instead of over-selecting.
+    val scoreType = df.schema(scoreCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(scoreType.typeName),
+      s"byTokenBudget: score column '$scoreCol' is $scoreType — an " +
+        "integral score is required (scale a continuous score to " +
+        "integer units first, e.g. Lm.logProbScore's 1e-4 nats)")
     val score = col(s"`$scoreCol`")
     val toks = col(s"`$tokenCol`")
     val id = col(s"`$idCol`")
@@ -81,32 +91,49 @@ object Select {
     val boundaryScore = desc(i)._1
     val remaining = budget - used
     val above = judged.filter(score > lit(boundaryScore)).select(outCols: _*)
-    if (remaining == 0L) return above
+    // NOTE: remaining may be 0 — the fill must still run, because
+    // zero-token boundary rows have a running total of 0 <= 0 and the
+    // greedy-prefix spec (and any window replay of it) includes them.
 
-    // 3. boundary fill: deterministic id-range chunks, driver prefix
-    val boundary = judged.filter(score === lit(boundaryScore))
-    val Row(minId: Long, maxId: Long) =
-      boundary.agg(min(id.cast("long")), max(id.cast("long"))).head()
-    val width = math.max(1L, (maxId - minId) / boundaryChunks + 1)
-    val chunked = boundary
-      .withColumn("__chunk", ((id.cast("long") - minId) / width).cast("long"))
-    val offsets = chunked.groupBy(col("__chunk"))
-      .agg(sum(toks).as("t")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val prefix = offsets.scanLeft((Long.MinValue, 0L)) {
-      case ((_, acc), (c, t)) => (c, acc + t)
-    }.tail // per-chunk EXCLUSIVE prefix = sum of all earlier chunks
-    val offMap = prefix.zip(offsets).map {
-      case ((c, inclusive), (_, own)) => c -> (inclusive - own)
-    }.toMap
-    val offCol = coalesce(
-      element_at(typedlit(offMap), col("__chunk")), lit(0L))
-    val w = Window.partitionBy(col("__chunk")).orderBy(id)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = chunked
-      .withColumn("__cum", sum(toks).over(w) + offCol)
-      .filter(col("__cum") <= lit(remaining))
-      .select(outCols: _*)
-    above.unionByName(filled)
+    // 3. boundary fill: deterministic id-range chunks, driver prefix.
+    // Persisted across its three actions (min/max, chunk offsets, the
+    // final filter): the offsets and the fill MUST see one snapshot,
+    // and the boundary subset is small by construction (one score).
+    // The corpus-sized `judged` is scanned once per phase instead —
+    // at the operator's scale, re-scanning beats caching the corpus;
+    // callers whose score/token columns are nondeterministic must
+    // materialize them first (a nondeterministic score has no
+    // well-defined greedy prefix to begin with).
+    val boundary = judged.filter(score === lit(boundaryScore)).persist()
+    try {
+      val Row(minId: Long, maxId: Long) =
+        boundary.agg(min(id.cast("long")), max(id.cast("long"))).head()
+      val width = math.max(1L, (maxId - minId) / boundaryChunks + 1)
+      val chunked = boundary
+        .withColumn("__chunk",
+          ((id.cast("long") - minId) / width).cast("long"))
+      val offsets = chunked.groupBy(col("__chunk"))
+        .agg(sum(toks).as("t")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val prefix = offsets.scanLeft((Long.MinValue, 0L)) {
+        case ((_, acc), (c, t)) => (c, acc + t)
+      }.tail // per-chunk EXCLUSIVE prefix = sum of all earlier chunks
+      val offMap = prefix.zip(offsets).map {
+        case ((c, inclusive), (_, own)) => c -> (inclusive - own)
+      }.toMap
+      val offCol = coalesce(
+        element_at(typedlit(offMap), col("__chunk")), lit(0L))
+      val w = Window.partitionBy(col("__chunk")).orderBy(id)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = chunked
+        .withColumn("__cum", sum(toks).over(w) + offCol)
+        .filter(col("__cum") <= lit(remaining))
+        .select(outCols: _*)
+      // the returned frame is lazy: after unpersist a consumer
+      // recomputes the boundary from the (deterministic, see above)
+      // input — the cache only spans the two driver actions here, and
+      // the plan stays inspectable (no checkpoint truncation)
+      above.unionByName(filled)
+    } finally boundary.unpersist()
   }
 }

@@ -1005,8 +1005,12 @@ object DialectQueries {
     (s, dir) => {
       import org.apache.spark.sql.functions.{col, lit}
       import org.apache.spark.sql.types._
+      // full-path cache key (basename alone would let two dirs with
+      // the same basename share a stale fixture)
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_final_q91_" +
-        new java.io.File(dir).getName
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(new java.io.File(dir)
+          .getAbsolutePath.hashCode)
       q91Lock.synchronized {
         if (!q91Built.contains(tmp)) {
           graft.FsUtil.rmTree(tmp)

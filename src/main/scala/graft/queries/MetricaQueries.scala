@@ -412,8 +412,12 @@ object MetricaQueries {
 
   private[graft] def scaledGoalsWarehouse(s: SparkSession,
       dir: String): String = {
+    // keyed by the FULL dir path (hashed), not the basename: two
+    // dirs sharing a basename must never share a cached fixture
     val out = s"${sys.props("java.io.tmpdir")}/graft_goals_" +
-      new java.io.File(dir).getName
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(new java.io.File(dir)
+        .getAbsolutePath.hashCode)
     goalsLock.synchronized {
       if (!goalsBuilt.contains(out)) {
         val base = graft.Graft.table(s, dir, "events").select(

@@ -649,9 +649,71 @@ object StreamingQueries {
              CAST(1 AS BIGINT) AS mv_agrees_table
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // The LM quality gate IN-STREAM: the model trains on the static
+  // reference corpus BEFORE the stream starts (the CCNet shape — the
+  // clean corpus is a fixed artifact, the crawl streams through), and
+  // scoring is a stateless projection (O(1) dictionary probes riding
+  // the task binary), so the gate runs map-side inside each
+  // micro-batch with ZERO streaming state — same contract as the
+  // X42/X43 gates in q112. Survivors append raw; the final rollup is
+  // checked against a DuckDB replay of the identical model.
+  val q117StreamLmGate = QueryDef(
+    "q117_stream_lm_gate",
+    (s, dir) => {
+      import graft.operators.Lm
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q117_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = Lm.trainUnigram(docs, "text", "lm_q117", topV = 16)
+      docs.repartition(3).write.parquet(s"$base/src")
+      val gated = s.readStream.schema(docs.schema).parquet(s"$base/src")
+        .withColumn("lp_i", Lm.logProbScore(m, col("text")))
+        .filter(col("lp_i") >= lit(-60000L))
+      val q = gated.writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .option("path", s"$base/out")
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("lp_i")).cast("long").as("lp_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+      ), cnt AS (
+        SELECT t, count(1) AS c FROM toks GROUP BY t
+      ), tot AS (
+        SELECT count(1) AS n FROM toks
+      ), vocab AS (
+        SELECT t, c FROM cnt
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 16
+      ), scored AS (
+        SELECT k.doc_id, k.lang,
+               CAST(round(avg(ln(CAST(coalesce(v.c + 1, 1) AS DOUBLE) /
+                    (tot.n + 16 + 1))) * 10000) AS BIGINT) AS lp_i
+        FROM toks k LEFT JOIN vocab v ON k.t = v.t CROSS JOIN tot
+        GROUP BY k.doc_id, k.lang
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(lp_i) AS BIGINT) AS lp_sum
+      FROM scored WHERE lp_i >= -60000
+      GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
       q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake,
-      q114BlueGreenMvSwap)
+      q114BlueGreenMvSwap, q117StreamLmGate)
 }

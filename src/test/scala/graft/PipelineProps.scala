@@ -20,11 +20,11 @@ object PipelineProps extends Properties("pipeline") {
     p.withMinSuccessfulTests(12)
 
   // small score range forces heavy ties → the boundary-fill path runs
-  // in almost every sample; token counts include 1 so budgets land
-  // mid-document
+  // in almost every sample; token counts include 0 (a zero-token doc
+  // must enter whenever its running total fits, even at remaining=0)
   private val docGen: Gen[(Long, Long)] = for {
     score <- Gen.choose(-3L, 3L)
-    toks <- Gen.choose(1L, 9L)
+    toks <- Gen.choose(0L, 9L)
   } yield (score, toks)
 
   private val corpusGen: Gen[List[(Long, Long)]] =

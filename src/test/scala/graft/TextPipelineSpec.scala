@@ -121,18 +121,28 @@ class TextPipelineSpec extends SparkSpec {
   test("byTokenBudget: greedy prefix by hand — cutoff, fill, edges") {
     import graft.operators.Select
     import spark.implicits._
-    // scores: {1,2: s=3} {3,4,5: s=2} {6: s=1}; every doc 10 tokens
-    val df = Seq((1L, 3L, 10L), (2L, 3L, 10L), (3L, 2L, 10L),
-      (4L, 2L, 10L), (5L, 2L, 10L), (6L, 1L, 10L)).toDF("id", "s", "t")
+    // scores: {0,1,2: s=3} {3,4,5: s=2} {6: s=1}; id 0 is a
+    // ZERO-token doc (empty after tokenizing, tokenCountBpe-style)
+    val df = Seq((0L, 3L, 0L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (3L, 2L, 10L), (4L, 2L, 10L), (5L, 2L, 10L), (6L, 1L, 10L))
+      .toDF("id", "s", "t")
     def sel(b: Long) =
       Select.byTokenBudget(df, "s", "t", "id", b, boundaryChunks = 2)
         .select($"id").collect().map(_.getLong(0)).toSet
-    assert(sel(0) == Set.empty[Long])
-    assert(sel(20) == Set(1L, 2L)) // best bucket fits exactly
-    assert(sel(35) == Set(1L, 2L, 3L)) // fill 15 at boundary: id 3 only
-    assert(sel(45) == Set(1L, 2L, 3L, 4L)) // fill 25: ids 3, 4
-    assert(sel(59) == Set(1L, 2L, 3L, 4L, 5L)) // 9 left: s=1 excluded
-    assert(sel(60) == Set(1L, 2L, 3L, 4L, 5L, 6L)) // everything fits
+    // budget 0: the zero-token row still enters (running total 0 <= 0)
+    // — the spec's greedy prefix, NOT an empty shortcut
+    assert(sel(0) == Set(0L))
+    assert(sel(20) == Set(0L, 1L, 2L)) // best bucket fits exactly
+    assert(sel(35) == Set(0L, 1L, 2L, 3L)) // fill 15: id 3 only
+    assert(sel(45) == Set(0L, 1L, 2L, 3L, 4L)) // fill 25: ids 3, 4
+    assert(sel(59) == Set(0L, 1L, 2L, 3L, 4L, 5L)) // 9 left: s=1 out
+    assert(sel(60) == (0L to 6L).toSet) // everything fits
+    // a continuous score must fail loudly (the histogram would bucket
+    // 2.5 as 2 while the keep filter passes it unbudgeted)
+    val err = intercept[IllegalArgumentException](
+      Select.byTokenBudget(
+        df.withColumn("s", $"s" + 0.5), "s", "t", "id", 10))
+    assert(err.getMessage.contains("integral"))
     // the corpus-sized scan stays window-free: the one ordered window
     // runs per-chunk over the boundary score only
     val plan = Select
