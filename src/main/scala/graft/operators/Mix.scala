@@ -131,4 +131,29 @@ object Mix {
           6))
       .drop("__pow")
   }
+
+  /** The epoch plan that turns [[mixtureWeights]] into an executable
+    * mixture: given a total token `budget`, each stratum's target
+    * token share is `weight * budget`, its `epochs` is how many times
+    * its corpus repeats to deliver that share (> 1 means upsampling,
+    * the multilingual-rebalancing reality), and `sample_rate` is the
+    * per-epoch inclusion rate (1.0 while upsampling; the fractional
+    * remainder rate on the last pass is `epochs - floor(epochs)`).
+    * All arithmetic over the per-stratum aggregate — the result is
+    * strata-sized, the corpus is scanned once by [[mixtureWeights]],
+    * and the empty-window total sum is over STRATA (bounded), never
+    * rows. Ratios round to 6 decimals for cross-engine exactness.
+    */
+  def epochPlan(df: DataFrame, stratumCol: String, measureCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(budget >= 0, "epochPlan: budget must be >= 0")
+    mixtureWeights(df, stratumCol, measureCol, alpha)
+      .withColumn("target_tokens",
+        round(col("weight") * budget).cast("long"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") / col("measure"), 6))
+      .withColumn("sample_rate",
+        round(least(lit(1.0),
+          col("target_tokens").cast("double") / col("measure")), 6))
+  }
 }

@@ -1196,6 +1196,44 @@ object PipelineQueries {
       FROM ranked WHERE cum <= (SELECT b FROM budget)
       GROUP BY lang ORDER BY lang"""))
 
+  // Data mixing, pass 3: the EPOCH PLAN — weights become an executable
+  // mixture under a token budget (2x the corpus here, the upsampling
+  // regime): per-source target tokens, epoch count (how many corpus
+  // repeats deliver the share; > 1 = upsampling), per-epoch sampling
+  // rate. Pure arithmetic over the strata-sized aggregate.
+  val q118EpochPlan = QueryDef(
+    "q118_mix_epoch_plan",
+    (s, dir) => {
+      import graft.operators.Mix
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("lang"), text.tokenCountWs(col("text")).as("n_tok"))
+      val budget = docs.agg(coalesce(sum(col("n_tok")), lit(0L)))
+        .head().getLong(0) * 2
+      Mix.epochPlan(docs, "lang", "n_tok", alpha = 0.5, budget)
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT lang,
+               CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+                    AS BIGINT) AS measure
+        FROM documents GROUP BY lang
+      ), w AS (
+        SELECT lang, measure,
+               round(pow(measure, 0.5) / sum(pow(measure, 0.5)) OVER (), 6)
+                 AS weight
+        FROM m
+      ), b AS (
+        SELECT CAST(sum(measure) * 2 AS BIGINT) AS budget FROM m
+      )
+      SELECT lang, measure, weight,
+             CAST(round(weight * budget) AS BIGINT) AS target_tokens,
+             round(CAST(round(weight * budget) AS BIGINT)
+                   / CAST(measure AS DOUBLE), 6) AS epochs,
+             round(least(1.0, CAST(round(weight * budget) AS BIGINT)
+                   / CAST(measure AS DOUBLE)), 6) AS sample_rate
+      FROM w CROSS JOIN b ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
@@ -1204,5 +1242,5 @@ object PipelineQueries {
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
     q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,
-    q115LmQuality, q116BudgetSelect)
+    q115LmQuality, q116BudgetSelect, q118EpochPlan)
 }

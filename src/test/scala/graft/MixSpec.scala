@@ -104,4 +104,22 @@ class MixSpec extends SparkSpec {
     // weights sum to 1 at any alpha
     assert(math.abs(weights(0.7).values.sum - 1.0) < 1e-5)
   }
+
+  test("epochPlan: upsampling and downsampling regimes by hand") {
+    val m = Seq(("a", 100L), ("b", 400L)).toDF("src", "n_tok")
+    def plan(alpha: Double, budget: Long): Map[String, (Long, Double, Double)] =
+      Mix.epochPlan(m, "src", "n_tok", alpha, budget).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // proportional weights (0.2 / 0.8), budget below the corpus:
+    // every source downsamples at its share
+    val down = plan(1.0, 250)
+    assert(down("a") == ((50L, 0.5, 0.5)))
+    assert(down("b") == ((200L, 0.5, 0.5)))
+    // uniform weights, budget above the corpus: the small source
+    // upsamples 5x, the big one 1.25x — sample_rate saturates at 1
+    val up = plan(0.0, 1000)
+    assert(up("a") == ((500L, 5.0, 1.0)))
+    assert(up("b") == ((500L, 1.25, 1.0)))
+  }
 }
