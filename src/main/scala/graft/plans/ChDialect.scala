@@ -38,6 +38,36 @@ object ChDialect {
     * on i=0 or out of range. The default is derived from the resolved
     * array element type, exactly as ClickHouse derives it.
     */
+  /** CH arrayFirst/arrayLast(lambda, arr): fold to a (found, value)
+    * struct so the higher-order function sits at the ROOT (the
+    * analyzer's requirement for lambda arguments); the finish lambda
+    * unwraps to the element or the element-type default on no match.
+    */
+  private def arrayFirstLast(args: Seq[Expression],
+      last: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, ArrayAggregate, CreateNamedStruct, If, LambdaFunction, Not, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    val lf = args.head.asInstanceOf[LambdaFunction]
+    val elemType = args(1).dataType.asInstanceOf[ArrayType].elementType
+    val dflt = Literal.default(elemType)
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_fl_acc"))
+    val hit = CreateNamedStruct(Seq(Literal("f"), Literal(true),
+      Literal("v"), lf.arguments.head))
+    val merge = LambdaFunction(
+      if (last) If(lf.function, hit, acc)
+      else If(And(Not(UnresolvedExtractValue(acc, Literal("f"))),
+        lf.function), hit, acc),
+      acc +: lf.arguments)
+    val res = UnresolvedNamedLambdaVariable(Seq("__graft_fl_res"))
+    val finish = LambdaFunction(
+      If(UnresolvedExtractValue(res, Literal("f")),
+        UnresolvedExtractValue(res, Literal("v")), dflt),
+      Seq(res))
+    val zero = CreateNamedStruct(Seq(Literal("f"), Literal(false),
+      Literal("v"), dflt))
+    ArrayAggregate(args(1), zero, merge, finish)
+  }
+
   private def arrayElement(args: Seq[Expression]): Expression = {
     val elemType = args.head.dataType match {
       case ArrayType(t, _) => t
@@ -84,6 +114,28 @@ object ChDialect {
     "arrayMap" -> (args => ArrayTransform(args(1), args(0))),
     "arrayFilter" -> (args => ArrayFilter(args(1), args(0))),
     "arrayExists" -> (args => ArrayExists(args(1), args(0))),
+    // arrayAll follows arrayExists' convention (raw boolean; CH's
+    // UInt8 0/1 compares equal through the oracle's casts)
+    "arrayAll" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.ArrayForAll(
+        args(1), args(0))),
+    // arrayFirst/arrayLast(lambda, arr): first/last matching element,
+    // ELEMENT-TYPE DEFAULT when nothing matches (never NULL — CH's
+    // arr[i] miss contract). Folded into an ArrayAggregate because a
+    // lambda argument requires the ROOT to be the higher-order
+    // function (see arrayCount); the accumulator is a (found, value)
+    // struct, first keeps the first hit, last keeps the latest.
+    "arrayFirst" -> (args => arrayFirstLast(args, last = false)),
+    "arrayLast" -> (args => arrayFirstLast(args, last = true)),
+    "arrayMin" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.ArrayMin(args.head)),
+    "arrayMax" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.ArrayMax(args.head)),
+    // CH arrayAvg: Float64 mean of the elements, 0 on an empty array
+    "arrayAvg" -> (args => ex(
+      when(size(col(args.head)) === 0, lit(0.0))
+        .otherwise(ch.sumArrayDouble(col(args.head)) /
+          size(col(args.head)).cast("double")))),
     // CH `has(arr, v)` returns UInt8 (1/0). NULL is a MATCHABLE value
     // in CH arrays: has([1,NULL], NULL) = 1 — so a NULL needle looks
     // for a stored NULL element rather than short-circuiting to 0.
@@ -145,6 +197,65 @@ object ChDialect {
     "toSecond" -> (args => ex(second(col(args.head)).cast("long"))),
     "addDays" -> (args => ex(date_add(col(args.head), col(args(1))))),
     "subtractDays" -> (args => ex(date_sub(col(args.head), col(args(1))))),
+    // toDateTime: CH's to-timestamp cast — strings parse, integers are
+    // UNIX SECONDS (Spark's long→timestamp cast shares that reading)
+    "toDateTime" -> (args => Cast(args.head,
+      org.apache.spark.sql.types.TimestampType)),
+    // toStartOfInterval(t, INTERVAL n unit): epoch-aligned bucketing
+    // (CH aligns at 1970 for day-time units). Integer floor via
+    // `x - pmod(x, m)` — exact for any sign, no double rounding.
+    "toStartOfInterval" -> (args => args(1) match {
+      case Literal(m: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+        val us = unix_micros(col(Cast(args.head,
+          org.apache.spark.sql.types.TimestampType)))
+        ex(timestamp_micros(us - pmod(us, lit(m))))
+      case Literal(m: Int, _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+        // months since 1970-01, floored to the bucket, back to a date
+        val months = (year(col(args.head)) - 1970) * 12 +
+          month(col(args.head)) - 1
+        ex(add_months(to_date(lit("1970-01-01")),
+          months - pmod(months, lit(m))))
+      case other => throw new IllegalArgumentException(
+        "toStartOfInterval expects a literal INTERVAL second argument, " +
+          s"got ${other.sql}")
+    }),
+    // CH dateDiff('unit', a, b) — BOUNDARY-based (truncate both to the
+    // unit, then count units between), NOT Spark's full-period
+    // timestampdiff: dateDiff('day', '23:00', next day '01:00') = 1 in
+    // CH (and DuckDB's date_diff). The parser rewrites the quoted-unit
+    // spelling to this name (Spark's grammar special-cases 3-arg
+    // dateDiff before the registry and rejects a string unit).
+    "chDateDiff" -> (args => {
+      val unit = litString(args.head, "dateDiff unit").toLowerCase
+      def ts(e: Expression) =
+        col(Cast(e, org.apache.spark.sql.types.TimestampType))
+      val (a, b) = (ts(args(1)), ts(args(2)))
+      def bySecs(s: Long): Column = {
+        def f(c: Column) = { // truncate to the unit, in whole seconds
+          val x = unix_timestamp(c)
+          x - pmod(x, lit(s))
+        }
+        (f(b) - f(a)) / s // multiples of s: the division is exact
+      }
+      val d = unit match {
+        case "second" => bySecs(1L)
+        case "minute" => bySecs(60L)
+        case "hour" => bySecs(3600L)
+        case "day" => datediff(b.cast("date"), a.cast("date"))
+        case "week" =>
+          datediff(ch.toMonday(b.cast("date")),
+            ch.toMonday(a.cast("date"))) / 7
+        case "month" =>
+          (year(b) * 12 + month(b)) - (year(a) * 12 + month(a))
+        case "quarter" =>
+          (year(b) * 4 + quarter(b)) - (year(a) * 4 + quarter(a))
+        case "year" => year(b) - year(a)
+        case other => throw new IllegalArgumentException(
+          s"dateDiff: unsupported unit '$other' (second/minute/hour/" +
+            "day/week/month/quarter/year)")
+      }
+      ex(d.cast("long"))
+    }),
     // (CH dateDiff needs no registration: Spark's builtin 3-arg
     // dateDiff(unit, start, end) shares CH's argument order — the one
     // divergence is the unit spelling: Spark wants the bare keyword

@@ -352,8 +352,24 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       // UNRESOLVED_ROUTINE at analysis) — standalone uses must
       // pre-rewrite like ARRAY JOIN / FINAL
       quantileHead.findFirstIn(masked).isDefined ||
-      paramAggHead.findFirstIn(masked).isDefined
+      paramAggHead.findFirstIn(masked).isDefined ||
+      // CH's quoted-unit dateDiff('day', ...) parses fine and dies at
+      // analysis (Spark's grammar special-cases 3-arg dateDiff with a
+      // BARE unit before the registry) — same trap class as quantile
+      dateDiffQuoted.findFirstIn(masked).isDefined
   }
+
+  // `dateDiff('unit', a, b)` / `date_diff(...)` with the unit as a
+  // (masked) string literal → `chDateDiff('unit', a, b)`, the
+  // registry-dispatched boundary-based implementation. Unknown units
+  // pass through unchanged so Spark's own diagnostics fire.
+  private val dateDiffQuoted =
+    """(?i)\bdate_?diff\s*\(\s*(\d+)\s*,""".r
+
+  private def rewriteDateDiff(text: String): String =
+    dateDiffQuoted.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"chDateDiff(${m.group(1)},"))
 
   /** Strip every `FROM t FINAL` to `FROM t` and mark the plan with
     * the NAMES that carried FINAL: the [[ChFinal]] marker's rule
@@ -638,7 +654,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val afterLimit = limitOffset.replaceAllIn(afterTotals,
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     val afterQuantile = rewriteParamAggs(rewriteQuantiles(afterLimit))
-    val afterPrewhere = rewritePrewhere(afterQuantile)
+    val afterDateDiff = rewriteDateDiff(afterQuantile)
+    val afterPrewhere = rewritePrewhere(afterDateDiff)
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     val finalText = unmaskLiterals(rewritten, lits)
     if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&

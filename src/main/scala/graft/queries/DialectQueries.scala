@@ -1380,6 +1380,96 @@ object DialectQueries {
         ON e.event_type = cp.event_type AND e.t >= cp.cp_ts
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // Round-7 third-leg vocabulary: CH's quoted-unit dateDiff (BOUNDARY-
+  // based — truncate both sides to the unit, then count units; the
+  // parser routes the quoted spelling past Spark's bare-unit
+  // special case) and epoch-aligned toStartOfInterval bucketing, both
+  // replayed by DuckDB's identically-boundary-based date_diff /
+  // epoch arithmetic.
+  val q119ChDateDiff = QueryDef(
+    "q119_ch_datediff_interval",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v119")
+      s.sql("""
+        SELECT event_type,
+               dateDiff('day', min(ts), max(ts)) AS span_days,
+               dateDiff('hour', min(ts), max(ts)) AS span_hours,
+               dateDiff('week', min(ts), max(ts)) AS span_weeks,
+               dateDiff('month', min(ts), max(ts)) AS span_months,
+               uniqExact(toStartOfInterval(ts, INTERVAL 6 HOUR))
+                 AS buckets_6h,
+               uniqExact(toStartOfInterval(ts, INTERVAL 1 MONTH))
+                 AS buckets_month,
+               toInt64(count(1)) AS n
+        FROM events_v119
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(date_diff('day', min(ts), max(ts)) AS BIGINT)
+               AS span_days,
+             CAST(date_diff('hour', min(ts), max(ts)) AS BIGINT)
+               AS span_hours,
+             CAST(date_diff('week', min(ts), max(ts)) AS BIGINT)
+               AS span_weeks,
+             CAST(date_diff('month', min(ts), max(ts)) AS BIGINT)
+               AS span_months,
+             CAST(count(DISTINCT epoch_us(ts) // 21600000000)
+               AS BIGINT) AS buckets_6h,
+             CAST(count(DISTINCT date_trunc('month', ts)) AS BIGINT)
+               AS buckets_month,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // arrayMin/Max/Avg and the lambda family arrayFirst/arrayLast/
+  // arrayAll — element-type DEFAULT on a no-match first/last (CH's
+  // arr[i] miss contract), per-row integer 1e-4 units so float sums
+  // never ride summation order.
+  val q120ChArrayVocab2 = QueryDef(
+    "q120_ch_array_vocab2",
+    (s, dir) => {
+      Graft.table(s, dir, "embeddings")
+        .createOrReplaceTempView("emb_v120")
+      s.sql("""
+        SELECT label,
+               toInt64(sum(toInt64(round(
+                 toFloat64(arrayMin(embedding)) * 10000)))) AS mn,
+               toInt64(sum(toInt64(round(
+                 toFloat64(arrayMax(embedding)) * 10000)))) AS mx,
+               toInt64(sum(toInt64(round(arrayAvg(embedding) * 10000))))
+                 AS av,
+               toInt64(sum(toInt64(round(toFloat64(
+                 arrayFirst(x -> x > 0, embedding)) * 10000)))) AS fpos,
+               toInt64(sum(toInt64(round(toFloat64(
+                 arrayLast(x -> x > 0, embedding)) * 10000)))) AS lpos,
+               toInt64(sum(toInt64(arrayAll(x -> isFinite(x), embedding))))
+                 AS all_finite,
+               toInt64(count(1)) AS n
+        FROM emb_v120 GROUP BY label ORDER BY label""")
+    },
+    Some("""
+      SELECT label,
+             CAST(sum(CAST(round(CAST(list_min(embedding) AS DOUBLE)
+               * 10000) AS BIGINT)) AS BIGINT) AS mn,
+             CAST(sum(CAST(round(CAST(list_max(embedding) AS DOUBLE)
+               * 10000) AS BIGINT)) AS BIGINT) AS mx,
+             CAST(sum(CAST(round((CASE WHEN len(embedding) = 0 THEN 0.0
+               ELSE list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
+                    / len(embedding) END) * 10000) AS BIGINT)) AS BIGINT)
+               AS av,
+             CAST(sum(CAST(round(CAST(coalesce(
+               list_filter(embedding, x -> x > 0)[1], 0) AS DOUBLE)
+               * 10000) AS BIGINT)) AS BIGINT) AS fpos,
+             CAST(sum(CAST(round(CAST(coalesce(
+               list_filter(embedding, x -> x > 0)[-1], 0) AS DOUBLE)
+               * 10000) AS BIGINT)) AS BIGINT) AS lpos,
+             CAST(sum(CASE WHEN len(list_filter(embedding,
+               x -> isfinite(x))) = len(embedding) THEN 1 ELSE 0 END)
+               AS BIGINT) AS all_finite,
+             CAST(count(1) AS BIGINT) AS n
+      FROM embeddings GROUP BY label ORDER BY label"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1389,5 +1479,6 @@ object DialectQueries {
       q83ChDateVocab, q84ChSumMap, q85ChSequence, q86ChRounding,
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
-      q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql)
+      q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
+      q119ChDateDiff, q120ChArrayVocab2)
 }

@@ -700,4 +700,69 @@ class ChDialectSpec extends SparkSpec {
       ) WHERE half = 0""").collect().head.getLong(0)
     assert(math.abs(half - 5000L) <= 250L, s"estimate $half")
   }
+
+  test("dateDiff quoted unit: BOUNDARY-based counting, all units") {
+    // 23:00 -> next day 01:00: 1 day boundary but only 2 hours —
+    // CH (and DuckDB date_diff) count boundaries, never full periods
+    val r = spark.sql("""
+      SELECT dateDiff('day', toDateTime('2024-01-01 23:00:00'),
+                      toDateTime('2024-01-02 01:00:00')) AS d,
+             dateDiff('hour', toDateTime('2024-01-01 23:10:00'),
+                      toDateTime('2024-01-02 01:05:00')) AS h,
+             dateDiff('minute', toDateTime('2024-01-01 00:00:59'),
+                      toDateTime('2024-01-01 00:01:01')) AS mi,
+             dateDiff('month', toDateTime('2024-01-31 12:00:00'),
+                      toDateTime('2024-02-01 00:00:00')) AS mo,
+             dateDiff('week', toDateTime('2024-01-07 23:59:59'),
+                      toDateTime('2024-01-08 00:00:00')) AS w,
+             dateDiff('year', toDateTime('2023-12-31 23:59:59'),
+                      toDateTime('2024-01-01 00:00:00')) AS y""")
+      .collect().head
+    // 2024-01-07 is a Sunday, 01-08 the next Monday: one week boundary
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((1L, 2L, 1L, 1L, 1L, 1L)))
+    // negative direction: boundaries count signed
+    val neg = spark.sql("""
+      SELECT dateDiff('day', toDateTime('2024-01-02 01:00:00'),
+                      toDateTime('2024-01-01 23:00:00')) AS d""")
+      .collect().head.getLong(0)
+    assert(neg == -1L)
+  }
+
+  test("toStartOfInterval: epoch-aligned day-time and month buckets") {
+    val r = spark.sql("""
+      SELECT CAST(toStartOfInterval(
+               toDateTime('2024-01-01 00:37:21'), INTERVAL 15 MINUTE)
+             AS STRING) AS q15,
+             CAST(toStartOfInterval(
+               toDateTime('2024-01-01 07:00:00'), INTERVAL 6 HOUR)
+             AS STRING) AS h6,
+             CAST(toStartOfInterval(
+               toDateTime('2024-03-15 10:00:00'), INTERVAL 2 MONTH)
+             AS STRING) AS m2""").collect().head
+    assert(r.getString(0) == "2024-01-01 00:30:00")
+    assert(r.getString(1) == "2024-01-01 06:00:00")
+    assert(r.getString(2) == "2024-03-01") // months since 1970-01 = 650, even
+  }
+
+  test("arrayFirst/arrayLast/arrayAll/arrayMin/arrayMax/arrayAvg") {
+    val r = spark.sql("""
+      SELECT arrayFirst(x -> x > 1, array(1, 2, 3)) AS f,
+             arrayLast(x -> x > 1, array(1, 2, 3)) AS l,
+             arrayFirst(x -> x > 99, array(1, 2)) AS fmiss,
+             arrayLast(x -> x > 99, array(1, 2)) AS lmiss,
+             arrayAll(x -> x > 0, array(1, 2)) AS alltrue,
+             arrayAll(x -> x > 1, array(1, 2)) AS allfalse,
+             arrayMin(array(3, 1, 2)) AS mn,
+             arrayMax(array(3, 1, 2)) AS mx,
+             arrayAvg(array(1.0D, 2.0D, 6.0D)) AS av,
+             arrayAvg(CAST(array() AS ARRAY<DOUBLE>)) AS avempty""")
+      .collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3)
+    assert(r.getInt(2) == 0 && r.getInt(3) == 0) // element default, not NULL
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getInt(6) == 1 && r.getInt(7) == 3)
+    assert(math.abs(r.getDouble(8) - 3.0) < 1e-12)
+    assert(r.getDouble(9) == 0.0) // CH: arrayAvg([]) = 0
+  }
 }
