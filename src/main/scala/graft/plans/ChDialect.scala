@@ -201,6 +201,25 @@ object ChDialect {
     // UNIX SECONDS (Spark's long→timestamp cast shares that reading)
     "toDateTime" -> (args => Cast(args.head,
       org.apache.spark.sql.types.TimestampType)),
+    // CH age('unit', a, b): COMPLETE elapsed units — the full-period
+    // counterpart of boundary-based dateDiff (below). Spark's
+    // timestamp_diff shares the semantics exactly; DuckDB replays it
+    // as date_sub('unit', a, b).
+    "age" -> (args => {
+      val unit = litString(args.head, "age unit").toUpperCase
+      val allowed = Set("SECOND", "MINUTE", "HOUR", "DAY", "WEEK",
+        "MONTH", "QUARTER", "YEAR")
+      require(allowed.contains(unit),
+        s"age: unsupported unit '${unit.toLowerCase}' (second/minute/" +
+          "hour/day/week/month/quarter/year)")
+      def ts(e: Expression) = col(Cast(e,
+        org.apache.spark.sql.types.TimestampType))
+      ex(timestamp_diff(unit, ts(args(1)), ts(args(2))).cast("long"))
+    }),
+    "toDayOfYear" -> (args => ex(dayofyear(col(args.head)).cast("long"))),
+    "toISOWeek" -> (args => ex(weekofyear(col(args.head)).cast("long"))),
+    "toISOYear" -> (args => ex(call_function("date_part",
+      lit("YEAROFWEEK"), col(args.head)).cast("long"))),
     // toStartOfInterval(t, INTERVAL n unit): epoch-aligned bucketing
     // (CH aligns at 1970 for day-time units). Integer floor via
     // `x - pmod(x, m)` — exact for any sign, no double rounding.

@@ -1422,6 +1422,40 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // CH age('unit', a, b) — COMPLETE elapsed units (the full-period
+  // counterpart of q119's boundary-based dateDiff; DuckDB date_sub
+  // replays it) — plus the ISO calendar trio toDayOfYear / toISOWeek /
+  // toISOYear.
+  val q121ChAgeIso = QueryDef(
+    "q121_ch_age_iso",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v121")
+      s.sql("""
+        SELECT event_type,
+               age('day', min(ts), max(ts)) AS age_days,
+               age('hour', min(ts), max(ts)) AS age_hours,
+               age('month', min(ts), max(ts)) AS age_months,
+               uniqExact(toDayOfYear(ts)) AS doy_u,
+               uniqExact(toISOWeek(ts)) AS isow_u,
+               toInt64(min(toISOYear(ts))) AS isoy_min,
+               toInt64(count(1)) AS n
+        FROM events_v121
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(date_sub('day', min(ts), max(ts)) AS BIGINT)
+               AS age_days,
+             CAST(date_sub('hour', min(ts), max(ts)) AS BIGINT)
+               AS age_hours,
+             CAST(date_sub('month', min(ts), max(ts)) AS BIGINT)
+               AS age_months,
+             CAST(count(DISTINCT dayofyear(ts)) AS BIGINT) AS doy_u,
+             CAST(count(DISTINCT weekofyear(ts)) AS BIGINT) AS isow_u,
+             CAST(min(isoyear(ts)) AS BIGINT) AS isoy_min,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // arrayMin/Max/Avg and the lambda family arrayFirst/arrayLast/
   // arrayAll — element-type DEFAULT on a no-match first/last (CH's
   // arr[i] miss contract), per-row integer 1e-4 units so float sums
@@ -1480,5 +1514,5 @@ object DialectQueries {
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
-      q119ChDateDiff, q120ChArrayVocab2)
+      q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso)
 }

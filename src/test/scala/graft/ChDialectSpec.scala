@@ -729,6 +729,29 @@ class ChDialectSpec extends SparkSpec {
     assert(neg == -1L)
   }
 
+  test("age vs dateDiff: full periods vs boundaries; ISO calendar trio") {
+    // the same two instants, both CH semantics side by side: 23:00 ->
+    // next day 01:00 crosses one DAY boundary (dateDiff = 1) but only
+    // 2 hours elapsed (age day = 0)
+    val r = spark.sql("""
+      SELECT age('day', toDateTime('2024-01-01 23:00:00'),
+                 toDateTime('2024-01-02 01:00:00')) AS a,
+             dateDiff('day', toDateTime('2024-01-01 23:00:00'),
+                      toDateTime('2024-01-02 01:00:00')) AS d,
+             age('month', toDateTime('2024-01-15 00:00:00'),
+                 toDateTime('2024-03-14 00:00:00')) AS am""")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 1L, 1L)))
+    // 2023-01-01 was a Sunday: ISO week 52 of ISO YEAR 2022
+    val iso = spark.sql("""
+      SELECT toISOYear(toDateTime('2023-01-01 12:00:00')) AS y,
+             toISOWeek(toDateTime('2023-01-01 12:00:00')) AS w,
+             toDayOfYear(toDateTime('2024-02-01 00:00:00')) AS doy""")
+      .collect().head
+    assert((iso.getLong(0), iso.getLong(1), iso.getLong(2)) ==
+      ((2022L, 52L, 32L)))
+  }
+
   test("toStartOfInterval: epoch-aligned day-time and month buckets") {
     val r = spark.sql("""
       SELECT CAST(toStartOfInterval(
