@@ -96,7 +96,9 @@ object Bench {
           // FINAL + nested-goals ARRAY JOIN composed (q113); their
           // fixture warehouses are built once per JVM (first rep),
           // so the median reflects the read plans
-          "q91_ch_final_sql", "q113_goals_final_scaled")
+          "q91_ch_final_sql", "q113_goals_final_scaled",
+          // the LM-train + score + token-budget-select composition
+          "q116_token_budget_select")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

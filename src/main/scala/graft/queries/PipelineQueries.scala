@@ -1194,7 +1194,9 @@ object PipelineQueries {
              CAST(sum(n_tok) AS BIGINT) AS tok_sum,
              CAST(min(lp_i) AS BIGINT) AS lp_worst
       FROM ranked WHERE cum <= (SELECT b FROM budget)
-      GROUP BY lang ORDER BY lang"""))
+      GROUP BY lang ORDER BY lang"""),
+    bench = true) // the LM-train + score + budget-select composition:
+                  // the new pipeline family's recorded wall-time
 
   // Data mixing, pass 3: the EPOCH PLAN — weights become an executable
   // mixture under a token budget (2x the corpus here, the upsampling

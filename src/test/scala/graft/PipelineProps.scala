@@ -50,6 +50,32 @@ object PipelineProps extends Properties("pipeline") {
       (got == want) :| s"got=$got want=$want budget=$budget docs=$docs"
     }
 
+  property("epochPlan: targets track the budget, rates saturate at 1") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1L, 500L)),
+      Gen.choose(0L, 5000L)) { (masses, budget) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val df = masses.zipWithIndex
+        .map { case (m, i) => (s"s$i", m) }.toDF("src", "n_tok")
+      val rows = graft.operators.Mix
+        .epochPlan(df, "src", "n_tok", alpha = 0.7, budget)
+        .collect()
+      val targetSum = rows.map(_.getAs[Long]("target_tokens")).sum
+      val ratesOk = rows.forall { r =>
+        val rate = r.getAs[Double]("sample_rate")
+        val epochs = r.getAs[Double]("epochs")
+        rate >= 0.0 && rate <= 1.0 &&
+          math.abs(math.min(epochs, 1.0) - rate) < 1e-9
+      }
+      // per-stratum rounding of (weight * budget) drifts the total by
+      // at most half a token per stratum (plus weight rounding at 1e-6)
+      val tol = masses.size / 2.0 + 1 + budget * 1e-5
+      val targetsOk: Boolean = math.abs(targetSum - budget) <= tol
+      (targetsOk :|
+        s"targets $targetSum vs budget $budget (tol $tol)") &&
+        (ratesOk :| "sample_rate out of [0,1] or != min(epochs, 1)")
+    }
+
   private val wordGen: Gen[String] = Gen.oneOf("a", "b", "c", "d", "e")
   private val textGen: Gen[String] =
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
