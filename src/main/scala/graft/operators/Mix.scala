@@ -147,13 +147,17 @@ object Mix {
   def epochPlan(df: DataFrame, stratumCol: String, measureCol: String,
       alpha: Double, budget: Long): DataFrame = {
     require(budget >= 0, "epochPlan: budget must be >= 0")
+    // a zero-mass stratum has nothing to repeat or sample: epochs and
+    // sample_rate pin to 0 explicitly — the raw division would give
+    // NaN (alpha > 0) or Infinity (alpha = 0, where pow(0,0) = 1
+    // assigns it uniform weight), and least(1.0, NaN) = 1.0 would
+    // claim full-rate sampling of an empty corpus
+    val ratio = when(col("measure") === 0, lit(0.0))
+      .otherwise(col("target_tokens").cast("double") / col("measure"))
     mixtureWeights(df, stratumCol, measureCol, alpha)
       .withColumn("target_tokens",
         round(col("weight") * budget).cast("long"))
-      .withColumn("epochs",
-        round(col("target_tokens").cast("double") / col("measure"), 6))
-      .withColumn("sample_rate",
-        round(least(lit(1.0),
-          col("target_tokens").cast("double") / col("measure")), 6))
+      .withColumn("epochs", round(ratio, 6))
+      .withColumn("sample_rate", round(least(lit(1.0), ratio), 6))
   }
 }

@@ -127,10 +127,21 @@ object ChDialect {
     // struct, first keeps the first hit, last keeps the latest.
     "arrayFirst" -> (args => arrayFirstLast(args, last = false)),
     "arrayLast" -> (args => arrayFirstLast(args, last = true)),
-    "arrayMin" -> (args =>
-      org.apache.spark.sql.catalyst.expressions.ArrayMin(args.head)),
-    "arrayMax" -> (args =>
-      org.apache.spark.sql.catalyst.expressions.ArrayMax(args.head)),
+    // element-type DEFAULT on an empty array (the family contract —
+    // arrayAvg/arrayFirst/arrayLast below; Spark's ArrayMin/Max give
+    // NULL there, which would propagate where CH contributes zeros)
+    "arrayMin" -> (args => {
+      val d = Literal.default(
+        args.head.dataType.asInstanceOf[ArrayType].elementType)
+      ex(when(size(col(args.head)) === 0, col(d)).otherwise(
+        col(org.apache.spark.sql.catalyst.expressions.ArrayMin(args.head))))
+    }),
+    "arrayMax" -> (args => {
+      val d = Literal.default(
+        args.head.dataType.asInstanceOf[ArrayType].elementType)
+      ex(when(size(col(args.head)) === 0, col(d)).otherwise(
+        col(org.apache.spark.sql.catalyst.expressions.ArrayMax(args.head))))
+    }),
     // CH arrayAvg: Float64 mean of the elements, 0 on an empty array
     "arrayAvg" -> (args => ex(
       when(size(col(args.head)) === 0, lit(0.0))
@@ -221,13 +232,18 @@ object ChDialect {
     "toISOYear" -> (args => ex(call_function("date_part",
       lit("YEAROFWEEK"), col(args.head)).cast("long"))),
     // toStartOfInterval(t, INTERVAL n unit): epoch-aligned bucketing
-    // (CH aligns at 1970 for day-time units). Integer floor via
-    // `x - pmod(x, m)` — exact for any sign, no double rounding.
+    // for sub-week day-time units (CH aligns at 1970), MONDAY-aligned
+    // for whole-week intervals (epoch day 1970-01-01 is a Thursday;
+    // CH's week buckets start on Mondays, so the origin shifts to
+    // 1970-01-05). Integer floor via `x - pmod(x, m)` — exact for any
+    // sign, no double rounding.
     "toStartOfInterval" -> (args => args(1) match {
       case Literal(m: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
         val us = unix_micros(col(Cast(args.head,
           org.apache.spark.sql.types.TimestampType)))
-        ex(timestamp_micros(us - pmod(us, lit(m))))
+        val weekUs = 7L * 86400 * 1000000
+        val origin = if (m % weekUs == 0) 4L * 86400 * 1000000 else 0L
+        ex(timestamp_micros(us - pmod(us - origin, lit(m))))
       case Literal(m: Int, _: org.apache.spark.sql.types.YearMonthIntervalType) =>
         // months since 1970-01, floored to the bucket, back to a date
         val months = (year(col(args.head)) - 1970) * 12 +
@@ -245,6 +261,8 @@ object ChDialect {
     // spelling to this name (Spark's grammar special-cases 3-arg
     // dateDiff before the registry and rejects a string unit).
     "chDateDiff" -> (args => {
+      require(args.length == 3,
+        "dateDiff expects (unit, start, end) — 3 arguments")
       val unit = litString(args.head, "dateDiff unit").toLowerCase
       def ts(e: Expression) =
         col(Cast(e, org.apache.spark.sql.types.TimestampType))
@@ -275,12 +293,13 @@ object ChDialect {
       }
       ex(d.cast("long"))
     }),
-    // (CH dateDiff needs no registration: Spark's builtin 3-arg
-    // dateDiff(unit, start, end) shares CH's argument order — the one
-    // divergence is the unit spelling: Spark wants the bare keyword
-    // (dateDiff(day, a, b)), CH quotes it. The name cannot be
-    // overridden anyway: Spark's parser special-cases 3-arg datediff
-    // into TimestampDiff before consulting the function registry.)
+    // (CH's QUOTED-unit dateDiff('day', a, b) routes through the
+    // parser pre-rewrite to chDateDiff below — boundary semantics.
+    // The BARE-unit spelling dateDiff(day, a, b) is valid Spark SQL
+    // that Spark's parser special-cases into TimestampDiff before the
+    // registry, and KEEPS Spark's full-period semantics — on pure
+    // DATE arguments the two agree, on timestamps they differ by
+    // design: quoted text is CH text, bare text is Spark text.)
     // argMax/argMin(a, b): the value of a at the max/min of b — CH's
     // workhorse "latest value" aggregates
     "argMax" -> (args => ex(max_by(col(args.head), col(args(1))))),

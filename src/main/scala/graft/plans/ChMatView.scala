@@ -190,10 +190,10 @@ object ChMatView {
     val masked = lits.zipWithIndex.foldLeft(selectSql) {
       case (acc, (l, i)) => acc.replaceFirst(
         java.util.regex.Pattern.quote(l),
-        java.util.regex.Matcher.quoteReplacement("" + i + ""))
+        java.util.regex.Matcher.quoteReplacement("\u0001" + i + "\u0001"))
     }
     def unmask(s: String): String = lits.zipWithIndex.foldLeft(s) {
-      case (acc, (l, i)) => acc.replace("" + i + "", l)
+      case (acc, (l, i)) => acc.replace("\u0001" + i + "\u0001", l)
     }
     // the select list runs from after SELECT to the depth-0 FROM
     val upper = masked.toUpperCase

@@ -360,16 +360,27 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   // `dateDiff('unit', a, b)` / `date_diff(...)` with the unit as a
-  // (masked) string literal → `chDateDiff('unit', a, b)`, the
-  // registry-dispatched boundary-based implementation. Unknown units
-  // pass through unchanged so Spark's own diagnostics fire.
+  // (masked) string literal -> `chDateDiff('unit', a, b)`, the
+  // registry-dispatched BOUNDARY-based implementation (the bare-unit
+  // spelling stays Spark's full-period timestampdiff -- valid Spark
+  // SQL this parser must not repurpose). The rewrite fires ONLY when
+  // the masked literal unmasks to a known unit name: Spark's own
+  // 2-arg datediff('2024-01-05', x) carries a string literal in the
+  // same position and must pass through untouched. \x01 is the
+  // literal-mask sentinel byte.
   private val dateDiffQuoted =
-    """(?i)\bdate_?diff\s*\(\s*(\d+)\s*,""".r
+    """(?i)\bdate_?diff\s*\(\s*(\x01(\d+)\x01)\s*,""".r
+  private val dateDiffUnits = Set("second", "minute", "hour", "day",
+    "week", "month", "quarter", "year")
 
-  private def rewriteDateDiff(text: String): String =
-    dateDiffQuoted.replaceAllIn(text, m =>
+  private def rewriteDateDiff(text: String, lits: Seq[String]): String =
+    dateDiffQuoted.replaceAllIn(text, m => {
+      val lit = lits(m.group(2).toInt)
+      val unit = lit.substring(1, lit.length - 1).trim.toLowerCase
       java.util.regex.Matcher.quoteReplacement(
-        s"chDateDiff(${m.group(1)},"))
+        if (dateDiffUnits.contains(unit)) s"chDateDiff(${m.group(1)},"
+        else m.matched)
+    })
 
   /** Strip every `FROM t FINAL` to `FROM t` and mark the plan with
     * the NAMES that carried FINAL: the [[ChFinal]] marker's rule
@@ -654,7 +665,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val afterLimit = limitOffset.replaceAllIn(afterTotals,
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     val afterQuantile = rewriteParamAggs(rewriteQuantiles(afterLimit))
-    val afterDateDiff = rewriteDateDiff(afterQuantile)
+    val afterDateDiff = rewriteDateDiff(afterQuantile, lits)
     val afterPrewhere = rewritePrewhere(afterDateDiff)
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     val finalText = unmaskLiterals(rewritten, lits)

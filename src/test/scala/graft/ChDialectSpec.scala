@@ -766,6 +766,36 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getString(0) == "2024-01-01 00:30:00")
     assert(r.getString(1) == "2024-01-01 06:00:00")
     assert(r.getString(2) == "2024-03-01") // months since 1970-01 = 650, even
+    // whole-week intervals align on MONDAYS (CH), not on the epoch
+    // day (1970-01-01 was a Thursday): Tue 2024-01-02 -> Mon 01-01
+    val w = spark.sql("""
+      SELECT CAST(toStartOfInterval(
+               toDateTime('2024-01-02 10:00:00'), INTERVAL 1 WEEK)
+             AS STRING) AS w""").collect().head.getString(0)
+    assert(w == "2024-01-01 00:00:00")
+  }
+
+  test("quoted-literal rewrite never hijacks plain Spark datediff") {
+    // 2-arg datediff with a date-string literal is valid Spark SQL —
+    // the unit-gated rewrite must leave it alone
+    val d = spark.sql("SELECT datediff('2024-01-05', '2024-01-01') AS d")
+      .collect().head.getInt(0)
+    assert(d == 4)
+    // the BARE-unit 3-arg spelling is Spark text: full-period
+    // semantics stay (quoted text is CH text, boundary semantics)
+    val bare = spark.sql("""
+      SELECT dateDiff(DAY, TIMESTAMP'2024-01-01 23:00:00',
+                      TIMESTAMP'2024-01-02 01:00:00') AS d""")
+      .collect().head.getLong(0)
+    assert(bare == 0L)
+  }
+
+  test("arrayMin/arrayMax: element-type default on an empty array") {
+    val r = spark.sql("""
+      SELECT arrayMin(CAST(array() AS ARRAY<INT>)) AS mn,
+             arrayMax(CAST(array() AS ARRAY<DOUBLE>)) AS mx""")
+      .collect().head
+    assert(r.getInt(0) == 0 && r.getDouble(1) == 0.0) // never NULL
   }
 
   test("arrayFirst/arrayLast/arrayAll/arrayMin/arrayMax/arrayAvg") {

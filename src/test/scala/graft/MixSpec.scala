@@ -122,4 +122,17 @@ class MixSpec extends SparkSpec {
     assert(up("a") == ((500L, 5.0, 1.0)))
     assert(up("b") == ((500L, 1.25, 1.0)))
   }
+
+  test("epochPlan: a zero-mass stratum pins to zero, never NaN") {
+    // alpha = 0 gives the empty stratum uniform weight (pow(0,0)=1)
+    // and a nonzero target — the raw division would be Infinity, and
+    // least(1.0, NaN/Inf) would claim full-rate sampling of nothing
+    val m = Seq(("a", 0L), ("b", 100L)).toDF("src", "n_tok")
+    val rows = Mix.epochPlan(m, "src", "n_tok", alpha = 0.0, budget = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("target_tokens"), r.getAs[Double]("epochs"),
+          r.getAs[Double]("sample_rate")))).toMap
+    assert(rows("a")._2 == 0.0 && rows("a")._3 == 0.0)
+    assert(rows("b") == ((50L, 0.5, 0.5)))
+  }
 }
