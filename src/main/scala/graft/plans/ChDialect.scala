@@ -178,6 +178,13 @@ object ChDialect {
       ex(max(when(col(args(1)), col(args.head))))),
     "anyIf" -> (args =>
       ex(min(when(col(args(1)), col(args.head))))), // deterministic "any"
+    // conditional distinct counts: masking non-matching rows to NULL
+    // is enough — both distinct aggregates ignore NULLs, so the
+    // empty/no-match set reads 0 exactly as CH returns
+    "uniqIf" -> (args =>
+      ex(ch.uniq(when(col(args(1)), col(args.head))))),
+    "uniqExactIf" -> (args =>
+      ex(ch.uniqExact(when(col(args(1)), col(args.head))))),
     // date helpers
     "toStartOfMonth" -> (args =>
       ex(date_trunc("month", col(args.head)).cast("date"))),
@@ -827,6 +834,24 @@ object ChDialect {
     "cutQueryStringAndFragment" -> (args =>
       ex(url.cutQueryStringAndFragment(col(args.head)))),
     // multiIf(c1, v1, c2, v2, ..., else) — CH's n-way conditional
+    // CH transform(x, from, to[, default]): parallel-array value
+    // mapping — the Metrica idiom for labeling enum-ish ids (traffic
+    // sources, device classes). The name collides with Spark's
+    // higher-order transform(arr, lambda), which must keep working:
+    // 2 arguments dispatch to Spark's ArrayTransform, 3+ to the CH
+    // mapping. The 3-arg form keeps the input when unmatched, 4-arg
+    // uses the default (CH contract); CaseWhen short-circuits, so the
+    // element_at probe never runs with position 0 under ANSI mode.
+    "transform" -> (args =>
+      if (args.length == 2) ArrayTransform(args.head, args(1))
+      else {
+        require(args.length == 3 || args.length == 4,
+          "transform expects (x, from, to[, default]) or (arr, lambda)")
+        val pos = array_position(col(args(1)), col(args.head))
+        val mapped = element_at(col(args(2)), pos.cast("int"))
+        val fallback = if (args.length > 3) col(args(3)) else col(args.head)
+        ex(when(pos > 0, mapped).otherwise(fallback))
+      }),
     "multiIf" -> (args => {
       require(args.length >= 3 && args.length % 2 == 1,
         "multiIf needs cond/value pairs plus an else branch")

@@ -595,6 +595,87 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // CH scalar WITH: `WITH <expr> AS <name>[, ...] SELECT ...` — the
+  // alias is a macro for the expression, substituted wherever the bare
+  // name appears (CH propagates it into subqueries too). Spark's
+  // grammar only knows `WITH name AS (subquery)`, so the scalar form
+  // always fails the delegate parse and reaches the rewrite; a
+  // standard CTE item (its tail is `)`, not an identifier) leaves the
+  // text untouched. A bare top-level select-list item that IS an
+  // alias keeps the alias as its output column name (CH's naming);
+  // an occurrence right after AS is an alias definition and is never
+  // substituted.
+
+  private val scalarWithHead = """(?is)^\s*WITH\s+""".r
+
+  /** Index of the first depth-0 occurrence of keyword `kw` at or after
+    * `from`, or -1.
+    */
+  private def depth0Keyword(text: String, from: Int, kw: String): Int = {
+    var i = from
+    var depth = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if ((c.isLetter || c == '_') &&
+          (i == 0 || { val p = text.charAt(i - 1)
+            !p.isLetterOrDigit && p != '_' && p != '.' && p != '`' })) {
+        val w = text.substring(i)
+          .takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+        if (depth == 0 && w.equalsIgnoreCase(kw)) return i
+        i += math.max(w.length, 1)
+      } else i += 1
+    }
+    -1
+  }
+
+  private def rewriteScalarWith(masked: String): String = {
+    val head = scalarWithHead.findFirstMatchIn(masked).getOrElse(
+      return masked)
+    val selAt = depth0Keyword(masked, head.end, "SELECT")
+    if (selAt < 0) return masked
+    val items = splitTopLevel(masked.substring(head.end, selAt))
+    // every item must be `expr AS name` — aliases may reference
+    // earlier aliases, so each expression expands against the
+    // definitions before it (CH's left-to-right WITH scoping)
+    val defs = items.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, asAliasRe(e, a)) =>
+        acc :+ (acc.foldLeft(e)((t, d) => substAlias(t, d._2, d._1)), a)
+      case _ => return masked // a (subquery) CTE item: not ours
+    }
+    // CH output naming: a bare alias as a top-level select item keeps
+    // the alias for its column — spell it `name AS name` so the
+    // substitution below rewrites the value and keeps the name
+    val names = defs.map(_._2).toSet
+    val listEnd0 = depth0Keyword(masked, selAt + "SELECT".length, "FROM")
+    val listEnd = if (listEnd0 < 0) masked.length else listEnd0
+    val listStart = selAt + "SELECT".length
+    val selList = splitTopLevel(masked.substring(listStart, listEnd))
+      .map(it => if (names.contains(it)) s"$it AS $it" else it)
+      .mkString(" ", ", ", " ")
+    val body = "SELECT" + selList + masked.substring(listEnd)
+    defs.foldLeft(body)((t, d) => substAlias(t, d._2, d._1))
+  }
+
+  /** Substitute bare occurrences of alias `name` in `text` with
+    * `(expr)`. An occurrence preceded by the AS keyword is an alias
+    * definition (including the `name AS name` select items built
+    * above) and stays; qualified/quoted/call positions never match.
+    */
+  private def substAlias(text: String, name: String, expr: String)
+      : String = {
+    val re = ("""(?<![\w.`'])""" + java.util.regex.Pattern.quote(name) +
+      """(?![\w.`'])""").r
+    re.replaceAllIn(text, mm => {
+      val before = text.substring(0, mm.start)
+        .replaceAll("[ \t\r\n]+$", "")
+      if (before.matches("(?is).*\\bAS")) mm.matched
+      else java.util.regex.Matcher.quoteReplacement(s"($expr)")
+    })
+  }
+
   private case class Rewritten(text: String,
       wrap: LogicalPlan => LogicalPlan)
 
@@ -637,8 +718,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
 
   private def rewrite(sqlText: String): Option[Rewritten] = {
     val (masked, lits) = maskLiterals(sqlText)
-    val m0 =
+    val m00 =
       try extractYqlScan(masked, lits) catch { case _: Exception => masked }
+    // scalar WITH expands first so every later rewrite sees the
+    // substituted expressions (an alias may hide a quantile(...)(...)
+    // or a TOTALS-bearing subquery)
+    val m0 =
+      try rewriteScalarWith(m00) catch { case _: Exception => m00 }
     // marker-clause extraction runs FIRST: `LIMIT o, n BY` must not be
     // half-eaten by the limitOffset rewrite below
     val (m1, lbWrap) =

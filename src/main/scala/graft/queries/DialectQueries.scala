@@ -1504,6 +1504,43 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM embeddings GROUP BY label ORDER BY label"""))
 
+  // CH scalar WITH (`WITH <expr> AS <name>` — the alias is a macro
+  // substituted into every clause, Spark's grammar only knows the
+  // subquery CTE form), transform() parallel-array mapping (the
+  // Metrica idiom for labeling enum-ish ids), and the conditional
+  // distinct counts uniqExactIf. The threshold alias feeds both -If
+  // conditions; the transform alias is a select item (keeping its
+  // name, CH's output naming) AND a group key.
+  val q122ChScalarWith = QueryDef(
+    "q122_ch_scalar_with",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v122")
+      s.sql("""
+        WITH 250.0 AS hi,
+             transform(event_type, array('click', 'view'),
+                       array('C', 'V'), '?') AS code
+        SELECT event_type, code,
+               uniqExactIf(user_id, value > hi) AS hi_users,
+               uniqExactIf(user_id, value <= hi) AS lo_users,
+               toInt64(countIf(value > hi)) AS hi_n,
+               toInt64(count(1)) AS n
+        FROM events_v122
+        GROUP BY event_type, code
+        ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
+                  ELSE '?' END AS code,
+             CAST(count(DISTINCT CASE WHEN value > 250.0 THEN user_id END)
+               AS BIGINT) AS hi_users,
+             CAST(count(DISTINCT CASE WHEN value <= 250.0 THEN user_id END)
+               AS BIGINT) AS lo_users,
+             CAST(count(CASE WHEN value > 250.0 THEN 1 END) AS BIGINT)
+               AS hi_n,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY event_type, code ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1514,5 +1551,5 @@ object DialectQueries {
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
-      q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso)
+      q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith)
 }

@@ -790,6 +790,57 @@ class ChDialectSpec extends SparkSpec {
     assert(bare == 0L)
   }
 
+  test("uniqIf/uniqExactIf: conditional distinct counts, 0 on no match") {
+    val r = spark.sql("""
+      SELECT uniqExactIf(v, v > 1) AS hi, uniqExactIf(v, v > 99) AS none,
+             uniqIf(v, v > 1) AS hi_approx
+      FROM VALUES (1), (2), (2), (3) AS t(v)""").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 0)
+    assert(r.getLong(2) == 2) // tiny set: HLL is exact here
+  }
+
+  test("transform: CH parallel-array mapping; Spark's lambda form intact") {
+    val r = spark.sql("""
+      SELECT transform('click', array('click','view'), array('C','V'), '?') AS a,
+             transform('buy', array('click','view'), array('C','V'), '?') AS b,
+             transform('buy', array('click','view'), array('C','V')) AS c,
+             transform(array(1, 2), x -> x * 10) AS d""").collect().head
+    assert(r.getString(0) == "C")
+    assert(r.getString(1) == "?") // 4-arg: default on no match
+    assert(r.getString(2) == "buy") // 3-arg: input kept on no match
+    assert(r.getSeq[Int](3) == Seq(10, 20)) // builtin higher-order form
+  }
+
+  test("scalar WITH: CH macro aliases substitute and keep output names") {
+    val df = spark.sql("""
+      WITH 2 AS k, k * 10 AS k10
+      SELECT k, k10, v * k AS vk
+      FROM VALUES (1), (2) AS t(v)
+      ORDER BY vk""")
+    assert(df.columns.toSeq == Seq("k", "k10", "vk"))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .toSeq == Seq((2, 20, 2), (2, 20, 4)))
+    // the alias reaches WHERE / GROUP BY / HAVING scopes and literals
+    // with commas stay whole through the masked split
+    val g = spark.sql("""
+      WITH 1 AS lo, 'a,b' AS sep
+      SELECT v % 2 AS parity, concat_ws(sep, 'x', 'y') AS s,
+             count(1) AS n
+      FROM VALUES (1), (2), (3), (4) AS t(v)
+      WHERE v > lo
+      GROUP BY parity, sep
+      HAVING count(1) >= lo
+      ORDER BY parity""").collect()
+    assert(g.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq((0, "xa,by", 2), (1, "xa,by", 1)))
+  }
+
+  test("scalar WITH: standard CTE form is untouched") {
+    val df = spark.sql(
+      "WITH t AS (SELECT 1 AS v) SELECT v, 2 AS w FROM t")
+    assert(df.collect().head.getInt(0) == 1)
+  }
+
   test("arrayMin/arrayMax: element-type default on an empty array") {
     val r = spark.sql("""
       SELECT arrayMin(CAST(array() AS ARRAY<INT>)) AS mn,
