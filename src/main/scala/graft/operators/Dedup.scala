@@ -472,4 +472,45 @@ object Dedup {
       .select(col("id"))
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
+
+  /** SemDeDup-style semantic near-dedup (Abbas et al. 2023 — embed,
+    * cluster, prune within clusters): rows whose embeddings land in
+    * the same cell and whose cosine similarity clears `threshold` are
+    * duplicates, and only the lowest id of each duplicate pair
+    * survives — a row is dropped iff a LOWER-id row above threshold
+    * shares its cell (the paper's keep-one-representative policy made
+    * deterministic: greedy in id order).
+    *
+    * `cell` is the coarse partitioner over the embedding column:
+    * [[Similarity.annBucket]] (hyperplane LSH — replicable in a SQL
+    * oracle) or [[Similarity.assignCell]] over [[Similarity.kmeansCentroids]]
+    * (the data-adaptive scale path). Pairs only form INSIDE a cell —
+    * the comparison is a cell-key equi-join, never an all-pairs
+    * product, and the cell granularity bounds the intra-cell
+    * quadratic (k ≈ √N cells keeps expected cell size ≈ √N, SemDeDup's
+    * own operating point). The anti-join ships only victim ids, never
+    * embedding payloads. Returns the surviving rows of `vecs`
+    * unchanged.
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cell: Column): DataFrame = {
+    import graft.operators.Similarity.{dot, norm}
+    val a = vecs.select(col(idCol).as("__sd_a"),
+      col(vecCol).as("__sd_av"), norm(col(vecCol)).as("__sd_an"),
+      cell.as("__sd_cell"))
+    val b = vecs.select(col(idCol).as("__sd_b"),
+      col(vecCol).as("__sd_bv"), norm(col(vecCol)).as("__sd_bn"),
+      cell.as("__sd_cell"))
+    // zero-norm guard mirrors Similarity.guardedSim: degenerate
+    // vectors read sim 0 and never count as duplicates
+    val sim = when(col("__sd_an") > 0 && col("__sd_bn") > 0,
+      dot(col("__sd_av"), col("__sd_bv")) /
+        (col("__sd_an") * col("__sd_bn"))).otherwise(lit(0.0))
+    val victims = a.join(b, "__sd_cell")
+      .filter(col("__sd_a") < col("__sd_b"))
+      .filter(sim >= threshold)
+      .select(col("__sd_b").as(idCol))
+      .distinct()
+    vecs.join(victims, Seq(idCol), "left_anti")
+  }
 }

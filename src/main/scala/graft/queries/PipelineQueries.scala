@@ -1236,6 +1236,50 @@ object PipelineQueries {
                    / CAST(measure AS DOUBLE)), 6) AS sample_rate
       FROM w CROSS JOIN b ORDER BY lang"""))
 
+  // ---------------------------------------------------------------------
+  // X53 SemDeDup-style semantic dedup (embed → cell → prune within
+  // cell, keep the lowest id of each duplicate pair): the LSH-cell
+  // form runs against the oracle — the hyperplane sign matrix embeds
+  // in the SQL, so cell assignment AND the victim rule replay exactly
+  // (same structure as q49, pairs only meet through the bucket
+  // equi-join). The kmeans-cell scale path is the same operator with
+  // assignCell centroids, spec-verified in DedupSpec.
+  val q123SemanticDedup = QueryDef(
+    "q123_semantic_dedup",
+    (s, dir) =>
+      Dedup.semanticDedup(Graft.table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.46,
+          Similarity.annBucket(col("embedding"), nBits = 4))
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id")),
+    Some(s"""
+      WITH planes(h, signs) AS (VALUES
+        ${hyperplaneSignsSql(nBits = 4, dim = 64)}),
+      v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), b AS (
+        SELECT v.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(v.e, p.signs) >= 0 THEN 1 ELSE 0 END
+                        * (CASE p.h WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+                    AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id
+      ), victims AS (
+        SELECT DISTINCT hi.vec_id
+        FROM b hi JOIN b lo
+          ON hi.bucket = lo.bucket AND lo.vec_id < hi.vec_id
+        JOIN v vh ON vh.vec_id = hi.vec_id
+        JOIN v vl ON vl.vec_id = lo.vec_id
+        WHERE (CASE WHEN vh.n > 0 AND vl.n > 0
+                    THEN list_dot_product(vh.e, vl.e) / (vh.n * vl.n)
+                    ELSE 0.0 END) >= 0.46
+      )
+      SELECT e.vec_id, e.label FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM victims)
+      ORDER BY e.vec_id"""),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
@@ -1244,5 +1288,5 @@ object PipelineQueries {
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
     q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,
-    q115LmQuality, q116BudgetSelect, q118EpochPlan)
+    q115LmQuality, q116BudgetSelect, q118EpochPlan, q123SemanticDedup)
 }

@@ -181,4 +181,62 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "x"), (2L, "y"))) // 3,4 lose to 2; 1 untouched
   }
+
+  // two tight directions (near-dup groups) plus a lone vector; ids
+  // ordered so the greedy keep-lowest rule is checkable by hand
+  private lazy val semVecs = Seq(
+    (10L, Seq(1.0f, 0.0f, 0.0f)),
+    (11L, Seq(0.999f, 0.04f, 0.0f)), // ~dup of 10
+    (12L, Seq(0.998f, -0.06f, 0.0f)), // ~dup of 10 (and of 11)
+    (20L, Seq(0.0f, 1.0f, 0.0f)),
+    (21L, Seq(0.03f, 0.999f, 0.0f)), // ~dup of 20
+    (30L, Seq(0.0f, 0.0f, 1.0f))) // lone
+    .toDF("vec_id", "embedding")
+
+  test("semanticDedup: drops every row with a lower-id near-dup in its cell") {
+    import graft.operators.Similarity
+    val got = Dedup.semanticDedup(semVecs, "vec_id", "embedding",
+        threshold = 0.95, Similarity.annBucket($"embedding", 4))
+      .select($"vec_id").as[Long].collect().toSet
+    // survivors: the lowest id of each direction plus the lone vector
+    // (valid whether or not LSH co-buckets the two directions — they
+    // sit below threshold either way)
+    assert(got == Set(10L, 20L, 30L))
+  }
+
+  test("semanticDedup: kmeans-cell path obeys the victim rule for its cells") {
+    import graft.operators.Similarity
+    val cents = Similarity.kmeansCentroids(semVecs, "vec_id", "embedding",
+      k = 3, iters = 3)
+    val got = Dedup.semanticDedup(semVecs, "vec_id", "embedding",
+        threshold = 0.95, Similarity.assignCell($"embedding", cents))
+      .select($"vec_id").as[Long].collect().toSet
+    // replay the rule on the driver against the cells kmeans actually
+    // produced: dropped iff a lower-id same-cell partner clears τ
+    val cellOf = semVecs.select($"vec_id",
+        Similarity.assignCell($"embedding", cents).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val v = semVecs.as[(Long, Seq[Float])].collect().toMap
+      .view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = v.keys.toSeq.sorted
+    val expected = ids.filter(i => !ids.exists(j =>
+      j < i && cellOf(j) == cellOf(i) && cos(v(i), v(j)) >= 0.95)).toSet
+    assert(got == expected)
+    assert(expected.intersect(Set(10L, 20L, 30L)) == Set(10L, 20L, 30L),
+      "group minima and the lone vector always survive")
+  }
+
+  test("semanticDedup: zero-norm vectors never count as duplicates") {
+    import graft.operators.Similarity
+    val vecs = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.5, Similarity.annBucket($"embedding", 2))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
 }
