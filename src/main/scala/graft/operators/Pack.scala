@@ -52,6 +52,45 @@ object Pack {
       .drop("__prefix")
   }
 
+  /** Sliding-window chunking with overlap — the long-document
+    * preprocessing step for context-window training and retrieval
+    * indexing: token window `window`, step `stride` (overlap =
+    * window − stride). Chunk starts sit on the stride grid; a chunk
+    * is emitted iff it contributes at least one token its predecessor
+    * did not cover (start = 0 or start < n − window + stride), so the
+    * tail never yields a chunk strictly contained in the previous one
+    * and every token lands in ≥ 1 chunk. Empty token arrays emit
+    * nothing.
+    *
+    * A projection + Generate — no shuffle, no window state; chunking
+    * parallelizes by row at any corpus size, and the per-row fan-out
+    * is ⌈n/stride⌉ rows of ≤ `window` tokens, bounded and local.
+    * Output: id, `chunk_idx` (0-based grid index), `chunk_start`
+    * (token offset), `n_chunk_tokens`, `chunk_toks`, `chunk_text`.
+    */
+  def chunkOverlap(df: DataFrame, idCol: String, toksCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "chunkOverlap: need window >= stride >= 1 (stride > window would " +
+        "leave token gaps between chunks)")
+    val toks = col(s"`$toksCol`")
+    val n = size(toks).cast("long")
+    // last grid start that still adds new tokens; clamped into [0, n)
+    val lastStart =
+      greatest(least(n - window + stride - 1, n - 1), lit(0L))
+    df.filter(size(toks) > 0)
+      .select(col(s"`$idCol`"), toks.as("__toks"),
+        explode(sequence(lit(0L), lastStart, lit(stride.toLong)))
+          .as("chunk_start"))
+      .select(col(s"`$idCol`"),
+        (col("chunk_start") / stride).cast("long").as("chunk_idx"),
+        col("chunk_start"),
+        slice(col("__toks"), col("chunk_start").cast("int") + 1,
+          lit(window)).as("chunk_toks"))
+      .withColumn("n_chunk_tokens", size(col("chunk_toks")).cast("long"))
+      .withColumn("chunk_text", concat_ws(" ", col("chunk_toks")))
+  }
+
   /** Bin-level packing summary: documents, tokens, and fill ratio per
     * (shard, bin) — the measure that tells whether the budget wastes
     * context (fill << 1) or the corpus needs upstream splitting

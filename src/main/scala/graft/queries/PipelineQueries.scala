@@ -994,6 +994,45 @@ object PipelineQueries {
       FROM b GROUP BY shard ORDER BY shard"""))
 
   // ---------------------------------------------------------------------
+  // X54 sliding-window chunking with overlap (window 32, stride 24 →
+  // 8-token overlap): projection + Generate, no shuffle — the oracle
+  // replays the stride grid with generate_series and list_slice. The
+  // emitted-iff-new-tokens tail rule is part of the compared surface.
+  val q124ChunkOverlap = QueryDef(
+    "q124_chunk_overlap",
+    (s, dir) => {
+      import graft.operators.Pack
+      val toks = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+      Pack.chunkOverlap(toks, "doc_id", "toks", window = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("n_chunk_tokens"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), c AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM t WHERE len(toks) > 0
+      ), g AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0,
+                 greatest(least(n - 32 + 24 - 1, n - 1), 0), 24)) AS st
+        FROM c
+      )
+      SELECT doc_id,
+             CAST(st / 24 AS BIGINT) AS chunk_idx,
+             CAST(st AS BIGINT) AS chunk_start,
+             CAST(len(list_slice(toks, st + 1, least(st + 32, n)))
+               AS BIGINT) AS n_chunk_tokens,
+             array_to_string(list_slice(toks, st + 1, least(st + 32, n)),
+               ' ') AS chunk_text
+      FROM g ORDER BY doc_id, chunk_idx"""))
+
+  // ---------------------------------------------------------------------
   // Vocabulary building: the corpus-global token frequency table
   // (min-frequency floor, deterministic top-k) that seeds tokenizer
   // training. One shuffle keyed by token — partial aggregation does the
@@ -1288,5 +1327,6 @@ object PipelineQueries {
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
     q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,
-    q115LmQuality, q116BudgetSelect, q118EpochPlan, q123SemanticDedup)
+    q115LmQuality, q116BudgetSelect, q118EpochPlan, q123SemanticDedup,
+    q124ChunkOverlap)
 }

@@ -81,6 +81,48 @@ class TextPipelineSpec extends SparkSpec {
     assert(summary.head.getAs[Long]("docs") == 2L)
   }
 
+  test("chunkOverlap: grid starts, overlap, new-token tail rule by hand") {
+    def toks(n: Int) = (0 until n).map(i => s"t$i")
+    val docs = Seq(
+      (0L, toks(10)), // window 4 stride 3: starts 0,3,6 (9 adds t9? 9<10-4+3=9? no) — see asserts
+      (1L, toks(4)),  // exactly one window
+      (2L, toks(2)),  // shorter than window: one short chunk
+      (3L, Seq.empty[String])) // empty: no chunks
+      .toDF("doc_id", "toks")
+    val got = Pack.chunkOverlap(docs, "doc_id", "toks",
+        window = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+        "chunk_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // doc 0 (n=10): lastStart = min(10-4+3-1, 9) = 8 → starts 0,3,6
+    //   (9 > 8 — the chunk at 9 would only repeat t9, already covered)
+    assert(got.filter(_._1 == 0L) == Seq(
+      (0L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (0L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (0L, 2L, 6L, 4L, "t6 t7 t8 t9")))
+    // doc 1 (n=4): lastStart = min(4-2, 3) = 2 → starts 0; 3>2 stops
+    //   the contained-tail chunk at 3
+    assert(got.filter(_._1 == 1L) == Seq((1L, 0L, 0L, 4L, "t0 t1 t2 t3")))
+    // doc 2 (n=2): single short chunk
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 0L, 2L, "t0 t1")))
+    // doc 3: nothing
+    assert(!got.exists(_._1 == 3L))
+    // stride > window is a token-gap bug, refused loudly
+    intercept[IllegalArgumentException] {
+      Pack.chunkOverlap(docs, "doc_id", "toks", window = 2, stride = 5)
+    }
+  }
+
+  test("chunkOverlap: projection-only plan, no shuffle") {
+    val docs = Seq((0L, Seq("a", "b", "c"))).toDF("doc_id", "toks")
+    val plan = Pack.chunkOverlap(docs, "doc_id", "toks", 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("plans stay map-side: repetition metrics add no shuffle") {
     val df = Seq("a b c a b").toDF("text")
       .select(text.dupNgramFraction(text.tokenize(col("text")), 2))
