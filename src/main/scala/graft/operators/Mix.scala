@@ -160,4 +160,35 @@ object Mix {
       .withColumn("epochs", round(ratio, 6))
       .withColumn("sample_rate", round(least(lit(1.0), ratio), 6))
   }
+
+  /** Materialize ONE epoch of the [[epochPlan]]: the rows of `df` the
+    * plan selects for 0-based `epoch`. A stratum repeating E times
+    * contributes its FULL corpus to epochs 0 .. ⌊E⌋−1 and a
+    * deterministic portable-hash draw at rate E − ⌊E⌋ to epoch ⌊E⌋;
+    * later epochs contribute nothing (a downsampled stratum, E < 1,
+    * only ever draws on epoch 0). The plan rides a broadcast join
+    * (strata-sized) and selection is a map-side filter — an epoch
+    * materializes without shuffling the corpus, so the training loop
+    * can stream epoch after epoch off the same scan.
+    *
+    * Determinism contract: the draw thresholds on the plan's ROUNDED
+    * `epochs` column (6 decimals) and [[portableHash]], so any engine
+    * replaying the plan selects the identical id set.
+    */
+  def materializeEpoch(df: DataFrame, stratumCol: String, idCol: String,
+      plan: DataFrame, epoch: Int): DataFrame = {
+    require(epoch >= 0, "materializeEpoch: epoch must be >= 0")
+    val stratum = col(s"`$stratumCol`")
+    val id = col(s"`$idCol`")
+    val p = plan.select(col(s"`$stratumCol`").as("__mx_stratum"),
+      col("epochs").as("__mx_epochs"))
+    val full = floor(col("__mx_epochs")).cast("long")
+    val frac = col("__mx_epochs") - floor(col("__mx_epochs"))
+    val keep = (lit(epoch.toLong) < full) ||
+      ((lit(epoch.toLong) === full) &&
+        (portableHash(id) < (frac * 4294967296L).cast("long")))
+    df.join(broadcast(p), stratum <=> col("__mx_stratum"))
+      .filter(keep)
+      .drop("__mx_stratum", "__mx_epochs")
+  }
 }

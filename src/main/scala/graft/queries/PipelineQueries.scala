@@ -1276,6 +1276,55 @@ object PipelineQueries {
       FROM w CROSS JOIN b ORDER BY lang"""))
 
   // ---------------------------------------------------------------------
+  // The epoch plan EXECUTED: epoch 0 of a half-budget alpha=0.5 plan —
+  // strata the plan repeats (epochs >= 1) contribute every document,
+  // downsampled strata (epochs < 1) contribute their deterministic
+  // portable-hash draw. Row-level output: the oracle replays the plan
+  // arithmetic AND the hash selection, so the exact id set is the
+  // compared surface, not just counts. Broadcast plan join + map-side
+  // filter — materializing an epoch never shuffles the corpus.
+  val q125EpochMaterialize = QueryDef(
+    "q125_mix_epoch_materialize",
+    (s, dir) => {
+      import graft.operators.Mix
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          text.tokenCountWs(col("text")).as("n_tok"))
+      val budget = docs.agg(coalesce(sum(col("n_tok")), lit(0L)))
+        .head().getLong(0) / 2
+      val plan = Mix.epochPlan(docs, "lang", "n_tok", alpha = 0.5, budget)
+      Mix.materializeEpoch(docs, "lang", "doc_id", plan, epoch = 0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT lang,
+               CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+                    AS BIGINT) AS measure
+        FROM documents GROUP BY lang
+      ), w AS (
+        SELECT lang, measure,
+               round(pow(measure, 0.5) / sum(pow(measure, 0.5)) OVER (), 6)
+                 AS weight
+        FROM m
+      ), b AS (
+        SELECT CAST(sum(measure) // 2 AS BIGINT) AS budget FROM m
+      ), p AS (
+        SELECT lang,
+               round(CAST(round(weight * budget) AS BIGINT)
+                     / CAST(measure AS DOUBLE), 6) AS epochs
+        FROM w CROSS JOIN b
+      )
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN p ON d.lang = p.lang
+      WHERE 0 < floor(epochs)
+         OR (0 = floor(epochs) AND
+             ((d.doc_id % 65536) * 2654435761) % 4294967296
+               < CAST((epochs - floor(epochs)) * 4294967296 AS BIGINT))
+      ORDER BY d.doc_id"""))
+
+  // ---------------------------------------------------------------------
   // X53 SemDeDup-style semantic dedup (embed → cell → prune within
   // cell, keep the lowest id of each duplicate pair): the LSH-cell
   // form runs against the oracle — the hyperplane sign matrix embeds
@@ -1328,5 +1377,5 @@ object PipelineQueries {
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
     q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,
     q115LmQuality, q116BudgetSelect, q118EpochPlan, q123SemanticDedup,
-    q124ChunkOverlap)
+    q124ChunkOverlap, q125EpochMaterialize)
 }

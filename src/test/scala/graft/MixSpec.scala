@@ -123,6 +123,29 @@ class MixSpec extends SparkSpec {
     assert(up("b") == ((500L, 1.25, 1.0)))
   }
 
+  test("materializeEpoch: full epochs, fractional draw, then nothing") {
+    // stratum a: epochs 2.5 — epochs 0,1 full, epoch 2 a half-rate
+    // hash draw, epoch 3 empty. Plan rows are hand-built so the
+    // fixture controls E exactly.
+    val rows = (0L until 16L).map(i => (i, "a")) :+ ((100L, "b"))
+    val df = rows.toDF("id", "src")
+    val plan = Seq(("a", 2.5), ("b", 0.0)).toDF("src", "epochs")
+    def ids(epoch: Int): Set[Long] =
+      Mix.materializeEpoch(df, "src", "id", plan, epoch)
+        .select($"id").as[Long].collect().toSet
+    val all = (0L until 16L).toSet
+    assert(ids(0) == all && ids(1) == all)
+    val drawn = ids(2)
+    // the draw is the deterministic hash rule, replayable by hand
+    val expect = all.filter(i =>
+      ((i % 65536L) * 2654435761L) % 4294967296L < (0.5 * 4294967296L).toLong)
+    assert(drawn == expect)
+    assert(drawn.nonEmpty && drawn.size < 16) // genuinely fractional
+    assert(ids(3).isEmpty)
+    // stratum b (epochs 0): never selected, any epoch
+    assert(!(0 to 3).exists(e => ids(e).contains(100L)))
+  }
+
   test("epochPlan: a zero-mass stratum pins to zero, never NaN") {
     // alpha = 0 gives the empty stratum uniform weight (pow(0,0)=1)
     // and a nonzero target — the raw division would be Infinity, and
