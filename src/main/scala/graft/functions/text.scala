@@ -163,6 +163,27 @@ object text {
       lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(p)))
 
+  /** Deterministic bag-of-hashed-tokens featurizer: a `dims`-length
+    * double vector whose slot i counts the tokens whose rolling hash
+    * lands in i (mod dims). The engine-portable stand-in for a
+    * learned embedder — pure arithmetic over [[fingerprint]]'s hash,
+    * so any engine reproduces the identical vector (the q126 oracle
+    * replays it with list folds), and the output feeds the
+    * cosine/ANN operators unchanged. Map-side only; the hashed token
+    * list binds ONCE through a one-element transform (the bindOnce
+    * discipline — an inlined copy per slot would hash each token
+    * `dims` times).
+    */
+  def hashBagEmbed(toks: Column, dims: Int,
+      p: Long = 1000000007L): Column = {
+    require(dims >= 1, "hashBagEmbed: dims must be >= 1")
+    val hashed = transform(toks, t =>
+      pmod(graft.plans.NativeHashes.rollingHash(t, p), lit(dims.toLong)))
+    element_at(transform(array(hashed), hs =>
+      transform(sequence(lit(0L), lit((dims - 1).toLong)), i =>
+        size(filter(hs, d => d === i)).cast("double"))), 1)
+  }
+
   // -------------------------------------------------------------------
   // PII scrubbing — the redaction pass every shareable training corpus
   // runs before anything else. Pure regexp_replace chains (codegen'd,

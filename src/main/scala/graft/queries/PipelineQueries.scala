@@ -1033,6 +1033,82 @@ object PipelineQueries {
       FROM g ORDER BY doc_id, chunk_idx"""))
 
   // ---------------------------------------------------------------------
+  // Chunk-level retrieval end-to-end: documents → overlapping chunks
+  // (X54) → deterministic bag-of-hashed-tokens vectors → exact cosine
+  // top-k per probe chunk. The retrieval-indexing composition over
+  // text alone: every stage is engine-portable arithmetic, so the
+  // oracle rebuilds chunks, vectors, AND the ranking — the compared
+  // surface is the full pipeline, not a stage. Probes broadcast; the
+  // corpus is scanned once (q25's baseline shape).
+  val q126ChunkRetrieval = QueryDef(
+    "q126_chunk_retrieval",
+    (s, dir) => {
+      import graft.operators.Pack
+      val toks = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+      val chunks = Pack.chunkOverlap(toks, "doc_id", "toks",
+          window = 32, stride = 24)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("doc_id"),
+          text.hashBagEmbed(col("chunk_toks"), 16).as("emb"))
+      val probes = chunks.filter(col("doc_id") < 5).drop("doc_id")
+      Similarity.bruteForceTopK(chunks.drop("doc_id"), probes,
+          "chunk_id", "emb", k = 10)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("sim"), 3).as("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ), c AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM t WHERE len(toks) > 0
+      ), g AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0,
+                 greatest(least(n - 32 + 24 - 1, n - 1), 0), 24)) AS st
+        FROM c
+      ), ch AS (
+        SELECT doc_id,
+               CAST(doc_id * 1000 + st // 24 AS BIGINT) AS chunk_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) % 16
+                for tk in list_slice(toks, st + 1, least(st + 32, n))]
+                 AS dims
+        FROM g
+      ), e AS (
+        SELECT doc_id, chunk_id,
+               ${(0 until 16).map(i =>
+                   s"CAST(len(list_filter(dims, d -> d = $i)) AS DOUBLE)")
+                 .mkString("[", ",\n                ", "]")} AS emb
+        FROM ch
+      ), nn AS (
+        SELECT doc_id, chunk_id, emb,
+               sqrt(list_dot_product(emb, emb)) AS nrm
+        FROM e
+      ), sc AS (
+        SELECT p.chunk_id AS probe_id, v.chunk_id AS id,
+               CASE WHEN p.nrm > 0 AND v.nrm > 0
+                    THEN list_dot_product(p.emb, v.emb) / (p.nrm * v.nrm)
+                    ELSE 0.0 END AS sim
+        FROM nn v JOIN nn p ON v.chunk_id <> p.chunk_id
+        WHERE p.doc_id < 5
+      ), r AS (
+        SELECT probe_id, id, sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, id ASC) AS rank
+        FROM sc
+      )
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, id,
+             round(sim, 3) AS sim
+      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
+
+  // ---------------------------------------------------------------------
   // Vocabulary building: the corpus-global token frequency table
   // (min-frequency floor, deterministic top-k) that seeds tokenizer
   // training. One shuffle keyed by token — partial aggregation does the
@@ -1377,5 +1453,5 @@ object PipelineQueries {
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
     q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,
     q115LmQuality, q116BudgetSelect, q118EpochPlan, q123SemanticDedup,
-    q124ChunkOverlap, q125EpochMaterialize)
+    q124ChunkOverlap, q125EpochMaterialize, q126ChunkRetrieval)
 }

@@ -174,6 +174,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(wgl > exch, s"no map-side rank trim:\n$p")
   }
 
+  test("q123: semantic dedup pairs only meet through the cell equi-join") {
+    val p = plan("q123_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // victims leave through an anti-join of ids (no embedding payload
+    // on that edge)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q125: epoch materialization is a broadcast plan + map-side filter") {
+    val p = plan("q125_mix_epoch_materialize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus is never hash-exchanged to be selected — the only
+    // exchanges are the strata-sized plan aggregation's own, keyed on
+    // the stratum column, plus the final presentation sort
+    val corpusExchanges = "Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(p).size
+    assert(corpusExchanges == 0, p)
+  }
+
   test("q113: scaled FINAL + ARRAY JOIN — one fact shuffle, broadcast " +
       "cancels, map-side collapse trim, Sign pushed to the scan") {
     // the composed Metrica hot path at scale: the collapse must cost

@@ -90,4 +90,20 @@ class TextSpec extends SparkSpec {
     val got = Seq("ab!?").toDF("t").select(punctRatio($"t")).as[Double].head()
     assert(math.abs(got - 0.5) < 1e-12)
   }
+
+  test("hashBagEmbed: slot counts match the hand-computed rolling hash") {
+    def rh(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val toks = Seq("hello", "world", "abc", "hello")
+    val got = Seq(toks).toDF("toks")
+      .select(hashBagEmbed($"toks", 16)).as[Seq[Double]].head()
+    val want = (0 until 16).map(i =>
+      toks.count(t => rh(t) % 16 == i).toDouble)
+    assert(got == want)
+    assert(got.sum == 4.0) // every token lands in exactly one slot
+    // empty token list → a well-defined all-zero vector
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+      .select(hashBagEmbed($"toks", 8)).as[Seq[Double]].head()
+    assert(empty == Seq.fill(8)(0.0))
+  }
 }
