@@ -118,4 +118,20 @@ object url {
   /** CH `cutQueryStringAndFragment(url)`. */
   def cutQueryStringAndFragment(u: Column): Column =
     regexp_extract(u, "^([^?#]*)", 1)
+
+  /** CH `decodeURLComponent(s)`: percent-decoding (UTF-8) where `+`
+    * stays a literal plus — CH never form-decodes `+` to space, so it
+    * is protected as %2B before Spark's form-decoding url_decode
+    * runs. The Metrica idiom for reading SearchPhrase / URL-parameter
+    * values extracted raw by [[extractURLParameter]].
+    */
+  def decodeURLComponent(u: Column): Column =
+    url_decode(regexp_replace(u, "\\+", "%2B"))
+
+  /** CH `cutWWW(url)`: the URL with one leading `www.` dropped from
+    * its host (after the protocol and userinfo when present).
+    */
+  def cutWWW(u: Column): Column =
+    regexp_replace(u,
+      "^((?:[A-Za-z][\\w+.-]*://)?(?:[^/?#@]*@)?)www\\.", "$1")
 }

@@ -831,6 +831,17 @@ object ChDialect {
     }),
     "cutQueryString" -> (args => ex(url.cutQueryString(col(args.head)))),
     "cutFragment" -> (args => ex(url.cutFragment(col(args.head)))),
+    "decodeURLComponent" -> (args =>
+      ex(url.decodeURLComponent(col(args.head)))),
+    "cutWWW" -> (args => ex(url.cutWWW(col(args.head)))),
+    // arrayEnumerateUniq(arr): 1-based occurrence index of each element
+    // among its equals so far — the CH funnel idiom for "first visit of
+    // this page in the session". O(n²) per row over the prefix slices,
+    // local arithmetic only.
+    "arrayEnumerateUniq" -> (args => ex(
+      transform(col(args.head), (x, i) =>
+        size(filter(slice(col(args.head), lit(1), i + 1), y => y === x))
+          .cast("long")))),
     "cutQueryStringAndFragment" -> (args =>
       ex(url.cutQueryStringAndFragment(col(args.head)))),
     // multiIf(c1, v1, c2, v2, ..., else) — CH's n-way conditional

@@ -1541,6 +1541,57 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM events GROUP BY event_type, code ORDER BY event_type"""))
 
+  // decodeURLComponent (percent-decoding, '+' stays literal — the
+  // SearchPhrase idiom), cutWWW, and arrayEnumerateUniq (per-element
+  // occurrence index — the funnel "first time this page" idiom). The
+  // oracle decodes by replaying the bounded code set with replaces,
+  // constructs cutWWW's expected text directly, and rebuilds the
+  // occurrence index with prefix-slice counts.
+  val q127ChUrlDecode = QueryDef(
+    "q127_ch_url_decode_enum",
+    (s, dir) => {
+      Graft.table(s, dir, "documents")
+        .createOrReplaceTempView("docs_v127")
+      s.sql("""
+        SELECT doc_id,
+               decodeURLComponent(concat('q', CAST(doc_id % 7 AS STRING),
+                 '%20and%2For%3D', CAST(doc_id % 3 AS STRING),
+                 '+plus%26x')) AS dec,
+               cutWWW(CASE WHEN doc_id % 2 = 0
+                 THEN concat('https://www.ex', CAST(doc_id % 5 AS STRING),
+                   '.com/p')
+                 ELSE concat('http://u@www.site',
+                   CAST(doc_id % 5 AS STRING), '.org/q?a=1')
+                 END) AS nw,
+               arrayEnumerateUniq(array(
+                 CAST(doc_id % 2 AS STRING), CAST(doc_id % 3 AS STRING),
+                 CAST(doc_id % 2 AS STRING), 'k',
+                 CAST(doc_id % 3 AS STRING))) AS enu
+        FROM docs_v127 ORDER BY doc_id LIMIT 200""")
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+               [CAST(doc_id % 2 AS VARCHAR), CAST(doc_id % 3 AS VARCHAR),
+                CAST(doc_id % 2 AS VARCHAR), 'k',
+                CAST(doc_id % 3 AS VARCHAR)] AS arr
+        FROM documents
+      )
+      SELECT doc_id,
+             replace(replace(replace(replace(
+               concat('q', CAST(doc_id % 7 AS VARCHAR), '%20and%2For%3D',
+                 CAST(doc_id % 3 AS VARCHAR), '+plus%26x'),
+               '%20', ' '), '%2F', '/'), '%3D', '='), '%26', '&') AS dec,
+             CASE WHEN doc_id % 2 = 0
+               THEN concat('https://ex', CAST(doc_id % 5 AS VARCHAR),
+                 '.com/p')
+               ELSE concat('http://u@site', CAST(doc_id % 5 AS VARCHAR),
+                 '.org/q?a=1')
+               END AS nw,
+             [CAST(len(list_filter(arr[1:i], y -> y = arr[i])) AS BIGINT)
+              for i in range(1, len(arr) + 1)] AS enu
+      FROM a ORDER BY doc_id LIMIT 200"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1551,5 +1602,6 @@ object DialectQueries {
       q87ChIpBits, q88ChStrings, q89ChStats, q90ChArrayJoinSql,
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
-      q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith)
+      q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith,
+      q127ChUrlDecode)
 }

@@ -841,6 +841,15 @@ class ChDialectSpec extends SparkSpec {
     assert(df.collect().head.getInt(0) == 1)
   }
 
+  test("arrayEnumerateUniq: 1-based occurrence index among equals") {
+    val r = spark.sql("""
+      SELECT arrayEnumerateUniq(array('a', 'b', 'a', 'a', 'b')) AS e,
+             arrayEnumerateUniq(CAST(array() AS ARRAY<STRING>)) AS empty
+    """).collect().head
+    assert(r.getSeq[Long](0) == Seq(1L, 1L, 2L, 3L, 2L))
+    assert(r.getSeq[Long](1).isEmpty)
+  }
+
   test("arrayMin/arrayMax: element-type default on an empty array") {
     val r = spark.sql("""
       SELECT arrayMin(CAST(array() AS ARRAY<INT>)) AS mn,

@@ -99,6 +99,30 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(r.getString(2) == "http://x.io/p")
   }
 
+  test("decodeURLComponent: UTF-8 percent decode, '+' stays literal") {
+    val r = spark.sql("""
+      SELECT decodeURLComponent('a%20b+c%2Fd') AS plain,
+             decodeURLComponent('%D0%BF%D1%80%D0%B8%D0%B2%D0%B5%D1%82') AS ru,
+             decodeURLComponent('') AS empty
+    """).collect().head
+    assert(r.getString(0) == "a b+c/d") // space decoded, plus untouched
+    assert(r.getString(1) == "привет") // multibyte UTF-8 sequences
+    assert(r.getString(2) == "")
+  }
+
+  test("cutWWW: one leading www. falls after protocol/userinfo only") {
+    val r = spark.sql("""
+      SELECT cutWWW('https://www.ex.com/p') AS a,
+             cutWWW('http://u@www.site.org/q') AS b,
+             cutWWW('www.bare.io/x') AS c,
+             cutWWW('https://notwww.ex.com/www.deep/') AS d
+    """).collect().head
+    assert(r.getString(0) == "https://ex.com/p")
+    assert(r.getString(1) == "http://u@site.org/q")
+    assert(r.getString(2) == "bare.io/x") // protocol-less host
+    assert(r.getString(3) == "https://notwww.ex.com/www.deep/") // untouched
+  }
+
   test("SQL dialect registration: CH URL functions run as verbatim SQL") {
     val r = spark.sql("""
       SELECT domain('https://u@www.ex.org:1/p?a=b#c') AS d,
