@@ -711,9 +711,71 @@ object StreamingQueries {
       FROM scored WHERE lp_i >= -60000
       GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------------
+  // Chunking runs IN-STREAM: the overlapping-window chunker (X54) is a
+  // stateless projection + Generate, so it drops into a micro-batch
+  // pipeline with no state store and batch-boundary-independent output
+  // — each document's chunks depend on that document alone. The
+  // chunked stream lands in a parquet sink; the check aggregates the
+  // landed chunks per doc bucket against an oracle that replays the
+  // chunk arithmetic from the raw table.
+  val q128StreamChunks = QueryDef(
+    "q128_stream_chunks",
+    (s, dir) => {
+      import graft.operators.Pack
+      import graft.functions.text
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q128_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      raw.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema(raw.schema).parquet(s"$base/src")
+        .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+      val chunks = Pack.chunkOverlap(stream, "doc_id", "toks",
+          window = 32, stride = 24)
+        .drop("chunk_toks")
+      val q = chunks.writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .option("path", s"$base/out")
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(pmod(col("doc_id"), lit(8)).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          uniqExact(col("doc_id")).as("n_docs"),
+          sum(col("n_chunk_tokens")).cast("long").as("tok_sum"),
+          sum(col("chunk_start")).cast("long").as("start_sum"),
+          max(col("chunk_idx")).as("max_idx"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), c AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM t WHERE len(toks) > 0
+      ), g AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0,
+                 greatest(least(n - 32 + 24 - 1, n - 1), 0), 24)) AS st
+        FROM c
+      )
+      SELECT doc_id % 8 AS bucket,
+             CAST(count(1) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(least(st + 32, n) - st) AS BIGINT) AS tok_sum,
+             CAST(sum(st) AS BIGINT) AS start_sum,
+             CAST(max(st // 24) AS BIGINT) AS max_idx
+      FROM g GROUP BY 1 ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] =
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
       q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake,
-      q114BlueGreenMvSwap, q117StreamLmGate)
+      q114BlueGreenMvSwap, q117StreamLmGate, q128StreamChunks)
 }
