@@ -272,6 +272,25 @@ object ch {
       e => e.getField("v"))
   }
 
+  /** CH `topKWeighted(k)(x, w)`: the k values with the largest summed
+    * weights (ties by value) — [[topK]] with a weight column instead
+    * of unit counts. Same collect-and-fold shape: per-group value
+    * cardinality bounds the map, the weight sum rides the fold.
+    */
+  def topKWeighted(k: Column, x: Column, w: Column,
+      elemType: String = "string"): Column = {
+    val emptyMap = map_from_arrays(
+      array().cast(s"array<$elemType>"), array().cast("array<long>"))
+    val counted = aggregate(
+      collect_list(struct(x.as("v"), w.cast("long").as("w"))), emptyMap,
+      (acc, e) => map_zip_with(acc, map(e.getField("v"), e.getField("w")),
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+    val entries = transform(map_keys(counted), key =>
+      struct((-element_at(counted, key)).as("nc"), key.as("v")))
+    transform(slice(array_sort(entries), lit(1), k.cast("int")),
+      e => e.getField("v"))
+  }
+
   /** CH `arrayCompact(arr)`: collapse CONSECUTIVE duplicate elements
     * (run-length dedup, not arrayDistinct). Index-tagged filter
     * against the previous element — no typed empty-array literal

@@ -489,6 +489,11 @@ object ChDialect {
     "topK" -> (args =>
       ex(ch.topK(col(args.head), col(args(1)),
         args(1).dataType.catalogString))),
+    // topKWeighted(k)(x, w) — parameter flattened by the parser to
+    // (k, x, w), like topK above
+    "topKWeighted" -> (args =>
+      ex(ch.topKWeighted(col(args.head), col(args(1)), col(args(2)),
+        args(1).dataType.catalogString))),
     // ----- array-vocabulary completion -----
     "hasAll" -> (args =>
       ex((size(array_except(col(args(1)), col(args.head))) === 0)

@@ -51,8 +51,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // LIST and return an array (→ percentile(x, array(...))).
   private val quantileHead =
     ("""(?i)\b(quantiles?|quantiles?Exact|quantiles?ExactInclusive""" +
-      """|quantiles?Timing|quantiles?TDigest)\s*\(\s*""" +
-      """([0-9.eE+-]+(?:\s*,\s*[0-9.eE+-]+)*)\s*\)\s*\(""").r
+      """|quantiles?ExactWeighted|quantiles?Timing|quantiles?TDigest)""" +
+      """\s*\(\s*([0-9.eE+-]+(?:\s*,\s*[0-9.eE+-]+)*)\s*\)\s*\(""").r
   private val prewhereKw = """(?i)\bPREWHERE\b""".r
   // values may be bare words/numbers OR a masked string literal (the
   // \u0001N\u0001 placeholder — CH settings like join_algorithm='hash')
@@ -122,8 +122,17 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
           // array, exactly percentile's array-of-percentages behavior
           val lv = if (levels.length == 1) levels.head
             else levels.mkString("array(", ", ", ")")
+          // the Weighted forms carry (x, weight): percentile's
+          // frequency argument, which sits AFTER the percentage
+          val call =
+            if (m.group(1).toLowerCase.contains("weighted")) {
+              val parts = splitTopLevel(arg)
+              require(parts.length == 2,
+                s"${m.group(1)} expects (x, weight), got $arg")
+              s"percentile(${parts.head}, $lv, ${parts(1)})"
+            } else s"percentile($arg, $lv)"
           val replaced = text.substring(0, m.start) +
-            s"percentile($arg, $lv)" + text.substring(i)
+            call + text.substring(i)
           rewriteQuantiles(replaced) // next occurrence
         }
     }
@@ -137,7 +146,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // masked at this point), but no parens.
   private val paramAggHead =
     ("""(?i)\b(windowFunnel|sequenceMatch|sequenceCount|uniqUpTo""" +
-      """|topK)\s*\(\s*([^()]+?)\s*\)\s*\(""").r
+      """|topKWeighted|topK)\s*\(\s*([^()]+?)\s*\)\s*\(""").r
 
   /** Rewrite every `name(params)(args)` to `name(params, args)`,
     * same balanced-paren scan as [[rewriteQuantiles]].

@@ -1592,6 +1592,58 @@ object DialectQueries {
               for i in range(1, len(arr) + 1)] AS enu
       FROM a ORDER BY doc_id LIMIT 200"""))
 
+  // Weighted parameterized aggregates: quantileExactWeighted(L)(x, w)
+  // → percentile's frequency argument; topKWeighted(k)(x, w) → the
+  // weight-summed top-k fold. The oracle replays the quantile by
+  // REPEATING each row w times (the definition of a frequency
+  // percentile) and the top-k with an explicit weight-sum ranking.
+  val q129ChWeightedAggs = QueryDef(
+    "q129_ch_weighted_aggs",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v129")
+      s.sql("""
+        SELECT event_type,
+               round(quantileExactWeighted(0.5)(
+                 value, CAST(user_id % 5 + 1 AS BIGINT)), 4) AS p50w,
+               topKWeighted(3)(CAST(user_id % 7 AS STRING),
+                 CAST(user_id % 3 + 1 AS BIGINT)) AS topw,
+               toInt64(count(1)) AS n
+        FROM events_v129
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, value,
+               CAST(user_id % 5 + 1 AS BIGINT) AS w5,
+               CAST(user_id % 7 AS VARCHAR) AS v7,
+               CAST(user_id % 3 + 1 AS BIGINT) AS w3
+        FROM events
+      ), rep5 AS (
+        SELECT event_type, value
+        FROM r, unnest(generate_series(1, w5))
+      ), p AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50w,
+               count(1) AS n_rep
+        FROM rep5 GROUP BY event_type
+      ), wsum AS (
+        SELECT event_type, v7, sum(w3) AS tw
+        FROM r GROUP BY event_type, v7
+      ), rk AS (
+        SELECT event_type, v7, tw,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY tw DESC, v7 ASC) AS rn
+        FROM wsum
+      ), tl AS (
+        SELECT event_type, list(v7 ORDER BY rn) AS topw
+        FROM rk WHERE rn <= 3 GROUP BY event_type
+      ), cnt AS (
+        SELECT event_type, CAST(count(1) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+      )
+      SELECT p.event_type, p.p50w, tl.topw, cnt.n
+      FROM p JOIN tl USING (event_type) JOIN cnt USING (event_type)
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1603,5 +1655,5 @@ object DialectQueries {
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
       q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith,
-      q127ChUrlDecode)
+      q127ChUrlDecode, q129ChWeightedAggs)
 }

@@ -841,6 +841,33 @@ class ChDialectSpec extends SparkSpec {
     assert(df.collect().head.getInt(0) == 1)
   }
 
+  test("weighted parameterized aggregates: quantileExactWeighted, topKWeighted") {
+    val r = spark.sql("""
+      SELECT quantileExactWeighted(0.5)(v, w) AS p50w,
+             topKWeighted(2)(CAST(v AS STRING), w) AS topw
+      FROM VALUES (1, 1L), (2, 1L), (10, 8L) AS t(v, w)""").collect().head
+    // repeated-row view: 1,2,10×8 → median 10; weights 8 > 1 = 1,
+    // tie between '1' and '2' broken by value
+    assert(r.getDouble(0) == 10.0)
+    assert(r.getSeq[String](1) == Seq("10", "1"))
+  }
+
+  test("scalar WITH composes with TOTALS and LIMIT BY in one statement") {
+    val df = spark.sql("""
+      WITH 1 AS lo
+      SELECT v % 3 AS g, sum(v) AS s
+      FROM VALUES (1), (2), (3), (4), (5), (6) AS t(v)
+      WHERE v > lo
+      GROUP BY v % 3 WITH TOTALS
+      ORDER BY s
+      LIMIT 3 BY g""")
+    val rows = df.collect().map(r =>
+      (Option(r.get(0)).map(_.toString).orNull, r.getLong(1))).toSet
+    // groups over v in 2..6: g=0 → 3+6=9, g=1 → 4, g=2 → 2+5=7;
+    // totals row: 20 with NULL key
+    assert(rows == Set(("1", 4L), ("2", 7L), ("0", 9L), (null, 20L)))
+  }
+
   test("arrayEnumerateUniq: 1-based occurrence index among equals") {
     val r = spark.sql("""
       SELECT arrayEnumerateUniq(array('a', 'b', 'a', 'a', 'b')) AS e,
