@@ -101,6 +101,23 @@ case class ChAsofJoin(child: LogicalPlan) extends UnaryNode {
     copy(child = newChild)
 }
 
+/** CH `ANY` join strictness (`a ANY LEFT JOIN b` / `a LEFT ANY JOIN
+  * b`): each left row matches AT MOST ONE right row per key. CH picks
+  * an arbitrary matching row; this engine picks the MINIMUM right row
+  * in full-column order — deterministic, so results replay across
+  * engines and runs. The rule reduces the RIGHT side to one row per
+  * join key (window rank = 1 — Spark's WindowGroupLimit trims it
+  * map-side) and keeps the Join node untouched, which preserves
+  * attribute ids and lets the planner keep broadcasting small right
+  * sides. Same reduce-before-join shape as
+  * [[graft.operators.Relational.anyLeftJoin]].
+  */
+case class ChAnyJoin(child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): ChAnyJoin =
+    copy(child = newChild)
+}
+
 case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -116,7 +133,54 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         applyFinal(tables, child)
       case ChAsofJoin(child) if child.resolved =>
         applyAsof(child)
+      case ChAnyJoin(child) if child.resolved =>
+        applyAny(child)
     }
+
+  /** Reduce the marked join's right side to one deterministic row per
+    * key. The marker wraps the whole scope, so like ASOF the target
+    * is found by shape: exactly one join may be in scope, otherwise
+    * the statement is rejected rather than guessing which join
+    * carried ANY.
+    */
+  private def applyAny(child: LogicalPlan): LogicalPlan = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val joins = child.collectWithSubqueries { case j: Join => j }
+    require(joins.length == 1,
+      s"ANY JOIN: expected exactly one join in scope, found " +
+        s"${joins.length} — stage other joins through views")
+    child.transformUpWithSubqueries {
+      case j @ Join(l, r, joinType, Some(cond), _) =>
+        joinType match {
+          case org.apache.spark.sql.catalyst.plans.Inner |
+               org.apache.spark.sql.catalyst.plans.LeftOuter =>
+          case other => throw new IllegalArgumentException(
+            s"ANY JOIN supports inner/left, got $other")
+        }
+        val rKeys: Seq[Attribute] = conjuncts(cond).map {
+          case EqualTo(a: Attribute, b: Attribute)
+              if l.outputSet.contains(a) && r.outputSet.contains(b) => b
+          case EqualTo(b: Attribute, a: Attribute)
+              if l.outputSet.contains(a) && r.outputSet.contains(b) => b
+          case other => throw new IllegalArgumentException(
+            s"ANY JOIN supports attribute-equality conjuncts only, " +
+              s"got $other")
+        }
+        val order = r.output.map(a => SortOrder(a, Ascending))
+        val frame = SpecifiedWindowFrame(RowFrame,
+          UnboundedPreceding, CurrentRow)
+        val rn = Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(rKeys, order, frame)), "__graft_any_rn")()
+        val windowed = Window(Seq(rn), rKeys, order, r)
+        val filtered = Filter(EqualTo(rn.toAttribute, Literal(1)), windowed)
+        // project back to the right side's own attributes (ids kept),
+        // so the Join node and everything above it stay bound
+        j.copy(right = Project(r.output, filtered))
+    }
+  }
 
   /** Rewrite the (single) marked Join into the asof operator. The
     * replacement keeps the Join's output attribute ids via forced-id

@@ -348,6 +348,27 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private val globalRe =
     ("""(?i)\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|""" +
       """(?:(?:ANY|ALL|LEFT|RIGHT|INNER|FULL|CROSS|SEMI|ANTI|OUTER)\s+)*JOIN\b)""").r
+  // CH ANY strictness, both spellings (`ANY LEFT JOIN` old-style,
+  // `LEFT ANY JOIN` current): strip the keyword, mark the plan — the
+  // ChAnyJoin rule reduces the right side to one row per key. ALL is
+  // CH's default strictness: pure keyword sugar, stripped with no
+  // marker. Like FINAL, `t ANY LEFT JOIN u` is VALID Spark (alias
+  // `t AS ANY` + plain join) — silent wrong meaning, so these shapes
+  // pre-rewrite.
+  private val anyJoinPre =
+    """(?i)\bANY\s+(?=(?:LEFT\s+|INNER\s+)?JOIN\b)""".r
+  private val anyJoinPost =
+    """(?i)\b(LEFT|INNER)(\s+)ANY\s+(?=JOIN\b)""".r
+  private val allJoinPre =
+    """(?i)\bALL\s+(?=(?:LEFT\s+|INNER\s+)?JOIN\b)""".r
+  private val allJoinPost =
+    """(?i)\b(LEFT|INNER)(\s+)ALL\s+(?=JOIN\b)""".r
+  // CH spells semi/anti strictness BEFORE the direction (`SEMI LEFT
+  // JOIN`); Spark wants `LEFT SEMI JOIN` — swap. Spark parses the CH
+  // order as alias + plain LEFT JOIN (wrong meaning), so this is a
+  // pre-rewrite shape too.
+  private val semiAntiRe =
+    """(?i)\b(SEMI|ANTI)\s+(LEFT|RIGHT)\s+(?=JOIN\b)""".r
 
   private def needsPreRewrite(sqlText: String): Boolean = {
     val (masked, _) = maskLiterals(sqlText)
@@ -356,6 +377,12 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       asofRe.findFirstIn(masked).isDefined ||
       // `t GLOBAL JOIN u` parses as `t AS GLOBAL` without this
       globalRe.findFirstIn(masked).isDefined ||
+      // strictness keywords parse as aliases (wrong meaning) too
+      anyJoinPre.findFirstIn(masked).isDefined ||
+      anyJoinPost.findFirstIn(masked).isDefined ||
+      allJoinPre.findFirstIn(masked).isDefined ||
+      allJoinPost.findFirstIn(masked).isDefined ||
+      semiAntiRe.findFirstIn(masked).isDefined ||
       // `quantile(L)(x)` / `windowFunnel(w)(...)` parse in Spark's
       // grammar as CHAINED CALLS (no ParseException, then
       // UNRESOLVED_ROUTINE at analysis) — standalone uses must
@@ -748,10 +775,22 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       if (asofRe.findFirstIn(m4).isEmpty) (m4, None)
       else (asofRe.replaceAllIn(m4, ""),
         Some((p: LogicalPlan) => ChAsofJoin(p)))
+    val (m4any, anyWrap) =
+      if (anyJoinPre.findFirstIn(m4a).isEmpty &&
+        anyJoinPost.findFirstIn(m4a).isEmpty) (m4a, None)
+      else {
+        val t = anyJoinPost.replaceAllIn(
+          anyJoinPre.replaceAllIn(m4a, ""), mm => mm.group(1) + mm.group(2))
+        (t, Some((p: LogicalPlan) => ChAnyJoin(p)))
+      }
+    val m4all = allJoinPost.replaceAllIn(
+      allJoinPre.replaceAllIn(m4any, ""), mm => mm.group(1) + mm.group(2))
+    val m4sa = semiAntiRe.replaceAllIn(m4all,
+      mm => s"${mm.group(2)} ${mm.group(1)} ")
     // deliberately NOT swallowed: its IllegalArgumentExceptions
     // ("item needs an AS alias") are the user-facing diagnostics, and
     // only ARRAY JOIN texts can reach them
-    val m5 = globalRe.replaceAllIn(rewriteArrayJoin(m4a), "")
+    val m5 = globalRe.replaceAllIn(rewriteArrayJoin(m4sa), "")
     // ALL occurrences: the clause may appear in a subquery AND the
     // outer query (each match substitutes its own keys)
     val afterTotals = totals.replaceAllIn(m5, m =>
@@ -765,15 +804,17 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val rewritten = settings.replaceAllIn(afterPrewhere, "")
     val finalText = unmaskLiterals(rewritten, lits)
     if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&
-      sampleWrap.isEmpty && finalWrap.isEmpty && asofWrap.isEmpty) None
+      sampleWrap.isEmpty && finalWrap.isEmpty && asofWrap.isEmpty &&
+      anyWrap.isEmpty) None
     else Some(Rewritten(finalText, plan => {
       // final innermost (compaction applies at the relation before
-      // anything else reads it), then asof (its Join sits above the
-      // relations), then sample (its rule pushes to the scan), then
-      // fill, then limit-by above it
+      // anything else reads it), then asof/any (their Joins sit above
+      // the relations), then sample (its rule pushes to the scan),
+      // then fill, then limit-by above it
       val fin = finalWrap.fold(plan)(w => w(plan))
       val asf = asofWrap.fold(fin)(w => w(fin))
-      val sp = sampleWrap.fold(asf)(w => w(asf))
+      val anyJ = anyWrap.fold(asf)(w => w(asf))
+      val sp = sampleWrap.fold(anyJ)(w => w(anyJ))
       val f = fillWrap.fold(sp)(w => w(sp))
       lbWrap.fold(f)(w => w(f))
     }))

@@ -1644,6 +1644,34 @@ object DialectQueries {
       FROM p JOIN tl USING (event_type) JOIN cnt USING (event_type)
       ORDER BY event_type"""))
 
+  // CH ANY strictness as verbatim SQL: each user joined to AT MOST
+  // one event row. CH picks an arbitrary match; the engine picks the
+  // MINIMUM right row in full-column order (event_id leads the
+  // schema, so the earliest event id wins) — deterministic, which is
+  // what lets an oracle exist at all. The right side reduces to one
+  // row per key BEFORE the join (WindowGroupLimit map-side trim).
+  val q130ChAnyJoin = QueryDef(
+    "q130_ch_any_join_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v130")
+      s.sql("""
+        SELECT u.user_id, e.event_id, e.event_type
+        FROM (SELECT DISTINCT user_id FROM events_v130) u
+        ANY LEFT JOIN events_v130 e ON u.user_id = e.user_id
+        ORDER BY u.user_id""")
+    },
+    Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      f AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS rn
+        FROM events
+      )
+      SELECT u.user_id, f.event_id, f.event_type
+      FROM u LEFT JOIN f ON u.user_id = f.user_id AND f.rn = 1
+      ORDER BY u.user_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1655,5 +1683,5 @@ object DialectQueries {
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
       q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith,
-      q127ChUrlDecode, q129ChWeightedAggs)
+      q127ChUrlDecode, q129ChWeightedAggs, q130ChAnyJoin)
 }

@@ -216,6 +216,55 @@ class ChClausesSpec extends SparkSpec {
     assert(m == 3)
   }
 
+  test("ANY JOIN: one deterministic right row per key, both spellings") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")
+      .createOrReplaceTempView("any_l")
+    // key 1 has two matches — the minimum right row (by full-column
+    // order) must win; key 3 has none — LEFT keeps it with NULLs
+    Seq((1L, "x2", 20L), (1L, "x1", 10L), (2L, "y", 5L))
+      .toDF("k", "rv", "rn").createOrReplaceTempView("any_r")
+    for (sql <- Seq(
+      """SELECT l.k, l.lv, r.rv, r.rn
+         FROM any_l l ANY LEFT JOIN any_r r ON l.k = r.k
+         ORDER BY l.k""",
+      """SELECT l.k, l.lv, r.rv, r.rn
+         FROM any_l l LEFT ANY JOIN any_r r ON l.k = r.k
+         ORDER BY l.k""")) {
+      val got = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)).orNull,
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(got == Seq((1L, "a", "x1", 10L), (2L, "b", "y", 5L),
+        (3L, "c", null, -1L)), sql)
+    }
+    // inner strictness: unmatched left rows drop; row count equals
+    // DISTINCT keys matched, never the pair count
+    val inner = spark.sql("""
+      SELECT count(1) AS n
+      FROM any_l l ANY JOIN any_r r ON l.k = r.k""")
+      .collect().head.getLong(0)
+    assert(inner == 2L)
+    // ALL is CH's default strictness — sugar for the plain join
+    val all = spark.sql("""
+      SELECT count(1) AS n
+      FROM any_l l ALL LEFT JOIN any_r r ON l.k = r.k""")
+      .collect().head.getLong(0)
+    assert(all == 4L) // 2 matches for k=1, 1 for k=2, NULL row for k=3
+  }
+
+  test("SEMI/ANTI LEFT JOIN: CH keyword order swaps to Spark's") {
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("sa_l")
+    Seq(2L, 3L).toDF("k").createOrReplaceTempView("sa_r")
+    val semi = spark.sql("""
+      SELECT k FROM sa_l SEMI LEFT JOIN sa_r USING (k) ORDER BY k""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(semi == Seq(2L, 3L))
+    val anti = spark.sql("""
+      SELECT k FROM sa_l ANTI LEFT JOIN sa_r USING (k) ORDER BY k""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(anti == Seq(1L))
+  }
+
   test("FINAL inside a subquery expression is reachable") {
     finalFixture("fin_sub")
     val n = spark.sql("""
