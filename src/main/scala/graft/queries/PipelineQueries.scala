@@ -1109,6 +1109,42 @@ object PipelineQueries {
       FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
 
   // ---------------------------------------------------------------------
+  // X56 BPE tokenizer training, round-1 surface: the weighted
+  // adjacent-pair counts over the word table (chars + </w>), the
+  // argmax candidate set of a merge round. The corpus is scanned once
+  // for word freqs; pair counting runs over the vocab-bounded word
+  // table. Multi-round train() is spec-verified (the oracle SQL
+  // cannot express a data-dependent iteration); the heavy-lifting op
+  // — corpus → weighted pair counts — is the compared surface here.
+  val q131BpePairCounts = QueryDef(
+    "q131_bpe_pair_counts",
+    (s, dir) => {
+      import graft.operators.Bpe
+      Bpe.pairCounts(Bpe.wordTable(Graft.table(s, dir, "documents"),
+          "text"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (
+        SELECT word, CAST(count(1) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                '\s+')) AS word
+              FROM documents)
+        WHERE length(word) > 0 GROUP BY word
+      ), s AS (
+        SELECT list_append([word[i] for i in range(1, length(word) + 1)],
+                 '</w>') AS sym, freq
+        FROM w
+      ), p AS (
+        SELECT u.p['a'] AS a, u.p['b'] AS b, s.freq
+        FROM s, unnest([{'a': sym[i], 'b': sym[i+1]}
+                        for i in range(1, len(sym))]) AS u(p)
+      )
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20"""))
+
+  // ---------------------------------------------------------------------
   // Vocabulary building: the corpus-global token frequency table
   // (min-frequency floor, deterministic top-k) that seeds tokenizer
   // training. One shuffle keyed by token — partial aggregation does the
@@ -1453,5 +1489,6 @@ object PipelineQueries {
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
     q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,
     q115LmQuality, q116BudgetSelect, q118EpochPlan, q123SemanticDedup,
-    q124ChunkOverlap, q125EpochMaterialize, q126ChunkRetrieval)
+    q124ChunkOverlap, q125EpochMaterialize, q126ChunkRetrieval,
+    q131BpePairCounts)
 }

@@ -123,6 +123,41 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("BPE: word table, greedy merge fold, and a hand-walked training run") {
+    import graft.operators.Bpe
+    // the Sennrich toy corpus shape: low/lower share the 'lo' stem
+    val docs = Seq("low low low lower lower newest").toDF("text")
+    val words = Bpe.wordTable(docs, "text")
+    val w = words.collect()
+      .map(r => (r.getSeq[String](0).mkString("|"), r.getLong(1))).toMap
+    assert(w("l|o|w|</w>") == 3L)
+    assert(w("l|o|w|e|r|</w>") == 2L)
+    assert(w("n|e|w|e|s|t|</w>") == 1L)
+    // pair counts weight by word freq: (l,o) = 3 + 2
+    val pc = Bpe.pairCounts(words).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(pc(("l", "o")) == 5L)
+    assert(pc(("w", "</w>")) == 3L)
+    assert(pc(("e", "r")) == 2L)
+    // greedy fold: "aaa" under (a,a) merges left-to-right, no overlap
+    val tricky = Seq(Seq("a", "a", "a")).toDF("symbols")
+      .select(Bpe.mergeSymbols($"symbols", "a", "a")).as[Seq[String]]
+      .head()
+    assert(tricky == Seq("aa", "a"))
+    // two rounds by hand: round 1 winner is (l,o) 5 — ties under it
+    // resolve (count desc, pair asc); round 2 merges (lo,w) 5
+    val (merges, trained) = Bpe.train(words, 2)
+    assert(merges.map(m => (m._1, m._2, m._3, m._4)) ==
+      Seq((1, "l", "o", 5L), (2, "lo", "w", 5L)))
+    val t = trained.collect()
+      .map(r => (r.getSeq[String](0).mkString("|"), r.getLong(1))).toMap
+    assert(t("low|</w>") == 3L)
+    assert(t("low|e|r|</w>") == 2L)
+    // a train longer than the pair supply stops early, no failure
+    val (all, _) = Bpe.train(words, 1000)
+    assert(all.nonEmpty && all.size < 1000)
+  }
+
   test("plans stay map-side: repetition metrics add no shuffle") {
     val df = Seq("a b c a b").toDF("text")
       .select(text.dupNgramFraction(text.tokenize(col("text")), 2))
