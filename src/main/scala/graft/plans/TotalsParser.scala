@@ -383,6 +383,9 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       allJoinPre.findFirstIn(masked).isDefined ||
       allJoinPost.findFirstIn(masked).isDefined ||
       semiAntiRe.findFirstIn(masked).isDefined ||
+      // `FROM numbers(10)` parses as an unresolved TVF — analysis
+      // failure, not ParseException, so the failure path never fires
+      numbersRe.findFirstIn(masked).isDefined ||
       // `quantile(L)(x)` / `windowFunnel(w)(...)` parse in Spark's
       // grammar as CHAINED CALLS (no ParseException, then
       // UNRESOLVED_ROUTINE at analysis) — standalone uses must
@@ -515,6 +518,32 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         (reduced, Some(p => ChSample(f, p)))
       case _ => (masked, None)
     }
+
+  // CH `numbers(N)` / `numbers(offset, limit)` table function — the
+  // ubiquitous CH scratch relation. Spark's range() is the same
+  // generator with column `id`; the rewrite renames to CH's `number`.
+  // The shape PARSES in Spark (an unresolved table-valued function,
+  // failing at analysis, not parse), so it pre-rewrites like FINAL.
+  private val numbersRe =
+    """(?i)\b(FROM|JOIN|,)(\s*)numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+
+  private def rewriteNumbers(text: String): String =
+    numbersRe.replaceAllIn(text, m => {
+      val (start, end) = Option(m.group(4)) match {
+        case Some(limit) => (m.group(3).toLong, m.group(3).toLong + limit.toLong)
+        case None => (0L, m.group(3).toLong)
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}${m.group(2)}" +
+          s"(SELECT id AS number FROM range($start, $end))")
+    })
+
+  // a trailing CH `FORMAT <name>` output clause (the driver decides
+  // the output format here — the clause strips) and/or the statement
+  // terminator `;` CH clients append; both only ever reach the
+  // rewrite because Spark rejects them at parse
+  private val formatTailRe =
+    """(?is)(\bFORMAT\s+[A-Za-z][A-Za-z0-9]*)?\s*;\s*$|\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*$""".r
 
   // CH mutations — DDL-shaped statements Spark's grammar rejects
   // outright, so they only ever reach the rewrite-on-failure path.
@@ -801,7 +830,9 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val afterQuantile = rewriteParamAggs(rewriteQuantiles(afterLimit))
     val afterDateDiff = rewriteDateDiff(afterQuantile, lits)
     val afterPrewhere = rewritePrewhere(afterDateDiff)
-    val rewritten = settings.replaceAllIn(afterPrewhere, "")
+    val afterNumbers =
+      formatTailRe.replaceAllIn(rewriteNumbers(afterPrewhere), "")
+    val rewritten = settings.replaceAllIn(afterNumbers, "")
     val finalText = unmaskLiterals(rewritten, lits)
     if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&
       sampleWrap.isEmpty && finalWrap.isEmpty && asofWrap.isEmpty &&

@@ -1672,6 +1672,26 @@ object DialectQueries {
       FROM u LEFT JOIN f ON u.user_id = f.user_id AND f.rn = 1
       ORDER BY u.user_id"""))
 
+  // The CH scratch-relation idiom end-to-end: numbers() through the
+  // parser (renamed range), a parameterized quantile over it, the
+  // FORMAT tail and statement terminator stripped — a CH console
+  // paste runs unchanged.
+  val q132ChNumbers = QueryDef(
+    "q132_ch_numbers_sql",
+    (s, dir) => s.sql("""
+      SELECT intDiv(number, 10) AS g,
+             quantileExact(0.5)(toFloat64(number)) AS med,
+             toInt64(count(1)) AS n
+      FROM numbers(100)
+      GROUP BY g ORDER BY g
+      FORMAT TabSeparated;"""),
+    Some("""
+      SELECT CAST(n // 10 AS BIGINT) AS g,
+             quantile_cont(CAST(n AS DOUBLE), 0.5) AS med,
+             CAST(count(1) AS BIGINT) AS n
+      FROM generate_series(0, 99) AS t(n)
+      GROUP BY 1 ORDER BY g"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1683,5 +1703,5 @@ object DialectQueries {
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
       q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith,
-      q127ChUrlDecode, q129ChWeightedAggs, q130ChAnyJoin)
+      q127ChUrlDecode, q129ChWeightedAggs, q130ChAnyJoin, q132ChNumbers)
 }

@@ -868,6 +868,20 @@ class ChDialectSpec extends SparkSpec {
     assert(rows == Set(("1", 4L), ("2", 7L), ("0", 9L), (null, 20L)))
   }
 
+  test("numbers() table function, FORMAT tail, trailing semicolon") {
+    val r = spark.sql("""
+      SELECT number, number * 2 AS dbl
+      FROM numbers(5) ORDER BY number
+      FORMAT CSVWithNames;""").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      (0L until 5L).map(i => (i, i * 2)))
+    val off = spark.sql("SELECT sum(number) AS s FROM numbers(10, 5);")
+      .collect().head.getLong(0)
+    assert(off == (10L to 14L).sum)
+    // a bare trailing semicolon alone also parses
+    assert(spark.sql("SELECT 1 AS one;").collect().head.getInt(0) == 1)
+  }
+
   test("arrayEnumerateUniq: 1-based occurrence index among equals") {
     val r = spark.sql("""
       SELECT arrayEnumerateUniq(array('a', 'b', 'a', 'a', 'b')) AS e,
