@@ -28,14 +28,18 @@ object Bpe {
     * end-of-word marker (the original formulation — the marker keeps
     * word-final merges distinct from word-internal ones).
     */
+  /** Characters of a word plus the `</w>` marker — the untrained
+    * base segmentation.
+    */
+  private def charSymbols(word: Column): Column =
+    concat(filter(split(word, ""), ch => length(ch) > 0),
+      array(lit("</w>")))
+
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(text.tokenize(col(s"`$textCol`"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(
-        concat(
-          filter(split(col("word"), ""), ch => length(ch) > 0),
-          array(lit("</w>"))).as("symbols"),
+      .select(col("word"), charSymbols(col("word")).as("symbols"),
         col("freq").cast("long").as("freq"))
 
   /** Adjacent-pair counts weighted by word frequency: the argmax
@@ -98,5 +102,35 @@ object Bpe {
       i += 1
     }
     (out.result(), words)
+  }
+
+  /** Tokenize a corpus with a TRAINED word table: explode words, join
+    * the word → merged-symbols map (vocab-sized — broadcastable, the
+    * planner decides), reassemble per document in word order. Cost:
+    * one corpus tokenize + one word-keyed join + one doc-keyed
+    * shuffle to reassemble — encoding 100 TB never re-runs the merge
+    * folds per document, they ran once on the word table. Words the
+    * training corpus never saw (OOV) fall back to the character
+    * segmentation, the untrained base case.
+    * Output: (id, bpe_tokens: array<string>, n_bpe_tokens).
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      trained: DataFrame): DataFrame = {
+    val words = docs
+      .select(col(s"`$idCol`"),
+        posexplode(text.tokenize(col(s"`$textCol`"))))
+      .toDF(idCol, "__bpe_pos", "word")
+      .filter(length(col("word")) > 0)
+    val mapSide = trained.select(col("word"),
+      col("symbols").as("__bpe_toks"))
+    words.join(mapSide, Seq("word"), "left")
+      .withColumn("__bpe_toks",
+        coalesce(col("__bpe_toks"), charSymbols(col("word"))))
+      .groupBy(col(s"`$idCol`"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__bpe_pos"),
+          col("__bpe_toks")))),
+        e => e.getField("__bpe_toks"))).as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
 }

@@ -129,7 +129,8 @@ class TextPipelineSpec extends SparkSpec {
     val docs = Seq("low low low lower lower newest").toDF("text")
     val words = Bpe.wordTable(docs, "text")
     val w = words.collect()
-      .map(r => (r.getSeq[String](0).mkString("|"), r.getLong(1))).toMap
+      .map(r => (r.getAs[Seq[String]]("symbols").mkString("|"),
+        r.getAs[Long]("freq"))).toMap
     assert(w("l|o|w|</w>") == 3L)
     assert(w("l|o|w|e|r|</w>") == 2L)
     assert(w("n|e|w|e|s|t|</w>") == 1L)
@@ -150,12 +151,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(merges.map(m => (m._1, m._2, m._3, m._4)) ==
       Seq((1, "l", "o", 5L), (2, "lo", "w", 5L)))
     val t = trained.collect()
-      .map(r => (r.getSeq[String](0).mkString("|"), r.getLong(1))).toMap
+      .map(r => (r.getAs[Seq[String]]("symbols").mkString("|"),
+        r.getAs[Long]("freq"))).toMap
     assert(t("low|</w>") == 3L)
     assert(t("low|e|r|</w>") == 2L)
     // a train longer than the pair supply stops early, no failure
     val (all, _) = Bpe.train(words, 1000)
     assert(all.nonEmpty && all.size < 1000)
+    // encode with the 2-merge table: trained words join their merged
+    // symbols in word order; an OOV word falls back to characters
+    val enc = Bpe.encodeCorpus(
+      Seq((7L, "low lower xyz")).toDF("doc_id", "text"),
+      "doc_id", "text", trained).collect().head
+    assert(enc.getSeq[String](enc.fieldIndex("bpe_tokens")) ==
+      Seq("low", "</w>", "low", "e", "r", "</w>",
+        "x", "y", "z", "</w>"))
+    assert(enc.getAs[Long]("n_bpe_tokens") == 10L)
   }
 
   test("plans stay map-side: repetition metrics add no shuffle") {
