@@ -101,6 +101,21 @@ case class ChAsofJoin(child: LogicalPlan) extends UnaryNode {
     copy(child = newChild)
 }
 
+/** CH/ANSI `LIMIT n WITH TIES`: the first n rows of the scope's
+  * ORDER BY plus every row tying with the nth. Expanded WITHOUT a
+  * global rank window (a partition-less window funnels the relation
+  * through one task): the nth key is computed once from the sorted
+  * prefix — `limit(n)` then max/min, a driver-sized action — and the
+  * result is a map-side `key <= boundary` filter under the original
+  * sort. NULL keys order first (Spark asc default) and tie as a
+  * group, so they pass the filter whenever they are reachable.
+  */
+case class ChLimitTies(n: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): ChLimitTies =
+    copy(child = newChild)
+}
+
 /** CH `ANY` join strictness (`a ANY LEFT JOIN b` / `a LEFT ANY JOIN
   * b`): each left row matches AT MOST ONE right row per key. CH picks
   * an arbitrary matching row; this engine picks the MINIMUM right row
@@ -135,7 +150,54 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         applyAsof(child)
       case ChAnyJoin(child) if child.resolved =>
         applyAny(child)
+      case ChLimitTies(n, child) if child.resolved =>
+        applyLimitTies(n, child)
     }
+
+  /** Expand LIMIT WITH TIES: boundary key from the sorted n-prefix,
+    * then a filter under the original Sort. Single sort axis only —
+    * a lexicographic multi-key boundary comparison needs per-key
+    * direction handling that CH queries in the wild don't exercise;
+    * reject loudly instead of guessing.
+    */
+  private def applyLimitTies(n: Int, child: LogicalPlan): LogicalPlan = {
+    if (n == 0) return GlobalLimit(Literal(0), LocalLimit(Literal(0), child))
+    // the scope's global Sort: directly, or under the Project the
+    // analyzer adds when the sort key is not in the output list
+    val (sort, rebuild): (Sort, LogicalPlan => LogicalPlan) = child match {
+      case s @ Sort(_, true, _, _) => (s, identity)
+      case p @ Project(_, s @ Sort(_, true, _, _)) =>
+        (s, x => p.copy(child = x))
+      case _ => throw new IllegalArgumentException(
+        "LIMIT WITH TIES needs an ORDER BY in its scope")
+    }
+    require(sort.order.length == 1,
+      "LIMIT WITH TIES supports exactly one sort axis — stage " +
+        "multi-key orders through a computed struct column")
+    val ord = sort.order.head
+    val keyCol = org.apache.spark.sql.GraftSqlBridge.column(ord.child)
+    import org.apache.spark.sql.GraftSqlBridge.ofRows
+    import org.apache.spark.sql.functions.{max, min}
+    val limited = ofRows(spark,
+      GlobalLimit(Literal(n), LocalLimit(Literal(n), sort)))
+    val boundary = limited
+      .agg(if (ord.direction == Ascending) max(keyCol) else min(keyCol))
+      .collect().head.get(0)
+    val bLit = Literal.create(boundary, ord.child.dataType)
+    val cmp =
+      if (ord.direction == Ascending) LessThanOrEqual(ord.child, bLit)
+      else GreaterThanOrEqual(ord.child, bLit)
+    // NULL keys follow the sort's null placement: nulls-first means
+    // any non-null boundary sits past the whole null group, so nulls
+    // always pass; nulls-last means nulls pass only when the prefix
+    // never reached a non-null key (boundary null)
+    val cond = ord.nullOrdering match {
+      case NullsFirst => Or(IsNull(ord.child), cmp)
+      case NullsLast =>
+        if (boundary == null) IsNull(ord.child) else cmp
+    }
+    rebuild(sort.copy(child = Filter(cond, sort.child)))
+  }
 
   /** Reduce the marked join's right side to one deterministic row per
     * key. The marker wraps the whole scope, so like ASOF the target

@@ -275,6 +275,23 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       case _ => (masked, None)
     }
 
+  // `LIMIT n WITH TIES` — strip the whole clause, mark the plan; the
+  // rule filters at the nth key's boundary instead of a global rank
+  // window. Spark rejects the syntax outright, so only the
+  // rewrite-on-failure path reaches this.
+  private val limitTiesRe =
+    """(?is)\bLIMIT\s+(\d+)\s+WITH\s+TIES""".r
+
+  private def extractLimitTies(masked: String)
+      : (String, Option[LogicalPlan => LogicalPlan]) =
+    limitTiesRe.findFirstMatchIn(masked) match {
+      case Some(m) if depth0At(masked, m.start) =>
+        val n = m.group(1).toInt
+        val reduced = masked.substring(0, m.start) + masked.substring(m.end)
+        (reduced, Some(p => ChLimitTies(n, p)))
+      case _ => (masked, None)
+    }
+
   private def extractWithFill(masked: String, lits: Seq[String])
       : (String, Option[LogicalPlan => LogicalPlan]) =
     withFillRe.findFirstMatchIn(masked) match {
@@ -796,8 +813,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       try extractLimitBy(m0, lits) catch { case _: Exception => (m0, None) }
     val (m2, fillWrap) =
       try extractWithFill(m1, lits) catch { case _: Exception => (m1, None) }
+    val (m2t, tiesWrap) =
+      try extractLimitTies(m2) catch { case _: Exception => (m2, None) }
     val (m3, sampleWrap) =
-      try extractSample(m2) catch { case _: Exception => (m2, None) }
+      try extractSample(m2t) catch { case _: Exception => (m2t, None) }
     val (m4, finalWrap) =
       try extractFinal(m3) catch { case _: Exception => (m3, None) }
     val (m4a, asofWrap) =
@@ -836,7 +855,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val finalText = unmaskLiterals(rewritten, lits)
     if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&
       sampleWrap.isEmpty && finalWrap.isEmpty && asofWrap.isEmpty &&
-      anyWrap.isEmpty) None
+      anyWrap.isEmpty && tiesWrap.isEmpty) None
     else Some(Rewritten(finalText, plan => {
       // final innermost (compaction applies at the relation before
       // anything else reads it), then asof/any (their Joins sit above
@@ -847,7 +866,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       val anyJ = anyWrap.fold(asf)(w => w(asf))
       val sp = sampleWrap.fold(anyJ)(w => w(anyJ))
       val f = fillWrap.fold(sp)(w => w(sp))
-      lbWrap.fold(f)(w => w(f))
+      val lb = lbWrap.fold(f)(w => w(f))
+      tiesWrap.fold(lb)(w => w(lb))
     }))
   }
 

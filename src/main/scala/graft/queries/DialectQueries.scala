@@ -1692,6 +1692,36 @@ object DialectQueries {
       FROM generate_series(0, 99) AS t(n)
       GROUP BY 1 ORDER BY g"""))
 
+  // `LIMIT n WITH TIES` over a tie-heavy ranking (per-user event
+  // counts): the verbatim clause expands to the nth-key boundary
+  // filter — never a global rank window. The outer orderBy is
+  // presentation-only (ties are unordered within the clause's single
+  // sort axis; the compare needs a total order).
+  val q133ChLimitTies = QueryDef(
+    "q133_ch_limit_ties",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v133")
+      s.sql("""
+        SELECT user_id, toInt64(count(1)) AS cnt
+        FROM events_v133
+        GROUP BY user_id
+        ORDER BY cnt DESC
+        LIMIT 10 WITH TIES""")
+        .orderBy(col("cnt").desc, col("user_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, CAST(count(1) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+      ), m AS (
+        SELECT min(cnt) AS b
+        FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10)
+      )
+      SELECT c.user_id, c.cnt FROM c, m
+      WHERE c.cnt >= m.b
+      ORDER BY cnt DESC, user_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1703,5 +1733,6 @@ object DialectQueries {
       q91ChFinalSql, q92ChDictFuncs, q94ChWindowSql, q98ChDdlWorkflow,
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
       q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith,
-      q127ChUrlDecode, q129ChWeightedAggs, q130ChAnyJoin, q132ChNumbers)
+      q127ChUrlDecode, q129ChWeightedAggs, q130ChAnyJoin, q132ChNumbers,
+      q133ChLimitTies)
 }

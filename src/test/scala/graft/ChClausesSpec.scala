@@ -265,6 +265,31 @@ class ChClausesSpec extends SparkSpec {
     assert(anti == Seq(1L))
   }
 
+  test("LIMIT WITH TIES: nth-key boundary, both directions, null groups") {
+    Seq((1, 10), (2, 20), (3, 20), (4, 30), (5, 40))
+      .toDF("id", "v").createOrReplaceTempView("ties_t")
+    val asc = spark.sql(
+      "SELECT id, v FROM ties_t ORDER BY v LIMIT 2 WITH TIES")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(asc == Set((1, 10), (2, 20), (3, 20))) // 20 ties in
+    val desc = spark.sql(
+      "SELECT id, v FROM ties_t ORDER BY v DESC LIMIT 3 WITH TIES")
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(desc == Seq(20, 20, 30, 40))
+    // nulls-last (desc default) never leak through a non-null boundary
+    Seq((1, Some(5)), (2, Some(3)), (3, None), (4, None))
+      .toDF("id", "v").createOrReplaceTempView("ties_n")
+    val dn = spark.sql(
+      "SELECT id FROM ties_n ORDER BY v DESC LIMIT 1 WITH TIES")
+      .collect().map(_.getInt(0)).toSeq
+    assert(dn == Seq(1))
+    // nulls-first (asc default): the null GROUP ties as a unit
+    val an = spark.sql(
+      "SELECT id FROM ties_n ORDER BY v LIMIT 1 WITH TIES")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(an == Seq(3, 4))
+  }
+
   test("FINAL inside a subquery expression is reachable") {
     finalFixture("fin_sub")
     val n = spark.sql("""
