@@ -1109,6 +1109,97 @@ object PipelineQueries {
       FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
 
   // ---------------------------------------------------------------------
+  // The training-data ASSEMBLY line in one statement: temperature
+  // mixture plan → epoch-0 materialization (broadcast plan, map-side
+  // hash draw) → overlapping chunks (Generate, no shuffle) → budget
+  // packing (shard-local prefix sums). Four operators, one oracle —
+  // the DuckDB replay chains every stage's arithmetic, so the
+  // composition is the compared surface, not the pieces. The only
+  // shuffles in the whole line: the strata-sized plan aggregate and
+  // the final shard-keyed prefix-sum/summary.
+  val q134MixPackPipeline = QueryDef(
+    "q134_mix_pack_pipeline",
+    (s, dir) => {
+      import graft.operators.{Mix, Pack}
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          text.tokenize(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+      val budget = docs.agg(coalesce(sum(col("n_tok")), lit(0L)))
+        .head().getLong(0) / 2
+      val plan = Mix.epochPlan(docs, "lang", "n_tok", alpha = 0.5, budget)
+      val epoch0 = Mix.materializeEpoch(docs, "lang", "doc_id", plan, 0)
+      val chunks = Pack.chunkOverlap(epoch0, "doc_id", "toks",
+          window = 32, stride = 24)
+        .withColumn("chunk_uid", col("doc_id") * 1000 + col("chunk_idx"))
+      val packed = Pack.packBudgeted(chunks, "chunk_uid",
+        "n_chunk_tokens", budget = 256L, shards = 4)
+      Pack.packSummary(packed, "n_chunk_tokens", 256L)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("bins"),
+          sum(col("docs")).cast("long").as("chunks"),
+          sum(col("tokens")).cast("long").as("tokens"),
+          round(avg(col("fill")), 4).as("avg_fill"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), d AS (
+        SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM t
+      ), m AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS measure FROM d GROUP BY lang
+      ), w AS (
+        SELECT lang, measure,
+               round(pow(measure, 0.5) / sum(pow(measure, 0.5)) OVER (), 6)
+                 AS weight
+        FROM m
+      ), b AS (
+        SELECT CAST(sum(measure) // 2 AS BIGINT) AS budget FROM m
+      ), p AS (
+        SELECT lang,
+               round(CAST(round(weight * budget) AS BIGINT)
+                     / CAST(measure AS DOUBLE), 6) AS epochs
+        FROM w CROSS JOIN b
+      ), e AS (
+        SELECT d.doc_id, d.toks, d.n
+        FROM d JOIN p ON d.lang = p.lang
+        WHERE 0 < floor(epochs)
+           OR (0 = floor(epochs) AND
+               ((d.doc_id % 65536) * 2654435761) % 4294967296
+                 < CAST((epochs - floor(epochs)) * 4294967296 AS BIGINT))
+      ), g AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0,
+                 greatest(least(n - 32 + 24 - 1, n - 1), 0), 24)) AS st
+        FROM e WHERE n > 0
+      ), ch AS (
+        SELECT CAST(doc_id * 1000 + st // 24 AS BIGINT) AS chunk_uid,
+               CAST(least(st + 32, n) - st AS BIGINT) AS n_chunk_tokens
+        FROM g
+      ), pk AS (
+        SELECT chunk_uid % 4 AS shard, n_chunk_tokens,
+               CAST(floor(coalesce(sum(n_chunk_tokens) OVER (
+                 PARTITION BY chunk_uid % 4 ORDER BY chunk_uid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / 256.0) AS BIGINT) AS bin
+        FROM ch
+      ), sm AS (
+        SELECT shard, bin, count(1) AS docs, sum(n_chunk_tokens) AS toks
+        FROM pk GROUP BY 1, 2
+      )
+      SELECT shard, CAST(count(1) AS BIGINT) AS bins,
+             CAST(sum(docs) AS BIGINT) AS chunks,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             round(avg(round(toks / 256.0, 6)), 4) AS avg_fill
+      FROM sm GROUP BY shard ORDER BY shard"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // X56 BPE tokenizer training, round-1 surface: the weighted
   // adjacent-pair counts over the word table (chars + </w>), the
   // argmax candidate set of a merge round. The corpus is scanned once
@@ -1490,5 +1581,5 @@ object PipelineQueries {
     q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,
     q115LmQuality, q116BudgetSelect, q118EpochPlan, q123SemanticDedup,
     q124ChunkOverlap, q125EpochMaterialize, q126ChunkRetrieval,
-    q131BpePairCounts)
+    q131BpePairCounts, q134MixPackPipeline)
 }
