@@ -431,6 +431,63 @@ object ch {
   def multiSearchAny(h: Column, needles: Column): Column =
     coalesce(exists(needles, x => h.contains(x)), lit(false)).cast("long")
 
+  /** Character n-grams of a string (1-based substrings, length-n
+    * windows) — the unit set of the fuzzy-match family below. Empty
+    * when the string is shorter than n.
+    */
+  def charNgrams(s: Column, n: Int): Column =
+    // explicit short-string guard: sequence(1, 0) would DESCEND
+    // (Spark auto-negates the step), yielding phantom grams
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
+        i => substring(s, i, lit(n))))
+
+  /** Multiset n-gram count map of a string. */
+  private def ngramCountMap(s: Column, n: Int): Column =
+    aggregate(charNgrams(s, n),
+      map_from_arrays(array().cast("array<string>"),
+        array().cast("array<long>")),
+      (acc, g) => map_zip_with(acc, map(g, lit(1L)),
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+
+  /** Multiset overlap `Σ min(count_a(g), count_b(g))` — the shared
+    * n-gram mass. `|symdiff| = na + nb − 2·overlap`, which is the
+    * identity the distance below and its SQL oracles both use.
+    */
+  private def ngramOverlap(a: Column, b: Column, n: Int): Column = {
+    val cb = ngramCountMap(b, n)
+    aggregate(map_entries(ngramCountMap(a, n)), lit(0L), (acc, e) =>
+      acc + least(e.getField("value"),
+        coalesce(element_at(cb, e.getField("key")), lit(0L))))
+  }
+
+  /** CH `ngramDistance(a, b)`: multiset symmetric difference of the
+    * two strings' 4-grams over the total gram mass —
+    * `(na + nb − 2·overlap) / (na + nb)` in [0, 1]; 0 when both are
+    * gramless (too short / empty), 1 when exactly one is. Unlike CH
+    * the grams are true substrings, not hashes — same metric, no
+    * hash-collision noise, replayable in any SQL engine.
+    */
+  def ngramDistance(a: Column, b: Column, n: Int = 4): Column = {
+    val na = size(charNgrams(a, n)).cast("double")
+    val nb = size(charNgrams(b, n)).cast("double")
+    when(na + nb === 0, lit(0.0))
+      .when(na * nb === 0, lit(1.0))
+      .otherwise(lit(1.0) -
+        (lit(2.0) * ngramOverlap(a, b, n)) / (na + nb))
+  }
+
+  /** CH `ngramSearch(haystack, needle)`: the fraction of the
+    * needle's 4-gram mass present in the haystack (multiset min) —
+    * 1.0 is a full fuzzy hit, 0.0 no shared grams; a gramless needle
+    * scores 0. Asymmetric by design, like CH.
+    */
+  def ngramSearch(h: Column, needle: Column, n: Int = 4): Column = {
+    val nn = size(charNgrams(needle, n)).cast("double")
+    when(nn === 0, lit(0.0))
+      .otherwise(ngramOverlap(needle, h, n) / nn)
+  }
+
   /** CH `IPv4NumToString(n)`: dotted-quad text from a UInt32 address
     * (the hits/visits ClientIP column shape, ddl/hits.sql:16) — pure
     * shift/mask/concat, fully codegen'd.

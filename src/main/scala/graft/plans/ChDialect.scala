@@ -692,6 +692,10 @@ object ChDialect {
         args(1), if (args.length >= 3) args(2) else Literal(" "))),
     "countSubstrings" -> (args =>
       ex(ch.countSubstrings(col(args.head), col(args(1))))),
+    "ngramDistance" -> (args =>
+      ex(ch.ngramDistance(col(args.head), col(args(1))))),
+    "ngramSearch" -> (args =>
+      ex(ch.ngramSearch(col(args.head), col(args(1))))),
     "multiSearchAny" -> (args =>
       ex(ch.multiSearchAny(col(args.head), col(args(1))))),
     // IPv4 vocabulary over the ClientIP UInt32 shape (ddl/hits.sql:16).

@@ -1722,6 +1722,60 @@ object DialectQueries {
       WHERE c.cnt >= m.b
       ORDER BY cnt DESC, user_id"""))
 
+  // Fuzzy text matching over the corpus: ngramSearch scores each
+  // document's head against a needle (multiset 4-gram containment —
+  // the SearchPhrase / typo-tolerant-filter idiom). The oracle
+  // replays the identity the implementation uses: overlap =
+  // Σ min(needle count, haystack count), via a gram join.
+  val q135ChNgramSearch = QueryDef(
+    "q135_ch_ngram_search",
+    (s, dir) => {
+      Graft.table(s, dir, "documents")
+        .createOrReplaceTempView("docs_v135")
+      s.sql("""
+        SELECT lang,
+               round(avg(round(ngramSearch(
+                 substring(lower(trim(text)), 1, 100), 'the data'),
+                 6)), 4) AS avg_score,
+               toInt64(countIf(round(ngramSearch(
+                 substring(lower(trim(text)), 1, 100), 'the data'),
+                 6) >= 0.3)) AS hits,
+               toInt64(count(1)) AS n
+        FROM docs_v135 GROUP BY lang ORDER BY lang""")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id, lang,
+               substr(lower(trim(text)), 1, 100) AS h
+        FROM documents
+      ), hg AS (
+        SELECT doc_id, g, CAST(count(1) AS BIGINT) AS c
+        FROM (SELECT doc_id, substr(h, i, 4) AS g
+              FROM (SELECT doc_id, h,
+                      unnest(generate_series(1,
+                        greatest(length(h) - 3, 0))) AS i
+                    FROM s))
+        GROUP BY doc_id, g
+      ), ng AS (
+        SELECT g, CAST(count(1) AS BIGINT) AS c
+        FROM (SELECT substr('the data', i, 4) AS g
+              FROM generate_series(1, 5) AS t(i))
+        GROUP BY g
+      ), nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ng),
+      ov AS (
+        SELECT hg.doc_id, sum(least(ng.c, hg.c)) AS o
+        FROM hg JOIN ng USING (g) GROUP BY hg.doc_id
+      ), sc AS (
+        SELECT s.lang,
+               round(coalesce(ov.o, 0) / nn.n, 6) AS score
+        FROM s LEFT JOIN ov USING (doc_id) CROSS JOIN nn
+      )
+      SELECT lang, round(avg(score), 4) AS avg_score,
+             CAST(sum(CASE WHEN score >= 0.3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits,
+             CAST(count(1) AS BIGINT) AS n
+      FROM sc GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1734,5 +1788,5 @@ object DialectQueries {
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
       q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith,
       q127ChUrlDecode, q129ChWeightedAggs, q130ChAnyJoin, q132ChNumbers,
-      q133ChLimitTies)
+      q133ChLimitTies, q135ChNgramSearch)
 }

@@ -868,6 +868,26 @@ class ChDialectSpec extends SparkSpec {
     assert(rows == Set(("1", 4L), ("2", 7L), ("0", 9L), (null, 20L)))
   }
 
+  test("ngramDistance / ngramSearch: multiset 4-gram fuzzy matching") {
+    val r = spark.sql("""
+      SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
+             ngramDistance('clickhouse', 'clickhome') AS near,
+             ngramDistance('abc', 'xy') AS both_gramless,
+             ngramDistance('abcd', 'xyz') AS one_gramless,
+             ngramSearch('the quick brown fox', 'quick') AS hit,
+             ngramSearch('the quick brown fox', 'zebra') AS miss,
+             ngramSearch('aba', 'abab') AS partial
+    """).collect().head
+    assert(r.getDouble(0) == 0.0)
+    // clickhouse: 7 grams, clickhome: 6, shared 4 → 1 − 8/13
+    assert(math.abs(r.getDouble(1) - 5.0 / 13) < 1e-9)
+    assert(r.getDouble(2) == 0.0) // both too short: distance 0
+    assert(r.getDouble(3) == 1.0) // exactly one gramless: distance 1
+    assert(r.getDouble(4) == 1.0) // every needle gram present
+    assert(r.getDouble(5) == 0.0)
+    assert(r.getDouble(6) == 0.0) // gramless haystack shares nothing
+  }
+
   test("numbers() table function, FORMAT tail, trailing semicolon") {
     val r = spark.sql("""
       SELECT number, number * 2 AS dbl
