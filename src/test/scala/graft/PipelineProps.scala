@@ -109,4 +109,73 @@ object PipelineProps extends Properties("pipeline") {
         got.zip(want).forall { case (g, e) => math.abs(g - e) < 1e-9 }
       ok :| s"got=$got want=$want topV=$topV"
     }
+
+  property("chunkOverlap equals the naive per-doc reference") =
+    Prop.forAll(Gen.choose(0, 20), Gen.choose(1, 6), Gen.choose(1, 6)) {
+      (nToks, window0, stride0) =>
+      val (window, stride) =
+        (math.max(window0, stride0), math.min(window0, stride0))
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val toks = (0 until nToks).map(i => s"t$i")
+      val got = graft.operators.Pack
+        .chunkOverlap(Seq((1L, toks)).toDF("id", "toks"), "id", "toks",
+          window, stride)
+        .select($"chunk_start", $"chunk_text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      // reference: grid starts while a chunk still adds a new token
+      val want = Iterator.from(0, stride)
+        .takeWhile(s => s == 0 && nToks > 0 ||
+          (s < nToks - window + stride && s < nToks))
+        .map(s => (s.toLong,
+          toks.slice(s, math.min(s + window, nToks)).mkString(" ")))
+        .toSeq
+      (got == want) :| s"got=$got want=$want w=$window s=$stride n=$nToks"
+    }
+
+  property("BPE mergeSymbols equals the greedy Scala fold") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c")),
+      Gen.oneOf("a", "b"), Gen.oneOf("a", "c")) { (syms, a, b) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val got = Seq(Tuple1(syms)).toDF("symbols")
+        .select(graft.operators.Bpe.mergeSymbols($"symbols", a, b))
+        .as[Seq[String]].head()
+      val want = syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b)
+          acc.init :+ (a + b)
+        else acc :+ s
+      }
+      (got == want) :| s"got=$got want=$want syms=$syms pair=($a,$b)"
+    }
+
+  property("ngramDistance/Search equal the multiset reference") =
+    Prop.forAll(Gen.alphaLowerStr.map(_.take(12)),
+      Gen.alphaLowerStr.map(_.take(12))) { (x, y) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      import graft.functions.ch
+      val r = Seq((x, y)).toDF("a", "b")
+        .select(ch.ngramDistance($"a", $"b"), ch.ngramSearch($"a", $"b"))
+        .collect().head
+      def grams(s: String) =
+        if (s.length < 4) Nil
+        else (0 to s.length - 4).map(i => s.substring(i, i + 4))
+      def counts(s: String) = grams(s).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val (ca, cb) = (counts(x), counts(y))
+      val (na, nb) = (grams(x).size, grams(y).size)
+      val overlap = ca.map { case (g, c) =>
+        math.min(c, cb.getOrElse(g, 0L)) }.sum
+      val wantDist =
+        if (na + nb == 0) 0.0
+        else if (na == 0 || nb == 0) 1.0
+        else 1.0 - 2.0 * overlap / (na + nb)
+      val wantSearch = if (nb == 0) 0.0 else overlap.toDouble / nb
+      val ok = math.abs(r.getDouble(0) - wantDist) < 1e-9 &&
+        math.abs(r.getDouble(1) - wantSearch) < 1e-9
+      ok :| s"got=(${r.getDouble(0)},${r.getDouble(1)}) " +
+        s"want=($wantDist,$wantSearch) x=$x y=$y"
+    }
 }
