@@ -492,6 +492,37 @@ object Dedup {
     * embedding payloads. Returns the surviving rows of `vecs`
     * unchanged.
     */
+  /** Incremental [[semanticDedup]]: which BATCH rows survive against
+    * an already-deduplicated HISTORY plus the batch itself. A batch
+    * row is dropped iff a history row shares its cell above the
+    * threshold (history always wins — it was there first), or a
+    * lower-id batch row does. Candidates form only through the cell
+    * equi-join on both legs; history ships (id, cell, vector) — at
+    * 100 TB the history leg is the ANN-index shape, prunable by cell
+    * partition exactly like `annTopKFromIndex`. The [[incrementalDedup]]
+    * contract, semantic edition: batch-sized output, arrival-order
+    * deterministic.
+    */
+  def incrementalSemanticDedup(batch: DataFrame, history: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      cell: Column): DataFrame = {
+    import graft.operators.Similarity.{dot, norm}
+    val b = batch.select(col(idCol).as("__isd_b"),
+      col(vecCol).as("__isd_bv"), norm(col(vecCol)).as("__isd_bn"),
+      cell.as("__isd_cell"))
+    val h = history.select(col(vecCol).as("__isd_hv"),
+      norm(col(vecCol)).as("__isd_hn"), cell.as("__isd_cell"))
+    val simH = when(col("__isd_bn") > 0 && col("__isd_hn") > 0,
+      dot(col("__isd_bv"), col("__isd_hv")) /
+        (col("__isd_bn") * col("__isd_hn"))).otherwise(lit(0.0))
+    val histVictims = b.join(h, "__isd_cell")
+      .filter(simH >= threshold)
+      .select(col("__isd_b").as(idCol))
+      .distinct()
+    semanticDedup(batch, idCol, vecCol, threshold, cell)
+      .join(histVictims, Seq(idCol), "left_anti")
+  }
+
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cell: Column): DataFrame = {
     import graft.operators.Similarity.{dot, norm}

@@ -1571,7 +1571,56 @@ object PipelineQueries {
       ORDER BY e.vec_id"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // Incremental semantic dedup (q46's store-backed contract, semantic
+  // edition): the batch survives against the deduplicated history —
+  // history always wins, then lowest-id-wins within the batch. Same
+  // embedded-hyperplane oracle structure as q123, with the history
+  // precedence as a second victim leg.
+  val q136IncSemanticDedup = QueryDef(
+    "q136_inc_semantic_dedup",
+    (s, dir) => {
+      val all = Graft.table(s, dir, "embeddings")
+      val history = all.filter(col("vec_id") < 300)
+      val batch = all.filter(col("vec_id") >= 300)
+      Dedup.incrementalSemanticDedup(batch, history,
+          "vec_id", "embedding", threshold = 0.46,
+          Similarity.annBucket(col("embedding"), nBits = 4))
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH planes(h, signs) AS (VALUES
+        ${hyperplaneSignsSql(nBits = 4, dim = 64)}),
+      v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), b AS (
+        SELECT v.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(v.e, p.signs) >= 0 THEN 1 ELSE 0 END
+                        * (CASE p.h WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+                    AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id
+      ), pair AS (
+        SELECT x.vec_id AS a, y.vec_id AS bb
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        JOIN v vx ON vx.vec_id = x.vec_id
+        JOIN v vy ON vy.vec_id = y.vec_id
+        WHERE (CASE WHEN vx.n > 0 AND vy.n > 0
+                    THEN list_dot_product(vx.e, vy.e) / (vx.n * vy.n)
+                    ELSE 0.0 END) >= 0.46
+      ), victims AS (
+        SELECT DISTINCT a AS vec_id FROM pair
+        WHERE a >= 300 AND (bb < 300 OR (bb >= 300 AND bb < a))
+      )
+      SELECT e.vec_id, e.label FROM embeddings e
+      WHERE e.vec_id >= 300
+        AND e.vec_id NOT IN (SELECT vec_id FROM victims)
+      ORDER BY e.vec_id"""))
+
   val defs: Seq[QueryDef] = Seq(
+    q136IncSemanticDedup,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,

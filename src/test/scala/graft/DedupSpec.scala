@@ -230,6 +230,30 @@ class DedupSpec extends SparkSpec {
       "group minima and the lone vector always survive")
   }
 
+  test("incrementalSemanticDedup: history wins, then lowest batch id") {
+    import graft.operators.Similarity
+    // history holds the x-direction; the batch redelivers it (21, 22)
+    // and brings a new z-direction pair (31 dup of 30)
+    val history = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (21L, Seq(0.999f, 0.03f, 0.0f)), // ~history: dropped
+      (22L, Seq(0.998f, -0.05f, 0.0f)), // ~history too: dropped
+      (30L, Seq(0.0f, 0.0f, 1.0f)), // new direction: survives
+      (31L, Seq(0.0f, 0.04f, 0.999f))) // ~30, higher id: dropped
+      .toDF("vec_id", "embedding")
+    val got = Dedup.incrementalSemanticDedup(batch, history,
+        "vec_id", "embedding", threshold = 0.95,
+        Similarity.annBucket($"embedding", 4))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(30L))
+    // empty history degenerates to plain semanticDedup
+    val noHist = Dedup.incrementalSemanticDedup(batch,
+        history.limit(0), "vec_id", "embedding", 0.95,
+        Similarity.annBucket($"embedding", 4))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(noHist == Set(21L, 30L))
+  }
+
   test("semanticDedup: zero-norm vectors never count as duplicates") {
     import graft.operators.Similarity
     val vecs = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)))

@@ -140,4 +140,18 @@ class ParamsSpec extends SparkSpec {
       java.nio.file.Paths.get("/root/reference/README.md")))
     assert(raw.contains("{{interval_from}}"))
   }
+
+  test("placeholders compose with scalar WITH in one statement") {
+    // DataLens substitution runs FIRST, then the scalar-WITH macro
+    // expansion sees the substituted value — a chart text can bind a
+    // parameter to an alias and reuse it across clauses
+    graft.plans.QueryParams.set("thr", "2")
+    val rows = spark.sql("""
+      WITH {{thr}} AS lo, lo * 10 AS hi
+      SELECT v, v * hi AS scaled
+      FROM VALUES (1), (2), (3) AS t(v)
+      WHERE v >= lo
+      ORDER BY v""").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((2, 40), (3, 60)))
+  }
 }
