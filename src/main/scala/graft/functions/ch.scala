@@ -453,13 +453,16 @@ object ch {
   /** Multiset overlap `Σ min(count_a(g), count_b(g))` — the shared
     * n-gram mass. `|symdiff| = na + nb − 2·overlap`, which is the
     * identity the distance below and its SQL oracles both use.
+    * `b`'s count map binds ONCE through a one-element transform (the
+    * bindOnce discipline): inlined into the fold lambda it would
+    * rebuild per needle gram — O(ga·gb²) per row instead of
+    * O(ga+gb²).
     */
-  private def ngramOverlap(a: Column, b: Column, n: Int): Column = {
-    val cb = ngramCountMap(b, n)
-    aggregate(map_entries(ngramCountMap(a, n)), lit(0L), (acc, e) =>
-      acc + least(e.getField("value"),
-        coalesce(element_at(cb, e.getField("key")), lit(0L))))
-  }
+  private def ngramOverlap(a: Column, b: Column, n: Int): Column =
+    element_at(transform(array(ngramCountMap(b, n)), cb =>
+      aggregate(map_entries(ngramCountMap(a, n)), lit(0L), (acc, e) =>
+        acc + least(e.getField("value"),
+          coalesce(element_at(cb, e.getField("key")), lit(0L))))), 1)
 
   /** CH `ngramDistance(a, b)`: multiset symmetric difference of the
     * two strings' 4-grams over the total gram mass —

@@ -124,9 +124,14 @@ object url {
     * is protected as %2B before Spark's form-decoding url_decode
     * runs. The Metrica idiom for reading SearchPhrase / URL-parameter
     * values extracted raw by [[extractURLParameter]].
+    * Malformed percent-sequences ('100% cotton', a trailing '%') must
+    * not abort a 100 TB scan: try_url_decode yields NULL there and
+    * the value falls back to its raw form (CH keeps invalid
+    * sequences; the divergence — CH still decodes the valid ones in
+    * the same string — is documented, crash-free behavior wins).
     */
   def decodeURLComponent(u: Column): Column =
-    url_decode(regexp_replace(u, "\\+", "%2B"))
+    coalesce(try_url_decode(regexp_replace(u, "\\+", "%2B")), u)
 
   /** CH `cutWWW(url)`: the URL with one leading `www.` dropped from
     * its host (after the protocol and userinfo when present).

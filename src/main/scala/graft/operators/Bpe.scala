@@ -23,11 +23,6 @@ import graft.functions.text
   */
 object Bpe {
 
-  /** The word table: (symbols: array<string>, freq: long). Words are
-    * whitespace tokens split to characters plus the `</w>`
-    * end-of-word marker (the original formulation — the marker keeps
-    * word-final merges distinct from word-internal ones).
-    */
   /** Characters of a word plus the `</w>` marker — the untrained
     * base segmentation.
     */
@@ -35,6 +30,11 @@ object Bpe {
     concat(filter(split(word, ""), ch => length(ch) > 0),
       array(lit("</w>")))
 
+  /** The word table: (symbols: array<string>, freq: long). Words are
+    * whitespace tokens split to characters plus the `</w>`
+    * end-of-word marker (the original formulation — the marker keeps
+    * word-final merges distinct from word-internal ones).
+    */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(text.tokenize(col(s"`$textCol`"))).as("word"))
       .filter(length(col("word")) > 0)

@@ -473,6 +473,36 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Incremental [[semanticDedup]]: which BATCH rows survive against
+    * an already-deduplicated HISTORY plus the batch itself. A batch
+    * row is dropped iff a history row shares its cell above the
+    * threshold (history always wins — it was there first), or a
+    * lower-id batch row does. Candidates form only through the cell
+    * equi-join on both legs; history ships (id, cell, vector) — at
+    * 100 TB the history leg is the ANN-index shape, prunable by cell
+    * partition exactly like `annTopKFromIndex`. The [[incrementalDedup]]
+    * contract, semantic edition: batch-sized output, arrival-order
+    * deterministic.
+    */
+  def incrementalSemanticDedup(batch: DataFrame, history: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      cell: Column): DataFrame = {
+    import graft.operators.Similarity.norm
+    val b = batch.select(col(idCol).as("__isd_b"),
+      col(vecCol).as("__isd_bv"), norm(col(vecCol)).as("__isd_bn"),
+      cell.as("__isd_cell"))
+    val h = history.select(col(vecCol).as("__isd_hv"),
+      norm(col(vecCol)).as("__isd_hn"), cell.as("__isd_cell"))
+    val simH = Similarity.guardedSim(col("__isd_bv"), col("__isd_hv"),
+      col("__isd_bn"), col("__isd_hn"))
+    val histVictims = b.join(h, "__isd_cell")
+      .filter(simH >= threshold)
+      .select(col("__isd_b").as(idCol))
+      .distinct()
+    semanticDedup(batch, idCol, vecCol, threshold, cell)
+      .join(histVictims, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic near-dedup (Abbas et al. 2023 — embed,
     * cluster, prune within clusters): rows whose embeddings land in
     * the same cell and whose cosine similarity clears `threshold` are
@@ -492,51 +522,19 @@ object Dedup {
     * embedding payloads. Returns the surviving rows of `vecs`
     * unchanged.
     */
-  /** Incremental [[semanticDedup]]: which BATCH rows survive against
-    * an already-deduplicated HISTORY plus the batch itself. A batch
-    * row is dropped iff a history row shares its cell above the
-    * threshold (history always wins — it was there first), or a
-    * lower-id batch row does. Candidates form only through the cell
-    * equi-join on both legs; history ships (id, cell, vector) — at
-    * 100 TB the history leg is the ANN-index shape, prunable by cell
-    * partition exactly like `annTopKFromIndex`. The [[incrementalDedup]]
-    * contract, semantic edition: batch-sized output, arrival-order
-    * deterministic.
-    */
-  def incrementalSemanticDedup(batch: DataFrame, history: DataFrame,
-      idCol: String, vecCol: String, threshold: Double,
-      cell: Column): DataFrame = {
-    import graft.operators.Similarity.{dot, norm}
-    val b = batch.select(col(idCol).as("__isd_b"),
-      col(vecCol).as("__isd_bv"), norm(col(vecCol)).as("__isd_bn"),
-      cell.as("__isd_cell"))
-    val h = history.select(col(vecCol).as("__isd_hv"),
-      norm(col(vecCol)).as("__isd_hn"), cell.as("__isd_cell"))
-    val simH = when(col("__isd_bn") > 0 && col("__isd_hn") > 0,
-      dot(col("__isd_bv"), col("__isd_hv")) /
-        (col("__isd_bn") * col("__isd_hn"))).otherwise(lit(0.0))
-    val histVictims = b.join(h, "__isd_cell")
-      .filter(simH >= threshold)
-      .select(col("__isd_b").as(idCol))
-      .distinct()
-    semanticDedup(batch, idCol, vecCol, threshold, cell)
-      .join(histVictims, Seq(idCol), "left_anti")
-  }
-
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cell: Column): DataFrame = {
-    import graft.operators.Similarity.{dot, norm}
+    import graft.operators.Similarity.norm
     val a = vecs.select(col(idCol).as("__sd_a"),
       col(vecCol).as("__sd_av"), norm(col(vecCol)).as("__sd_an"),
       cell.as("__sd_cell"))
     val b = vecs.select(col(idCol).as("__sd_b"),
       col(vecCol).as("__sd_bv"), norm(col(vecCol)).as("__sd_bn"),
       cell.as("__sd_cell"))
-    // zero-norm guard mirrors Similarity.guardedSim: degenerate
-    // vectors read sim 0 and never count as duplicates
-    val sim = when(col("__sd_an") > 0 && col("__sd_bn") > 0,
-      dot(col("__sd_av"), col("__sd_bv")) /
-        (col("__sd_an") * col("__sd_bn"))).otherwise(lit(0.0))
+    // ONE scoring definition engine-wide: the zero-norm-guarded
+    // cosine every similarity operator routes through
+    val sim = Similarity.guardedSim(col("__sd_av"), col("__sd_bv"),
+      col("__sd_an"), col("__sd_bn"))
     val victims = a.join(b, "__sd_cell")
       .filter(col("__sd_a") < col("__sd_b"))
       .filter(sim >= threshold)

@@ -47,7 +47,7 @@ object Similarity {
     * definition so tie-break/guard changes cannot diverge between the
     * inline, indexed and pair variants.
     */
-  private def guardedSim(v: Column, p: Column, vn: Column, pn: Column): Column =
+  private[graft] def guardedSim(v: Column, p: Column, vn: Column, pn: Column): Column =
     when(vn > 0 && pn > 0, dot(v, p) / (vn * pn)).otherwise(lit(0.0))
 
   /** Exact top-k neighbors per probe: broadcast the (small) probe set

@@ -180,21 +180,31 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.functions.{max, min}
     val limited = ofRows(spark,
       GlobalLimit(Literal(n), LocalLimit(Literal(n), sort)))
-    val boundary = limited
-      .agg(if (ord.direction == Ascending) max(keyCol) else min(keyCol))
-      .collect().head.get(0)
+    import org.apache.spark.sql.functions.count
+    val bRow = limited
+      .agg(if (ord.direction == Ascending) max(keyCol) else min(keyCol),
+        count(keyCol), count(org.apache.spark.sql.functions.lit(1)))
+      .collect().head
+    val boundary = bRow.get(0)
+    // whether the n-prefix reached into the NULL group: under
+    // nulls-last a non-null boundary alone cannot tell (max/min
+    // ignore nulls), so the row counts carry the signal
+    val prefixHasNull = bRow.getLong(1) < bRow.getLong(2)
     val bLit = Literal.create(boundary, ord.child.dataType)
     val cmp =
       if (ord.direction == Ascending) LessThanOrEqual(ord.child, bLit)
       else GreaterThanOrEqual(ord.child, bLit)
     // NULL keys follow the sort's null placement: nulls-first means
     // any non-null boundary sits past the whole null group, so nulls
-    // always pass; nulls-last means nulls pass only when the prefix
-    // never reached a non-null key (boundary null)
+    // always pass; nulls-last means the null group ties in only when
+    // the prefix actually reached it (its last row is null — the
+    // whole group is then the tie), detected via the counts above
     val cond = ord.nullOrdering match {
       case NullsFirst => Or(IsNull(ord.child), cmp)
       case NullsLast =>
-        if (boundary == null) IsNull(ord.child) else cmp
+        if (boundary == null) IsNull(ord.child)
+        else if (prefixHasNull) Or(IsNull(ord.child), cmp)
+        else cmp
     }
     rebuild(sort.copy(child = Filter(cond, sort.child)))
   }
@@ -215,6 +225,8 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
       s"ANY JOIN: expected exactly one join in scope, found " +
         s"${joins.length} — stage other joins through views")
     child.transformUpWithSubqueries {
+      case Join(_, _, _, None, _) => throw new IllegalArgumentException(
+        "ANY JOIN needs an ON condition with equality conjuncts")
       case j @ Join(l, r, joinType, Some(cond), _) =>
         joinType match {
           case org.apache.spark.sql.catalyst.plans.Inner |

@@ -372,14 +372,19 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // marker. Like FINAL, `t ANY LEFT JOIN u` is VALID Spark (alias
   // `t AS ANY` + plain join) — silent wrong meaning, so these shapes
   // pre-rewrite.
+  // RIGHT/FULL spellings are covered so they reach the rule's LOUD
+  // rejection (ANY) or strip as sugar (ALL = keep-all-matches, which
+  // IS the plain join for any direction) — otherwise `t ANY RIGHT
+  // JOIN u` silently aliases t AS ANY and runs with wrong
+  // multiplicity
   private val anyJoinPre =
-    """(?i)\bANY\s+(?=(?:LEFT\s+|INNER\s+)?JOIN\b)""".r
+    """(?i)\bANY\s+(?=(?:LEFT\s+|INNER\s+|RIGHT\s+|FULL\s+)?JOIN\b)""".r
   private val anyJoinPost =
-    """(?i)\b(LEFT|INNER)(\s+)ANY\s+(?=JOIN\b)""".r
+    """(?i)\b(LEFT|INNER|RIGHT|FULL)(\s+)ANY\s+(?=JOIN\b)""".r
   private val allJoinPre =
-    """(?i)\bALL\s+(?=(?:LEFT\s+|INNER\s+)?JOIN\b)""".r
+    """(?i)\bALL\s+(?=(?:LEFT\s+|INNER\s+|RIGHT\s+|FULL\s+)?JOIN\b)""".r
   private val allJoinPost =
-    """(?i)\b(LEFT|INNER)(\s+)ALL\s+(?=JOIN\b)""".r
+    """(?i)\b(LEFT|INNER|RIGHT|FULL)(\s+)ALL\s+(?=JOIN\b)""".r
   // CH spells semi/anti strictness BEFORE the direction (`SEMI LEFT
   // JOIN`); Spark wants `LEFT SEMI JOIN` — swap. Spark parses the CH
   // order as alias + plain LEFT JOIN (wrong meaning), so this is a
@@ -541,8 +546,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // generator with column `id`; the rewrite renames to CH's `number`.
   // The shape PARSES in Spark (an unresolved table-valued function,
   // failing at analysis, not parse), so it pre-rewrites like FINAL.
+  // the comma alternative must not demand a word boundary: in
+  // `FROM numbers(3), numbers(4)` the comma follows ')'
   private val numbersRe =
-    """(?i)\b(FROM|JOIN|,)(\s*)numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    """(?i)(\bFROM|\bJOIN|,)(\s*)numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
 
   private def rewriteNumbers(text: String): String =
     numbersRe.replaceAllIn(text, m => {

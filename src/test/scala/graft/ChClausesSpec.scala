@@ -290,6 +290,32 @@ class ChClausesSpec extends SparkSpec {
     assert(an == Seq(3, 4))
   }
 
+  test("LIMIT WITH TIES: nulls-last prefix reaching the null group ties it in") {
+    // review-pass regression: sorted desc prefix [5, 3, NULL] — the
+    // 3rd row is null, so the whole null group ties in (4 rows), even
+    // though the boundary aggregate itself only sees non-nulls
+    Seq((1, Some(5)), (2, Some(3)), (3, None: Option[Int]), (4, None))
+      .toDF("id", "v").createOrReplaceTempView("ties_np")
+    val got = spark.sql(
+      "SELECT id FROM ties_np ORDER BY v DESC LIMIT 3 WITH TIES")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(1, 2, 3, 4))
+  }
+
+  test("ANY RIGHT JOIN rejects loudly instead of aliasing silently") {
+    Seq(1L).toDF("k").createOrReplaceTempView("anyr_l")
+    Seq(1L).toDF("k").createOrReplaceTempView("anyr_r")
+    val e = intercept[Exception](spark.sql(
+      """SELECT * FROM anyr_l l ANY RIGHT JOIN anyr_r r ON l.k = r.k""")
+      .collect())
+    assert(e.getMessage.contains("ANY JOIN supports inner/left"))
+    // ALL RIGHT strips as sugar — keep-all-matches IS the plain join
+    val n = spark.sql(
+      """SELECT count(1) FROM anyr_l l ALL RIGHT JOIN anyr_r r
+         ON l.k = r.k""").collect().head.getLong(0)
+    assert(n == 1L)
+  }
+
   test("FINAL inside a subquery expression is reachable") {
     finalFixture("fin_sub")
     val n = spark.sql("""

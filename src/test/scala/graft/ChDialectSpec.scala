@@ -900,6 +900,12 @@ class ChDialectSpec extends SparkSpec {
     assert(off == (10L to 14L).sum)
     // a bare trailing semicolon alone also parses
     assert(spark.sql("SELECT 1 AS one;").collect().head.getInt(0) == 1)
+    // the CH cross-join idiom: a comma-adjacent numbers() (the comma
+    // follows ')', no word boundary) rewrites too
+    val cross = spark.sql("""
+      SELECT count(1) AS n FROM numbers(3), numbers(4);""")
+      .collect().head.getLong(0)
+    assert(cross == 12L)
   }
 
   test("arrayEnumerateUniq: 1-based occurrence index among equals") {

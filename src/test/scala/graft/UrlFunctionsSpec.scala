@@ -108,6 +108,15 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(r.getString(0) == "a b+c/d") // space decoded, plus untouched
     assert(r.getString(1) == "привет") // multibyte UTF-8 sequences
     assert(r.getString(2) == "")
+    // malformed percent-sequences fall back to the raw value — one
+    // bad row must never abort a corpus-wide scan
+    val bad = spark.sql("""
+      SELECT decodeURLComponent('100% cotton') AS a,
+             decodeURLComponent('q=%zz') AS b,
+             decodeURLComponent('tail%') AS c""").collect().head
+    assert(bad.getString(0) == "100% cotton")
+    assert(bad.getString(1) == "q=%zz")
+    assert(bad.getString(2) == "tail%")
   }
 
   test("cutWWW: one leading www. falls after protocol/userinfo only") {
