@@ -68,6 +68,33 @@ object ChDialect {
     ArrayAggregate(args(1), zero, merge, finish)
   }
 
+  /** CH addUnit/subtractUnit date arithmetic: calendar units on DATE inputs
+    * stay dates; day-time units — and ANY timestamp input — route
+    * through timestampadd so the time-of-day survives.
+    */
+  private def chAddUnit(unit: String, e: Expression,
+      n: Expression): Expression = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val calendarUnits = Set("WEEK", "MONTH", "QUARTER", "YEAR")
+    if (e.dataType == DateType && calendarUnits.contains(unit))
+      unit match {
+        case "WEEK" => ex(date_add(col(e), col(n) * 7))
+        case "MONTH" => ex(add_months(col(e), col(n)))
+        case "QUARTER" => ex(add_months(col(e), col(n) * 3))
+        case "YEAR" => ex(add_months(col(e), col(n) * 12))
+      }
+    else
+      // direct node: Spark's grammar special-cases timestampadd (bare
+      // unit keyword) before the registry, so call_function cannot
+      // reach it — the dateDiff trap class
+      org.apache.spark.sql.catalyst.expressions.TimestampAdd(unit,
+        ex(col(n).cast("int")), Cast(e, TimestampType))
+  }
+
+  private def chSubUnit(unit: String, e: Expression,
+      n: Expression): Expression =
+    chAddUnit(unit, e, ex(-col(n)))
+
   private def arrayElement(args: Seq[Expression]): Expression = {
     val elemType = args.head.dataType match {
       case ArrayType(t, _) => t
@@ -215,6 +242,43 @@ object ChDialect {
     "toSecond" -> (args => ex(second(col(args.head)).cast("long"))),
     "addDays" -> (args => ex(date_add(col(args.head), col(args(1))))),
     "subtractDays" -> (args => ex(date_sub(col(args.head), col(args(1))))),
+    // the rest of CH's add/subtract family: calendar units keep DATE
+    // inputs as dates (add_months arithmetic), day-time units and any
+    // TIMESTAMP input go through timestampadd so time-of-day survives
+    // (Spark's date_add/add_months would silently truncate it)
+    "addWeeks" -> (args => chAddUnit("WEEK", args.head, args(1))),
+    "addMonths" -> (args => chAddUnit("MONTH", args.head, args(1))),
+    "addQuarters" -> (args => chAddUnit("QUARTER", args.head, args(1))),
+    "addYears" -> (args => chAddUnit("YEAR", args.head, args(1))),
+    "addHours" -> (args => chAddUnit("HOUR", args.head, args(1))),
+    "addMinutes" -> (args => chAddUnit("MINUTE", args.head, args(1))),
+    "addSeconds" -> (args => chAddUnit("SECOND", args.head, args(1))),
+    "subtractWeeks" -> (args => chSubUnit("WEEK", args.head, args(1))),
+    "subtractMonths" -> (args => chSubUnit("MONTH", args.head, args(1))),
+    "subtractQuarters" -> (args =>
+      chSubUnit("QUARTER", args.head, args(1))),
+    "subtractYears" -> (args => chSubUnit("YEAR", args.head, args(1))),
+    "subtractHours" -> (args => chSubUnit("HOUR", args.head, args(1))),
+    "subtractMinutes" -> (args =>
+      chSubUnit("MINUTE", args.head, args(1))),
+    "subtractSeconds" -> (args =>
+      chSubUnit("SECOND", args.head, args(1))),
+    "toLastDayOfMonth" -> (args => ex(last_day(col(args.head)))),
+    // timeSlot: CH's 30-minute bucket (the session-slot unit)
+    "timeSlot" -> (args => {
+      val us = unix_micros(col(Cast(args.head,
+        org.apache.spark.sql.types.TimestampType)))
+      ex(timestamp_micros(us - pmod(us, lit(1800L * 1000000))))
+    }),
+    // days/hours since epoch — CH's relative calendar counters
+    "toRelativeDayNum" -> (args => ex(floor(
+      unix_seconds(col(Cast(args.head,
+        org.apache.spark.sql.types.TimestampType))).cast("double")
+        / 86400).cast("long"))),
+    "toRelativeHourNum" -> (args => ex(floor(
+      unix_seconds(col(Cast(args.head,
+        org.apache.spark.sql.types.TimestampType))).cast("double")
+        / 3600).cast("long"))),
     // toDateTime: CH's to-timestamp cast — strings parse, integers are
     // UNIX SECONDS (Spark's long→timestamp cast shares that reading)
     "toDateTime" -> (args => Cast(args.head,
@@ -692,6 +756,57 @@ object ChDialect {
         args(1), if (args.length >= 3) args(2) else Literal(" "))),
     "countSubstrings" -> (args =>
       ex(ch.countSubstrings(col(args.head), col(args(1))))),
+    // whitespace/letter tokenizers (CH's splitter family companions
+    // of splitByChar/splitByString above)
+    "splitByWhitespace" -> (args => ex(
+      filter(split(col(args.head), "\\s+"), x => length(x) > 0))),
+    "alphaTokens" -> (args => ex(
+      regexp_extract_all(col(args.head), lit("[A-Za-z]+"), lit(0)))),
+    "concatWithSeparator" -> (args => ex(
+      concat_ws(litString(args.head, "concatWithSeparator separator"),
+        args.tail.map(col): _*))),
+    "substringIndex" -> (args => ex(substring_index(col(args.head),
+      litString(args(1), "substringIndex delimiter"),
+      args(2) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"substringIndex count must be a literal, got $other")
+      }))),
+    // map accessors (CH Map type → Spark MapType)
+    "mapKeys" -> (args => ex(map_keys(col(args.head)))),
+    "mapValues" -> (args => ex(map_values(col(args.head)))),
+    "mapContains" -> (args => ex(
+      coalesce(map_contains_key(col(args.head), col(args(1))),
+        lit(false)).cast("long"))),
+    "bitCount" -> (args => ex(bit_count(col(args.head)).cast("long"))),
+    "isZeroOrNull" -> (args => ex(
+      coalesce(col(args.head) === 0, lit(true)).cast("long"))),
+    "ifNotFinite" -> (args => ex(
+      when(ch.isFiniteCol(col(args.head)), col(args.head))
+        .otherwise(col(args(1))))),
+    // greatCircleDistance(lon1, lat1, lon2, lat2) → meters: the
+    // haversine on a 6 371 000 m sphere — a documented deterministic
+    // formula (CH's WGS-84-ish constant differs in the 4th digit),
+    // codegen'd trig only, SQL-replayable
+    "greatCircleDistance" -> (args => {
+      val Seq(lon1, lat1, lon2, lat2) = args.map(a => radians(col(a)))
+      val a2 = pow(sin((lat2 - lat1) / 2), 2) +
+        cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
+      ex(lit(2.0 * 6371000.0) * asin(sqrt(a2)))
+    }),
+    // arrayShingles(arr, n): length-n sliding windows (the array form
+    // of charNgrams); empty below n — with the explicit guard, since
+    // sequence(1, 0) would DESCEND
+    "arrayShingles" -> (args => {
+      val arr = col(args.head)
+      val n = col(args(1))
+      ex(when(size(arr) >= n,
+        transform(sequence(lit(1), size(arr) - n + 1),
+          i => slice(arr, i, n)))
+        .otherwise(slice(array(arr), lit(1), lit(0))))
+    }),
+    "arrayWithConstant" -> (args => ex(
+      array_repeat(col(args(1)), col(args.head).cast("int")))),
     "ngramDistance" -> (args =>
       ex(ch.ngramDistance(col(args.head), col(args(1))))),
     "ngramSearch" -> (args =>

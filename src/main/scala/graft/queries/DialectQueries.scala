@@ -1776,6 +1776,58 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM sc GROUP BY lang ORDER BY lang"""))
 
+  // The add/subtract date family, timeSlot / relative counters,
+  // alphaTokens, haversine geo distance, and array shingles — all
+  // through verbatim SQL against the oracle. The geo term rounds
+  // per-row to hectometers BEFORE summing (libm sin/cos may differ
+  // from the JVM's in final ULPs; coarse per-row integers make the
+  // aggregate exact on both engines).
+  val q137ChDateGeoVocab = QueryDef(
+    "q137_ch_date_geo_vocab",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v137")
+      s.sql("""
+        SELECT event_type,
+               CAST(min(addMonths(toDate(ts), 2)) AS STRING) AS m2,
+               toUnixTimestamp(max(addHours(ts, 5))) AS h5,
+               CAST(max(toLastDayOfMonth(toDate(ts))) AS STRING) AS ld,
+               uniqExact(timeSlot(ts)) AS slots,
+               toInt64(max(toRelativeDayNum(ts))) AS rd,
+               toInt64(sum(size(alphaTokens(props)))) AS at,
+               toInt64(sum(round(greatCircleDistance(
+                 CAST(user_id % 360 AS DOUBLE) - 180 + 0.5,
+                 CAST(user_id % 170 AS DOUBLE) - 85 + 0.5,
+                 CAST(event_id % 360 AS DOUBLE) - 180 + 0.5,
+                 CAST(event_id % 170 AS DOUBLE) - 85 + 0.5) / 100))) AS gc,
+               toInt64(sum(size(arrayShingles(
+                 sequence(1, CAST(user_id % 6 AS INT) + 1), 2)))) AS sh,
+               toInt64(count(1)) AS n
+        FROM events_v137
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(CAST(min(CAST(ts AS DATE) + INTERVAL 2 MONTH) AS DATE)
+               AS VARCHAR) AS m2,
+             CAST(epoch(max(ts + INTERVAL 5 HOUR)) AS BIGINT) AS h5,
+             CAST(max(last_day(CAST(ts AS DATE))) AS VARCHAR) AS ld,
+             CAST(count(DISTINCT to_timestamp(
+               floor(epoch(ts) / 1800) * 1800)) AS BIGINT) AS slots,
+             CAST(max(floor(epoch(ts) / 86400)) AS BIGINT) AS rd,
+             CAST(sum(len(regexp_extract_all(props, '[A-Za-z]+')))
+               AS BIGINT) AS at,
+             CAST(sum(round(2 * 6371000 * asin(sqrt(
+               pow(sin((radians(CAST(event_id % 170 AS DOUBLE) - 85 + 0.5)
+                        - radians(CAST(user_id % 170 AS DOUBLE) - 85 + 0.5)) / 2), 2)
+               + cos(radians(CAST(user_id % 170 AS DOUBLE) - 85 + 0.5))
+               * cos(radians(CAST(event_id % 170 AS DOUBLE) - 85 + 0.5))
+               * pow(sin((radians(CAST(event_id % 360 AS DOUBLE) - 180 + 0.5)
+                          - radians(CAST(user_id % 360 AS DOUBLE) - 180 + 0.5)) / 2), 2)))
+               / 100)) AS BIGINT) AS gc,
+             CAST(sum(greatest(user_id % 6, 0)) AS BIGINT) AS sh,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1788,5 +1840,5 @@ object DialectQueries {
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
       q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith,
       q127ChUrlDecode, q129ChWeightedAggs, q130ChAnyJoin, q132ChNumbers,
-      q133ChLimitTies, q135ChNgramSearch)
+      q133ChLimitTies, q135ChNgramSearch, q137ChDateGeoVocab)
 }

@@ -868,6 +868,64 @@ class ChDialectSpec extends SparkSpec {
     assert(rows == Set(("1", 4L), ("2", 7L), ("0", 9L), (null, 20L)))
   }
 
+  test("add/subtract family: dates stay dates, timestamps keep time-of-day") {
+    val r = spark.sql("""
+      SELECT CAST(addMonths(DATE'2024-01-31', 1) AS STRING) AS d1,
+             CAST(addYears(DATE'2024-02-29', 1) AS STRING) AS d2,
+             CAST(addHours(TIMESTAMP'2024-01-01 22:30:00', 3) AS STRING) AS t1,
+             CAST(addMonths(TIMESTAMP'2024-01-15 10:20:30', 1) AS STRING) AS t2,
+             CAST(subtractWeeks(DATE'2024-01-15', 2) AS STRING) AS d3,
+             CAST(subtractMinutes(TIMESTAMP'2024-01-01 00:10:00', 15) AS STRING) AS t3,
+             CAST(toLastDayOfMonth(DATE'2024-02-10') AS STRING) AS ld,
+             CAST(timeSlot(TIMESTAMP'2024-01-01 10:44:59') AS STRING) AS slot,
+             toRelativeDayNum(TIMESTAMP'1970-01-03 01:00:00') AS rd,
+             toRelativeHourNum(TIMESTAMP'1970-01-01 05:30:00') AS rh""")
+      .collect().head
+    assert(r.getString(0) == "2024-02-29") // month-end clamp
+    assert(r.getString(1) == "2025-02-28") // leap-day clamp
+    assert(r.getString(2) == "2024-01-02 01:30:00")
+    assert(r.getString(3) == "2024-02-15 10:20:30") // time survives
+    assert(r.getString(4) == "2024-01-01")
+    assert(r.getString(5) == "2023-12-31 23:55:00")
+    assert(r.getString(6) == "2024-02-29")
+    assert(r.getString(7) == "2024-01-01 10:30:00")
+    assert(r.getLong(8) == 2L && r.getLong(9) == 5L)
+  }
+
+  test("splitters, maps, bit/conditional vocab, geo, array shingles") {
+    val r = spark.sql("""
+      SELECT splitByWhitespace('  a  bb\tc ') AS sw,
+             alphaTokens('ab12cd-ef') AS at,
+             concatWithSeparator('-', 'a', 'b', 'c') AS cs,
+             substringIndex('a.b.c', '.', 2) AS si,
+             mapKeys(map('x', 1, 'y', 2)) AS mk,
+             mapContains(map('x', 1), 'x') AS mc1,
+             mapContains(map('x', 1), 'z') AS mc0,
+             bitCount(7) AS bc,
+             isZeroOrNull(0) AS z1, isZeroOrNull(CAST(NULL AS INT)) AS z2,
+             isZeroOrNull(3) AS z0,
+             ifNotFinite(CAST('NaN' AS DOUBLE), -1.0D) AS inf,
+             arrayShingles(array(1, 2, 3, 4), 2) AS sh,
+             arrayShingles(array(1), 3) AS sh0,
+             arrayWithConstant(3, 'k') AS awc,
+             round(greatCircleDistance(37.62, 55.75, 30.32, 59.94), 0) AS gc
+    """).collect().head
+    assert(r.getSeq[String](0) == Seq("a", "bb", "c"))
+    assert(r.getSeq[String](1) == Seq("ab", "cd", "ef"))
+    assert(r.getString(2) == "a-b-c")
+    assert(r.getString(3) == "a.b")
+    assert(r.getSeq[String](4).sorted == Seq("x", "y"))
+    assert(r.getLong(5) == 1L && r.getLong(6) == 0L)
+    assert(r.getLong(7) == 3L)
+    assert(r.getLong(8) == 1L && r.getLong(9) == 1L && r.getLong(10) == 0L)
+    assert(r.getDouble(11) == -1.0)
+    assert(r.getSeq[Seq[Int]](12) == Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)))
+    assert(r.getSeq[Seq[Int]](13).isEmpty)
+    assert(r.getSeq[String](14) == Seq("k", "k", "k"))
+    // Moscow → St Petersburg ≈ 634 km on the 6371 km sphere
+    assert(math.abs(r.getDouble(15) - 634000.0) < 4000.0)
+  }
+
   test("ngramDistance / ngramSearch: multiset 4-gram fuzzy matching") {
     val r = spark.sql("""
       SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
