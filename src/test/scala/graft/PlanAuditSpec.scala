@@ -194,6 +194,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusExchanges == 0, p)
   }
 
+  test("q130: ANY JOIN reduces the right side map-side before joining") {
+    val p = plan("q130_ch_any_join_sql")
+    // the one-row-per-key reduction trims partially below its
+    // exchange (WindowGroupLimit Partial + Final), and the join stays
+    // an equi-join — never a cartesian fallback
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q113: scaled FINAL + ARRAY JOIN — one fact shuffle, broadcast " +
       "cancels, map-side collapse trim, Sign pushed to the scan") {
     // the composed Metrica hot path at scale: the collapse must cost
