@@ -1619,8 +1619,71 @@ object PipelineQueries {
         AND e.vec_id NOT IN (SELECT vec_id FROM victims)
       ORDER BY e.vec_id"""))
 
+  // ---------------------------------------------------------------------
+  // X57 ensemble dedup: a document survives only if BOTH detectors
+  // keep it — exact prefix-key dedup over the text AND semantic
+  // cell-cosine dedup over its embedding (the aligned doc_id ↔
+  // vec_id corpus). The production shape: cheap exact pass first,
+  // embedding pass catches paraphrases the text key misses; each leg
+  // is the already-audited operator, the composition is two semi-joins
+  // of id sets. The oracle replays both legs (rolling prefix key,
+  // embedded hyperplane cells) and intersects.
+  val q138EnsembleDedup = QueryDef(
+    "q138_ensemble_dedup",
+    (s, dir) => {
+      import graft.functions.text
+      val docs = Graft.table(s, dir, "documents")
+      val vecs = Graft.table(s, dir, "embeddings")
+      val exactSurv = Dedup.exactDedup(docs,
+          text.prefixKey(text.tokenize(col("text")), 10), "doc_id")
+        .select(col("doc_id"))
+      val semSurv = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+          threshold = 0.46, Similarity.annBucket(col("embedding"), 4))
+        .select(col("vec_id"))
+      docs.join(exactSurv, Seq("doc_id"), "left_semi")
+        .join(semSurv, docs("doc_id") === semSurv("vec_id"), "left_semi")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH k AS (
+        SELECT doc_id,
+               array_to_string((regexp_split_to_array(lower(trim(text)),
+                 '\\s+'))[1:10], ' ') AS key
+        FROM documents
+      ), exact_surv AS (
+        SELECT doc_id FROM k f
+        WHERE NOT EXISTS (SELECT 1 FROM k g
+                          WHERE g.key = f.key AND g.doc_id < f.doc_id)
+      ), planes(h, signs) AS (VALUES
+        ${hyperplaneSignsSql(nBits = 4, dim = 64)}),
+      v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), b AS (
+        SELECT v.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(v.e, p.signs) >= 0 THEN 1 ELSE 0 END
+                        * (CASE p.h WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+                    AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id
+      ), sem_victims AS (
+        SELECT DISTINCT hi.vec_id
+        FROM b hi JOIN b lo
+          ON hi.bucket = lo.bucket AND lo.vec_id < hi.vec_id
+        JOIN v vh ON vh.vec_id = hi.vec_id
+        JOIN v vl ON vl.vec_id = lo.vec_id
+        WHERE (CASE WHEN vh.n > 0 AND vl.n > 0
+                    THEN list_dot_product(vh.e, vl.e) / (vh.n * vl.n)
+                    ELSE 0.0 END) >= 0.46
+      )
+      SELECT d.doc_id, d.lang FROM documents d
+      JOIN exact_surv USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT vec_id FROM sem_victims)
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q136IncSemanticDedup,
+    q138EnsembleDedup, q136IncSemanticDedup,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
