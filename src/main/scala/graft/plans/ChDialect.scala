@@ -139,6 +139,16 @@ object ChDialect {
     "sumArray" -> sumArray,
     // CH argument order: lambda FIRST — arrayMap(x -> e, arr)
     "arrayMap" -> (args => ArrayTransform(args(1), args(0))),
+    // arrayFold(lambda, arr, init): CH's general fold — Spark's
+    // ArrayAggregate with CH's lambda-first argument order and an
+    // identity finish. The lambda is (acc, x), matching both engines.
+    "arrayFold" -> (args => {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, LambdaFunction, UnresolvedNamedLambdaVariable}
+      val res = UnresolvedNamedLambdaVariable(Seq("__graft_fold_res"))
+      ArrayAggregate(args(1), args(2),
+        args.head.asInstanceOf[LambdaFunction],
+        LambdaFunction(res, Seq(res)))
+    }),
     "arrayFilter" -> (args => ArrayFilter(args(1), args(0))),
     "arrayExists" -> (args => ArrayExists(args(1), args(0))),
     // arrayAll follows arrayExists' convention (raw boolean; CH's

@@ -868,6 +868,20 @@ class ChDialectSpec extends SparkSpec {
     assert(rows == Set(("1", 4L), ("2", 7L), ("0", 9L), (null, 20L)))
   }
 
+  test("arrayFold: CH lambda-first fold with explicit init") {
+    val r = spark.sql("""
+      SELECT arrayFold((acc, x) -> acc * 10 + x,
+                       array(1, 2, 3), CAST(0 AS BIGINT)) AS digits,
+             arrayFold((acc, x) -> acc || x,
+                       array('b', 'c'), 'a') AS cat,
+             arrayFold((acc, x) -> acc + x,
+                       CAST(array() AS ARRAY<INT>), 100) AS empty
+    """).collect().head
+    assert(r.getLong(0) == 123L)
+    assert(r.getString(1) == "abc")
+    assert(r.getInt(2) == 100) // empty array: init unchanged
+  }
+
   test("add/subtract family: dates stay dates, timestamps keep time-of-day") {
     val r = spark.sql("""
       SELECT CAST(addMonths(DATE'2024-01-31', 1) AS STRING) AS d1,
