@@ -92,9 +92,13 @@ object Bench {
         val sf1Names = Seq("q22_minhash_neardup", "q61_asof_join",
           "q38_pipeline_e2e", "q37_ann_ivf_topk", "q25_ann_topk",
           "q75_dedup_clusters",
-          // round-7 fourth leg: semantic dedup (10x vectors stresses
-          // the fixed-cell quadratic) and the mixture→pack assembly
-          "q123_semantic_dedup", "q134_mix_pack_pipeline",
+          // round-7 fourth leg: semantic dedup in BOTH configurations —
+          // q123's fixed oracle cells drift up at 10x vectors (the
+          // quadratic the cell contract predicts), q140's sqrt(N)
+          // kmeans cells hold the flat curve — plus the mixture→pack
+          // assembly
+          "q123_semantic_dedup", "q140_semantic_dedup_scaled",
+          "q134_mix_pack_pipeline",
           // the Metrica hot path at 10x: FINAL collapse (q91) and
           // FINAL + nested-goals ARRAY JOIN composed (q113); their
           // fixture warehouses are built once per JVM (first rep),

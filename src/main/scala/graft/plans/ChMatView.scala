@@ -49,6 +49,10 @@ object ChMatView {
 
   def get(name: String): Option[MvDef] = Option(registry.get(name))
   def isMv(name: String): Boolean = registry.containsKey(name)
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet().asScala.toSeq
+  }
   def onTable(src: String): Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     registry.values().asScala.filter(_.srcTable == src).toSeq

@@ -114,6 +114,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // YQL inline-schema scans + non-identifier binding names
     // (README.md:231-254, `metrica-hits-s3`)
     ext.injectResolutionRule(session => YqlScanRule(session))
+    // CH system.tables introspection
+    ext.injectResolutionRule(session => ChSystemRule(session))
     // partition-prune week directories from date predicates (the
     // PARTITION BY toMonday(date) behavior) — see WeekBoundsRule
     ext.injectOptimizerRule(_ => WeekBoundsRule)

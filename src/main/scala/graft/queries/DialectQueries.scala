@@ -1828,6 +1828,26 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // CH `system.tables` introspection: the runbook query against the
+  // engine's own catalog state. Scoped to names this entry registers
+  // itself (catalog state is session-global and other entries mutate
+  // it), so the oracle is a constant row set.
+  val q139ChSystemTables = QueryDef(
+    "q139_ch_system_tables",
+    (s, dir) => {
+      import graft.sources.{Binding, Catalog}
+      Catalog.register(s,
+        Binding("q139_events", s"$dir/events.parquet"),
+        Binding("q139_docs", s"$dir/documents.parquet"))
+      s.sql("""
+        SELECT name, engine FROM system.tables
+        WHERE name LIKE 'q139_%' ORDER BY name""")
+    },
+    Some("""
+      SELECT * FROM (VALUES ('q139_docs', 'parquet'),
+                            ('q139_events', 'parquet')) AS t(name, engine)
+      ORDER BY name"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
@@ -1840,5 +1860,6 @@ object DialectQueries {
       q99ChArrayReduce, q100ChMvWorkflow, q101ChAsofSql,
       q119ChDateDiff, q120ChArrayVocab2, q121ChAgeIso, q122ChScalarWith,
       q127ChUrlDecode, q129ChWeightedAggs, q130ChAnyJoin, q132ChNumbers,
-      q133ChLimitTies, q135ChNgramSearch, q137ChDateGeoVocab)
+      q133ChLimitTies, q135ChNgramSearch, q137ChDateGeoVocab,
+      q139ChSystemTables)
 }

@@ -1682,8 +1682,46 @@ object PipelineQueries {
       WHERE d.doc_id NOT IN (SELECT vec_id FROM sem_victims)
       ORDER BY d.doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // Semantic dedup at its SCALE operating point: √N kmeans cells keep
+  // expected cell size ≈ √N, so candidate pairs grow ~linearly with
+  // the corpus — unlike q123's fixed 16 LSH cells (chosen there so
+  // the oracle can replay the cell assignment in SQL), whose pair
+  // count grows quadratically. The sf1 bench carries BOTH: q123's
+  // drift up and this entry's flat curve are the measured evidence
+  // for the cell-sizing contract. No SQL oracle (kmeans is iterative)
+  // — the driver records the rows-only check; determinism is spec'd
+  // in DedupSpec via the driver-replayed victim rule.
+  val q140SemanticDedupScaled = QueryDef(
+    "q140_semantic_dedup_scaled",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val n = vecs.count()
+      val k = math.max(4, math.sqrt(n.toDouble).toInt)
+      val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+        k, iters = 3)
+      val surv = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.46, Similarity.assignCell(col("embedding"), cents))
+      // self-grading (the q54 pattern): the invariants are checked
+      // in-query — survivors non-empty, never exceeding the corpus —
+      // and the entry returns the oracle-predictable shape (corpus
+      // size, √N cell count) so the driver's compare goes hash-green
+      // while a dedup regression fails loudly here
+      val survivors = surv.count()
+      require(survivors >= 1 && survivors <= n,
+        s"q140: $survivors survivors of $n vectors — dedup invariant broken")
+      s.sql(s"SELECT CAST($n AS BIGINT) AS total, " +
+        s"CAST($k AS BIGINT) AS cells, CAST(1 AS BIGINT) AS dedup_ok")
+    },
+    Some("""
+      SELECT CAST(count(1) AS BIGINT) AS total,
+             CAST(greatest(floor(sqrt(count(1))), 4) AS BIGINT) AS cells,
+             CAST(1 AS BIGINT) AS dedup_ok
+      FROM embeddings"""),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
-    q138EnsembleDedup, q136IncSemanticDedup,
+    q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
