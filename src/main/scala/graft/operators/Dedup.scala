@@ -542,4 +542,55 @@ object Dedup {
       .distinct()
     vecs.join(victims, Seq(idCol), "left_anti")
   }
+
+  /** C4-style boilerplate line removal: a line (newline-split, compared
+    * after trim) that appears in at least `minDocs` DISTINCT documents
+    * is boilerplate — navigation chrome, cookie banners, subscribe
+    * footers — and is stripped from every document. Returns `df` with
+    * `textCol` rebuilt from the surviving lines (original spelling,
+    * original order, '\n'-joined) plus a `lines_removed` count per
+    * document. Blank lines are structure, not boilerplate: they are
+    * never counted and never removed.
+    *
+    * Scale shape: the corpus shuffles ONCE, keyed by line text, for
+    * the distinct-document frequency count; the boilerplate set — by
+    * construction lines repeated across ≥ `minDocs` documents, so
+    * orders of magnitude smaller than the corpus, and guarded by
+    * `maxBoilerplate` — folds into a single array row that rides a
+    * broadcast to every task; document reconstruction is then a pure
+    * map-side higher-order `filter` over the split array. No
+    * explode-and-regroup round trip: a document never leaves its
+    * partition to be rebuilt.
+    */
+  def stripFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, maxBoilerplate: Int = 1000000): DataFrame = {
+    require(minDocs >= 2, "stripFrequentLines: minDocs must be >= 2")
+    val id = col(s"`$idCol`")
+    val text = col(s"`$textCol`")
+    val freq = df
+      .select(id.as("__bl_id"),
+        explode(split(text, "\n")).as("__bl_raw"))
+      .select(col("__bl_id"), trim(col("__bl_raw")).as("__bl_t"))
+      .filter(length(col("__bl_t")) > 0)
+      .groupBy(col("__bl_t"))
+      .agg(countDistinct(col("__bl_id")).as("__bl_nd"))
+      .filter(col("__bl_nd") >= minDocs)
+    val nBl = freq.limit(maxBoilerplate + 1).count()
+    require(nBl <= maxBoilerplate,
+      s"stripFrequentLines: boilerplate set exceeds $maxBoilerplate " +
+        "lines — raise maxBoilerplate or minDocs (the set must stay " +
+        "broadcast-sized)")
+    // one row, one array column; sort_array for a stable plan, the
+    // membership test below is order-insensitive
+    val bl = freq.agg(sort_array(collect_set(col("__bl_t")))
+      .as("__bl_set"))
+    val parts = split(text, "\n")
+    val kept = filter(parts,
+      l => !array_contains(col("__bl_set"), trim(l)))
+    df.crossJoin(broadcast(bl))
+      .withColumn("lines_removed",
+        (size(parts) - size(kept)).cast("long"))
+      .withColumn(textCol, array_join(kept, "\n"))
+      .drop("__bl_set")
+  }
 }

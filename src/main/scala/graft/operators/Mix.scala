@@ -30,6 +30,19 @@ object Mix {
   def portableHash(id: Column): Column =
     pmod(pmod(id, lit(65536L)) * lit(2654435761L), lit(4294967296L))
 
+  /** Seeded variant: the seed folds into the id BEFORE the low-16
+    * reduction, so each seed induces an independent deterministic
+    * ordering of the same ids while staying replayable in any SQL
+    * engine as `((id + seed) % 65536 * 2654435761) % 2^32`. Like
+    * [[portableHash]], the map is injective for ids whose low 16 bits
+    * are distinct (the multiplier is odd, so multiplication mod 2^32
+    * is a bijection); ids congruent mod 65536 collide, which is why
+    * every consumer breaks ties on the id itself.
+    */
+  def portableHashSeeded(id: Column, seed: Long): Column =
+    pmod(pmod(id + lit(seed), lit(65536L)) * lit(2654435761L),
+      lit(4294967296L))
+
   /** Deterministic quota sample per stratum: exactly
     * `min(quota, |stratum|)` rows each, chosen by portable-hash order
     * (ties broken by id). The per-stratum counts are collected to the
@@ -175,6 +188,63 @@ object Mix {
     * `epochs` column (6 decimals) and [[portableHash]], so any engine
     * replaying the plan selects the identical id set.
     */
+  /** Deterministic train/validation/test split assignment: each row's
+    * seeded portable hash lands in one of the cumulative-fraction
+    * intervals of the 32-bit hash space, and the matching split name
+    * lands in `splitCol`. A pure projection — no shuffle, no state, no
+    * sampling pass — so split assignment composes with any scan at any
+    * scale, and re-running it (any engine, any partitioning, any time)
+    * re-derives the identical assignment: the property that keeps
+    * held-out sets held out across pipeline re-builds.
+    *
+    * Boundaries are `round(cumFraction * 2^32)` with the LAST split
+    * taking everything below 2^32, so floating-point rounding can
+    * never leave a bucket unassigned or double-assigned. An oracle
+    * replaying the assignment must replay the same cumulative sums
+    * (left-to-right) before rounding.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 0L,
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: at least one split")
+    require(splits.forall(_._2 > 0), "assignSplits: fractions must be > 0")
+    require(splits.map(_._1).distinct.length == splits.length,
+      "assignSplits: split names must be distinct")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"assignSplits: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(4294967296L, math.round(c * 4294967296.0)))
+    val named = splits.map(_._1).zip(bounds)
+    val h = col("__mix_sh")
+    val assign = named.init.foldRight(lit(named.last._1): Column) {
+      case ((name, bound), tail) => when(h < lit(bound), lit(name))
+        .otherwise(tail)
+    }
+    df.withColumn("__mix_sh", portableHashSeeded(col(s"`$idCol`"), seed))
+      .withColumn(splitCol, assign)
+      .drop("__mix_sh")
+  }
+
+  /** Deterministic seeded corpus shuffle WITHOUT a global sort: every
+    * row gets a `shard` (its seeded hash mod `numShards`) and a `pos`
+    * (the hash itself) — the training order is "all shards in
+    * parallel, each shard read in (pos, id) order". A global
+    * `ORDER BY rand()` is the canonical scale killer (one total order
+    * = one range exchange + full sort of the corpus); this shape needs
+    * only `repartition($"shard")` + `sortWithinPartitions($"pos",
+    * $"id")` at write time — each task sorts its own shard, which is
+    * exactly the parallelism a 1000-executor write wants. Same-seed
+    * re-runs reproduce the identical order on any engine; a different
+    * seed is a fresh permutation (epoch reshuffling without touching
+    * the data).
+    */
+  def shardShuffle(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards > 0, "shardShuffle: numShards must be > 0")
+    df.withColumn("pos", portableHashSeeded(col(s"`$idCol`"), seed))
+      .withColumn("shard", pmod(col("pos"), lit(numShards.toLong)))
+  }
+
   def materializeEpoch(df: DataFrame, stratumCol: String, idCol: String,
       plan: DataFrame, epoch: Int): DataFrame = {
     require(epoch >= 0, "materializeEpoch: epoch must be >= 0")

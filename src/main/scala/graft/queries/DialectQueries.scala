@@ -1848,8 +1848,63 @@ object DialectQueries {
                             ('q139_events', 'parquet')) AS t(name, engine)
       ORDER BY name"""))
 
+  // ---------------------------------------------------------------------
+  // CH GROUP BY modifiers WITH ROLLUP / WITH CUBE — the subtotal
+  // modifiers next to the already-covered WITH TOTALS
+  // (clickhouse.com/docs/sql-reference/statements/select/group-by):
+  // ROLLUP adds prefix-subtotal rows, CUBE every key-subset subtotal,
+  // key columns NULL-filled in subtotal rows exactly as Spark's own
+  // modifiers do — so the dialect text plans straight into Spark's
+  // native Expand-based grouping-sets aggregation (ONE pass over the
+  // data producing all grouping sets; no per-subtotal re-scan).
+  // grouping() disambiguates a NULL key from a subtotal row in both
+  // engines. NULLS FIRST pinned: Spark and DuckDB default opposite
+  // null orderings.
+  val q143ChRollupCube = QueryDef(
+    "q143_ch_rollup_cube_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
+               toInt64(grouping(l_returnflag) * 2 + grouping(l_linestatus))
+                 AS g,
+               toInt64(sum(l_quantity)) AS sum_qty,
+               toInt64(count(1)) AS n
+        FROM lineitem_v
+        GROUP BY l_returnflag, l_linestatus WITH ROLLUP
+        UNION ALL
+        SELECT 'cube' AS mode, l_returnflag, l_linestatus,
+               toInt64(grouping(l_returnflag) * 2 + grouping(l_linestatus))
+                 AS g,
+               toInt64(sum(l_quantity)) AS sum_qty,
+               toInt64(count(1)) AS n
+        FROM lineitem_v
+        GROUP BY l_returnflag, l_linestatus WITH CUBE
+        ORDER BY mode, g, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST""")
+    },
+    Some("""
+      SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+               AS BIGINT) AS g,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(count(1) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      UNION ALL
+      SELECT 'cube' AS mode, l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+               AS BIGINT) AS g,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(count(1) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY mode, g, l_returnflag NULLS FIRST,
+               l_linestatus NULLS FIRST"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
+      q143ChRollupCube,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,

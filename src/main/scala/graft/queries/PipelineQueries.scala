@@ -1720,7 +1720,108 @@ object PipelineQueries {
       FROM embeddings"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X58: deterministic split assignment + seeded shard shuffle. The
+  // 80/10/10 assignment is a pure projection (no shuffle, no sampling
+  // pass — re-running it anywhere re-derives the same held-out set);
+  // the shard shuffle replaces the canonical ORDER BY rand() scale
+  // killer (one global range exchange + total sort) with a (shard,
+  // pos) pair that writes as repartition + sortWithinPartitions. The
+  // oracle replays both hash assignments arithmetically; first_id
+  // pins the within-shard ORDER, not just membership. (arg_min on pos
+  // is deterministic here: the portable hash is injective below 2^16
+  // ids — see Mix.portableHashSeeded — and doc_ids stay below that at
+  // every SF.)
+  val q141SplitShardShuffle = QueryDef(
+    "q141_split_shard_shuffle",
+    (s, dir) => {
+      import graft.operators.Mix
+      val docs = Graft.table(s, dir, "documents").select(col("doc_id"))
+      val sp = Mix.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+      Mix.shardShuffle(sp, "doc_id", numShards = 4, seed = 7L)
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          min_by(col("doc_id"), col("pos")).cast("long").as("first_id"))
+        .orderBy(col("split"), col("shard"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               ((doc_id + 42) % 65536 * 2654435761) % 4294967296 AS hs,
+               ((doc_id + 7) % 65536 * 2654435761) % 4294967296 AS hp
+        FROM documents
+      ), a AS (
+        SELECT doc_id,
+               CASE WHEN hs < CAST(round(0.8 * 4294967296) AS BIGINT)
+                      THEN 'train'
+                    WHEN hs < CAST(round((0.8 + 0.1) * 4294967296) AS BIGINT)
+                      THEN 'val'
+                    ELSE 'test' END AS split,
+               hp % 4 AS shard, hp AS pos
+        FROM h
+      )
+      SELECT split, shard, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(arg_min(doc_id, pos) AS BIGINT) AS first_id
+      FROM a GROUP BY split, shard ORDER BY split, shard"""))
+
+  // ---------------------------------------------------------------------
+  // X59: C4-style boilerplate line removal. The corpus (single-line
+  // synthetic docs) grows a frequent per-source footer and a unique
+  // per-doc footer IN BOTH ENGINES — the fixture construction is part
+  // of the compared surface — then lines present in >= 10 distinct
+  // documents are stripped. The per-source footers (~N/3 docs each)
+  // cross the threshold; the body and per-doc lines never do. The
+  // oracle replays the frequency count AND the higher-order rebuild,
+  // and clean_len pins the reconstructed text byte-for-byte, not just
+  // the removal count.
+  val q142BoilerplateLines = QueryDef(
+    "q142_boilerplate_lines",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            concat(lit("subscribe to the "), col("source"),
+              lit(" newsletter")),
+            concat(lit("doc "), col("doc_id"), lit(" footer")))
+            .as("text"))
+      Dedup.stripFrequentLines(docs, "doc_id", "text", minDocs = 10)
+        .select(col("doc_id"), col("lines_removed"),
+          length(col("text")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               text || chr(10) || 'subscribe to the ' || source ||
+                 ' newsletter' || chr(10) || 'doc ' || doc_id ||
+                 ' footer' AS text
+        FROM documents
+      ), ln AS (
+        SELECT doc_id, trim(l) AS lt
+        FROM d, unnest(string_split(text, chr(10))) AS u(l)
+        WHERE length(trim(l)) > 0
+      ), bl AS (
+        SELECT lt FROM (
+          SELECT lt, count(DISTINCT doc_id) AS nd FROM ln GROUP BY lt)
+        WHERE nd >= 10
+      ), bls AS (SELECT coalesce(list(lt), []) AS s FROM bl)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, chr(10))) -
+                  len(list_filter(string_split(d.text, chr(10)),
+                      l -> NOT list_contains(b.s, trim(l))))
+                  AS BIGINT) AS lines_removed,
+             CAST(length(array_to_string(
+                  list_filter(string_split(d.text, chr(10)),
+                      l -> NOT list_contains(b.s, trim(l))), chr(10)))
+                  AS BIGINT) AS clean_len
+      FROM d, bls b ORDER BY d.doc_id LIMIT 100"""))
+
   val defs: Seq[QueryDef] = Seq(
+    q141SplitShardShuffle, q142BoilerplateLines,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

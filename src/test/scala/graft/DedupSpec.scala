@@ -263,4 +263,43 @@ class DedupSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("stripFrequentLines: frequent lines go, order and spelling stay") {
+    val docs = Seq(
+      (1L, "alpha body one\n  COOKIE BANNER  \nunique tail 1"),
+      (2L, "beta body two\nCOOKIE BANNER\nunique tail 2"),
+      (3L, "COOKIE BANNER\ngamma body three"),
+      (4L, "delta body four\n\nno banner here"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.stripFrequentLines(docs, "doc_id", "text", minDocs = 3)
+      .select($"doc_id", $"text", $"lines_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // the banner appears in 3 distinct docs -> stripped everywhere,
+    // compared after trim but removal never rewrites survivors
+    assert(out(0) == ((1L, "alpha body one\nunique tail 1", 1L)))
+    assert(out(1) == ((2L, "beta body two\nunique tail 2", 1L)))
+    assert(out(2) == ((3L, "gamma body three", 1L)))
+    // blank lines are structure: never counted, never removed
+    assert(out(3) == ((4L, "delta body four\n\nno banner here", 0L)))
+    assert(out(4) == ((5L, "", 0L)))
+  }
+
+  test("stripFrequentLines: below-threshold lines and cap guard") {
+    val docs = Seq(
+      (1L, "shared twice\na"), (2L, "shared twice\nb"), (3L, "solo\nc"))
+      .toDF("doc_id", "text")
+    // 2 < minDocs=3: nothing qualifies, texts unchanged
+    val out = Dedup.stripFrequentLines(docs, "doc_id", "text", minDocs = 3)
+      .select($"doc_id", $"lines_removed").as[(Long, Long)]
+      .collect()
+    assert(out.forall(_._2 == 0L))
+    // a boilerplate set larger than the cap fails loudly, never OOMs
+    val wide = Seq(
+      (1L, "x\ny"), (2L, "x\ny"), (3L, "x\ny")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.stripFrequentLines(wide, "doc_id", "text", minDocs = 2,
+        maxBoilerplate = 1)
+    }
+    assert(e.getMessage.contains("boilerplate set exceeds"))
+  }
 }

@@ -146,6 +146,64 @@ class MixSpec extends SparkSpec {
     assert(!(0 to 3).exists(e => ids(e).contains(100L)))
   }
 
+  test("assignSplits: total, disjoint, deterministic, hash-replayable") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val sp = Mix.assignSplits(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+    val byId = sp.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    // every row assigned exactly one split (projection: row count kept)
+    assert(byId.size == 2000)
+    // the assignment IS the arithmetic rule, replayable by hand
+    val b1 = math.round(0.8 * 4294967296.0)
+    val b2 = math.round((0.8 + 0.1) * 4294967296.0)
+    byId.foreach { case (id, split) =>
+      val h = (((id + 42) % 65536) * 2654435761L) % 4294967296L
+      val want = if (h < b1) "train" else if (h < b2) "val" else "test"
+      assert(split == want, s"id $id: $split != $want")
+    }
+    // fractions roughly respected (hash uniformity, loose band)
+    val n = sp.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("train") > 1400 && n("val") > 100 && n("test") > 100)
+    // re-running re-derives the identical held-out set
+    val again = Mix.assignSplits(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(again == byId)
+    // a different seed is a different permutation
+    val other = Mix.assignSplits(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 43L)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(other != byId)
+    // invalid fraction sets fail loudly
+    intercept[IllegalArgumentException] {
+      Mix.assignSplits(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Mix.assignSplits(df, "doc_id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
+  test("shardShuffle: bounded shards, seeded deterministic order") {
+    val df = (0L until 500L).toDF("doc_id")
+    val sh = Mix.shardShuffle(df, "doc_id", numShards = 4, seed = 7L)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)]
+      .collect()
+    assert(sh.length == 500)
+    assert(sh.forall { case (_, s, p) => s >= 0 && s < 4 &&
+      s == p % 4 })
+    // pos is the seeded portable hash — injective below 2^16 ids, so
+    // the within-shard order is total and replayable
+    sh.foreach { case (id, _, p) =>
+      assert(p == (((id + 7) % 65536) * 2654435761L) % 4294967296L)
+    }
+    assert(sh.map(_._3).distinct.length == 500)
+    // the order is NOT id order (it is a genuine permutation)
+    val shard0 = sh.filter(_._2 == 0).sortBy(t => (t._3, t._1)).map(_._1)
+    assert(shard0.length > 50 && !(shard0 sameElements shard0.sorted))
+  }
+
   test("epochPlan: a zero-mass stratum pins to zero, never NaN") {
     // alpha = 0 gives the empty stratum uniform weight (pow(0,0)=1)
     // and a nonzero target — the raw division would be Infinity, and
