@@ -218,4 +218,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(VisitID".r.findAllIn(p).size == 1, p)
     assert(p.contains("EqualTo(Sign,1)"), p) // live-rows scan pushdown
   }
+
+  test("q141: split assignment + shard shuffle never exchange the corpus") {
+    // both operators are projections over the seeded portable hash —
+    // the ONLY exchange in the entry is the final aggregation's own
+    // (split, shard) key; an operator that slipped a repartition or
+    // window into assignment would show a second exchange here
+    val p = plan("q141_split_shard_shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q142: boilerplate removal — one line shuffle, broadcast set, " +
+      "map-side rebuild") {
+    val p = plan("q142_boilerplate_lines")
+    // the frequency count is the only hash exchange of corpus-derived
+    // rows keyed on line text (partial_count(distinct ...) reduces
+    // map-side below it); the set rides a broadcast nested-loop of a
+    // ONE-ROW relation; and no doc-id-keyed exchange exists — the
+    // rebuild never regroups documents
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count(distinct"), p)
+    assert("Exchange hashpartitioning\\(__bl_id".r.findAllIn(p).size == 0, p)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 0, p)
+  }
 }
