@@ -937,6 +937,52 @@ object ChDialect {
     "avgMerge" -> (args => ex(
       sum(col(args.head).getField("s")) /
         sum(col(args.head).getField("c")))),
+    // argMin/argMax states: the (value, ordering) pair at the extreme
+    // ordering. Ties break on (o, v) — a deterministic total order —
+    // where CH leaves the winner unspecified; the Merge twin re-folds
+    // stored pairs with the identical rule, so partial folds compose.
+    "argMinState" -> (args => {
+      val s = struct(col(args.head).as("v"), col(args(1)).as("o"))
+      ex(min_by(s, struct(col(args(1)), col(args.head))))
+    }),
+    "argMaxState" -> (args => {
+      val s = struct(col(args.head).as("v"), col(args(1)).as("o"))
+      ex(max_by(s, struct(col(args(1)), col(args.head))))
+    }),
+    "argMinMerge" -> (args => {
+      val c = col(args.head)
+      ex(min_by(c, struct(c.getField("o"), c.getField("v")))
+        .getField("v"))
+    }),
+    "argMaxMerge" -> (args => {
+      val c = col(args.head)
+      ex(max_by(c, struct(c.getField("o"), c.getField("v")))
+        .getField("v"))
+    }),
+    // quantileExactState: CH's own exact-quantile state IS the value
+    // list; here it is the SORTED array (deterministic, and the Merge
+    // side indexes it directly). quantileExactMerge(L)(st) — parameter
+    // flattened by the parser to (L, st) — concatenates the stored
+    // arrays and computes the same interpolated quantile the engine's
+    // quantileExact(L)(x) → percentile mapping produces, so the MV
+    // fold and a direct aggregate of the raw table agree exactly.
+    "quantileExactState" -> (args =>
+      ex(sort_array(collect_list(col(args.head))))),
+    "quantileExactMerge" -> (args => {
+      val level = col(args.head).cast("double")
+      val arr = sort_array(flatten(collect_list(col(args(1)))))
+      val n = size(arr)
+      // interpolated quantile over the merged sorted values: h =
+      // L*(n-1); x[floor(h)] + (h - floor(h)) * (x[ceil(h)] - x[floor(h)])
+      // (0-based get() — null-safe on empty state, never an ANSI
+      // out-of-bounds error)
+      val h = level * (n - lit(1)).cast("double")
+      val lo = floor(h).cast("int")
+      val hi = least(lo + lit(1), n - lit(1))
+      val vLo = get(arr, lo).cast("double")
+      val vHi = get(arr, hi).cast("double")
+      ex(vLo + (h - lo.cast("double")) * (vHi - vLo))
+    }),
     // URL family (graft.functions.url — Metrica's web-analytics
     // vocabulary over URL/Referer/StartURL columns)
     "protocol" -> (args => ex(url.protocol(col(args.head)))),

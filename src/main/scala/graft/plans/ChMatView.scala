@@ -23,11 +23,19 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   * The supported SELECT shape is the AggregatingMergeTree rollup: any
   * scalar group expressions (aliased), one source table, and any mix
-  * of `-State` aggregates — `uniqState` (HLL sketch, approximate) and
-  * the exact family `sumState` / `minState` / `maxState` /
-  * `countState` / `avgState` (avg keeps the composite (sum, count)
-  * state; count MERGES BY SUM). Each finishes with its `-Merge`
-  * twin at read time.
+  * of `-State` aggregates — `uniqState` (HLL sketch, approximate), the
+  * exact family `sumState` / `minState` / `maxState` / `countState` /
+  * `avgState` (avg keeps the composite (sum, count) state; count
+  * MERGES BY SUM), `argMinState(v, o)` / `argMaxState(v, o)` (state =
+  * the (v, o) pair at the extreme o, ties broken on (o, v) so the
+  * fold is deterministic — CH leaves ties unspecified), and
+  * `quantileExactState(x)` (state = the SORTED VALUE ARRAY, exactly
+  * CH's quantileExact state ⚠ O(rows-per-group), the documented CH
+  * trade — for bounded state use the uniq sketch family's approach;
+  * its Merge finisher computes the same interpolated quantile as the
+  * engine's `quantileExact(L)(x)` → percentile mapping, so folding
+  * through the MV and aggregating the raw table agree exactly). Each
+  * finishes with its `-Merge` twin at read time.
   */
 object ChMatView {
 
@@ -124,7 +132,17 @@ object ChMatView {
     }
     val argCols = mv.aggItems.zipWithIndex.map { case (it, i) =>
       val argSql = if (it.argSql.trim.isEmpty) "1" else it.argSql
-      s"$argSql AS `__graft_mv_arg$i`"
+      // argMin/argMax carry TWO expressions (value, ordering): pack
+      // them into one struct column so the aggregate pipeline below
+      // stays uniform (one arg column per -State item)
+      val packed =
+        if (it.kind == "argmin" || it.kind == "argmax") {
+          val parts = splitTop(argSql)
+          require(parts.length == 2,
+            s"${it.kind}State expects (value, ordering), got: $argSql")
+          s"named_struct('v', ${parts.head}, 'o', ${parts(1)})"
+        } else argSql
+      s"$packed AS `__graft_mv_arg$i`"
     }
     val prepared = inserted.selectExpr(
       (mv.groupItems.map { case (e, a) => s"$e AS `$a`" } ++ argCols): _*)
@@ -138,6 +156,11 @@ object ChMatView {
         case "count" => count(arg)
         case "avg" => struct(sum(arg).cast("double").as("s"),
           count(arg).as("c"))
+        case "quantileexact" => sort_array(collect_list(arg))
+        case "argmin" =>
+          min_by(arg, struct(arg.getField("o"), arg.getField("v")))
+        case "argmax" =>
+          max_by(arg, struct(arg.getField("o"), arg.getField("v")))
       }).as(it.alias)
     }
     val partial = prepared
@@ -160,6 +183,11 @@ object ChMatView {
             case "count" => sum(c).cast("long")
             case "avg" => struct(sum(c.getField("s")).as("s"),
               sum(c.getField("c")).as("c"))
+            case "quantileexact" => sort_array(flatten(collect_list(c)))
+            case "argmin" =>
+              min_by(c, struct(c.getField("o"), c.getField("v")))
+            case "argmax" =>
+              max_by(c, struct(c.getField("o"), c.getField("v")))
           }).as(it.alias)
         }
         spark.read.parquet(mv.stateDir).unionByName(partial)
@@ -176,7 +204,8 @@ object ChMatView {
 
   private val stringLit = """'(?:[^']|'')*'""".r
   private val stateRe =
-    ("""(?is)^(uniq|sum|min|max|count|avg)State\s*\((.*)\)""" +
+    ("""(?is)^(quantileExact|argMin|argMax|uniq|sum|min|max|count|avg)""" +
+      """State\s*\((.*)\)""" +
       """(?:\s+AS\s+`?(\w+)`?)?$""").r
   private val aliasedRe = """(?is)^(.*\S)\s+AS\s+`?(\w+)`?$""".r
   private val bareRe = """[A-Za-z_][\w.]*""".r
@@ -237,7 +266,8 @@ object ChMatView {
     val aggItems = classified.collect { case Right(x) => x }
     require(aggItems.nonEmpty,
       "materialized view needs at least one -State aggregate " +
-        "(uniqState / sumState / minState / maxState / countState / avgState)")
+        "(uniqState / sumState / minState / maxState / countState / " +
+        "avgState / argMinState / argMaxState / quantileExactState)")
     val groupItems = classified.collect { case Left(x) => x }
     require(groupItems.nonEmpty,
       "materialized view needs at least one group column")

@@ -1902,9 +1902,83 @@ object DialectQueries {
       ORDER BY mode, g, l_returnflag NULLS FIRST,
                l_linestatus NULLS FIRST"""))
 
+  // ---------------------------------------------------------------------
+  // The AggregatingMergeTree family beyond sums and sketches:
+  // quantileExactState / argMaxState / argMinState folded across
+  // day-sliced INSERTs, then read with their -Merge finishers. The
+  // quantile state is CH-faithful (the sorted value list — CH's own
+  // quantileExact state); its Merge computes the SAME interpolated
+  // quantile as the engine's direct quantileExact(L)(x), so the MV
+  // answer equals the raw-table aggregate the oracle runs. argMin/
+  // argMax ties break on (ordering, value) — a deterministic total
+  // order, replayed in the oracle as an explicit window rank (DuckDB's
+  // own arg_max leaves ties unspecified).
+  val q144ChMvQuantile = QueryDef(
+    "q144_ch_mv_quantile_sql",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_mv_q144_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events").createOrReplaceTempView("events_src_v")
+        s.sql("""
+          CREATE TABLE ev_mvq_src (`uid` UInt64, `event_type` String,
+            `v` Float64, `d` Date)
+          ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
+        s.sql("""
+          CREATE MATERIALIZED VIEW ev_mvq ENGINE = AggregatingMergeTree
+          AS SELECT toMonday(d) AS wk,
+                    quantileExactState(v) AS qv,
+                    argMaxState(event_type, v) AS top_et,
+                    argMinState(uid, v) AS low_uid,
+                    countState() AS n
+          FROM ev_mvq_src GROUP BY wk""")
+        Seq(("2024-01-01", "2024-01-10"), ("2024-01-11", "2024-01-20"),
+          ("2024-01-21", "2024-01-31")).foreach { case (a, z) =>
+          s.sql(s"""
+            INSERT INTO ev_mvq_src
+            SELECT user_id AS uid, event_type, value AS v,
+                   CAST(ts AS DATE) AS d
+            FROM events_src_v
+            WHERE CAST(ts AS DATE) BETWEEN cast('$a' as date)
+                                       AND cast('$z' as date)""")
+        }
+        s.sql("""
+          SELECT wk, round(quantileExactMerge(0.5)(qv), 4) AS med_v,
+                 argMaxMerge(top_et) AS top_et,
+                 argMinMerge(low_uid) AS low_uid,
+                 countMerge(n) AS n
+          FROM ev_mvq GROUP BY wk ORDER BY wk""")
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+               user_id AS uid, event_type, value AS v
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+                                   AND DATE '2024-01-31'
+      ), et AS (
+        SELECT wk, event_type, row_number() OVER (PARTITION BY wk
+          ORDER BY v DESC, event_type DESC) AS rk FROM e
+      ), lu AS (
+        SELECT wk, uid, row_number() OVER (PARTITION BY wk
+          ORDER BY v ASC, uid ASC) AS rk FROM e
+      ), q AS (
+        SELECT wk, round(quantile_cont(v, 0.5), 4) AS med_v,
+               CAST(count(1) AS BIGINT) AS n
+        FROM e GROUP BY wk
+      )
+      SELECT q.wk, q.med_v, et.event_type AS top_et,
+             CAST(lu.uid AS BIGINT) AS low_uid, q.n
+      FROM q JOIN et ON et.wk = q.wk AND et.rk = 1
+             JOIN lu ON lu.wk = q.wk AND lu.rk = 1
+      ORDER BY q.wk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
-      q143ChRollupCube,
+      q143ChRollupCube, q144ChMvQuantile,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,

@@ -255,6 +255,56 @@ class ChDdlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("MV quantile/argMin/argMax states: fold across inserts equals " +
+      "the direct aggregate, ties deterministic") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_mvq"
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE mvq_src (`uid` UInt64, `grp` String, `v` Float64,
+          `d` Date)
+        ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
+      spark.sql("""
+        CREATE MATERIALIZED VIEW mvq_mv ENGINE = AggregatingMergeTree
+        AS SELECT grp, quantileExactState(v) AS qv,
+                  argMaxState(uid, v) AS amax,
+                  argMinState(uid, v) AS amin
+        FROM mvq_src GROUP BY grp""")
+      // grp a values across the split: {1, 3, 5, 9} -> median 4.0
+      // (interpolated); the max v=9 and min v=1 are unique.
+      // grp b: v TIES everywhere (all 2.0) -> argMax must pick the
+      // LARGEST uid, argMin the SMALLEST (the (o, v) total order),
+      // regardless of which insert carried which row
+      Seq((1L, "a", 1.0, "2024-01-02"), (2L, "a", 9.0, "2024-01-03"),
+        (7L, "b", 2.0, "2024-01-02"))
+        .toDF("uid", "grp", "v", "ds").createOrReplaceTempView("mvq_b1")
+      Seq((3L, "a", 3.0, "2024-01-09"), (4L, "a", 5.0, "2024-01-09"),
+        (5L, "b", 2.0, "2024-01-09"), (9L, "b", 2.0, "2024-01-10"))
+        .toDF("uid", "grp", "v", "ds").createOrReplaceTempView("mvq_b2")
+      spark.sql(
+        "INSERT INTO mvq_src SELECT uid, grp, v, CAST(ds AS DATE) FROM mvq_b1")
+      spark.sql(
+        "INSERT INTO mvq_src SELECT uid, grp, v, CAST(ds AS DATE) FROM mvq_b2")
+      val got = spark.sql("""
+        SELECT grp, round(quantileExactMerge(0.5)(qv), 4) AS med,
+               argMaxMerge(amax) AS amax, argMinMerge(amin) AS amin
+        FROM mvq_mv GROUP BY grp ORDER BY grp""").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == Seq(("a", 4.0, 2L, 1L), ("b", 2.0, 9L, 5L)))
+      // the MV answer equals the direct parameterized aggregate over
+      // the raw table (the state/merge pair loses nothing)
+      val direct = spark.sql("""
+        SELECT grp, round(quantileExact(0.5)(v), 4) AS med,
+               argMax(uid, v) AS amax, argMin(uid, v) AS amin
+        FROM mvq_src GROUP BY grp ORDER BY grp""").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(direct.map(t => (t._1, t._2)) == got.map(t => (t._1, t._2)))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("MV fold with a batch id is exactly-once: replays never refold") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_ddlspec_mvbatch"
     FsUtil.rmTree(root)
