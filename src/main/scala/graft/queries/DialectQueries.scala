@@ -1976,9 +1976,67 @@ object DialectQueries {
              JOIN lu ON lu.wk = q.wk AND lu.rk = 1
       ORDER BY q.wk"""))
 
+  // ---------------------------------------------------------------------
+  // CH set operators and subquery predicates: INTERSECT / EXCEPT
+  // (DISTINCT spelled explicitly — CH's bare default is ALL where
+  // Spark's and the standard's is DISTINCT, so portable CH text says
+  // which), IN (subquery) and correlated EXISTS. All four plan as
+  // joins (LeftSemi/LeftAnti), never per-row subquery re-execution —
+  // the shape that survives scale.
+  val q145ChSetOps = QueryDef(
+    "q145_ch_set_ops_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("setops_ev_v")
+      Graft.table(s, dir, "orders").createOrReplaceTempView("setops_ord_v")
+      s.sql("""
+        SELECT 'intersect' AS mode, toInt64(count(1)) AS n FROM (
+          SELECT user_id FROM setops_ev_v WHERE event_type = 'click'
+          INTERSECT DISTINCT
+          SELECT user_id FROM setops_ev_v WHERE event_type = 'signup')
+        UNION ALL
+        SELECT 'except' AS mode, toInt64(count(1)) AS n FROM (
+          SELECT user_id FROM setops_ev_v WHERE event_type = 'click'
+          EXCEPT DISTINCT
+          SELECT user_id FROM setops_ev_v WHERE event_type = 'error')
+        UNION ALL
+        SELECT 'in_sub' AS mode, toInt64(count(1)) AS n
+        FROM setops_ev_v
+        WHERE user_id IN (SELECT o_custkey FROM setops_ord_v
+                          WHERE o_totalprice > 200000)
+        UNION ALL
+        SELECT 'exists' AS mode, toInt64(count(1)) AS n
+        FROM setops_ev_v e
+        WHERE EXISTS (SELECT 1 FROM setops_ord_v o
+                      WHERE o.o_custkey = e.user_id
+                        AND o.o_totalprice > 200000)
+        ORDER BY mode""")
+    },
+    Some("""
+      SELECT 'intersect' AS mode, CAST(count(1) AS BIGINT) AS n FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'signup')
+      UNION ALL
+      SELECT 'except' AS mode, CAST(count(1) AS BIGINT) AS n FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error')
+      UNION ALL
+      SELECT 'in_sub' AS mode, CAST(count(1) AS BIGINT) AS n
+      FROM events
+      WHERE user_id IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 200000)
+      UNION ALL
+      SELECT 'exists' AS mode, CAST(count(1) AS BIGINT) AS n
+      FROM events e
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = e.user_id
+                      AND o.o_totalprice > 200000)
+      ORDER BY mode"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
-      q143ChRollupCube, q144ChMvQuantile,
+      q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,

@@ -229,6 +229,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q145: set ops and subquery predicates all plan as semi/anti " +
+      "equi-joins, never per-row subqueries or nested loops") {
+    val p = plan("q145_ch_set_ops_sql")
+    assert(p.contains("LeftSemi"), p)  // INTERSECT / IN / EXISTS
+    assert(p.contains("LeftAnti"), p)  // EXCEPT
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q142: boilerplate removal — one line shuffle, broadcast set, " +
       "map-side rebuild") {
     val p = plan("q142_boilerplate_lines")
