@@ -105,7 +105,11 @@ object Bench {
           // so the median reflects the read plans
           "q91_ch_final_sql", "q113_goals_final_scaled",
           // the LM-train + score + token-budget-select composition
-          "q116_token_budget_select")
+          "q116_token_budget_select",
+          // round-7 fifth leg: C4-style boilerplate removal — one
+          // line-keyed shuffle + broadcast set + map-side rebuild;
+          // the flat curve at 10x docs is the design's evidence
+          "q142_boilerplate_lines")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

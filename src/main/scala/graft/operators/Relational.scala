@@ -323,16 +323,50 @@ object Relational {
     * the axis column to the fill range so the distinct is
     * axis-bounded, not data-bounded.
     */
+  /** `interp`: columns whose fill rows CARRY FORWARD the most recent
+    * data value in axis order instead of the type default (CH
+    * `INTERPOLATE (col)`). The carry window orders by (axis, value)
+    * with a single partition — legitimate ONLY because fill output is
+    * presentation-sized by construction (it feeds the query's own
+    * global ORDER BY, the same total-order pass); the corpus-sized
+    * data side still streams through shuffle-free. Fill rows before
+    * the first data row take the type default, like plain fill. Among
+    * equal-axis data rows the carried value is the LARGEST (a
+    * deterministic tie rule — CH reads stream order, which a parallel
+    * engine does not have).
+    */
   private[graft] def fillAxis(df: DataFrame, axisCol: String, axis: DataFrame,
-      inRange: Column, defaults: Seq[(String, Column)]): DataFrame = {
+      inRange: Column, defaults: Seq[(String, Column)],
+      interp: Seq[String] = Nil): DataFrame = {
     val defMap = defaults.toMap
     val present = df.select(col(s"`$axisCol`")).filter(inRange).distinct()
     val missing = axis.join(broadcast(present), Seq(axisCol), "left_anti")
       .select(col(s"`$axisCol`") +:
         df.columns.toIndexedSeq.filterNot(_ == axisCol).map(c =>
-          defMap.getOrElse(c, lit(null))
+          (if (interp.contains(c)) lit(null)
+           else defMap.getOrElse(c, lit(null)))
             .cast(df.schema(c).dataType).as(c)): _*)
-    df.unionByName(missing)
+    if (interp.isEmpty) df.unionByName(missing)
+    else {
+      val marked = df.withColumn("__gf_fill", lit(false))
+        .unionByName(missing.withColumn("__gf_fill", lit(true)))
+      val filled = interp.foldLeft(marked) { (acc, c) =>
+        // data rows keep their value verbatim; a fill row takes the
+        // last non-null DATA value at a smaller axis (its own axis
+        // value is absent from the data by construction), falling
+        // back to the type default with no predecessor
+        val dataVal = when(!col("__gf_fill"), col(s"`$c`"))
+        val w = Window.orderBy(col(s"`$axisCol`"), dataVal)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        acc.withColumn(c,
+          when(col("__gf_fill"),
+            coalesce(last(dataVal, ignoreNulls = true).over(w),
+              defMap.getOrElse(c, lit(null))
+                .cast(df.schema(c).dataType)))
+            .otherwise(col(s"`$c`")))
+      }
+      filled.drop("__gf_fill")
+    }
   }
 
   /** ClickHouse `LIMIT n BY key`: the first `n` rows of each key group

@@ -38,7 +38,8 @@ case class ChLimitBy(n: Int, offset: Int, keys: Seq[Expression],
 }
 
 case class ChWithFill(axis: String, from: Literal, to: Literal,
-    step: Option[Literal], child: LogicalPlan) extends UnaryNode {
+    step: Option[Literal], interpolate: Seq[String],
+    child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): ChWithFill =
     copy(child = newChild)
@@ -140,8 +141,8 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ChLimitBy(n, off, keys, child)
           if child.resolved && keys.forall(_.resolved) =>
         rewriteLimitBy(n, off, keys, child)
-      case ChWithFill(ax, from, to, step, child) if child.resolved =>
-        rewriteFill(ax, from, to, step, child)
+      case ChWithFill(ax, from, to, step, interp, child) if child.resolved =>
+        rewriteFill(ax, from, to, step, interp, child)
       case ChSample(f, child) if child.resolved =>
         pushSample(f, child)
       case ChFinal(tables, child) if child.resolved =>
@@ -520,7 +521,8 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewriteFill(axName: String, from: Literal, to: Literal,
-      stepOpt: Option[Literal], child: LogicalPlan): LogicalPlan = {
+      stepOpt: Option[Literal], interp: Seq[String],
+      child: LogicalPlan): LogicalPlan = {
     val resolver = spark.sessionState.conf.resolver
     val axisAttr = child.output.find(a => resolver(a.name, axName))
       .getOrElse(throw new IllegalArgumentException(
@@ -585,8 +587,23 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .map(a => a.name -> column(
         scala.util.Try(Literal.default(a.dataType))
           .getOrElse(Literal(null, a.dataType))))
+    // INTERPOLATE columns must be output columns other than the axis;
+    // only the bare carry-forward form is supported (CH's `col AS
+    // expr` recomputes from the PREVIOUS row — a sequential recursion
+    // with no bounded relational form; reject loudly, never guess)
+    val interpCols = interp.map { raw =>
+      require(!raw.toUpperCase.contains(" AS "),
+        "INTERPOLATE (col AS expr) is not supported — only the " +
+          "carry-forward form INTERPOLATE (col, ...)")
+      val name = raw.replace("`", "").trim
+      require(child.output.exists(a => resolver(a.name, name)),
+        s"INTERPOLATE column `$name` is not an output column")
+      require(!resolver(name, axisAttr.name),
+        s"INTERPOLATE column `$name` is the fill axis itself")
+      name
+    }
     graft.operators.Relational.fillAxis(ofRows(spark, child),
-        axisAttr.name, axisDf, inRange, defaults)
+        axisAttr.name, axisDf, inRange, defaults, interpCols)
       .queryExecution.analyzed
   }
 }

@@ -227,7 +227,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // string part is masked at this point
   private val withFillRe =
     ("""(?is)\b(ORDER\s+BY\s+)((?:`[^`]*`|[\w.:])+)(\s+(?:ASC|DESC))?\s+WITH\s+FILL""" +
-      """\s+FROM\s+(.+?)\s+TO\s+(.+?)(?:\s+STEP\s+(.+?))?(?=\s+LIMIT\b|\s+SETTINGS\b|\s*$)""").r
+      """\s+FROM\s+(.+?)\s+TO\s+(.+?)(?:\s+STEP\s+(.+?))?""" +
+      """(?:\s+INTERPOLATE\s*\(([^()]*)\))?(?=\s+LIMIT\b|\s+SETTINGS\b|\s*$)""").r
 
   private def depth0At(text: String, pos: Int): Boolean = {
     val prefix = text.substring(0, pos)
@@ -302,11 +303,14 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         val to = foldLit(unmaskLiterals(m.group(5), lits))
         val step = Option(m.group(6))
           .map(s => foldLit(unmaskLiterals(s, lits)))
+        val interp = Option(m.group(7)).toSeq
+          .flatMap(g => splitTopLevel(unmaskLiterals(g, lits)))
         val reduced = masked.substring(0, m.start) +
           m.group(1) + m.group(2) + Option(m.group(3)).getOrElse("") +
           masked.substring(m.end)
         (reduced,
-          Some(insertUnderSort(_, ChWithFill(axis, from, to, step, _))))
+          Some(insertUnderSort(_,
+            ChWithFill(axis, from, to, step, interp, _))))
       case _ => (masked, None)
     }
 

@@ -2034,9 +2034,54 @@ object DialectQueries {
                       AND o.o_totalprice > 200000)
       ORDER BY mode"""))
 
+  // ---------------------------------------------------------------------
+  // WITH FILL ... INTERPOLATE: fill rows carry the most recent data
+  // value forward in axis order (the CH chart idiom for "hold the
+  // last reading across gaps") instead of the type default; leading
+  // fill rows with no predecessor still take the default. Only the
+  // carry-forward form — CH's `col AS expr` recomputes from the
+  // PREVIOUS row, a sequential recursion with no bounded relational
+  // form, and is rejected loudly. The carry window is single-partition
+  // but runs over the PRESENTATION-sized fill output (which already
+  // feeds the query's own global ORDER BY), never the corpus. The
+  // HAVING threshold punches gaps into the daily series so both
+  // carried rows and the Jan-31 tail-fill are exercised; the oracle
+  // replays the carry as a native ASOF join of missing grid days to
+  // the latest earlier data day.
+  val q146ChFillInterpolate = QueryDef(
+    "q146_ch_fill_interpolate_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("fillint_ev_v")
+      s.sql("""
+        SELECT d, n FROM (
+          SELECT CAST(ts AS DATE) AS d, toInt64(count(1)) AS n
+          FROM fillint_ev_v
+          GROUP BY CAST(ts AS DATE) HAVING count(1) >= 334
+        )
+        ORDER BY d WITH FILL FROM cast('2024-01-01' as date)
+                                TO cast('2024-02-01' as date)
+                   INTERPOLATE (n)""")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(1) AS BIGINT) AS n
+        FROM events GROUP BY 1 HAVING count(1) >= 334
+      ), grid AS (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+          DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS d
+      ), interp AS (
+        SELECT g.d, coalesce(a.n, 0) AS n
+        FROM (SELECT d FROM grid
+              WHERE d NOT IN (SELECT d FROM agg)) g
+        ASOF LEFT JOIN agg a ON g.d >= a.d
+      )
+      SELECT d, n FROM (SELECT * FROM agg UNION ALL SELECT * FROM interp)
+      ORDER BY d"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
+      q146ChFillInterpolate,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,

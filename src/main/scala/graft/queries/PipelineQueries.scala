@@ -1818,7 +1818,8 @@ object PipelineQueries {
                   list_filter(string_split(d.text, chr(10)),
                       l -> NOT list_contains(b.s, trim(l))), chr(10)))
                   AS BIGINT) AS clean_len
-      FROM d, bls b ORDER BY d.doc_id LIMIT 100"""))
+      FROM d, bls b ORDER BY d.doc_id LIMIT 100"""),
+    bench = true)
 
   val defs: Seq[QueryDef] = Seq(
     q141SplitShardShuffle, q142BoilerplateLines,

@@ -275,6 +275,39 @@ class ChDialectSpec extends SparkSpec {
     assert(inv == Seq((0L, "a"), (4L, "b"), (9L, "c")))
   }
 
+  test("WITH FILL INTERPOLATE carries the last data value; leading " +
+      "fill rows default; AS-expr form rejects") {
+    Seq((1L, 10L, "a"), (4L, 40L, "b"), (7L, 70L, "c"))
+      .toDF("x", "v", "s").createOrReplaceTempView("wfi_v")
+    val got = spark.sql("""
+      SELECT x, v, s FROM wfi_v
+      ORDER BY x WITH FILL FROM 0 TO 9 INTERPOLATE (v)""")
+      .as[(Long, Long, String)].collect().toSeq
+    // x=0 precedes all data -> v takes the long default 0; gaps carry
+    // the latest earlier value; the non-interpolated string column
+    // still takes its type default ''
+    assert(got == Seq(
+      (0L, 0L, ""), (1L, 10L, "a"), (2L, 10L, ""), (3L, 10L, ""),
+      (4L, 40L, "b"), (5L, 40L, ""), (6L, 40L, ""), (7L, 70L, "c"),
+      (8L, 70L, "")))
+    // CH's `col AS expr` recomputes from the previous ROW — a
+    // sequential recursion this engine refuses rather than guesses
+    val e = intercept[Exception] {
+      spark.sql("""
+        SELECT x, v, s FROM wfi_v
+        ORDER BY x WITH FILL FROM 0 TO 9 INTERPOLATE (v AS v + 1)""")
+        .collect()
+    }
+    assert(e.getMessage.contains("carry-forward"))
+    // an unknown interpolate column fails loudly
+    val e2 = intercept[Exception] {
+      spark.sql("""
+        SELECT x, v, s FROM wfi_v
+        ORDER BY x WITH FILL FROM 0 TO 9 INTERPOLATE (nope)""").collect()
+    }
+    assert(e2.getMessage.contains("not an output column"))
+  }
+
   test("type conversions widen per the documented mapping; intDiv truncates") {
     val r = spark.sql("""
       SELECT toString(42) AS s, toFloat64('2.5') AS f, toFloat32(1) AS f32,
