@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) retrieval over a document corpus — the keyword
+  * counterpart of the embedding retrieval in [[Similarity]]. A
+  * training-data pipeline uses it to pull topic slices out of a raw
+  * corpus ("all documents about X"), to audit near-duplicate clusters,
+  * and as the lexical arm of hybrid (BM25 + cosine) retrieval.
+  *
+  * Scale shape (the part that must survive 100 TB): the corpus is
+  * tokenized and EXPLODED ONCE, but the very next operator is a
+  * map-side `term IN (query vocabulary)` filter, so the only rows that
+  * ever reach a shuffle are (doc, term) postings for terms some query
+  * actually uses — corpus-size-independent per non-matching token. The
+  * per-term document frequencies are an aggregate of that filtered
+  * posting set (a handful of rows, broadcast back), the query list
+  * itself is a broadcast literal table, and the final top-k is a
+  * WindowGroupLimit (map-side trim to k per query before the single
+  * rank shuffle). Nothing in the plan materializes corpus-sized state.
+  *
+  * Determinism discipline (the oracle hashes every value): the ONLY
+  * transcendental in BM25 is `ln` inside idf, and libm implementations
+  * differ in the last ulp across engines. So idf is snapped to 1e-6
+  * fixed-point immediately after the `ln` (one rounding per term — the
+  * entire cross-engine exposure), every subsequent mul/div is IEEE
+  * basic arithmetic on bit-identical inputs, each per-term score is
+  * snapped to 1e-6 fixed-point LONGS, and the per-document sum runs in
+  * exact integer arithmetic — associative, so shuffle order cannot
+  * change the total. Ties on the fixed-point score break by doc id.
+  */
+object Retrieval {
+
+  /** BM25 top-k: score `queries` (id -> query text) against the corpus
+    * and keep the `k` best documents per query.
+    *
+    * Classic Robertson/Sparck-Jones BM25:
+    *   idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *
+    * Query-term multiplicity is ignored (standard for short queries);
+    * query text tokenizes with the same normalization as documents.
+    * Output: (query_id, doc_id, rank, score), score rounded to 4
+    * decimals for presentation (ranking uses the full fixed-point sum).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK: empty query set")
+    require(k >= 1, "bm25TopK: k must be >= 1")
+    val spark = docs.sparkSession
+    import graft.functions.text
+
+    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, qt) =>
+      qt.trim.toLowerCase.split("\\s+").toIndexedSeq.distinct
+        .filter(_.nonEmpty).map(qid -> _)
+    }
+    val vocab = qTerms.map(_._2).distinct
+
+    // Corpus stats: one aggregate-only pass (count + total token mass).
+    // A single bounded driver row — the same pattern as the centroid /
+    // carry tables elsewhere; never row data.
+    val toks = text.tokenize(col(textCol))
+    val stats = docs.agg(
+      count(lit(1)).as("n"), sum(size(toks)).as("s")).head()
+    val nDocs = stats.getLong(0)
+    val avgDl = stats.getLong(1).toDouble / nDocs
+
+    // Postings for query-vocabulary terms only. The isin filter sits
+    // directly on the exploded generator output — map-side, before the
+    // (term, doc) aggregation shuffle.
+    val posting = docs
+      .select(col(idCol), size(toks).as("__dl"), explode(toks).as("__t"))
+      .filter(col("__t").isin(vocab: _*))
+      .groupBy(col("__t"), col(idCol), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+
+    // Per-term document frequency: an aggregate of the filtered posting
+    // set (<= |vocab| rows), broadcast back onto it. idf snaps to 1e-6
+    // fixed-point HERE — the single cross-engine rounding point.
+    val dfByTerm = posting.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__idf_fp", round(
+        log((lit(nDocs.toDouble) - col("__df") + 0.5d) /
+          (col("__df") + 0.5d) + 1.0d) * 1e6d).cast("long"))
+
+    val qdf = spark.createDataFrame(qTerms).toDF("query_id", "__t")
+
+    val tfD = col("__tf").cast("double")
+    val lenNorm = lit(1.0d - b) + col("__dl") * b / avgDl
+    val termScoreFp = round(
+      (col("__idf_fp").cast("double") / 1e6d) *
+        (tfD * (k1 + 1.0d)) / (tfD + lenNorm * k1) * 1e6d)
+      .cast("long")
+
+    val scored = posting
+      .join(broadcast(dfByTerm), "__t")
+      .join(broadcast(qdf), "__t")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(termScoreFp).as("__score_fp"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score_fp").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        col("rank").cast("long").as("rank"),
+        round(col("__score_fp") / 1e6d, 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

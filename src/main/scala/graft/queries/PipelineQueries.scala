@@ -1821,8 +1821,78 @@ object PipelineQueries {
       FROM d, bls b ORDER BY d.doc_id LIMIT 100"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X60: BM25 lexical retrieval — the keyword arm next to the embedding
+  // retrieval entries (q25/q126). Scale + determinism rationale lives on
+  // the operator ([[graft.operators.Retrieval.bm25TopK]]): map-side
+  // vocabulary filter before the only posting shuffle, broadcast df/
+  // query tables, WindowGroupLimit top-k; idf snapped to 1e-6 fixed
+  // point right after the ln (the single transcendental), per-term
+  // scores summed as exact longs so shuffle order cannot move a hash.
+  // The oracle replays every stage arithmetically.
+  val q147Bm25TopK = QueryDef(
+    "q147_bm25_topk",
+    (s, dir) => {
+      import graft.operators.Retrieval
+      Retrieval.bm25TopK(Graft.table(s, dir, "documents"),
+        "doc_id", "text",
+        Seq(1L -> "hash join merge",
+          2L -> "stream window agg sort",
+          3L -> "customer order line"),
+        k = 10)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), st AS (
+        SELECT CAST(count(1) AS DOUBLE) AS nd,
+               CAST(sum(len(toks)) AS DOUBLE) / count(1) AS avgdl
+        FROM t
+      ), p AS (
+        SELECT u.t AS term, doc_id, len(toks) AS dl,
+               CAST(count(1) AS BIGINT) AS tf
+        FROM t, unnest(toks) AS u(t)
+        WHERE u.t IN ('hash','join','merge','stream','window','agg',
+                      'sort','customer','order','line')
+        GROUP BY 1, 2, 3
+      ), dft AS (
+        SELECT term,
+               CAST(round(ln(((SELECT nd FROM st) - count(1) + 0.5)
+                             / (count(1) + 0.5) + 1.0)
+                          * 1000000.0) AS BIGINT) AS idf_fp
+        FROM p GROUP BY term
+      ), qt(query_id, term) AS (
+        VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
+               (2, 'stream'), (2, 'window'), (2, 'agg'), (2, 'sort'),
+               (3, 'customer'), (3, 'order'), (3, 'line')
+      ), sc AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(sum(CAST(round(
+                 (dft.idf_fp / 1000000.0) *
+                 (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(p.tf AS DOUBLE)
+                   + (1.0 - 0.75 + 0.75 * p.dl
+                        / (SELECT avgdl FROM st)) * 1.2)
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS score_fp
+        FROM p
+        JOIN dft USING (term)
+        JOIN qt USING (term)
+        GROUP BY 1, 2
+      ), rk AS (
+        SELECT query_id, doc_id, score_fp,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM sc
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(rank AS BIGINT) AS rank,
+             round(score_fp / 1000000.0, 4) AS score
+      FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q141SplitShardShuffle, q142BoilerplateLines,
+    q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, hand-computable stats: N=4, total tokens 2+2+3+1=8, avgdl=2
+  private def corpus = Seq(
+    (1L, "apple banana"),
+    (2L, "apple apple"),
+    (3L, "banana cherry cherry"),
+    (4L, "date")).toDF("doc_id", "text")
+
+  test("bm25TopK: hand-computed scores, ranking and tie-break") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq(10L -> "apple", 20L -> "cherry banana"), k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    // idf(apple): df=2 -> ln((4-2+0.5)/(2+0.5)+1) = ln(2) -> fp 693147
+    // idf(banana): df=2 -> 693147; idf(cherry): df=1 -> ln((3.5/1.5)+1)
+    //   = ln(10/3) -> fp 1203973
+    // norm(dl) = 1 - 0.75 + 0.75*dl/2
+    // doc1 (dl=2, tf=1 each): norm=1, ts = idf*2.2/(1+1.2) = idf
+    // doc2 (dl=2, tf=2 apple): ts = idf * 4.4/(2+1.2) = idf*1.375
+    // doc3 (dl=3, tf=2 cherry, tf=1 banana): norm=1.375, k1*norm=1.65
+    //   cherry: .980829*4.4/3.65 ; banana: .693147*2.2/2.65
+    def fp(x: Double): Long = math.round(x * 1e6)
+    val apple1 = fp(0.693147)           // doc1: idf * 1.0
+    val apple2 = fp(0.693147 * 4.4 / 3.2) // doc2
+    val cherry3 = fp(1.203973 * 4.4 / 3.65)
+    val banana3 = fp(0.693147 * 2.2 / 2.65)
+    val banana1 = fp(0.693147)
+    def sc(l: Long): Double = l / 1e6
+
+    assert(got == Seq(
+      (10L, 2L, 1L, BigDecimal(sc(apple2)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (10L, 1L, 2L, BigDecimal(sc(apple1)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (20L, 3L, 1L, BigDecimal(sc(cherry3 + banana3)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (20L, 1L, 2L, BigDecimal(sc(banana1)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("bm25TopK: equal fixed-point scores break ties by doc id") {
+    // two identical docs -> identical scores; doc 5 must outrank doc 6
+    val ties = Seq((6L, "kiwi kiwi"), (5L, "kiwi kiwi")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(ties, "doc_id", "text",
+      Seq(1L -> "kiwi"), k = 2)
+      .select(col("doc_id"), col("rank")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 1L), (6L, 2L)))
+  }
+
+  test("bm25TopK: query-term multiplicity is ignored; unknown terms drop") {
+    val a = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq(1L -> "apple apple apple zzz-not-a-term"), k = 4)
+      .select(col("doc_id"), col("score")).collect().toSeq
+    val b = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq(1L -> "apple"), k = 4)
+      .select(col("doc_id"), col("score")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("bm25TopK plan: broadcast df/query joins, map-side vocabulary " +
+      "filter under the posting aggregate, WindowGroupLimit top-k") {
+    val p = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq(1L -> "apple banana"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"))
+    // the vocabulary filter must run before the posting shuffle: the
+    // only exchanges are the posting/df aggregates and the final rank —
+    // none keyed on the raw corpus row id
+    assert(p.contains("IN (apple,banana)"))
+  }
+
+  test("bm25TopK: rejects an empty query set and k < 1") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "doc_id", "text", Nil, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "doc_id", "text", Seq(1L -> "x"), k = 0)
+    }
+  }
+}
