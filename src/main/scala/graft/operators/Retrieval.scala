@@ -111,4 +111,43 @@ object Retrieval {
         round(col("__score_fp") / 1e6d, 4).as("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion of ranked retrieval arms (Cormack et al.,
+    * SIGIR'09): each arm contributes `1/(kRrf + rank)` per (query,
+    * doc) and the fused ranking orders by the summed contribution.
+    * Arm-agnostic — any frame with (query, id, rank) columns fuses,
+    * so BM25, exact cosine, and ANN arms compose freely.
+    *
+    * Scale shape: every arm is already top-k-per-query (k·|queries|
+    * rows — probe-sized, not corpus-sized), so fusion is a union +
+    * one tiny aggregate + WindowGroupLimit. The corpus-scale work
+    * lives in the arms; fusion adds no corpus-sized shuffle.
+    *
+    * Determinism: the contribution is snapped to an integer
+    * (`round(1e9/(kRrf+rank))` — one IEEE division of exact integers,
+    * identically rounded in any engine) and summed as exact longs, so
+    * arm order and shuffle order cannot move a hash. Ties on the
+    * fused score break by doc id.
+    */
+  def rrfFuse(arms: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse: no arms")
+    require(k >= 1, "rrfFuse: k must be >= 1")
+    require(kRrf >= 1, "rrfFuse: kRrf must be >= 1")
+    val contrib = arms.map(_.select(
+      col(queryCol), col(idCol),
+      round(lit(1e9d) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
+        .cast("long").as("__rrf")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(col(queryCol), col(idCol))
+      .agg(sum(col("__rrf")).as("rrf_fp"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_fp").desc, col(idCol))
+    fused
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol),
+        col("rank").cast("long").as("rank"), col("rrf_fp"))
+      .orderBy(col(queryCol), col("rank"))
+  }
 }

@@ -1891,8 +1891,153 @@ object PipelineQueries {
              round(score_fp / 1000000.0, 4) AS score
       FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** DuckDB replay of `text.hashBagEmbed(toks, 16)`'s slot-count
+    * vector, over a CTE exposing the hashed slot list as `dims`. */
+  private val embedSlots16: String = (0 until 16)
+    .map(i => s"CAST(len(list_filter(dims, d -> d = $i)) AS DOUBLE)")
+    .mkString("[", ",\n                ", "]")
+
+  // ---------------------------------------------------------------------
+  // X61: hybrid retrieval — BM25 lexical arm (X60) + exact-cosine
+  // embedding arm over deterministic bag-of-hashed-tokens vectors
+  // (the q126 pattern), fused by reciprocal-rank fusion. Fusion adds
+  // no corpus-sized work: both arms arrive pre-trimmed to k·|queries|
+  // rows, RRF is a union + tiny integer aggregate + WindowGroupLimit
+  // ([[graft.operators.Retrieval.rrfFuse]] — contribution snapped to
+  // an integer so arm/shuffle order cannot move a hash). The probe
+  // ids offset by 10M so no corpus doc is mistaken for a probe in the
+  // embedding arm's self-match filter. The oracle replays BOTH arms
+  // stage by stage (BM25 fixed-point pipeline; rolling-hash vectors +
+  // cosine ranking) and then the fusion arithmetic.
+  val q148HybridRrf = QueryDef(
+    "q148_hybrid_rrf",
+    (s, dir) => {
+      import graft.operators.Retrieval
+      val qs = Seq(1L -> "hash join merge",
+        2L -> "stream window agg sort",
+        3L -> "customer order line")
+      val docs = Graft.table(s, dir, "documents")
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val docVecs = docs.select(col("doc_id").as("id"),
+        text.hashBagEmbed(text.tokenize(col("text")), 16).as("emb"))
+      val probes = s.createDataFrame(qs).toDF("query_id", "qt")
+        .select((col("query_id") + 10000000L).as("id"),
+          text.hashBagEmbed(text.tokenize(col("qt")), 16).as("emb"))
+      val emb = Similarity.bruteForceTopK(docVecs, probes, "id", "emb",
+          k = 20)
+        .select((col("probe_id") - 10000000L).as("query_id"),
+          col("id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, emb), "query_id", "doc_id", "rank",
+        k = 10)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ), st AS (
+        SELECT CAST(count(1) AS DOUBLE) AS nd,
+               CAST(sum(len(toks)) AS DOUBLE) / count(1) AS avgdl
+        FROM t
+      ), p AS (
+        SELECT u.t AS term, doc_id, len(toks) AS dl,
+               CAST(count(1) AS BIGINT) AS tf
+        FROM t, unnest(toks) AS u(t)
+        WHERE u.t IN ('hash','join','merge','stream','window','agg',
+                      'sort','customer','order','line')
+        GROUP BY 1, 2, 3
+      ), dft AS (
+        SELECT term,
+               CAST(round(ln(((SELECT nd FROM st) - count(1) + 0.5)
+                             / (count(1) + 0.5) + 1.0)
+                          * 1000000.0) AS BIGINT) AS idf_fp
+        FROM p GROUP BY term
+      ), qt(query_id, term) AS (
+        VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
+               (2, 'stream'), (2, 'window'), (2, 'agg'), (2, 'sort'),
+               (3, 'customer'), (3, 'order'), (3, 'line')
+      ), sc AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(sum(CAST(round(
+                 (dft.idf_fp / 1000000.0) *
+                 (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(p.tf AS DOUBLE)
+                   + (1.0 - 0.75 + 0.75 * p.dl
+                        / (SELECT avgdl FROM st)) * 1.2)
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS score_fp
+        FROM p
+        JOIN dft USING (term)
+        JOIN qt USING (term)
+        GROUP BY 1, 2
+      ), lexr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM sc
+      ), lex AS (
+        SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 20
+      ), dh AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) % 16
+                for tk in toks] AS dims
+        FROM t
+      ), dn AS (
+        SELECT doc_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        FROM (SELECT doc_id, ${embedSlots16} AS emb FROM dh)
+      ), qv(query_id, qt) AS (
+        VALUES (1, 'hash join merge'), (2, 'stream window agg sort'),
+               (3, 'customer order line')
+      ), qtok AS (
+        SELECT query_id,
+               regexp_split_to_array(lower(trim(qt)), '\\s+') AS toks
+        FROM qv
+      ), qh AS (
+        SELECT query_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) % 16
+                for tk in toks] AS dims
+        FROM qtok
+      ), qn AS (
+        SELECT query_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        FROM (SELECT query_id, ${embedSlots16} AS emb FROM qh)
+      ), es AS (
+        SELECT q.query_id, d.doc_id,
+               CASE WHEN q.nrm > 0 AND d.nrm > 0
+                    THEN list_dot_product(q.emb, d.emb) / (q.nrm * d.nrm)
+                    ELSE 0.0 END AS sim
+        FROM dn d, qn q
+      ), er AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, doc_id) AS rank
+        FROM es
+      ), embarm AS (
+        SELECT query_id, doc_id, rank FROM er WHERE rank <= 20
+      ), fused AS (
+        SELECT query_id, doc_id,
+               CAST(sum(CAST(round(1000000000.0 / (60 + rank))
+                 AS BIGINT)) AS BIGINT) AS rrf_fp
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM embarm)
+        GROUP BY 1, 2
+      ), frk AS (
+        SELECT query_id, doc_id, rrf_fp,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_fp DESC, doc_id) AS rank
+        FROM fused
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(rank AS BIGINT) AS rank, rrf_fp
+      FROM frk WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
+    q148HybridRrf,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

@@ -86,4 +86,53 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus, "doc_id", "text", Seq(1L -> "x"), k = 0)
     }
   }
+
+  // RRF contributions at kRrf=60: round(1e9/(60+rank))
+  private def rrf(rank: Int): Long = math.round(1e9 / (60 + rank))
+
+  test("rrfFuse: hand-computed fusion of overlapping + disjoint arms") {
+    val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val armB = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(armA, armB),
+      "query_id", "doc_id", "rank", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 11: rank2 in A + rank1 in B = the only two-arm doc -> first
+    assert(got == Seq(
+      (1L, 11L, 1L, rrf(2) + rrf(1)),
+      (1L, 10L, 2L, rrf(1)),
+      (1L, 13L, 3L, rrf(2)),
+      (1L, 12L, 4L, rrf(3))))
+  }
+
+  test("rrfFuse: equal fused scores break by doc id; k trims") {
+    // two docs each rank-1 in exactly one arm -> equal scores
+    val armA = Seq((1L, 9L, 1L)).toDF("query_id", "doc_id", "rank")
+    val armB = Seq((1L, 4L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(armA, armB),
+      "query_id", "doc_id", "rank", k = 1)
+      .select(col("doc_id"), col("rank")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 1L)))
+  }
+
+  test("rrfFuse: single arm preserves the arm's order; arg guards") {
+    val arm = Seq((1L, 7L, 1L), (1L, 8L, 2L), (2L, 9L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(arm), "query_id", "doc_id", "rank",
+        k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 7L, 1L), (1L, 8L, 2L), (2L, 9L, 1L)))
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Nil, "query_id", "doc_id", "rank", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(arm), "query_id", "doc_id", "rank", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(arm), "query_id", "doc_id", "rank",
+        k = 1, kRrf = 0)
+    }
+  }
 }
