@@ -593,4 +593,68 @@ object Dedup {
       .withColumn(textCol, array_join(kept, "\n"))
       .drop("__bl_set")
   }
+
+  /** Duplicate n-token span detection — the exact-substring-dedup
+    * primitive of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL'22), in the scalable windowed-hash
+    * form: every `window`-token sliding span is hashed, and a span
+    * whose hash occurs in ≥ 2 DISTINCT documents is duplicated
+    * (memorization risk / cross-doc copying). Returns per-document
+    * span counts: `(id, n_spans, n_dup_spans, dup_fraction)` for
+    * every document with at least `window` tokens.
+    *
+    * Scale shape: span hashing is a pure projection (the rows that
+    * reach a shuffle are (doc, hash) pairs — linear in token count,
+    * the same expansion class as X2's shingles). The only
+    * corpus-sized shuffles are the distinct-doc frequency aggregate
+    * on the span hash and the final per-doc rollup; the ≥2-docs
+    * filter shrinks the dup-hash table to the duplicated subset, so
+    * the mark join broadcasts it and probes the span stream MAP-SIDE
+    * (plan-audited — with a pathologically duplicated corpus it
+    * degrades to an equi-join on the hash, still never a pair
+    * product). The paper's suffix array gives arbitrary-length
+    * matches but needs a global sort; fixed-window hashing is the
+    * shuffle-bounded approximation that holds at 100 TB.
+    *
+    * Determinism: span hash = integer fold `(acc*31 + tokHash) mod p`
+    * over per-token rolling hashes — exact integer arithmetic, no
+    * floats anywhere until the final rounded fraction, so the oracle
+    * replays it bit-for-bit. Window hashing is O(tokens · window) per
+    * document (vs O(tokens) for a Rabin-Karp rolling update); the
+    * constant is deliberate — it keeps the hash a pure fold that any
+    * engine replays without modular-inverse machinery, and the work
+    * is embarrassingly parallel map-side compute.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20): DataFrame = {
+    require(window >= 2, s"dupSpanStats: window must be >= 2, got $window")
+    val p = 1000000007L
+    val tokH = transform(graft.functions.text.tokenize(col(textCol)),
+      t => graft.plans.NativeHashes.rollingHash(t, p))
+    val spans = df
+      .select(col(idCol), tokH.as("__th"))
+      .withColumn("__n", size(col("__th")))
+      .filter(col("__n") >= window)
+      // the when-guard keeps the expression TOTAL (the ngramsColumn
+      // pattern): InferFiltersFromGenerate pushes a size(__sh) > 0
+      // predicate below the __n filter, so this evaluates on short
+      // docs too — an unguarded sequence(0, negative) throws there
+      .withColumn("__sh", when(col("__n") >= window, transform(
+        sequence(lit(0), col("__n") - window),
+        i => aggregate(slice(col("__th"), i + lit(1), lit(window)), lit(0L),
+          (acc, x) => pmod(acc * 31 + x, lit(p)))))
+        .otherwise(array().cast("array<long>")))
+      .select(col(idCol), explode(col("__sh")).as("__h"))
+    val dupHashes = spans.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+    spans.join(dupHashes, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__nd").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_spans"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+  }
 }

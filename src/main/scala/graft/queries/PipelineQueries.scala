@@ -2035,9 +2035,79 @@ object PipelineQueries {
              CAST(rank AS BIGINT) AS rank, rrf_fp
       FROM frk WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  // ---------------------------------------------------------------------
+  // X62: duplicate n-token span detection (Lee et al. exact-substring
+  // dedup, windowed-hash form — scale + determinism rationale on
+  // [[graft.operators.Dedup.dupSpanStats]]). Fixture construction in
+  // the q142 style: three "quoting" documents copy the first 30
+  // tokens of docs 1–3 under shifted ids, so the threshold crossing
+  // itself (source + quote share every 20-token window of the copied
+  // slice; everything else must stay below 2 distinct docs unless the
+  // corpus naturally repeats a span) is the compared surface. The
+  // oracle replays tokenization, both hash folds, the distinct-doc
+  // frequency, and the per-doc rollup.
+  val q149DupSpans = QueryDef(
+    "q149_dup_spans",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val quotes = docs.filter(col("doc_id") <= 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(text.tokenize(col("text")), 1, 30), " ")
+            .as("text"))
+      Dedup.dupSpanStats(docs.unionByName(quotes), "doc_id", "text",
+          window = 20)
+        .filter(col("n_dup_spans") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(list_slice(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 1, 30), ' ') AS text
+        FROM documents WHERE doc_id <= 3
+      ), t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM corpus
+      ), th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM t
+      ), sp AS (
+        SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 20)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 20)) AS pos
+              FROM th WHERE n >= 20)
+      ), byh AS (
+        SELECT sh, count(DISTINCT doc_id) AS nd
+        FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+      ), agg AS (
+        SELECT s.doc_id,
+               CAST(count(1) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup_spans
+        FROM sp s LEFT JOIN byh b USING (sh)
+        GROUP BY 1
+      )
+      SELECT doc_id, n_spans, n_dup_spans,
+             round(CAST(n_dup_spans AS DOUBLE) / n_spans, 4)
+               AS dup_fraction
+      FROM agg WHERE n_dup_spans > 0 ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
-    q148HybridRrf,
+    q148HybridRrf, q149DupSpans,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

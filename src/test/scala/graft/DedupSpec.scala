@@ -302,4 +302,59 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("boilerplate set exceeds"))
   }
+
+  test("dupSpanStats: hand case — shared, shifted, and unique spans") {
+    // window=3 over 5-token docs -> 3 spans each.
+    // doc 10/11 share "b c d" (doc 11 carries it SHIFTED one position —
+    // position independence is the point of hashing the span content);
+    // doc 12 has no 3-gram in common with anyone; doc 13 is too short
+    // to emit a span; doc 14 repeats "b c d" twice WITHIN itself only
+    // at positions 0 and 2 joining the cross-doc duplicate group.
+    val docs = Seq(
+      (10L, "a b c d e"),
+      (11L, "z b c d e"),   // spans: z-b-c, b-c-d*, c-d-e*
+      (12L, "p q r s t"),
+      (13L, "x y"),
+      (14L, "b c d b c d"))  // spans: b-c-d*, c-d-b, d-b-c, b-c-d*
+    .toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, "doc_id", "text", window = 3)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      // doc 10: a-b-c, b-c-d (dup: 11,14), c-d-e (dup: 11)
+      (10L, 3L, 2L, 0.6667),
+      (11L, 3L, 2L, 0.6667),
+      (12L, 3L, 0L, 0.0),
+      (14L, 4L, 2L, 0.5)))
+    // doc 13 (< window tokens) emits nothing
+    assert(!got.exists(_._1 == 13L))
+  }
+
+  test("dupSpanStats: within-doc-only repeats never mark a duplicate") {
+    val docs = Seq(
+      (1L, "a b c a b c"),  // a-b-c twice, but only ONE distinct doc
+      (2L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.forall(_._3 == 0L))
+    intercept[IllegalArgumentException] {
+      Dedup.dupSpanStats(docs, "doc_id", "text", window = 1)
+    }
+  }
+
+  test("dupSpanStats plan: dup-hash set broadcasts onto the span " +
+      "stream; no cartesian") {
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e"))
+      .toDF("doc_id", "text")
+    val df = Dedup.dupSpanStats(docs, "doc_id", "text", window = 3)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the ≥2-distinct-docs filter shrinks the dup-hash table below the
+    // broadcast threshold, so the mark join probes the span stream
+    // map-side — the spans are never shuffled for the join
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
