@@ -109,7 +109,12 @@ object Bench {
           // round-7 fifth leg: C4-style boilerplate removal — one
           // line-keyed shuffle + broadcast set + map-side rebuild;
           // the flat curve at 10x docs is the design's evidence
-          "q142_boilerplate_lines")
+          "q142_boilerplate_lines",
+          // round-7 sixth leg: duplicate-span detection — the span
+          // explosion is linear in corpus tokens and the kernel is
+          // the O(tokens) rolling form, so the curve should track
+          // token count; the dup-hash broadcast is the joint to watch
+          "q149_dup_spans")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

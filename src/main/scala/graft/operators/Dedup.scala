@@ -619,11 +619,13 @@ object Dedup {
     * Determinism: span hash = integer fold `(acc*31 + tokHash) mod p`
     * over per-token rolling hashes — exact integer arithmetic, no
     * floats anywhere until the final rounded fraction, so the oracle
-    * replays it bit-for-bit. Window hashing is O(tokens · window) per
-    * document (vs O(tokens) for a Rabin-Karp rolling update); the
-    * constant is deliberate — it keeps the hash a pure fold that any
-    * engine replays without modular-inverse machinery, and the work
-    * is embarrassingly parallel map-side compute.
+    * replays it bit-for-bit as the per-window fold. The engine
+    * computes the SAME values in O(tokens) via the native
+    * [[graft.plans.NativeHashes.spanHashes]] Rabin–Karp kernel (the
+    * rolling update drops the outgoing term with a precomputed
+    * 31^(w-1) weight — no modular inverse needed);
+    * [[spanHashesColumn]] keeps the combinator fold as the
+    * executable specification, and DedupSpec proves them equal.
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       window: Int = 20): DataFrame = {
@@ -635,15 +637,13 @@ object Dedup {
       .select(col(idCol), tokH.as("__th"))
       .withColumn("__n", size(col("__th")))
       .filter(col("__n") >= window)
-      // the when-guard keeps the expression TOTAL (the ngramsColumn
-      // pattern): InferFiltersFromGenerate pushes a size(__sh) > 0
-      // predicate below the __n filter, so this evaluates on short
-      // docs too — an unguarded sequence(0, negative) throws there
-      .withColumn("__sh", when(col("__n") >= window, transform(
-        sequence(lit(0), col("__n") - window),
-        i => aggregate(slice(col("__th"), i + lit(1), lit(window)), lit(0L),
-          (acc, x) => pmod(acc * 31 + x, lit(p)))))
-        .otherwise(array().cast("array<long>")))
+      // the native kernel is total (empty below the window) — which
+      // also matters for safety: InferFiltersFromGenerate pushes a
+      // size(__sh) > 0 predicate below the __n filter, so this
+      // evaluates on short docs too (the combinator spec needs its
+      // when-guard for exactly that reason)
+      .withColumn("__sh",
+        graft.plans.NativeHashes.spanHashes(col("__th"), window, p))
       .select(col(idCol), explode(col("__sh")).as("__h"))
     val dupHashes = spans.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__nd"))
@@ -657,4 +657,18 @@ object Dedup {
       .withColumn("dup_fraction",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
+
+  /** Reference combinator formulation of the span-hash array
+    * ([[graft.plans.NativeHashes.spanHashes]] computes identical
+    * values in one O(tokens) codegen'd loop): per window position, a
+    * left fold `(acc*31 + x) mod p` over that window's element
+    * hashes. The when-guard keeps it total for short arrays.
+    */
+  def spanHashesColumn(elementHashes: Column, window: Int,
+      p: Long): Column =
+    when(size(elementHashes) >= window, transform(
+      sequence(lit(0), size(elementHashes) - window),
+      i => aggregate(slice(elementHashes, i + lit(1), lit(window)),
+        lit(0L), (acc, x) => pmod(acc * 31 + x, lit(p)))))
+      .otherwise(array().cast("array<long>"))
 }

@@ -62,6 +62,23 @@ object NativeHashes {
     GraftSqlBridge.column(
       ProfileCountExpr(GraftSqlBridge.expression(toks), words))
 
+  /** `Array[Long] elementHashes -> Array[Long]` hash of every
+    * `window`-length sliding span: element i is the left fold
+    * `(acc*31 + x) mod p` over hashes i..i+window-1; empty when the
+    * array is shorter than the window. Value-identical to the
+    * `transform(sequence, i -> aggregate(slice, ...))` combinator
+    * (kept as [[graft.operators.Dedup.spanHashesColumn]], the
+    * executable specification) — but O(n) via the Rabin–Karp rolling
+    * update instead of the combinator's O(n·window) re-fold, and one
+    * tight codegen'd loop instead of three nested interpreted
+    * higher-order functions. Element hashes must already be reduced
+    * mod p (the [[rollingHash]] contract) — the rolling identity
+    * needs x < p.
+    */
+  def spanHashes(elementHashes: Column, window: Int, p: Long): Column =
+    GraftSqlBridge.column(SpanHashesExpr(
+      GraftSqlBridge.expression(elementHashes), window, p))
+
   /** SQL surface: `graft_minhash64(shingles, k)`, `graft_simhash64(toks)`
     * on an existing session (the extensions route below covers sessions
     * built with spark.sql.extensions).
@@ -210,6 +227,25 @@ case class ProfileCountExpr(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+case class SpanHashesExpr(child: Expression, window: Int, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 2, s"spanHashes: window must be >= 2, got $window")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_span_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.spanHashes(input.asInstanceOf[ArrayData], window, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashKernels.spanHashes($c, $window, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class RollingHashExpr(child: Expression, p: Long)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -286,6 +322,58 @@ object HashKernels {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Sliding-window span hashes via the Rabin–Karp rolling update:
+    * drop the outgoing element's `x·31^(w-1)` term, shift, add the
+    * incoming element — each step O(1), identical values to the
+    * per-window left fold because every element is < p (the
+    * [[rollingHash]] contract). A null element nulls exactly the
+    * spans that cover it (the combinator's aggregate-with-null
+    * semantics); the null path re-folds per window — nulls never
+    * occur in tokenizer output, the branch exists only to keep the
+    * kernel total and spec-equal.
+    */
+  def spanHashes(th: ArrayData, w: Int, p: Long): ArrayData = {
+    val n = th.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - w + 1)
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = th.isNullAt(i); i += 1 }
+    if (hasNull) {
+      var s = 0
+      while (s <= n - w) {
+        var h = 0L
+        var isNull = false
+        var j = s
+        while (j < s + w && !isNull) {
+          if (th.isNullAt(j)) isNull = true
+          else h = (h * 31 + th.getLong(j)) % p
+          j += 1
+        }
+        out(s) = if (isNull) null else h
+        s += 1
+      }
+      return new GenericArrayData(out)
+    }
+    // 31^(w-1) mod p, the outgoing element's positional weight
+    var pw = 1L
+    var j = 1
+    while (j < w) { pw = (pw * 31) % p; j += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * 31 + th.getLong(i)) % p; i += 1 }
+    out(0) = h
+    var s = 1
+    while (s <= n - w) {
+      val dropped = (th.getLong(s - 1) % p) * pw % p
+      h = ((h - dropped) % p + p) % p
+      h = (h * 31 + th.getLong(s + w - 1)) % p
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
   }
 
   private final val Seed = 42L

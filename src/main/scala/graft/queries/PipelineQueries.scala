@@ -2103,7 +2103,8 @@ object PipelineQueries {
       SELECT doc_id, n_spans, n_dup_spans,
              round(CAST(n_dup_spans AS DOUBLE) / n_spans, 4)
                AS dup_fraction
-      FROM agg WHERE n_dup_spans > 0 ORDER BY doc_id"""))
+      FROM agg WHERE n_dup_spans > 0 ORDER BY doc_id"""),
+    bench = true)
 
   val defs: Seq[QueryDef] = Seq(
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,

@@ -343,6 +343,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanHashes kernel == combinator fold (incl. empty and short)") {
+    val p = 1000000007L
+    // varied lengths around the window boundary + repeated content so
+    // rolling-update subtraction wraps through the mod at least once
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "a b"),
+      (3L, ""),
+      (4L, "x x x x x x x x x x x x"),
+      (5L, "the quick brown fox jumps over the lazy dog the quick brown"))
+      .toDF("id", "text")
+      .select(col("id"), transform(text.tokenize(col("text")),
+        t => graft.plans.NativeHashes.rollingHash(t, p)).as("th"))
+    for (w <- Seq(2, 3, 5)) {
+      val got = rows.select(col("id"),
+        graft.plans.NativeHashes.spanHashes(col("th"), w, p).as("k"),
+        Dedup.spanHashesColumn(col("th"), w, p).as("c"))
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+      got.foreach { case (id, k, c) =>
+        assert(k == c, s"window $w, id $id: kernel $k != combinator $c")
+      }
+    }
+  }
+
   test("dupSpanStats plan: dup-hash set broadcasts onto the span " +
       "stream; no cartesian") {
     val docs = Seq((1L, "a b c d"), (2L, "b c d e"))
