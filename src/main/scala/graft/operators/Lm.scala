@@ -94,4 +94,25 @@ object Lm {
     */
   def logProbScore(m: UnigramModel, textCol: Column): Column =
     round(avgLogProb(m, textCol) * 10000).cast("long")
+
+  /** Total log importance ratio `Σ_t [log p_target(t) − log p_raw(t)]`
+    * between two trained models, as exact 1e-6 fixed-point units: each
+    * per-token delta (the only transcendental exposure — two `ln`
+    * lookups) snaps to an integer BEFORE the sum, and the sum runs in
+    * exact integer arithmetic inside the array fold, so no
+    * double-accumulation order can move a value across engines (the
+    * BM25/X60 discipline). Shuffle-free like [[avgLogProb]]: both
+    * probes are O(1) dictionary lookups inside one codegen'd
+    * projection.
+    */
+  def logRatioScoreFp(target: UnigramModel, raw: UnigramModel,
+      textCol: Column): Column = {
+    val toks = text.tokenize(textCol)
+    aggregate(
+      transform(toks, t => round((
+        coalesce(probe(target.dict, t), lit(target.floorLogp)) -
+          coalesce(probe(raw.dict, t), lit(raw.floorLogp))) * 1e6d)
+        .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
 }

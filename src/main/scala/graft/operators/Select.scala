@@ -136,4 +136,50 @@ object Select {
       above.unionByName(filled)
     } finally boundary.unpersist()
   }
+
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): draw `k`
+    * documents from the raw corpus with probability ∝ the importance
+    * weight `w(doc) = Π_t p_target(t) / p_raw(t)` under two hashed
+    * unigram models — one trained on the `isTarget` subset (the
+    * distribution you want more of), one on the whole corpus. Sampling
+    * uses the Gumbel-top-k identity: top-k of `log w + Gumbel noise`
+    * IS a weighted draw without replacement — no rejection loop, no
+    * global normalization pass.
+    *
+    * Scale shape: both trainings are one token shuffle each
+    * ([[Lm.trainUnigram]]); scoring + noise is a pure map-side
+    * projection (dictionary probes inside the fold, arithmetic on the
+    * id); the draw is `orderBy(...).limit(k)` — TakeOrdered's
+    * per-partition top-k + driver merge, NEVER a global ordered
+    * window over the corpus.
+    *
+    * Determinism (the whole point of seeding): the per-token log-ratio
+    * snaps to 1e-6 fixed point before an exact integer sum
+    * ([[Lm.logRatioScoreFp]]); the Gumbel uniform comes from the
+    * engine-portable rolling hash of `"id#seed"` (≈1e9 distinct
+    * values), `g = −ln(−ln(u))` snaps to 1e-6 fixed point, and the
+    * selection key is the INTEGER sum `logw_fp + g_fp` with ties by
+    * id — identical draws in any engine, any partitioning, any run.
+    */
+  def importanceResample(docs: DataFrame, idCol: String,
+      textCol: String, isTarget: org.apache.spark.sql.Column, k: Int,
+      topV: Int, seed: Long, dictPrefix: String): DataFrame = {
+    require(k >= 1, "importanceResample: k must be >= 1")
+    val mT = Lm.trainUnigram(docs.filter(isTarget), textCol,
+      s"${dictPrefix}_target", topV)
+    val mR = Lm.trainUnigram(docs, textCol, s"${dictPrefix}_raw", topV)
+    val id = col(s"`$idCol`")
+    val p = 1000000007L
+    val u = (graft.plans.NativeHashes.rollingHash(
+      concat(id.cast("string"), lit("#" + seed)), p) + lit(0.5d)) /
+      lit(p.toDouble)
+    val gFp = round(-log(-log(u)) * 1e6d).cast("long")
+    docs
+      .withColumn("logw_fp",
+        Lm.logRatioScoreFp(mT, mR, col(s"`$textCol`")))
+      .withColumn("key_fp", col("logw_fp") + gFp)
+      .orderBy(col("key_fp").desc, id)
+      .limit(k)
+  }
 }

@@ -2106,9 +2106,77 @@ object PipelineQueries {
       FROM agg WHERE n_dup_spans > 0 ORDER BY doc_id"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X63: DSIR importance resampling — target model trains on the
+  // English subset, raw model on the whole corpus, documents drawn
+  // with probability ∝ the importance weight via deterministic
+  // Gumbel-top-k (scale + determinism rationale on
+  // [[graft.operators.Select.importanceResample]]). V=16 as in q115
+  // so in-vocabulary and OOV-floor paths both carry weight. The
+  // oracle retrains BOTH models, replays the per-token fixed-point
+  // delta sum, the seeded rolling-hash uniform, the Gumbel transform,
+  // and the integer-key draw.
+  val q150ImportanceResample = QueryDef(
+    "q150_importance_resample",
+    (s, dir) => {
+      import graft.operators.Select
+      val docs = Graft.table(s, dir, "documents")
+      Select.importanceResample(docs, "doc_id", "text",
+          isTarget = col("lang") === "en", k = 25, topV = 16,
+          seed = 42L, dictPrefix = "q150")
+        .select(col("doc_id"), col("lang"), col("logw_fp"),
+          col("key_fp"))
+        .orderBy(col("key_fp").desc, col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+      ), cntt AS (
+        SELECT t, count(1) AS c FROM toks WHERE lang = 'en' GROUP BY t
+      ), nt AS (
+        SELECT count(1) AS n FROM toks WHERE lang = 'en'
+      ), vt AS (
+        SELECT t, c FROM cntt
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 16
+      ), cntr AS (
+        SELECT t, count(1) AS c FROM toks GROUP BY t
+      ), nr AS (
+        SELECT count(1) AS n FROM toks
+      ), vr AS (
+        SELECT t, c FROM cntr
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 16
+      ), scored AS (
+        SELECT k.doc_id, k.lang,
+               CAST(sum(CAST(round((
+                   ln(CAST(coalesce(vt.c + 1, 1) AS DOUBLE)
+                      / ((SELECT n FROM nt) + 16 + 1))
+                 - ln(CAST(coalesce(vr.c + 1, 1) AS DOUBLE)
+                      / ((SELECT n FROM nr) + 16 + 1))
+                 ) * 1000000.0) AS BIGINT)) AS BIGINT) AS logw_fp
+        FROM toks k
+        LEFT JOIN vt ON k.t = vt.t
+        LEFT JOIN vr ON k.t = vr.t
+        GROUP BY k.doc_id, k.lang
+      ), keyed AS (
+        SELECT doc_id, lang, logw_fp,
+               logw_fp + CAST(round(-ln(-ln(
+                 (list_reduce(list_prepend(0::BIGINT,
+                    [unicode(s[i])::BIGINT
+                     for i in range(1, length(s) + 1)]),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) + 0.5)
+                 / 1000000007.0)) * 1000000.0) AS BIGINT) AS key_fp
+        FROM (SELECT doc_id, lang, logw_fp,
+                CAST(doc_id AS VARCHAR) || '#42' AS s
+              FROM scored)
+      )
+      SELECT doc_id, lang, logw_fp, key_fp
+      FROM keyed ORDER BY key_fp DESC, doc_id LIMIT 25"""))
+
   val defs: Seq[QueryDef] = Seq(
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
-    q148HybridRrf, q149DupSpans,
+    q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

@@ -206,6 +206,48 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("importanceResample: hand-computed log-ratios, Gumbel keys, " +
+      "and the TakeOrdered draw") {
+    import graft.operators.Select
+    val docs = Seq(
+      (1L, "en", "a a b"), (2L, "en", "a b"),
+      (3L, "xx", "c c"), (4L, "xx", "a c"))
+      .toDF("doc_id", "lang", "text")
+    val got = Select.importanceResample(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", k = 3, topV = 2, seed = 7L,
+        dictPrefix = "irspec")
+      .select(col("doc_id"), col("logw_fp"), col("key_fp"))
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // target (en): NT=5, vocab {a:3, b:2}, denom 8
+    // raw (all):  NR=9, vocab {a:4, c:3} — b is OOV in raw, denom 12
+    def fp(x: Double): Long = math.round(x * 1e6)
+    val dA = fp(math.log(4.0 / 8) - math.log(5.0 / 12))
+    val dB = fp(math.log(3.0 / 8) - math.log(1.0 / 12))
+    val dC = fp(math.log(1.0 / 8) - math.log(4.0 / 12))
+    val logw = Map(1L -> (2 * dA + dB), 2L -> (dA + dB),
+      3L -> 2 * dC, 4L -> (dA + dC))
+    // gumbel key from the portable rolling hash of "id#7"
+    val p = 1000000007L
+    def rh(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % p)
+    def g(id: Long): Long =
+      fp(-math.log(-math.log((rh(s"$id#7") + 0.5) / p.toDouble)))
+    val keys = logw.map { case (id, w) => id -> (w + g(id)) }
+    val expect = keys.toSeq.sortBy { case (id, k) => (-k, id) }.take(3)
+      .map { case (id, k) => (id, logw(id), k) }
+    assert(got.sortBy(r => (-r._3, r._1)) == expect)
+    assert(got.map(_._1).toSet == expect.map(_._1).toSet)
+
+    // scale contract: the draw is TakeOrdered, never a global window
+    val plan = Select.importanceResample(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", k = 3, topV = 2, seed = 7L,
+        dictPrefix = "irspec2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("byTokenBudget: greedy prefix by hand — cutoff, fill, edges") {
     import graft.operators.Select
     import spark.implicits._
