@@ -658,6 +658,62 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Span-level train/eval decontamination — the GPT-3 appendix-C
+    * discipline (13-gram overlap between training documents and
+    * evaluation examples) generalized: every distinct `window`-token
+    * span of every training document is matched against every distinct
+    * span of every eval example, and a (train, eval) pair reporting
+    * `n_shared` common spans with coverage
+    * `n_shared / n_eval_spans` is a leak candidate. Doc-level
+    * fingerprint contamination (X27) catches verbatim copies; this
+    * catches PARTIAL quoting — the leak mode that actually occurs.
+    *
+    * Scale shape: both sides hash through the O(tokens) native kernel
+    * ([[graft.plans.NativeHashes.spanHashes]]) and dedup map-side
+    * (`array_distinct` BEFORE the explode — the shuffle carries one
+    * row per distinct (doc, span), never per position). The match is
+    * a hash equi-join: with a benchmark-sized eval set the planner
+    * broadcasts it and the corpus is never shuffled at all; a huge
+    * eval side degrades to a shuffled equi-join — still linear,
+    * never a pair product. Pair rows exist only for pairs that share
+    * ≥ 1 span.
+    *
+    * Determinism: the span hash is the X62 integer fold — exact
+    * arithmetic end to end; the only double is the final rounded
+    * coverage ratio.
+    */
+  def spanContamination(train: DataFrame, eval: DataFrame,
+      trainIdCol: String, evalIdCol: String, trainTextCol: String,
+      evalTextCol: String, window: Int = 13): DataFrame = {
+    require(window >= 2,
+      s"spanContamination: window must be >= 2, got $window")
+    val p = 1000000007L
+    def spans(df: DataFrame, idCol: String, textCol: String,
+        outId: String): DataFrame = {
+      val tokH = transform(
+        graft.functions.text.tokenize(col(s"`$textCol`")),
+        t => graft.plans.NativeHashes.rollingHash(t, p))
+      df.select(col(s"`$idCol`").as(outId),
+          array_distinct(graft.plans.NativeHashes.spanHashes(
+            tokH, window, p)).as("__sh"))
+        .withColumn("__n_spans", size(col("__sh")))
+        .select(col(outId), col("__n_spans"),
+          explode(col("__sh")).as("__h"))
+    }
+    val ts = spans(train, trainIdCol, trainTextCol, "train_id")
+      .drop("__n_spans")
+    val es = spans(eval, evalIdCol, evalTextCol, "eval_id")
+      .withColumnRenamed("__n_spans", "n_eval_spans")
+    ts.join(es, "__h")
+      .groupBy(col("train_id"), col("eval_id"), col("n_eval_spans"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("coverage",
+        round(col("n_shared").cast("double") / col("n_eval_spans"), 4))
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        col("n_eval_spans").cast("long").as("n_eval_spans"),
+        col("coverage"))
+  }
+
   /** Reference combinator formulation of the span-hash array
     * ([[graft.plans.NativeHashes.spanHashes]] computes identical
     * values in one O(tokens) codegen'd loop): per window position, a

@@ -2174,9 +2174,103 @@ object PipelineQueries {
       SELECT doc_id, lang, logw_fp, key_fp
       FROM keyed ORDER BY key_fp DESC, doc_id LIMIT 25"""))
 
+  // ---------------------------------------------------------------------
+  // X64: span-level decontamination (GPT-3 13-gram discipline) —
+  // rationale on [[graft.operators.Dedup.spanContamination]]. Eval
+  // fixture: docs 7/8's tokens 5..24 become 20-token eval examples
+  // (so the SOURCE docs must report full coverage and any natural
+  // near-dup partially), plus one synthetic eval row that matches
+  // nothing (it must NOT appear — absence is part of the compared
+  // surface). The oracle replays tokenization, the span fold,
+  // map-side distinct, the hash join, and the coverage rollup.
+  val q151SpanDecontamination = QueryDef(
+    "q151_span_decontamination",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val evalDf = docs.filter(col("doc_id").isin(7L, 8L))
+        .select(col("doc_id").as("eval_id"),
+          array_join(slice(text.tokenize(col("text")), 5, 20), " ")
+            .as("text"))
+        .unionByName(s.createDataFrame(Seq((999L,
+          "qq0 ww1 ee2 rr3 tt4 yy5 uu6 ii7 oo8 pp9 aa0 ss1 dd2 ff3")))
+          .toDF("eval_id", "text"))
+      Dedup.spanContamination(docs, evalDf, "doc_id", "eval_id",
+          "text", "text", window = 13)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT doc_id AS eval_id,
+               array_to_string(list_slice(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 5, 24), ' ') AS text
+        FROM documents WHERE doc_id IN (7, 8)
+        UNION ALL
+        SELECT 999 AS eval_id,
+               'qq0 ww1 ee2 rr3 tt4 yy5 uu6 ii7 oo8 pp9 aa0 ss1 dd2 ff3'
+                 AS text
+      ), tt AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), et AS (
+        SELECT eval_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM ev
+      ), th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM tt
+      ), eh AS (
+        SELECT eval_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM et
+      ), tsp AS (
+        SELECT DISTINCT doc_id AS train_id,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 13)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 13)) AS pos
+              FROM th WHERE n >= 13)
+      ), esp AS (
+        SELECT DISTINCT eval_id,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 13)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT eval_id, h,
+                unnest(generate_series(0, n - 13)) AS pos
+              FROM eh WHERE n >= 13)
+      ), ne AS (
+        SELECT eval_id, CAST(count(1) AS BIGINT) AS n_eval_spans
+        FROM esp GROUP BY eval_id
+      ), j AS (
+        SELECT t.train_id, e.eval_id,
+               CAST(count(1) AS BIGINT) AS n_shared
+        FROM tsp t JOIN esp e USING (sh)
+        GROUP BY 1, 2
+      )
+      SELECT j.train_id, j.eval_id, j.n_shared, ne.n_eval_spans,
+             round(CAST(j.n_shared AS DOUBLE) / ne.n_eval_spans, 4)
+               AS coverage
+      FROM j JOIN ne USING (eval_id)
+      ORDER BY train_id, eval_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
+    q151SpanDecontamination,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

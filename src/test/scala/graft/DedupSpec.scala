@@ -343,6 +343,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanContamination: coverage by hand — full, partial, none") {
+    // window=3. eval 100 = exact copy of train 1's middle (full
+    // coverage); eval 200 shares only its first 3-gram with train 2;
+    // eval 300 matches nothing and must be absent. Train 3 contains
+    // eval 100's span too (partial quoting across train docs).
+    val train = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q r s t"),
+      (3L, "x y a b c"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "a b c d"),   // spans abc, bcd — both in train 1
+      (200L, "p q r zz"),  // spans pqr, qrzz? -> pqr matches train 2
+      (300L, "m n o w"))
+      .toDF("eval_id", "text")
+    val got = Dedup.spanContamination(train, eval_, "doc_id", "eval_id",
+        "text", "text", window = 3)
+      .orderBy(col("train_id"), col("eval_id"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 100L, 2L, 2L, 1.0),    // abc + bcd of 2 eval spans
+      (2L, 200L, 1L, 2L, 0.5),    // pqr of {pqr, qrzz}
+      (3L, 100L, 1L, 2L, 0.5)))   // abc appears in train 3 as well
+    assert(!got.exists(_._2 == 300L))
+  }
+
+  test("spanContamination: repeated spans count once per side") {
+    // the eval span repeats in BOTH docs — distinct-before-join must
+    // keep the pair count at 1 shared span
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "a b c a b c")).toDF("eval_id", "text")
+    val got = Dedup.spanContamination(train, eval_, "doc_id", "eval_id",
+        "text", "text", window = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // distinct spans of "a b c a b c" at w=3: abc, bca, cab, abc ->
+    // {abc, bca, cab} = 3; all shared
+    assert(got == Seq((1L, 9L, 3L, 3L, 1.0)))
+  }
+
   test("spanHashes kernel == combinator fold (incl. empty and short)") {
     val p = 1000000007L
     // varied lengths around the window boundary + repeated content so
