@@ -658,6 +658,59 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Duplicate-span REMOVAL — the second half of Lee et al.'s
+    * exact-substring dedup: every token covered by a cross-document
+    * duplicated `window`-span ([[dupSpanStats]]'s ≥2-distinct-docs
+    * rule) is dropped from the text, in EVERY document carrying it.
+    * Returns the input columns with the text column rebuilt, plus
+    * `removed_tokens`.
+    *
+    * Scale shape on top of X62's: the duplicated POSITIONS fold to
+    * one sorted array per affected document (bounded by the doc's own
+    * length), ride an id-keyed equi-join back onto the corpus, and
+    * the rebuild is a map-side two-arg `filter` over (token, index) —
+    * a token survives iff NO duplicated position covers its index.
+    * Corpus-sized shuffles: the span frequency, the position rollup,
+    * and the id join — all linear, no pair product, no window.
+    *
+    * The membership probe is O(|dupPositions|) per token; documents
+    * that are mostly duplicated pay O(len²/window) worst-case — the
+    * cure (interval-merging the positions first) costs a sort the
+    * fixture sizes never repay; flagged here as the knob to revisit
+    * if profiles ever show it.
+    */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20): DataFrame = {
+    require(window >= 2,
+      s"stripDuplicateSpans: window must be >= 2, got $window")
+    val p = 1000000007L
+    val id = col(s"`$idCol`")
+    val tokH = transform(graft.functions.text.tokenize(col(s"`$textCol`")),
+      t => graft.plans.NativeHashes.rollingHash(t, p))
+    val spans = df
+      .select(id, graft.plans.NativeHashes.spanHashes(tokH, window, p)
+        .as("__sh"))
+      .select(id, posexplode(col("__sh")).as(Seq("__pos", "__h")))
+    val dupHashes = spans.groupBy(col("__h"))
+      .agg(countDistinct(id).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__h"))
+    val dupPos = spans.join(dupHashes, "__h")
+      .groupBy(id)
+      .agg(sort_array(collect_list(col("__pos"))).as("__dp"))
+    val toks = graft.functions.text.tokenize(col(s"`$textCol`"))
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__dp"), pos => i >= pos && i < pos + window))
+    df.join(dupPos, Seq(idCol), "left")
+      .withColumn("removed_tokens",
+        when(col("__dp").isNull, 0L)
+          .otherwise((size(toks) - size(kept)).cast("long")))
+      .withColumn(textCol,
+        when(col("__dp").isNull, col(s"`$textCol`"))
+          .otherwise(array_join(kept, " ")))
+      .drop("__dp")
+  }
+
   /** Span-level train/eval decontamination — the GPT-3 appendix-C
     * discipline (13-gram overlap between training documents and
     * evaluation examples) generalized: every distinct `window`-token

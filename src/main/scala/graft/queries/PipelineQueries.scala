@@ -2267,10 +2267,93 @@ object PipelineQueries {
       FROM j JOIN ne USING (eval_id)
       ORDER BY train_id, eval_id"""))
 
+  // ---------------------------------------------------------------------
+  // X65: duplicate-span REMOVAL (Lee et al.'s actual dedup step) over
+  // the q149 fixture corpus — rationale on
+  // [[graft.operators.Dedup.stripDuplicateSpans]]. The rebuilt text
+  // is pinned WITHOUT shipping it: per-doc char length + the portable
+  // rolling hash of the cleaned string, both replayed by the oracle
+  // (so a single token surviving or dying in the wrong place flips
+  // the hash). Output = affected docs only.
+  val q152StripDupSpans = QueryDef(
+    "q152_strip_dup_spans",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val quotes = docs.filter(col("doc_id") <= 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(text.tokenize(col("text")), 1, 30), " ")
+            .as("text"))
+      Dedup.stripDuplicateSpans(docs.unionByName(quotes), "doc_id",
+          "text", window = 20)
+        .filter(col("removed_tokens") > 0)
+        .select(col("doc_id"), col("removed_tokens"),
+          length(col("text")).cast("long").as("clean_len"),
+          graft.plans.NativeHashes.rollingHash(col("text"), 1000000007L)
+            .as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(list_slice(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 1, 30), ' ') AS text
+        FROM documents WHERE doc_id <= 3
+      ), t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM corpus
+      ), th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM t
+      ), sp AS (
+        SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 20)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 20)) AS pos
+              FROM th WHERE n >= 20)
+      ), byh AS (
+        SELECT sh FROM sp GROUP BY sh
+        HAVING count(DISTINCT doc_id) >= 2
+      ), dp AS (
+        SELECT doc_id, list_sort(list(pos)) AS dps
+        FROM sp JOIN byh USING (sh)
+        GROUP BY doc_id
+      ), keptt AS (
+        SELECT t.doc_id, t.toks,
+               list_filter(t.toks, (tk, i) ->
+                 len(list_filter(dp.dps, p ->
+                   (i - 1) >= p AND (i - 1) < p + 20)) = 0) AS kept
+        FROM t JOIN dp ON t.doc_id = dp.doc_id
+      ), rebuilt AS (
+        SELECT doc_id,
+               CAST(len(toks) - len(kept) AS BIGINT) AS removed_tokens,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark
+               coalesce(array_to_string(kept, ' '), '') AS clean
+        FROM keptt
+      )
+      SELECT doc_id, removed_tokens,
+             CAST(length(clean) AS BIGINT) AS clean_len,
+             list_reduce(list_prepend(0::BIGINT,
+               [unicode(clean[i])::BIGINT
+                for i in range(1, length(clean) + 1)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS clean_fp
+      FROM rebuilt WHERE removed_tokens > 0 ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
-    q151SpanDecontamination,
+    q151SpanDecontamination, q152StripDupSpans,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

@@ -343,6 +343,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stripDuplicateSpans: covered tokens drop, untouched docs " +
+      "keep their original text") {
+    // same fixture as the dupSpanStats hand case (window=3): dup
+    // spans are b-c-d (docs 10/11/14) and c-d-e (10/11)
+    val docs = Seq(
+      (10L, "a b c d e"),   // dup at pos 1, 2 -> covers idx 1..4
+      (11L, "z b c d e"),   // same
+      (12L, "p q r s t"),   // clean — must survive VERBATIM
+      (14L, "b c d b c d")) // dup at pos 0, 3 -> covers everything
+      .toDF("doc_id", "text")
+    val got = Dedup.stripDuplicateSpans(docs, "doc_id", "text",
+        window = 3)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, "a", 4L),
+      (11L, "z", 4L),
+      (12L, "p q r s t", 0L),
+      (14L, "", 6L)))
+  }
+
   test("spanContamination: coverage by hand — full, partial, none") {
     // window=3. eval 100 = exact copy of train 1's middle (full
     // coverage); eval 200 shares only its first 3-gram with train 2;
