@@ -47,27 +47,57 @@ object Graft {
       .getOrCreate()
 
   /** Load one of the driver-generated tables from a scale-factor dir.
-    * `events.ts` arrives as nanos-since-epoch (see nanosAsLong above);
-    * integer-DIV to micros (double division would lose precision at 1e18)
-    * matches DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation.
+    * `events.ts` has shipped in TWO layouts across driver rounds — a
+    * nanos-since-epoch value (a ns parquet timestamp read as a long via
+    * nanosAsLong above; integer-DIV to micros matches DuckDB's
+    * TIMESTAMP_NS -> TIMESTAMP truncation) and a plain µs timestamp
+    * (round 7+). The read branches on the ON-DISK type, so either
+    * layout lands as the same µs-precision TimestampType (session TZ =
+    * UTC keeps NTZ wall-clock values instant-identical).
     *
-    * ⚠ the converted `ts` is a computed column, so predicates on it do
-    * NOT reach the Parquet scan. Queries with a time-range filter should
-    * use [[events]], which pushes the range down on the raw nanos long
-    * (row-group min/max pruning) before converting.
+    * ⚠ in the nanos layout the converted `ts` is a computed column, so
+    * predicates on it do NOT reach the Parquet scan. Queries with a
+    * time-range filter should use [[events]], which pushes the range
+    * down on the raw column (row-group min/max pruning) in both layouts.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") convertTs(df) else df
   }
 
-  private def convertTs(df: DataFrame): DataFrame =
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  private def convertTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** `events` with `ts` normalized to a MICROS-since-epoch long
+    * (`ts_us`), whatever the on-disk layout — the raw-long entry point
+    * for queries that aggregate / version / sessionize on integer
+    * microseconds (their DuckDB oracles use `epoch_us(ts)`, which
+    * truncates TIMESTAMP_NS and reads µs timestamps exactly the same
+    * way). The raw `ts` column is replaced.
+    */
+  def eventsMicros(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val us = raw.schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+    raw.withColumn("ts", us)
+  }
 
   /** `events` with a [fromUtc, toUtc) time-range predicate applied on the
-    * RAW nanos column, below the ns->µs conversion, so it pushes to the
+    * RAW stored column, below any conversion, so it pushes to the
     * Parquet scan (PushedFilters + row-group stats pruning). At 100 TB a
     * date-bounded query must not scan unbounded history; this is the
     * difference between reading one week of row groups and reading all of
@@ -76,10 +106,23 @@ object Graft {
   def events(spark: SparkSession, sfDir: String,
       fromUtc: String, toUtc: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    convertTs(raw.filter(
-      col("ts") >= lit(utcNanos(fromUtc)) && col("ts") < lit(utcNanos(toUtc))))
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => raw.filter(
+        col("ts") >= lit(utcNanos(fromUtc)) && col("ts") < lit(utcNanos(toUtc)))
+      case dt => raw.filter(
+        // foldable string->timestamp casts: the comparison stays on the
+        // native stored column, so it reaches PushedFilters
+        col("ts") >= lit(isoLocal(fromUtc)).cast(dt) &&
+          col("ts") < lit(isoLocal(toUtc)).cast(dt))
+    }
+    convertTs(filtered)
   }
+
+  /** ISO date / date-time as a session-local (UTC) timestamp string. */
+  private def isoLocal(iso: String): String =
+    if (iso.length == 10) iso + " 00:00:00" else iso.replace("T", " ")
 
   /** Epoch nanos of an ISO date or date-time string, UTC. */
   def utcNanos(iso: String): Long = {

@@ -31,7 +31,7 @@ object CoreQueries {
   val q01DailySignedAgg = QueryDef(
     "q01_daily_signed_agg",
     (s, dir) => {
-      // Graft.events pushes the range on the raw nanos long (Parquet
+      // Graft.events pushes the range on the raw stored ts column (Parquet
       // row-group pruning) before the ns->µs conversion — a filter on the
       // converted ts would reach the scan as a residual, not a pushdown.
       val e = withSign(Graft.events(s, dir, "2024-01-01", "2024-02-01"))
@@ -425,10 +425,10 @@ object CoreQueries {
   val q61AsofJoin = QueryDef(
     "q61_asof_join",
     (s, dir) => {
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      val raw = Graft.eventsMicros(s, dir)
       val e = raw.select(col("event_type"),
-        expr("ts DIV 1000").as("t"),
-        to_date(timestamp_micros(expr("ts DIV 1000"))).as("d"))
+        col("ts").as("t"),
+        to_date(timestamp_micros(col("ts"))).as("d"))
         .withColumn("wk", toMonday(col("d")))
       val cp = e.filter(col("wk") > lit("2024-01-01").cast("date"))
         .groupBy(col("event_type"), col("wk"))
@@ -503,9 +503,9 @@ object CoreQueries {
   val q63RangeJoin = QueryDef(
     "q63_range_join_binned",
     (s, dir) => {
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val e = raw.select(col("event_type"), expr("ts DIV 1000").as("t"),
-          to_date(timestamp_micros(expr("ts DIV 1000"))).as("d"))
+      val raw = Graft.eventsMicros(s, dir)
+      val e = raw.select(col("event_type"), col("ts").as("t"),
+          to_date(timestamp_micros(col("ts"))).as("d"))
         .withColumn("wk", toMonday(col("d")))
       val twoDays = 2L * 86400 * 1000000
       val iv = e.groupBy(col("event_type"), col("wk"))

@@ -1336,13 +1336,13 @@ object DialectQueries {
   val q101ChAsofSql = QueryDef(
     "q101_ch_asof_join_sql",
     (s, dir) => {
-      import org.apache.spark.sql.functions.{col, count, expr, lit, min,
+      import org.apache.spark.sql.functions.{col, count, lit, min,
         timestamp_micros, to_date}
       import graft.functions.ch.toMonday
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      val raw = Graft.eventsMicros(s, dir)
       val e = raw.select(col("event_type"),
-        expr("ts DIV 1000").as("t"),
-        to_date(timestamp_micros(expr("ts DIV 1000"))).as("d"))
+        col("ts").as("t"),
+        to_date(timestamp_micros(col("ts"))).as("d"))
         .withColumn("wk", toMonday(col("d")))
       e.select(col("event_type"), col("t"))
         .createOrReplaceTempView("asof_e_v")

@@ -22,8 +22,8 @@ object StreamingQueries {
     (s, dir) => {
       val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q31"
       val srcDir = s"$base/src"
-      // stage: the raw table (ts stays nanos-long) as 4 source files
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      // stage: the raw table (ts normalized to a µs long) as 4 source files
+      val raw = Graft.eventsMicros(s, dir)
       raw.repartition(4).write.mode("overwrite").parquet(srcDir)
       val sink = Ingest.Sink(s"$base/warehouse", "events", "tr42",
         dateCol = "EventDate", orderKey = Seq("user_id", "ts"),
@@ -31,7 +31,7 @@ object StreamingQueries {
       Ingest.runToCompletion(s, srcDir, raw.schema, sink,
         checkpointDir = s"$base/checkpoint",
         prepare = b => b.withColumn("EventDate",
-          to_date(timestamp_micros(expr("ts DIV 1000")))),
+          to_date(timestamp_micros(col("ts")))),
         maxFilesPerTrigger = Some(2)) // force a multi-batch drain
       Warehouse.read(s, Ingest.tableDir(sink))
         .groupBy(col("event_type"))
@@ -100,13 +100,13 @@ object StreamingQueries {
       val base = s"${sys.props("java.io.tmpdir")}/graft_compact_q52_" +
         new java.io.File(dir).getName
       graft.FsUtil.rmTree(base)
-      // raw nanos long (nanosAsLong): DIV 1000 = DuckDB's epoch_us
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      // ts normalized to µs long = DuckDB's epoch_us, either layout
+      val raw = Graft.eventsMicros(s, dir)
       val state = raw.select(
         col("user_id").as("id"),
-        expr("ts DIV 1000").as("version"),
+        col("ts").as("version"),
         col("value"),
-        to_date(timestamp_micros(expr("ts DIV 1000"))).as("d"),
+        to_date(timestamp_micros(col("ts"))).as("d"),
         lit(1).as("sign"))
       val cancels = state.filter(pmod(col("version"), lit(3)) === 0)
         .withColumn("sign", lit(-1))
@@ -170,11 +170,11 @@ object StreamingQueries {
         new java.io.File(dir).getName
       graft.FsUtil.rmTree(base)
       val srcDir = s"$base/src"
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts = nanos long
+      val raw = Graft.eventsMicros(s, dir) // ts = µs long
       val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
       val sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
-        lit(maxTs + 2L * 86400L * 1000000000L).as("ts"),
+        lit(maxTs + 2L * 86400L * 1000000L).as("ts"),
         lit(-1L).as("user_id"),
         lit("__sentinel").as("event_type"),
         lit(0.0).as("value"),
@@ -182,7 +182,7 @@ object StreamingQueries {
       raw.unionByName(sentinel).repartition(3)
         .write.mode("overwrite").parquet(srcDir)
       val q = s.readStream.schema(raw.schema).parquet(srcDir)
-        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("ets", timestamp_micros(col("ts")))
         .withWatermark("ets", "1 hour")
         .groupBy(window(col("ets"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
@@ -222,9 +222,9 @@ object StreamingQueries {
       graft.FsUtil.rmTree(base)
       val srcDir = s"$base/src"
       val gapUs = 30L * 60 * 1000000 // 30 min
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts = nanos long
-      val maxUs = raw.agg(max(expr("ts DIV 1000"))).head().getLong(0)
-      val real = raw.select(col("user_id"), expr("ts DIV 1000").as("ets_us"))
+      val raw = Graft.eventsMicros(s, dir) // ts = µs long
+      val maxUs = raw.agg(max(col("ts"))).head().getLong(0)
+      val real = raw.select(col("user_id"), col("ts").as("ets_us"))
       real.repartition(3).write.mode("overwrite").parquet(srcDir)
       // the sentinel must be the LAST micro-batch (a watermark jump in
       // an early batch would mark every later real file late): append
@@ -304,13 +304,13 @@ object StreamingQueries {
       val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q71_" +
         new java.io.File(dir).getName
       graft.FsUtil.rmTree(base)
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts = nanos long
+      val raw = Graft.eventsMicros(s, dir) // ts = µs long
       val redelivered = raw.unionByName(
         raw.filter(pmod(col("event_id"), lit(10)) === 3))
       redelivered.repartition(4).write.mode("overwrite")
         .parquet(s"$base/src")
       val deduped = s.readStream.schema(raw.schema).parquet(s"$base/src")
-        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("ets", timestamp_micros(col("ts")))
         .withWatermark("ets", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .drop("ets")
@@ -343,7 +343,7 @@ object StreamingQueries {
   // the range can never match and is dropped — the unbounded-stream
   // contract). Inner-join results emit as matches arrive (append
   // mode); the memory-sink table is then batch-aggregated per user.
-  // Timestamps are µs-exact on BOTH engines (ts DIV 1000 here,
+  // Timestamps are µs-exact on BOTH engines (µs-long ts here,
   // epoch_ns//1000 in the oracle), so the range boundary never
   // truncation-flips.
   val q80StreamStreamJoin = QueryDef(
@@ -353,10 +353,10 @@ object StreamingQueries {
         new java.io.File(dir).getName
       graft.FsUtil.rmTree(base)
       val srcDir = s"$base/src"
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts = nanos long
+      val raw = Graft.eventsMicros(s, dir) // ts = µs long
       raw.repartition(3).write.mode("overwrite").parquet(srcDir)
       val stream = s.readStream.schema(raw.schema).parquet(srcDir)
-        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("ets", timestamp_micros(col("ts")))
       val views = stream.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ets").as("v_ts"))
         .withWatermark("v_ts", "1 hour")
@@ -417,13 +417,13 @@ object StreamingQueries {
       val base = s"${sys.props("java.io.tmpdir")}/graft_mv_q95_" +
         new java.io.File(dir).getName
       graft.FsUtil.rmTree(base)
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      val raw = Graft.eventsMicros(s, dir)
       raw.repartition(4).write.parquet(s"$base/src")
       MatView.runHllRollup(s, s"$base/src", raw.schema, s"$base/state",
         s"$base/ckpt",
         groupCols = Seq("event_type", "day"), keyCol = "user_id",
         prepare = b => b.withColumn("day",
-          to_date(timestamp_micros(expr("ts DIV 1000")))),
+          to_date(timestamp_micros(col("ts")))),
         maxFilesPerTrigger = Some(2)) // force a multi-batch drain
       val weekly = MatView.estimateAt(
         MatView.readState(s, s"$base/state"),
@@ -582,7 +582,7 @@ object StreamingQueries {
       graft.FsUtil.rmTree(base)
       s.conf.set("spark.graft.warehouse", s"$base/wh")
       try {
-        val raw = s.read.parquet(s"$dir/events.parquet")
+        val raw = Graft.eventsMicros(s, dir)
         val srcDir = s"$base/src"
         new java.io.File(srcDir).mkdirs()
         val sink = Ingest.Sink(s"$base/warehouse", "ev", "q114",
@@ -590,7 +590,7 @@ object StreamingQueries {
           cleanupPolicy = "DROP")
         val prep = (b: org.apache.spark.sql.DataFrame) =>
           b.withColumn("EventDate",
-            to_date(timestamp_micros(expr("ts DIV 1000"))))
+            to_date(timestamp_micros(col("ts"))))
         // activate over the empty source: registers the table so the
         // MV can attach before data flows (CH's create-MV-then-
         // attach-transfer order)
