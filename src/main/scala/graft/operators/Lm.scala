@@ -72,9 +72,12 @@ object Lm {
   }
 
   private def probe(dict: String, t: Column): Column =
+    probeField(dict, "logp", t)
+
+  private def probeField(dict: String, field: String, t: Column): Column =
     GraftSqlBridge.column(graft.plans.Dictionaries.dictGetOrNull(Seq(
       GraftSqlBridge.expression(lit(dict)),
-      GraftSqlBridge.expression(lit("logp")),
+      GraftSqlBridge.expression(lit(field)),
       GraftSqlBridge.expression(t))))
 
   /** Mean log-probability of `textCol`'s tokens under the model — a
@@ -94,6 +97,110 @@ object Lm {
     */
   def logProbScore(m: UnigramModel, textCol: Column): Column =
     round(avgLogProb(m, textCol) * 10000).cast("long")
+
+  /** A trained stupid-backoff bigram model (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the backoff designed FOR
+    * MapReduce-scale training: no discount renormalization pass, so
+    * both count tables build in one shuffle each):
+    *
+    *   S(w_i | w_{i-1}) = cnt(w_{i-1} w_i) / cnt(w_{i-1})   if seen
+    *                    = α · S_uni(w_i)                    otherwise
+    *
+    * Every stored log value is a 1e-6 FIXED-POINT LONG (snapped right
+    * after the single `ln`, the X60 discipline), so scoring is pure
+    * integer arithmetic — no double-accumulation ordering anywhere.
+    */
+  final case class BigramModel(uniDict: String, biDict: String,
+      vocabSize: Int, totalTokens: Long, alphaFp: Long) {
+    /** fixed-point log p of an out-of-vocabulary token. */
+    def floorFp: Long =
+      math.round(math.log(1.0 / (totalTokens + vocabSize + 1)) * 1e6)
+  }
+
+  /** Train a stupid-backoff bigram model: two corpus scans, each
+    * feeding ONE map-side-combined shuffle (token counts; adjacent-pair
+    * counts — pairs come from zipping the token list with its own
+    * tail, per-row local work). The deliberate non-choice: persisting
+    * the tokenized corpus to save the second scan would materialize
+    * corpus-sized state; two cheap scans is the 100 TB answer.
+    *
+    * Vocabulary legs are both deterministic TakeOrdered draws (never a
+    * global window): top-V unigrams by (count desc, token asc) with
+    * add-one smoothing — the [[trainUnigram]] model in fixed-point
+    * form — and top-B bigrams by (count desc, left asc, right asc)
+    * with conditional log `ln(cnt_ab / cnt_a)` against the FULL
+    * unigram count (not the top-V cut; backoff mass stays honest for
+    * frequent-pair/rare-head corners). The bigram table rides back
+    * over the unigram counts as a broadcast (B rows), and both tables
+    * register as engine dictionaries — scoring probes them O(1)
+    * inside whole-stage codegen, the [[avgLogProb]] shuffle-free
+    * contract.
+    */
+  def trainBigram(corpus: DataFrame, textCol: String, dictPrefix: String,
+      topV: Int, topB: Int, alpha: Double = 0.4): BigramModel = {
+    require(topV >= 1 && topB >= 1, "trainBigram: topV/topB must be >= 1")
+    require(alpha > 0 && alpha < 1, "trainBigram: alpha must be in (0,1)")
+    val toks = text.tokenize(col(textCol))
+
+    val uniCnt = corpus
+      .select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val n = uniCnt.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      val uni = uniCnt.orderBy(col("c").desc, col("t").asc).limit(topV)
+        .select(col("t"),
+          round(log((col("c") + 1).cast("double") /
+            lit((n + topV + 1).toDouble)) * 1e6d).cast("long").as("lpfp"))
+      graft.plans.Dictionaries.register(s"${dictPrefix}_uni", uni, "t")
+
+      val pairs = corpus.select(toks.as("__ts"))
+        .select(explode(zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cab"))
+        .orderBy(col("cab").desc, col("a").asc, col("b").asc)
+        .limit(topB)
+      val bi = uniCnt.withColumnRenamed("t", "a")
+        .join(broadcast(pairs), "a")
+        .select(concat_ws(" ", col("a"), col("b")).as("ab"),
+          round(log(col("cab").cast("double") / col("c")) * 1e6d)
+            .cast("long").as("lcfp"))
+      graft.plans.Dictionaries.register(s"${dictPrefix}_bi", bi, "ab")
+
+      BigramModel(s"${dictPrefix}_uni", s"${dictPrefix}_bi", topV, n,
+        math.round(math.log(alpha) * 1e6))
+    } finally uniCnt.unpersist()
+  }
+
+  /** Total fixed-point log score of `textCol` under a stupid-backoff
+    * bigram model: position 1 scores by the unigram leg, positions
+    * i ≥ 2 by the bigram conditional when the pair is in the model
+    * and `α · S_uni` otherwise. Shuffle-free — both probes are O(1)
+    * dictionary lookups inside one codegen'd projection, and the sum
+    * is exact integer arithmetic over per-position fixed-point longs.
+    */
+  def bigramScoreFp(m: BigramModel, textCol: Column): Column = {
+    val toks = text.tokenize(textCol)
+    def uniFp(t: Column): Column =
+      coalesce(probeField(m.uniDict, "lpfp", t), lit(m.floorFp))
+    val first = uniFp(element_at(toks, 1))
+    // total everywhere (q149 lesson): sequence(2, 1) would generate a
+    // DESCENDING [2, 1] for one-token docs, so the tail index array is
+    // built empty-safe rather than guarded only by the outer when
+    val tailIdx = when(size(toks) >= 2, sequence(lit(2), size(toks)))
+      .otherwise(array().cast("array<int>"))
+    val rest = aggregate(
+      tailIdx,
+      lit(0L),
+      (acc, i) => acc + coalesce(
+        probeField(m.biDict, "lcfp",
+          concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))),
+        lit(m.alphaFp) + uniFp(element_at(toks, i))))
+    when(size(toks) < 1, lit(0L)).otherwise(first + rest)
+  }
 
   /** Total log importance ratio `Σ_t [log p_target(t) − log p_raw(t)]`
     * between two trained models, as exact 1e-6 fixed-point units: each

@@ -50,13 +50,8 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "bm25TopK: empty query set")
     require(k >= 1, "bm25TopK: k must be >= 1")
-    val spark = docs.sparkSession
     import graft.functions.text
-
-    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, qt) =>
-      qt.trim.toLowerCase.split("\\s+").toIndexedSeq.distinct
-        .filter(_.nonEmpty).map(qid -> _)
-    }
+    val qTerms = queryTerms(queries)
     val vocab = qTerms.map(_._2).distinct
 
     // Corpus stats: one aggregate-only pass (count + total token mass).
@@ -77,9 +72,29 @@ object Retrieval {
       .groupBy(col("__t"), col(idCol), col("__dl"))
       .agg(count(lit(1)).as("__tf"))
 
-    // Per-term document frequency: an aggregate of the filtered posting
-    // set (<= |vocab| rows), broadcast back onto it. idf snaps to 1e-6
-    // fixed-point HERE — the single cross-engine rounding point.
+    bm25Rank(posting, idCol, nDocs, avgDl, qTerms, k, k1, b)
+  }
+
+  /** Normalized distinct (query_id, term) pairs of a query set. */
+  private def queryTerms(queries: Seq[(Long, String)]): Seq[(Long, String)] =
+    queries.flatMap { case (qid, qt) =>
+      qt.trim.toLowerCase.split("\\s+").toIndexedSeq.distinct
+        .filter(_.nonEmpty).map(qid -> _)
+    }
+
+  /** Shared BM25 scoring + ranking over a vocabulary-filtered posting
+    * frame `(__t, idCol, __dl, __tf)`. Document frequency aggregates
+    * from the postings themselves — a vocabulary-bounded table (the
+    * filter selects terms, never drops a term's rows, so the count is
+    * the true corpus df). idf snaps to 1e-6 fixed-point right after
+    * the `ln` — the single cross-engine rounding point; per-term
+    * scores snap to fixed-point longs; the per-doc sum is exact
+    * integer arithmetic (shuffle-order-proof).
+    */
+  private def bm25Rank(posting: DataFrame, idCol: String, nDocs: Long,
+      avgDl: Double, qTerms: Seq[(Long, String)], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val spark = posting.sparkSession
     val dfByTerm = posting.groupBy(col("__t"))
       .agg(count(lit(1)).as("__df"))
       .withColumn("__idf_fp", round(
@@ -110,6 +125,80 @@ object Retrieval {
         col("rank").cast("long").as("rank"),
         round(col("__score_fp") / 1e6d, 4).as("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Materialize a lexical index for [[bm25FromIndex]] — the
+    * "index once, query many" scale path beside [[bm25TopK]]'s
+    * single-shot scan (the exact analog of the ANN index next to the
+    * brute-force scan in [[Similarity]]). Layout:
+    *
+    *  - `dir/postings/` — one row per (term, doc): `(__t, id, __dl,
+    *    __tf)`, directory-partitioned by `pb = pmod(xxhash64(term),
+    *    nBuckets)` and RANGE-sorted by term within each bucket. A
+    *    query's vocabulary resolves to a handful of `pb` values →
+    *    partition pruning skips every other directory, and the term
+    *    equality filter lands on sorted row groups → min/max stats
+    *    skip most files inside the bucket. Cost per query is
+    *    vocabulary-sized, NOT corpus-sized — the property a 100 TB
+    *    corpus needs (the direct path re-tokenizes everything per
+    *    query batch).
+    *  - `dir/stats/` — one row `(n_docs, total_tokens)`.
+    *
+    * Document frequency is NOT stored: the postings of a term are
+    * complete by construction, so query-time df is an aggregate of
+    * the (pruned) read — one less table to keep consistent.
+    */
+  def writeLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
+    require(nBuckets >= 1, "writeLexicalIndex: nBuckets must be >= 1")
+    import graft.functions.text
+    val toks = text.tokenize(col(textCol))
+    docs.select(col(idCol).as("id"), size(toks).as("__dl"),
+        explode(toks).as("__t"))
+      .groupBy(col("__t"), col("id"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("pb", pmod(xxhash64(col("__t")), lit(nBuckets)))
+      .repartitionByRange(col("pb"), col("__t"))
+      .write.mode(mode).partitionBy("pb").parquet(s"$dir/postings")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast("long").as("total_tokens"))
+      .write.mode(mode).parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k served FROM a [[writeLexicalIndex]] index: identical
+    * results to [[bm25TopK]] (same postings, same fixed-point
+    * arithmetic, same ranking), but the corpus side is the stored
+    * postings — the query vocabulary's bucket list reaches the scan
+    * as a partition filter and the term list as a pushed parquet
+    * predicate. `idCol` names the doc-id column of the OUTPUT (the
+    * index stores it as `id`).
+    */
+  def bm25FromIndex(spark: SparkSession, dir: String,
+      queries: Seq[(Long, String)], k: Int, idCol: String = "doc_id",
+      nBuckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25FromIndex: empty query set")
+    require(k >= 1, "bm25FromIndex: k must be >= 1")
+    val qTerms = queryTerms(queries)
+    val vocab = qTerms.map(_._2).distinct
+
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    val nDocs = stats.getLong(0)
+    val avgDl = stats.getLong(1).toDouble / nDocs
+
+    // The vocabulary's partition buckets, computed by the SAME
+    // engine expression that wrote them (xxhash64 must match the
+    // writer bit-for-bit, so it is evaluated, not re-implemented).
+    // Vocabulary-sized local work.
+    import spark.implicits._
+    val buckets = vocab.toDF("__t")
+      .select(pmod(xxhash64(col("__t")), lit(nBuckets)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+
+    val posting = spark.read.parquet(s"$dir/postings")
+      .filter(col("pb").isin(buckets: _*))
+      .filter(col("__t").isin(vocab: _*))
+      .select(col("__t"), col("id").as(idCol), col("__dl"), col("__tf"))
+    bm25Rank(posting, idCol, nDocs, avgDl, qTerms, k, k1, b)
   }
 
   /** Reciprocal-rank fusion of ranked retrieval arms (Cormack et al.,

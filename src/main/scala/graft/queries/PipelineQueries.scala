@@ -2275,6 +2275,166 @@ object PipelineQueries {
   // rolling hash of the cleaned string, both replayed by the oracle
   // (so a single token surviving or dying in the wrong place flips
   // the hash). Output = affected docs only.
+  // ---------------------------------------------------------------------
+  // X66: BM25 served from the MATERIALIZED lexical index — the "index
+  // once, query many" scale path beside q147's single-shot scan,
+  // exactly the q45-next-to-q25 pattern on the lexical side. The index
+  // stores postings directory-partitioned by a term-hash bucket and
+  // range-sorted by term inside each bucket, so a query's vocabulary
+  // prunes partitions AND row groups; document frequency aggregates
+  // from the (complete-per-term) pruned read. Identical fixed-point
+  // arithmetic to the direct path → the oracle recomputes BM25 from
+  // the documents table and the hashes must still match.
+  private val lexIndexBuilt = scala.collection.mutable.Set[String]()
+
+  val q153Bm25IndexTopK = QueryDef(
+    "q153_bm25_index_topk",
+    (s, dir) => {
+      import graft.operators.Retrieval
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_lex_index_" +
+        new java.io.File(dir).getName
+      lexIndexBuilt.synchronized {
+        if (!lexIndexBuilt.contains(idxDir)) {
+          Retrieval.writeLexicalIndex(Graft.table(s, dir, "documents"),
+            "doc_id", "text", idxDir, nBuckets = 64)
+          lexIndexBuilt += idxDir
+        }
+      }
+      Retrieval.bm25FromIndex(s, idxDir,
+        Seq(1L -> "vector scan filter",
+          2L -> "customer line order",
+          3L -> "stream batch window"),
+        k = 8, idCol = "doc_id", nBuckets = 64)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), st AS (
+        SELECT CAST(count(1) AS DOUBLE) AS nd,
+               CAST(sum(len(toks)) AS DOUBLE) / count(1) AS avgdl
+        FROM t
+      ), p AS (
+        SELECT u.t AS term, doc_id, len(toks) AS dl,
+               CAST(count(1) AS BIGINT) AS tf
+        FROM t, unnest(toks) AS u(t)
+        WHERE u.t IN ('vector','scan','filter','customer','line',
+                      'order','stream','batch','window')
+        GROUP BY 1, 2, 3
+      ), dft AS (
+        SELECT term,
+               CAST(round(ln(((SELECT nd FROM st) - count(1) + 0.5)
+                             / (count(1) + 0.5) + 1.0)
+                          * 1000000.0) AS BIGINT) AS idf_fp
+        FROM p GROUP BY term
+      ), qt(query_id, term) AS (
+        VALUES (1, 'vector'), (1, 'scan'), (1, 'filter'),
+               (2, 'customer'), (2, 'line'), (2, 'order'),
+               (3, 'stream'), (3, 'batch'), (3, 'window')
+      ), sc AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(sum(CAST(round(
+                 (dft.idf_fp / 1000000.0) *
+                 (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(p.tf AS DOUBLE)
+                   + (1.0 - 0.75 + 0.75 * p.dl
+                        / (SELECT avgdl FROM st)) * 1.2)
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS score_fp
+        FROM p
+        JOIN dft USING (term)
+        JOIN qt USING (term)
+        GROUP BY 1, 2
+      ), rk AS (
+        SELECT query_id, doc_id, score_fp,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM sc
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(rank AS BIGINT) AS rank,
+             round(score_fp / 1000000.0, 4) AS score
+      FROM rk WHERE rank <= 8 ORDER BY query_id, rank"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // X67: stupid-backoff bigram LM (Brants et al. 2007) — the quality
+  // scorer one modeling step above X50's unigram: context-aware
+  // perplexity with the backoff that was DESIGNED for MapReduce-scale
+  // corpora (no discount renormalization → each count table is one
+  // map-side-combined shuffle; scoring stays a shuffle-free projection
+  // probing two engine dictionaries). The oracle RETRAINS both count
+  // tables (top-V / top-B with the deterministic tie-breaks), replays
+  // the fixed-point ln snaps, and re-scores every document position by
+  // position — training AND inference are the compared surface.
+  val q154BigramLm = QueryDef(
+    "q154_bigram_backoff_lm",
+    (s, dir) => {
+      import graft.operators.Lm
+      val docs = Graft.table(s, dir, "documents")
+      val m = Lm.trainBigram(docs, "text", "q154", topV = 24, topB = 48)
+      docs.select(col("doc_id"),
+          Lm.bigramScoreFp(m, col("text")).as("bi_fp"),
+          size(text.tokenize(col("text"))).cast("long").as("n_toks"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), uc AS (
+        SELECT u.t AS t, CAST(count(1) AS BIGINT) AS c
+        FROM t, unnest(toks) AS u(t) GROUP BY 1
+      ), nt AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM uc
+      ), vt AS (
+        SELECT t, CAST(round(ln((c + 1)
+                 / CAST((SELECT n FROM nt) + 24 + 1 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS lpfp
+        FROM uc
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 24
+      ), pc AS (
+        SELECT u.p AS ab, CAST(count(1) AS BIGINT) AS cab
+        FROM t, unnest([toks[i] || ' ' || toks[i+1]
+                        for i in range(1, len(toks))]) AS u(p)
+        GROUP BY 1
+      ), vb AS (
+        SELECT q.ab,
+               CAST(round(ln(q.cab / CAST(uc.c AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS lcfp
+        FROM (SELECT ab, cab FROM pc
+              QUALIFY row_number() OVER (ORDER BY cab DESC,
+                split_part(ab, ' ', 1) ASC,
+                split_part(ab, ' ', 2) ASC) <= 48) q
+        JOIN uc ON uc.t = split_part(q.ab, ' ', 1)
+      ), pos AS (
+        SELECT doc_id, u.i AS i, toks[u.i] AS tok,
+               CASE WHEN u.i > 1
+                 THEN toks[u.i-1] || ' ' || toks[u.i] END AS ab
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+      ), scored AS (
+        SELECT pos.doc_id,
+               CAST(sum(CASE WHEN pos.i = 1 THEN
+                   coalesce(vt.lpfp,
+                     CAST(round(ln(1.0 / ((SELECT n FROM nt) + 25))
+                       * 1000000.0) AS BIGINT))
+                 ELSE coalesce(vb.lcfp,
+                   CAST(round(ln(0.4) * 1000000.0) AS BIGINT)
+                   + coalesce(vt.lpfp,
+                       CAST(round(ln(1.0 / ((SELECT n FROM nt) + 25))
+                         * 1000000.0) AS BIGINT)))
+                 END) AS BIGINT) AS bi_fp
+        FROM pos
+        LEFT JOIN vt ON pos.tok = vt.t
+        LEFT JOIN vb ON pos.ab = vb.ab
+        GROUP BY 1
+      )
+      SELECT t.doc_id, scored.bi_fp,
+             CAST(len(t.toks) AS BIGINT) AS n_toks
+      FROM t JOIN scored USING (doc_id)
+      ORDER BY doc_id"""))
+
   val q152StripDupSpans = QueryDef(
     "q152_strip_dup_spans",
     (s, dir) => {
@@ -2353,7 +2513,8 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
-    q151SpanDecontamination, q152StripDupSpans,
+    q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
+    q154BigramLm,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

@@ -87,6 +87,40 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("lexical index: bm25FromIndex returns exactly bm25TopK's rows") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_lexidx_spec"
+    graft.FsUtil.rmTree(dir)
+    Retrieval.writeLexicalIndex(corpus, "doc_id", "text", dir,
+      nBuckets = 8)
+    val qs = Seq(10L -> "apple", 20L -> "cherry banana", 30L -> "date")
+    val direct = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, k = 3)
+      .collect().toSeq
+    val indexed = Retrieval.bm25FromIndex(spark, dir, qs, k = 3,
+      idCol = "doc_id", nBuckets = 8).collect().toSeq
+    assert(indexed == direct)
+  }
+
+  test("lexical index plan: the vocabulary's buckets prune partitions " +
+      "and the term filter reaches the parquet scan") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_lexidx_spec_plan"
+    graft.FsUtil.rmTree(dir)
+    Retrieval.writeLexicalIndex(corpus, "doc_id", "text", dir,
+      nBuckets = 8)
+    val plan = Retrieval.bm25FromIndex(spark, dir,
+        Seq(1L -> "apple"), k = 2, idCol = "doc_id", nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    // partition pruning: the pb filter appears as PartitionFilters on
+    // the postings scan, never as a post-scan Filter over all buckets
+    assert(plan.contains("PartitionFilters: [isnotnull(pb#") &&
+      plan.contains("(pb#"), plan)
+    // ... and the term predicate is pushed to parquet (row-group
+    // stats) — a single term folds isin to EqualTo
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(__t,apple)"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   // RRF contributions at kRrf=60: round(1e9/(60+rank))
   private def rrf(rank: Int): Long = math.round(1e9 / (60 + rank))
 

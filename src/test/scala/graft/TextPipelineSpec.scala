@@ -206,6 +206,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("bigram stupid backoff: hand-computed conditionals, backoff " +
+      "legs, tie-break, one-token and all-OOV docs; shuffle-free plan") {
+    import graft.operators.Lm
+    import spark.implicits._
+    // tokens: [a b a b], [a c] — uni a:3 b:2 c:1, N=6; pairs
+    // (a,b):2 (b,a):1 (a,c):1; topB=2 keeps (a,b) then the count-1
+    // tie broken by left asc → (a,c), so (b,a) must back off
+    val corpus = Seq("a b a b", "a c").toDF("text")
+    val m = Lm.trainBigram(corpus, "text", "lm_bi_spec",
+      topV = 3, topB = 2)
+    assert(m.totalTokens == 6L)
+    def fp(x: Double): Long = math.round(x * 1e6)
+    val uniA = fp(math.log(4.0 / 10)) // (3+1)/(6+3+1)
+    val floor = fp(math.log(1.0 / 10))
+    assert(m.floorFp == floor)
+    val alphaFp = fp(math.log(0.4))
+    assert(m.alphaFp == alphaFp)
+    val biAB = fp(math.log(2.0 / 3)) // cnt(a b)/cnt(a)
+    val biAC = fp(math.log(1.0 / 3))
+    val got = Seq("a b a b", "a c", "z", "a z")
+      .toDF("text")
+      .select(Lm.bigramScoreFp(m, col("text")).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(
+      uniA + biAB + (alphaFp + uniA) + biAB, // (b,a) backs off
+      uniA + biAC,
+      floor,                                 // one-token OOV doc
+      uniA + (alphaFp + floor)))             // OOV tail backs off
+    // scale contract: scoring is a pure projection (file scan — a
+    // local relation would constant-fold the whole thing away)
+    val plan = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Lm.bigramScoreFp(m, col("text")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dict_get"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("importanceResample: hand-computed log-ratios, Gumbel keys, " +
       "and the TakeOrdered draw") {
     import graft.operators.Select
