@@ -75,6 +75,77 @@ object Dedup {
     out.drop("__key")
   }
 
+  /** [[incrementalDedup]] with BLOOM semi-join reduction — identical
+    * results (a Bloom filter has no false negatives), different 100 TB
+    * cost shape. The plain form anti-joins the full batch against the
+    * full history store: both sides shuffle. Here two bloom sketches
+    * (bytes, not rows) cut both shuffles map-side before the exact
+    * anti-join:
+    *
+    *  - '''history bloom over the batch''': batch rows whose key
+    *    cannot be in the store (probe false) are definitely novel and
+    *    BYPASS the join entirely — for the common mostly-novel batch,
+    *    that is most rows never shuffling;
+    *  - '''batch bloom over the store''': store rows whose key cannot
+    *    be in the batch are irrelevant to the anti-join and drop at
+    *    the store scan — the join's right side shrinks from
+    *    |history| to ~|batch| rows. False positives only let extra
+    *    rows through to the exact check; they can never change the
+    *    result (Bloom's one-sided error + the anti-join ignoring
+    *    unmatched right rows).
+    *
+    * Keys probe through `xxhash64(key)`: Spark's hash functions map a
+    * NULL input to the seed constant on BOTH the insert and the probe
+    * side, so NULL keys flow through the bloom pair consistently and
+    * the final NULL-safe `<=>` anti-join settles them exactly.
+    *
+    * `fpp` trades sketch bytes (shipped with the task binary, the
+    * runtime-filter transport) against exact-check traffic. The
+    * history bloom is sized by a cheap count of the key-only store.
+    */
+  def incrementalDedupBloom(batch: DataFrame, key: Column, idCol: String,
+      storeDir: String, fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    // persisted: the batch side feeds three actions (its bloom build's
+    // count + sketch, then the final plan) — without a cache the
+    // exactDedup shuffle would re-run per action
+    val inBatch = exactDedup(batch, key, idCol).drop("dup_count")
+      .withColumn("__key", key)
+      .persist()
+    try {
+      val store =
+        try Some(spark.read.parquet(storeDir).select(col("__key")))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" => None
+        }
+      def bloomOf(df: DataFrame): Array[Byte] = {
+        val n = math.max(df.count(), 1L)
+        val bf = df.select(xxhash64(col("__key")).as("__h"))
+          .stat.bloomFilter("__h", n, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      val novel = store.fold(inBatch) { st =>
+        val storeProbe = graft.plans.NativeHashes.bloomMightContain(
+          xxhash64(col("__key")), bloomOf(st))
+        val definite = inBatch.filter(!storeProbe)
+        val maybeNew = inBatch.filter(storeProbe)
+        val batchProbe = graft.plans.NativeHashes.bloomMightContain(
+          xxhash64(col("__key")), bloomOf(inBatch))
+        val stNear = st.filter(batchProbe)
+        definite.unionByName(
+          maybeNew.join(stNear, maybeNew("__key") <=> stNear("__key"),
+            "left_anti"))
+      }
+      val out = novel.localCheckpoint(true)
+      out.select(col("__key"), col(idCol).cast("long").as("__id"))
+        .write.mode("append").parquet(storeDir)
+      out.drop("__key")
+    } finally inBatch.unpersist()
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH
 

@@ -79,6 +79,17 @@ object NativeHashes {
     GraftSqlBridge.column(SpanHashesExpr(
       GraftSqlBridge.expression(elementHashes), window, p))
 
+  /** `Long hash -> Boolean` membership probe of a serialized Bloom
+    * filter riding the plan — the transport Spark's own runtime-filter
+    * injection uses for its bloom (a literal on the probe side, shipped
+    * with the task binary, deserialized once per executor). Probes stay
+    * inside whole-stage codegen. Filter size is set at BUILD time
+    * (expected items × fpp), so the caller controls the shipped bytes.
+    */
+  def bloomMightContain(hash: Column, bloomBytes: Array[Byte]): Column =
+    GraftSqlBridge.column(BloomMightContainExpr(
+      GraftSqlBridge.expression(hash), bloomBytes))
+
   /** SQL surface: `graft_minhash64(shingles, k)`, `graft_simhash64(toks)`
     * on an existing session (the extensions route below covers sessions
     * built with spark.sql.extensions).
@@ -241,6 +252,37 @@ case class SpanHashesExpr(child: Expression, window: Int, p: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.plans.HashKernels.spanHashes($c, $window, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Membership probe of a serialized `spark.util.sketch.BloomFilter`
+  * over 64-bit hashes (build side inserts via `putLong`, this probes
+  * `mightContainLong` — the same kernel pair `DataFrameStatFunctions
+  * .bloomFilter` uses). The filter deserializes lazily once per
+  * (de)serialized expression instance and is shared by reference in
+  * generated code.
+  */
+case class BloomMightContainExpr(child: Expression, bytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -730,6 +730,51 @@ object PipelineQueries {
       FROM novel GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------------
+  // X68: incremental dedup behind BLOOM semi-join reduction — result-
+  // identical to q46's exact anti-join (one-sided Bloom error: false
+  // positives only fall through to the exact check), but at 100 TB the
+  // batch rows that cannot be in history bypass the join map-side and
+  // the history side shrinks to ~batch size before it shuffles. The
+  // oracle is therefore the SAME replay as the exact form: seeded
+  // store, min-id reps, NOT EXISTS novelty.
+  val q155BloomIncDedup = QueryDef(
+    "q155_bloom_inc_dedup",
+    (s, dir) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_bloom_store_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(store)
+      val docs = Graft.table(s, dir, "documents")
+      val fp = text.fingerprint(col("text"))
+      Dedup.incrementalDedupBloom(docs.filter(col("doc_id") % 4 === 1),
+        fp, "doc_id", store)
+      Dedup.incrementalDedupBloom(docs, fp, "doc_id", store)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_novel"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id, source,
+               list_reduce(list_prepend(0::BIGINT,
+                 [unicode((regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))[i])::BIGINT
+                  for i in range(1, length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) + 1)]),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fpk
+        FROM documents
+      ), seeded AS (
+        SELECT DISTINCT fpk FROM fp WHERE doc_id % 4 = 1
+      ), reps AS (
+        SELECT fpk, min(doc_id) AS rep FROM fp GROUP BY fpk
+      ), novel AS (
+        SELECT f.source, f.doc_id
+        FROM reps r JOIN fp f ON f.doc_id = r.rep
+        WHERE NOT EXISTS (SELECT 1 FROM seeded s WHERE s.fpk = r.fpk)
+      )
+      SELECT source, CAST(count(1) AS BIGINT) AS n_novel,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM novel GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
   // End-to-end training-data prep: the operators composed the way a real
   // pipeline uses them — exact dedup on the content fingerprint, then a
   // quality + language gate, then per-source token accounting. One map
@@ -2514,7 +2559,7 @@ object PipelineQueries {
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
-    q154BigramLm,
+    q154BigramLm, q155BloomIncDedup,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

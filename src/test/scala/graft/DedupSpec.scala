@@ -101,6 +101,60 @@ class DedupSpec extends SparkSpec {
     assert(b3.count() == 0L)
   }
 
+  test("incrementalDedupBloom: same results as the exact form — " +
+      "novelty, NULL keys, and the empty-store seed") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloom_store").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "t")
+    val fp = text.fingerprint(col("t"))
+    // seed an empty store (missing path) with batch 1 incl. a NULL key
+    val b1 = Dedup.incrementalDedupBloom(
+      batch((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"),
+        (4L, null)),
+      fp, "id", s"$root/fp")
+      .select($"id").as[Long].collect().toSet
+    assert(b1 == Set(1L, 2L, 4L))
+    // batch 2: a seen text and a seen NULL drop through the bloom +
+    // exact pair; a novel text survives (either via the definite leg
+    // or the anti-join — both are the same result surface)
+    val b2 = Dedup.incrementalDedupBloom(
+      batch((10L, "beta text"), (11L, "gamma text"), (12L, null)),
+      fp, "id", s"$root/fp")
+      .select($"id").as[Long].collect().toSet
+    assert(b2 == Set(11L))
+    // equivalence against the exact operator from identical history
+    val seedA = Dedup.incrementalDedupBloom(
+      batch((20L, "alpha text"), (21L, "delta text")), fp, "id",
+      s"$root/fp_copy_a").select($"id").as[Long].collect().toSet
+    val seedB = Dedup.incrementalDedup(
+      batch((20L, "alpha text"), (21L, "delta text")), fp, "id",
+      s"$root/fp_copy_b").select($"id").as[Long].collect().toSet
+    assert(seedA == seedB && seedA == Set(20L, 21L))
+    val a2 = Dedup.incrementalDedupBloom(
+      batch((30L, "delta text"), (31L, "epsilon text")), fp, "id",
+      s"$root/fp_copy_a").select($"id").as[Long].collect().toSet
+    val e2 = Dedup.incrementalDedup(
+      batch((30L, "delta text"), (31L, "epsilon text")), fp, "id",
+      s"$root/fp_copy_b").select($"id").as[Long].collect().toSet
+    assert(a2 == e2 && a2 == Set(31L))
+  }
+
+  test("bloomMightContain: no false negatives; probes stay codegen'd") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val keys = spark.range(100).select(xxhash64(col("id")).as("h"))
+    val bf = keys.stat.bloomFilter("h", 100, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = graft.plans.NativeHashes.bloomMightContain(
+      col("h"), bos.toByteArray)
+    // every inserted key MUST probe true (one-sided error)
+    assert(keys.filter(!probe).count() == 0L)
+    val plan = keys.filter(probe).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain") ||
+      plan.contains("WholeStageCodegen"), plan)
+  }
+
   test("maxBucket drops are observable, not silent") {
     import org.apache.spark.sql.Observation
     // 5 identical docs (one bucket of width 5) + the planted near-dups
