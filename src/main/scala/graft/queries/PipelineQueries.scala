@@ -1281,6 +1281,83 @@ object PipelineQueries {
       FROM p GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20"""))
 
   // ---------------------------------------------------------------------
+  // X69: corpus-wide BPE ENCODING through the trained word table — the
+  // second half of X56 (q131 verifies the pair-count trainer surface).
+  // The scale property under test: encoding never re-runs merge folds
+  // per document — merges apply ONCE to the vocab-bounded word table,
+  // documents join `word -> symbols` (broadcastable) and reassemble in
+  // word order; OOV words fall back to character segmentation. The
+  // merge list is FIXED (data-independent) so the oracle can replay
+  // every greedy left-to-right merge fold stage by stage in SQL —
+  // chained `list_reduce` passes over a string accumulator, one per
+  // merge rank. Rebuilt token streams are pinned by count + rolling
+  // hash (the q152 pattern).
+  private val q156Merges = Seq("t" -> "h", "e" -> "</w>",
+    "th" -> "e</w>", "s" -> "t", "a" -> "r", "o" -> "w")
+
+  /** One greedy merge pass in DuckDB: fold the symbol list into a
+    * space-joined string, merging when the accumulator's LAST symbol
+    * is `a` and the current is `b`, then split back. Value-identical
+    * to [[graft.operators.Bpe.mergeSymbols]].
+    */
+  private def bpeMergeSql(listExpr: String, a: String, b: String): String =
+    s"""string_split(list_reduce($listExpr,
+        (acc, x) -> CASE WHEN (acc = '$a' OR acc LIKE '% $a')
+                          AND x = '$b'
+          THEN left(acc, length(acc) - ${a.length}) || '${a + b}'
+          ELSE acc || ' ' || x END), ' ')"""
+
+  private val q156SegSql: String =
+    q156Merges.foldLeft(
+      "list_append([word[i] for i in range(1, length(word) + 1)], '</w>')"
+    ) { case (acc, (a, b)) => bpeMergeSql(acc, a, b) }
+
+  val q156BpeEncode = QueryDef(
+    "q156_bpe_encode",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val docs = Graft.table(s, dir, "documents")
+      val words = Bpe.wordTable(docs, "text")
+      val trained = q156Merges.foldLeft(words) { case (w, (a, b)) =>
+        w.withColumn("symbols", Bpe.mergeSymbols(col("symbols"), a, b))
+      }
+      Bpe.encodeCorpus(docs, "doc_id", "text", trained)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          graft.plans.NativeHashes.rollingHash(
+            array_join(col("bpe_tokens"), " "), 1000000007L)
+            .as("bpe_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ), dw AS (
+        SELECT doc_id, u.i AS pos, toks[u.i] AS word
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        WHERE length(toks[u.i]) > 0
+      ), seg AS (
+        SELECT word, $q156SegSql AS syms
+        FROM (SELECT DISTINCT word FROM dw)
+      ), enc AS (
+        SELECT dw.doc_id,
+               flatten(list(seg.syms ORDER BY dw.pos)) AS bpe
+        FROM dw JOIN seg USING (word)
+        GROUP BY dw.doc_id
+      ), j AS (
+        SELECT doc_id, CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+               array_to_string(bpe, ' ') AS s
+        FROM enc
+      )
+      SELECT doc_id, n_bpe_tokens,
+             list_reduce(list_prepend(0::BIGINT,
+               [unicode(s[i])::BIGINT
+                for i in range(1, length(s) + 1)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS bpe_fp
+      FROM j ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // Vocabulary building: the corpus-global token frequency table
   // (min-frequency floor, deterministic top-k) that seeds tokenizer
   // training. One shuffle keyed by token — partial aggregation does the
@@ -2559,7 +2636,7 @@ object PipelineQueries {
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
-    q154BigramLm, q155BloomIncDedup,
+    q154BigramLm, q155BloomIncDedup, q156BpeEncode,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
