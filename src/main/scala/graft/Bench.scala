@@ -114,7 +114,12 @@ object Bench {
           // explosion is linear in corpus tokens and the kernel is
           // the O(tokens) rolling form, so the curve should track
           // token count; the dup-hash broadcast is the joint to watch
-          "q149_dup_spans")
+          "q149_dup_spans",
+          // round-7 seventh leg: bigram LM train (two map-side-combined
+          // count shuffles) + shuffle-free integer scoring — both
+          // phases linear in corpus tokens, so the 10x curve should
+          // track token count like the other map-side gates
+          "q154_bigram_backoff_lm")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

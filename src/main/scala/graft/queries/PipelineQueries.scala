@@ -1358,6 +1358,75 @@ object PipelineQueries {
       FROM j ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------------
+  // X70: per-source corpus card — the release-notes rollup a dataset
+  // ships: doc/unique-fingerprint counts, token mass, exact
+  // interpolated token-length quantiles (Spark `percentile` == DuckDB
+  // `quantile_cont`, the same (n-1)·p index arithmetic — the mapping
+  // the CH dialect already leans on for `median`), fixed-point mean
+  // quality (the q38 order-independent discipline), and language
+  // breadth. ONE shuffle keyed by source: every per-doc metric is a
+  // map-side projection; the quantiles buffer per (source) group —
+  // bounded by the largest source, the operator's documented scale
+  // contract (per-group exact quantiles at 100 TB want a sketch; the
+  // exact form IS the oracle-comparable reference surface).
+  val q157CorpusCard = QueryDef(
+    "q157_corpus_card",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      docs.select(col("source"), col("lang"),
+          text.qualityScore(col("text")).as("q"),
+          text.tokenCountWs(col("text")).cast("long").as("n_tok"),
+          text.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("fp")).as("n_unique"),
+          sum(col("n_tok")).cast("long").as("tokens"),
+          round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tok"),
+          round(expr("percentile(n_tok, 0.9)"), 4).as("p90_tok"),
+          round(sum(round(col("q") * 1e6).cast("long")).cast("double")
+            / (count(lit(1)) * 1e6), 4).as("avg_quality"),
+          count_distinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT source, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+               list_reduce(list_prepend(0::BIGINT,
+                 [unicode((regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))[i])::BIGINT
+                  for i in range(1, length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) + 1)]),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+               len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok
+        FROM documents
+      ), q AS (
+        SELECT source, lang, fp, n_tok,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                 + 0.3 * (1.0 - CASE WHEN length(norm) > 0
+                     THEN (length(norm)
+                           - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')))
+                          / length(norm)
+                     ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, x -> x IN
+                            ('the','a','and','of','to','in','is')))
+                          / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END), 6) AS quality
+        FROM m
+      )
+      SELECT source,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+             CAST(sum(n_tok) AS BIGINT) AS tokens,
+             round(quantile_cont(n_tok, 0.5), 4) AS p50_tok,
+             round(quantile_cont(n_tok, 0.9), 4) AS p90_tok,
+             round(CAST(sum(CAST(round(quality * 1000000.0) AS BIGINT))
+                     AS DOUBLE) / (count(1) * 1000000.0), 4) AS avg_quality,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM q GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
   // Vocabulary building: the corpus-global token frequency table
   // (min-frequency floor, deterministic top-k) that seeds tokenizer
   // training. One shuffle keyed by token — partial aggregation does the
@@ -1798,10 +1867,19 @@ object PipelineQueries {
         WHERE (CASE WHEN vh.n > 0 AND vl.n > 0
                     THEN list_dot_product(vh.e, vl.e) / (vh.n * vl.n)
                     ELSE 0.0 END) >= 0.46
+      ), sem_surv AS (
+        -- the Spark side is a LEFT SEMI against the semantic
+        -- SURVIVORS: a document without an embedding row has no
+        -- semantic evidence and does not pass the ensemble. (The
+        -- round-7 corpus broke the 1:1 docs<->embeddings alignment at
+        -- sf0.1 — 5000 docs vs 2000 vectors — which this join
+        -- direction settles explicitly.)
+        SELECT vec_id FROM v
+        WHERE vec_id NOT IN (SELECT vec_id FROM sem_victims)
       )
       SELECT d.doc_id, d.lang FROM documents d
       JOIN exact_surv USING (doc_id)
-      WHERE d.doc_id NOT IN (SELECT vec_id FROM sem_victims)
+      JOIN sem_surv ON d.doc_id = sem_surv.vec_id
       ORDER BY d.doc_id"""))
 
   // ---------------------------------------------------------------------
@@ -2555,7 +2633,8 @@ object PipelineQueries {
       SELECT t.doc_id, scored.bi_fp,
              CAST(len(t.toks) AS BIGINT) AS n_toks
       FROM t JOIN scored USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   val q152StripDupSpans = QueryDef(
     "q152_strip_dup_spans",
@@ -2636,7 +2715,7 @@ object PipelineQueries {
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
-    q154BigramLm, q155BloomIncDedup, q156BpeEncode,
+    q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

@@ -712,6 +712,108 @@ object StreamingQueries {
       GROUP BY lang ORDER BY lang"""))
 
   // ---------------------------------------------------------------------
+  // X67 in-stream: the stupid-backoff bigram gate — the model is
+  // pre-trained on the static reference corpus (two bounded
+  // dictionaries riding the task binary), so each micro-batch scores
+  // map-side with ZERO streaming state, exactly the q117 unigram
+  // contract one modeling step up. The oracle retrains both count
+  // tables and replays the integer scoring + threshold (the q154
+  // arithmetic) over the batch table.
+  val q158StreamBigramGate = QueryDef(
+    "q158_stream_bigram_gate",
+    (s, dir) => {
+      import graft.operators.Lm
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q158_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = Lm.trainBigram(docs, "text", "lm_q158", topV = 24,
+        topB = 48)
+      docs.repartition(3).write.parquet(s"$base/src")
+      // per-token threshold: total fp score / token count, so long and
+      // short documents gate on the same scale
+      val nToks = greatest(
+        size(graft.functions.text.tokenize(col("text"))), lit(1))
+      val gated = s.readStream.schema(docs.schema).parquet(s"$base/src")
+        .withColumn("bi_fp", Lm.bigramScoreFp(m, col("text")))
+        .filter(col("bi_fp") >= lit(-5400000L) * nToks)
+      val q = gated.writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .option("path", s"$base/out")
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("bi_fp")).cast("long").as("fp_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), uc AS (
+        SELECT u.t AS t, CAST(count(1) AS BIGINT) AS c
+        FROM t, unnest(toks) AS u(t) GROUP BY 1
+      ), nt AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM uc
+      ), vt AS (
+        SELECT t, CAST(round(ln((c + 1)
+                 / CAST((SELECT n FROM nt) + 24 + 1 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS lpfp
+        FROM uc
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 24
+      ), pc AS (
+        SELECT u.p AS ab, CAST(count(1) AS BIGINT) AS cab
+        FROM t, unnest([toks[i] || ' ' || toks[i+1]
+                        for i in range(1, len(toks))]) AS u(p)
+        GROUP BY 1
+      ), vb AS (
+        SELECT q.ab,
+               CAST(round(ln(q.cab / CAST(uc.c AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS lcfp
+        FROM (SELECT ab, cab FROM pc
+              QUALIFY row_number() OVER (ORDER BY cab DESC,
+                split_part(ab, ' ', 1) ASC,
+                split_part(ab, ' ', 2) ASC) <= 48) q
+        JOIN uc ON uc.t = split_part(q.ab, ' ', 1)
+      ), pos AS (
+        SELECT doc_id, u.i AS i, toks[u.i] AS tok,
+               CASE WHEN u.i > 1
+                 THEN toks[u.i-1] || ' ' || toks[u.i] END AS ab
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+      ), scored AS (
+        SELECT pos.doc_id,
+               CAST(sum(CASE WHEN pos.i = 1 THEN
+                   coalesce(vt.lpfp,
+                     CAST(round(ln(1.0 / ((SELECT n FROM nt) + 25))
+                       * 1000000.0) AS BIGINT))
+                 ELSE coalesce(vb.lcfp,
+                   CAST(round(ln(0.4) * 1000000.0) AS BIGINT)
+                   + coalesce(vt.lpfp,
+                       CAST(round(ln(1.0 / ((SELECT n FROM nt) + 25))
+                         * 1000000.0) AS BIGINT)))
+                 END) AS BIGINT) AS bi_fp
+        FROM pos
+        LEFT JOIN vt ON pos.tok = vt.t
+        LEFT JOIN vb ON pos.ab = vb.ab
+        GROUP BY 1
+      ), gated AS (
+        SELECT t.doc_id, t.lang, s.bi_fp
+        FROM t JOIN scored s USING (doc_id)
+        WHERE s.bi_fp >= -5400000 * greatest(len(t.toks), 1)
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(bi_fp) AS BIGINT) AS fp_sum
+      FROM gated GROUP BY lang ORDER BY lang"""))
+
+  // ---------------------------------------------------------------------
   // Chunking runs IN-STREAM: the overlapping-window chunker (X54) is a
   // stateless projection + Generate, so it drops into a micro-batch
   // pipeline with no state store and batch-boundary-independent output
@@ -777,5 +879,6 @@ object StreamingQueries {
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
       q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake,
-      q114BlueGreenMvSwap, q117StreamLmGate, q128StreamChunks)
+      q114BlueGreenMvSwap, q117StreamLmGate, q128StreamChunks,
+      q158StreamBigramGate)
 }
