@@ -187,18 +187,21 @@ object Lm {
     def uniFp(t: Column): Column =
       coalesce(probeField(m.uniDict, "lpfp", t), lit(m.floorFp))
     val first = uniFp(element_at(toks, 1))
-    // total everywhere (q149 lesson): sequence(2, 1) would generate a
-    // DESCENDING [2, 1] for one-token docs, so the tail index array is
-    // built empty-safe rather than guarded only by the outer when
-    val tailIdx = when(size(toks) >= 2, sequence(lit(2), size(toks)))
-      .otherwise(array().cast("array<int>"))
-    val rest = aggregate(
-      tailIdx,
-      lit(0L),
-      (acc, i) => acc + coalesce(
-        probeField(m.biDict, "lcfp",
-          concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))),
-        lit(m.alphaFp) + uniFp(element_at(toks, i))))
+    // the pair stream zips the token list with its own tail (the
+    // trainBigram shape) so the lambda sees (prev, cur) DIRECTLY.
+    // The index formulation — element_at(tokens, i) inside the fold —
+    // re-evaluates the tokenize expression per element (higher-order
+    // lambdas re-evaluate captured argument expressions), turning
+    // scoring O(n^2)-with-regex per document: measured 11x slower on
+    // the sf0.1 corpus. Empty/one-token docs zip to an empty pair
+    // list, so every branch is total (the q149 lesson).
+    val pairFp = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => coalesce(
+        probeField(m.biDict, "lcfp", concat_ws(" ", a, b)),
+        lit(m.alphaFp) + uniFp(b)))
+    val rest = aggregate(pairFp, lit(0L), (acc, x) => acc + x)
     when(size(toks) < 1, lit(0L)).otherwise(first + rest)
   }
 

@@ -142,7 +142,13 @@ object Retrieval {
     *    vocabulary-sized, NOT corpus-sized — the property a 100 TB
     *    corpus needs (the direct path re-tokenizes everything per
     *    query batch).
-    *  - `dir/stats/` — one row `(n_docs, total_tokens)`.
+    *  - `dir/stats/` — `(n_docs, total_tokens)` rows, summed at read
+    *    time: stats are MERGEABLE PARTIALS, so `mode = "append"` is
+    *    the incremental-maintenance path — index a novel batch (the
+    *    [[graft.operators.Dedup.incrementalDedup]] output is the
+    *    natural feed) and serving reflects the union corpus with no
+    *    rebuild. Appending the same documents twice double-counts;
+    *    novelty is the caller's contract.
     *
     * Document frequency is NOT stored: the postings of a term are
     * complete by construction, so query-time df is an aggregate of
@@ -181,7 +187,9 @@ object Retrieval {
     val qTerms = queryTerms(queries)
     val vocab = qTerms.map(_._2).distinct
 
-    val stats = spark.read.parquet(s"$dir/stats").head()
+    // stats rows are mergeable partials (one per write generation)
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
     val nDocs = stats.getLong(0)
     val avgDl = stats.getLong(1).toDouble / nDocs
 

@@ -1369,6 +1369,64 @@ object PipelineQueries {
   // bounded by the largest source, the operator's documented scale
   // contract (per-group exact quantiles at 100 TB want a sketch; the
   // exact form IS the oracle-comparable reference surface).
+  // ---------------------------------------------------------------------
+  // X71: multimodal retrieval END-TO-END — binary media payloads →
+  // batched (stubbed) decode → feature vector → exact cosine top-k,
+  // the X12 plumbing composed with the X5 ranking. The decode stub's
+  // "embedding" (16-bin byte histogram normalized in FLOAT32) is
+  // deterministic, so the oracle replays byte binning, the float
+  // quantization (double-divide rounded to FLOAT — bit-equal to the
+  // JVM's float divide for these magnitudes), and the exact cosine
+  // ranking. Scale shape: decode is one mapPartitions pass (the
+  // mapInPandas analogue), retrieval broadcasts the probe set — one
+  // corpus scan total.
+  val q159MultimodalRetrieval = QueryDef(
+    "q159_multimodal_retrieval",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val docs = Graft.table(s, dir, "documents")
+      val media = Multimodal.mediaFromDocuments(s, docs)
+      val feats = Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("feat"))
+      val probes = feats.filter(col("media_id") < 3)
+      Similarity.bruteForceTopK(feats, probes, "media_id", "feat", k = 5)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("sim"), 3).as("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""
+      WITH ch AS (
+        SELECT doc_id AS media_id,
+               [unicode(text[i]) for i in range(1, length(text) + 1)] AS cs
+        FROM documents
+      ), e AS (
+        SELECT media_id,
+               [CAST(CAST(len(list_filter(cs, c -> c // 16 = b)) AS DOUBLE)
+                     / greatest(len(cs), 1) AS FLOAT)::DOUBLE
+                for b in range(0, 16)] AS v
+        FROM ch
+      ), p AS (
+        SELECT media_id AS probe_id, v AS pv FROM e WHERE media_id < 3
+      ), sc AS (
+        SELECT p.probe_id, e.media_id AS id,
+               CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+                     AND sqrt(list_dot_product(p.pv, p.pv)) > 0
+                    THEN list_dot_product(e.v, p.pv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(p.pv, p.pv)))
+                    ELSE 0.0 END AS sim
+        FROM e CROSS JOIN p
+        WHERE e.media_id <> p.probe_id
+      ), r AS (
+        SELECT probe_id, id, sim,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, id ASC) AS rank
+        FROM sc
+      )
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, id,
+             round(sim, 3) AS sim
+      FROM r WHERE rank <= 5 ORDER BY probe_id, rank"""))
+
   val q157CorpusCard = QueryDef(
     "q157_corpus_card",
     (s, dir) => {
@@ -2716,6 +2774,7 @@ object PipelineQueries {
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
+    q159MultimodalRetrieval,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

@@ -121,6 +121,27 @@ class RetrievalSpec extends SparkSpec {
       !plan.contains("CartesianProduct"))
   }
 
+  test("lexical index append: incremental maintenance serves the " +
+      "union corpus exactly (stats rows merge, df spans generations)") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_lexidx_spec_inc"
+    graft.FsUtil.rmTree(dir)
+    val gen1 = Seq((1L, "apple banana"), (2L, "apple apple"))
+      .toDF("doc_id", "text")
+    val gen2 = Seq((3L, "banana cherry cherry"), (4L, "date"))
+      .toDF("doc_id", "text")
+    Retrieval.writeLexicalIndex(gen1, "doc_id", "text", dir, nBuckets = 8)
+    Retrieval.writeLexicalIndex(gen2, "doc_id", "text", dir, nBuckets = 8,
+      mode = "append")
+    val qs = Seq(10L -> "apple", 20L -> "cherry banana")
+    val indexed = Retrieval.bm25FromIndex(spark, dir, qs, k = 4,
+      idCol = "doc_id", nBuckets = 8).collect().toSeq
+    // the reference: one-shot BM25 over the union corpus — idf/avgdl
+    // must reflect BOTH generations, not the last write
+    val direct = Retrieval.bm25TopK(gen1.unionByName(gen2), "doc_id",
+      "text", qs, k = 4).collect().toSeq
+    assert(indexed == direct)
+  }
+
   // RRF contributions at kRrf=60: round(1e9/(60+rank))
   private def rrf(rank: Int): Long = math.round(1e9 / (60 + rank))
 
