@@ -729,6 +729,82 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Robust-winnowing document fingerprints (Schleimer, Wilkerson,
+    * Aiken, SIGMOD'03 — the MOSS fingerprinting algorithm): hash every
+    * `window`-token span ([[graft.plans.NativeHashes.spanHashes]], the
+    * X62 kernel), slide a `guarantee`-length window over the span-hash
+    * sequence and keep each window's MINIMUM; the distinct kept values
+    * are the document's fingerprints. The winnowing guarantee: any
+    * shared run of `window + guarantee − 1` tokens produces at least
+    * one shared fingerprint, while expected fingerprint density is
+    * `2/(guarantee+1)` of the spans — the corpus-wide shuffle carries
+    * a ~`(guarantee+1)/2`-fold fewer rows than X62's every-span
+    * explode, which is the whole point at 100 TB.
+    *
+    * Documents shorter than `window` tokens have no spans and emit no
+    * fingerprints; documents with fewer than `guarantee` spans emit
+    * the minimum of what they have (one truncated window). The min is
+    * selected by VALUE (ties collapse in the distinct), so the
+    * rightmost-tie rule of the paper — which exists to bound the
+    * SELECTED-POSITION count — is immaterial for the value-set
+    * semantics used here.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, guarantee: Int = 4): DataFrame = {
+    require(window >= 2,
+      s"winnowFingerprints: window must be >= 2, got $window")
+    require(guarantee >= 1,
+      s"winnowFingerprints: guarantee must be >= 1, got $guarantee")
+    val p = 1000000007L
+    val tokH = transform(graft.functions.text.tokenize(col(textCol)),
+      t => graft.plans.NativeHashes.rollingHash(t, p))
+    // __sh is BOUND as a column before the winnow lambda slices it —
+    // indexing a computed array from inside a HOF lambda re-evaluates
+    // it per element (the q154 lesson)
+    df.select(col(idCol), tokH.as("__th"))
+      .filter(size(col("__th")) >= window)
+      .select(col(idCol),
+        graft.plans.NativeHashes.spanHashes(col("__th"), window, p)
+          .as("__sh"))
+      .select(col(idCol),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("__sh")) - (guarantee - 1),
+            lit(1))),
+          i => array_min(slice(col("__sh"), i, lit(guarantee)))))
+          .as("fingerprints"))
+  }
+
+  /** MOSS-style similarity pairs over [[winnowFingerprints]]:
+    * `(id_a, id_b, n_shared)` for document pairs sharing at least
+    * `minShared` distinct fingerprints. Pairs form ONLY through the
+    * fingerprint equi-join; a fingerprint carried by more than
+    * `maxDocsPerPrint` documents is boilerplate by definition and is
+    * dropped from pair formation (the X2 bucket-cap discipline —
+    * without it one ubiquitous print forms a quadratic pair set).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, guarantee: Int = 4, minShared: Int = 2,
+      maxDocsPerPrint: Int = 64): DataFrame = {
+    require(minShared >= 1,
+      s"winnowPairs: minShared must be >= 1, got $minShared")
+    require(maxDocsPerPrint >= 2,
+      s"winnowPairs: maxDocsPerPrint must be >= 2, got $maxDocsPerPrint")
+    val prints = winnowFingerprints(df, idCol, textCol, window, guarantee)
+      .select(col(idCol).as("__id"), explode(col("fingerprints")).as("__f"))
+    val usable = prints.groupBy(col("__f"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerPrint)
+      .select(col("__f"))
+    val kept = prints.join(usable, Seq("__f"))
+    val a = kept.select(col("__f"), col("__id").as("id_a"))
+    val b = kept.select(col("__f"), col("__id").as("id_b"))
+    a.join(b, Seq("__f"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Duplicate-span REMOVAL — the second half of Lee et al.'s
     * exact-substring dedup: every token covered by a cross-document
     * duplicated `window`-span ([[dupSpanStats]]'s ≥2-distinct-docs

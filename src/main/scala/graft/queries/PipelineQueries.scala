@@ -2365,6 +2365,82 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X72: robust-winnowing fingerprints + MOSS-style similarity pairs
+  // (Schleimer et al. SIGMOD'03) — rationale on
+  // [[graft.operators.Dedup.winnowFingerprints]]. Same planted-quote
+  // fixture as q149: the quoting docs share 30-token prefixes with
+  // their originals (≥ window+guarantee−1 = 11, so the winnowing
+  // guarantee REQUIRES shared fingerprints), and the corpus's natural
+  // repeated phrases surface as additional pairs — the oracle replays
+  // token hashing, span folds, the sliding-min winnow, the
+  // boilerplate cap, and the pair rollup.
+  val q161WinnowPairs = QueryDef(
+    "q161_winnow_pairs",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val quotes = docs.filter(col("doc_id") <= 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(text.tokenize(col("text")), 1, 30), " ")
+            .as("text"))
+      Dedup.winnowPairs(docs.unionByName(quotes), "doc_id", "text",
+          window = 8, guarantee = 4, minShared = 2,
+          maxDocsPerPrint = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(list_slice(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 1, 30), ' ') AS text
+        FROM documents WHERE doc_id <= 3
+      ), t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM corpus
+      ), th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM t
+      ), sp AS (
+        SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 8)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 8)) AS pos
+              FROM th WHERE n >= 8)
+      ), shs AS (
+        SELECT doc_id, list(sh ORDER BY pos) AS a
+        FROM sp GROUP BY doc_id
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(
+                 [list_aggregate(list_slice(a, i, i + 3), 'min')
+                  for i in range(1, greatest(len(a) - 3, 1) + 1)]) AS fps
+        FROM shs
+      ), pr AS (
+        SELECT doc_id, u.f AS f FROM wins, unnest(fps) AS u(f)
+      ), us AS (
+        SELECT f FROM pr GROUP BY f
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+      ), kept AS (
+        SELECT pr.doc_id, pr.f FROM pr JOIN us USING (f)
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(1) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(1) >= 2
+      ORDER BY id_a, id_b"""))
+
+  // ---------------------------------------------------------------------
   // X63: DSIR importance resampling — target model trains on the
   // English subset, raw model on the whole corpus, documents drawn
   // with probability ∝ the importance weight via deterministic
@@ -2774,7 +2850,7 @@ object PipelineQueries {
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
-    q159MultimodalRetrieval,
+    q159MultimodalRetrieval, q161WinnowPairs,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

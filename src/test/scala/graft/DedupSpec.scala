@@ -457,6 +457,35 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 9L, 3L, 3L, 1.0)))
   }
 
+  test("winnowFingerprints: short docs, exact-window docs, identical " +
+      "docs, and the winnowing guarantee") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // 10 tokens
+      (2L, "a b c d e f g h i j"),   // identical to 1
+      (3L, "z y x"),                 // exactly window tokens -> 1 span
+      (4L, "p q"),                   // below window -> no row
+      (5L, "k l c d e f m n o r"))   // shares run "c d e f" (w+g-1) w/ 1
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      window = 3, guarantee = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(!fps.contains(4L))
+    assert(fps(3L).size == 1)
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    // guarantee: a shared run of window+guarantee-1 = 4 tokens yields
+    // at least one shared fingerprint
+    assert((fps(1L) intersect fps(5L)).nonEmpty)
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+      window = 3, guarantee = 2, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // identical docs share their whole fingerprint set
+    assert(pairs((1L, 2L)) == fps(1L).size.toLong)
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
   test("spanHashes kernel == combinator fold (incl. empty and short)") {
     val p = 1000000007L
     // varied lengths around the window boundary + repeated content so
