@@ -91,6 +91,13 @@ case class ChInsertIntoCommand(table: String, selectSql: String)
         val out = b.schema.fold(encoded)(sc =>
           graft.schemas.Metrica.conform(encoded, sc))
         graft.sources.CsvGzip.exportCsv(out, b.path)
+      case "json" =>
+        // JSONEachRow: no codec layer (arrays/structs are native);
+        // conform for order/types/typed-null fill — readers are
+        // name-keyed but a CH consumer still sees the declared shape
+        val out = b.schema.fold(named)(sc =>
+          graft.schemas.Metrica.conform(named, sc))
+        graft.sources.JsonEachRow.export(out, b.path)
       // a warehouse table (CH DDL with PARTITION BY) conforms to the
       // declared schema (order, types, typed nulls for omitted
       // columns) and appends through the week-partitioned clustered

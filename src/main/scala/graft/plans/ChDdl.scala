@@ -391,15 +391,24 @@ case class ChCreateTableCommand(parsed: ChDdl.Parsed)
     }
     val b = p.s3Target match {
       case Some((path, fmt, comp)) =>
-        require(fmt.equalsIgnoreCase("CSVWithNames"),
-          s"ENGINE = S3 supports CSVWithNames here, got $fmt")
         require(comp == "gzip" || comp == "none",
           s"ENGINE = S3 supports gzip/none compression, got $comp")
-        // the escape option must match CsvGzip.exportCsv's RFC-4180
-        // quote-doubling, or read-back corrupts quoted values
-        val sb = graft.sources.Binding(p.name, path, format = "csv",
-          schema = Some(graft.sources.CsvGzip.encodedSchema(p.schema)),
-          options = Map("header" -> "true", "escape" -> "\""))
+        val sb =
+          if (fmt.equalsIgnoreCase("CSVWithNames"))
+            // the escape option must match CsvGzip.exportCsv's RFC-4180
+            // quote-doubling, or read-back corrupts quoted values
+            graft.sources.Binding(p.name, path, format = "csv",
+              schema = Some(graft.sources.CsvGzip.encodedSchema(p.schema)),
+              options = Map("header" -> "true", "escape" -> "\""))
+          else if (fmt.equalsIgnoreCase("JSONEachRow"))
+            // newline-delimited JSON: arrays/structs round-trip
+            // natively, so the declared schema IS the read schema —
+            // no csv codec layer
+            graft.sources.Binding(p.name, path, format = "json",
+              schema = Some(p.schema),
+              options = Map("recursiveFileLookup" -> "true"))
+          else throw new IllegalArgumentException(
+            s"ENGINE = S3 supports CSVWithNames/JSONEachRow here, got $fmt")
         // a local export dir is created so the (empty) table resolves;
         // a storage URL ("scheme://...") is the store's to manage
         if (!path.contains("://")) new java.io.File(path).mkdirs()

@@ -518,6 +518,44 @@ object SourceQueries {
       ORDER BY storage"""))
 
   // ---------------------------------------------------------------------
+  // X73: the JSONEachRow object format end-to-end through the CH DDL
+  // text — `ENGINE = S3(url, 'JSONEachRow', 'gzip')` beside the
+  // reference's CSVWithNames (S3/S9 in JSON form). The array column
+  // round-trips NATIVELY (no csv codec layer), read-back is
+  // name-keyed, and every insert lands fresh gzip objects. The oracle
+  // replays the projection (incl. the split) from the source table.
+  val q162JsonEachRow = QueryDef(
+    "q162_json_each_row",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_json_q162_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      Graft.table(s, dir, "documents")
+        .createOrReplaceTempView("docs_src_v")
+      s.sql(s"""
+        CREATE TABLE docs_json_q162 (
+          doc_id Int64, lang String, toks Array(String), n_chars Int64
+        ) ENGINE = S3('$base/s3', 'JSONEachRow', 'gzip')""")
+      s.sql("""
+        INSERT INTO docs_json_q162
+        SELECT doc_id, lang,
+               splitByChar(' ', lower(trim(text))) AS toks, n_chars
+        FROM docs_src_v WHERE doc_id % 5 = 0""")
+      s.sql("""
+        SELECT lang, toInt64(count(1)) AS n,
+               toInt64(sum(size(toks))) AS tok_sum,
+               toInt64(sum(n_chars)) AS chars_sum
+        FROM docs_json_q162 GROUP BY lang ORDER BY lang""")
+    },
+    Some("""
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(len(string_split(lower(trim(text)), ' ')))
+               AS BIGINT) AS tok_sum,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      FROM documents WHERE doc_id % 5 = 0
+      GROUP BY lang ORDER BY lang"""))
+
+  // ---------------------------------------------------------------------
   // The YQL text forms of the federated chapter, end-to-end against the
   // oracle. q104: the inline-schema connection scan (README.md:231-254)
   // — gzip csv objects under a connection root, read back through the
@@ -641,5 +679,6 @@ object SourceQueries {
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
       q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated,
       q51HitsExportReconcile, q59TtlTiering, q93MutationDelete,
-      q97ChInsertSelectSql, q104YqlInlineScan, q105YqlFederatedInsert)
+      q97ChInsertSelectSql, q104YqlInlineScan, q105YqlFederatedInsert,
+      q162JsonEachRow)
 }
