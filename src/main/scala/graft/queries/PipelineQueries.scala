@@ -2441,6 +2441,74 @@ object PipelineQueries {
       ORDER BY id_a, id_b"""))
 
   // ---------------------------------------------------------------------
+  // X74: CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+  // 2020) — the corpus split CCNet feeds to training: score every doc
+  // under the clean-reference LM (X50, trained on the `en` slice),
+  // cut at the 33/67 score quantiles, label map-side. The quantiles
+  // are TWO driver doubles broadcast into the labeling projection —
+  // never a global ntile window (the scale-killer this replaces); the
+  // exact interpolated percentile arithmetic is engine-identical
+  // (Spark percentile == DuckDB quantile_cont), so even boundary docs
+  // label the same. Higher mean log-prob = lower perplexity = head.
+  val q163CcnetBuckets = QueryDef(
+    "q163_ccnet_buckets",
+    (s, dir) => {
+      import graft.operators.Lm
+      val docs = Graft.table(s, dir, "documents")
+      val m = Lm.trainUnigram(docs.filter(col("lang") === "en"),
+        "text", "q163", topV = 16)
+      val scored = docs.select(col("doc_id"), col("lang"),
+        Lm.logProbScore(m, col("text")).as("lp_i"))
+      val row = scored.agg(
+        expr("percentile(lp_i, 0.67)"),
+        expr("percentile(lp_i, 0.33)")).head()
+      val (hi, lo) = (row.getDouble(0), row.getDouble(1))
+      scored.withColumn("bucket",
+          when(col("lp_i") >= hi, "head")
+            .when(col("lp_i") >= lo, "middle")
+            .otherwise("tail"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("lp_i")).cast("long").as("lp_sum"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+      ), cnt AS (
+        SELECT t, count(1) AS c FROM toks WHERE lang = 'en' GROUP BY t
+      ), tot AS (
+        SELECT count(1) AS n FROM toks WHERE lang = 'en'
+      ), vocab AS (
+        SELECT t, c FROM cnt
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 16
+      ), scored AS (
+        SELECT k.doc_id, k.lang,
+               CAST(round(avg(ln(CAST(coalesce(v.c + 1, 1) AS DOUBLE) /
+                    ((SELECT n FROM tot) + 16 + 1))) * 10000) AS BIGINT)
+                 AS lp_i
+        FROM toks k LEFT JOIN vocab v ON k.t = v.t
+        GROUP BY k.doc_id, k.lang
+      ), q AS (
+        SELECT quantile_cont(lp_i, 0.67) AS hi,
+               quantile_cont(lp_i, 0.33) AS lo
+        FROM scored
+      ), lab AS (
+        SELECT doc_id, lp_i,
+               CASE WHEN lp_i >= (SELECT hi FROM q) THEN 'head'
+                    WHEN lp_i >= (SELECT lo FROM q) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored
+      )
+      SELECT bucket, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(lp_i) AS BIGINT) AS lp_sum
+      FROM lab GROUP BY bucket ORDER BY bucket"""))
+
+  // ---------------------------------------------------------------------
   // X63: DSIR importance resampling — target model trains on the
   // English subset, raw model on the whole corpus, documents drawn
   // with probability ∝ the importance weight via deterministic
@@ -2850,7 +2918,7 @@ object PipelineQueries {
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
-    q159MultimodalRetrieval, q161WinnowPairs,
+    q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
