@@ -119,7 +119,14 @@ object Bench {
           // count shuffles) + shuffle-free integer scoring — both
           // phases linear in corpus tokens, so the 10x curve should
           // track token count like the other map-side gates
-          "q154_bigram_backoff_lm")
+          "q154_bigram_backoff_lm",
+          // winnowing: the fingerprint shuffle carries ~2/(g+1) of the
+          // spans q149 explodes — the curve should sit BELOW q149's
+          "q161_winnow_pairs",
+          // BPE encode: merge folds run on the vocab-bounded word
+          // table; the corpus side is one join + one doc-keyed
+          // reassembly shuffle — linear in tokens
+          "q156_bpe_encode")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

@@ -1355,7 +1355,8 @@ object PipelineQueries {
                [unicode(s[i])::BIGINT
                 for i in range(1, length(s) + 1)]),
                (acc, x) -> (acc * 31 + x) % 1000000007) AS bpe_fp
-      FROM j ORDER BY doc_id"""))
+      FROM j ORDER BY doc_id"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X70: per-source corpus card — the release-notes rollup a dataset
@@ -2438,7 +2439,8 @@ object PipelineQueries {
              CAST(count(1) AS BIGINT) AS n_shared
       FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(1) >= 2
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X74: CCNet head/middle/tail perplexity bucketing (Wenzek et al.
