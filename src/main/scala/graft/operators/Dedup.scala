@@ -758,21 +758,29 @@ object Dedup {
     val p = 1000000007L
     val tokH = transform(graft.functions.text.tokenize(col(textCol)),
       t => graft.plans.NativeHashes.rollingHash(t, p))
-    // __sh is BOUND as a column before the winnow lambda slices it —
-    // indexing a computed array from inside a HOF lambda re-evaluates
-    // it per element (the q154 lesson)
     df.select(col(idCol), tokH.as("__th"))
       .filter(size(col("__th")) >= window)
       .select(col(idCol),
         graft.plans.NativeHashes.spanHashes(col("__th"), window, p)
           .as("__sh"))
       .select(col(idCol),
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col("__sh")) - (guarantee - 1),
-            lit(1))),
-          i => array_min(slice(col("__sh"), i, lit(guarantee)))))
+        array_distinct(
+          graft.plans.NativeHashes.slidingMin(col("__sh"), guarantee))
           .as("fingerprints"))
   }
+
+  /** The winnow sliding-min as a pure-Column combinator — the
+    * executable specification [[graft.plans.NativeHashes.slidingMin]]
+    * is proven equal to (DedupSpec); the kernel exists because the
+    * per-window interpreted slice+min was the measured cost of the
+    * whole fingerprint pass. `arr` must be a BOUND column reference —
+    * indexing a computed array from inside a HOF lambda re-evaluates
+    * it per element (the q154 lesson).
+    */
+  private[graft] def slidingMinColumn(arr: Column, g: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(arr) - (g - 1), lit(1))),
+      i => array_min(slice(arr, i, lit(g))))
 
   /** MOSS-style similarity pairs over [[winnowFingerprints]]:
     * `(id_a, id_b, n_shared)` for document pairs sharing at least
@@ -789,8 +797,13 @@ object Dedup {
       s"winnowPairs: minShared must be >= 1, got $minShared")
     require(maxDocsPerPrint >= 2,
       s"winnowPairs: maxDocsPerPrint must be >= 2, got $maxDocsPerPrint")
+    // materialized: the fingerprint table feeds three plan legs (the
+    // frequency count and both join sides) — without it the whole
+    // tokenize→span→winnow pass re-runs per leg. This IS the "build
+    // the fingerprint index once" step of MOSS.
     val prints = winnowFingerprints(df, idCol, textCol, window, guarantee)
       .select(col(idCol).as("__id"), explode(col("fingerprints")).as("__f"))
+      .localCheckpoint()
     val usable = prints.groupBy(col("__f"))
       .agg(countDistinct(col("__id")).as("__nd"))
       .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerPrint)

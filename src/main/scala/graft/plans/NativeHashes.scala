@@ -79,6 +79,19 @@ object NativeHashes {
     GraftSqlBridge.column(SpanHashesExpr(
       GraftSqlBridge.expression(elementHashes), window, p))
 
+  /** `Array[Long] -> Array[Long]` sliding-window minimum: element i is
+    * the min of elements i..i+window-1 (window truncates at the array
+    * end; a non-empty input always yields at least one element — the
+    * winnowing contract for short documents). Value-identical to the
+    * `transform(sequence, i -> array_min(slice(...)))` combinator
+    * ([[graft.operators.Dedup.slidingMinColumn]], the executable
+    * spec) without the per-window interpreted slice+min — measured
+    * ~600 µs/doc interpreted vs µs native on the winnowing corpus.
+    */
+  def slidingMin(arr: Column, window: Int): Column =
+    GraftSqlBridge.column(SlidingMinExpr(
+      GraftSqlBridge.expression(arr), window))
+
   /** `Long hash -> Boolean` membership probe of a serialized Bloom
     * filter riding the plan — the transport Spark's own runtime-filter
     * injection uses for its bloom (a literal on the probe side, shipped
@@ -257,6 +270,24 @@ case class SpanHashesExpr(child: Expression, window: Int, p: Long)
     copy(child = newChild)
 }
 
+case class SlidingMinExpr(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_sliding_min"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.slidingMin(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashKernels.slidingMin($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Membership probe of a serialized `spark.util.sketch.BloomFilter`
   * over 64-bit hashes (build side inserts via `putLong`, this probes
   * `mightContainLong` — the same kernel pair `DataFrameStatFunctions
@@ -376,6 +407,31 @@ object HashKernels {
     * occur in tokenizer output, the branch exists only to keep the
     * kernel total and spec-equal.
     */
+  /** Sliding-window minimum over longs; window truncates at the end,
+    * non-empty input yields at least one element. w is small (the
+    * winnowing guarantee parameter), so the simple rescan beats a
+    * deque's allocation churn.
+    */
+  def slidingMin(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](math.max(n - w + 1, 1))
+    var i = 0
+    while (i < out.length) {
+      val end = math.min(i + w, n)
+      var m = a.getLong(i)
+      var j = i + 1
+      while (j < end) {
+        val v = a.getLong(j)
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def spanHashes(th: ArrayData, w: Int, p: Long): ArrayData = {
     val n = th.numElements()
     if (n < w) return new GenericArrayData(Array.empty[Any])

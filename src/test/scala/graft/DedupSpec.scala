@@ -486,6 +486,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
+  test("slidingMin kernel == combinator (incl. empty, short, truncated " +
+      "tail windows)") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      Seq(5L, 3L, 8L, 1L, 9L, 2L),
+      Seq(7L),
+      Seq(4L, 4L, 4L),
+      Seq(9L, 8L, 7L, 6L))
+    for (g <- Seq(1, 2, 3, 5)) {
+      val df = rows.map(Tuple1(_)).toDF("a")
+      val got = df.select(
+        graft.plans.NativeHashes.slidingMin(col("a"), g)).as[Seq[Long]]
+        .collect().toSeq
+      val want = df.select(Dedup.slidingMinColumn(col("a"), g))
+        .as[Seq[Long]].collect().toSeq
+      assert(got == want, s"g=$g")
+    }
+    // empty input: the kernel returns empty (the operator filters
+    // sub-window docs before this point; the combinator's
+    // greatest(..,1) would emit a null min there instead)
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("a")
+      .select(graft.plans.NativeHashes.slidingMin(col("a"), 3))
+      .as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+
   test("spanHashes kernel == combinator fold (incl. empty and short)") {
     val p = 1000000007L
     // varied lengths around the window boundary + repeated content so

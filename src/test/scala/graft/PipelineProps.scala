@@ -150,6 +150,34 @@ object PipelineProps extends Properties("pipeline") {
       (got == want) :| s"got=$got want=$want syms=$syms pair=($a,$b)"
     }
 
+  // winnowing guarantee (Schleimer et al.): two documents sharing a
+  // run of window+guarantee-1 tokens share at least one fingerprint —
+  // for ANY corpus text around the shared run and any (w, g) in range.
+  // Tokens draw from a 4-symbol alphabet so accidental sharing is
+  // common too (the property only asserts the guaranteed direction).
+  property("winnowing guarantee: a shared w+g-1 run shares a print") =
+    Prop.forAll(
+      Gen.chooseNum(2, 4), Gen.chooseNum(1, 3),
+      Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.take(12)),
+      Gen.listOf(Gen.oneOf("ee", "ff", "gg", "hh")).map(_.take(12))
+    ) { (w, g, pre, post) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      // the shared run: w+g-1 tokens from a disjoint alphabet, so it
+      // cannot partially overlap the surrounding text
+      val run = (0 until (w + g - 1)).map(i => s"r$i")
+      val docA = (pre ++ run).mkString(" ")
+      val docB = (run ++ post).mkString(" ")
+      val fps = graft.operators.Dedup.winnowFingerprints(
+        Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"),
+        "doc_id", "text", window = w, guarantee = g)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+        .toMap
+      val shared = fps.getOrElse(1L, Set.empty[Long])
+        .intersect(fps.getOrElse(2L, Set.empty[Long]))
+      shared.nonEmpty :| s"w=$w g=$g pre=$pre post=$post fps=$fps"
+    }
+
   property("ngramDistance/Search equal the multiset reference") =
     Prop.forAll(Gen.alphaLowerStr.map(_.take(12)),
       Gen.alphaLowerStr.map(_.take(12))) { (x, y) =>
