@@ -2443,6 +2443,88 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X72 composed to a DEDUP: winnow pairs → connected components →
+  // min-id survivor per cluster (the X41 transitive-closure rule) —
+  // the MOSS detector driving the same cluster-dedup the MinHash path
+  // uses (q75), so the two near-dup families share one survivor
+  // discipline. minShared = 3 keeps only strongly-overlapping pairs;
+  // the oracle replays the winnow chain, the pair rollup, a recursive
+  // reachability closure, and the survivor filter.
+  val q164WinnowClusterDedup = QueryDef(
+    "q164_winnow_cluster_dedup",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        window = 8, guarantee = 4, minShared = 3, maxDocsPerPrint = 64)
+      Dedup.dedupByClusters(docs, pairs, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM t
+      ), sp AS (
+        SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 8)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 8)) AS pos
+              FROM th WHERE n >= 8)
+      ), shs AS (
+        SELECT doc_id, list(sh ORDER BY pos) AS a
+        FROM sp GROUP BY doc_id
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(
+                 [list_aggregate(list_slice(a, i, i + 3), 'min')
+                  for i in range(1, greatest(len(a) - 3, 1) + 1)]) AS fps
+        FROM shs
+      ), pr0 AS (
+        SELECT doc_id, u.f AS f FROM wins, unnest(fps) AS u(f)
+      ), us AS (
+        SELECT f FROM pr0 GROUP BY f
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+      ), kept AS (
+        SELECT pr0.doc_id, pr0.f FROM pr0 JOIN us USING (f)
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(1) >= 3
+      ), nodes AS (
+        SELECT DISTINCT id FROM
+          (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      ), bi AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+      ), reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, b.v FROM reach r JOIN bi b ON b.u = r.dst
+      ), lab AS (
+        SELECT src AS id, min(dst) AS cid FROM reach GROUP BY src
+      ), losers AS (
+        SELECT id FROM lab WHERE id <> cid
+      )
+      SELECT d.lang, CAST(count(1) AS BIGINT) AS n_survivors,
+             CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT id FROM losers)
+      GROUP BY d.lang ORDER BY d.lang"""))
+
+  // ---------------------------------------------------------------------
   // X74: CCNet head/middle/tail perplexity bucketing (Wenzek et al.
   // 2020) — the corpus split CCNet feeds to training: score every doc
   // under the clean-reference LM (X50, trained on the `en` slice),
@@ -2921,6 +3003,7 @@ object PipelineQueries {
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
     q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
+    q164WinnowClusterDedup,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
