@@ -871,6 +871,49 @@ object Dedup {
       .drop("__dp")
   }
 
+  /** WITHIN-document repeated-span removal — the intra-document half
+    * of Lee et al.'s exact-substring discipline, and the compressor
+    * for degenerate/looped text (repeated headers, LM babble): a span
+    * is a REPEAT iff the same hash first occurred earlier in the SAME
+    * document at a non-overlapping position
+    * ([[graft.plans.NativeHashes.repeatSpanDrops]]); every token a
+    * repeat span covers drops — the [[stripDuplicateSpans]] coverage
+    * rule applied within the document. First occurrences always stay
+    * (a repeat's coverage cannot reach them), so running the operator
+    * twice is a no-op on exact-loop text.
+    *
+    * Scale shape: the whole operator is ONE map-side projection —
+    * token hashes, span hashes, the repeat mask, and the rebuild all
+    * happen inside the row, so there is NO shuffle at any corpus size
+    * and the operator drops into a streaming micro-batch stateless.
+    * (Cross-document duplicated text is [[stripDuplicateSpans]]'s
+    * job — the two compose, within-doc first.)
+    */
+  def stripWithinDocRepeats(df: DataFrame, idCol: String,
+      textCol: String, window: Int = 8): DataFrame = {
+    require(window >= 2,
+      s"stripWithinDocRepeats: window must be >= 2, got $window")
+    val p = 1000000007L
+    val toks = graft.functions.text.tokenize(col(s"`$textCol`"))
+    val tokH = transform(toks,
+      t => graft.plans.NativeHashes.rollingHash(t, p))
+    val withDrops = df
+      .withColumn("__th", tokH)
+      .withColumn("__dp", when(size(col("__th")) >= window,
+        graft.plans.NativeHashes.repeatSpanDrops(
+          graft.plans.NativeHashes.spanHashes(col("__th"), window, p),
+          window)).otherwise(array().cast("array<int>")))
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__dp"), d => d === i))
+    withDrops
+      .withColumn("removed_tokens",
+        (size(toks) - size(kept)).cast("long"))
+      .withColumn(textCol,
+        when(size(col("__dp")) === 0, col(s"`$textCol`"))
+          .otherwise(array_join(kept, " ")))
+      .drop("__th", "__dp")
+  }
+
   /** Span-level train/eval decontamination — the GPT-3 appendix-C
     * discipline (13-gram overlap between training documents and
     * evaluation examples) generalized: every distinct `window`-token

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the two hash kernels that dominate
   * near-dedup CPU. The pure-Column formulations (Dedup.minHashSignature
@@ -91,6 +91,23 @@ object NativeHashes {
   def slidingMin(arr: Column, window: Int): Column =
     GraftSqlBridge.column(SlidingMinExpr(
       GraftSqlBridge.expression(arr), window))
+
+  /** `Array[Long] spanHashes -> Array[Int]` 0-based TOKEN indices
+    * covered by within-document REPEAT spans. A span at position i is
+    * a repeat iff the same hash first occurred at a position `minPos`
+    * with `i >= minPos + window` (a non-overlapping earlier
+    * occurrence — overlapping self-matches of periodic text are not
+    * repeats). Every token a repeat span covers drops (the
+    * [[graft.operators.Dedup.stripDuplicateSpans]] rule applied
+    * within the document): a repeat span IS a verbatim re-occurrence
+    * of the earlier w-run, so its whole extent is duplicated content.
+    * A repeat's coverage can never reach the first occurrence's
+    * tokens (positions differ by ≥ window). One O(spans·window) pass
+    * with a hash→first-position map; result sorted ascending.
+    */
+  def repeatSpanDrops(spanHashes: Column, window: Int): Column =
+    GraftSqlBridge.column(RepeatSpanDropsExpr(
+      GraftSqlBridge.expression(spanHashes), window))
 
   /** `Long hash -> Boolean` membership probe of a serialized Bloom
     * filter riding the plan — the transport Spark's own runtime-filter
@@ -270,6 +287,24 @@ case class SpanHashesExpr(child: Expression, window: Int, p: Long)
     copy(child = newChild)
 }
 
+case class RepeatSpanDropsExpr(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def prettyName: String = "graft_repeat_span_drops"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.repeatSpanDrops(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashKernels.repeatSpanDrops($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SlidingMinExpr(child: Expression, window: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -407,6 +442,36 @@ object HashKernels {
     * occur in tokenizer output, the branch exists only to keep the
     * kernel total and spec-equal.
     */
+  /** Within-doc repeat-span coverage: 0-based token indices covered
+    * ONLY by repeat spans (contract on
+    * [[NativeHashes.repeatSpanDrops]]).
+    */
+  def repeatSpanDrops(sh: ArrayData, w: Int): ArrayData = {
+    val m = sh.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val nTok = m + w - 1
+    val firstPos = new java.util.HashMap[Long, Int]()
+    val coverRep = new Array[Boolean](nTok)
+    var i = 0
+    while (i < m) {
+      val h = sh.getLong(i)
+      val fp = firstPos.getOrDefault(h, -1)
+      if (fp < 0) firstPos.put(h, i)
+      else if (i >= fp + w) {
+        var t = i
+        while (t < i + w) { coverRep(t) = true; t += 1 }
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var t = 0
+    while (t < nTok) {
+      if (coverRep(t)) out += t
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Sliding-window minimum over longs; window truncates at the end,
     * non-empty input yields at least one element. w is small (the
     * winnowing guarantee parameter), so the simple rescan beats a

@@ -2525,6 +2525,99 @@ object PipelineQueries {
       GROUP BY d.lang ORDER BY d.lang"""))
 
   // ---------------------------------------------------------------------
+  // X75: WITHIN-document repeated-span removal — rationale on
+  // [[graft.operators.Dedup.stripWithinDocRepeats]]. Fixture: docs
+  // 1–3 get looped twins (their first 12 tokens appended TWICE) under
+  // shifted ids — both appended copies must vanish while the original
+  // prefix stays; the corpus's natural intra-doc phrase repeats
+  // surface too. Rebuilt text pinned by char length + portable
+  // rolling hash (the q152 discipline); the oracle replays span
+  // positions, first-occurrence positions, the non-overlap repeat
+  // rule, coverage, and the in-order rebuild.
+  val q165StripWithinDocRepeats = QueryDef(
+    "q165_strip_within_doc_repeats",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val first12 = array_join(
+        slice(text.tokenize(col("text")), 1, 12), " ")
+      val looped = docs.filter(col("doc_id") <= 3)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", col("text"), first12, first12).as("text"))
+      Dedup.stripWithinDocRepeats(docs.unionByName(looped), "doc_id",
+          "text", window = 8)
+        .filter(col("removed_tokens") > 0)
+        .select(col("doc_id"), col("removed_tokens"),
+          length(col("text")).cast("long").as("clean_len"),
+          graft.plans.NativeHashes.rollingHash(col("text"), 1000000007L)
+            .as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000,
+               text || ' ' || array_to_string(list_slice(toks, 1, 12), ' ')
+                    || ' ' || array_to_string(list_slice(toks, 1, 12), ' ')
+        FROM base WHERE doc_id <= 3
+      ), t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM corpus
+      ), th AS (
+        SELECT doc_id, toks,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM t
+      ), sp AS (
+        SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 8)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 8)) AS pos
+              FROM th WHERE n >= 8)
+      ), firstp AS (
+        SELECT doc_id, sh, min(pos) AS fp FROM sp GROUP BY 1, 2
+      ), rep AS (
+        SELECT s.doc_id, s.pos
+        FROM sp s JOIN firstp f
+          ON s.doc_id = f.doc_id AND s.sh = f.sh
+        WHERE s.pos >= f.fp + 8
+      ), grid AS (
+        SELECT doc_id, u.i - 1 AS ti, toks[u.i] AS tok
+        FROM th, unnest(range(1, len(toks) + 1)) AS u(i)
+      ), dropped AS (
+        SELECT DISTINCT g.doc_id, g.ti
+        FROM grid g JOIN rep r ON g.doc_id = r.doc_id
+          AND g.ti BETWEEN r.pos AND r.pos + 7
+      ), rebuilt AS (
+        SELECT g.doc_id,
+               string_agg(g.tok, ' ' ORDER BY g.ti)
+                 FILTER (WHERE d.ti IS NULL) AS clean,
+               CAST(count(1) FILTER (WHERE d.ti IS NOT NULL) AS BIGINT)
+                 AS removed_tokens
+        FROM grid g LEFT JOIN dropped d
+          ON g.doc_id = d.doc_id AND g.ti = d.ti
+        GROUP BY g.doc_id
+      )
+      SELECT doc_id, removed_tokens,
+             CAST(length(clean) AS BIGINT) AS clean_len,
+             list_reduce(list_prepend(0::BIGINT,
+               [unicode(clean[i])::BIGINT
+                for i in range(1, length(clean) + 1)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS clean_fp
+      FROM rebuilt WHERE removed_tokens > 0 ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // X74: CCNet head/middle/tail perplexity bucketing (Wenzek et al.
   // 2020) — the corpus split CCNet feeds to training: score every doc
   // under the clean-reference LM (X50, trained on the `en` slice),
@@ -3003,7 +3096,7 @@ object PipelineQueries {
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
     q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
-    q164WinnowClusterDedup,
+    q164WinnowClusterDedup, q165StripWithinDocRepeats,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

@@ -486,6 +486,49 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
+  test("stripWithinDocRepeats: exact loop, periodic babble, spaced " +
+      "copy, clean and short docs; plan is shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w1 w2 w3 w4"),      // back-to-back copy
+      (2L, "a a a a a"),                     // periodic babble (w=2 run)
+      (3L, "w1 w2 w3 w4 zz w1 w2 w3 w4"),   // spaced copy
+      (4L, "p q r s t u v w"),               // clean
+      (5L, "x y"))                           // below window
+      .toDF("doc_id", "text")
+    val got = Dedup.stripWithinDocRepeats(docs, "doc_id", "text",
+        window = 4)
+      .select(col("doc_id"), col("text"), col("removed_tokens"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("w1 w2 w3 w4", 4L)))
+    // w=4 periodic: spans all hash-equal at pos 0..1 with first=0 —
+    // pos 1 overlaps (1 < 0+4) so nothing is a repeat at this window
+    assert(got(2L) == (("a a a a a", 0L)))
+    assert(got(3L) == (("w1 w2 w3 w4 zz", 4L)))
+    assert(got(4L) == (("p q r s t u v w", 0L)))
+    assert(got(5L) == (("x y", 0L)))
+    // periodic babble DOES compress at its own period
+    val p2 = Dedup.stripWithinDocRepeats(
+      Seq((9L, "a a a a a a")).toDF("doc_id", "text"), "doc_id", "text",
+      window = 2)
+      .select(col("text"), col("removed_tokens"))
+      .as[(String, Long)].head()
+    assert(p2 == (("a a", 4L)))
+    // idempotence on the loop fixture
+    val once = Dedup.stripWithinDocRepeats(docs, "doc_id", "text",
+      window = 4)
+    val twice = Dedup.stripWithinDocRepeats(
+      once.select(col("doc_id"), col("text")), "doc_id", "text",
+      window = 4)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toMap
+    assert(twice(1L) == "w1 w2 w3 w4" && twice(3L) == "w1 w2 w3 w4 zz")
+    // zero shuffle: the whole operator is a projection
+    val plan = once.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("slidingMin kernel == combinator (incl. empty, short, truncated " +
       "tail windows)") {
     import org.apache.spark.sql.functions.col
