@@ -205,6 +205,83 @@ object Lm {
     when(size(toks) < 1, lit(0L)).otherwise(first + rest)
   }
 
+  /** A trained naive-Bayes language classifier — the learned upgrade
+    * of the stopword-heuristic `text.langId` (X8): per-language
+    * unigram models with add-one smoothing, uniform class prior,
+    * argmax posterior. Classic NB text classification; at corpus
+    * scale it is exactly the X50 machinery once per class.
+    */
+  final case class NbLangModel(dict: String, langs: Seq[String],
+      floorsFp: Map[String, Long])
+
+  /** Train: ONE (lang, token)-keyed count shuffle for all classes,
+    * top-V tokens PER LANGUAGE (deterministic tie-break), fixed-point
+    * per-token log-probs in one dictionary keyed `"lang tok"`. The
+    * per-language OOV floors ride the returned model (5 constants,
+    * not a table). V bounds the dictionary replica, which is also the
+    * modeling choice — everything outside a language's top V shares
+    * its floor.
+    */
+  def trainNbLang(corpus: DataFrame, langCol: String, textCol: String,
+      dict: String, topV: Int): NbLangModel = {
+    val cnt = corpus
+      .select(col(langCol).as("__lang"),
+        explode(text.tokenize(col(textCol))).as("t"))
+      .groupBy(col("__lang"), col("t")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val totals = cnt.groupBy(col("__lang"))
+        .agg(sum(col("c")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val langs = totals.keys.toSeq.sorted
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__lang"))
+        .orderBy(col("c").desc, col("t").asc)
+      val denom = udfFreeDenom(totals, topV)
+      val table = cnt
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= topV)
+        .select(concat_ws(" ", col("__lang"), col("t")).as("lt"),
+          round(log((col("c") + 1).cast("double") /
+            denom(col("__lang"))) * 1e6d).cast("long").as("lpfp"))
+      graft.plans.Dictionaries.register(dict, table, "lt")
+      val floors = langs.map(l => l -> math.round(
+        math.log(1.0 / (totals(l) + topV + 1)) * 1e6)).toMap
+      NbLangModel(dict, langs, floors)
+    } finally cnt.unpersist()
+  }
+
+  /** (lang -> N) as a Column mapping for the smoothing denominator —
+    * a literal CASE chain (languages are a handful), never a UDF.
+    */
+  private def udfFreeDenom(totals: Map[String, Long], topV: Int)
+      : Column => Column = langCol =>
+    totals.foldLeft(lit(Double.NaN)) { case (acc, (l, n)) =>
+      when(langCol === l, lit((n + topV + 1).toDouble)).otherwise(acc)
+    }
+
+  /** Predicted language: per-class fixed-point score (dictionary
+    * probes + class floor — shuffle-free, the [[bigramScoreFp]]
+    * discipline), argmax as a strict-greater CASE chain over the
+    * model's sorted language list, so ties resolve to the FIRST
+    * language in sorted order on any engine.
+    */
+  def nbLangPredict(m: NbLangModel, textCol: Column): Column = {
+    val toks = text.tokenize(textCol)
+    def score(l: String): Column = aggregate(
+      transform(toks, t => coalesce(
+        probeField(m.dict, "lpfp", concat_ws(" ", lit(l), t)),
+        lit(m.floorsFp(l)))),
+      lit(0L), (acc, x) => acc + x)
+    m.langs.tail.foldLeft(
+      (lit(m.langs.head), score(m.langs.head))) {
+      case ((bestL, bestS), l) =>
+        val s = score(l)
+        (when(s > bestS, lit(l)).otherwise(bestL),
+          when(s > bestS, s).otherwise(bestS))
+    }._1
+  }
+
   /** Total log importance ratio `Σ_t [log p_target(t) − log p_raw(t)]`
     * between two trained models, as exact 1e-6 fixed-point units: each
     * per-token delta (the only transcendental exposure — two `ln`

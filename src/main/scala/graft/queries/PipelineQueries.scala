@@ -2525,6 +2525,71 @@ object PipelineQueries {
       GROUP BY d.lang ORDER BY d.lang"""))
 
   // ---------------------------------------------------------------------
+  // X76: trained naive-Bayes language ID — the learned upgrade of the
+  // X8 stopword heuristic: per-language unigram models (ONE
+  // (lang, token)-keyed count shuffle for all classes, top-V per
+  // language, add-one smoothing), fixed-point log-probs in one
+  // dictionary, argmax posterior as a strict-greater fold (ties →
+  // first language in sorted order, identically on any engine).
+  // Scoring stays a shuffle-free projection — 5 classes of X50
+  // probes. The entry emits the CONFUSION MATRIX against the
+  // dataset's own lang labels, so classifier quality is part of the
+  // compared surface; the oracle retrains all five models and
+  // replays scoring + argmax relationally.
+  val q166NbLangConfusion = QueryDef(
+    "q166_nb_lang_confusion",
+    (s, dir) => {
+      import graft.operators.Lm
+      val docs = Graft.table(s, dir, "documents")
+      val m = Lm.trainNbLang(docs, "lang", "text", "q166", topV = 32)
+      docs.select(col("lang"),
+          Lm.nbLangPredict(m, col("text")).as("guess"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+      ), cnt AS (
+        SELECT lang, t, CAST(count(1) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+      ), tot AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+      ), v AS (
+        SELECT lang, t, c FROM cnt
+        QUALIFY row_number() OVER (PARTITION BY lang
+          ORDER BY c DESC, t ASC) <= 32
+      ), lp AS (
+        SELECT v.lang, v.t,
+               CAST(round(ln((v.c + 1) / CAST(tot.n + 33 AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS lpfp
+        FROM v JOIN tot USING (lang)
+      ), fl AS (
+        SELECT lang,
+               CAST(round(ln(1.0 / (n + 33)) * 1000000.0) AS BIGINT)
+                 AS floorfp
+        FROM tot
+      ), sc AS (
+        SELECT k.doc_id, k.lang AS true_lang, fl.lang AS cand,
+               CAST(sum(coalesce(lp.lpfp, fl.floorfp)) AS BIGINT) AS s
+        FROM toks k
+        CROSS JOIN fl
+        LEFT JOIN lp ON lp.lang = fl.lang AND lp.t = k.t
+        GROUP BY 1, 2, 3
+      ), pred AS (
+        SELECT true_lang, cand,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY s DESC, cand ASC) AS rn
+        FROM sc
+      )
+      SELECT true_lang AS lang, cand AS guess,
+             CAST(count(1) AS BIGINT) AS n
+      FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------------
   // X75: WITHIN-document repeated-span removal — rationale on
   // [[graft.operators.Dedup.stripWithinDocRepeats]]. Fixture: docs
   // 1–3 get looped twins (their first 12 tokens appended TWICE) under
@@ -3097,6 +3162,7 @@ object PipelineQueries {
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
     q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
     q164WinnowClusterDedup, q165StripWithinDocRepeats,
+    q166NbLangConfusion,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,

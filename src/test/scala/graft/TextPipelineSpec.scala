@@ -244,6 +244,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("naive-Bayes langId: separable corpus classifies, OOV falls to " +
+      "floors, ties resolve to the first sorted language") {
+    import graft.operators.Lm
+    import spark.implicits._
+    val corpus = Seq(
+      ("aa", "x x y"), ("aa", "x y y"),
+      ("bb", "p p q"), ("bb", "p q q")).toDF("lang", "text")
+    val m = Lm.trainNbLang(corpus, "lang", "text", "nb_spec", topV = 4)
+    assert(m.langs == Seq("aa", "bb"))
+    // class aa: N=6, tokens x:3 y:3; class bb: N=6, p:3 q:3;
+    // floors: ln(1/(6+4+1))
+    def fp(x: Double): Long = math.round(x * 1e6)
+    assert(m.floorsFp("aa") == fp(math.log(1.0 / 11)))
+    val got = Seq("x x p", "p q x", "zz zz")
+      .toDF("text")
+      .select(Lm.nbLangPredict(m, col("text")).as(("g")))
+      .as[String].collect().toSeq
+    // "x x p": aa = 2·ln(4/11)+floor, bb = 2·floor+ln(4/11) → aa wins
+    // "p q x": bb two in-vocab vs aa one → bb
+    // "zz zz": all-OOV — floors are EQUAL (same N, V) → tie → "aa"
+    assert(got == Seq("aa", "bb", "aa"))
+  }
+
   test("importanceResample: hand-computed log-ratios, Gumbel keys, " +
       "and the TakeOrdered draw") {
     import graft.operators.Select
