@@ -2525,6 +2525,110 @@ object PipelineQueries {
       GROUP BY d.lang ORDER BY d.lang"""))
 
   // ---------------------------------------------------------------------
+  // X77: leakage-safe train/val/test splits — X58's seeded-hash
+  // assignment keyed on the NEAR-DUP CLUSTER representative instead of
+  // the document id, so near-duplicates can never straddle splits
+  // (the eval-leakage mode a plain per-doc split invites: a train doc
+  // whose near-twin sits in test). Clusters come from the winnow
+  // detector (X72 → X41 closure); singletons are their own rep, so
+  // the assignment stays a projection for the unclustered bulk of the
+  // corpus. Same-rep ⇒ same-split holds by construction (every split
+  // input is a pure function of rep); the oracle replays the winnow
+  // chain, the closure, the seeded portable hash, and the cumulative
+  // split bounds.
+  val q167LeakageSafeSplit = QueryDef(
+    "q167_leakage_safe_split",
+    (s, dir) => {
+      import graft.operators.Mix
+      val docs = Graft.table(s, dir, "documents")
+      val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        window = 8, guarantee = 4, minShared = 2, maxDocsPerPrint = 64)
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val withRep = docs
+        .join(labels, docs("doc_id") === labels("id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("rep"))
+      Mix.assignSplits(withRep, "rep",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          count_distinct(col("rep")).as("n_clusters"))
+        .orderBy(col("split"))
+    },
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM t
+      ), sp AS (
+        SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 8)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 8)) AS pos
+              FROM th WHERE n >= 8)
+      ), shs AS (
+        SELECT doc_id, list(sh ORDER BY pos) AS a
+        FROM sp GROUP BY doc_id
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(
+                 [list_aggregate(list_slice(a, i, i + 3), 'min')
+                  for i in range(1, greatest(len(a) - 3, 1) + 1)]) AS fps
+        FROM shs
+      ), pr0 AS (
+        SELECT doc_id, u.f AS f FROM wins, unnest(fps) AS u(f)
+      ), us AS (
+        SELECT f FROM pr0 GROUP BY f
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+      ), kept AS (
+        SELECT pr0.doc_id, pr0.f FROM pr0 JOIN us USING (f)
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(1) >= 2
+      ), nodes AS (
+        SELECT DISTINCT id FROM
+          (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      ), bi AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+      ), reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, b.v FROM reach r JOIN bi b ON b.u = r.dst
+      ), lab AS (
+        SELECT src AS id, min(dst) AS cid FROM reach GROUP BY src
+      ), reps AS (
+        SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS rep
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+      ), hashed AS (
+        SELECT doc_id, rep,
+               ((rep + 7) % 65536) * 2654435761 % 4294967296 AS hv
+        FROM reps
+      ), labsplit AS (
+        SELECT doc_id, rep,
+               CASE WHEN hv < 3435973837 THEN 'train'
+                    WHEN hv < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM hashed
+      )
+      SELECT split, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+      FROM labsplit GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
   // X76: trained naive-Bayes language ID — the learned upgrade of the
   // X8 stopword heuristic: per-language unigram models (ONE
   // (lang, token)-keyed count shuffle for all classes, top-V per
@@ -3162,7 +3266,7 @@ object PipelineQueries {
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
     q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
     q164WinnowClusterDedup, q165StripWithinDocRepeats,
-    q166NbLangConfusion,
+    q166NbLangConfusion, q167LeakageSafeSplit,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
