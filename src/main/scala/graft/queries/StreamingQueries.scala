@@ -814,6 +814,150 @@ object StreamingQueries {
       FROM gated GROUP BY lang ORDER BY lang"""))
 
   // ---------------------------------------------------------------------
+  // X75 + X67 composed IN-STREAM: the clean-intake shape a production
+  // pipeline runs — within-document repeat stripping (a stateless
+  // projection, so it drops into the micro-batch unchanged) followed
+  // by the bigram quality gate scoring the CLEANED text. Zero
+  // streaming state in either stage. The oracle replays the repeat
+  // coverage on token lists, rebuilds the cleaned token stream,
+  // retrains the bigram tables on the raw corpus, and re-scores the
+  // cleaned positions — both stages are the compared surface.
+  val q168StreamCleanIntake = QueryDef(
+    "q168_stream_clean_intake",
+    (s, dir) => {
+      import graft.operators.{Dedup, Lm}
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q168_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = Lm.trainBigram(docs, "text", "lm_q168", topV = 24,
+        topB = 48)
+      docs.repartition(3).write.parquet(s"$base/src")
+      val cleaned = Dedup.stripWithinDocRepeats(
+        s.readStream.schema(docs.schema).parquet(s"$base/src"),
+        "doc_id", "text", window = 8)
+      val nToks = greatest(
+        size(graft.functions.text.tokenize(col("text"))), lit(1))
+      val gated = cleaned
+        .withColumn("bi_fp", Lm.bigramScoreFp(m, col("text")))
+        .filter(col("bi_fp") >= lit(-5400000L) * nToks)
+      val q = gated.writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .option("path", s"$base/out")
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("removed_tokens")).cast("long").as("removed_sum"),
+          sum(col("bi_fp")).cast("long").as("fp_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM t
+      ), spn AS (
+        SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 8)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 8)) AS pos
+              FROM th WHERE n >= 8)
+      ), firstp AS (
+        SELECT doc_id, sh, min(pos) AS fp FROM spn GROUP BY 1, 2
+      ), rep AS (
+        SELECT s.doc_id, s.pos
+        FROM spn s JOIN firstp f
+          ON s.doc_id = f.doc_id AND s.sh = f.sh
+        WHERE s.pos >= f.fp + 8
+      ), dl AS (
+        SELECT g.doc_id, list(DISTINCT g.ti) AS dps
+        FROM (SELECT doc_id, u.i - 1 AS ti
+              FROM t, unnest(range(1, len(toks) + 1)) AS u(i)) g
+        JOIN rep r ON g.doc_id = r.doc_id
+          AND g.ti BETWEEN r.pos AND r.pos + 7
+        GROUP BY g.doc_id
+      ), cleaned AS (
+        SELECT t.doc_id, t.lang,
+               CASE WHEN dl.dps IS NULL THEN t.toks
+                 ELSE [t.toks[i] for i in range(1, len(t.toks) + 1)
+                       if NOT list_contains(dl.dps, i - 1)] END AS ctoks,
+               CAST(len(t.toks) AS BIGINT) AS n_raw
+        FROM t LEFT JOIN dl USING (doc_id)
+      ), uc AS (
+        SELECT u.t AS t, CAST(count(1) AS BIGINT) AS c
+        FROM t, unnest(toks) AS u(t) GROUP BY 1
+      ), nt AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM uc
+      ), vt AS (
+        SELECT t, CAST(round(ln((c + 1)
+                 / CAST((SELECT n FROM nt) + 24 + 1 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS lpfp
+        FROM uc
+        QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 24
+      ), pc AS (
+        SELECT u.p AS ab, CAST(count(1) AS BIGINT) AS cab
+        FROM t, unnest([toks[i] || ' ' || toks[i+1]
+                        for i in range(1, len(toks))]) AS u(p)
+        GROUP BY 1
+      ), vb AS (
+        SELECT q.ab,
+               CAST(round(ln(q.cab / CAST(uc.c AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS lcfp
+        FROM (SELECT ab, cab FROM pc
+              QUALIFY row_number() OVER (ORDER BY cab DESC,
+                split_part(ab, ' ', 1) ASC,
+                split_part(ab, ' ', 2) ASC) <= 48) q
+        JOIN uc ON uc.t = split_part(q.ab, ' ', 1)
+      ), pos AS (
+        SELECT doc_id, u.i AS i, ctoks[u.i] AS tok,
+               CASE WHEN u.i > 1
+                 THEN ctoks[u.i-1] || ' ' || ctoks[u.i] END AS ab
+        FROM cleaned, unnest(range(1, len(ctoks) + 1)) AS u(i)
+      ), scored AS (
+        SELECT pos.doc_id,
+               CAST(sum(CASE WHEN pos.i = 1 THEN
+                   coalesce(vt.lpfp,
+                     CAST(round(ln(1.0 / ((SELECT n FROM nt) + 25))
+                       * 1000000.0) AS BIGINT))
+                 ELSE coalesce(vb.lcfp,
+                   CAST(round(ln(0.4) * 1000000.0) AS BIGINT)
+                   + coalesce(vt.lpfp,
+                       CAST(round(ln(1.0 / ((SELECT n FROM nt) + 25))
+                         * 1000000.0) AS BIGINT)))
+                 END) AS BIGINT) AS bi_fp
+        FROM pos
+        LEFT JOIN vt ON pos.tok = vt.t
+        LEFT JOIN vb ON pos.ab = vb.ab
+        GROUP BY 1
+      ), gated AS (
+        SELECT c.doc_id, c.lang, s.bi_fp,
+               c.n_raw - CAST(len(c.ctoks) AS BIGINT) AS removed
+        FROM cleaned c JOIN scored s USING (doc_id)
+        WHERE s.bi_fp >= -5400000 * greatest(len(c.ctoks), 1)
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(removed) AS BIGINT) AS removed_sum,
+             CAST(sum(bi_fp) AS BIGINT) AS fp_sum
+      FROM gated GROUP BY lang ORDER BY lang"""))
+
+  // ---------------------------------------------------------------------
   // Chunking runs IN-STREAM: the overlapping-window chunker (X54) is a
   // stateless projection + Generate, so it drops into a micro-batch
   // pipeline with no state store and batch-boundary-independent output
@@ -880,5 +1024,5 @@ object StreamingQueries {
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
       q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake,
       q114BlueGreenMvSwap, q117StreamLmGate, q128StreamChunks,
-      q158StreamBigramGate)
+      q158StreamBigramGate, q168StreamCleanIntake)
 }
