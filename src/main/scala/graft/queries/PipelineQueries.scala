@@ -2629,6 +2629,129 @@ object PipelineQueries {
       FROM labsplit GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------------
+  // X77's AUDIT: exact-fingerprint leakage across train/test for BOTH
+  // split modes — naive per-doc hashing vs the cluster-aware
+  // assignment — reported as data, so the benefit of X77 is itself an
+  // oracle-compared number (exact-duplicate twins straddle naive
+  // splits; the cluster split co-locates every detected pair). Pairs
+  // count (train doc, test doc) with equal content fingerprint.
+  val q169SplitLeakageAudit = QueryDef(
+    "q169_split_leakage_audit",
+    (s, dir) => {
+      import graft.operators.Mix
+      val docs = Graft.table(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        text.fingerprint(col("text")).as("fp"))
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      def leaks(assigned: org.apache.spark.sql.DataFrame): Long = {
+        val tr = assigned.filter(col("split") === "train")
+          .select(col("fp"))
+        val te = assigned.filter(col("split") === "test")
+          .select(col("fp").as("fp2"))
+        tr.join(te, tr("fp") === te("fp2")).count()
+      }
+      val naive = leaks(Mix.assignSplits(base, "doc_id", splits, 7L))
+      val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        window = 8, guarantee = 4, minShared = 2, maxDocsPerPrint = 64)
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val withRep = base
+        .join(labels, base("doc_id") === labels("id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("fp"), col("rep"))
+      val clustered = leaks(Mix.assignSplits(withRep, "rep", splits, 7L))
+      import s.implicits._
+      Seq(("cluster", clustered), ("naive", naive))
+        .toDF("mode", "n_leaky_pairs")
+        .orderBy(col("mode"))
+    },
+    Some("""
+      WITH RECURSIVE fp AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+               list_reduce(list_prepend(0::BIGINT,
+                 [unicode((regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))[i])::BIGINT
+                  for i in range(1, length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) + 1)]),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS f
+        FROM documents
+      ), th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                  [unicode(tk[i])::BIGINT
+                   for i in range(1, length(tk) + 1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
+                for tk in toks] AS h,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM fp
+      ), sp AS (
+        SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+                 list_slice(h, pos + 1, pos + 8)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 8)) AS pos
+              FROM th WHERE n >= 8)
+      ), shs AS (
+        SELECT doc_id, list(sh ORDER BY pos) AS a
+        FROM sp GROUP BY doc_id
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(
+                 [list_aggregate(list_slice(a, i, i + 3), 'min')
+                  for i in range(1, greatest(len(a) - 3, 1) + 1)]) AS fps
+        FROM shs
+      ), pr0 AS (
+        SELECT doc_id, u.f AS f FROM wins, unnest(fps) AS u(f)
+      ), us AS (
+        SELECT f FROM pr0 GROUP BY f
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+      ), kept AS (
+        SELECT pr0.doc_id, pr0.f FROM pr0 JOIN us USING (f)
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(1) >= 2
+      ), nodes AS (
+        SELECT DISTINCT id FROM
+          (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      ), bi AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+      ), reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, b.v FROM reach r JOIN bi b ON b.u = r.dst
+      ), lab AS (
+        SELECT src AS id, min(dst) AS cid FROM reach GROUP BY src
+      ), assign AS (
+        SELECT f.doc_id, f.f,
+               coalesce(l.cid, f.doc_id) AS rep
+        FROM fp f LEFT JOIN lab l ON f.doc_id = l.id
+      ), modes AS (
+        SELECT 'naive' AS mode, doc_id, f,
+               ((doc_id + 7) % 65536) * 2654435761 % 4294967296 AS hv
+        FROM assign
+        UNION ALL
+        SELECT 'cluster' AS mode, doc_id, f,
+               ((rep + 7) % 65536) * 2654435761 % 4294967296 AS hv
+        FROM assign
+      ), labsplit AS (
+        SELECT mode, doc_id, f,
+               CASE WHEN hv < 3435973837 THEN 'train'
+                    WHEN hv < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM modes
+      )
+      SELECT m.mode,
+             CAST(count(p.b) AS BIGINT) AS n_leaky_pairs
+      FROM (SELECT DISTINCT mode FROM labsplit) m
+      LEFT JOIN (
+        SELECT tr.mode, tr.doc_id, te.doc_id AS b
+        FROM labsplit tr JOIN labsplit te
+          ON tr.mode = te.mode AND tr.f = te.f
+         AND tr.split = 'train' AND te.split = 'test'
+      ) p ON p.mode = m.mode
+      GROUP BY m.mode ORDER BY m.mode"""))
+
+  // ---------------------------------------------------------------------
   // X76: trained naive-Bayes language ID — the learned upgrade of the
   // X8 stopword heuristic: per-language unigram models (ONE
   // (lang, token)-keyed count shuffle for all classes, top-V per
@@ -3266,7 +3389,7 @@ object PipelineQueries {
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
     q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
     q164WinnowClusterDedup, q165StripWithinDocRepeats,
-    q166NbLangConfusion, q167LeakageSafeSplit,
+    q166NbLangConfusion, q167LeakageSafeSplit, q169SplitLeakageAudit,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
