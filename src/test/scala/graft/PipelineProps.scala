@@ -178,6 +178,43 @@ object PipelineProps extends Properties("pipeline") {
       shared.nonEmpty :| s"w=$w g=$g pre=$pre post=$post fps=$fps"
     }
 
+  // X75 conservation on ANY corpus (a 3-symbol alphabet makes natural
+  // repeats everywhere): |original| = |clean| + removed. Idempotence
+  // is NOT general — removal can create a new adjacency that repeats
+  // an earlier span (e.g. "r x q q q q r x" at w=2 needs two passes)
+  // — so it is asserted only for the loop-at-the-end construction
+  // with a repeat-free body, where one pass provably settles.
+  property("stripWithinDocRepeats: token conservation; loop idempotence") =
+    Prop.forAll(
+      Gen.chooseNum(2, 4),
+      Gen.listOf(Gen.oneOf("ka", "kb", "kc")).map(_.take(16)),
+      Gen.chooseNum(0, 8)
+    ) { (w, noisy, nBody) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      def strip(s2: String) = graft.operators.Dedup
+        .stripWithinDocRepeats(Seq((1L, s2)).toDF("doc_id", "text"),
+          "doc_id", "text", window = w)
+        .select($"text", $"removed_tokens").as[(String, Long)].head()
+      // leg 1: conservation on the repeat-heavy random corpus
+      val anyText = (noisy ++ (0 until w).map(i => s"u$i")
+        ++ (0 until w).map(i => s"u$i")).mkString(" ")
+      val a = strip(anyText)
+      val conserved =
+        anyText.split("\\s+").count(_.nonEmpty) ==
+          a._1.split("\\s+").count(_.nonEmpty) + a._2
+      // leg 2: distinct body + trailing double loop → one pass settles
+      val cleanBody = (0 until nBody).map(i => s"b$i")
+      val loopText = (cleanBody ++ (0 until w).map(i => s"u$i")
+        ++ (0 until w).map(i => s"u$i")).mkString(" ")
+      val once = strip(loopText)
+      val twice = strip(once._1)
+      val idem = twice == ((once._1, 0L))
+      (conserved && idem) :|
+        s"w=$w any='$anyText' a=$a once=$once twice=$twice"
+    }
+
   property("ngramDistance/Search equal the multiset reference") =
     Prop.forAll(Gen.alphaLowerStr.map(_.take(12)),
       Gen.alphaLowerStr.map(_.take(12))) { (x, y) =>
