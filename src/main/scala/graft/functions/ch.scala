@@ -260,10 +260,19 @@ object ch {
     * `topKFreq` operator, whose rank never funnels a key's full
     * distinct set into one task.
     */
-  def topK(k: Column, x: Column, elemType: String = "string"): Column = {
+  def topK(k: Column, x: Column, elemType: String = "string"): Column =
+    topKOfArray(k, collect_list(x), elemType)
+
+  /** [[topK]] over an already-materialized value array — the `-Merge`
+    * side of the MV state fold reuses the exact same count fold and
+    * (-count, value) sort, so a folded rollup and a direct aggregate
+    * agree to the byte.
+    */
+  def topKOfArray(k: Column, values: Column,
+      elemType: String = "string"): Column = {
     val emptyMap = map_from_arrays(
       array().cast(s"array<$elemType>"), array().cast("array<long>"))
-    val counted = aggregate(collect_list(x), emptyMap, (acc, v) =>
+    val counted = aggregate(values, emptyMap, (acc, v) =>
       map_zip_with(acc, map(v, lit(1L)),
         (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
     val entries = transform(map_keys(counted), key =>

@@ -966,6 +966,22 @@ object ChDialect {
     // arrays and computes the same interpolated quantile the engine's
     // quantileExact(L)(x) → percentile mapping produces, so the MV
     // fold and a direct aggregate of the raw table agree exactly.
+    // topKState: like quantileExactState, the exact state IS the
+    // (sorted, merge-order-proof) value list; topKMerge(k)(st)
+    // re-counts the concatenated lists with the SAME fold + sort the
+    // engine's topK uses, so the MV rollup and a direct aggregate
+    // agree exactly. Small-cardinality contract as documented on
+    // ch.topK.
+    "topKState" -> (args =>
+      ex(sort_array(collect_list(col(args.head))))),
+    "topKMerge" -> (args => {
+      val elem = args(1).dataType match {
+        case org.apache.spark.sql.types.ArrayType(e, _) => e.catalogString
+        case other => other.catalogString
+      }
+      ex(ch.topKOfArray(col(args.head),
+        flatten(collect_list(col(args(1)))), elem))
+    }),
     "quantileExactState" -> (args =>
       ex(sort_array(collect_list(col(args.head))))),
     "quantileExactMerge" -> (args => {

@@ -157,6 +157,8 @@ object ChMatView {
         case "avg" => struct(sum(arg).cast("double").as("s"),
           count(arg).as("c"))
         case "quantileexact" => sort_array(collect_list(arg))
+        // topK's exact state is the same sorted value list
+        case "topk" => sort_array(collect_list(arg))
         case "argmin" =>
           min_by(arg, struct(arg.getField("o"), arg.getField("v")))
         case "argmax" =>
@@ -184,6 +186,7 @@ object ChMatView {
             case "avg" => struct(sum(c.getField("s")).as("s"),
               sum(c.getField("c")).as("c"))
             case "quantileexact" => sort_array(flatten(collect_list(c)))
+            case "topk" => sort_array(flatten(collect_list(c)))
             case "argmin" =>
               min_by(c, struct(c.getField("o"), c.getField("v")))
             case "argmax" =>
@@ -204,7 +207,7 @@ object ChMatView {
 
   private val stringLit = """'(?:[^']|'')*'""".r
   private val stateRe =
-    ("""(?is)^(quantileExact|argMin|argMax|uniq|sum|min|max|count|avg)""" +
+    ("""(?is)^(quantileExact|topK|argMin|argMax|uniq|sum|min|max|count|avg)""" +
       """State\s*\((.*)\)""" +
       """(?:\s+AS\s+`?(\w+)`?)?$""").r
   private val aliasedRe = """(?is)^(.*\S)\s+AS\s+`?(\w+)`?$""".r

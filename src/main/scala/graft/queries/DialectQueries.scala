@@ -1265,6 +1265,70 @@ object DialectQueries {
   // oracle recomputes exact uniques and pins the 5% band to 1
   // (sketch registers are order-independent, so the insert split
   // changes nothing).
+  // ---------------------------------------------------------------------
+  // topKState/-Merge in the MV workflow: the exact top-frequent-values
+  // state beside q100's count/sum/uniq — state = the sorted value
+  // list (merge-order-proof), Merge = the SAME count fold + ( -count,
+  // value) sort the engine's topK uses, so folding day-batch states
+  // to a weekly grain equals the direct aggregate EXACTLY (no band
+  // needed). The oracle computes per-week top-3 by (count desc, value
+  // asc) straight from the raw rows.
+  val q170ChTopKMv = QueryDef(
+    "q170_ch_topk_mv",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_mv_q170_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events")
+          .createOrReplaceTempView("events_src_v")
+        s.sql("""
+          CREATE TABLE ev_topk_src (`uid` UInt64, `event_type` String,
+            `d` Date)
+          ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)""")
+        s.sql("""
+          CREATE MATERIALIZED VIEW ev_topk_mv
+          ENGINE = AggregatingMergeTree
+          AS SELECT d, event_type,
+                    topKState(toString(uid % 17)) AS tk
+          FROM ev_topk_src GROUP BY d, event_type""")
+        Seq(("2024-01-01", "2024-01-07"), ("2024-01-08", "2024-01-14"))
+          .foreach { case (a, z) =>
+            s.sql(s"""
+              INSERT INTO ev_topk_src
+              SELECT user_id AS uid, event_type, CAST(ts AS DATE) AS d
+              FROM events_src_v
+              WHERE CAST(ts AS DATE) BETWEEN cast('$a' as date)
+                                         AND cast('$z' as date)""")
+          }
+        s.sql("""
+          SELECT toMonday(d) AS wk, event_type,
+                 arrayStringConcat(topKMerge(3)(tk), ',') AS top_buckets
+          FROM ev_topk_mv GROUP BY wk, event_type
+          ORDER BY wk, event_type""")
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+               event_type, CAST(user_id % 17 AS VARCHAR) AS b,
+               CAST(count(1) AS BIGINT) AS n
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+                                   AND DATE '2024-01-14'
+        GROUP BY 1, 2, 3
+      ), rk AS (
+        SELECT wk, event_type, b,
+               row_number() OVER (PARTITION BY wk, event_type
+                 ORDER BY n DESC, b ASC) AS r
+        FROM c
+      )
+      SELECT wk, event_type,
+             string_agg(b, ',' ORDER BY r) AS top_buckets
+      FROM rk WHERE r <= 3
+      GROUP BY wk, event_type ORDER BY wk, event_type"""))
+
   val q100ChMvWorkflow = QueryDef(
     "q100_ch_mv_workflow",
     (s, dir) => {
@@ -2081,7 +2145,7 @@ object DialectQueries {
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
-      q146ChFillInterpolate,
+      q146ChFillInterpolate, q170ChTopKMv,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,
