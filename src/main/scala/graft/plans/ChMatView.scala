@@ -29,6 +29,8 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * MERGES BY SUM), `argMinState(v, o)` / `argMaxState(v, o)` (state =
   * the (v, o) pair at the extreme o, ties broken on (o, v) so the
   * fold is deterministic — CH leaves ties unspecified), and
+  * `topKState(x)` (state = the sorted value list; Merge re-counts
+  * with the exact `ch.topK` fold — small-cardinality contract), and
   * `quantileExactState(x)` (state = the SORTED VALUE ARRAY, exactly
   * CH's quantileExact state ⚠ O(rows-per-group), the documented CH
   * trade — for bounded state use the uniq sketch family's approach;

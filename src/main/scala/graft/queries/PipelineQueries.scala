@@ -1486,6 +1486,62 @@ object PipelineQueries {
       FROM q GROUP BY source ORDER BY source"""))
 
   // ---------------------------------------------------------------------
+  // X81: tokenizer fertility per language — THE tokenizer-evaluation
+  // metric (mean subword tokens per word; multilingual tokenizer
+  // papers report exactly this): encode through the X69 path with the
+  // fixed merge list, then one lang-keyed rollup in exact fixed
+  // point. A fertility of 1.0 means every word merged to one token;
+  // the per-language spread shows which languages the merge list
+  // under-serves.
+  val q171BpeFertility = QueryDef(
+    "q171_bpe_fertility",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val docs = Graft.table(s, dir, "documents")
+      val words = Bpe.wordTable(docs, "text")
+      val trained = q156Merges.foldLeft(words) { case (w, (a, b)) =>
+        w.withColumn("symbols", Bpe.mergeSymbols(col("symbols"), a, b))
+      }
+      val enc = Bpe.encodeCorpus(docs, "doc_id", "text", trained)
+      val nWords = size(text.tokenize(col("text")))
+      docs.select(col("doc_id"), col("lang"), nWords.as("__nw"))
+        .join(enc.select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nw")).cast("long").as("words"),
+          sum(col("n_bpe_tokens")).cast("long").as("bpe_tokens"),
+          round(sum(col("n_bpe_tokens")).cast("double")
+            / sum(col("__nw")), 4).as("fertility"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ), dw AS (
+        SELECT doc_id, toks[u.i] AS word
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        WHERE length(toks[u.i]) > 0
+      ), seg AS (
+        SELECT word, $q156SegSql AS syms
+        FROM (SELECT DISTINCT word FROM dw)
+      ), enc AS (
+        SELECT dw.doc_id,
+               CAST(sum(len(seg.syms)) AS BIGINT) AS n_bpe
+        FROM dw JOIN seg USING (word)
+        GROUP BY dw.doc_id
+      )
+      SELECT t.lang, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(len(t.toks)) AS BIGINT) AS words,
+             CAST(sum(enc.n_bpe) AS BIGINT) AS bpe_tokens,
+             round(CAST(sum(enc.n_bpe) AS DOUBLE) / sum(len(t.toks)), 4)
+               AS fertility
+      FROM t JOIN enc USING (doc_id)
+      GROUP BY t.lang ORDER BY t.lang"""))
+
+  // ---------------------------------------------------------------------
   // Vocabulary building: the corpus-global token frequency table
   // (min-frequency floor, deterministic top-k) that seeds tokenizer
   // training. One shuffle keyed by token — partial aggregation does the
@@ -3390,6 +3446,7 @@ object PipelineQueries {
     q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
     q164WinnowClusterDedup, q165StripWithinDocRepeats,
     q166NbLangConfusion, q167LeakageSafeSplit, q169SplitLeakageAudit,
+    q171BpeFertility,
     q138EnsembleDedup, q136IncSemanticDedup, q140SemanticDedupScaled,
     q21ExactDedup, q22MinhashNeardup, q23SimhashNeardup, q24TextMetrics,
     q75DedupClusters,
