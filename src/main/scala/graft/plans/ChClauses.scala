@@ -56,7 +56,8 @@ case class ChWithFill(axis: String, from: Literal, to: Literal,
   * Deterministic and NESTED like CH: SAMPLE 0.1 ⊂ SAMPLE 0.3 (both
   * are prefixes of the same hash order).
   */
-case class ChSample(fraction: Double, child: LogicalPlan) extends UnaryNode {
+case class ChSample(fraction: Double, child: LogicalPlan,
+    offset: Double = 0.0) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): ChSample =
     copy(child = newChild)
@@ -143,8 +144,8 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rewriteLimitBy(n, off, keys, child)
       case ChWithFill(ax, from, to, step, interp, child) if child.resolved =>
         rewriteFill(ax, from, to, step, interp, child)
-      case ChSample(f, child) if child.resolved =>
-        pushSample(f, child)
+      case ChSample(f, child, o) if child.resolved =>
+        pushSample(f, o, child)
       case ChFinal(tables, child) if child.resolved =>
         applyFinal(tables, child)
       case ChAsofJoin(child) if child.resolved =>
@@ -459,8 +460,12 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * replicable in any SQL engine, used by the correctness harness);
     * the default is xxhash64, the cheap production path.
     */
-  private def pushSample(f: Double, child: LogicalPlan): LogicalPlan = {
+  private def pushSample(f: Double, o: Double,
+      child: LogicalPlan): LogicalPlan = {
     require(f > 0 && f < 1, s"SAMPLE fraction must be in (0, 1), got $f")
+    require(o >= 0 && o + f <= 1,
+      s"SAMPLE OFFSET must satisfy 0 <= offset and offset+fraction <= 1," +
+        s" got offset=$o fraction=$f")
     val flag = "graft.sampleKey"
     var applied = false
     // the LOWEST node exposing the stamped key takes the filter (a
@@ -471,7 +476,7 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case rel if !applied && rel.output.exists(_.metadata.contains(flag)) =>
         applied = true
         val key = rel.output.find(_.metadata.contains(flag)).get
-        Filter(sampleCond(key, f), rel)
+        Filter(sampleCond(key, f, o), rel)
     }
     require(applied,
       "SAMPLE: no table in scope declares a sample key " +
@@ -481,15 +486,24 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // built as RESOLVED catalyst expressions (not bridged Columns, which
   // stay unresolved until an analyzer pass — but the enclosing View's
-  // invariant checks child.resolved the moment the tree is copied)
-  private def sampleCond(key: Attribute, f: Double): Expression =
+  // invariant checks child.resolved the moment the tree is copied).
+  // OFFSET shifts the kept hash window to [o, o+f) of the space —
+  // disjoint offsets give DISJOINT samples over the same key (CH's
+  // parallel-workers contract), and offset 0 keeps the plain-SAMPLE
+  // nesting property (the o=0 lower bound folds away).
+  private def sampleCond(key: Attribute, f: Double, o: Double): Expression = {
+    def window(h: Expression, space: Long): Expression = {
+      val hi = LessThan(h, Literal(((o + f) * space).toLong))
+      if (o == 0.0) hi
+      else And(GreaterThanOrEqual(h, Literal((o * space).toLong)), hi)
+    }
     if (key.metadata.contains("graft.samplePortable")) {
       val h = Pmod(Multiply(Pmod(Cast(key, LongType), Literal(65536L)),
         Literal(2654435761L)), Literal(4294967296L))
-      LessThan(h, Literal((f * 4294967296L).toLong))
+      window(h, 4294967296L)
     } else
-      LessThan(Pmod(new XxHash64(Seq(key)), Literal(1L << 24)),
-        Literal((f * (1L << 24)).toLong))
+      window(Pmod(new XxHash64(Seq(key)), Literal(1L << 24)), 1L << 24)
+  }
 
   /** CH applies LIMIT BY after ORDER BY: when the marker sits on a
     * Sort, the rank window reuses the sort order (computed on the

@@ -336,10 +336,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     case other => mk(other)
   }
 
-  // CH `FROM t SAMPLE 0.1` — decimal-fraction form only (the SAMPLE n
-  // approximate-row-count form needs table statistics CH has and a
-  // plain scan does not)
-  private val sampleRe = """(?i)\bSAMPLE\s+([0-9]*\.[0-9]+)""".r
+  // CH `FROM t SAMPLE 0.1 [OFFSET 0.5]` — decimal-fraction form only
+  // (the SAMPLE n approximate-row-count form needs table statistics
+  // CH has and a plain scan does not). OFFSET shifts the hash window:
+  // disjoint samples for parallel workers, CH's documented use.
+  private val sampleRe =
+    ("""(?i)\bSAMPLE\s+([0-9]*\.[0-9]+)""" +
+      """(?:\s+OFFSET\s+([0-9]*\.[0-9]+))?""").r
 
   // ---------------------------------------------------------------------
   // CH `[LEFT] ARRAY JOIN items` (ddl/visits.sql:40-227 — 164 array
@@ -541,8 +544,9 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     sampleRe.findFirstMatchIn(masked) match {
       case Some(m) if depth0At(masked, m.start) =>
         val f = m.group(1).toDouble
+        val o = Option(m.group(2)).map(_.toDouble).getOrElse(0.0)
         val reduced = masked.substring(0, m.start) + masked.substring(m.end)
-        (reduced, Some(p => ChSample(f, p)))
+        (reduced, Some(p => ChSample(f, p, o)))
       case _ => (masked, None)
     }
 

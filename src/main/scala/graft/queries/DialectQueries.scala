@@ -579,6 +579,44 @@ object DialectQueries {
       GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------------
+  // CH `SAMPLE f OFFSET o` — the parallel-workers form: the kept hash
+  // window shifts to [o, o+f), so workers at disjoint offsets read
+  // DISJOINT deterministic subsets (property-tested in ParserProps).
+  // Verbatim SQL over the q79 sample-key binding; the oracle replays
+  // the shifted portable-hash window.
+  val q172ChSampleOffset = QueryDef(
+    "q172_ch_sample_offset",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val keyMd = new MetadataBuilder()
+        .putBoolean("graft.sampleKey", true)
+        .putBoolean("graft.samplePortable", true).build()
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType), // raw int64; unused here
+        StructField("user_id", LongType, nullable = true, keyMd),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      graft.sources.Catalog.register(s, graft.sources.Binding(
+        "events_sampled_o", s"$dir/events.parquet", schema = Some(schema)))
+      s.sql("""
+        SELECT event_type, toInt64(count(1)) AS n,
+               uniqExact(user_id) AS users,
+               round(sum(value), 2) AS value_sum
+        FROM events_sampled_o SAMPLE 0.3 OFFSET 0.5
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             round(sum(value), 2) AS value_sum
+      FROM events
+      WHERE (user_id % 65536) * 2654435761 % 4294967296 >= 2147483648
+        AND (user_id % 65536) * 2654435761 % 4294967296 < 3435973836
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
   // CH JSON extraction (JSONExtractInt/Float/String, JSONHas, and the
   // legacy Metrica visitParam* spellings) over the events `props` JSON
   // column — the params-column access pattern of the visits table.
@@ -2145,7 +2183,7 @@ object DialectQueries {
   val defs: Seq[QueryDef] =
     Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
-      q146ChFillInterpolate, q170ChTopKMv,
+      q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,
       q53ChUniqBand, q55ChAggVocabulary, q56ChArrayJoin,
       q60ChQuantilePrewhere, q67ChLimitBySql, q68ChWithFillSql,

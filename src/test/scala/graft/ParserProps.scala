@@ -170,4 +170,26 @@ object ParserProps extends Properties("parser") {
       (small == ids(fa / 100.0)) :| "deterministic" &&
         small.subsetOf(big) :| s"${fa}% not nested in ${fb}%"
     }
+
+  // SAMPLE f OFFSET o: windows at consecutive offsets are DISJOINT and
+  // together equal the doubled window — CH's parallel-workers contract.
+  property("SAMPLE OFFSET windows are disjoint and partition the space") =
+    Prop.forAll(Gen.choose(5, 45)) { fi =>
+      val spark = SparkSpec.spark
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.MetadataBuilder
+      val md = new MetadataBuilder()
+        .putBoolean("graft.sampleKey", true).build()
+      spark.range(0, 500).select(col("id").as("k", md))
+        .createOrReplaceTempView("props_sample_o_t")
+      val f = fi / 100.0
+      def ids(sql: String) = spark.sql(
+        s"SELECT k FROM props_sample_o_t $sql")
+        .collect().map(_.getLong(0)).toSet
+      val a = ids(s"SAMPLE $f")
+      val b = ids(s"SAMPLE $f OFFSET $f")
+      val both = ids(s"SAMPLE ${2 * f}")
+      (a.intersect(b).isEmpty :| s"overlap f=$f") &&
+        ((a ++ b) == both) :| s"union != doubled window f=$f"
+    }
 }
