@@ -500,6 +500,77 @@ object CoreQueries {
   // The oracle runs the same match as a plain inequality join (fine at
   // oracle scale) — both engines must agree on every (event, interval)
   // pair.
+  // ---------------------------------------------------------------------
+  // Per-entity time-grid RESAMPLE with carry-forward: each user's
+  // activity downsampled to a fixed 6h grid between their first and
+  // last active bucket, gaps filled from the last observation — the
+  // standard time-series densification (CH users build it with
+  // WITH FILL per entity or an ASOF self-join; the grid-join form is
+  // the distributed shape: per-entity sequence → explode → left join
+  // → partitioned carry-forward window; everything shuffles on the
+  // entity key, nothing global). Carried values are 1e-2 fixed-point
+  // longs (sums of 2-decimal inputs are integers-in-disguise, so the
+  // snap is exact on any engine).
+  val q173ResampleCarry = QueryDef(
+    "q173_resample_carry",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val step = 6L * 3600 * 1000000 // 6h in µs
+      val e = Graft.events(s, dir, "2024-01-01", "2024-01-15")
+        .filter(col("user_id") < 50)
+      val v = e.groupBy(col("user_id"),
+          (floor(unix_micros(col("ts")) / step) * step).cast("long")
+            .as("bucket"))
+        .agg(round(sum(col("value")) * 100).cast("long").as("v_fp"),
+          count(lit(1)).as("n"))
+      val bounds = v.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(v, Seq("user_id", "bucket"), "left")
+        .withColumn("carried",
+          last(col("v_fp"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("n").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_filled"),
+          sum(col("carried")).cast("long").as("carry_sum_fp"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+          AND user_id < 50
+      ), v AS (
+        SELECT user_id,
+               (t // 21600000000) * 21600000000 AS bucket,
+               CAST(round(sum(value) * 100) AS BIGINT) AS v_fp,
+               count(1) AS n
+        FROM e GROUP BY 1, 2
+      ), b AS (
+        SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        FROM v GROUP BY 1
+      ), grid AS (
+        SELECT user_id, u.bucket
+        FROM b, unnest(generate_series(lo, hi, 21600000000)) AS u(bucket)
+      ), j AS (
+        SELECT g.user_id, g.bucket, v.v_fp, v.n,
+               last_value(v.v_fp IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS carried
+        FROM grid g LEFT JOIN v
+          ON g.user_id = v.user_id AND g.bucket = v.bucket
+      )
+      SELECT user_id, CAST(count(1) AS BIGINT) AS n_buckets,
+             CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_filled,
+             CAST(sum(carried) AS BIGINT) AS carry_sum_fp
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   val q63RangeJoin = QueryDef(
     "q63_range_join_binned",
     (s, dir) => {
@@ -756,6 +827,7 @@ object CoreQueries {
     q05UnionTagged, q06Scd2Join, q07StarJoinAgg, q08LatestVersion,
     q09ProjAlias, q10Filters, q11DistinctUsers, q12SampleHash,
     q20RatioAlias, q36AliasWhere, q39SaltedJoin, q61AsofJoin, q62LimitBy,
-    q63RangeJoin, q64WithFill, q66WithFillNumeric, q69TopKFreq,
+    q63RangeJoin, q173ResampleCarry, q64WithFill, q66WithFillNumeric,
+    q69TopKFreq,
     q70AnyLeftJoin, q76HllSketchRollup, q77Retention)
 }
