@@ -1648,7 +1648,9 @@ object DialectQueries {
   // occurrence index — the funnel "first time this page" idiom). The
   // oracle decodes by replaying the bounded code set with replaces,
   // constructs cutWWW's expected text directly, and rebuilds the
-  // occurrence index with prefix-slice counts.
+  // occurrence index with prefix-slice counts. The occurrence-index
+  // array is CSV-serialized on both sides (the q75 members pattern):
+  // the driver comparator hashes scalar cells only.
   val q127ChUrlDecode = QueryDef(
     "q127_ch_url_decode_enum",
     (s, dir) => {
@@ -1665,10 +1667,10 @@ object DialectQueries {
                  ELSE concat('http://u@www.site',
                    CAST(doc_id % 5 AS STRING), '.org/q?a=1')
                  END) AS nw,
-               arrayEnumerateUniq(array(
+               concat_ws(',', CAST(arrayEnumerateUniq(array(
                  CAST(doc_id % 2 AS STRING), CAST(doc_id % 3 AS STRING),
                  CAST(doc_id % 2 AS STRING), 'k',
-                 CAST(doc_id % 3 AS STRING))) AS enu
+                 CAST(doc_id % 3 AS STRING))) AS ARRAY<STRING>)) AS enu
         FROM docs_v127 ORDER BY doc_id LIMIT 200""")
     },
     Some("""
@@ -1690,8 +1692,10 @@ object DialectQueries {
                ELSE concat('http://u@site', CAST(doc_id % 5 AS VARCHAR),
                  '.org/q?a=1')
                END AS nw,
-             [CAST(len(list_filter(arr[1:i], y -> y = arr[i])) AS BIGINT)
-              for i in range(1, len(arr) + 1)] AS enu
+             array_to_string(
+               [CAST(len(list_filter(arr[1:i], y -> y = arr[i]))
+                     AS BIGINT)
+                for i in range(1, len(arr) + 1)], ',') AS enu
       FROM a ORDER BY doc_id LIMIT 200"""))
 
   // Weighted parameterized aggregates: quantileExactWeighted(L)(x, w)
@@ -1699,6 +1703,8 @@ object DialectQueries {
   // weight-summed top-k fold. The oracle replays the quantile by
   // REPEATING each row w times (the definition of a frequency
   // percentile) and the top-k with an explicit weight-sum ranking.
+  // The top-k list is CSV-serialized on both sides (the q75 members
+  // pattern): the driver comparator hashes scalar cells only.
   val q129ChWeightedAggs = QueryDef(
     "q129_ch_weighted_aggs",
     (s, dir) => {
@@ -1707,8 +1713,8 @@ object DialectQueries {
         SELECT event_type,
                round(quantileExactWeighted(0.5)(
                  value, CAST(user_id % 5 + 1 AS BIGINT)), 4) AS p50w,
-               topKWeighted(3)(CAST(user_id % 7 AS STRING),
-                 CAST(user_id % 3 + 1 AS BIGINT)) AS topw,
+               concat_ws(',', topKWeighted(3)(CAST(user_id % 7 AS STRING),
+                 CAST(user_id % 3 + 1 AS BIGINT))) AS topw,
                toInt64(count(1)) AS n
         FROM events_v129
         GROUP BY event_type ORDER BY event_type""")
@@ -1736,7 +1742,7 @@ object DialectQueries {
                                   ORDER BY tw DESC, v7 ASC) AS rn
         FROM wsum
       ), tl AS (
-        SELECT event_type, list(v7 ORDER BY rn) AS topw
+        SELECT event_type, string_agg(v7, ',' ORDER BY rn) AS topw
         FROM rk WHERE rn <= 3 GROUP BY event_type
       ), cnt AS (
         SELECT event_type, CAST(count(1) AS BIGINT) AS n
@@ -1880,10 +1886,15 @@ object DialectQueries {
 
   // The add/subtract date family, timeSlot / relative counters,
   // alphaTokens, haversine geo distance, and array shingles — all
-  // through verbatim SQL against the oracle. The geo term rounds
-  // per-row to hectometers BEFORE summing (libm sin/cos may differ
-  // from the JVM's in final ULPs; coarse per-row integers make the
-  // aggregate exact on both engines).
+  // through verbatim SQL against the oracle. The geo term is made
+  // boundary-safe in two moves (libm vs JVM trig differ in final
+  // ULPs, and `round(d/100)` put a half-boundary every 100 m — it
+  // flipped one unit at ~100k rows): (1) the fixture coordinates
+  // live in one 90°x60° patch, so no pair is near-antipodal and the
+  // asin' amplification of ULP noise stays ~1e-8 m; (2) per-row
+  // guard-banded km buckets `floor((d + 1e-3) / 1000)` — a flip now
+  // needs a true distance within 1e-8 m of a bucket edge minus the
+  // 1 mm guard, not a coin-toss half-boundary.
   val q137ChDateGeoVocab = QueryDef(
     "q137_ch_date_geo_vocab",
     (s, dir) => {
@@ -1896,11 +1907,12 @@ object DialectQueries {
                uniqExact(timeSlot(ts)) AS slots,
                toInt64(max(toRelativeDayNum(ts))) AS rd,
                toInt64(sum(size(alphaTokens(props)))) AS at,
-               toInt64(sum(round(greatCircleDistance(
-                 CAST(user_id % 360 AS DOUBLE) - 180 + 0.5,
-                 CAST(user_id % 170 AS DOUBLE) - 85 + 0.5,
-                 CAST(event_id % 360 AS DOUBLE) - 180 + 0.5,
-                 CAST(event_id % 170 AS DOUBLE) - 85 + 0.5) / 100))) AS gc,
+               toInt64(sum(floor((greatCircleDistance(
+                 CAST(user_id % 90 AS DOUBLE) + 0.5,
+                 CAST(user_id % 60 AS DOUBLE) + 0.5,
+                 CAST(event_id % 90 AS DOUBLE) + 0.5,
+                 CAST(event_id % 60 AS DOUBLE) + 0.5)
+                 + 0.001) / 1000))) AS gc,
                toInt64(sum(size(arrayShingles(
                  sequence(1, CAST(user_id % 6 AS INT) + 1), 2)))) AS sh,
                toInt64(count(1)) AS n
@@ -1918,14 +1930,14 @@ object DialectQueries {
              CAST(max(floor(epoch(ts) / 86400)) AS BIGINT) AS rd,
              CAST(sum(len(regexp_extract_all(props, '[A-Za-z]+')))
                AS BIGINT) AS at,
-             CAST(sum(round(2 * 6371000 * asin(sqrt(
-               pow(sin((radians(CAST(event_id % 170 AS DOUBLE) - 85 + 0.5)
-                        - radians(CAST(user_id % 170 AS DOUBLE) - 85 + 0.5)) / 2), 2)
-               + cos(radians(CAST(user_id % 170 AS DOUBLE) - 85 + 0.5))
-               * cos(radians(CAST(event_id % 170 AS DOUBLE) - 85 + 0.5))
-               * pow(sin((radians(CAST(event_id % 360 AS DOUBLE) - 180 + 0.5)
-                          - radians(CAST(user_id % 360 AS DOUBLE) - 180 + 0.5)) / 2), 2)))
-               / 100)) AS BIGINT) AS gc,
+             CAST(sum(floor((2 * 6371000 * asin(sqrt(
+               pow(sin((radians(CAST(event_id % 60 AS DOUBLE) + 0.5)
+                        - radians(CAST(user_id % 60 AS DOUBLE) + 0.5)) / 2), 2)
+               + cos(radians(CAST(user_id % 60 AS DOUBLE) + 0.5))
+               * cos(radians(CAST(event_id % 60 AS DOUBLE) + 0.5))
+               * pow(sin((radians(CAST(event_id % 90 AS DOUBLE) + 0.5)
+                          - radians(CAST(user_id % 90 AS DOUBLE) + 0.5)) / 2), 2)))
+               + 0.001) / 1000)) AS BIGINT) AS gc,
              CAST(sum(greatest(user_id % 6, 0)) AS BIGINT) AS sh,
              CAST(count(1) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
