@@ -83,7 +83,10 @@ object Bench {
     // failure degrades to an "sf1_error" note — the base line the
     // driver parses is never at risk.
     val sf1Section =
-      try {
+      // dev knob (the driver never sets it): skip the sf1 section so
+      // repeated base-line runs for median re-baselining stay cheap
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SF1")) ""
+      else try {
         val src = if (Files.exists(Paths.get("/root/testdata/sf0.1")))
           "/root/testdata/sf0.1" else sfDir
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
@@ -171,8 +174,19 @@ object Bench {
         }
         s""","sf1_error":"${msg.replaceAll("[\"\\\\\n\r\t]", " ")}""""
       }
+    // Which connectedComponents path produced the timings above:
+    // q75's sf1 number was unexplainable in round 7 because nothing
+    // recorded whether the driver union-find or the distributed
+    // label-propagation loop ran, or at what edge count.
+    val ccSection = {
+      val st = graft.operators.Dedup.recentCcStats
+      if (st.isEmpty) ""
+      else st.takeRight(8).map(s =>
+        s"""{"tag":"${s.tag}","edges":${s.edges},"path":"${s.path}","rounds":${s.rounds}}""")
+        .mkString(""","cc_stats":[""", ",", "]")
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$sf1Section,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$sf1Section$ccSection,"sf":"$sfDir"}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       Files.writeString(Paths.get(p), line + "\n")

@@ -423,6 +423,31 @@ object Dedup {
     pairsWithinBuckets(buckets, idCol, maxBucket, obs)
   }
 
+  /** Diagnostics from a `connectedComponents` call: bidirectional edge
+    * count, which path ran (`driver` union-find vs `distributed`
+    * label-propagation), and rounds to fixpoint (0 for the driver
+    * path). Kept in a small ring buffer so the bench main can stamp
+    * WHICH path produced a wall-time into its JSON — round 7's q75
+    * sf1 3x regression was unexplainable precisely because nothing
+    * recorded the path or the edge count.
+    */
+  final case class CcStats(tag: String, edges: Long, path: String,
+      rounds: Int)
+
+  private val ccStatsBuf =
+    new java.util.concurrent.ConcurrentLinkedDeque[CcStats]()
+
+  private def recordCc(s: CcStats): Unit = {
+    ccStatsBuf.addLast(s)
+    while (ccStatsBuf.size > 16) ccStatsBuf.pollFirst()
+  }
+
+  /** Most-recent-last snapshot of recent `connectedComponents` runs. */
+  def recentCcStats: Seq[CcStats] = {
+    import scala.jdk.CollectionConverters._
+    ccStatsBuf.iterator().asScala.toSeq
+  }
+
   /** Connected components over a near-dup pair set: every document in a
     * component gets the component's MINIMUM id as `cluster_id` — the
     * transitive-closure step that turns pairwise matches into dedup
@@ -446,7 +471,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25,
-      smallGraphEdges: Long = 512L * 1024): DataFrame = {
+      smallGraphEdges: Long = 4L * 1024 * 1024,
+      tag: String = ""): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
       // a null endpoint would ride along as an unreachable phantom node
@@ -454,27 +480,50 @@ object Dedup {
       .filter(col("u").isNotNull && col("v").isNotNull)
     val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
+    var biP: DataFrame = null
     try {
       // SCALE-ADAPTIVE: a near-dup pair graph is tiny relative to its
       // corpus (pairs ≪ docs). Below the threshold a driver
       // union-find answers in ONE collect instead of ~log(diameter)
       // shuffle+checkpoint rounds of pure job latency; past it the
-      // distributed loop below takes over. The collect materializes
-      // boxed Rows — ~100 B each transiently, so the 512k default is
-      // ~50 MB of driver heap at worst, comfortably inside even a
-      // small driver.
+      // distributed loop below takes over. Gate tuning (round 8,
+      // after the r7 q75 sf1 regression crossed the old 512k gate):
+      // the collect materializes boxed Rows at ~100 B each
+      // transiently, so 4M edges is ≤ ~400 MB against the 8 GB
+      // driver heap, and the union-find itself is O(E·α) — tens of
+      // milliseconds at 4M — vs ~1-2 s of pure job latency PER ROUND
+      // for the distributed loop on local[32]. On a real cluster
+      // with a beefier driver the same ratio holds further out; past
+      // the gate the label-propagation loop is the 100 TB path.
       val biCount = bi.count()
-      if (biCount <= smallGraphEdges)
+      if (biCount <= smallGraphEdges) {
+        recordCc(CcStats(tag, biCount, "driver", 0))
         return driverComponents(pairs.sparkSession, bi.collect()
           .map(r => (r.getLong(0), r.getLong(1))))
-      var labels = bi.select(col("u").as("id")).distinct()
+      }
+      // Right-size the loop's partitioning to the graph, not the
+      // session default: label frames carry one row per node and the
+      // edge frame ~biCount rows, so at the gate boundary 32
+      // partitions are mostly empty and per-round cost is pure task
+      // scheduling. ~250k edges per partition, capped at the session
+      // parallelism. bi is re-persisted pre-partitioned on the join
+      // key `v`, so each round's neighbor join reuses the exchange
+      // instead of re-shuffling the (static) edge side every round.
+      val spark = pairs.sparkSession
+      val parts = math.max(2, math.min(
+        spark.sparkContext.defaultParallelism,
+        (biCount / 250000L).toInt + 1))
+      biP = bi.repartition(parts, col("v")).persist()
+      biP.count()
+      var labels = biP.select(col("u").as("id")).distinct()
+        .repartition(parts, col("id"))
         .withColumn("lbl", col("id")).localCheckpoint()
-      var changed = 1L
+      var changed = true
       var iter = 0
-      while (changed > 0 && iter < maxIter) {
+      while (changed && iter < maxIter) {
         // (1) min over neighbor labels (bi is symmetric, so grouping on
         // u sees every neighbor of u)
-        val nbrMin = bi.join(labels, bi("v") === labels("id"))
+        val nbrMin = biP.join(labels, biP("v") === labels("id"))
           .groupBy(col("u")).agg(min(col("lbl")).as("nbr"))
         val lowered = labels.join(nbrMin, labels("id") === nbrMin("u"),
             "left")
@@ -489,17 +538,23 @@ object Dedup {
             coalesce(col("jlbl"), col("low")).as("next"))
         val next = jumped
           .select(col("id"), col("next").as("lbl"),
-            (col("next") =!= col("lbl")).cast("long").as("__chg"))
+            (col("next") =!= col("lbl")).as("__chg"))
           .localCheckpoint()
-        changed = next.agg(coalesce(sum(col("__chg")), lit(0L)))
-          .head().getLong(0)
+        // convergence probe: first-match scan over the checkpointed
+        // frame (stops at the first changed row) — not a full
+        // sum-aggregation job over a frame we just materialized
+        changed = !next.where(col("__chg")).isEmpty
         labels = next.select(col("id"), col("lbl"))
         iter += 1
       }
-      require(changed == 0,
+      require(!changed,
         s"connectedComponents: no fixpoint after $maxIter rounds")
+      recordCc(CcStats(tag, biCount, "distributed", iter))
       labels.select(col("id"), col("lbl").as("cluster_id"))
-    } finally bi.unpersist()
+    } finally {
+      bi.unpersist()
+      if (biP != null) biP.unpersist()
+    }
   }
 
   /** Driver-side union-find for small pair graphs — value-identical
@@ -834,13 +889,19 @@ object Dedup {
     * and the id join — all linear, no pair product, no window.
     *
     * The membership probe is O(|dupPositions|) per token; documents
-    * that are mostly duplicated pay O(len²/window) worst-case — the
-    * cure (interval-merging the positions first) costs a sort the
-    * fixture sizes never repay; flagged here as the knob to revisit
-    * if profiles ever show it.
+    * that are mostly duplicated pay O(len²/window) worst-case. The
+    * cure is `mergeIntervals = true`: the sorted positions fold once
+    * into DISJOINT merged `[s, e)` intervals (adjacent/overlapping
+    * spans coalesce), and the probe runs over intervals instead of
+    * raw positions — a mostly-duplicated document collapses to a
+    * handful of intervals, so the probe drops from O(len·|dupPos|)
+    * to ~O(len). Off by default: on lightly-duplicated corpora the
+    * positions are few and the fold is pure overhead; flip it when
+    * profiles show heavy per-document duplication.
+    * `StripSpansMergeProps` proves the two variants byte-equal.
     */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 20): DataFrame = {
+      window: Int = 20, mergeIntervals: Boolean = false): DataFrame = {
     require(window >= 2,
       s"stripDuplicateSpans: window must be >= 2, got $window")
     val p = 1000000007L
@@ -859,8 +920,28 @@ object Dedup {
       .groupBy(id)
       .agg(sort_array(collect_list(col("__pos"))).as("__dp"))
     val toks = graft.functions.text.tokenize(col(s"`$textCol`"))
-    val kept = filter(toks, (t, i) =>
-      !exists(col("__dp"), pos => i >= pos && i < pos + window))
+    // the coverage set the probe runs against: raw span-start
+    // positions, or (flagged) the same positions folded into merged
+    // disjoint [s, e) intervals — __dp is sorted ascending, so one
+    // left-to-right aggregate pass merges every overlapping or
+    // adjacent span (pos <= last.e extends; pos > last.e opens)
+    val emptyIv = slice(
+      array(struct(lit(0).as("s"), lit(0).as("e"))), 1, 0)
+    val merged = aggregate(col("__dp"), emptyIv, (acc, pos) => {
+      val last = element_at(acc, -1)
+      when(size(acc) === 0 || pos > last.getField("e"),
+        concat(acc, array(struct(pos.as("s"), (pos + window).as("e")))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("s").as("s"),
+            greatest(last.getField("e"), pos + window).as("e")))))
+    })
+    val kept =
+      if (mergeIntervals)
+        filter(toks, (t, i) => !exists(merged, v =>
+          i >= v.getField("s") && i < v.getField("e")))
+      else
+        filter(toks, (t, i) =>
+          !exists(col("__dp"), pos => i >= pos && i < pos + window))
     df.join(dupPos, Seq(idCol), "left")
       .withColumn("removed_tokens",
         when(col("__dp").isNull, 0L)
