@@ -263,4 +263,53 @@ object text {
     when(size(grams) > 0,
       round(best.cast("double") / size(grams), 6)).otherwise(lit(0.0))
   }
+
+  // -------------------------------------------------------------------
+  // Charset / encoding noise
+
+  /** Count of U+FFFD REPLACEMENT CHARACTER occurrences — the scar a
+    * lossy charset transcode leaves. Any document that went through a
+    * wrong-encoding decode carries them; clean UTF-8 text has zero.
+    */
+  def replacementCharCount(c: Column): Column =
+    regexp_count(c, lit("�")).cast("long")
+
+  /** Fraction of characters that are C0/C1 control characters (tab,
+    * CR and LF excluded — those are legitimate text structure).
+    * Binary junk mis-read as text scores high here.
+    */
+  def controlCharRatio(c: Column): Column =
+    when(length(c) > 0,
+      round(regexp_count(c,
+        lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]"))
+        .cast("double") / length(c), 6))
+      .otherwise(lit(0.0))
+
+  /** Fraction of characters outside printable ASCII + tab/newline.
+    * Not a quality signal by itself (most of the world's text is
+    * non-ASCII) — it separates "legitimately non-Latin" from
+    * "mojibake" only TOGETHER with [[replacementCharCount]] and
+    * [[controlCharRatio]], which is how [[charsetNoiseScore]] uses it.
+    */
+  def nonAsciiRatio(c: Column): Column =
+    when(length(c) > 0,
+      round(regexp_count(c, lit("[^\n\t -~]"))
+        .cast("double") / length(c), 6))
+      .otherwise(lit(0.0))
+
+  /** Composite encoding-noise score in [0,1] (0 = clean): saturating
+    * replacement-char mass (5 U+FFFD = full marks — even a few prove a
+    * lossy transcode), control-char ratio amplified 10x (any
+    * measurable share is pathological), and a small non-ASCII term
+    * that only matters when the other two already fire. Weights are
+    * fixed constants so the score reproduces bit-identically across
+    * engines; like [[qualityScore]] it is one codegen'd projection —
+    * no shuffle at any corpus size.
+    */
+  def charsetNoiseScore(c: Column): Column =
+    round(
+      lit(0.6) * least(replacementCharCount(c).cast("double") / 5.0,
+        lit(1.0)) +
+        lit(0.3) * least(controlCharRatio(c) * 10.0, lit(1.0)) +
+        lit(0.1) * nonAsciiRatio(c), 6)
 }

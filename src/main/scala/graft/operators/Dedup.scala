@@ -1064,4 +1064,139 @@ object Dedup {
       i => aggregate(slice(elementHashes, i + lit(1), lit(window)),
         lit(0L), (acc, x) => pmod(acc * 31 + x, lit(p)))))
       .otherwise(array().cast("array<long>"))
+
+  // -------------------------------------------------------------------
+  // Paragraph-level cross-document dedup
+
+  /** Cross-document PARAGRAPH dedup, first-writer-wins (the
+    * RefinedWeb/Falcon granularity between X1's whole-document hash and
+    * X62's token spans): a normalized paragraph survives only in the
+    * document with the MINIMUM id carrying it and is dropped from every
+    * other document. Distinct from [[stripFrequentLines]] (which removes
+    * boilerplate from ALL documents, owner included) — here exactly one
+    * copy of every duplicated paragraph survives the corpus.
+    *
+    * Scale shape: one paragraph-keyed shuffle computes (owner = min id,
+    * distinct-doc count) per normalized paragraph; only paragraphs seen
+    * in ≥ 2 DISTINCT documents — the duplicated subset, orders of
+    * magnitude smaller than the corpus — survive the filter, roll up to
+    * one drop-list array per affected document (bounded by that
+    * document's own paragraph count), and ride an id-keyed equi-join
+    * back onto the corpus; the rebuild is a pure map-side higher-order
+    * filter. Documents with no cross-doc paragraph never join a drop
+    * list and pass through untouched. No all-pairs product anywhere.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val id = col(s"`$idCol`")
+    val txt = col(s"`$textCol`")
+    val paras = df
+      .select(id.as("__pd_id"), explode(split(txt, sep)).as("__pd_raw"))
+      .select(col("__pd_id"), trim(col("__pd_raw")).as("__pd_p"))
+      .filter(length(col("__pd_p")) > 0)
+      // a doc repeating a paragraph internally still votes once
+      .distinct()
+    val owners = paras.groupBy(col("__pd_p"))
+      .agg(min(col("__pd_id")).as("__pd_owner"),
+        count(lit(1)).as("__pd_nd"))
+      .filter(col("__pd_nd") >= 2)
+    val drops = paras.join(owners, "__pd_p")
+      .filter(col("__pd_id") =!= col("__pd_owner"))
+      .groupBy(col("__pd_id"))
+      .agg(sort_array(collect_set(col("__pd_p"))).as("__pd_drop"))
+    val parts = split(txt, sep)
+    val kept = filter(parts,
+      p => !array_contains(col("__pd_drop"), trim(p)))
+    df.join(drops, id === col("__pd_id"), "left")
+      .withColumn("paras_removed",
+        when(col("__pd_drop").isNull, 0L)
+          .otherwise((size(parts) - size(kept)).cast("long")))
+      .withColumn(textCol,
+        when(col("__pd_drop").isNull, txt)
+          .otherwise(array_join(kept, sep)))
+      .drop("__pd_id", "__pd_drop")
+  }
+
+  // -------------------------------------------------------------------
+  // Contamination overlap fraction
+
+  /** Benchmark-contamination OVERLAP FRACTION — the graded upgrade of
+    * [[contaminationScan]]'s boolean flag (the WIMBD/benchmark-report
+    * metric): for every (corpus doc, benchmark example) pair sharing at
+    * least one n-gram, the fraction of the example's DISTINCT n-grams
+    * the doc covers. A doc covering 80% of an eval example is a
+    * memorization risk; one sharing a single idiom is not — the
+    * fraction is what decontamination policy thresholds on.
+    *
+    * Same asymmetric scale shape as the scan: the benchmark side is
+    * eval-suite-sized so its exploded shingles (and per-example totals)
+    * BROADCAST; the corpus scans once map-side; only collision-sized
+    * (doc, example) hit counts shuffle. The fraction divides exact
+    * longs and rounds once at the end.
+    */
+  def contaminationFraction(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      minFraction: Double = 0.0): DataFrame = {
+    import graft.functions.text
+    def shingled(df: DataFrame, idOut: String) = df.select(
+      col(s"`$idCol`").as(idOut),
+      explode(array_distinct(
+        text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN)))
+        .as("__g"))
+    val benchG = shingled(bench, "bench_id")
+    val benchSz = benchG.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench"))
+    shingled(docs, "contaminated_id")
+      .join(broadcast(benchG), "__g")
+      .groupBy(col("contaminated_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(benchSz), "bench_id")
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_bench"), 6))
+      .filter(col("overlap_frac") >= minFraction)
+      .select(col("contaminated_id"), col("bench_id"),
+        col("n_shared"), col("n_bench").cast("long").as("n_bench"),
+        col("overlap_frac"))
+  }
+
+  // -------------------------------------------------------------------
+  // Quality-aware survivor selection
+
+  /** Quality-aware dedup survivor selection — the policy layer between
+    * [[connectedComponents]] and the actual row drop: within every
+    * near-dup cluster the survivor is the member with the HIGHEST
+    * quality score (ties break to the smaller id, so selection is
+    * deterministic), not the arbitrary minimum id. Keep-best-of-cluster
+    * is the difference between deduping a crawl and deduping it while
+    * silently keeping the worst copy of everything.
+    *
+    * Input `pairs` is any (aCol, bCol) near-dup pair set (MinHash,
+    * SimHash, winnowing...). Only clustered documents are returned —
+    * singletons survive by definition and need no row. Scale shape: the
+    * cluster closure is [[connectedComponents]]'s (scale-adaptive);
+    * quality rides an id-keyed equi-join (broadcast when the clustered
+    * subset is small, which it is by the near-dup premise); the
+    * per-cluster argmax is one partial-aggregable max_by.
+    */
+  def qualitySurvivors(docs: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, idCol: String,
+      quality: Column): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol,
+      tag = "qualitySurvivors")
+    val scored = docs.select(col(s"`$idCol`").cast("long").as("id"),
+      quality.as("__q"))
+    labels.join(scored, "id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_members"),
+        // (quality, -id) max == best quality, ties to the SMALLER id
+        max_by(col("id"), struct(col("__q"), (-col("id")).as("t")))
+          .as("survivor_id"),
+        max(col("__q")).as("best_quality"),
+        // fixed-point mean: sum exact 1e-6 longs, divide once — a
+        // float sum's addition order could flip the last rounded
+        // digit between engines (the q137 lesson)
+        round(sum(round(col("__q") * 1e6d).cast("long")).cast("double") /
+          (count(lit(1)) * 1e6d), 6).as("mean_quality"))
+  }
 }

@@ -247,4 +247,49 @@ object Retrieval {
         col("rank").cast("long").as("rank"), col("rrf_fp"))
       .orderBy(col(queryCol), col("rank"))
   }
+
+  /** TF-IDF top-k keyword extraction per document — the corpus-wide
+    * inversion of [[bm25TopK]] (there a few queries scan all docs; here
+    * every doc gets its k most DISTINCTIVE terms): the per-doc labels a
+    * pipeline uses for topic slicing, dataset cards, and cluster
+    * naming.
+    *
+    * Scale shape: the corpus tokenizes and explodes once into (doc,
+    * term, tf) via one map-side-combined aggregation; document
+    * frequency aggregates the SAME posting frame on term — a
+    * vocabulary-bounded table (grows with distinct terms, not corpus
+    * rows) that equi-joins back on the term key (AQE broadcasts it when
+    * small; at web-corpus vocabulary it stays a sound shuffle join —
+    * never corpus x corpus). The per-doc top-k is a WindowGroupLimit on
+    * the doc key: map-side trim to k before the single rank shuffle.
+    *
+    * Determinism: idf = ln(N/df) snapped to 1e-6 fixed-point right
+    * after the `ln` (the single transcendental — the BM25 discipline),
+    * score = tf * idf_fp in EXACT long arithmetic, ties break (score
+    * desc, term asc).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "tfidfTopTerms: k must be >= 1")
+    import graft.functions.text
+    val toks = text.tokenize(col(s"`$textCol`"))
+    val nDocs = docs.count()
+    val posting = docs
+      .select(col(s"`$idCol`"), explode(toks).as("__t"))
+      .groupBy(col(s"`$idCol`"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfByTerm = posting.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__idf_fp",
+        round(log(lit(nDocs.toDouble) / col("__df")) * 1e6d).cast("long"))
+    val w = Window.partitionBy(col(s"`$idCol`"))
+      .orderBy(col("__score_fp").desc, col("__t"))
+    posting.join(dfByTerm, "__t")
+      .withColumn("__score_fp", col("__tf") * col("__idf_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(s"`$idCol`"), col("rank").cast("long").as("rank"),
+        col("__t").as("term"), col("__tf").as("tf"),
+        round(col("__score_fp") / 1e6d, 6).as("tfidf"))
+  }
 }

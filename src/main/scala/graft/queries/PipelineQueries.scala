@@ -3481,7 +3481,274 @@ object PipelineQueries {
                (acc, x) -> (acc * 31 + x) % 1000000007) AS clean_fp
       FROM rebuilt WHERE removed_tokens > 0 ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // X84: Cross-document paragraph dedup, first-writer-wins (the
+  // RefinedWeb granularity between whole-doc hashing and token spans).
+  // The fixture grows a quote paragraph shared by every doc_id % 7
+  // class and a unique per-doc tail IN BOTH ENGINES; duplicated body
+  // paragraphs (the corpus's own exact near-dups) dedup too. Exactly
+  // one copy of every duplicated paragraph survives the corpus — the
+  // contract [[Dedup.dedupParagraphs]] documents, distinct from q142's
+  // remove-everywhere boilerplate rule.
+  val q175ParagraphDedup = QueryDef(
+    "q175_paragraph_dedup",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\nshared quote number "),
+            pmod(col("doc_id"), lit(7)),
+            lit(" about data pipelines\n\nunique tail "),
+            col("doc_id")).as("text"))
+      Dedup.dedupParagraphs(docs, "doc_id", "text")
+        .select(col("doc_id"), col("paras_removed"),
+          length(col("text")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+        .limit(150)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               text || chr(10) || chr(10) || 'shared quote number ' ||
+                 (doc_id % 7) || ' about data pipelines' ||
+                 chr(10) || chr(10) || 'unique tail ' || doc_id AS text
+        FROM documents
+      ), pe AS (
+        SELECT DISTINCT doc_id, trim(p) AS pt
+        FROM d, unnest(string_split(text, chr(10) || chr(10))) AS u(p)
+        WHERE length(trim(p)) > 0
+      ), own AS (
+        SELECT pt, min(doc_id) AS owner
+        FROM pe GROUP BY pt HAVING count(*) >= 2
+      ), dr AS (
+        SELECT pe.doc_id, list(pe.pt) AS drops
+        FROM pe JOIN own ON own.pt = pe.pt AND own.owner <> pe.doc_id
+        GROUP BY pe.doc_id
+      ), rb AS (
+        SELECT d.doc_id,
+               string_split(d.text, chr(10) || chr(10)) AS parts,
+               coalesce(dr.drops, []) AS drops
+        FROM d LEFT JOIN dr ON dr.doc_id = d.doc_id
+      )
+      SELECT doc_id,
+             CAST(len(parts) - len(list_filter(parts,
+                  p -> NOT list_contains(drops, trim(p)))) AS BIGINT)
+               AS paras_removed,
+             CAST(length(array_to_string(list_filter(parts,
+                  p -> NOT list_contains(drops, trim(p))),
+                  chr(10) || chr(10))) AS BIGINT) AS clean_len
+      FROM rb ORDER BY doc_id LIMIT 150"""))
+
+  // ---------------------------------------------------------------------
+  // X85: Quality-aware dedup survivor selection — within every near-dup
+  // cluster keep the HIGHEST-quality member (ties to the smaller id),
+  // the policy layer a production dedup needs between pair closure and
+  // the row drop. The oracle replays exact ground-truth pairs, the
+  // recursive min-label closure (q75's shape), the q24 quality formula,
+  // and the (quality desc, id asc) argmax per cluster.
+  val q176QualitySurvivors = QueryDef(
+    "q176_quality_survivors",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.qualitySurvivors(docs, pairs, "id_a", "id_b", "doc_id",
+          text.qualityScore(col("text")))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${duckNearDupCtes("0.5")},
+      nodes AS (SELECT DISTINCT id FROM
+        (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)),
+      bi AS (SELECT id_a AS u, id_b AS v FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, b.v FROM reach r JOIN bi b ON b.u = r.dst
+      ),
+      lab AS (SELECT src AS id, min(dst) AS cluster_id
+              FROM reach GROUP BY src),
+      q AS (
+        SELECT doc_id,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN length(norm) > 0
+                       THEN (length(norm) - length(regexp_replace(norm,
+                            '[^a-z0-9 ]', '', 'g'))) / length(norm)
+                       ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, x -> x IN
+                            ('the','a','and','of','to','in','is')))
+                            / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END), 6) AS qual
+        FROM (SELECT doc_id,
+                regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+      ),
+      m AS (
+        SELECT l.cluster_id, l.id, q.qual,
+               row_number() OVER (PARTITION BY l.cluster_id
+                 ORDER BY q.qual DESC, l.id ASC) AS rn
+        FROM lab l JOIN q ON q.doc_id = l.id
+      )
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT)
+               AS survivor_id,
+             max(qual) AS best_quality,
+             round(sum(CAST(round(qual * 1000000.0) AS BIGINT))
+                   / (count(*) * 1000000.0), 6) AS mean_quality
+      FROM m GROUP BY cluster_id ORDER BY cluster_id"""))
+
+  // ---------------------------------------------------------------------
+  // X86: TF-IDF top-k keyword extraction per document — every doc's
+  // most distinctive terms (topic slicing / dataset cards / cluster
+  // naming). Scale + determinism rationale on the operator
+  // ([[graft.operators.Retrieval.tfidfTopTerms]]): one posting
+  // aggregation, vocabulary-bounded df joined back on the term key,
+  // idf fixed-pointed after the single ln, exact-long scores,
+  // WindowGroupLimit top-k. idf uses the FULL corpus; only the first
+  // 100 docs' keyword rows are compared.
+  val q177TfidfKeywords = QueryDef(
+    "q177_tfidf_keywords",
+    (s, dir) =>
+      graft.operators.Retrieval.tfidfTopTerms(
+          Graft.table(s, dir, "documents"), "doc_id", "text", k = 5)
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"), col("rank")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM t),
+      p AS (
+        SELECT doc_id, u.t AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM t, unnest(toks) AS u(t) GROUP BY 1, 2
+      ), dft AS (
+        SELECT term, count(*) AS dfc FROM p GROUP BY term
+      ), sc AS (
+        SELECT p.doc_id, p.term, p.tf,
+               p.tf * CAST(round(ln((SELECT nd FROM n) / dfc)
+                                 * 1000000.0) AS BIGINT) AS score_fp
+        FROM p JOIN dft USING (term)
+      ), r AS (
+        SELECT doc_id, term, tf, score_fp,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_fp DESC, term ASC) AS rank
+        FROM sc
+      )
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+             round(score_fp / 1000000.0, 6) AS tfidf
+      FROM r WHERE rank <= 5 AND doc_id < 100
+      ORDER BY doc_id, rank"""))
+
+  // ---------------------------------------------------------------------
+  // X87: Contamination overlap FRACTION — the graded upgrade of q73's
+  // boolean scan: per (corpus doc, benchmark example), the share of the
+  // example's distinct 3-grams the doc covers; thresholded at 10%.
+  // Same planted eval set (doc_id % 17 == 0), same asymmetric
+  // broadcast shape.
+  val q178ContaminationFraction = QueryDef(
+    "q178_contamination_fraction",
+    (s, dir) => {
+      val all = Graft.table(s, dir, "documents")
+      val bench = all.filter(pmod(col("doc_id"), lit(17)) === 0)
+      val corpus = all.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      Dedup.contaminationFraction(corpus, bench, "doc_id", "text",
+          shingleN = 3, minFraction = 0.1)
+        .orderBy(col("contaminated_id"), col("bench_id"))
+    },
+    Some(s"""
+      WITH ${duckShingles(0)},
+      e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      bsz AS (
+        SELECT doc_id AS bench_id, count(*) AS n_bench
+        FROM e WHERE doc_id % 17 = 0 GROUP BY 1
+      ),
+      hits AS (
+        SELECT d.doc_id AS contaminated_id, b.doc_id AS bench_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM e d JOIN e b ON d.g = b.g
+        WHERE b.doc_id % 17 = 0 AND d.doc_id % 17 <> 0
+        GROUP BY 1, 2
+      )
+      SELECT h.contaminated_id, h.bench_id, h.n_shared,
+             CAST(z.n_bench AS BIGINT) AS n_bench,
+             round(h.n_shared / CAST(z.n_bench AS DOUBLE), 6)
+               AS overlap_frac
+      FROM hits h JOIN bsz z USING (bench_id)
+      WHERE round(h.n_shared / CAST(z.n_bench AS DOUBLE), 6) >= 0.1
+      ORDER BY contaminated_id, bench_id"""))
+
+  // ---------------------------------------------------------------------
+  // X88: Charset / encoding-noise scoring — replacement-char count
+  // (the lossy-transcode scar), control-char ratio, non-ASCII ratio,
+  // and the composite noise score; one codegen'd projection, zero
+  // shuffle. The fixture INJECTS noise in both engines: U+FFFD runs on
+  // doc_id % 5 == 0, a C0 control char on doc_id % 7 == 0, legitimate
+  // accented text on doc_id % 3 == 0 (which must NOT fire the score on
+  // its own — that contrast is the point of the composite).
+  val q179CharsetNoise = QueryDef(
+    "q179_charset_noise",
+    (s, dir) => {
+      val noisy = Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit(" ��� corrupted run �"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" ctl\u0001marker")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit(" café résumé naïve"))
+              .otherwise(lit(""))).as("text"))
+      noisy.select(col("doc_id"),
+          text.replacementCharCount(col("text")).as("n_repl"),
+          text.controlCharRatio(col("text")).as("ctrl_ratio"),
+          text.nonAsciiRatio(col("text")).as("non_ascii_ratio"),
+          text.charsetNoiseScore(col("text")).as("noise_score"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' ' || chr(65533) || chr(65533) || chr(65533) ||
+                         ' corrupted run ' || chr(65533)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' ctl' || chr(1) || 'marker' ELSE '' END ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' café résumé naïve' ELSE '' END AS text
+        FROM documents
+      ), m AS (
+        SELECT doc_id, text,
+               CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+                 AS n_repl,
+               CASE WHEN length(text) > 0
+                    THEN round(len(regexp_extract_all(text,
+                      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]'))
+                      / CAST(length(text) AS DOUBLE), 6)
+                    ELSE 0.0 END AS ctrl_ratio,
+               CASE WHEN length(text) > 0
+                    THEN round(len(regexp_extract_all(text,
+                      '[^\x09\x0a\x20-\x7e]'))
+                      / CAST(length(text) AS DOUBLE), 6)
+                    ELSE 0.0 END AS non_ascii_ratio
+        FROM d
+      )
+      SELECT doc_id, n_repl, ctrl_ratio, non_ascii_ratio,
+             round(0.6 * least(n_repl / 5.0, 1.0)
+                 + 0.3 * least(ctrl_ratio * 10.0, 1.0)
+                 + 0.1 * non_ascii_ratio, 6) AS noise_score
+      FROM m ORDER BY doc_id LIMIT 200"""))
+
   val defs: Seq[QueryDef] = Seq(
+    q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
+    q178ContaminationFraction, q179CharsetNoise,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+import graft.operators.{Dedup, Retrieval}
+
+/** Round-8 operators: paragraph dedup (X84), quality-aware survivors
+  * (X85), TF-IDF keywords (X86), contamination fraction (X87), charset
+  * noise (X88).
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupParagraphs: first writer keeps, later docs drop, " +
+      "unique paragraphs untouched") {
+    val docs = Seq(
+      (1L, "own intro\n\nshared quote here\n\ntail one"),
+      (2L, "different intro\n\nshared quote here\n\ntail two"),
+      (3L, "third intro\n\nall unique\n\ntail three"))
+      .toDF("doc_id", "text")
+    val byId = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .select($"doc_id", $"text", $"paras_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == (("own intro\n\nshared quote here\n\ntail one", 0L)))
+    assert(byId(2L) == (("different intro\n\ntail two", 1L)))
+    assert(byId(3L) == (("third intro\n\nall unique\n\ntail three", 0L)))
+  }
+
+  test("dedupParagraphs: a doc repeating a shared paragraph internally " +
+      "drops every occurrence when it is not the owner") {
+    val docs = Seq(
+      (1L, "quote\n\nbody a"),
+      (2L, "quote\n\nmiddle\n\nquote"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .select($"doc_id", $"text", $"paras_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("quote\n\nbody a", 0L)))
+    assert(got(2L) == (("middle", 2L)))
+  }
+
+  test("qualitySurvivors picks the highest-quality member, " +
+      "ties to the smaller id") {
+    // quality is driven by length saturation: 40 tokens beats 20.
+    val long = ("tok " * 40).trim
+    val short = ("tok " * 20).trim
+    val docs = Seq(
+      (10L, short), (11L, long),              // cluster A: 11 wins
+      (20L, long), (21L, long),               // cluster B: tie -> 20
+      (30L, "unrelated text entirely alone")) // singleton: no row
+      .toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.qualitySurvivors(docs, pairs, "id_a", "id_b",
+        "doc_id", text.qualityScore($"text"))
+      .select($"cluster_id", $"survivor_id", $"n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L, 2L), (20L, 20L, 2L)))
+  }
+
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common zebra zebra zebra"),
+      (2L, "common common yak"),
+      (3L, "common llama llama"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "zebra", 2L -> "yak", 3L -> "llama"))
+    // 'common' appears in every doc: idf = ln(1) = 0, so it can never
+    // outrank a distinctive term with positive idf
+    val all = Retrieval.tfidfTopTerms(docs, "doc_id", "text", k = 10)
+      .filter($"term" === "common").select($"tfidf")
+      .as[Double].collect()
+    assert(all.forall(_ == 0.0))
+  }
+
+  test("contaminationFraction: fraction = shared / bench distinct " +
+      "n-grams") {
+    val corpus = Seq(
+      (1L, "a b c d e f"), // shares all 4 of bench's 3-grams
+      (2L, "a b c x y z")) // shares exactly 1
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(corpus, bench, "doc_id",
+        "text", shingleN = 3)
+      .select($"contaminated_id", $"n_shared", $"n_bench",
+        $"overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 4L, 4L, 1.0), (2L, 1L, 4L, 0.25)))
+  }
+
+  test("charset noise: replacement chars, control chars and accents " +
+      "score as designed") {
+    val rows = Seq(
+      (1L, "clean plain ascii text"),
+      (2L, "lossy �� transcode �"),
+      (3L, "ctl" + "\u0001" + "inside"),
+      (4L, "café résumé")) // legit accents: tiny score
+      .toDF("id", "t")
+    val got = rows.select($"id",
+        text.replacementCharCount($"t").as("r"),
+        text.controlCharRatio($"t").as("c"),
+        text.nonAsciiRatio($"t").as("n"),
+        text.charsetNoiseScore($"t").as("s"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 0L && got(1L)._5 == 0.0)
+    assert(got(2L)._2 == 3L && got(2L)._5 > 0.3)
+    assert(got(3L)._3 > 0.0 && got(3L)._5 > 0.2)
+    // accents alone: only the 0.1-weighted non-ascii term fires
+    assert(got(4L)._2 == 0L && got(4L)._3 == 0.0 && got(4L)._5 <= 0.1)
+  }
+}
