@@ -1160,6 +1160,75 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Streaming near-dup intake gate (static LSH index + per-batch gate)
+
+  /** Static LSH index over a known corpus for STREAMING intake gating:
+    * one row per (band, bkey) bucket membership, carrying the owner id
+    * and its shingle set for the exact verify. Build once (or
+    * incrementally append novel docs), read by [[nearDupGateBatch]]
+    * inside `foreachBatch`.
+    */
+  def buildNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    import graft.functions.text
+    val sh = text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN)
+    val keys = bindOnce(
+      graft.plans.NativeHashes.minHashSignature64(col("idx_sh"), numHashes),
+      sig => lshBandKeys(sig, bands, r))
+    docs
+      .select(col(s"`$idCol`").cast("long").as("idx_id"), sh.as("idx_sh"))
+      .filter(size(col("idx_sh")) > 0)
+      .select(col("idx_id"), col("idx_sh"),
+        posexplode(keys).as(Seq("band", "bkey")))
+  }
+
+  /** Per-batch near-dup intake gate — the STREAMING half of the
+    * MinHash-LSH dedup: drop every batch document that is an exact-
+    * verified (Jaccard ≥ `threshold`) near-duplicate of ANY document
+    * in a static [[buildNearDupIndex]] index; survivors pass through
+    * with their full payload. Run inside `foreachBatch` — the gate
+    * itself keeps ZERO streaming state (the index is the state, and it
+    * is static per batch; appending survivors back to the index
+    * between batches gives continuous-intake semantics, the
+    * [[incrementalDedup]] pattern at near-dup granularity).
+    *
+    * Scale shape: the batch computes signatures MAP-SIDE and meets the
+    * index only through the (band, bkey) equi-join — the X2 bucket
+    * discipline, never batch × corpus. Collisions are verified with
+    * exact shingle Jaccard before they can kill (LSH false positives
+    * cannot drop a document), and the kill set — ids only — anti-joins
+    * the batch payload.
+    */
+  def nearDupGateBatch(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    import graft.functions.text
+    val sh = text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN)
+    val keys = bindOnce(
+      graft.plans.NativeHashes.minHashSignature64(col("__g_sh"), numHashes),
+      sig => lshBandKeys(sig, bands, r))
+    val probes = batch
+      .select(col(s"`$idCol`").cast("long").as("__g_id"), sh.as("__g_sh"))
+      .filter(size(col("__g_sh")) > 0)
+      .select(col("__g_id"), col("__g_sh"),
+        posexplode(keys).as(Seq("band", "bkey")))
+    val inter = size(array_intersect(col("__g_sh"), col("idx_sh")))
+    val uni = size(col("__g_sh")) + size(col("idx_sh")) - inter
+    val kills = probes.join(index, Seq("band", "bkey"))
+      .filter(col("idx_id") =!= col("__g_id"))
+      .filter(inter.cast("double") / uni >= threshold)
+      .select(col("__g_id")).distinct()
+    batch.join(kills,
+      batch(s"`$idCol`").cast("long") === kills("__g_id"),
+      "left_anti")
+  }
+
+  // -------------------------------------------------------------------
   // Quality-aware survivor selection
 
   /** Quality-aware dedup survivor selection — the policy layer between

@@ -182,4 +182,43 @@ object Select {
       .orderBy(col("key_fp").desc, id)
       .limit(k)
   }
+
+  /** Host-level reputation filtering — the C4/RefinedWeb URL-hygiene
+    * pass: drop every document whose HOST (registrable domain of its
+    * URL, www-stripped) is either on an explicit blocklist or has a
+    * measured mean quality below `minMeanQFp` (1e-6 fixed-point) over
+    * at least `minDocs` documents. Source-level, not document-level:
+    * a spam farm's individually-plausible pages all fall with the
+    * host, and a good host's one bad page survives for the doc-level
+    * filters to judge.
+    *
+    * Adds a `host` column to the surviving rows. Scale shape: host
+    * extraction and quality are map-side projections; the reputation
+    * rollup is ONE host-keyed aggregation (map-side combined, host
+    * cardinality ≪ corpus); the bad-host set — rarer still — rides a
+    * broadcast anti-join, so the corpus itself never shuffles. The
+    * mean test cross-multiplies exact fixed-point longs
+    * (`sum_fp < minMeanQFp · n`), no float division anywhere.
+    */
+  def hostReputationFilter(docs: DataFrame,
+      url: org.apache.spark.sql.Column,
+      quality: org.apache.spark.sql.Column,
+      blocklist: Seq[String], minDocs: Long,
+      minMeanQFp: Long): DataFrame = {
+    require(minDocs >= 1, "hostReputationFilter: minDocs must be >= 1")
+    val withHost = docs
+      .withColumn("host", graft.functions.url.domainWithoutWWW(url))
+      .withColumn("__hq_fp", round(quality * 1e6d).cast("long"))
+    val stats = withHost.groupBy(col("host"))
+      .agg(count(lit(1)).as("__hn"), sum(col("__hq_fp")).as("__hs"))
+    val badPred =
+      if (blocklist.isEmpty)
+        col("__hn") >= minDocs && col("__hs") < lit(minMeanQFp) * col("__hn")
+      else
+        col("host").isin(blocklist: _*) ||
+          (col("__hn") >= minDocs && col("__hs") < lit(minMeanQFp) * col("__hn"))
+    val bad = stats.filter(badPred).select(col("host"))
+    withHost.join(broadcast(bad), Seq("host"), "left_anti")
+      .drop("__hq_fp")
+  }
 }

@@ -3746,9 +3746,69 @@ object PipelineQueries {
                  + 0.1 * non_ascii_ratio, 6) AS noise_score
       FROM m ORDER BY doc_id LIMIT 200"""))
 
+  // ---------------------------------------------------------------------
+  // X90: Host-level reputation filtering (the C4/RefinedWeb URL-hygiene
+  // pass): drop every doc whose host is blocklisted or measures a mean
+  // quality below 0.53 over >= 10 docs. The fixture derives a URL from
+  // the source column in both engines (host = source.example.com after
+  // www-stripping — the URL parse itself is q74's oracle-checked
+  // surface); the compared output is the per-host rollup of SURVIVING
+  // docs, so both the reputation decision and the doc-level anti-join
+  // membership are hashed. Scale + fixed-point rationale on
+  // [[graft.operators.Select.hostReputationFilter]].
+  val q181HostReputationFilter = QueryDef(
+    "q181_host_reputation_filter",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/p/"), col("doc_id"), lit("?ref=rss")))
+      graft.operators.Select.hostReputationFilter(docs, col("url"),
+          text.qualityScore(col("text")),
+          blocklist = Seq("src3.example.com"),
+          minDocs = 10, minMeanQFp = 530000L)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("host"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), q AS (
+        SELECT doc_id, source || '.example.com' AS host,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN length(norm) > 0
+                       THEN (length(norm) - length(regexp_replace(norm,
+                            '[^a-z0-9 ]', '', 'g'))) / length(norm)
+                       ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, x -> x IN
+                            ('the','a','and','of','to','in','is')))
+                            / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END), 6) AS qual
+        FROM t
+      ), st AS (
+        SELECT host, count(*) AS hn,
+               sum(CAST(round(qual * 1000000.0) AS BIGINT)) AS hs
+        FROM q GROUP BY host
+      ), bad AS (
+        SELECT host FROM st
+        WHERE host = 'src3.example.com'
+           OR (hn >= 10 AND hs < 530000 * hn)
+      )
+      SELECT host, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM q WHERE host NOT IN (SELECT host FROM bad)
+      GROUP BY host ORDER BY host"""))
+
   val defs: Seq[QueryDef] = Seq(
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
+    q181HostReputationFilter,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,

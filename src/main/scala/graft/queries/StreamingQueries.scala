@@ -1019,10 +1019,86 @@ object StreamingQueries {
              CAST(max(st // 24) AS BIGINT) AS max_idx
       FROM g GROUP BY 1 ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------------
+  // X89: STREAMING near-dup intake gate — MinHash-LSH dedup of an
+  // incoming document stream against a static index of the existing
+  // corpus, in foreachBatch with ZERO streaming state (q71/q155 gate
+  // on exact fingerprints; this is the near-dup upgrade). Fixture:
+  // even doc_ids are the indexed "existing corpus", odd doc_ids replay
+  // as the incoming stream; an incoming doc is dropped iff it is an
+  // exact-verified J >= 0.5 near-dup of ANY indexed doc. The oracle
+  // recomputes the cross-parity ground-truth pairs with the inverted
+  // shingle index (LSH recall at this corpus's J >= 0.9 dup pairs is
+  // ~1, the q22 envelope) and aggregates the surviving odd docs.
+  val q180StreamNearDupGate = QueryDef(
+    "q180_stream_neardup_gate",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q180_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      // the index persists across every micro-batch — build once,
+      // localCheckpoint so the stream does not re-plan it per batch
+      val index = Dedup.buildNearDupIndex(existing, "doc_id", "text")
+        .localCheckpoint()
+      incoming.repartition(3).write.parquet(s"$base/src")
+      val q = s.readStream.schema(docs.schema).parquet(s"$base/src")
+        .writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          Dedup.nearDupGateBatch(batch, index, "doc_id", "text")
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), s AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                        for i in range(1, len(toks) - 1)])
+                    ELSE [] END AS sh
+        FROM t
+      ),
+      e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      inter AS (
+        SELECT a.doc_id AS oid, b.doc_id AS eid, count(*) AS n_inter
+        FROM e a JOIN e b ON a.g = b.g
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2
+      ), sz AS (SELECT doc_id, len(sh) AS n FROM s),
+      kill AS (
+        SELECT DISTINCT i.oid FROM inter i
+        JOIN sz sa ON sa.doc_id = i.oid
+        JOIN sz sb ON sb.doc_id = i.eid
+        WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.5
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM documents d
+      WHERE d.doc_id % 2 = 1
+        AND d.doc_id NOT IN (SELECT oid FROM kill)
+      GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
       q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake,
       q114BlueGreenMvSwap, q117StreamLmGate, q128StreamChunks,
-      q158StreamBigramGate, q168StreamCleanIntake)
+      q158StreamBigramGate, q168StreamCleanIntake,
+      q180StreamNearDupGate)
 }

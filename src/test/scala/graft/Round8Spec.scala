@@ -92,6 +92,66 @@ class Round8Spec extends SparkSpec {
     assert(got == Set((1L, 4L, 4L, 1.0), (2L, 1L, 4L, 0.25)))
   }
 
+  test("nearDupGateBatch drops verified near-dups of indexed docs, " +
+      "keeps novel and sub-threshold docs") {
+    val existing = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildNearDupIndex(existing, "doc_id", "text")
+    val batch = Seq(
+      // near-identical to doc 2 (one token changed): dropped
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      // identical to doc 2: dropped
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // unrelated: survives
+      (7L, "one two three four five six seven eight nine ten"),
+      // too short for any shingle: survives by construction
+      (9L, "hi"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDupGateBatch(batch, index, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(7L, 9L))
+  }
+
+  test("nearDupGateBatch: LSH collision without exact-Jaccard match " +
+      "cannot drop a doc") {
+    // same first 3 tokens (shared shingle -> possible band collision
+    // at 1-row bands), but J = 1/13 far below 0.5
+    val existing = Seq(
+      (2L, "a b c p q r s t u v w")).toDF("doc_id", "text")
+    val index = Dedup.buildNearDupIndex(existing, "doc_id", "text",
+      numHashes = 16, bands = 16)
+    val batch = Seq(
+      (3L, "a b c x y z k l m n o")).toDF("doc_id", "text")
+    val kept = Dedup.nearDupGateBatch(batch, index, "doc_id", "text",
+        numHashes = 16, bands = 16)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
+  test("hostReputationFilter drops blocklisted and low-quality hosts, " +
+      "keeps the rest with a host column") {
+    import graft.operators.Select
+    val good = ("the of and to in is a " * 20).trim // high quality
+    val bad = "x@#$%" // low quality
+    val docs = (1L to 12L).map(i =>
+        (i, s"https://www.good.example.com/p/$i", good)) ++
+      (21L to 32L).map(i =>
+        (i, s"https://spam.example.com/p/$i", bad)) ++
+      Seq((41L, "https://blocked.example.com/p/41", good)) ++
+      // below minDocs: low quality but too few docs to judge
+      Seq((51L, "https://tiny.example.com/p/51", bad))
+    val df = docs.toDF("doc_id", "url", "text")
+    val kept = Select.hostReputationFilter(df, $"url",
+        text.qualityScore($"text"),
+        blocklist = Seq("blocked.example.com"),
+        minDocs = 10, minMeanQFp = 530000L)
+      .select($"host", $"doc_id").as[(String, Long)].collect()
+    val hosts = kept.map(_._1).toSet
+    assert(hosts == Set("good.example.com", "tiny.example.com"))
+    assert(kept.count(_._1 == "good.example.com") == 12)
+  }
+
   test("charset noise: replacement chars, control chars and accents " +
       "score as designed") {
     val rows = Seq(
