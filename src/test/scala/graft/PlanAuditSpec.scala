@@ -251,4 +251,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(__bl_id".r.findAllIn(p).size == 0, p)
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 0, p)
   }
+
+  test("q175: paragraph dedup joins stay equi (no cartesian/nested " +
+      "loop), rebuild is join-then-project, not regroup") {
+    val p = plan("q175_paragraph_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q177: TF-IDF top-k trims map-side via WindowGroupLimit") {
+    val p = plan("q177_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q178: contamination fraction keeps both bench joins broadcast " +
+      "— the corpus side never sort-merge-shuffles against the eval set") {
+    val p = plan("q178_contamination_fraction")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q181: the bad-host set anti-joins via broadcast — the corpus " +
+      "is never shuffled for the filter") {
+    val p = plan("q181_host_reputation_filter")
+    val broadcastAnti = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(broadcastAnti, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
