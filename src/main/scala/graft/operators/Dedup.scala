@@ -1160,6 +1160,56 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Corpus-level source overlap
+
+  /** EXACT pairwise shingle-set overlap between SOURCES — the
+    * corpus-composition report ("how much does source A repeat source
+    * B") that drives mixture weights, crawl-dedup priorities, and
+    * licensing audits: per (src_a < src_b), the distinct-shingle
+    * intersection, union, and Jaccard of the sources' pooled shingle
+    * sets.
+    *
+    * Scale shape: ONE corpus-sized shuffle builds the distinct
+    * (source, shingle) table; per-shingle source lists are bounded by
+    * the SOURCE count (guarded by `maxSources`), pair expansion
+    * happens in-expression inside that bound, and the rollup output is
+    * sources² rows. Nothing corpus-sized survives past the distinct.
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      shingleN: Int = 3, maxSources: Int = 4096): DataFrame = {
+    import graft.functions.text
+    val ss = docs
+      .select(col(s"`$srcCol`").as("__so_src"),
+        explode(text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN))
+          .as("__so_g"))
+      .distinct()
+    val nSrc = ss.select(col("__so_src")).distinct()
+      .limit(maxSources + 1).count()
+    require(nSrc <= maxSources,
+      s"sourceOverlap: more than $maxSources sources — per-shingle " +
+        "source lists would not stay bounded; raise maxSources " +
+        "deliberately or pre-bucket sources")
+    val sz = ss.groupBy(col("__so_src")).agg(count(lit(1)).as("__so_n"))
+    val pairs = ss.groupBy(col("__so_g"))
+      .agg(sort_array(collect_set(col("__so_src"))).as("__so_ss"))
+      .filter(size(col("__so_ss")) > 1)
+      .select(explode(flatten(transform(col("__so_ss"), (a, i) =>
+        transform(slice(col("__so_ss"), i + 2, size(col("__so_ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(broadcast(sz.select(col("__so_src").as("src_a"),
+        col("__so_n").as("__na"))), "src_a")
+      .join(broadcast(sz.select(col("__so_src").as("src_b"),
+        col("__so_n").as("__nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        (col("__na") + col("__nb") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double") /
+          (col("__na") + col("__nb") - col("n_inter")), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------------
   // Streaming near-dup intake gate (static LSH index + per-batch gate)
 
   /** Static LSH index over a known corpus for STREAMING intake gating:

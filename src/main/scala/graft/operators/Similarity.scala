@@ -464,4 +464,60 @@ object Similarity {
       .select(col("probe_id"), col("id"), col("sim"))
     topKPerKey(scored, "probe_id", k)
   }
+
+  /** Domain-similarity map: the pairwise cosine between per-GROUP
+    * embedding centroids — which data domains/sources/clusters are
+    * semantically close (mixture design, domain weighting, split
+    * stratification all read this table).
+    *
+    * Exactness discipline: a float centroid sums partials in shuffle
+    * order, so the last rounded digit of a naive cosine can differ
+    * run-to-run and engine-to-engine. Here every per-dimension sum is
+    * an EXACT fixed-point long (round(x·1e6)), the centroid snaps to
+    * round(sum/n) longs, and dot/norms fold those longs with exact
+    * integer arithmetic (components ≤ ~1e7 → dot ≤ ~1e16, inside
+    * int64), so the single cosine division at the end sees
+    * bit-identical inputs everywhere.
+    *
+    * Scale shape: one (group, dim) aggregation — cardinality = groups
+    * × dims, corpus-independent — then an all-pairs join of the
+    * GROUP-count-sized centroid table (groups², tiny by premise; this
+    * is the one deliberate small cross product in the library, and it
+    * never touches corpus rows).
+    */
+  def labelCentroidCosines(vecs: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val sums = vecs
+      .select(col(s"`$labelCol`").as("__lc_l"),
+        posexplode(col(s"`$vecCol`")).as(Seq("__lc_d", "__lc_x")))
+      .groupBy(col("__lc_l"), col("__lc_d"))
+      .agg(sum(round(col("__lc_x").cast("double") * 1e6d).cast("long"))
+          .as("__lc_s"),
+        count(lit(1)).as("__lc_n"))
+    val cents = sums
+      .withColumn("__lc_c",
+        round(col("__lc_s").cast("double") / col("__lc_n")).cast("long"))
+      .groupBy(col("__lc_l"))
+      .agg(
+        transform(array_sort(collect_list(
+            struct(col("__lc_d"), col("__lc_c")))),
+          s => s.getField("__lc_c")).as("__lc_v"),
+        max(col("__lc_n")).as("__lc_nn"))
+    def sq(v: Column): Column =
+      aggregate(v, lit(0L), (acc, x) => acc + x * x)
+    val a = cents.select(col("__lc_l").as("label_a"),
+      col("__lc_v").as("__ca"), col("__lc_nn").as("n_a"))
+    val b = cents.select(col("__lc_l").as("label_b"),
+      col("__lc_v").as("__cb"), col("__lc_nn").as("n_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("__dot", aggregate(
+        zip_with(col("__ca"), col("__cb"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("label_a"), col("label_b"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        round(col("__dot").cast("double") /
+          (sqrt(sq(col("__ca")).cast("double")) *
+            sqrt(sq(col("__cb")).cast("double"))), 6).as("cos"))
+  }
 }

@@ -3805,10 +3805,98 @@ object PipelineQueries {
       FROM q WHERE host NOT IN (SELECT host FROM bad)
       GROUP BY host ORDER BY host"""))
 
+  // ---------------------------------------------------------------------
+  // X91: Exact pairwise source-overlap matrix — the corpus-composition
+  // report behind mixture weights and crawl-dedup priorities. One
+  // distinct (source, shingle) shuffle; per-shingle source lists are
+  // source-count bounded; output is sources^2. The oracle recomputes
+  // every pair's intersection/union with the inverted shingle index.
+  val q182SourceOverlap = QueryDef(
+    "q182_source_overlap",
+    (s, dir) =>
+      Dedup.sourceOverlap(Graft.table(s, dir, "documents"),
+          "source", "text", shingleN = 3)
+        .orderBy(col("src_a"), col("src_b")),
+    Some("""
+      WITH t AS (
+        SELECT source,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT source,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                        for i in range(1, len(toks) - 1)])
+                    ELSE [] END AS sh
+        FROM t
+      ), e AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh),
+      sz AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        FROM e a JOIN e b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+      )
+      SELECT i.src_a, i.src_b,
+             CAST(i.n_inter AS BIGINT) AS n_inter,
+             CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+             round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sz sa ON sa.source = i.src_a
+      JOIN sz sb ON sb.source = i.src_b
+      ORDER BY src_a, src_b"""))
+
+  // ---------------------------------------------------------------------
+  // X92: Domain-similarity map — pairwise cosine between per-label
+  // embedding centroids. Fixed-point per-dim sums and integer
+  // dot/norm folds keep the compared cosine bit-identical across
+  // engines (a float centroid's shuffle-order summation would not be);
+  // the only cross product is the label-count-sized centroid table.
+  val q183LabelCentroidCosines = QueryDef(
+    "q183_label_centroid_cosines",
+    (s, dir) =>
+      Similarity.labelCentroidCosines(
+          Graft.table(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label_a"), col("label_b")),
+    Some("""
+      WITH d AS (
+        SELECT label, u.i AS dim,
+               CAST(embedding[u.i] AS DOUBLE) AS x
+        FROM embeddings,
+             unnest(range(1, len(embedding) + 1)) AS u(i)
+      ), sums AS (
+        SELECT label, dim,
+               CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT)
+                 AS s_fp,
+               count(*) AS n
+        FROM d GROUP BY 1, 2
+      ), c AS (
+        SELECT label, dim,
+               CAST(round(s_fp / CAST(n AS DOUBLE)) AS BIGINT) AS c_fp,
+               n
+        FROM sums
+      ), dt AS (
+        SELECT x.label AS label_a, y.label AS label_b,
+               CAST(sum(x.c_fp * y.c_fp) AS BIGINT) AS dp
+        FROM c x JOIN c y ON x.dim = y.dim AND x.label < y.label
+        GROUP BY 1, 2
+      ), nrm AS (
+        SELECT label, CAST(sum(c_fp * c_fp) AS BIGINT) AS nn,
+               max(n) AS n
+        FROM c GROUP BY label
+      )
+      SELECT d.label_a, d.label_b,
+             CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+             round(d.dp / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos
+      FROM dt d
+      JOIN nrm na ON na.label = d.label_a
+      JOIN nrm nb ON nb.label = d.label_b
+      ORDER BY label_a, label_b"""))
+
   val defs: Seq[QueryDef] = Seq(
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
-    q181HostReputationFilter,
+    q181HostReputationFilter, q182SourceOverlap,
+    q183LabelCentroidCosines,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,

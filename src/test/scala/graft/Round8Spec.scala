@@ -152,6 +152,37 @@ class Round8Spec extends SparkSpec {
     assert(kept.count(_._1 == "good.example.com") == 12)
   }
 
+  test("sourceOverlap pools distinct shingles per source and reports " +
+      "exact intersection/union/Jaccard") {
+    val docs = Seq(
+      (1L, "x", "a b c d"),  // shingles {a b c, b c d}
+      (2L, "x", "a b c"),    // duplicate shingle pools away
+      (3L, "y", "b c d e"),  // {b c d, c d e}
+      (4L, "z", "p q r s"))  // {p q r, q r s} — disjoint from x/y
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text")
+      .select($"src_a", $"src_b", $"n_inter", $"n_union", $"jaccard")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("x", "y", 1L, 3L, 0.333333)))
+  }
+
+  test("labelCentroidCosines: orthogonal and diagonal centroids give " +
+      "cos 0 and 1/sqrt(2)") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0, Seq(1f, 0f)), (0, Seq(1f, 0f)),
+      (1, Seq(0f, 1f)),
+      (2, Seq(1f, 1f)))
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroidCosines(vecs, "label", "embedding")
+      .select($"label_a", $"label_b", $"cos")
+      .as[(Int, Int, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got((0, 1)) == 0.0)
+    assert(got((0, 2)) == 0.707107)
+    assert(got((1, 2)) == 0.707107)
+  }
+
   test("charset noise: replacement chars, control chars and accents " +
       "score as designed") {
     val rows = Seq(
