@@ -129,7 +129,15 @@ object Bench {
           // BPE encode: merge folds run on the vocab-bounded word
           // table; the corpus side is one join + one doc-keyed
           // reassembly shuffle — linear in tokens
-          "q156_bpe_encode")
+          "q156_bpe_encode",
+          // round-8 leg: paragraph dedup (one paragraph-keyed shuffle
+          // + id-keyed drop-list join), TF-IDF keywords (posting
+          // aggregation + vocab-bounded df join + WindowGroupLimit),
+          // source-overlap matrix (one distinct (source,shingle)
+          // shuffle) — each linear in corpus tokens, so the 10x
+          // curves should track token count
+          "q175_paragraph_dedup", "q177_tfidf_keywords",
+          "q182_source_overlap")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

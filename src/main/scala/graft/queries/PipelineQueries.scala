@@ -3536,7 +3536,8 @@ object PipelineQueries {
              CAST(length(array_to_string(list_filter(parts,
                   p -> NOT list_contains(drops, trim(p))),
                   chr(10) || chr(10))) AS BIGINT) AS clean_len
-      FROM rb ORDER BY doc_id LIMIT 150"""))
+      FROM rb ORDER BY doc_id LIMIT 150"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X85: Quality-aware dedup survivor selection — within every near-dup
@@ -3641,7 +3642,8 @@ object PipelineQueries {
       SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
              round(score_fp / 1000000.0, 6) AS tfidf
       FROM r WHERE rank <= 5 AND doc_id < 100
-      ORDER BY doc_id, rank"""))
+      ORDER BY doc_id, rank"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X87: Contamination overlap FRACTION — the graded upgrade of q73's
@@ -3843,7 +3845,8 @@ object PipelineQueries {
       FROM inter i
       JOIN sz sa ON sa.source = i.src_a
       JOIN sz sb ON sb.source = i.src_b
-      ORDER BY src_a, src_b"""))
+      ORDER BY src_a, src_b"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X92: Domain-similarity map — pairwise cosine between per-label
@@ -3892,11 +3895,170 @@ object PipelineQueries {
       JOIN nrm nb ON nb.label = d.label_b
       ORDER BY label_a, label_b"""))
 
+  // ---------------------------------------------------------------------
+  // X93: The round-8 ops composed as ONE cleaning pipeline — the
+  // preprocessing chain a production training-data run executes:
+  //   raw → charset-noise gate (X88) → host reputation filter (X90)
+  //       → cross-doc paragraph dedup (X84) → quality floor
+  //       → exact prefix-key dedup (X1) → per-lang rollup.
+  // Every stage's survivor set feeds the next, so stage ORDER is part
+  // of the compared surface (host stats are computed over denoised
+  // docs; paragraph owners over host-approved docs; the quality floor
+  // reads the CLEANED text). The fixture injects U+FFFD noise on
+  // doc_id % 5 == 0 (noise exactly 0 for everyone else — the gate
+  // boundary is nowhere near a rounding edge) and the q175 shared-
+  // quote paragraphs in both engines.
+  val q184CleanPipelineE2e = QueryDef(
+    "q184_clean_pipeline_e2e",
+    (s, dir) => {
+      import graft.operators.Select
+      val raw = Graft.table(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/p/"), col("doc_id")))
+        .withColumn("text", concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" ��� corrupted �")).otherwise(lit("")),
+          lit("\n\nshared quote number "), pmod(col("doc_id"), lit(7)),
+          lit(" about data pipelines\n\nunique tail "), col("doc_id")))
+      val denoised = raw
+        .filter(text.charsetNoiseScore(col("text")) <= 0.1)
+      val hosted = Select.hostReputationFilter(denoised, col("url"),
+        text.qualityScore(col("text")),
+        blocklist = Seq("src3.example.com"),
+        minDocs = 10, minMeanQFp = 530000L)
+      val deduped = Dedup.dedupParagraphs(hosted, "doc_id", "text")
+      val qualified = deduped
+        .filter(text.qualityScore(col("text")) >= 0.45)
+      val uniq = Dedup.exactDedup(qualified,
+        text.prefixKey(text.tokenize(col("text")), 10), "doc_id")
+      uniq.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(length(col("text"))).cast("long").as("len_sum"),
+          sum(col("dup_count")).cast("long").as("docs_in"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang, source,
+               text ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' ' || chr(65533) || chr(65533) || chr(65533) ||
+                         ' corrupted ' || chr(65533)
+                    ELSE '' END ||
+               chr(10) || chr(10) || 'shared quote number ' ||
+                 (doc_id % 7) || ' about data pipelines' ||
+               chr(10) || chr(10) || 'unique tail ' || doc_id AS text
+        FROM documents
+      ), noise AS (
+        SELECT doc_id,
+               round(0.6 * least(
+                   len(regexp_extract_all(text, chr(65533))) / 5.0, 1.0)
+                 + 0.3 * least(round(CASE WHEN length(text) > 0
+                     THEN len(regexp_extract_all(text,
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]'))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6)
+                     * 10.0, 1.0)
+                 + 0.1 * round(CASE WHEN length(text) > 0
+                     THEN len(regexp_extract_all(text,
+                       '[^\x09\x0a\x20-\x7e]'))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6),
+                 6) AS ns
+        FROM base
+      ), s1 AS (
+        SELECT b.* FROM base b JOIN noise USING (doc_id)
+        WHERE noise.ns <= 0.1
+      ), q1 AS (
+        SELECT doc_id,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN length(norm) > 0
+                       THEN (length(norm) - length(regexp_replace(norm,
+                            '[^a-z0-9 ]', '', 'g'))) / length(norm)
+                       ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, x -> x IN
+                            ('the','a','and','of','to','in','is')))
+                            / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END), 6) AS qual
+        FROM (SELECT doc_id,
+                regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM s1)
+      ), hosts AS (
+        SELECT s1.source || '.example.com' AS host,
+               count(*) AS hn,
+               sum(CAST(round(q1.qual * 1000000.0) AS BIGINT)) AS hs
+        FROM s1 JOIN q1 USING (doc_id)
+        GROUP BY 1
+      ), bad AS (
+        SELECT host FROM hosts
+        WHERE host = 'src3.example.com' OR (hn >= 10 AND hs < 530000 * hn)
+      ), s2 AS (
+        SELECT * FROM s1
+        WHERE source || '.example.com' NOT IN (SELECT host FROM bad)
+      ), pe AS (
+        SELECT DISTINCT doc_id, trim(p) AS pt
+        FROM s2, unnest(string_split(text, chr(10) || chr(10))) AS u(p)
+        WHERE length(trim(p)) > 0
+      ), own AS (
+        SELECT pt, min(doc_id) AS owner
+        FROM pe GROUP BY pt HAVING count(*) >= 2
+      ), dr AS (
+        SELECT pe.doc_id, list(pe.pt) AS drops
+        FROM pe JOIN own ON own.pt = pe.pt AND own.owner <> pe.doc_id
+        GROUP BY pe.doc_id
+      ), s3 AS (
+        SELECT s2.doc_id, s2.lang,
+               coalesce(array_to_string(list_filter(
+                 string_split(s2.text, chr(10) || chr(10)),
+                 p -> NOT list_contains(coalesce(dr.drops, []), trim(p))),
+                 chr(10) || chr(10)), '') AS text
+        FROM s2 LEFT JOIN dr ON dr.doc_id = s2.doc_id
+      ), q2 AS (
+        SELECT doc_id,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN length(norm) > 0
+                       THEN (length(norm) - length(regexp_replace(norm,
+                            '[^a-z0-9 ]', '', 'g'))) / length(norm)
+                       ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, x -> x IN
+                            ('the','a','and','of','to','in','is')))
+                            / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END), 6) AS qual
+        FROM (SELECT doc_id,
+                regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM s3)
+      ), s4 AS (
+        SELECT s3.* FROM s3 JOIN q2 USING (doc_id)
+        WHERE q2.qual >= 0.45
+      ), keyed AS (
+        SELECT doc_id, lang, text,
+               array_to_string((regexp_split_to_array(lower(trim(text)),
+                 '\s+'))[1:10], ' ') AS key
+        FROM s4
+      ), g AS (
+        SELECT key, min(doc_id) AS rep, count(*) AS c
+        FROM keyed GROUP BY key
+      ), reps AS (
+        SELECT k.lang, k.doc_id, k.text, g.c
+        FROM g JOIN keyed k ON k.doc_id = g.rep
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(length(text)) AS BIGINT) AS len_sum,
+             CAST(sum(c) AS BIGINT) AS docs_in
+      FROM reps GROUP BY lang ORDER BY lang"""),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,
-    q183LabelCentroidCosines,
+    q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
