@@ -1209,6 +1209,53 @@ object Dedup {
           (col("__na") + col("__nb") - col("n_inter")), 6).as("jaccard"))
   }
 
+  /** SKETCH estimate of [[sourceOverlap]] — the shape that holds when
+    * per-source shingle sets no longer fit anything: each source keeps
+    * only a `numHashes`-element MinHash signature of its POOLED
+    * distinct-shingle set (union sketch: elementwise min over member
+    * shingles), and pairwise Jaccard is estimated as the fraction of
+    * agreeing signature slots (stderr ≈ sqrt(J(1-J)/H)).
+    *
+    * Scale shape: the (source, slot, hash) explosion is map-side and
+    * PARTIALLY AGGREGATED before the shuffle — each mapper emits at
+    * most sources × numHashes min-candidates regardless of corpus
+    * size, so the one shuffle is mapper-count-bounded, and the pair
+    * comparison runs on the sources²-sized signature table. Exact and
+    * estimate agree at the extremes by construction (identical sets →
+    * identical signatures → 1.0; disjoint hash-free sets → ~0);
+    * `Round8Props` pins the error envelope. The exact form is the
+    * oracle-comparable reference; this is the flagged 100 TB variant.
+    */
+  def sourceOverlapSketch(docs: DataFrame, srcCol: String,
+      textCol: String, shingleN: Int = 3,
+      numHashes: Int = 128): DataFrame = {
+    import graft.functions.text
+    val ss = docs
+      .select(col(s"`$srcCol`").as("__sk_src"),
+        explode(text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN))
+          .as("__sk_g"))
+    val slots = ss.select(col("__sk_src"),
+        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
+          i => xxhash64(i, col("__sk_g")))).as(Seq("__sk_i", "__sk_h")))
+      .groupBy(col("__sk_src"), col("__sk_i"))
+      .agg(min(col("__sk_h")).as("__sk_m"))
+    val sigs = slots.groupBy(col("__sk_src"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("__sk_i"), col("__sk_m")))),
+        s => s.getField("__sk_m")).as("__sk_sig"))
+    val a = sigs.select(col("__sk_src").as("src_a"),
+      col("__sk_sig").as("__sa"))
+    val b = sigs.select(col("__sk_src").as("src_b"),
+      col("__sk_sig").as("__sb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(aggregate(
+          zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / numHashes, 6)
+          .as("jaccard_est"))
+  }
+
   // -------------------------------------------------------------------
   // Streaming near-dup intake gate (static LSH index + per-batch gate)
 
