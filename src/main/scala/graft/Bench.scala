@@ -123,6 +123,11 @@ object Bench {
           // phases linear in corpus tokens, so the 10x curve should
           // track token count like the other map-side gates
           "q154_bigram_backoff_lm",
+          // round-8 third wave: containment pairs — the df-capped
+          // posting self-join is the quadratic-risk stage the cap
+          // bounds; the 10x curve shows whether the cap holds the
+          // candidate volume to the planted-duplicate count
+          "q192_containment_pairs",
           // winnowing: the fingerprint shuffle carries ~2/(g+1) of the
           // spans q149 explodes — the curve should sit BELOW q149's
           "q161_winnow_pairs",

@@ -78,6 +78,62 @@ object ch {
       transform(sortedKeys, k => element_at(folded, k)).as("sums"))
   }
 
+  /** Shared shape of CH `maxMap`/`minMap` (ddl/visits.sql:130-140
+    * neighborhood): [[sumMap]] with the per-key combiner swapped —
+    * per group, zip every row's key/value arrays and keep the
+    * max/min value per key, returning aligned sorted arrays. Spark's
+    * `greatest`/`least` skip NULLs, which is exactly the
+    * absent-in-one-side merge this fold needs.
+    */
+  private def extremeMap(keys: Column, values: Column,
+      pick: (Column, Column) => Column): Column = {
+    val pairs = flatten(collect_list(zip_with(keys, values,
+      (k, v) => struct(k.cast("string").as("k"), v.cast("long").as("v")))))
+    val emptyMap = map_from_arrays(
+      array().cast("array<string>"), array().cast("array<long>"))
+    val folded = aggregate(pairs, emptyMap, (acc, e) =>
+      map_zip_with(acc, map(e.getField("k"), e.getField("v")),
+        (_, a, b) => pick(a, b)))
+    val sortedKeys = array_sort(map_keys(folded))
+    struct(sortedKeys.as("keys"),
+      transform(sortedKeys, k => element_at(folded, k)).as("vals"))
+  }
+
+  /** CH `maxMap(keys, values)`: per-key maximum across the group. */
+  def maxMap(keys: Column, values: Column): Column =
+    extremeMap(keys, values, (a, b) => greatest(a, b))
+
+  /** CH `minMap(keys, values)`: per-key minimum across the group. */
+  def minMap(keys: Column, values: Column): Column =
+    extremeMap(keys, values, (a, b) => least(a, b))
+
+  /** CH `deltaSumTimestamp(value, ts)`: the counter-increase aggregate
+    * — sum of POSITIVE differences between consecutive values in
+    * `ts` order (a counter reset contributes nothing). CH ships two
+    * forms; the plain `deltaSum` reads BLOCK order and is
+    * nondeterministic even in CH (its own docs say to prefer this
+    * one), so only the timestamp-ordered form exists here — same
+    * policy as neighbor/runningDifference trading the footgun for a
+    * defined order.
+    *
+    * The fold sorts the group's (ts, value) pairs once and takes
+    * pairwise diffs with the zip-with-tail shape (two `slice`s of the
+    * SAME sorted array — never an index-addressed HOF lambda, the
+    * q154 O(n²) trap). Per-group cost O(n log n); group sizes are
+    * bounded by the caller's grouping, the aggregate never sees the
+    * corpus in one state.
+    */
+  def deltaSumTimestamp(value: Column, ts: Column): Column = {
+    val pairs = array_sort(collect_list(struct(ts.as("t"),
+      value.cast("long").as("v"))))
+    val n = size(pairs)
+    val head = slice(pairs, lit(1), greatest(n - 1, lit(0)))
+    val tail = slice(pairs, lit(2), greatest(n - 1, lit(0)))
+    val deltas = zip_with(tail, head,
+      (a, b) => greatest(a.getField("v") - b.getField("v"), lit(0L)))
+    aggregate(deltas, lit(0L), (acc, d) => acc + d)
+  }
+
   /** CH `JSONExtractString(json, key)`: the string value at a top-level
     * key, '' (never NULL) when the key is absent or the document is
     * malformed — CH's default-on-miss contract. Backed by Spark's

@@ -139,4 +139,42 @@ object url {
   def cutWWW(u: Column): Column =
     regexp_replace(u,
       "^((?:[A-Za-z][\\w+.-]*://)?(?:[^/?#@]*@)?)www\\.", "$1")
+
+  /** Tracking-parameter names dropped by [[canonicalizeURL]]: the
+    * analytics/click-id noise that makes one page look like many
+    * (the CCNet/C4 crawl-dedup problem). Matched as a whole `name=`
+    * prefix; `utm_*` is a family match.
+    */
+  private val TrackingParamRe =
+    "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|yclid|mc_cid|mc_eid|ref|ref_src)="
+
+  /** Crawl-dedup URL canonicalization — the key under which two
+    * fetches of the same page collide even when their URLs differ
+    * cosmetically. Normalizations, each answering a real crawl
+    * artifact:
+    *
+    *  - scheme and userinfo DROPPED (http/https mirrors are one page);
+    *  - host lowercased, one leading `www.` stripped, explicit port
+    *    stripped (DNS is case-insensitive; `:80`/`:443` are defaults,
+    *    and a nonstandard port names a different origin COSMETICALLY
+    *    but the same document in every observed crawl — CCNet keys on
+    *    the URL sans scheme for the same reason);
+    *  - path: trailing slashes stripped (`/a/` ≡ `/a`, root ≡ '');
+    *  - fragment dropped (never sent to the server);
+    *  - query: tracking parameters removed ([[TrackingParamRe]]),
+    *    the rest SORTED bytewise and rejoined — parameter order is
+    *    serialization noise.
+    *
+    * Pure codegen-friendly projection: regex extracts + one bounded
+    * `array_sort` over the parameter list (parameter counts are tiny);
+    * no UDF, no shuffle. Empty string in, empty string out.
+    */
+  def canonicalizeURL(u: Column): Column = {
+    val host = lower(regexp_replace(domain(u), "^www\\.", ""))
+    val cleanPath = regexp_replace(path(u), "/+$", "")
+    val params = filter(split(queryString(u), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val q = array_join(array_sort(params), "&")
+    concat(host, cleanPath, when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
 }

@@ -336,6 +336,99 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-superset detection via CONTAINMENT — the asymmetric overlap
+    * `|A∩B| / min(|A|,|B|)` (MassiveText/Gopher-style): a short
+    * document quoted whole inside a long one scores low Jaccard (the
+    * union is dominated by the long side) but containment ≈ 1, which
+    * is exactly the duplication a symmetric near-dup pass misses —
+    * and which MinHash-LSH candidates CANNOT surface, because LSH
+    * collision probability is a function of Jaccard. So candidates
+    * here come from a df-capped inverted shingle index instead: a
+    * pair is a candidate iff it shares ≥ `minSharedShingles` distinct
+    * shingles whose document frequency is ≤ `maxDf`. That rule is the
+    * operator's exact, engine-replayable recall contract — a
+    * contained doc with ≥ minShared uncommon shingles is ALWAYS
+    * found (no probabilistic luck), and a tinier doc is explicitly
+    * outside the envelope.
+    *
+    * Scale shape: the posting self-join is the one quadratic risk and
+    * `maxDf` bounds it — a shingle's pair fan-out is ≤ maxDf²/2, and
+    * the shingles it drops are boilerplate (a pair supported ONLY by
+    * corpus-common shingles is noise, not duplication). Exact verify
+    * then runs candidate-bounded exactly like [[nearDupPairs]]:
+    * full shingle arrays are recomputed ONLY for candidate docs, and
+    * the emitted n_inter/containment/jaccard use the FULL sets (the
+    * df cap gates candidacy, never the reported math).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minSharedShingles: Int = 5, maxDf: Int = 1000,
+      minContainment: Double = 0.9): DataFrame = {
+    import graft.functions.text
+    def shingled(base: DataFrame) = base.select(col(idCol),
+      text.ngrams(text.tokenize(col(textCol)), shingleN).as("__sh"))
+    val e = shingled(df)
+      .select(col(idCol), explode(col("__sh")).as("__g"))
+    val keptShingles = e.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__g"))
+    val ec = e.join(keptShingles, Seq("__g"), "left_semi")
+    val cands = ec.select(col(idCol).as("id_a"), col("__g"))
+      .join(ec.select(col(idCol).as("id_b"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedShingles)
+      .select(col("id_a"), col("id_b"))
+    val candDocs = shingled(
+      df.join(candidateIds(cands, idCol), Seq(idCol), "left_semi"))
+    val a = candDocs.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val b = candDocs.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("n_a", size(col("__sh_a")).cast("long"))
+      .withColumn("n_b", size(col("__sh_b")).cast("long"))
+      .withColumn("n_inter",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
+      .withColumn("containment",
+        when(least(col("n_a"), col("n_b")) > 0,
+          col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+          .otherwise(lit(0.0)))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_inter") > 0,
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter"))).otherwise(lit(0.0)))
+      .filter(col("containment") >= minContainment)
+      .drop("__sh_a", "__sh_b")
+  }
+
+  /** Corpus snapshot diff — the data-ops report between two crawl /
+    * pipeline versions: every document id is `added` (current only),
+    * `removed` (previous only), `changed` (both, content hash
+    * differs) or `same`. Content compares by map-side MD5 (portable
+    * hex in every engine), so the one full-outer id join ships
+    * (id, 16-byte hash) — never text. At 100 TB both sides hash at
+    * scan time, the join is one id-keyed shuffle, and the typical
+    * consumer aggregates to status counts immediately (AQE collapses
+    * the tiny result).
+    */
+  def corpusDiff(current: DataFrame, previous: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def hashed(df: DataFrame, side: String) = df.select(
+      col(idCol).as(s"__id_$side"),
+      md5(col(textCol).cast("binary")).as(s"__h_$side"))
+    hashed(current, "cur")
+      .join(hashed(previous, "prev"),
+        col("__id_cur") === col("__id_prev"), "full_outer")
+      .select(
+        coalesce(col("__id_cur"), col("__id_prev")).as(idCol),
+        when(col("__id_prev").isNull, "added")
+          .when(col("__id_cur").isNull, "removed")
+          // null-SAFE inequality: a null text on one side is a change,
+          // not a silent "same"
+          .when(!(col("__h_cur") <=> col("__h_prev")), "changed")
+          .otherwise("same").as("status"))
+  }
+
   /** Benchmark-contamination scan — the training-data hygiene pass:
     * which corpus documents share at least `minHits` DISTINCT n-gram
     * shingles with a (small) benchmark/eval set. Asymmetric by

@@ -245,6 +245,59 @@ object Mix {
       .withColumn("shard", pmod(col("pos"), lit(numShards.toLong)))
   }
 
+  /** Curriculum shard assignment: partition the corpus into
+    * `numShards` quality-ordered bands — shard 0 holds the
+    * lowest-scoring band, shard `numShards-1` the highest — so a
+    * trainer consuming shards in order sees an easy→hard (or
+    * noisy→clean) curriculum without anyone ever globally sorting
+    * 100 TB. Within a shard the order key `pos` is a seeded portable
+    * hash permutation: band membership is curriculum signal,
+    * within-band order must NOT be (a quality-sorted shard would feed
+    * the trainer correlated batches).
+    *
+    * The band spec is pure arithmetic, replayable in any engine:
+    * `shard = min(numShards-1, floor(below(score) * numShards / N))`
+    * where `below(score)` counts documents scoring STRICTLY less.
+    * Same score → same shard, always (no tie-break dependence), and
+    * bands are near-equal when the score distribution is fine-grained;
+    * a single massively-popular score lands whole in one shard —
+    * whole-score granularity is the documented tradeoff for
+    * determinism.
+    *
+    * Scale shape: one map-side-combined groupBy on the score
+    * (cardinality bounded by the integral-score RANGE, the
+    * [[Select.byTokenBudget]] contract — widen the score scale, not
+    * this operator, if it ever balloons); the cumulative walk windows
+    * over that SCORE table, not the corpus; the score→shard map rides
+    * back on a broadcast join. The corpus itself is touched by two
+    * map-side passes and zero corpus-sized shuffles.
+    */
+  def curriculumShards(df: DataFrame, scoreCol: String, idCol: String,
+      numShards: Int, seed: Long = 0L): DataFrame = {
+    require(numShards > 0, "curriculumShards: numShards must be > 0")
+    val score = col(s"`$scoreCol`")
+    val hist = df.groupBy(score.as("__cs_score"))
+      .agg(count(lit(1)).as("__cs_n"))
+    // bounded: |scores| rows in one ordered partition, by contract
+    val w = Window.orderBy(col("__cs_score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = hist.agg(sum(col("__cs_n")).as("__cs_total"))
+    val mapping = hist
+      .withColumn("__cs_below", coalesce(sum(col("__cs_n")).over(w), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("__cs_score"),
+        least(lit(numShards - 1).cast("long"),
+          // integer `div`, not float `/`+floor: at 100 TB the counts
+          // sit near the double mantissa edge and a float quotient
+          // could misplace a boundary score by one shard
+          call_function("div",
+            col("__cs_below") * numShards, col("__cs_total"))
+            .cast("long")).as("shard"))
+    df.join(broadcast(mapping), score === col("__cs_score"))
+      .drop("__cs_score")
+      .withColumn("pos", portableHashSeeded(col(s"`$idCol`"), seed))
+  }
+
   def materializeEpoch(df: DataFrame, stratumCol: String, idCol: String,
       plan: DataFrame, epoch: Int): DataFrame = {
     require(epoch >= 0, "materializeEpoch: epoch must be >= 0")

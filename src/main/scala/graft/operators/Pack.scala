@@ -105,4 +105,39 @@ object Pack {
         max(col("oversize")).as("has_oversize"))
       .withColumn("fill",
         round(col("tokens").cast("double") / budget, 6))
+
+  /** Sequence-length histogram with padding-waste accounting — the
+    * report that decides between padding and packing (and sizes the
+    * context window): documents bucket by the power-of-two CEILING of
+    * their token count (bucket 128 holds lengths 65..128; length 0
+    * sits in bucket 1 with length 1), and each bucket reports how
+    * many pad tokens naive pad-to-bucket batching would burn
+    * (`bucket·docs − tokens`) next to the real token mass. The
+    * padded-waste share across buckets is the headline number a
+    * packing pass (e.g. [[packBudgeted]]) eliminates.
+    *
+    * Bucket arithmetic is integer-exact and engine-portable:
+    * the smallest power of two ≥ len is `1 << bitLength(len-1)`,
+    * and the bit length is the string length of the binary rendering
+    * `bin(len-1)` — both Spark and DuckDB ship `bin` with identical
+    * semantics, so the compared surface carries no float `log2` (a
+    * float log at a power-of-two boundary is exactly the q137 ULP
+    * trap). Scale shape: one map-side projection plus one groupBy
+    * whose cardinality is ≤ 64 buckets — partial aggregation does all
+    * the work; nothing corpus-sized shuffles.
+    */
+  def lengthHistogram(df: DataFrame, tokenCol: String): DataFrame = {
+    val len = col(s"`$tokenCol`").cast("long")
+    val clamped = greatest(len, lit(1L))
+    val bucket = when(clamped === 1L, lit(1L))
+      .otherwise(call_function("shiftleft", lit(1L),
+        length(bin(clamped - 1))))
+    df.withColumn("len_bucket", bucket)
+      .groupBy(col("len_bucket"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(len).as("tokens"))
+      .withColumn("pad_waste",
+        col("len_bucket") * col("docs") - col("tokens"))
+  }
 }

@@ -221,4 +221,31 @@ object Select {
     withHost.join(broadcast(bad), Seq("host"), "left_anti")
       .drop("__hq_fp")
   }
+
+  /** C4's "dirty word" document filter: drop every document carrying
+    * more than `maxHits` blocklisted WORDS (C4 itself uses
+    * `maxHits = 0` — one hit kills; raising it turns the kill switch
+    * into a tolerance). Matching is word-boundary-exact over
+    * lowercased alphanumeric(+apostrophe) tokens — "assassin" does
+    * NOT hit "ass", which is the whole reason this is a token filter
+    * and not a substring scan. Survivors keep a `bad_hits` column (the
+    * hit count is a quality SIGNAL downstream mixers may weight, not
+    * just a gate).
+    *
+    * Scale shape: pure per-row projection — tokenize, membership-count
+    * against a literal array (blocklists are vocabulary-sized; C4's
+    * list is ~400 words), filter. Zero shuffles, no UDF, no join; the
+    * blocklist travels inside the expression tree to every task.
+    */
+  def badWordsFilter(docs: DataFrame,
+      text: org.apache.spark.sql.Column,
+      blocklist: Seq[String], maxHits: Long = 0L): DataFrame = {
+    require(blocklist.nonEmpty, "badWordsFilter: empty blocklist")
+    val words = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val toks = split(lower(text), "[^a-z0-9']+")
+    val hits = size(filter(toks, t => array_contains(words, t)))
+      .cast("long")
+    docs.withColumn("bad_hits", hits)
+      .filter(col("bad_hits") <= maxHits)
+  }
 }

@@ -535,6 +535,59 @@ object ChDialect {
     }),
     // sumMap(keys, values): the ParsedParams parallel-array rollup
     "sumMap" -> (args => ex(ch.sumMap(col(args.head), col(args(1))))),
+    // maxMap/minMap: sumMap's per-key-extreme siblings
+    "maxMap" -> (args => ex(ch.maxMap(col(args.head), col(args(1))))),
+    "minMap" -> (args => ex(ch.minMap(col(args.head), col(args(1))))),
+    // deltaSum reads BLOCK order — nondeterministic even in CH, whose
+    // docs point at deltaSumTimestamp; only the ordered form exists
+    // here (the neighbor/runningDifference policy)
+    "deltaSum" -> (_ => throw new IllegalArgumentException(
+      "deltaSum reads block order (nondeterministic); use " +
+        "deltaSumTimestamp(value, ts)")),
+    "deltaSumTimestamp" -> (args =>
+      ex(ch.deltaSumTimestamp(col(args.head), col(args(1))))),
+    // ----- CH bitmap family (the RoaringBitmap vocabulary:
+    // clickhouse.com/docs/sql-reference/functions/bitmap-functions)
+    // mapped onto SORTED DISTINCT ARRAYS — same observable set
+    // algebra and cardinalities, exact, deterministic output order.
+    // A roaring container is a compression strategy, not a
+    // semantics; at Spark scale the high-cardinality form of these
+    // queries is an explode+groupBy anyway, so the array form covers
+    // the in-group (bounded-set) uses the CH functions serve.
+    "bitmapBuild" -> (args =>
+      ex(array_sort(array_distinct(col(args.head))))),
+    "bitmapToArray" -> (args => ex(array_sort(col(args.head)))),
+    "bitmapCardinality" -> (args =>
+      ex(size(col(args.head)).cast("long"))),
+    "bitmapAnd" -> (args =>
+      ex(array_sort(array_intersect(col(args.head), col(args(1)))))),
+    "bitmapOr" -> (args =>
+      ex(array_sort(array_union(col(args.head), col(args(1)))))),
+    "bitmapAndnot" -> (args =>
+      ex(array_sort(array_except(col(args.head), col(args(1)))))),
+    "bitmapXor" -> (args =>
+      ex(array_sort(array_except(
+        array_union(col(args.head), col(args(1))),
+        array_intersect(col(args.head), col(args(1))))))),
+    "bitmapContains" -> (args =>
+      ex(array_contains(col(args.head), col(args(1))))),
+    "bitmapAndCardinality" -> (args =>
+      ex(size(array_intersect(col(args.head), col(args(1))))
+        .cast("long"))),
+    "bitmapOrCardinality" -> (args =>
+      ex(size(array_union(col(args.head), col(args(1)))).cast("long"))),
+    "bitmapXorCardinality" -> (args =>
+      ex(size(array_except(
+        array_union(col(args.head), col(args(1))),
+        array_intersect(col(args.head), col(args(1))))).cast("long"))),
+    "bitmapAndnotCardinality" -> (args =>
+      ex(size(array_except(col(args.head), col(args(1)))).cast("long"))),
+    // groupBitmap: CH's exact distinct count over an integer column;
+    // groupBitmapState collects the set itself (sorted — CH's bitmap
+    // state has no observable order, the sort makes ours replayable)
+    "groupBitmap" -> (args => ex(count_distinct(col(args.head)))),
+    "groupBitmapState" -> (args =>
+      ex(array_sort(collect_set(col(args.head))))),
     // sequenceMatch('(?1)(?2)')(ts, conds...) — flattened by the
     // TotalsParser to sequenceMatch(pattern, ts, conds...); the
     // pattern must be a literal (it compiles into the regex)
@@ -656,6 +709,19 @@ object ChDialect {
         litString(args(1), "formatDateTime format")))),
     // ----- window functions (CH lagInFrame/leadInFrame are the
     // standard lag/lead under explicit-frame names) -----
+    // runningAccumulate(state): CH's block-ordered running total —
+    // here it requires an explicit OVER (... ROWS UNBOUNDED
+    // PRECEDING) like neighbor/runningDifference (defined order beats
+    // CH's block-order footgun). The CH spelling
+    // `runningAccumulate(sumState(x))` passes through verbatim: a
+    // -State argument that already IS an aggregate rides into the
+    // window unchanged; a plain column wraps in sum().
+    "runningAccumulate" -> (args => {
+      val hasAgg = args.head.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression])
+      if (hasAgg) args.head else ex(sum(col(args.head)))
+    }),
     "lagInFrame" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Lag(args.head,
         if (args.length >= 2) args(1) else Literal(1),

@@ -2192,8 +2192,179 @@ object DialectQueries {
       SELECT d, n FROM (SELECT * FROM agg UNION ALL SELECT * FROM interp)
       ORDER BY d"""))
 
+  // maxMap/minMap (sumMap's per-key-extreme siblings, same
+  // parallel-array fixture incl. in-row same-key collisions) and
+  // deltaSumTimestamp — the ts-ordered counter-increase aggregate (CH
+  // docs themselves deprecate block-ordered deltaSum in its favor;
+  // this dialect registers deltaSum as a hard error pointing here).
+  // Values snap to fixed-point via floor (NOT round: the two engines'
+  // half-way rules differ — the q137 discipline); diff ties broken by
+  // (ts, value) in both engines.
+  val q188ChRunningMaps = QueryDef(
+    "q188_ch_extreme_maps_delta",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v188")
+      s.sql("""
+        SELECT event_type,
+               array_join(mm.keys, ',') AS mmk,
+               array_join(CAST(mm.vals AS ARRAY<STRING>), ',') AS mmv,
+               array_join(nm.keys, ',') AS nmk,
+               array_join(CAST(nm.vals AS ARRAY<STRING>), ',') AS nmv,
+               ds, n
+        FROM (
+          SELECT event_type,
+                 maxMap(array(concat('k', CAST(event_id % 3 AS STRING)),
+                              concat('k', CAST(event_id % 5 AS STRING))),
+                        array(event_id % 7, event_id % 11)) AS mm,
+                 minMap(array(concat('k', CAST(event_id % 3 AS STRING)),
+                              concat('k', CAST(event_id % 5 AS STRING))),
+                        array(event_id % 7, event_id % 11)) AS nm,
+                 deltaSumTimestamp(CAST(floor(value * 1000) AS BIGINT),
+                   ts) AS ds,
+                 toInt64(count(1)) AS n
+          FROM events_v188 GROUP BY event_type
+        ) ORDER BY event_type""")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type,
+               unnest(['k' || CAST(event_id % 3 AS VARCHAR),
+                       'k' || CAST(event_id % 5 AS VARCHAR)]) AS k,
+               unnest([event_id % 7, event_id % 11]) AS v
+        FROM events
+      ), g AS (
+        SELECT event_type, k, CAST(max(v) AS BIGINT) AS mx,
+               CAST(min(v) AS BIGINT) AS mn
+        FROM p GROUP BY 1, 2
+      ), m AS (
+        SELECT event_type,
+               string_agg(k, ',' ORDER BY k) AS mmk,
+               string_agg(CAST(mx AS VARCHAR), ',' ORDER BY k) AS mmv,
+               string_agg(k, ',' ORDER BY k) AS nmk,
+               string_agg(CAST(mn AS VARCHAR), ',' ORDER BY k) AS nmv
+        FROM g GROUP BY 1
+      ), d0 AS (
+        SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v, ts
+        FROM events
+      ), d1 AS (
+        SELECT event_type,
+               v - lag(v) OVER (PARTITION BY event_type
+                                ORDER BY ts, v) AS dd
+        FROM d0
+      ), d AS (
+        SELECT event_type,
+               CAST(coalesce(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END),
+                 0) AS BIGINT) AS ds
+        FROM d1 GROUP BY 1
+      ), c AS (
+        SELECT event_type, CAST(count(1) AS BIGINT) AS n
+        FROM events GROUP BY 1
+      )
+      SELECT m.event_type, m.mmk, m.mmv, m.nmk, m.nmv, d.ds, c.n
+      FROM m JOIN d USING (event_type) JOIN c USING (event_type)
+      ORDER BY event_type"""))
+
+  // runningAccumulate(sumState(x)) — CH's running total over an
+  // aggregate state, verbatim, under this dialect's explicit-OVER
+  // policy (the -State argument rides into the window unchanged).
+  // The window orders a DAY-cardinality frame, not the corpus: the
+  // single ordered partition is bounded by the date range.
+  val q190ChRunningAccumulate = QueryDef(
+    "q190_ch_running_accumulate",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v190")
+      s.sql("""
+        SELECT CAST(day AS STRING) AS day, cnt,
+               runningAccumulate(sumState(cnt)) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS run
+        FROM (
+          SELECT toDate(ts) AS day, toInt64(count(1)) AS cnt
+          FROM events_v190 GROUP BY toDate(ts)
+        ) ORDER BY day""")
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(1) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+      )
+      SELECT CAST(day AS VARCHAR) AS day, cnt,
+             CAST(sum(cnt) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS run
+      FROM d ORDER BY day"""))
+
+  // CH bitmap vocabulary (X102) end-to-end in verbatim SQL:
+  // groupBitmapState builds the per-group set, the bitmap* algebra
+  // runs against a literal reference bitmap {0..49}, and the oracle
+  // replays every cardinality from the distinct (event_type, value)
+  // table — union/xor cardinalities derived arithmetically
+  // (|bm∪ref| = hi + 50, |bm⊕ref| = (50-lo) + hi), so a wrong
+  // set-algebra mapping cannot cancel out.
+  val q193ChBitmap = QueryDef(
+    "q193_ch_bitmap_sql",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v193")
+      s.sql("""
+        SELECT event_type,
+               bitmapCardinality(bm) AS card,
+               uniq_card,
+               bitmapAndCardinality(bm,
+                 bitmapBuild(sequence(CAST(0 AS BIGINT),
+                   CAST(49 AS BIGINT)))) AS lo,
+               bitmapAndnotCardinality(bm,
+                 bitmapBuild(sequence(CAST(0 AS BIGINT),
+                   CAST(49 AS BIGINT)))) AS hi,
+               bitmapOrCardinality(bm,
+                 bitmapBuild(sequence(CAST(0 AS BIGINT),
+                   CAST(49 AS BIGINT)))) AS u_card,
+               bitmapXorCardinality(bm,
+                 bitmapBuild(sequence(CAST(0 AS BIGINT),
+                   CAST(49 AS BIGINT)))) AS x_card,
+               CAST(bitmapContains(bm, CAST(7 AS BIGINT)) AS BIGINT)
+                 AS has7,
+               array_join(CAST(slice(bitmapToArray(bm), 1, 5)
+                 AS ARRAY<STRING>), ',') AS first5
+        FROM (
+          SELECT event_type,
+                 groupBitmapState(user_id % 100) AS bm,
+                 groupBitmap(user_id % 100) AS uniq_card
+          FROM events_v193 GROUP BY event_type
+        ) ORDER BY event_type""")
+    },
+    Some("""
+      WITH v AS (
+        SELECT DISTINCT event_type, user_id % 100 AS u FROM events
+      ), agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS card,
+               CAST(count(*) AS BIGINT) AS uniq_card,
+               CAST(sum(CASE WHEN u <= 49 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN u > 49 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hi,
+               CAST(max(CASE WHEN u = 7 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS has7
+        FROM v GROUP BY event_type
+      ), f5 AS (
+        SELECT event_type,
+               string_agg(CAST(u AS VARCHAR), ',' ORDER BY u) AS first5
+        FROM (
+          SELECT event_type, u,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY u) AS rn
+          FROM v
+        ) WHERE rn <= 5 GROUP BY event_type
+      )
+      SELECT a.event_type, a.card, a.uniq_card, a.lo, a.hi,
+             a.hi + 50 AS u_card, (50 - a.lo) + a.hi AS x_card,
+             a.has7, f5.first5
+      FROM agg a JOIN f5 USING (event_type)
+      ORDER BY a.event_type"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
+    Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
+      q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,
       q43MetricaQ1DialectSql, q44MetricaQ1Totals, q47ChConditionalAggs,

@@ -4054,7 +4054,275 @@ object PipelineQueries {
       FROM reps GROUP BY lang ORDER BY lang"""),
     bench = true)
 
+  // C4's "dirty word" token filter (X95): word-boundary blocklist
+  // hits counted per document, documents above the tolerance dropped,
+  // the hit count kept as a signal. Blocklist words come from the
+  // fixture vocabulary so hits actually occur; maxHits=2 exercises
+  // the tolerance (C4 itself runs maxHits=0). Pure map-side
+  // projection — the oracle replays the tokenizer and the membership
+  // count verbatim.
+  val q185BadwordsFilter = QueryDef(
+    "q185_badwords_filter",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      graft.operators.Select.badWordsFilter(docs, col("text"),
+          blocklist = Seq("slow", "crash"), maxHits = 2L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("bad_hits")).cast("long").as("hit_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9'']+'), w -> w IN ('slow', 'crash'))) AS hits
+        FROM documents
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(hits) AS BIGINT) AS hit_sum
+      FROM t WHERE hits <= 2 GROUP BY lang ORDER BY lang"""))
+
+  // Crawl URL canonicalization + canonical-key dedup (X96): messy
+  // URL variants synthesized from doc_id — scheme http/https, WWW
+  // and UPPERCASE-host cosmetics, an explicit port, a trailing
+  // slash, shuffled query parameters, tracking params (utm_*/
+  // fbclid), a fragment — all collapse to one canonical key, and
+  // [[Dedup.exactDedup]] keeps the min-id fetch per page. The oracle
+  // does NOT re-derive the canonicalization: it constructs the
+  // expected canonical form directly from the same doc_id
+  // arithmetic, so any normalization the engine misses breaks the
+  // key and the row hash.
+  val q186CanonicalUrlDedup = QueryDef(
+    "q186_canonical_url_dedup",
+    (s, dir) => {
+      val id = col("doc_id")
+      val messy = concat(
+        when(id % 2 === 0, "https://").otherwise("http://"),
+        when(id % 3 === 0, "www.").otherwise(""),
+        when(id % 5 === 0, concat(lit("EX"), (id % 7).cast("string")))
+          .otherwise(concat(lit("ex"), (id % 7).cast("string"))),
+        lit(".com"),
+        when(id % 11 === 0, ":8080").otherwise(""),
+        lit("/p/"), (id % 50).cast("string"),
+        when(id % 2 === 0, "/").otherwise(""),
+        when(id % 2 === 0, "?b=2&a=1&utm_source=feed")
+          .otherwise("?a=1&b=2&fbclid=abc"),
+        when(id % 3 === 0, "#sec").otherwise(""))
+      val docs = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("canon", graft.functions.url.canonicalizeURL(messy))
+      Dedup.exactDedup(docs, col("canon"), "doc_id")
+        .select(col("canon"), col("doc_id"), col("dup_count"))
+        .orderBy(col("canon"), col("doc_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               'ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+                 CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2' AS canon
+        FROM documents
+      ), g AS (
+        SELECT canon, min(doc_id) AS doc_id,
+               CAST(count(*) AS BIGINT) AS dup_count
+        FROM c GROUP BY canon
+      )
+      SELECT canon, doc_id, dup_count FROM g ORDER BY canon, doc_id"""))
+
+  // Curriculum shard assignment (X97): 8 quality-ordered bands over
+  // the 1e-6 fixed-point quality score, band spec
+  // `min(K-1, below(score)*K div N)` — integer div, strictly-below
+  // rank — and a seeded portable-hash within-shard order key. The
+  // oracle replays the band arithmetic over its own score histogram
+  // and the hash permutation in closed form; `pos_sum` pins the
+  // within-shard permutation, not just membership.
+  val q187CurriculumShards = QueryDef(
+    "q187_curriculum_shards",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .withColumn("score_fp",
+          round(text.qualityScore(col("text")) * 1e6d).cast("long"))
+      graft.operators.Mix.curriculumShards(docs, "score_fp", "doc_id",
+          numShards = 8, seed = 7L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          min(col("score_fp")).as("min_s"),
+          max(col("score_fp")).as("max_s"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("pos")).cast("long").as("pos_sum"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), q AS (
+        SELECT doc_id,
+               CAST(round(round(0.4 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN length(norm) > 0
+                       THEN (length(norm) - length(regexp_replace(norm,
+                            '[^a-z0-9 ]', '', 'g'))) / length(norm)
+                       ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, x -> x IN
+                            ('the','a','and','of','to','in','is')))
+                            / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END), 6) * 1000000.0) AS BIGINT) AS s
+        FROM t
+      ), h AS (
+        SELECT s, count(*) AS hn FROM q GROUP BY s
+      ), cum AS (
+        SELECT s, coalesce(sum(hn) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM h
+      ), tot AS (
+        SELECT count(*) AS nn FROM q
+      ), m AS (
+        SELECT s, CAST(least(7, (below * 8) // nn) AS BIGINT) AS shard
+        FROM cum, tot
+      ), a AS (
+        SELECT q.doc_id, q.s, m.shard,
+               ((q.doc_id + 7) % 65536 * 2654435761) % 4294967296 AS pos
+        FROM q JOIN m ON q.s = m.s
+      )
+      SELECT shard, CAST(count(1) AS BIGINT) AS n,
+             min(s) AS min_s, max(s) AS max_s,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(pos) AS BIGINT) AS pos_sum
+      FROM a GROUP BY shard ORDER BY shard"""),
+    bench = true)
+
+  // Sequence-length histogram with padding-waste accounting (X99):
+  // power-of-two length buckets via exact integer bit-length
+  // (`1 << len(bin(n-1))` in BOTH engines — no float log anywhere
+  // near the compared surface), per-bucket doc/token mass and the
+  // pad tokens naive pad-to-bucket batching would burn.
+  val q189LengthHistogram = QueryDef(
+    "q189_length_histogram",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .withColumn("toks", text.tokenCountWs(col("text")))
+      graft.operators.Pack.lengthHistogram(docs, "toks")
+        .orderBy(col("len_bucket"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT len(regexp_split_to_array(lower(trim(text)), '\s+'))
+          AS lv
+        FROM documents
+      ), b AS (
+        SELECT CASE WHEN greatest(lv, 1) = 1 THEN CAST(1 AS BIGINT)
+               ELSE CAST(1 << CAST(length(bin(greatest(lv, 1) - 1))
+                 AS INT) AS BIGINT) END AS len_bucket,
+               lv
+        FROM t
+      )
+      SELECT len_bucket, CAST(count(1) AS BIGINT) AS docs,
+             CAST(sum(lv) AS BIGINT) AS tokens,
+             CAST(len_bucket * count(1) - sum(lv) AS BIGINT) AS pad_waste
+      FROM b GROUP BY len_bucket ORDER BY len_bucket"""))
+
+  // Corpus snapshot diff (X101): a simulated next crawl — every
+  // id%7==0 doc removed, id%5==0 rewritten, id%3==0 re-published
+  // under a new id — classified added/removed/changed/same by the
+  // map-side-MD5 full-outer diff. The oracle replays the simulated
+  // crawl and classifies by direct text comparison (the spec the MD5
+  // stands in for), so a hash-plumbing bug cannot self-confirm.
+  val q191CorpusDiff = QueryDef(
+    "q191_corpus_diff",
+    (s, dir) => {
+      val prev = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val cur = prev
+        .filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(prev.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      Dedup.corpusDiff(cur, prev, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH prev AS (SELECT doc_id, text FROM documents),
+      cur AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM prev WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'new ' || text
+        FROM prev WHERE doc_id % 3 = 0
+      ), j AS (
+        SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+               CASE WHEN p.doc_id IS NULL THEN 'added'
+                    WHEN c.doc_id IS NULL THEN 'removed'
+                    WHEN c.text <> p.text THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+      )
+      SELECT status, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM j GROUP BY status ORDER BY status"""))
+
+  // Containment near-superset pairs (X100): |A∩B|/min(|A|,|B|) with
+  // the df-capped inverted-index candidate rule (≥ 5 shared shingles
+  // of document frequency ≤ 1000) — deterministic recall, unlike an
+  // LSH stage whose collision odds track Jaccard, which containment
+  // pairs can have arbitrarily low. The oracle replays the candidate
+  // rule AND the exact full-set metrics independently.
+  val q192ContainmentPairs = QueryDef(
+    "q192_containment_pairs",
+    (s, dir) =>
+      Dedup.containmentPairs(Graft.table(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, minSharedShingles = 5,
+          maxDf = 1000, minContainment = 0.9)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          col("n_inter"), round(col("containment"), 6).as("cont"),
+          round(col("jaccard"), 6).as("jac"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH ${duckShingles(0)},
+      e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      keep AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 1000),
+      ec AS (SELECT e.doc_id, e.g FROM e JOIN keep USING (g)),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ec a JOIN ec b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 5
+      ),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), sz AS (SELECT doc_id, len(sh) AS n FROM s),
+      pr AS (
+        SELECT i.id_a, i.id_b,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(i.n_inter AS BIGINT) AS n_inter,
+               round(i.n_inter / least(sa.n, sb.n), 6) AS cont,
+               round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jac
+        FROM inter i
+        JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sz sa ON sa.doc_id = i.id_a
+        JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.n_inter / least(sa.n, sb.n) >= 0.9
+      )
+      SELECT id_a, id_b, n_a, n_b, n_inter, cont, jac
+      FROM pr ORDER BY id_a, id_b"""),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
+    q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
+    q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,

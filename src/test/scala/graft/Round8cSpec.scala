@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-8 third wave: containment near-superset pairs (X100),
+  * corpus snapshot diff (X101), CH bitmap vocabulary (X102).
+  */
+class Round8cSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containmentPairs flags a short doc embedded in a long one " +
+      "that Jaccard alone would miss at a high threshold") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 12).map(i => s"tail$i x$i y$i")
+      .mkString(" ")
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "entirely different words everywhere around here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, minSharedShingles = 5, minContainment = 0.9)
+      .select($"id_a", $"id_b", $"containment", $"jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, cont, jac) = got.head
+    assert((a, b) == ((1L, 2L)))
+    assert(cont == 1.0)     // every short-doc shingle is in the long doc
+    assert(jac < 0.5)       // but the union dwarfs the intersection
+  }
+
+  test("containmentPairs: a doc with fewer shared shingles than " +
+      "minSharedShingles is outside the recall envelope") {
+    val tiny = "alpha beta gamma delta"          // 2 shingles only
+    val long = tiny + " " + (1 to 12).map(i => s"tail$i x$i y$i")
+      .mkString(" ")
+    val docs = Seq((1L, tiny), (2L, long)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      minSharedShingles = 5, minContainment = 0.9)
+    assert(got.count() == 0)
+  }
+
+  test("containmentPairs: maxDf drops boilerplate-only support") {
+    // the shared shingles appear in EVERY doc -> df cap excludes them
+    val shared = "common boiler plate line here now"
+    val docs = (1L to 5L).map(i => (i, shared)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      minSharedShingles = 1, maxDf = 3, minContainment = 0.5)
+    assert(got.count() == 0)
+  }
+
+  test("corpusDiff classifies added/removed/changed/same") {
+    val prev = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "one"), (2L, "two CHANGED"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(cur, prev, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "same", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("bitmap family: build/algebra/cardinalities/contains/toArray") {
+    val r = spark.sql("""
+      SELECT bitmapCardinality(bitmapBuild(array(3L, 1L, 3L, 2L))) AS c,
+             bitmapToArray(bitmapBuild(array(3L, 1L, 2L))) AS arr,
+             bitmapAndCardinality(bitmapBuild(array(1L, 2L, 3L)),
+               bitmapBuild(array(2L, 3L, 4L))) AS a,
+             bitmapOrCardinality(bitmapBuild(array(1L, 2L, 3L)),
+               bitmapBuild(array(2L, 3L, 4L))) AS o,
+             bitmapXorCardinality(bitmapBuild(array(1L, 2L, 3L)),
+               bitmapBuild(array(2L, 3L, 4L))) AS x,
+             bitmapAndnotCardinality(bitmapBuild(array(1L, 2L, 3L)),
+               bitmapBuild(array(2L, 3L, 4L))) AS an,
+             bitmapContains(bitmapBuild(array(1L, 2L)), 2L) AS has2,
+             bitmapContains(bitmapBuild(array(1L, 2L)), 9L) AS has9
+    """).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(r.getLong(2) == 2L && r.getLong(3) == 4L)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 1L)
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+  }
+
+  test("groupBitmap is the exact distinct count; groupBitmapState " +
+      "collects the sorted set") {
+    val got = spark.sql("""
+      SELECT g, groupBitmap(v) AS c, groupBitmapState(v) AS st
+      FROM VALUES ('a', 1L), ('a', 2L), ('a', 1L), ('b', 5L)
+        AS t(g, v) GROUP BY g ORDER BY g
+    """).collect()
+    assert(got(0).getLong(1) == 2L)
+    assert(got(0).getSeq[Long](2) == Seq(1L, 2L))
+    assert(got(1).getLong(1) == 1L)
+    assert(got(1).getSeq[Long](2) == Seq(5L))
+  }
+}
