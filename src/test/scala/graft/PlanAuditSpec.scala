@@ -282,4 +282,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcastAnti, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q185: the bad-words filter is join-free and window-free — " +
+      "the blocklist lives inside the expression tree") {
+    val p = plan("q185_badwords_filter")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q186: canonical-URL dedup is one aggregation pass (min_by on " +
+      "a struct plans as SortAggregate), no window, no join — the " +
+      "canonicalizer is a pure projection") {
+    val p = plan("q186_canonical_url_dedup")
+    assert(p.contains("Aggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q187: the score->shard map rides back on a broadcast join — " +
+      "the corpus never sort-merge-shuffles for its shard id") {
+    val p = plan("q187_curriculum_shards")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q189: the length histogram is one partially-aggregated " +
+      "groupBy — no join, no window, no second corpus pass") {
+    val p = plan("q189_length_histogram")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q191: corpus diff joins hashes, never a pair blowup") {
+    val p = plan("q191_corpus_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q192: containment candidates come from equi-joins only — the " +
+      "df cap is an aggregate filter, not a pair product") {
+    val p = plan("q192_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
