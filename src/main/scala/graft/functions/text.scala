@@ -312,4 +312,46 @@ object text {
         lit(1.0)) +
         lit(0.3) * least(controlCharRatio(c) * 10.0, lit(1.0)) +
         lit(0.1) * nonAsciiRatio(c), 6)
+
+  /** Characters of one Unicode script, counted as `len - len(strip)` —
+    * Java regex script classes (`\p{IsLatin}` …) on the Spark side;
+    * an oracle replays with RE2's `\p{Latin}` spelling of the SAME
+    * property, so the counts are engine-portable by Unicode's own
+    * definition, not by regex-dialect luck.
+    */
+  def scriptCount(c: Column, script: String): Column =
+    (length(c) - length(regexp_replace(c, s"\\p{Is$script}", "")))
+      .cast("long")
+
+  /** Script profile — the crawl-pipeline signal BETWEEN charset noise
+    * and language ID: a `lang=en` doc whose characters are mostly Han
+    * is mislabeled or mojibake, a Latin/Cyrillic half-split is a
+    * boilerplate-wrapped translation. Counts for the four scripts
+    * that cover the large crawl corpora plus the total char count;
+    * pure codegen'd projection, zero shuffle.
+    */
+  def scriptCounts(c: Column): Column = struct(
+    scriptCount(c, "Latin").as("latin"),
+    scriptCount(c, "Cyrillic").as("cyrillic"),
+    scriptCount(c, "Han").as("han"),
+    scriptCount(c, "Arabic").as("arabic"),
+    length(c).cast("long").as("total"))
+
+  /** The dominant script label: the max of [[scriptCounts]], ties
+    * broken in fixed order latin > cyrillic > han > arabic; "other"
+    * when no counted script appears at all (digits-only, symbols,
+    * empty). Deterministic by construction — same text, same label,
+    * any engine.
+    */
+  def dominantScript(c: Column): Column = {
+    val la = scriptCount(c, "Latin")
+    val cy = scriptCount(c, "Cyrillic")
+    val ha = scriptCount(c, "Han")
+    val ar = scriptCount(c, "Arabic")
+    when(la === 0 && cy === 0 && ha === 0 && ar === 0, lit("other"))
+      .when(la >= cy && la >= ha && la >= ar, lit("latin"))
+      .when(cy >= ha && cy >= ar, lit("cyrillic"))
+      .when(ha >= ar, lit("han"))
+      .otherwise(lit("arabic"))
+  }
 }

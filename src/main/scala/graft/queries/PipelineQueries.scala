@@ -4320,9 +4320,81 @@ object PipelineQueries {
       FROM pr ORDER BY id_a, id_b"""),
     bench = true)
 
+  // Unicode script profile (X103): per-document script character
+  // counts + dominant-script label — the crawl signal between charset
+  // noise (X88) and language ID (X76): a lang=en doc dominated by Han
+  // is mislabeled or mojibake. Script text injected by doc_id so all
+  // four scripts actually occur; Spark counts via Java's
+  // \p{IsScript} classes, the oracle via RE2's \p{Script} — the same
+  // Unicode property through two independent regex engines.
+  val q194ScriptProfile = QueryDef(
+    "q194_script_profile",
+    (s, dir) => {
+      val inject =
+        when(col("doc_id") % 4 === 1,
+          lit("привет мир данные система запрос"))
+        .when(col("doc_id") % 4 === 2, lit("数据 系统 查询 分析 模型"))
+        .when(col("doc_id") % 4 === 3, lit("بيانات نظام استعلام تحليل"))
+        .otherwise(col("text"))
+      Graft.table(s, dir, "documents")
+        .withColumn("t2", inject)
+        .select(col("doc_id"),
+          text.dominantScript(col("t2")).as("dom"),
+          text.scriptCounts(col("t2")).as("sc"))
+        .groupBy(col("dom"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("sc.latin")).cast("long").as("latin_sum"),
+          sum(col("sc.cyrillic")).cast("long").as("cyr_sum"),
+          sum(col("sc.han")).cast("long").as("han_sum"),
+          sum(col("sc.arabic")).cast("long").as("arab_sum"),
+          sum(col("sc.total")).cast("long").as("char_sum"))
+        .orderBy(col("dom"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 1
+                      THEN 'привет мир данные система запрос'
+                    WHEN doc_id % 4 = 2 THEN '数据 系统 查询 分析 模型'
+                    WHEN doc_id % 4 = 3
+                      THEN 'بيانات نظام استعلام تحليل'
+                    ELSE text END AS t2
+        FROM documents
+      ), c AS (
+        SELECT doc_id, length(t2) AS total,
+               length(t2) - length(regexp_replace(t2,
+                 '\p{Latin}', '', 'g')) AS la,
+               length(t2) - length(regexp_replace(t2,
+                 '\p{Cyrillic}', '', 'g')) AS cy,
+               length(t2) - length(regexp_replace(t2,
+                 '\p{Han}', '', 'g')) AS ha,
+               length(t2) - length(regexp_replace(t2,
+                 '\p{Arabic}', '', 'g')) AS ar
+        FROM t
+      ), d AS (
+        SELECT doc_id, total, la, cy, ha, ar,
+               CASE WHEN la = 0 AND cy = 0 AND ha = 0 AND ar = 0
+                      THEN 'other'
+                    WHEN la >= cy AND la >= ha AND la >= ar THEN 'latin'
+                    WHEN cy >= ha AND cy >= ar THEN 'cyrillic'
+                    WHEN ha >= ar THEN 'han'
+                    ELSE 'arabic' END AS dom
+        FROM c
+      )
+      SELECT dom, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(la) AS BIGINT) AS latin_sum,
+             CAST(sum(cy) AS BIGINT) AS cyr_sum,
+             CAST(sum(ha) AS BIGINT) AS han_sum,
+             CAST(sum(ar) AS BIGINT) AS arab_sum,
+             CAST(sum(total) AS BIGINT) AS char_sum
+      FROM d GROUP BY dom ORDER BY dom"""))
+
   val defs: Seq[QueryDef] = Seq(
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
+    q194ScriptProfile,
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,

@@ -82,6 +82,26 @@ class Round8cSpec extends SparkSpec {
     assert(r.getBoolean(6) && !r.getBoolean(7))
   }
 
+  test("scriptCounts/dominantScript: mixed-script text counts per " +
+      "Unicode script; dominance follows the max with fixed ties") {
+    val got = Seq(
+      "abc привет 数据 بيانات",  // cyrillic 6 beats arabic 6 on ties? no: cy=6, ar=6 -> cyrillic by order
+      "hello world",
+      "数据 系统",
+      "12345 !!")
+      .toDF("t")
+      .select(graft.functions.text.scriptCounts($"t").as("sc"),
+        graft.functions.text.dominantScript($"t").as("dom"))
+      .collect()
+    val r0 = got(0).getStruct(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3),
+      r0.getLong(4)) == ((3L, 6L, 2L, 6L, 20L)))
+    assert(got(0).getString(1) == "cyrillic") // 6=6 tie -> cyrillic first
+    assert(got(1).getString(1) == "latin")
+    assert(got(2).getString(1) == "han")
+    assert(got(3).getString(1) == "other")
+  }
+
   test("groupBitmap is the exact distinct count; groupBitmapState " +
       "collects the sorted set") {
     val got = spark.sql("""
