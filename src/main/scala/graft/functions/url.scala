@@ -170,7 +170,9 @@ object url {
     * no UDF, no shuffle. Empty string in, empty string out.
     */
   def canonicalizeURL(u: Column): Column = {
-    val host = lower(regexp_replace(domain(u), "^www\\.", ""))
+    // lowercase BEFORE the www-strip: `WWW.Site.com` must canonicalize
+    // like `www.site.com` (found by Round8bProps' variant property)
+    val host = regexp_replace(lower(domain(u)), "^www\\.", "")
     val cleanPath = regexp_replace(path(u), "/+$", "")
     val params = filter(split(queryString(u), "&"),
       p => p =!= "" && !p.rlike(TrackingParamRe))
