@@ -4292,12 +4292,31 @@ object PipelineQueries {
     Some(s"""
       WITH ${duckShingles(0)},
       e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-      keep AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 1000),
-      ec AS (SELECT e.doc_id, e.g FROM e JOIN keep USING (g)),
+      dfq AS (SELECT g, count(*) AS df FROM e GROUP BY g
+              HAVING count(*) <= 1000),
+      ec AS (SELECT e.doc_id, e.g, dfq.df FROM e JOIN dfq USING (g)),
+      szc AS (SELECT doc_id, count(*) AS nc FROM ec GROUP BY doc_id),
+      pp AS (
+        SELECT ec.doc_id, ec.g, szc.nc,
+               row_number() OVER (PARTITION BY ec.doc_id
+                                  ORDER BY df, g) AS rn,
+               least(szc.nc, floor(0.1 * szc.nc) + 5) AS plen,
+               least(szc.nc, floor(0.1 * szc.nc) + 5)
+                 - floor(0.1 * szc.nc) AS thr
+        FROM ec JOIN szc USING (doc_id)
+      ),
+      pf AS (SELECT * FROM pp WHERE rn <= plen),
+      hits AS (
+        SELECT p.doc_id AS pid, i.doc_id AS iid, p.nc AS pnc, p.thr,
+               count(*) AS h
+        FROM pf p JOIN ec i ON p.g = i.g AND p.doc_id <> i.doc_id
+        GROUP BY 1, 2, 3, 4
+      ),
       cand AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ec a JOIN ec b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 5
+        SELECT DISTINCT least(pid, iid) AS id_a,
+               greatest(pid, iid) AS id_b
+        FROM hits JOIN szc s2 ON s2.doc_id = hits.iid
+        WHERE pnc <= s2.nc AND h >= thr
       ),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -4315,6 +4334,7 @@ object PipelineQueries {
         JOIN sz sa ON sa.doc_id = i.id_a
         JOIN sz sb ON sb.doc_id = i.id_b
         WHERE i.n_inter / least(sa.n, sb.n) >= 0.9
+          AND i.n_inter >= 5
       )
       SELECT id_a, id_b, n_a, n_b, n_inter, cont, jac
       FROM pr ORDER BY id_a, id_b"""),

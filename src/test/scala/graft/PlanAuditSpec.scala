@@ -322,11 +322,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q192: containment candidates come from equi-joins only — the " +
-      "df cap is an aggregate filter, not a pair product") {
+  test("q192: containment candidates come from equi-joins only, and " +
+      "the prefix-rank window partitions per document (no global " +
+      "single-partition window)") {
     val p = plan("q192_containment_pairs")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("Window"), p)
+    // the rarest-shingle rank must partition by the document id —
+    // an empty PARTITION BY here would funnel the corpus into one task
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("windowspecdefinition(doc_id")),
+      windowLines.mkString("\n"))
   }
 }
