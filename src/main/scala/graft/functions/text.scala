@@ -337,6 +337,29 @@ object text {
     scriptCount(c, "Arabic").as("arabic"),
     length(c).cast("long").as("total"))
 
+  /** Luhn checksum validity for an all-digit string — the filter
+    * that separates a REAL payment-card number from sixteen digits
+    * that merely look like one (PII scrubbing flags the latter as
+    * false positives; dropping a document over a phone-number-shaped
+    * digit run is wasted corpus). Pure expression arithmetic on the
+    * reversed digit string — double every second digit from the
+    * right, fold digit sums, mod 10 — no UDF; false for strings
+    * shorter than 13 digits (below any card scheme) or carrying any
+    * non-digit.
+    */
+  def luhnValid(c: Column): Column = {
+    val n = length(c)
+    val arr = split(reverse(c), "")
+    val total = aggregate(
+      zip_with(arr, sequence(lit(1), greatest(n, lit(1))), (d, i) => {
+        val v = d.cast("int")
+        when(i % 2 === 0,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    c.rlike("^[0-9]{13,19}$") && total % 10 === 0
+  }
+
   /** The dominant script label: the max of [[scriptCounts]], ties
     * broken in fixed order latin > cyrillic > han > arabic; "other"
     * when no counted script appears at all (digits-only, symbols,

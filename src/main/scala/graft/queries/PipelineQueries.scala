@@ -4411,10 +4411,56 @@ object PipelineQueries {
              CAST(sum(total) AS BIGINT) AS char_sum
       FROM d GROUP BY dom ORDER BY dom"""))
 
+  // Luhn-checked card-number validation (X104): the PII
+  // false-positive cutter — sixteen digits that fail the checksum are
+  // a phone/id number, not a card, and dropping the document over
+  // them wastes corpus. Card-like numbers synthesized from doc_id
+  // (~10% Luhn-valid by construction); both engines fold the same
+  // reversed-digit double-and-sum.
+  val q195LuhnPii = QueryDef(
+    "q195_luhn_pii",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .withColumn("card",
+          (lit(4532000000000000L) + col("doc_id") * 1237L).cast("string"))
+      docs.select(col("doc_id"), col("lang"),
+          text.luhnValid(col("card")).as("ok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("valid_n"),
+          sum(when(col("ok"), col("doc_id"))).cast("long")
+            .as("valid_id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(4532000000000000 + doc_id * 1237 AS VARCHAR) AS card
+        FROM documents
+      ), r AS (
+        SELECT doc_id, lang,
+               list_sum([CASE WHEN i % 2 = 0
+                 THEN CASE WHEN 2 * CAST(substr(reverse(card), i, 1)
+                        AS INT) > 9
+                      THEN 2 * CAST(substr(reverse(card), i, 1) AS INT)
+                        - 9
+                      ELSE 2 * CAST(substr(reverse(card), i, 1) AS INT)
+                      END
+                 ELSE CAST(substr(reverse(card), i, 1) AS INT) END
+                 for i in range(1, length(card) + 1)]) % 10 = 0 AS ok
+        FROM t
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS valid_n,
+             CAST(sum(CASE WHEN ok THEN doc_id END) AS BIGINT)
+               AS valid_id_sum
+      FROM r GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
-    q194ScriptProfile,
+    q194ScriptProfile, q195LuhnPii,
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,

@@ -60,6 +60,16 @@ class Round8cSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("luhnValid: classic valid numbers pass, off-by-one check " +
+      "digits fail, short and non-digit strings fail") {
+    val got = Seq("4532015112830366", "4111111111111111",
+      "4532015112830367", "123456789012", "4111-1111-1111-1111", "")
+      .toDF("s")
+      .select(graft.functions.text.luhnValid($"s")).as[Boolean]
+      .collect().toSeq
+    assert(got == Seq(true, true, false, false, false, false))
+  }
+
   test("bitmap family: build/algebra/cardinalities/contains/toArray") {
     val r = spark.sql("""
       SELECT bitmapCardinality(bitmapBuild(array(3L, 1L, 3L, 2L))) AS c,
