@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus telemetry over snapshots — the longitudinal reports a
+  * continuously-crawled training corpus needs next to the point-in-time
+  * corpus card (q157): is the crawl still finding NEW content, or
+  * re-fetching the same pages (dedup effectiveness), and how fast is
+  * the vocabulary saturating (tokenizer/vocab planning)?
+  */
+object Corpus {
+
+  /** Vocabulary-growth curve: per snapshot, the total token
+    * occurrences, the distinct vocabulary seen IN that snapshot, and
+    * the vocabulary seen for the FIRST time in it (min-snapshot
+    * attribution — deterministic, replayable as a plain `min` in any
+    * engine). A flattening `new_vocab` curve under constant token
+    * volume is the saturation signal.
+    *
+    * Scale shape: tokens explode map-side; `occurrences` partial-
+    * aggregates per snapshot (≤ |snapshots| rows out); the distinct
+    * (snapshot, token) frame drives both the per-snapshot distinct
+    * count and — via ONE token-keyed min-rollup whose cardinality is
+    * the vocabulary, not the corpus — the first-seen attribution.
+    * Nothing corpus-sized crosses a window and the outputs are
+    * snapshot-cardinality tables.
+    */
+  def vocabGrowth(df: DataFrame, snapshotCol: String,
+      textCol: String): DataFrame = {
+    val snap = col(s"`$snapshotCol`")
+    val toks = df.select(snap.as("__snap"),
+      explode(graft.functions.text.tokenize(col(s"`$textCol`")))
+        .as("__tok"))
+      .filter(col("__tok") =!= "")
+    val occ = toks.groupBy(col("__snap"))
+      .agg(count(lit(1)).as("tokens"))
+    val st = toks.select(col("__snap"), col("__tok")).distinct()
+    val perSnap = st.groupBy(col("__snap"))
+      .agg(count(lit(1)).as("distinct_vocab"))
+    val firstSeen = st.groupBy(col("__tok"))
+      .agg(min(col("__snap")).as("__snap"))
+      .groupBy(col("__snap"))
+      .agg(count(lit(1)).as("new_vocab"))
+    occ.join(perSnap, Seq("__snap"))
+      .join(firstSeen, Seq("__snap"), "left")
+      .select(col("__snap").as(snapshotCol), col("tokens"),
+        col("distinct_vocab"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+  }
+}

@@ -4457,10 +4457,47 @@ object PipelineQueries {
                AS valid_id_sum
       FROM r GROUP BY lang ORDER BY lang"""))
 
+  // Vocabulary-growth telemetry (X105): per crawl snapshot (synthetic
+  // week = doc_id % 10), token volume, in-snapshot distinct vocab,
+  // and FIRST-SEEN vocab via min-snapshot attribution — the
+  // saturation curve behind tokenizer/vocab planning and crawl-dedup
+  // health. The oracle replays tokenization and the min rollup.
+  val q196VocabGrowth = QueryDef(
+    "q196_vocab_growth",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .withColumn("snap", (col("doc_id") % 10).cast("long"))
+      graft.operators.Corpus.vocabGrowth(docs, "snap", "text")
+        .orderBy(col("snap"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id % 10 AS snap,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS tok
+        FROM documents
+      ), tt AS (SELECT snap, tok FROM t WHERE tok <> ''),
+      occ AS (
+        SELECT snap, CAST(count(1) AS BIGINT) AS tokens
+        FROM tt GROUP BY snap
+      ), st AS (SELECT DISTINCT snap, tok FROM tt),
+      ps AS (
+        SELECT snap, CAST(count(1) AS BIGINT) AS distinct_vocab
+        FROM st GROUP BY snap
+      ), fs AS (
+        SELECT first_snap AS snap, CAST(count(1) AS BIGINT) AS new_vocab
+        FROM (SELECT tok, min(snap) AS first_snap FROM st GROUP BY tok)
+        GROUP BY first_snap
+      )
+      SELECT occ.snap, occ.tokens, ps.distinct_vocab,
+             coalesce(fs.new_vocab, 0) AS new_vocab
+      FROM occ JOIN ps USING (snap) LEFT JOIN fs USING (snap)
+      ORDER BY occ.snap"""))
+
   val defs: Seq[QueryDef] = Seq(
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
-    q194ScriptProfile, q195LuhnPii,
+    q194ScriptProfile, q195LuhnPii, q196VocabGrowth,
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,

@@ -60,6 +60,20 @@ class Round8cSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("vocabGrowth: first-seen attribution goes to the min snapshot, " +
+      "new_vocab sums to the global vocabulary") {
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "beta gamma"), (2L, "gamma delta alpha"))
+      .toDF("snap", "text")
+    val got = graft.operators.Corpus.vocabGrowth(docs, "snap", "text")
+      .orderBy($"snap").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L),   // alpha, beta both new
+      (1L, 2L, 2L, 1L),   // gamma new, beta seen
+      (2L, 3L, 3L, 1L)))  // delta new, gamma/alpha seen
+    assert(got.map(_._4).sum == 4L) // = |global vocab|
+  }
+
   test("luhnValid: classic valid numbers pass, off-by-one check " +
       "digits fail, short and non-digit strings fail") {
     val got = Seq("4532015112830366", "4111111111111111",
