@@ -24,6 +24,11 @@ case class ChSystemRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .map(_.toLowerCase(java.util.Locale.ROOT)) ==
             Seq("system", "tables") =>
         tablesRelation
+      case u: UnresolvedRelation
+          if u.multipartIdentifier
+            .map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("system", "parts") =>
+        partsRelation
     }
 
   private def tablesRelation: LogicalPlan = {
@@ -40,6 +45,33 @@ case class ChSystemRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val rows = (bindings ++ mvs ++ views).sortBy(_._2)
     import spark.implicits._
     rows.toDF("database", "name", "engine", "data_path")
+      .queryExecution.analyzed
+  }
+
+  /** CH `system.parts` — one row per (table, partition directory) of
+    * every catalog binding whose path is a `key=value`-partitioned
+    * table on disk (the Warehouse week layout). A FILESYSTEM LISTING,
+    * not a data scan: one `listFiles` per binding, so the relation is
+    * driver-sized like `system.tables` and fresh at every resolution
+    * (a partition written or dropped between two queries shows up,
+    * CH's behavior). Row counts / bytes are intentionally absent:
+    * they would need a data scan (counts) or be nondeterministic
+    * (compressed bytes); `SELECT count(1) FROM t WHERE week = ...`
+    * already answers the first with partition pruning.
+    */
+  private def partsRelation: LogicalPlan = {
+    val rows = graft.sources.Catalog.bindings.flatMap { b =>
+      val dir = new java.io.File(b.path)
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .map { p =>
+          val eq = p.getName.indexOf('=')
+          (b.name, p.getName.substring(eq + 1),
+            p.getName.substring(0, eq), true)
+        }
+    }.sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    rows.toDF("table", "partition", "partition_key", "active")
       .queryExecution.analyzed
   }
 }

@@ -2362,8 +2362,41 @@ object DialectQueries {
       FROM agg a JOIN f5 USING (event_type)
       ORDER BY a.event_type"""))
 
+  // CH `system.parts` introspection (X106 plumbing): the partition
+  // inventory of a warehouse table through the catalog — a
+  // FILESYSTEM listing (driver-sized), fresh per query like
+  // system.tables. The entry builds its own week-partitioned
+  // warehouse from events and the oracle derives the same partition
+  // set from the raw timestamps (date_trunc week == toMonday).
+  val q197ChSystemParts = QueryDef(
+    "q197_ch_system_parts",
+    (s, dir) => {
+      import graft.sources.{Binding, Catalog, Warehouse}
+      import org.apache.spark.sql.functions.col
+      val tmp = sys.props("java.io.tmpdir") + "/graft_parts_q197_" +
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(
+          new java.io.File(dir).getAbsolutePath.hashCode)
+      graft.FsUtil.rmTree(tmp)
+      val ev = Graft.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      Warehouse.write(ev, tmp, "ts", Seq("event_id"),
+        mode = "overwrite")
+      Catalog.register(s, Binding("q197_wh", tmp))
+      s.sql("""
+        SELECT `table`, partition, partition_key FROM system.parts
+        WHERE `table` = 'q197_wh' ORDER BY partition""")
+    },
+    Some("""
+      SELECT 'q197_wh' AS "table",
+             CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+               AS VARCHAR) AS partition,
+             'week' AS partition_key
+      FROM events GROUP BY 2 ORDER BY partition"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
+      q197ChSystemParts,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,
