@@ -224,8 +224,19 @@ case class ChTruncateTableCommand(table: String)
   * partition column joins the grouping key), then an atomic
   * directory swap. Returns the surviving week partitions.
   */
+/** `... DEDUPLICATE [BY cols]`: drop duplicate rows during the merge
+  * — CH's exact-dedup-at-merge-time. Full-row dedup is deterministic
+  * (identical rows are interchangeable); `BY cols` keeps ONE
+  * arbitrary row per distinct cols-value WITHIN a week partition
+  * (merges never cross partitions — the week column implicitly joins
+  * the BY set), matching CH's own unspecified-survivor contract.
+  * Dedup does NOT imply FINAL version-collapse (nor does it in CH);
+  * run both statements for both effects.
+  */
 case class ChOptimizeTableCommand(table: String,
-    partition: Option[String] = None)
+    partition: Option[String] = None,
+    deduplicate: Boolean = false,
+    dedupBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -244,12 +255,16 @@ case class ChOptimizeTableCommand(table: String,
     val ver = stamped("graft.finalVersion").headOption
     val sign = stamped("graft.finalSign").headOption
     val dateCol = stamped(WeekBoundsRule.flag).headOption
-    require(keys.nonEmpty && ver.nonEmpty && dateCol.nonEmpty,
-      s"OPTIMIZE TABLE: binding '$table' must stamp graft.finalKey, " +
-        "graft.finalVersion and the warehouse date column " +
-        s"(${WeekBoundsRule.flag}) in its schema")
+    require(dateCol.nonEmpty,
+      s"OPTIMIZE TABLE: binding '$table' must stamp the warehouse " +
+        s"date column (${WeekBoundsRule.flag}) in its schema")
+    require(deduplicate || (keys.nonEmpty && ver.nonEmpty),
+      s"OPTIMIZE TABLE: binding '$table' must stamp graft.finalKey " +
+        "and graft.finalVersion in its schema (or use DEDUPLICATE)")
     val wh = graft.sources.Warehouse
-    val orderKey = keys :+ ver.get
+    // ver is only stamped on FINAL-engine bindings; the dedup branch
+    // never touches it
+    lazy val orderKey = keys :+ ver.get
     val tablePath = new Path(b.path)
     val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = new Path(tablePath.getParent,
@@ -261,7 +276,17 @@ case class ChOptimizeTableCommand(table: String,
       identity[org.apache.spark.sql.DataFrame] _)(w => df =>
       df.filter(org.apache.spark.sql.functions.col(wh.weekCol) ===
         org.apache.spark.sql.functions.lit(w).cast("date")))
-    sign match {
+    if (deduplicate) {
+      val src = filter(wh.read(spark, b.path))
+      val dd =
+        if (dedupBy.isEmpty) src.dropDuplicates()
+        else src.dropDuplicates((wh.weekCol +: dedupBy).distinct)
+      val cluster =
+        if (keys.nonEmpty) keys ++ ver.toSeq
+        else if (dedupBy.nonEmpty) dedupBy
+        else schema.fieldNames.headOption.toSeq
+      wh.write(dd.drop(wh.weekCol), out.toString, dateCol.get, cluster)
+    } else sign match {
       case Some(sc) =>
         wh.compact(spark, b.path, out.toString, dateCol.get, orderKey,
           keys, ver.get, sc, sourceFilter = filter)

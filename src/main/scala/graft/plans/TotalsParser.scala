@@ -597,7 +597,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // distinction parquet doesn't have).
   private val optimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+TABLE\s+`?([\w.]+?)`?""" +
-      """(?:\s+PARTITION\s+(\S+))?(?:\s+FINAL)?\s*$""").r
+      """(?:\s+PARTITION\s+(\S+))?(?:\s+FINAL)?""" +
+      """(?:\s+(DEDUPLICATE)(?:\s+BY\s+(.+?))?)?\s*$""").r
   // `CREATE MATERIALIZED VIEW mv [TO t] [ENGINE = ...] [POPULATE]
   // AS SELECT ...` — the middle section (engine, order, populate) is
   // scanned for POPULATE and otherwise dropped
@@ -676,10 +677,14 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
             unmaskLiterals(stripWs(a.substring(eq + 1)), lits))
         }
         Some(ChAlterTableCommand(table, pairs, unmaskLiterals(cond, lits)))
-      case optimizeRe(table, partition) =>
+      case optimizeRe(table, partition, dedup, dedupCols) =>
         Some(ChOptimizeTableCommand(table,
           Option(partition).map(p =>
-            unmaskLiterals(p, lits).replaceAll("^'|'$", ""))))
+            unmaskLiterals(p, lits).replaceAll("^'|'$", "")),
+          deduplicate = dedup != null,
+          dedupBy = Option(dedupCols).toSeq.flatMap(cs =>
+            cs.split(",").map(_.trim.replace("`", ""))
+              .filter(_.nonEmpty))))
       case renameRe(from, to) =>
         Some(ChRenameTableCommand(from, to, exchange = false))
       case exchangeRe(a, b) =>

@@ -2394,9 +2394,44 @@ object DialectQueries {
              'week' AS partition_key
       FROM events GROUP BY 2 ORDER BY partition"""))
 
+  // CH `OPTIMIZE TABLE ... DEDUPLICATE` (X107): exact duplicate rows
+  // dropped at merge time — the statement-level twin of the X1
+  // operator. The entry double-writes a subset into its own
+  // warehouse, deduplicates via the verbatim statement, and the
+  // oracle is simply the ORIGINAL subset (full-row dedup of exact
+  // copies is deterministic).
+  val q198ChOptimizeDedup = QueryDef(
+    "q198_ch_optimize_dedup",
+    (s, dir) => {
+      import graft.sources.{Binding, Catalog, Warehouse}
+      import org.apache.spark.sql.functions.col
+      val tmp = sys.props("java.io.tmpdir") + "/graft_dedup_q198_" +
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(
+          new java.io.File(dir).getAbsolutePath.hashCode)
+      graft.FsUtil.rmTree(tmp)
+      val ev = Graft.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .filter(col("event_id") % 5 === 0)
+      Warehouse.write(ev, tmp, "ts", Seq("event_id"))
+      Warehouse.write(ev.filter(col("event_id") % 10 === 0), tmp,
+        "ts", Seq("event_id"))
+      Catalog.register(s, Binding("q198_wh", tmp))
+      s.sql("OPTIMIZE TABLE q198_wh DEDUPLICATE").collect()
+      s.sql("""
+        SELECT event_type, toInt64(count(1)) AS n,
+               toInt64(sum(event_id)) AS id_sum
+        FROM q198_wh GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM events WHERE event_id % 5 = 0
+      GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
-      q197ChSystemParts,
+      q197ChSystemParts, q198ChOptimizeDedup,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,
