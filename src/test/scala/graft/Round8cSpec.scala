@@ -60,6 +60,27 @@ class Round8cSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("OPTIMIZE TABLE DEDUPLICATE BY keeps one row per key within " +
+      "a week partition; full-row dedup removes exact copies") {
+    import graft.sources.{Binding, Catalog, Warehouse}
+    val tmp = sys.props("java.io.tmpdir") + "/graft_r8c_opt_dedup"
+    graft.FsUtil.rmTree(tmp)
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "a"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "b"),
+      // same key 2 in ANOTHER week: BY-dedup must keep both weeks
+      (2L, java.sql.Timestamp.valueOf("2024-01-09 00:00:00"), "b"))
+      .toDF("k", "ts", "v")
+    Warehouse.write(rows, tmp, "ts", Seq("k"))
+    Catalog.register(spark, Binding("r8c_opt_wh", tmp))
+    spark.sql("OPTIMIZE TABLE r8c_opt_wh DEDUPLICATE BY k").collect()
+    val got = spark.sql(
+      "SELECT k, count(1) FROM r8c_opt_wh GROUP BY k ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("vocabGrowth: first-seen attribution goes to the min snapshot, " +
       "new_vocab sums to the global vocabulary") {
     val docs = Seq(
