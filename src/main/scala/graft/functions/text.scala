@@ -337,6 +337,28 @@ object text {
     scriptCount(c, "Arabic").as("arabic"),
     length(c).cast("long").as("total"))
 
+  /** Unicode confusable folding for DEDUP KEYS — the normalization
+    * that makes a smart-quote re-render of a page hash like its
+    * plain-ASCII twin (CMS re-serializations, "typographic" mirrors
+    * and copy-paste chains are the same document to a dedup pass):
+    * zero-width characters and soft hyphens are DELETED, the unicode
+    * space family folds to ASCII space, curly single/double quotes to
+    * straight, the dash family to '-', and the one-char ellipsis to
+    * "...". Composed from anchored regex classes + one `translate` —
+    * pure codegen'd projection; fold BEFORE [[tokenize]]/shingling so
+    * near-dup candidates collide across typographic variants.
+    */
+  def foldConfusables(c: Column): Column = {
+    val noZw = regexp_replace(c, "[\\u200B\\u200C\\u200D\\uFEFF\\u00AD]", "")
+    val sp = regexp_replace(noZw,
+      "[\\u00A0\\u1680\\u2000-\\u200A\\u202F\\u205F\\u3000]", " ")
+    val folded = translate(sp,
+      "‘’‚‛“”„‟" +
+        "‐‑‒–—―−",
+      "''''\"\"\"\"-------")
+    regexp_replace(folded, "…", "...")
+  }
+
   /** Luhn checksum validity for an all-digit string — the filter
     * that separates a REAL payment-card number from sixteen digits
     * that merely look like one (PII scrubbing flags the latter as

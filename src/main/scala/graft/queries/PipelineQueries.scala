@@ -4494,10 +4494,41 @@ object PipelineQueries {
       FROM occ JOIN ps USING (snap) LEFT JOIN fs USING (snap)
       ORDER BY occ.snap"""))
 
+  // Unicode confusable folding (X108): typographic variants (curly
+  // quotes, dash family, NBSP/zero-width, one-char ellipsis) fold to
+  // the ASCII forms so a smart-quote re-render deduplicates against
+  // its plain twin. The oracle does NOT re-implement the fold — it
+  // constructs the expected clean string directly from the same
+  // doc_id arithmetic, so any missed mapping breaks the row hash.
+  val q199FoldConfusables = QueryDef(
+    "q199_fold_confusables",
+    (s, dir) => {
+      val id = col("doc_id")
+      val dirty = concat(
+        when(id % 2 === 0,
+          lit("\u201Cquoted\u201D \u2014 text\u2026"))
+          .otherwise(lit("\"quoted\" - text...")),
+        lit(" core "), col("text").substr(1, 40),
+        // NBSP-led tail with a trailing zero-width space
+        when(id % 3 === 0, lit("\u00A0tail\u200B"))
+          .otherwise(lit(" tail")))
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          text.foldConfusables(dirty).as("ftext"))
+        .orderBy(col("doc_id"))
+        .limit(300)
+    },
+    Some("""
+      SELECT doc_id,
+             '"quoted" - text... core ' || substr(text, 1, 40) ||
+               ' tail' AS ftext
+      FROM documents ORDER BY doc_id LIMIT 300"""))
+
   val defs: Seq[QueryDef] = Seq(
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
     q194ScriptProfile, q195LuhnPii, q196VocabGrowth,
+    q199FoldConfusables,
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,

@@ -95,6 +95,23 @@ class Round8cSpec extends SparkSpec {
     assert(got.map(_._4).sum == 4L) // = |global vocab|
   }
 
+  test("foldConfusables maps every documented confusable family and " +
+      "leaves ASCII untouched") {
+    val got = Seq(
+      "\u201Ca\u201D \u2018b\u2019 \u2014 c \u2013 d\u2026",
+      "e\u00A0f\u2002g\u3000h",
+      "i\u200Bj\u00ADk\uFEFFl",
+      "plain 'ascii' - stays...")
+      .toDF("s")
+      .select(graft.functions.text.foldConfusables($"s")).as[String]
+      .collect().toSeq
+    assert(got == Seq(
+      "\"a\" 'b' - c - d...",
+      "e f g h",
+      "ijkl",
+      "plain 'ascii' - stays..."))
+  }
+
   test("luhnValid: classic valid numbers pass, off-by-one check " +
       "digits fail, short and non-digit strings fail") {
     val got = Seq("4532015112830366", "4111111111111111",
