@@ -322,6 +322,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q194/q195/q199: script profile, Luhn and confusable folding " +
+      "are pure projections — no join, no window anywhere") {
+    for (q <- Seq("q194_script_profile", "q195_luhn_pii",
+        "q199_fold_confusables")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+    }
+  }
+
+  test("q196: vocab growth joins only snapshot-cardinality rollups — " +
+      "no window, no cartesian") {
+    val p = plan("q196_vocab_growth")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q192: containment candidates come from equi-joins only, and " +
       "the prefix-rank window partitions per document (no global " +
       "single-partition window)") {
