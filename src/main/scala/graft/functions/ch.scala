@@ -715,4 +715,165 @@ object ch {
       when(folded.getField(s"t$i").isNotNull, lit(i + 1)).otherwise(els)
     }
   }
+
+  /** ClickHouse `intervalLengthSum(start, end)`: total length of the
+    * UNION of the group's `[start, end)` intervals — overlap counted
+    * once, gaps not at all (the "total time with ≥1 session open"
+    * aggregate). Sweep over the start-sorted interval list: extend a
+    * running frontier `cur`, add only the part of each interval past
+    * it. Inverted or empty intervals (`end <= start`) contribute 0 and
+    * never move the frontier; a NULL endpoint drops the interval
+    * (aggregate NULL-skip convention). Per-group state is the interval
+    * list, the windowFunnel caveat.
+    */
+  def intervalLengthSum(start: Column, end: Column): Column = {
+    val iv = struct(start.cast("long").as("s"), end.cast("long").as("e"))
+    val sorted = array_sort(collect_list(
+      when(start.isNotNull && end.isNotNull, iv)))
+    val init = struct(lit(0L).as("acc"),
+      lit(null).cast("bigint").as("cur"))
+    val folded = aggregate(sorted, init, (st, i) => {
+      val s = i.getField("s")
+      val e = i.getField("e")
+      val cur = st.getField("cur")
+      val lo = when(cur.isNotNull && cur > s, cur).otherwise(s)
+      val add = when(e > lo, e - lo).otherwise(lit(0L))
+      val ncur = when(e > s,
+          when(cur.isNotNull && cur > e, cur).otherwise(e))
+        .otherwise(cur)
+      struct((st.getField("acc") + add).as("acc"), ncur.as("cur"))
+    })
+    folded.getField("acc")
+  }
+
+  /** The ±1 boundary-event sweep list shared by maxIntersections and
+    * maxIntersectionsPosition: two events per valid `[s, e)` interval,
+    * sorted by `(position, delta)` — delta −1 sorts before +1 at equal
+    * positions, so an interval ENDING where another starts does not
+    * overlap it (the half-open contract).
+    */
+  private def intersectionEvents(start: Column, end: Column): Column = {
+    val s = start.cast("long")
+    val e = end.cast("long")
+    val pairs = collect_list(when(
+      start.isNotNull && end.isNotNull && e > s,
+      struct(s.as("s"), e.as("e"))))
+    array_sort(flatten(transform(pairs, p => array(
+      struct(p.getField("s").as("pos"), lit(1).as("d")),
+      struct(p.getField("e").as("pos"), lit(-1).as("d"))))))
+  }
+
+  /** ClickHouse `maxIntersections(start, end)`: the maximum number of
+    * the group's `[start, end)` intervals simultaneously open — peak
+    * concurrency. One fold over the ±1 sweep events.
+    */
+  def maxIntersections(start: Column, end: Column): Column = {
+    val folded = aggregate(intersectionEvents(start, end),
+      struct(lit(0L).as("cur"), lit(0L).as("best")),
+      (st, ev) => {
+        val cur = st.getField("cur") + ev.getField("d").cast("long")
+        struct(cur.as("cur"),
+          greatest(st.getField("best"), cur).as("best"))
+      })
+    folded.getField("best")
+  }
+
+  /** ClickHouse `maxIntersectionsPosition(start, end)`: the LEFTMOST
+    * position where [[maxIntersections]]' peak is first reached (a
+    * strict `>` keeps the first peak). 0 for an empty/all-degenerate
+    * group, as a CH UInt would render.
+    */
+  def maxIntersectionsPosition(start: Column, end: Column): Column = {
+    val folded = aggregate(intersectionEvents(start, end),
+      struct(lit(0L).as("cur"), lit(0L).as("best"), lit(0L).as("bp")),
+      (st, ev) => {
+        val cur = st.getField("cur") + ev.getField("d").cast("long")
+        val better = cur > st.getField("best")
+        struct(cur.as("cur"),
+          when(better, cur).otherwise(st.getField("best")).as("best"),
+          when(better, ev.getField("pos"))
+            .otherwise(st.getField("bp")).as("bp"))
+      })
+    folded.getField("bp")
+  }
+
+  /** ClickHouse `groupArrayMovingSum[(k)](x)` under this engine's
+    * ordered-aggregate policy (the deltaSumTimestamp precedent): CH
+    * reads block order, which is nondeterministic even on a single CH
+    * node, so the engine's form takes an explicit ordering column —
+    * `groupArrayMovingSum(k)(x, ord)` — and sorts the group by
+    * `(ord, x)` (value breaks ordering ties, keeping the output a pure
+    * function of the group's multiset). `k = None` is CH's default:
+    * the window grows with the prefix (a plain running sum).
+    *
+    * Shape: cumulative sums once, then `zip_with` against a zero-padded
+    * shifted copy — two slices of the SAME array, never an
+    * index-addressed lambda over it (the q154 O(n²) re-evaluation
+    * trap).
+    */
+  def groupArrayMovingSum(k: Option[Int], x: Column, ord: Column): Column = {
+    k.foreach(kk => require(kk >= 1,
+      s"groupArrayMovingSum window must be >= 1, got $kk"))
+    val pairs = array_sort(collect_list(
+      when(x.isNotNull && ord.isNotNull,
+        struct(ord.as("o"), x.cast("long").as("x")))))
+    val vals = transform(pairs, p => p.getField("x"))
+    val cum = arrayCumSumLong(vals)
+    k match {
+      case None => cum
+      case Some(kk) =>
+        val n = size(cum)
+        // cum[i] - cum[i-k], with zeros padding the first k positions
+        val shifted = concat(
+          array_repeat(lit(0L), least(lit(kk), n)),
+          slice(cum, lit(1), greatest(n - kk, lit(0))))
+        zip_with(cum, shifted, (a, b) => a - b)
+    }
+  }
+
+  /** ClickHouse `groupArrayMovingAvg(k)(x)` (ordered form, see
+    * [[groupArrayMovingSum]]): each moving sum divided by the FULL
+    * window size `k` — CH divides by the window even while it is still
+    * filling, so leading elements are damped; result is DOUBLE (CH
+    * keeps integer types and truncates, a lossy quirk this engine does
+    * not copy — documented divergence).
+    */
+  def groupArrayMovingAvg(k: Int, x: Column, ord: Column): Column =
+    transform(groupArrayMovingSum(Some(k), x, ord),
+      s => s.cast("double") / lit(k.toDouble))
+
+  /** ClickHouse `entropy(x)`: Shannon entropy (bits) of the group's
+    * value distribution. Values compare by their STRING rendering
+    * (CH hashes the binary value; same equivalence classes for the
+    * string/integer columns the query surface feeds it). One sorted
+    * pass with a run-length fold accumulating `Σ c·log2(c)`, then
+    * `H = log2(n) − Σ/n` — algebraically equal to `−Σ p·log2(p)` but
+    * needing only one pass and no per-distinct-value map. NULLs are
+    * skipped (collect_list contract). Per-group state is the value
+    * list, the windowFunnel caveat.
+    */
+  def entropy(x: Column): Column = {
+    val sorted = array_sort(collect_list(x.cast("string")))
+    val n = size(sorted)
+    val ln2 = math.log(2.0)
+    def cLog2c(c: Column): Column =
+      c.cast("double") * log(c.cast("double")) / lit(ln2)
+    val init = struct(lit(null).cast("string").as("p"),
+      lit(0L).as("r"), lit(0.0).as("a"))
+    val folded = aggregate(sorted, init, (st, v) => {
+      val same = st.getField("p") <=> v
+      struct(v.as("p"),
+        when(same, st.getField("r") + 1).otherwise(lit(1L)).as("r"),
+        when(same, st.getField("a"))
+          .otherwise(st.getField("a") +
+            when(st.getField("r") > 0, cLog2c(st.getField("r")))
+              .otherwise(lit(0.0))).as("a"))
+    })
+    val total = folded.getField("a") +
+      when(folded.getField("r") > 0, cLog2c(folded.getField("r")))
+        .otherwise(lit(0.0))
+    when(n > 0,
+      log(n.cast("double")) / lit(ln2) - total / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

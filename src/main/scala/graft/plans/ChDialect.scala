@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, ArrayTransform, Cast, Explode, Expression, Literal}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType, StringType}
 
 import graft.functions.{ch, url}
 
@@ -24,6 +24,15 @@ object ChDialect {
     case Literal(v, _) if v != null => v.toString
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got $other")
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 
   /** Whether a regex literal contains a capturing group — drives CH
@@ -588,6 +597,57 @@ object ChDialect {
     "groupBitmap" -> (args => ex(count_distinct(col(args.head)))),
     "groupBitmapState" -> (args =>
       ex(array_sort(collect_set(col(args.head))))),
+    // groupBitAnd/Or/Xor: CH's bitwise-fold aggregates — Spark's
+    // bit_and/bit_or/bit_xor are the same fold (order-insensitive)
+    "groupBitAnd" -> (args =>
+      ex(call_function("bit_and", col(args.head)))),
+    "groupBitOr" -> (args =>
+      ex(call_function("bit_or", col(args.head)))),
+    "groupBitXor" -> (args =>
+      ex(call_function("bit_xor", col(args.head)))),
+    // interval-sweep aggregates (graft.functions.ch): union length of
+    // [s, e) intervals / peak concurrency / leftmost peak position
+    "intervalLengthSum" -> (args =>
+      ex(ch.intervalLengthSum(col(args.head), col(args(1))))),
+    "maxIntersections" -> (args =>
+      ex(ch.maxIntersections(col(args.head), col(args(1))))),
+    "maxIntersectionsPosition" -> (args =>
+      ex(ch.maxIntersectionsPosition(col(args.head), col(args(1))))),
+    // moving-window group arrays under the ordered-aggregate policy
+    // (explicit ordering argument — CH block order is
+    // nondeterministic): groupArrayMovingSum[(k)](x, ord). The
+    // parameterized form arrives flattened to (k, x, ord).
+    "groupArrayMovingSum" -> (args => args.length match {
+      case 2 => ex(ch.groupArrayMovingSum(None, col(args.head), col(args(1))))
+      case 3 => ex(ch.groupArrayMovingSum(
+        Some(litInt(args.head, "groupArrayMovingSum window")),
+        col(args(1)), col(args(2))))
+      case n => throw new IllegalArgumentException(
+        s"groupArrayMovingSum takes (x, ord) or (k)(x, ord), got $n args")
+    }),
+    "groupArrayMovingAvg" -> (args => {
+      require(args.length == 3,
+        "groupArrayMovingAvg needs an explicit window: " +
+          "groupArrayMovingAvg(k)(x, ord)")
+      ex(ch.groupArrayMovingAvg(
+        litInt(args.head, "groupArrayMovingAvg window"),
+        col(args(1)), col(args(2))))
+    }),
+    // entropy(x): Shannon entropy (bits) of the group's value
+    // distribution, string-rendered equivalence classes
+    "entropy" -> (args => ex(ch.entropy(col(args.head)))),
+    // uniqTheta: KMV sketch over 48-bit MD5 (plans/NativeSketch.scala)
+    // — bounded mergeable state, the scale path next to uniqExact.
+    // Optional parameterized form uniqTheta(k)(x) (engine extension;
+    // CH fixes k internally), flattened to (k, x).
+    "uniqTheta" -> (args => args.length match {
+      case 1 => UniqThetaAgg(
+        Cast(args.head, StringType), 256).toAggregateExpression()
+      case 2 => UniqThetaAgg(Cast(args(1), StringType),
+        litInt(args.head, "uniqTheta k")).toAggregateExpression()
+      case n => throw new IllegalArgumentException(
+        s"uniqTheta takes (x) or (k)(x), got $n args")
+    }),
     // sequenceMatch('(?1)(?2)')(ts, conds...) — flattened by the
     // TotalsParser to sequenceMatch(pattern, ts, conds...); the
     // pattern must be a literal (it compiles into the regex)

@@ -146,7 +146,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // masked at this point), but no parens.
   private val paramAggHead =
     ("""(?i)\b(windowFunnel|sequenceMatch|sequenceCount|uniqUpTo""" +
-      """|topKWeighted|topKMerge|topK|quantileExactMerge)""" +
+      """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
+      """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta)""" +
       """\s*\(\s*([^()]+?)\s*\)\s*\(""").r
 
   /** Rewrite every `name(params)(args)` to `name(params, args)`,

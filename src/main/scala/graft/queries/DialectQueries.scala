@@ -2429,9 +2429,233 @@ object DialectQueries {
       FROM events WHERE event_id % 5 = 0
       GROUP BY event_type ORDER BY event_type"""))
 
+  // Interval-sweep aggregates (X109): intervalLengthSum — total
+  // covered length of the union of [s, e) intervals (overlap counted
+  // once), maxIntersections — peak concurrency, and
+  // maxIntersectionsPosition — where the peak first occurs. Synthetic
+  // integer intervals from event_id keep every endpoint exact;
+  // one-in-11 intervals are empty and one-in-13 inverted, exercising
+  // the degenerate-interval guards in both engines. The oracle
+  // replays the sweep with window functions: a running max-end for
+  // the union length, a ±1 boundary-event running sum for the peak
+  // (delta −1 sorts before +1 at equal positions — the half-open
+  // contract), and the first row reaching the peak for its position.
+  val q200ChIntervalAggs = QueryDef(
+    "q200_ch_interval_aggs",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v200")
+      s.sql("""
+        SELECT user_id % 8 AS cohort,
+               intervalLengthSum(s, e) AS covered,
+               maxIntersections(s, e) AS peak,
+               maxIntersectionsPosition(s, e) AS peak_pos,
+               toInt64(count(1)) AS n
+        FROM (SELECT user_id,
+                     (event_id * 7) % 1000 AS s,
+                     (event_id * 7) % 1000 +
+                       (CASE WHEN event_id % 11 = 0 THEN 0
+                             WHEN event_id % 13 = 0 THEN -5
+                             ELSE event_id % 97 + 5 END) AS e
+              FROM events_v200)
+        GROUP BY cohort ORDER BY cohort""")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id % 8 AS cohort,
+               (event_id * 7) % 1000 AS s,
+               (event_id * 7) % 1000 +
+                 (CASE WHEN event_id % 11 = 0 THEN 0
+                       WHEN event_id % 13 = 0 THEN -5
+                       ELSE event_id % 97 + 5 END) AS e
+        FROM events
+      ), valid AS (
+        SELECT * FROM iv WHERE e > s
+      ), cov AS (
+        SELECT cohort,
+               greatest(0, e - greatest(s, coalesce(
+                 max(e) OVER (PARTITION BY cohort ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 s))) AS contrib
+        FROM valid
+      ), cov2 AS (
+        SELECT cohort, CAST(sum(contrib) AS BIGINT) AS covered
+        FROM cov GROUP BY cohort
+      ), ev AS (
+        SELECT cohort, s AS pos, 1 AS d FROM valid
+        UNION ALL
+        SELECT cohort, e AS pos, -1 AS d FROM valid
+      ), runs AS (
+        SELECT cohort, pos, d,
+               sum(d) OVER (PARTITION BY cohort ORDER BY pos, d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               row_number() OVER (PARTITION BY cohort
+                 ORDER BY pos, d) AS rn
+        FROM ev
+      ), pk AS (
+        SELECT cohort, CAST(max(run) AS BIGINT) AS peak FROM runs
+        GROUP BY cohort
+      ), pos AS (
+        SELECT r.cohort, CAST(min_by(r.pos, r.rn) AS BIGINT) AS peak_pos
+        FROM runs r JOIN pk ON r.cohort = pk.cohort AND r.run = pk.peak
+        GROUP BY r.cohort
+      ), cnt AS (
+        SELECT user_id % 8 AS cohort, CAST(count(1) AS BIGINT) AS n
+        FROM events GROUP BY cohort
+      )
+      SELECT cnt.cohort, coalesce(cov2.covered, 0) AS covered,
+             coalesce(pk.peak, 0) AS peak,
+             coalesce(pos.peak_pos, 0) AS peak_pos, cnt.n
+      FROM cnt
+      LEFT JOIN cov2 ON cnt.cohort = cov2.cohort
+      LEFT JOIN pk ON cnt.cohort = pk.cohort
+      LEFT JOIN pos ON cnt.cohort = pos.cohort
+      ORDER BY cnt.cohort"""))
+
+  // Ordered moving-window group arrays + the groupBit fold family
+  // (X110). groupArrayMovingSum/Avg take an explicit ordering column
+  // (CH reads nondeterministic block order — the deltaSumTimestamp
+  // policy); event_id is unique, so the order is total. The moving
+  // average divides by the FULL window (CH's always-k divisor) and is
+  // serialized as exact ×100 integers (quarter-steps — no float
+  // rendering in the compared surface). Arrays CSV-serialize (the q75
+  // members pattern).
+  val q201ChMovingBits = QueryDef(
+    "q201_ch_moving_bits",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v201")
+      s.sql("""
+        SELECT event_type,
+               concat_ws(',', groupArrayMovingSum(5)(
+                 user_id + event_id % 50, event_id)) AS ms,
+               concat_ws(',', groupArrayMovingSum(
+                 user_id + event_id % 50, event_id)) AS rs,
+               concat_ws(',', arrayMap(x -> toInt64(round(x * 100)),
+                 groupArrayMovingAvg(4)(user_id, event_id))) AS ma,
+               groupBitAnd(user_id + 3) AS band,
+               groupBitOr(user_id + 3) AS bor,
+               groupBitXor(user_id + 3) AS bxor,
+               toInt64(count(1)) AS n
+        FROM events_v201
+        WHERE event_id % 17 = 0
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, event_id, user_id,
+               user_id + event_id % 50 AS x
+        FROM events WHERE event_id % 17 = 0
+      ), w AS (
+        SELECT event_type, event_id,
+               sum(x) OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ms5,
+               sum(x) OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum,
+               sum(user_id) OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 25 AS ma4
+        FROM r
+      ), agg AS (
+        SELECT event_type,
+               string_agg(CAST(ms5 AS VARCHAR), ',' ORDER BY event_id) AS ms,
+               string_agg(CAST(rsum AS VARCHAR), ',' ORDER BY event_id) AS rs,
+               string_agg(CAST(ma4 AS VARCHAR), ',' ORDER BY event_id) AS ma
+        FROM w GROUP BY event_type
+      ), b AS (
+        SELECT event_type,
+               CAST(bit_and(user_id + 3) AS BIGINT) AS band,
+               CAST(bit_or(user_id + 3) AS BIGINT) AS bor,
+               CAST(bit_xor(user_id + 3) AS BIGINT) AS bxor,
+               CAST(count(1) AS BIGINT) AS n
+        FROM r GROUP BY event_type
+      )
+      SELECT agg.event_type, agg.ms, agg.rs, agg.ma,
+             b.band, b.bor, b.bxor, b.n
+      FROM agg JOIN b ON agg.event_type = b.event_type
+      ORDER BY agg.event_type"""))
+
+  // entropy + the KMV uniqTheta sketch (X111/X112). entropy compares
+  // guard-band-floored milli-bits (the q137 lesson: transcendental
+  // outputs never sit raw in a hashed surface). uniqTheta(64) runs
+  // the ESTIMATOR path (each event_type holds well over 64 distinct
+  // event ids) and uniqTheta(user_id) the small-side exact path; the
+  // oracle replays the 48-bit-MD5 KMV definition verbatim — distinct
+  // hashes, 64th smallest, integer-division estimate — which is the
+  // point of the md5-hex hash choice (DuckDB can compute it).
+  val q202ChEntropyTheta = QueryDef(
+    "q202_ch_entropy_theta",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v202")
+      s.sql("""
+        SELECT event_type,
+               toInt64(floor(entropy(user_id % 20) * 1000 + 0.5)) AS ent_mb,
+               uniqTheta(64)(toString(event_id)) AS theta64,
+               uniqTheta(toString(user_id)) AS theta_small,
+               uniqExact(user_id) AS exact_users,
+               toInt64(count(1)) AS n
+        FROM events_v202
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT event_type, user_id % 20 AS v, count(1) AS c
+        FROM events GROUP BY event_type, v
+      ), ent AS (
+        SELECT event_type,
+               CAST(floor((log2(sum(c)) -
+                 sum(c * log2(c)) / sum(c)) * 1000 + 0.5) AS BIGINT)
+                 AS ent_mb
+        FROM counts GROUP BY event_type
+      ), h64 AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12)
+                 AS BIGINT) AS h
+        FROM events WHERE event_id IS NOT NULL
+      ), k64 AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+               count(1) OVER (PARTITION BY event_type) AS nh
+        FROM h64
+      ), t64 AS (
+        SELECT event_type,
+               CASE WHEN max(nh) < 64 THEN CAST(max(nh) AS BIGINT)
+                    ELSE (63 * 281474976710656) //
+                         max(CASE WHEN rk = 64 THEN h END)
+               END AS theta64
+        FROM k64 WHERE rk <= 64 GROUP BY event_type
+      ), hs AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                 AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+      ), ks AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+               count(1) OVER (PARTITION BY event_type) AS nh
+        FROM hs
+      ), ts AS (
+        SELECT event_type,
+               CASE WHEN max(nh) < 256 THEN CAST(max(nh) AS BIGINT)
+                    ELSE (255 * 281474976710656) //
+                         max(CASE WHEN rk = 256 THEN h END)
+               END AS theta_small
+        FROM ks WHERE rk <= 256 GROUP BY event_type
+      ), ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(count(1) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+      )
+      SELECT ex.event_type, ent.ent_mb, t64.theta64, ts.theta_small,
+             ex.exact_users, ex.n
+      FROM ex
+      JOIN ent ON ex.event_type = ent.event_type
+      JOIN t64 ON ex.event_type = t64.event_type
+      JOIN ts ON ex.event_type = ts.event_type
+      ORDER BY ex.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
+      q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ch
+
+/** Round-8 fifth wave: interval-sweep aggregates (X109), ordered
+  * moving-window group arrays + groupBit folds (X110), entropy (X111),
+  * and the KMV uniqTheta sketch (X112).
+  */
+class Round8dSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def intervals(rows: (Long, Long)*) =
+    rows.toDF("s", "e")
+
+  test("intervalLengthSum counts overlap once, gaps not at all, and " +
+      "ignores empty/inverted intervals") {
+    // [0,10) ∪ [5,15) ∪ [20,25) = 15 + 5; [30,30) and [40,35) add 0
+    val df = intervals((0L, 10L), (5L, 15L), (20L, 25L),
+      (30L, 30L), (40L, 35L))
+    val got = df.agg(ch.intervalLengthSum($"s", $"e")).as[Long].head()
+    assert(got == 20L)
+  }
+
+  test("intervalLengthSum: an interval nested inside another adds " +
+      "nothing, and the frontier survives it") {
+    // [0,100) ∪ [10,20) ∪ [90,150): nested adds 0, the third extends 50
+    val df = intervals((0L, 100L), (10L, 20L), (90L, 150L))
+    val got = df.agg(ch.intervalLengthSum($"s", $"e")).as[Long].head()
+    assert(got == 150L)
+  }
+
+  test("maxIntersections treats intervals as half-open: touching " +
+      "endpoints do not overlap") {
+    // [0,10) and [10,20) never coexist; with [5,12) the peak is 2
+    val df = intervals((0L, 10L), (10L, 20L), (5L, 12L))
+    val got = df.agg(ch.maxIntersections($"s", $"e")).as[Long].head()
+    assert(got == 2L)
+  }
+
+  test("maxIntersectionsPosition is the LEFTMOST position reaching " +
+      "the peak") {
+    // peak 2 is reached first at 5 ([0,10)+[5,12)), again at 15 — the
+    // strict-> fold keeps 5
+    val df = intervals((0L, 10L), (5L, 12L), (15L, 30L), (16L, 25L))
+    val got = df.agg(ch.maxIntersectionsPosition($"s", $"e"))
+      .as[Long].head()
+    assert(got == 5L)
+  }
+
+  test("maxIntersections of an empty group is 0") {
+    val df = intervals((5L, 5L)) // degenerate only
+    assert(df.agg(ch.maxIntersections($"s", $"e")).as[Long].head() == 0L)
+    assert(df.agg(ch.maxIntersectionsPosition($"s", $"e"))
+      .as[Long].head() == 0L)
+  }
+
+  test("groupArrayMovingSum windows over the explicit ordering, not " +
+      "encounter order") {
+    // rows deliberately out of order; ord sorts them 1..5, x = ord*10
+    val df = Seq((3L, 30L), (1L, 10L), (5L, 50L), (2L, 20L), (4L, 40L))
+      .toDF("o", "x")
+    val k2 = df.agg(ch.groupArrayMovingSum(Some(2), $"x", $"o"))
+      .as[Seq[Long]].head()
+    assert(k2 == Seq(10L, 30L, 50L, 70L, 90L))
+    val all = df.agg(ch.groupArrayMovingSum(None, $"x", $"o"))
+      .as[Seq[Long]].head()
+    assert(all == Seq(10L, 30L, 60L, 100L, 150L))
+  }
+
+  test("groupArrayMovingAvg divides by the FULL window while it fills " +
+      "(CH's always-k divisor)") {
+    val df = Seq((1L, 4L), (2L, 8L), (3L, 12L)).toDF("o", "x")
+    val got = df.agg(ch.groupArrayMovingAvg(4, $"x", $"o"))
+      .as[Seq[Double]].head()
+    assert(got == Seq(1.0, 3.0, 6.0)) // 4/4, 12/4, 24/4
+  }
+
+  test("entropy: uniform two-value split is exactly 1 bit, single " +
+      "value 0 bits, and the empty group 0") {
+    val two = Seq("a", "a", "b", "b").toDF("x")
+    assert(math.abs(two.agg(ch.entropy($"x")).as[Double].head() - 1.0)
+      < 1e-12)
+    val one = Seq("z", "z", "z").toDF("x")
+    assert(one.agg(ch.entropy($"x")).as[Double].head() == 0.0)
+    val none = Seq.empty[String].toDF("x")
+    assert(none.agg(ch.entropy($"x")).as[Double].head() == 0.0)
+  }
+
+  test("entropy of a 3:1 split matches the closed form") {
+    val df = Seq("a", "a", "a", "b").toDF("x")
+    val expect = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) /
+      math.log(2.0)
+    assert(math.abs(df.agg(ch.entropy($"x")).as[Double].head() - expect)
+      < 1e-9)
+  }
+
+  test("uniqTheta is exact below k and a pure function of the value " +
+      "SET above it (order/duplication invariant)") {
+    import graft.plans.UniqThetaAgg
+    import org.apache.spark.sql.GraftSqlBridge
+    def theta(df: org.apache.spark.sql.DataFrame, k: Int): Long = {
+      val e = GraftSqlBridge.expression(col("v").cast("string"))
+      df.agg(GraftSqlBridge.column(
+        UniqThetaAgg(e, k).toAggregateExpression())).as[Long].head()
+    }
+    val small = (1 to 100).map(_.toString).toDF("v")
+    assert(theta(small, 256) == 100L)
+    val big = (1 to 5000).map(_.toString).toDF("v")
+    val est = theta(big, 256)
+    // KMV with k=256 has ~1/sqrt(254) ≈ 6.3% sigma; 25% is 4 sigma
+    assert(est > 3750 && est < 6250, s"estimate $est far from 5000")
+    // estimator determinism: duplicated + shuffled input, same estimate
+    val noisy = (scala.util.Random.shuffle((1 to 5000).toList) ++
+      (1 to 2500)).map(_.toString).toDF("v").repartition(7)
+    assert(theta(noisy, 256) == est)
+  }
+
+  test("uniqTheta hash48 equals the numeric value of the first 12 md5 " +
+      "hex chars (the DuckDB replay contract)") {
+    import graft.plans.UniqThetaAgg
+    import org.apache.spark.unsafe.types.UTF8String
+    for (s <- Seq("42", "hello", "", "Iñtërnâtiônàl")) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_))
+        .mkString
+      assert(UniqThetaAgg.hash48(UTF8String.fromString(s)) ==
+        java.lang.Long.parseLong(hex, 16))
+    }
+  }
+
+  test("uniqTheta merges associatively across partitions (the " +
+      "map-side-combine contract)") {
+    import graft.plans.UniqThetaAgg
+    val agg = UniqThetaAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    def bufOf(vs: Seq[String]) = {
+      val b = agg.createAggregationBuffer()
+      vs.foreach { v =>
+        val h = UniqThetaAgg.hash48(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        // mirror update()'s add path through serialize round-trip
+        b.add(h); while (b.size > 8) b.pollLast()
+      }
+      b
+    }
+    val all = (1 to 50).map(_.toString)
+    val (l, r) = all.splitAt(23)
+    val merged = agg.merge(bufOf(l), bufOf(r))
+    val direct = bufOf(all)
+    assert(agg.eval(merged) == agg.eval(direct))
+    // serialize round-trip preserves the buffer exactly
+    assert(agg.deserialize(agg.serialize(direct)).equals(direct))
+  }
+}
