@@ -842,6 +842,39 @@ object ch {
     transform(groupArrayMovingSum(Some(k), x, ord),
       s => s.cast("double") / lit(k.toDouble))
 
+  /** ClickHouse `pointInPolygon((x, y), [[x1, y1], …])` (the array
+    * spelling of the polygon; this engine takes the point as two
+    * scalar arguments — Spark SQL has no bare-tuple literal). Even-odd
+    * ray casting: count edges straddling the horizontal ray from the
+    * point, odd → inside. The polygon closes itself (last→first edge),
+    * as in CH. Boundary points follow the strict comparisons (CH
+    * documents border behavior as unspecified); all arithmetic is
+    * IEEE +−×÷, bit-deterministic across engines, so an oracle can
+    * replay the exact formula. Horizontal edges never straddle, so
+    * their division-by-zero branch is unreachable garbage (NaN), never
+    * counted.
+    */
+  def pointInPolygon(px: Column, py: Column, poly: Column): Column = {
+    val xs = transform(poly, p => element_at(p, 1).cast("double"))
+    val ys = transform(poly, p => element_at(p, 2).cast("double"))
+    val n = size(poly)
+    val x2 = concat(slice(xs, lit(2), n - 1), slice(xs, lit(1), lit(1)))
+    val y2 = concat(slice(ys, lit(2), n - 1), slice(ys, lit(1), lit(1)))
+    val a = zip_with(xs, ys, (x, y) => struct(x.as("x"), y.as("y")))
+    val b = zip_with(x2, y2, (x, y) => struct(x.as("x"), y.as("y")))
+    val pxd = px.cast("double")
+    val pyd = py.cast("double")
+    val crossings = zip_with(a, b, (p1, p2) => {
+      val straddles =
+        (p1.getField("y") > pyd) =!= (p2.getField("y") > pyd)
+      val xint = (p2.getField("x") - p1.getField("x")) *
+        (pyd - p1.getField("y")) /
+        (p2.getField("y") - p1.getField("y")) + p1.getField("x")
+      when(straddles && pxd < xint, lit(1L)).otherwise(lit(0L))
+    })
+    (aggregate(crossings, lit(0L), (s, c) => s + c) % 2).cast("long")
+  }
+
   /** ClickHouse `entropy(x)`: Shannon entropy (bits) of the group's
     * value distribution. Values compare by their STRING rendering
     * (CH hashes the binary value; same equivalence classes for the

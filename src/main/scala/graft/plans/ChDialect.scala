@@ -636,6 +636,13 @@ object ChDialect {
     // entropy(x): Shannon entropy (bits) of the group's value
     // distribution, string-rendered equivalence classes
     "entropy" -> (args => ex(ch.entropy(col(args.head)))),
+    // pointInPolygon(px, py, [[x1,y1],…]): even-odd ray casting; the
+    // point is two scalars (Spark SQL has no bare-tuple literal)
+    "pointInPolygon" -> (args => {
+      require(args.length == 3,
+        "pointInPolygon(px, py, polygon) needs exactly 3 arguments")
+      ex(ch.pointInPolygon(col(args.head), col(args(1)), col(args(2))))
+    }),
     // uniqTheta: KMV sketch over 48-bit MD5 (plans/NativeSketch.scala)
     // — bounded mergeable state, the scale path next to uniqExact.
     // Optional parameterized form uniqTheta(k)(x) (engine extension;

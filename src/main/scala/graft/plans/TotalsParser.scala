@@ -278,6 +278,38 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       case _ => (masked, None)
     }
 
+  // CH `SELECT DISTINCT ON (keys) …` — keep the first row per key
+  // group. Sugar for `LIMIT 1 BY keys` (CH documents the equivalence),
+  // so the extraction reuses the ChLimitBy marker: survivor = first
+  // row under the scope's ORDER BY (give it a total within-key order
+  // for a deterministic survivor, as with LIMIT BY), keys-ascending
+  // when no ORDER BY is present. Outer scope only, like LIMIT BY.
+  private val distinctOnRe = """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r
+
+  private def extractDistinctOn(masked: String, lits: Seq[String])
+      : (String, Option[LogicalPlan => LogicalPlan]) =
+    distinctOnRe.findFirstMatchIn(masked) match {
+      case Some(m) if depth0At(masked, m.start) =>
+        var depth = 1
+        var i = m.end
+        while (i < masked.length && depth > 0) {
+          masked.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        require(depth == 0, "DISTINCT ON: unbalanced key list")
+        val keys = splitTopLevel(unmaskLiterals(
+          masked.substring(m.end, i - 1), lits)).map(delegate.parseExpression)
+        require(keys.nonEmpty, "DISTINCT ON needs at least one key")
+        val reduced = masked.substring(0, m.start) + "SELECT " +
+          masked.substring(i)
+        (reduced, Some(insertAboveSort(_, ChLimitBy(1, 0, keys, _))))
+      case _ => (masked, None)
+    }
+
   // `LIMIT n WITH TIES` — strip the whole clause, mark the plan; the
   // rule filters at the nth key's boundary instead of a global rank
   // window. Spark rejects the syntax outright, so only the
@@ -423,6 +455,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       // pre-rewrite like ARRAY JOIN / FINAL
       quantileHead.findFirstIn(masked).isDefined ||
       paramAggHead.findFirstIn(masked).isDefined ||
+      // `SELECT DISTINCT ON (k) k, ...` parses as a call to a function
+      // named `on` with a bare alias (UNRESOLVED_ROUTINE at analysis,
+      // never a ParseException) — same trap class
+      distinctOnRe.findFirstIn(masked).isDefined ||
       // CH's quoted-unit dateDiff('day', ...) parses fine and dies at
       // analysis (Spark's grammar special-cases 3-arg dateDiff with a
       // BARE unit before the registry) — same trap class as quantile
@@ -833,8 +869,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     // half-eaten by the limitOffset rewrite below
     val (m1, lbWrap) =
       try extractLimitBy(m0, lits) catch { case _: Exception => (m0, None) }
+    val (m1d, doWrap) =
+      try extractDistinctOn(m1, lits) catch { case _: Exception => (m1, None) }
     val (m2, fillWrap) =
-      try extractWithFill(m1, lits) catch { case _: Exception => (m1, None) }
+      try extractWithFill(m1d, lits) catch { case _: Exception => (m1d, None) }
     val (m2t, tiesWrap) =
       try extractLimitTies(m2) catch { case _: Exception => (m2, None) }
     val (m3, sampleWrap) =
@@ -877,7 +915,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val finalText = unmaskLiterals(rewritten, lits)
     if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&
       sampleWrap.isEmpty && finalWrap.isEmpty && asofWrap.isEmpty &&
-      anyWrap.isEmpty && tiesWrap.isEmpty) None
+      anyWrap.isEmpty && tiesWrap.isEmpty && doWrap.isEmpty) None
     else Some(Rewritten(finalText, plan => {
       // final innermost (compaction applies at the relation before
       // anything else reads it), then asof/any (their Joins sit above
@@ -889,7 +927,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       val sp = sampleWrap.fold(anyJ)(w => w(anyJ))
       val f = fillWrap.fold(sp)(w => w(sp))
       val lb = lbWrap.fold(f)(w => w(f))
-      tiesWrap.fold(lb)(w => w(lb))
+      val don = doWrap.fold(lb)(w => w(lb))
+      tiesWrap.fold(don)(w => w(don))
     }))
   }
 

@@ -2652,10 +2652,86 @@ object DialectQueries {
       JOIN ts ON ex.event_type = ts.event_type
       ORDER BY ex.event_type"""))
 
+  // CH `SELECT DISTINCT ON (keys)` (X113): first row per key group —
+  // sugar for LIMIT 1 BY, and the engine rewrites it onto the SAME
+  // ChLimitBy marker (plans/TotalsParser.extractDistinctOn), so the
+  // plan is the WindowGroupLimit-trimmed rank filter, not a global
+  // distinct. The ORDER BY gives the within-key order (event_id DESC
+  // → the latest event per cohort survives, deterministically — CH
+  // leaves the survivor arbitrary, this engine's LIMIT BY policy
+  // pins it to the scope's sort).
+  val q203ChDistinctOn = QueryDef(
+    "q203_ch_distinct_on",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v203")
+      s.sql("""
+        SELECT DISTINCT ON (cohort)
+               user_id % 10 AS cohort, event_id, event_type
+        FROM events_v203
+        ORDER BY cohort, event_id DESC""")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id % 10 AS cohort, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id % 10
+                 ORDER BY event_id DESC) AS rn
+        FROM events
+      )
+      SELECT cohort, event_id, event_type FROM r WHERE rn = 1
+      ORDER BY cohort, event_id DESC"""))
+
+  // CH pointInPolygon (X114): even-odd ray casting over a non-convex
+  // pentagon (its concave notch at (10,10) is what distinguishes
+  // even-odd from a convex test). Every arithmetic step is IEEE
+  // +−×÷ — bit-deterministic across engines — so the oracle replays
+  // the EXACT crossing formula per (point, edge) pair and the hashed
+  // surface needs no guard band. No polygon edge is horizontal, so
+  // the division-by-zero branch stays unreachable in both engines.
+  val q204ChPointInPolygon = QueryDef(
+    "q204_ch_point_in_polygon",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v204")
+      s.sql("""
+        SELECT event_type,
+               toInt64(sum(pointInPolygon(px, py, array(
+                 array(0.0D, 0.0D), array(20.0D, 5.0D),
+                 array(10.0D, 10.0D), array(20.0D, 20.0D),
+                 array(0.0D, 15.0D))))) AS inside,
+               toInt64(count(1)) AS n
+        FROM (SELECT event_type,
+                     CAST(event_id % 40 AS DOUBLE) - 5.0D AS px,
+                     CAST(user_id % 30 AS DOUBLE) - 5.0D AS py
+              FROM events_v204)
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, event_type,
+               CAST(event_id % 40 AS DOUBLE) - 5.0 AS px,
+               CAST(user_id % 30 AS DOUBLE) - 5.0 AS py
+        FROM events
+      ), edges(x1, y1, x2, y2) AS (
+        VALUES (0.0, 0.0, 20.0, 5.0), (20.0, 5.0, 10.0, 10.0),
+               (10.0, 10.0, 20.0, 20.0), (20.0, 20.0, 0.0, 15.0),
+               (0.0, 15.0, 0.0, 0.0)
+      ), c AS (
+        SELECT p.event_id, p.event_type,
+               sum(CASE WHEN ((y1 > py) != (y2 > py))
+                         AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                   THEN 1 ELSE 0 END) AS crossings
+        FROM p CROSS JOIN edges
+        GROUP BY p.event_id, p.event_type
+      )
+      SELECT event_type,
+             CAST(sum(crossings % 2) AS BIGINT) AS inside,
+             CAST(count(1) AS BIGINT) AS n
+      FROM c GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
+      q203ChDistinctOn, q204ChPointInPolygon,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

@@ -130,6 +130,57 @@ class Round8dSpec extends SparkSpec {
     }
   }
 
+  test("DISTINCT ON keeps the first row per key under the scope's " +
+      "ORDER BY, and rewrites through the rank filter (no global " +
+      "distinct)") {
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("don_t1")
+    val df = spark.sql(
+      "SELECT DISTINCT ON (k) k, v, tag FROM don_t1 ORDER BY k, v DESC")
+    assert(df.as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 20L, "b"), (2L, 7L, "d")))
+    // the plan carries the row_number rank filter shape the optimizer
+    // turns into WindowGroupLimit — not an Aggregate-distinct
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit") || phys.contains("Window"),
+      s"expected a window rank-filter plan, got:\n$phys")
+  }
+
+  test("DISTINCT ON with multiple keys and no ORDER BY falls back to " +
+      "keys-ascending (deterministic)") {
+    Seq((1L, 1L, 9L), (1L, 1L, 9L), (1L, 2L, 8L), (2L, 1L, 7L))
+      .toDF("a", "b", "v").createOrReplaceTempView("don_t2")
+    val got = spark.sql(
+      "SELECT DISTINCT ON (a, b) a, b, v FROM don_t2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 9L), (1L, 2L, 8L), (2L, 1L, 7L)))
+  }
+
+  test("pointInPolygon: concave pentagon distinguishes even-odd from " +
+      "a convex hull test") {
+    val poly = "array(array(0.0D,0.0D), array(20.0D,5.0D), " +
+      "array(10.0D,10.0D), array(20.0D,20.0D), array(0.0D,15.0D))"
+    def hit(x: Double, y: Double): Long =
+      spark.sql(s"SELECT pointInPolygon(${x}D, ${y}D, $poly) AS r")
+        .as[Long].head()
+    assert(hit(5.0, 7.5) == 1L)    // well inside
+    assert(hit(25.0, 10.0) == 0L)  // right of everything
+    // (17, 10) is inside the convex hull but inside the NOTCH between
+    // the two right-pointing lobes -> outside for even-odd
+    assert(hit(17.0, 10.0) == 0L)
+    assert(hit(-1.0, 5.0) == 0L)   // left of the left edge
+  }
+
+  test("pointInPolygon closes the polygon (last->first edge counts)") {
+    // triangle missing its closing edge in the list; a point whose ray
+    // exits through that implied edge still resolves correctly
+    val tri = "array(array(0.0D,0.0D), array(10.0D,0.0D), " +
+      "array(0.0D,10.0D))"
+    val got = spark.sql(s"SELECT pointInPolygon(2.0D, 2.0D, $tri) AS r")
+      .as[Long].head()
+    assert(got == 1L)
+  }
+
   test("uniqTheta merges associatively across partitions (the " +
       "map-side-combine contract)") {
     import graft.plans.UniqThetaAgg
