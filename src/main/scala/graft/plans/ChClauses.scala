@@ -386,6 +386,7 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def applyFinal(tables: Seq[String],
       child: LogicalPlan): LogicalPlan = {
     val verFlag = "graft.finalVersion"
+    val sumFlag = "graft.finalSum"
     val resolver = spark.sessionState.conf.resolver
     var applied = false
     def collapse(rel: LogicalPlan): LogicalPlan = {
@@ -393,27 +394,65 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val keys = rel.output.filter(_.metadata.contains("graft.finalKey"))
         .map(_.name)
       require(keys.nonEmpty,
-        "FINAL: relation declares graft.finalVersion but no graft.finalKey")
-      val ver = rel.output.find(_.metadata.contains(verFlag)).get.name
-      val sign = rel.output.find(_.metadata.contains("graft.finalSign"))
-        .map(_.name)
+        "FINAL: relation declares collapsing metadata but no graft.finalKey")
       import org.apache.spark.sql.GraftSqlBridge.ofRows
-      import org.apache.spark.sql.functions.{col => fcol, row_number}
+      import org.apache.spark.sql.functions.{col => fcol, coalesce, lit,
+        min, row_number, sum}
       import org.apache.spark.sql.expressions.{Window => W}
       val df = ofRows(spark, rel)
-      val fin = sign match {
-        case Some(sc) =>
-          graft.operators.Relational.latestVersions(df, keys, ver, sc)
-        case None => // ReplacingMergeTree: latest version, no cancels
-          df.withColumn("__graft_rn", row_number().over(
-              W.partitionBy(keys.map(fcol): _*).orderBy(fcol(ver).desc)))
-            .filter(fcol("__graft_rn") === 1).drop("__graft_rn")
+      val sums = rel.output.filter(_.metadata.contains(sumFlag))
+      if (sums.nonEmpty) {
+        // SummingMergeTree: one row per key — sum columns summed back
+        // to their declared type (CH keeps the column type; overflow
+        // wraps), every other non-key column takes its group MINIMUM
+        // (CH leaves it "any value from the set"; a deterministic
+        // choice is what lets results replay). A merged row whose sum
+        // columns are ALL zero is dropped — CH's documented
+        // SummingMergeTree cleanup.
+        val sumNames = sums.map(_.name).toSet
+        val aggs = rel.output.filterNot(a => keys.contains(a.name)).map {
+          a =>
+            if (sumNames(a.name))
+              sum(fcol(s"`${a.name}`")).cast(a.dataType).as(a.name)
+            else min(fcol(s"`${a.name}`")).as(a.name)
+        }
+        val grouped = df.groupBy(keys.map(c => fcol(s"`$c`")): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        val anyNonZero = sums.map(a =>
+            coalesce(fcol(s"`${a.name}`") =!= lit(0), lit(false)))
+          .reduce(_ || _)
+        // the Aggregate mints fresh attribute ids; outer operators
+        // still reference the ORIGINAL relation's ids, so re-alias
+        // each output back to its old exprId (the version path below
+        // needs none of this — window+filter keep the child's attrs)
+        val collapsed = grouped.filter(anyNonZero)
+          .select(rel.output.map(a => fcol(s"`${a.name}`")): _*)
+          .queryExecution.analyzed
+        Project(rel.output.map { old =>
+          val fresh = collapsed.output.find(_.name == old.name).get
+          Alias(fresh, old.name)(exprId = old.exprId,
+            qualifier = old.qualifier,
+            explicitMetadata = Some(old.metadata))
+        }, collapsed)
+      } else {
+        val ver = rel.output.find(_.metadata.contains(verFlag)).get.name
+        val sign = rel.output.find(_.metadata.contains("graft.finalSign"))
+          .map(_.name)
+        val fin = sign match {
+          case Some(sc) =>
+            graft.operators.Relational.latestVersions(df, keys, ver, sc)
+          case None => // ReplacingMergeTree: latest version, no cancels
+            df.withColumn("__graft_rn", row_number().over(
+                W.partitionBy(keys.map(fcol): _*).orderBy(fcol(ver).desc)))
+              .filter(fcol("__graft_rn") === 1).drop("__graft_rn")
+        }
+        fin.select(rel.output.map(a => fcol(s"`${a.name}`")): _*)
+          .queryExecution.analyzed
       }
-      fin.select(rel.output.map(a => fcol(s"`${a.name}`")): _*)
-        .queryExecution.analyzed
     }
     def stamped(p: LogicalPlan): Boolean =
-      p.output.exists(_.metadata.contains(verFlag))
+      p.output.exists(a =>
+        a.metadata.contains(verFlag) || a.metadata.contains(sumFlag))
     val byName = child.transformUpWithSubqueries {
       case sa @ SubqueryAlias(id, inner)
           if tables.exists(t => resolver(t, id.name)) && stamped(inner) &&

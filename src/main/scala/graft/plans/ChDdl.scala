@@ -196,7 +196,22 @@ object ChDdl {
     * column list.
     */
   private[plans] def stamp(schema: StructType, p: Parsed,
-      signVer: (Option[String], Option[String])): StructType =
+      signVer: (Option[String], Option[String])): StructType = {
+    // SummingMergeTree: the sum set is the ENGINE's explicit column
+    // list, or — CH's default — every NUMERIC column outside the
+    // ORDER BY key (the partition column also excluded: it is part of
+    // the physical key). Key columns get the same graft.finalKey
+    // stamp the collapsing engines use; sum columns get
+    // graft.finalSum, which is what ChFinal's rule dispatches on.
+    val isSumming = p.engine.endsWith("SummingMergeTree")
+    val sumCols: Set[String] =
+      if (!isSumming) Set.empty
+      else if (p.engineParams.nonEmpty)
+        p.engineParams.map(_.replace("`", "").trim).toSet
+      else schema.fields.iterator.filter { f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          !p.orderKey.contains(f.name) && !p.partitionBy.contains(f.name)
+      }.map(_.name).toSet
     StructType(schema.fields.map { f =>
       var md = new MetadataBuilder()
       if (p.partitionBy.contains(f.name))
@@ -207,10 +222,13 @@ object ChDdl {
         md = md.putBoolean("graft.finalSign", true)
       if (signVer._2.contains(f.name))
         md = md.putBoolean("graft.finalVersion", true)
-      if (signVer._2.isDefined && p.orderKey.contains(f.name))
+      if ((signVer._2.isDefined || isSumming) && p.orderKey.contains(f.name))
         md = md.putBoolean("graft.finalKey", true)
+      if (sumCols.contains(f.name))
+        md = md.putBoolean("graft.finalSum", true)
       f.copy(metadata = md.build())
     })
+  }
 
   /** Recompute the (sign, version) engine params for [[stamp]] from a
     * Parsed — mirrors the ENGINE dispatch in the parser.

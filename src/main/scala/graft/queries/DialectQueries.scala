@@ -2727,11 +2727,95 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM c GROUP BY event_type ORDER BY event_type"""))
 
+  // SummingMergeTree (X115): `FROM t FINAL` collapses to one row per
+  // ORDER BY key — ENGINE-listed columns summed back to their
+  // declared type, other non-key columns pinned to the group MINIMUM
+  // (CH: "any value"; deterministic here so results replay), and a
+  // merged row whose sum columns are ALL zero is DROPPED (CH's
+  // documented cleanup — site 999's +1/−1 and +2.5/−2.5 cancel and
+  // the site vanishes). Amounts are exact binary fractions
+  // (halves/quarters), so the Float64 sum column stays
+  // order-insensitive and ULP-flake-free in the hashed surface.
+  val q205ChSummingMergeTree = QueryDef(
+    "q205_ch_summing_merge_tree",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ddl_q205_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events")
+          .createOrReplaceTempView("events_src_v205")
+        s.sql("""
+          CREATE TABLE metrica.daily_sums
+          (
+              `site` UInt32,
+              `d` Date,
+              `clicks` Int64,
+              `amount` Float64,
+              `label` String
+          )
+          ENGINE = SummingMergeTree(clicks, amount)
+          PARTITION BY toMonday(d)
+          ORDER BY (site, d)
+          SETTINGS index_granularity = 8192""")
+        s.sql("""
+          INSERT INTO daily_sums
+          SELECT CAST(user_id % 12 AS INT) AS site, CAST(ts AS DATE) AS d,
+                 CAST(CASE WHEN event_type = 'click' THEN 1
+                           WHEN event_type = 'view' THEN 2
+                           ELSE 0 END AS BIGINT) AS clicks,
+                 CAST(CASE WHEN event_type = 'view' THEN 0.5
+                           WHEN event_type = 'error' THEN 1.5
+                           ELSE 0.25 END AS DOUBLE) AS amount,
+                 event_type AS label
+          FROM events_src_v205
+          UNION ALL
+          SELECT 999, DATE '2024-01-01', CAST(1 AS BIGINT),
+                 CAST(2.5 AS DOUBLE), 'z'
+          UNION ALL
+          SELECT 999, DATE '2024-01-01', CAST(-1 AS BIGINT),
+                 CAST(-2.5 AS DOUBLE), 'z'""")
+        s.sql("""
+          SELECT site, toInt64(count(1)) AS days,
+                 toInt64(sum(clicks)) AS clicks,
+                 round(sum(amount), 2) AS amount, min(label) AS lbl
+          FROM daily_sums FINAL
+          GROUP BY site ORDER BY site""")
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      WITH src AS (
+        SELECT CAST(user_id % 12 AS INT) AS site, CAST(ts AS DATE) AS d,
+               CAST(CASE WHEN event_type = 'click' THEN 1
+                         WHEN event_type = 'view' THEN 2
+                         ELSE 0 END AS BIGINT) AS clicks,
+               CAST(CASE WHEN event_type = 'view' THEN 0.5
+                         WHEN event_type = 'error' THEN 1.5
+                         ELSE 0.25 END AS DOUBLE) AS amount,
+               event_type AS label
+        FROM events
+        UNION ALL
+        SELECT 999, DATE '2024-01-01', 1, 2.5, 'z'
+        UNION ALL
+        SELECT 999, DATE '2024-01-01', -1, -2.5, 'z'
+      ), merged AS (
+        SELECT site, d, CAST(sum(clicks) AS BIGINT) AS clicks,
+               sum(amount) AS amount, min(label) AS label
+        FROM src GROUP BY site, d
+      ), kept AS (
+        SELECT * FROM merged WHERE clicks != 0 OR amount != 0
+      )
+      SELECT site, CAST(count(1) AS BIGINT) AS days,
+             CAST(sum(clicks) AS BIGINT) AS clicks,
+             round(sum(amount), 2) AS amount, min(label) AS lbl
+      FROM kept GROUP BY site ORDER BY site"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
-      q203ChDistinctOn, q204ChPointInPolygon,
+      q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

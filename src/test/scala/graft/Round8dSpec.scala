@@ -181,6 +181,75 @@ class Round8dSpec extends SparkSpec {
     assert(got == 1L)
   }
 
+  test("SummingMergeTree FINAL: sums listed columns, pins others to " +
+      "the group min, keeps declared types, and drops all-zero rows") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_smt_spec_" +
+      System.nanoTime()
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE metrica.smt_spec
+        (
+            `k` UInt32,
+            `c` Int32,
+            `amt` Float64,
+            `tag` String
+        )
+        ENGINE = SummingMergeTree(c, amt)
+        ORDER BY (k)""")
+      spark.sql("""
+        INSERT INTO smt_spec
+        SELECT 1, CAST(2 AS INT), CAST(0.5 AS DOUBLE), 'b' UNION ALL
+        SELECT 1, CAST(3 AS INT), CAST(1.5 AS DOUBLE), 'a' UNION ALL
+        SELECT 2, CAST(4 AS INT), CAST(-1.0 AS DOUBLE), 'x' UNION ALL
+        SELECT 3, CAST(1 AS INT), CAST(2.0 AS DOUBLE), 'y' UNION ALL
+        SELECT 3, CAST(-1 AS INT), CAST(-2.0 AS DOUBLE), 'y'""")
+      val got = spark.sql(
+        "SELECT k, c, amt, tag FROM smt_spec FINAL ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getString(3))).toSeq
+      // k=3 cancels to (0, 0.0) and is DROPPED; k=1 sums and takes
+      // min tag 'a'; c stays Int32 (declared type survives the sum)
+      assert(got == Seq((1L, 5, 2.0, "a"), (2L, 4, -1.0, "x")))
+    } finally {
+      spark.conf.unset("spark.graft.warehouse")
+      FsUtil.rmTree(root)
+    }
+  }
+
+  test("SummingMergeTree with no ENGINE column list sums every " +
+      "numeric non-key column (CH's default sum set)") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_smt_spec2_" +
+      System.nanoTime()
+    FsUtil.rmTree(root)
+    spark.conf.set("spark.graft.warehouse", root)
+    try {
+      spark.sql("""
+        CREATE TABLE metrica.smt_spec2
+        (
+            `k` UInt32,
+            `a` Int64,
+            `b` Float64,
+            `s` String
+        )
+        ENGINE = SummingMergeTree()
+        ORDER BY (k)""")
+      spark.sql("""
+        INSERT INTO smt_spec2
+        SELECT 7, CAST(10 AS BIGINT), CAST(0.25 AS DOUBLE), 'q' UNION ALL
+        SELECT 7, CAST(20 AS BIGINT), CAST(0.75 AS DOUBLE), 'p'""")
+      val got = spark.sql(
+        "SELECT k, a, b, s FROM smt_spec2 FINAL")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSeq
+      assert(got == Seq((7L, 30L, 1.0, "p")))
+    } finally {
+      spark.conf.unset("spark.graft.warehouse")
+      FsUtil.rmTree(root)
+    }
+  }
+
   test("uniqTheta merges associatively across partitions (the " +
       "map-side-combine contract)") {
     import graft.plans.UniqThetaAgg
