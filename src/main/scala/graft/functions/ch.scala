@@ -909,4 +909,57 @@ object ch {
       log(n.cast("double")) / lit(ln2) - total / n.cast("double"))
       .otherwise(lit(0.0))
   }
+
+  /** Exact integer sufficient statistics for the regression /
+    * correlation family: casts both inputs to decimal(18,0) so every
+    * sum and cross-product folds exactly in decimal(38,0) — the same
+    * integers the oracle derives in HUGEINT. Shared by
+    * [[simpleLinearRegression]] and [[corrExact]].
+    */
+  private def momentSums(x: Column, y: Column):
+      (Column, Column, Column, Column, Column, Column) = {
+    val dx = x.cast("decimal(18,0)")
+    val dy = y.cast("decimal(18,0)")
+    val keep = x.isNotNull && y.isNotNull
+    (sum(when(keep, dx)), sum(when(keep, dy)),
+      sum(when(keep, dx * dy)), sum(when(keep, dx * dx)),
+      sum(when(keep, dy * dy)),
+      count(when(keep, lit(1))).cast("decimal(18,0)"))
+  }
+
+  /** ClickHouse `simpleLinearRegression(x, y)` → named struct
+    * `(k, b)`: least-squares slope and intercept. Sums fold as exact
+    * decimals; the final ops are the only IEEE arithmetic —
+    * `k = num/den` (one divide of two exactly-cast doubles), then
+    * `b = (Σy − k·Σx)/n` — in exactly the order the oracle replays,
+    * so both engines emit bit-identical doubles (the determinism
+    * policy of plans/NativeStats.scala). Integer-valued inputs are
+    * the contract, as there. NULL pairs are skipped; a vertical or
+    * empty group yields NULL slope (CH: nan).
+    */
+  def simpleLinearRegression(x: Column, y: Column): Column = {
+    val (sx, sy, sxy, sxx, _, n) = momentSums(x, y)
+    val num = (n * sxy - sx * sy).cast("double")
+    val den = (n * sxx - sx * sx).cast("double")
+    val k = when(den =!= 0.0, num / den)
+    val b = (sy.cast("double") - k * sx.cast("double")) / n.cast("double")
+    struct(k.as("k"), b.as("b"))
+  }
+
+  /** Pearson correlation over exact decimal sums — registered as CH's
+    * `corrStable` in the dialect. Spark's built-in `corr`
+    * accumulates running doubles whose result depends on row order;
+    * this form is a pure function of six exact integers with the
+    * final three IEEE ops (`cov/sqrt(vx·vy)`) mirrored by the oracle,
+    * so the hashed surface is stable (same rationale as rankCorr in
+    * plans/NativeStats.scala). NULL for degenerate (constant/empty)
+    * sides.
+    */
+  def corrExact(x: Column, y: Column): Column = {
+    val (sx, sy, sxy, sxx, syy, n) = momentSums(x, y)
+    val cov = (n * sxy - sx * sy).cast("double")
+    val vx = (n * sxx - sx * sx).cast("double")
+    val vy = (n * syy - sy * sy).cast("double")
+    when(vx > 0.0 && vy > 0.0, cov / sqrt(vx * vy))
+  }
 }

@@ -179,4 +179,89 @@ object url {
     val q = array_join(array_sort(params), "&")
     concat(host, cleanPath, when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
+
+  /** Scheme+authority prefix and the `/…?…` tail it precedes — the
+    * split both hierarchy functions cut on.
+    */
+  private def hierPrefix(u: Column): Column =
+    regexp_extract(u, "^((?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*)", 1)
+
+  /** The tail tokenized into runs each ENDING with its separator run
+    * (`/browse/CONV-6788?x=1` → `/`, `browse/`, `CONV-6788?`, `x=1`) —
+    * consecutive separators stay in one token, CH's "counted as one".
+    */
+  private def hierTokens(u: Column): Column =
+    regexp_extract_all(u.substr(length(hierPrefix(u)) + 1, length(u)),
+      lit("[^/?]*[/?]+|[^/?]+"), lit(0))
+
+  /** CH `URLHierarchy(url)`: the URL truncated after each `/` / `?`
+    * separator run in its path+query, shortest first, ending with the
+    * full URL. A separator-free URL yields the one-element array of
+    * itself. Cumulative prefixes are built with `slice`+`concat_ws`
+    * over the token list — URLs have a handful of segments, so the
+    * quadratic concat is constant-bounded.
+    */
+  def urlHierarchy(u: Column): Column = {
+    val pfx = hierPrefix(u)
+    val toks = hierTokens(u)
+    // sequence(1, 0) would generate a DESCENDING [1, 0] — guard empty
+    when(size(toks) === 0, array(u))
+      .otherwise(transform(sequence(lit(1), size(toks)),
+        i => concat(pfx, concat_ws("", slice(toks, lit(1), i)))))
+  }
+
+  /** CH `URLPathHierarchy(url)`: [[urlHierarchy]] without protocol and
+    * host, and without the bare-root `/` element — CH's documented
+    * form (`/browse/`, `/browse/CONV-6788`). Empty array for a URL
+    * with no path.
+    */
+  def urlPathHierarchy(u: Column): Column = {
+    val toks = hierTokens(u)
+    val cums = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks)),
+        i => concat_ws("", slice(toks, lit(1), i))))
+    filter(cums, e => e =!= "/")
+  }
+
+  /** CH `cutToFirstSignificantSubdomain(url)`: the domain truncated to
+    * start at [[firstSignificantSubdomain]] —
+    * `news.clickhouse.com.tr` → `clickhouse.com.tr`,
+    * `metrica.yandex.ru` → `yandex.ru`. Same {com, net, org, co}
+    * second-level rule as there; '' when the domain has no dot.
+    */
+  def cutToFirstSignificantSubdomain(u: Column): Column = {
+    val parts = split(domain(u), "\\.")
+    val n = size(parts)
+    when(n >= 3 && element_at(parts, -2).isin("com", "net", "org", "co"),
+        concat_ws(".", slice(parts, -3, 3)))
+      .when(n >= 2, concat_ws(".", slice(parts, -2, 2)))
+      .otherwise(lit(""))
+  }
+
+  /** CH `extractURLParameterNames(url)`: parameter names in query
+    * order, duplicates kept; a value-less flag parameter (`…&flag&…`)
+    * contributes its name.
+    */
+  def extractURLParameterNames(u: Column): Column =
+    regexp_extract_all(u, lit("[?&]([^=&#]+)"), lit(1))
+
+  /** CH `extractURLParameters(url)`: raw `name=value` strings (or bare
+    * flag names) in query order, empty segments skipped.
+    */
+  def extractURLParameters(u: Column): Column =
+    regexp_extract_all(u, lit("[?&]([^&#]+)"), lit(1))
+
+  /** CH `netloc(url)`: the full authority — userinfo, host, and port —
+    * between the scheme and the first `/`, `?`, or `#`.
+    */
+  def netloc(u: Column): Column =
+    regexp_extract(regexp_replace(u, SchemeRe, ""), "^([^/?#]*)", 1)
+
+  /** CH `encodeURLComponent(s)`: percent-encoding with space as `%20`
+    * (Spark's `url_encode` form-encodes space to `+`; a literal `+`
+    * in the input is already `%2B` by then, so the fix-up replace is
+    * unambiguous).
+    */
+  def encodeURLComponent(u: Column): Column =
+    regexp_replace(url_encode(u), "\\+", "%20")
 }

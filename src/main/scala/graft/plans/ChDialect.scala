@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, ArrayTransform, Cast, Explode, Expression, Literal}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType, LongType, StringType}
 
 import graft.functions.{ch, url}
 
@@ -655,6 +655,29 @@ object ChDialect {
       case n => throw new IllegalArgumentException(
         s"uniqTheta takes (x) or (k)(x), got $n args")
     }),
+    // rank-test family (plans/NativeStats.scala): exact-integer rank
+    // statistics, statistic-only (no p-value — see the determinism
+    // policy there). mannWhitneyUTest/kolmogorovSmirnovTest take
+    // (sample_data, sample_index), rankCorr takes (x, y).
+    "mannWhitneyUTest" -> (args =>
+      RankTestAgg(Cast(args.head, LongType), Cast(args(1), LongType),
+        "mannWhitneyUTest").toAggregateExpression()),
+    "kolmogorovSmirnovTest" -> (args =>
+      RankTestAgg(Cast(args.head, LongType), Cast(args(1), LongType),
+        "kolmogorovSmirnovTest").toAggregateExpression()),
+    "rankCorr" -> (args =>
+      RankTestAgg(Cast(args.head, LongType), Cast(args(1), LongType),
+        "rankCorr").toAggregateExpression()),
+    // regression/correlation over exact decimal moment sums
+    // (graft.functions.ch — bit-replayable final IEEE ops). CH names
+    // both `corr` (single-pass float) and `corrStable` (stable
+    // variant); only the latter is registered — plain `corr` stays
+    // Spark's builtin (correct Pearson, float accumulation), while
+    // corrStable is this engine's deterministic form for exactly
+    // hashed surfaces, per the NativeStats integer-inputs policy.
+    "simpleLinearRegression" -> (args =>
+      ex(ch.simpleLinearRegression(col(args.head), col(args(1))))),
+    "corrStable" -> (args => ex(ch.corrExact(col(args.head), col(args(1))))),
     // sequenceMatch('(?1)(?2)')(ts, conds...) — flattened by the
     // TotalsParser to sequenceMatch(pattern, ts, conds...); the
     // pattern must be a literal (it compiles into the regex)
@@ -1163,6 +1186,20 @@ object ChDialect {
     "decodeURLComponent" -> (args =>
       ex(url.decodeURLComponent(col(args.head)))),
     "cutWWW" -> (args => ex(url.cutWWW(col(args.head)))),
+    // URL hierarchy / authority family (functions/url.scala): the
+    // Metrica drill-down vocabulary over page URLs
+    "URLHierarchy" -> (args => ex(url.urlHierarchy(col(args.head)))),
+    "URLPathHierarchy" -> (args =>
+      ex(url.urlPathHierarchy(col(args.head)))),
+    "cutToFirstSignificantSubdomain" -> (args =>
+      ex(url.cutToFirstSignificantSubdomain(col(args.head)))),
+    "extractURLParameterNames" -> (args =>
+      ex(url.extractURLParameterNames(col(args.head)))),
+    "extractURLParameters" -> (args =>
+      ex(url.extractURLParameters(col(args.head)))),
+    "netloc" -> (args => ex(url.netloc(col(args.head)))),
+    "encodeURLComponent" -> (args =>
+      ex(url.encodeURLComponent(col(args.head)))),
     // arrayEnumerateUniq(arr): 1-based occurrence index of each element
     // among its equals so far — the CH funnel idiom for "first visit of
     // this page in the session". O(n²) per row over the prefix slices,

@@ -950,6 +950,14 @@ object DialectQueries {
   // arithmetic for skewPop/kurtPop (DuckDB's skewness/kurtosis are
   // sample-corrected, CH's *Pop are not). Doubles round on BOTH sides:
   // 6dp for the variance family, 3dp for the higher moments.
+  //
+  // `cr` was originally builtin `corr` rounded 6dp and flipped a round
+  // half-boundary once in a full-surface run (the engines' different
+  // co-moment accumulation orders differ by ULPs — the q137 flake
+  // class, latent for seven rounds). It now runs corrStable over the
+  // exactly-quantized value (2-decimal fixture → ×100 is integral):
+  // both engines derive the SAME exact integers and apply the same
+  // final IEEE ops, so the doubles are bit-identical before rounding.
   val q89ChStats = QueryDef(
     "q89_ch_stats",
     (s, dir) => {
@@ -962,7 +970,8 @@ object DialectQueries {
                round(varSamp(value), 6) AS vs,
                round(covarPop(value, user_id), 6) AS cvp,
                round(covarSamp(value, user_id), 6) AS cvs,
-               round(corr(value, user_id), 6) AS cr,
+               round(corrStable(toInt64(round(value * 100)), user_id), 6)
+                 AS cr,
                round(avgWeighted(value, user_id % 5 + 1), 6) AS aw,
                round(skewPop(value), 3) AS sk,
                round(kurtPop(value), 3) AS kt
@@ -971,6 +980,26 @@ object DialectQueries {
     Some("""
       WITH mu AS (
         SELECT event_type, avg(value) AS m FROM events GROUP BY 1
+      ), cq AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xv,
+               user_id AS yv
+        FROM events
+      ), cs AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(xv) AS HUGEINT) AS sx,
+               CAST(sum(yv) AS HUGEINT) AS sy,
+               CAST(sum(xv*yv) AS HUGEINT) AS sxy,
+               CAST(sum(xv*xv) AS HUGEINT) AS sxx,
+               CAST(sum(yv*yv) AS HUGEINT) AS syy
+        FROM cq GROUP BY event_type
+      ), cr AS (
+        SELECT event_type,
+               CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+                         sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+                              CAST(n*syy - sy*sy AS DOUBLE))
+               END AS c
+        FROM cs
       )
       SELECT e.event_type,
              round(stddev_pop(value), 6) AS sdp,
@@ -979,14 +1008,16 @@ object DialectQueries {
              round(var_samp(value), 6) AS vs,
              round(covar_pop(value, user_id), 6) AS cvp,
              round(covar_samp(value, user_id), 6) AS cvs,
-             round(corr(value, user_id), 6) AS cr,
+             round(min(cr.c), 6) AS cr,
              round(sum(value * (user_id % 5 + 1)) / sum(user_id % 5 + 1), 6)
                AS aw,
              round(avg(power(value - m, 3))
                    / power(avg(power(value - m, 2)), 1.5), 3) AS sk,
              round(avg(power(value - m, 4))
                    / power(avg(power(value - m, 2)), 2.0), 3) AS kt
-      FROM events e JOIN mu USING (event_type)
+      FROM events e
+      JOIN mu USING (event_type)
+      JOIN cr USING (event_type)
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
   // ---------------------------------------------------------------------
@@ -2811,11 +2842,146 @@ object DialectQueries {
              round(sum(amount), 2) AS amount, min(label) AS lbl
       FROM kept GROUP BY site ORDER BY site"""))
 
+  // Rank-test family (X116, plans/NativeStats.scala): mannWhitneyUTest,
+  // kolmogorovSmirnovTest, rankCorr — statistic-only (the p-value
+  // CDF-approximation families are library-specific; see the
+  // determinism policy in NativeStats). The compared surface is exact:
+  // 2·U and dnum = D·n₁·n₂ are integers recovered by round() (≤ 1 ulp
+  // error against values ≪ 2^52), and ρ is the same three final IEEE
+  // ops on the same exact integers in both engines — bit-identical
+  // doubles, no tolerance. x has only 97 distinct values per cohort,
+  // so mid-rank tie handling is exercised, not just unique ranks.
+  val q206ChRankTests = QueryDef(
+    "q206_ch_rank_tests",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v206")
+      s.sql("""
+        SELECT cohort,
+               toInt64(round(2 * mannWhitneyUTest(x, idx))) AS u2,
+               toInt64(round(kolmogorovSmirnovTest(x, idx) *
+                 countIf(idx = 0) * countIf(idx != 0))) AS dnum,
+               rankCorr(x, y) AS rho,
+               toInt64(count(1)) AS n
+        FROM (SELECT user_id % 6 AS cohort, event_id % 2 AS idx,
+                     (event_id * 13) % 97 AS x,
+                     ((event_id * 13) % 97) * 3 + user_id % 23 AS y
+              FROM events_v206)
+        GROUP BY cohort ORDER BY cohort""")
+    },
+    Some("""
+      WITH src AS (
+        SELECT user_id % 6 AS cohort, event_id % 2 AS idx,
+               (event_id * 13) % 97 AS x,
+               ((event_id * 13) % 97) * 3 + user_id % 23 AS y
+        FROM events
+      ), rk AS (
+        SELECT cohort, idx,
+               2*rank() OVER (PARTITION BY cohort ORDER BY x)
+                 + count(*) OVER (PARTITION BY cohort, x) - 1 AS r2x,
+               2*rank() OVER (PARTITION BY cohort ORDER BY y)
+                 + count(*) OVER (PARTITION BY cohort, y) - 1 AS r2y
+        FROM src
+      ), mwu AS (
+        SELECT cohort,
+               sum(CASE WHEN idx = 0 THEN r2x ELSE 0 END) AS rsum2,
+               sum(CASE WHEN idx = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN idx != 0 THEN 1 ELSE 0 END) AS n2,
+               count(*) AS nn
+        FROM rk GROUP BY cohort
+      ), ksg AS (
+        SELECT cohort, x,
+               sum(CASE WHEN idx = 0 THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN idx != 0 THEN 1 ELSE 0 END) AS b
+        FROM src GROUP BY cohort, x
+      ), ksc AS (
+        SELECT cohort,
+               sum(a) OVER (PARTITION BY cohort ORDER BY x) AS c1,
+               sum(b) OVER (PARTITION BY cohort ORDER BY x) AS c2
+        FROM ksg
+      ), ks AS (
+        SELECT k.cohort, max(abs(m.n2 * k.c1 - m.n1 * k.c2)) AS dnum
+        FROM ksc k JOIN mwu m ON k.cohort = m.cohort
+        GROUP BY k.cohort
+      ), sp AS (
+        SELECT cohort, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(r2x * r2y) AS HUGEINT) AS sxy,
+               CAST(sum(r2x) AS HUGEINT) AS sx,
+               CAST(sum(r2y) AS HUGEINT) AS sy,
+               CAST(sum(r2x * r2x) AS HUGEINT) AS sxx,
+               CAST(sum(r2y * r2y) AS HUGEINT) AS syy
+        FROM rk GROUP BY cohort
+      ), rho AS (
+        SELECT cohort,
+               CAST(n*sxy - sx*sy AS DOUBLE) /
+                 sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+                      CAST(n*syy - sy*sy AS DOUBLE)) AS rho
+        FROM sp
+      )
+      SELECT m.cohort, CAST(m.rsum2 - m.n1*(m.n1+1) AS BIGINT) AS u2,
+             CAST(ks.dnum AS BIGINT) AS dnum, rho.rho AS rho,
+             CAST(m.nn AS BIGINT) AS n
+      FROM mwu m
+      JOIN ks ON m.cohort = ks.cohort
+      JOIN rho ON m.cohort = rho.cohort
+      ORDER BY m.cohort"""))
+
+  // Regression family (X117, graft.functions.ch): simpleLinearRegression
+  // → named tuple (k, b) unpacked by subquery field access, plus
+  // corrStable — Pearson over exact decimal moment sums (plain `corr`
+  // stays Spark's builtin; see the ChDialect registry note). All three
+  // doubles are the same final IEEE expressions over the same exact
+  // integers in both engines.
+  val q207ChRegression = QueryDef(
+    "q207_ch_regression",
+    (s, dir) => {
+      Graft.table(s, dir, "lineitem")
+        .createOrReplaceTempView("lineitem_v207")
+      s.sql("""
+        SELECT flag, r.k AS k, r.b AS b, c, n FROM (
+          SELECT l_returnflag AS flag,
+                 simpleLinearRegression(x, y) AS r,
+                 corrStable(x, y) AS c,
+                 toInt64(count(1)) AS n
+          FROM (SELECT l_returnflag,
+                       l_partkey % 1000 AS x,
+                       (l_partkey % 1000) * 3 + l_suppkey % 100 AS y
+                FROM lineitem_v207)
+          GROUP BY l_returnflag
+        ) ORDER BY flag""")
+    },
+    Some("""
+      WITH src AS (
+        SELECT l_returnflag AS flag, l_partkey % 1000 AS x,
+               (l_partkey % 1000) * 3 + l_suppkey % 100 AS y
+        FROM lineitem
+      ), s AS (
+        SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x*y) AS HUGEINT) AS sxy,
+               CAST(sum(x*x) AS HUGEINT) AS sxx,
+               CAST(sum(y*y) AS HUGEINT) AS syy
+        FROM src GROUP BY flag
+      )
+      SELECT flag,
+             CAST(n*sxy - sx*sy AS DOUBLE) /
+               CAST(n*sxx - sx*sx AS DOUBLE) AS k,
+             (CAST(sy AS DOUBLE) -
+               (CAST(n*sxy - sx*sy AS DOUBLE) /
+                CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS b,
+             CAST(n*sxy - sx*sy AS DOUBLE) /
+               sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+                    CAST(n*syy - sy*sy AS DOUBLE)) AS c,
+             CAST(n AS BIGINT) AS n
+      FROM s ORDER BY flag"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
+      q206ChRankTests, q207ChRegression,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,
