@@ -2976,12 +2976,136 @@ object DialectQueries {
              CAST(n AS BIGINT) AS n
       FROM s ORDER BY flag"""))
 
+  // URL hierarchy / authority family (X118, functions/url.scala):
+  // URLHierarchy / URLPathHierarchy (drill-down prefixes — the
+  // Metrica report dimension over page URLs), the
+  // cutToFirstSignificantSubdomain owner-domain cut,
+  // extractURLParameterNames/Parameters, netloc (full authority with
+  // userinfo and port), and encodeURLComponent. URLs are constructed
+  // from fixture columns identically in both engines (the q74/q186
+  // pattern); hierarchy arrays serialize with '|' (the q75 members
+  // pattern). The oracle rebuilds the hierarchies with
+  // regexp_extract_all + list lambdas and the expected encoding with
+  // chained replaces over the constrained input alphabet (DuckDB has
+  // no url_encode). Pure codegen'd projections — zero shuffles beyond
+  // the final 90-group rollup.
+  val q208ChUrlHierarchy = QueryDef(
+    "q208_ch_url_hierarchy",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v208")
+      s.sql("""
+        SELECT hostk, qk, dk, fk,
+               min(concat_ws('|', URLHierarchy(u))) AS hier,
+               max(concat_ws('|', URLPathHierarchy(u))) AS ph,
+               min(cutToFirstSignificantSubdomain(u)) AS fsd,
+               min(concat_ws(',', extractURLParameterNames(u))) AS names,
+               max(concat_ws(',', extractURLParameters(u))) AS params,
+               min(netloc(u)) AS nl,
+               min(encodeURLComponent(concat('a b+/', et))) AS enc,
+               toInt64(count(1)) AS n
+        FROM (
+          SELECT user_id % 3 AS hostk, event_id % 2 AS qk,
+                 event_id % 3 AS dk, event_id % 5 AS fk,
+                 event_type AS et,
+                 CONCAT('https://',
+                   CASE WHEN user_id % 3 = 0
+                          THEN 'user:pw@www.news.portal.com:8080'
+                        WHEN user_id % 3 = 1 THEN 'blog.example.org'
+                        ELSE 'shop.site.co.uk' END,
+                   '/cat', CAST(event_id % 4 AS STRING),
+                   CASE WHEN event_id % 3 = 0
+                        THEN CONCAT('//item', CAST(event_id % 7 AS STRING))
+                        ELSE CONCAT('/p', CAST(event_id % 5 AS STRING)) END,
+                   CASE WHEN event_id % 2 = 0
+                        THEN CONCAT('?q=', CAST(user_id % 10 AS STRING),
+                                    '&utm_source=x&flag')
+                        ELSE '' END,
+                   CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END) AS u
+          FROM events_v208)
+        GROUP BY hostk, qk, dk, fk
+        ORDER BY hostk, qk, dk, fk""")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT user_id % 3 AS hostk, event_id % 2 AS qk,
+               event_id % 3 AS dk, event_id % 5 AS fk,
+               event_type AS et,
+               'https://' ||
+                 CASE WHEN user_id % 3 = 0
+                        THEN 'user:pw@www.news.portal.com:8080'
+                      WHEN user_id % 3 = 1 THEN 'blog.example.org'
+                      ELSE 'shop.site.co.uk' END ||
+                 '/cat' || CAST(event_id % 4 AS VARCHAR) ||
+                 CASE WHEN event_id % 3 = 0
+                      THEN '//item' || CAST(event_id % 7 AS VARCHAR)
+                      ELSE '/p' || CAST(event_id % 5 AS VARCHAR) END ||
+                 CASE WHEN event_id % 2 = 0
+                      THEN '?q=' || CAST(user_id % 10 AS VARCHAR) ||
+                           '&utm_source=x&flag'
+                      ELSE '' END ||
+                 CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END AS u
+        FROM events
+      ), parts AS (
+        SELECT *,
+               regexp_extract(u,
+                 '^((?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*)', 1) AS pfx
+        FROM raw
+      ), tok AS (
+        SELECT *,
+               regexp_extract_all(u[length(pfx)+1:],
+                 '[^/?]*[/?]+|[^/?]+') AS toks,
+               regexp_extract(
+                 regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                 '^([^/?#]*)', 1) AS nl0
+        FROM parts
+      ), tok2 AS (
+        SELECT *,
+               str_split(regexp_extract(
+                 regexp_replace(nl0, '^[^/@?#]*@', ''),
+                 '^([^/:?#]+)', 1), '.') AS hp
+        FROM tok
+      ), comp AS (
+        SELECT hostk, qk, dk, fk,
+               CASE WHEN len(toks) = 0 THEN u
+                    ELSE array_to_string(list_transform(
+                      range(1, len(toks)+1),
+                      i -> pfx || array_to_string(toks[1:i], '')), '|')
+               END AS hier,
+               coalesce(array_to_string(list_filter(list_transform(
+                 range(1, len(toks)+1),
+                 i -> array_to_string(toks[1:i], '')),
+                 e -> e != '/'), '|'), '') AS ph,
+               CASE
+                 WHEN len(hp) >= 3 AND hp[len(hp)-1] IN
+                   ('com','net','org','co')
+                   THEN array_to_string(hp[len(hp)-2:len(hp)], '.')
+                 WHEN len(hp) >= 2
+                   THEN array_to_string(hp[len(hp)-1:len(hp)], '.')
+                 ELSE '' END AS fsd,
+               coalesce(array_to_string(regexp_extract_all(u,
+                 '[?&]([^=&#]+)', 1), ','), '') AS names,
+               coalesce(array_to_string(regexp_extract_all(u,
+                 '[?&]([^&#]+)', 1), ','), '') AS params,
+               nl0 AS nl,
+               replace(replace(replace('a b+/' || et,
+                 '+', '%2B'), ' ', '%20'), '/', '%2F') AS enc
+        FROM tok2
+      )
+      SELECT hostk, qk, dk, fk,
+             min(hier) AS hier, max(ph) AS ph, min(fsd) AS fsd,
+             min(names) AS names, max(params) AS params,
+             min(nl) AS nl, min(enc) AS enc,
+             CAST(count(1) AS BIGINT) AS n
+      FROM comp
+      GROUP BY hostk, qk, dk, fk
+      ORDER BY hostk, qk, dk, fk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
-      q206ChRankTests, q207ChRegression,
+      q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,
