@@ -520,4 +520,147 @@ object Similarity {
           (sqrt(sq(col("__ca")).cast("double")) *
             sqrt(sq(col("__cb")).cast("double"))), 6).as("cos"))
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-side ANN scale path next to
+  // IVF's compute-side one (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011). The embedding is split into
+  // `m` subvectors; each subspace gets a k-codeword codebook trained by
+  // Lloyd's on the SLICES; a vector stores only its m codes (m bytes at
+  // k ≤ 256 vs 4·d float bytes — 32× smaller at d=64, m=8). Search is
+  // ADC (asymmetric distance computation): per probe, an m×k lookup
+  // table of subspace dot products is computed ONCE, and scoring the
+  // corpus is m table lookups per vector — no float vector is ever
+  // read. At 100 TB the codes table fits where the vectors cannot,
+  // and the ADC scan is a pure projection over it.
+
+  /** The `s`-th length-`sub` slice of `v` as doubles (1-based slice). */
+  private def subSlice(v: Column, s: Int, sub: Int): Column =
+    transform(slice(v, s * sub + 1, sub), x => x.cast("double"))
+
+  /** Squared L2 distance between two double arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Index (0-based) of the nearest codeword by squared L2, first-min
+    * tie-break — the PQ assignment rule, as an inline expression over
+    * the literal codebook (a projection, never a join).
+    */
+  private def nearestCode(sub: Column, codebook: Column): Column = {
+    val dists = transform(codebook, c => l2sq(sub, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train PQ codebooks: `m` subspaces × up to `k` codewords each
+    * (empty cells drop and re-index, the kmeansCentroids contract).
+    * Same determinism scheme as [[kmeansCentroids]]: bounded id-hash
+    * sample, seeds are the first k slices in id-hash order, assignment
+    * tie-breaks on codeword position. Each Lloyd iteration is ONE pass
+    * over the sample: the m subspaces are posexploded together and
+    * aggregated by (subspace, code) — fused, not m separate scans.
+    * Returns codebooks(s)(c) = centroid of code c in subspace s.
+    */
+  def pqCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int,
+      maxTrainRows: Long = 100000L): Array[Array[Seq[Double]]] = {
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val total = vecs.select(col(idCol)).count()
+    val denom = math.max(1L, total / math.max(1L, maxTrainRows))
+    val train0 =
+      if (denom == 1L) vecs
+      else vecs.filter(pmod(xxhash64(col(idCol)), lit(denom)) === 0)
+    val train = train0.select(col(idCol), col(vecCol)).persist()
+    try {
+      val seedRows = train.orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+        .select((0 until m).map(s =>
+          subSlice(col(vecCol), s, sub).as(s"__s$s")): _*)
+        .collect()
+      var books: Array[Array[Seq[Double]]] =
+        Array.tabulate(m)(s =>
+          seedRows.map(r => r.getSeq[Double](s).toSeq: Seq[Double]))
+      require(books.nonEmpty && books.head.nonEmpty,
+        "pqCodebooks: input has no vectors")
+      for (_ <- 0 until iters) {
+        val lit3 = typedLit(books.map(_.toSeq).toSeq)
+        val exploded = train.select(posexplode(array((0 until m).map(s =>
+          subSlice(col(vecCol), s, sub)): _*)).as(Seq("__s", "__sub")))
+        val sums = exploded
+          .withColumn("__c", nearestCode(col("__sub"),
+            element_at(lit3, col("__s") + 1)))
+          .groupBy(col("__s"), col("__c"))
+          .agg(count(lit(1)).as("__n"),
+            (0 until sub).map(i =>
+              sum(element_at(col("__sub"), i + 1)).as(s"__d$i")): _*)
+          .collect()
+        books = Array.tabulate(m) { s =>
+          sums.iterator.filter(_.getAs[Int]("__s") == s).toArray
+            .sortBy(_.getAs[Int]("__c"))
+            .map { r =>
+              val n = r.getAs[Long]("__n").toDouble
+              (0 until sub).map(i => r.getAs[Double](s"__d$i") / n): Seq[Double]
+            }
+        }
+      }
+      books
+    } finally train.unpersist()
+  }
+
+  /** PQ codes of a vector — array of `m` codeword indices, the stored
+    * representation. A pure projection against the literal codebooks.
+    */
+  def pqEncode(v: Column, books: Array[Array[Seq[Double]]]): Column = {
+    val m = books.length
+    val sub = books.head.head.length
+    val lit3 = typedLit(books.map(_.toSeq).toSeq)
+    array((0 until m).map(s =>
+      nearestCode(subSlice(v, s, sub), element_at(lit3, s + 1))): _*)
+  }
+
+  /** ADC top-`k` with exact re-rank: each probe computes its m×k
+    * dot-product lookup table inline (a projection over the literal
+    * codebooks), the codes table is scored by m table lookups per
+    * vector, the top `shortlist` per probe survive, and only those are
+    * joined back to their float vectors for exact-cosine re-ranking.
+    * The codes side never reads a float vector — the 100 TB shape.
+    */
+  def pqTopK(vecs: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, books: Array[Array[Seq[Double]]],
+      shortlist: Int): DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
+    val lit3 = typedLit(books.map(_.toSeq).toSeq)
+    val codes = vecs.select(col(idCol).as("id"),
+      pqEncode(col(vecCol), books).as("__code"))
+    // per-probe m×k lookup table: lut(s)(c) = dot(probe_s, books(s)(c))
+    // — built from explicit per-subspace columns (a lambda index can't
+    // serve as a slice offset)
+    val lut = array((0 until m).map { s =>
+      transform(element_at(lit3, s + 1), c =>
+        aggregate(zip_with(subSlice(col(vecCol), s, sub), c,
+          (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    }: _*)
+    val p2 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__p"),
+      lut.as("__lut"))
+    val scored = codes.crossJoin(broadcast(p2))
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("sim", aggregate(
+        zip_with(col("__code"), col("__lut"), (code, t) =>
+          element_at(t, code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("probe_id"), col("id"), col("sim"))
+    val short = topKPerKey(scored, "probe_id", shortlist)
+      .select(col("probe_id"), col("id"))
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__vn"))
+    val exact = short.join(v, "id")
+      .join(broadcast(p2.select(col("probe_id"), col("__p"),
+        norm(col("__p")).as("__pn2"))), "probe_id")
+      .withColumn("sim", guardedSim(col("__v"), col("__p"),
+        col("__vn"), col("__pn2")))
+      .select(col("probe_id"), col("id"), col("sim"))
+    topKPerKey(exact, "probe_id", k)
+  }
 }

@@ -679,6 +679,52 @@ object PipelineQueries {
                CAST(1 AS BIGINT) AS recall_ok"""))
 
   // ---------------------------------------------------------------------
+  // X119: product-quantization ADC ANN (Jégou et al. 2011) — the
+  // MEMORY-side ANN scale path next to IVF's compute-side one. Vectors
+  // store m=16 one-byte codes instead of 64 floats (16× smaller); the
+  // ADC scan reads ONLY the codes table (per probe: one m×k lookup
+  // table built inline, then m table lookups per vector), shortlists,
+  // and re-ranks just the shortlist against the float vectors — at
+  // 100 TB the codes fit where the vectors cannot. Self-grading (the
+  // q54 pattern): recall@10 vs brute force is computed in-query and
+  // gated at 0.7 — measured 1.0 at sf0.01 and 0.9 at sf0.1 with
+  // m=16, k=32, shortlist=100 on this near-uniform corpus (the
+  // adversarial case for any quantizer; clustered data is the easy
+  // case, SimilaritySpec's recall-1 fixture) — and the entry returns
+  // the oracle-predictable row.
+  val q209PqAdcAnn = QueryDef(
+    "q209_pq_adc_ann",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 5)
+      val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+        m = 16, k = 32, iters = 2)
+      val pq = Similarity.pqTopK(vecs, probes, "vec_id", "embedding",
+        k = 10, books, shortlist = 100)
+      val bf = Similarity.bruteForceTopK(vecs, probes, "vec_id",
+        "embedding", k = 10)
+      val floor = 0.7
+      val m = bf.select(col("probe_id"), col("id"))
+        .join(pq.select(col("probe_id"), col("id"))
+            .withColumn("__hit", lit(1L)),
+          Seq("probe_id", "id"), "left")
+        .agg(
+          count(lit(1)).as("n_baseline"),
+          sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hit"))
+        .collect().head
+      val recall = m.getLong(1).toDouble / m.getLong(0)
+      require(recall >= floor,
+        f"q209: PQ-ADC recall@10 = $recall%.4f fell below the $floor " +
+          f"floor (m=16, k=32, shortlist=100) — quantizer regression")
+      s.sql("SELECT CAST(16 AS BIGINT) AS m, CAST(0.7 AS DOUBLE) " +
+        "AS recall_floor, CAST(1 AS BIGINT) AS recall_ok")
+    },
+    Some("""SELECT CAST(16 AS BIGINT) AS m,
+               CAST(0.7 AS DOUBLE) AS recall_floor,
+               CAST(1 AS BIGINT) AS recall_ok"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // Multimodal plumbing: documents wrapped as binary media payloads with
   // typed metadata, batched partition-local feature extraction (decode
   // STUB — see Multimodal.decodeStub), frame-sampling plan from
@@ -4546,6 +4592,7 @@ object PipelineQueries {
     q75DedupClusters, q174DedupClustersDist,
     q25AnnTopk, q26CosinePairs, q49CosinePairsLsh, q27AnnLshTopk,
     q45AnnIndexTopk, q37AnnIvfTopk, q54IvfKmeansRecall, q72AnnQuantized,
+    q209PqAdcAnn,
     q32MultimodalFeatures, q38PipelineE2e, q46IncrementalDedup,
     q73Contamination, q106PiiRedact, q107RepetitionQuality,
     q108SeqPack, q109VocabTopk, q110StratifiedSample, q111MixtureWeights,

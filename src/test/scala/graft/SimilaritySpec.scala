@@ -210,4 +210,50 @@ class SimilaritySpec extends SparkSpec {
     } yield ((k * 10 + a).toLong, (k * 10 + b).toLong)).toSet
     assert(got == expect)
   }
+
+  test("pqCodebooks are deterministic across runs and shaped m × ≤k") {
+    val b1 = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, k = 3, iters = 2)
+    val b2 = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, k = 3, iters = 2)
+    assert(b1.length == 4)
+    assert(b1.forall(cb => cb.nonEmpty && cb.length <= 3))
+    assert(b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
+    assert(b1.forall(_.forall(_.length == 2))) // dim 8 / m 4
+  }
+
+  test("pqEncode assigns each slice to its nearest codeword (manual " +
+      "check against the literal codebooks)") {
+    val books = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, k = 3, iters = 2)
+    val got = clustered
+      .select($"vec_id", Similarity.pqEncode($"embedding", books).as("c"))
+      .as[(Long, Seq[Int])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val vecs = clustered.as[(Long, Seq[Float])].collect().toMap
+    got.foreach { case (id, codes) =>
+      assert(codes.length == 4)
+      val v = vecs(id).map(_.toDouble)
+      codes.zipWithIndex.foreach { case (c, s) =>
+        val slice = v.slice(s * 2, s * 2 + 2)
+        val d = books(s).map(cb => l2(slice, cb))
+        assert(d(c) == d.min, s"vec $id subspace $s: code $c not nearest")
+      }
+    }
+  }
+
+  test("pqTopK with exact re-rank recovers brute-force top-k on the " +
+      "clustered corpus (recall 1 with a generous shortlist)") {
+    val books = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, k = 3, iters = 2)
+    val probes = clustered.filter($"vec_id".isin(0L, 10L, 20L))
+    val exact = Similarity.bruteForceTopK(clustered, probes, "vec_id",
+      "embedding", k = 5)
+      .select($"probe_id", $"id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(clustered, probes, "vec_id", "embedding",
+      k = 5, books, shortlist = 15)
+      .select($"probe_id", $"id").as[(Long, Long)].collect().toSet
+    assert(pq == exact, s"PQ missed ${(exact -- pq).size} of ${exact.size}")
+  }
 }
