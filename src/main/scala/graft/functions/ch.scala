@@ -962,4 +962,112 @@ object ch {
     val vy = (n * syy - sy * sy).cast("double")
     when(vx > 0.0 && vy > 0.0, cov / sqrt(vx * vy))
   }
+
+  /** Deterministic equal-width histogram — the engine's `histogram
+    * (bins)(x)`. DOCUMENTED DEVIATION: CH's adaptive streaming
+    * histogram is explicitly nondeterministic (its bin boundaries
+    * depend on merge order); a nondeterministic aggregate can never
+    * sit in this engine's exactly-hashed surfaces, so the pinned form
+    * is the classic equal-width histogram over the group's [min, max]
+    * — `bins` buckets of width (max−min)/bins, last bucket inclusive.
+    * Returns array of (lo, hi, cnt) structs whose bounds are pure IEEE
+    * functions of (min, max, i) — the oracle replays them bit-for-bit.
+    * Single-value groups land wholly in bucket 0. Per-group state is
+    * the value list (the windowFunnel caveat); the fold is O(n·bins)
+    * with bins small by construction.
+    */
+  def histogramEq(bins: Int, x: Column): Column = {
+    require(bins >= 1 && bins <= 1000, s"histogram bins in [1,1000], got $bins")
+    val arr = collect_list(x.cast("double"))
+    val mn = array_min(arr)
+    val w = (array_max(arr) - mn) / lit(bins.toDouble)
+    // mn and w ride IN the fold state: referencing an aggregate-derived
+    // column inside the lambda would re-evaluate its whole subtree
+    // (array_min over the full group) PER ELEMENT — the q154 HOF-lambda
+    // O(n²) trap, hit live by this function's first cut at sf0.1
+    val init = struct(mn.as("mn"), w.as("w"),
+      array_repeat(lit(0L), bins).as("c"))
+    val folded = aggregate(arr, init, (st, v) => {
+      val m = st.getField("mn")
+      val ww = st.getField("w")
+      val idx = when(ww === 0.0, lit(0))
+        .otherwise(least(floor((v - m) / ww).cast("int"), lit(bins - 1)))
+      struct(m.as("mn"), ww.as("w"),
+        transform(st.getField("c"),
+          (c, i) => when(i === idx, c + 1).otherwise(c)).as("c"))
+    })
+    val fm = folded.getField("mn")
+    val fw = folded.getField("w")
+    transform(folded.getField("c"), (c, i) => struct(
+      (fm + i.cast("double") * fw).as("lo"),
+      (fm + (i + 1).cast("double") * fw).as("hi"),
+      c.as("cnt")))
+  }
+
+  /** CH `bar(x, min, max[, width])`: a unicode bar of `width` cells
+    * where the last cell renders in EIGHTHS (▏▎▍▌▋▊▉█) — CH's
+    * console-sparkline vocabulary. eighths = floor(clamped·width·8);
+    * both engines compute the same double, so the same glyph count
+    * renders (no rounding divergence).
+    */
+  def bar(x: Column, minV: Column, maxV: Column, width: Int = 80): Column = {
+    val span = maxV.cast("double") - minV.cast("double")
+    val frac0 = when(span > 0.0,
+      (x.cast("double") - minV.cast("double")) / span).otherwise(lit(0.0))
+    val frac = least(greatest(frac0, lit(0.0)), lit(1.0))
+    val e = floor(frac * lit(width * 8.0)).cast("int")
+    val full = (e / 8).cast("int")
+    val rem = e % 8
+    val partials = typedLit(Seq("", "▏", "▎", "▍",
+      "▌", "▋", "▊", "▉"))
+    concat(call_function("repeat", lit("█"), full),
+      element_at(partials, rem + 1))
+  }
+
+  /** Two-decimal rendering of `v` (a double) without printf — Java's
+    * `%.2f` rounds HALF_UP while C's printf rounds half-even, so a
+    * format string could diverge between the engines at exact
+    * half-boundaries; `floor(v·100 + 0.5)` is the same IEEE arithmetic
+    * in both. Shared by the formatReadable family.
+    */
+  private def twoDec(v: Column): Column = {
+    val d = floor(v * 100.0 + 0.5).cast("long")
+    // Column `/` is double division — truncate back to long for the
+    // integer part before rendering
+    concat((d / 100).cast("long").cast("string"), lit("."),
+      lpad((d % 100).cast("string"), 2, "0"))
+  }
+
+  /** CH `formatReadableSize(bytes)`: '1.50 KiB' / '2.00 MiB' …, the
+    * admin-report rendering. The unit ladder picks by exact integer
+    * comparison (never `log`, whose rounding could flip a boundary);
+    * the 2-decimal rendering is [[twoDec]]'s replayable arithmetic.
+    */
+  def formatReadableSize(bytes: Column): Column = {
+    val b = bytes.cast("double")
+    val KiB = 1024.0
+    when(bytes.cast("long") < 1024L, concat(twoDec(b), lit(" B")))
+      .when(bytes.cast("long") < 1048576L,
+        concat(twoDec(b / KiB), lit(" KiB")))
+      .when(bytes.cast("long") < 1073741824L,
+        concat(twoDec(b / (KiB * KiB)), lit(" MiB")))
+      .when(bytes.cast("long") < 1099511627776L,
+        concat(twoDec(b / (KiB * KiB * KiB)), lit(" GiB")))
+      .otherwise(concat(twoDec(b / (KiB * KiB * KiB * KiB)), lit(" TiB")))
+  }
+
+  /** CH `formatReadableQuantity(x)`: '1.20 thousand' / '3.50 million'
+    * …; plain two-decimal rendering below a thousand.
+    */
+  def formatReadableQuantity(x: Column): Column = {
+    val v = x.cast("double")
+    when(x.cast("long") < 1000L, twoDec(v))
+      .when(x.cast("long") < 1000000L,
+        concat(twoDec(v / 1e3), lit(" thousand")))
+      .when(x.cast("long") < 1000000000L,
+        concat(twoDec(v / 1e6), lit(" million")))
+      .when(x.cast("long") < 1000000000000L,
+        concat(twoDec(v / 1e9), lit(" billion")))
+      .otherwise(concat(twoDec(v / 1e12), lit(" trillion")))
+  }
 }

@@ -678,6 +678,34 @@ object ChDialect {
     "simpleLinearRegression" -> (args =>
       ex(ch.simpleLinearRegression(col(args.head), col(args(1))))),
     "corrStable" -> (args => ex(ch.corrExact(col(args.head), col(args(1))))),
+    // median family — sugar for the quantile(0.5) forms the parser
+    // already routes to percentile (median/medianExact share the exact
+    // interpolated definition here; CH's sampling `median` has no
+    // deterministic replay, the quantile-rewrite policy)
+    "median" -> (args =>
+      ex(call_function("percentile", col(args.head), lit(0.5)))),
+    "medianExact" -> (args =>
+      ex(call_function("percentile", col(args.head), lit(0.5)))),
+    "medianExactWeighted" -> (args =>
+      ex(call_function("percentile", col(args.head), lit(0.5),
+        col(args(1))))),
+    // histogram(bins)(x): deterministic equal-width variant (CH's
+    // adaptive histogram is nondeterministic by design — see
+    // ch.histogramEq's doc); arrives flattened to (bins, x)
+    "histogram" -> (args =>
+      ex(ch.histogramEq(litInt(args.head, "histogram bins"),
+        col(args(1))))),
+    "bar" -> (args => args.length match {
+      case 3 => ex(ch.bar(col(args.head), col(args(1)), col(args(2))))
+      case 4 => ex(ch.bar(col(args.head), col(args(1)), col(args(2)),
+        litInt(args(3), "bar width")))
+      case n => throw new IllegalArgumentException(
+        s"bar takes (x, min, max[, width]), got $n args")
+    }),
+    "formatReadableSize" -> (args =>
+      ex(ch.formatReadableSize(col(args.head)))),
+    "formatReadableQuantity" -> (args =>
+      ex(ch.formatReadableQuantity(col(args.head)))),
     // sequenceMatch('(?1)(?2)')(ts, conds...) — flattened by the
     // TotalsParser to sequenceMatch(pattern, ts, conds...); the
     // pattern must be a literal (it compiles into the regex)

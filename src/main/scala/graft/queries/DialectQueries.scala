@@ -3100,12 +3100,135 @@ object DialectQueries {
       GROUP BY hostk, qk, dk, fk
       ORDER BY hostk, qk, dk, fk"""))
 
+  // Report-rendering vocabulary (X120): histogram(bins)(x) as the
+  // pinned DETERMINISTIC equal-width variant (CH's adaptive histogram
+  // is nondeterministic by design — ch.histogramEq's doc), bar() with
+  // unicode-eighth cells, formatReadableSize/Quantity with the
+  // floor(v·100+0.5) two-decimal rendering (printf's %.2f rounds
+  // HALF_UP on the JVM and half-even in C — a format string would
+  // diverge at half-boundaries), and the median* sugar over the
+  // percentile rewrite. Histogram bounds serialize as ×100 integers
+  // (same IEEE mn + i·w both engines → same floor); bar/size/quantity
+  // feed on exact integers so every division replays.
+  val q210ChRenderHistogram = QueryDef(
+    "q210_ch_render_histogram",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v210")
+      s.sql("""
+        SELECT event_type,
+               concat_ws('|', transform(histogram(8)(value),
+                 h -> concat(CAST(floor(h.lo * 100 + 0.5) AS BIGINT), ':',
+                             CAST(floor(h.hi * 100 + 0.5) AS BIGINT), ':',
+                             CAST(h.cnt AS BIGINT)))) AS hist,
+               bar(count(1) % 700, 0, 700, 10) AS b,
+               formatReadableSize(sum(user_id % 4096) * 1024) AS sz,
+               formatReadableQuantity(count(1) * 12345) AS qty,
+               round(medianExact(value), 4) AS med,
+               toInt64(count(1)) AS n
+        FROM events_v210
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH st AS (
+        SELECT event_type, min(value) AS mn, max(value) AS mx,
+               (max(value) - min(value)) / 8 AS w,
+               count(1) AS n, sum(user_id % 4096) AS uidsum,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+      ), bidx AS (
+        SELECT e.event_type,
+               CASE WHEN st.w = 0 THEN 0
+                    ELSE least(CAST(floor((e.value - st.mn) / st.w)
+                      AS INT), 7) END AS i
+        FROM events e JOIN st ON e.event_type = st.event_type
+      ), bc AS (
+        SELECT event_type, i, count(1) AS c FROM bidx GROUP BY 1, 2
+      ), grid AS (
+        SELECT st.event_type, gs.i
+        FROM st CROSS JOIN (SELECT unnest(range(8)) AS i) gs
+      ), hist0 AS (
+        SELECT g.event_type, g.i, coalesce(bc.c, 0) AS c
+        FROM grid g LEFT JOIN bc
+          ON g.event_type = bc.event_type AND g.i = bc.i
+      ), hists AS (
+        SELECT h.event_type,
+               string_agg(
+                 CAST(floor((st.mn + h.i * st.w) * 100 + 0.5) AS BIGINT)
+                 || ':' ||
+                 CAST(floor((st.mn + (h.i + 1) * st.w) * 100 + 0.5)
+                   AS BIGINT)
+                 || ':' || h.c, '|' ORDER BY h.i) AS hist
+        FROM hist0 h JOIN st ON h.event_type = st.event_type
+        GROUP BY h.event_type
+      ), rend AS (
+        SELECT event_type,
+               CAST(floor((n % 700) / 700.0 * 80) AS INT) AS e,
+               uidsum * 1024 AS bytes, n * 12345 AS q, med, n
+        FROM st
+      ), fin AS (
+        SELECT event_type,
+               repeat('█', e // 8) ||
+                 (['', '▏', '▎', '▍', '▌', '▋', '▊', '▉'])[(e % 8) + 1]
+                 AS b,
+               CASE
+                 WHEN bytes < 1024 THEN
+                   (CAST(floor(bytes * 100 + 0.5) AS BIGINT) // 100)
+                   || '.' || lpad(CAST(CAST(floor(bytes * 100 + 0.5)
+                     AS BIGINT) % 100 AS VARCHAR), 2, '0') || ' B'
+                 WHEN bytes < 1048576 THEN
+                   (CAST(floor(bytes / 1024.0 * 100 + 0.5) AS BIGINT)
+                     // 100)
+                   || '.' || lpad(CAST(CAST(floor(bytes / 1024.0 * 100
+                     + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+                   || ' KiB'
+                 WHEN bytes < 1073741824 THEN
+                   (CAST(floor(bytes / 1048576.0 * 100 + 0.5) AS BIGINT)
+                     // 100)
+                   || '.' || lpad(CAST(CAST(floor(bytes / 1048576.0
+                     * 100 + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+                   || ' MiB'
+                 ELSE
+                   (CAST(floor(bytes / 1073741824.0 * 100 + 0.5)
+                     AS BIGINT) // 100)
+                   || '.' || lpad(CAST(CAST(floor(bytes / 1073741824.0
+                     * 100 + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+                   || ' GiB'
+               END AS sz,
+               CASE
+                 WHEN q < 1000 THEN
+                   (CAST(floor(q * 100 + 0.5) AS BIGINT) // 100)
+                   || '.' || lpad(CAST(CAST(floor(q * 100 + 0.5)
+                     AS BIGINT) % 100 AS VARCHAR), 2, '0')
+                 WHEN q < 1000000 THEN
+                   (CAST(floor(q / 1e3 * 100 + 0.5) AS BIGINT) // 100)
+                   || '.' || lpad(CAST(CAST(floor(q / 1e3 * 100 + 0.5)
+                     AS BIGINT) % 100 AS VARCHAR), 2, '0')
+                   || ' thousand'
+                 WHEN q < 1000000000 THEN
+                   (CAST(floor(q / 1e6 * 100 + 0.5) AS BIGINT) // 100)
+                   || '.' || lpad(CAST(CAST(floor(q / 1e6 * 100 + 0.5)
+                     AS BIGINT) % 100 AS VARCHAR), 2, '0')
+                   || ' million'
+                 ELSE
+                   (CAST(floor(q / 1e9 * 100 + 0.5) AS BIGINT) // 100)
+                   || '.' || lpad(CAST(CAST(floor(q / 1e9 * 100 + 0.5)
+                     AS BIGINT) % 100 AS VARCHAR), 2, '0')
+                   || ' billion'
+               END AS qty,
+               round(med, 4) AS med, CAST(n AS BIGINT) AS n
+        FROM rend
+      )
+      SELECT f.event_type, hists.hist, f.b, f.sz, f.qty, f.med, f.n
+      FROM fin f JOIN hists ON f.event_type = hists.event_type
+      ORDER BY f.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
+      q210ChRenderHistogram,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

@@ -56,6 +56,53 @@ class Round8fSpec extends SparkSpec {
       Seq("a=1", "b", "a=2", "c=3"))
   }
 
+  test("histogram: equal-width buckets partition the group, bounds " +
+      "span [min, max], last bucket takes the max") {
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0).toDF("v")
+    val rows = df.agg(graft.functions.ch.histogramEq(4, $"v").as("h"))
+      .selectExpr("inline(h)").as[(Double, Double, Long)].collect()
+    assert(rows.length == 4)
+    assert(rows.map(_._3).sum == 9)
+    assert(rows.head._1 == 0.0 && rows.last._2 == 8.0)
+    // width 2: [0,2)→{0,1}, [2,4)→{2,3}, [4,6)→{4,5}, [6,8]→{6,7,8}
+    assert(rows.map(_._3).toSeq == Seq(2, 2, 2, 3))
+  }
+
+  test("histogram: constant group lands wholly in bucket 0") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val rows = df.agg(graft.functions.ch.histogramEq(4, $"v").as("h"))
+      .selectExpr("inline(h)").as[(Double, Double, Long)].collect()
+    assert(rows.map(_._3).toSeq == Seq(3, 0, 0, 0))
+  }
+
+  test("bar renders full blocks plus one eighth-cell partial") {
+    def render(x: Double, w: Int): String =
+      Seq(x).toDF("x")
+        .select(graft.functions.ch.bar($"x", lit(0.0), lit(1.0), w))
+        .as[String].head()
+    assert(render(1.0, 4) == "████")
+    assert(render(0.0, 4) == "")
+    assert(render(0.5, 4) == "██")
+    // 0.3·4·8 = 9.6 → e=9 → one full + ▏
+    assert(render(0.3, 4) == "█▏")
+    assert(render(2.0, 4) == "████") // clamped
+  }
+
+  test("formatReadableSize walks the KiB ladder with exact two-decimal " +
+      "rendering; formatReadableQuantity the thousands ladder") {
+    def sz(x: Long): String = Seq(x).toDF("x")
+      .select(graft.functions.ch.formatReadableSize($"x")).as[String].head()
+    assert(sz(123L) == "123.00 B")
+    assert(sz(1536L) == "1.50 KiB")
+    assert(sz(1048576L) == "1.00 MiB")
+    assert(sz(5L * 1024 * 1024 * 1024) == "5.00 GiB")
+    def q(x: Long): String = Seq(x).toDF("x")
+      .select(graft.functions.ch.formatReadableQuantity($"x")).as[String].head()
+    assert(q(999L) == "999.00")
+    assert(q(1200L) == "1.20 thousand")
+    assert(q(3500000L) == "3.50 million")
+  }
+
   test("netloc keeps userinfo and port; encodeURLComponent uses %20 " +
       "for space and round-trips through decodeURLComponent") {
     assert(one("https://user:pw@host.com:8443/p?q", url.netloc) ==
