@@ -77,6 +77,71 @@ object ChDialect {
     ArrayAggregate(args(1), zero, merge, finish)
   }
 
+  /** CH `arrayFirstIndex(lambda, arr)`: 1-based index of the first
+    * matching element, 0 when nothing matches — same ArrayAggregate
+    * folding as [[arrayFirstLast]] (a lambda argument requires the
+    * root to be the higher-order function); the accumulator is a
+    * (processed, hit) pair of longs.
+    */
+  private def arrayFirstIndexExpr(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, CreateNamedStruct, EqualTo, If, LambdaFunction, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    val lf = args.head.asInstanceOf[LambdaFunction]
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_fi_acc"))
+    def fld(n: String) = UnresolvedExtractValue(acc, Literal(n))
+    val merge = LambdaFunction(
+      CreateNamedStruct(Seq(
+        Literal("p"), Add(fld("p"), Literal(1L)),
+        Literal("h"), If(And(EqualTo(fld("h"), Literal(0L)), lf.function),
+          Add(fld("p"), Literal(1L)), fld("h")))),
+      acc +: lf.arguments)
+    val res = UnresolvedNamedLambdaVariable(Seq("__graft_fi_res"))
+    val finish = LambdaFunction(
+      UnresolvedExtractValue(res, Literal("h")), Seq(res))
+    val zero = CreateNamedStruct(Seq(Literal("p"), Literal(0L),
+      Literal("h"), Literal(0L)))
+    ArrayAggregate(args(1), zero, merge, finish)
+  }
+
+  /** CH `arraySplit(lambda, arr)`: cut the array into groups BEFORE
+    * each element where the lambda is true — except a cut before the
+    * first element, which never opens a leading empty group (CH's
+    * contract). Empty input → empty array of groups. The accumulator
+    * carries (finished groups, current group, processed count); the
+    * per-element array append is O(group) copying — row-level arrays,
+    * not corpus state.
+    */
+  private def arraySplitExpr(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, Concat, CreateArray, CreateNamedStruct, EqualTo, GreaterThan, If, LambdaFunction, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    val lf = args.head.asInstanceOf[LambdaFunction]
+    val elemType = args(1).dataType.asInstanceOf[ArrayType].elementType
+    val x = lf.arguments.head
+    val emptyCur = Literal.create(Seq.empty[Any], ArrayType(elemType))
+    val emptyGroups =
+      Literal.create(Seq.empty[Any], ArrayType(ArrayType(elemType)))
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_sp_acc"))
+    def fld(n: String) = UnresolvedExtractValue(acc, Literal(n))
+    val cut = And(GreaterThan(fld("p"), Literal(0L)), lf.function)
+    val merge = LambdaFunction(
+      CreateNamedStruct(Seq(
+        Literal("g"), If(cut,
+          Concat(Seq(fld("g"), CreateArray(Seq(fld("c"))))), fld("g")),
+        Literal("c"), If(cut, CreateArray(Seq(x)),
+          Concat(Seq(fld("c"), CreateArray(Seq(x))))),
+        Literal("p"), Add(fld("p"), Literal(1L)))),
+      acc +: lf.arguments)
+    val res = UnresolvedNamedLambdaVariable(Seq("__graft_sp_res"))
+    def rfld(n: String) = UnresolvedExtractValue(res, Literal(n))
+    val finish = LambdaFunction(
+      If(EqualTo(rfld("p"), Literal(0L)), emptyGroups,
+        Concat(Seq(rfld("g"), CreateArray(Seq(rfld("c")))))),
+      Seq(res))
+    val zero = CreateNamedStruct(Seq(Literal("g"), emptyGroups,
+      Literal("c"), emptyCur, Literal("p"), Literal(0L)))
+    ArrayAggregate(args(1), zero, merge, finish)
+  }
+
   /** CH addUnit/subtractUnit date arithmetic: calendar units on DATE inputs
     * stay dates; day-time units — and ANY timestamp input — route
     * through timestampadd so the time-of-day survives.
@@ -173,6 +238,39 @@ object ChDialect {
     // struct, first keeps the first hit, last keeps the latest.
     "arrayFirst" -> (args => arrayFirstLast(args, last = false)),
     "arrayLast" -> (args => arrayFirstLast(args, last = true)),
+    "arrayFirstIndex" -> (args => arrayFirstIndexExpr(args)),
+    "arraySplit" -> (args => arraySplitExpr(args)),
+    // countEqual(arr, x): occurrences of x, null-safe (CH counts NULL
+    // hits when x is NULL — Spark's <=> is that contract)
+    "countEqual" -> (args =>
+      ex(size(filter(col(args.head), v => v <=> col(args(1))))
+        .cast("long"))),
+    // arrayProduct: always Float64, as in CH
+    "arrayProduct" -> (args =>
+      ex(aggregate(col(args.head), lit(1.0),
+        (acc, x) => acc * x.cast("double")))),
+    // arrayJaccardIndex(a, b): |a∩b| / |a∪b| over DISTINCT elements;
+    // one division of two exact set sizes, oracle-replayable
+    "arrayJaccardIndex" -> (args => {
+      val a = col(args.head)
+      val b = col(args(1))
+      val inter = size(array_intersect(a, b)).cast("double")
+      val uni = size(array_union(a, b)).cast("double")
+      ex(when(uni > 0.0, inter / uni).otherwise(lit(0.0)))
+    }),
+    // hasSubstr(a, b): b occurs in a as a CONTIGUOUS run (hasAll is
+    // set-wise, this one is order-and-adjacency); empty b → true.
+    // O(n·m) slice-equality probe — row-level arrays.
+    "hasSubstr" -> (args => {
+      val a = col(args.head)
+      val b = col(args(1))
+      val n = size(a)
+      val m = size(b)
+      ex(when(m === 0, lit(true))
+        .when(n < m, lit(false))
+        .otherwise(exists(sequence(lit(1), n - m + 1),
+          i => slice(a, i, m) <=> b)))
+    }),
     // element-type DEFAULT on an empty array (the family contract —
     // arrayAvg/arrayFirst/arrayLast below; Spark's ArrayMin/Max give
     // NULL there, which would propagate where CH contributes zeros)
@@ -706,6 +804,47 @@ object ChDialect {
       ex(ch.formatReadableSize(col(args.head)))),
     "formatReadableQuantity" -> (args =>
       ex(ch.formatReadableQuantity(col(args.head)))),
+    // splitByRegexp(re, s): CH's regex split — trailing empties kept
+    // (Spark's limit = -1), the splitByChar convention
+    "splitByRegexp" -> (args =>
+      ex(split(col(args(1)), col(args.head), lit(-1)))),
+    // multiSearchAllPositions(s, [n1, n2, …]) → 1-based positions,
+    // 0 where a needle is absent (locate's own convention)
+    "multiSearchAllPositions" -> (args =>
+      ex(transform(col(args(1)), nd =>
+        call_function("locate", nd, col(args.head)).cast("long")))),
+    // hex/unhex: both engines render uppercase hex over UTF-8 bytes.
+    // Direct Catalyst expressions — a call_function("hex") here would
+    // resolve back to THIS registry entry (it shadows the builtin),
+    // not Spark's
+    "hex" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Hex(args.head)),
+    "unhex" -> (args =>
+      Cast(org.apache.spark.sql.catalyst.expressions.Unhex(args.head),
+        StringType)),
+    // halfMD5(s): first 8 bytes of MD5 as an UNSIGNED 64-bit integer
+    // (decimal(20,0) carries the full unsigned range; the oracle casts
+    // its UBIGINT the same way) — the q202 uniqTheta hash trick's
+    // full-width sibling. The hex digest comes from the Catalyst Md5
+    // node directly: functions.md5 resolves BY NAME in Spark 4 and
+    // would hit this dialect's binary "MD5" registration
+    "halfMD5" -> (args => {
+      val hexStr = col(org.apache.spark.sql.catalyst.expressions.Md5(
+        Cast(args.head, org.apache.spark.sql.types.BinaryType)))
+      ex(conv(substring(hexStr, 1, 16), 16, 10).cast("decimal(20,0)"))
+    }),
+    // toFixedString(s, n): NUL-pad to n, ERROR on overflow (CH's
+    // contract — a silent truncate would corrupt fixed-width keys);
+    // toStringCutToZero reads it back to the first NUL
+    "toFixedString" -> (args => {
+      val s = col(args.head)
+      val n = litInt(args(1), "toFixedString length")
+      ex(when(length(s) > n, raise_error(concat(
+          lit(s"toFixedString: value longer than $n: "), s)))
+        .otherwise(rpad(s, n, "\u0000")))
+    }),
+    "toStringCutToZero" -> (args =>
+      ex(element_at(split(col(args.head), "\u0000", 2), 1))),
     // sequenceMatch('(?1)(?2)')(ts, conds...) — flattened by the
     // TotalsParser to sequenceMatch(pattern, ts, conds...); the
     // pattern must be a literal (it compiles into the regex)

@@ -3222,13 +3222,107 @@ object DialectQueries {
       FROM fin f JOIN hists ON f.event_type = hists.event_type
       ORDER BY f.event_type"""))
 
+  // Array/string vocabulary gap-fill (X121) in verbatim CH SQL:
+  // arrayFirstIndex / arraySplit (ArrayAggregate folds — a lambda
+  // argument requires the root to be the HOF), countEqual (null-safe),
+  // arrayProduct (Float64 fold), arrayJaccardIndex (two exact set
+  // sizes, one division), hasSubstr (contiguous-run probe),
+  // splitByRegexp (CH argument order, trailing empties),
+  // multiSearchAllPositions (1-based, 0 on miss), hex/unhex round
+  // trip, halfMD5 (first 8 MD5 bytes as unsigned — serialized as a
+  // string so DuckDB's UBIGINT and Spark's decimal(20,0) compare in
+  // the same dtype), toFixedString/toStringCutToZero. The oracle
+  // replays the three-element array algebra with scalar CASEs and the
+  // list forms with DuckDB lambdas.
+  val q211ChArrayGapFill = QueryDef(
+    "q211_ch_array_gap_fill",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v211")
+      s.sql("""
+        SELECT event_type, k,
+               min(arrayFirstIndex(x -> x > 2, arr)) AS fi,
+               max(concat_ws('|', transform(arraySplit(x -> x = 0, arr),
+                 g -> concat_ws(',', transform(g,
+                   e -> CAST(e AS STRING)))))) AS spl,
+               toInt64(sum(countEqual(arr, 1))) AS ce,
+               round(sum(arrayProduct(array(1 + event_id % 3, 2))), 1)
+                 AS ap,
+               round(min(arrayJaccardIndex(arr, array(1, 2, 3))), 6)
+                 AS aj,
+               toInt64(sum(if(hasSubstr(arr,
+                 array(event_id % 5, event_id % 7)), 1, 0))) AS hs,
+               min(concat_ws('|',
+                 splitByRegexp('[aeiou]+', event_type))) AS sbr,
+               min(concat_ws(',', transform(
+                 multiSearchAllPositions(event_type,
+                   array('a', 'ck', 'zz')),
+                 p -> CAST(p AS STRING)))) AS msp,
+               min(hex(event_type)) AS hx,
+               toInt64(sum(if(unhex(hex(event_type)) = event_type, 1, 0)))
+                 AS uh,
+               min(CAST(halfMD5(event_type) AS STRING)) AS hm,
+               min(toStringCutToZero(toFixedString(
+                 substring(event_type, 1, 3), 6))) AS cut,
+               toInt64(count(1)) AS n
+        FROM (SELECT event_type, event_id % 4 AS k, event_id,
+                     array(event_id % 7, event_id % 5, event_id % 3) AS arr
+              FROM events_v211)
+        GROUP BY event_type, k
+        ORDER BY event_type, k""")
+    },
+    Some("""
+      WITH src AS (
+        SELECT event_type, event_id % 4 AS k, event_id,
+               event_id % 7 AS a1, event_id % 5 AS a2, event_id % 3 AS a3
+        FROM events
+      ), per AS (
+        SELECT event_type, k,
+               CASE WHEN a1 > 2 THEN 1 WHEN a2 > 2 THEN 2
+                    WHEN a3 > 2 THEN 3 ELSE 0 END AS fi,
+               CASE
+                 WHEN a2 != 0 AND a3 != 0 THEN a1 || ',' || a2 || ',' || a3
+                 WHEN a2 = 0 AND a3 != 0 THEN a1 || '|' || '0,' || a3
+                 WHEN a2 != 0 AND a3 = 0 THEN a1 || ',' || a2 || '|' || '0'
+                 ELSE a1 || '|0|0'
+               END AS spl,
+               (CASE WHEN a1 = 1 THEN 1 ELSE 0 END) +
+               (CASE WHEN a2 = 1 THEN 1 ELSE 0 END) +
+               (CASE WHEN a3 = 1 THEN 1 ELSE 0 END) AS ce,
+               (1 + event_id % 3) * 2.0 AS ap,
+               CAST(len(list_filter(list_distinct([a1, a2, a3]),
+                 e -> list_contains([1, 2, 3], e))) AS DOUBLE) /
+                 len(list_distinct([a1, a2, a3, 1, 2, 3])) AS aj,
+               CASE WHEN (a1 = a2 AND a2 = a1) OR (a2 = a2 AND a3 = a1)
+                    THEN 1 ELSE 0 END AS hs,
+               array_to_string(string_split_regex(event_type,
+                 '[aeiou]+'), '|') AS sbr,
+               strpos(event_type, 'a') || ',' || strpos(event_type, 'ck')
+                 || ',' || strpos(event_type, 'zz') AS msp,
+               hex(event_type) AS hx,
+               CASE WHEN CAST(unhex(hex(event_type)) AS VARCHAR)
+                         = event_type THEN 1 ELSE 0 END AS uh,
+               CAST(CAST(concat('0x', substring(md5(event_type), 1, 16))
+                 AS UBIGINT) AS VARCHAR) AS hm,
+               substring(event_type, 1, 3) AS cut
+        FROM src
+      )
+      SELECT event_type, k,
+             CAST(min(fi) AS BIGINT) AS fi, max(spl) AS spl,
+             CAST(sum(ce) AS BIGINT) AS ce, round(sum(ap), 1) AS ap,
+             round(min(aj), 6) AS aj, CAST(sum(hs) AS BIGINT) AS hs,
+             min(sbr) AS sbr, min(msp) AS msp, min(hx) AS hx,
+             CAST(sum(uh) AS BIGINT) AS uh, min(hm) AS hm,
+             min(cut) AS cut, CAST(count(1) AS BIGINT) AS n
+      FROM per GROUP BY event_type, k
+      ORDER BY event_type, k"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
-      q210ChRenderHistogram,
+      q210ChRenderHistogram, q211ChArrayGapFill,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

@@ -1,0 +1,96 @@
+package graft
+
+/** Round-8 ninth wave: CH array/string vocabulary gap-fill (X121 —
+  * arrayFirstIndex, arraySplit, countEqual, arrayProduct,
+  * arrayJaccardIndex, hasSubstr, splitByRegexp,
+  * multiSearchAllPositions, hex/unhex, halfMD5, toFixedString /
+  * toStringCutToZero).
+  */
+class Round8gSpec extends SparkSpec {
+
+  private def sql1(q: String): Any = spark.sql(q).head().get(0)
+
+  test("arrayFirstIndex: 1-based first hit, 0 on no match / empty") {
+    assert(sql1("SELECT arrayFirstIndex(x -> x > 2, array(1, 3, 5))") == 2L)
+    assert(sql1("SELECT arrayFirstIndex(x -> x > 9, array(1, 3, 5))") == 0L)
+    assert(sql1("SELECT arrayFirstIndex(x -> x > 0, array())") == 0L)
+  }
+
+  test("arraySplit cuts before matches but never before the first " +
+      "element (CH's documented example)") {
+    assert(sql1("SELECT arraySplit(x -> x = 1, array(1, 2, 3, 1, 4))")
+      .toString == "WrappedArray(WrappedArray(1, 2, 3), WrappedArray(1, 4))"
+      .replace("WrappedArray", "ArraySeq") ||
+      sql1("SELECT arraySplit(x -> x = 1, array(1, 2, 3, 1, 4))")
+        .asInstanceOf[scala.collection.Seq[scala.collection.Seq[Int]]]
+        .map(_.toSeq).toSeq == Seq(Seq(1, 2, 3), Seq(1, 4)))
+    assert(sql1("SELECT arraySplit(x -> false, array(7, 8))")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[Int]]]
+      .map(_.toSeq).toSeq == Seq(Seq(7, 8)))
+    assert(sql1("SELECT size(arraySplit(x -> true, array()))") == 0)
+  }
+
+  test("countEqual counts occurrences, null-safely") {
+    assert(sql1("SELECT countEqual(array(1, 2, 1, 1), 1)") == 3L)
+    assert(sql1(
+      "SELECT countEqual(array(1, NULL, NULL), CAST(NULL AS INT))") == 2L)
+  }
+
+  test("arrayProduct is a Float64 fold; arrayJaccardIndex is set " +
+      "intersection over union") {
+    assert(sql1("SELECT arrayProduct(array(2, 3, 4))") == 24.0)
+    assert(sql1("SELECT arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4))")
+      == 0.5)
+    assert(sql1("SELECT arrayJaccardIndex(array(), array())") == 0.0)
+  }
+
+  test("hasSubstr demands a contiguous ordered run (vs hasAll's set " +
+      "test)") {
+    assert(sql1("SELECT hasSubstr(array(1, 2, 3, 4), array(2, 3))") == true)
+    assert(sql1("SELECT hasSubstr(array(1, 2, 3, 4), array(3, 2))") == false)
+    assert(sql1("SELECT hasSubstr(array(1, 2), array(1, 2, 3))") == false)
+    assert(sql1("SELECT hasSubstr(array(1, 2), array())") == true)
+  }
+
+  test("splitByRegexp keeps CH argument order (pattern first) and " +
+      "trailing empties") {
+    assert(sql1("SELECT splitByRegexp('[0-9]+', 'a1bb22ccc')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("a", "bb", "ccc"))
+    assert(sql1("SELECT splitByRegexp(',', 'x,,')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("x", "", ""))
+  }
+
+  test("multiSearchAllPositions: 1-based positions, 0 for misses") {
+    assert(sql1("SELECT multiSearchAllPositions('hello world', " +
+      "array('l', 'world', 'zz'))")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(3L, 7L, 0L))
+  }
+
+  test("hex/unhex round-trip uppercase over UTF-8 bytes") {
+    assert(sql1("SELECT hex('abc')") == "616263")
+    assert(sql1("SELECT hex('z')") == "7A")
+    assert(sql1("SELECT unhex(hex('graft'))") == "graft")
+  }
+
+  test("halfMD5 equals the first 8 MD5 bytes as an unsigned big-endian " +
+      "integer") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("hello".getBytes("UTF-8"))
+    val expect = BigInt(1, d.take(8))
+    assert(BigDecimal(sql1("SELECT halfMD5('hello')")
+      .asInstanceOf[java.math.BigDecimal]).toBigInt == expect)
+  }
+
+  test("toFixedString pads with NUL to n and errors on overflow; " +
+      "toStringCutToZero reads it back") {
+    assert(sql1("SELECT length(toFixedString('ab', 5))") == 5)
+    assert(sql1("SELECT toStringCutToZero(toFixedString('ab', 5))") == "ab")
+    val e = intercept[Exception] {
+      spark.sql("SELECT toFixedString('toolong', 3)").collect()
+    }
+    assert(e.getMessage.contains("toFixedString") ||
+      e.getCause.getMessage.contains("toFixedString"))
+  }
+}
