@@ -753,6 +753,14 @@ object ChDialect {
       case n => throw new IllegalArgumentException(
         s"uniqTheta takes (x) or (k)(x), got $n args")
     }),
+    // largestTriangleThreeBuckets(n)(x, y) / lttb — the dashboard
+    // decimator (plans/NativeStats.scala); arrives flattened (n, x, y)
+    "largestTriangleThreeBuckets" -> (args =>
+      LttbAgg(Cast(args(1), LongType), Cast(args(2), LongType),
+        litInt(args.head, "lttb n")).toAggregateExpression()),
+    "lttb" -> (args =>
+      LttbAgg(Cast(args(1), LongType), Cast(args(2), LongType),
+        litInt(args.head, "lttb n")).toAggregateExpression()),
     // rank-test family (plans/NativeStats.scala): exact-integer rank
     // statistics, statistic-only (no p-value — see the determinism
     // policy there). mannWhitneyUTest/kolmogorovSmirnovTest take

@@ -109,6 +109,131 @@ case class RankTestAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** Largest-Triangle-Three-Buckets downsampling — CH's
+  * `largestTriangleThreeBuckets(n)(x, y)` (Steinarsson 2013, the
+  * dashboard-series decimator): keep the first and last points, split
+  * the rest into n−2 equal buckets, and from each bucket keep the
+  * point forming the largest triangle with the PREVIOUSLY SELECTED
+  * point and the next bucket's centroid. The selection is sequential
+  * (each pick depends on the previous), so it folds in eval() over the
+  * collected group — per-GROUP state (the windowFunnel caveat; the
+  * 100 TB shape is one series per group key, not one corpus-group).
+  *
+  * Determinism (NativeStats policy): Long inputs; points sort by
+  * (x, y); the doubled-triangle-area comparison is cleared of the
+  * centroid denominator — `|(px·c − Σx)(yc − yp) − (xp − xc)(Σy − py·c)|`
+  * in BigInt — so the argmax is exact integer arithmetic with
+  * first-of-max tie-break, and a DuckDB recursive CTE replays the
+  * identical selection.
+  */
+case class LttbAgg(
+    xChild: Expression,
+    yChild: Expression,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Long, Long)]]
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
+
+  require(n >= 3, s"largestTriangleThreeBuckets needs n >= 3, got $n")
+
+  override def left: Expression = xChild
+  override def right: Expression = yChild
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("y", LongType, nullable = false))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "largestTriangleThreeBuckets"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Long)] =
+    ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[(Long, Long)],
+      input: InternalRow): ArrayBuffer[(Long, Long)] = {
+    val a = xChild.eval(input)
+    val b = yChild.eval(input)
+    if (a != null && b != null)
+      buf += ((a.asInstanceOf[Long], b.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[(Long, Long)],
+      b2: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = b1 ++= b2
+
+  override def eval(buf: ArrayBuffer[(Long, Long)]): Any = {
+    if (buf.isEmpty) return null
+    val pts = buf.toArray.sorted
+    val sel = LttbAgg.select(pts, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sel.map { case (x, y) => InternalRow(x, y) })
+  }
+
+  override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach { case (a, b) => bb.putLong(a); bb.putLong(b) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val cnt = bb.getInt
+    val buf = new ArrayBuffer[(Long, Long)](cnt)
+    var i = 0
+    while (i < cnt) { buf += ((bb.getLong, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LttbAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LttbAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LttbAgg =
+    copy(xChild = newLeft, yChild = newRight)
+}
+
+object LttbAgg {
+  /** The LTTB selection over (x, y)-sorted points — exact integer
+    * arithmetic throughout, first-of-max tie-break.
+    */
+  def select(pts: Array[(Long, Long)], n: Int): Array[(Long, Long)] = {
+    val N = pts.length
+    if (N <= n) return pts
+    val nb = n - 2
+    val out = ArrayBuffer(pts(0))
+    var i = 0
+    while (i < nb) {
+      val lo = 1 + i.toLong * (N - 2) / nb
+      val hi = 1 + (i + 1).toLong * (N - 2) / nb
+      val (nlo, nhi) =
+        if (i == nb - 1) (N - 1L, N.toLong)
+        else (hi, 1 + (i + 2).toLong * (N - 2) / nb)
+      var sx = BigInt(0); var sy = BigInt(0)
+      var j = nlo
+      while (j < nhi) { sx += pts(j.toInt)._1; sy += pts(j.toInt)._2; j += 1 }
+      val c = BigInt(nhi - nlo)
+      val (px, py) = out.last
+      var bestArea = BigInt(-1)
+      var best = lo
+      j = lo
+      while (j < hi) {
+        val (xc, yc) = pts(j.toInt)
+        val area = ((BigInt(px) * c - sx) * (BigInt(yc) - py) -
+          (BigInt(px) - xc) * (sy - BigInt(py) * c)).abs
+        if (area > bestArea) { bestArea = area; best = j }
+        j += 1
+      }
+      out += pts(best.toInt)
+      i += 1
+    }
+    out += pts(N - 1)
+    out.toArray
+  }
+}
+
 object RankTestAgg {
   val Kinds: Set[String] =
     Set("mannWhitneyUTest", "kolmogorovSmirnovTest", "rankCorr")

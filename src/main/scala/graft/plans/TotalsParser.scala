@@ -147,7 +147,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private val paramAggHead =
     ("""(?i)\b(windowFunnel|sequenceMatch|sequenceCount|uniqUpTo""" +
       """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
-      """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram)""" +
+      """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram""" +
+      """|largestTriangleThreeBuckets|lttb)""" +
       """\s*\(\s*([^()]+?)\s*\)\s*\(""").r
 
   /** Rewrite every `name(params)(args)` to `name(params, args)`,

@@ -3316,13 +3316,97 @@ object DialectQueries {
       FROM per GROUP BY event_type, k
       ORDER BY event_type, k"""))
 
+  // largestTriangleThreeBuckets (X122, plans/NativeStats.scala): the
+  // LTTB dashboard decimator as a verbatim CH parameterized aggregate.
+  // The selection is SEQUENTIAL (each pick depends on the previous),
+  // so the oracle replays it with a RECURSIVE CTE: per (group, step),
+  // a correlated scalar subquery ranks the step's bucket by the same
+  // denominator-cleared exact-integer doubled-area the Scala fold
+  // uses (|(px·c − Σx)(yc − py) − (px − xc)(Σy − py·c)| in HUGEINT),
+  // first-of-max tie-break via ORDER BY rn. x = event_id is unique,
+  // so the (x, y) sort is total. n = 8 → 6 middle buckets.
+  val q212ChLttb = QueryDef(
+    "q212_ch_lttb",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v212")
+      s.sql("""
+        SELECT event_type,
+               concat_ws('|', transform(
+                 largestTriangleThreeBuckets(8)(event_id,
+                   toInt64(round(value * 100))),
+                 p -> concat(p.x, ':', p.y))) AS pts,
+               toInt64(count(1)) AS n
+        FROM events_v212
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH RECURSIVE src AS (
+        SELECT event_type AS et, event_id AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+      ), ord AS (
+        SELECT et, x, y,
+               row_number() OVER (PARTITION BY et ORDER BY x) - 1 AS rn,
+               count(*) OVER (PARTITION BY et) AS nn
+        FROM src
+      ), steps AS (
+        SELECT unnest(range(6)) AS step
+      ), nbs AS (
+        SELECT o.et, st.step,
+               CAST(count(*) AS HUGEINT) AS c,
+               CAST(sum(o.x) AS HUGEINT) AS sx,
+               CAST(sum(o.y) AS HUGEINT) AS sy
+        FROM ord o JOIN steps st
+          ON o.rn >= CASE WHEN st.step = 5 THEN o.nn - 1
+                     ELSE 1 + (st.step + 1) * (o.nn - 2) // 6 END
+         AND o.rn < CASE WHEN st.step = 5 THEN o.nn
+                    ELSE 1 + (st.step + 2) * (o.nn - 2) // 6 END
+        GROUP BY o.et, st.step
+      ), sel AS (
+        SELECT et, 0 AS step, x AS px, y AS py, nn FROM ord WHERE rn = 0
+        UNION ALL
+        SELECT s.et, s.step + 1,
+          (SELECT c.x FROM ord c JOIN nbs b
+             ON b.et = s.et AND b.step = s.step
+           WHERE c.et = s.et
+             AND c.rn >= 1 + s.step * (s.nn - 2) // 6
+             AND c.rn < 1 + (s.step + 1) * (s.nn - 2) // 6
+           ORDER BY abs(
+             (CAST(s.px AS HUGEINT) * b.c - b.sx) * (c.y - s.py) -
+             (CAST(s.px AS HUGEINT) - c.x) *
+               (b.sy - CAST(s.py AS HUGEINT) * b.c)) DESC, c.rn
+           LIMIT 1),
+          (SELECT c.y FROM ord c JOIN nbs b
+             ON b.et = s.et AND b.step = s.step
+           WHERE c.et = s.et
+             AND c.rn >= 1 + s.step * (s.nn - 2) // 6
+             AND c.rn < 1 + (s.step + 1) * (s.nn - 2) // 6
+           ORDER BY abs(
+             (CAST(s.px AS HUGEINT) * b.c - b.sx) * (c.y - s.py) -
+             (CAST(s.px AS HUGEINT) - c.x) *
+               (b.sy - CAST(s.py AS HUGEINT) * b.c)) DESC, c.rn
+           LIMIT 1),
+          s.nn
+        FROM sel s WHERE s.step < 6
+      ), allsel AS (
+        SELECT et, step, px, py FROM sel
+        UNION ALL
+        SELECT et, 7, x, y FROM ord WHERE rn = nn - 1
+      )
+      SELECT a.et AS event_type,
+             string_agg(a.px || ':' || a.py, '|' ORDER BY a.step) AS pts,
+             CAST(min(o.nn) AS BIGINT) AS n
+      FROM allsel a JOIN (SELECT DISTINCT et, nn FROM ord) o
+        ON a.et = o.et
+      GROUP BY a.et ORDER BY a.et"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
-      q210ChRenderHistogram, q211ChArrayGapFill,
+      q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

@@ -117,6 +117,59 @@ class Round8eSpec extends SparkSpec {
     assert(math.abs(stable - builtin) < 1e-12)
   }
 
+  test("LTTB keeps first/last, picks one point per bucket, and each " +
+      "middle pick maximizes the triangle vs prev point and next " +
+      "centroid (the greedy definition, verified independently)") {
+    import graft.plans.LttbAgg
+    val pts = Array.tabulate(97)(i =>
+      (i.toLong, ((i * 37) % 23 - 11).toLong)).sorted
+    val n = 10
+    val sel = LttbAgg.select(pts, n)
+    assert(sel.length == n)
+    assert(sel.head == pts.head && sel.last == pts.last)
+    val N = pts.length
+    val nb = n - 2
+    for (i <- 0 until nb) {
+      val lo = (1 + i.toLong * (N - 2) / nb).toInt
+      val hi = (1 + (i + 1).toLong * (N - 2) / nb).toInt
+      assert(lo <= pts.indexOf(sel(i + 1)) && pts.indexOf(sel(i + 1)) < hi,
+        s"pick ${i + 1} outside its bucket")
+      // independent exact-area argmax re-check
+      val (nlo, nhi) = if (i == nb - 1) (N - 1, N)
+        else (hi, (1 + (i + 2).toLong * (N - 2) / nb).toInt)
+      val c = BigInt(nhi - nlo)
+      val sx = (nlo until nhi).map(j => BigInt(pts(j)._1)).sum
+      val sy = (nlo until nhi).map(j => BigInt(pts(j)._2)).sum
+      val (px, py) = sel(i)
+      def area(p: (Long, Long)): BigInt =
+        ((BigInt(px) * c - sx) * (BigInt(p._2) - py) -
+          (BigInt(px) - p._1) * (sy - BigInt(py) * c)).abs
+      val maxArea = (lo until hi).map(j => area(pts(j))).max
+      assert(area(sel(i + 1)) == maxArea,
+        s"pick ${i + 1} is not the bucket's max-area point")
+    }
+  }
+
+  test("LTTB returns all points when the series is already short, and " +
+      "runs as SQL through the parameterized form") {
+    import graft.plans.LttbAgg
+    val pts = Array.tabulate(5)(i => (i.toLong, (i * i).toLong))
+    assert(LttbAgg.select(pts, 8).toSeq == pts.toSeq)
+    Seq((0L, 0L), (1L, 9L), (2L, 1L), (3L, 7L), (4L, 3L), (5L, 8L),
+      (6L, 2L), (7L, 5L))
+      .toDF("x", "y").createOrReplaceTempView("lttb_t")
+    val got = spark.sql("""
+      SELECT concat_ws('|', transform(
+        largestTriangleThreeBuckets(4)(x, y),
+        p -> concat(p.x, ':', p.y))) AS s
+      FROM lttb_t""").as[String].head()
+    // buckets of indices [1..6] in 2: {1,2,3}, {4,5,6}. Step 1 vs
+    // prev (0,0) and next-bucket sums (c=3, Σx=15, Σy=13): areas
+    // |13x − 15y| = 122/11/66 → (1,9). Step 2 vs prev (1,9) and last
+    // point (7,5): |58 − 4x − 6y| = 24/10/22 → (4,3).
+    assert(got == "0:0|1:9|4:3|7:5")
+  }
+
   test("mannWhitneyU partials merge associatively (map-side combine)") {
     val all = pairs((1, 0), (2, 0), (3, 0), (2, 1), (3, 1), (4, 1))
     val agg = RankTestAgg(null, null, "mannWhitneyUTest")
