@@ -352,4 +352,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(windowLines.forall(_.contains("windowspecdefinition(doc_id")),
       windowLines.mkString("\n"))
   }
+
+  test("q206/q207/q210/q212: the rank-test / regression / histogram / " +
+      "LTTB aggregates are single-pass group rollups — no join, no " +
+      "window, no cartesian") {
+    for (q <- Seq("q206_ch_rank_tests", "q207_ch_regression",
+        "q210_ch_render_histogram", "q212_ch_lttb")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q208/q211: URL hierarchy and array gap-fill are pure " +
+      "projections into one rollup — no join anywhere") {
+    for (q <- Seq("q208_ch_url_hierarchy", "q211_ch_array_gap_fill")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+    }
+  }
+
+  test("q209 (pqTopK inner plan): the ADC scan broadcasts the probe " +
+      "lookup tables and keeps the two-stage top-k shape") {
+    // the entry itself returns a one-row self-graded summary, so the
+    // plan to audit is the operator's own
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val vecs = Graft.table(spark, dir, "embeddings")
+    val probes = vecs.filter(col("vec_id") < 2)
+    val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 8, k = 4, iters = 1)
+    val p = Similarity.pqTopK(vecs, probes, "vec_id", "embedding",
+      k = 3, books, shortlist = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), p)
+    // two-stage top-k survives (the q27 marker): shortlist ranking
+    // partitions by (probe, partition id), never one task per probe
+    assert(p.contains("SPARK_PARTITION_ID"), p)
+  }
 }
