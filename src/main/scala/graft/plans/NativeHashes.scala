@@ -177,6 +177,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // partition-prune week directories from date predicates (the
     // PARTITION BY toMonday(date) behavior) — see WeekBoundsRule
     ext.injectOptimizerRule(_ => WeekBoundsRule)
+    // CH table PROJECTIONs: rewrite matching rollup aggregates onto
+    // the materialized projection parquet (plans/ChProjections.scala)
+    ext.injectOptimizerRule(session => ChProjectionRule(session))
   }
 }
 

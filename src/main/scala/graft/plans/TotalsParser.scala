@@ -621,6 +621,15 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // The WHERE condition runs to end of text (SETTINGS already
   // stripped by the masked-clause pass would not apply here, so the
   // regex accepts and drops a trailing SETTINGS itself).
+  private val addProjRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+ADD\s+PROJECTION\s+""" +
+      """`?(\w+)`?\s*\((.+)\)\s*$""").r
+  private val matProjRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+MATERIALIZE\s+""" +
+      """PROJECTION\s+`?(\w+)`?\s*$""").r
+  private val dropProjRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+DROP\s+PROJECTION\s+""" +
+      """`?(\w+)`?\s*$""").r
   private val alterDeleteRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+DELETE\s+WHERE\s+""" +
       """(.+?)(?:\s+SETTINGS\s+.*)?\s*$""").r
@@ -704,7 +713,15 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     */
   private def parseAlterTable(sqlText: String): Option[LogicalPlan] = {
     val (masked, lits) = maskLiterals(sqlText)
+    def short(t: String): String = t.substring(t.lastIndexOf('.') + 1)
     masked match {
+      case addProjRe(table, pname, body) =>
+        Some(ChAddProjectionCommand(short(table), pname,
+          unmaskLiterals(body, lits)))
+      case matProjRe(table, pname) =>
+        Some(ChMaterializeProjectionCommand(short(table), pname))
+      case dropProjRe(table, pname) =>
+        Some(ChDropProjectionCommand(short(table), pname))
       case alterDeleteRe(table, cond) =>
         Some(ChAlterTableCommand(table, Nil, unmaskLiterals(cond, lits)))
       case alterUpdateRe(table, assigns, cond) =>

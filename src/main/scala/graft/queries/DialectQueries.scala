@@ -3400,6 +3400,77 @@ object DialectQueries {
         ON a.et = o.et
       GROUP BY a.et ORDER BY a.et"""))
 
+  // CH table PROJECTIONs (X123, plans/ChProjections.scala): ADD
+  // PROJECTION materializes the rollup next to the table and the
+  // optimizer silently rewrites any GROUP-BY-subset aggregate (with
+  // key-only filters) onto the stored partials — sum over sums, sum
+  // over counts, max over maxes. The entry REQUIRES the rewrite
+  // actually planned onto the projection parquet (the executedPlan
+  // must scan `__proj_`), so a silently-lost rewrite fails the driver
+  // row, not just a spec. The oracle replays the same aggregates on
+  // the raw events — identical results through a different access
+  // path is exactly the projection contract.
+  val q213ChProjection = QueryDef(
+    "q213_ch_projection",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ddl_q213_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events")
+          .createOrReplaceTempView("events_src_v213")
+        s.sql("""
+          CREATE TABLE metrica.proj_events
+          (
+              `site` UInt32,
+              `d` Date,
+              `etype` String,
+              `clicks` Int64,
+              `amount` Float64
+          )
+          ENGINE = MergeTree
+          PARTITION BY toMonday(d)
+          ORDER BY (site, etype)
+          SETTINGS index_granularity = 8192""")
+        s.sql("""
+          INSERT INTO proj_events
+          SELECT CAST(user_id % 16 AS INT) AS site, CAST(ts AS DATE) AS d,
+                 event_type AS etype,
+                 CAST(event_id % 97 AS BIGINT) AS clicks,
+                 CAST(round(value * 4) / 4 AS DOUBLE) AS amount
+          FROM events_src_v213""")
+        s.sql("""
+          ALTER TABLE proj_events ADD PROJECTION by_site_type
+          (SELECT site, etype, sum(clicks), count(), max(amount),
+                  min(clicks)
+           GROUP BY site, etype)""")
+        val q = s.sql("""
+          SELECT site, toInt64(sum(clicks)) AS clicks,
+                 toInt64(count(1)) AS n, round(max(amount), 2) AS mx
+          FROM proj_events
+          WHERE etype != 'error'
+          GROUP BY site ORDER BY site""")
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("__proj_"),
+          "q213: the rollup was NOT rewritten onto the projection — " +
+            "plan reads the raw table:\n" + plan)
+        q
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      WITH src AS (
+        SELECT CAST(user_id % 16 AS INT) AS site, event_type AS etype,
+               event_id % 97 AS clicks,
+               round(value * 4) / 4 AS amount
+        FROM events
+      )
+      SELECT site, CAST(sum(clicks) AS BIGINT) AS clicks,
+             CAST(count(1) AS BIGINT) AS n,
+             round(max(amount), 2) AS mx
+      FROM src WHERE etype != 'error'
+      GROUP BY site ORDER BY site"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
@@ -3407,6 +3478,7 @@ object DialectQueries {
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
       q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
+      q213ChProjection,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,
