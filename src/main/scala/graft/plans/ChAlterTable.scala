@@ -336,3 +336,87 @@ case class ChOptimizeTableCommand(table: String,
       .sorted.map(Row(_))
   }
 }
+
+/** CH partition operations — the MergeTree ops toolbox over the
+  * warehouse's `week=<monday>` directories, all metadata/rename-only
+  * (never a data rewrite — at 100 TB a partition op that rewrites is
+  * a full-partition job for what CH does with one directory move):
+  *
+  *  - `ALTER TABLE t DROP PARTITION 'p'` — retire-then-delete the dir;
+  *  - `ALTER TABLE t DETACH PARTITION 'p'` — move it to the sibling
+  *    `<path>_detached/` area (OUTSIDE the table dir, so partition
+  *    discovery never sees a half-attached dir — CH's `detached/`);
+  *  - `ALTER TABLE t ATTACH PARTITION 'p'` — move it back;
+  *  - `ALTER TABLE t MOVE PARTITION 'p' TO TABLE t2` — rename the dir
+  *    into the target table's layout (both must be registered
+  *    warehouse bindings; the target week must be absent).
+  *
+  * Each op refreshes and re-registers the touched binding(s) so the
+  * next read lists the new layout.
+  */
+case class ChPartitionCommand(table: String, op: String,
+    partition: String, toTable: Option[String] = None)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.hadoop.fs.Path
+    val wh = graft.sources.Warehouse
+    val b = graft.sources.Catalog.binding(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $op PARTITION: '$table' is not a registered binding"))
+    val tablePath = new Path(b.path)
+    val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new Path(tablePath, s"${wh.weekCol}=$partition")
+    val detachedRoot = new Path(b.path.stripSuffix("/") + "_detached")
+    val detached = new Path(detachedRoot, s"${wh.weekCol}=$partition")
+    op match {
+      case "DROP" =>
+        if (fs.exists(live)) {
+          val retired = new Path(tablePath.getParent,
+            s".${tablePath.getName}_retired_${wh.weekCol}=${partition}_" +
+              System.nanoTime())
+          require(fs.rename(live, retired),
+            s"DROP PARTITION retire failed: $partition")
+          fs.delete(retired, true)
+        }
+      case "DETACH" =>
+        require(fs.exists(live),
+          s"DETACH PARTITION: $partition not present in $table")
+        fs.mkdirs(detachedRoot)
+        if (fs.exists(detached)) fs.delete(detached, true)
+        require(fs.rename(live, detached),
+          s"DETACH PARTITION failed: $partition")
+      case "ATTACH" =>
+        require(fs.exists(detached),
+          s"ATTACH PARTITION: $partition not detached for $table")
+        require(!fs.exists(live),
+          s"ATTACH PARTITION: $partition already present in $table")
+        require(fs.rename(detached, live),
+          s"ATTACH PARTITION failed: $partition")
+      case "MOVE" =>
+        val t2 = toTable.getOrElse(throw new IllegalArgumentException(
+          "MOVE PARTITION needs TO TABLE"))
+        val b2 = graft.sources.Catalog.binding(t2).getOrElse(
+          throw new IllegalArgumentException(
+            s"MOVE PARTITION: '$t2' is not a registered binding"))
+        val dest = new Path(new Path(b2.path),
+          s"${wh.weekCol}=$partition")
+        require(fs.exists(live),
+          s"MOVE PARTITION: $partition not present in $table")
+        require(!fs.exists(dest),
+          s"MOVE PARTITION: $partition already present in $t2")
+        require(fs.rename(live, dest),
+          s"MOVE PARTITION failed: $partition")
+        spark.catalog.refreshByPath(b2.path)
+        graft.sources.Catalog.register(spark, b2)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition op: $other")
+    }
+    spark.catalog.refreshByPath(b.path)
+    graft.sources.Catalog.register(spark, b)
+    Seq(Row(partition))
+  }
+}

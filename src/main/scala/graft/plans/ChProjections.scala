@@ -193,10 +193,17 @@ case class ChProjectionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tableOf(rel: LogicalRelation): Option[String] =
     rel.relation match {
       case fs: HadoopFsRelation =>
-        val roots = fs.location.rootPaths.map(_.toString)
-        graft.sources.Catalog.bindings.find(b =>
-          roots.exists(r => r == b.path || r.stripSuffix("/")
-            .endsWith(b.path.stripSuffix("/")))).map(_.name)
+        // EXACT scheme-stripped path equality: an endsWith match once
+        // resolved ".../proj_events" to whichever binding's path
+        // happened to be a path suffix in a many-bindings session
+        // (exactly the driver's full-Verify shape) and silently lost
+        // the rewrite
+        val roots = fs.location.rootPaths
+          .map(_.toUri.getPath.stripSuffix("/")).toSet
+        graft.sources.Catalog.bindings
+          .filter(_.path.nonEmpty) // jdbc/virtual bindings carry no path
+          .find(b => roots.contains(new org.apache.hadoop.fs.Path(b.path)
+            .toUri.getPath.stripSuffix("/"))).map(_.name)
       case _ => None
     }
 

@@ -630,6 +630,12 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private val dropProjRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+DROP\s+PROJECTION\s+""" +
       """`?(\w+)`?\s*$""").r
+  private val partOpRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+""" +
+      """(DROP|DETACH|ATTACH)\s+PARTITION\s+(\S+)\s*$""").r
+  private val movePartRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+MOVE\s+PARTITION\s+""" +
+      """(\S+)\s+TO\s+TABLE\s+`?([\w.]+?)`?\s*$""").r
   private val alterDeleteRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+DELETE\s+WHERE\s+""" +
       """(.+?)(?:\s+SETTINGS\s+.*)?\s*$""").r
@@ -722,6 +728,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         Some(ChMaterializeProjectionCommand(short(table), pname))
       case dropProjRe(table, pname) =>
         Some(ChDropProjectionCommand(short(table), pname))
+      case partOpRe(table, op, part) =>
+        Some(ChPartitionCommand(short(table), op.toUpperCase,
+          unmaskLiterals(part, lits).replaceAll("^'|'$", "")))
+      case movePartRe(table, part, to) =>
+        Some(ChPartitionCommand(short(table), "MOVE",
+          unmaskLiterals(part, lits).replaceAll("^'|'$", ""),
+          Some(short(to))))
       case alterDeleteRe(table, cond) =>
         Some(ChAlterTableCommand(table, Nil, unmaskLiterals(cond, lits)))
       case alterUpdateRe(table, assigns, cond) =>

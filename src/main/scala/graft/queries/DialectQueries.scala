@@ -3398,7 +3398,8 @@ object DialectQueries {
              CAST(min(o.nn) AS BIGINT) AS n
       FROM allsel a JOIN (SELECT DISTINCT et, nn FROM ord) o
         ON a.et = o.et
-      GROUP BY a.et ORDER BY a.et"""))
+      GROUP BY a.et ORDER BY a.et"""),
+    bench = true)
 
   // CH table PROJECTIONs (X123, plans/ChProjections.scala): ADD
   // PROJECTION materializes the rollup next to the table and the
@@ -3471,6 +3472,86 @@ object DialectQueries {
       FROM src WHERE etype != 'error'
       GROUP BY site ORDER BY site"""))
 
+  // CH partition operations (X124, plans/ChAlterTable.scala): DROP /
+  // DETACH / ATTACH / MOVE PARTITION over the warehouse's week
+  // directories — pure renames, never a data rewrite (CH's MergeTree
+  // ops toolbox; at 100 TB a partition op that rewrites is a
+  // full-partition job for a directory move). The workflow drops the
+  // earliest week, round-trips the second through DETACH/ATTACH
+  // (counting the detached state in between), and MOVEs the third
+  // into a second table; the oracle replays the surviving-week
+  // arithmetic with a dense_rank over the same toMonday weeks.
+  val q214ChPartitionOps = QueryDef(
+    "q214_ch_partition_ops",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ddl_q214_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events")
+          .createOrReplaceTempView("events_src_v214")
+        for (t <- Seq("part_main", "part_side")) s.sql(s"""
+          CREATE TABLE metrica.$t
+          (
+              `uid` UInt64,
+              `d` Date,
+              `etype` String
+          )
+          ENGINE = MergeTree
+          PARTITION BY toMonday(d)
+          ORDER BY (uid)
+          SETTINGS index_granularity = 8192""")
+        s.sql("""
+          INSERT INTO part_main
+          SELECT user_id AS uid, CAST(ts AS DATE) AS d,
+                 event_type AS etype
+          FROM events_src_v214""")
+        // the three earliest Mondays, derived from the data itself so
+        // the same entry runs at every SF
+        val weeks = s.sql("""
+          SELECT DISTINCT toMonday(CAST(ts AS DATE)) AS w
+          FROM events_src_v214 ORDER BY w""").collect().map(_.getDate(0))
+        require(weeks.length >= 3, s"q214 needs >= 3 weeks, got ${weeks.length}")
+        s.sql(s"ALTER TABLE part_main DROP PARTITION '${weeks(0)}'")
+        s.sql(s"ALTER TABLE part_main DETACH PARTITION '${weeks(1)}'")
+        val whileDetached = s.sql(
+          s"""SELECT count(1) FROM part_main
+              WHERE d >= DATE '${weeks(1)}'
+                AND d < DATE '${weeks(1)}' + INTERVAL 7 DAY""")
+          .head().getLong(0)
+        require(whileDetached == 0,
+          s"q214: detached week still visible ($whileDetached rows)")
+        s.sql(s"ALTER TABLE part_main ATTACH PARTITION '${weeks(1)}'")
+        s.sql(s"ALTER TABLE part_main MOVE PARTITION '${weeks(2)}' " +
+          "TO TABLE part_side")
+        s.sql("""
+          SELECT 'main' AS tbl, toInt64(count(1)) AS n,
+                 toInt64(uniqExact(toMonday(d))) AS weeks
+          FROM part_main
+          UNION ALL
+          SELECT 'side' AS tbl, toInt64(count(1)) AS n,
+                 toInt64(uniqExact(toMonday(d))) AS weeks
+          FROM part_side
+          ORDER BY tbl""")
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      WITH wk AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w
+        FROM events
+      ), ranked AS (
+        SELECT w, dense_rank() OVER (ORDER BY w) AS r FROM wk
+      )
+      SELECT 'main' AS tbl, CAST(count(1) AS BIGINT) AS n,
+             CAST(count(DISTINCT w) AS BIGINT) AS weeks
+      FROM ranked WHERE r != 1 AND r != 3
+      UNION ALL
+      SELECT 'side' AS tbl, CAST(count(1) AS BIGINT) AS n,
+             CAST(count(DISTINCT w) AS BIGINT) AS weeks
+      FROM ranked WHERE r = 3
+      ORDER BY tbl"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
@@ -3478,7 +3559,7 @@ object DialectQueries {
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
       q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
-      q213ChProjection,
+      q213ChProjection, q214ChPartitionOps,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

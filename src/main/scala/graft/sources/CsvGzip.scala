@@ -116,7 +116,13 @@ object CsvGzip {
       val c = col(s"`${f.name}`")
       (f.dataType match {
         case a: ArrayType => from_json(c, a)
-        case BinaryType => unhex(c)
+        // the Catalyst Unhex node directly: functions.unhex resolves
+        // BY NAME in Spark 4 and would hit the CH dialect's `unhex`
+        // (whose CH contract returns String, not binary) — found by
+        // MetricaSpec's round-trip when that registration landed
+        case BinaryType => org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Unhex(
+            org.apache.spark.sql.GraftSqlBridge.expression(c)))
         case _ => c
       }).as(f.name)
     }: _*)
