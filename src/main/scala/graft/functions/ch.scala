@@ -1056,6 +1056,65 @@ object ch {
       .otherwise(concat(twoDec(b / (KiB * KiB * KiB * KiB)), lit(" TiB")))
   }
 
+  /** CH vector-distance family over array columns (`dotProduct`,
+    * `L1Distance`, `L2Distance`, `L2SquaredDistance`, `LinfDistance`,
+    * `cosineDistance`) — one zip_with + fold per pair, the element
+    * order fixed by the arrays, so integer-valued inputs give exact
+    * sums and the single final sqrt/divide replays in the oracle
+    * (the NativeStats determinism pattern). NULL through on a NULL
+    * side; length mismatch folds over the shorter zip (caller
+    * contract: equal dims).
+    */
+  private def pairFold(a: Column, b: Column,
+      f: (Column, Column) => Column): Column =
+    aggregate(zip_with(a, b, (x, y) => f(x.cast("double"), y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  def dotProduct(a: Column, b: Column): Column =
+    pairFold(a, b, (x, y) => x * y)
+
+  def l1Distance(a: Column, b: Column): Column =
+    pairFold(a, b, (x, y) => abs(x - y))
+
+  def l2SquaredDistance(a: Column, b: Column): Column =
+    pairFold(a, b, (x, y) => (x - y) * (x - y))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(l2SquaredDistance(a, b))
+
+  def linfDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => greatest(acc, v))
+
+  /** CH `cosineDistance(a, b)` = 1 − cos-similarity; the similarity is
+    * `dot / (sqrt(nx)·sqrt(ny))` in exactly that op order (mirrored by
+    * the oracle). NULL for a zero-norm side.
+    */
+  def cosineDistance(a: Column, b: Column): Column = {
+    val nx = pairFold(a, a, (x, y) => x * y)
+    val ny = pairFold(b, b, (x, y) => x * y)
+    when(nx > 0.0 && ny > 0.0,
+      lit(1.0) - dotProduct(a, b) / (sqrt(nx) * sqrt(ny)))
+  }
+
+  /** CH `pointInEllipses(px, py, x0, y0, a0, b0, x1, y1, a1, b1, …)`:
+    * 1 when the point lies inside AT LEAST one axis-aligned ellipse —
+    * `((px−x)/a)² + ((py−y)/b)² ≤ 1` per ellipse, pure IEEE
+    * arithmetic the oracle replays per (point, ellipse) pair.
+    */
+  def pointInEllipses(px: Column, py: Column,
+      ellipses: Seq[(Column, Column, Column, Column)]): Column = {
+    val p = px.cast("double")
+    val q = py.cast("double")
+    val hit = ellipses.map { case (x, y, a, b) =>
+      val dx = (p - x.cast("double")) / a.cast("double")
+      val dy = (q - y.cast("double")) / b.cast("double")
+      dx * dx + dy * dy <= 1.0
+    }.reduce(_ || _)
+    when(hit, lit(1L)).otherwise(lit(0L))
+  }
+
   /** CH `formatReadableQuantity(x)`: '1.20 thousand' / '3.50 million'
     * …; plain two-decimal rendering below a thousand.
     */

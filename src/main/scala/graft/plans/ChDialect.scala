@@ -734,6 +734,28 @@ object ChDialect {
     // entropy(x): Shannon entropy (bits) of the group's value
     // distribution, string-rendered equivalence classes
     "entropy" -> (args => ex(ch.entropy(col(args.head)))),
+    // vector-distance family (graft.functions.ch): zip_with folds in
+    // array order — exact on integer-valued inputs
+    "dotProduct" -> (args =>
+      ex(ch.dotProduct(col(args.head), col(args(1))))),
+    "L1Distance" -> (args =>
+      ex(ch.l1Distance(col(args.head), col(args(1))))),
+    "L2Distance" -> (args =>
+      ex(ch.l2Distance(col(args.head), col(args(1))))),
+    "L2SquaredDistance" -> (args =>
+      ex(ch.l2SquaredDistance(col(args.head), col(args(1))))),
+    "LinfDistance" -> (args =>
+      ex(ch.linfDistance(col(args.head), col(args(1))))),
+    "cosineDistance" -> (args =>
+      ex(ch.cosineDistance(col(args.head), col(args(1))))),
+    // pointInEllipses(px, py, x0, y0, a0, b0, …): inside ANY ellipse
+    "pointInEllipses" -> (args => {
+      require(args.length >= 6 && (args.length - 2) % 4 == 0,
+        "pointInEllipses(px, py, x0, y0, a0, b0, ...) needs 4 args per ellipse")
+      val es = args.drop(2).grouped(4).map(g =>
+        (col(g(0)), col(g(1)), col(g(2)), col(g(3)))).toSeq
+      ex(ch.pointInEllipses(col(args.head), col(args(1)), es))
+    }),
     // pointInPolygon(px, py, [[x1,y1],…]): even-odd ray casting; the
     // point is two scalars (Spark SQL has no bare-tuple literal)
     "pointInPolygon" -> (args => {

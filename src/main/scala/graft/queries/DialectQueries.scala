@@ -3552,6 +3552,87 @@ object DialectQueries {
       FROM ranked WHERE r = 3
       ORDER BY tbl"""))
 
+  // CH vector-distance family (X125): dotProduct, L1/L2/L2Squared/
+  // Linf distances, cosineDistance over the embeddings table,
+  // quantized ×1000 to integers so every fold is an exact sum in any
+  // order and only the final sqrt/divide is IEEE (mirrored by the
+  // oracle — the NativeStats pattern); pointInEllipses joins the geo
+  // vocabulary next to pointInPolygon. Per-pair rows (consecutive
+  // vec_ids), no cross-row float aggregation.
+  val q215ChVectorDistances = QueryDef(
+    "q215_ch_vector_distances",
+    (s, dir) => {
+      Graft.table(s, dir, "embeddings")
+        .createOrReplaceTempView("embeddings_v215")
+      s.sql("""
+        WITH qv AS (
+          SELECT vec_id,
+                 transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT))
+                   AS q
+          FROM embeddings_v215
+        )
+        SELECT a.vec_id,
+               toInt64(dotProduct(a.q, b.q)) AS dp,
+               toInt64(L1Distance(a.q, b.q)) AS l1,
+               toInt64(L2SquaredDistance(a.q, b.q)) AS l2sq,
+               L2Distance(a.q, b.q) AS l2,
+               toInt64(LinfDistance(a.q, b.q)) AS linf,
+               cosineDistance(a.q, b.q) AS cosd,
+               toInt64(pointInEllipses(
+                 CAST(a.vec_id % 20 AS DOUBLE), CAST(a.vec_id % 30 AS DOUBLE),
+                 10.0D, 15.0D, 8.0D, 9.0D,
+                 2.0D, 2.0D, 3.0D, 4.0D)) AS in_ell
+        FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 40
+        ORDER BY a.vec_id""")
+    },
+    Some("""
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings
+      ), pairs AS (
+        SELECT a.vec_id, a.q AS qa, b.q AS qb
+        FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 40
+      ), comp AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, len(qa)+1),
+                 i -> qa[i]*qb[i])) AS BIGINT) AS dp,
+               CAST(list_sum(list_transform(range(1, len(qa)+1),
+                 i -> abs(qa[i]-qb[i]))) AS BIGINT) AS l1,
+               CAST(list_sum(list_transform(range(1, len(qa)+1),
+                 i -> (qa[i]-qb[i])*(qa[i]-qb[i]))) AS BIGINT) AS l2sq,
+               CAST(list_max(list_transform(range(1, len(qa)+1),
+                 i -> abs(qa[i]-qb[i]))) AS BIGINT) AS linf,
+               CAST(list_sum(list_transform(range(1, len(qa)+1),
+                 i -> qa[i]*qa[i])) AS BIGINT) AS nx,
+               CAST(list_sum(list_transform(range(1, len(qa)+1),
+                 i -> qb[i]*qb[i])) AS BIGINT) AS ny
+        FROM pairs
+      )
+      SELECT c.vec_id, c.dp, c.l1, c.l2sq,
+             sqrt(CAST(c.l2sq AS DOUBLE)) AS l2, c.linf,
+             CASE WHEN c.nx > 0 AND c.ny > 0
+                  THEN 1.0 - CAST(c.dp AS DOUBLE) /
+                       (sqrt(CAST(c.nx AS DOUBLE)) *
+                        sqrt(CAST(c.ny AS DOUBLE)))
+             END AS cosd,
+             CAST(CASE WHEN
+               ((c.vec_id % 20 - 10.0) / 8.0) *
+                 ((c.vec_id % 20 - 10.0) / 8.0) +
+               ((c.vec_id % 30 - 15.0) / 9.0) *
+                 ((c.vec_id % 30 - 15.0) / 9.0) <= 1.0
+               OR
+               ((c.vec_id % 20 - 2.0) / 3.0) *
+                 ((c.vec_id % 20 - 2.0) / 3.0) +
+               ((c.vec_id % 30 - 2.0) / 4.0) *
+                 ((c.vec_id % 30 - 2.0) / 4.0) <= 1.0
+               THEN 1 ELSE 0 END AS BIGINT) AS in_ell
+      FROM comp c ORDER BY c.vec_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
@@ -3559,7 +3640,7 @@ object DialectQueries {
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
       q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
-      q213ChProjection, q214ChPartitionOps,
+      q213ChProjection, q214ChPartitionOps, q215ChVectorDistances,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

@@ -83,6 +83,47 @@ class Round8gSpec extends SparkSpec {
       .asInstanceOf[java.math.BigDecimal]).toBigInt == expect)
   }
 
+  test("vector distances match hand math on small integer vectors") {
+    spark.sql("SELECT array(1L, 2L, 3L) AS a, array(4L, 6L, 3L) AS b")
+      .createOrReplaceTempView("vd_t")
+    val r = spark.sql("""
+      SELECT dotProduct(a, b), L1Distance(a, b), L2SquaredDistance(a, b),
+             L2Distance(a, b), LinfDistance(a, b), cosineDistance(a, b)
+      FROM vd_t""").head()
+    assert(r.getDouble(0) == 25.0) // 4 + 12 + 9
+    assert(r.getDouble(1) == 7.0)  // 3 + 4 + 0
+    assert(r.getDouble(2) == 25.0) // 9 + 16 + 0
+    assert(r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 4.0)
+    // 1 − 25 / (sqrt(14)·sqrt(61))
+    assert(r.getDouble(5) ==
+      1.0 - 25.0 / (math.sqrt(14.0) * math.sqrt(61.0)))
+  }
+
+  test("cosineDistance is NULL on a zero-norm side; identical vectors " +
+      "give distance 0") {
+    spark.sql("SELECT array(0L, 0L) AS z, array(1L, 2L) AS v")
+      .createOrReplaceTempView("vd_z")
+    val r = spark.sql(
+      "SELECT cosineDistance(z, v), cosineDistance(v, v) FROM vd_z").head()
+    assert(r.isNullAt(0))
+    // 1 − n/(√n·√n) is a few ulps, not exactly 0 — the formula's own
+    // float identity (CH's cosineDistance behaves the same way)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("pointInEllipses: inside-any semantics with the boundary " +
+      "counted as inside") {
+    def at(px: Double, py: Double): Long = spark.sql(
+      s"SELECT pointInEllipses(CAST($px AS DOUBLE), CAST($py AS DOUBLE)," +
+        " 0.0D, 0.0D, 2.0D, 1.0D, 10.0D, 10.0D, 1.0D, 1.0D)")
+      .head().getLong(0)
+    assert(at(0.0, 0.0) == 1L)   // center of the first
+    assert(at(2.0, 0.0) == 1L)   // on the boundary
+    assert(at(10.5, 10.0) == 1L) // inside the second
+    assert(at(3.0, 3.0) == 0L)   // outside both
+  }
+
   test("toFixedString pads with NUL to n and errors on overflow; " +
       "toStringCutToZero reads it back") {
     assert(sql1("SELECT length(toFixedString('ab', 5))") == 5)
