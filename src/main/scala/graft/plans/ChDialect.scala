@@ -626,6 +626,58 @@ object ChDialect {
     "intDiv" -> (args =>
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         args.head, args(1))),
+    // the OrZero guards: CH's crash-free division variants (a zero
+    // divisor yields 0 instead of an error/NULL)
+    "intDivOrZero" -> (args => {
+      val b = col(args(1))
+      ex(when(b === 0, lit(0L)).otherwise(col(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          args.head, args(1)))))
+    }),
+    "moduloOrZero" -> (args => {
+      val b = col(args(1))
+      ex(when(b === 0, lit(0L)).otherwise(col(args.head) % b))
+    }),
+    // max2/min2: CH's two-argument Float64 forms of greatest/least
+    "max2" -> (args =>
+      ex(greatest(col(args.head).cast("double"), col(args(1)).cast("double")))),
+    "min2" -> (args =>
+      ex(least(col(args.head).cast("double"), col(args(1)).cast("double")))),
+    // exp2/exp10 — exact on integer exponents (the query-surface use)
+    "exp2" -> (args => ex(pow(lit(2.0), col(args.head)))),
+    "exp10" -> (args => ex(pow(lit(10.0), col(args.head)))),
+    // gcd/lcm via a fixed 63-round Euclid fold — 63 iterations bound
+    // any Long pair (Fibonacci worst case), every step exact integer
+    // arithmetic, so the oracle's own gcd/lcm agree. gcd(0,0) pinned
+    // to 0 (CH throws; a crash-free pin, documented).
+    "gcd" -> (args => {
+      val init = struct(abs(col(args.head).cast("long")).as("a"),
+        abs(col(args(1)).cast("long")).as("b"))
+      val folded = aggregate(sequence(lit(1), lit(63)), init, (st, _) => {
+        val a = st.getField("a")
+        val b = st.getField("b")
+        struct(when(b === 0L, a).otherwise(b).as("a"),
+          when(b === 0L, lit(0L)).otherwise(a % b).as("b"))
+      })
+      ex(folded.getField("a"))
+    }),
+    "lcm" -> (args => {
+      val a = abs(col(args.head).cast("long"))
+      val b = abs(col(args(1)).cast("long"))
+      val init = struct(a.as("a"), b.as("b"))
+      val folded = aggregate(sequence(lit(1), lit(63)), init, (st, _) => {
+        val x = st.getField("a")
+        val y = st.getField("b")
+        struct(when(y === 0L, x).otherwise(y).as("a"),
+          when(y === 0L, lit(0L)).otherwise(x % y).as("b"))
+      })
+      val g = folded.getField("a")
+      // (a/g) is an exact integer quotient — back to long BEFORE the
+      // multiply so the product stays long arithmetic (Column `/` is
+      // double division)
+      ex(when(g === 0L, lit(0L))
+        .otherwise((a / g).cast("long") * b))
+    }),
     // assumeNotNull: identity on the value (CH uses it to strip
     // Nullable; Spark nullability is advisory, so pass through)
     "assumeNotNull" -> (args => args.head),
@@ -1383,6 +1435,50 @@ object ChDialect {
     "decodeURLComponent" -> (args =>
       ex(url.decodeURLComponent(col(args.head)))),
     "cutWWW" -> (args => ex(url.cutWWW(col(args.head)))),
+    // calendar-name / yearweek vocabulary. dateName/monthName render
+    // through the JVM's English month/day names (same strings DuckDB's
+    // dayname/monthname emit); toYearWeek is pinned to the ISO form
+    // (yearofweek·100 + ISO week — CH's mode-3 flavor; CH's default
+    // mode-0 Sunday weeks are a documented deviation)
+    "toYearWeek" -> (args => {
+      val d = col(args.head).cast("date")
+      ex((call_function("date_part", lit("YEAROFWEEK"), d).cast("long") * 100
+        + weekofyear(d)).cast("long"))
+    }),
+    "monthName" -> (args =>
+      ex(date_format(col(args.head).cast("date"), "MMMM"))),
+    "dateName" -> (args => {
+      val part = litString(args.head, "dateName part").toLowerCase
+      val d = col(args(1)).cast("date")
+      part match {
+        case "year" => ex(year(d).cast("string"))
+        case "quarter" => ex(quarter(d).cast("string"))
+        case "month" => ex(date_format(d, "MMMM"))
+        case "week" => ex(weekofyear(d).cast("string"))
+        case "dayofyear" => ex(dayofyear(d).cast("string"))
+        case "day" => ex(dayofmonth(d).cast("string"))
+        case "weekday" => ex(date_format(d, "EEEE"))
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported part '$other'")
+      }
+    }),
+    // multiSearchFirstPosition(s, [needles]): leftmost hit among the
+    // needles (1-based), 0 when none matches
+    "multiSearchFirstPosition" -> (args => {
+      val pos = transform(col(args(1)), nd =>
+        call_function("locate", nd, col(args.head)).cast("long"))
+      val hits = filter(pos, p => p > 0L)
+      ex(when(size(hits) === 0, lit(0L)).otherwise(array_min(hits)))
+    }),
+    "appendTrailingCharIfAbsent" -> (args => {
+      val s = col(args.head)
+      val c = col(args(1))
+      ex(when(s.endsWith(c), s).otherwise(concat(s, c)))
+    }),
+    // tokens(s): CH's default tokenizer — maximal alphanumeric runs
+    "tokens" -> (args =>
+      ex(filter(split(col(args.head), "[^A-Za-z0-9]+"), t => t =!= ""))),
+    "currentDatabase" -> (_ => ex(lit("default"))),
     // URL hierarchy / authority family (functions/url.scala): the
     // Metrica drill-down vocabulary over page URLs
     "URLHierarchy" -> (args => ex(url.urlHierarchy(col(args.head)))),

@@ -3633,6 +3633,71 @@ object DialectQueries {
                THEN 1 ELSE 0 END AS BIGINT) AS in_ell
       FROM comp c ORDER BY c.vec_id"""))
 
+  // Scalar vocabulary gap-fill 2 (X126, by the second function
+  // census): toYearWeek (ISO pin), dateName/monthName (JVM English
+  // names = DuckDB's dayname/monthname), multiSearchFirstPosition,
+  // appendTrailingCharIfAbsent, tokens, exp2/exp10 (exact on the
+  // integer exponents used), intDivOrZero/moduloOrZero (crash-free
+  // division), max2/min2, gcd/lcm (fixed 63-round Euclid fold —
+  // exact integer steps, bounding any Long pair), currentDatabase.
+  val q216ChScalarGapFill = QueryDef(
+    "q216_ch_scalar_gap_fill",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v216")
+      s.sql("""
+        SELECT event_type,
+               min(toYearWeek(CAST(ts AS DATE))) AS yw,
+               min(dateName('weekday', CAST(ts AS DATE))) AS wd,
+               min(monthName(CAST(ts AS DATE))) AS mn,
+               toInt64(sum(multiSearchFirstPosition(event_type,
+                 array('ck', 'err', 'se')))) AS msf,
+               min(appendTrailingCharIfAbsent(event_type, 'w')) AS app,
+               min(concat_ws('-', tokens(concat(event_type, ' 7,x')))) AS tk,
+               toInt64(sum(toInt64(exp2(event_id % 10)))) AS e2,
+               toInt64(sum(toInt64(exp10(event_id % 4)))) AS e10,
+               toInt64(sum(intDivOrZero(event_id, user_id % 5))) AS idz,
+               toInt64(sum(moduloOrZero(event_id, user_id % 7))) AS mdz,
+               toInt64(sum(toInt64(round(max2(value, 100.0D) * 100)) +
+                 toInt64(round(min2(value, 100.0D) * 100)))) AS mm2,
+               toInt64(sum(gcd(event_id % 48, user_id % 36))) AS g,
+               toInt64(sum(lcm(1 + event_id % 6, 1 + user_id % 4))) AS l,
+               min(currentDatabase()) AS db,
+               toInt64(count(1)) AS n
+        FROM events_v216
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(min(yearweek(CAST(ts AS DATE))) AS BIGINT) AS yw,
+             min(dayname(CAST(ts AS DATE))) AS wd,
+             min(monthname(CAST(ts AS DATE))) AS mn,
+             CAST(sum(coalesce(least(
+               nullif(strpos(event_type, 'ck'), 0),
+               nullif(strpos(event_type, 'err'), 0),
+               nullif(strpos(event_type, 'se'), 0)), 0)) AS BIGINT) AS msf,
+             min(CASE WHEN event_type LIKE '%w' THEN event_type
+                      ELSE event_type || 'w' END) AS app,
+             min(array_to_string(regexp_extract_all(event_type || ' 7,x',
+               '[A-Za-z0-9]+'), '-')) AS tk,
+             CAST(sum(CAST(pow(2.0, event_id % 10) AS BIGINT)) AS BIGINT)
+               AS e2,
+             CAST(sum(CAST(pow(10.0, event_id % 4) AS BIGINT)) AS BIGINT)
+               AS e10,
+             CAST(sum(CASE WHEN user_id % 5 = 0 THEN 0
+                  ELSE event_id // (user_id % 5) END) AS BIGINT) AS idz,
+             CAST(sum(CASE WHEN user_id % 7 = 0 THEN 0
+                  ELSE event_id % (user_id % 7) END) AS BIGINT) AS mdz,
+             CAST(sum(CAST(round(greatest(value, 100.0) * 100) AS BIGINT) +
+               CAST(round(least(value, 100.0) * 100) AS BIGINT))
+               AS BIGINT) AS mm2,
+             CAST(sum(gcd(event_id % 48, user_id % 36)) AS BIGINT) AS g,
+             CAST(sum(lcm(1 + event_id % 6, 1 + user_id % 4)) AS BIGINT)
+               AS l,
+             min('default') AS db,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events
+      GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
@@ -3641,6 +3706,7 @@ object DialectQueries {
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
       q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
       q213ChProjection, q214ChPartitionOps, q215ChVectorDistances,
+      q216ChScalarGapFill,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

@@ -124,6 +124,53 @@ class Round8gSpec extends SparkSpec {
     assert(at(3.0, 3.0) == 0L)   // outside both
   }
 
+  test("gcd/lcm: Euclid fold matches known values, zero edges pinned") {
+    val r = spark.sql("""
+      SELECT gcd(12, 18), gcd(17, 5), gcd(0, 7), gcd(0, 0),
+             lcm(4, 6), lcm(21, 6), lcm(0, 5)""").head()
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 7L)
+    assert(r.getLong(3) == 0L)
+    assert(r.getLong(4) == 12L)
+    assert(r.getLong(5) == 42L)
+    assert(r.getLong(6) == 0L)
+  }
+
+  test("toYearWeek is the ISO yearweek (year boundary flips with the " +
+      "ISO week); dateName/monthName render English names") {
+    val r = spark.sql("""
+      SELECT toYearWeek(DATE '2024-01-02'),
+             toYearWeek(DATE '2023-01-01'),
+             dateName('weekday', DATE '2024-01-02'),
+             dateName('month', DATE '2024-01-02'),
+             monthName(DATE '2024-03-15')""").head()
+    assert(r.getLong(0) == 202401L)
+    assert(r.getLong(1) == 202252L) // Sunday → ISO week 52 of 2022
+    assert(r.getString(2) == "Tuesday")
+    assert(r.getString(3) == "January")
+    assert(r.getString(4) == "March")
+  }
+
+  test("multiSearchFirstPosition takes the leftmost hit; " +
+      "appendTrailingCharIfAbsent is idempotent; tokens split on " +
+      "non-alphanumerics; OrZero division never errors") {
+    val r = spark.sql("""
+      SELECT multiSearchFirstPosition('hello world', array('lo', 'wor')),
+             multiSearchFirstPosition('abc', array('zz')),
+             appendTrailingCharIfAbsent(
+               appendTrailingCharIfAbsent('dir', '/'), '/'),
+             concat_ws('-', tokens('a1 b-c,,d')),
+             intDivOrZero(9, 0), moduloOrZero(9, 0),
+             intDivOrZero(9, 2), moduloOrZero(9, 4)""").head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getString(2) == "dir/")
+    assert(r.getString(3) == "a1-b-c-d")
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+    assert(r.getLong(6) == 4L && r.getLong(7) == 1L)
+  }
+
   test("toFixedString pads with NUL to n and errors on overflow; " +
       "toStringCutToZero reads it back") {
     assert(sql1("SELECT length(toFixedString('ab', 5))") == 5)
