@@ -292,4 +292,45 @@ object Retrieval {
         col("__t").as("term"), col("__tf").as("tf"),
         round(col("__score_fp") / 1e6d, 6).as("tfidf"))
   }
+
+  /** Hard-negative mining for retrieval-model training (the DPR /
+    * Contriever recipe): per query, the top-scoring documents that are
+    * NOT the labeled positive — lexically confusable, semantically
+    * wrong, exactly what contrastive training needs. `positives` maps
+    * query_id → the labeled positive doc; a query WITHOUT a label uses
+    * the top-1 result as its positive proxy (standard when mining from
+    * unlabeled corpora — the best hit stands in for the answer).
+    * Negatives re-rank densely 1..k.
+    *
+    * Scale shape: one [[bm25TopK]] pass at k+1 (its map-side
+    * vocabulary filter and fixed-point determinism carry over), a
+    * broadcast positives map, and a window over ≤ (k+1)·|queries|
+    * rows — nothing corpus-sized happens after the BM25 trim.
+    */
+  def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      positives: Map[Long, Long] = Map.empty,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val base = bm25TopK(docs, idCol, textCol, queries, k + 1, k1, b)
+    val withPos =
+      if (positives.isEmpty)
+        base.withColumn("__is_pos", col("rank") === 1L)
+      else {
+        val posDf = broadcast(
+          spark.createDataFrame(positives.toSeq)
+            .toDF("query_id", "__pos"))
+        base.join(posDf, Seq("query_id"), "left")
+          .withColumn("__is_pos",
+            coalesce(col(s"`$idCol`") === col("__pos"),
+              col("rank") === 1L))
+      }
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    withPos.filter(!col("__is_pos"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col(s"`$idCol`"), col("neg_rank"),
+        col("score"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
 }

@@ -2295,6 +2295,76 @@ object PipelineQueries {
              round(score_fp / 1000000.0, 4) AS score
       FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  // ---------------------------------------------------------------------
+  // X127: hard-negative mining (the DPR/Contriever training-data
+  // recipe) — per query, the top BM25 hits that are NOT the positive:
+  // lexically confusable, semantically wrong, exactly what contrastive
+  // retrieval training feeds its loss. Top-1-proxy mode here (the best
+  // hit stands in for the unlabeled answer); nothing corpus-sized
+  // happens after the BM25 trim (one k+1 pass, then a window over
+  // ≤ (k+1)·|queries| rows). The oracle replays the full q147
+  // fixed-point BM25 pipeline and shifts ranks 2..k+1 down to 1..k.
+  val q217HardNegatives = QueryDef(
+    "q217_hard_negatives",
+    (s, dir) => {
+      import graft.operators.Retrieval
+      Retrieval.hardNegatives(Graft.table(s, dir, "documents"),
+        "doc_id", "text",
+        Seq(1L -> "hash join merge",
+          2L -> "stream window agg sort",
+          3L -> "customer order line"),
+        k = 8)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), st AS (
+        SELECT CAST(count(1) AS DOUBLE) AS nd,
+               CAST(sum(len(toks)) AS DOUBLE) / count(1) AS avgdl
+        FROM t
+      ), p AS (
+        SELECT u.t AS term, doc_id, len(toks) AS dl,
+               CAST(count(1) AS BIGINT) AS tf
+        FROM t, unnest(toks) AS u(t)
+        WHERE u.t IN ('hash','join','merge','stream','window','agg',
+                      'sort','customer','order','line')
+        GROUP BY 1, 2, 3
+      ), dft AS (
+        SELECT term,
+               CAST(round(ln(((SELECT nd FROM st) - count(1) + 0.5)
+                             / (count(1) + 0.5) + 1.0)
+                          * 1000000.0) AS BIGINT) AS idf_fp
+        FROM p GROUP BY term
+      ), qt(query_id, term) AS (
+        VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
+               (2, 'stream'), (2, 'window'), (2, 'agg'), (2, 'sort'),
+               (3, 'customer'), (3, 'order'), (3, 'line')
+      ), sc AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(sum(CAST(round(
+                 (dft.idf_fp / 1000000.0) *
+                 (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(p.tf AS DOUBLE)
+                   + (1.0 - 0.75 + 0.75 * p.dl
+                        / (SELECT avgdl FROM st)) * 1.2)
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS score_fp
+        FROM p
+        JOIN dft USING (term)
+        JOIN qt USING (term)
+        GROUP BY 1, 2
+      ), rk AS (
+        SELECT query_id, doc_id, score_fp,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM sc
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(rank - 1 AS BIGINT) AS neg_rank,
+             round(score_fp / 1000000.0, 4) AS score
+      FROM rk WHERE rank BETWEEN 2 AND 9 ORDER BY query_id, neg_rank"""))
+
   /** DuckDB replay of `text.hashBagEmbed(toks, 16)`'s slot-count
     * vector, over a CTE exposing the hashed slot list as `dims`. */
   private val embedSlots16: String = (0 until 16)
@@ -4583,6 +4653,7 @@ object PipelineQueries {
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
+    q217HardNegatives,
     q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
     q164WinnowClusterDedup, q165StripWithinDocRepeats,
     q166NbLangConfusion, q167LeakageSafeSplit, q169SplitLeakageAudit,

@@ -190,4 +190,28 @@ class RetrievalSpec extends SparkSpec {
         k = 1, kRrf = 0)
     }
   }
+
+  test("hardNegatives: top-1-proxy mode drops the best hit and " +
+      "re-ranks densely") {
+    val negs = Retrieval.hardNegatives(corpus, "doc_id", "text",
+      Seq(1L -> "apple"), k = 2)
+      .select($"query_id", $"doc_id", $"neg_rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    // bm25('apple') ranks doc 2 (tf 2) above doc 1; top-1 (doc 2) is
+    // the positive proxy → the only negative is doc 1 at rank 1
+    assert(negs == Seq((1L, 1L, 1L)))
+  }
+
+  test("hardNegatives: an explicit positive elsewhere in the list is " +
+      "excluded while the top-1 becomes a negative") {
+    val negs = Retrieval.hardNegatives(corpus, "doc_id", "text",
+      Seq(1L -> "apple banana"), k = 3,
+      positives = Map(1L -> 1L))
+      .select($"doc_id", $"neg_rank").as[(Long, Long)].collect().toSeq
+    // hits for 'apple banana': docs 1, 2, 3 — doc 1 is the labeled
+    // positive, so the negatives are the other hits in score order
+    assert(negs.map(_._1).toSet == Set(2L, 3L))
+    assert(negs.map(_._2) == Seq(1L, 2L))
+    assert(!negs.map(_._1).contains(1L))
+  }
 }
