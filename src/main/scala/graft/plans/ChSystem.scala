@@ -29,6 +29,11 @@ case class ChSystemRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .map(_.toLowerCase(java.util.Locale.ROOT)) ==
             Seq("system", "parts") =>
         partsRelation
+      case u: UnresolvedRelation
+          if u.multipartIdentifier
+            .map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("system", "projections") =>
+        projectionsRelation
     }
 
   private def tablesRelation: LogicalPlan = {
@@ -72,6 +77,22 @@ case class ChSystemRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }.sortBy(r => (r._1, r._2))
     import spark.implicits._
     rows.toDF("table", "partition", "partition_key", "active")
+      .queryExecution.analyzed
+  }
+
+  /** CH `system.projections` — one row per registered table projection
+    * (plans/ChProjections.scala): the key list and stored partial
+    * aggregates, driver-sized registry state like `system.tables`.
+    */
+  private def projectionsRelation: LogicalPlan = {
+    val rows = graft.sources.Catalog.bindings.flatMap(b =>
+      ChProjections.forTable(b.name).map(d =>
+        (d.table, d.name, d.keys.mkString(","),
+          d.aggs.map { case ("count", _) => "count()"
+            case (fn, c) => s"$fn($c)" }.mkString(","))))
+      .sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    rows.toDF("table", "name", "keys", "aggs")
       .queryExecution.analyzed
   }
 }

@@ -3698,6 +3698,56 @@ object DialectQueries {
       FROM events
       GROUP BY event_type ORDER BY event_type"""))
 
+  // system.projections introspection (X128): the registry view next
+  // to system.tables / system.parts — one row per registered table
+  // projection with its key list and stored partials; the oracle is
+  // the statically-expected registry content (the q197 pattern).
+  val q218ChSystemProjections = QueryDef(
+    "q218_ch_system_projections",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ddl_q218_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      graft.plans.ChProjections.clear()
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events")
+          .createOrReplaceTempView("events_src_v218")
+        s.sql("""
+          CREATE TABLE metrica.projsys
+          (
+              `site` UInt32,
+              `d` Date,
+              `etype` String,
+              `clicks` Int64
+          )
+          ENGINE = MergeTree
+          PARTITION BY toMonday(d)
+          ORDER BY (site, etype)
+          SETTINGS index_granularity = 8192""")
+        s.sql("""
+          INSERT INTO projsys
+          SELECT CAST(user_id % 4 AS INT) AS site, CAST(ts AS DATE) AS d,
+                 event_type AS etype, CAST(1 AS BIGINT) AS clicks
+          FROM events_src_v218 WHERE event_id < 500""")
+        s.sql("""
+          ALTER TABLE projsys ADD PROJECTION by_site
+          (SELECT site, sum(clicks), count() GROUP BY site)""")
+        s.sql("""
+          ALTER TABLE projsys ADD PROJECTION by_type
+          (SELECT etype, max(clicks), count() GROUP BY etype)""")
+        s.sql("""
+          SELECT table, name, keys, aggs FROM system.projections
+          WHERE table = 'projsys' ORDER BY name""")
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('projsys', 'by_site', 'site', 'sum(clicks),count()'),
+        ('projsys', 'by_type', 'etype', 'max(clicks),count()'))
+        AS t("table", name, keys, aggs)
+      ORDER BY name"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
@@ -3706,7 +3756,7 @@ object DialectQueries {
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
       q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
       q213ChProjection, q214ChPartitionOps, q215ChVectorDistances,
-      q216ChScalarGapFill,
+      q216ChScalarGapFill, q218ChSystemProjections,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

@@ -92,6 +92,23 @@ class Round8hSpec extends SparkSpec {
     }
   }
 
+  test("system.projections lists registered projections and empties " +
+      "after DROP") {
+    withWarehouse("d") {
+      mkTable("pt4")
+      spark.sql("""
+        ALTER TABLE pt4 ADD PROJECTION px
+        (SELECT site, sum(clicks), count() GROUP BY site)""")
+      val rows = spark.sql(
+        "SELECT table, name, keys, aggs FROM system.projections")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2), r.getString(3))).toSeq
+      assert(rows == Seq(("pt4", "px", "site", "sum(clicks),count()")))
+      spark.sql("ALTER TABLE pt4 DROP PROJECTION px")
+      assert(spark.sql("SELECT * FROM system.projections").count() == 0)
+    }
+  }
+
   test("MATERIALIZE refreshes a stale projection after new inserts; " +
       "DROP PROJECTION removes the rewrite") {
     withWarehouse("c") {
