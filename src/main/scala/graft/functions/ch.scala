@@ -1115,6 +1115,74 @@ object ch {
     when(hit, lit(1L)).otherwise(lit(0L))
   }
 
+  /** The geohash base32 alphabet (no a, i, l, o). */
+  private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** CH `geohashEncode(lon, lat[, precision])`: standard geohash —
+    * `5·p` bits interleaved lon-first, rendered in the geohash base32
+    * alphabet. The bit strings are NOT computed by iterative bisection
+    * but as `floor((lon+180)/360 · 2^nlon)` (the same binary
+    * expansion, one expression): pure IEEE arithmetic both engines
+    * replay identically, clamped so the +180/+90 edges land in the
+    * last cell. Precision is a literal (it shapes the expression).
+    */
+  def geohashEncode(lon: Column, lat: Column, p: Int = 12): Column = {
+    require(p >= 1 && p <= 12, s"geohash precision in [1,12], got $p")
+    val totalBits = 5 * p
+    val nlon = (totalBits + 1) / 2
+    val nlat = totalBits / 2
+    def cellIndex(v: Column, lo: Double, span: Double, n: Int): Column =
+      least(greatest(floor((v.cast("double") - lo) / span *
+          lit(math.pow(2.0, n))).cast("long"), lit(0L)),
+        lit((1L << n) - 1))
+    val lonI = cellIndex(lon, -180.0, 360.0, nlon)
+    val latI = cellIndex(lat, -90.0, 180.0, nlat)
+    def bitAt(k: Int): Column =
+      if (k % 2 == 0) shiftright(lonI, nlon - 1 - k / 2) % 2
+      else shiftright(latI, nlat - 1 - (k - 1) / 2) % 2
+    val chars = (0 until p).map { j =>
+      val v = (0 until 5).map(i => bitAt(5 * j + i) * (1 << (4 - i)))
+        .reduce(_ + _)
+      lit(GeohashBase32).substr((v + 1).cast("int"), lit(1))
+    }
+    concat(chars: _*)
+  }
+
+  /** CH `geohashDecode(s)` → named struct `(longitude, latitude)`:
+    * the CELL CENTER (CH's contract). Bits fold back through an
+    * alternating accumulator, so any precision decodes; the center
+    * arithmetic `((i + 0.5)/2^n)·span + lo` is the exact inverse
+    * expression shape the oracle replays.
+    */
+  def geohashDecode(gh: Column): Column = {
+    val chars = filter(split(gh, ""), c => c =!= "")
+    val vals = transform(chars, c =>
+      call_function("locate", c, lit(GeohashBase32)).cast("long") - 1)
+    val bits = flatten(transform(vals, v => array(
+      shiftright(v, 4) % 2, shiftright(v, 3) % 2, shiftright(v, 2) % 2,
+      shiftright(v, 1) % 2, v % 2)))
+    val init = struct(lit(0L).as("lon"), lit(0L).as("lat"),
+      lit(true).as("even"))
+    val folded = aggregate(bits, init, (st, bit) => {
+      val even = st.getField("even")
+      struct(
+        when(even, st.getField("lon") * 2 + bit)
+          .otherwise(st.getField("lon")).as("lon"),
+        when(even, st.getField("lat"))
+          .otherwise(st.getField("lat") * 2 + bit).as("lat"),
+        (!even).as("even"))
+    })
+    val total = size(bits)
+    val nlon = ((total + 1) / 2).cast("int")
+    val nlat = (total / 2).cast("int")
+    def center(i: Column, n: Column, lo: Double, span: Double): Column =
+      (i.cast("double") + 0.5) / pow(lit(2.0), n.cast("double")) *
+        lit(span) + lit(lo)
+    struct(
+      center(folded.getField("lon"), nlon, -180.0, 360.0).as("longitude"),
+      center(folded.getField("lat"), nlat, -90.0, 180.0).as("latitude"))
+  }
+
   /** CH `formatReadableQuantity(x)`: '1.20 thousand' / '3.50 million'
     * …; plain two-decimal rendering below a thousand.
     */

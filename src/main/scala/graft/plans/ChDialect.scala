@@ -800,6 +800,16 @@ object ChDialect {
       ex(ch.linfDistance(col(args.head), col(args(1))))),
     "cosineDistance" -> (args =>
       ex(ch.cosineDistance(col(args.head), col(args(1))))),
+    // geohash encode/decode (graft.functions.ch): precision shapes
+    // the expression, so it must be a literal
+    "geohashEncode" -> (args => args.length match {
+      case 2 => ex(ch.geohashEncode(col(args.head), col(args(1))))
+      case 3 => ex(ch.geohashEncode(col(args.head), col(args(1)),
+        litInt(args(2), "geohashEncode precision")))
+      case n => throw new IllegalArgumentException(
+        s"geohashEncode takes (lon, lat[, precision]), got $n args")
+    }),
+    "geohashDecode" -> (args => ex(ch.geohashDecode(col(args.head)))),
     // pointInEllipses(px, py, x0, y0, a0, b0, …): inside ANY ellipse
     "pointInEllipses" -> (args => {
       require(args.length >= 6 && (args.length - 2) % 4 == 0,

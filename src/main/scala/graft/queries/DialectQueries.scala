@@ -3748,6 +3748,59 @@ object DialectQueries {
         AS t("table", name, keys, aggs)
       ORDER BY name"""))
 
+  // Geohash encode/decode (X129): standard geohash via the
+  // binary-expansion formulation — `floor((lon+180)/360 · 2^nlon)`
+  // instead of iterative bisection, so the bit strings are one pure
+  // IEEE expression both engines replay; chars interleave lon-first
+  // into the geohash base32 alphabet, decode returns the CELL CENTER
+  // (CH's contract) through the exact inverse expression shape. The
+  // spec pins the canonical 'ezs42' cell and the ±180/±90 clamps.
+  val q219ChGeohash = QueryDef(
+    "q219_ch_geohash",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v219")
+      s.sql("""
+        WITH pts AS (
+          SELECT event_id,
+                 CAST(event_id % 360 AS DOUBLE) - 180.0D + 0.25D AS lon,
+                 CAST(user_id % 180 AS DOUBLE) - 90.0D + 0.25D AS lat
+          FROM events_v219 WHERE event_id < 400
+        )
+        SELECT event_id, geohashEncode(lon, lat, 8) AS gh,
+               geohashDecode(geohashEncode(lon, lat, 8)).longitude AS clon,
+               geohashDecode(geohashEncode(lon, lat, 8)).latitude AS clat
+        FROM pts ORDER BY event_id""")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_id,
+               CAST(event_id % 360 AS DOUBLE) - 180.0 + 0.25 AS lon,
+               CAST(user_id % 180 AS DOUBLE) - 90.0 + 0.25 AS lat
+        FROM events WHERE event_id < 400
+      ), idx AS (
+        SELECT event_id,
+               least(greatest(CAST(floor((lon - -180.0) / 360.0
+                 * 1048576.0) AS BIGINT), 0), 1048575) AS lonI,
+               least(greatest(CAST(floor((lat - -90.0) / 180.0
+                 * 1048576.0) AS BIGINT), 0), 1048575) AS latI,
+               '0123456789bcdefghjkmnpqrstuvwxyz' AS b32
+        FROM pts
+      )
+      SELECT event_id,
+             substring(b32, CAST(((lonI >> 19) & 1) * 16 + ((latI >> 19) & 1) * 8 + ((lonI >> 18) & 1) * 4 + ((latI >> 18) & 1) * 2 + ((lonI >> 17) & 1) * 1 AS INT) + 1, 1) ||
+               substring(b32, CAST(((latI >> 17) & 1) * 16 + ((lonI >> 16) & 1) * 8 + ((latI >> 16) & 1) * 4 + ((lonI >> 15) & 1) * 2 + ((latI >> 15) & 1) * 1 AS INT) + 1, 1) ||
+               substring(b32, CAST(((lonI >> 14) & 1) * 16 + ((latI >> 14) & 1) * 8 + ((lonI >> 13) & 1) * 4 + ((latI >> 13) & 1) * 2 + ((lonI >> 12) & 1) * 1 AS INT) + 1, 1) ||
+               substring(b32, CAST(((latI >> 12) & 1) * 16 + ((lonI >> 11) & 1) * 8 + ((latI >> 11) & 1) * 4 + ((lonI >> 10) & 1) * 2 + ((latI >> 10) & 1) * 1 AS INT) + 1, 1) ||
+               substring(b32, CAST(((lonI >> 9) & 1) * 16 + ((latI >> 9) & 1) * 8 + ((lonI >> 8) & 1) * 4 + ((latI >> 8) & 1) * 2 + ((lonI >> 7) & 1) * 1 AS INT) + 1, 1) ||
+               substring(b32, CAST(((latI >> 7) & 1) * 16 + ((lonI >> 6) & 1) * 8 + ((latI >> 6) & 1) * 4 + ((lonI >> 5) & 1) * 2 + ((latI >> 5) & 1) * 1 AS INT) + 1, 1) ||
+               substring(b32, CAST(((lonI >> 4) & 1) * 16 + ((latI >> 4) & 1) * 8 + ((lonI >> 3) & 1) * 4 + ((latI >> 3) & 1) * 2 + ((lonI >> 2) & 1) * 1 AS INT) + 1, 1) ||
+               substring(b32, CAST(((latI >> 2) & 1) * 16 + ((lonI >> 1) & 1) * 8 + ((latI >> 1) & 1) * 4 + ((lonI >> 0) & 1) * 2 + ((latI >> 0) & 1) * 1 AS INT) + 1, 1) AS gh,
+             (CAST(lonI AS DOUBLE) + 0.5) / 1048576.0 * 360.0
+               + (-180.0) AS clon,
+             (CAST(latI AS DOUBLE) + 0.5) / 1048576.0 * 180.0
+               + (-90.0) AS clat
+      FROM idx ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
@@ -3756,7 +3809,7 @@ object DialectQueries {
       q206ChRankTests, q207ChRegression, q208ChUrlHierarchy,
       q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
       q213ChProjection, q214ChPartitionOps, q215ChVectorDistances,
-      q216ChScalarGapFill, q218ChSystemProjections,
+      q216ChScalarGapFill, q218ChSystemProjections, q219ChGeohash,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

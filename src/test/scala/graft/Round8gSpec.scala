@@ -171,6 +171,27 @@ class Round8gSpec extends SparkSpec {
     assert(r.getLong(6) == 4L && r.getLong(7) == 1L)
   }
 
+  test("geohashEncode reproduces the canonical cell and clamps the " +
+      "±180/±90 edges; decode(encode) round-trips to the cell center") {
+    val r = spark.sql("""
+      SELECT geohashEncode(-5.60302734375D, 42.60498046875D, 5),
+             geohashEncode(180.0D, 90.0D, 4),
+             geohashEncode(-180.0D, -90.0D, 4)""").head()
+    assert(r.getString(0) == "ezs42")
+    assert(r.getString(1) == "zzzz")
+    assert(r.getString(2) == "0000")
+    val d = spark.sql("""
+      SELECT geohashDecode(geohashEncode(13.361389D, 38.115556D, 12)) AS c
+      """).selectExpr("c.longitude", "c.latitude").head()
+    assert(math.abs(d.getDouble(0) - 13.361389) < 1e-6)
+    assert(math.abs(d.getDouble(1) - 38.115556) < 1e-6)
+    // canonical decode: 'ezs42' centers on (-5.603, 42.605)
+    val e = spark.sql("SELECT geohashDecode('ezs42') AS c")
+      .selectExpr("c.longitude", "c.latitude").head()
+    assert(math.abs(e.getDouble(0) + 5.60302734375) < 1e-9)
+    assert(math.abs(e.getDouble(1) - 42.60498046875) < 1e-9)
+  }
+
   test("toFixedString pads with NUL to n and errors on overflow; " +
       "toStringCutToZero reads it back") {
     assert(sql1("SELECT length(toFixedString('ab', 5))") == 5)
