@@ -420,3 +420,69 @@ case class ChPartitionCommand(table: String, op: String,
     Seq(Row(partition))
   }
 }
+
+/** CH `ALTER TABLE t MATERIALIZE TTL [AS OF 'yyyy-MM-dd']` — apply the
+  * DDL's `TTL <col> + INTERVAL n DAY [DELETE | TO DISK 'path']` stamp
+  * at WEEK-PARTITION granularity: a partition whose Monday is before
+  * `toMonday(asOf − n days)` is fully expired — DELETE drops its
+  * directory (rename-retire, the OPTIMIZE convention), TO DISK moves
+  * it to the cold tier via [[graft.sources.Warehouse.tierByTtl]]
+  * (a rename, never a rewrite). CH evaluates TTL against now() during
+  * merges; the `AS OF` pin is this engine's deterministic-clock
+  * extension (tests pin it; omitted = today). Partition-granular TTL
+  * is CH's own `ttl_only_drop_parts` fast path — the row-level
+  * rewrite alternative is deliberately not taken (at 100 TB it is a
+  * full-partition rewrite for rows a later merge would drop anyway).
+  */
+case class ChMaterializeTtlCommand(table: String,
+    asOf: Option[String] = None) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("week_expired", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.hadoop.fs.Path
+    val wh = graft.sources.Warehouse
+    val b = graft.sources.Catalog.binding(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"MATERIALIZE TTL: '$table' is not a registered binding"))
+    val schema = b.schema.getOrElse(spark.read.parquet(b.path).schema)
+    val ttlField = schema.fields.find(_.metadata.contains("graft.ttlDays"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"MATERIALIZE TTL: '$table' declares no TTL in its DDL"))
+    val days = ttlField.metadata.getLong("graft.ttlDays")
+    val action = ttlField.metadata.getString("graft.ttlAction")
+    val ref = asOf.map(java.time.LocalDate.parse)
+      .getOrElse(java.time.LocalDate.now())
+    val cutoff = ref.minusDays(days)
+      .`with`(java.time.DayOfWeek.MONDAY)
+    val expired: Seq[String] =
+      if (action.startsWith("disk:"))
+        wh.tierByTtl(spark, b.path, action.stripPrefix("disk:"), cutoff)
+          .map(_.stripPrefix(s"${wh.weekCol}=")) // dir names → week tags
+      else {
+        val tablePath = new Path(b.path)
+        val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(tablePath)) Nil
+        else fs.listStatus(tablePath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(s"${wh.weekCol}="))
+          .filter { st =>
+            val day = st.getPath.getName.substring(wh.weekCol.length + 1)
+            java.time.LocalDate.parse(day).isBefore(cutoff)
+          }
+          .map { st =>
+            val retired = new Path(tablePath.getParent,
+              s".${tablePath.getName}_retired_${st.getPath.getName}_" +
+                System.nanoTime())
+            require(fs.rename(st.getPath, retired),
+              s"MATERIALIZE TTL retire failed: ${st.getPath.getName}")
+            fs.delete(retired, true)
+            st.getPath.getName.substring(wh.weekCol.length + 1)
+          }
+      }
+    spark.catalog.refreshByPath(b.path)
+    graft.sources.Catalog.register(spark, b)
+    expired.sorted.map(Row(_))
+  }
+}

@@ -96,7 +96,10 @@ object ChDdl {
       sampleBy: Option[String],
       s3Target: Option[(String, String, String)], // path, format, compression
       cloneFrom: Option[String], // CREATE TABLE x AS other (schema clone)
-      ctasSelect: Option[String]) // CREATE TABLE x ENGINE=... AS SELECT ...
+      ctasSelect: Option[String], // CREATE TABLE x ENGINE=... AS SELECT ...
+      // TTL <col> + INTERVAL <n> DAY [DELETE | TO DISK 'path']:
+      // (column, days, action) where action is "delete" or "disk:<p>"
+      ttl: Option[(String, Int, String)] = None)
 
   private val stringLit = """'(?:[^']|'')*'""".r
   // name, optional ON CLUSTER (the cluster is the platform's concern —
@@ -183,8 +186,25 @@ object ChDdl {
           val comp = params.lift(2).map(stripQuotes).getOrElse("none")
           Some((path, fmt, comp))
         } else None
+        // TTL <col> + INTERVAL <n> DAY [DELETE | TO DISK '<path>'] —
+        // delete is CH's default action when none is named
+        val ttl = clauses.get("TTL").flatMap { t =>
+          val ttlRe = ("""(?is)^\s*`?([\w.]+)`?\s*\+\s*INTERVAL\s+""" +
+            """(\d+)\s+DAY\s*(?:(DELETE)|TO\s+DISK\s+(\S+))?\s*$""").r
+          // no .trim before unmask — String.trim eats the  mask
+          // sentinel (same trap as splitClauses'); the regex tolerates
+          // surrounding whitespace itself
+          unmask(t) match {
+            case ttlRe(c, days, del, disk) =>
+              val action =
+                if (disk != null) "disk:" + stripQuotes(disk)
+                else "delete"
+              Some((c.replace("`", ""), days.toInt, action))
+            case _ => None // other TTL shapes parse but do not stamp
+          }
+        }
         val parsed = Parsed(name, StructType(fields), engine, params,
-          partCol, orderKey, sampleBy, s3, cloneFrom, ctasSelect)
+          partCol, orderKey, sampleBy, s3, cloneFrom, ctasSelect, ttl)
         Some(parsed.copy(schema =
           stamp(parsed.schema, parsed, signVerOf(parsed))))
       }
@@ -226,6 +246,12 @@ object ChDdl {
         md = md.putBoolean("graft.finalKey", true)
       if (sumCols.contains(f.name))
         md = md.putBoolean("graft.finalSum", true)
+      p.ttl.foreach { case (c, days, action) =>
+        if (f.name == c) {
+          md = md.putLong("graft.ttlDays", days.toLong)
+            .putString("graft.ttlAction", action)
+        }
+      }
       f.copy(metadata = md.build())
     })
   }
@@ -354,7 +380,12 @@ object ChDdl {
     }.sortBy(_._1)
     hits.zipWithIndex.map { case ((pos, kw), i) =>
       val end = if (i + 1 < hits.length) hits(i + 1)._1 else tail.length
-      kw -> tail.substring(pos + kw.length, end).trim
+      // NOT String.trim: it strips every char ≤ U+0020, including the
+      //  literal-mask sentinel — a clause ENDING with a masked
+      // string literal (TTL ... TO DISK '<path>') lost its closing
+      // sentinel and could never unmask (found live by the TTL DDL)
+      kw -> tail.substring(pos + kw.length, end)
+        .replaceAll("""^\s+|\s+$""", "")
     }.toMap
   }
 

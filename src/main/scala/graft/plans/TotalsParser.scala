@@ -636,6 +636,9 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private val movePartRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+MOVE\s+PARTITION\s+""" +
       """(\S+)\s+TO\s+TABLE\s+`?([\w.]+?)`?\s*$""").r
+  private val matTtlRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+MATERIALIZE\s+TTL""" +
+      """(?:\s+AS\s+OF\s+(\S+))?\s*$""").r
   private val alterDeleteRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+?)`?\s+DELETE\s+WHERE\s+""" +
       """(.+?)(?:\s+SETTINGS\s+.*)?\s*$""").r
@@ -735,6 +738,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         Some(ChPartitionCommand(short(table), "MOVE",
           unmaskLiterals(part, lits).replaceAll("^'|'$", ""),
           Some(short(to))))
+      case matTtlRe(table, asOf) =>
+        Some(ChMaterializeTtlCommand(short(table),
+          Option(asOf).map(a =>
+            unmaskLiterals(a, lits).replaceAll("^'|'$", ""))))
       case alterDeleteRe(table, cond) =>
         Some(ChAlterTableCommand(table, Nil, unmaskLiterals(cond, lits)))
       case alterUpdateRe(table, assigns, cond) =>

@@ -3801,6 +3801,65 @@ object DialectQueries {
                + (-90.0) AS clat
       FROM idx ORDER BY event_id"""))
 
+  // DDL TTL + MATERIALIZE TTL (X130): `TTL d + INTERVAL 14 DAY DELETE`
+  // stamps the retention contract in the CREATE; `ALTER TABLE …
+  // MATERIALIZE TTL AS OF '<date>'` applies it at week-partition
+  // granularity (CH's ttl_only_drop_parts fast path — a directory
+  // retire, never a rewrite; the AS OF pin is the engine's
+  // deterministic-clock extension, today when omitted). The reference
+  // itself runs on hybrid-storage TTL (README.md:178-180). The AS OF
+  // date derives from the data (max event date), so the same entry
+  // replays at every SF; the oracle recomputes the surviving weeks
+  // with the same toMonday(asOf − 14d) cutoff arithmetic.
+  val q220ChTtlMaterialize = QueryDef(
+    "q220_ch_ttl_materialize",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ddl_q220_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(root)
+      s.conf.set("spark.graft.warehouse", root)
+      try {
+        Graft.table(s, dir, "events")
+          .createOrReplaceTempView("events_src_v220")
+        s.sql("""
+          CREATE TABLE metrica.ttl_events
+          (
+              `uid` UInt64,
+              `d` Date,
+              `etype` String
+          )
+          ENGINE = MergeTree
+          PARTITION BY toMonday(d)
+          ORDER BY (uid)
+          TTL d + INTERVAL 14 DAY DELETE
+          SETTINGS index_granularity = 8192""")
+        s.sql("""
+          INSERT INTO ttl_events
+          SELECT user_id AS uid, CAST(ts AS DATE) AS d,
+                 event_type AS etype
+          FROM events_src_v220""")
+        val asOf = s.sql(
+          "SELECT max(CAST(ts AS DATE)) FROM events_src_v220")
+          .head().getDate(0)
+        s.sql(s"ALTER TABLE ttl_events MATERIALIZE TTL AS OF '$asOf'")
+        s.sql("""
+          SELECT toMonday(d) AS wk, toInt64(count(1)) AS n
+          FROM ttl_events GROUP BY toMonday(d) ORDER BY wk""")
+      } finally s.conf.unset("spark.graft.warehouse")
+    },
+    Some("""
+      WITH mx AS (
+        SELECT CAST(date_trunc('week',
+          max(CAST(ts AS DATE)) - INTERVAL 14 DAY) AS DATE) AS cutoff
+        FROM events
+      )
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events
+      WHERE CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+            >= (SELECT cutoff FROM mx)
+      GROUP BY 1 ORDER BY wk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
@@ -3810,6 +3869,7 @@ object DialectQueries {
       q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
       q213ChProjection, q214ChPartitionOps, q215ChVectorDistances,
       q216ChScalarGapFill, q218ChSystemProjections, q219ChGeohash,
+      q220ChTtlMaterialize,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,

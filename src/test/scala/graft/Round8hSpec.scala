@@ -92,6 +92,38 @@ class Round8hSpec extends SparkSpec {
     }
   }
 
+  test("DDL TTL stamps parse; MATERIALIZE TTL TO DISK tiers aged " +
+      "weeks to cold storage without a rewrite, and the hot table " +
+      "keeps only the fresh weeks") {
+    withWarehouse("ttl") {
+      val cold = s"${sys.props("java.io.tmpdir")}/graft_projspec_ttl_cold"
+      FsUtil.rmTree(cold)
+      spark.sql(s"""
+        CREATE TABLE metrica.ttl_t
+        (`uid` UInt64, `d` Date, `v` Int64)
+        ENGINE = MergeTree PARTITION BY toMonday(d) ORDER BY (uid)
+        TTL d + INTERVAL 7 DAY TO DISK '$cold'
+        SETTINGS index_granularity = 8192""")
+      val b = graft.sources.Catalog.binding("ttl_t").get
+      val f = b.schema.get.fields.find(_.name == "d").get
+      assert(f.metadata.getLong("graft.ttlDays") == 7L)
+      assert(f.metadata.getString("graft.ttlAction") == s"disk:$cold")
+      Seq((1L, "2024-01-02", 5L), (2L, "2024-01-16", 7L))
+        .toDF("u", "ds", "vv").createOrReplaceTempView("ttl_src")
+      spark.sql("""
+        INSERT INTO ttl_t
+        SELECT u AS uid, CAST(ds AS DATE) AS d, vv AS v FROM ttl_src""")
+      val moved = spark.sql(
+        "ALTER TABLE ttl_t MATERIALIZE TTL AS OF '2024-01-17'")
+        .collect().map(_.getString(0)).toSeq
+      // cutoff Monday = toMonday(2024-01-17 − 7d = Jan 10) = Jan 8:
+      // the Jan-1 week tiers out, the Jan-15 week stays hot
+      assert(moved == Seq("2024-01-01"))
+      assert(spark.table("ttl_t").count() == 1)
+      assert(new java.io.File(s"$cold/week=2024-01-01").exists())
+    }
+  }
+
   test("system.projections lists registered projections and empties " +
       "after DROP") {
     withWarehouse("d") {
