@@ -170,6 +170,35 @@ class Round8eSpec extends SparkSpec {
     assert(got == "0:0|1:9|4:3|7:5")
   }
 
+  test("rank tests and LTTB survive the SHUFFLE path: a repartitioned " +
+      "frame (forced partial aggregation + serde) equals the " +
+      "single-partition result") {
+    val df = spark.range(0, 500).selectExpr(
+      "id % 4 AS g", "(id * 13) % 97 AS x", "id % 2 AS idx",
+      "((id * 13) % 97) * 3 + id % 23 AS y")
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .createOrReplaceTempView("serde_t")
+    run(df.coalesce(1))
+    val one = spark.sql("""
+      SELECT g, mannWhitneyUTest(x, idx) AS u,
+             kolmogorovSmirnovTest(x, idx) AS d,
+             rankCorr(x, y) AS r,
+             concat_ws('|', transform(
+               largestTriangleThreeBuckets(6)(x, y),
+               p -> concat(p.x, ':', p.y))) AS l
+      FROM serde_t GROUP BY g ORDER BY g""").collect().toSeq
+    run(df.repartition(16))
+    val many = spark.sql("""
+      SELECT g, mannWhitneyUTest(x, idx) AS u,
+             kolmogorovSmirnovTest(x, idx) AS d,
+             rankCorr(x, y) AS r,
+             concat_ws('|', transform(
+               largestTriangleThreeBuckets(6)(x, y),
+               p -> concat(p.x, ':', p.y))) AS l
+      FROM serde_t GROUP BY g ORDER BY g""").collect().toSeq
+    assert(one == many)
+  }
+
   test("mannWhitneyU partials merge associatively (map-side combine)") {
     val all = pairs((1, 0), (2, 0), (3, 0), (2, 1), (3, 1), (4, 1))
     val agg = RankTestAgg(null, null, "mannWhitneyUTest")
