@@ -949,7 +949,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     val afterPrewhere = rewritePrewhere(afterDateDiff)
     val afterNumbers =
       formatTailRe.replaceAllIn(rewriteNumbers(afterPrewhere), "")
-    val rewritten = settings.replaceAllIn(afterNumbers, "")
+    val afterReplace = rewriteStarReplace(afterNumbers)
+    val rewritten = settings.replaceAllIn(afterReplace, "")
     val finalText = unmaskLiterals(rewritten, lits)
     if (finalText == sqlText && lbWrap.isEmpty && fillWrap.isEmpty &&
       sampleWrap.isEmpty && finalWrap.isEmpty && asofWrap.isEmpty &&
@@ -969,6 +970,44 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       tiesWrap.fold(don)(w => w(don))
     }))
   }
+
+  // CH `SELECT * REPLACE (expr AS name, …)`: rewritten to the
+  // `* EXCEPT (names), expr AS name, …` form Spark's grammar DOES
+  // accept. Replaced columns therefore move to the END of the output
+  // (CH keeps them in place) — a documented positional deviation;
+  // names and values are identical. Each item must carry its AS name
+  // (CH's own requirement).
+  private val starReplaceRe = """(?is)\*\s*REPLACE\s*\(""".r
+
+  private def rewriteStarReplace(text: String): String =
+    starReplaceRe.findFirstMatchIn(text) match {
+      case None => text
+      case Some(m) =>
+        var depth = 1
+        var i = m.end
+        while (i < text.length && depth > 0) {
+          text.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (depth != 0) text
+        else {
+          val items = splitTopLevel(text.substring(m.end, i - 1))
+            .map(stripWs)
+          val asRe = """(?is)\s+AS\s+`?(\w+)`?\s*$""".r
+          val names = items.map(it =>
+            asRe.findFirstMatchIn(it).map(_.group(1)).getOrElse(
+              throw new IllegalArgumentException(
+                s"* REPLACE item needs 'expr AS name', got '$it'")))
+          val replaced = s"* EXCEPT (${names.mkString(", ")}), " +
+            items.mkString(", ")
+          rewriteStarReplace(text.substring(0, m.start) + replaced +
+            text.substring(i))
+        }
+    }
 
   /** ARRAY JOIN / FINAL texts parse SUCCESSFULLY in Spark's grammar
     * (as aliases/joins) with the wrong meaning, so when those shapes

@@ -3860,6 +3860,32 @@ object DialectQueries {
             >= (SELECT cutoff FROM mx)
       GROUP BY 1 ORDER BY wk"""))
 
+  // CH star modifiers (X131): `* EXCEPT (cols)` (native in Spark 4's
+  // grammar) and `* REPLACE (expr AS name, …)` (rewritten by the
+  // parser onto the EXCEPT form — replaced columns move to the END,
+  // the documented positional deviation; the comparator normalizes
+  // column order anyway). Both in one verbatim statement, nested:
+  // the inner subquery REPLACEs, the outer EXCEPTs.
+  val q221ChStarModifiers = QueryDef(
+    "q221_ch_star_modifiers",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v221")
+      s.sql("""
+        SELECT * EXCEPT (b)
+        FROM (
+          SELECT * REPLACE (upper(event_type) AS event_type,
+                            toInt64(round(value * 100)) * 2 AS value)
+          FROM (SELECT event_id, event_type, value, user_id % 10 AS b
+                FROM events_v221 WHERE event_id < 50)
+        )
+        ORDER BY event_id""")
+    },
+    Some("""
+      SELECT event_id, upper(event_type) AS event_type,
+             CAST(round(value * 100) AS BIGINT) * 2 AS value
+      FROM events WHERE event_id < 50
+      ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
@@ -3869,7 +3895,7 @@ object DialectQueries {
       q210ChRenderHistogram, q211ChArrayGapFill, q212ChLttb,
       q213ChProjection, q214ChPartitionOps, q215ChVectorDistances,
       q216ChScalarGapFill, q218ChSystemProjections, q219ChGeohash,
-      q220ChTtlMaterialize,
+      q220ChTtlMaterialize, q221ChStarModifiers,
       q40ChDialectSql, q41ChDialectArrays, q42MetricaQ2DialectSql,
       q143ChRollupCube, q144ChMvQuantile, q145ChSetOps,
       q146ChFillInterpolate, q170ChTopKMv, q172ChSampleOffset,
