@@ -619,6 +619,48 @@ object Similarity {
       nearestCode(subSlice(v, s, sub), element_at(lit3, s + 1))): _*)
   }
 
+  /** Embedding-space outlier detection (the SemDeDup-adjacent CLEANING
+    * pass: a vector far from its own source's centroid is mislabeled,
+    * mojibake, or spam — drop or route it before training). Exactness
+    * via two tricks: embeddings quantize ×`q` to integers so the
+    * per-source SUM vectors fold exactly in any order, and the cosine
+    * is taken against the SUM vector rather than the mean — the 1/n
+    * scale cancels in cosine, so no division touches the accumulation.
+    * The final `dot/(√·√)` is the only IEEE arithmetic, mirrored by
+    * the oracle.
+    *
+    * Scale shape: one posexplode + (label, dim) partial-sum shuffle
+    * (map-side combined, output |labels|·d rows), the tiny sum table
+    * broadcast back, and the flagging pass is a projection — the
+    * corpus is never shuffled to be scored.
+    *
+    * Returns (id, label, cos, outlier) — callers filter or route.
+    */
+  def sourceOutliers(vecs: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, minCos: Double, q: Int = 1000): DataFrame = {
+    val qv = transform(col(vecCol),
+      e => round(e.cast("double") * q).cast("long"))
+    val base = vecs.select(col(idCol).as("id"),
+      col(labelCol).as("label"), qv.as("__q"))
+    val sums = base
+      .select(col("label"), posexplode(col("__q")).as(Seq("__d", "__v")))
+      .groupBy(col("label"), col("__d"))
+      .agg(sum(col("__v")).as("__s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("__d"), col("__s")))),
+        p => p.getField("__s")).as("__sum"))
+    def dotLL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val joined = base.join(broadcast(sums), "label")
+    val num = dotLL(col("__q"), col("__sum"))
+    val cos = num.cast("double") /
+      (sqrt(dotLL(col("__q"), col("__q")).cast("double")) *
+        sqrt(dotLL(col("__sum"), col("__sum")).cast("double")))
+    joined.select(col("id"), col("label"), cos.as("cos"))
+      .withColumn("outlier", col("cos") < minCos)
+  }
+
   /** ADC top-`k` with exact re-rank: each probe computes its m×k
     * dot-product lookup table inline (a projection over the literal
     * codebooks), the codes table is scored by m table lookups per

@@ -2365,6 +2365,60 @@ object PipelineQueries {
              round(score_fp / 1000000.0, 4) AS score
       FROM rk WHERE rank BETWEEN 2 AND 9 ORDER BY query_id, neg_rank"""))
 
+  // ---------------------------------------------------------------------
+  // X132: embedding-space outlier detection — the SemDeDup-adjacent
+  // CLEANING pass (a vector far from its own source's centroid is
+  // mislabeled, mojibake, or spam). Exactness via the quantize-and-
+  // sum-vector tricks (see Similarity.sourceOutliers): integer sums
+  // fold exactly in any order, cosine against the SUM vector cancels
+  // the 1/n, and the classification threshold is boundary-proof (both
+  // engines compare the SAME double). The entry aggregates only
+  // order-safe statistics: counts of identical booleans and min/max
+  // of identical doubles — never a sum of floats.
+  val q222EmbeddingOutliers = QueryDef(
+    "q222_embedding_outliers",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+        .withColumn("src", col("vec_id") % 4)
+      Similarity.sourceOutliers(vecs, "vec_id", "src", "embedding",
+        minCos = 0.2)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("total"),
+          sum(when(col("outlier"), 1L).otherwise(0L)).cast("long")
+            .as("outliers"),
+          round(min(col("cos")), 6).as("mn"),
+          round(max(col("cos")), 6).as("mx"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH qv AS (
+        SELECT vec_id, vec_id % 4 AS label,
+               list_transform(embedding,
+                 e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings
+      ), ex AS (
+        SELECT label, u.i AS d, q[u.i] AS v
+        FROM qv, (SELECT unnest(range(1, 65)) AS i) u
+      ), sums AS (
+        SELECT label, d, sum(v) AS sv FROM ex GROUP BY 1, 2
+      ), sarr AS (
+        SELECT label, list(sv ORDER BY d) AS sv FROM sums GROUP BY label
+      ), sc AS (
+        SELECT qv.vec_id, qv.label,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> qv.q[i] * sarr.sv[i])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> qv.q[i] * qv.q[i])) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> sarr.sv[i] * sarr.sv[i])) AS DOUBLE))) AS cos
+        FROM qv JOIN sarr ON qv.label = sarr.label
+      )
+      SELECT label, CAST(count(1) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN cos < 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS outliers,
+             round(min(cos), 6) AS mn, round(max(cos), 6) AS mx
+      FROM sc GROUP BY label ORDER BY label"""))
+
   /** DuckDB replay of `text.hashBagEmbed(toks, 16)`'s slot-count
     * vector, over a CTE exposing the hashed slot list as `dims`. */
   private val embedSlots16: String = (0 until 16)
@@ -4653,7 +4707,7 @@ object PipelineQueries {
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
     q151SpanDecontamination, q152StripDupSpans, q153Bm25IndexTopK,
     q154BigramLm, q155BloomIncDedup, q156BpeEncode, q157CorpusCard,
-    q217HardNegatives,
+    q217HardNegatives, q222EmbeddingOutliers,
     q159MultimodalRetrieval, q161WinnowPairs, q163CcnetBuckets,
     q164WinnowClusterDedup, q165StripWithinDocRepeats,
     q166NbLangConfusion, q167LeakageSafeSplit, q169SplitLeakageAudit,

@@ -243,6 +243,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sourceOutliers flags a planted opposite-direction vector and " +
+      "keeps the aligned cluster") {
+    val rows = (0 until 10).map(i =>
+      (i.toLong, "a", Seq(1f, 0.9f + 0.01f * i, 0f, 0f))) :+
+      ((99L, "a", Seq(-1f, -1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "src", "embedding")
+    val got = Similarity.sourceOutliers(df, "vec_id", "src", "embedding",
+      minCos = 0.5)
+      .select($"id", $"outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(99L), "the planted opposite vector must flag")
+    (0 until 10).foreach(i => assert(!got(i.toLong), s"vector $i flagged"))
+  }
+
+  test("sourceOutliers plan: the corpus side is a projection joined " +
+      "to a BROADCAST sum table — the vectors are never shuffled") {
+    val df = clustered.withColumn("src",
+      org.apache.spark.sql.functions.col("vec_id") % 2)
+    val p = Similarity.sourceOutliers(df, "vec_id", "src", "embedding",
+      minCos = 0.1).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pqTopK with exact re-rank recovers brute-force top-k on the " +
       "clustered corpus (recall 1 with a generous shortlist)") {
     val books = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
