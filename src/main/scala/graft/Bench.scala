@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries (QueryDef.bench) on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line the driver collects.
+  * SPARK_GRAFT_SF_DIR. The LAST stdout line is a compact summary JSON
+  * (full sf0.1 per-query map, 3-decimal) sized to always fit whole in
+  * the driver's 2000-char tail capture; a full-precision detail line
+  * (sf1 medians, fingerprints, cc_stats) prints earlier and lands in
+  * SPARK_GRAFT_BENCH_OUT and the full logs.
   *
   * Materialization is a `noop`-format write, not `count()`: a bare count
   * lets Catalyst prune the aggregate *values* (only group keys determine
@@ -82,6 +86,13 @@ object Bench {
     // fixtures (q51/q28) don't scale with sfDir and are excluded. Any
     // failure degrades to an "sf1_error" note — the base line the
     // driver parses is never at risk.
+    // 3-decimal fixed formatting for the compact tail lines (raw
+    // Double.toString can be 17 chars — the driver keeps only the last
+    // 2000 chars of stdout, so every byte on the final line counts)
+    def fmt3(v: Double): String =
+      new java.math.BigDecimal(v)
+        .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    var sf1CompactLine = ""
     val sf1Section =
       // dev knob (the driver never sets it): skip the sf1 section so
       // repeated base-line runs for median re-baselining stay cheap
@@ -142,14 +153,19 @@ object Bench {
           // shuffle) — each linear in corpus tokens, so the 10x
           // curves should track token count
           "q175_paragraph_dedup", "q177_tfidf_keywords",
-          "q182_source_overlap")
+          "q182_source_overlap",
+          // round-9 leg: the X94 union-sketch SIBLING of q182 — the
+          // designated 100 TB path; its sf1 number belongs next to the
+          // exact form's so the "sketch ≪ exact" scale claim is
+          // measured, not argued
+          "q223_source_overlap_sketch")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the
         // whole sfDir suite) — round 6 read that noise as a regression.
         // The median is what the scale claim should be judged on.
         val reps = 3
-        val sf1 = sf1Names.map { name =>
+        val sf1Medians = sf1Names.map { name =>
           val times = (1 to reps).flatMap { _ =>
             val t0 = System.nanoTime()
             try { materialize(spark, name, qmap(name), sf1Dir)
@@ -159,9 +175,15 @@ object Bench {
               None
             }
           }
-          "\"" + name + "\":" +
-            (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
-        }.mkString("{", ",", "}")
+          name -> (if (times.isEmpty) -1.0
+                   else times.sorted.apply(times.size / 2))
+        }
+        sf1CompactLine = sf1Medians
+          .map { case (n, v) => "\"" + n + "\":" + fmt3(v) }
+          .mkString("""{"metric":"sf1_medians","reps":3,"queries":{""",
+            ",", "}}")
+        val sf1 = sf1Medians.map { case (n, v) => "\"" + n + "\":" + v }
+          .mkString("{", ",", "}")
         // fingerprints in their OWN guard: minutes of measured sf1
         // timings must never be discarded because a diagnostic read
         // failed after them
@@ -198,11 +220,35 @@ object Bench {
         s"""{"tag":"${s.tag}","edges":${s.edges},"path":"${s.path}","rounds":${s.rounds}}""")
         .mkString(""","cc_stats":[""", ",", "]")
     }
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$sf1Section$ccSection,"sf":"$sfDir"}"""
-    println(line)
+    // Output layout is dictated by the driver's 2000-char stdout tail
+    // capture (round 8 lost its sf0.1 totals when the single detail
+    // line outgrew it): the FULL detail line (sf1 raw medians,
+    // fingerprints, cc_stats) prints first — complete in the
+    // SPARK_GRAFT_BENCH_OUT file and in full stdout logs — then the
+    // sf1-medians compact line, then the compact summary with the full
+    // per-query map (3-decimal) as the LAST line, sized well under the
+    // tail window so it always survives whole.
+    val detail =
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"failed":$failed$sf1Section$ccSection,"sf":"$sfDir"}"""
+    val qsCompact = results
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt3(v) else -1.0) }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"failed":$failed,"sf":"$sfDir"}"""
+    // the sf1-medians compact line prints BEFORE the detail line: the
+    // tail window must contain exactly one parseable JSON object (the
+    // summary) so the driver can never latch onto the wrong line — the
+    // huge detail line in between guarantees any sf1 fragment reaching
+    // the tail is incomplete
+    if (sf1CompactLine.nonEmpty) println(sf1CompactLine)
+    println(detail)
+    println(summary)
+    if (summary.length > 1700) System.err.println(
+      s"[bench] WARNING: summary line ${summary.length} chars — nearing " +
+        "the driver's 2000-char tail window; trim query names or precision")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      Files.writeString(Paths.get(p), line + "\n")
+      Files.writeString(Paths.get(p),
+        detail + "\n" + sf1CompactLine + "\n" + summary + "\n")
     }
     spark.stop()
   }

@@ -1337,7 +1337,12 @@ object Dedup {
     val ss = docs
       .select(col(s"`$srcCol`").as("__so_src"),
         explode(text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN))
-          .as("__so_g"))
+          .as("__so_g0"))
+      // shingle STRINGS never reach the shuffle: hashing to 64 bits
+      // map-side means the one corpus-sized distinct ships 8-byte keys
+      // (~4-8x fewer shuffle bytes; a collision altering a count needs
+      // ~2^32 distinct shingles per source pair — not at this scale)
+      .select(col("__so_src"), xxhash64(col("__so_g0")).as("__so_g"))
       .distinct()
     val nSrc = ss.select(col("__so_src")).distinct()
       .limit(maxSources + 1).count()

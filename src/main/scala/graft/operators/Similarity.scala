@@ -583,10 +583,16 @@ object Similarity {
           seedRows.map(r => r.getSeq[Double](s).toSeq: Seq[Double]))
       require(books.nonEmpty && books.head.nonEmpty,
         "pqCodebooks: input has no vectors")
-      for (_ <- 0 until iters) {
+      // the posexploded (subspace, sub-vector) frame is loop-invariant:
+      // materialize it ONCE — each Lloyd iteration then re-reads the
+      // cached exploded blocks instead of re-running the projection
+      // over `train` (and its upstream scan/sample) per iteration
+      val exploded = train.select(posexplode(array((0 until m).map(s =>
+        subSlice(col(vecCol), s, sub)): _*)).as(Seq("__s", "__sub")))
+        .persist()
+      exploded.count() // force materialization before the loop
+      try for (_ <- 0 until iters) {
         val lit3 = typedLit(books.map(_.toSeq).toSeq)
-        val exploded = train.select(posexplode(array((0 until m).map(s =>
-          subSlice(col(vecCol), s, sub)): _*)).as(Seq("__s", "__sub")))
         val sums = exploded
           .withColumn("__c", nearestCode(col("__sub"),
             element_at(lit3, col("__s") + 1)))
@@ -603,7 +609,7 @@ object Similarity {
               (0 until sub).map(i => r.getAs[Double](s"__d$i") / n): Seq[Double]
             }
         }
-      }
+      } finally exploded.unpersist()
       books
     } finally train.unpersist()
   }

@@ -386,7 +386,18 @@ case class ChPartitionCommand(table: String, op: String,
         require(fs.exists(live),
           s"DETACH PARTITION: $partition not present in $table")
         fs.mkdirs(detachedRoot)
-        if (fs.exists(detached)) fs.delete(detached, true)
+        // a previously detached copy of the same week is DATA — CH
+        // numbers colliding detached parts rather than overwrite;
+        // suffix the prior copy aside (_1, _2, …) the same way
+        if (fs.exists(detached)) {
+          val n = Iterator.from(1).find(i =>
+            !fs.exists(new Path(detachedRoot,
+              s"${wh.weekCol}=${partition}_$i"))).get
+          require(fs.rename(detached, new Path(detachedRoot,
+            s"${wh.weekCol}=${partition}_$n")),
+            s"DETACH PARTITION: could not shelve prior detached copy " +
+              s"of $partition")
+        }
         require(fs.rename(live, detached),
           s"DETACH PARTITION failed: $partition")
       case "ATTACH" =>

@@ -672,11 +672,12 @@ object ChDialect {
           when(y === 0L, lit(0L)).otherwise(x % y).as("b"))
       })
       val g = folded.getField("a")
-      // (a/g) is an exact integer quotient — back to long BEFORE the
-      // multiply so the product stays long arithmetic (Column `/` is
-      // double division)
-      ex(when(g === 0L, lit(0L))
-        .otherwise((a / g).cast("long") * b))
+      // a/g divides exactly, but Column `/` is IEEE double division —
+      // above 2^53 the operands round and the truncated quotient can
+      // come back wrong. IntegralDivide keeps it long arithmetic.
+      val q = col(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ex(a), ex(g)))
+      ex(when(g === 0L, lit(0L)).otherwise(q * b))
     }),
     // assumeNotNull: identity on the value (CH uses it to strip
     // Nullable; Spark nullability is advisory, so pass through)

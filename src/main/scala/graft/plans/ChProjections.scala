@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -124,6 +124,11 @@ object ChProjections {
 
   /** For tests and `system`-style introspection. */
   def clear(): Unit = defs.clear()
+
+  /** Fast-path probe for [[ChProjectionRule]]: with no registered
+    * projection the rule must cost nothing per optimizer invocation.
+    */
+  def isEmpty: Boolean = defs.isEmpty
 }
 
 /** `ALTER TABLE t ADD PROJECTION p (SELECT … GROUP BY …)` — parses,
@@ -184,7 +189,11 @@ case class ChDropProjectionCommand(table: String, name: String)
 case class ChProjectionRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (spark.conf.get(ChProjections.RewriteFlag, "true") != "true") plan
+    // empty-registry fast path: the rule is injected session-wide but
+    // projections exist only in the few sessions that ADD one — skip
+    // the PhysicalOperation match + bindings scan for everyone else
+    if (ChProjections.isEmpty) plan
+    else if (spark.conf.get(ChProjections.RewriteFlag, "true") != "true") plan
     else plan transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) if agg.resolved =>
         rewrite(agg, groupExprs, aggExprs, child).getOrElse(agg)
@@ -211,11 +220,20 @@ case class ChProjectionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     // strip Project/Filter down to the relation (PhysicalOperation
     // folds them and gives back the effective filter set)
-    val (_, filters, rel) = child match {
+    val (projList, filters, rel) = child match {
       case PhysicalOperation(p, f, r: LogicalRelation) => (p, f, r)
       case _ => return None
     }
     val table = tableOf(rel).getOrElse(return None)
+    // matching below is by NAME — a Project that renames or computes
+    // (SELECT other_col AS k) would let a shadowed key slip through
+    // and silently group by the projection's REAL k. Only a bare
+    // column subset (or no Project at all) is safe.
+    val relCols = rel.output.map(_.name).toSet
+    if (!projList.forall {
+      case a: AttributeReference => relCols.contains(a.name)
+      case _ => false
+    }) return None
     val groupNames = groupExprs.map {
       case a: AttributeReference => a.name
       case _ => return None
@@ -232,7 +250,10 @@ case class ChProjectionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // round(), ratios of two aggs — the wrapper recomputes over the
     // re-aggregated partials)
     def aggOk(d: ChProjections.ProjDef)(ae: AggregateExpression): Boolean =
-      !ae.isDistinct && (ae.aggregateFunction match {
+      // FILTER (WHERE …) predicates have no stored partial — and their
+      // references are invisible to outsideAggRefs — so a filtered
+      // aggregate must fall back to the base scan
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
         case Sum(c: AttributeReference, _) => d.aggs.contains("sum" -> c.name)
         case Min(c: AttributeReference) => d.aggs.contains("min" -> c.name)
         case Max(c: AttributeReference) => d.aggs.contains("max" -> c.name)
@@ -266,8 +287,11 @@ case class ChProjectionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       ae.aggregateFunction match {
         // count() is non-null Long; Sum over stored counts is a
-        // nullable Long — cast back so the plan's schema is unchanged
-        case _: Count => Cast(fn.toAggregateExpression(), LongType)
+        // nullable Long that goes NULL on an empty projection (global
+        // aggregate after a TTL/DELETE emptied the base) — coalesce to
+        // 0 and cast back so the plan's schema AND values are unchanged
+        case _: Count => Cast(Coalesce(Seq(
+          fn.toAggregateExpression(), Literal(0L))), LongType)
         // sum of partials widens (long → bigint stays, decimal grows)
         // — cast back to the original sum's result type
         case s: Sum => Cast(fn.toAggregateExpression(), s.dataType)

@@ -1916,16 +1916,15 @@ object DialectQueries {
       FROM sc GROUP BY lang ORDER BY lang"""))
 
   // The add/subtract date family, timeSlot / relative counters,
-  // alphaTokens, haversine geo distance, and array shingles — all
-  // through verbatim SQL against the oracle. The geo term is made
-  // boundary-safe in two moves (libm vs JVM trig differ in final
-  // ULPs, and `round(d/100)` put a half-boundary every 100 m — it
-  // flipped one unit at ~100k rows): (1) the fixture coordinates
-  // live in one 90°x60° patch, so no pair is near-antipodal and the
-  // asin' amplification of ULP noise stays ~1e-8 m; (2) per-row
-  // guard-banded km buckets `floor((d + 1e-3) / 1000)` — a flip now
-  // needs a true distance within 1e-8 m of a bucket edge minus the
-  // 1 mm guard, not a coin-toss half-boundary.
+  // alphaTokens, and array shingles — all through verbatim SQL
+  // against the oracle. The haversine geo column was RETIRED from the
+  // hashed surface in round 9: two rounds of quantization tuning
+  // (patch-confined fixtures, guard-banded km buckets) still flipped
+  // one bucket between JVM and libm trig in the driver run —
+  // transcendentals feeding a hashed integer are unfixable by
+  // quantization. `greatCircleDistance` is covered with tolerance in
+  // ChDialectSpec instead (the engine's standing policy for every
+  // other transcendental, e.g. the X116 p-value CDF).
   val q137ChDateGeoVocab = QueryDef(
     "q137_ch_date_geo_vocab",
     (s, dir) => {
@@ -1938,12 +1937,6 @@ object DialectQueries {
                uniqExact(timeSlot(ts)) AS slots,
                toInt64(max(toRelativeDayNum(ts))) AS rd,
                toInt64(sum(size(alphaTokens(props)))) AS at,
-               toInt64(sum(floor((greatCircleDistance(
-                 CAST(user_id % 90 AS DOUBLE) + 0.5,
-                 CAST(user_id % 60 AS DOUBLE) + 0.5,
-                 CAST(event_id % 90 AS DOUBLE) + 0.5,
-                 CAST(event_id % 60 AS DOUBLE) + 0.5)
-                 + 0.001) / 1000))) AS gc,
                toInt64(sum(size(arrayShingles(
                  sequence(1, CAST(user_id % 6 AS INT) + 1), 2)))) AS sh,
                toInt64(count(1)) AS n
@@ -1961,14 +1954,6 @@ object DialectQueries {
              CAST(max(floor(epoch(ts) / 86400)) AS BIGINT) AS rd,
              CAST(sum(len(regexp_extract_all(props, '[A-Za-z]+')))
                AS BIGINT) AS at,
-             CAST(sum(floor((2 * 6371000 * asin(sqrt(
-               pow(sin((radians(CAST(event_id % 60 AS DOUBLE) + 0.5)
-                        - radians(CAST(user_id % 60 AS DOUBLE) + 0.5)) / 2), 2)
-               + cos(radians(CAST(user_id % 60 AS DOUBLE) + 0.5))
-               * cos(radians(CAST(event_id % 60 AS DOUBLE) + 0.5))
-               * pow(sin((radians(CAST(event_id % 90 AS DOUBLE) + 0.5)
-                          - radians(CAST(user_id % 90 AS DOUBLE) + 0.5)) / 2), 2)))
-               + 0.001) / 1000)) AS BIGINT) AS gc,
              CAST(sum(greatest(user_id % 6, 0)) AS BIGINT) AS sh,
              CAST(count(1) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))

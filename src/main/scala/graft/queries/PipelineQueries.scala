@@ -4019,6 +4019,35 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X94 bench entry: the MinHash union-sketch estimate of q182's exact
+  // source-overlap matrix — the designated 100 TB path (mapper-bounded
+  // shuffle, sources²-sized comparison) gets its own measured
+  // wall-time next to the exact form's corpus-sized distinct. The
+  // estimate itself is engine-specific (xxhash64 signatures), so the
+  // DuckDB-checked surface is the sketch's STRUCTURAL contract: exactly
+  // one row per unordered source pair, 128 signature slots, estimates
+  // inside [0,1]; the accuracy envelope vs the exact form is pinned in
+  // Round8Props (stderr ≈ sqrt(J(1-J)/128)).
+  val q223SourceOverlapSketchBench = QueryDef(
+    "q223_source_overlap_sketch",
+    (s, dir) =>
+      Dedup.sourceOverlapSketch(Graft.table(s, dir, "documents"),
+          "source", "text", shingleN = 3, numHashes = 128)
+        .select(col("src_a"), col("src_b"),
+          lit(128L).as("n_hashes"),
+          when(col("jaccard_est").between(0.0, 1.0), 1L).otherwise(0L)
+            .as("in_range"))
+        .orderBy(col("src_a"), col("src_b")),
+    Some("""
+      WITH s AS (SELECT DISTINCT source FROM documents)
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(128 AS BIGINT) AS n_hashes,
+             CAST(1 AS BIGINT) AS in_range
+      FROM s a JOIN s b ON a.source < b.source
+      ORDER BY src_a, src_b"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // X92: Domain-similarity map — pairwise cosine between per-label
   // embedding centroids. Fixed-point per-dim sums and integer
   // dot/norm folds keep the compared cosine bit-identical across
@@ -4702,6 +4731,7 @@ object PipelineQueries {
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,
+    q223SourceOverlapSketchBench,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,

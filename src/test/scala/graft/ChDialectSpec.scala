@@ -973,6 +973,38 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(r.getDouble(15) - 634000.0) < 4000.0)
   }
 
+  test("greatCircleDistance: q137 fixture grid vs reference haversine, " +
+      "relative tolerance (trig retired from the hashed oracle surface)") {
+    // the driver-hashed q137 entry no longer carries the geo column —
+    // JVM-vs-libm trig deltas flipped a floor() bucket two rounds
+    // running. This spec is the coverage that replaced it: the same
+    // (user_id, event_id) coordinate grid, checked against a
+    // pure-Scala haversine with 1e-9 relative tolerance.
+    def ref(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val (f1, f2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val (dF, dL) = (f2 - f1, math.toRadians(lon2 - lon1))
+      val h = math.pow(math.sin(dF / 2), 2) +
+        math.cos(f1) * math.cos(f2) * math.pow(math.sin(dL / 2), 2)
+      2 * 6371000.0 * math.asin(math.sqrt(h))
+    }
+    val rows = spark.sql("""
+      SELECT u, e,
+             greatCircleDistance(CAST(u % 90 AS DOUBLE) + 0.5,
+                                 CAST(u % 60 AS DOUBLE) + 0.5,
+                                 CAST(e % 90 AS DOUBLE) + 0.5,
+                                 CAST(e % 60 AS DOUBLE) + 0.5) AS gc
+      FROM (SELECT id AS u, id * 7 + 3 AS e FROM range(0, 200))
+    """).collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val (u, e) = (r.getLong(0), r.getLong(1))
+      val want = ref(u % 90 + 0.5, u % 60 + 0.5, e % 90 + 0.5, e % 60 + 0.5)
+      val got = r.getDouble(2)
+      assert(math.abs(got - want) <= 1e-9 * math.max(1.0, want),
+        s"u=$u e=$e got=$got want=$want")
+    }
+  }
+
   test("ngramDistance / ngramSearch: multiset 4-gram fuzzy matching") {
     val r = spark.sql("""
       SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
