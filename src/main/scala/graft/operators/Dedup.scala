@@ -1377,27 +1377,32 @@ object Dedup {
     * shingles), and pairwise Jaccard is estimated as the fraction of
     * agreeing signature slots (stderr ≈ sqrt(J(1-J)/H)).
     *
-    * Scale shape: the (source, slot, hash) explosion is map-side and
-    * PARTIALLY AGGREGATED before the shuffle — each mapper emits at
-    * most sources × numHashes min-candidates regardless of corpus
-    * size, so the one shuffle is mapper-count-bounded, and the pair
-    * comparison runs on the sources²-sized signature table. Exact and
-    * estimate agree at the extremes by construction (identical sets →
-    * identical signatures → 1.0; disjoint hash-free sets → ~0);
-    * `Round8Props` pins the error envelope. The exact form is the
-    * oracle-comparable reference; this is the flagged 100 TB variant.
+    * Scale shape (round-9 rewrite — the first form posexploded
+    * tokens × numHashes ROWS and benched 8× slower than the exact
+    * form at sf0.1): each DOC computes its numHashes-slot signature
+    * in ONE codegen'd kernel pass (one base xxhash per shingle + k
+    * integer mixes, `HashKernels.minhash` — no row explosion), and
+    * the source's union signature is the elementwise min across its
+    * docs (min is associative: folding per-doc minima equals the min
+    * over the source's pooled shingle set). The only shuffle is the
+    * docs × numHashes slot rollup, map-side combined to
+    * sources × numHashes partials per mapper; pair comparison runs on
+    * the sources²-sized signature table. Exact and estimate agree at
+    * the extremes by construction (identical sets → identical
+    * signatures → 1.0; disjoint hash-free sets → ~0); `Round8Props`
+    * pins the error envelope. The exact form is the oracle-comparable
+    * reference; this is the flagged 100 TB variant.
     */
   def sourceOverlapSketch(docs: DataFrame, srcCol: String,
       textCol: String, shingleN: Int = 3,
       numHashes: Int = 128): DataFrame = {
     import graft.functions.text
-    val ss = docs
-      .select(col(s"`$srcCol`").as("__sk_src"),
-        explode(text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN))
-          .as("__sk_g"))
-    val slots = ss.select(col("__sk_src"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
-          i => xxhash64(i, col("__sk_g")))).as(Seq("__sk_i", "__sk_h")))
+    val docSig = docs.select(col(s"`$srcCol`").as("__sk_src"),
+      graft.plans.NativeHashes.minHashSignature64(
+        text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN),
+        numHashes).as("__sk_ds"))
+    val slots = docSig.select(col("__sk_src"),
+        posexplode(col("__sk_ds")).as(Seq("__sk_i", "__sk_h")))
       .groupBy(col("__sk_src"), col("__sk_i"))
       .agg(min(col("__sk_h")).as("__sk_m"))
     val sigs = slots.groupBy(col("__sk_src"))

@@ -545,12 +545,15 @@ object Similarity {
 
   /** Index (0-based) of the nearest codeword by squared L2, first-min
     * tie-break — the PQ assignment rule, as an inline expression over
-    * the literal codebook (a projection, never a join).
+    * the literal codebook (a projection, never a join). Round 9: the
+    * `transform`+`array_position(array_min)` combinator became the
+    * codegen'd [[graft.plans.NativeMath.pqNearestSub]] kernel — the
+    * m × k interpreted lambda folds were q209's top CPU line; the
+    * kernel does the identical index-ordered IEEE accumulation and
+    * first-min tie-break (SimilaritySpec pins the codebooks).
     */
-  private def nearestCode(sub: Column, codebook: Column): Column = {
-    val dists = transform(codebook, c => l2sq(sub, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  private def nearestCode(sub: Column, codebook: Column): Column =
+    graft.plans.NativeMath.pqNearestSub(sub, codebook)
 
   /** Train PQ codebooks: `m` subspaces × up to `k` codewords each
     * (empty cells drop and re-index, the kmeansCentroids contract).
@@ -617,13 +620,9 @@ object Similarity {
   /** PQ codes of a vector — array of `m` codeword indices, the stored
     * representation. A pure projection against the literal codebooks.
     */
-  def pqEncode(v: Column, books: Array[Array[Seq[Double]]]): Column = {
-    val m = books.length
-    val sub = books.head.head.length
-    val lit3 = typedLit(books.map(_.toSeq).toSeq)
-    array((0 until m).map(s =>
-      nearestCode(subSlice(v, s, sub), element_at(lit3, s + 1))): _*)
-  }
+  def pqEncode(v: Column, books: Array[Array[Seq[Double]]]): Column =
+    graft.plans.NativeMath.pqEncode64(v,
+      typedLit(books.map(_.toSeq).toSeq))
 
   /** Embedding-space outlier detection (the SemDeDup-adjacent CLEANING
     * pass: a vector far from its own source's centroid is mislabeled,
@@ -694,10 +693,10 @@ object Similarity {
       lut.as("__lut"))
     val scored = codes.crossJoin(broadcast(p2))
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("sim", aggregate(
-        zip_with(col("__code"), col("__lut"), (code, t) =>
-          element_at(t, code + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      // ADC fold as the codegen'd kernel (index-ordered, bit-identical
+      // to the zip_with combinator) — the scan is codes × probes
+      .withColumn("sim",
+        graft.plans.NativeMath.pqAdc(col("__code"), col("__lut")))
       .select(col("probe_id"), col("id"), col("sim"))
     val short = topKPerKey(scored, "probe_id", shortlist)
       .select(col("probe_id"), col("id"))

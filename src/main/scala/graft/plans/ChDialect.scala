@@ -26,6 +26,16 @@ object ChDialect {
       s"$what must be a string literal, got $other")
   }
 
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case Literal(v: Long, _) => v.toInt
@@ -859,6 +869,48 @@ object ChDialect {
     "rankCorr" -> (args =>
       RankTestAgg(Cast(args.head, LongType), Cast(args(1), LongType),
         "rankCorr").toAggregateExpression()),
+    // quantileTiming family (plans/NativeStats.QuantileTimingAgg):
+    // CH's fixed-bin deterministic timing quantile — NOT the percentile
+    // mapping the other quantile* names take; the bin contract (exact
+    // <1024, 16 ms bins to 30000, clamp above) is the point. Calls
+    // arrive flattened: (level(s)…, x[, weight]).
+    "quantileTiming" -> (args => QuantileTimingAgg(
+      Cast(args(1), LongType), None,
+      Seq(litDouble(args.head, "quantileTiming level")),
+      returnArray = false).toAggregateExpression()),
+    "quantilesTiming" -> (args => QuantileTimingAgg(
+      Cast(args.last, LongType), None,
+      args.init.map(litDouble(_, "quantilesTiming level")),
+      returnArray = true).toAggregateExpression()),
+    "quantileTimingWeighted" -> (args => QuantileTimingAgg(
+      Cast(args(1), LongType), Some(Cast(args(2), LongType)),
+      Seq(litDouble(args.head, "quantileTimingWeighted level")),
+      returnArray = false).toAggregateExpression()),
+    "quantilesTimingWeighted" -> (args => QuantileTimingAgg(
+      Cast(args(args.length - 2), LongType),
+      Some(Cast(args.last, LongType)),
+      args.dropRight(2).map(litDouble(_, "quantilesTimingWeighted level")),
+      returnArray = true).toAggregateExpression()),
+    // categorical-association family (plans/NativeStats.CatAssocAgg):
+    // contingency-table buffer bounded by category-pair cardinality —
+    // the sublinear sufficient statistic the rank tests lack. Compared
+    // surfaces round to 6 dp (final ln/sqrt per the transcendental
+    // policy).
+    "cramersV" -> (args =>
+      CatAssocAgg(Cast(args.head, StringType), Cast(args(1), StringType),
+        "cramersV").toAggregateExpression()),
+    "cramersVBiasCorrected" -> (args =>
+      CatAssocAgg(Cast(args.head, StringType), Cast(args(1), StringType),
+        "cramersVBiasCorrected").toAggregateExpression()),
+    "theilsU" -> (args =>
+      CatAssocAgg(Cast(args.head, StringType), Cast(args(1), StringType),
+        "theilsU").toAggregateExpression()),
+    "contingency" -> (args =>
+      CatAssocAgg(Cast(args.head, StringType), Cast(args(1), StringType),
+        "contingency").toAggregateExpression()),
+    "categoricalInformationValue" -> (args =>
+      CatAssocAgg(Cast(args.head, StringType), Cast(args(1), StringType),
+        "categoricalInformationValue").toAggregateExpression()),
     // regression/correlation over exact decimal moment sums
     // (graft.functions.ch — bit-replayable final IEEE ops). CH names
     // both `corr` (single-pass float) and `corrStable` (stable

@@ -39,6 +39,33 @@ object NativeMath {
   def argmaxCosine(v: Column, cents: Column): Column =
     GraftSqlBridge.column(
       ArgMaxCosineExpr(GraftSqlBridge.expression(v), GraftSqlBridge.expression(cents)))
+
+  /** PQ code assignment for the FULL vector: element s of the result is
+    * the 0-based index of the nearest codeword (squared-L2, first-min
+    * tie-break) of sub-slice s among `books(s)`. Value-identical to the
+    * per-subspace `array_position(dists, array_min(dists)) - 1`
+    * combinator over `transform`-computed l2sq arrays — but one
+    * codegen'd loop per row instead of m x k interpreted lambda folds
+    * (the q209 hot path).
+    */
+  def pqEncode64(v: Column, books: Column): Column =
+    GraftSqlBridge.column(
+      PqEncodeExpr(GraftSqlBridge.expression(v), GraftSqlBridge.expression(books)))
+
+  /** Nearest-codeword index for ONE sub-vector against one subspace's
+    * codebook — the training-assignment kernel (same semantics as one
+    * slot of [[pqEncode64]]).
+    */
+  def pqNearestSub(sub: Column, book: Column): Column =
+    GraftSqlBridge.column(
+      PqNearestSubExpr(GraftSqlBridge.expression(sub), GraftSqlBridge.expression(book)))
+
+  /** ADC score: sum over s of `lut(s)(codes(s))` — the PQ scan kernel,
+    * index-ordered accumulation (bit-identical to the zip_with fold).
+    */
+  def pqAdc(codes: Column, lut: Column): Column =
+    GraftSqlBridge.column(
+      PqAdcExpr(GraftSqlBridge.expression(codes), GraftSqlBridge.expression(lut)))
 }
 
 case class DotProduct64Expr(left: Expression, right: Expression)
@@ -95,6 +122,74 @@ case class ArgMaxCosineExpr(left: Expression, right: Expression)
 
 object MathKernels {
 
+  /** Squared L2 between `sub` and codeword `c` over the slice
+    * [off, off+d) of `v` — index-ordered accumulation, the l2sq
+    * combinator's exact operation order.
+    */
+  private def l2sqSlice(v: ArrayData, off: Int, c: ArrayData): Double = {
+    val d = c.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      val x = v.getDouble(off + i) - c.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  /** First-min nearest codeword over one subspace codebook (strict <
+    * keeps the first minimum — `array_position` first-occurrence
+    * semantics, as the combinator had).
+    */
+  def pqNearest(sub: ArrayData, book: ArrayData): Int = {
+    var best = Double.PositiveInfinity
+    var bestI = 0
+    var c = 0
+    val k = book.numElements()
+    while (c < k) {
+      val d = l2sqSlice(sub, 0, book.getArray(c))
+      if (d < best) { best = d; bestI = c }
+      c += 1
+    }
+    bestI
+  }
+
+  def pqEncode(v: ArrayData, books: ArrayData): ArrayData = {
+    val m = books.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val book = books.getArray(s)
+      val d = book.getArray(0).numElements()
+      var best = Double.PositiveInfinity
+      var bestI = 0
+      var c = 0
+      val k = book.numElements()
+      while (c < k) {
+        val dist = l2sqSlice(v, off, book.getArray(c))
+        if (dist < best) { best = dist; bestI = c }
+        c += 1
+      }
+      out(s) = bestI
+      off += d
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def pqAdc(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** The combinator's definedness domain: `zip_with` pads the shorter
     * side with nulls and a null product poisons the whole aggregate,
     * so the dot product is non-null exactly when lengths match and no
@@ -147,4 +242,65 @@ object MathKernels {
     }
     bestI
   }
+}
+
+case class PqEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(ArrayType(DoubleType))))
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(v: Any, books: Any): Any =
+    MathKernels.pqEncode(v.asInstanceOf[ArrayData],
+      books.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.MathKernels.pqEncode($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
+}
+
+case class PqNearestSubExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_nearest"
+
+  override protected def nullSafeEval(sub: Any, book: Any): Any =
+    MathKernels.pqNearest(sub.asInstanceOf[ArrayData],
+      book.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.MathKernels.pqNearest($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
+}
+
+case class PqAdcExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    MathKernels.pqAdc(codes.asInstanceOf[ArrayData],
+      lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.MathKernels.pqAdc($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
 }

@@ -331,3 +331,362 @@ object RankTestAgg {
     cov2.toDouble / math.sqrt(vx2.toDouble * vy2.toDouble)
   }
 }
+
+/** Categorical-association aggregates backing the engine's `cramersV`,
+  * `cramersVBiasCorrected`, `theilsU`, `contingency`, and
+  * `categoricalInformationValue` — ClickHouse's contingency-table
+  * family (`clickhouse.com/docs/sql-reference/aggregate-functions/
+  * reference/cramersv`, `…/theilsu`, `…/contingency`,
+  * `…/categoricalinformationvalue`).
+  *
+  * Scale shape: the buffer is the (a, b) CONTINGENCY TABLE — a count
+  * map bounded by distinct category-pair cardinality, NOT group size.
+  * Partials merge by count addition, so map-side combine reduces a
+  * 100 TB scan to |categories|²-sized partials per mapper; nothing
+  * row-sized ever serializes.
+  *
+  * Determinism policy: all counts and marginals are exact longs; the
+  * final statistic folds cells in SORTED category order, so the result
+  * is a pure function of the contingency table — independent of row
+  * order, partitioning, and merge order. The handful of final IEEE ops
+  * (per-cell χ² terms, `ln` ratios) can differ from the DuckDB
+  * oracle's fold order by ~1 ulp, so compared surfaces round to 6 dp
+  * (the engine's transcendental policy; these are NOT hashed as
+  * integers — the q137 lesson).
+  *
+  * Departures from CH, documented: `categoricalInformationValue` takes
+  * exactly one category column and returns its IV as a Double (CH's
+  * n-column tuple form collapses to per-column calls); categories
+  * where either tag class has zero count are SKIPPED (CH's float
+  * accumulation yields ±inf there — unusable in any compared surface);
+  * `theilsU(a, b)` is U(a|b) = (H(a) − H(a|b)) / H(a), 0 when
+  * H(a) = 0.
+  */
+case class CatAssocAgg(
+    left: Expression,
+    right: Expression,
+    kind: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    scala.collection.mutable.HashMap[(String, String), Long]]
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
+
+  require(CatAssocAgg.Kinds.contains(kind),
+    s"CatAssocAgg kind must be one of ${CatAssocAgg.Kinds.mkString(", ")}, got $kind")
+
+  private type Buf = scala.collection.mutable.HashMap[(String, String), Long]
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = kind
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a != null && b != null) {
+      val k = (a.toString, b.toString)
+      buf.update(k, buf.getOrElse(k, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreach { case (k, v) => b1.update(k, b1.getOrElse(k, 0L) + v) }
+    b1
+  }
+
+  override def eval(buf: Buf): Any =
+    if (buf.isEmpty) null
+    else kind match {
+      case "cramersV" => CatAssocAgg.cramersV(buf, corrected = false)
+      case "cramersVBiasCorrected" =>
+        CatAssocAgg.cramersV(buf, corrected = true)
+      case "theilsU" => CatAssocAgg.theilsU(buf)
+      case "contingency" => CatAssocAgg.contingency(buf)
+      case "categoricalInformationValue" => CatAssocAgg.infoValue(buf)
+    }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case ((a, b), n) =>
+      out.writeUTF(a); out.writeUTF(b); out.writeLong(n)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val a = in.readUTF(); val b = in.readUTF(); val c = in.readLong()
+      buf.update((a, b), c)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CatAssocAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CatAssocAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CatAssocAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+object CatAssocAgg {
+  val Kinds: Set[String] = Set("cramersV", "cramersVBiasCorrected",
+    "theilsU", "contingency", "categoricalInformationValue")
+
+  private type Buf = scala.collection.mutable.HashMap[(String, String), Long]
+
+  /** Sorted cells + exact marginals — the deterministic fold order. */
+  private def table(buf: Buf):
+      (Array[((String, String), Long)], Map[String, Long],
+        Map[String, Long], Long) = {
+    val cells = buf.toArray.sortBy(_._1)
+    val ra = cells.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    val cb = cells.groupBy(_._1._2).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    (cells, ra, cb, cells.map(_._2).sum)
+  }
+
+  /** χ² folded per-cell over the FULL r×c grid (absent cells have
+    * n_ij = 0 but still contribute e_ij), in sorted (a, b) order.
+    */
+  private def chi2(buf: Buf): (Double, Long, Int, Int) = {
+    val (cells, ra, cb, n) = table(buf)
+    val present = cells.map { case (k, v) => k -> v }.toMap
+    var x2 = 0.0
+    for (a <- ra.keys.toArray.sorted; b <- cb.keys.toArray.sorted) {
+      val e = ra(a).toDouble * cb(b).toDouble / n.toDouble
+      val o = present.getOrElse((a, b), 0L).toDouble
+      x2 += (o - e) * (o - e) / e
+    }
+    (x2, n, ra.size, cb.size)
+  }
+
+  def cramersV(buf: Buf, corrected: Boolean): Any = {
+    val (x2, n, r, c) = chi2(buf)
+    if (r < 2 || c < 2) return 0.0
+    if (!corrected) {
+      math.sqrt(x2 / (n.toDouble * math.min(r - 1, c - 1)))
+    } else {
+      if (n <= 1) return 0.0
+      val phi2 = math.max(0.0,
+        x2 / n - (r - 1.0) * (c - 1.0) / (n - 1.0))
+      val rr = r - (r - 1.0) * (r - 1.0) / (n - 1.0)
+      val cc = c - (c - 1.0) * (c - 1.0) / (n - 1.0)
+      val d = math.min(rr - 1.0, cc - 1.0)
+      if (d <= 0.0) 0.0 else math.sqrt(phi2 / d)
+    }
+  }
+
+  def contingency(buf: Buf): Any = {
+    val (x2, n, _, _) = chi2(buf)
+    math.sqrt(x2 / (x2 + n.toDouble))
+  }
+
+  /** U(a|b) — entropies as ln(n) − (Σ c·ln c)/n over exact counts,
+    * folded in sorted order.
+    */
+  def theilsU(buf: Buf): Any = {
+    val (cells, ra, cb, n) = table(buf)
+    def hOfCounts(counts: Array[Long], total: Long): Double = {
+      var s = 0.0
+      counts.foreach(c => s += c.toDouble * math.log(c.toDouble))
+      math.log(total.toDouble) - s / total.toDouble
+    }
+    val ha = hOfCounts(ra.keys.toArray.sorted.map(ra), n)
+    if (ha == 0.0) return 0.0
+    // H(a|b) = Σ_b (n_b/n) · H(a | B=b), folded in sorted b order
+    var hab = 0.0
+    val byB = cells.groupBy(_._1._2)
+    cb.keys.toArray.sorted.foreach { b =>
+      val sub = byB(b).sortBy(_._1._1)
+      hab += cb(b).toDouble / n.toDouble *
+        hOfCounts(sub.map(_._2), cb(b))
+    }
+    (ha - hab) / ha
+  }
+
+  /** IV of the category column vs a binary tag ("0" = bad, anything
+    * else = good); zero-count-on-either-side categories are skipped.
+    */
+  def infoValue(buf: Buf): Any = {
+    val (cells, ra, _, _) = table(buf)
+    val byA = cells.groupBy(_._1._1)
+    def split(a: String): (Long, Long) = {
+      var bad = 0L; var good = 0L
+      byA(a).foreach { case ((_, b), c) =>
+        if (b == "0") bad += c else good += c }
+      (bad, good)
+    }
+    val keys = ra.keys.toArray.sorted
+    var tBad = 0L; var tGood = 0L
+    keys.foreach { a =>
+      val (b, g) = split(a); tBad += b; tGood += g }
+    if (tBad == 0L || tGood == 0L) return null
+    var iv = 0.0
+    keys.foreach { a =>
+      val (b, g) = split(a)
+      if (b > 0L && g > 0L) {
+        val p = g.toDouble / tGood.toDouble
+        val q = b.toDouble / tBad.toDouble
+        iv += (p - q) * math.log(p / q)
+      }
+    }
+    iv
+  }
+}
+
+/** ClickHouse `quantileTiming` / `quantilesTiming` /
+  * `quantileTimingWeighted` (`clickhouse.com/docs/sql-reference/
+  * aggregate-functions/reference/quantiletiming`): the
+  * fixed-bin timing-quantile sketch — CH's determinism-by-design
+  * quantile ("the result is deterministic, it does not depend on the
+  * order of the data") and the right 100 TB shape: state is a count
+  * map over AT MOST 2837 fixed bins regardless of input size, fully
+  * mergeable and map-side combined.
+  *
+  * Bin rule (CH's documented precision contract): values < 1024 ms
+  * are exact (1 ms bins); 1024 ≤ v < 30000 in 16 ms bins (represented
+  * by the bin's LOWER bound); v ≥ 30000 clamps to 30000; negatives
+  * clamp to 0. Quantile selection: 0-based rank ⌊level·(n−1)⌋, first
+  * bin whose cumulative count exceeds the rank — every step integer
+  * arithmetic, so the DuckDB oracle replays it exactly (CASE-map each
+  * value to its representative, ORDER BY + OFFSET). Departure from
+  * CH, documented: returns Double (CH Float32), and empty input is
+  * NULL (CH NaN).
+  */
+case class QuantileTimingAgg(
+    child: Expression,
+    weight: Option[Expression],
+    levels: Seq[Double],
+    returnArray: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    scala.collection.mutable.HashMap[Int, Long]]
+  with ImplicitCastInputTypes {
+
+  require(levels.nonEmpty && levels.forall(l => l >= 0.0 && l <= 1.0),
+    s"quantileTiming levels must be in [0, 1], got $levels")
+
+  private type Buf = scala.collection.mutable.HashMap[Int, Long]
+
+  override def children: Seq[Expression] = child +: weight.toSeq
+  override def inputTypes: Seq[DataType] =
+    children.map(_ => LongType)
+  override def dataType: DataType =
+    if (returnArray) org.apache.spark.sql.types.ArrayType(
+      DoubleType, containsNull = false)
+    else DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (returnArray) "quantilesTiming" else "quantileTiming"
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val w = weight match {
+        case None => 1L
+        case Some(we) =>
+          val x = we.eval(input)
+          if (x == null) 0L else x.asInstanceOf[Long]
+      }
+      if (w > 0L) {
+        val b = QuantileTimingAgg.bin(v.asInstanceOf[Long])
+        buf.update(b, buf.getOrElse(b, 0L) + w)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreach { case (k, v) => b1.update(k, b1.getOrElse(k, 0L) + v) }
+    b1
+  }
+
+  override def eval(buf: Buf): Any = {
+    if (buf.isEmpty) return null
+    val bins = buf.toArray.sortBy(_._1)
+    val n = bins.map(_._2).sum
+    val qs = levels.map { level =>
+      val rank = math.floor(level * (n - 1).toDouble).toLong
+      var cum = 0L
+      var i = 0
+      var out = QuantileTimingAgg.rep(bins.last._1)
+      var found = false
+      while (i < bins.length && !found) {
+        cum += bins(i)._2
+        if (cum > rank) { out = QuantileTimingAgg.rep(bins(i)._1); found = true }
+        i += 1
+      }
+      out.toDouble
+    }
+    if (returnArray)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(qs.toArray)
+    else qs.head
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 12 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, v) => bb.putInt(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.update(bb.getInt, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): QuantileTimingAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): QuantileTimingAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileTimingAgg =
+    copy(child = newChildren.head,
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
+}
+
+object QuantileTimingAgg {
+  /** 0..1023 exact; 1024..2834 are 16 ms bins; 2835 is the ≥30000
+    * overflow bin.
+    */
+  def bin(v: Long): Int =
+    if (v < 0L) 0
+    else if (v < 1024L) v.toInt
+    else if (v < 30000L) 1024 + ((v - 1024L) / 16L).toInt
+    else 2835
+
+  def rep(b: Int): Long =
+    if (b < 1024) b.toLong
+    else if (b < 2835) 1024L + (b - 1024).toLong * 16L
+    else 30000L
+}

@@ -50,8 +50,11 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // is matched by a balanced-paren scan. The plural forms take a level
   // LIST and return an array (→ percentile(x, array(...))).
   private val quantileHead =
+    // NOTE: the Timing family is NOT here — it has its own native
+    // fixed-bin sketch (NativeStats.QuantileTimingAgg) and flattens
+    // through the paramAgg path instead of collapsing to percentile
     ("""(?i)\b(quantiles?|quantiles?Exact|quantiles?ExactInclusive""" +
-      """|quantiles?ExactWeighted|quantiles?Timing|quantiles?TDigest)""" +
+      """|quantiles?ExactWeighted|quantiles?TDigest)""" +
       """\s*\(\s*([0-9.eE+-]+(?:\s*,\s*[0-9.eE+-]+)*)\s*\)\s*\(""").r
   private val prewhereKw = """(?i)\bPREWHERE\b""".r
   // values may be bare words/numbers OR a masked string literal (the
@@ -148,6 +151,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?i)\b(windowFunnel|sequenceMatch|sequenceCount|uniqUpTo""" +
       """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram""" +
+      """|quantilesTimingWeighted|quantileTimingWeighted""" +
+      """|quantilesTiming|quantileTiming""" +
       """|largestTriangleThreeBuckets|lttb)""" +
       """\s*\(\s*([^()]+?)\s*\)\s*\(""").r
 

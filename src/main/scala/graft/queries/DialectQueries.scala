@@ -3871,8 +3871,152 @@ object DialectQueries {
       FROM events WHERE event_id < 50
       ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------------
+  // X133: categorical-association family — cramersV / bias-corrected /
+  // contingency / theilsU / categoricalInformationValue over the
+  // contingency-table native aggregate (plans/NativeStats.CatAssocAgg:
+  // count-map state bounded by category-pair cardinality, map-side
+  // combined). Outputs round to 6 dp — the final ln/sqrt are IEEE ops
+  // whose fold order differs from DuckDB's (transcendental policy; the
+  // counts underneath are exact integers both sides).
+  val q224CatAssociation = QueryDef(
+    "q224_cat_association",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v224")
+      s.sql("""
+        SELECT event_type,
+               round(cramersV(CAST(user_id % 3 AS STRING),
+                              CAST(event_id % 4 AS STRING)), 6) AS v,
+               round(cramersVBiasCorrected(CAST(user_id % 3 AS STRING),
+                              CAST(event_id % 4 AS STRING)), 6) AS vc,
+               round(contingency(CAST(user_id % 3 AS STRING),
+                              CAST(event_id % 4 AS STRING)), 6) AS ct,
+               round(theilsU(CAST(user_id % 3 AS STRING),
+                              CAST(event_id % 4 AS STRING)), 6) AS u,
+               round(categoricalInformationValue(
+                 CAST(user_id % 3 AS STRING),
+                 CAST(event_id % 2 AS STRING)), 6) AS iv,
+               toInt64(count(1)) AS n
+        FROM events_v224
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH obs AS (
+        SELECT event_type AS g, user_id % 3 AS a, event_id % 4 AS b,
+               count(*) AS c
+        FROM events GROUP BY 1, 2, 3
+      ), ra AS (SELECT g, a, sum(c) AS r FROM obs GROUP BY 1, 2),
+      cb AS (SELECT g, b, sum(c) AS s FROM obs GROUP BY 1, 2),
+      nn AS (SELECT g, CAST(sum(c) AS DOUBLE) AS n,
+                    count(DISTINCT a) AS nr, count(DISTINCT b) AS nc
+             FROM obs GROUP BY 1),
+      grid AS (
+        SELECT ra.g, ra.a, cb.b, ra.r, cb.s, coalesce(obs.c, 0) AS o
+        FROM ra JOIN cb USING (g) LEFT JOIN obs USING (g, a, b)
+      ), x2 AS (
+        SELECT grid.g,
+               sum(pow(o - r * s / nn.n, 2) / (r * s / nn.n)) AS x2
+        FROM grid JOIN nn USING (g) GROUP BY 1
+      ), ent AS (
+        SELECT ra.g,
+               ln(any_value(nn.n)) -
+                 sum(r * ln(CAST(r AS DOUBLE))) / any_value(nn.n) AS ha
+        FROM ra JOIN nn USING (g) GROUP BY 1
+      ), condent AS (
+        SELECT o.g, sum(CAST(cb.s AS DOUBLE) / nn.n *
+          (ln(CAST(cb.s AS DOUBLE)) - hcell.hs / cb.s)) AS hab
+        FROM (SELECT DISTINCT g, b FROM obs) o
+        JOIN cb USING (g, b) JOIN nn USING (g)
+        JOIN (SELECT g, b, sum(c * ln(CAST(c AS DOUBLE))) AS hs
+              FROM obs GROUP BY 1, 2) hcell USING (g, b)
+        GROUP BY 1
+      ), ivo AS (
+        SELECT event_type AS g, user_id % 3 AS a,
+               sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS bad,
+               sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS good
+        FROM events GROUP BY 1, 2
+      ), ivt AS (
+        SELECT g, sum(bad) AS tbad, sum(good) AS tgood FROM ivo GROUP BY 1
+      ), iv AS (
+        SELECT ivo.g,
+               sum(CASE WHEN bad > 0 AND good > 0 THEN
+                 (good / CAST(tgood AS DOUBLE) - bad / CAST(tbad AS DOUBLE))
+                 * ln((good / CAST(tgood AS DOUBLE)) /
+                      (bad / CAST(tbad AS DOUBLE)))
+                 ELSE 0 END) AS iv
+        FROM ivo JOIN ivt USING (g) GROUP BY 1
+      )
+      SELECT nn.g AS event_type,
+             round(sqrt(x2.x2 / (nn.n * least(nn.nr - 1, nn.nc - 1))), 6)
+               AS v,
+             round(sqrt(greatest(0,
+                 x2.x2 / nn.n - (nn.nr - 1) * (nn.nc - 1) / (nn.n - 1)) /
+               least(nn.nr - (nn.nr - 1) * (nn.nr - 1) / (nn.n - 1) - 1,
+                     nn.nc - (nn.nc - 1) * (nn.nc - 1) / (nn.n - 1) - 1)),
+               6) AS vc,
+             round(sqrt(x2.x2 / (x2.x2 + nn.n)), 6) AS ct,
+             round((ent.ha - condent.hab) / ent.ha, 6) AS u,
+             round(iv.iv, 6) AS iv,
+             CAST(nn.n AS BIGINT) AS n
+      FROM nn JOIN x2 USING (g) JOIN ent ON ent.g = nn.g
+      JOIN condent ON condent.g = nn.g JOIN iv ON iv.g = nn.g
+      ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // X134: quantileTiming family — CH's fixed-bin deterministic timing
+  // quantile (exact < 1024 ms, 16 ms bins to 30000, clamp above) as a
+  // native bounded-state aggregate. Every step is integer arithmetic
+  // (bin map, cumulative counts, rank ⌊level·(n−1)⌋), so the oracle
+  // replays it EXACTLY — no rounding needed on the compared surface.
+  val q225QuantileTiming = QueryDef(
+    "q225_quantile_timing",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v225")
+      s.sql("""
+        SELECT event_type,
+               quantileTiming(0.5)(event_id % 45000) AS med,
+               quantileTiming(0.95)(event_id % 45000) AS p95,
+               quantileTimingWeighted(0.5)(event_id % 45000,
+                                           1 + user_id % 3) AS wmed,
+               toInt64(count(1)) AS n
+        FROM events_v225
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type AS g,
+               CASE WHEN event_id % 45000 < 1024 THEN event_id % 45000
+                    WHEN event_id % 45000 < 30000 THEN
+                      1024 + ((event_id % 45000 - 1024) // 16) * 16
+                    ELSE 30000 END AS rep,
+               1 + user_id % 3 AS w
+        FROM events
+      ), n AS (SELECT g, count(*) AS n, sum(w) AS wn FROM r GROUP BY 1),
+      cells AS (
+        SELECT g, rep, count(*) AS cnt, sum(w) AS wcnt
+        FROM r GROUP BY 1, 2
+      ), cum AS (
+        SELECT g, rep,
+               sum(cnt) OVER (PARTITION BY g ORDER BY rep) AS c,
+               sum(wcnt) OVER (PARTITION BY g ORDER BY rep) AS cw
+        FROM cells
+      )
+      SELECT n.g AS event_type,
+             CAST((SELECT min(rep) FROM cum
+                   WHERE cum.g = n.g
+                     AND c > floor(0.5 * (n.n - 1))) AS DOUBLE) AS med,
+             CAST((SELECT min(rep) FROM cum
+                   WHERE cum.g = n.g
+                     AND c > floor(0.95 * (n.n - 1))) AS DOUBLE) AS p95,
+             CAST((SELECT min(rep) FROM cum
+                   WHERE cum.g = n.g
+                     AND cw > floor(0.5 * (n.wn - 1))) AS DOUBLE) AS wmed,
+             CAST(n.n AS BIGINT) AS n
+      FROM n ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
+    Seq(q224CatAssociation, q225QuantileTiming,
+      q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
       q203ChDistinctOn, q204ChPointInPolygon, q205ChSummingMergeTree,

@@ -544,14 +544,56 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getDouble(0).isNaN)
   }
 
-  test("quantileTiming/quantileTDigest parameterized forms map to percentile") {
+  test("quantileTDigest parameterized forms map to percentile") {
     val r = spark.sql("""
-      SELECT quantileTiming(0.5)(v) AS med,
+      SELECT quantileTDigest(0.5)(v) AS med,
              quantilesTDigest(0.25, 0.75)(v) AS qs
       FROM VALUES (1), (2), (3), (4), (5) AS t(v)
     """).collect().head
     assert(r.getDouble(0) == 3.0)
     assert(r.getSeq[Double](1) == Seq(2.0, 4.0))
+  }
+
+  test("quantileTiming: CH fixed-bin sketch — exact below 1024, 16 ms " +
+      "bins to 30000, clamp above, weighted + plural forms") {
+    // small values: exact (1 ms bins); rank = floor(level*(n-1)),
+    // first bin with cumulative > rank
+    val r = spark.sql("""
+      SELECT quantileTiming(0.5)(v) AS med,
+             quantilesTiming(0.0, 1.0)(v) AS minmax
+      FROM VALUES (1), (2), (3), (4), (5) AS t(v)
+    """).collect().head
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getSeq[Double](1) == Seq(1.0, 5.0))
+    // mid range: 1030 and 1039 share the [1024, 1040) bin, rep = its
+    // LOWER bound 1024; 2007 → 1024 + floor((2007-1024)/16)*16 = 2000
+    val m = spark.sql("""
+      SELECT quantileTiming(0.0)(v) AS lo,
+             quantileTiming(1.0)(v) AS hi,
+             quantileTiming(0.5)(w) AS clamp
+      FROM VALUES (1030, 50000), (1039, 31000), (2007, 99999) AS t(v, w)
+    """).collect().head
+    assert(m.getDouble(0) == 1024.0)
+    assert(m.getDouble(1) == 2000.0)
+    assert(m.getDouble(2) == 30000.0)
+    // weighted: weights are repetition counts — (5 w=1, 7 w=3) has
+    // n=4, median rank floor(0.5*3)=1 → cumulative 5:1, 7:4 > 1 → 7
+    val w = spark.sql("""
+      SELECT quantileTimingWeighted(0.5)(v, c) AS med
+      FROM VALUES (5, 1), (7, 3) AS t(v, c)
+    """).collect().head
+    assert(w.getDouble(0) == 7.0)
+    // partition-invariance: fixed-bin counts merge exactly
+    spark.range(0, 5000).selectExpr("CAST(id * 7 % 40000 AS LONG) AS v")
+      .repartition(13).createOrReplaceTempView("qt_pi")
+    val a = spark.sql(
+      "SELECT quantilesTiming(0.1, 0.5, 0.9, 0.99)(v) AS q FROM qt_pi")
+      .collect().head.getSeq[Double](0)
+    val b = spark.sql(
+      "SELECT quantilesTiming(0.1, 0.5, 0.9, 0.99)(v) AS q " +
+        "FROM (SELECT v FROM qt_pi ORDER BY v DESC)")
+      .collect().head.getSeq[Double](0)
+    assert(a == b)
   }
 
   test("date vocabulary and conditional-aggregate completion") {

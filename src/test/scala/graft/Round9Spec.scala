@@ -240,6 +240,79 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // X133: categorical-association family (CatAssocAgg) — hand-computed
+  // 2×2-ish fixtures; exact expectations derived from the integer
+  // contingency table (χ² = 3136/1800 for the first fixture).
+
+  private def assocFixture(): Unit =
+    Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"),
+        ("y", "q"), ("y", "q"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b").createOrReplaceTempView("r9_assoc")
+
+  test("cramersV / contingency / theilsU: exact hand-computed values " +
+      "on an 8-row table (χ² = 3136/1800)") {
+    assocFixture()
+    val r = spark.sql("""
+      SELECT cramersV(a, b) AS v, contingency(a, b) AS ct,
+             theilsU(a, b) AS u, cramersVBiasCorrected(a, b) AS vc
+      FROM r9_assoc""").collect().head
+    // V² = (3136/1800)/8 → V = 56/120 exactly
+    assert(math.abs(r.getDouble(0) - 56.0 / 120.0) < 1e-12)
+    val x2 = 3136.0 / 1800.0
+    assert(math.abs(r.getDouble(1) - math.sqrt(x2 / (x2 + 8))) < 1e-12)
+    // H(a) = ln8 − (3ln3 + 5ln5)/8; H(a|p), H(a|q) per-column
+    val ha = math.log(8) - (3 * math.log(3) + 5 * math.log(5)) / 8
+    val hp = math.log(3) - (2 * math.log(2)) / 3
+    val hq = math.log(5) - (4 * math.log(4)) / 5
+    val u = (ha - (3.0 / 8 * hp + 5.0 / 8 * hq)) / ha
+    assert(math.abs(r.getDouble(2) - u) < 1e-9)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= r.getDouble(0))
+  }
+
+  test("categoricalInformationValue: binary tag, hand-computed IV; " +
+      "zero-count categories are skipped") {
+    Seq(("x", "0"), ("x", "0"), ("x", "1"), ("y", "0"),
+        ("y", "1"), ("y", "1"), ("y", "1"), ("y", "1"),
+        ("z", "1")) // z has zero bad rows → skipped
+      .toDF("cat", "tag").createOrReplaceTempView("r9_iv")
+    val r = spark.sql(
+      "SELECT categoricalInformationValue(cat, tag) AS iv FROM r9_iv")
+      .collect().head
+    // goods: x=1, y=4, z=1 (G=6); bads: x=2, y=1 (B=3); z skipped
+    val iv = (1.0 / 6 - 2.0 / 3) * math.log((1.0 / 6) / (2.0 / 3)) +
+      (4.0 / 6 - 1.0 / 3) * math.log((4.0 / 6) / (1.0 / 3))
+    assert(math.abs(r.getDouble(0) - iv) < 1e-9)
+  }
+
+  test("categorical association is partition-invariant: the same value " +
+      "from 1 and 7 shuffle partitions (count-map merge is exact)") {
+    assocFixture()
+    val one = spark.sql("SELECT cramersV(a, b) AS v, theilsU(a, b) AS u " +
+      "FROM r9_assoc").collect().head
+    val df = spark.table("r9_assoc").repartition(7)
+    df.createOrReplaceTempView("r9_assoc7")
+    val seven = spark.sql("SELECT cramersV(a, b) AS v, theilsU(a, b) AS u " +
+      "FROM r9_assoc7").collect().head
+    assert(one.getDouble(0) == seven.getDouble(0))
+    assert(one.getDouble(1) == seven.getDouble(1))
+  }
+
+  test("degenerate association inputs: single category → 0; empty " +
+      "group → NULL; nulls ignored") {
+    Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+      .createOrReplaceTempView("r9_assoc1")
+    val r = spark.sql(
+      "SELECT cramersV(a, b) AS v, theilsU(a, b) AS u FROM r9_assoc1")
+      .collect().head
+    assert(r.getDouble(0) == 0.0)
+    // H(a) = 0 (one category) → defined 0
+    assert(r.getDouble(1) == 0.0)
+    val e = spark.sql("SELECT cramersV(a, b) AS v FROM r9_assoc1 " +
+      "WHERE a = 'nope'").collect().head
+    assert(e.isNullAt(0))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
