@@ -48,4 +48,46 @@ object Corpus {
         col("distinct_vocab"),
         coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
   }
+
+  /** Out-of-vocabulary rate per source against the corpus's own
+    * top-`vocabSize` token vocabulary — the tokenizer-planning /
+    * source-quality report (a source whose tokens mostly fall outside
+    * the shared vocabulary is another language, a charset problem, or
+    * boilerplate/code the tokenizer will shred). Vocabulary membership
+    * uses a DETERMINISTIC top-K: count desc, token asc tie-break, so
+    * the cut is identical in any engine.
+    *
+    * Scale shape: token counts are one map-side-combined rollup whose
+    * cardinality is the token-type count (not the corpus); the top-K
+    * cut is a TakeOrdered (no full sort shuffle) bounded by
+    * `vocabSize`; membership is a broadcast join of the exploded
+    * token stream against the vocabSize-row vocab; the output is one
+    * row per source. Nothing corpus-sized is collected or windowed.
+    */
+  def oovRate(docs: DataFrame, srcCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(s"`$srcCol`").as("__src"),
+      explode(graft.functions.text.tokenize(col(s"`$textCol`")))
+        .as("__tok"))
+      .filter(col("__tok") =!= "")
+    val vocab = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok").asc)
+      .limit(vocabSize)
+      .select(col("__tok"), lit(1L).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col("__src"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov"),
+        countDistinct(when(col("__in_vocab").isNull, col("__tok")))
+          .as("distinct_oov"))
+      .select(col("__src").as("source"), col("n_tokens"),
+        col("n_oov").cast("long").as("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"),
+        col("distinct_oov"))
+  }
+
 }

@@ -333,4 +333,47 @@ object Retrieval {
         col("score"))
       .orderBy(col("query_id"), col("neg_rank"))
   }
+
+  /** Maximal-Marginal-Relevance diversified rerank of a per-query
+    * candidate SHORTLIST: greedily pick k candidates maximizing
+    * `lam*rel - (1-lam)*maxSimToSelected` (first pick = pure argmax
+    * rel), where the redundancy term is the cosine over integer-
+    * quantized embeddings (x`q`) — dot/norms fold exactly in long
+    * arithmetic, the final sqrt/divide are the only IEEE ops, so any
+    * engine replaying the same quantization picks the SAME documents
+    * (the argmax comparisons are over bit-identical doubles; ties
+    * break to the lowest id). The classic answer to "top-k returned
+    * five near-identical passages" in RAG retrieval.
+    *
+    * Scale shape: one groupBy collecting the per-query shortlist
+    * (caller-bounded; the kernel hard-caps at 4096), greedy selection
+    * as ONE expression call per query row, posexplode back out —
+    * cost is |queries| x shortlist^2 x dim at worst, never
+    * corpus-shaped. Returns (query, mmr_rank 1..k, id).
+    */
+  def mmrRerank(cands: DataFrame, queryCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int, lam: Double,
+      q: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val qv = transform(col(s"`$vecCol`"),
+      e => round(e.cast("double") * q).cast("long"))
+    val grouped = cands
+      .select(col(s"`$queryCol`").as("__mq"),
+        struct(col(s"`$idCol`").cast("long").as("id"),
+          col(s"`$relCol`").cast("double").as("rel"),
+          qv.as("emb")).as("__ms"))
+      .groupBy(col("__mq"))
+      .agg(collect_list(col("__ms")).as("__cl"))
+    val ids = transform(col("__cl"), s => s.getField("id"))
+    val rels = transform(col("__cl"), s => s.getField("rel"))
+    val embs = transform(col("__cl"), s => s.getField("emb"))
+    val sel = GraftSqlBridge.column(graft.plans.MmrSelectExpr(
+      GraftSqlBridge.expression(ids), GraftSqlBridge.expression(rels),
+      GraftSqlBridge.expression(embs), k, lam))
+    grouped.select(col("__mq"), posexplode(sel).as(Seq("__pos", "__id")))
+      .select(col("__mq").as(queryCol),
+        (col("__pos") + 1).cast("long").as("mmr_rank"),
+        col("__id").as("id"))
+  }
+
 }

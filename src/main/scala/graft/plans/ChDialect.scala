@@ -705,6 +705,31 @@ object ChDialect {
     }),
     // sumMap(keys, values): the ParsedParams parallel-array rollup
     "sumMap" -> (args => ex(ch.sumMap(col(args.head), col(args(1))))),
+    // sumMapFiltered(keep)(keys, values): sumMap restricted to a fixed
+    // key set — pairs are filtered map-side BEFORE the rollup, so only
+    // kept keys ever reach the aggregation state
+    "sumMapFiltered" -> (args => {
+      require(args.length == 3,
+        "sumMapFiltered(keep)(keys, values) needs 3 arguments")
+      val keep = col(args.head)
+      val pairs = filter(
+        zip_with(col(args(1)), col(args(2)),
+          (k, v) => struct(k.as("k"), v.as("v"))),
+        p => array_contains(keep, p.getField("k")))
+      ex(ch.sumMap(transform(pairs, p => p.getField("k")),
+        transform(pairs, p => p.getField("v"))))
+    }),
+    // boundingRatio(x, y): slope of the segment between the min-x and
+    // max-x points — composed from two struct-ordered extremes
+    // (lexicographic (x, y) tie-break, deterministic), no custom state
+    "boundingRatio" -> (args => {
+      val s = struct(col(args.head).cast("double").as("x"),
+        col(args(1)).cast("double").as("y"))
+      val mx = max(s)
+      val mn = min(s)
+      ex((mx.getField("y") - mn.getField("y")) /
+        (mx.getField("x") - mn.getField("x")))
+    }),
     // maxMap/minMap: sumMap's per-key-extreme siblings
     "maxMap" -> (args => ex(ch.maxMap(col(args.head), col(args(1))))),
     "minMap" -> (args => ex(ch.minMap(col(args.head), col(args(1))))),
@@ -758,6 +783,27 @@ object ChDialect {
     "groupBitmap" -> (args => ex(count_distinct(col(args.head)))),
     "groupBitmapState" -> (args =>
       ex(array_sort(collect_set(col(args.head))))),
+    // groupBitmapAnd/Or/Xor: cardinality of the set-algebra FOLD of a
+    // bitmap column across the group's rows (CH's bitmap-of-bitmaps
+    // rollup). Folds run over collect_list — group-bounded state, the
+    // same contract as CH's own in-memory bitmap merge; every result
+    // is a cardinality (or the And-fold set for the State spelling),
+    // so collect order cannot show through.
+    "groupBitmapAnd" -> (args => {
+      val cl = collect_list(col(args.head))
+      ex(size(aggregate(slice(cl, lit(2), size(cl)), element_at(cl, 1),
+        (acc, x) => array_intersect(acc, x))).cast("long"))
+    }),
+    "groupBitmapOr" -> (args =>
+      ex(size(array_distinct(flatten(collect_list(col(args.head)))))
+        .cast("long"))),
+    "groupBitmapXor" -> (args => {
+      // symmetric-difference fold: union minus intersection per step
+      val cl = collect_list(col(args.head))
+      ex(size(aggregate(slice(cl, lit(2), size(cl)), element_at(cl, 1),
+        (acc, x) => array_except(array_union(acc, x),
+          array_intersect(acc, x)))).cast("long"))
+    }),
     // groupBitAnd/Or/Xor: CH's bitwise-fold aggregates — Spark's
     // bit_and/bit_or/bit_xor are the same fold (order-insensitive)
     "groupBitAnd" -> (args =>
@@ -869,6 +915,21 @@ object ChDialect {
     "rankCorr" -> (args =>
       RankTestAgg(Cast(args.head, LongType), Cast(args(1), LongType),
         "rankCorr").toAggregateExpression()),
+    // sparkbar(buckets[, min_x, max_x])(x, y): the inline-dashboard
+    // histogram string (plans/NativeStats.SparkbarAgg — x→Σy count-map
+    // state, exact integer bucketing and ⌈8h/maxh⌉ glyph levels, so
+    // the oracle rebuilds the identical string with chr())
+    "sparkbar" -> (args => {
+      require(args.length == 3 || args.length == 5,
+        "sparkbar(buckets[, min_x, max_x])(x, y)")
+      val b = litInt(args.head, "sparkbar buckets")
+      val bounds = if (args.length == 5)
+        Some((litInt(args(1), "sparkbar min_x").toLong,
+          litInt(args(2), "sparkbar max_x").toLong))
+      else None
+      SparkbarAgg(Cast(args(args.length - 2), LongType),
+        Cast(args.last, LongType), b, bounds).toAggregateExpression()
+    }),
     // quantileTiming family (plans/NativeStats.QuantileTimingAgg):
     // CH's fixed-bin deterministic timing quantile — NOT the percentile
     // mapping the other quantile* names take; the bin contract (exact
@@ -1044,6 +1105,24 @@ object ChDialect {
     // arrayDifference(a) → [0, a2-a1, ...] (CH: first element 0,
     // then adjacent deltas)
     "arrayZip" -> (args => ex(arrays_zip(args.map(col): _*))),
+    // arrayAUC(scores, labels): tie-aware ROC AUC per row — exact
+    // integer midranks to one final division (NativeMath.ArrayAucExpr)
+    "arrayAUC" -> (args => ArrayAucExpr(
+      Cast(args.head, ArrayType(DoubleType)),
+      Cast(args(1), ArrayType(LongType)))),
+    // tupleElement(t, n) / tupleElement(t, 'name'): CH's struct access
+    // by 1-based ordinal or by field name
+    "tupleElement" -> (args => args(1) match {
+      case Literal(i: Int, org.apache.spark.sql.types.IntegerType) =>
+        org.apache.spark.sql.catalyst.expressions.GetStructField(
+          args.head, i - 1)
+      case Literal(i: Long, _) =>
+        org.apache.spark.sql.catalyst.expressions.GetStructField(
+          args.head, i.toInt - 1)
+      case nameLit =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          args.head, nameLit)
+    }),
     "arrayDifference" -> (args => {
       val arr = col(args.head)
       // prev = [a1, a1, a2, ...] truncated to |arr| (zip_with pads

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native vector-math kernel for the similarity operators.
@@ -66,6 +66,14 @@ object NativeMath {
   def pqAdc(codes: Column, lut: Column): Column =
     GraftSqlBridge.column(
       PqAdcExpr(GraftSqlBridge.expression(codes), GraftSqlBridge.expression(lut)))
+
+  /** Tie-aware ROC AUC of per-row (scores, labels) arrays — see
+    * [[ArrayAucExpr]].
+    */
+  def arrayAuc(scores: Column, labels: Column): Column =
+    GraftSqlBridge.column(
+      ArrayAucExpr(GraftSqlBridge.expression(scores),
+        GraftSqlBridge.expression(labels)))
 }
 
 case class DotProduct64Expr(left: Expression, right: Expression)
@@ -121,6 +129,110 @@ case class ArgMaxCosineExpr(left: Expression, right: Expression)
 }
 
 object MathKernels {
+
+  /** Greedy MMR selection over one query's candidate shortlist —
+    * parallel arrays (ids, rels, quantized embeddings). Candidates are
+    * visited in id-ascending order with strict-greater replacement, so
+    * score ties break to the LOWEST id and the result is independent
+    * of the collect_list arrival order. Similarities are cosines over
+    * the exact integer quantized vectors — dot and norms fold in long
+    * arithmetic, the final sqrt/divide are the only IEEE ops, and the
+    * selection score is lam*rel - (1.0-lam)*maxSim with (1.0-lam)
+    * computed exactly this way (the oracle must spell it (1.0 - lam),
+    * not the rounded decimal). Shortlists are capped at 4096 — this
+    * is a per-query RERANKER, not a corpus scan.
+    */
+  def mmrSelect(ids: ArrayData, rels: ArrayData, embs: ArrayData,
+      k: Int, lam: Double): ArrayData = {
+    val n = ids.numElements()
+    require(n <= 4096,
+      s"mmrSelect: shortlist $n exceeds 4096 - rerank a shortlist, not a corpus")
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val order = Array.range(0, n).sortBy(ids.getLong)
+    val vecs = order.map(i => embs.getArray(i))
+    val norm = vecs.map { v =>
+      var s = 0L; var i = 0
+      while (i < v.numElements()) { val x = v.getLong(i); s += x * x; i += 1 }
+      s
+    }
+    def cos(a: Int, b: Int): Double = {
+      if (norm(a) == 0L || norm(b) == 0L) return 0.0
+      val va = vecs(a); val vb = vecs(b)
+      var d = 0L; var i = 0
+      val m = math.min(va.numElements(), vb.numElements())
+      while (i < m) { d += va.getLong(i) * vb.getLong(i); i += 1 }
+      d.toDouble / (math.sqrt(norm(a).toDouble) * math.sqrt(norm(b).toDouble))
+    }
+    val picked = new scala.collection.mutable.ArrayBuffer[Int](k)
+    // −∞ init, NOT 0: the redundancy term is the TRUE max similarity
+    // to the selected set, which can be negative (an anti-correlated
+    // candidate is maximally novel — clamping at 0 under-rewards it);
+    // every slot is overwritten with a real cosine right after pick 1,
+    // before any round reads it
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val used = new Array[Boolean](n)
+    val kk = math.min(k, n)
+    var round = 0
+    while (round < kk) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val rel = rels.getDouble(order(j))
+          val score =
+            if (round == 0) rel
+            else lam * rel - (1.0 - lam) * maxSim(j)
+          if (score > bestScore) { bestScore = score; best = j }
+        }
+        j += 1
+      }
+      used(best) = true
+      picked += best
+      var t = 0
+      while (t < n) {
+        if (!used(t)) {
+          val s = cos(t, best)
+          if (s > maxSim(t)) maxSim(t) = s
+        }
+        t += 1
+      }
+      round += 1
+    }
+    new GenericArrayData(picked.map(j => ids.getLong(order(j))).toArray)
+  }
+
+  /** Tie-aware AUC over (scores, labels): doubled midranks of scores,
+    * positive-rank sum, exact integers to the final division. Null on
+    * length mismatch or a single-class label array.
+    */
+  def arrayAuc(scores: ArrayData, labels: ArrayData): Any = {
+    val n = scores.numElements()
+    if (labels.numElements() != n || n == 0) return null
+    val idx = Array.range(0, n).sortBy(scores.getDouble)
+    val r2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n &&
+        scores.getDouble(idx(j + 1)) == scores.getDouble(idx(i))) j += 1
+      val sum2 = (i + 1).toLong + (j + 1).toLong
+      var p = i
+      while (p <= j) { r2(idx(p)) = sum2; p += 1 }
+      i = j + 1
+    }
+    var s2 = 0L
+    var pos = 0L
+    i = 0
+    while (i < n) {
+      if (labels.getLong(i) != 0L) { s2 += r2(i); pos += 1 }
+      i += 1
+    }
+    val neg = n - pos
+    if (pos == 0L || neg == 0L) null
+    else java.lang.Double.valueOf(
+      (s2 - pos * (pos + 1)).toDouble / (2.0 * pos * neg))
+  }
 
   /** Squared L2 between `sub` and codeword `c` over the slice
     * [off, off+d) of `v` — index-ordered accumulation, the l2sq
@@ -303,4 +415,70 @@ case class PqAdcExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression) = copy(left = newLeft, right = newRight)
+}
+
+/** ClickHouse `arrayAUC(scores, labels)` (`clickhouse.com/docs/
+  * sql-reference/functions/array-functions#arrayauc`): area under the
+  * ROC curve of per-row score/label arrays — the eval-harness
+  * primitive (ranking quality of a scorer against binary relevance,
+  * one row per query). Mann–Whitney form with tie-aware midranks:
+  * AUC = (2·R₊ − P(P+1)) / (2·P·N), every term an exact integer
+  * (doubled midranks stay integral), one final IEEE division — so the
+  * DuckDB oracle replays it bit-for-bit with window functions.
+  * Mismatched lengths or a single-class label array return NULL
+  * (CH errors / returns nan respectively — compared surfaces need the
+  * total form).
+  */
+case class ArrayAucExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "arrayAUC"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(scores: Any, labels: Any): Any =
+    MathKernels.arrayAuc(scores.asInstanceOf[ArrayData],
+      labels.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val auc = ctx.freshName("auc")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object $auc = graft.plans.MathKernels.arrayAuc($a, $b);
+      if ($auc == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) $auc).doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
+}
+
+/** Greedy MMR selection — see [[MathKernels.mmrSelect]]. Evaluated
+  * once per QUERY row over a bounded shortlist (CodegenFallback is
+  * fine: the expression is not on a corpus-sized path).
+  */
+case class MmrSelectExpr(ids: Expression, rels: Expression,
+    embs: Expression, k: Int, lam: Double)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(ids, rels, embs)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = ids.eval(input)
+    val r = rels.eval(input)
+    val e = embs.eval(input)
+    if (a == null || r == null || e == null) null
+    else MathKernels.mmrSelect(a.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData], k, lam)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ids = newChildren(0), rels = newChildren(1), embs = newChildren(2))
 }

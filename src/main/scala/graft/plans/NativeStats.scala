@@ -690,3 +690,102 @@ object QuantileTimingAgg {
     else if (b < 2835) 1024L + (b - 1024).toLong * 16L
     else 30000L
 }
+
+/** ClickHouse `sparkbar(buckets[, min_x, max_x])(x, y)`
+  * (`clickhouse.com/docs/sql-reference/aggregate-functions/reference/
+  * sparkbar`): the inline-dashboard frequency histogram rendered as a
+  * Unicode block-character string. State is the x → Σy count map
+  * (bounded by distinct-x cardinality, mergeable, map-side combined);
+  * rendering buckets the x range into `buckets` equal integer spans
+  * and scales bucket heights to the eight lower-block glyphs
+  * U+2581…U+2588 with exact integer arithmetic — level =
+  * ⌈8·h / maxh⌉ via (8h + maxh − 1) div maxh, empty bucket = space —
+  * so the DuckDB oracle rebuilds the identical string with chr().
+  */
+case class SparkbarAgg(
+    xChild: Expression,
+    yChild: Expression,
+    buckets: Int,
+    bounds: Option[(Long, Long)],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    scala.collection.mutable.HashMap[Long, Long]]
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
+
+  require(buckets > 0, s"sparkbar: buckets must be positive, got $buckets")
+
+  private type Buf = scala.collection.mutable.HashMap[Long, Long]
+
+  override def left: Expression = xChild
+  override def right: Expression = yChild
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sparkbar"
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val x = xChild.eval(input)
+    val y = yChild.eval(input)
+    if (x != null && y != null) {
+      val xv = x.asInstanceOf[Long]
+      if (bounds.forall { case (lo, hi) => xv >= lo && xv <= hi }) {
+        buf.update(xv, buf.getOrElse(xv, 0L) + y.asInstanceOf[Long])
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreach { case (k, v) => b1.update(k, b1.getOrElse(k, 0L) + v) }
+    b1
+  }
+
+  override def eval(buf: Buf): Any = {
+    if (buf.isEmpty) return null
+    val lo = bounds.map(_._1).getOrElse(buf.keys.min)
+    val hi = bounds.map(_._2).getOrElse(buf.keys.max)
+    val span = hi - lo + 1
+    val heights = new Array[Long](buckets)
+    buf.foreach { case (x, y) =>
+      // i = (x − lo)·buckets / span — exact integer bucketing
+      val i = ((x - lo) * buckets / span).toInt
+      if (i >= 0 && i < buckets) heights(i) += y
+    }
+    val maxh = heights.max
+    val sb = new java.lang.StringBuilder(buckets)
+    heights.foreach { h =>
+      if (maxh <= 0L || h <= 0L) sb.append(' ')
+      else sb.append((0x2580 + ((8L * h + maxh - 1L) / maxh).toInt).toChar)
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, v) => bb.putLong(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.update(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SparkbarAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SparkbarAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparkbarAgg =
+    copy(xChild = newLeft, yChild = newRight)
+}

@@ -152,9 +152,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +
-      """|quantilesTiming|quantileTiming""" +
+      """|quantilesTiming|quantileTiming|sparkbar|sumMapFiltered""" +
       """|largestTriangleThreeBuckets|lttb)""" +
-      """\s*\(\s*([^()]+?)\s*\)\s*\(""").r
+      // the parameter group admits TWO nested paren levels so a
+      // constructor param like sumMapFiltered(array(CAST(1 AS
+      // BIGINT)))(k, v) flattens too (plain numeric params match as
+      // before)
+      """\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+?)\s*\)\s*\(""").r
 
   /** Rewrite every `name(params)(args)` to `name(params, args)`,
     * same balanced-paren scan as [[rewriteQuantiles]].

@@ -4014,8 +4014,129 @@ object DialectQueries {
              CAST(n.n AS BIGINT) AS n
       FROM n ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X135: eval/report vocabulary — arrayAUC (tie-aware ROC AUC, exact
+  // integer midranks), boundingRatio (min-x→max-x slope from struct
+  // extremes), sumMapFiltered + tupleElement (keyed rollup restricted
+  // map-side, struct access by ordinal/name), groupBitmapAnd/Or/Xor
+  // (set-algebra folds over per-row bitmaps), and sparkbar (the
+  // inline-dashboard histogram string, exact integer glyph levels).
+  // Every output is either exact integer arithmetic or a 6 dp-rounded
+  // ratio the oracle replays in the same form.
+  val q226AucBitmapBar = QueryDef(
+    "q226_ch_auc_bitmap_bar",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v226")
+      s.sql("""
+        SELECT event_type,
+               round(avg(arrayAUC(
+                 array(CAST(event_id % 7 AS DOUBLE),
+                       CAST(user_id % 5 AS DOUBLE),
+                       CAST(event_id % 3 AS DOUBLE),
+                       CAST(user_id % 2 AS DOUBLE) + 0.5),
+                 array(event_id % 2, 1 - event_id % 2,
+                       user_id % 2, 1 - user_id % 2))), 6) AS auc,
+               round(boundingRatio(event_id, user_id % 97), 6) AS br,
+               concat_ws(',', tupleElement(sumMapFiltered(
+                 array(CAST(1 AS BIGINT), CAST(3 AS BIGINT)))(
+                   array(1 + event_id % 3, CAST(2 AS BIGINT)),
+                   array(event_id % 5, user_id % 7)), 1)) AS smf_keys,
+               concat_ws(',', transform(tupleElement(sumMapFiltered(
+                 array(CAST(1 AS BIGINT), CAST(3 AS BIGINT)))(
+                   array(1 + event_id % 3, CAST(2 AS BIGINT)),
+                   array(event_id % 5, user_id % 7)), 'sums'),
+                 x -> CAST(x AS STRING))) AS smf_sums,
+               groupBitmapAnd(bitmapBuild(array(event_id % 5,
+                 user_id % 7, CAST(3 AS BIGINT)))) AS gb_and,
+               groupBitmapOr(bitmapBuild(array(event_id % 5,
+                 user_id % 7, CAST(3 AS BIGINT)))) AS gb_or,
+               groupBitmapXor(bitmapBuild(array(event_id % 5,
+                 user_id % 7, CAST(3 AS BIGINT)))) AS gb_xor,
+               sparkbar(8)(user_id % 8, 1) AS bar,
+               toInt64(count(1)) AS n
+        FROM events_v226
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_type AS g, event_id, user_id,
+               CASE i WHEN 1 THEN CAST(event_id % 7 AS DOUBLE)
+                      WHEN 2 THEN CAST(user_id % 5 AS DOUBLE)
+                      WHEN 3 THEN CAST(event_id % 3 AS DOUBLE)
+                      ELSE CAST(user_id % 2 AS DOUBLE) + 0.5 END AS s,
+               CASE i WHEN 1 THEN event_id % 2
+                      WHEN 2 THEN 1 - event_id % 2
+                      WHEN 3 THEN user_id % 2
+                      ELSE 1 - user_id % 2 END AS l
+        FROM events CROSS JOIN (VALUES (1), (2), (3), (4)) t(i)
+      ), ranked AS (
+        SELECT g, event_id, s, l,
+               rank() OVER (PARTITION BY g, event_id ORDER BY s) AS rk,
+               count(*) OVER (PARTITION BY g, event_id, s) AS ceq
+        FROM pts
+      ), auc_row AS (
+        SELECT g, event_id,
+               CAST(sum(CASE WHEN l <> 0 THEN 2 * rk + ceq - 1
+                             ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN l <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM ranked GROUP BY 1, 2
+      ), auc AS (
+        SELECT g, avg((s2 - p * (p + 1)) / (2.0 * p * (4 - p))) AS auc
+        FROM auc_row GROUP BY 1
+      ), br AS (
+        SELECT event_type AS g,
+               (CAST(arg_max(user_id % 97, event_id) AS DOUBLE)
+                 - arg_min(user_id % 97, event_id))
+               / (CAST(max(event_id) AS DOUBLE) - min(event_id)) AS br
+        FROM events GROUP BY 1
+      ), smf AS (
+        SELECT event_type AS g, 1 + event_id % 3 AS k,
+               sum(event_id % 5) AS v
+        FROM events WHERE 1 + event_id % 3 IN (1, 3) GROUP BY 1, 2
+      ), smfa AS (
+        SELECT g, string_agg(CAST(k AS VARCHAR), ',' ORDER BY
+                 CAST(k AS VARCHAR)) AS smf_keys,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY
+                 CAST(k AS VARCHAR)) AS smf_sums
+        FROM smf GROUP BY 1
+      ), elems AS (
+        SELECT DISTINCT event_type AS g, event_id,
+               CASE i WHEN 1 THEN event_id % 5
+                      WHEN 2 THEN user_id % 7 ELSE 3 END AS e
+        FROM events CROSS JOIN (VALUES (1), (2), (3)) t(i)
+      ), rowcnt AS (SELECT event_type AS g, count(*) AS nr
+                    FROM events GROUP BY 1),
+      ecnt AS (SELECT g, e, count(*) AS c FROM elems GROUP BY 1, 2),
+      gb AS (
+        SELECT ecnt.g,
+               CAST(sum(CASE WHEN c = nr THEN 1 ELSE 0 END) AS BIGINT)
+                 AS gb_and,
+               CAST(count(*) AS BIGINT) AS gb_or,
+               CAST(sum(CASE WHEN c % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS gb_xor
+        FROM ecnt JOIN rowcnt USING (g) GROUP BY 1
+      ), hb AS (
+        SELECT event_type AS g, user_id % 8 AS b, count(*) AS h
+        FROM events GROUP BY 1, 2
+      ), hmax AS (SELECT g, max(h) AS mh FROM hb GROUP BY 1),
+      bar AS (
+        SELECT hb.g, string_agg(
+          chr(CAST(9600 + (8 * h + mh - 1) // mh AS INT)),
+          '' ORDER BY b) AS bar
+        FROM hb JOIN hmax USING (g) GROUP BY hb.g
+      )
+      SELECT br.g AS event_type, round(auc.auc, 6) AS auc,
+             round(br.br, 6) AS br,
+             smfa.smf_keys, smfa.smf_sums,
+             gb.gb_and, gb.gb_or, gb.gb_xor, bar.bar,
+             CAST(rowcnt.nr AS BIGINT) AS n
+      FROM br JOIN auc USING (g) JOIN smfa ON smfa.g = br.g
+      JOIN gb ON gb.g = br.g JOIN bar ON bar.g = br.g
+      JOIN rowcnt ON rowcnt.g = br.g
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q224CatAssociation, q225QuantileTiming,
+    Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,

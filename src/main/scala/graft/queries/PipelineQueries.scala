@@ -1,10 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{Graft, QueryDef}
 import graft.functions.text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables: exact + near dedup, similarity search, text
@@ -4048,6 +4049,144 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X136: MMR diversified rerank — greedy maximal-marginal-relevance
+  // over a per-probe shortlist (the RAG "five near-identical passages"
+  // fix). Everything the argmax comparisons see derives from exact
+  // integer-quantized dots/norms with mirrored final IEEE ops, so the
+  // oracle's UNROLLED 3-step greedy (no recursion needed at k=3)
+  // selects the identical documents.
+  val q227MmrRerank = QueryDef(
+    "q227_mmr_rerank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Graft.table(s, dir, "embeddings")
+      val qv = transform(col("embedding"),
+        e => round(e.cast("double") * 1000).cast("long"))
+      val v = vecs.select(col("vec_id"), col("embedding"), qv.as("__q"))
+      val probes = v.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("__q").as("__pq"))
+      def dotLL(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+          (acc, x) => acc + x)
+      val scored = v.filter(col("vec_id") >= 3)
+        .crossJoin(broadcast(probes))
+        .withColumn("rel",
+          dotLL(col("__q"), col("__pq")).cast("double") /
+            (sqrt(dotLL(col("__q"), col("__q")).cast("double")) *
+              sqrt(dotLL(col("__pq"), col("__pq")).cast("double"))))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+      val short = scored
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 8)
+        .select(col("probe_id"), col("vec_id"), col("rel"),
+          col("embedding"))
+      Retrieval.mmrRerank(short, "probe_id", "vec_id", "rel",
+          "embedding", k = 3, lam = 0.7)
+        .orderBy(col("probe_id"), col("mmr_rank"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+      ), p AS (SELECT vec_id AS probe_id, q AS pq FROM v
+               WHERE vec_id < 3),
+      rel AS (
+        SELECT p.probe_id, v.vec_id, v.q,
+               list_dot_product(v.q, p.pq) /
+                 (sqrt(list_dot_product(v.q, v.q)) *
+                  sqrt(list_dot_product(p.pq, p.pq))) AS rel
+        FROM v JOIN p ON v.vec_id >= 3
+      ), short AS (
+        SELECT * FROM (
+          SELECT rel.*, row_number() OVER (PARTITION BY probe_id
+            ORDER BY rel DESC, vec_id) AS rn FROM rel) WHERE rn <= 8
+      ), sim AS (
+        SELECT a.probe_id, a.vec_id AS ia, b.vec_id AS ib,
+               CASE WHEN list_dot_product(a.q, a.q) = 0
+                      OR list_dot_product(b.q, b.q) = 0 THEN 0.0
+                    ELSE list_dot_product(a.q, b.q) /
+                      (sqrt(list_dot_product(a.q, a.q)) *
+                       sqrt(list_dot_product(b.q, b.q))) END AS s
+        FROM short a JOIN short b USING (probe_id)
+      ), p1 AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT probe_id, vec_id, row_number() OVER (
+            PARTITION BY probe_id ORDER BY rel DESC, vec_id) AS r
+          FROM short) WHERE r = 1
+      ), p2 AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT c.probe_id, c.vec_id, row_number() OVER (
+            PARTITION BY c.probe_id
+            ORDER BY 0.7 * c.rel - (1.0 - 0.7) * s1.s DESC, c.vec_id)
+            AS r
+          FROM short c
+          JOIN p1 ON p1.probe_id = c.probe_id
+          JOIN sim s1 ON s1.probe_id = c.probe_id
+            AND s1.ia = c.vec_id AND s1.ib = p1.vec_id
+          WHERE c.vec_id <> p1.vec_id) WHERE r = 1
+      ), p3 AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT c.probe_id, c.vec_id, row_number() OVER (
+            PARTITION BY c.probe_id
+            ORDER BY 0.7 * c.rel
+              - (1.0 - 0.7) * greatest(s1.s, s2.s) DESC, c.vec_id) AS r
+          FROM short c
+          JOIN p1 ON p1.probe_id = c.probe_id
+          JOIN p2 ON p2.probe_id = c.probe_id
+          JOIN sim s1 ON s1.probe_id = c.probe_id
+            AND s1.ia = c.vec_id AND s1.ib = p1.vec_id
+          JOIN sim s2 ON s2.probe_id = c.probe_id
+            AND s2.ia = c.vec_id AND s2.ib = p2.vec_id
+          WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id)
+        WHERE r = 1
+      )
+      SELECT probe_id, CAST(1 AS BIGINT) AS mmr_rank,
+             CAST(vec_id AS BIGINT) AS id FROM p1
+      UNION ALL
+      SELECT probe_id, CAST(2 AS BIGINT), CAST(vec_id AS BIGINT) FROM p2
+      UNION ALL
+      SELECT probe_id, CAST(3 AS BIGINT), CAST(vec_id AS BIGINT) FROM p3
+      ORDER BY probe_id, mmr_rank"""))
+
+  // ---------------------------------------------------------------------
+  // X137: OOV-rate per source against the corpus's own deterministic
+  // top-K vocabulary (count desc, token asc) — tokenizer planning and
+  // source-quality triage; counts exact, rate rounded at 6 dp.
+  val q228OovRate = QueryDef(
+    "q228_oov_rate",
+    (s, dir) =>
+      graft.operators.Corpus.oovRate(Graft.table(s, dir, "documents"),
+          "source", "text", vocabSize = 500)
+        .orderBy(col("source")),
+    Some("""
+      WITH toks AS (
+        SELECT source, t AS tok
+        FROM (SELECT source,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS t
+              FROM documents)
+        WHERE t <> ''
+      ), vocab AS (
+        SELECT tok FROM (
+          SELECT tok, row_number() OVER (
+            ORDER BY count(*) DESC, tok) AS r
+          FROM toks GROUP BY tok) WHERE r <= 500
+      )
+      SELECT toks.source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_oov,
+             round(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS oov_rate,
+             CAST(count(DISTINCT CASE WHEN vocab.tok IS NULL
+               THEN toks.tok END) AS BIGINT) AS distinct_oov
+      FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+      GROUP BY toks.source ORDER BY toks.source"""))
+
+  // ---------------------------------------------------------------------
   // X92: Domain-similarity map — pairwise cosine between per-label
   // embedding centroids. Fixed-point per-dim sums and integer
   // dot/norm folds keep the compared cosine bit-identical across
@@ -4731,7 +4870,7 @@ object PipelineQueries {
     q175ParagraphDedup, q176QualitySurvivors, q177TfidfKeywords,
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,
-    q223SourceOverlapSketchBench,
+    q223SourceOverlapSketchBench, q227MmrRerank, q228OovRate,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,

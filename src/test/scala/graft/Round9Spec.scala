@@ -313,6 +313,135 @@ class Round9Spec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  // ------------------------------------------------------------------
+  // X135: eval/report vocabulary — hand-computed pins.
+
+  test("arrayAUC: perfect, inverted, tied, and degenerate inputs") {
+    val r = spark.sql("""
+      SELECT arrayAUC(array(0.1D, 0.4D, 0.35D, 0.8D),
+                      array(0L, 0L, 1L, 1L)) AS sk,
+             arrayAUC(array(1.0D, 2.0D), array(0L, 1L)) AS perfect,
+             arrayAUC(array(2.0D, 1.0D), array(0L, 1L)) AS inverted,
+             arrayAUC(array(1.0D, 1.0D), array(0L, 1L)) AS tied,
+             arrayAUC(array(1.0D, 2.0D), array(1L, 1L)) AS oneclass,
+             arrayAUC(array(1.0D), array(1L, 0L)) AS mismatch
+    """).collect().head
+    // scikit-style fixture: positives at 0.35, 0.8 vs negatives
+    // 0.1, 0.4 → pairs won: (0.35>0.1), (0.8>0.1), (0.8>0.4) = 3/4
+    assert(r.getDouble(0) == 0.75)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("boundingRatio: slope between the min-x and max-x points") {
+    Seq((1L, 10L), (5L, 2L), (9L, 26L), (3L, 100L))
+      .toDF("x", "y").createOrReplaceTempView("r9_br")
+    val r = spark.sql("SELECT boundingRatio(x, y) AS br FROM r9_br")
+      .collect().head
+    // (y@x=9 − y@x=1)/(9 − 1) = (26 − 10)/8 = 2.0
+    assert(r.getDouble(0) == 2.0)
+  }
+
+  test("sumMapFiltered keeps only listed keys; tupleElement reads the " +
+      "result by ordinal and by name") {
+    Seq((Seq(1L, 2L), Seq(10L, 100L)), (Seq(2L, 3L), Seq(100L, 7L)),
+        (Seq(1L, 1L), Seq(5L, 5L)))
+      .toDF("ks", "vs").createOrReplaceTempView("r9_smf")
+    val r = spark.sql("""
+      SELECT tupleElement(sumMapFiltered(array(CAST(1 AS BIGINT),
+               CAST(3 AS BIGINT)))(ks, vs), 1) AS keys,
+             tupleElement(sumMapFiltered(array(CAST(1 AS BIGINT),
+               CAST(3 AS BIGINT)))(ks, vs), 'sums') AS sums
+      FROM r9_smf""").collect().head
+    assert(r.getSeq[String](0) == Seq("1", "3"))
+    assert(r.getSeq[Long](1) == Seq(20L, 7L)) // key 2 never aggregated
+  }
+
+  test("groupBitmapAnd/Or/Xor fold per-row bitmaps by set algebra") {
+    Seq(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), Seq(3L, 4L, 5L))
+      .toDF("xs").createOrReplaceTempView("r9_gb")
+    val r = spark.sql("""
+      SELECT groupBitmapAnd(bitmapBuild(xs)) AS a,
+             groupBitmapOr(bitmapBuild(xs)) AS o,
+             groupBitmapXor(bitmapBuild(xs)) AS x
+      FROM r9_gb""").collect().head
+    assert(r.getLong(0) == 1L) // {3}
+    assert(r.getLong(1) == 5L) // {1,2,3,4,5}
+    // odd membership: 1(1), 2(2), 3(3), 4(2), 5(1) → {1, 3, 5}
+    assert(r.getLong(2) == 3L)
+  }
+
+  test("sparkbar renders exact integer glyph levels, space for empty " +
+      "buckets, and honors explicit bounds") {
+    Seq((0L, 8L), (1L, 4L), (3L, 1L), (3L, 1L))
+      .toDF("x", "y").createOrReplaceTempView("r9_sb")
+    val r = spark.sql(
+      "SELECT sparkbar(4)(x, y) AS b FROM r9_sb").collect().head
+    // heights by bucket (lo=0, hi=3, span 4): [8, 4, 0, 2]; maxh=8 →
+    // levels ⌈8h/8⌉ = [8, 4, ·, 2] → chars 2588, 2584, ' ', 2582
+    assert(r.getString(0) == "█▄ ▂")
+    val b = spark.sql(
+      "SELECT sparkbar(2, 0, 7)(x, y) AS b FROM r9_sb").collect().head
+    // bounds 0..7, 2 buckets of span 4: [14, 0] → [█, ' ']
+    assert(b.getString(0) == "█ ")
+    // partition-invariance of the count-map merge
+    val big = spark.range(0, 1000)
+      .selectExpr("id % 16 AS x", "id % 5 AS y").repartition(11)
+    big.createOrReplaceTempView("r9_sb2")
+    val one = spark.sql("SELECT sparkbar(8)(x, y) AS b FROM r9_sb2")
+      .collect().head.getString(0)
+    val two = spark.sql(
+      "SELECT sparkbar(8)(x, y) AS b FROM (SELECT * FROM r9_sb2 " +
+        "ORDER BY x DESC)").collect().head.getString(0)
+    assert(one == two)
+  }
+
+  // ------------------------------------------------------------------
+  // X136 MMR rerank + X137 OOV rate — hand-computed fixtures.
+
+  test("mmrRerank diversifies: a near-duplicate of pick 1 is deferred " +
+      "behind a less-relevant but novel candidate") {
+    // c1 (0.9, [1,0]) and c2 (0.89, [1,0]) are duplicates; c3 (0.5,
+    // [0,1]) is orthogonal. λ=0.7: pick2 scores c2 = .7·.89 − .3·1 =
+    // .323 < c3 = .7·.5 − 0 = .35 → order [1, 3, 2]
+    Seq((10L, 1L, 0.9, Seq(1.0f, 0.0f)), (10L, 2L, 0.89, Seq(1.0f, 0.0f)),
+        (10L, 3L, 0.5, Seq(0.0f, 1.0f)), (10L, 4L, 0.4, Seq(0.707f, 0.707f)))
+      .toDF("qid", "id", "rel", "emb").createOrReplaceTempView("r9_mmr")
+    val r = graft.operators.Retrieval.mmrRerank(spark.table("r9_mmr"),
+        "qid", "id", "rel", "emb", k = 3, lam = 0.7)
+      .orderBy(col("mmr_rank"))
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // pure relevance order would have been 1, 2, 3 — MMR demoted the dup
+  }
+
+  test("mmrRerank is collect-order invariant (id-sorted kernel) and " +
+      "caps k at the shortlist size") {
+    Seq((1L, 5L, 0.3, Seq(1.0f, 0.0f)), (1L, 6L, 0.7, Seq(0.0f, 1.0f)))
+      .toDF("qid", "id", "rel", "emb").createOrReplaceTempView("r9_mmr2")
+    val a = graft.operators.Retrieval.mmrRerank(
+        spark.table("r9_mmr2").orderBy(col("id").desc).repartition(5),
+        "qid", "id", "rel", "emb", k = 10, lam = 0.5)
+      .orderBy(col("mmr_rank")).collect().map(_.getLong(2)).toSeq
+    assert(a == Seq(6L, 5L))
+  }
+
+  test("oovRate: deterministic top-K vocabulary (count desc, token " +
+      "asc), exact per-source counts") {
+    Seq(("A", "a a b"), ("B", "a c z z"))
+      .toDF("source", "text").createOrReplaceTempView("r9_oov")
+    val r = graft.operators.Corpus.oovRate(spark.table("r9_oov"),
+        "source", "text", vocabSize = 2)
+      .orderBy(col("source")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getLong(4))).toSeq
+    // vocab = {a (3), z (2)}; b and c are OOV
+    assert(r == Seq(("A", 3L, 1L, 0.333333, 1L),
+      ("B", 4L, 1L, 0.25, 1L)))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
