@@ -952,6 +952,39 @@ object ChDialect {
       Some(Cast(args.last, LongType)),
       args.dropRight(2).map(litDouble(_, "quantilesTimingWeighted level")),
       returnArray = true).toAggregateExpression()),
+    // z-test family — statistic-only per the NativeStats determinism
+    // policy (CH returns (stat, p_value, ci…); p-values come from CDF
+    // polynomial families that differ across libraries and can never
+    // sit in an exactly-compared surface — callers apply their own CDF)
+    // proportionsZTest(sx, sy, nx, ny, conf): two-proportion pooled z
+    "proportionsZTest" -> (args => {
+      val sx = col(args.head).cast("double")
+      val sy = col(args(1)).cast("double")
+      val nx = col(args(2)).cast("double")
+      val ny = col(args(3)).cast("double")
+      val p = (sx + sy) / (nx + ny)
+      ex((sx / nx - sy / ny) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / nx + lit(1.0) / ny)))
+    }),
+    // meanZTest(var_x, var_y, conf)(x, index): two-sample z with
+    // KNOWN population variances; index 0 = sample x
+    "meanZTest" -> (args => {
+      require(args.length == 5,
+        "meanZTest(var_x, var_y, conf)(x, index) needs 5 flattened args")
+      val vx = litDouble(args.head, "meanZTest var_x")
+      val vy = litDouble(args(1), "meanZTest var_y")
+      // integer-inputs policy (NativeStats): x folds as an exact LONG
+      // sum in any partitioning; the means and the z are the only
+      // IEEE ops, mirrored by the oracle
+      val x = col(args(3)).cast("long")
+      val idx = col(args(4))
+      val n0 = sum(when(idx === 0, 1L).otherwise(0L)).cast("double")
+      val n1 = sum(when(idx =!= 0, 1L).otherwise(0L)).cast("double")
+      val s0 = sum(when(idx === 0, x).otherwise(0L)).cast("double")
+      val s1 = sum(when(idx =!= 0, x).otherwise(0L)).cast("double")
+      ex((s0 / n0 - s1 / n1) /
+        sqrt(lit(vx) / n0 + lit(vy) / n1))
+    }),
     // categorical-association family (plans/NativeStats.CatAssocAgg):
     // contingency-table buffer bounded by category-pair cardinality —
     // the sublinear sufficient statistic the rank tests lack. Compared
@@ -1376,6 +1409,53 @@ object ChDialect {
     "IPv4NumToString" -> (args => ex(ch.ipv4NumToString(col(args.head)))),
     "IPv4StringToNum" -> (args => ex(ch.ipv4StringToNum(col(args.head)))),
     "toIPv4" -> (args => ex(ch.ipv4StringToNum(col(args.head)))),
+    // network/encoding tranche (plans/NativeNet.scala kernels):
+    // validation predicates return 0/1, parsers follow the OrDefault
+    // contract (0 / NULL on malformed input, never a throw)
+    "isIPv4String" -> (args => {
+      val s = col(args.head)
+      val octets = transform(split(s, "\\."), p => p.cast("long"))
+      ex(when(s.rlike(
+          "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$") &&
+          forall(octets, o => o <= 255), lit(1L)).otherwise(lit(0L)))
+    }),
+    "isIPv6String" -> (args => IsIpv6StringExpr(args.head)),
+    // IPv4CIDRToRange('1.2.3.4', 24) → (lo, hi) dotted-quad tuple
+    "IPv4CIDRToRange" -> (args => {
+      val n = ch.ipv4StringToNum(col(args.head))
+      val bits = col(args(1)).cast("int")
+      val shifted = col(org.apache.spark.sql.catalyst.expressions
+        .ShiftLeft(Literal(1L), ex(lit(32) - bits)))
+      val mask = when(bits >= 32, lit(0L)).otherwise(shifted - 1L)
+      val lo = n.bitwiseAND(lit(4294967295L) - mask)
+      ex(struct(ch.ipv4NumToString(lo).as("lo"),
+        ch.ipv4NumToString(lo + mask).as("hi")))
+    }),
+    "MACNumToString" -> (args =>
+      MacNumToStringExpr(Cast(args.head, LongType))),
+    "MACStringToNum" -> (args => MacStringToNumExpr(args.head)),
+    "base58Encode" -> (args => Base58EncodeExpr(args.head)),
+    "base58Decode" -> (args => Base58DecodeExpr(args.head)),
+    "soundex" -> (args => SoundexExpr(args.head)),
+    "idnaEncode" -> (args => IdnaEncodeExpr(args.head)),
+    "idnaDecode" -> (args => IdnaDecodeExpr(args.head)),
+    // normalizeQuery: literals → placeholders, placeholder lists
+    // collapse to `?..` (CH's query-log grouping normalizer) — pure
+    // regex composition, replayable in any engine with RE2-safe
+    // patterns (no backreferences)
+    "normalizeQuery" -> (args => {
+      val s = col(args.head)
+      val noStr = regexp_replace(s, "'(?:[^'\\\\]|\\\\.)*'", "?")
+      val noNum = regexp_replace(noStr, "\\b\\d+(?:\\.\\d+)?\\b", "?")
+      ex(regexp_replace(noNum, "\\?(?:\\s*,\\s*\\?)+", "?.."))
+    }),
+    "normalizedQueryHash" -> (args => {
+      val s = col(args.head)
+      val noStr = regexp_replace(s, "'(?:[^'\\\\]|\\\\.)*'", "?")
+      val noNum = regexp_replace(noStr, "\\b\\d+(?:\\.\\d+)?\\b", "?")
+      val norm = regexp_replace(noNum, "\\?(?:\\s*,\\s*\\?)+", "?..")
+      ex(xxhash64(norm))
+    }),
     // bit vocabulary (the hits/visits flag columns): direct Catalyst
     // bitwise expressions, whole-stage codegen'd
     "bitAnd" -> (args =>

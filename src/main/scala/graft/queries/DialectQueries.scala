@@ -4135,8 +4135,132 @@ object DialectQueries {
       JOIN rowcnt ON rowcnt.g = br.g
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X138: network/encoding vocabulary — IPv4/IPv6 validation, CIDR
+  // ranges, MAC round-trips, base58, soundex, IDNA, and the query-log
+  // normalizer. Oracle strategy: pure-integer predicates and the
+  // regex normalizer replay directly; base58/soundex of the five
+  // fixed event_type values are CASE-mapped from hand-verified
+  // constants (the algorithms are spec-pinned on classic fixtures);
+  // MAC encode/decode proves itself by exact round-trip counting.
+  val q229NetEncoding = QueryDef(
+    "q229_ch_net_encoding",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v229")
+      s.sql("""
+        SELECT event_type,
+               min(soundex(event_type)) AS sx,
+               min(base58Encode(event_type)) AS b58,
+               toInt64(sum(isIPv4String(concat(
+                 CAST(user_id % 300 AS STRING), '.8.',
+                 CAST(event_id % 260 AS STRING), '.1')))) AS v4ok,
+               toInt64(sum(isIPv6String(concat(
+                 '2001:db8::', CAST(event_id % 10 AS STRING))))) AS v6ok,
+               min(tupleElement(IPv4CIDRToRange(concat('10.',
+                 CAST(user_id % 256 AS STRING), '.',
+                 CAST(event_id % 256 AS STRING), '.77'), 24), 'lo'))
+                 AS cidr_lo,
+               toInt64(sum(CASE WHEN MACStringToNum(MACNumToString(
+                 event_id)) = event_id THEN 1 ELSE 0 END)) AS mac_rt,
+               toInt64(sum(CASE WHEN base58Decode(base58Encode(
+                 substr(props, 1, 12))) = substr(props, 1, 12)
+                 THEN 1 ELSE 0 END)) AS b58_rt,
+               min(normalizeQuery(concat('SELECT x FROM t WHERE a = ',
+                 CAST(user_id AS STRING), ' AND b IN (',
+                 CAST(event_id % 5 AS STRING), ', ',
+                 CAST(user_id % 7 AS STRING), ')'))) AS nq,
+               toInt64(count(1)) AS n
+        FROM events_v229
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CASE event_type WHEN 'click' THEN 'C420'
+               WHEN 'error' THEN 'E660' WHEN 'purchase' THEN 'P622'
+               WHEN 'signup' THEN 'S251' ELSE 'V000' END AS sx,
+             CASE event_type WHEN 'click' THEN 'CDbMEh8'
+               WHEN 'error' THEN 'CSqMrvD'
+               WHEN 'purchase' THEN 'KozUk39722Q'
+               WHEN 'signup' THEN 'zUMi4Ydd' ELSE '42YwYJ' END AS b58,
+             CAST(sum(CASE WHEN user_id % 300 <= 255
+               AND event_id % 260 <= 255 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v4ok,
+             CAST(count(*) AS BIGINT) AS v6ok,
+             min('10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+               || CAST(event_id % 256 AS VARCHAR) || '.0') AS cidr_lo,
+             CAST(count(*) AS BIGINT) AS mac_rt,
+             CAST(count(*) AS BIGINT) AS b58_rt,
+             min(regexp_replace(regexp_replace(regexp_replace(
+               'SELECT x FROM t WHERE a = ' || CAST(user_id AS VARCHAR)
+                 || ' AND b IN (' || CAST(event_id % 5 AS VARCHAR)
+                 || ', ' || CAST(user_id % 7 AS VARCHAR) || ')',
+               '''(?:[^''\\]|\\.)*''', '?', 'g'),
+               '\b\d+(?:\.\d+)?\b', '?', 'g'),
+               '\?(?:\s*,\s*\?)+', '?..', 'g')) AS nq,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // X139: z-test family — meanZTest (known-variance two-sample z over
+  // exact long sums) and proportionsZTest (pooled two-proportion z),
+  // statistic-only per the NativeStats determinism policy. The oracle
+  // replays the identical final IEEE ops over the same exact integer
+  // sums; outputs round at 6 dp.
+  val q230ZTests = QueryDef(
+    "q230_ch_ztests",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v230")
+      s.sql("""
+        SELECT event_type,
+               round(meanZTest(4.0, 4.0, 0.95)(user_id % 19,
+                 event_id % 2), 6) AS mz,
+               round(proportionsZTest(
+                 sum(CASE WHEN event_id % 2 = 0 AND user_id % 3 = 0
+                   THEN 1 ELSE 0 END),
+                 sum(CASE WHEN event_id % 2 = 1 AND user_id % 3 = 0
+                   THEN 1 ELSE 0 END),
+                 sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END),
+                 sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END),
+                 0.95), 6) AS pz,
+               toInt64(count(1)) AS n
+        FROM events_v230
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH a AS (
+        SELECT event_type,
+               sum(CASE WHEN event_id % 2 = 0 THEN user_id % 19
+                 ELSE 0 END) AS s0,
+               sum(CASE WHEN event_id % 2 <> 0 THEN user_id % 19
+                 ELSE 0 END) AS s1,
+               sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN event_id % 2 = 0 AND user_id % 3 = 0
+                 THEN 1 ELSE 0 END) AS px,
+               sum(CASE WHEN event_id % 2 = 1 AND user_id % 3 = 0
+                 THEN 1 ELSE 0 END) AS py,
+               count(1) AS n
+        FROM events GROUP BY event_type
+      )
+      SELECT event_type,
+             round((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / sqrt(4.0 / CAST(n0 AS DOUBLE)
+                      + 4.0 / CAST(n1 AS DOUBLE)), 6) AS mz,
+             round((CAST(px AS DOUBLE) / CAST(n0 AS DOUBLE)
+                    - CAST(py AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / sqrt(((CAST(px AS DOUBLE) + CAST(py AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                 * (1.0 - (CAST(px AS DOUBLE) + CAST(py AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                 * (1.0 / CAST(n0 AS DOUBLE)
+                    + 1.0 / CAST(n1 AS DOUBLE))), 6) AS pz,
+             CAST(n AS BIGINT) AS n
+      FROM a ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
+      q229NetEncoding, q230ZTests,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,

@@ -442,6 +442,102 @@ class Round9Spec extends SparkSpec {
       ("B", 4L, 1L, 0.25, 1L)))
   }
 
+  // ------------------------------------------------------------------
+  // X138: network/encoding vocabulary — hand-pinned values.
+
+  test("IP predicates, CIDR ranges, and MAC round-trips") {
+    val r = spark.sql("""
+      SELECT isIPv4String('192.168.0.1') AS v4y,
+             isIPv4String('256.1.1.1') AS v4n,
+             isIPv4String('1.2.3') AS v4s,
+             isIPv6String('2001:db8::8a2e:370:7334') AS v6y,
+             isIPv6String('::1') AS v6loop,
+             isIPv6String('::ffff:192.0.2.128') AS v6map,
+             isIPv6String('1:2:3:4:5:6:7:8') AS v6full,
+             isIPv6String('1:2:3:4:5:6:7:8:9') AS v6over,
+             isIPv6String('1::2::3') AS v6dbl,
+             isIPv6String('192.168.0.1') AS v6v4,
+             IPv4CIDRToRange('192.168.5.77', 24) AS cidr,
+             MACNumToString(1108152157446) AS mac,
+             MACStringToNum('01:02:03:04:05:06') AS macn,
+             MACStringToNum('zz:02:03:04:05:06') AS macbad
+    """).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L && r.getLong(5) == 1L)
+    assert(r.getLong(6) == 1L && r.getLong(7) == 0L && r.getLong(8) == 0L)
+    assert(r.getLong(9) == 0L)
+    val cidr = r.getStruct(10)
+    assert(cidr.getString(0) == "192.168.5.0")
+    assert(cidr.getString(1) == "192.168.5.255")
+    // 1108152157446 = 0x010203040506
+    assert(r.getString(11) == "01:02:03:04:05:06")
+    assert(r.getLong(12) == 1108152157446L)
+    assert(r.getLong(13) == 0L)
+  }
+
+  test("base58 round-trips (Bitcoin alphabet), soundex classics, " +
+      "IDNA encode/decode") {
+    val r = spark.sql("""
+      SELECT base58Encode('Hello') AS b58,
+             base58Decode(base58Encode('The quick brown fox')) AS rt,
+             base58Decode('0invalid') AS bad,
+             soundex('Robert') AS sx1,
+             soundex('Rupert') AS sx2,
+             soundex('Tymczak') AS sx3,
+             soundex('Honeyman') AS sx4,
+             idnaEncode('münchen.example') AS idna,
+             idnaDecode(idnaEncode('münchen.example')) AS idnart
+    """).collect().head
+    // 'Hello' = 0x48656c6c6f → base58 "9Ajdvzr"
+    assert(r.getString(0) == "9Ajdvzr")
+    assert(r.getString(1) == "The quick brown fox")
+    assert(r.isNullAt(2)) // '0' not in the alphabet
+    assert(r.getString(3) == "R163" && r.getString(4) == "R163")
+    assert(r.getString(5) == "T522") // classic W/H-transparency fixture
+    assert(r.getString(6) == "H555")
+    assert(r.getString(7) == "xn--mnchen-3ya.example")
+    assert(r.getString(8) == "münchen.example")
+  }
+
+  test("normalizeQuery masks literals and collapses placeholder " +
+      "lists; normalizedQueryHash groups shape-equal queries") {
+    val r = spark.sql("""
+      SELECT normalizeQuery(
+               "SELECT * FROM t WHERE a = 5 AND b IN (1, 2, 3) AND c = 'x'")
+               AS nq,
+             normalizedQueryHash(
+               "SELECT * FROM t WHERE a = 5 AND b IN (1, 2, 3) AND c = 'x'")
+             = normalizedQueryHash(
+               "SELECT * FROM t WHERE a = 99 AND b IN (7, 8) AND c = 'yy'")
+               AS same,
+             normalizedQueryHash('SELECT 1') = normalizedQueryHash('SELECT 2, 3')
+               AS diff
+    """).collect().head
+    assert(r.getString(0) ==
+      "SELECT * FROM t WHERE a = ? AND b IN (?..) AND c = ?")
+    assert(r.getBoolean(1))
+    assert(!r.getBoolean(2))
+  }
+
+  test("meanZTest / proportionsZTest: hand-computed statistics " +
+      "(statistic-only policy — no p-values in compared surfaces)") {
+    Seq((1L, 0), (2L, 0), (3L, 0), (5L, 1), (7L, 1))
+      .toDF("x", "idx").createOrReplaceTempView("r9_zt")
+    val r = spark.sql(
+      "SELECT meanZTest(4.0, 1.0, 0.95)(x, idx) AS z FROM r9_zt")
+      .collect().head
+    // (2 − 6) / sqrt(4/3 + 1/2)
+    val want = (2.0 - 6.0) / math.sqrt(4.0 / 3.0 + 1.0 / 2.0)
+    assert(math.abs(r.getDouble(0) - want) < 1e-12)
+    val p = spark.sql(
+      "SELECT proportionsZTest(20, 10, 100, 80, 0.95) AS z")
+      .collect().head
+    val pooled = 30.0 / 180.0
+    val wantP = (0.2 - 0.125) /
+      math.sqrt(pooled * (1.0 - pooled) * (1.0 / 100 + 1.0 / 80))
+    assert(math.abs(p.getDouble(0) - wantP) < 1e-12)
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
