@@ -952,6 +952,26 @@ object ChDialect {
       Some(Cast(args.last, LongType)),
       args.dropRight(2).map(litDouble(_, "quantilesTimingWeighted level")),
       returnArray = true).toAggregateExpression()),
+    // exponentialTimeDecayed* window family (plans/NativeStats
+    // .ExpDecayAgg): O(1) running decayed state — constant work per
+    // row of a growing window frame. Flattened (decay, x, t).
+    "exponentialTimeDecayedSum" -> (args =>
+      ExpDecayAgg(Cast(args(1), DoubleType), Cast(args(2), DoubleType),
+        litDouble(args.head, "decay"),
+        "exponentialTimeDecayedSum").toAggregateExpression()),
+    // CH's Count form takes only (t); the x child is a dummy 1
+    "exponentialTimeDecayedCount" -> (args =>
+      ExpDecayAgg(Literal(1.0), Cast(args(1), DoubleType),
+        litDouble(args.head, "decay"),
+        "exponentialTimeDecayedCount").toAggregateExpression()),
+    "exponentialTimeDecayedAvg" -> (args =>
+      ExpDecayAgg(Cast(args(1), DoubleType), Cast(args(2), DoubleType),
+        litDouble(args.head, "decay"),
+        "exponentialTimeDecayedAvg").toAggregateExpression()),
+    "exponentialTimeDecayedMax" -> (args =>
+      ExpDecayAgg(Cast(args(1), DoubleType), Cast(args(2), DoubleType),
+        litDouble(args.head, "decay"),
+        "exponentialTimeDecayedMax").toAggregateExpression()),
     // z-test family — statistic-only per the NativeStats determinism
     // policy (CH returns (stat, p_value, ci…); p-values come from CDF
     // polynomial families that differ across libraries and can never

@@ -789,3 +789,118 @@ case class SparkbarAgg(
       newLeft: Expression, newRight: Expression): SparkbarAgg =
     copy(xChild = newLeft, yChild = newRight)
 }
+
+/** ClickHouse window family `exponentialTimeDecayedSum/Count/Avg/Max`
+  * (`clickhouse.com/docs/sql-reference/window-functions`): at row i
+  * (frame-ordered by time), Σ_{j≤i} v_j · exp(−(t_i − t_j)/decay) and
+  * its count/avg/max siblings. State is O(1) — the running decayed
+  * (value, weight, lastT) triple advanced by
+  * `S_i = v_i + exp(−Δ/decay)·S_{i−1}` — so a growing window frame
+  * updates in constant time per row instead of refolding the frame.
+  *
+  * ORDER CONTRACT: the recurrence folds rows in ARRIVAL order, which
+  * is only deterministic under a window frame's ORDER BY (CH defines
+  * these as window functions for the same reason). Using them as a
+  * plain GROUP BY aggregate is rejected nowhere but documented
+  * nondeterministic — same stance as CH's own deltaSum caveat.
+  * exp() is transcendental: compared surfaces round (the policy).
+  */
+case class ExpDecayAgg(
+    xChild: Expression,
+    tChild: Expression,
+    decay: Double,
+    kind: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ExpDecayAgg.State]
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
+
+  require(ExpDecayAgg.Kinds.contains(kind),
+    s"ExpDecayAgg kind must be one of ${ExpDecayAgg.Kinds.mkString(", ")}")
+  require(decay > 0.0, "exponentialTimeDecayed*: decay must be positive")
+
+  override def left: Expression = xChild
+  override def right: Expression = tChild
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = kind
+
+  override def createAggregationBuffer(): ExpDecayAgg.State =
+    ExpDecayAgg.State(0.0, 0.0, Double.NegativeInfinity, Double.NaN,
+      empty = true)
+
+  override def update(b: ExpDecayAgg.State,
+      input: InternalRow): ExpDecayAgg.State = {
+    val xv = xChild.eval(input)
+    val tv = tChild.eval(input)
+    if (xv == null || tv == null) return b
+    val x = xv.asInstanceOf[Double]
+    val t = tv.asInstanceOf[Double]
+    if (b.empty) ExpDecayAgg.State(x, 1.0, t, x, empty = false)
+    else {
+      // frames deliver rows time-ordered; tolerate equal stamps
+      val f = math.exp(-(t - b.lastT) / decay)
+      ExpDecayAgg.State(x + f * b.sum, 1.0 + f * b.weight, t,
+        math.max(x, f * b.mx), empty = false)
+    }
+  }
+
+  override def merge(a: ExpDecayAgg.State,
+      b: ExpDecayAgg.State): ExpDecayAgg.State =
+    if (a.empty) b
+    else if (b.empty) a
+    else {
+      // a partial's state is relative to ITS lastT; rebasing the
+      // earlier partial onto the later one's clock is one decay
+      // multiply (order-aware: later lastT wins, so the merge result
+      // does not depend on which side Spark passes first)
+      val (early, late) =
+        if (b.lastT >= a.lastT) (a, b) else (b, a)
+      val f = math.exp(-(late.lastT - early.lastT) / decay)
+      ExpDecayAgg.State(late.sum + f * early.sum,
+        late.weight + f * early.weight, late.lastT,
+        math.max(late.mx, f * early.mx), empty = false)
+    }
+
+  override def eval(b: ExpDecayAgg.State): Any =
+    if (b.empty) null
+    else kind match {
+      case "exponentialTimeDecayedSum" => b.sum
+      case "exponentialTimeDecayedCount" => b.weight
+      case "exponentialTimeDecayedAvg" => b.sum / b.weight
+      case "exponentialTimeDecayedMax" => b.mx
+    }
+
+  override def serialize(b: ExpDecayAgg.State): Array[Byte] = {
+    val bb = ByteBuffer.allocate(33)
+    bb.putDouble(b.sum); bb.putDouble(b.weight)
+    bb.putDouble(b.lastT); bb.putDouble(b.mx)
+    bb.put(if (b.empty) 1.toByte else 0.toByte)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ExpDecayAgg.State = {
+    val bb = ByteBuffer.wrap(bytes)
+    ExpDecayAgg.State(bb.getDouble, bb.getDouble, bb.getDouble,
+      bb.getDouble, bb.get() == 1.toByte)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ExpDecayAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ExpDecayAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExpDecayAgg =
+    copy(xChild = newLeft, tChild = newRight)
+}
+
+object ExpDecayAgg {
+  val Kinds: Set[String] = Set("exponentialTimeDecayedSum",
+    "exponentialTimeDecayedCount", "exponentialTimeDecayedAvg",
+    "exponentialTimeDecayedMax")
+
+  /** Running decayed (sum, weight, max) as of `lastT`. */
+  final case class State(sum: Double, weight: Double, lastT: Double,
+      mx: Double, empty: Boolean)
+}

@@ -153,7 +153,9 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +
       """|quantilesTiming|quantileTiming|sparkbar|sumMapFiltered""" +
-      """|meanZTest""" +
+      """|meanZTest|exponentialTimeDecayedSum""" +
+      """|exponentialTimeDecayedCount|exponentialTimeDecayedAvg""" +
+      """|exponentialTimeDecayedMax""" +
       """|largestTriangleThreeBuckets|lttb)""" +
       // the parameter group admits TWO nested paren levels so a
       // constructor param like sumMapFiltered(array(CAST(1 AS

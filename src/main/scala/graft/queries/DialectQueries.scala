@@ -4258,9 +4258,108 @@ object DialectQueries {
              CAST(n AS BIGINT) AS n
       FROM a ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X140: exponentialTimeDecayed window family — the freshness-decayed
+  // engagement metrics CH ships as window functions, with O(1) running
+  // state per frame row. Hashing discipline (the q137 class, hit and
+  // fixed IN SESSION): unbounded-prefix values drifted 2e-6 from a
+  // direct-sum oracle (association compounding over ~200 exp steps),
+  // and even with bounded frames + a nested-replay oracle, an
+  // integer-quantized SUM over 2000 rows amplified single-ulp
+  // JVM-vs-libm exp() deltas into +-1 flips. Final form: 5-row
+  // frames, the oracle replays the engine's exact recurrence nesting,
+  // and the compared surface is 6 dp-rounded group MEANS (per-row
+  // deltas ~1e-15 rel — the same exposure class as every other
+  // double-valued entry, not an exactly-hashed integer).
+  val q231ExpDecay = QueryDef(
+    "q231_ch_exp_decay",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v231")
+      s.sql("""
+        WITH pts AS (
+          SELECT event_type, event_id,
+                 CAST(user_id % 100 AS DOUBLE) AS v,
+                 toUnixTimestamp(ts) / CAST(86400 AS DOUBLE) AS t
+          FROM events_v231 WHERE event_id % 97 = 0
+        ), w AS (
+          SELECT event_type,
+                 exponentialTimeDecayedSum(7.0)(v, t) OVER
+                   (PARTITION BY event_type ORDER BY t, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS eds,
+                 exponentialTimeDecayedAvg(7.0)(v, t) OVER
+                   (PARTITION BY event_type ORDER BY t, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS eda,
+                 exponentialTimeDecayedMax(7.0)(v, t) OVER
+                   (PARTITION BY event_type ORDER BY t, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS edm,
+                 exponentialTimeDecayedCount(7.0)(t) OVER
+                   (PARTITION BY event_type ORDER BY t, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS edc
+          FROM pts
+        )
+        SELECT event_type,
+               round(avg(eds), 6) AS eds_m, round(avg(eda), 6) AS eda_m,
+               round(avg(edm), 6) AS edm_m, round(avg(edc), 6) AS edc_m,
+               toInt64(count(1)) AS n
+        FROM w GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_type, event_id,
+               CAST(user_id % 100 AS DOUBLE) AS v,
+               floor(epoch(ts)) / 86400.0 AS t
+        FROM events WHERE event_id % 97 = 0
+      ), w0 AS (
+        SELECT event_type, v, t,
+               lag(v, 1) OVER win AS v1, lag(t, 1) OVER win AS t1,
+               lag(v, 2) OVER win AS v2, lag(t, 2) OVER win AS t2,
+               lag(v, 3) OVER win AS v3, lag(t, 3) OVER win AS t3,
+               lag(v, 4) OVER win AS v4, lag(t, 4) OVER win AS t4
+        FROM pts
+        WINDOW win AS (PARTITION BY event_type ORDER BY t, event_id)
+      ), w AS (
+        -- the engine's recurrence S = x + exp(-step/7)*S, replayed as
+        -- the SAME nested expression (identical IEEE op order, so the
+        -- per-row doubles are bit-identical before quantization)
+        SELECT event_type,
+          v + CASE WHEN t1 IS NULL THEN 0 ELSE exp(-(t - t1) / 7.0) *
+            (v1 + CASE WHEN t2 IS NULL THEN 0 ELSE exp(-(t1 - t2) / 7.0) *
+              (v2 + CASE WHEN t3 IS NULL THEN 0 ELSE exp(-(t2 - t3) / 7.0) *
+                (v3 + CASE WHEN t4 IS NULL THEN 0
+                      ELSE exp(-(t3 - t4) / 7.0) * v4 END)
+              END)
+            END)
+          END AS eds,
+          1 + CASE WHEN t1 IS NULL THEN 0 ELSE exp(-(t - t1) / 7.0) *
+            (1 + CASE WHEN t2 IS NULL THEN 0 ELSE exp(-(t1 - t2) / 7.0) *
+              (1 + CASE WHEN t3 IS NULL THEN 0 ELSE exp(-(t2 - t3) / 7.0) *
+                (1 + CASE WHEN t4 IS NULL THEN 0
+                      ELSE exp(-(t3 - t4) / 7.0) * 1 END)
+              END)
+            END)
+          END AS edc,
+          greatest(v, CASE WHEN t1 IS NULL THEN -1
+            ELSE exp(-(t - t1) / 7.0) *
+              greatest(v1, CASE WHEN t2 IS NULL THEN -1
+                ELSE exp(-(t1 - t2) / 7.0) *
+                  greatest(v2, CASE WHEN t3 IS NULL THEN -1
+                    ELSE exp(-(t2 - t3) / 7.0) *
+                      greatest(v3, CASE WHEN t4 IS NULL THEN -1
+                        ELSE exp(-(t3 - t4) / 7.0) * v4 END)
+                  END)
+              END)
+          END) AS edm
+        FROM w0
+      )
+      SELECT event_type,
+             round(avg(eds), 6) AS eds_m, round(avg(eds / edc), 6) AS eda_m,
+             round(avg(edm), 6) AS edm_m, round(avg(edc), 6) AS edc_m,
+             CAST(count(1) AS BIGINT) AS n
+      FROM w GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
-      q229NetEncoding, q230ZTests,
+      q229NetEncoding, q230ZTests, q231ExpDecay,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,
