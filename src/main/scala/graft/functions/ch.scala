@@ -655,6 +655,64 @@ object ch {
     regexp_like(sequenceEventString(ts, conds),
       lit(compileSequencePattern(pattern, conds.length))).cast("long")
 
+  /** ClickHouse `sequenceNextNode(direction, base)(ts, value,
+    * base_cond, cond1, …)` (`clickhouse.com/docs/sql-reference/
+    * aggregate-functions/parametric-functions#sequencenextnode`): walk
+    * the time-sorted event stream in `direction`, anchor at `base`,
+    * require the k conditions to hold on k CONSECUTIVE events from the
+    * anchor, and return the value of the event right after the chain
+    * (NULL when the chain does not match or nothing follows).
+    * Supported (direction, base) pairs: (forward, head),
+    * (backward, tail), (forward, first_match),
+    * (backward, last_match) — the combinations CH documents.
+    * Determinism: ties on ts break on the value column, so the walk
+    * order is total.
+    *
+    * Scale: per-GROUP sorted event list (the windowFunnel caveat —
+    * state bounded by the group, map-side partials concatenate).
+    */
+  def sequenceNextNode(direction: String, base: String, ts: Column,
+      value: Column, baseCond: Column, conds: Seq[Column]): Column = {
+    require(Seq("forward", "backward").contains(direction),
+      s"sequenceNextNode: direction must be forward|backward, got $direction")
+    val okBase = direction match {
+      case "forward" => Seq("head", "first_match")
+      case _ => Seq("tail", "last_match")
+    }
+    require(okBase.contains(base),
+      s"sequenceNextNode: base for $direction must be one of " +
+        s"${okBase.mkString("|")}, got $base")
+    val k = conds.length
+    require(k >= 1, "sequenceNextNode needs at least one chain condition")
+    val ev = struct(Seq(ts.cast("long").as("t"),
+      value.cast("string").as("v"),
+      coalesce(baseCond.cast("boolean"), lit(false)).as("b")) ++
+        conds.zipWithIndex.map { case (c, i) =>
+          coalesce(c.cast("boolean"), lit(false)).as(s"c$i")
+        }: _*)
+    val asc = array_sort(collect_list(when(ts.isNotNull, ev)))
+    val seq0 = if (direction == "forward") asc else reverse(asc)
+    val start: Column = base match {
+      case "head" | "tail" => lit(1)
+      case _ => // first event satisfying (cond1 AND base_cond)
+        array_position(transform(seq0,
+          e => e.getField("c0") && e.getField("b")), lit(true))
+    }
+    // try_element_at: past-the-end and no-match (position 0 → NULL
+    // index) probes yield NULL, every coalesce below sees false, and
+    // the when() yields NULL — Spark 4's plain element_at THROWS on
+    // out-of-bounds
+    val safeStart = when(start > 0, start).cast("int")
+    val chainOk = (0 until k).map { i =>
+      val e = try_element_at(seq0, safeStart + i)
+      coalesce(e.getField(s"c$i"), lit(false))
+    }.reduce(_ && _)
+    val baseOk =
+      coalesce(try_element_at(seq0, safeStart).getField("b"), lit(false))
+    when(baseOk && chainOk,
+      try_element_at(seq0, safeStart + k).getField("v"))
+  }
+
   /** ClickHouse `sequenceCount(pattern)(ts, cond1, …)`: the number of
     * NON-OVERLAPPING chains matching the pattern, scanning from the
     * earliest event — leftmost minimal-match regex counting.

@@ -385,8 +385,18 @@ object Dedup {
       "containmentPairs: minContainment in (0, 1]")
     def shingled(base: DataFrame) = base.select(col(idCol),
       text.ngrams(text.tokenize(col(textCol)), shingleN).as("__sh"))
+    // candidate generation runs on 64-BIT HASHED shingles (round 9,
+    // the q182 diet applied here): the exploded (id, shingle) frame
+    // feeds the df-count shuffle and two joins, and 8-byte keys cut
+    // those shuffle bytes ~4x vs ~30-byte strings. Output-preserving:
+    // the pigeonhole completeness bound holds for ANY pLen probe
+    // choice (at most (1−c)·n of the min side's shingles are absent
+    // from a qualifying partner — whichever pLen we probe), a rare
+    // hash collision can only ADD a candidate, and the exact verify
+    // below was already hash-based
     val e = shingled(df)
-      .select(col(idCol), explode(col("__sh")).as("__g"))
+      .select(col(idCol),
+        explode(transform(col("__sh"), g => xxhash64(g))).as("__g"))
     val dfreq = e.groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)

@@ -703,6 +703,41 @@ object ChDialect {
       ex(ch.windowFunnel(col(args.head), col(args(1)),
         args.drop(2).map(col)))
     }),
+    // groupArraySample(k[, seed])(x): k-element sample of the group.
+    // Deviation, documented: CH samples with an RNG reservoir
+    // (nondeterministic across runs); this engine takes the k
+    // LOWEST-HASH elements (xxhash64 seeded) — a uniform sample that
+    // is deterministic, mergeable, and identical on re-run, which any
+    // reproducible pipeline wants anyway.
+    "groupArraySample" -> (args => {
+      require(args.length == 2 || args.length == 3,
+        "groupArraySample(k[, seed])(x) takes 2 or 3 flattened args")
+      val k = litInt(args.head, "groupArraySample k")
+      val (seed, x) =
+        if (args.length == 2) (0, col(args(1)))
+        else (litInt(args(1), "groupArraySample seed"), col(args(2)))
+      val e = struct(xxhash64(lit(seed), x).as("h"), x.as("x"))
+      ex(slice(transform(array_sort(collect_list(e)),
+        p => p.getField("x")), 1, k))
+    }),
+    // sequenceNextNode(direction, base)(ts, value, base_cond, cond…):
+    // the funnel next-step aggregate. The (direction, base) keywords
+    // arrive as bare words (unresolved attributes) or string literals.
+    "sequenceNextNode" -> (args => {
+      require(args.length >= 5,
+        "sequenceNextNode(direction, base)(ts, value, base_cond, " +
+          "cond1, …) needs at least 5 flattened arguments")
+      def word(e: Expression, what: String): String = e match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+        case Literal(v, StringType) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"sequenceNextNode: $what must be a keyword, got $other")
+      }
+      ex(ch.sequenceNextNode(word(args.head, "direction"),
+        word(args(1), "base"), col(args(2)), col(args(3)),
+        col(args(4)), args.drop(5).map(col)))
+    }),
     // sumMap(keys, values): the ParsedParams parallel-array rollup
     "sumMap" -> (args => ex(ch.sumMap(col(args.head), col(args(1))))),
     // sumMapFiltered(keep)(keys, values): sumMap restricted to a fixed

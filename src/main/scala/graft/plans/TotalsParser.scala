@@ -148,7 +148,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // string literals (\u0001N\u0001 — the sequence pattern arrives
   // masked at this point), but no parens.
   private val paramAggHead =
-    ("""(?i)\b(windowFunnel|sequenceMatch|sequenceCount|uniqUpTo""" +
+    ("""(?i)\b(windowFunnel|sequenceNextNode|sequenceMatch""" +
+      """|sequenceCount|uniqUpTo|groupArraySample""" +
       """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +
@@ -184,8 +185,17 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         if (depth != 0) text
         else {
           val arg = stripWs(text.substring(argStart, i - 1))
+          // sequenceNextNode's params are bare KEYWORDS (forward,
+          // head, …) — quote them while flattening, or the analyzer
+          // rejects them as unresolvable columns before the function
+          // builder ever sees them
+          val params =
+            if (m.group(1).equalsIgnoreCase("sequenceNextNode"))
+              m.group(2).split(",").map(w => s"'${w.trim}'")
+                .mkString(", ")
+            else m.group(2)
           val replaced = text.substring(0, m.start) +
-            s"${m.group(1)}(${m.group(2)}, $arg)" + text.substring(i)
+            s"${m.group(1)}($params, $arg)" + text.substring(i)
           rewriteParamAggs(replaced)
         }
     }

@@ -4357,9 +4357,62 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM w GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X141: sequenceNextNode — CH's funnel next-step aggregate ("after a
+  // user's first view, what happens next?"), replayed per user cohort
+  // and histogrammed; the oracle re-walks the same (second, value)
+  // total order with window functions. groupArraySample rides along
+  // structurally (its membership is engine-hash-specific; the size
+  // contract is oracle-checked, determinism is spec-pinned).
+  val q232SeqNextNode = QueryDef(
+    "q232_ch_seq_next_node",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v232")
+      s.sql("""
+        WITH u AS (
+          SELECT user_id % 1000 AS uid,
+                 sequenceNextNode(forward, first_match)(ts, event_type,
+                   event_type = 'view', event_type = 'view') AS nxt,
+                 size(groupArraySample(5, 42)(event_id)) AS ss,
+                 count(1) AS cnt
+          FROM events_v232 GROUP BY user_id % 1000
+        )
+        SELECT coalesce(nxt, '-') AS next_event,
+               toInt64(count(1)) AS n_users,
+               toInt64(sum(CASE WHEN ss = least(5, cnt)
+                 THEN 1 ELSE 0 END)) AS sample_ok
+        FROM u GROUP BY coalesce(nxt, '-')
+        ORDER BY next_event""")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id % 1000 AS uid, event_type,
+               floor(epoch(ts)) AS t
+        FROM events
+      ), o AS (
+        SELECT uid, event_type,
+               row_number() OVER (PARTITION BY uid
+                 ORDER BY t, event_type) AS rn
+        FROM e
+      ), fm AS (
+        SELECT uid, min(rn) AS m FROM o
+        WHERE event_type = 'view' GROUP BY uid
+      ), nxt AS (
+        SELECT o.uid, o.event_type AS nxt
+        FROM fm JOIN o ON o.uid = fm.uid AND o.rn = fm.m + 1
+      ), u AS (
+        SELECT e0.uid, coalesce(nxt.nxt, '-') AS nx
+        FROM (SELECT DISTINCT uid FROM e) e0
+        LEFT JOIN nxt ON nxt.uid = e0.uid
+      )
+      SELECT nx AS next_event,
+             CAST(count(1) AS BIGINT) AS n_users,
+             CAST(count(1) AS BIGINT) AS sample_ok
+      FROM u GROUP BY nx ORDER BY next_event"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
-      q229NetEncoding, q230ZTests, q231ExpDecay,
+      q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,

@@ -569,6 +569,52 @@ class Round9Spec extends SparkSpec {
     assert(math.abs(rows(1).getDouble(4) - 20.0) < 1e-12) // 20 > e^-.5*10
   }
 
+  test("sequenceNextNode: forward/head, forward/first_match, " +
+      "backward/tail, and the no-match NULL") {
+    Seq((1L, "home"), (2L, "gift"), (3L, "exit"), (4L, "basket"))
+      .toDF("ts", "page").createOrReplaceTempView("r9_snn")
+    val r = spark.sql("""
+      SELECT sequenceNextNode(forward, head)(ts, page,
+               page = 'home', page = 'home', page = 'gift') AS fh,
+             sequenceNextNode(forward, first_match)(ts, page,
+               page = 'gift', page = 'gift') AS fm,
+             sequenceNextNode(backward, tail)(ts, page,
+               page = 'basket', page = 'basket') AS bt,
+             sequenceNextNode(forward, head)(ts, page,
+               page = 'home', page = 'home', page = 'exit') AS miss,
+             sequenceNextNode(forward, first_match)(ts, page,
+               page = 'basket', page = 'basket') AS tail_end
+      FROM r9_snn""").collect().head
+    assert(r.getString(0) == "exit")   // home→gift chain, next = exit
+    assert(r.getString(1) == "exit")   // first gift, next = exit
+    assert(r.getString(2) == "exit")   // walking backward from basket
+    assert(r.isNullAt(3))              // home→exit never consecutive
+    assert(r.isNullAt(4))              // chain matches but nothing follows
+  }
+
+  test("groupArraySample: deterministic seeded hash-sample — " +
+      "partition-invariant, subset, size-capped, seed-sensitive") {
+    spark.range(0, 100).selectExpr("id AS x").repartition(7)
+      .createOrReplaceTempView("r9_gas")
+    val a = spark.sql(
+      "SELECT groupArraySample(5, 42)(x) AS s FROM r9_gas")
+      .collect().head.getSeq[Long](0)
+    val b = spark.sql(
+      "SELECT groupArraySample(5, 42)(x) AS s FROM " +
+        "(SELECT x FROM r9_gas ORDER BY x DESC)")
+      .collect().head.getSeq[Long](0)
+    assert(a == b, "same seed + same set must give the same sample")
+    assert(a.length == 5 && a.toSet.subsetOf((0L until 100L).toSet))
+    val c = spark.sql(
+      "SELECT groupArraySample(5, 43)(x) AS s FROM r9_gas")
+      .collect().head.getSeq[Long](0)
+    assert(a != c, "a different seed should pick a different sample")
+    val small = spark.sql(
+      "SELECT groupArraySample(5)(x) AS s FROM (SELECT 7L AS x)")
+      .collect().head.getSeq[Long](0)
+    assert(small == Seq(7L))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
