@@ -337,6 +337,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Contrastive training triplets mined from the corpus itself —
+    * (anchor, positive, negative) rows for embedding-model training:
+    * positives are VERIFIED near-duplicate partners inside a Jaccard
+    * band [loJ, hiJ) (similar but not byte-identical — the sweet spot
+    * for contrastive pairs; band from [[nearDupPairs]], so candidates
+    * are LSH-bounded and every emitted pair is exact), negatives are
+    * the deterministic "far partner" (anchor + ⌈idSpace/2⌉ mod
+    * idSpace) VERIFIED dissimilar (jaccard < loJ) — a rule any engine
+    * can replay, unlike an RNG or hash-order pick.
+    *
+    * Scale shape: one [[nearDupPairs]] pass (banded LSH, exact
+    * verify), one max(id) scalar, and a triplet-bounded verify join
+    * over 64-bit hashed shingle sets — negatives never scan the
+    * corpus. Output: (anchor_id, pos_id, pos_jaccard, neg_id,
+    * neg_jaccard).
+    */
+  def contrastiveTriplets(df: DataFrame, idCol: String, textCol: String,
+      loJ: Double, hiJ: Double, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    import graft.functions.text
+    require(loJ > 0.0 && loJ < hiJ && hiJ <= 1.0,
+      "contrastiveTriplets: need 0 < loJ < hiJ <= 1")
+    val pos = nearDupPairs(df, idCol, textCol, shingleN, numHashes,
+        bands, threshold = loJ)
+      .filter(col("jaccard") < hiJ)
+      .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"),
+        col("jaccard").as("pos_jaccard"))
+    val idSpace = df.agg(max(col(idCol).cast("long"))).head().getLong(0) + 1L
+    val half = idSpace / 2L
+    val withNeg = pos
+      .withColumn("neg_id", pmod(col("anchor_id") + half, lit(idSpace)))
+      .filter(col("neg_id") =!= col("anchor_id") &&
+        col("neg_id") =!= col("pos_id"))
+    val ids = withNeg
+      .select(explode(array(col("anchor_id"), col("neg_id"))).as(idCol))
+      .distinct()
+    val sets = df.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol).cast("long").as(idCol),
+        array_sort(array_distinct(transform(
+          text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN),
+          g => xxhash64(g)))).as("__hs"))
+    val a = sets.select(col(idCol).as("anchor_id"),
+      col("__hs").as("__ha"))
+    val b = sets.select(col(idCol).as("neg_id"), col("__hs").as("__hb"))
+    withNeg.join(a, "anchor_id").join(b, "neg_id")
+      .withColumn("__ni",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .withColumn("__nu", (size(col("__ha")) + size(col("__hb"))).cast("long")
+        - col("__ni"))
+      .withColumn("neg_jaccard",
+        when(col("__nu") > 0, col("__ni").cast("double") / col("__nu"))
+          .otherwise(lit(0.0)))
+      .filter(col("neg_jaccard") < loJ)
+      .select(col("anchor_id"), col("pos_id"), col("pos_jaccard"),
+        col("neg_id"), col("neg_jaccard"))
+  }
+
   /** Near-superset detection via CONTAINMENT — the asymmetric overlap
     * `|A∩B| / min(|A|,|B|)` (MassiveText/Gopher-style): a short
     * document quoted whole inside a long one scores low Jaccard (the

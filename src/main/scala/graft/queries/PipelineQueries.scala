@@ -4049,6 +4049,64 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X142: contrastive triplet mining — (anchor, positive, negative)
+  // training rows for embedding models: positives are LSH-candidate,
+  // exactly-verified near-dups in a Jaccard band (similar, not
+  // identical), negatives the deterministic far partner
+  // (anchor + idSpace/2 mod idSpace) verified dissimilar — a rule the
+  // oracle replays literally, unlike an RNG pick. Band filters use the
+  // RAW jaccard on both sides (a rounded value at the band edge would
+  // disagree with the raw filter).
+  val q233ContrastiveTriplets = QueryDef(
+    "q233_contrastive_triplets",
+    (s, dir) =>
+      Dedup.contrastiveTriplets(Graft.table(s, dir, "documents"),
+          "doc_id", "text", loJ = 0.5, hiJ = 0.95)
+        .select(col("anchor_id"), col("pos_id"),
+          round(col("pos_jaccard"), 6).as("pos_jaccard"),
+          col("neg_id"), round(col("neg_jaccard"), 6).as("neg_jaccard"))
+        .orderBy(col("anchor_id"), col("pos_id")),
+    Some(s"""
+      WITH ${duckNearDupCtes("0.5")},
+      trip0 AS (
+        SELECT id_a AS anchor_id, id_b AS pos_id,
+               round(n_inter / CAST(n_union AS DOUBLE), 6)
+                 AS pos_jaccard
+        FROM pr
+        WHERE n_inter / CAST(n_union AS DOUBLE) < 0.95
+      ), m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      t1 AS (
+        SELECT anchor_id, pos_id, pos_jaccard,
+               (anchor_id + (SELECT m FROM m) // 2)
+                 % (SELECT m FROM m) AS neg_id
+        FROM trip0
+      ), t2 AS (
+        SELECT * FROM t1
+        WHERE neg_id <> anchor_id AND neg_id <> pos_id
+      ), i AS (
+        SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+        FROM e a JOIN e b ON a.g = b.g
+        WHERE a.doc_id IN (SELECT anchor_id FROM t2)
+          AND b.doc_id IN (SELECT neg_id FROM t2)
+        GROUP BY 1, 2
+      ), negj AS (
+        SELECT t2.anchor_id, t2.pos_id, t2.pos_jaccard, t2.neg_id,
+               CASE WHEN sa.n + sb.n - coalesce(i.c, 0) > 0
+                 THEN coalesce(i.c, 0) /
+                   CAST(sa.n + sb.n - coalesce(i.c, 0) AS DOUBLE)
+                 ELSE 0.0 END AS nj
+        FROM t2
+        JOIN sz sa ON sa.doc_id = t2.anchor_id
+        JOIN sz sb ON sb.doc_id = t2.neg_id
+        LEFT JOIN i ON i.x = t2.anchor_id AND i.y = t2.neg_id
+      )
+      SELECT anchor_id, pos_id, pos_jaccard, neg_id,
+             round(nj, 6) AS neg_jaccard
+      FROM negj WHERE nj < 0.5
+      ORDER BY anchor_id, pos_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // X136: MMR diversified rerank — greedy maximal-marginal-relevance
   // over a per-probe shortlist (the RAG "five near-identical passages"
   // fix). Everything the argmax comparisons see derives from exact
@@ -4871,6 +4929,7 @@ object PipelineQueries {
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,
     q223SourceOverlapSketchBench, q227MmrRerank, q228OovRate,
+    q233ContrastiveTriplets,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,

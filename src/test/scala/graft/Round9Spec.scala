@@ -615,6 +615,29 @@ class Round9Spec extends SparkSpec {
     assert(small == Seq(7L))
   }
 
+  test("contrastiveTriplets: banded near-dup positive, deterministic " +
+      "far negative, exact jaccards") {
+    val mk = (i: Int, t: String) => (i.toLong, t)
+    val docs = Seq(
+      mk(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      mk(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 DIFFERENT"),
+      mk(2, "unrelated text about completely other things entirely"),
+      mk(3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+      mk(4, "another separate document with its own private words"),
+      mk(5, "final standalone filler document nothing shared here"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.contrastiveTriplets(docs,
+        "doc_id", "text", loJ = 0.5, hiJ = 0.95)
+      .collect()
+    assert(r.length == 1)
+    val t = r.head
+    assert(t.getLong(0) == 0L && t.getLong(1) == 1L)
+    // 8 shingles each, 7 shared → j = 7/9; neg = (0+3) % 6 = 3, disjoint
+    assert(math.abs(t.getDouble(2) - 7.0 / 9.0) < 1e-12)
+    assert(t.getLong(3) == 3L)
+    assert(t.getDouble(4) == 0.0)
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
