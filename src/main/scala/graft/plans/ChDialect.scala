@@ -1193,6 +1193,86 @@ object ChDialect {
     // arrayDifference(a) → [0, a2-a1, ...] (CH: first element 0,
     // then adjacent deltas)
     "arrayZip" -> (args => ex(arrays_zip(args.map(col): _*))),
+    // fuzzy-matching vocabulary (plans/NativeNet.StrDistKernels):
+    // editDistance maps to Spark's codegen'd Levenshtein; the
+    // Damerau/Jaro family and char-set Jaccard are native kernels
+    // whose definitions the oracle replays via DuckDB's identically-
+    // defined builtins
+    "editDistance" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        args.head, args(1))),
+    "levenshteinDistance" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        args.head, args(1))),
+    "damerauLevenshteinDistance" -> (args =>
+      DamerauLevenshteinExpr(args.head, args(1))),
+    "jaroSimilarity" -> (args =>
+      JaroExpr(args.head, args(1), winkler = false)),
+    "jaroWinklerSimilarity" -> (args =>
+      JaroExpr(args.head, args(1), winkler = true)),
+    "stringJaccardIndex" -> (args =>
+      CharJaccardExpr(args.head, args(1))),
+    // hasToken(haystack, 'token'): the token must be cut on both sides
+    // by non-alphanumerics (CH's tokenbf vocabulary)
+    "hasToken" -> (args => {
+      val tok = java.util.regex.Pattern.quote(
+        litString(args(1), "hasToken token"))
+      ex(when(col(args.head)
+        .rlike(s"(?<![A-Za-z0-9_])$tok(?![A-Za-z0-9_])"), lit(1L))
+        .otherwise(lit(0L)))
+    }),
+    "hasTokenCaseInsensitive" -> (args => {
+      val tok = java.util.regex.Pattern.quote(
+        litString(args(1), "hasTokenCaseInsensitive token"))
+      ex(when(col(args.head)
+        .rlike(s"(?i)(?<![A-Za-z0-9_])$tok(?![A-Za-z0-9_])"), lit(1L))
+        .otherwise(lit(0L)))
+    }),
+    "countMatches" -> (args =>
+      ex(regexp_count(col(args.head), col(args(1))).cast("long"))),
+    "translateUTF8" -> (args =>
+      ex(translate(col(args.head), litString(args(1), "translate from"),
+        litString(args(2), "translate to")))),
+    // array rotation / shift (CH array-functions): rotate is cyclic,
+    // shift drops and pads with the EXPLICIT default (the 3-arg form;
+    // CH's implicit type-default fill needs the element type, which a
+    // name-resolved builder does not have — pass it)
+    "arrayRotateLeft" -> (args => {
+      val arr = col(args.head)
+      val sz = size(arr)
+      val k = pmod(col(args(1)).cast("int"), greatest(sz, lit(1)))
+      ex(when(sz <= 0, arr).otherwise(
+        concat(slice(arr, k + 1, sz - k), slice(arr, lit(1), k))))
+    }),
+    "arrayRotateRight" -> (args => {
+      val arr = col(args.head)
+      val sz = size(arr)
+      val k = pmod(lit(0) - col(args(1)).cast("int"), greatest(sz, lit(1)))
+      ex(when(sz <= 0, arr).otherwise(
+        concat(slice(arr, k + 1, sz - k), slice(arr, lit(1), k))))
+    }),
+    "arrayShiftLeft" -> (args => {
+      require(args.length == 3,
+        "arrayShiftLeft(arr, n, default): pass the fill default " +
+          "explicitly (CH's type-default form needs the element type)")
+      val arr = col(args.head)
+      val sz = size(arr)
+      val n = least(col(args(1)).cast("int"), sz)
+      ex(when(sz <= 0, arr).otherwise(concat(
+        slice(arr, n + 1, sz - n),
+        transform(slice(arr, lit(1), n), _ => col(args(2))))))
+    }),
+    "arrayShiftRight" -> (args => {
+      require(args.length == 3,
+        "arrayShiftRight(arr, n, default): pass the fill default " +
+          "explicitly")
+      val arr = col(args.head)
+      val sz = size(arr)
+      val n = least(col(args(1)).cast("int"), sz)
+      ex(when(sz <= 0, arr).otherwise(concat(
+        transform(slice(arr, lit(1), n), _ => col(args(2))),
+        slice(arr, lit(1), sz - n))))
+    }),
     // arrayAUC(scores, labels): tie-aware ROC AUC per row — exact
     // integer midranks to one final division (NativeMath.ArrayAucExpr)
     "arrayAUC" -> (args => ArrayAucExpr(

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Network / encoding vocabulary kernels backing the engine's
@@ -290,4 +290,169 @@ case class IdnaDecodeExpr(child: Expression) extends NetStringExpr {
     NetKernels.idnaDecode(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
+}
+
+/** String-distance kernels backing the engine's fuzzy-matching
+  * vocabulary (`clickhouse.com/docs/sql-reference/functions/
+  * string-functions#editdistance` neighborhood): classical
+  * Damerau–Levenshtein (WITH the alphabet table — adjacent
+  * transpositions compose, `ca→abc` = 2, matching DuckDB's
+  * `damerau_levenshtein` so the oracle replays directly), Jaro and
+  * Jaro–Winkler similarities (standard definitions), and a
+  * character-set Jaccard (documented deviation: CH's
+  * `stringJaccardIndex` works on bytes; code-point sets replay in any
+  * engine and treat UTF-8 text sanely). All pure, codegen'd, O(len²)
+  * worst-case on the pair — per-row string ops, never corpus-shaped.
+  */
+object StrDistKernels {
+
+  def damerauLevenshtein(a0: UTF8String, b0: UTF8String): Long = {
+    val a = a0.toString
+    val b = b0.toString
+    val (n, m) = (a.length, b.length)
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    val inf = n + m
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    val da = new java.util.HashMap[Char, Int]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val i1 = da.getOrDefault(b.charAt(j - 1), 0)
+        val j1 = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins),
+          math.min(del, trans))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1).toLong
+  }
+
+  def jaro(a0: UTF8String, b0: UTF8String): Double = {
+    val a = a0.toString
+    val b = b0.toString
+    val (n, m) = (a.length, b.length)
+    if (n == 0 && m == 0) return 1.0
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(math.max(n, m) / 2 - 1, 0)
+    val ma = new Array[Boolean](n)
+    val mb = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var hit = false
+      while (j <= hi && !hit) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; matches += 1; hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mm = matches.toDouble
+    (mm / n + mm / m + (mm - t / 2.0) / mm) / 3.0
+  }
+
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val j = jaro(a, b)
+    val (s1, s2) = (a.toString, b.toString)
+    var l = 0
+    val max = math.min(4, math.min(s1.length, s2.length))
+    while (l < max && s1.charAt(l) == s2.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** Jaccard of the two strings' distinct code-point sets. */
+  def charJaccard(a0: UTF8String, b0: UTF8String): Double = {
+    val a = a0.toString.codePoints().toArray
+    val b = b0.toString.codePoints().toArray
+    val sa = a.toSet
+    val sb = b.toSet
+    val u = (sa ++ sb).size
+    if (u == 0) 0.0 else (sa & sb).size.toDouble / u
+  }
+}
+
+case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "damerauLevenshteinDistance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StrDistKernels.damerauLevenshtein(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.StrDistKernels.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
+}
+
+case class JaroExpr(left: Expression, right: Expression,
+    winkler: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (winkler) "jaroWinklerSimilarity" else "jaroSimilarity"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (winkler) StrDistKernels.jaroWinkler(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+    else StrDistKernels.jaro(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (winkler) "jaroWinkler" else "jaro"
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.StrDistKernels.$fn($a, $b)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
+}
+
+case class CharJaccardExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "stringJaccardIndex"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StrDistKernels.charJaccard(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.StrDistKernels.charJaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
 }

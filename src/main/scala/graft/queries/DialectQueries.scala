@@ -4410,9 +4410,61 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS sample_ok
       FROM u GROUP BY nx ORDER BY next_event"""))
 
+  // ---------------------------------------------------------------------
+  // X143: fuzzy-matching vocabulary — edit/Damerau distances (exact
+  // integers), Jaro/Jaro-Winkler similarities and char-set Jaccard
+  // (identical definitions to DuckDB's builtins, so the oracle calls
+  // them directly; 6 dp on the averaged doubles), token-boundary
+  // search (engine lookarounds ≡ oracle's RE2-safe padding trick),
+  // and regex match counting.
+  val q234FuzzyMatch = QueryDef(
+    "q234_ch_fuzzy_match",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v234")
+      s.sql("""
+        SELECT event_type,
+               toInt64(sum(editDistance(event_type,
+                 substr(props, 1, 6)))) AS ed,
+               toInt64(sum(damerauLevenshteinDistance(event_type,
+                 substr(props, 1, 6)))) AS dl,
+               round(avg(jaroSimilarity(event_type,
+                 substr(props, 1, 6))), 6) AS js,
+               round(avg(jaroWinklerSimilarity(event_type,
+                 substr(props, 1, 6))), 6) AS jw,
+               round(avg(stringJaccardIndex(event_type,
+                 substr(props, 1, 6))), 6) AS sj,
+               toInt64(sum(hasToken(props, 'a'))) AS ht,
+               toInt64(sum(countMatches(props, '[0-9]+'))) AS cm,
+               toInt64(count(1)) AS n
+        FROM events_v234
+        WHERE length(props) >= 6
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(sum(levenshtein(event_type, substr(props, 1, 6)))
+               AS BIGINT) AS ed,
+             CAST(sum(damerau_levenshtein(event_type,
+               substr(props, 1, 6))) AS BIGINT) AS dl,
+             round(avg(jaro_similarity(event_type,
+               substr(props, 1, 6))), 6) AS js,
+             round(avg(jaro_winkler_similarity(event_type,
+               substr(props, 1, 6))), 6) AS jw,
+             round(avg(jaccard(event_type, substr(props, 1, 6))), 6)
+               AS sj,
+             CAST(sum(CASE WHEN regexp_matches('#' || props || '#',
+               '[^A-Za-z0-9_]a[^A-Za-z0-9_]') THEN 1 ELSE 0 END)
+               AS BIGINT) AS ht,
+             CAST(sum(len(regexp_extract_all(props, '[0-9]+')))
+               AS BIGINT) AS cm,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events WHERE length(props) >= 6
+      GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
+      q234FuzzyMatch,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,

@@ -638,6 +638,57 @@ class Round9Spec extends SparkSpec {
     assert(t.getDouble(4) == 0.0)
   }
 
+  test("string-distance family: classic fixtures (kitten/sitting, " +
+      "MARTHA/MARHTA, true Damerau ca→abc = 2)") {
+    val r = spark.sql("""
+      SELECT editDistance('kitten', 'sitting') AS ed,
+             levenshteinDistance('kitten', 'sitting') AS ld,
+             damerauLevenshteinDistance('ca', 'abc') AS dl1,
+             damerauLevenshteinDistance('ab', 'ba') AS dl2,
+             damerauLevenshteinDistance('kitten', 'sitting') AS dl3,
+             jaroSimilarity('MARTHA', 'MARHTA') AS js,
+             jaroWinklerSimilarity('MARTHA', 'MARHTA') AS jw,
+             jaroSimilarity('DWAYNE', 'DUANE') AS js2,
+             stringJaccardIndex('duck', 'luck') AS sj,
+             jaroSimilarity('', '') AS jse,
+             jaroSimilarity('a', '') AS jsz
+    """).collect().head
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3) // Levenshtein is Int
+    // TRUE Damerau (with alphabet table): ca→ac→abc = 2, not OSA's 3
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L)
+    assert(r.getLong(4) == 3L)
+    assert(math.abs(r.getDouble(5) - 0.9444444444444445) < 1e-15)
+    assert(math.abs(r.getDouble(6) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(r.getDouble(7) - 0.8222222222222223) < 1e-15)
+    assert(r.getDouble(8) == 0.6) // {u,c,k} / {d,l,u,c,k}
+    assert(r.getDouble(9) == 1.0 && r.getDouble(10) == 0.0)
+  }
+
+  test("hasToken boundaries, countMatches, translateUTF8, array " +
+      "rotate/shift") {
+    val r = spark.sql("""
+      SELECT hasToken('the quick-brown fox', 'quick') AS t1,
+             hasToken('quickly', 'quick') AS t0,
+             hasTokenCaseInsensitive('The QUICK fox', 'quick') AS tci,
+             countMatches('a1b22c333', '[0-9]+') AS cm,
+             translateUTF8('hello', 'el', 'ip') AS tr,
+             arrayRotateLeft(array(1, 2, 3, 4, 5), 2) AS rl,
+             arrayRotateRight(array(1, 2, 3, 4, 5), 1) AS rr,
+             arrayRotateLeft(array(1, 2, 3), 7) AS rlw,
+             arrayShiftLeft(array(1, 2, 3, 4), 2, 0) AS sl,
+             arrayShiftRight(array(1, 2, 3, 4), 1, 9) AS sr
+    """).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 3L)
+    assert(r.getString(4) == "hippo")
+    assert(r.getSeq[Int](5) == Seq(3, 4, 5, 1, 2))
+    assert(r.getSeq[Int](6) == Seq(5, 1, 2, 3, 4))
+    assert(r.getSeq[Int](7) == Seq(2, 3, 1)) // 7 mod 3 = 1
+    assert(r.getSeq[Int](8) == Seq(3, 4, 0, 0))
+    assert(r.getSeq[Int](9) == Seq(9, 1, 2, 3))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
