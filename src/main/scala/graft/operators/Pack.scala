@@ -140,4 +140,63 @@ object Pack {
       .withColumn("pad_waste",
         col("len_bucket") * col("docs") - col("tokens"))
   }
+
+  /** T5-style span-corruption (input, target) pair builder — the
+    * denoising-objective data prep: every `maskEvery`-th token
+    * position (phase-shifted per document) starts a masked span of
+    * `spanLen` tokens; the INPUT replaces each span with a numbered
+    * sentinel `<extra_id_k>`, the TARGET lists each sentinel followed
+    * by the tokens it hides. Masking is PURE ARITHMETIC on
+    * (doc_id, position) — deterministic, overlap-free by construction
+    * (spanLen ≤ maskEvery), and replayable by any engine, which an
+    * RNG sampler is not; swap the phase for epoch-varied corruption.
+    *
+    * Scale shape: one projection — per-row HOFs over the token array,
+    * no shuffle, no state. Returns (id, n_tokens, n_masked,
+    * input_text, target_text).
+    */
+  def spanCorruptionPairs(docs: DataFrame, idCol: String,
+      textCol: String, maskEvery: Int = 10,
+      spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1 && spanLen <= maskEvery,
+      "spanCorruptionPairs: need 1 <= spanLen <= maskEvery")
+    val m = maskEvery
+    val d31 = col(s"`$idCol`").cast("long") * 31L
+    val toks = filter(graft.functions.text.tokenize(col(s"`$textCol`")),
+      t => t =!= "")
+    // span phase: first span starts at i0 = (m − d31 % m) % m; token i
+    // is masked iff (i + d31) % m < spanLen; its span index is
+    // (i + d31) div m − ceil(d31 / m)
+    def pm(i: Column) = pmod(i + d31, lit(m.toLong))
+    def kIdx(i: Column) =
+      ((i + d31) / m).cast("long") - ((d31 + (m - 1)) / m).cast("long")
+    def sentinel(i: Column) =
+      concat(lit("<extra_id_"), kIdx(i).cast("string"), lit(">"))
+    // a continuation slot is only masked when its span START exists
+    // in-document (i − pm ≥ 0) — without this, the phase shift leaks
+    // a headless half-span at the document start
+    def masked(i: Column) = pm(i) < spanLen && i >= pm(i)
+    val input = flatten(zip_with(toks,
+      sequence(lit(0L), greatest(size(toks).cast("long") - 1L, lit(0L))),
+      (t, i) => when(pm(i) === 0L, array(sentinel(i)))
+        .when(masked(i), array().cast("array<string>"))
+        .otherwise(array(t))))
+    val target = flatten(zip_with(toks,
+      sequence(lit(0L), greatest(size(toks).cast("long") - 1L, lit(0L))),
+      (t, i) => when(pm(i) === 0L, array(sentinel(i), t))
+        .when(masked(i), array(t))
+        .otherwise(array().cast("array<string>"))))
+    val nMasked = size(filter(zip_with(toks,
+      sequence(lit(0L), greatest(size(toks).cast("long") - 1L, lit(0L))),
+      (t, i) => masked(i)), x => x))
+    docs.select(col(s"`$idCol`").as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      when(size(toks) > 0, nMasked.cast("long")).otherwise(0L)
+        .as("n_masked"),
+      when(size(toks) > 0, concat_ws(" ", input)).otherwise(lit(""))
+        .as("input_text"),
+      when(size(toks) > 0, concat_ws(" ", target)).otherwise(lit(""))
+        .as("target_text"))
+  }
+
 }

@@ -4049,6 +4049,49 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X144: span-corruption pair builder — T5-style denoising data prep
+  // with PURE-ARITHMETIC masking (phase-shifted per doc, headless
+  // half-spans suppressed), so the oracle rebuilds the exact input and
+  // target strings with list comprehensions.
+  val q235SpanCorruption = QueryDef(
+    "q235_span_corruption",
+    (s, dir) =>
+      graft.operators.Pack.spanCorruptionPairs(
+          Graft.table(s, dir, "documents")
+            .filter(col("doc_id") % 53 === 0),
+          "doc_id", "text", maskEvery = 10, spanLen = 3)
+        .orderBy(col("id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               [x for x in regexp_split_to_array(lower(trim(text)),
+                  '\s+') if x <> ''] AS toks
+        FROM documents WHERE doc_id % 53 = 0
+      ), f AS (
+        SELECT doc_id, toks, len(toks) AS n, doc_id * 31 AS d31 FROM t
+      )
+      SELECT doc_id AS id, CAST(n AS BIGINT) AS n_tokens,
+             CAST(len([i for i in range(0, n)
+               if (i + d31) % 10 < 3 AND i >= (i + d31) % 10])
+               AS BIGINT) AS n_masked,
+             CASE WHEN n > 0 THEN array_to_string(flatten(
+               [CASE WHEN (i + d31) % 10 = 0 THEN
+                  ['<extra_id_' || CAST((i + d31) // 10
+                     - (d31 + 9) // 10 AS VARCHAR) || '>']
+                WHEN (i + d31) % 10 < 3 AND i >= (i + d31) % 10 THEN []
+                ELSE [toks[i + 1]] END
+                for i in range(0, n)]), ' ') ELSE '' END AS input_text,
+             CASE WHEN n > 0 THEN array_to_string(flatten(
+               [CASE WHEN (i + d31) % 10 = 0 THEN
+                  ['<extra_id_' || CAST((i + d31) // 10
+                     - (d31 + 9) // 10 AS VARCHAR) || '>', toks[i + 1]]
+                WHEN (i + d31) % 10 < 3 AND i >= (i + d31) % 10 THEN
+                  [toks[i + 1]]
+                ELSE [] END
+                for i in range(0, n)]), ' ') ELSE '' END AS target_text
+      FROM f ORDER BY id"""))
+
+  // ---------------------------------------------------------------------
   // X142: contrastive triplet mining — (anchor, positive, negative)
   // training rows for embedding models: positives are LSH-candidate,
   // exactly-verified near-dups in a Jaccard band (similar, not
@@ -4929,7 +4972,7 @@ object PipelineQueries {
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,
     q223SourceOverlapSketchBench, q227MmrRerank, q228OovRate,
-    q233ContrastiveTriplets,
+    q233ContrastiveTriplets, q235SpanCorruption,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,

@@ -689,6 +689,27 @@ class Round9Spec extends SparkSpec {
     assert(r.getSeq[Int](9) == Seq(9, 1, 2, 3))
   }
 
+  test("spanCorruptionPairs: deterministic arithmetic masking, " +
+      "numbered sentinels, per-doc phase shift") {
+    Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"),
+        (1L, "a b c d e f g"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r9_span")
+    val r = graft.operators.Pack.spanCorruptionPairs(
+        spark.table("r9_span"), "doc_id", "text",
+        maskEvery = 5, spanLen = 2)
+      .orderBy(col("id")).collect()
+    // doc 0 (phase 0): spans {0,1}, {5,6}, {10,11}
+    assert(r(0).getLong(1) == 12L && r(0).getLong(2) == 6L)
+    assert(r(0).getString(3) ==
+      "<extra_id_0> t2 t3 t4 <extra_id_1> t7 t8 t9 <extra_id_2>")
+    assert(r(0).getString(4) ==
+      "<extra_id_0> t0 t1 <extra_id_1> t5 t6 <extra_id_2> t10 t11")
+    // doc 1 (d31 = 31, phase: i ≡ 4 mod 5): spans {4,5} → e f
+    assert(r(1).getLong(1) == 7L && r(1).getLong(2) == 2L)
+    assert(r(1).getString(3) == "a b c d <extra_id_0> g")
+    assert(r(1).getString(4) == "<extra_id_0> e f")
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
