@@ -1007,6 +1007,66 @@ object ChDialect {
       ExpDecayAgg(Cast(args(1), DoubleType), Cast(args(2), DoubleType),
         litDouble(args.head, "decay"),
         "exponentialTimeDecayedMax").toAggregateExpression()),
+    // toTypeName(x): CH-vocabulary type introspection (plan-time
+    // constant per column)
+    "toTypeName" -> (args => ToTypeNameExpr(args.head)),
+    // formatReadableTimeDelta(seconds): "2 days, 3 hours, 4 minutes,
+    // 5 seconds" — exact integer decomposition (days/hours/minutes/
+    // seconds granularity), replayable string arithmetic
+    "formatReadableTimeDelta" -> (args => {
+      val s0 = col(args.head).cast("long")
+      def part(v: Column, name: String): Column =
+        when(v > 0, concat(v.cast("string"), lit(" " + name),
+          when(v > 1, lit("s")).otherwise(lit(""))))
+      val days = (s0 / lit(86400L)).cast("long")
+      val hours = (pmod(s0, lit(86400L)) / lit(3600L)).cast("long")
+      val minutes = (pmod(s0, lit(3600L)) / lit(60L)).cast("long")
+      val seconds = pmod(s0, lit(60L))
+      ex(when(s0 <= 0, lit("0 seconds")).otherwise(
+        concat_ws(", ", part(days, "day"), part(hours, "hour"),
+          part(minutes, "minute"), part(seconds, "second"))))
+    }),
+    // A/B-test sample-size planners (the z-test family's other half):
+    // literal-parameter forms computed at plan time via the Acklam
+    // inverse-normal kernel (NativeMath.InvNorm, ~1e-9 relative —
+    // far inside a 6 dp compared surface, so an oracle using true
+    // quantile constants agrees). Standard two-proportion /
+    // known-variance formulas; returns (min sample size per group,
+    // detectable range lower, upper).
+    "minSampleSizeConversion" -> (args => {
+      require(args.length == 4,
+        "minSampleSizeConversion(baseline, mde, power, alpha)")
+      val p1 = litDouble(args.head, "baseline")
+      val mde = litDouble(args(1), "mde")
+      val power = litDouble(args(2), "power")
+      val alpha = litDouble(args(3), "alpha")
+      val p2 = p1 + mde
+      val za = InvNorm.invCdf(1.0 - alpha / 2.0)
+      val zb = InvNorm.invCdf(power)
+      val pbar = (p1 + p2) / 2.0
+      val n = math.pow(za * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+        zb * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2) /
+        (mde * mde)
+      ex(struct(lit(n).as("minimum_sample_size"),
+        lit(p1 - mde).as("detect_range_lower"),
+        lit(p1 + mde).as("detect_range_upper")))
+    }),
+    "minSampleSizeContinuous" -> (args => {
+      require(args.length == 5,
+        "minSampleSizeContinuous(baseline, sigma, mde, power, alpha)")
+      val base = litDouble(args.head, "baseline")
+      val sigma = litDouble(args(1), "sigma")
+      val mde = litDouble(args(2), "mde")
+      val power = litDouble(args(3), "power")
+      val alpha = litDouble(args(4), "alpha")
+      val za = InvNorm.invCdf(1.0 - alpha / 2.0)
+      val zb = InvNorm.invCdf(power)
+      val n = 2.0 * math.pow(za + zb, 2) * sigma * sigma /
+        math.pow(mde * base, 2)
+      ex(struct(lit(n).as("minimum_sample_size"),
+        lit(base * (1.0 - mde)).as("detect_range_lower"),
+        lit(base * (1.0 + mde)).as("detect_range_upper")))
+    }),
     // z-test family — statistic-only per the NativeStats determinism
     // policy (CH returns (stat, p_value, ci…); p-values come from CDF
     // polynomial families that differ across libraries and can never

@@ -456,3 +456,45 @@ case class CharJaccardExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression) = copy(left = newLeft, right = newRight)
 }
+
+/** CH `toTypeName(x)`: the ClickHouse-vocabulary name of the
+  * argument's type — introspection sugar for runbooks; resolves at
+  * plan time (constant per column), CH names for the common types and
+  * Spark's `simpleString` for anything exotic.
+  */
+case class ToTypeNameExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "toTypeName"
+  override def foldable: Boolean = true
+
+  private def chName(t: DataType): String = t match {
+    case org.apache.spark.sql.types.LongType => "Int64"
+    case org.apache.spark.sql.types.IntegerType => "Int32"
+    case org.apache.spark.sql.types.ShortType => "Int16"
+    case org.apache.spark.sql.types.ByteType => "Int8"
+    case DoubleType => "Float64"
+    case org.apache.spark.sql.types.FloatType => "Float32"
+    case StringType => "String"
+    case org.apache.spark.sql.types.BooleanType => "Bool"
+    case org.apache.spark.sql.types.DateType => "Date"
+    case _: org.apache.spark.sql.types.TimestampType => "DateTime64"
+    case d: org.apache.spark.sql.types.DecimalType =>
+      s"Decimal(${d.precision}, ${d.scale})"
+    case a: org.apache.spark.sql.types.ArrayType =>
+      s"Array(${chName(a.elementType)})"
+    case m: org.apache.spark.sql.types.MapType =>
+      s"Map(${chName(m.keyType)}, ${chName(m.valueType)})"
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.map(f => chName(f.dataType))
+        .mkString("Tuple(", ", ", ")")
+    case other => other.simpleString
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    UTF8String.fromString(chName(child.dataType))
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

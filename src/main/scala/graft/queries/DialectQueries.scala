@@ -4461,10 +4461,76 @@ object DialectQueries {
       FROM events WHERE length(props) >= 6
       GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X145: A/B-test planners + introspection/formatting sugar. The
+  // planner outputs are CEILed to integers (a sample size is a count):
+  // the Acklam inverse-normal's ~1e-9 error can never move an integer
+  // ceiling, so the oracle's true-quantile constants agree exactly —
+  // no fractional round-boundary to sit on.
+  val q236PlannersTypes = QueryDef(
+    "q236_ch_planners_types",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v236")
+      s.sql("""
+        SELECT event_type,
+               toInt64(ceil(tupleElement(minSampleSizeConversion(
+                 0.1, 0.02, 0.8, 0.05), 'minimum_sample_size')))
+                 AS msc_n,
+               toInt64(ceil(tupleElement(minSampleSizeContinuous(
+                 100.0, 20.0, 0.05, 0.8, 0.05), 'minimum_sample_size')))
+                 AS mst_n,
+               round(tupleElement(minSampleSizeConversion(
+                 0.1, 0.02, 0.8, 0.05), 'detect_range_upper'), 6)
+                 AS msc_hi,
+               min(toTypeName(event_id)) AS tn_id,
+               min(toTypeName(props)) AS tn_props,
+               min(formatReadableTimeDelta(event_id % 200000)) AS frt_min,
+               max(formatReadableTimeDelta(event_id % 200000)) AS frt_max,
+               toInt64(count(1)) AS n
+        FROM events_v236
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH z AS (SELECT 1.9599639845400545 AS za,
+                        0.8416212335729143 AS zb),
+      frt AS (
+        SELECT event_type, event_id % 200000 AS s FROM events
+      ), frts AS (
+        SELECT event_type,
+               CASE WHEN s <= 0 THEN '0 seconds' ELSE concat_ws(', ',
+                 CASE WHEN s // 86400 > 0 THEN
+                   CAST(s // 86400 AS VARCHAR) || ' day' ||
+                   CASE WHEN s // 86400 > 1 THEN 's' ELSE '' END END,
+                 CASE WHEN (s % 86400) // 3600 > 0 THEN
+                   CAST((s % 86400) // 3600 AS VARCHAR) || ' hour' ||
+                   CASE WHEN (s % 86400) // 3600 > 1 THEN 's' ELSE '' END
+                   END,
+                 CASE WHEN (s % 3600) // 60 > 0 THEN
+                   CAST((s % 3600) // 60 AS VARCHAR) || ' minute' ||
+                   CASE WHEN (s % 3600) // 60 > 1 THEN 's' ELSE '' END
+                   END,
+                 CASE WHEN s % 60 > 0 THEN
+                   CAST(s % 60 AS VARCHAR) || ' second' ||
+                   CASE WHEN s % 60 > 1 THEN 's' ELSE '' END END)
+               END AS f
+        FROM frt
+      )
+      SELECT frts.event_type,
+             CAST(ceil(pow((SELECT za FROM z) * sqrt(2 * 0.11 * 0.89)
+                 + (SELECT zb FROM z) * sqrt(0.1 * 0.9 + 0.12 * 0.88),
+                 2) / (0.02 * 0.02)) AS BIGINT) AS msc_n,
+             CAST(ceil(2 * pow((SELECT za FROM z) + (SELECT zb FROM z),
+                 2) * 400.0 / pow(0.05 * 100.0, 2)) AS BIGINT) AS mst_n,
+             round(0.1 + 0.02, 6) AS msc_hi,
+             'Int64' AS tn_id, 'String' AS tn_props,
+             min(f) AS frt_min, max(f) AS frt_max,
+             CAST(count(1) AS BIGINT) AS n
+      FROM frts GROUP BY frts.event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
-      q234FuzzyMatch,
+      q234FuzzyMatch, q236PlannersTypes,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,

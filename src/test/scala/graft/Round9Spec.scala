@@ -710,6 +710,38 @@ class Round9Spec extends SparkSpec {
     assert(r(1).getString(4) == "<extra_id_0> e f")
   }
 
+  test("minSampleSize planners (Acklam inverse normal), toTypeName, " +
+      "formatReadableTimeDelta") {
+    val r = spark.sql("""
+      SELECT minSampleSizeConversion(0.1, 0.02, 0.8, 0.05) AS msc,
+             minSampleSizeContinuous(100.0, 20.0, 0.05, 0.8, 0.05) AS msk,
+             toTypeName(CAST(1 AS BIGINT)) AS tn1,
+             toTypeName(array(1.0D)) AS tn2,
+             toTypeName(named_struct('a', 1, 'b', 'x')) AS tn3,
+             formatReadableTimeDelta(93784) AS frt,
+             formatReadableTimeDelta(59) AS frs,
+             formatReadableTimeDelta(0) AS frz
+    """).collect().head
+    val msc = r.getStruct(0)
+    // textbook two-proportion n (p1=.10, p2=.12, α=.05, power=.8)
+    // ≈ 3835 per group; Acklam error ~1e-9 cannot move it by 1
+    assert(math.abs(msc.getDouble(0) - 3840.8475) < 0.01,
+      msc.getDouble(0).toString)
+    assert(math.abs(msc.getDouble(1) - 0.08) < 1e-12 &&
+      math.abs(msc.getDouble(2) - 0.12) < 1e-12)
+    val msk = r.getStruct(1)
+    // 2(1.95996+0.84162)^2 * 400 / 25 = 251.164
+    assert(math.abs(msk.getDouble(0) - 251.1642) < 0.01,
+      msk.getDouble(0).toString)
+    assert(r.getString(2) == "Int64")
+    assert(r.getString(3) == "Array(Float64)")
+    assert(r.getString(4) == "Tuple(Int32, String)")
+    // 93784 s = 1 day, 2 hours, 3 minutes, 4 seconds
+    assert(r.getString(5) == "1 day, 2 hours, 3 minutes, 4 seconds")
+    assert(r.getString(6) == "59 seconds")
+    assert(r.getString(7) == "0 seconds")
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
