@@ -248,4 +248,53 @@ object Select {
     docs.withColumn("bad_hits", hits)
       .filter(col("bad_hits") <= maxHits)
   }
+
+  /** Ensemble quality ranking — fuse K quality SIGNALS into one
+    * corpus-relative score by averaging exact percentile ranks
+    * (rank-averaging is the standard way to combine incomparable
+    * signal scales without calibration). Per signal, a document's
+    * percentile is (# docs strictly smaller) / (N − 1) — ties share a
+    * rank, so the result is a pure function of the value multiset.
+    *
+    * Scale shape (the X97 curriculum pattern): NO corpus-wide sort or
+    * single-partition window — each signal builds its value-frequency
+    * table (cardinality of distinct VALUES, not docs), takes the
+    * cumulative over that table (value-cardinality-sized window), and
+    * broadcast-joins the per-value "count smaller" back to the corpus.
+    * Signals must be integer-valued (cast long) so the tables are
+    * exact.
+    *
+    * Returns (id, pct_<signal>…, ensemble_pct, keep) with `keep` =
+    * ensemble ≥ threshold.
+    */
+  def ensembleQualityRank(docs: DataFrame, idCol: String,
+      signalCols: Seq[String], threshold: Double): DataFrame = {
+    require(signalCols.nonEmpty, "ensembleQualityRank: need >= 1 signal")
+    val base = docs.select(
+      (col(s"`$idCol`").as("id") +:
+        signalCols.map(c => col(s"`$c`").cast("long").as(c))): _*)
+    val n = base.count()
+    require(n > 1, "ensembleQualityRank: need > 1 document")
+    val withPcts = signalCols.foldLeft(base) { (acc, c) =>
+      val vc = base.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // value-cardinality-sized window (bounded), then broadcast back
+      val cum = vc
+        .withColumn("__smaller", sum(col("__c")).over(w) - col("__c"))
+        .select(col(c), col("__smaller"))
+      acc.join(broadcast(cum), Seq(c))
+        .withColumn(s"pct_$c",
+          col("__smaller").cast("double") / (n - 1.0))
+        .drop("__smaller")
+    }
+    val ens = signalCols.map(c => col(s"pct_$c"))
+      .reduce(_ + _) / signalCols.length.toDouble
+    withPcts
+      .withColumn("ensemble_pct", ens)
+      .withColumn("keep", (col("ensemble_pct") >= threshold).cast("int"))
+      .select((col("id") +: signalCols.map(c => col(s"pct_$c")))
+        :+ col("ensemble_pct") :+ col("keep"): _*)
+  }
+
 }

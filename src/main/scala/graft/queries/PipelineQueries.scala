@@ -4092,6 +4092,69 @@ object PipelineQueries {
       FROM f ORDER BY id"""))
 
   // ---------------------------------------------------------------------
+  // X146: ensemble quality ranking — K incomparable quality signals
+  // fused by averaging exact tie-sharing percentile ranks; no corpus
+  // sort, no single-partition window (value-frequency tables +
+  // broadcast joins, the X97 pattern). Entry rolls the per-doc
+  // ensemble up per source; the oracle replays the strictly-smaller
+  // counts with RANGE windows.
+  val q237EnsembleRank = QueryDef(
+    "q237_ensemble_quality_rank",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val toks = filter(text.tokenize(col("text")), t => t =!= "")
+      val sig = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        size(array_distinct(toks)).cast("long").as("dt"))
+      val ranked = graft.operators.Select.ensembleQualityRank(
+        sig, "doc_id", Seq("nt", "nc", "dt"), threshold = 0.5)
+      ranked.join(sig.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy(col("source"))
+        .agg(round(avg(col("ensemble_pct")), 6).as("avg_ens"),
+          sum(col("keep")).cast("long").as("n_keep"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               [x for x in regexp_split_to_array(lower(trim(text)),
+                  '\s+') if x <> ''] AS toks,
+               length(text) AS nc
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
+               CAST(nc AS BIGINT) AS nc,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS dt
+        FROM t
+      ), nn AS (SELECT count(*) AS n FROM sig),
+      r AS (
+        SELECT doc_id, source,
+               (count(*) OVER (ORDER BY nt RANGE BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW)
+                - count(*) OVER (PARTITION BY nt)) AS sm_nt,
+               (count(*) OVER (ORDER BY nc RANGE BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW)
+                - count(*) OVER (PARTITION BY nc)) AS sm_nc,
+               (count(*) OVER (ORDER BY dt RANGE BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW)
+                - count(*) OVER (PARTITION BY dt)) AS sm_dt
+        FROM sig
+      ), p AS (
+        SELECT source,
+               (sm_nt / ((SELECT n FROM nn) - 1.0)
+                + sm_nc / ((SELECT n FROM nn) - 1.0)
+                + sm_dt / ((SELECT n FROM nn) - 1.0)) / 3.0 AS ens
+        FROM r
+      )
+      SELECT source, round(avg(ens), 6) AS avg_ens,
+             CAST(sum(CASE WHEN ens >= 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_keep,
+             CAST(count(1) AS BIGINT) AS n
+      FROM p GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
   // X142: contrastive triplet mining — (anchor, positive, negative)
   // training rows for embedding models: positives are LSH-candidate,
   // exactly-verified near-dups in a Jaccard band (similar, not
@@ -4972,7 +5035,7 @@ object PipelineQueries {
     q178ContaminationFraction, q179CharsetNoise,
     q181HostReputationFilter, q182SourceOverlap,
     q223SourceOverlapSketchBench, q227MmrRerank, q228OovRate,
-    q233ContrastiveTriplets, q235SpanCorruption,
+    q233ContrastiveTriplets, q235SpanCorruption, q237EnsembleRank,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,

@@ -742,6 +742,24 @@ class Round9Spec extends SparkSpec {
     assert(r.getString(7) == "0 seconds")
   }
 
+  test("ensembleQualityRank: exact tie-sharing percentiles, averaged " +
+      "across signals, threshold keep") {
+    Seq((0L, 10L, 5L), (1L, 20L, 4L), (2L, 20L, 3L),
+        (3L, 30L, 2L), (4L, 40L, 1L))
+      .toDF("doc_id", "a", "b").createOrReplaceTempView("r9_eqr")
+    val r = graft.operators.Select.ensembleQualityRank(
+        spark.table("r9_eqr"), "doc_id", Seq("a", "b"), threshold = 0.5)
+      .orderBy(col("id")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
+        x.getDouble(3), x.getInt(4))).toSeq
+    assert(r == Seq(
+      (0L, 0.0, 1.0, 0.5, 1),
+      (1L, 0.25, 0.75, 0.5, 1),
+      (2L, 0.25, 0.5, 0.375, 0),
+      (3L, 0.75, 0.25, 0.5, 1),
+      (4L, 1.0, 0.0, 0.5, 1)))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
