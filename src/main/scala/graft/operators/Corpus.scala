@@ -90,4 +90,51 @@ object Corpus {
         col("distinct_oov"))
   }
 
+
+  /** Vocabulary coverage curve — for each candidate vocab size k, the
+    * fraction of all token OCCURRENCES covered by the top-k token
+    * types (count desc, token asc — the deterministic cut [[oovRate]]
+    * uses): the tokenizer-sizing chart ("32k types cover 97.2%").
+    *
+    * Scale shape: one type-bounded count rollup (map-side combined),
+    * ONE TakeOrdered of max(ks) rows (no full sort shuffle), and a
+    * window over those max(ks) rows only — never corpus-sized. The
+    * coverage fraction is an exact integer ratio, so any engine
+    * computes the identical double.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      "vocabCoverage: ks must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val toks = docs.select(
+      explode(graft.functions.text.tokenize(col(s"`$textCol`")))
+        .as("__tok"))
+      .filter(col("__tok") =!= "")
+    val counts = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c"))).head().getLong(0)
+    val kmax = ks.max
+    val top = counts.orderBy(col("__c").desc, col("__tok").asc)
+      .limit(kmax)
+    val w = Window.orderBy(col("__c").desc, col("__tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = top
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__c").desc, col("__tok").asc)))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .select(col("__rn"), col("__cum"))
+    val vTypes = cum.count()
+    import spark.implicits._
+    val kdf = ks.map(k => (k.toLong, math.min(k.toLong, vTypes)))
+      .toDF("k", "__k0")
+    kdf.join(cum, col("__k0") === col("__rn"))
+      .select(col("k"),
+        col("__k0").as("types_used"),
+        col("__cum").as("occ_covered"),
+        (col("__cum").cast("double") / total).as("coverage"))
+      .orderBy(col("k"))
+  }
+
 }

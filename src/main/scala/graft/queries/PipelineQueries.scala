@@ -4155,6 +4155,41 @@ object PipelineQueries {
       FROM p GROUP BY source ORDER BY source"""))
 
   // ---------------------------------------------------------------------
+  // X147: vocabulary coverage curve — the tokenizer-sizing chart:
+  // occurrence share covered by the top-k token types at candidate
+  // vocab sizes; exact integer ratios, deterministic (count desc,
+  // token asc) cut, one TakeOrdered + a k_max-row window.
+  val q238VocabCoverage = QueryDef(
+    "q238_vocab_coverage",
+    (s, dir) =>
+      graft.operators.Corpus.vocabCoverage(
+          Graft.table(s, dir, "documents"), "text",
+          ks = Seq(100, 1000, 5000))
+        .select(col("k"), col("types_used"), col("occ_covered"),
+          round(col("coverage"), 6).as("coverage")),
+    Some("""
+      WITH toks AS (
+        SELECT t AS tok FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)),
+            '\s+')) AS t FROM documents) WHERE t <> ''
+      ), c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT sum(c) AS total, count(*) AS v FROM c),
+      cum AS (
+        SELECT row_number() OVER (ORDER BY c DESC, tok) AS rn,
+               sum(c) OVER (ORDER BY c DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cm
+        FROM c
+      ), kk AS (SELECT unnest([100, 1000, 5000]) AS k)
+      SELECT CAST(kk.k AS BIGINT) AS k,
+             CAST(least(kk.k, tot.v) AS BIGINT) AS types_used,
+             CAST(cum.cm AS BIGINT) AS occ_covered,
+             round(cum.cm / CAST(tot.total AS DOUBLE), 6) AS coverage
+      FROM kk CROSS JOIN tot
+      JOIN cum ON cum.rn = least(kk.k, tot.v)
+      ORDER BY k"""))
+
+  // ---------------------------------------------------------------------
   // X142: contrastive triplet mining — (anchor, positive, negative)
   // training rows for embedding models: positives are LSH-candidate,
   // exactly-verified near-dups in a Jaccard band (similar, not
@@ -5036,6 +5071,7 @@ object PipelineQueries {
     q181HostReputationFilter, q182SourceOverlap,
     q223SourceOverlapSketchBench, q227MmrRerank, q228OovRate,
     q233ContrastiveTriplets, q235SpanCorruption, q237EnsembleRank,
+    q238VocabCoverage,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,

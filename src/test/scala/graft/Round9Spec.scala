@@ -760,6 +760,18 @@ class Round9Spec extends SparkSpec {
       (4L, 1.0, 0.0, 0.5, 1)))
   }
 
+  test("vocabCoverage: exact occurrence shares at candidate vocab " +
+      "sizes, k clamped to the type count") {
+    Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("r9_vc")
+    val r = graft.operators.Corpus.vocabCoverage(
+        spark.table("r9_vc"), "text", ks = Seq(1, 2, 5))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSeq
+    assert(r == Seq((1L, 1L, 3L, 0.5), (2L, 2L, 5L, 5.0 / 6.0),
+      (5L, 3L, 6L, 1.0)))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
