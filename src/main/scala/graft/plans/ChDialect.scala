@@ -26,6 +26,45 @@ object ChDialect {
       s"$what must be a string literal, got $other")
   }
 
+  /** CH `arrayFill(cond, arr)` / `arrayReverseFill`: forward
+    * (backward) fill — keep the element where the predicate holds (or
+    * at the leading/trailing hole), carry the previous (next) kept
+    * value otherwise. ONE ArrayAggregate at the ROOT (the analyzer
+    * binds lambda arguments only when the registered builder returns
+    * the higher-order function as the root — the [[arrayFirstLast]]
+    * rule); reverse fill folds the reversed array and un-reverses in
+    * the finish lambda.
+    */
+  private def chArrayFill(args: Seq[Expression],
+      rev: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Concat, CreateArray, CreateNamedStruct, If, LambdaFunction, Or, Reverse, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    val lf = args.head.asInstanceOf[LambdaFunction]
+    val elemType = args(1).dataType
+      .asInstanceOf[ArrayType].elementType
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_af_acc"))
+    def fld(n: String) = UnresolvedExtractValue(acc, Literal(n))
+    val x = lf.arguments.head
+    val v = If(Or(lf.function, fld("first")), x, fld("prev"))
+    val merge = LambdaFunction(
+      CreateNamedStruct(Seq(
+        Literal("out"), Concat(Seq(fld("out"), CreateArray(Seq(v)))),
+        Literal("prev"), v,
+        Literal("first"), Literal(false))),
+      acc +: lf.arguments)
+    val res = UnresolvedNamedLambdaVariable(Seq("__graft_af_res"))
+    val outF = UnresolvedExtractValue(res, Literal("out"))
+    val finish = LambdaFunction(
+      if (rev) Reverse(outF) else outF, Seq(res))
+    val zero = CreateNamedStruct(Seq(
+      Literal("out"), Literal.create(Array.empty[Any],
+        ArrayType(elemType)),
+      Literal("prev"), Literal(null, elemType),
+      Literal("first"), Literal(true)))
+    val src = if (rev) Reverse(args(1)) else args(1)
+    ArrayAggregate(src, zero, merge, finish)
+  }
+
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: Float, _) => v.toDouble
@@ -63,12 +102,14 @@ object ChDialect {
     * unwraps to the element or the element-type default on no match.
     */
   private def arrayFirstLast(args: Seq[Expression],
-      last: Boolean): Expression = {
+      last: Boolean, orNull: Boolean = false): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{And, ArrayAggregate, CreateNamedStruct, If, LambdaFunction, Not, UnresolvedNamedLambdaVariable}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
     val lf = args.head.asInstanceOf[LambdaFunction]
     val elemType = args(1).dataType.asInstanceOf[ArrayType].elementType
-    val dflt = Literal.default(elemType)
+    // the OrNull spellings miss to NULL instead of the type default
+    val dflt = if (orNull) Literal(null, elemType)
+      else Literal.default(elemType)
     val acc = UnresolvedNamedLambdaVariable(Seq("__graft_fl_acc"))
     val hit = CreateNamedStruct(Seq(Literal("f"), Literal(true),
       Literal("v"), lf.arguments.head))
@@ -1253,6 +1294,60 @@ object ChDialect {
     // arrayDifference(a) → [0, a2-a1, ...] (CH: first element 0,
     // then adjacent deltas)
     "arrayZip" -> (args => ex(arrays_zip(args.map(col): _*))),
+    // map-function family: CH puts the lambda FIRST; Spark's native
+    // map HOFs take it last — builders reorder and build the Catalyst
+    // nodes directly
+    "mapFilter" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.MapFilter(
+        args(1), args.head)),
+    // mapUpdate(a, b): b's entries override a's on key collision
+    "mapUpdate" -> (args => {
+      val a = col(args.head)
+      val b = col(args(1))
+      ex(map_concat(map_filter(a,
+        (k, _) => !map_contains_key(b, k)), b))
+    }),
+    // mapPopulateSeries(m): fill integer key gaps [min..max] with 0
+    "mapPopulateSeries" -> (args => {
+      val m = col(args.head)
+      val ks = map_keys(m)
+      val full = sequence(array_min(ks), array_max(ks))
+      ex(when(size(ks) > 0, map_from_arrays(full,
+        transform(full, k => coalesce(element_at(m, k), lit(0L)))))
+        .otherwise(m))
+    }),
+    // arrayFill / arrayReverseFill: forward (backward) fill — keep the
+    // element where the predicate holds, else carry the previous
+    // (next) kept value; leading (trailing) holes keep the original
+    "arrayFill" -> (args => chArrayFill(args, rev = false)),
+    "arrayReverseFill" -> (args => chArrayFill(args, rev = true)),
+    // arrayFirstOrNull / arrayLastOrNull (lambda, arr): the non-
+    // throwing selectors — try_element_at of the filtered array
+    "arrayFirstOrNull" -> (args =>
+      arrayFirstLast(args, last = false, orNull = true)),
+    "arrayLastOrNull" -> (args =>
+      arrayFirstLast(args, last = true, orNull = true)),
+    // splitByNonAlpha: split on runs of non-alphanumerics (CH's ASCII
+    // rule), empties dropped
+    "splitByNonAlpha" -> (args =>
+      ex(filter(split(col(args.head), "[^A-Za-z0-9]+"), t => t =!= ""))),
+    // groupConcat(sep)(x) / groupConcat(x): CH concatenates in BLOCK
+    // order (nondeterministic); this engine concatenates in SORTED
+    // value order — the deterministic form every compared surface
+    // needs (documented deviation, same stance as groupArraySample)
+    "groupConcat" -> (args => {
+      val (sep, x) =
+        if (args.length == 1) (",", col(args.head))
+        else (litString(args.head, "groupConcat separator"), col(args(1)))
+      ex(concat_ws(sep, array_sort(collect_list(x.cast("string")))))
+    }),
+    // toJSONString: JSON-serialize a struct/map/array value
+    "toJSONString" -> (args => ex(to_json(col(args.head)))),
+    // JSONExtractKeysAndValues(json[, 'String']): (key, value) tuples
+    // of the object's top level, string-typed values
+    "JSONExtractKeysAndValues" -> (args =>
+      ex(map_entries(from_json(col(args.head),
+        org.apache.spark.sql.types.MapType(StringType, StringType))))),
     // fuzzy-matching vocabulary (plans/NativeNet.StrDistKernels):
     // editDistance maps to Spark's codegen'd Levenshtein; the
     // Damerau/Jaro family and char-set Jaccard are native kernels

@@ -149,7 +149,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // masked at this point), but no parens.
   private val paramAggHead =
     ("""(?i)\b(windowFunnel|sequenceNextNode|sequenceMatch""" +
-      """|sequenceCount|uniqUpTo|groupArraySample""" +
+      """|sequenceCount|uniqUpTo|groupArraySample|groupConcat""" +
       """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +

@@ -4527,10 +4527,80 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM frts GROUP BY frts.event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X148: map/array/JSON sugar — mapFilter/mapUpdate/mapPopulateSeries,
+  // arrayFill/arrayReverseFill (root-HOF ArrayAggregate folds),
+  // array{First,Last}OrNull, splitByNonAlpha, sorted groupConcat,
+  // toJSONString, JSONExtractKeysAndValues. The oracle never needs map
+  // functions: every map in the entry has a KNOWN construction shape,
+  // so serializations and sizes reduce to modular arithmetic.
+  val q239MapArraySugar = QueryDef(
+    "q239_ch_map_array_sugar",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v239")
+      s.sql("""
+        WITH d AS (SELECT DISTINCT event_type,
+                     CAST(user_id % 3 AS STRING) AS res
+                   FROM events_v239)
+        SELECT e.event_type,
+               min(concat_ws(',', transform(map_entries(
+                 mapUpdate(map('a', event_id % 5, 'b', user_id % 7),
+                           map('b', CAST(1 AS BIGINT),
+                               'c', CAST(2 AS BIGINT)))),
+                 p -> concat(p.key, ':', CAST(p.value AS STRING)))))
+                 AS mu_min,
+               toInt64(sum(CASE WHEN size(map_keys(mapFilter(
+                 (k, v) -> v > 2, map('x', event_id % 5)))) = 0
+                 THEN 1 ELSE 0 END)) AS mf_empty,
+               toInt64(sum(size(map_keys(mapPopulateSeries(
+                 map(CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+                     event_id % 3 + 2, CAST(40 AS BIGINT)))))))
+                 AS mp_keys,
+               toInt64(sumArray(arrayFill(x -> x > 0,
+                 array(CAST(0 AS BIGINT), event_id % 5 + 1,
+                       CAST(0 AS BIGINT))))) AS af_sum,
+               toInt64(sumArray(arrayReverseFill(x -> x > 0,
+                 array(CAST(0 AS BIGINT), event_id % 5 + 1,
+                       CAST(0 AS BIGINT))))) AS arf_sum,
+               toInt64(sum(coalesce(arrayFirstOrNull(x -> x > 3,
+                 array(event_id % 5, user_id % 7)), 0))) AS afo_sum,
+               toInt64(sum(size(splitByNonAlpha(props)))) AS sna,
+               min(gc.g) AS gconcat,
+               min(toJSONString(named_struct('t', e.event_type))) AS js,
+               min(concat_ws(',', transform(JSONExtractKeysAndValues(
+                 concat('{"k": "', CAST(event_id % 2 AS STRING), '"}')),
+                 p -> concat(p.key, '=', p.value)))) AS jkv,
+               toInt64(count(1)) AS n
+        FROM events_v239 e
+        JOIN (SELECT event_type, groupConcat('-')(res) AS g
+              FROM d GROUP BY event_type) gc
+          ON gc.event_type = e.event_type
+        GROUP BY e.event_type ORDER BY e.event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             min('a:' || CAST(event_id % 5 AS VARCHAR) || ',b:1,c:2')
+               AS mu_min,
+             CAST(sum(CASE WHEN event_id % 5 <= 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS mf_empty,
+             CAST(sum(event_id % 3 + 2) AS BIGINT) AS mp_keys,
+             CAST(sum(2 * (event_id % 5 + 1)) AS BIGINT) AS af_sum,
+             CAST(sum(2 * (event_id % 5 + 1)) AS BIGINT) AS arf_sum,
+             CAST(sum(CASE WHEN event_id % 5 > 3 THEN event_id % 5
+               WHEN user_id % 7 > 3 THEN user_id % 7 ELSE 0 END)
+               AS BIGINT) AS afo_sum,
+             CAST(sum(len([x for x in regexp_split_to_array(props,
+               '[^A-Za-z0-9]+') if x <> ''])) AS BIGINT) AS sna,
+             '0-1-2' AS gconcat,
+             '{"t":"' || event_type || '"}' AS js,
+             min('k=' || CAST(event_id % 2 AS VARCHAR)) AS jkv,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
-      q234FuzzyMatch, q236PlannersTypes,
+      q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,

@@ -772,6 +772,40 @@ class Round9Spec extends SparkSpec {
       (5L, 3L, 6L, 1.0)))
   }
 
+  test("map family, array fill/OrNull selectors, splitByNonAlpha, " +
+      "groupConcat, JSON sugar") {
+    val r = spark.sql("""
+      SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2, 'c', 3)) AS mf,
+             mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mu,
+             mapPopulateSeries(map(1L, 10L, 4L, 40L)) AS mp,
+             arrayFill(x -> x > 0, array(5, 0, 0, 3, 0)) AS af,
+             arrayReverseFill(x -> x > 0, array(0, 2, 0, 0, 7)) AS arf,
+             arrayFirstOrNull(x -> x > 10, array(3, 12, 20)) AS afo,
+             arrayFirstOrNull(x -> x > 99, array(3, 12)) AS afn,
+             arrayLastOrNull(x -> x > 10, array(3, 12, 20)) AS alo,
+             splitByNonAlpha('ab1,,cd--e f') AS sna,
+             toJSONString(named_struct('a', 1, 'b', 'x')) AS js,
+             concat_ws(',', transform(JSONExtractKeysAndValues(
+               '{"k1": "v1", "k2": "v2"}'),
+               e -> concat(e.key, '=', e.value))) AS jkv
+    """).collect().head
+    assert(r.getMap[String, Int](0) == Map("b" -> 2, "c" -> 3))
+    assert(r.getMap[String, Int](1) == Map("a" -> 1, "b" -> 9, "c" -> 3))
+    assert(r.getMap[Long, Long](2) ==
+      Map(1L -> 10L, 2L -> 0L, 3L -> 0L, 4L -> 40L))
+    assert(r.getSeq[Int](3) == Seq(5, 5, 5, 3, 3))
+    assert(r.getSeq[Int](4) == Seq(2, 2, 7, 7, 7))
+    assert(r.getInt(5) == 12 && r.isNullAt(6) && r.getInt(7) == 20)
+    assert(r.getSeq[String](8) == Seq("ab1", "cd", "e", "f"))
+    assert(r.getString(9) == """{"a":1,"b":"x"}""")
+    assert(r.getString(10) == "k1=v1,k2=v2")
+    val g = spark.sql("""
+      SELECT groupConcat('-')(x) AS g1, groupConcat(x) AS g2
+      FROM VALUES ('b'), ('a'), ('c') AS t(x)""").collect().head
+    assert(g.getString(0) == "a-b-c") // sorted-order deviation
+    assert(g.getString(1) == "a,b,c")
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
