@@ -1294,6 +1294,47 @@ object ChDialect {
     // arrayDifference(a) → [0, a2-a1, ...] (CH: first element 0,
     // then adjacent deltas)
     "arrayZip" -> (args => ex(arrays_zip(args.map(col): _*))),
+    // tuple(a, b, …) → unnamed struct (CH's bare-tuple constructor)
+    "tuple" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.CreateStruct(args)),
+    // initcap/initcapUTF8: CH's word rule (letters after any
+    // NON-ALPHANUMERIC capitalize — Spark's builtin only breaks on
+    // whitespace), native kernel
+    "initcap" -> (args => InitcapChExpr(args.head)),
+    "initcapUTF8" -> (args => InitcapChExpr(args.head)),
+    // string hash-sketch family over the engine's native kernels —
+    // values are ENGINE-DEFINED (as CH's are CH-defined); use for
+    // grouping/banding, spec-pinned rather than oracle-replayed.
+    // word shingles default n=3; char n-grams default n=3.
+    "wordShingleSimHash" -> (args => {
+      val n = if (args.length > 1) litInt(args(1), "shingle n") else 3
+      ex(graft.plans.NativeHashes.simHash64(graft.functions.text.ngrams(
+        graft.functions.text.tokenize(col(args.head)), n)))
+    }),
+    "ngramSimHash" -> (args => {
+      val n = if (args.length > 1) litInt(args(1), "ngram n") else 3
+      val s0 = col(args.head)
+      val grams = transform(
+        sequence(lit(1), greatest(length(s0) - (n - 1), lit(0))),
+        i => s0.substr(i, lit(n)))
+      ex(graft.plans.NativeHashes.simHash64(grams))
+    }),
+    "wordShingleMinHash" -> (args => {
+      val n = if (args.length > 1) litInt(args(1), "shingle n") else 3
+      val sig = graft.plans.NativeHashes.minHashSignature64(
+        graft.functions.text.ngrams(
+          graft.functions.text.tokenize(col(args.head)), n), 64)
+      ex(struct(array_min(sig).as("h1"), array_max(sig).as("h2")))
+    }),
+    "ngramMinHash" -> (args => {
+      val n = if (args.length > 1) litInt(args(1), "ngram n") else 3
+      val s0 = col(args.head)
+      val grams = transform(
+        sequence(lit(1), greatest(length(s0) - (n - 1), lit(0))),
+        i => s0.substr(i, lit(n)))
+      val sig = graft.plans.NativeHashes.minHashSignature64(grams, 64)
+      ex(struct(array_min(sig).as("h1"), array_max(sig).as("h2")))
+    }),
     // map-function family: CH puts the lambda FIRST; Spark's native
     // map HOFs take it last — builders reorder and build the Catalyst
     // nodes directly

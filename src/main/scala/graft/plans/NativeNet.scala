@@ -178,6 +178,28 @@ object NetKernels {
     UTF8String.fromString(sb.toString)
   }
 
+
+  /** CH `initcap`: uppercase every letter that follows a non-
+    * alphanumeric (CH's word rule — NOT whitespace-only like Spark's
+    * builtin), lowercase the rest.
+    */
+  def initcapCh(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var prevAlnum = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val alnum = Character.isLetterOrDigit(c)
+      sb.append(
+        if (alnum && !prevAlnum) Character.toUpperCase(c)
+        else Character.toLowerCase(c))
+      prevAlnum = alnum
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Offline IDNA (java.net.IDN — pure algorithm, no resolution);
     * NULL on inputs the algorithm rejects.
     */
@@ -495,6 +517,15 @@ case class ToTypeNameExpr(child: Expression) extends UnaryExpression
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     UTF8String.fromString(chName(child.dataType))
 
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+case class InitcapChExpr(child: Expression) extends NetStringExpr {
+  override def kernel: String = "initcapCh"
+  override def prettyName: String = "initcap"
+  override protected def nullSafeEval(input: Any): Any =
+    NetKernels.initcapCh(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
 }

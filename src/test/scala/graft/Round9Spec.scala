@@ -806,6 +806,29 @@ class Round9Spec extends SparkSpec {
     assert(g.getString(1) == "a,b,c")
   }
 
+  test("tuple constructor, CH-rule initcap, and the string " +
+      "hash-sketch family (engine-defined values, structural pins)") {
+    val r = spark.sql("""
+      SELECT tuple(1, 'x').col1 AS t1, tuple(1, 'x').col2 AS t2,
+             initcap('hello-world foo_bar 2nd') AS ic,
+             wordShingleSimHash('the quick brown fox jumps') AS ws,
+             wordShingleSimHash('the quick brown fox jumps') AS ws2,
+             wordShingleSimHash('entirely different text here now') AS wd,
+             ngramSimHash('abcdef') AS ng,
+             wordShingleMinHash('the quick brown fox jumps') AS wm,
+             ngramMinHash('abcdef') AS nm
+    """).collect().head
+    assert(r.getInt(0) == 1 && r.getString(1) == "x")
+    // CH rule: letters after ANY non-alphanumeric capitalize
+    assert(r.getString(2) == "Hello-World Foo_Bar 2nd")
+    assert(r.getLong(3) == r.getLong(4)) // deterministic
+    assert(r.getLong(3) != r.getLong(5)) // discriminates
+    assert(r.getLong(6) != 0L)
+    val wm = r.getStruct(7)
+    assert(wm.getLong(0) <= wm.getLong(1)) // min <= max slot
+    assert(!r.isNullAt(8))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
