@@ -4190,6 +4190,117 @@ object PipelineQueries {
       ORDER BY k"""))
 
   // ---------------------------------------------------------------------
+  // X150: round-9 prep-pipeline composition — the session's new
+  // operators chained end-to-end the way a real run would use them:
+  // ensemble quality gate (X146) → exact dedup → span-corruption pair
+  // build (X144) on the survivors, rolled up per source. Each stage's
+  // arithmetic is individually replayable, so the composition is too.
+  val q240PrepPipelineV2 = QueryDef(
+    "q240_prep_pipeline_v2",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val toks = filter(text.tokenize(col("text")), t => t =!= "")
+      val sig = docs.select(col("doc_id"), col("source"), col("text"),
+        size(toks).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        size(array_distinct(toks)).cast("long").as("dt"))
+      val ranked = graft.operators.Select.ensembleQualityRank(
+          sig, "doc_id", Seq("nt", "nc", "dt"), threshold = 0.4)
+        .select(col("id").as("doc_id"), col("keep"))
+      val kept = docs.join(ranked.filter(col("keep") === 1), "doc_id")
+      val deduped = Dedup.exactDedup(kept, col("text"), "doc_id")
+      val pairs = graft.operators.Pack.spanCorruptionPairs(
+        deduped.filter(col("doc_id") % 11 === 0), "doc_id", "text",
+        maskEvery = 10, spanLen = 3)
+      val perSrc = deduped.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_dedup"))
+      val pairSrc = pairs
+        .join(deduped.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_masked")).as("sum_masked"),
+          round(avg(col("n_masked").cast("double") /
+            greatest(col("n_tokens"), lit(1L))), 6).as("avg_mask_ratio"))
+      val inSrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"))
+      val keptSrc = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_quality"))
+      inSrc.join(keptSrc, Seq("source"), "left")
+        .join(perSrc, Seq("source"), "left")
+        .join(pairSrc, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("sum_masked"), lit(0L)).cast("long")
+            .as("sum_masked"),
+          coalesce(col("avg_mask_ratio"), lit(0.0)).as("avg_mask_ratio"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, text,
+               [x for x in regexp_split_to_array(lower(trim(text)),
+                  '\s+') if x <> ''] AS toks
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, source, text,
+               CAST(len(toks) AS BIGINT) AS nt,
+               CAST(length(text) AS BIGINT) AS nc,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS dt,
+               toks
+        FROM t
+      ), nn AS (SELECT count(*) AS n FROM sig),
+      r AS (
+        SELECT sig.*,
+               ((count(*) OVER (ORDER BY nt RANGE BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+                 - count(*) OVER (PARTITION BY nt))
+                  / ((SELECT n FROM nn) - 1.0)
+                + (count(*) OVER (ORDER BY nc RANGE BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+                 - count(*) OVER (PARTITION BY nc))
+                  / ((SELECT n FROM nn) - 1.0)
+                + (count(*) OVER (ORDER BY dt RANGE BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+                 - count(*) OVER (PARTITION BY dt))
+                  / ((SELECT n FROM nn) - 1.0)) / 3.0 AS ens
+        FROM sig
+      ), kept AS (SELECT * FROM r WHERE ens >= 0.4),
+      dedup AS (
+        SELECT * FROM kept
+        WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)
+      ), pairs AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len([i for i in range(0, len(toks))
+                 if (i + doc_id * 31) % 10 < 3
+                    AND i >= (i + doc_id * 31) % 10]) AS BIGINT)
+                 AS n_masked
+        FROM dedup WHERE doc_id % 11 = 0
+      )
+      SELECT i.source,
+             CAST(i.n_in AS BIGINT) AS n_in,
+             CAST(coalesce(k.n_quality, 0) AS BIGINT) AS n_quality,
+             CAST(coalesce(d.n_dedup, 0) AS BIGINT) AS n_dedup,
+             CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(coalesce(p.sum_masked, 0) AS BIGINT) AS sum_masked,
+             coalesce(p.avg_mask_ratio, 0.0) AS avg_mask_ratio
+      FROM (SELECT source, count(*) AS n_in FROM documents
+            GROUP BY source) i
+      LEFT JOIN (SELECT source, count(*) AS n_quality FROM kept
+                 GROUP BY source) k ON k.source = i.source
+      LEFT JOIN (SELECT source, count(*) AS n_dedup FROM dedup
+                 GROUP BY source) d ON d.source = i.source
+      LEFT JOIN (SELECT source, count(*) AS n_pairs,
+                   sum(n_masked) AS sum_masked,
+                   round(avg(n_masked / CAST(greatest(n_tokens, 1)
+                     AS DOUBLE)), 6) AS avg_mask_ratio
+                 FROM pairs GROUP BY source) p ON p.source = i.source
+      ORDER BY i.source"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // X142: contrastive triplet mining — (anchor, positive, negative)
   // training rows for embedding models: positives are LSH-candidate,
   // exactly-verified near-dups in a Jaccard band (similar, not
@@ -5071,7 +5182,7 @@ object PipelineQueries {
     q181HostReputationFilter, q182SourceOverlap,
     q223SourceOverlapSketchBench, q227MmrRerank, q228OovRate,
     q233ContrastiveTriplets, q235SpanCorruption, q237EnsembleRank,
-    q238VocabCoverage,
+    q238VocabCoverage, q240PrepPipelineV2,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
