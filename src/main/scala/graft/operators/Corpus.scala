@@ -137,4 +137,47 @@ object Corpus {
       .orderBy(col("k"))
   }
 
+
+  /** Per-source KL divergence from the corpus token distribution —
+    * the data-mixing diagnostic ("how far does this source's language
+    * drift from the blend?"): over the corpus's deterministic top-K
+    * vocabulary (the [[oovRate]] cut), KL(source ‖ corpus) =
+    * Σ p·ln(p/q) with p, q renormalized WITHIN the vocabulary (so the
+    * measure compares shape, not OOV mass — OOV is [[oovRate]]'s job).
+    *
+    * Scale shape: vocab-bounded count tables broadcast against the
+    * exploded token stream; per-source sums are map-side combined;
+    * output is one row per source. Counts exact; the ln fold rounds
+    * at 6 dp on compared surfaces.
+    */
+  def sourceDivergence(docs: DataFrame, srcCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(s"`$srcCol`").as("__src"),
+      explode(graft.functions.text.tokenize(col(s"`$textCol`")))
+        .as("__tok"))
+      .filter(col("__tok") =!= "")
+    val vocab = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__qc"))
+      .orderBy(col("__qc").desc, col("__tok").asc)
+      .limit(vocabSize)
+    val vtoks = toks.join(broadcast(vocab.select(col("__tok"))), "__tok")
+    val qTot = vtoks.count()
+    val q = vocab.withColumn("__q",
+      col("__qc").cast("double") / qTot)
+    val pCounts = vtoks.groupBy(col("__src"), col("__tok"))
+      .agg(count(lit(1)).as("__pc"))
+    val pTot = vtoks.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__pt"))
+    pCounts.join(pTot, "__src")
+      .join(broadcast(q.select(col("__tok"), col("__q"))), "__tok")
+      .withColumn("__p", col("__pc").cast("double") / col("__pt"))
+      .groupBy(col("__src"))
+      .agg(
+        sum(col("__p") * log(col("__p") / col("__q"))).as("kl"),
+        count(lit(1)).as("vocab_types"),
+        max(col("__pt")).as("vocab_tokens"))
+      .select(col("__src").as("source"), col("kl"),
+        col("vocab_types"), col("vocab_tokens"))
+  }
+
 }

@@ -1028,6 +1028,13 @@ object ChDialect {
       Some(Cast(args.last, LongType)),
       args.dropRight(2).map(litDouble(_, "quantilesTimingWeighted level")),
       returnArray = true).toAggregateExpression()),
+    // exponentialMovingAverage(half_decay)(v, t): CH's 2^(−Δ/half)
+    // weighting is e^(−Δ/(half/ln 2)) — the ExpDecayAgg recurrence
+    // with the converted decay constant
+    "exponentialMovingAverage" -> (args =>
+      ExpDecayAgg(Cast(args(1), DoubleType), Cast(args(2), DoubleType),
+        litDouble(args.head, "half_decay") / math.log(2.0),
+        "exponentialTimeDecayedAvg").toAggregateExpression()),
     // exponentialTimeDecayed* window family (plans/NativeStats
     // .ExpDecayAgg): O(1) running decayed state — constant work per
     // row of a growing window frame. Flattened (decay, x, t).

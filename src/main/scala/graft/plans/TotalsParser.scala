@@ -154,7 +154,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +
       """|quantilesTiming|quantileTiming|sparkbar|sumMapFiltered""" +
-      """|meanZTest|exponentialTimeDecayedSum""" +
+      """|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum""" +
       """|exponentialTimeDecayedCount|exponentialTimeDecayedAvg""" +
       """|exponentialTimeDecayedMax""" +
       """|largestTriangleThreeBuckets|lttb)""" +

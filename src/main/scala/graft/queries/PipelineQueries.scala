@@ -4301,6 +4301,46 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X151: per-source KL divergence from the corpus token distribution
+  // — the data-mixing drift diagnostic over the deterministic top-K
+  // vocabulary; counts exact, the ln fold rounds at 6 dp.
+  val q241SourceDivergence = QueryDef(
+    "q241_source_divergence",
+    (s, dir) =>
+      graft.operators.Corpus.sourceDivergence(
+          Graft.table(s, dir, "documents"), "source", "text",
+          vocabSize = 300)
+        .select(col("source"), round(col("kl"), 6).as("kl"),
+          col("vocab_types"), col("vocab_tokens"))
+        .orderBy(col("source")),
+    Some("""
+      WITH toks AS (
+        SELECT source, t AS tok FROM (
+          SELECT source, unnest(regexp_split_to_array(lower(trim(text)),
+            '\s+')) AS t FROM documents) WHERE t <> ''
+      ), vocab AS (
+        SELECT tok, c FROM (
+          SELECT tok, count(*) AS c, row_number() OVER (
+            ORDER BY count(*) DESC, tok) AS r
+          FROM toks GROUP BY tok) WHERE r <= 300
+      ), vt AS (
+        SELECT toks.source, toks.tok FROM toks
+        JOIN vocab ON vocab.tok = toks.tok
+      ), qt AS (SELECT count(*) AS n FROM vt),
+      pc AS (SELECT source, tok, count(*) AS pc FROM vt GROUP BY 1, 2),
+      pt AS (SELECT source, count(*) AS pt FROM vt GROUP BY 1)
+      SELECT pc.source,
+             round(sum((pc.pc / CAST(pt.pt AS DOUBLE)) *
+               ln((pc.pc / CAST(pt.pt AS DOUBLE)) /
+                  (vocab.c / CAST((SELECT n FROM qt) AS DOUBLE)))), 6)
+               AS kl,
+             CAST(count(*) AS BIGINT) AS vocab_types,
+             CAST(max(pt.pt) AS BIGINT) AS vocab_tokens
+      FROM pc JOIN pt ON pt.source = pc.source
+      JOIN vocab ON vocab.tok = pc.tok
+      GROUP BY pc.source ORDER BY pc.source"""))
+
+  // ---------------------------------------------------------------------
   // X142: contrastive triplet mining — (anchor, positive, negative)
   // training rows for embedding models: positives are LSH-candidate,
   // exactly-verified near-dups in a Jaccard band (similar, not
@@ -5182,7 +5222,7 @@ object PipelineQueries {
     q181HostReputationFilter, q182SourceOverlap,
     q223SourceOverlapSketchBench, q227MmrRerank, q228OovRate,
     q233ContrastiveTriplets, q235SpanCorruption, q237EnsembleRank,
-    q238VocabCoverage, q240PrepPipelineV2,
+    q238VocabCoverage, q240PrepPipelineV2, q241SourceDivergence,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,

@@ -392,4 +392,27 @@ class PlanAuditSpec extends SparkSpec {
     // partitions by (probe, partition id), never one task per probe
     assert(p.contains("SPARK_PARTITION_ID"), p)
   }
+
+  test("q228: the OOV vocabulary is a TakeOrdered cut broadcast back " +
+      "— no corpus-wide sort") {
+    val p = plan("q228_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q237: ensemble ranking plans with broadcast value-frequency " +
+      "joins and no cartesian product") {
+    val p = plan("q237_ensemble_quality_rank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q241: the divergence vocabulary is TakeOrdered + broadcast — " +
+      "nothing corpus-sized crosses a window") {
+    val p = plan("q241_source_divergence")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
 }

@@ -829,6 +829,17 @@ class Round9Spec extends SparkSpec {
     assert(!r.isNullAt(8))
   }
 
+  test("exponentialMovingAverage: CH's half-decay form rides the " +
+      "ExpDecayAgg recurrence (2^-1 per unit at half_decay = 1)") {
+    Seq((0.0, 10.0), (1.0, 20.0)).toDF("t", "v")
+      .createOrReplaceTempView("r9_ema")
+    val r = spark.sql("""
+      SELECT exponentialMovingAverage(1.0)(v, t) OVER (ORDER BY t) AS a
+      FROM r9_ema ORDER BY t""").collect()
+    // S = 20 + 0.5*10 = 25, W = 1.5 → 16.666…
+    assert(math.abs(r(1).getDouble(0) - 25.0 / 1.5) < 1e-12)
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
