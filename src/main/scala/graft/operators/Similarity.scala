@@ -710,4 +710,56 @@ object Similarity {
       .select(col("probe_id"), col("id"), col("sim"))
     topKPerKey(exact, "probe_id", k)
   }
+
+  /** Matryoshka prefix-dimension fidelity — for each candidate
+    * truncation dim d, how well prefix-d cosine approximates the
+    * full-dimension cosine over a deterministic far-pair sample
+    * (id, id + idSpace/2): the evaluation that decides how small a
+    * truncated (MRL-style) embedding an ANN tier can serve. Exactness:
+    * vectors quantize ×`q`, dots/norms fold in long arithmetic, and
+    * the only IEEE ops (two sqrts, a divide, a subtraction) are
+    * mirrored by the oracle, so deviations are bit-identical; the
+    * per-dim rollup is one bounded pass (|dims| × |pairs| rows).
+    *
+    * Returns (dim, n_pairs, avg_abs_dev, max_abs_dev).
+    */
+  def matryoshkaFidelity(vecs: DataFrame, idCol: String, vecCol: String,
+      dims: Seq[Int], q: Int = 1000): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0),
+      "matryoshkaFidelity: dims must be positive")
+    val qv = transform(col(s"`$vecCol`"),
+      e => round(e.cast("double") * q).cast("long"))
+    val base = vecs.select(col(s"`$idCol`").cast("long").as("__id"),
+      qv.as("__v"))
+    val idSpace = base.agg(max(col("__id"))).head().getLong(0) + 1L
+    val half = idSpace / 2L
+    val a = base.select(col("__id").as("__ida"), col("__v").as("__va"))
+      .withColumn("__idb", pmod(col("__ida") + half, lit(idSpace)))
+      .filter(col("__ida") < col("__idb"))
+    val pairs = a.join(
+      base.select(col("__id").as("__idb"), col("__v").as("__vb")),
+      "__idb")
+    def dotLL(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L),
+        (acc, v) => acc + v)
+    def cosOf(x: Column, y: Column): Column = {
+      val nx = dotLL(x, x)
+      val ny = dotLL(y, y)
+      when(nx > 0 && ny > 0, dotLL(x, y).cast("double") /
+        (sqrt(nx.cast("double")) * sqrt(ny.cast("double"))))
+        .otherwise(lit(0.0))
+    }
+    val full = cosOf(col("__va"), col("__vb"))
+    val perDim = dims.map { d =>
+      val cd = cosOf(slice(col("__va"), 1, d), slice(col("__vb"), 1, d))
+      pairs.select(lit(d.toLong).as("dim"),
+        abs(cd - full).as("__dev"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n_pairs"),
+          avg(col("__dev")).as("avg_abs_dev"),
+          max(col("__dev")).as("max_abs_dev"))
+    }
+    perDim.reduce(_ unionAll _).orderBy(col("dim"))
+  }
+
 }

@@ -4341,6 +4341,58 @@ object PipelineQueries {
       GROUP BY pc.source ORDER BY pc.source"""))
 
   // ---------------------------------------------------------------------
+  // X152: matryoshka prefix-dimension fidelity — how well prefix-d
+  // cosine approximates full-dimension cosine over a deterministic
+  // far-pair sample; decides how small a truncated embedding an ANN
+  // tier can serve. Integer-quantized dots/norms, mirrored final IEEE
+  // ops → bit-identical deviations, 6 dp on the averaged surface.
+  val q242MatryoshkaFidelity = QueryDef(
+    "q242_matryoshka_fidelity",
+    (s, dir) =>
+      Similarity.matryoshkaFidelity(Graft.table(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = Seq(8, 16, 32, 64))
+        .select(col("dim"), col("n_pairs"),
+          round(col("avg_abs_dev"), 6).as("avg_abs_dev"),
+          round(col("max_abs_dev"), 6).as("max_abs_dev")),
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+      ), m AS (SELECT max(vec_id) + 1 AS n FROM v),
+      pairs AS (
+        SELECT a.q AS qa, b.q AS qb
+        FROM v a JOIN v b
+          ON b.vec_id = (a.vec_id + (SELECT n FROM m) // 2)
+                        % (SELECT n FROM m)
+         AND a.vec_id < b.vec_id
+      ), d AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+      dev AS (
+        SELECT d.dim,
+               abs(
+                 (CASE WHEN list_dot_product(qa[1:d.dim], qa[1:d.dim]) > 0
+                        AND list_dot_product(qb[1:d.dim], qb[1:d.dim]) > 0
+                   THEN list_dot_product(qa[1:d.dim], qb[1:d.dim]) /
+                     (sqrt(list_dot_product(qa[1:d.dim], qa[1:d.dim])) *
+                      sqrt(list_dot_product(qb[1:d.dim], qb[1:d.dim])))
+                   ELSE 0.0 END)
+                 -
+                 (CASE WHEN list_dot_product(qa, qa) > 0
+                        AND list_dot_product(qb, qb) > 0
+                   THEN list_dot_product(qa, qb) /
+                     (sqrt(list_dot_product(qa, qa)) *
+                      sqrt(list_dot_product(qb, qb)))
+                   ELSE 0.0 END)) AS dv
+        FROM pairs CROSS JOIN d
+      )
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(avg(dv), 6) AS avg_abs_dev,
+             round(max(dv), 6) AS max_abs_dev
+      FROM dev GROUP BY dim ORDER BY dim"""))
+
+  // ---------------------------------------------------------------------
   // X142: contrastive triplet mining — (anchor, positive, negative)
   // training rows for embedding models: positives are LSH-candidate,
   // exactly-verified near-dups in a Jaccard band (similar, not
@@ -5223,6 +5275,7 @@ object PipelineQueries {
     q223SourceOverlapSketchBench, q227MmrRerank, q228OovRate,
     q233ContrastiveTriplets, q235SpanCorruption, q237EnsembleRank,
     q238VocabCoverage, q240PrepPipelineV2, q241SourceDivergence,
+    q242MatryoshkaFidelity,
     q183LabelCentroidCosines, q184CleanPipelineE2e,
     q141SplitShardShuffle, q142BoilerplateLines, q147Bm25TopK,
     q148HybridRrf, q149DupSpans, q150ImportanceResample,
