@@ -65,6 +65,37 @@ object ChDialect {
     ArrayAggregate(src, zero, merge, finish)
   }
 
+  /** CH `arraySort(x -> key, arr)` / `arrayReverseSort`: sort BY a
+    * key lambda — built as ONE root ArraySort whose comparator
+    * instantiates the user's key body at both comparand variables
+    * (the root-HOF rule again). NULL keys order last, matching
+    * array_sort's default.
+    */
+  private def chArraySortBy(args: Seq[Expression],
+      desc: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArraySort, If, LambdaFunction, LessThan, GreaterThan, IsNull, And, Not, UnresolvedNamedLambdaVariable}
+    val lf = args.head.asInstanceOf[LambdaFunction]
+    val xv = UnresolvedNamedLambdaVariable(Seq("__graft_as_x"))
+    val yv = UnresolvedNamedLambdaVariable(Seq("__graft_as_y"))
+    val argNames = lf.arguments.head match {
+      case u: UnresolvedNamedLambdaVariable => u.nameParts
+      case other => Seq(other.name)
+    }
+    def keyOf(v: Expression): Expression = lf.function.transform {
+      case u: UnresolvedNamedLambdaVariable
+        if u.nameParts == argNames => v
+    }
+    val (kx, ky) = (keyOf(xv), keyOf(yv))
+    val (lt, gt) = (Literal(if (desc) 1 else -1),
+      Literal(if (desc) -1 else 1))
+    val comp = If(And(IsNull(kx), IsNull(ky)), Literal(0),
+      If(IsNull(kx), Literal(1),
+        If(IsNull(ky), Literal(-1),
+          If(LessThan(kx, ky), lt,
+            If(GreaterThan(kx, ky), gt, Literal(0))))))
+    ArraySort(args(1), LambdaFunction(comp, Seq(xv, yv)))
+  }
+
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: Float, _) => v.toDouble
@@ -566,7 +597,16 @@ object ChDialect {
       ex(split(col(args(1)), java.util.regex.Pattern.quote(sep), -1))
     }),
     "arrayDistinct" -> (args => ex(array_distinct(col(args.head)))),
-    "arraySort" -> (args => ex(array_sort(col(args.head)))),
+    "arraySort" -> (args =>
+      if (args.length == 1) ex(array_sort(col(args.head)))
+      else chArraySortBy(args, desc = false)),
+    "arrayReverseSort" -> (args =>
+      if (args.length == 1) ex(reverse(array_sort(col(args.head))))
+      else chArraySortBy(args, desc = true)),
+    // arrayPartialSort(limit, arr): CH leaves positions past `limit`
+    // unspecified; a FULL sort is a legal (and deterministic)
+    // refinement, which any compared surface needs anyway
+    "arrayPartialSort" -> (args => ex(array_sort(col(args(1))))),
     "arrayReverse" -> (args => ex(reverse(col(args.head)))),
     "arrayEnumerate" -> (args => ex(ch.arrayEnumerate(col(args.head)))),
     // arrayCumSum / arraySum (per-ROW element sum — distinct from the

@@ -840,6 +840,23 @@ class Round9Spec extends SparkSpec {
     assert(math.abs(r(1).getDouble(0) - 25.0 / 1.5) < 1e-12)
   }
 
+  test("arraySort/arrayReverseSort by key lambda; arrayPartialSort " +
+      "refines to a full sort") {
+    val r = spark.sql("""
+      SELECT arraySort(x -> length(x), array('ccc', 'a', 'bb')) AS s1,
+             arrayReverseSort(x -> length(x),
+               array('ccc', 'a', 'bb')) AS s2,
+             arraySort(x -> -x, array(1, 3, 2)) AS s3,
+             arrayPartialSort(2, array(3, 1, 2)) AS ps,
+             arraySort(array(2, 1)) AS plain
+    """).collect().head
+    assert(r.getSeq[String](0) == Seq("a", "bb", "ccc"))
+    assert(r.getSeq[String](1) == Seq("ccc", "bb", "a"))
+    assert(r.getSeq[Int](2) == Seq(3, 2, 1))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](4) == Seq(1, 2))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
