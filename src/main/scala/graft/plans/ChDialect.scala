@@ -96,6 +96,32 @@ object ChDialect {
     ArraySort(args(1), LambdaFunction(comp, Seq(xv, yv)))
   }
 
+  /** Shared theta-sketch set-algebra estimator — see the
+    * registration comment. `kind` picks the array op.
+    */
+  private def thetaSetEstimate(args: Seq[Expression],
+      kind: String): Expression = {
+    require(args.length == 2 || args.length == 3,
+      s"uniqTheta $kind takes (state_a, state_b[, k])")
+    val a = col(args.head)
+    val b = col(args(1))
+    val k = if (args.length == 3) litInt(args(2), "theta k") else 256
+    val space = 281474976710656L // 2^48
+    def theta(s: Column): Column =
+      when(size(s) < k, lit(space)).otherwise(element_at(s, k))
+    val th = least(theta(a), theta(b))
+    val base = kind match {
+      case "union" => array_union(a, b)
+      case "intersect" => array_intersect(a, b)
+      case "not" => array_except(a, b)
+    }
+    val cnt = size(filter(base, h => h < th)).cast("long")
+    val est = when(th === space, cnt).otherwise(col(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ex(cnt * space), ex(th))))
+    ex(est.cast("long"))
+  }
+
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: Float, _) => v.toDouble
@@ -998,6 +1024,23 @@ object ChDialect {
         "pointInPolygon(px, py, polygon) needs exactly 3 arguments")
       ex(ch.pointInPolygon(col(args.head), col(args(1)), col(args(2))))
     }),
+    // theta-sketch STATE + set algebra: the state is the ascending
+    // KMV k-min hash array (MD5-48, oracle-replayable); union/
+    // intersect/not estimate |op-result ∩ {h < θ}| · 2^48 / θ with
+    // θ = min of the sides' k-th minima (2^48 when a side is partial
+    // → exact counting regime). Integer arithmetic end to end.
+    "uniqThetaState" -> (args => args.length match {
+      case 1 => UniqThetaAgg(Cast(args.head, StringType), 256,
+        asState = true).toAggregateExpression()
+      case 2 => UniqThetaAgg(Cast(args(1), StringType),
+        litInt(args.head, "uniqThetaState k"),
+        asState = true).toAggregateExpression()
+      case n => throw new IllegalArgumentException(
+        s"uniqThetaState takes (x) or (k)(x), got $n args")
+    }),
+    "uniqThetaUnion" -> (args => thetaSetEstimate(args, "union")),
+    "uniqThetaIntersect" -> (args => thetaSetEstimate(args, "intersect")),
+    "uniqThetaNot" -> (args => thetaSetEstimate(args, "not")),
     // uniqTheta: KMV sketch over 48-bit MD5 (plans/NativeSketch.scala)
     // — bounded mergeable state, the scale path next to uniqExact.
     // Optional parameterized form uniqTheta(k)(x) (engine extension;

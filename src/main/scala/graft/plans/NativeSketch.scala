@@ -39,6 +39,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UniqThetaAgg(
     child: Expression,
     k: Int,
+    asState: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
@@ -47,9 +48,13 @@ case class UniqThetaAgg(
   require(k >= 2 && k <= 32768, s"uniqTheta k must be in [2, 32768], got $k")
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
-  override def dataType: DataType = LongType
+  override def dataType: DataType =
+    if (asState) org.apache.spark.sql.types.ArrayType(LongType,
+      containsNull = false)
+    else LongType
   override def nullable: Boolean = false
-  override def prettyName: String = "uniqTheta"
+  override def prettyName: String =
+    if (asState) "uniqThetaState" else "uniqTheta"
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -76,7 +81,13 @@ case class UniqThetaAgg(
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toLong
+    if (asState) {
+      // the raw KMV state (ascending k-min hashes) — the currency of
+      // the set-algebra estimators uniqThetaUnion/Intersect/Not
+      import scala.jdk.CollectionConverters._
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buf.iterator().asScala.map(_.longValue()).toArray)
+    } else if (buf.size < k) buf.size.toLong
     else {
       val kth = buf.last.longValue()
       // kth = 0 needs all k min-hashes to collide at zero — guard anyway

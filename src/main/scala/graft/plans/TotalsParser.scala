@@ -151,7 +151,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?i)\b(windowFunnel|sequenceNextNode|sequenceMatch""" +
       """|sequenceCount|uniqUpTo|groupArraySample|groupConcat""" +
       """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
-      """|groupArrayMovingSum|groupArrayMovingAvg|uniqTheta|histogram""" +
+      """|groupArrayMovingSum|groupArrayMovingAvg|uniqThetaState|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +
       """|quantilesTiming|quantileTiming|sparkbar|sumMapFiltered""" +
       """|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum""" +

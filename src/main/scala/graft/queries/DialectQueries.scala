@@ -4597,10 +4597,72 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X154: theta-sketch set algebra — uniqThetaState (the raw KMV k-min
+  // array, MD5-48 so the oracle can rebuild it) and the union/
+  // intersect/not estimators over two states (θ = min of the sides'
+  // k-th minima, count·2^48/θ in exact integer arithmetic). The
+  // mergeable-sketch answer to "how many users did BOTH cohorts
+  // touch" at 100 TB — no distinct-set shuffle anywhere.
+  val q243ThetaSetAlgebra = QueryDef(
+    "q243_theta_set_algebra",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v243")
+      s.sql("""
+        WITH a AS (SELECT uniqThetaState(256)(toString(user_id)) AS sa
+                   FROM events_v243 WHERE event_type = 'click'),
+             b AS (SELECT uniqThetaState(256)(toString(user_id)) AS sb
+                   FROM events_v243 WHERE event_type = 'view')
+        SELECT uniqThetaUnion(sa, sb, 256) AS u_est,
+               uniqThetaIntersect(sa, sb, 256) AS i_est,
+               uniqThetaNot(sa, sb, 256) AS n_est,
+               toInt64(size(sa)) AS ka, toInt64(size(sb)) AS kb
+        FROM a CROSS JOIN b""")
+    },
+    Some("""
+      WITH ha AS (
+        SELECT DISTINCT CAST('0x' ||
+          substring(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        FROM events WHERE event_type = 'click'
+      ), hb AS (
+        SELECT DISTINCT CAST('0x' ||
+          substring(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        FROM events WHERE event_type = 'view'
+      ), sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                  AS rk FROM ha) WHERE rk <= 256),
+      sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+               AS rk FROM hb) WHERE rk <= 256),
+      th AS (
+        SELECT least(
+          CASE WHEN (SELECT count(*) FROM ha) < 256
+            THEN 281474976710656 ELSE (SELECT max(h) FROM sa) END,
+          CASE WHEN (SELECT count(*) FROM hb) < 256
+            THEN 281474976710656 ELSE (SELECT max(h) FROM sb) END) AS t
+      ), cnts AS (
+        SELECT
+          (SELECT count(*) FROM (SELECT h FROM sa UNION
+             SELECT h FROM sb) u WHERE u.h < (SELECT t FROM th)) AS uc,
+          (SELECT count(*) FROM sa WHERE h IN (SELECT h FROM sb)
+             AND h < (SELECT t FROM th)) AS ic,
+          (SELECT count(*) FROM sa WHERE h NOT IN (SELECT h FROM sb)
+             AND h < (SELECT t FROM th)) AS nc
+      )
+      SELECT
+        CASE WHEN (SELECT t FROM th) = 281474976710656 THEN uc
+          ELSE (uc * 281474976710656) // (SELECT t FROM th) END AS u_est,
+        CASE WHEN (SELECT t FROM th) = 281474976710656 THEN ic
+          ELSE (ic * 281474976710656) // (SELECT t FROM th) END AS i_est,
+        CASE WHEN (SELECT t FROM th) = 281474976710656 THEN nc
+          ELSE (nc * 281474976710656) // (SELECT t FROM th) END AS n_est,
+        CAST(least(256, (SELECT count(*) FROM ha)) AS BIGINT) AS ka,
+        CAST(least(256, (SELECT count(*) FROM hb)) AS BIGINT) AS kb
+      FROM cnts"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
+      q243ThetaSetAlgebra,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,

@@ -857,6 +857,27 @@ class Round9Spec extends SparkSpec {
     assert(r.getSeq[Int](4) == Seq(1, 2))
   }
 
+  test("theta set algebra: exact in the partial regime, state is the " +
+      "ascending k-min array") {
+    spark.range(1, 11).selectExpr("CAST(id AS STRING) AS x")
+      .createOrReplaceTempView("r9_ta")
+    spark.range(6, 16).selectExpr("CAST(id AS STRING) AS x")
+      .createOrReplaceTempView("r9_tb")
+    val r = spark.sql("""
+      WITH a AS (SELECT uniqThetaState(256)(x) AS sa FROM r9_ta),
+           b AS (SELECT uniqThetaState(256)(x) AS sb FROM r9_tb)
+      SELECT uniqThetaUnion(sa, sb, 256) AS u,
+             uniqThetaIntersect(sa, sb, 256) AS i,
+             uniqThetaNot(sa, sb, 256) AS n,
+             size(sa) AS ka,
+             sa[0] <= sa[size(sa) - 1] AS asc
+      FROM a CROSS JOIN b""").collect().head
+    // {1..10} vs {6..15}: union 15, intersect 5, not 5 — exact when
+    // both sketches are partial (θ = 2^48)
+    assert(r.getLong(0) == 15L && r.getLong(1) == 5L && r.getLong(2) == 5L)
+    assert(r.getInt(3) == 10 && r.getBoolean(4))
+  }
+
   test("empty registry fast path: with no projections registered the " +
       "optimizer leaves an aggregate plan byte-identical (judge ask #4)") {
     graft.plans.ChProjections.clear()
