@@ -93,6 +93,13 @@ object Bench {
       new java.math.BigDecimal(v)
         .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
     var sf1CompactLine = ""
+    // round-10 (verdict ask #3): the sf1 medians must live ON the last
+    // line or they are driver-invisible — two rounds of sf1 evidence
+    // existed only as builder claims because every earlier line gets
+    // evicted by the 2000-char tail. Keys are the qNN prefix (all
+    // unique) to keep the summary ~1.4 KB; full names stay on the
+    // detail line and in SPARK_GRAFT_BENCH_OUT.
+    var sf1SummaryFrag = ""
     val sf1Section =
       // dev knob (the driver never sets it): skip the sf1 section so
       // repeated base-line runs for median re-baselining stay cheap
@@ -182,6 +189,9 @@ object Bench {
           .map { case (n, v) => "\"" + n + "\":" + fmt3(v) }
           .mkString("""{"metric":"sf1_medians","reps":3,"queries":{""",
             ",", "}}")
+        sf1SummaryFrag = sf1Medians
+          .map { case (n, v) => "\"" + n.takeWhile(_ != '_') + "\":" + fmt3(v) }
+          .mkString(""","sf1_medians":{""", ",", s"""},"sf1_reps":$reps""")
         val sf1 = sf1Medians.map { case (n, v) => "\"" + n + "\":" + v }
           .mkString("{", ",", "}")
         // fingerprints in their OWN guard: minutes of measured sf1
@@ -222,19 +232,20 @@ object Bench {
     }
     // Output layout is dictated by the driver's 2000-char stdout tail
     // capture (round 8 lost its sf0.1 totals when the single detail
-    // line outgrew it): the FULL detail line (sf1 raw medians,
-    // fingerprints, cc_stats) prints first — complete in the
+    // line outgrew it; round 9 lost the sf1 section the same way):
+    // the sf1-medians compact line and the FULL detail line (sf1 raw
+    // medians, fingerprints, cc_stats) print first — complete in the
     // SPARK_GRAFT_BENCH_OUT file and in full stdout logs — then the
-    // sf1-medians compact line, then the compact summary with the full
-    // per-query map (3-decimal) as the LAST line, sized well under the
-    // tail window so it always survives whole.
+    // compact summary, which now CONTAINS the sf1 medians (short qNN
+    // keys), as the LAST line, sized well under the tail window so
+    // everything driver-standing survives whole.
     val detail =
       s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"failed":$failed$sf1Section$ccSection,"sf":"$sfDir"}"""
     val qsCompact = results
       .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt3(v) else -1.0) }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"failed":$failed$sf1SummaryFrag,"sf":"$sfDir"}"""
     // the sf1-medians compact line prints BEFORE the detail line: the
     // tail window must contain exactly one parseable JSON object (the
     // summary) so the driver can never latch onto the wrong line — the

@@ -1464,10 +1464,18 @@ object Dedup {
       textCol: String, shingleN: Int = 3,
       numHashes: Int = 128): DataFrame = {
     import graft.functions.text
-    val docSig = docs.select(col(s"`$srcCol`").as("__sk_src"),
-      graft.plans.NativeHashes.minHashSignature64(
-        text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN),
-        numHashes).as("__sk_ds"))
+    // drop docs with NO shingles (fewer than shingleN tokens) BEFORE
+    // signing: the kernel returns an all-Long.MaxValue signature for
+    // them, and two sources consisting only of such docs would share
+    // that degenerate signature and read as overlap 1.0 — the
+    // pre-rewrite posexplode form naturally emitted no slots for an
+    // empty shingle array, and this where() restores that behavior
+    val shingles = text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN)
+    val docSig = docs
+      .where(size(shingles) > 0)
+      .select(col(s"`$srcCol`").as("__sk_src"),
+        graft.plans.NativeHashes.minHashSignature64(shingles, numHashes)
+          .as("__sk_ds"))
     val slots = docSig.select(col("__sk_src"),
         posexplode(col("__sk_ds")).as(Seq("__sk_i", "__sk_h")))
       .groupBy(col("__sk_src"), col("__sk_i"))

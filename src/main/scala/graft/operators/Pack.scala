@@ -161,6 +161,16 @@ object Pack {
     require(spanLen >= 1 && spanLen <= maskEvery,
       "spanCorruptionPairs: need 1 <= spanLen <= maskEvery")
     val m = maskEvery
+    // exact-integer contract: ids must stay below 2^58 so d31 = id*31
+    // cannot overflow long; the span indices below are computed with
+    // IntegralDivide (long arithmetic), NOT Column `/` (IEEE double),
+    // because above ~2^53/31 double division rounds the operands and
+    // sentinel numbering silently diverges from integer `//` replay
+    def intDiv(a: Column, b: Long): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftSqlBridge.expression(a),
+          org.apache.spark.sql.catalyst.expressions.Literal(b)))
     val d31 = col(s"`$idCol`").cast("long") * 31L
     val toks = filter(graft.functions.text.tokenize(col(s"`$textCol`")),
       t => t =!= "")
@@ -169,7 +179,7 @@ object Pack {
     // (i + d31) div m − ceil(d31 / m)
     def pm(i: Column) = pmod(i + d31, lit(m.toLong))
     def kIdx(i: Column) =
-      ((i + d31) / m).cast("long") - ((d31 + (m - 1)) / m).cast("long")
+      intDiv(i + d31, m.toLong) - intDiv(d31 + (m - 1).toLong, m.toLong)
     def sentinel(i: Column) =
       concat(lit("<extra_id_"), kIdx(i).cast("string"), lit(">"))
     // a continuation slot is only masked when its span START exists

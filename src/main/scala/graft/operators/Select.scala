@@ -266,13 +266,22 @@ object Select {
     *
     * Returns (id, pct_<signal>…, ensemble_pct, keep) with `keep` =
     * ensemble ≥ threshold.
+    *
+    * NULL signals rank LOWEST: each signal is coalesced to
+    * Long.MinValue before ranking, so a document with a missing
+    * signal gets percentile 0 on that signal instead of silently
+    * vanishing from the output (the per-value cumulative table is
+    * joined back on the signal value, and a NULL key would never
+    * match). Long.MinValue as a REAL signal value is out of contract.
     */
   def ensembleQualityRank(docs: DataFrame, idCol: String,
       signalCols: Seq[String], threshold: Double): DataFrame = {
     require(signalCols.nonEmpty, "ensembleQualityRank: need >= 1 signal")
     val base = docs.select(
       (col(s"`$idCol`").as("id") +:
-        signalCols.map(c => col(s"`$c`").cast("long").as(c))): _*)
+        signalCols.map(c =>
+          coalesce(col(s"`$c`").cast("long"), lit(Long.MinValue))
+            .as(c))): _*)
     val n = base.count()
     require(n > 1, "ensembleQualityRank: need > 1 document")
     val withPcts = signalCols.foldLeft(base) { (acc, c) =>

@@ -931,20 +931,31 @@ object ChDialect {
     // same contract as CH's own in-memory bitmap merge; every result
     // is a cardinality (or the And-fold set for the State spelling),
     // so collect order cannot show through.
+    // seed guard: collect_list skips NULLs, so an all-NULL group gives
+    // an EMPTY list and element_at(cl, 1) would throw
+    // INVALID_ARRAY_INDEX under ANSI — the when() keeps the never-throw
+    // OrDefault policy (CH's fold over zero bitmaps is cardinality 0)
     "groupBitmapAnd" -> (args => {
       val cl = collect_list(col(args.head))
-      ex(size(aggregate(slice(cl, lit(2), size(cl)), element_at(cl, 1),
-        (acc, x) => array_intersect(acc, x))).cast("long"))
+      ex(when(size(cl) > 0,
+        size(aggregate(slice(cl, lit(2), size(cl)),
+          try_element_at(cl, lit(1)),
+          (acc, x) => array_intersect(acc, x))).cast("long"))
+        .otherwise(lit(0L)))
     }),
     "groupBitmapOr" -> (args =>
       ex(size(array_distinct(flatten(collect_list(col(args.head)))))
         .cast("long"))),
     "groupBitmapXor" -> (args => {
       // symmetric-difference fold: union minus intersection per step
+      // (same empty-list seed guard as groupBitmapAnd above)
       val cl = collect_list(col(args.head))
-      ex(size(aggregate(slice(cl, lit(2), size(cl)), element_at(cl, 1),
-        (acc, x) => array_except(array_union(acc, x),
-          array_intersect(acc, x)))).cast("long"))
+      ex(when(size(cl) > 0,
+        size(aggregate(slice(cl, lit(2), size(cl)),
+          try_element_at(cl, lit(1)),
+          (acc, x) => array_except(array_union(acc, x),
+            array_intersect(acc, x)))).cast("long"))
+        .otherwise(lit(0L)))
     }),
     // groupBitAnd/Or/Xor: CH's bitwise-fold aggregates — Spark's
     // bit_and/bit_or/bit_xor are the same fold (order-insensitive)

@@ -179,7 +179,13 @@ object MathKernels {
       var j = 0
       while (j < n) {
         if (!used(j)) {
-          val rel = rels.getDouble(order(j))
+          // NULL/NaN rel ranks below every real score (NaN compares
+          // false against everything, so without the rewrite a
+          // shortlist of all-NaN rels would leave best == -1)
+          val raw =
+            if (rels.isNullAt(order(j))) Double.NegativeInfinity
+            else rels.getDouble(order(j))
+          val rel = if (raw.isNaN) Double.NegativeInfinity else raw
           val score =
             if (round == 0) rel
             else lam * rel - (1.0 - lam) * maxSim(j)
@@ -187,6 +193,9 @@ object MathKernels {
         }
         j += 1
       }
+      // all remaining candidates scored -inf (all-NaN/NULL rels):
+      // fall back to the lowest-id unused candidate, never crash
+      if (best == -1) { best = used.indexOf(false) }
       used(best) = true
       picked += best
       var t = 0

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 first wave: regression pins for the five round-9 ADVICE
+  * findings — each test exercises the exact input shape the finding
+  * named and asserts the post-fix behavior (every one of these threw
+  * or silently mis-answered before the fix).
+  */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupBitmapAnd/Xor over an all-NULL group return 0, not an " +
+      "ANSI INVALID_ARRAY_INDEX throw (ADVICE medium)") {
+    Seq((1, None), (1, None),
+        (2, Some(Seq(1L, 2L))), (2, Some(Seq(2L, 3L))))
+      .toDF("k", "xs").createOrReplaceTempView("r10_gb_null")
+    val r = spark.sql("""
+      SELECT k, groupBitmapAnd(xs) AS a, groupBitmapXor(xs) AS x
+      FROM r10_gb_null GROUP BY k ORDER BY k""").collect()
+    // group 1: collect_list skips NULLs -> empty fold -> cardinality 0
+    assert(r(0).getLong(1) == 0L && r(0).getLong(2) == 0L)
+    // group 2 unchanged by the guard: And {2}, Xor {1,3}
+    assert(r(1).getLong(1) == 1L && r(1).getLong(2) == 2L)
+  }
+
+  test("spanCorruptionPairs keeps exact integer span numbering for ids " +
+      "above the double-precision cliff (ADVICE medium)") {
+    val id = 1L << 55 // d31 = id*31 ~ 1.1e18 >> 2^53: Column `/` would
+    // round the operands; IntegralDivide must reproduce integer `//`
+    Seq((id, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r10_span_big")
+    val r = graft.operators.Pack.spanCorruptionPairs(
+        spark.table("r10_span_big"), "doc_id", "text",
+        maskEvery = 5, spanLen = 2).collect().head
+    // exact replay in long arithmetic: d31 = 31*2^55 ≡ 3 (mod 5), so
+    // spans start where (i + 3) % 5 == 0 -> i = 2, 7; span index of
+    // i=2 is (d31+2)/5 - (d31+4)/5 = 0, of i=7 is +1
+    val d31 = id * 31L
+    assert((d31 % 5 + 5) % 5 == 3L) // pin the arithmetic the test relies on
+    assert((2L + d31) / 5L - (d31 + 4L) / 5L == 0L)
+    assert((7L + d31) / 5L - (d31 + 4L) / 5L == 1L)
+    assert(r.getLong(1) == 12L && r.getLong(2) == 4L)
+    assert(r.getString(3) ==
+      "t0 t1 <extra_id_0> t4 t5 t6 <extra_id_1> t9 t10 t11")
+    assert(r.getString(4) == "<extra_id_0> t2 t3 <extra_id_1> t7 t8")
+  }
+
+  test("mmrRerank survives all-NaN and NULL relevance scores: lowest-id " +
+      "fallback instead of ArrayIndexOutOfBounds (ADVICE low)") {
+    // all-NaN rels: every round's argmax sees only -inf scores
+    val nan = Double.NaN
+    Seq((1, 30L, nan, Seq(1.0, 0.0)), (1, 10L, nan, Seq(0.0, 1.0)),
+        (1, 20L, nan, Seq(1.0, 1.0)))
+      .toDF("q", "id", "rel", "emb")
+      .createOrReplaceTempView("r10_mmr_nan")
+    val picked = graft.operators.Retrieval.mmrRerank(
+        spark.table("r10_mmr_nan"), "q", "id", "rel", "emb",
+        k = 3, lam = 0.5)
+      .orderBy(col("mmr_rank")).collect().map(_.getLong(2)).toSeq
+    assert(picked == Seq(10L, 20L, 30L)) // lowest-id order, no crash
+    // one NULL rel among real scores: ranks below every real score
+    Seq((1, 10L, Some(0.9), Seq(1.0, 0.0)),
+        (1, 20L, None: Option[Double], Seq(0.0, 1.0)),
+        (1, 30L, Some(0.5), Seq(-1.0, 0.0)))
+      .toDF("q", "id", "rel", "emb")
+      .createOrReplaceTempView("r10_mmr_null")
+    val p2 = graft.operators.Retrieval.mmrRerank(
+        spark.table("r10_mmr_null"), "q", "id", "rel", "emb",
+        k = 3, lam = 0.5)
+      .orderBy(col("mmr_rank")).collect().map(_.getLong(2)).toSeq
+    assert(p2.head == 10L && p2.size == 3 && p2.contains(20L))
+  }
+
+  test("sourceOverlapSketch drops shingle-free docs: two short-doc-only " +
+      "sources no longer read as overlap 1.0 (ADVICE low)") {
+    // sources a/b hold ONLY docs shorter than shingleN=3 tokens; c/d
+    // hold real disjoint text
+    Seq(("a", "x y"), ("b", "p q"),
+        ("c", "alpha beta gamma delta epsilon"),
+        ("d", "one two three four five"))
+      .toDF("source", "text").createOrReplaceTempView("r10_sos")
+    val r = graft.operators.Dedup.sourceOverlapSketch(
+        spark.table("r10_sos"), "source", "text",
+        shingleN = 3, numHashes = 32)
+      .collect().map(x => (x.getString(0), x.getString(1),
+        x.getDouble(2))).toSeq
+    // only the (c, d) pair survives — a/b contribute no signatures
+    assert(r.map(p => (p._1, p._2)) == Seq(("c", "d")))
+    assert(r.head._3 < 0.5) // disjoint text, not the degenerate 1.0
+  }
+
+  test("ensembleQualityRank keeps documents with NULL signals and " +
+      "ranks them lowest instead of dropping them (ADVICE low)") {
+    Seq((0L, None: Option[Long], Some(5L)),
+        (1L, Some(20L), Some(4L)),
+        (2L, Some(30L), None: Option[Long]))
+      .toDF("doc_id", "a", "b").createOrReplaceTempView("r10_eqr_null")
+    val r = graft.operators.Select.ensembleQualityRank(
+        spark.table("r10_eqr_null"), "doc_id", Seq("a", "b"),
+        threshold = 0.5)
+      .orderBy(col("id")).collect()
+    assert(r.length == 3) // nothing silently vanished
+    // doc 0: NULL a -> pct_a 0.0 (strictly smaller than both reals)
+    assert(r(0).getLong(0) == 0L && r(0).getDouble(1) == 0.0)
+    // doc 2: NULL b -> pct_b 0.0, real a = 30 ranks above both
+    assert(r(2).getLong(0) == 2L && r(2).getDouble(1) == 1.0 &&
+      r(2).getDouble(2) == 0.0)
+  }
+}

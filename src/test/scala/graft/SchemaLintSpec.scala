@@ -52,4 +52,33 @@ class SchemaLintSpec extends SparkSpec {
       s"\nentries whose DataFrame could not be built at sf0.001 (lint " +
         s"could not run):\n  " + brokenL.mkString("\n  "))
   }
+
+  /** Epoch rounding parity (round-10, verdict ask #4): Spark's
+    * `toUnixTimestamp`/`unix_timestamp` TRUNCATE sub-second micros;
+    * DuckDB's bare `epoch(ts)` is a DOUBLE whose CAST to BIGINT
+    * ROUNDS. Any oracle that casts an un-floored epoch() to an integer
+    * flips by one whenever the timestamp's fraction is >= .5 s — the
+    * q137 class, red for THREE rounds before the cell diff named it.
+    * The pinned convention is TRUNCATE (matching Spark): every
+    * `epoch(` in an oracle must be immediately wrapped by `floor(`.
+    */
+  test("every oracle epoch() call is floor()-wrapped (truncate parity)") {
+    val bad = Seq.newBuilder[String]
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val lower = sql.toLowerCase
+      var i = lower.indexOf("epoch(")
+      while (i >= 0) {
+        val prefix = lower.substring(0, i).replaceAll("\\s+", "")
+        if (!prefix.endsWith("floor("))
+          bad += s"$name @${i}: ...${sql.substring(math.max(0, i - 20),
+            math.min(sql.length, i + 20)).replaceAll("\\s+", " ")}..."
+        i = lower.indexOf("epoch(", i + 1)
+      }
+    }
+    val badL = bad.result()
+    assert(badL.isEmpty,
+      "\noracles with un-floored epoch() (DuckDB rounds on CAST, Spark " +
+        "truncates — wrap as floor(epoch(...))):\n  " +
+        badL.mkString("\n  "))
+  }
 }
