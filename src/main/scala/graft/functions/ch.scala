@@ -107,6 +107,31 @@ object ch {
   def minMap(keys: Column, values: Column): Column =
     extremeMap(keys, values, (a, b) => least(a, b))
 
+  /** CH `avgMap(keys, values)` (round 10): per-key mean across the
+    * group — [[sumMap]]'s fold run twice (value sums + occurrence
+    * counts, both exact longs), divided only at the end, so the sole
+    * IEEE op is the final per-key division (the integer-inputs
+    * policy; any engine replays sum/count exactly). Key cardinality
+    * bounds the fold state, as with the rest of the map family.
+    */
+  def avgMap(keys: Column, values: Column): Column = {
+    val pairs = flatten(collect_list(zip_with(keys, values,
+      (k, v) => struct(k.cast("string").as("k"), v.cast("long").as("v")))))
+    val emptyMap = map_from_arrays(
+      array().cast("array<string>"), array().cast("array<long>"))
+    val sums = aggregate(pairs, emptyMap, (acc, e) =>
+      map_zip_with(acc, map(e.getField("k"), e.getField("v")),
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+    val cnts = aggregate(pairs, emptyMap, (acc, e) =>
+      map_zip_with(acc, map(e.getField("k"), lit(1L)),
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+    val sortedKeys = array_sort(map_keys(sums))
+    struct(sortedKeys.as("keys"),
+      transform(sortedKeys, k =>
+        element_at(sums, k).cast("double") /
+          element_at(cnts, k)).as("avgs"))
+  }
+
   /** CH `deltaSumTimestamp(value, ts)`: the counter-increase aggregate
     * — sum of POSITIVE differences between consecutive values in
     * `ts` order (a counter reset contributes nothing). CH ships two

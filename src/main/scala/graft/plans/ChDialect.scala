@@ -875,6 +875,131 @@ object ChDialect {
     // maxMap/minMap: sumMap's per-key-extreme siblings
     "maxMap" -> (args => ex(ch.maxMap(col(args.head), col(args(1))))),
     "minMap" -> (args => ex(ch.minMap(col(args.head), col(args(1))))),
+    // avgMap: per-key mean — exact long sum+count folds, one final
+    // IEEE division per key (round 10)
+    "avgMap" -> (args => ex(ch.avgMap(col(args.head), col(args(1))))),
+    // mapApply((k, v) -> (k', v'), m): CH's entry-rewriting map HOF —
+    // the two-arg lambda body is re-instantiated over map_entries
+    // structs ((k, v) ↦ (e.key, e.value)), then MapFromEntries folds
+    // the rewritten pairs back. Duplicate produced keys keep the LAST
+    // entry (MapFromEntries' documented behavior under the session's
+    // mapKeyDedupPolicy) — CH's own result for colliding keys is
+    // unspecified, so a deterministic refinement is required anyway.
+    "mapApply" -> (args => {
+      // ROOT-HOF RULE, the strong form: when a registered function's
+      // arguments contain a LambdaFunction, the analyzer demands the
+      // builder's RESULT be a HigherOrderFunction node — not merely
+      // contain one (a Column-API wrapper root is an
+      // UnresolvedFunction and fails the same check). So the rewrite
+      // is a chain of map HOFs ending in one:
+      //   1. TransformValues: value := (original v, new value) — keys
+      //      untouched, so the new-value body sees the ORIGINAL key;
+      //   2. TransformKeys: key := new key, with the lambda's v bound
+      //      to the CARRIED original value (step 1 replaced it);
+      //   3. TransformValues (the HOF root): strip the carrier.
+      // The lambda body must be a literal 2-tuple (k', v') — tuple()/
+      // struct()/named_struct or the bare (a, b) row constructor.
+      // Colliding produced keys follow spark.sql.mapKeyDedupPolicy,
+      // CH's own collision result being unspecified.
+      import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, LambdaFunction, TransformKeys, TransformValues, UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+      val lf = args.head.asInstanceOf[LambdaFunction]
+      require(lf.arguments.length == 2,
+        "mapApply lambda takes (key, value)")
+      val names = lf.arguments.map {
+        case u: UnresolvedNamedLambdaVariable => u.nameParts
+        case other => Seq(other.name)
+      }
+      val (nk, nv) = lf.function match {
+        case s: CreateNamedStruct if s.valExprs.length == 2 =>
+          (s.valExprs.head, s.valExprs(1))
+        case f: UnresolvedFunction
+          if Seq("struct", "tuple").contains(f.nameParts.last.toLowerCase)
+            && f.arguments.length == 2 =>
+          (f.arguments.head, f.arguments(1))
+        case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("named_struct")
+            && f.arguments.length == 4 =>
+          (f.arguments(1), f.arguments(3))
+        case other => throw new IllegalArgumentException(
+          s"mapApply lambda body must be a 2-tuple (key', value'), got $other")
+      }
+      def subst(b: Expression, kE: Expression, vE: Expression): Expression =
+        b.transform {
+          case u: UnresolvedNamedLambdaVariable
+            if u.nameParts == names.head => kE
+          case u: UnresolvedNamedLambdaVariable
+            if u.nameParts == names(1) => vE
+        }
+      def lam2(tag: String)(
+          f: (Expression, Expression) => Expression): LambdaFunction = {
+        val kv = UnresolvedNamedLambdaVariable(Seq(s"__graft_ma_k$tag"))
+        val vv = UnresolvedNamedLambdaVariable(Seq(s"__graft_ma_v$tag"))
+        LambdaFunction(f(kv, vv), Seq(kv, vv))
+      }
+      val m1 = TransformValues(args(1), lam2("1")((k, v) =>
+        CreateNamedStruct(Seq(Literal("ov"), v,
+          Literal("nv"), subst(nv, k, v)))))
+      val m2 = TransformKeys(m1, lam2("2")((k, s) =>
+        subst(nk, k, UnresolvedExtractValue(s, Literal("ov")))))
+      TransformValues(m2, lam2("3")((_, s) =>
+        UnresolvedExtractValue(s, Literal("nv"))))
+    }),
+    // arrayRotate(arr, n): LEFT rotation by n (CH semantics; negative
+    // n rotates right via pmod), empty arrays pass through
+    "arrayRotate" -> (args => {
+      val arr = col(args.head)
+      val sz = size(arr)
+      val k = when(sz === 0, lit(0))
+        .otherwise(pmod(col(args(1)).cast("int"), sz))
+      ex(when(sz === 0, arr).otherwise(
+        concat(slice(arr, k + 1, sz - k), slice(arr, lit(1), k))))
+    }),
+    // intExp2/intExp10: EXACT integer powers (CH returns UInt64; the
+    // engine's long covers 2^0..2^62 and 10^0..10^18) — shift/lookup,
+    // never pow()'s double rounding; out-of-range → NULL (try_element_at
+    // / shift semantics), the never-throw OrDefault policy
+    "intExp2" -> (args =>
+      ex(when(col(args.head).cast("int").between(0, 62),
+        call_function("shiftleft", lit(1L), col(args.head).cast("int")))
+        .otherwise(lit(null).cast("long")))),
+    "intExp10" -> (args => {
+      val p10 = array((0 to 18).map(i =>
+        lit(BigInt(10).pow(i).toLong)): _*)
+      ex(try_element_at(p10, col(args.head).cast("int") + 1))
+    }),
+    // studentTTest(x, index): two-sample pooled-variance t statistic
+    // (index 0 = sample x, like meanZTest). Integer-inputs policy:
+    // Σx and Σx² fold as exact longs in any partitioning; the means,
+    // pooled variance, and t are the only IEEE ops, mirrored by the
+    // oracle. (CH also returns a p-value — transcendental CDF, spec'd
+    // with tolerance like the X116 rank tests, not on hashed surfaces.)
+    "studentTTest" -> (args => {
+      val x = col(args.head).cast("long")
+      val idx = col(args(1))
+      def side(cond: Column) = (
+        sum(when(cond, 1L).otherwise(0L)).cast("double"),
+        sum(when(cond, x).otherwise(0L)).cast("double"),
+        sum(when(cond, x * x).otherwise(0L)).cast("double"))
+      val (n0, s0, q0) = side(idx === 0)
+      val (n1, s1, q1) = side(idx =!= 0)
+      val sp2 = ((q0 - s0 * s0 / n0) + (q1 - s1 * s1 / n1)) /
+        (n0 + n1 - lit(2.0))
+      ex((s0 / n0 - s1 / n1) /
+        sqrt(sp2 * (lit(1.0) / n0 + lit(1.0) / n1)))
+    }),
+    // quantileGK(accuracy, level)(x): CH's Greenwald–Khanna sketch IS
+    // Spark's approx_percentile (same algorithm, same accuracy knob:
+    // rank error ≤ N/accuracy). Value is sketch-defined — compared
+    // surfaces bracket it between the exact quantiles at
+    // level ∓ 2/accuracy rather than hashing it.
+    "quantileGK" -> (args => {
+      require(args.length == 3,
+        "quantileGK(accuracy, level)(x) needs 3 flattened args")
+      val acc = litInt(args.head, "quantileGK accuracy")
+      ex(call_function("approx_percentile", col(args(2)),
+        col(args(1)), lit(acc)))
+    }),
     // deltaSum reads BLOCK order — nondeterministic even in CH, whose
     // docs point at deltaSumTimestamp; only the ordered form exists
     // here (the neighbor/runningDifference policy)

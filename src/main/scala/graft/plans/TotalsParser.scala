@@ -153,7 +153,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqThetaState|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +
-      """|quantilesTiming|quantileTiming|sparkbar|sumMapFiltered""" +
+      """|quantilesTiming|quantileTiming|quantileGK|sparkbar|sumMapFiltered""" +
       """|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum""" +
       """|exponentialTimeDecayedCount|exponentialTimeDecayedAvg""" +
       """|exponentialTimeDecayedMax""" +

@@ -4816,12 +4816,93 @@ object DialectQueries {
       FROM j, m WHERE j.grp >= m.b
       ORDER BY grp DESC, user_id"""))
 
+  // ---------------------------------------------------------------------
+  // Round-10 dialect fill (X155): studentTTest (pooled-variance t over
+  // exact long Σx/Σx² folds, IEEE finals mirrored by the oracle),
+  // arrayRotate (left rotation, pmod), avgMap (exact sum+count folds,
+  // final per-key division), mapApply (entry-rewriting map HOF),
+  // intExp2/intExp10 (exact shift/lookup, never pow()'s rounding),
+  // quantileGK (Greenwald–Khanna == Spark approx_percentile; value is
+  // sketch-defined, so the compared surface is the BRACKET between
+  // exact quantiles at level ∓ 4/accuracy, not the value).
+  val q247DialectRound10 = QueryDef(
+    "q247_ch_dialect_round10",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v247")
+      s.sql("""
+        SELECT event_type,
+               round(studentTTest(user_id % 97, event_id % 2), 6) AS tt,
+               min(concat_ws(',', arrayMap(x -> toString(x),
+                 arrayRotate(sequence(CAST(1 AS BIGINT), user_id % 4 + 2),
+                   event_id % 7)))) AS rot_min,
+               round(arrayElement(
+                 avgMap(array('a', 'b'),
+                   array(user_id % 5, event_id % 7)).avgs, 1), 6) AS am_a,
+               round(arrayElement(
+                 avgMap(array('a', 'b'),
+                   array(user_id % 5, event_id % 7)).avgs, 2), 6) AS am_b,
+               toInt64(sum(element_at(mapApply(
+                 (k, v) -> (concat(k, '!'), v * 2),
+                 map('x', CAST(user_id % 3 AS BIGINT))), 'x!'))) AS ma,
+               toInt64(sum(intExp2(user_id % 20))) AS e2,
+               toInt64(sum(intExp10(user_id % 5))) AS e10,
+               quantileGK(100, 0.5)(user_id % 1000)
+                 BETWEEN quantileExact(0.46)(user_id % 1000)
+                 AND quantileExact(0.54)(user_id % 1000) AS gk_ok,
+               toInt64(count(1)) AS n
+        FROM events_v247 GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             round((sum(CASE WHEN event_id % 2 = 0
+                 THEN user_id % 97 ELSE 0 END)::DOUBLE
+               / sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CASE WHEN event_id % 2 <> 0
+                   THEN user_id % 97 ELSE 0 END)::DOUBLE
+                 / sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END)::DOUBLE)
+               / sqrt(
+                 ((sum(CASE WHEN event_id % 2 = 0
+                     THEN (user_id % 97) * (user_id % 97) ELSE 0 END)::DOUBLE
+                   - sum(CASE WHEN event_id % 2 = 0
+                       THEN user_id % 97 ELSE 0 END)::DOUBLE
+                     * sum(CASE WHEN event_id % 2 = 0
+                         THEN user_id % 97 ELSE 0 END)::DOUBLE
+                     / sum(CASE WHEN event_id % 2 = 0
+                         THEN 1 ELSE 0 END)::DOUBLE)
+                  + (sum(CASE WHEN event_id % 2 <> 0
+                      THEN (user_id % 97) * (user_id % 97) ELSE 0 END)::DOUBLE
+                   - sum(CASE WHEN event_id % 2 <> 0
+                       THEN user_id % 97 ELSE 0 END)::DOUBLE
+                     * sum(CASE WHEN event_id % 2 <> 0
+                         THEN user_id % 97 ELSE 0 END)::DOUBLE
+                     / sum(CASE WHEN event_id % 2 <> 0
+                         THEN 1 ELSE 0 END)::DOUBLE))
+                 / (count(1)::DOUBLE - 2)
+                 * (1.0 / sum(CASE WHEN event_id % 2 = 0
+                     THEN 1 ELSE 0 END)::DOUBLE
+                    + 1.0 / sum(CASE WHEN event_id % 2 <> 0
+                        THEN 1 ELSE 0 END)::DOUBLE)), 6) AS tt,
+             min((SELECT array_to_string(
+               [CAST(l[((i - 1 + k) % len(l)) + 1] AS VARCHAR)
+                for i in generate_series(1, len(l))], ',')
+               FROM (SELECT generate_series(1, user_id % 4 + 2) AS l,
+                            event_id % 7 AS k))) AS rot_min,
+             round(avg(user_id % 5), 6) AS am_a,
+             round(avg(event_id % 7), 6) AS am_b,
+             CAST(sum(2 * (user_id % 3)) AS BIGINT) AS ma,
+             CAST(sum(1 << (user_id % 20)) AS BIGINT) AS e2,
+             CAST(sum(CAST(pow(10, user_id % 5) AS BIGINT)) AS BIGINT)
+               AS e10,
+             true AS gk_ok,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,
-      q246TiesAnyJoin,
+      q246TiesAnyJoin, q247DialectRound10,
       q188ChRunningMaps, q190ChRunningAccumulate, q193ChBitmap,
       q197ChSystemParts, q198ChOptimizeDedup,
       q200ChIntervalAggs, q201ChMovingBits, q202ChEntropyTheta,

@@ -90,6 +90,88 @@ class Round10Spec extends SparkSpec {
     assert(r.head._3 < 0.5) // disjoint text, not the degenerate 1.0
   }
 
+  // ---- wave 2: round-10 dialect fill (X155) ----
+
+  test("avgMap: per-key means from exact sum+count folds") {
+    Seq((1, Seq("a", "b"), Seq(10L, 1L)),
+        (1, Seq("b", "c"), Seq(3L, 7L)),
+        (1, Seq("a"), Seq(20L)))
+      .toDF("g", "ks", "vs").createOrReplaceTempView("r10_avgmap")
+    val r = spark.sql("""
+      SELECT avgMap(ks, vs) AS am FROM r10_avgmap GROUP BY g""")
+      .collect().head.getStruct(0)
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[Double](1) == Seq(15.0, 2.0, 7.0))
+  }
+
+  test("mapApply rewrites keys and values; key body may read v and " +
+      "value body may read k (carrier chain)") {
+    val r = spark.sql("""
+      SELECT mapApply((k, v) -> (concat(k, toString(v)), v + 1),
+               map('a', CAST(1 AS BIGINT), 'b', CAST(2 AS BIGINT))) AS m1,
+             mapApply((k, v) -> tuple(v, k),
+               map('x', CAST(9 AS BIGINT))) AS m2,
+             mapApply((k, v) -> named_struct('nk', upper(k), 'nv',
+               concat(k, toString(v * 10))),
+               map('p', CAST(3 AS BIGINT))) AS m3""").collect().head
+    assert(r.getMap[String, Long](0) == Map("a1" -> 2L, "b2" -> 3L))
+    assert(r.getMap[Long, String](1) == Map(9L -> "x"))
+    assert(r.getMap[String, String](2) == Map("P" -> "p30"))
+  }
+
+  test("arrayRotate: left rotation, negative right-rotates via pmod, " +
+      "oversized n wraps, empty passes through") {
+    val r = spark.sql("""
+      SELECT arrayRotate(array(1, 2, 3, 4, 5), 2) AS a,
+             arrayRotate(array(1, 2, 3, 4, 5), -1) AS b,
+             arrayRotate(array(1, 2, 3), 10) AS c,
+             arrayRotate(array(1, 2, 3), 0) AS d,
+             arrayRotate(CAST(array() AS ARRAY<INT>), 3) AS e""")
+      .collect().head
+    assert(r.getSeq[Int](0) == Seq(3, 4, 5, 1, 2))
+    assert(r.getSeq[Int](1) == Seq(5, 1, 2, 3, 4))
+    assert(r.getSeq[Int](2) == Seq(2, 3, 1)) // 10 % 3 = 1
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](4).isEmpty)
+  }
+
+  test("intExp2/intExp10: exact integer powers, NULL out of range " +
+      "(never pow()'s double rounding)") {
+    val r = spark.sql("""
+      SELECT intExp2(0) AS a, intExp2(62) AS b, intExp2(63) AS c,
+             intExp10(0) AS d, intExp10(18) AS e, intExp10(19) AS f""")
+      .collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == (1L << 62))
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) == 1L)
+    assert(r.getLong(4) == 1000000000000000000L)
+    assert(r.isNullAt(5))
+  }
+
+  test("studentTTest matches the hand-computed pooled-variance t") {
+    // x: group0 = {1, 2, 3}, group1 = {4, 6}
+    // m0 = 2, m1 = 5; SS0 = 2, SS1 = 2; sp2 = 4/3
+    // t = -3 / sqrt(4/3 * (1/3 + 1/2)) = -3 / sqrt(10/9)
+    Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (6L, 1))
+      .toDF("x", "idx").createOrReplaceTempView("r10_ttest")
+    val t = spark.sql(
+      "SELECT studentTTest(x, idx) AS t FROM r10_ttest")
+      .collect().head.getDouble(0)
+    assert(math.abs(t - (-3.0 / math.sqrt(10.0 / 9.0))) < 1e-12)
+  }
+
+  test("quantileGK parses through the parameterized-agg head and " +
+      "lands within GK rank error") {
+    Seq.range(1, 1001).map(i => Tuple1(i.toLong)).toDF("v")
+      .createOrReplaceTempView("r10_gk")
+    val r = spark.sql(
+      "SELECT quantileGK(100, 0.5)(v) AS q FROM r10_gk")
+      .collect().head.getLong(0)
+    // rank error <= n/accuracy = 10 around the exact median 500
+    assert(r >= 490L && r <= 510L)
+  }
+
   test("ensembleQualityRank keeps documents with NULL signals and " +
       "ranks them lowest instead of dropping them (ADVICE low)") {
     Seq((0L, None: Option[Long], Some(5L)),
