@@ -1606,4 +1606,45 @@ object Dedup {
         round(sum(round(col("__q") * 1e6d).cast("long")).cast("double") /
           (count(lit(1)) * 1e6d), 6).as("mean_quality"))
   }
+
+  /** Eval-set n-gram decontamination (X156, round 10) — the
+    * benchmark-leak filter every training pipeline runs before a
+    * model sees the corpus (the GPT-3-style 13-gram collision rule):
+    * flag every training document sharing at least `minHits` distinct
+    * word n-grams with the eval/benchmark set.
+    *
+    * Scale shape: the eval side is benchmarks — SMALL by construction
+    * — so its distinct gram hashes build once and BROADCAST; the
+    * corpus side streams map-side through the broadcast hash join and
+    * is never shuffled by gram (the only corpus-wide movement is the
+    * per-doc hit count's groupBy on doc id, which partial-aggregates).
+    * Join keys are xxhash64(gram) — 8-byte shuffle/broadcast payloads,
+    * the X91 diet; the oracle replays on gram STRINGS (collision odds
+    * ~|grams|²/2⁶⁴, the accepted hashed-replay contract).
+    *
+    * Returns the full `docs` row set (nothing silently dropped) plus
+    * `eval_hits` (distinct colliding grams — `ngrams` emits distinct
+    * shingles per doc) and `contaminated`.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      minHits: Int = 1): DataFrame = {
+    import graft.functions.text
+    require(n >= 1 && minHits >= 1,
+      "decontaminate: need n >= 1 and minHits >= 1")
+    def grams(d: DataFrame, cols: Seq[Column]): DataFrame =
+      d.select(cols :+ explode(text.ngrams(
+        text.tokenize(col(s"`$textCol`")), n)).as("__dc_g"): _*)
+    val evalGrams = grams(evalDocs, Seq.empty)
+      .select(xxhash64(col("__dc_g")).as("__dc_gh")).distinct()
+    val hits = grams(docs, Seq(col(s"`$idCol`").as("__dc_id")))
+      .select(col("__dc_id"), xxhash64(col("__dc_g")).as("__dc_gh"))
+      .join(broadcast(evalGrams), Seq("__dc_gh"))
+      .groupBy(col("__dc_id"))
+      .agg(count(lit(1)).as("__dc_hits"))
+    docs.join(hits, col(s"`$idCol`") === col("__dc_id"), "left")
+      .withColumn("eval_hits", coalesce(col("__dc_hits"), lit(0L)))
+      .withColumn("contaminated", col("eval_hits") >= minHits)
+      .drop("__dc_id", "__dc_hits")
+  }
 }

@@ -5264,7 +5264,62 @@ object PipelineQueries {
                ' tail' AS ftext
       FROM documents ORDER BY doc_id LIMIT 300"""))
 
+  // ---------------------------------------------------------------------
+  // X156: eval-set n-gram decontamination, the corpus-filter form —
+  // q151's spanContamination audits train↔eval PAIRS; this is the
+  // pipeline gate that FLAGS every training doc sharing >= minHits
+  // distinct n-grams with a broadcast benchmark gram set and keeps
+  // the full row set (zero-hit docs included). Eval proxy: every
+  // 97th document; those docs are excluded from the scored side so
+  // contamination is non-trivial (partial text overlap only).
+  val q248Decontaminate = QueryDef(
+    "q248_decontaminate",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5)
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("contaminated"), 1L).otherwise(0L))
+            .cast("long").as("contaminated"),
+          sum(col("eval_hits")).cast("long").as("hits_sum"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+      ), g AS (
+        SELECT doc_id, lang,
+               list_distinct([array_to_string(l[i:i+4], ' ')
+                 for i in generate_series(1, len(l) - 4)]) AS gs
+        FROM tok
+      ), eg AS (
+        SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 97 = 0
+      ), dg AS (
+        SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 97 <> 0
+      ), h AS (
+        SELECT dg.doc_id, count(*) AS hits
+        FROM dg JOIN eg ON dg.gr = eg.gr GROUP BY dg.doc_id
+      ), f AS (
+        SELECT d.doc_id, d.lang, coalesce(h.hits, 0) AS hits
+        FROM (SELECT doc_id, lang FROM documents
+              WHERE doc_id % 97 <> 0) d
+        LEFT JOIN h ON d.doc_id = h.doc_id
+      )
+      SELECT lang,
+             CAST(sum(CASE WHEN hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS contaminated,
+             CAST(sum(hits) AS BIGINT) AS hits_sum,
+             CAST(count(1) AS BIGINT) AS n
+      FROM f GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
+    q248Decontaminate,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
     q194ScriptProfile, q195LuhnPii, q196VocabGrowth,

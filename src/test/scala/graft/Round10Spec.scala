@@ -90,6 +90,33 @@ class Round10Spec extends SparkSpec {
     assert(r.head._3 < 0.5) // disjoint text, not the degenerate 1.0
   }
 
+  // ---- wave 3: X156 decontamination ----
+
+  test("decontaminate flags docs sharing >= minHits n-grams with the " +
+      "eval set, keeps zero-hit docs, and broadcasts the eval side") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different words here nothing shared at all"),
+        (3L, "a quick brown fox jumps too yes indeed"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r10_dc_train")
+    Seq((100L, "we saw the quick brown fox jumps yesterday"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r10_dc_eval")
+    val out = graft.operators.Dedup.decontaminate(
+      spark.table("r10_dc_train"), spark.table("r10_dc_eval"),
+      "doc_id", "text", n = 4)
+    val rows = out.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("eval_hits"), col("contaminated"))
+      .collect()
+    // eval 4-grams include "the quick brown fox" and "quick brown fox
+    // jumps"; doc1 shares both, doc3 shares only the latter, doc2 none
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq == Seq((1L, 2L, true), (2L, 0L, false), (3L, 1L, true)))
+    // scale shape: the eval gram set must arrive via broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
