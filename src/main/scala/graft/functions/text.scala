@@ -399,4 +399,54 @@ object text {
       .when(ha >= ar, lit("han"))
       .otherwise(lit("arabic"))
   }
+
+  /** Rule-based sentence segmentation (X157, round 10): maximal runs
+    * of non-terminators followed by a terminator run (or end of
+    * text), trimmed, empties dropped. The pattern is deliberately
+    * RE2-COMPATIBLE (no lookbehind/lookahead) so DuckDB's
+    * regexp_extract_all replays it verbatim — the engine's standing
+    * any-engine-replayable contract. Abbreviation-aware splitting is
+    * explicitly out of contract (as in every rule-based splitter a
+    * pipeline actually ships at 100 TB — model-based splitters are a
+    * codec concern, the Multimodal stub pattern).
+    */
+  def sentences(c: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(c, lit("[^.!?]+(?:[.!?]+|$)"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
+  /** Sentence count under the [[sentences]] rule. */
+  def sentenceCount(c: Column): Column = size(sentences(c))
+
+  /** Syllable approximation: vowel-group runs ([aeiouy]+) over the
+    * lowercased text — the standard cheap estimator readability
+    * formulas were fitted against. Exact integer, engine-replayable.
+    */
+  def syllableCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), sentence/word counts floored at 1 so
+    * empty text scores rather than NaNs. All inputs exact integers,
+    * fixed IEEE op order — bit-replayable by the oracle.
+    */
+  def fleschReadingEase(c: Column): Column = {
+    val s = greatest(sentenceCount(c), lit(1)).cast("double")
+    val w = greatest(size(tokenize(c)), lit(1)).cast("double")
+    val sy = syllableCount(c).cast("double")
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w)
+  }
+
+  /** Flesch–Kincaid grade level: 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59, same guards as
+    * [[fleschReadingEase]].
+    */
+  def fleschKincaidGrade(c: Column): Column = {
+    val s = greatest(sentenceCount(c), lit(1)).cast("double")
+    val w = greatest(size(tokenize(c)), lit(1)).cast("double")
+    val sy = syllableCount(c).cast("double")
+    lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59)
+  }
 }

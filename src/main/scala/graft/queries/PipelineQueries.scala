@@ -5318,8 +5318,68 @@ object PipelineQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM f GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------------
+  // X157: rule-based sentence segmentation + readability scores
+  // (Flesch reading ease / Flesch–Kincaid grade) — the classic cheap
+  // quality-filter axis LLM pipelines cut on. Sentence rule and
+  // vowel-run syllable estimator are RE2-compatible regexes, so the
+  // oracle replays them verbatim; the formulas are pure rational
+  // arithmetic over exact integer counts with mirrored IEEE op order,
+  // means via the fixed-point sum pattern (exact 1e-6 longs).
+  val q249Readability = QueryDef(
+    "q249_readability",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      docs.select(col("lang"),
+          text.sentenceCount(col("text")).as("sc"),
+          size(text.tokenize(col("text"))).as("wc"),
+          text.syllableCount(col("text")).as("yc"),
+          text.fleschReadingEase(col("text")).as("fre"),
+          text.fleschKincaidGrade(col("text")).as("fkg"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("sc")).cast("long").as("sents"),
+          sum(col("wc")).cast("long").as("words"),
+          sum(col("yc")).cast("long").as("sylls"),
+          round(sum(round(col("fre") * 1e6d).cast("long")).cast("double") /
+            (count(lit(1)) * 1e6d), 6).as("avg_fre"),
+          round(sum(round(col("fkg") * 1e6d).cast("long")).cast("double") /
+            (count(lit(1)) * 1e6d), 6).as("avg_fkg"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT lang,
+          len([x for x in list_transform(
+            regexp_extract_all(text, '[^.!?]+(?:[.!?]+|$)'),
+            s -> trim(s)) if x <> '']) AS sc,
+          len(regexp_split_to_array(trim(lower(text)), '\s+')) AS wc,
+          len(regexp_extract_all(lower(text), '[aeiouy]+')) AS yc
+        FROM documents
+      ), f AS (
+        SELECT lang, sc, wc, yc,
+          206.835 - 1.015 * (greatest(wc, 1)::DOUBLE
+              / greatest(sc, 1)::DOUBLE)
+            - 84.6 * (yc::DOUBLE / greatest(wc, 1)::DOUBLE) AS fre,
+          0.39 * (greatest(wc, 1)::DOUBLE / greatest(sc, 1)::DOUBLE)
+            + 11.8 * (yc::DOUBLE / greatest(wc, 1)::DOUBLE)
+            - 15.59 AS fkg
+        FROM m
+      )
+      SELECT lang,
+             CAST(sum(sc) AS BIGINT) AS sents,
+             CAST(sum(wc) AS BIGINT) AS words,
+             CAST(sum(yc) AS BIGINT) AS sylls,
+             round(sum(CAST(round(fre * 1e6) AS BIGINT))::DOUBLE
+               / (count(1) * 1e6), 6) AS avg_fre,
+             round(sum(CAST(round(fkg * 1e6) AS BIGINT))::DOUBLE
+               / (count(1) * 1e6), 6) AS avg_fkg,
+             CAST(count(1) AS BIGINT) AS n
+      FROM f GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q248Decontaminate,
+    q248Decontaminate, q249Readability,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
     q194ScriptProfile, q195LuhnPii, q196VocabGrowth,

@@ -117,6 +117,33 @@ class Round10Spec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  // ---- wave 4: X157 sentences + readability ----
+
+  test("sentences/syllables/readability: hand-computed fixture and " +
+      "terminator edges") {
+    import graft.functions.text
+    val df = Seq("The cat sat. It ran! Done?",
+        "no terminator here", "!!!", "")
+      .toDF("t")
+      .select(col("t"), text.sentences(col("t")).as("ss"),
+        text.sentenceCount(col("t")).as("sc"),
+        text.syllableCount(col("t")).as("yc"),
+        text.fleschReadingEase(col("t")).as("fre"),
+        text.fleschKincaidGrade(col("t")).as("fkg"))
+      .collect()
+    assert(df(0).getSeq[String](1) == Seq("The cat sat.", "It ran!", "Done?"))
+    // 6 words, 3 sentences, 7 vowel runs (the,cat,sat,it,ran,do,ne)
+    assert(df(0).getInt(2) == 3 && df(0).getInt(3) == 7)
+    assert(math.abs(df(0).getDouble(4) -
+      (206.835 - 1.015 * 2.0 - 84.6 * (7.0 / 6.0))) < 1e-12)
+    assert(math.abs(df(0).getDouble(5) -
+      (0.39 * 2.0 + 11.8 * (7.0 / 6.0) - 15.59)) < 1e-12)
+    // trailing fragment without punctuation is one sentence ($ arm)
+    assert(df(1).getSeq[String](1) == Seq("no terminator here"))
+    // terminators alone segment nothing; empty text likewise
+    assert(df(2).getInt(2) == 0 && df(3).getInt(2) == 0)
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
