@@ -762,4 +762,77 @@ object Similarity {
     perDim.reduce(_ unionAll _).orderBy(col("dim"))
   }
 
+  /** Pairwise BLEU-2 with a RATIONAL brevity penalty (X158, round
+    * 10) — the sequence-overlap verifier for candidate pairs (MT-eval
+    * BLEU repurposed as a near-dup/paraphrase score, the way
+    * generation-dedup pipelines use it):
+    *
+    *   bleu = min(1, |c|₁/|r|₁) · √(p₁·p₂),
+    *   pₙ = Σ_g min(count_c(g), count_r(g)) / |c|ₙ   (modified
+    *   n-gram precision, counts NOT clipped to distinct)
+    *
+    * The standard exp(1−r/c) brevity penalty is deliberately replaced
+    * by the rational clamp min(1, c/r): exp/ln are NOT
+    * correctly-rounded by libm and differ across engines (the q137
+    * trig lesson), while division, min, multiply, and sqrt ARE
+    * IEEE-correctly-rounded — every compared cell replays
+    * bit-identically from exact integer gram counts. A doc with
+    * fewer than 2 tokens has p₂ = 0 and scores 0 (documented edge).
+    *
+    * Scale shape: gram counts explode per doc and partial-aggregate
+    * on (doc, gram); each pair side joins counts by doc id then
+    * overlaps on (pair, gram) — linear in Σ pair-doc lengths (the
+    * pairs are a candidate set by contract, never all-pairs), no
+    * per-row quadratic HOF over token arrays.
+    */
+  def pairBleu(docs: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.text
+    val toks = docs.select(col(s"`$idCol`").cast("long").as("__pb_id"),
+      text.tokenize(col(s"`$textCol`")).as("__pb_t"))
+    def gramCounts(n: Int): DataFrame =
+      toks.select(col("__pb_id"),
+          explode(when(size(col("__pb_t")) >= n,
+            transform(sequence(lit(1), size(col("__pb_t")) - (n - 1)),
+              i => concat_ws(" ", slice(col("__pb_t"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("__pb_g"))
+        .groupBy(col("__pb_id"), col("__pb_g"))
+        .agg(count(lit(1)).as("__pb_c"))
+    val p = pairs.select(col(s"`$aCol`").cast("long").as("a"),
+      col(s"`$bCol`").cast("long").as("b"))
+    def overlap(n: Int, tag: String): DataFrame = {
+      val gc = gramCounts(n)
+      val ca = gc.select(col("__pb_id").as("a"), col("__pb_g"),
+        col("__pb_c").as("__pb_ca"))
+      val cb = gc.select(col("__pb_id").as("__pb_b2"),
+        col("__pb_g").as("__pb_gb"), col("__pb_c").as("__pb_cb"))
+      p.join(ca, Seq("a"))
+        .join(cb, col("__pb_b2") === col("b") &&
+          col("__pb_gb") === col("__pb_g"))
+        .drop("__pb_gb", "__pb_b2")
+        .groupBy(col("a"), col("b"))
+        .agg(sum(least(col("__pb_ca"), col("__pb_cb")))
+          .cast("long").as(s"over$tag"))
+    }
+    def lens(n: Int, side: String, tag: String): DataFrame =
+      gramCounts(n).groupBy(col("__pb_id").as(side))
+        .agg(sum(col("__pb_c")).cast("long").as(tag))
+    val out = p
+      .join(lens(1, "a", "c1len"), Seq("a"), "left")
+      .join(lens(1, "b", "r1len"), Seq("b"), "left")
+      .join(lens(2, "a", "c2len"), Seq("a"), "left")
+      .join(overlap(1, "1"), Seq("a", "b"), "left")
+      .join(overlap(2, "2"), Seq("a", "b"), "left")
+      .na.fill(0L, Seq("c1len", "r1len", "c2len", "over1", "over2"))
+    val p1 = col("over1").cast("double") /
+      greatest(col("c1len"), lit(1L)).cast("double")
+    val p2 = col("over2").cast("double") /
+      greatest(col("c2len"), lit(1L)).cast("double")
+    val bp = least(lit(1.0), col("c1len").cast("double") /
+      greatest(col("r1len"), lit(1L)).cast("double"))
+    out.select(col("a"), col("b"), col("over1"), col("over2"),
+      col("c1len"), col("c2len"),
+      (bp * sqrt(p1 * p2)).as("bleu"))
+  }
 }

@@ -5378,8 +5378,75 @@ object PipelineQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM f GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------------
+  // X158: pair BLEU-2 with the RATIONAL brevity penalty (exp is not
+  // correctly-rounded across libms; min/div/sqrt are — every cell
+  // replays bit-identically from exact gram counts). Pair sample is
+  // deterministic (every 37th doc with its successor), testing the
+  // METRIC — candidate generation is the LSH family's covered job.
+  val q250PairBleu = QueryDef(
+    "q250_pair_bleu",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("a"))
+        .where(col("a") % 37 === 0)
+        .join(docs.select(col("doc_id").as("b")),
+          col("b") === col("a") + 1)
+      Similarity.pairBleu(docs, pairs, "a", "b", "doc_id", "text")
+        .select(col("a"), col("b"), col("over1"), col("over2"),
+          col("c1len"), col("c2len"), round(col("bleu"), 6).as("bleu"))
+        .orderBy(col("a"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+      ), c1 AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(l) AS g FROM toks) GROUP BY 1, 2
+      ), c2 AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ')
+                for i in generate_series(1, len(l) - 1)]) AS g
+              FROM toks) GROUP BY 1, 2
+      ), pr AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        WHERE d1.doc_id % 37 = 0
+      ), l1 AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c1 GROUP BY 1
+      ), l2 AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c2 GROUP BY 1
+      ), o1 AS (
+        SELECT pr.a, pr.b, CAST(sum(least(x.c, y.c)) AS BIGINT) AS o
+        FROM pr JOIN c1 x ON x.doc_id = pr.a
+        JOIN c1 y ON y.doc_id = pr.b AND y.g = x.g GROUP BY 1, 2
+      ), o2 AS (
+        SELECT pr.a, pr.b, CAST(sum(least(x.c, y.c)) AS BIGINT) AS o
+        FROM pr JOIN c2 x ON x.doc_id = pr.a
+        JOIN c2 y ON y.doc_id = pr.b AND y.g = x.g GROUP BY 1, 2
+      )
+      SELECT pr.a, pr.b,
+             coalesce(o1.o, 0) AS over1, coalesce(o2.o, 0) AS over2,
+             coalesce(l1a.n, 0) AS c1len, coalesce(l2a.n, 0) AS c2len,
+             round(least(1.0, coalesce(l1a.n, 0)::DOUBLE
+                 / greatest(coalesce(l1b.n, 0), 1)::DOUBLE)
+               * sqrt((coalesce(o1.o, 0)::DOUBLE
+                   / greatest(coalesce(l1a.n, 0), 1)::DOUBLE)
+                 * (coalesce(o2.o, 0)::DOUBLE
+                   / greatest(coalesce(l2a.n, 0), 1)::DOUBLE)), 6)
+               AS bleu
+      FROM pr
+      LEFT JOIN l1 l1a ON l1a.doc_id = pr.a
+      LEFT JOIN l1 l1b ON l1b.doc_id = pr.b
+      LEFT JOIN l2 l2a ON l2a.doc_id = pr.a
+      LEFT JOIN o1 ON o1.a = pr.a AND o1.b = pr.b
+      LEFT JOIN o2 ON o2.a = pr.a AND o2.b = pr.b
+      ORDER BY pr.a"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q248Decontaminate, q249Readability,
+    q248Decontaminate, q249Readability, q250PairBleu,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
     q194ScriptProfile, q195LuhnPii, q196VocabGrowth,

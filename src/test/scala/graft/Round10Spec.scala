@@ -144,6 +144,31 @@ class Round10Spec extends SparkSpec {
     assert(df(2).getInt(2) == 0 && df(3).getInt(2) == 0)
   }
 
+  // ---- wave 5: X158 pair BLEU ----
+
+  test("pairBleu: hand-computed modified precisions, rational brevity " +
+      "penalty, sub-2-token edge scores 0") {
+    Seq((1L, "a b a c"), (2L, "a b a b"), (3L, "x"), (4L, "x y"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r10_bleu_docs")
+    Seq((1L, 2L), (3L, 4L), (2L, 3L))
+      .toDF("a", "b").createOrReplaceTempView("r10_bleu_pairs")
+    val r = graft.operators.Similarity.pairBleu(
+        spark.table("r10_bleu_docs"), spark.table("r10_bleu_pairs"),
+        "a", "b", "doc_id", "text")
+      .orderBy(col("a")).collect()
+    // (1,2): over1 = min(2,2)+min(1,2) = 3, p1 = 3/4; bigrams
+    // c={ab,ba,ac} r={ab:2,ba} -> over2 = 2, p2 = 2/3; bp = 1
+    assert(r(0).getLong(2) == 3L && r(0).getLong(3) == 2L)
+    assert(math.abs(r(0).getDouble(6) - math.sqrt(0.5)) < 1e-12)
+    // (2,3): candidate len 4, reference len 1 -> bp = 1 (c >= r),
+    // but zero overlap -> bleu 0
+    assert(r(1).getDouble(6) == 0.0)
+    // (3,4): 1-token candidate -> c2len = 0, p2 = 0 -> bleu 0, with
+    // bp = min(1, 1/2) not mattering
+    assert(r(2).getLong(4) == 1L && r(2).getLong(5) == 0L &&
+      r(2).getDouble(6) == 0.0)
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
