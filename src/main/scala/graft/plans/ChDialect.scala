@@ -1189,6 +1189,23 @@ object ChDialect {
       case n => throw new IllegalArgumentException(
         s"uniqTheta takes (x) or (k)(x), got $n args")
     }),
+    // uniqHLL12 / uniqCombined: HyperLogLog with 2^12 registers
+    // (plans/NativeSketch.UniqHll12Agg — fixed 4 KB mergeable state,
+    // MD5-48 buckets/ranks so the ORACLE can rebuild every register).
+    // uniqCombined is registered onto the same kernel: CH's adaptive
+    // array→hash→HLL upgrade path is a memory optimization with the
+    // same asymptotic answer, and a fixed-layout refinement is what a
+    // replayable contract needs. The uniqHLL12State spelling exposes
+    // the EXACT parts (S, zero-register count, raw estimate) for
+    // hashed surfaces; the corrected estimate (linear counting = ln)
+    // is bracket-compared only, per the transcendental policy.
+    "uniqHLL12" -> (args =>
+      UniqHll12Agg(Cast(args.head, StringType)).toAggregateExpression()),
+    "uniqCombined" -> (args =>
+      UniqHll12Agg(Cast(args.last, StringType)).toAggregateExpression()),
+    "uniqHLL12State" -> (args =>
+      UniqHll12StateAgg(Cast(args.head, StringType))
+        .toAggregateExpression()),
     // largestTriangleThreeBuckets(n)(x, y) / lttb — the dashboard
     // decimator (plans/NativeStats.scala); arrives flattened (n, x, y)
     "largestTriangleThreeBuckets" -> (args =>

@@ -120,6 +120,150 @@ case class UniqThetaAgg(
     copy(child = newChild)
 }
 
+/** HyperLogLog distinct-count sketch backing `uniqHLL12` (and the
+  * `uniqCombined` spelling) — CH's classic HLL aggregate with 2^12
+  * registers. Same replayable-hash departure as [[UniqThetaAgg]]:
+  * the value hashes with MD5-48 (bit-identical in Spark SQL and
+  * DuckDB), bucket = top 12 bits, rank = leading zeros of the
+  * remaining 36-bit field + 1 (so rank ∈ [1, 37], rank 37 = all-zero
+  * remainder). DuckDB replays a register exactly as
+  * `CASE WHEN rem = 0 THEN 37 ELSE 37 - len(bin(rem)) END`.
+  *
+  * Estimator: Σ 2^(−M[j]) is kept as the EXACT integer
+  * S = Σ 2^(37−M[j]) ≤ 4096·2^37 < 2^50 (float summation order can
+  * flip the last ulp between engines; an integer sum cannot), so the
+  * raw estimate α·m²·2^37/S is one deterministic IEEE chain. The
+  * small-range linear-counting correction m·ln(m/V) (E ≤ 2.5m, V > 0)
+  * uses ln — NOT correctly-rounded across libms — so per the
+  * transcendental policy the CORRECTED estimate never sits on a
+  * hashed surface: compared entries hash S, V, and the raw estimate
+  * (exact), and BRACKET the corrected one against uniqExact.
+  *
+  * Scale: a FIXED 4 KB register array per group per partition,
+  * elementwise-max merge (associative, commutative) — map-side
+  * combine works; contrast uniqExact's value-set state.
+  */
+case class UniqHll12Agg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  private val m = 4096
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "uniqHLL12"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = UniqThetaAgg.hash48(v.asInstanceOf[UTF8String])
+      val bucket = (h >>> 36).toInt
+      val rem = h & ((1L << 36) - 1)
+      val rank =
+        if (rem == 0L) 37
+        else 36 - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rank > buf(bucket)) buf(bucket) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var s = 0L
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      s += 1L << (37 - buf(i))
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    // α_m · m² · 2^37 / S, one deterministic IEEE chain off exact ints
+    val raw = 0.7213 / (1.0 + 1.079 / 4096.0) * 16777216.0 *
+      137438953472.0 / s.toDouble
+    val est =
+      if (raw <= 2.5 * m && zeros > 0)
+        m * math.log(m.toDouble / zeros) // linear counting (bracketed
+      else raw                           // only — never hashed)
+    math.floor(est).toLong
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): UniqHll12Agg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): UniqHll12Agg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): UniqHll12Agg = copy(child = newChild)
+}
+
+/** Raw-state sibling of [[UniqHll12Agg]]: returns (S, zero-register
+  * count, raw floor estimate) so compared surfaces can hash the EXACT
+  * parts of the sketch — see the transcendental note above.
+  */
+case class UniqHll12StateAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  private val inner = UniqHll12Agg(child)
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("s", LongType, false),
+      org.apache.spark.sql.types.StructField("zeros", LongType, false),
+      org.apache.spark.sql.types.StructField("raw", LongType, false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "uniqHLL12State"
+
+  override def createAggregationBuffer(): Array[Byte] =
+    inner.createAggregationBuffer()
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    inner.update(buf, input)
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    inner.merge(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = {
+    var s = 0L
+    var zeros = 0L
+    var i = 0
+    while (i < 4096) {
+      s += 1L << (37 - buf(i))
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = math.floor(0.7213 / (1.0 + 1.079 / 4096.0) * 16777216.0 *
+      137438953472.0 / s.toDouble).toLong
+    InternalRow(s, zeros, raw)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): UniqHll12StateAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): UniqHll12StateAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): UniqHll12StateAgg = copy(child = newChild)
+}
+
 object UniqThetaAgg {
   /** 2^48 — the hash space the 48-bit MD5 prefix draws from. */
   val HashSpace: Long = 1L << 48

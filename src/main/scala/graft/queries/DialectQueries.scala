@@ -4897,8 +4897,77 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X159: HyperLogLog (uniqHLL12/uniqCombined) — the fixed-4KB
+  // mergeable distinct-count state (theta/KMV keeps k hashes; HLL
+  // keeps max-rank registers — the classic trade at 100 TB when
+  // sketches themselves are numerous). The oracle REBUILDS all 4096
+  // registers from MD5-48 and replays S (exact integer — Σ 2^(−M)
+  // scaled by 2^37 so no float summation order exists), the
+  // zero-register count, and the raw estimate; the linear-counting
+  // corrected estimate is ln-based and bracket-compared per the
+  // transcendental policy.
+  val q251Hll = QueryDef(
+    "q251_hll_registers",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v251")
+      s.sql("""
+        SELECT event_type,
+               uniqHLL12State(toString(user_id)).s AS hs,
+               uniqHLL12State(toString(user_id)).zeros AS hz,
+               uniqHLL12State(toString(user_id)).raw AS hraw,
+               uniqExact(user_id) AS exact,
+               abs(uniqHLL12(toString(user_id)) - uniqExact(user_id))
+                 <= greatest(CAST(0.05 * uniqExact(user_id) AS BIGINT),
+                             CAST(10 AS BIGINT)) AS hll_ok,
+               toInt64(count(1)) AS n
+        FROM events_v251 GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH v AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS sv
+        FROM events
+      ), h AS (
+        SELECT event_type,
+               CAST('0x' || substring(md5(sv), 1, 12) AS BIGINT) AS hh
+        FROM v
+      ), r AS (
+        SELECT event_type, hh // 68719476736 AS bucket,
+               hh % 68719476736 AS rem
+        FROM h
+      ), rk AS (
+        SELECT event_type, bucket,
+               CASE WHEN rem = 0 THEN 37
+                    ELSE 37 - len(bin(rem)) END AS rnk
+        FROM r
+      ), mm AS (
+        SELECT event_type, bucket, max(rnk) AS mj
+        FROM rk GROUP BY 1, 2
+      ), st AS (
+        SELECT event_type,
+               CAST(sum(1::BIGINT << (37 - mj))
+                 + (4096 - count(*)) * 137438953472 AS BIGINT) AS hs,
+               CAST(4096 - count(*) AS BIGINT) AS hz
+        FROM mm GROUP BY 1
+      ), ex AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS exact
+        FROM v GROUP BY 1
+      ), cnt AS (
+        SELECT event_type, CAST(count(1) AS BIGINT) AS n
+        FROM events GROUP BY 1
+      )
+      SELECT st.event_type, st.hs, st.hz,
+             CAST(floor(0.7213 / (1 + 1.079 / 4096) * 16777216
+               * 137438953472 / st.hs) AS BIGINT) AS hraw,
+             ex.exact, true AS hll_ok, cnt.n
+      FROM st
+      JOIN ex ON ex.event_type = st.event_type
+      JOIN cnt ON cnt.event_type = st.event_type
+      ORDER BY st.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
+      q251Hll,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,

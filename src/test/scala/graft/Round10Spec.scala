@@ -169,6 +169,39 @@ class Round10Spec extends SparkSpec {
       r(2).getDouble(6) == 0.0)
   }
 
+  // ---- wave 6: X159 HyperLogLog ----
+
+  test("uniqHLL12: partition-invariant merge, ~1.6% envelope at 50k, " +
+      "uniqCombined aliases the same kernel") {
+    val n = 50000
+    spark.range(n).selectExpr("CAST(id AS STRING) AS v")
+      .createOrReplaceTempView("r10_hll")
+    spark.range(n).repartition(17)
+      .selectExpr("CAST(id AS STRING) AS v")
+      .createOrReplaceTempView("r10_hll_p17")
+    val r = spark.sql("""
+      SELECT (SELECT uniqHLL12(v) FROM r10_hll) AS a,
+             (SELECT uniqHLL12(v) FROM r10_hll_p17) AS b,
+             (SELECT uniqCombined(v) FROM r10_hll) AS c""")
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1)) // merge is partition-invariant
+    assert(r.getLong(0) == r.getLong(2)) // alias, same kernel
+    // HLL12 standard error 1.04/sqrt(4096) ~ 1.6%; allow 4 sigma
+    assert(math.abs(r.getLong(0) - n) < 0.065 * n)
+  }
+
+  test("uniqHLL12State exposes the exact register summary: empty " +
+      "group = all-zero registers, singleton sets one") {
+    Seq(("g", "x")).toDF("g", "v").createOrReplaceTempView("r10_hll_one")
+    val r = spark.sql("""
+      SELECT uniqHLL12State(v).s AS s, uniqHLL12State(v).zeros AS z
+      FROM r10_hll_one GROUP BY g""").collect().head
+    // 4095 untouched registers at 2^37 each + one at 2^(37-rank)
+    assert(r.getLong(1) == 4095L)
+    val rest = r.getLong(0) - 4095L * 137438953472L
+    assert(rest > 0 && (rest & (rest - 1)) == 0L) // a power of two
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
