@@ -211,6 +211,30 @@ object ChDialect {
     ArrayAggregate(args(1), zero, merge, finish)
   }
 
+  /** CH `arrayLastIndex(lambda, arr)`: 1-based index of the LAST
+    * matching element, 0 when none — [[arrayFirstIndexExpr]]'s fold
+    * with the hit slot updated on EVERY match instead of the first.
+    */
+  private def arrayLastIndexExpr(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, CreateNamedStruct, If, LambdaFunction, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    val lf = args.head.asInstanceOf[LambdaFunction]
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_li_acc"))
+    def fld(n: String) = UnresolvedExtractValue(acc, Literal(n))
+    val merge = LambdaFunction(
+      CreateNamedStruct(Seq(
+        Literal("p"), Add(fld("p"), Literal(1L)),
+        Literal("h"), If(lf.function, Add(fld("p"), Literal(1L)),
+          fld("h")))),
+      acc +: lf.arguments)
+    val res = UnresolvedNamedLambdaVariable(Seq("__graft_li_res"))
+    val finish = LambdaFunction(
+      UnresolvedExtractValue(res, Literal("h")), Seq(res))
+    val zero = CreateNamedStruct(Seq(Literal("p"), Literal(0L),
+      Literal("h"), Literal(0L)))
+    ArrayAggregate(args(1), zero, merge, finish)
+  }
+
   /** CH `arraySplit(lambda, arr)`: cut the array into groups BEFORE
     * each element where the lambda is true — except a cut before the
     * first element, which never opens a leading empty group (CH's
@@ -357,6 +381,74 @@ object ChDialect {
     "arrayProduct" -> (args =>
       ex(aggregate(col(args.head), lit(1.0),
         (acc, x) => acc * x.cast("double")))),
+    // ---- round-10 dialect fill #2 (X160) ----
+    // arrayDotProduct: the codegen'd native dot kernel (index-ordered
+    // double accumulation — the same chain DuckDB's list_dot_product
+    // folds, so 6-dp-rounded surfaces replay)
+    "arrayDotProduct" -> (args =>
+      DotProduct64Expr(args.head, args(1))),
+    // arrayUniq(arr[, arr2...]): distinct element (or aligned tuple)
+    // count
+    "arrayUniq" -> (args =>
+      if (args.length == 1)
+        ex(size(array_distinct(col(args.head))).cast("long"))
+      else
+        ex(size(array_distinct(arrays_zip(args.map(col): _*)))
+          .cast("long"))),
+    "arrayLastIndex" -> (args => arrayLastIndexExpr(args)),
+    // extractAllGroups(s, re): per match, the array of its capturing
+    // groups (group COUNT read from the literal pattern at build
+    // time; each match substring re-extracts its own groups)
+    "extractAllGroups" -> (args => {
+      val re = litString(args(1), "extractAllGroups pattern")
+      val g = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+      require(g >= 1, "extractAllGroups needs >= 1 capturing group")
+      ex(transform(
+        regexp_extract_all(col(args.head), lit(re), lit(0)),
+        m => array((1 to g).map(i =>
+          regexp_extract(m, re, i)): _*)))
+    }),
+    // bit/char hamming distances; CH's byteHammingDistance is
+    // byte-level — this engine's strings are UTF8 and the kernel
+    // compares CODEPOINTS (a documented refinement, identical on
+    // ASCII); zip_with pads the longer tail with NULLs, which <=>
+    // counts as mismatches
+    "bitHammingDistance" -> (args =>
+      ex(call_function("bit_count",
+        col(args.head).bitwiseXOR(col(args(1)))).cast("long"))),
+    "byteHammingDistance" -> (args =>
+      ex(size(filter(
+        zip_with(split(col(args.head), ""), split(col(args(1)), ""),
+          (x, y) => !(x <=> y)),
+        b => b)).cast("long"))),
+    "editDistanceUTF8" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        args.head, args(1))),
+    // sumCount(x): CH's (Σx, count) pair in one pass
+    "sumCount" -> (args => ex(struct(
+      sum(col(args.head)).as("sum"), count(col(args.head)).as("count")))),
+    // countDistinct: CH alias of uniqExact (exact distinct)
+    "countDistinct" -> (args => ex(ch.uniqExact(col(args.head)))),
+    // quantileInterpolatedWeighted(level)(x, w): integer weights are
+    // repetition counts, so the interpolated weighted quantile IS
+    // percentile over the expanded multiset — Spark's builtin
+    // percentile(x, level, frequency) computes exactly that without
+    // materializing the expansion
+    "quantileInterpolatedWeighted" -> (args => {
+      require(args.length == 3,
+        "quantileInterpolatedWeighted(level)(x, w) needs 3 flattened args")
+      ex(call_function("percentile", col(args(1)), col(args.head),
+        col(args(2))))
+    }),
+    // arrayZipUnaligned: zip to the LONGEST input, missing slots NULL
+    // (try_element_at's contract) — CH pads with NULL the same way
+    "arrayZipUnaligned" -> (args => {
+      val sizes = args.map(a => size(col(a)))
+      val longest = sizes.reduce((a, b) => greatest(a, b))
+      ex(transform(sequence(lit(1), greatest(longest, lit(0))),
+        i => struct(args.zipWithIndex.map { case (a, j) =>
+          try_element_at(col(a), i).as(s"${j + 1}") }: _*)))
+    }),
     // arrayJaccardIndex(a, b): |a∩b| / |a∪b| over DISTINCT elements;
     // one division of two exact set sizes, oracle-replayable
     "arrayJaccardIndex" -> (args => {

@@ -153,7 +153,8 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       """|topKWeighted|topKMerge|topK|quantileExactMerge""" +
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqThetaState|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +
-      """|quantilesTiming|quantileTiming|quantileGK|sparkbar|sumMapFiltered""" +
+      """|quantilesTiming|quantileTiming|quantileGK""" +
+      """|quantileInterpolatedWeighted|sparkbar|sumMapFiltered""" +
       """|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum""" +
       """|exponentialTimeDecayedCount|exponentialTimeDecayedAvg""" +
       """|exponentialTimeDecayedMax""" +

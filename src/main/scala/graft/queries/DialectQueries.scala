@@ -4965,9 +4965,98 @@ object DialectQueries {
       JOIN cnt ON cnt.event_type = st.event_type
       ORDER BY st.event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X160: round-10 dialect fill #2 — arrayDotProduct (native dot
+  // kernel; compared via an exact-half-integer surface so no float
+  // sum order exists), arrayUniq, arrayLastIndex (ONE root
+  // ArrayAggregate), extractAllGroups (group count read from the
+  // literal pattern), bit/char hamming, editDistanceUTF8, sumCount,
+  // countDistinct (uniqExact alias), quantileInterpolatedWeighted
+  // (integer weights are repetitions == percentile(x, q, w)), and
+  // arrayZipUnaligned (NULL-padded to the longest input).
+  val q252DialectRound10b = QueryDef(
+    "q252_ch_dialect_round10b",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v252")
+      s.sql("""
+        SELECT event_type,
+               toInt64(sum(CAST(arrayDotProduct(
+                 array(CAST(user_id % 5 AS DOUBLE), 1.5D),
+                 array(2.0D, CAST(event_id % 3 AS DOUBLE))) * 2
+                 AS BIGINT))) AS adp2,
+               toInt64(sum(arrayUniq(array(user_id % 3, event_id % 3,
+                 CAST(1 AS BIGINT))))) AS au,
+               toInt64(sum(arrayLastIndex(x -> x % 2 = 0,
+                 sequence(CAST(1 AS BIGINT), user_id % 6 + 1)))) AS ali,
+               min(concat_ws('|',
+                 try_element_at(extractAllGroups(props,
+                   '"([a-z]+)": ([0-9]+)'), 1))) AS eag,
+               toInt64(sum(bitHammingDistance(user_id, event_id)))
+                 AS bhd,
+               toInt64(sum(byteHammingDistance(toString(user_id % 100),
+                 toString(event_id % 100)))) AS chd,
+               toInt64(sum(editDistanceUTF8(toString(user_id % 20),
+                 toString(event_id % 20)))) AS ed,
+               sumCount(user_id % 7).sum AS scs,
+               sumCount(user_id % 7).count AS scc,
+               countDistinct(user_id % 50) AS cd,
+               round(quantileInterpolatedWeighted(0.5)(user_id % 100,
+                 event_id % 3 + 1), 6) AS qiw,
+               min(concat_ws(',', arrayMap(t ->
+                 concat(coalesce(toString(t.`1`), 'N'), ':',
+                        coalesce(t.`2`, 'N')),
+                 arrayZipUnaligned(sequence(CAST(1 AS BIGINT),
+                   user_id % 3 + 1), array('a', 'b'))))) AS azu,
+               toInt64(count(1)) AS n
+        FROM events_v252 GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH qx AS (
+        SELECT event_type, round(quantile_cont(x, 0.5), 6) AS qiw
+        FROM (SELECT event_type, unnest([user_id % 100 + 0*i
+                for i in generate_series(1, event_id % 3 + 1)]) AS x
+              FROM events)
+        GROUP BY 1
+      ), base AS (
+        SELECT event_type,
+               CAST(sum(4 * (user_id % 5) + 3 * (event_id % 3))
+                 AS BIGINT) AS adp2,
+               CAST(sum(len(list_distinct(
+                 [user_id % 3, event_id % 3, 1]))) AS BIGINT) AS au,
+               CAST(sum((user_id % 6 + 1) - (user_id % 6 + 1) % 2)
+                 AS BIGINT) AS ali,
+               min(regexp_extract(props, '"([a-z]+)": ([0-9]+)', 1)
+                 || '|' ||
+                 regexp_extract(props, '"([a-z]+)": ([0-9]+)', 2))
+                 AS eag,
+               CAST(sum(bit_count(xor(user_id, event_id))) AS BIGINT)
+                 AS bhd,
+               CAST(sum((SELECT len([i FOR i IN generate_series(1,
+                   least(len(a), len(b)))
+                   IF substring(a, i, 1) <> substring(b, i, 1)])
+                 + abs(len(a) - len(b))
+                 FROM (SELECT CAST(user_id % 100 AS VARCHAR) AS a,
+                              CAST(event_id % 100 AS VARCHAR) AS b)))
+                 AS BIGINT) AS chd,
+               CAST(sum(levenshtein(CAST(user_id % 20 AS VARCHAR),
+                 CAST(event_id % 20 AS VARCHAR))) AS BIGINT) AS ed,
+               CAST(sum(user_id % 7) AS BIGINT) AS scs,
+               CAST(count(user_id % 7) AS BIGINT) AS scc,
+               CAST(count(DISTINCT user_id % 50) AS BIGINT) AS cd,
+               min(CASE WHEN user_id % 3 = 0 THEN '1:a,N:b'
+                        WHEN user_id % 3 = 1 THEN '1:a,2:b'
+                        ELSE '1:a,2:b,3:N' END) AS azu,
+               CAST(count(1) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+      )
+      SELECT base.event_type, adp2, au, ali, eag, bhd, chd, ed,
+             scs, scc, cd, qx.qiw, azu, n
+      FROM base JOIN qx ON qx.event_type = base.event_type
+      ORDER BY base.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
-      q251Hll,
+      q251Hll, q252DialectRound10b,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,

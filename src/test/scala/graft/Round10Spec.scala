@@ -202,6 +202,45 @@ class Round10Spec extends SparkSpec {
     assert(rest > 0 && (rest & (rest - 1)) == 0L) // a power of two
   }
 
+  // ---- wave 7: X160 dialect fill #2 ----
+
+  test("X160 edges: arrayLastIndex no-match 0, extractAllGroups " +
+      "multi-match, byteHamming length tail, zipUnaligned padding, " +
+      "weighted interpolated quantile, sumCount null skip") {
+    val r = spark.sql("""
+      SELECT arrayLastIndex(x -> x > 10, array(1, 2, 3)) AS no_hit,
+             arrayLastIndex(x -> x % 2 = 0, array(2, 4, 5, 6, 7)) AS last_even,
+             extractAllGroups('a=1 b=22', '([a-z])=([0-9]+)') AS eag,
+             byteHammingDistance('abcd', 'abXYZ') AS chd,
+             arrayZipUnaligned(array(1, 2, 3), array('a')) AS azu,
+             arrayUniq(array(1, 1, 2), array('x', 'y', 'x')) AS au2,
+             bitHammingDistance(12, 10) AS bhd""").collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 4L)
+    assert(r.getSeq[Seq[String]](2) == Seq(Seq("a", "1"), Seq("b", "22")))
+    assert(r.getLong(3) == 3L) // c!=X, d!=Y, tail Z
+    val azu = r.getSeq[org.apache.spark.sql.Row](4)
+    assert(azu.map(t => (Option(t.get(0)), Option(t.get(1)))) ==
+      Seq((Some(1), Some("a")), (Some(2), None), (Some(3), None)))
+    assert(r.getLong(5) == 3L) // tuples (1,x),(1,y),(2,x) all distinct
+    assert(r.getLong(6) == 2L) // 1100 xor 1010 = 0110
+    Seq((1, Some(5L)), (1, None), (1, Some(7L)))
+      .toDF("g", "x").createOrReplaceTempView("r10_sumcount")
+    val sc = spark.sql("""
+      SELECT sumCount(x).sum AS s, sumCount(x).count AS c,
+             countDistinct(x) AS cd
+      FROM r10_sumcount GROUP BY g""").collect().head
+    assert(sc.getLong(0) == 12L && sc.getLong(1) == 2L &&
+      sc.getLong(2) == 2L)
+    // weights are repetitions: {1 w3, 10 w1} -> expanded
+    // {1,1,1,10}, q0.5 interpolates between positions 2 and 3 -> 1.0
+    Seq((1L, 3L), (10L, 1L)).toDF("x", "w")
+      .createOrReplaceTempView("r10_qiw")
+    val q = spark.sql("""
+      SELECT quantileInterpolatedWeighted(0.5)(x, w) AS q
+      FROM r10_qiw""").collect().head.getDouble(0)
+    assert(q == 1.0)
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
