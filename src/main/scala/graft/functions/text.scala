@@ -449,4 +449,5 @@ object text {
     val sy = syllableCount(c).cast("double")
     lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59)
   }
+
 }

@@ -180,4 +180,46 @@ object Corpus {
         col("vocab_types"), col("vocab_tokens"))
   }
 
+  /** Key-skew report (X161, round 10) — the shuffle-health diagnostic
+    * run BEFORE keying a 100 TB join/aggregation: per-key row counts
+    * summarized as count-of-keys, total, max, exact interpolated
+    * p50/p90/p99 of the per-key counts, the top-1 key share, and the
+    * GINI coefficient of the count distribution (0 = perfectly even,
+    * →1 = one key owns everything — the salting trigger).
+    *
+    * Gini via the sorted-cumulative identity
+    * G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n (cᵢ ascending, i 1-based) —
+    * Σ i·cᵢ folds as an EXACT long (tie order cannot change it), the
+    * two divisions are the only IEEE ops. Everything after the
+    * per-key groupBy is KEY-cardinality-sized, and the single window
+    * runs over that bounded count table, not the corpus (the
+    * documented global-window exception class).
+    */
+  def keySkewReport(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(key.as("__ks_k"))
+      .agg(count(lit(1)).as("__ks_c"))
+    val ranked = counts.select(col("__ks_c"),
+      row_number().over(
+        Window.orderBy(col("__ks_c"), col("__ks_k"))).as("__ks_i"))
+    ranked.agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(col("__ks_c")).cast("long").as("total_rows"),
+        max(col("__ks_c")).cast("long").as("max_key_rows"),
+        // exact interpolated percentiles, 6-dp rounded DOUBLES — a
+        // long cast here would be Spark-truncate vs DuckDB-round (the
+        // q137 trap) on every .5 interpolation
+        round(percentile(col("__ks_c"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("__ks_c"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("__ks_c"), lit(0.99)), 6).as("p99"),
+        sum(col("__ks_i") * col("__ks_c")).cast("long").as("__ks_ic"))
+      .select(col("n_keys"), col("total_rows"), col("max_key_rows"),
+        col("p50"), col("p90"), col("p99"),
+        round(col("max_key_rows").cast("double") /
+          col("total_rows").cast("double"), 6).as("top_share"),
+        round(lit(2.0) * col("__ks_ic").cast("double") /
+          (col("n_keys").cast("double") * col("total_rows").cast("double"))
+          - (col("n_keys") + lit(1L)).cast("double") /
+            col("n_keys").cast("double"), 6).as("gini"))
+  }
 }

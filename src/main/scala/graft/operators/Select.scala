@@ -306,4 +306,54 @@ object Select {
         :+ col("ensemble_pct") :+ col("keep"): _*)
   }
 
+  /** Robust per-group statistics (X162, round 10) — the
+    * outlier-resistant quality summary (mean/stddev gates break on
+    * heavy-tailed quality signals; MAD-based gates are the standard
+    * fix):
+    *
+    *  - `med`: exact interpolated median of the signal;
+    *  - `mad`: median absolute deviation, median(|x − med|);
+    *  - `winsorized_mean`: mean after clamping into [p05, p95]
+    *    (fixed-point 1e-6-long sum — float order can't show);
+    *  - `outliers`: count of |x − med| > 3·1.4826·mad (1.4826 = the
+    *    normal-consistency constant, a rational multiply — both
+    *    engines compare the identical double);
+    *  - `n`.
+    *
+    * Three bounded passes: per-group quantiles, join-back (the
+    * quantile table is GROUP-cardinality-sized → broadcast), per-row
+    * deviations re-aggregated, then the MAD joined back once more for
+    * the outlier count. The signal must be integral (`cast long`) per
+    * the integer-inputs policy — every compared quantity derives from
+    * exact longs with mirrored final IEEE ops.
+    */
+  def robustStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = col(s"`$groupCol`").as("grp")
+    val x = col(s"`$valueCol`").cast("long").as("x")
+    val base = df.select(g, x)
+    val q1 = base.groupBy(col("grp")).agg(
+      percentile(col("x"), lit(0.5)).as("med"),
+      percentile(col("x"), lit(0.05)).as("p05"),
+      percentile(col("x"), lit(0.95)).as("p95"),
+      count(lit(1)).as("n"))
+    val dev = base.join(broadcast(q1), Seq("grp"))
+      .withColumn("__adev", abs(col("x").cast("double") - col("med")))
+      .withColumn("__wins",
+        least(greatest(col("x").cast("double"), col("p05")), col("p95")))
+    val q2 = dev.groupBy(col("grp")).agg(
+      percentile(col("__adev"), lit(0.5)).as("mad"),
+      round(sum(round(col("__wins") * 1e6d).cast("long")).cast("double") /
+        (count(lit(1)) * 1e6d), 6).as("winsorized_mean"))
+    dev.join(broadcast(q2.select(col("grp"), col("mad"))), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("__adev") > lit(3.0) * lit(1.4826) * col("mad"),
+        1L).otherwise(0L)).cast("long").as("outliers"))
+      .join(q1.select(col("grp"), round(col("med"), 6).as("med"),
+        col("n")), Seq("grp"))
+      .join(q2.select(col("grp"), round(col("mad"), 6).as("mad"),
+        col("winsorized_mean")), Seq("grp"))
+      .select(col("grp"), col("med"), col("mad"),
+        col("winsorized_mean"), col("outliers"), col("n"))
+  }
 }

@@ -762,6 +762,48 @@ object Similarity {
     perDim.reduce(_ unionAll _).orderBy(col("dim"))
   }
 
+  /** Mutual-kNN graph (X163, round 10) — the edge set semantic-dedup
+    * clustering and diversity analysis build on: vector i and j are
+    * connected iff each is in the other's top-k by dot product
+    * (mutuality is the standard filter that kills hub vectors').
+    *
+    * Exactness: embeddings quantize to ×1000 longs and the dot folds
+    * as an EXACT integer (64 dims × 10⁶ per term — far inside long),
+    * so ranking has no float at all; ties break (dot desc, id asc) —
+    * fully deterministic, any engine replays it.
+    *
+    * Scale: this is the EXACT all-ordered-pairs form — the verifier
+    * and small-corpus (≤ ~10⁵ vectors) path; at 100 TB the pair
+    * generator swaps for the IVF/cell-bucket candidate join
+    * (`ivfTopK` / `cellBucketPairs`) with identical downstream
+    * ranking. The top-k trim runs INSIDE the per-i partition via
+    * row_number (WindowGroupLimit pushes the rank filter map-side).
+    * Emits each mutual edge once (i < j) with both ranks.
+    */
+  def mutualKnnGraph(vecs: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "mutualKnnGraph: k >= 1")
+    val q = vecs.select(col(s"`$idCol`").cast("long").as("__mk_id"),
+      transform(col(s"`$embCol`"),
+        e => round(e.cast("double") * 1000).cast("long")).as("__mk_q"))
+    val a = q.select(col("__mk_id").as("i"), col("__mk_q").as("__qa"))
+    val b = q.select(col("__mk_id").as("j"), col("__mk_q").as("__qb"))
+    val dots = a.join(b, col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("d"))
+    val ranked = dots.withColumn("rk",
+      row_number().over(Window.partitionBy(col("i"))
+        .orderBy(col("d").desc, col("j"))))
+      .where(col("rk") <= k)
+    val rev = ranked.select(col("i").as("j2"), col("j").as("i2"),
+      col("rk").as("rk_ji"))
+    ranked.where(col("i") < col("j"))
+      .join(rev, col("i") === col("i2") && col("j") === col("j2"))
+      .select(col("i"), col("j"), col("d"),
+        col("rk").as("rk_ij"), col("rk_ji"))
+  }
+
   /** Pairwise BLEU-2 with a RATIONAL brevity penalty (X158, round
     * 10) — the sequence-overlap verifier for candidate pairs (MT-eval
     * BLEU repurposed as a near-dup/paraphrase score, the way

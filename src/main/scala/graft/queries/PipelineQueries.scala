@@ -5445,8 +5445,123 @@ object PipelineQueries {
       LEFT JOIN o2 ON o2.a = pr.a AND o2.b = pr.b
       ORDER BY pr.a"""))
 
+  // ---------------------------------------------------------------------
+  // X161: key-skew report — the shuffle-health diagnostic to run
+  // BEFORE keying a 100 TB join/agg (is this key saltable-skewed?).
+  // Everything after the per-key groupBy is key-cardinality-sized;
+  // the Gini fold Σ i·cᵢ is an exact long (tie order can't change
+  // it); percentiles stay 6-dp DOUBLES (a long cast would be the
+  // Spark-truncate vs DuckDB-round q137 trap on .5 interpolations).
+  val q253KeySkew = QueryDef(
+    "q253_key_skew_report",
+    (s, dir) => graft.operators.Corpus.keySkewReport(
+      Graft.table(s, dir, "events"), col("user_id")),
+    Some("""
+      WITH c AS (
+        SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1
+      ), r AS (
+        SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS total_rows,
+             CAST(max(c) AS BIGINT) AS max_key_rows,
+             round(quantile_cont(c, 0.5), 6) AS p50,
+             round(quantile_cont(c, 0.9), 6) AS p90,
+             round(quantile_cont(c, 0.99), 6) AS p99,
+             round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_share,
+             round(2.0 * sum(i * c)::DOUBLE
+                 / (count(*)::DOUBLE * sum(c)::DOUBLE)
+               - (count(*) + 1)::DOUBLE / count(*)::DOUBLE, 6) AS gini
+      FROM r"""))
+
+  // ---------------------------------------------------------------------
+  // X162: robust per-group statistics — MAD, winsorized mean,
+  // 3·1.4826·MAD outlier counts. Heavy-tailed quality signals break
+  // mean/stddev gates; this is the standard fix, and every compared
+  // cell derives from exact longs + interpolated quantiles with
+  // mirrored IEEE ops (see Select.robustStats).
+  val q254RobustStats = QueryDef(
+    "q254_robust_stats",
+    (s, dir) => {
+      val ev = Graft.table(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 1000).as("v"))
+      graft.operators.Select.robustStats(ev, "event_type", "v")
+        .orderBy(col("grp"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type AS grp, CAST(user_id % 1000 AS BIGINT) AS x
+        FROM events
+      ), q1 AS (
+        SELECT grp, quantile_cont(x, 0.5) AS med,
+               quantile_cont(x, 0.05) AS p05,
+               quantile_cont(x, 0.95) AS p95, count(*) AS n
+        FROM b GROUP BY 1
+      ), d AS (
+        SELECT b.grp, x, abs(x::DOUBLE - med) AS adev,
+               least(greatest(x::DOUBLE, p05), p95) AS wins
+        FROM b JOIN q1 USING (grp)
+      ), q2 AS (
+        SELECT grp, quantile_cont(adev, 0.5) AS mad,
+               round(sum(CAST(round(wins * 1e6) AS BIGINT))::DOUBLE
+                 / (count(*) * 1e6), 6) AS winsorized_mean
+        FROM d GROUP BY 1
+      ), o AS (
+        SELECT d.grp,
+               CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad
+                 THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+        FROM d JOIN q2 USING (grp) GROUP BY 1
+      )
+      SELECT q1.grp, round(q1.med, 6) AS med, round(q2.mad, 6) AS mad,
+             q2.winsorized_mean, o.outliers, CAST(q1.n AS BIGINT) AS n
+      FROM q1 JOIN q2 USING (grp) JOIN o USING (grp)
+      ORDER BY q1.grp"""))
+
+  // ---------------------------------------------------------------------
+  // X163: mutual-kNN graph — the edge set semantic clustering /
+  // diversity analysis builds on. Integer-quantized exact dots (no
+  // float in the ranking), (dot desc, id asc) ties, mutuality filter;
+  // the exact all-pairs form on a deterministic vec_id % 4 subset
+  // (the 100 TB pair generator is the IVF/cell-bucket join with the
+  // same downstream ranking — see the operator doc).
+  val q255MutualKnn = QueryDef(
+    "q255_mutual_knn_graph",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+        .where(col("vec_id") % 4 === 0)
+      Similarity.mutualKnnGraph(vecs, "vec_id", "embedding", k = 5)
+        .select(col("i"), col("j"), col("d"),
+          col("rk_ij").cast("long").as("rk_ij"),
+          col("rk_ji").cast("long").as("rk_ji"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+               [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+                for e in embedding] AS q
+        FROM embeddings WHERE vec_id % 4 = 0
+      ), d AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               list_sum([a.q[x] * b.q[x]
+                 for x in generate_series(1, len(a.q))]) AS d
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      ), r AS (
+        SELECT i, j, d,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY d DESC, j) AS rk
+        FROM d
+      ), kn AS (SELECT * FROM r WHERE rk <= 5)
+      SELECT x.i, x.j, CAST(x.d AS BIGINT) AS d,
+             CAST(x.rk AS BIGINT) AS rk_ij,
+             CAST(y.rk AS BIGINT) AS rk_ji
+      FROM kn x JOIN kn y ON y.i = x.j AND y.j = x.i
+      WHERE x.i < x.j
+      ORDER BY x.i, x.j"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q248Decontaminate, q249Readability, q250PairBleu,
+    q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
+    q254RobustStats, q255MutualKnn,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
     q194ScriptProfile, q195LuhnPii, q196VocabGrowth,

@@ -241,6 +241,60 @@ class Round10Spec extends SparkSpec {
     assert(q == 1.0)
   }
 
+  // ---- wave 8: X161 key-skew report ----
+
+  test("keySkewReport: hand-computed gini/percentiles, zero gini on " +
+      "an even distribution") {
+    Seq("a", "b", "c", "c").toDF("k").createOrReplaceTempView("r10_skew")
+    val r = graft.operators.Corpus.keySkewReport(
+      spark.table("r10_skew"), col("k")).collect().head
+    // counts {a:1, b:1, c:2}: sorted (1,1,2), sum i*c = 1+2+6 = 9
+    // gini = 2*9/(3*4) - 4/3 = 1/6; p90 = 1 + 0.8
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.8)
+    assert(r.getDouble(6) == 0.5)
+    assert(math.abs(r.getDouble(7) - 0.166667) < 1e-9)
+    Seq("x", "x", "y", "y", "z", "z").toDF("k")
+      .createOrReplaceTempView("r10_skew_even")
+    val even = graft.operators.Corpus.keySkewReport(
+      spark.table("r10_skew_even"), col("k")).collect().head
+    assert(even.getDouble(7) == 0.0) // even counts -> gini exactly 0
+  }
+
+  // ---- wave 9: X162 robust stats ----
+
+  test("robustStats: hand-computed MAD, winsorized mean, and outlier " +
+      "count on a heavy-tailed fixture") {
+    // {1, 2, 3, 4, 1000}: med 3, |x-med| = {2,1,0,1,997} -> mad 1
+    // outlier bar 3*1.4826*1 = 4.4478 -> only 997 exceeds
+    // p05 = 1.2, p95 = 800.8 -> winsorized {1.2,2,3,4,800.8},
+    // mean = 162.2
+    Seq(1L, 2L, 3L, 4L, 1000L).map(("g", _)).toDF("g", "v")
+      .createOrReplaceTempView("r10_robust")
+    val r = graft.operators.Select.robustStats(
+      spark.table("r10_robust"), "g", "v").collect().head
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 162.2)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 5L)
+  }
+
+  // ---- wave 10: X163 mutual-kNN graph ----
+
+  test("mutualKnnGraph: only mutually-top-k pairs survive, exact " +
+      "integer dots, deterministic ties") {
+    Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+        (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("r10_knn")
+    val edges = graft.operators.Similarity.mutualKnnGraph(
+        spark.table("r10_knn"), "vec_id", "embedding", k = 1)
+      .collect()
+    // k=1: 1->2, 2->1 (mutual); 3->2, 4->3 (one-directional only)
+    assert(edges.length == 1)
+    val e = edges.head
+    assert(e.getLong(0) == 1L && e.getLong(1) == 2L &&
+      e.getLong(2) == 900000L && e.getInt(3) == 1 && e.getInt(4) == 1)
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
