@@ -522,6 +522,45 @@ object ChDialect {
       ex(max(when(col(args(1)), col(args.head))))),
     "anyIf" -> (args =>
       ex(min(when(col(args(1)), col(args.head))))), // deterministic "any"
+    // If-combinators on the argMax/argMin/anyLast family (round 10,
+    // X165): the condition masks BOTH the value and the ordering key
+    // to NULL — max_by/min_by skip NULL ordering keys, so a no-match
+    // group returns NULL exactly as CH's -If aggregates do
+    "argMaxIf" -> (args =>
+      ex(max_by(when(col(args(2)), col(args.head)),
+        when(col(args(2)), col(args(1)))))),
+    "argMinIf" -> (args =>
+      ex(min_by(when(col(args(2)), col(args.head)),
+        when(col(args(2)), col(args(1)))))),
+    // anyLastIf pairs with anyIf = min as the deterministic
+    // refinement (plain anyLast keeps its existing last(ignoreNulls)
+    // registration below — do NOT re-register it here, the Map's
+    // later duplicate key would silently win)
+    "anyLastIf" -> (args =>
+      ex(max(when(col(args(1)), col(args.head))))),
+    // groupArrayInsertAt(x, pos): array with x placed at pos, gaps
+    // filled with the type default (0 / ''). CH keeps the FIRST value
+    // per slot in nondeterministic block order — the deterministic
+    // refinement keeps the MINIMUM per slot (same value when slots
+    // are written once, which is the function's sane use).
+    "groupArrayInsertAt" -> (args => {
+      val dt = args.head.dataType
+      val dflt = col(Literal.default(dt))
+      val pairs = flatten(collect_list(array(
+        struct(col(args(1)).cast("long").as("p"), col(args.head).as("v")))))
+      val emptyMap = map_from_arrays(
+        array().cast("array<long>"),
+        col(org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array.empty[Any], ArrayType(dt))))
+      val folded = aggregate(pairs, emptyMap, (acc, e) =>
+        map_zip_with(acc, map(e.getField("p"), e.getField("v")),
+          (_, a, b) => coalesce(least(a, b), a, b)))
+      val maxP = array_max(map_keys(folded))
+      ex(when(size(map_keys(folded)) === 0,
+        col(Literal.create(Array.empty[Any], ArrayType(dt))))
+        .otherwise(transform(sequence(lit(0L), maxP),
+          i => coalesce(element_at(folded, i), dflt))))
+    }),
     // conditional distinct counts: masking non-matching rows to NULL
     // is enough — both distinct aggregates ignore NULLs, so the
     // empty/no-match set reads 0 exactly as CH returns

@@ -5054,9 +5054,54 @@ object DialectQueries {
       FROM base JOIN qx ON qx.event_type = base.event_type
       ORDER BY base.event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X165: the If-combinators on argMax/argMin/anyLast plus
+  // groupArrayInsertAt (deterministic min-per-slot refinement of
+  // CH's block-order first-wins; gaps fill with the type default).
+  val q256IfCombinators = QueryDef(
+    "q256_ch_if_combinators",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v256")
+      s.sql("""
+        SELECT event_type,
+               toInt64(argMaxIf(user_id % 100, event_id,
+                 event_id % 7 = 3)) AS amx,
+               toInt64(argMinIf(user_id % 100, event_id,
+                 event_id % 7 = 3)) AS amn,
+               toInt64(anyLastIf(user_id % 50, event_id % 11 = 5)) AS alf,
+               argMaxIf(user_id, event_id, event_id < 0) AS amx_none,
+               concat_ws(',', arrayMap(x -> toString(x),
+                 groupArrayInsertAt(user_id % 100, user_id % 8)))
+                 AS gai,
+               toInt64(count(1)) AS n
+        FROM events_v256 GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH ga AS (
+        SELECT event_type, user_id % 8 AS p, min(user_id % 100) AS v
+        FROM events GROUP BY 1, 2
+      ), gas AS (
+        SELECT event_type,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS g
+        FROM ga GROUP BY 1
+      )
+      SELECT e.event_type,
+             CAST(arg_max(user_id % 100, event_id)
+               FILTER (WHERE event_id % 7 = 3) AS BIGINT) AS amx,
+             CAST(arg_min(user_id % 100, event_id)
+               FILTER (WHERE event_id % 7 = 3) AS BIGINT) AS amn,
+             CAST(max(user_id % 50)
+               FILTER (WHERE event_id % 11 = 5) AS BIGINT) AS alf,
+             CAST(arg_max(user_id, event_id)
+               FILTER (WHERE event_id < 0) AS BIGINT) AS amx_none,
+             min(gas.g) AS gai,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events e JOIN gas ON gas.event_type = e.event_type
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
-      q251Hll, q252DialectRound10b,
+      q251Hll, q252DialectRound10b, q256IfCombinators,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,

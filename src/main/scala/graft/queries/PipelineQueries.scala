@@ -5316,7 +5316,8 @@ object PipelineQueries {
                AS contaminated,
              CAST(sum(hits) AS BIGINT) AS hits_sum,
              CAST(count(1) AS BIGINT) AS n
-      FROM f GROUP BY lang ORDER BY lang"""))
+      FROM f GROUP BY lang ORDER BY lang"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X157: rule-based sentence segmentation + readability scores
@@ -5557,7 +5558,8 @@ object PipelineQueries {
              CAST(y.rk AS BIGINT) AS rk_ji
       FROM kn x JOIN kn y ON y.i = x.j AND y.j = x.i
       WHERE x.i < x.j
-      ORDER BY x.i, x.j"""))
+      ORDER BY x.i, x.j"""),
+    bench = true)
 
   val defs: Seq[QueryDef] = Seq(
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

@@ -295,6 +295,36 @@ class Round10Spec extends SparkSpec {
       e.getLong(2) == 900000L && e.getInt(3) == 1 && e.getInt(4) == 1)
   }
 
+  // ---- wave 12: X165 If-combinators + groupArrayInsertAt ----
+
+  test("argMaxIf/argMinIf/anyLastIf: no-match group is NULL; " +
+      "groupArrayInsertAt fills gaps with the type default") {
+    Seq((1, 10L, 100L), (1, 20L, 200L), (1, 30L, 50L))
+      .toDF("g", "x", "ord").createOrReplaceTempView("r10_ifc")
+    val r = spark.sql("""
+      SELECT argMaxIf(x, ord, x < 25) AS amx,
+             argMinIf(x, ord, x < 25) AS amn,
+             anyLastIf(x, x > 100) AS alf_none,
+             argMaxIf(x, ord, x > 100) AS amx_none
+      FROM r10_ifc GROUP BY g""").collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 10L) // among {10,20}
+    assert(r.isNullAt(2) && r.isNullAt(3)) // no-match -> NULL
+    // slots {0 -> min(7,3)=3, 2 -> 9}; gap at 1 fills 0
+    Seq((0L, 7L), (2L, 9L), (0L, 3L)).toDF("p", "v")
+      .createOrReplaceTempView("r10_gai")
+    val g = spark.sql("""
+      SELECT groupArrayInsertAt(v, p) AS a FROM r10_gai""")
+      .collect().head.getSeq[Long](0)
+    assert(g == Seq(3L, 0L, 9L))
+    // string defaults fill with ''
+    Seq((1L, "b"), (3L, "d")).toDF("p", "v")
+      .createOrReplaceTempView("r10_gai_s")
+    val gs = spark.sql("""
+      SELECT groupArrayInsertAt(v, p) AS a FROM r10_gai_s""")
+      .collect().head.getSeq[String](0)
+    assert(gs == Seq("", "b", "", "d"))
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
