@@ -1094,8 +1094,81 @@ object StreamingQueries {
         AND d.doc_id NOT IN (SELECT oid FROM kill)
       GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------------
+  // X166: sketch aggregates UNDER Structured Streaming — the
+  // near-real-time "distinct users right now" dashboard at 100 TB
+  // ingest. What this pins beyond q48: the engine's custom
+  // TypedImperativeAggregates (KMV theta, HLL) partial-merge
+  // correctly across MICRO-BATCHES in complete-mode streaming state —
+  // serialize/deserialize and merge() run on the streaming state
+  // store path, not just the batch hash-aggregate path. k = 64
+  // forces the SATURATED KMV regime so the oracle replays the real
+  // estimator (row_number over md5-48 per group), not the trivial
+  // exact branch; the ln-corrected HLL stays bracket-compared.
+  val q257StreamSketch = QueryDef(
+    "q257_stream_sketch_distinct",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q257_" +
+        new java.io.File(dir).getName
+      val srcDir = s"$base/src"
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.repartition(5).write.mode("overwrite").parquet(srcDir)
+      val q = s.readStream.schema(raw.schema).parquet(srcDir)
+        // several small files per trigger -> multiple micro-batches
+        .groupBy(col("event_type"))
+        // expr() uses the raw parser — the (k)(x) paramAgg rewrite is
+        // a TotalsParser (spark.sql) affair, so call the flattened
+        // (k, x) builder form directly. uniqExact is a distinct
+        // aggregation — BANNED on streams — so the HLL bracket joins
+        // against the batch exact count after the drain.
+        .agg(expr("uniqTheta(64, toString(user_id))").as("theta_u"),
+          expr("uniqHLL12(toString(user_id))").as("__hll"),
+          count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("graft_q257_state")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val exact = raw.groupBy(col("event_type"))
+        .agg(uniqExact(col("user_id")).as("__ex"))
+      s.table("graft_q257_state").join(exact, Seq("event_type"))
+        .select(col("event_type"), col("theta_u"),
+          (abs(col("__hll") - col("__ex")) <=
+            greatest((col("__ex") * 0.05).cast("long"), lit(10L)))
+            .as("hll_ok"),
+          col("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                 1, 12) AS BIGINT) AS hh
+        FROM events
+      ), r AS (
+        SELECT event_type, hh,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hh) AS rk
+        FROM h
+      ), c AS (
+        SELECT event_type, count(*) AS cnt,
+               max(hh) FILTER (WHERE rk <= 64) AS kth
+        FROM r GROUP BY 1
+      ), cnt AS (
+        SELECT event_type, CAST(count(1) AS BIGINT) AS n
+        FROM events GROUP BY 1
+      )
+      SELECT c.event_type,
+             CAST(CASE WHEN c.cnt < 64 THEN c.cnt
+               ELSE (63 * 281474976710656) // c.kth END AS BIGINT)
+               AS theta_u,
+             true AS hll_ok, cnt.n
+      FROM c JOIN cnt ON cnt.event_type = c.event_type
+      ORDER BY c.event_type"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
+    Seq(q257StreamSketch,
+      q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
       q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake,
       q114BlueGreenMvSwap, q117StreamLmGate, q128StreamChunks,
