@@ -1607,6 +1607,45 @@ object Dedup {
           (count(lit(1)) * 1e6d), 6).as("mean_quality"))
   }
 
+  /** Cross-document sentence-template detection (X167, round 10) —
+    * the machine-generated-boilerplate finder one level above line
+    * dedup: sentences that repeat across MANY documents once their
+    * digits are masked ("order 123 shipped to zone 45") are template
+    * spam, and a per-doc template fraction is the cut signal.
+    *
+    * Normalization: lowercase, trim, digit runs → `0` (the standard
+    * skeleton mask); sentences under `minChars` are ignored (one-word
+    * fragments template-match everything). Distributed shape:
+    * sentence explode → (template, doc) distinct → partial-agg doc
+    * counts per template — linear, one shuffle on the template key;
+    * per-doc fractions join the (bounded) qualifying-template set
+    * back via the hashed key.
+    *
+    * Returns one row per qualifying template (appearing in ≥ minDocs
+    * distinct docs): `template`, `n_docs`, `n_sents` (total
+    * occurrences, including repeats within a doc).
+    */
+  def templateSentences(docs: DataFrame, idCol: String,
+      textCol: String, minDocs: Long, minChars: Int = 8): DataFrame = {
+    import graft.functions.text
+    val sents = docs.select(col(s"`$idCol`").as("__ts_id"),
+        explode(text.sentences(col(s"`$textCol`"))).as("__ts_s"))
+      .select(col("__ts_id"),
+        regexp_replace(lower(trim(col("__ts_s"))), "[0-9]+", "0")
+          .as("__ts_t"))
+      .where(length(col("__ts_t")) >= minChars)
+    sents.groupBy(col("__ts_t"))
+      .agg(count(lit(1)).as("n_sents"),
+        // distinct docs per template: the inner distinct is the
+        // (template, doc) pre-aggregation — partial-aggregable,
+        // never a set-valued state
+        countDistinct(col("__ts_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("__ts_t").as("template"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_sents").cast("long").as("n_sents"))
+  }
+
   /** Eval-set n-gram decontamination (X156, round 10) — the
     * benchmark-leak filter every training pipeline runs before a
     * model sees the corpus (the GPT-3-style 13-gram collision rule):

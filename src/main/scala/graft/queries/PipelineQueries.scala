@@ -5561,9 +5561,54 @@ object PipelineQueries {
       ORDER BY x.i, x.j"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X167: cross-doc sentence-template detection (digit-masked
+  // skeletons — the machine-generated boilerplate finder one level
+  // above q142's line dedup). The corpus carries no guaranteed
+  // templates, so the entry PLANTS one with per-doc digits; the
+  // masked skeleton collapses across every document and must surface
+  // with n_docs = |docs|, while any organic templates replay in the
+  // oracle identically either way.
+  val q258TemplateSentences = QueryDef(
+    "q258_template_sentences",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+        .withColumn("t", concat(substring(col("text"), 1, 60),
+          lit(". Order "), (col("doc_id") % 999).cast("string"),
+          lit(" shipped to zone "),
+          (col("doc_id") % 45).cast("string"), lit(".")))
+      Dedup.templateSentences(docs, "doc_id", "t", minDocs = 10)
+        .orderBy(col("n_docs").desc, col("template"))
+        .limit(20)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, substring(text, 1, 60) || '. Order '
+          || CAST(doc_id % 999 AS VARCHAR) || ' shipped to zone '
+          || CAST(doc_id % 45 AS VARCHAR) || '.' AS t
+        FROM documents
+      ), se AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(x)), '[0-9]+', '0', 'g') AS tpl
+        FROM (SELECT doc_id, unnest([trim(x) for x in
+                regexp_extract_all(t, '[^.!?]+(?:[.!?]+|$)')
+                if trim(x) <> '']) AS x
+              FROM d)
+      ), f AS (
+        SELECT doc_id, tpl FROM se WHERE len(tpl) >= 8
+      ), g AS (
+        SELECT tpl AS template,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_sents
+        FROM f GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 10
+      )
+      SELECT template, n_docs, n_sents FROM g
+      ORDER BY n_docs DESC, template LIMIT 20"""))
+
   val defs: Seq[QueryDef] = Seq(
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
-    q254RobustStats, q255MutualKnn,
+    q254RobustStats, q255MutualKnn, q258TemplateSentences,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
     q194ScriptProfile, q195LuhnPii, q196VocabGrowth,

@@ -325,6 +325,23 @@ class Round10Spec extends SparkSpec {
     assert(gs == Seq("", "b", "", "d"))
   }
 
+  // ---- wave 14: X167 template sentences ----
+
+  test("templateSentences: digit-masked skeletons collapse across " +
+      "docs, short fragments ignored, within-doc repeats counted") {
+    Seq((1L, "Order 12 shipped. Unique text one here today."),
+        (2L, "Order 345 shipped. Order 7 shipped. Other words."),
+        (3L, "Nothing templated at all in this one sadly."))
+      .toDF("doc_id", "text").createOrReplaceTempView("r10_tpl")
+    val r = graft.operators.Dedup.templateSentences(
+        spark.table("r10_tpl"), "doc_id", "text", minDocs = 2)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "order 0 shipped.")
+    assert(r.head.getLong(1) == 2L) // docs 1 and 2
+    assert(r.head.getLong(2) == 3L) // doc 2 contains it twice
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
