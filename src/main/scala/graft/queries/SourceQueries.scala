@@ -675,10 +675,45 @@ object SourceQueries {
         AND f.EventDate >= d.FromDT AND f.EventDate <= d.ToDT
       GROUP BY 1, 2, 3 ORDER BY 2, 1"""))
 
+  // ---------------------------------------------------------------------
+  // X168: bucketed co-located join — the pay-the-shuffle-once layout
+  // for a fact table joined on the same key every day. The oracle
+  // checks result parity (bucketing must be invisible to semantics);
+  // the SHUFFLE-ELIMINATION claim itself is plan-audited in
+  // Round10Spec (SortMergeJoin with zero Exchange under
+  // autoBroadcastJoinThreshold = -1).
+  val q259BucketedJoin = QueryDef(
+    "q259_bucketed_join",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_q259_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val ev = Graft.table(s, dir, "events")
+        .select(col("user_id"), (col("event_id") % 100).as("m"))
+      val usr = ev.select(col("user_id")).distinct()
+        .withColumn("seg", col("user_id") % 7)
+      graft.sources.Warehouse.writeBucketed(
+        ev, "graft_q259_ev", s"$base/ev", "user_id", 8)
+      graft.sources.Warehouse.writeBucketed(
+        usr, "graft_q259_usr", s"$base/usr", "user_id", 8)
+      s.table("graft_q259_ev")
+        .join(s.table("graft_q259_usr"), "user_id")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("m")).cast("long").as("ms"))
+        .orderBy(col("seg"))
+    },
+    Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events)
+      SELECT e.user_id % 7 AS seg, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(e.event_id % 100) AS BIGINT) AS ms
+      FROM events e JOIN u ON u.user_id = e.user_id
+      GROUP BY 1 ORDER BY seg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q13CsvRoundtrip, q14FileMeta, q15CatalogSql, q16SemiAnti,
       q50LeftOuter, q33SelectStar, q34Scd2CsvDim, q35JdbcFederated,
       q51HitsExportReconcile, q59TtlTiering, q93MutationDelete,
       q97ChInsertSelectSql, q104YqlInlineScan, q105YqlFederatedInsert,
-      q162JsonEachRow)
+      q162JsonEachRow, q259BucketedJoin)
 }

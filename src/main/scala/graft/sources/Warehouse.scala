@@ -282,4 +282,25 @@ object Warehouse {
       hot.unionByName(read(spark, coldDir))
     else hot
   }
+
+  /** Bucketed external table (X168, round 10) — the co-located-join
+    * layout: both sides of a recurring big join written
+    * `bucketBy(n, key)` + `sortBy(key)` read back with
+    * HashPartitioning(key, n) as their output partitioning, so the
+    * join plans with NO Exchange on either side (and no Sort, when
+    * sortBy matches the join key). This is THE 100 TB lever for a
+    * fact table joined on the same key every day: the shuffle is
+    * paid once at write time, then amortized over every subsequent
+    * join. Registered as an EXTERNAL table (explicit path) in the
+    * session catalog — bucketing metadata lives in the catalog, the
+    * parquet stays where the caller put it.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
 }

@@ -342,6 +342,32 @@ class Round10Spec extends SparkSpec {
     assert(r.head.getLong(2) == 3L) // doc 2 contains it twice
   }
 
+  // ---- wave 15: X168 bucketed co-located join ----
+
+  test("bucketed tables join with ZERO Exchange (co-location: the " +
+      "shuffle was paid at write time)") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_r10_bucket_spec"
+    graft.FsUtil.rmTree(base)
+    val df = spark.range(1000).selectExpr("id AS k", "id % 9 AS v")
+    graft.sources.Warehouse.writeBucketed(df, "r10_b_a", s"$base/a",
+      "k", 4)
+    graft.sources.Warehouse.writeBucketed(df, "r10_b_b", s"$base/b",
+      "k", 4)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("r10_b_a").join(spark.table("r10_b_b"), "k")
+      assert(j.count() == 1000L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"), plan.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS r10_b_a")
+      spark.sql("DROP TABLE IF EXISTS r10_b_b")
+    }
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
