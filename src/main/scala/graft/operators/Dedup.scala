@@ -1607,6 +1607,33 @@ object Dedup {
           (count(lit(1)) * 1e6d), 6).as("mean_quality"))
   }
 
+  /** Blocking-join record linkage (X169, round 10) — fuzzy entity
+    * matching the way it survives scale: candidate pairs meet ONLY
+    * inside a blocking-key bucket (the same discipline as LSH bands —
+    * never an all-pairs product), then the expensive string metric
+    * (Jaro–Winkler, the NativeNet kernel whose definition DuckDB's
+    * builtin shares bit-for-bit) verifies within the block. Block-key
+    * choice is the caller's recall/cost dial; emits (block, id_a,
+    * id_b, jw) for ordered pairs at or above the threshold, jw
+    * rounded to 6 dp BEFORE the threshold compare so the compared
+    * predicate is the replayable one.
+    */
+  def blockedLinkage(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, threshold: Double): DataFrame = {
+    val base = df.select(col(s"`$idCol`").cast("long").as("__bl_id"),
+      col(s"`$nameCol`").as("__bl_n"), blockKey.as("__bl_k"))
+    val a = base.select(col("__bl_k"), col("__bl_id").as("id_a"),
+      col("__bl_n").as("name_a"))
+    val b = base.select(col("__bl_k"), col("__bl_id").as("id_b"),
+      col("__bl_n").as("name_b"))
+    a.join(b, Seq("__bl_k")).where(col("id_a") < col("id_b"))
+      .withColumn("jw",
+        round(expr("jaroWinklerSimilarity(name_a, name_b)"), 6))
+      .where(col("jw") >= threshold)
+      .select(col("__bl_k").as("block"), col("id_a"), col("id_b"),
+        col("jw"))
+  }
+
   /** Cross-document sentence-template detection (X167, round 10) —
     * the machine-generated-boilerplate finder one level above line
     * dedup: sentences that repeat across MANY documents once their

@@ -5606,9 +5606,44 @@ object PipelineQueries {
       SELECT template, n_docs, n_sents FROM g
       ORDER BY n_docs DESC, template LIMIT 20"""))
 
+  // ---------------------------------------------------------------------
+  // X169: blocking-join record linkage — fuzzy entity matching over
+  // the part-name table (TPC-H names: five color words; first word
+  // = the blocking key, ~92 buckets). Candidates meet only in-block
+  // (the LSH-band discipline), Jaro–Winkler verifies; per-block pair
+  // counts + an exact 1e-6-long jw checksum, top-10 blocks.
+  val q260RecordLinkage = QueryDef(
+    "q260_record_linkage",
+    (s, dir) => {
+      val parts = Graft.table(s, dir, "part")
+      Dedup.blockedLinkage(parts, "p_partkey", "p_name",
+          split(col("p_name"), " ").getItem(0), threshold = 0.95)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(round(col("jw") * 1e6d).cast("long")).cast("long")
+            .as("jw_sum"))
+        .orderBy(col("n_pairs").desc, col("block"))
+        .limit(10)
+    },
+    Some("""
+      WITH p AS (
+        SELECT p_partkey AS id, p_name AS n,
+               string_split(p_name, ' ')[1] AS k
+        FROM part
+      ), pr AS (
+        SELECT a.k AS block, a.id AS ia, b.id AS ib,
+               round(jaro_winkler_similarity(a.n, b.n), 6) AS jw
+        FROM p a JOIN p b ON a.k = b.k AND a.id < b.id
+      ), f AS (SELECT * FROM pr WHERE jw >= 0.95)
+      SELECT block, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(round(jw * 1e6) AS BIGINT)) AS BIGINT)
+               AS jw_sum
+      FROM f GROUP BY 1 ORDER BY n_pairs DESC, block LIMIT 10"""))
+
   val defs: Seq[QueryDef] = Seq(
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
     q254RobustStats, q255MutualKnn, q258TemplateSentences,
+    q260RecordLinkage,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,
     q194ScriptProfile, q195LuhnPii, q196VocabGrowth,

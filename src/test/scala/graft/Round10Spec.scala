@@ -368,6 +368,24 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  // ---- wave 16: X169 blocking-join record linkage ----
+
+  test("blockedLinkage: candidates meet only in-block; threshold on " +
+      "the rounded jw; ordered pairs once") {
+    Seq((1L, "acme corp ltd"), (2L, "acme corp inc"),
+        (3L, "acme completely different"), (4L, "zeta corp ltd"))
+      .toDF("id", "name").createOrReplaceTempView("r10_link")
+    val out = graft.operators.Dedup.blockedLinkage(
+        spark.table("r10_link"), "id", "name",
+        split(col("name"), " ").getItem(0), threshold = 0.9)
+      .collect()
+    // block 'acme' = {1,2,3}; only (1,2) clears 0.9; 'zeta' has one
+    // member -> no pairs; cross-block (1,4) never evaluated
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 1L && out.head.getLong(2) == 2L)
+    assert(out.head.getDouble(3) >= 0.9)
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
