@@ -917,6 +917,56 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     cur
   }
 
+  // CH/DuckDB `QUALIFY <pred>` — filter on window expressions after
+  // windows evaluate (Spark's grammar has no QUALIFY). Rewritten
+  // structurally: the predicate becomes a synthetic `__graft_q`
+  // column INSIDE the select (same scope, so it may reference select
+  // aliases and window results), the statement wraps in
+  // `SELECT * EXCEPT (__graft_q) FROM (...) WHERE __graft_q`, and
+  // the ORDER/LIMIT tail stays OUTER (CH applies them after
+  // QUALIFY). Depth-0 occurrences only — a subquery QUALIFY is out
+  // of contract (parses to the same error it always did).
+  private val qualifyKw = """(?i)\bQUALIFY\b""".r
+  private val qualifyTail =
+    """(?i)\b(ORDER|LIMIT|UNION|SETTINGS|FORMAT)\b""".r
+  private val qualifyFrom = """(?i)\bFROM\b""".r
+
+  private def depth0(s: String, i: Int): Boolean = {
+    var d = 0
+    var j = 0
+    while (j < i) {
+      val c = s.charAt(j)
+      if (c == '(') d += 1 else if (c == ')') d -= 1
+      j += 1
+    }
+    d == 0
+  }
+
+  private def rewriteQualify(text: String): String =
+    qualifyKw.findAllMatchIn(text)
+      .find(m => depth0(text, m.start)) match {
+      case None => text
+      case Some(m) =>
+        val head = text.substring(0, m.start)
+        val after = text.substring(m.end)
+        val (pred0, tail) = qualifyTail.findAllMatchIn(after)
+          .find(t => depth0(after, t.start)) match {
+          case Some(t) =>
+            (after.substring(0, t.start), after.substring(t.start))
+          case None => (after, "")
+        }
+        val pred = pred0.replaceAll("[;\\s]+$", "")
+        qualifyFrom.findAllMatchIn(head)
+          .find(f => depth0(head, f.start)) match {
+          case None => text
+          case Some(f) =>
+            val inner = head.substring(0, f.start) +
+              s", ($pred) AS __graft_q " + head.substring(f.start)
+            s"SELECT * EXCEPT (__graft_q) FROM ($inner) __graft_qsub " +
+              s"WHERE __graft_q $tail"
+        }
+    }
+
   private def rewrite(sqlText: String): Option[Rewritten] = {
     val (masked, lits) = maskLiterals(sqlText)
     val m00 =
@@ -924,8 +974,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     // scalar WITH expands first so every later rewrite sees the
     // substituted expressions (an alias may hide a quantile(...)(...)
     // or a TOTALS-bearing subquery)
-    val m0 =
+    val m0w =
       try rewriteScalarWith(m00) catch { case _: Exception => m00 }
+    // QUALIFY restructures the whole statement (select-list insert +
+    // outer wrap), so it runs before the clause extractions — the
+    // ORDER/LIMIT tail must land in the OUTER query
+    val m0 =
+      try rewriteQualify(m0w) catch { case _: Exception => m0w }
     // marker-clause extraction runs FIRST: `LIMIT o, n BY` must not be
     // half-eaten by the limitOffset rewrite below
     val (m1, lbWrap) =

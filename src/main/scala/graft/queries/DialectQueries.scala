@@ -5099,9 +5099,37 @@ object DialectQueries {
       FROM events e JOIN gas ON gas.event_type = e.event_type
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X170: the CH `QUALIFY` clause — filter on window results after
+  // windows evaluate. Structural parser rewrite (synthetic predicate
+  // column + EXCEPT-wrap, ORDER/LIMIT tail stays outer); DuckDB
+  // ships QUALIFY natively, so the oracle is the SAME clause
+  // verbatim — the strongest replay form available.
+  val q261Qualify = QueryDef(
+    "q261_ch_qualify",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v261")
+      s.sql("""
+        SELECT event_type, user_id, toInt64(count(1)) AS cnt,
+               toInt64(row_number() OVER (PARTITION BY event_type
+                 ORDER BY count(1) DESC, user_id)) AS rn
+        FROM events_v261
+        GROUP BY event_type, user_id
+        QUALIFY rn <= 3
+        ORDER BY event_type, rn""")
+    },
+    Some("""
+      SELECT event_type, user_id, CAST(count(1) AS BIGINT) AS cnt,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY count(1) DESC, user_id) AS BIGINT) AS rn
+      FROM events
+      GROUP BY event_type, user_id
+      QUALIFY rn <= 3
+      ORDER BY event_type, rn"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
-      q251Hll, q252DialectRound10b, q256IfCombinators,
+      q251Hll, q252DialectRound10b, q256IfCombinators, q261Qualify,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,

@@ -386,6 +386,32 @@ class Round10Spec extends SparkSpec {
     assert(out.head.getDouble(3) >= 0.9)
   }
 
+  // ---- wave 17: X170 QUALIFY clause ----
+
+  test("QUALIFY: filters on window results; ORDER/LIMIT tail stays " +
+      "outside the rewrite; composes with WHERE and GROUP BY") {
+    spark.sql("""SELECT * FROM VALUES (1,'a'),(1,'b'),(2,'c'),(2,'d'),
+        (2,'e'),(3,'f') AS t(k, v)""").createOrReplaceTempView("r10_q")
+    val r = spark.sql("""
+      SELECT k, count(1) AS c,
+             row_number() OVER (ORDER BY count(1) DESC, k) AS rn
+      FROM r10_q
+      WHERE v <> 'f'
+      GROUP BY k
+      QUALIFY rn <= 1
+      ORDER BY rn""").collect()
+    // k=3 removed by WHERE; k=2 has c=3 -> rn 1; only rn<=1 survives
+    assert(r.length == 1)
+    assert(r.head.getInt(0) == 2 && r.head.getLong(1) == 3L)
+    // LIMIT in the tail applies AFTER the qualify filter
+    val r2 = spark.sql("""
+      SELECT k, row_number() OVER (ORDER BY k) AS rn
+      FROM r10_q GROUP BY k
+      QUALIFY rn >= 2
+      ORDER BY rn LIMIT 1""").collect()
+    assert(r2.length == 1 && r2.head.getInt(0) == 2)
+  }
+
   // ---- wave 2: round-10 dialect fill (X155) ----
 
   test("avgMap: per-key means from exact sum+count folds") {
