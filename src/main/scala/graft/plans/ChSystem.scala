@@ -34,6 +34,11 @@ case class ChSystemRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .map(_.toLowerCase(java.util.Locale.ROOT)) ==
             Seq("system", "projections") =>
         projectionsRelation
+      case u: UnresolvedRelation
+          if u.multipartIdentifier
+            .map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("system", "columns") =>
+        columnsRelation
     }
 
   private def tablesRelation: LogicalPlan = {
@@ -77,6 +82,49 @@ case class ChSystemRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }.sortBy(r => (r._1, r._2))
     import spark.implicits._
     rows.toDF("table", "partition", "partition_key", "active")
+      .queryExecution.analyzed
+  }
+
+  /** CH `system.columns` (X171, round 10) — one row per column of
+    * every catalog binding: (database, table, name, position
+    * 1-based, type) with types rendered in CH SPELLING (Int64,
+    * Float64, String, DateTime64(6), ...) so a reference user's
+    * runbook query reads unchanged. Schema comes from the binding's
+    * datasource SCHEMA read (parquet footer / format inference), not
+    * a data scan — driver-sized and fresh at every resolution like
+    * its siblings.
+    */
+  private def columnsRelation: LogicalPlan = {
+    import org.apache.spark.sql.types._
+    def chType(dt: DataType): String = dt match {
+      case LongType => "Int64"
+      case IntegerType => "Int32"
+      case ShortType => "Int16"
+      case ByteType => "Int8"
+      case DoubleType => "Float64"
+      case FloatType => "Float32"
+      case StringType => "String"
+      case BooleanType => "Bool"
+      case DateType => "Date"
+      case _: TimestampType => "DateTime64(6)"
+      case _: TimestampNTZType => "DateTime64(6)" // NTZ wall-clock —
+      // CH DateTime64 has no zone either; same spelling
+      case BinaryType => "String"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case ArrayType(e, _) => s"Array(${chType(e)})"
+      case MapType(k, v, _) => s"Map(${chType(k)}, ${chType(v)})"
+      case other => other.catalogString
+    }
+    val rows = graft.sources.Catalog.bindings.flatMap { b =>
+      val schema =
+        try spark.read.format(b.format).load(b.path).schema
+        catch { case _: Exception => new StructType() }
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        ("default", b.name, f.name, (i + 1).toLong, chType(f.dataType))
+      }
+    }.sortBy(r => (r._2, r._4))
+    import spark.implicits._
+    rows.toDF("database", "table", "name", "position", "type")
       .queryExecution.analyzed
   }
 

@@ -5127,9 +5127,44 @@ object DialectQueries {
       QUALIFY rn <= 3
       ORDER BY event_type, rn"""))
 
+  // ---------------------------------------------------------------------
+  // X171: `system.columns` introspection — the runbook's other half
+  // next to system.tables/parts/projections ("what type is that
+  // column again"), with types in CH SPELLING so reference queries
+  // read unchanged. Driver-sized: schema from the parquet footer,
+  // never a data scan.
+  val q262SystemColumns = QueryDef(
+    "q262_ch_system_columns",
+    (s, dir) => {
+      import graft.sources.{Binding, Catalog}
+      Catalog.register(s,
+        Binding("q262_events", s"$dir/events.parquet"),
+        Binding("q262_docs", s"$dir/documents.parquet"))
+      s.sql("""
+        SELECT `table`, name, toInt64(position) AS position, type
+        FROM system.columns
+        WHERE `table` LIKE 'q262_%' ORDER BY `table`, position""")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('q262_docs', 'doc_id', 1, 'Int64'),
+        ('q262_docs', 'text', 2, 'String'),
+        ('q262_docs', 'lang', 3, 'String'),
+        ('q262_docs', 'source', 4, 'String'),
+        ('q262_docs', 'n_chars', 5, 'Int64'),
+        ('q262_events', 'event_id', 1, 'Int64'),
+        ('q262_events', 'ts', 2, 'DateTime64(6)'),
+        ('q262_events', 'user_id', 3, 'Int64'),
+        ('q262_events', 'event_type', 4, 'String'),
+        ('q262_events', 'value', 5, 'Float64'),
+        ('q262_events', 'props', 6, 'String'))
+        AS t("table", name, position, type)
+      ORDER BY "table", position"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q251Hll, q252DialectRound10b, q256IfCombinators, q261Qualify,
+      q262SystemColumns,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,
