@@ -445,9 +445,13 @@ object ChDialect {
     "arrayZipUnaligned" -> (args => {
       val sizes = args.map(a => size(col(a)))
       val longest = sizes.reduce((a, b) => greatest(a, b))
-      ex(transform(sequence(lit(1), greatest(longest, lit(0))),
+      // all-empty guard (round-11 ADVICE): sequence(1, 0) DESCENDS in
+      // Spark (default step -1 when start > stop), so longest=0 used
+      // to yield two all-NULL tuples where CH returns []
+      val zipped = transform(sequence(lit(1), greatest(longest, lit(1))),
         i => struct(args.zipWithIndex.map { case (a, j) =>
-          try_element_at(col(a), i).as(s"${j + 1}") }: _*)))
+          try_element_at(col(a), i).as(s"${j + 1}") }: _*))
+      ex(when(longest <= 0, slice(zipped, 1, 0)).otherwise(zipped))
     }),
     // arrayJaccardIndex(a, b): |a∩b| / |a∪b| over DISTINCT elements;
     // one division of two exact set sizes, oracle-replayable
@@ -1941,14 +1945,10 @@ object ChDialect {
           .AggregateExpression])
       if (hasAgg) args.head else ex(sum(col(args.head)))
     }),
-    "lagInFrame" -> (args =>
-      org.apache.spark.sql.catalyst.expressions.Lag(args.head,
-        if (args.length >= 2) args(1) else Literal(1),
-        if (args.length >= 3) args(2) else Literal(null), false)),
-    "leadInFrame" -> (args =>
-      org.apache.spark.sql.catalyst.expressions.Lead(args.head,
-        if (args.length >= 2) args(1) else Literal(1),
-        if (args.length >= 3) args(2) else Literal(null), false)),
+    // (lagInFrame/leadInFrame are registered ONCE, in the window
+    // section below, with the CH type-default fallback — a duplicate
+    // Literal(null) pair here used to be silently shadowed by
+    // last-wins registration; the uniqueness lint now forbids it)
     // ----- statistical aggregates (CH camelCase → Spark snake_case;
     // corr needs no registration, the names coincide). kurtPop is
     // CH's non-excess kurtosis; the *Samp moment variants rescale by
@@ -2241,11 +2241,10 @@ object ChDialect {
     // sketch aggregate, uniqMerge unions stored sketches and
     // estimates. The sketch FORMAT differs from CH's (a CH state blob
     // is not portable anyway); the role and the rollup algebra match.
-    // uniqCombined/uniqHLL12 are CH's other HLL-family estimators —
-    // same contract class as uniq (approximate distinct count), so
-    // they share the HLL++ implementation here
-    "uniqCombined" -> (args => ex(ch.uniq(col(args.head)))),
-    "uniqHLL12" -> (args => ex(ch.uniq(col(args.head)))),
+    // uniqCombined/uniqHLL12 live in the sketch section above on the
+    // UniqHll12Agg register-replay kernel — a stale ch.uniq pair here
+    // shadowed them for one round (last-wins Seq registration); the
+    // uniqueness lint now forbids duplicate names.
     "uniqState" -> (args => ex(hll_sketch_agg(col(args.head)))),
     "uniqMerge" -> (args =>
       ex(hll_sketch_estimate(hll_union_agg(col(args.head))))),

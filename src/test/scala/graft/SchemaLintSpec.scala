@@ -81,4 +81,21 @@ class SchemaLintSpec extends SparkSpec {
         "truncates — wrap as floor(epoch(...))):\n  " +
         badL.mkString("\n  "))
   }
+
+  /** Function-registry uniqueness (round-11, ADVICE high): the
+    * [[plans.ChDialect.functions]] registry is a Seq registered
+    * last-wins, so a duplicate name SILENTLY shadows the earlier
+    * (usually newer, custom-kernel) entry — uniqHLL12/uniqCombined
+    * resolved to Spark HLL++ for a whole round while the documented
+    * MD5-48 register-replay kernel sat dead, and q251/q257 passed
+    * coincidentally. Case-insensitive because SQL function resolution
+    * is.
+    */
+  test("ChDialect.functions registers each name exactly once") {
+    val names = plans.ChDialect.functions.map(_._1.toLowerCase)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dups.isEmpty,
+      s"\nduplicate ChDialect function registrations (last-wins Seq — " +
+        s"the earlier entry is silently dead):\n  ${dups.mkString("\n  ")}")
+  }
 }
