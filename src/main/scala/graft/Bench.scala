@@ -81,6 +81,16 @@ object Bench {
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    locally { // section-boundary state snapshot (r11 attribution)
+      var gc = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => gc += math.max(0L, b.getCollectionTime))
+      val rt = Runtime.getRuntime
+      System.err.println(
+        s"[bench] base section done: cumGc=${gc / 1e3}s " +
+          s"heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}MB " +
+          s"maxHeap=${rt.maxMemory / (1 << 20)}MB")
+    }
     // ---- sf1 section: the heaviest SCALING entries once more at 10x
     // sf0.1 (generated on first use, cached via marker). The fixed-size
     // fixtures (q51/q28) don't scale with sfDir and are excluded. Any
@@ -161,6 +171,15 @@ object Bench {
           // curves should track token count
           "q175_paragraph_dedup", "q177_tfidf_keywords",
           "q182_source_overlap",
+          // round-11 leg (verdict ask #3): the heavy round-10 entries
+          // get their 10x curve — broadcast-gram decontamination,
+          // LSH-banded triplet mining, the full prep pipeline, and the
+          // IVF-backed mutual-kNN (the scale form whose candidate
+          // volume grows ~nprobe·√N per probe; the exact q255 form is
+          // deliberately NOT here — all-pairs at 20k vectors is the
+          // shape the IVF path exists to replace)
+          "q248_decontaminate", "q233_contrastive_triplets",
+          "q240_prep_pipeline_v2", "q263_mutual_knn_ivf",
           // round-9 leg: the X94 union-sketch SIBLING of q182 — the
           // designated 100 TB path; its sf1 number belongs next to the
           // exact form's so the "sketch ≪ exact" scale claim is
@@ -171,17 +190,51 @@ object Bench {
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the
         // whole sfDir suite) — round 6 read that noise as a regression.
         // The median is what the scale claim should be judged on.
+        //
+        // Round-11 attribution instrumentation (verdict ask #1): the
+        // driver's r10 sf1 medians read q175 37.3 s / q192 31.8 s /
+        // q156 10.9 s while isolated reruns read 1.0 / 12 / 1.6 — a
+        // JVM-condition effect that three rounds of medians could not
+        // localize because the artifact carried only the median. Every
+        // rep now records (time, GC-seconds during the rep, heap used
+        // after) so the NEXT divergent artifact says whether the wall
+        // time was garbage collection (heap pressure), and the per-rep
+        // spread says whether rep 1 (cold caches after the section
+        // switch) or all reps (sustained state) paid it.
+        val gcBeans = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans
+        def gcMillis: Long = {
+          var s = 0L
+          gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+          s
+        }
         val reps = 3
+        val sf1RepDetail = new StringBuilder
         val sf1Medians = sf1Names.map { name =>
-          val times = (1 to reps).flatMap { _ =>
+          val repStats = (1 to reps).flatMap { r =>
+            val g0 = gcMillis
             val t0 = System.nanoTime()
             try { materialize(spark, name, qmap(name), sf1Dir)
-              Some((System.nanoTime() - t0) / 1e9)
+              val t = (System.nanoTime() - t0) / 1e9
+              val gc = (gcMillis - g0) / 1e3
+              val rt = Runtime.getRuntime
+              val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+              System.err.println(
+                f"[bench] sf1 $name rep$r: $t%.2fs gc=$gc%.2fs heap=${heapMb}MB")
+              Some((t, gc))
             } catch { case e: Throwable =>
               System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
               None
             }
           }
+          if (repStats.nonEmpty) {
+            if (sf1RepDetail.nonEmpty) sf1RepDetail.append(",")
+            sf1RepDetail.append("\"" + name + "\":[")
+              .append(repStats.map { case (t, g) =>
+                s"[${fmt3(t)},${fmt3(g)}]" }.mkString(","))
+              .append("]")
+          }
+          val times = repStats.map(_._1)
           name -> (if (times.isEmpty) -1.0
                    else times.sorted.apply(times.size / 2))
         }
@@ -189,8 +242,16 @@ object Bench {
           .map { case (n, v) => "\"" + n + "\":" + fmt3(v) }
           .mkString("""{"metric":"sf1_medians","reps":3,"queries":{""",
             ",", "}}")
+        // short qNN keys ONLY if they are collision-free (round-11
+        // ADVICE: duplicate JSON keys silently drop a median at parse
+        // time); on any prefix collision fall back to full names
+        val shortKeys = sf1Medians.map(_._1.takeWhile(_ != '_'))
+        val shortOk = shortKeys.distinct.size == shortKeys.size
         sf1SummaryFrag = sf1Medians
-          .map { case (n, v) => "\"" + n.takeWhile(_ != '_') + "\":" + fmt3(v) }
+          .map { case (n, v) =>
+            val k = if (shortOk) n.takeWhile(_ != '_') else n
+            "\"" + k + "\":" + fmt3(v)
+          }
           .mkString(""","sf1_medians":{""", ",", s"""},"sf1_reps":$reps""")
         val sf1 = sf1Medians.map { case (n, v) => "\"" + n + "\":" + v }
           .mkString("{", ",", "}")
@@ -209,6 +270,7 @@ object Bench {
               .replaceAll("[\"\\\\\n\r\t]", " ")}""""
           }
         s""","sf1_queries":$sf1,"sf1_reps":$reps,"sf1_dir":"$sf1Dir"""" +
+          s""","sf1_rep_detail":{${sf1RepDetail.result()}}""" +
           fpSection
       } catch { case e: Throwable =>
         // getMessage may be null (NPE et al.) — never let the guard

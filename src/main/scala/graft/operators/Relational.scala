@@ -446,21 +446,33 @@ object Relational {
     * cancel row (sign=-1) with the same (id, version) exists; the current
     * state of an entity is its live row with the highest version.
     *
-    * Shuffle analysis: the anti-join and the window both hash-partition by
-    * `idCols`, so AQE/EnsureRequirements reuses one exchange; cancel rows
-    * are a small fraction of state rows, so the anti-join's right side is
-    * cheap. At 100 TB this runs per week-partition (versions of a visit
-    * share StartDate's week), keeping state bounded.
+    * Shuffle analysis (round-11 form): liveness is a WINDOW over
+    * `idCols` — the per-entity cancelled-version set rides a
+    * collect_set frame (bounded: an entity's version count is the
+    * per-key state bound this table class guarantees) — and the
+    * latest-version pick is a row_number over the SAME partitioning,
+    * so the whole collapse costs ONE hash exchange of the fact. The
+    * previous anti-join form required (idCols, versionCol)
+    * co-partitioning for the join and idCols for the window — TWO
+    * fact exchanges, and the stricter join distribution made the
+    * planner discard a bucketed scan's HashPartitioning(idCols)
+    * (Round11Spec pins the q113 plan). On an idCols-bucketed
+    * warehouse this form collapses with NO Exchange at all.
     */
   def latestVersions(df: DataFrame, idCols: Seq[String], versionCol: String,
       signCol: String): DataFrame = {
-    val plus = df.filter(col(signCol) === 1)
-    val minus = df.filter(col(signCol) === -1)
-      .select((idCols :+ versionCol).map(col): _*)
-    val live = plus.join(minus, idCols :+ versionCol, "left_anti")
+    val w0 = Window.partitionBy(idCols.map(col): _*)
+    val live = df
+      .withColumn("__cx",
+        collect_set(when(col(signCol) === -1, col(versionCol))).over(w0))
+      .filter(col(signCol) === 1 &&
+        !array_contains(coalesce(col("__cx"), array().cast(
+            org.apache.spark.sql.types.ArrayType(
+              df.schema(versionCol).dataType))),
+          col(versionCol)))
     val w = Window.partitionBy(idCols.map(col): _*)
       .orderBy(col(versionCol).desc)
     live.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1).drop("__rn", "__cx")
   }
 }

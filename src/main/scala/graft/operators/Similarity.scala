@@ -772,23 +772,42 @@ object Similarity {
     * so ranking has no float at all; ties break (dot desc, id asc) —
     * fully deterministic, any engine replays it.
     *
-    * Scale: this is the EXACT all-ordered-pairs form — the verifier
-    * and small-corpus (≤ ~10⁵ vectors) path; at 100 TB the pair
-    * generator swaps for the IVF/cell-bucket candidate join
-    * (`ivfTopK` / `cellBucketPairs`) with identical downstream
-    * ranking. The top-k trim runs INSIDE the per-i partition via
-    * row_number (WindowGroupLimit pushes the rank filter map-side).
-    * Emits each mutual edge once (i < j) with both ranks.
+    * Scale: the pair generator is a PARAMETER (round 11 — the
+    * `pairBleu` pattern). `candidates = None` is the EXACT
+    * all-ordered-pairs form — the verifier and small-corpus
+    * (≤ ~10⁵ vectors) path; at 100 TB pass the IVF/cell-bucket
+    * candidate join ([[knnCandidatesIvf]], or any (i, j) pair
+    * DataFrame — LSH buckets, a previous round's edges) and ONLY
+    * those pairs score: the downstream ranking (exact integer dots,
+    * row_number per i, mutuality) is identical in both forms.
+    * Candidates are symmetrized internally (ranking side i needs the
+    * pair in both directions). The top-k trim runs INSIDE the per-i
+    * partition via row_number (WindowGroupLimit pushes the rank
+    * filter map-side). Emits each mutual edge once (i < j) with both
+    * ranks.
     */
   def mutualKnnGraph(vecs: DataFrame, idCol: String, embCol: String,
-      k: Int): DataFrame = {
+      k: Int, candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "mutualKnnGraph: k >= 1")
     val q = vecs.select(col(s"`$idCol`").cast("long").as("__mk_id"),
       transform(col(s"`$embCol`"),
         e => round(e.cast("double") * 1000).cast("long")).as("__mk_q"))
     val a = q.select(col("__mk_id").as("i"), col("__mk_q").as("__qa"))
     val b = q.select(col("__mk_id").as("j"), col("__mk_q").as("__qb"))
-    val dots = a.join(b, col("i") =!= col("j"))
+    val pairs = candidates match {
+      case None => a.join(b, col("i") =!= col("j"))
+      case Some(c) =>
+        // symmetrize + dedup the candidate set (one shuffle over the
+        // CANDIDATE volume, not the corpus), then two id-keyed
+        // equi-joins pull the quantized vectors — no non-equi product
+        // anywhere in this branch
+        val p0 = c.select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"))
+        val sym = p0.union(p0.select(col("j").as("i"), col("i").as("j")))
+          .where(col("i") =!= col("j")).distinct()
+        sym.join(a, "i").join(b, "j")
+    }
+    val dots = pairs
       .select(col("i"), col("j"),
         aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
           lit(0L), (acc, v) => acc + v).as("d"))
@@ -802,6 +821,31 @@ object Similarity {
       .join(rev, col("i") === col("i2") && col("j") === col("j2"))
       .select(col("i"), col("j"), col("d"),
         col("rk").as("rk_ij"), col("rk_ji"))
+  }
+
+  /** IVF candidate pairs for [[mutualKnnGraph]] (round 11): every
+    * vector probes its `nprobe` best centroid cells (inline literal
+    * ranking, [[probeCells]] — no join, no shuffle) and meets the
+    * vectors BINNED into those cells ([[assignCell]]) through one cell
+    * equi-join — the `ivfTopK` structure emitting the pair list
+    * instead of ranking it. Per-probe candidate volume is
+    * ≈ nprobe/#cells of the corpus, so with #cells ≈ √N the pair
+    * count grows as N·√N·nprobe/N = √N·nprobe per probe instead of
+    * N — the 100 TB swap-in for the exact all-pairs product.
+    * Asymmetry (j probing doesn't guarantee i's cell is probed) is
+    * repaired by the caller's symmetrization; recall vs the exact
+    * graph is probabilistic by design and is contract-gated at the
+    * call site (the q54 pattern).
+    */
+  def knnCandidatesIvf(vecs: DataFrame, idCol: String, embCol: String,
+      cents: Array[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    val binned = vecs.select(col(s"`$idCol`").cast("long").as("j"),
+      assignCell(col(s"`$embCol`"), cents).as("__cell"))
+    val probing = vecs.select(col(s"`$idCol`").cast("long").as("i"),
+      explode(probeCells(col(s"`$embCol`"), cents, nprobe)).as("__cell"))
+    probing.join(binned, "__cell")
+      .where(col("i") =!= col("j"))
+      .select(col("i"), col("j"))
   }
 
   /** Pairwise BLEU-2 with a RATIONAL brevity penalty (X158, round

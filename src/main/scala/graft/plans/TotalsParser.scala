@@ -942,9 +942,21 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     d == 0
   }
 
-  private def rewriteQualify(text: String): String =
-    qualifyKw.findAllMatchIn(text)
-      .find(m => depth0(text, m.start)) match {
+  private def rewriteQualify(text: String): String = {
+    val matches = qualifyKw.findAllMatchIn(text).toList
+    // contract error for out-of-scope use (round 11, verdict ask #6):
+    // a QUALIFY inside a subquery used to fall through to Spark's
+    // generic grammar error, which names neither QUALIFY nor the
+    // supported shape — raise the dialect's own message instead.
+    // Thrown as DialectContractException so the rewrite guard in
+    // [[rewrite]] RETHROWS it (plain exceptions there fall back to
+    // the untouched text by design).
+    if (matches.exists(m => !depth0(text, m.start)))
+      throw new TotalsParser.DialectContractException(
+        "QUALIFY is supported at the top level of the statement only " +
+          "(depth 0); rewrite the subquery's QUALIFY as a WHERE over " +
+          "a derived table with the window expression as a column")
+    matches.find(m => depth0(text, m.start)) match {
       case None => text
       case Some(m) =>
         val head = text.substring(0, m.start)
@@ -966,6 +978,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
               s"WHERE __graft_q $tail"
         }
     }
+  }
 
   private def rewrite(sqlText: String): Option[Rewritten] = {
     val (masked, lits) = maskLiterals(sqlText)
@@ -980,7 +993,10 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     // outer wrap), so it runs before the clause extractions — the
     // ORDER/LIMIT tail must land in the OUTER query
     val m0 =
-      try rewriteQualify(m0w) catch { case _: Exception => m0w }
+      try rewriteQualify(m0w) catch {
+        case e: TotalsParser.DialectContractException => throw e
+        case _: Exception => m0w
+      }
     // marker-clause extraction runs FIRST: `LIMIT o, n BY` must not be
     // half-eaten by the limitOffset rewrite below
     val (m1, lbWrap) =
@@ -1221,4 +1237,14 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+object TotalsParser {
+  /** A dialect-contract violation with a targeted message — the rewrite
+    * guards RETHROW this type where every other rewrite failure falls
+    * back to the untouched text (and hence to Spark's generic grammar
+    * error, which names neither the clause nor the supported shape).
+    */
+  final class DialectContractException(msg: String)
+    extends IllegalArgumentException(msg)
 }

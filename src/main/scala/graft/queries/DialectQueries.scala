@@ -1080,6 +1080,8 @@ object DialectQueries {
         new java.io.File(dir).getName + "_" +
         java.lang.Integer.toHexString(new java.io.File(dir)
           .getAbsolutePath.hashCode)
+      val bktTable = "graft_q91_versioned_" +
+        java.lang.Integer.toHexString(tmp.hashCode)
       q91Lock.synchronized {
         if (!q91Built.contains(tmp)) {
           graft.FsUtil.rmTree(tmp)
@@ -1091,7 +1093,16 @@ object DialectQueries {
           val updates = base.filter(col("event_type") === "click")
             .withColumn("ver", lit(2L))
             .withColumn("value", col("value") * 2)
-          base.unionByName(cancels).unionByName(updates).write.parquet(tmp)
+          // round 11 (verdict ask #7): the versioned warehouse is
+          // BUCKETED on the collapse key — the
+          // VersionedCollapsingMergeTree read (FINAL) windows over
+          // eid, and a bucketed scan hands it HashPartitioning(eid)
+          // so the collapse runs with NO Exchange below the window
+          // (the X168/q259 lever applied to the Metrica hot path);
+          // Round11Spec audits the plan
+          graft.sources.Warehouse.writeBucketed(
+            base.unionByName(cancels).unionByName(updates),
+            bktTable, tmp, "eid", 32)
           q91Built += tmp
         }
       }
@@ -1108,7 +1119,8 @@ object DialectQueries {
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
       graft.sources.Catalog.register(s,
-        graft.sources.Binding("events_versioned", tmp, schema = Some(schema)))
+        graft.sources.Binding("events_versioned", tmp, schema = Some(schema),
+          bucketTable = Some(bktTable)))
       s.sql("""
         SELECT event_type, toInt64(count(1)) AS n,
                toInt64(sum(ver)) AS ver_sum, round(sum(value), 2) AS v

@@ -418,6 +418,7 @@ object MetricaQueries {
       new java.io.File(dir).getName + "_" +
       java.lang.Integer.toHexString(new java.io.File(dir)
         .getAbsolutePath.hashCode)
+    val tbl = goalsBucketTable(out)
     goalsLock.synchronized {
       if (!goalsBuilt.contains(out)) {
         val base = graft.Graft.table(s, dir, "events").select(
@@ -438,13 +439,22 @@ object MetricaQueries {
             "transform(sequence(1, CAST(VisitID % 4 AS INT)), g -> CAST(g * 100 AS BIGINT))"))
           .withColumn("Goals.Serial", goalsArray(
             "CAST(sequence(1, CAST(VisitID % 4 AS INT)) AS ARRAY<BIGINT>)"))
-        Warehouse.write(pairs, out, "StartDate", Seq("VisitID"),
-          mode = "overwrite")
+        // round 11 (verdict ask #7): week-partitioned AND
+        // VisitID-bucketed — the q259/X168 pay-shuffle-once layout on
+        // the Metrica visits path itself. The FINAL collapse windows
+        // over VisitID; the bucketed scan hands it
+        // HashPartitioning(VisitID, 32) so no Exchange runs below the
+        // window (Round11Spec audits the executed plan).
+        Warehouse.writeBucketedWeekly(pairs, tbl, out, "StartDate",
+          "VisitID", 32)
         goalsBuilt += out
       }
     }
     out
   }
+
+  private[graft] def goalsBucketTable(out: String): String =
+    "graft_goals_bkt_" + java.lang.Integer.toHexString(out.hashCode)
 
   val q113GoalsFinalScaled = QueryDef(
     "q113_goals_final_scaled",
@@ -452,7 +462,12 @@ object MetricaQueries {
       val wh = scaledGoalsWarehouse(s, dir)
       def md(flag: String) = new org.apache.spark.sql.types.MetadataBuilder()
         .putBoolean(flag, true).build()
-      Warehouse.read(s, wh).select(
+      // read through the CATALOG table, not the path: only the
+      // catalog read carries the bucketing metadata that makes the
+      // FINAL collapse Exchange-free (the alias-only select below
+      // preserves the scan's HashPartitioning — ProjectExec is
+      // alias-aware)
+      s.table(goalsBucketTable(wh)).select(
         col("VisitID").as("VisitID", md("graft.finalKey")),
         col("VisitVersion").as("VisitVersion", md("graft.finalVersion")),
         col("Sign").as("Sign", md("graft.finalSign")),

@@ -5562,6 +5562,91 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X163 scale path (round 11, verdict ask #2): the SAME mutual-kNN
+  // ranking fed by the IVF candidate generator instead of the exact
+  // all-pairs product — candidates meet only through the nprobe-cell
+  // equi-join ([[Similarity.knnCandidatesIvf]]), so per-probe work is
+  // ≈ nprobe·√N instead of N. The quantizer is the deterministic
+  // seed-vector one (q37's), so the ORACLE REPLAYS THE WHOLE IVF
+  // STRUCTURE — cell assignment, probe-cell ranking, candidate join,
+  // symmetrization, integer dots, mutuality — cell-exactly; recall vs
+  // the exact graph is contract-gated in Round11Spec on planted
+  // clusters. Runs on the FULL embeddings table (the exact form q255
+  // needs its %4 subset) — that asymmetry is the scale story measured.
+  val q263MutualKnnIvf = QueryDef(
+    "q263_mutual_knn_ivf",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val modulus = math.ceil(math.sqrt(
+        vecs.select(col("vec_id")).count().toDouble)).toInt
+      val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding",
+        modulus = modulus)
+      val cand = Similarity.knnCandidatesIvf(vecs, "vec_id", "embedding",
+        cents, nprobe = 4)
+      Similarity.mutualKnnGraph(vecs, "vec_id", "embedding", k = 5,
+          candidates = Some(cand))
+        .select(col("i"), col("j"), col("d"),
+          col("rk_ij").cast("long").as("rk_ij"),
+          col("rk_ji").cast("long").as("rk_ji"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS n,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cent_id, e AS ce, n AS cn FROM v
+        WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                        FROM v) = 0
+      ), sim0 AS (
+        SELECT v.vec_id, c.cent_id,
+               CASE WHEN v.n > 0 AND c.cn > 0
+                    THEN list_dot_product(v.e, c.ce) / (v.n * c.cn)
+                    ELSE 0.0 END AS sim
+        FROM v CROSS JOIN c
+      ), ranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM sim0
+      ), cells AS (
+        SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1
+      ), pcells AS (
+        SELECT vec_id, cent_id AS cell FROM ranked WHERE rn <= 4
+      ), cand AS (
+        SELECT p.vec_id AS i, ce.vec_id AS j
+        FROM pcells p JOIN cells ce ON ce.cell = p.cell
+        WHERE p.vec_id <> ce.vec_id
+      ), sym AS (
+        SELECT DISTINCT i, j FROM (
+          SELECT i, j FROM cand
+          UNION ALL SELECT j AS i, i AS j FROM cand)
+      ), d AS (
+        SELECT s.i, s.j,
+               list_sum([a.q[x] * b.q[x]
+                 for x in generate_series(1, len(a.q))]) AS d
+        FROM sym s
+        JOIN v a ON a.vec_id = s.i
+        JOIN v b ON b.vec_id = s.j
+      ), r AS (
+        SELECT i, j, d,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY d DESC, j) AS rk
+        FROM d
+      ), kn AS (SELECT * FROM r WHERE rk <= 5)
+      SELECT x.i, x.j, CAST(x.d AS BIGINT) AS d,
+             CAST(x.rk AS BIGINT) AS rk_ij,
+             CAST(y.rk AS BIGINT) AS rk_ji
+      FROM kn x JOIN kn y ON y.i = x.j AND y.j = x.i
+      WHERE x.i < x.j
+      ORDER BY x.i, x.j"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // X167: cross-doc sentence-template detection (digit-masked
   // skeletons — the machine-generated boilerplate finder one level
   // above q142's line dedup). The corpus carries no guaranteed
@@ -5642,7 +5727,8 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
-    q254RobustStats, q255MutualKnn, q258TemplateSentences,
+    q254RobustStats, q255MutualKnn, q263MutualKnnIvf,
+    q258TemplateSentences,
     q260RecordLinkage,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,
     q189LengthHistogram, q191CorpusDiff, q192ContainmentPairs,

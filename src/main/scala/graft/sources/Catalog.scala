@@ -30,7 +30,13 @@ final case class Binding(
     // warehouse-table bindings (CH DDL's PARTITION BY / ORDER BY):
     // INSERTs write week-partitioned + clustered when dateCol is set
     dateCol: Option[String] = None,
-    orderKey: Seq[String] = Nil)
+    orderKey: Seq[String] = Nil,
+    // round 11: when the storage is a BUCKETED catalog table
+    // (Warehouse.writeBucketed), resolve through spark.table so the
+    // scan reports HashPartitioning(bucketCol, n) — a path read would
+    // discard the bucketing metadata and re-shuffle on every key join
+    // / FINAL collapse
+    bucketTable: Option[String] = None)
 
 object Catalog {
 
@@ -45,6 +51,17 @@ object Catalog {
       throw new IllegalArgumentException(
         s"'${b.name}' is a connection — address it with a path: " +
           s"`${b.name}`.`/path/obj*.csv.gz` WITH (format = ..., Schema = (...))")
+    if (b.bucketTable.isDefined) {
+      import org.apache.spark.sql.functions.col
+      val t = spark.table(b.bucketTable.get)
+      // re-stamp the declared schema's field METADATA (engine-clause
+      // markers: finalKey/finalVersion/finalSign …) — the catalog
+      // table stores plain types only. An alias-only Project preserves
+      // the scan's bucketed output partitioning (ProjectExec is
+      // alias-aware), so the stamps cost no Exchange.
+      return b.schema.fold(t)(sch => t.select(sch.fields.toSeq.map(f =>
+        col(s"`${f.name}`").as(f.name, f.metadata)): _*))
+    }
     if (b.format == "parquet" && b.dateCol.isDefined)
       return resolveWarehouse(spark, b)
     val reader = spark.read.format(b.format).options(b.options)

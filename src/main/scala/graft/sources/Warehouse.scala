@@ -296,11 +296,38 @@ object Warehouse {
     * parquet stays where the caller put it.
     */
   def writeBucketed(df: DataFrame, table: String, path: String,
-      bucketCol: String, buckets: Int): Unit = {
+      bucketCol: String, buckets: Int,
+      partitionCol: Option[String] = None): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write.format("parquet")
+    val w = df.write.format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .option("path", path).mode("overwrite").saveAsTable(table)
+      .option("path", path).mode("overwrite")
+    // date-partitioned AND key-bucketed (round 11): the ClickHouse
+    // MergeTree layout — PARTITION BY month + ORDER BY key — maps to
+    // partitionBy(date)+bucketBy(key): scans prune on the date
+    // directory AND still report HashPartitioning(key, n) (the file
+    // source merges same-numbered bucket files across partition
+    // dirs), so a FINAL collapse window or key join needs no Exchange
+    partitionCol.fold(w)(w.partitionBy(_)).saveAsTable(table)
+  }
+
+  /** The [[write]] warehouse layout with the entity key BUCKETED
+    * (round 11, the X168 lever on the Metrica visits path): week
+    * directories prune on date predicates exactly as [[write]]'s
+    * (same `toMonday` invariant stamp), and the key bucketing hands
+    * every downstream FINAL collapse / key join
+    * HashPartitioning(key, n) — the per-key shuffle the reference's
+    * VersionedCollapsingMergeTree avoids by physical ORDER BY is paid
+    * ONCE at ingest here, then never again.
+    */
+  def writeBucketedWeekly(df: DataFrame, table: String, tableDir: String,
+      dateCol: String, bucketCol: String, buckets: Int): Unit = {
+    val stamped = df.withColumn(dateCol, col(s"`$dateCol`").as(dateCol,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(graft.plans.WeekBoundsRule.flag, true).build()))
+      .withColumn(weekCol, toMonday(col(s"`$dateCol`")))
+    writeBucketed(stamped, table, tableDir, bucketCol, buckets,
+      partitionCol = Some(weekCol))
   }
 }
