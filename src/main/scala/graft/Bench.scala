@@ -208,20 +208,32 @@ object Bench {
           gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
           s
         }
+        // Process CPU seconds: the external-contention discriminator
+        // (round 11). The r11 driver-condition reproduction showed the
+        // r10 sf1 blowups (q175 37 s, …) do NOT reproduce in-JVM
+        // (1.35 s, gc ≈ 0) — and a deliberate contention probe (one
+        // concurrent CPU-saturated DuckDB replay) inflated a 21 s entry
+        // to 258 s. wall ≫ cpu/32 + gc means the JVM was descheduled by
+        // ANOTHER process — machine contention, not engine or harness.
+        val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        def cpuNanos: Long = math.max(0L, osBean.getProcessCpuTime)
         val reps = 3
         val sf1RepDetail = new StringBuilder
         val sf1Medians = sf1Names.map { name =>
           val repStats = (1 to reps).flatMap { r =>
             val g0 = gcMillis
+            val c0 = cpuNanos
             val t0 = System.nanoTime()
             try { materialize(spark, name, qmap(name), sf1Dir)
               val t = (System.nanoTime() - t0) / 1e9
               val gc = (gcMillis - g0) / 1e3
+              val cpu = (cpuNanos - c0) / 1e9
               val rt = Runtime.getRuntime
               val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
               System.err.println(
-                f"[bench] sf1 $name rep$r: $t%.2fs gc=$gc%.2fs heap=${heapMb}MB")
-              Some((t, gc))
+                f"[bench] sf1 $name rep$r: $t%.2fs gc=$gc%.2fs cpu=$cpu%.1fs heap=${heapMb}MB")
+              Some((t, gc, cpu))
             } catch { case e: Throwable =>
               System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
               None
@@ -230,8 +242,8 @@ object Bench {
           if (repStats.nonEmpty) {
             if (sf1RepDetail.nonEmpty) sf1RepDetail.append(",")
             sf1RepDetail.append("\"" + name + "\":[")
-              .append(repStats.map { case (t, g) =>
-                s"[${fmt3(t)},${fmt3(g)}]" }.mkString(","))
+              .append(repStats.map { case (t, g, c) =>
+                s"[${fmt3(t)},${fmt3(g)},${fmt3(c)}]" }.mkString(","))
               .append("]")
           }
           val times = repStats.map(_._1)

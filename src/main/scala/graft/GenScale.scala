@@ -46,16 +46,26 @@ object GenScale {
     val langs = array(Seq("en", "es", "de", "fr", "zh").map(lit): _*)
     val docs = spark.range(50000).select(col("id").as("doc_id"),
         // a doc with id%40==1 re-derives its neighbour's token stream
-        // and perturbs every 17th token — a planted near-dup pair
+        // and APPENDS one extra token — a planted near-dup pair at
+        // 3-shingle Jaccard s/(s+1) ∈ [0.89, 0.99], matching the
+        // driver's sf0.1 plant (measured J 0.80–1.0, median 0.98).
+        // Round 11: the original every-17th-token perturbation landed
+        // short docs at J 0.5–0.7, where 16x4 MinHash-LSH detection is
+        // only 0.64–0.95 — the first sf1 gate caught 44 of 1238 planted
+        // pairs missing (q22/q75/q233). The corpus premise the oracles
+        // rely on is "near-dups sit where LSH detection ~ 1", and the
+        // scaled corpus must preserve the driver's contract, not invent
+        // a harder one.
         when(pmod(col("id"), lit(40)) === 1, col("id") - 1)
           .otherwise(col("id")).as("base"),
         (pmod(col("id"), lit(40)) === 1).as("perturb"))
       .select(col("doc_id"),
-        concat_ws(" ", transform(
-          sequence(lit(1L), hmod(1, 96, col("base")) + 10),
-          j => when(col("perturb") && pmod(j, lit(17)) === 3,
-              word(3, col("base"), j))
-            .otherwise(word(2, col("base"), j)))).as("text"),
+        concat_ws(" ", concat(
+          transform(
+            sequence(lit(1L), hmod(1, 96, col("base")) + 10),
+            j => word(2, col("base"), j)),
+          when(col("perturb"), array(word(3, col("base"), lit(0L))))
+            .otherwise(array().cast("array<string>")))).as("text"),
         element_at(langs, (hmod(4, 5, col("doc_id")) + 1).cast("int"))
           .as("lang"),
         concat(lit("src"), hmod(5, 20, col("doc_id"))).as("source"))

@@ -656,7 +656,7 @@ object Similarity {
           struct(col("__d"), col("__s")))),
         p => p.getField("__s")).as("__sum"))
     def dotLL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      graft.plans.NativeMath.dotI64(a, b)
     val joined = base.join(broadcast(sums), "label")
     val num = dotLL(col("__q"), col("__sum"))
     val cos = num.cast("double") /
@@ -740,8 +740,7 @@ object Similarity {
       base.select(col("__id").as("__idb"), col("__v").as("__vb")),
       "__idb")
     def dotLL(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L),
-        (acc, v) => acc + v)
+      graft.plans.NativeMath.dotI64(x, y)
     def cosOf(x: Column, y: Column): Column = {
       val nx = dotLL(x, x)
       val ny = dotLL(y, y)
@@ -807,20 +806,39 @@ object Similarity {
           .where(col("i") =!= col("j")).distinct()
         sym.join(a, "i").join(b, "j")
     }
+    // exact int64 fold as the codegen'd kernel (round 11): identical
+    // accumulation order/overflow to the zip_with combinator, but it
+    // stays inside whole-stage codegen — the candidate-pair volume is
+    // where all the time goes at scale
     val dots = pairs
       .select(col("i"), col("j"),
-        aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("d"))
+        graft.plans.NativeMath.dotI64(col("__qa"), col("__qb")).as("d"))
     val ranked = dots.withColumn("rk",
       row_number().over(Window.partitionBy(col("i"))
         .orderBy(col("d").desc, col("j"))))
       .where(col("rk") <= k)
-    val rev = ranked.select(col("i").as("j2"), col("j").as("i2"),
-      col("rk").as("rk_ji"))
-    ranked.where(col("i") < col("j"))
-      .join(rev, col("i") === col("i2") && col("j") === col("j2"))
-      .select(col("i"), col("j"), col("d"),
-        col("rk").as("rk_ij"), col("rk_ji"))
+    // Mutuality via ONE grouped pass over the undirected key instead of
+    // a ranked ⋈ ranked self-join: Spark does not common-subexpression
+    // the self-join's two identical subtrees, so the whole candidate +
+    // scoring + ranking pipeline executed TWICE (round-11 plan audit on
+    // the sf1 corpus — the 2x was the entry's top cost, not the dot).
+    // Each direction appears at most once post-rank, so a (u, v) group
+    // has ≤ 2 rows and count == 2 IS the mutuality test; d is symmetric
+    // so either row carries it.
+    val undirected = ranked.select(
+      least(col("i"), col("j")).as("u"),
+      greatest(col("i"), col("j")).as("v"),
+      when(col("i") < col("j"),
+        struct(col("d"), col("rk"))).as("__fwd"),
+      when(col("i") > col("j"), col("rk")).as("__rk_back"))
+    undirected.groupBy(col("u"), col("v"))
+      .agg(first(col("__fwd"), ignoreNulls = true).as("__fwd"),
+        first(col("__rk_back"), ignoreNulls = true).as("rk_ji"),
+        count(lit(1)).as("__nd"))
+      .where(col("__nd") === 2)
+      .select(col("u").as("i"), col("v").as("j"),
+        col("__fwd").getField("d").as("d"),
+        col("__fwd").getField("rk").as("rk_ij"), col("rk_ji"))
   }
 
   /** IVF candidate pairs for [[mutualKnnGraph]] (round 11): every

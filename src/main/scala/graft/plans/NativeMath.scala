@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native vector-math kernel for the similarity operators.
   *
@@ -28,6 +28,21 @@ object NativeMath {
   def dot64(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct64Expr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** `array<bigint> x array<bigint> -> bigint` dot product — the EXACT
+    * integer fold the quantized-embedding paths rank on (mutual-kNN,
+    * source outliers, matryoshka fidelity). Same accumulation order and
+    * same two's-complement overflow wrap as the
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` combinator it replaces
+    * (ANSI: overflow throws), the same NULL domain
+    * ([[MathKernels.dotDefined]]) — but one
+    * codegen'd loop instead of two interpreted closures per component
+    * per candidate pair (the q263 IVF-candidate volume is ~N·√N pairs;
+    * the lambda tree was its top CPU line at sf1).
+    */
+  def dotI64(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotProductI64Expr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** 0-based index of the max-cosine centroid for `v` among `cents`
     * (an `array<array<double>>`, normally a literal). First max wins on
@@ -99,6 +114,36 @@ case class DotProduct64Expr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       if (graft.plans.MathKernels.dotDefined($a, $b)) {
         ${ev.value} = graft.plans.MathKernels.dot($a, $b);
+      } else {
+        ${ev.isNull} = true;
+      }""")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Long-array twin of [[DotProduct64Expr]]: exact int64 accumulation,
+  * NULL on length mismatch or null element, ArithmeticException on
+  * overflow — all identical to the ANSI long-fold combinator.
+  */
+case class DotProductI64Expr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // inferred Seq[ArrayType] <: Seq[AbstractDataType] (private[sql])
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_i64"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (MathKernels.dotDefined(x, y)) MathKernels.dotI64(x, y) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.plans.MathKernels.dotDefined($a, $b)) {
+        ${ev.value} = graft.plans.MathKernels.dotI64($a, $b);
       } else {
         ${ev.isNull} = true;
       }""")
@@ -338,6 +383,22 @@ object MathKernels {
     var i = 0
     while (i < n) {
       acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Exact int64 accumulation — index order identical to the long-fold
+    * combinator, and overflow THROWS exactly as the combinator's ANSI
+    * `Multiply`/`Add` do (Spark 4 default; a silent wrap would turn a
+    * quantization-scale bug into garbage rankings instead of an error).
+    */
+  def dotI64(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
     acc

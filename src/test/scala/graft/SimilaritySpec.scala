@@ -56,6 +56,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2).getDouble(0) == 11.0)
   }
 
+  test("native dotI64 equals the long-fold combinator, incl. malformed") {
+    // the exact-integer twin (round 11): same index order, same
+    // two's-complement overflow wrap, same NULL domain as
+    // aggregate(zip_with(a, b, _*_), 0L, _+_)
+    def comb(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextInt(4001).toLong - 2000L),
+      Seq.fill(64)(rnd.nextInt(4001).toLong - 2000L)))
+    val df = rows.toDF("a", "b")
+    df.select(graft.plans.NativeMath.dotI64($"a", $"b"), comb($"a", $"b"))
+      .as[(Long, Long)].collect()
+      .foreach { case (nat, c) => assert(nat == c) }
+    // malformed: length mismatch and null element -> NULL on both sides
+    val bad = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+    val got = bad.select(graft.plans.NativeMath.dotI64($"a", $"b").as("nat"),
+      comb($"a", $"b").as("c")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0))
+    assert(got(2).getLong(0) == 11L)
+    // overflow THROWS on both sides (ANSI Multiply semantics) — a
+    // quantization-scale bug must be an error, never a wrapped ranking
+    val ovf = Seq((Seq(Long.MaxValue, 1L), Seq(2L, 0L))).toDF("a", "b")
+    intercept[Exception] {
+      ovf.select(graft.plans.NativeMath.dotI64($"a", $"b")).collect() }
+    intercept[Exception] { ovf.select(comb($"a", $"b")).collect() }
+  }
+
   test("native argmaxCosine cell assignment equals the combinator spec") {
     val rnd = new scala.util.Random(11)
     val vecs = Seq.tabulate(100)(i =>

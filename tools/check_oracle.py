@@ -23,8 +23,21 @@ con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    if os.path.isdir(p):  # GenScale writes spark-style directories
+        p = f"{p}/*.parquet"
+    elif not os.path.exists(p):
+        continue
+    if t == "events":
+        # the GenScale sf1 layout stores ts as NANOS-since-epoch BIGINT
+        # (the driver's own parquet is a µs timestamp); convert exactly
+        # as Graft.table does (integer-DIV truncation to µs) so every
+        # oracle sees the same TIMESTAMP column at any scale factor
+        ty = con.sql(f"SELECT typeof(ts) FROM '{p}' LIMIT 1").fetchone()[0]
+        if ty == "BIGINT":
+            con.sql(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
+            continue
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
