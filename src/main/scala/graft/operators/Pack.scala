@@ -129,9 +129,15 @@ object Pack {
   def lengthHistogram(df: DataFrame, tokenCol: String): DataFrame = {
     val len = col(s"`$tokenCol`").cast("long")
     val clamped = greatest(len, lit(1L))
+    // Spark's builtin bin as the Catalyst node, NOT functions.bin: the
+    // dialect registers a full-width 64-char "bin" (CH semantics) and
+    // name-based resolution would pick it up here, turning the bit
+    // length into a constant 64 (the round-8 name-shadow trap)
+    val binRaw = org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Bin(
+        org.apache.spark.sql.GraftSqlBridge.expression(clamped - 1)))
     val bucket = when(clamped === 1L, lit(1L))
-      .otherwise(call_function("shiftleft", lit(1L),
-        length(bin(clamped - 1))))
+      .otherwise(call_function("shiftleft", lit(1L), length(binRaw)))
     df.withColumn("len_bucket", bucket)
       .groupBy(col("len_bucket"))
       .agg(

@@ -2194,6 +2194,86 @@ object ChDialect {
     // this very registration and loop the analyzer.
     "base64Encode" -> (args => ex(base64(col(args.head)))),
     "base64Decode" -> (args => ex(unbase64(col(args.head)).cast("string"))),
+    // ---- round-11 dialect fill #3 (X174) ----
+    // tryBase64Decode: '' on malformed input (the CH try* contract) —
+    // the RFC-4648 shape is validated FIRST because Spark's unbase64
+    // throws under ANSI; the regex enforces charset, grouping and
+    // padding, so the guarded branch never sees bad input
+    "tryBase64Decode" -> (args => {
+      val s = col(args.head)
+      ex(when(s.rlike("^(?:[A-Za-z0-9+/]{4})*" +
+          "(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
+        decode(unbase64(s), "UTF-8")).otherwise(lit("")))
+    }),
+    // bin(x): full-width 64-bit two's-complement bit string (CH prints
+    // the bits of the underlying bytes; the Int64 shape here — both
+    // Spark's and DuckDB's bin() already print negatives as 64-bit
+    // two's complement, so one lpad unifies the widths). Catalyst Bin
+    // node directly: registering the name "bin" would otherwise make a
+    // functions.bin call resolve back into this registration (the
+    // round-8 name-shadow rule).
+    "bin" -> (args => ex(lpad(col(
+      org.apache.spark.sql.catalyst.expressions.Bin(
+        Cast(args.head, LongType))), 64, "0"))),
+    // mortonEncode(a, b): Z-order bit interleave — bit i of a lands at
+    // 2i, bit i of b at 2i+1 (the CH layout). Unrolled 64-term bitwise
+    // OR over literal shifts: disjoint bit positions, so OR == the
+    // arithmetic sum, no carries, fully codegen'd, and exactly
+    // replayable as shifts in any engine. The z-curve is THE
+    // multi-dimensional clustering key at 100 TB: writeZOrdered sorts
+    // on it so min/max file stats prune BOTH dimensions.
+    "mortonEncode" -> (args => {
+      val a = col(args.head).cast("long")
+      val b = col(args(1)).cast("long")
+      ex((0 until 32).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _))
+    }),
+    // mortonDecode(2, code) -> (a, b) named struct (only the 2-D form:
+    // the CH tuple-size argument must be the literal 2)
+    "mortonDecode" -> (args => {
+      require(litString(args.head, "mortonDecode tuple size") == "2",
+        "mortonDecode: only the 2-D form mortonDecode(2, code) is supported")
+      val m = col(args(1)).cast("long")
+      def lane(off: Int) = (0 until 32).map { i =>
+        shiftleft(shiftright(m, 2 * i + off).bitwiseAND(lit(1L)), i)
+      }.reduce(_ bitwiseOR _)
+      ex(struct(lane(0).as("a"), lane(1).as("b")))
+    }),
+    // greatCircleAngle: central angle in DEGREES — the same haversine
+    // core as greatCircleDistance (q137's green gc discipline: integer
+    // grid fixtures, 6-dp-rounded compare, identical operation order
+    // in the oracle)
+    "greatCircleAngle" -> (args => {
+      val Seq(lon1, lat1, lon2, lat2) = args.map(a => radians(col(a)))
+      val a2 = pow(sin((lat2 - lat1) / 2), 2) +
+        cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
+      ex(degrees(lit(2.0) * asin(sqrt(a2))))
+    }),
+    // regexpQuoteMeta: escape the RE2 metacharacter set CH escapes —
+    // pure regexp_replace, replayable verbatim
+    "regexpQuoteMeta" -> (args => ex(regexp_replace(col(args.head),
+      "([\\\\|()^$.\\[\\]?*+{:-])", "\\\\$1"))),
+    "multiSearchAnyCaseInsensitive" -> (args =>
+      ex(ch.multiSearchAny(lower(col(args.head)),
+        transform(col(args(1)), n => lower(n))))),
+    // simpleJSONExtractRaw(json, 'key'): the RAW scalar after "key": —
+    // quoted string kept verbatim (with its quotes), numbers/booleans/
+    // null as spelled; '' when absent. Faithful to CH's simpleJSON*
+    // contract: a naive scan that does NOT parse nesting — and being
+    // one RE2-safe regexp, any engine replays it byte-for-byte.
+    "simpleJSONExtractRaw" -> (args => {
+      val k = litString(args(1), "simpleJSONExtractRaw key")
+      // escape the key with the same character-class rewrite as
+      // regexpQuoteMeta — NOT Pattern.quote's \Q…\E, which RE2 engines
+      // (and so the oracle) do not speak
+      val kq = k.replaceAll("([\\\\|()^$.\\[\\]?*+{:-])", "\\\\$1")
+      val pat = "\"" + kq +
+        "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9][0-9.eE+-]*|true|false|null)"
+      ex(regexp_extract(col(args.head), pat, 1))
+    }),
     "MD5" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Unhex(
         org.apache.spark.sql.catalyst.expressions.Md5(args.head))),

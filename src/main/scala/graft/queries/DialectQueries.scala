@@ -5173,10 +5173,88 @@ object DialectQueries {
         AS t("table", name, position, type)
       ORDER BY "table", position"""))
 
+  // ---------------------------------------------------------------------
+  // X174: round-11 dialect fill #3 — bin (full-width 64-bit two's
+  // complement; Spark's and DuckDB's bin() agree on negatives, one
+  // lpad unifies widths), mortonEncode/mortonDecode (the Z-order
+  // interleave — disjoint-bit OR of literal shifts, replayed as the
+  // same shifts in a DuckDB list comprehension; roundtrip pins decode),
+  // greatCircleAngle (haversine central angle in degrees — q137's
+  // green gc discipline: +0.5 grid, +0.001 nudge, floor at a coarse
+  // grain, exact-integer sum), tryBase64Decode ('' on malformed, the
+  // try* contract), regexpQuoteMeta, multiSearchAnyCaseInsensitive,
+  // and simpleJSONExtractRaw (naive RAW scalar scan — one RE2-safe
+  // regexp, byte-replayable).
+  val q264DialectRound11 = QueryDef(
+    "q264_ch_dialect_round11",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v264")
+      s.sql("""
+        SELECT event_type,
+               min(bin(user_id % 9 - 4)) AS bn,
+               toInt64(sum(mortonEncode(user_id % 1024,
+                 event_id % 1024))) AS me,
+               toInt64(sum(mortonDecode(2, mortonEncode(user_id % 1024,
+                 event_id % 1024)).a)) AS mda,
+               toInt64(sum(mortonDecode(2, mortonEncode(user_id % 1024,
+                 event_id % 1024)).b)) AS mdb,
+               toInt64(sum(floor(greatCircleAngle(
+                 CAST(event_id % 90 AS DOUBLE) + 0.5,
+                 CAST(user_id % 45 AS DOUBLE) + 0.5,
+                 CAST(event_id % 79 AS DOUBLE) + 0.5,
+                 CAST(user_id % 53 AS DOUBLE) + 0.5) * 100
+                 + 0.001))) AS gca,
+               max(tryBase64Decode(CASE WHEN user_id % 2 = 0
+                 THEN base64Encode(toString(event_id % 100))
+                 ELSE '%%%' END)) AS tb64,
+               toInt64(sum(CASE WHEN tryBase64Decode(
+                 CASE WHEN user_id % 2 = 0
+                   THEN base64Encode(toString(event_id % 100))
+                   ELSE '%%%' END) = '' THEN 1 ELSE 0 END)) AS tb64e,
+               min(regexpQuoteMeta(concat('p', toString(user_id % 5),
+                 '.*+?[x]'))) AS rqm,
+               toInt64(sum(multiSearchAnyCaseInsensitive(event_type,
+                 array('IEW', 'LICK', 'RRor')))) AS msa,
+               min(simpleJSONExtractRaw(props, 'k')) AS sjr,
+               toInt64(count(1)) AS n
+        FROM events_v264 GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             min(lpad(bin(CAST(user_id % 9 - 4 AS BIGINT)), 64, '0'))
+               AS bn,
+             CAST(sum(list_sum([
+               ((((user_id % 1024) >> i) & 1) << (2*i))
+               + ((((event_id % 1024) >> i) & 1) << ((2*i) + 1))
+               for i in generate_series(0, 9)])) AS BIGINT) AS me,
+             CAST(sum(user_id % 1024) AS BIGINT) AS mda,
+             CAST(sum(event_id % 1024) AS BIGINT) AS mdb,
+             CAST(sum(floor(degrees(2 * asin(sqrt(
+               pow(sin((radians(CAST(user_id % 53 AS DOUBLE) + 0.5)
+                 - radians(CAST(user_id % 45 AS DOUBLE) + 0.5)) / 2), 2)
+               + cos(radians(CAST(user_id % 45 AS DOUBLE) + 0.5))
+               * cos(radians(CAST(user_id % 53 AS DOUBLE) + 0.5))
+               * pow(sin((radians(CAST(event_id % 79 AS DOUBLE) + 0.5)
+                 - radians(CAST(event_id % 90 AS DOUBLE) + 0.5)) / 2), 2)
+               ))) * 100 + 0.001)) AS BIGINT) AS gca,
+             max(CASE WHEN user_id % 2 = 0
+               THEN CAST(event_id % 100 AS VARCHAR) ELSE '' END) AS tb64,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tb64e,
+             min('p' || CAST(user_id % 5 AS VARCHAR)
+               || '\.\*\+\?\[x\]') AS rqm,
+             CAST(sum(CASE WHEN event_type IN ('view', 'click', 'error')
+               THEN 1 ELSE 0 END) AS BIGINT) AS msa,
+             min(regexp_extract(props,
+               '"k"\s*:\s*("(?:[^"\\]|\\.)*"|-?[0-9][0-9.eE+-]*|true|false|null)',
+               1)) AS sjr,
+             CAST(count(1) AS BIGINT) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q251Hll, q252DialectRound10b, q256IfCombinators, q261Qualify,
-      q262SystemColumns,
+      q262SystemColumns, q264DialectRound11,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,

@@ -126,6 +126,68 @@ class Round11Spec extends SparkSpec {
       e.getMessage)
   }
 
+  // ---- X174: round-11 dialect fill #3 ----
+
+  test("dialect fill #3: bin / morton / angle / base64 / quote / json " +
+      "hand-checked") {
+    val r = spark.sql("""
+      SELECT bin(5) AS b5, bin(-1) AS bm1,
+             mortonEncode(3, 1) AS me,
+             mortonDecode(2, mortonEncode(1023, 77)).a AS mda,
+             mortonDecode(2, mortonEncode(1023, 77)).b AS mdb,
+             round(greatCircleAngle(0.0D, 0.0D, 90.0D, 0.0D), 6) AS gca,
+             tryBase64Decode('aGk=') AS tb_ok,
+             tryBase64Decode('!!!') AS tb_bad,
+             tryBase64Decode('aGk') AS tb_nopad,
+             regexpQuoteMeta('a.b*c') AS rqm,
+             simpleJSONExtractRaw('{"k": 42, "s": "x"}', 'k') AS sj_num,
+             simpleJSONExtractRaw('{"k": 42, "s": "x\\"y"}', 's') AS sj_str,
+             simpleJSONExtractRaw('{"k": 1}', 'zz') AS sj_miss,
+             multiSearchAnyCaseInsensitive('Hello World',
+               array('WORL', 'zz')) AS msa1,
+             multiSearchAnyCaseInsensitive('Hello', array('zz')) AS msa0
+      """).head()
+    // bin: full-width two's complement
+    assert(r.getAs[String]("b5") ===
+      "0" * 61 + "101")
+    assert(r.getAs[String]("bm1") === "1" * 64)
+    // mortonEncode(3, 1): a bits 0,1 -> positions 0,2; b bit 0 -> 1
+    assert(r.getAs[Long]("me") === 7L)
+    // roundtrip at the 10-bit corners
+    assert(r.getAs[Long]("mda") === 1023L)
+    assert(r.getAs[Long]("mdb") === 77L)
+    // quarter great circle = 90 degrees exactly
+    assert(math.abs(r.getAs[Double]("gca") - 90.0) < 1e-6)
+    assert(r.getAs[String]("tb_ok") === "hi")
+    assert(r.getAs[String]("tb_bad") === "")
+    // unpadded input is malformed under the strict RFC contract
+    assert(r.getAs[String]("tb_nopad") === "")
+    assert(r.getAs[String]("rqm") === "a\\.b\\*c")
+    assert(r.getAs[String]("sj_num") === "42")
+    // RAW keeps the quotes and the escape
+    assert(r.getAs[String]("sj_str") === "\"x\\\"y\"")
+    assert(r.getAs[String]("sj_miss") === "")
+    assert(r.getAs[Long]("msa1") === 1L)
+    assert(r.getAs[Long]("msa0") === 0L)
+  }
+
+  test("mortonEncode z-values preserve 2-D locality order within a " +
+      "quadrant (the file-skipping premise)") {
+    // within one power-of-two quadrant the z-value range of the
+    // quadrant is contiguous: all cells of quadrant (a<4, b<4) sort
+    // before any cell of (a>=4, b>=4)
+    val df = spark.sql("""
+      SELECT a, b, mortonEncode(a, b) AS z FROM
+      (SELECT explode(sequence(CAST(0 AS BIGINT), 7)) AS a) CROSS JOIN
+      (SELECT explode(sequence(CAST(0 AS BIGINT), 7)) AS b)""")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lowQuad = rows.filter { case (a, b, _) => a < 4 && b < 4 }.map(_._3)
+    val highQuad = rows.filter { case (a, b, _) => a >= 4 && b >= 4 }.map(_._3)
+    assert(lowQuad.max < highQuad.min)
+    // and z is a bijection on the 8x8 grid
+    assert(rows.map(_._3).distinct.length === 64)
+  }
+
   test("QUALIFY at depth 0 still rewrites (the contract check must " +
       "not catch the supported shape)") {
     spark.range(10).selectExpr("id", "id % 3 AS g")
