@@ -521,6 +521,25 @@ object ch {
   def multiSearchAny(h: Column, needles: Column): Column =
     coalesce(exists(needles, x => h.contains(x)), lit(false)).cast("long")
 
+  /** Morton (Z-order) bit interleave of two long columns: bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1 — CH's `mortonEncode`
+    * layout. An unrolled `bits`-term bitwise OR over LITERAL shifts:
+    * the positions are disjoint so OR equals the arithmetic sum (no
+    * carries), the whole expression stays in whole-stage codegen, and
+    * any engine replays it as the same shifts. One definition serves
+    * both the SQL dialect surface and [[graft.sources.Warehouse]]'s
+    * z-ordered layout writer.
+    */
+  def mortonInterleave(a: Column, b: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, "mortonInterleave: 1 <= bits <= 32")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Character n-grams of a string (1-based substrings, length-n
     * windows) — the unit set of the fuzzy-match family below. Empty
     * when the string is shorter than n.
@@ -677,8 +696,89 @@ object ch {
     * regex over the encoded event string.
     */
   def sequenceMatch(pattern: String, ts: Column, conds: Seq[Column]): Column =
-    regexp_like(sequenceEventString(ts, conds),
-      lit(compileSequencePattern(pattern, conds.length))).cast("long")
+    if (pattern.contains("(?t"))
+      sequenceMatchTimed(pattern, ts, conds)
+    else
+      regexp_like(sequenceEventString(ts, conds),
+        lit(compileSequencePattern(pattern, conds.length))).cast("long")
+
+  /** The `(?t OP seconds)` time-constrained form (round 11 — X179).
+    * Supported shape: a PURE chain of refs with an optional time
+    * constraint between each adjacent pair —
+    * `(?a)(?t<=N)(?b)(?t>M)(?c)…` — i.e. CH's canonical timed
+    * patterns. `.*` gaps do not compose with time constraints here
+    * (rejected loudly): a timed pair pins CONSECUTIVE matched events,
+    * so the match is an exists-scan over length-m runs of the sorted
+    * matched-event array — one HOF pass, no backtracking, and any SQL
+    * engine replays it as the same run check. Constraint semantics:
+    * `t(next) − t(prev) OP seconds`, timestamps in whole seconds
+    * (CH's unit).
+    */
+  private def sequenceMatchTimed(pattern: String, ts: Column,
+      conds: Seq[Column]): Column = {
+    val n = conds.length
+    require(n >= 1 && n <= 5,
+      s"sequence functions support 1..5 conditions, got $n")
+    val token = """\(\?(\d+)\)|\(\?t\s*(<=|>=|<|>|==)\s*(\d+)\)|\.\*""".r
+    var pos = 0
+    // (refIndex, constraint-vs-previous)
+    val refs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Option[(String, Long)])]
+    var pending: Option[(String, Long)] = None
+    token.findAllMatchIn(pattern).foreach { m =>
+      require(m.start == pos,
+        s"unrecognized sequence pattern fragment at ${pos}: '$pattern'")
+      pos = m.end
+      if (m.group(1) != null) {
+        val k = m.group(1).toInt
+        require(k >= 1 && k <= n,
+          s"pattern refers to condition $k but only $n conditions given")
+        refs += ((k, pending)); pending = None
+      } else if (m.group(2) != null) {
+        require(refs.nonEmpty && pending.isEmpty,
+          "a (?t...) constraint must sit between two event refs")
+        pending = Some((m.group(2), m.group(3).toLong))
+      } else throw new IllegalArgumentException(
+        ".* gaps do not compose with (?t...) time constraints; " +
+          "use an untimed pattern or split the chain")
+    }
+    require(pos == pattern.length,
+      s"unrecognized sequence pattern fragment at ${pos}: '$pattern'")
+    require(pending.isEmpty,
+      "a (?t...) constraint must be followed by an event ref")
+    require(refs.head._2.isEmpty, "the first ref cannot carry a (?t...)")
+    val m = refs.length
+    val b = conds.zipWithIndex.map { case (c, i) =>
+      when(coalesce(c.cast("boolean"), lit(false)), lit(1 << i))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val ev = struct(ts.cast("long").as("t"), b.as("b"))
+    val evs = array_sort(collect_list(when(ts.isNotNull && b > 0, ev)))
+    def runOk(evsC: Column, j: Column): Column =
+      refs.zipWithIndex.map { case ((k, tc), i) =>
+        val e = element_at(evsC, (j + i).cast("int"))
+        val bitOk = e.getField("b")
+          .bitwiseAND(lit(1 << (k - 1))) =!= 0
+        val tOk = tc match {
+          case None => lit(true)
+          case Some((op, secs)) =>
+            val prev = element_at(evsC, (j + i - 1).cast("int"))
+            val d = e.getField("t") - prev.getField("t")
+            op match {
+              case "<="  => d <= secs
+              case ">="  => d >= secs
+              case "<"   => d < secs
+              case ">"   => d > secs
+              case "=="  => d === secs
+            }
+        }
+        bitOk && tOk
+      }.reduce(_ && _)
+    when(size(evs) >= m,
+      exists(sequence(lit(1), size(evs) - (m - 1)),
+        j => runOk(evs, j)))
+      .otherwise(lit(false)).cast("long")
+  }
 
   /** ClickHouse `sequenceNextNode(direction, base)(ts, value,
     * base_cond, cond1, …)` (`clickhouse.com/docs/sql-reference/
@@ -767,9 +867,36 @@ object ch {
     * fits comfortably; an unbounded global key would not, as with any
     * collect-based aggregate).
     */
-  def windowFunnel(window: Column, ts: Column, conds: Seq[Column]): Column = {
+  /** Optional `modes` (round 11 — the CH mode set):
+    *
+    *  - `strict_order`: an event matching NO condition freezes the
+    *    chain (CH's "don't allow interventions of other events";
+    *    A→B→D→C finds level 2). The frozen level is whatever was
+    *    reached before the intruder.
+    *  - `strict_dedup`: an event repeating a condition whose level is
+    *    ALREADY reached freezes the chain ("repeating event interrupts
+    *    further processing") — including a second level-1 event, which
+    *    in the default mode would restart the chain.
+    *  - `strict_increase`: a level only advances on a timestamp
+    *    STRICTLY greater than the timestamp of the event that set the
+    *    previous level (equal-ts pile-ups count once).
+    *
+    * Tie policy (all modes): events sort by (ts, c0…cn) — CH reads
+    * block order here, which is nondeterministic; the engine's total
+    * sort is the documented deterministic refinement (the deltaSum
+    * note). The freeze flag applies to the event that raises it: a
+    * chain-killing event never also advances the chain.
+    */
+  def windowFunnel(window: Column, ts: Column, conds: Seq[Column],
+      modes: Set[String] = Set.empty): Column = {
     val n = conds.length
     require(n >= 1, "windowFunnel needs at least one condition")
+    val allowed = Set("strict_order", "strict_dedup", "strict_increase")
+    require(modes.subsetOf(allowed),
+      s"windowFunnel modes must be in $allowed, got $modes")
+    val strictOrder = modes("strict_order")
+    val strictDedup = modes("strict_dedup")
+    val strictIncrease = modes("strict_increase")
     val ev = struct(ts.cast("long").as("ts") +:
       conds.zipWithIndex.map { case (c, i) =>
         coalesce(c.cast("boolean"), lit(false)).as(s"c$i")
@@ -778,21 +905,39 @@ object ch {
     // start would silently reset level 1) — collect_list drops nulls,
     // so the guard excludes those events entirely
     val sorted = array_sort(collect_list(when(ts.isNotNull, ev)))
-    val init = struct((0 until n).map(i =>
-      lit(null).cast("bigint").as(s"t$i")): _*)
+    // state per level i: t_i = chain-START ts (the window anchors to
+    // the FIRST event, as in CH), e_i = ts of the event that set the
+    // level (the strict_increase comparand); plus the freeze flag
+    val init = struct((0 until n).flatMap(i => Seq(
+      lit(null).cast("bigint").as(s"t$i"),
+      lit(null).cast("bigint").as(s"e$i"))) :+
+      lit(false).as("dead"): _*)
     val folded = aggregate(sorted, init, (acc, e) => {
       val t = e.getField("ts")
-      val fields = (0 until n).map { i =>
-        if (i == 0)
-          when(e.getField("c0"), t).otherwise(acc.getField("t0")).as("t0")
-        else {
-          val prev = acc.getField(s"t${i - 1}")
-          when(e.getField(s"c$i") && prev.isNotNull &&
-              t <= prev + window.cast("long"), prev)
-            .otherwise(acc.getField(s"t$i")).as(s"t$i")
+      val anyMatch = (0 until n).map(i => e.getField(s"c$i"))
+        .reduce(_ || _)
+      val repeatHit = (0 until n).map(i =>
+        e.getField(s"c$i") && acc.getField(s"t$i").isNotNull)
+        .reduce(_ || _)
+      val dead = acc.getField("dead") ||
+        (if (strictOrder) !anyMatch else lit(false)) ||
+        (if (strictDedup) repeatHit else lit(false))
+      val fields = (0 until n).flatMap { i =>
+        if (i == 0) {
+          val adv = !dead && e.getField("c0")
+          Seq(when(adv, t).otherwise(acc.getField("t0")).as("t0"),
+            when(adv, t).otherwise(acc.getField("e0")).as("e0"))
+        } else {
+          val prevT = acc.getField(s"t${i - 1}")
+          val prevE = acc.getField(s"e${i - 1}")
+          val adv = !dead && e.getField(s"c$i") && prevT.isNotNull &&
+            t <= prevT + window.cast("long") &&
+            (if (strictIncrease) t > prevE else lit(true))
+          Seq(when(adv, prevT).otherwise(acc.getField(s"t$i")).as(s"t$i"),
+            when(adv, t).otherwise(acc.getField(s"e$i")).as(s"e$i"))
         }
       }
-      struct(fields: _*)
+      struct(fields :+ dead.as("dead"): _*)
     })
     (0 until n).foldLeft(lit(0)) { (els, i) =>
       when(folded.getField(s"t$i").isNotNull, lit(i + 1)).otherwise(els)

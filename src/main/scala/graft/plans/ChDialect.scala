@@ -940,10 +940,21 @@ object ChDialect {
     // flattened by the TotalsParser to windowFunnel(w, ts, conds...).
     "retention" -> (args => ex(ch.retention(args.map(col)))),
     "windowFunnel" -> (args => {
-      require(args.length >= 3,
-        "windowFunnel(window, ts, cond1, ...) needs at least 3 arguments")
-      ex(ch.windowFunnel(col(args.head), col(args(1)),
-        args.drop(2).map(col)))
+      // flattened: (window[, 'mode'…], ts, cond1, …) — the CH mode
+      // strings ('strict_order'/'strict_dedup'/'strict_increase')
+      // arrive as string literals between the window and the ts
+      val (modeLits, rest) = args.tail.span {
+        case Literal(v, StringType) => v != null
+        case _ => false
+      }
+      val modes = modeLits.map {
+        case Literal(v, _) => v.toString
+      }.toSet
+      require(rest.length >= 2,
+        "windowFunnel(window[, 'mode'...])(ts, cond1, ...) needs a " +
+          "timestamp and at least one condition")
+      ex(ch.windowFunnel(col(args.head), col(rest.head),
+        rest.tail.map(col), modes))
     }),
     // groupArraySample(k[, seed])(x): k-element sample of the group.
     // Deviation, documented: CH samples with an RNG reservoir
@@ -1382,6 +1393,52 @@ object ChDialect {
     // mapping the other quantile* names take; the bin contract (exact
     // <1024, 16 ms bins to 30000, clamp above) is the point. Calls
     // arrive flattened: (level(s)…, x[, weight]).
+    // corrMatrix(x1, …, xn) (X177, round 11): the n×n Pearson matrix as
+    // ratios of EXACT integer moment sums — count, Σxᵢ, Σxᵢ², Σxᵢxⱼ
+    // all fold as longs over integer-cast inputs (the X162 fixed-point
+    // discipline; CH accumulates in float, which no second engine can
+    // replay bit-for-bit), and the only IEEE ops are the final two
+    // sqrts and one divide, spelled in the same order the oracle
+    // spells them. Contract: inputs are integer-quantized by the
+    // caller (quantize floats ×10^k first — what a reproducible
+    // pipeline wants anyway). Zero-variance columns yield NULL cells
+    // (CH: nan). Composes as ratio-of-aggregates (the A3 pattern):
+    // the analyzer extracts each sum/count into the Aggregate.
+    "corrMatrix" -> (args => {
+      require(args.length >= 2,
+        "corrMatrix(x1, ..., xn) needs at least 2 columns")
+      val xs = args.map(a => col(a).cast("long"))
+      val n = count(lit(1))
+      def cell(a: Column, b: Column): Column = {
+        val num = (n * sum(a * b) - sum(a) * sum(b)).cast("double")
+        val da = (n * sum(a * a) - sum(a) * sum(a)).cast("double")
+        val db = (n * sum(b * b) - sum(b) * sum(b)).cast("double")
+        when(da > 0 && db > 0, num / (sqrt(da) * sqrt(db)))
+      }
+      // the diagonal is DEFINED as 1 (any non-degenerate column
+      // correlates perfectly with itself) — x/(√x·√x) would drift a
+      // ulp, so it is pinned structurally, not computed
+      ex(array(xs.zipWithIndex.map { case (a, i) =>
+        array(xs.zipWithIndex.map { case (b, j) =>
+          if (i == j) when(cell(a, b).isNotNull, lit(1.0))
+          else cell(a, b)
+        }: _*)
+      }: _*))
+    }),
+    // quantileTDigest family (plans/NativeStats.TDigestAgg): Dunning's
+    // merging t-digest with the k1 tail-accurate scale, δ = 100 (CH's
+    // default ε class). Estimates are sketch- and merge-order-defined
+    // (in CH too) — compared surfaces bracket them between exact
+    // quantiles at level ∓ 0.02 rank, never hash them. Calls arrive
+    // flattened: (level(s)…, x).
+    "quantileTDigest" -> (args => TDigestAgg(
+      Cast(args(1), DoubleType), 100,
+      Seq(litDouble(args.head, "quantileTDigest level")),
+      returnArray = false).toAggregateExpression()),
+    "quantilesTDigest" -> (args => TDigestAgg(
+      Cast(args.last, DoubleType), 100,
+      args.init.map(litDouble(_, "quantilesTDigest level")),
+      returnArray = true).toAggregateExpression()),
     "quantileTiming" -> (args => QuantileTimingAgg(
       Cast(args(1), LongType), None,
       Seq(litDouble(args.head, "quantileTiming level")),
@@ -2222,15 +2279,8 @@ object ChDialect {
     // replayable as shifts in any engine. The z-curve is THE
     // multi-dimensional clustering key at 100 TB: writeZOrdered sorts
     // on it so min/max file stats prune BOTH dimensions.
-    "mortonEncode" -> (args => {
-      val a = col(args.head).cast("long")
-      val b = col(args(1)).cast("long")
-      ex((0 until 32).map { i =>
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-          .bitwiseOR(
-            shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-      }.reduce(_ bitwiseOR _))
-    }),
+    "mortonEncode" -> (args =>
+      ex(ch.mortonInterleave(col(args.head), col(args(1))))),
     // mortonDecode(2, code) -> (a, b) named struct (only the 2-D form:
     // the CH tuple-size argument must be the literal 2)
     "mortonDecode" -> (args => {

@@ -904,3 +904,173 @@ object ExpDecayAgg {
   final case class State(sum: Double, weight: Double, lastT: Double,
       mx: Double, empty: Boolean)
 }
+
+/** t-digest quantile sketch (X176, round 11) — Dunning & Ertl,
+  * "Computing Extremely Accurate Quantiles Using t-Digests"
+  * (arXiv:1902.04023): centroids sized by the k1 scale function, so
+  * rank resolution concentrates at the tails (the property CH's
+  * `quantileTDigest` family exists for, and the complement to the
+  * GK sketch's uniform rank error). Fixed-size mergeable state
+  * (≤ ~2δ centroids after compression), map-side partial aggregation,
+  * byte-serialized (mean, weight) pairs — the 100 TB sketch shape.
+  *
+  * Determinism policy: a t-digest's ESTIMATE depends on merge order
+  * (in ClickHouse too) — so, like the theta/HLL/GK family, compared
+  * surfaces must BRACKET the estimate between exact quantiles at
+  * level ∓ rank-error-band rather than hash it. The k1 bound keeps
+  * per-cluster rank mass ≤ 1/δ of total, so with δ = 100 a ±0.02
+  * rank band is safe under ANY merge order (Round11Spec pins the
+  * bracket property across repartitionings; the q266 oracle compares
+  * bracket booleans and exact count/min/max).
+  *
+  * The buffer holds unmerged (value, weight) pairs plus compressed
+  * centroids; compression triggers at 8δ entries, keeping update
+  * amortized O(log) and the serialized state ≤ 8δ pairs.
+  */
+case class TDigestAgg(
+    child: Expression,
+    delta: Int,
+    levels: Seq[Double],
+    returnArray: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with ImplicitCastInputTypes {
+
+  require(delta >= 20 && delta <= 10000,
+    s"quantileTDigest delta must be in [20, 10000], got $delta")
+  require(levels.nonEmpty && levels.forall(l => l >= 0.0 && l <= 1.0),
+    s"quantileTDigest levels must be in [0, 1], got $levels")
+
+  private type Buf = ArrayBuffer[(Double, Long)]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType =
+    if (returnArray) org.apache.spark.sql.types.ArrayType(
+      DoubleType, containsNull = false)
+    else DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (returnArray) "quantilesTDigest" else "quantileTDigest"
+
+  override def createAggregationBuffer(): Buf = ArrayBuffer.empty
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (!x.isNaN) {
+        buf += ((x, 1L))
+        if (buf.length > 8 * delta) TDigestAgg.compressInto(buf, delta)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b1 ++= b2
+    if (b1.length > 8 * delta) TDigestAgg.compressInto(b1, delta)
+    b1
+  }
+
+  override def eval(buf: Buf): Any = {
+    if (buf.isEmpty) return null
+    TDigestAgg.compressInto(buf, delta)
+    val cs = buf.toArray
+    val qs = levels.map(l => TDigestAgg.quantile(cs, l))
+    if (returnArray)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(qs.toArray)
+    else qs.head
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    TDigestAgg.compressInto(buf, delta)
+    val bb = ByteBuffer.allocate(4 + 16 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach { case (m, w) => bb.putDouble(m); bb.putLong(w) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf += ((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TDigestAgg =
+    copy(child = newChildren.head)
+}
+
+object TDigestAgg {
+
+  /** k1 scale: k(q) = δ·(asin(2q−1)/2π + 1/4); a cluster may span
+    * [qL, qR] only while k(qR) − k(qL) ≤ 1 — tail clusters stay tiny,
+    * mid clusters carry ≤ ~π/δ of the rank mass.
+    */
+  private def kFn(q: Double, delta: Int): Double =
+    delta * (math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0) /
+      (2.0 * math.Pi) + 0.25)
+
+  /** Dunning's one-pass merging compression, in place: sort by
+    * (mean, weight) — a total, deterministic order — then greedily
+    * coalesce neighbours while the k1 bound allows.
+    */
+  def compressInto(buf: ArrayBuffer[(Double, Long)], delta: Int): Unit = {
+    if (buf.length <= 1) return
+    val sorted = buf.toArray
+    java.util.Arrays.sort(sorted, Ordering.Tuple2[Double, Long])
+    val total = sorted.map(_._2).sum.toDouble
+    buf.clear()
+    var curSum = sorted(0)._1 * sorted(0)._2
+    var curW = sorted(0)._2
+    var emitted = 0L
+    var kLeft = kFn(0.0, delta)
+    var i = 1
+    while (i < sorted.length) {
+      val (m, w) = sorted(i)
+      val qRight = (emitted + curW + w).toDouble / total
+      if (kFn(qRight, delta) - kLeft <= 1.0) {
+        curSum += m * w; curW += w
+      } else {
+        buf += ((curSum / curW, curW))
+        emitted += curW
+        kLeft = kFn(emitted / total, delta)
+        curSum = m * w; curW = w
+      }
+      i += 1
+    }
+    buf += ((curSum / curW, curW))
+  }
+
+  /** Standard centroid-midpoint interpolation over the compressed,
+    * mean-sorted digest.
+    */
+  def quantile(cs: Array[(Double, Long)], level: Double): Double = {
+    val total = cs.map(_._2).sum.toDouble
+    val target = level * total
+    if (cs.length == 1 || target <= cs.head._2 / 2.0) return cs.head._1
+    var cum = 0.0
+    var i = 0
+    while (i < cs.length - 1) {
+      val mid = cum + cs(i)._2 / 2.0
+      val nextMid = cum + cs(i)._2 + cs(i + 1)._2 / 2.0
+      if (target < nextMid) {
+        if (nextMid == mid) return cs(i)._1
+        val f = (target - mid) / (nextMid - mid)
+        return cs(i)._1 + f * (cs(i + 1)._1 - cs(i)._1)
+      }
+      cum += cs(i)._2
+      i += 1
+    }
+    cs.last._1
+  }
+}

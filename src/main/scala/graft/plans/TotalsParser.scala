@@ -50,11 +50,13 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   // is matched by a balanced-paren scan. The plural forms take a level
   // LIST and return an array (→ percentile(x, array(...))).
   private val quantileHead =
-    // NOTE: the Timing family is NOT here — it has its own native
-    // fixed-bin sketch (NativeStats.QuantileTimingAgg) and flattens
-    // through the paramAgg path instead of collapsing to percentile
+    // NOTE: the Timing and TDigest families are NOT here — each has
+    // its own native sketch (NativeStats.QuantileTimingAgg /
+    // TDigestAgg, the latter replacing the round-9 percentile
+    // collapse in round 11) and flattens through the paramAgg path
+    // instead of collapsing to percentile
     ("""(?i)\b(quantiles?|quantiles?Exact|quantiles?ExactInclusive""" +
-      """|quantiles?ExactWeighted|quantiles?TDigest)""" +
+      """|quantiles?ExactWeighted)""" +
       """\s*\(\s*([0-9.eE+-]+(?:\s*,\s*[0-9.eE+-]+)*)\s*\)\s*\(""").r
   private val prewhereKw = """(?i)\bPREWHERE\b""".r
   // values may be bare words/numbers OR a masked string literal (the
@@ -154,6 +156,7 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       """|groupArrayMovingSum|groupArrayMovingAvg|uniqThetaState|uniqTheta|histogram""" +
       """|quantilesTimingWeighted|quantileTimingWeighted""" +
       """|quantilesTiming|quantileTiming|quantileGK""" +
+      """|quantilesTDigest|quantileTDigest""" +
       """|quantileInterpolatedWeighted|sparkbar|sumMapFiltered""" +
       """|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum""" +
       """|exponentialTimeDecayedCount|exponentialTimeDecayedAvg""" +

@@ -5251,10 +5251,321 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X176: quantileTDigest / quantilesTDigest — the tail-accurate
+  // quantile sketch completing the family (GK = uniform rank error,
+  // timing = fixed bins, t-digest = k1 tail concentration). Estimates
+  // are merge-order-defined (in CH too), so the compared cells are
+  // BRACKET booleans against exact quantiles at level ∓ 0.02 rank
+  // (the theta/HLL convention) plus exact count/min/max; the oracle
+  // replays the exact sides and expects every bracket to hold — with
+  // δ = 100 the k1 bound keeps the digest's rank error an order of
+  // magnitude inside the band under any merge order.
+  val q266TDigest = QueryDef(
+    "q266_ch_tdigest",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v266")
+      s.sql("""
+        SELECT event_type,
+               toInt64(count(1)) AS n,
+               toInt64(min(user_id)) AS mn,
+               toInt64(max(user_id)) AS mx,
+               CASE WHEN quantileTDigest(0.5)(CAST(user_id AS DOUBLE))
+                 BETWEEN percentile(user_id, 0.48)
+                     AND percentile(user_id, 0.52)
+                 THEN 1 ELSE 0 END AS ok50,
+               CASE WHEN quantileTDigest(0.95)(CAST(user_id AS DOUBLE))
+                 BETWEEN percentile(user_id, 0.93)
+                     AND percentile(user_id, 0.97)
+                 THEN 1 ELSE 0 END AS ok95,
+               CASE WHEN quantileTDigest(0.99)(CAST(user_id AS DOUBLE))
+                 BETWEEN percentile(user_id, 0.97)
+                     AND CAST(max(user_id) AS DOUBLE)
+                 THEN 1 ELSE 0 END AS ok99,
+               CASE WHEN element_at(quantilesTDigest(0.25, 0.5, 0.75)(
+                   CAST(user_id AS DOUBLE)), 1)
+                 <= element_at(quantilesTDigest(0.25, 0.5, 0.75)(
+                   CAST(user_id AS DOUBLE)), 2)
+                 AND element_at(quantilesTDigest(0.25, 0.5, 0.75)(
+                   CAST(user_id AS DOUBLE)), 2)
+                 <= element_at(quantilesTDigest(0.25, 0.5, 0.75)(
+                   CAST(user_id AS DOUBLE)), 3)
+                 THEN 1 ELSE 0 END AS mono
+        FROM events_v266 GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(min(user_id) AS BIGINT) AS mn,
+             CAST(max(user_id) AS BIGINT) AS mx,
+             1 AS ok50, 1 AS ok95, 1 AS ok99, 1 AS mono
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // X177: corrMatrix — the n×n Pearson matrix from EXACT integer
+  // moment sums (count, Σx, Σx², Σxy fold as longs; the only IEEE ops
+  // are the final two sqrts and one divide, spelled identically in
+  // the oracle → bit-identical cells, rounded 6 dp on both sides).
+  // The diagonal is exactly 1.0 (x/x with x > 0), pinned as a boolean.
+  val q267CorrMatrix = QueryDef(
+    "q267_ch_corr_matrix",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v267")
+      s.sql("""
+        SELECT event_type,
+               round(element_at(element_at(m, 1), 2), 6) AS c12,
+               round(element_at(element_at(m, 1), 3), 6) AS c13,
+               round(element_at(element_at(m, 2), 3), 6) AS c23,
+               CASE WHEN element_at(element_at(m, 1), 1) = 1.0D
+                     AND element_at(element_at(m, 2), 2) = 1.0D
+                     AND element_at(element_at(m, 3), 3) = 1.0D
+                    THEN 1 ELSE 0 END AS diag,
+               n
+        FROM (
+          SELECT event_type,
+                 corrMatrix(user_id % 97, event_id % 89,
+                   (user_id + event_id) % 83) AS m,
+                 toInt64(count(1)) AS n
+          FROM events_v267 GROUP BY event_type)
+        ORDER BY event_type""")
+    },
+    Some("""
+      WITH x AS (
+        SELECT event_type, user_id % 97 AS x1, event_id % 89 AS x2,
+               (user_id + event_id) % 83 AS x3
+        FROM events
+      ), s AS (
+        SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(x3) AS BIGINT) AS s3,
+               CAST(sum(x1*x1) AS BIGINT) AS q1,
+               CAST(sum(x2*x2) AS BIGINT) AS q2,
+               CAST(sum(x3*x3) AS BIGINT) AS q3,
+               CAST(sum(x1*x2) AS BIGINT) AS p12,
+               CAST(sum(x1*x3) AS BIGINT) AS p13,
+               CAST(sum(x2*x3) AS BIGINT) AS p23
+        FROM x GROUP BY 1)
+      SELECT event_type,
+             round(CAST(n*p12 - s1*s2 AS DOUBLE)
+               / (sqrt(CAST(n*q1 - s1*s1 AS DOUBLE))
+                  * sqrt(CAST(n*q2 - s2*s2 AS DOUBLE))), 6) AS c12,
+             round(CAST(n*p13 - s1*s3 AS DOUBLE)
+               / (sqrt(CAST(n*q1 - s1*s1 AS DOUBLE))
+                  * sqrt(CAST(n*q3 - s3*s3 AS DOUBLE))), 6) AS c13,
+             round(CAST(n*p23 - s2*s3 AS DOUBLE)
+               / (sqrt(CAST(n*q2 - s2*s2 AS DOUBLE))
+                  * sqrt(CAST(n*q3 - s3*s3 AS DOUBLE))), 6) AS c23,
+             1 AS diag, n
+      FROM s ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // X178: windowFunnel strict modes (strict_order / strict_dedup /
+  // strict_increase) — the funnel-level histogram under all four mode
+  // configurations at once. The oracle extends q78's PROVEN window
+  // cascade one leg per mode: strict_order filters every stage by the
+  // "no intruder strictly before" prefix flag; strict_dedup finds the
+  // first chain-killing row against the default-evolved prefix state
+  // (before the first kill the two evolutions coincide, so the
+  // circularity is benign) and scores only rows before it;
+  // strict_increase adds the strictly-greater-than-previous-advance
+  // timestamp predicates (w1 doubles as level-1's event time; the
+  // latest advance's chain start is the prefix max because chain
+  // starts are non-decreasing in event order). A list_reduce struct
+  // fold was tried first and is UNSTABLE in DuckDB 1.0 (same query,
+  // different projections, different fold results) — cascades only.
+  // The tie policy (events sort by (ts, c0, c1, c2); a chain-killing
+  // event never also advances) is part of the replayed definition.
+  val q268FunnelModes = QueryDef(
+    "q268_funnel_modes",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v268")
+      s.sql("""
+        WITH u AS (
+          SELECT user_id,
+            windowFunnel(7200)(ts, event_type = 'view',
+              event_type = 'click', event_type = 'purchase') AS l_def,
+            windowFunnel(7200, 'strict_order')(ts, event_type = 'view',
+              event_type = 'click', event_type = 'purchase') AS l_ord,
+            windowFunnel(7200, 'strict_dedup')(ts, event_type = 'view',
+              event_type = 'click', event_type = 'purchase') AS l_ded,
+            windowFunnel(7200, 'strict_increase')(ts,
+              event_type = 'view', event_type = 'click',
+              event_type = 'purchase') AS l_inc
+          FROM events_v268 GROUP BY user_id)
+        SELECT mode, lvl, toInt64(count(1)) AS n FROM (
+          SELECT 'default' AS mode, toInt64(l_def) AS lvl FROM u
+          UNION ALL SELECT 'order', toInt64(l_ord) FROM u
+          UNION ALL SELECT 'dedup', toInt64(l_ded) FROM u
+          UNION ALL SELECT 'increase', toInt64(l_inc) FROM u)
+        GROUP BY mode, lvl ORDER BY mode, lvl""")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               coalesce(event_type = 'view', false) AS c0,
+               coalesce(event_type = 'click', false) AS c1,
+               coalesce(event_type = 'purchase', false) AS c2
+        FROM events
+      ), e2 AS (
+        SELECT *, row_number() OVER po AS rn,
+          coalesce(bool_or(NOT (c0 OR c1 OR c2)) OVER pw, false) AS blk
+        FROM e
+        WINDOW po AS (PARTITION BY user_id ORDER BY t, c0, c1, c2),
+               pw AS (PARTITION BY user_id ORDER BY t, c0, c1, c2
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ), a AS (
+        SELECT *,
+          max(CASE WHEN c0 THEN t END) OVER pw AS w1,
+          max(CASE WHEN c0 AND NOT blk THEN t END) OVER pw AS w1o
+        FROM e2
+        WINDOW pw AS (PARTITION BY user_id ORDER BY t, c0, c1, c2
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ), b AS (
+        SELECT *,
+          CASE WHEN c1 AND w1 IS NOT NULL AND t <= w1 + 7200 THEN w1 END AS p1,
+          CASE WHEN c1 AND NOT blk AND w1o IS NOT NULL AND t <= w1o + 7200
+               THEN w1o END AS p1o,
+          CASE WHEN c1 AND w1 IS NOT NULL AND t <= w1 + 7200 AND t > w1
+               THEN w1 END AS p1i
+        FROM a
+      ), c AS (
+        SELECT *,
+          max(p1) OVER pw AS m1,
+          max(p1o) OVER pw AS m1o,
+          max(p1i) OVER pw AS m1i,
+          max(CASE WHEN p1i IS NOT NULL THEN t END) OVER pw AS e1i
+        FROM b
+        WINDOW pw AS (PARTITION BY user_id ORDER BY t, c0, c1, c2
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ), d AS (
+        SELECT *,
+          CASE WHEN c2 AND m1 IS NOT NULL AND t <= m1 + 7200 THEN m1 END AS p2,
+          CASE WHEN c2 AND NOT blk AND m1o IS NOT NULL AND t <= m1o + 7200
+               THEN m1o END AS p2o,
+          CASE WHEN c2 AND m1i IS NOT NULL AND t <= m1i + 7200 AND t > e1i
+               THEN m1i END AS p2i
+        FROM c
+      ), dd AS (
+        SELECT *, max(p2) OVER pw AS m2
+        FROM d
+        WINDOW pw AS (PARTITION BY user_id ORDER BY t, c0, c1, c2
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ), kp AS (
+        SELECT user_id, min(CASE WHEN (c0 AND w1 IS NOT NULL)
+            OR (c1 AND m1 IS NOT NULL) OR (c2 AND m2 IS NOT NULL)
+          THEN rn END) AS kill_rn
+        FROM dd GROUP BY 1
+      ), lv AS (
+        SELECT dd.user_id,
+          CASE WHEN bool_or(p2 IS NOT NULL) THEN 3
+               WHEN bool_or(p1 IS NOT NULL) THEN 2
+               WHEN bool_or(c0) THEN 1 ELSE 0 END AS l_def,
+          CASE WHEN bool_or(p2o IS NOT NULL) THEN 3
+               WHEN bool_or(p1o IS NOT NULL) THEN 2
+               WHEN bool_or(c0 AND NOT blk) THEN 1 ELSE 0 END AS l_ord,
+          CASE WHEN bool_or(p2 IS NOT NULL AND rn < coalesce(kill_rn, rn + 1))
+               THEN 3
+               WHEN bool_or(p1 IS NOT NULL AND rn < coalesce(kill_rn, rn + 1))
+               THEN 2
+               WHEN bool_or(c0 AND rn < coalesce(kill_rn, rn + 1)) THEN 1
+               ELSE 0 END AS l_ded,
+          CASE WHEN bool_or(p2i IS NOT NULL) THEN 3
+               WHEN bool_or(p1i IS NOT NULL) THEN 2
+               WHEN bool_or(c0) THEN 1 ELSE 0 END AS l_inc
+        FROM dd JOIN kp USING (user_id) GROUP BY dd.user_id
+      )
+      SELECT mode, CAST(lvl AS BIGINT) AS lvl, CAST(count(1) AS BIGINT) AS n
+      FROM (
+        SELECT 'default' AS mode, l_def AS lvl FROM lv
+        UNION ALL SELECT 'order', l_ord FROM lv
+        UNION ALL SELECT 'dedup', l_ded FROM lv
+        UNION ALL SELECT 'increase', l_inc FROM lv)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------------
+  // X179: sequenceMatch `(?t OP seconds)` time constraints — the CH
+  // timed-chain form, previously a loud reject. A timed pattern is a
+  // pure ref chain with per-adjacent-pair constraints; the match is an
+  // exists-scan over length-m runs of the sorted matched-event array
+  // (consecutive matched events, the same adjacency contract as the
+  // untimed form), which the oracle replays as the identical run check
+  // with a DuckDB list comprehension over the same (t, bitmask) lists.
+  val q269SeqMatchTimed = QueryDef(
+    "q269_seq_match_timed",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v269")
+      s.sql("""
+        SELECT toInt64(sum(m_within)) AS u_within,
+               toInt64(sum(m_beyond)) AS u_beyond,
+               toInt64(sum(m_chain3)) AS u_chain3,
+               toInt64(count(1)) AS u_total
+        FROM (
+          SELECT user_id,
+            sequenceMatch('(?1)(?t<=7200)(?2)')(ts,
+              event_type = 'view', event_type = 'click') AS m_within,
+            sequenceMatch('(?1)(?t>7200)(?2)')(ts,
+              event_type = 'view', event_type = 'click') AS m_beyond,
+            sequenceMatch('(?1)(?t<=36000)(?2)(?t<=36000)(?3)')(
+              ts, event_type = 'view', event_type = 'click',
+              event_type = 'purchase') AS m_chain3
+          FROM events_v269 GROUP BY user_id)""")
+    },
+    Some("""
+      WITH e AS (
+        -- a matched-event list PER CONDITION SET: the two-condition
+        -- patterns are blind to purchases (events matching no given
+        -- condition are invisible, so they cannot break adjacency)
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                + CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+                 AS b2,
+               (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                + CASE WHEN event_type = 'click' THEN 2 ELSE 0 END
+                + CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END)
+                 AS b3
+        FROM events
+      ), l2 AS (
+        SELECT user_id, list({'t': t, 'b': b2} ORDER BY t, b2) AS evs
+        FROM e WHERE b2 > 0 GROUP BY 1
+      ), l3 AS (
+        SELECT user_id, list({'t': t, 'b': b3} ORDER BY t, b3) AS evs
+        FROM e WHERE b3 > 0 GROUP BY 1
+      ), m2 AS (
+        SELECT user_id,
+          CASE WHEN len([j FOR j IN generate_series(1, len(evs) - 1)
+            IF (evs[j].b & 1) <> 0 AND (evs[j+1].b & 2) <> 0
+               AND evs[j+1].t - evs[j].t <= 7200]) > 0
+            THEN 1 ELSE 0 END AS n_within,
+          CASE WHEN len([j FOR j IN generate_series(1, len(evs) - 1)
+            IF (evs[j].b & 1) <> 0 AND (evs[j+1].b & 2) <> 0
+               AND evs[j+1].t - evs[j].t > 7200]) > 0
+            THEN 1 ELSE 0 END AS n_beyond
+        FROM l2
+      ), m3 AS (
+        SELECT user_id,
+          CASE WHEN len(evs) >= 3 AND
+            len([j FOR j IN generate_series(1, len(evs) - 2)
+            IF (evs[j].b & 1) <> 0 AND (evs[j+1].b & 2) <> 0
+               AND (evs[j+2].b & 4) <> 0
+               AND evs[j+1].t - evs[j].t <= 36000
+               AND evs[j+2].t - evs[j+1].t <= 36000]) > 0
+            THEN 1 ELSE 0 END AS n_chain3
+        FROM l3
+      ), m AS (
+        SELECT user_id, n_within, n_beyond, n_chain3
+        FROM m2 FULL JOIN m3 USING (user_id))
+      SELECT CAST(sum(coalesce(n_within, 0)) AS BIGINT) AS u_within,
+             CAST(sum(coalesce(n_beyond, 0)) AS BIGINT) AS u_beyond,
+             CAST(sum(coalesce(n_chain3, 0)) AS BIGINT) AS u_chain3,
+             CAST(count(1) AS BIGINT) AS u_total
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN m USING (user_id)"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q251Hll, q252DialectRound10b, q256IfCombinators, q261Qualify,
-      q262SystemColumns, q264DialectRound11,
+      q262SystemColumns, q264DialectRound11, q266TDigest, q267CorrMatrix,
+      q268FunnelModes, q269SeqMatchTimed,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,

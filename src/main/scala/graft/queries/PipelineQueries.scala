@@ -5647,6 +5647,43 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X175: Z-order clustered layout — the multi-dimensional file-skip
+  // lever (Delta/Iceberg Z-ORDER as a plain parquet layout): both box
+  // dimensions are min/max-scaled, Morton-interleaved, and the data
+  // range-partitioned + sorted by the z-value, so every file's min/max
+  // stats are narrow in BOTH user_id and event_id. The entry proves
+  // the write→read roundtrip + 2-D box filter correctness against the
+  // raw table (exact cells); the skipping evidence (z files pruned vs
+  // a single-key sort) is Round11Spec's per-file min/max audit, which
+  // cannot live in a row-compare oracle.
+  val q265ZOrderLayout = QueryDef(
+    "q265_zorder_layout",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_q265_${new java.io.File(dir).getName}"
+      graft.sources.Warehouse.writeZOrdered(
+        Graft.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type")),
+        out, "user_id", "event_id", bits = 12, outFiles = 16)
+      s.read.parquet(out)
+        .filter(col("user_id").between(30, 89) &&
+          col("event_id").between(1000, 6999))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("user_id")).cast("long").as("su"),
+          sum(col("event_id")).cast("long").as("se"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(user_id) AS BIGINT) AS su,
+             CAST(sum(event_id) AS BIGINT) AS se
+      FROM events
+      WHERE user_id BETWEEN 30 AND 89
+        AND event_id BETWEEN 1000 AND 6999
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------------
   // X167: cross-doc sentence-template detection (digit-masked
   // skeletons — the machine-generated boilerplate finder one level
   // above q142's line dedup). The corpus carries no guaranteed
@@ -5727,7 +5764,7 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
-    q254RobustStats, q255MutualKnn, q263MutualKnnIvf,
+    q254RobustStats, q255MutualKnn, q263MutualKnnIvf, q265ZOrderLayout,
     q258TemplateSentences,
     q260RecordLinkage,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ch.toMonday
@@ -329,5 +329,48 @@ object Warehouse {
       .withColumn(weekCol, toMonday(col(s"`$dateCol`")))
     writeBucketed(stamped, table, tableDir, bucketCol, buckets,
       partitionCol = Some(weekCol))
+  }
+
+  /** Z-order clustered layout (X175, round 11) — MULTI-dimensional
+    * clustering for file skipping, the lever [[writeBucketed]]'s
+    * single-key sort cannot provide: sorting by `colA` gives every
+    * file the FULL `colB` range, so a predicate on `colB` (or a 2-D
+    * box) prunes nothing. Here both columns are min/max-scaled to
+    * `bits`-bit lanes, interleaved into one Morton z-value
+    * ([[graft.functions.ch.mortonInterleave]]), and the data is
+    * range-partitioned + sorted by it — each parquet file then covers
+    * a contiguous z-range, i.e. a LOCALIZED rectangle-ish region of
+    * (colA, colB) space, and the ordinary parquet min/max stats on
+    * the ORIGINAL columns prune files for predicates on EITHER
+    * dimension (Delta/Iceberg's Z-ORDER, as a plain parquet layout).
+    *
+    * Scale shape: one min/max aggregate pass (4 scalars) + one
+    * range-shuffle write — the same pay-once discipline as bucketing.
+    * `repartitionByRange(outFiles, z)` keeps file sizes balanced
+    * whatever the (colA, colB) distribution, because ranks of z are
+    * balanced by construction. The z column is dropped before the
+    * write: the LAYOUT carries the clustering; readers see the
+    * original schema.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, colA: String,
+      colB: String, bits: Int = 16, outFiles: Int = 32): Unit = {
+    require(bits >= 1 && bits <= 16, "writeZOrdered: 1 <= bits <= 16")
+    val a = col(s"`$colA`").cast("double")
+    val b = col(s"`$colB`").cast("double")
+    val r = df.agg(min(a), max(a), min(b), max(b)).head()
+    val (aLo, aHi) = (r.getDouble(0), r.getDouble(1))
+    val (bLo, bHi) = (r.getDouble(2), r.getDouble(3))
+    val top = (1L << bits) - 1
+    def lane(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(top), floor((c - lit(lo)) *
+        lit(top.toDouble / (hi - lo))).cast("long"))
+    val z = graft.functions.ch.mortonInterleave(
+      lane(a, aLo, aHi), lane(b, bLo, bHi), bits)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(outFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(dir)
   }
 }

@@ -381,14 +381,52 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getLong(0) == 2L)
   }
 
-  test("sequence pattern rejects (?t...) time constraints loudly") {
+  test("sequenceMatch (?t...) time constraints: hand cases (round 11)") {
+    // view at t=0, click at t=100: within 3600, not beyond
+    val r = spark.sql("""
+      SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(t, n = 1, n = 2) AS a,
+             sequenceMatch('(?1)(?t>3600)(?2)')(t, n = 1, n = 2) AS b,
+             sequenceMatch('(?1)(?t<100)(?2)')(t, n = 1, n = 2) AS c,
+             sequenceMatch('(?1)(?t==100)(?2)')(t, n = 1, n = 2) AS d
+      FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', 1),
+                  (TIMESTAMP '2024-01-01 00:01:40', 2) AS t(t, n)
+    """).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 0L, 0L, 1L)))
+    // the timed pair pins CONSECUTIVE matched events: an intervening
+    // matched event breaks it (same contract as untimed adjacency)
+    val s = spark.sql("""
+      SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(t, n = 1, n = 2) AS a
+      FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', 1),
+                  (TIMESTAMP '2024-01-01 00:00:30', 1),
+                  (TIMESTAMP '2024-01-01 00:01:40', 2) AS t(t, n)
+    """).collect().head
+    assert(s.getLong(0) == 1L) // the SECOND view chains (consecutive)
+    // three-ref chain with two constraints
+    val u = spark.sql("""
+      SELECT sequenceMatch('(?1)(?t<=60)(?2)(?t>30)(?3)')(
+               t, n = 1, n = 2, n = 3) AS a
+      FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', 1),
+                  (TIMESTAMP '2024-01-01 00:00:50', 2),
+                  (TIMESTAMP '2024-01-01 00:01:40', 3) AS t(t, n)
+    """).collect().head
+    assert(u.getLong(0) == 1L)
+    // gaps still do not compose with constraints — loud reject
     val e = intercept[Exception] {
       spark.sql("""
-        SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(t, n = 1, n = 2)
+        SELECT sequenceMatch('(?1).*(?t<=3600)(?2)')(t, n = 1, n = 2)
         FROM VALUES (TIMESTAMP '2024-01-01 00:00:01', 1) AS t(t, n)
       """).collect()
     }
-    assert(e.getMessage.contains("windowFunnel"))
+    assert(e.getMessage.contains("do not compose"))
+    // and sequenceCount keeps its loud reject for timed patterns
+    val e2 = intercept[Exception] {
+      spark.sql("""
+        SELECT sequenceCount('(?1)(?t<=3600)(?2)')(t, n = 1, n = 2)
+        FROM VALUES (TIMESTAMP '2024-01-01 00:00:01', 1) AS t(t, n)
+      """).collect()
+    }
+    assert(e2.getMessage.contains("windowFunnel"))
   }
 
   test("uniqUpTo caps the exact distinct count at N+1") {
@@ -544,14 +582,20 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getDouble(0).isNaN)
   }
 
-  test("quantileTDigest parameterized forms map to percentile") {
+  test("quantileTDigest parameterized forms run the NATIVE t-digest") {
+    // round 11: the round-9 percentile collapse is replaced by
+    // NativeStats.TDigestAgg. At tiny n every point is its own
+    // centroid and the estimate is the standard centroid-midpoint
+    // interpolation: median of 1..5 hits centroid 3 exactly; q25/q75
+    // interpolate BETWEEN points (1.75 / 4.25), unlike exact
+    // percentile's 2.0 / 4.0 — the sketch semantic, as in CH.
     val r = spark.sql("""
       SELECT quantileTDigest(0.5)(v) AS med,
              quantilesTDigest(0.25, 0.75)(v) AS qs
       FROM VALUES (1), (2), (3), (4), (5) AS t(v)
     """).collect().head
     assert(r.getDouble(0) == 3.0)
-    assert(r.getSeq[Double](1) == Seq(2.0, 4.0))
+    assert(r.getSeq[Double](1) == Seq(1.75, 4.25))
   }
 
   test("quantileTiming: CH fixed-bin sketch — exact below 1024, 16 ms " +
