@@ -1425,4 +1425,230 @@ object ch {
         concat(twoDec(v / 1e9), lit(" billion")))
       .otherwise(concat(twoDec(v / 1e12), lit(" trillion")))
   }
+
+  // -------------------------------------------------------------------
+  // Round-11 dialect fill #4 (X182)
+
+  /** CH `groupArrayIntersect(arr)`: the intersection of all the
+    * group's arrays, SORTED (CH's output order is unspecified — the
+    * sort makes this engine's replayable; same policy as
+    * groupBitmapState). NULL arrays are skipped (aggregate NULL-skip
+    * convention); an all-NULL/empty group yields NULL. Group-bounded
+    * state (the collect_list fold), the windowFunnel caveat.
+    */
+  def groupArrayIntersect(arr: Column): Column = {
+    val cl = collect_list(arr)
+    when(size(cl) > 0,
+      array_sort(aggregate(slice(cl, lit(2), size(cl)),
+        try_element_at(cl, lit(1)),
+        (acc, x) => array_intersect(acc, x))))
+  }
+
+  /** CH `sumWithOverflow(x)`: integer sum with two's-complement WRAP
+    * at Int64 width instead of ANSI overflow failure. Implemented as
+    * an exact Decimal(38) sum reduced mod 2⁶⁴ into the signed range —
+    * map-side combinable like any sum, exact while the group's true
+    * sum stays under 10³⁸ (2⁵⁷ rows of extreme longs).
+    */
+  def sumWithOverflow(x: Column): Column = {
+    val m = lit(new java.math.BigDecimal("18446744073709551616")) // 2^64
+    val half = lit(new java.math.BigDecimal("9223372036854775808")) // 2^63
+    val s = sum(x.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val w = ((s % m) + m) % m
+    when(w >= half, (w - m).cast("long")).otherwise(w.cast("long"))
+  }
+
+  /** CH `tokens(s)`: split into maximal runs of alphanumeric ASCII —
+    * every other byte is a separator (CH's default tokenizer
+    * contract). Empty tokens never appear; NULL in → NULL out.
+    */
+  def tokens(s: Column): Column =
+    filter(split(s, "[^A-Za-z0-9]+"), t => t =!= "")
+
+  /** CH `toUnixTimestamp64Milli/Micro/Nano(ts)`: the timestamp as an
+    * Int64 at the given precision. Spark timestamps carry µs — the
+    * nano form is µs·1000 (sub-µs digits are zero, documented).
+    */
+  def toUnixTimestamp64Milli(ts: Column): Column = {
+    // Column `/` is DOUBLE division — make the numerator exactly
+    // divisible first so the quotient is an exact integer double
+    // (floor-division semantics for the negative pre-epoch edge too)
+    val us = unix_micros(ts.cast("timestamp"))
+    ((us - pmod(us, lit(1000L))) / lit(1000L)).cast("long")
+  }
+  def toUnixTimestamp64Micro(ts: Column): Column =
+    unix_micros(ts.cast("timestamp"))
+  def toUnixTimestamp64Nano(ts: Column): Column =
+    unix_micros(ts.cast("timestamp")) * lit(1000L)
+
+  /** CH `fromUnixTimestamp64Milli/Micro/Nano(n)`: Int64 → timestamp
+    * (nanos truncate to the µs Spark carries, matching the engine's
+    * integer-DIV nanos policy).
+    */
+  def fromUnixTimestamp64Milli(n: Column): Column =
+    timestamp_micros(n.cast("long") * lit(1000L))
+  def fromUnixTimestamp64Micro(n: Column): Column =
+    timestamp_micros(n.cast("long"))
+  def fromUnixTimestamp64Nano(n: Column): Column = {
+    val v = n.cast("long")
+    timestamp_micros(((v - pmod(v, lit(1000L))) / lit(1000L)).cast("long"))
+  }
+
+  /** CH `toDaysSinceYearZero(d)`: days since 0000-01-01 proleptic
+    * Gregorian — epoch days + 719528 (CH pins
+    * toDaysSinceYearZero('1970-01-01') = 719528), avoiding a year-0
+    * literal that not every SQL dialect parses.
+    */
+  def toDaysSinceYearZero(d: Column): Column =
+    datediff(d.cast("date"), to_date(lit("1970-01-01"))) + lit(719528)
+
+  /** CH `toModifiedJulianDay(s)` / `fromModifiedJulianDay(n)`: days
+    * since 1858-11-17 and back.
+    */
+  def toModifiedJulianDay(d: Column): Column =
+    datediff(d.cast("date"), to_date(lit("1858-11-17")))
+  def fromModifiedJulianDay(n: Column): Column =
+    date_add(to_date(lit("1858-11-17")), n.cast("int"))
+
+  /** CH `timeSlots(start, duration[, size])`: the array of `size`-
+    * second slot starts covering `[start, start + duration]` — slot i
+    * is `⌊unix(start)/size⌋·size + i·size`, for every slot whose start
+    * is ≤ start + duration (CH's inclusive-end contract). Default
+    * size 1800 (half-hour), like CH.
+    */
+  def timeSlots(start: Column, duration: Column,
+      size: Column = lit(1800L)): Column = {
+    val sz = size.cast("long")
+    val s0 = floor(unix_seconds(start.cast("timestamp")) / sz) * sz
+    val hi = unix_seconds(start.cast("timestamp")) + duration.cast("long")
+    val slots = floor((hi - s0) / sz).cast("int")
+    transform(sequence(lit(0), slots),
+      i => timestamp_seconds(s0 + i.cast("long") * sz))
+  }
+
+  // -------------------------------------------------------------------
+  // Time-series analysis (CH 23.10+ `series*` family). All three are
+  // per-row ARRAY kernels — series live one-per-group (groupArray'd or
+  // constructed), never exploded, so the functions are plain
+  // projections at any corpus scale.
+
+  /** Type-7 (linear-interpolated) quantile over an already-sorted
+    * array — the convention Spark's `percentile` and DuckDB's
+    * `quantile_cont` share, so oracles replay the exact arithmetic:
+    * `h = (n-1)q`, value = `s[⌊h⌋] + (h-⌊h⌋)(s[⌊h⌋+1] - s[⌊h⌋])`
+    * (0-based). The `least` guard keeps the upper index in range at
+    * q = 1 (where the fraction is exactly 0).
+    */
+  private def sortedQuantile(sorted: Column, n: Column,
+      q: Double): Column = {
+    val h = (n - 1).cast("double") * lit(q)
+    val lo = floor(h).cast("int")
+    val frac = h - lo.cast("double")
+    element_at(sorted, lo + 1) +
+      frac * (element_at(sorted, least(lo + 2, n)) -
+        element_at(sorted, lo + 1))
+  }
+
+  /** CH `seriesOutliersDetectTukey(series[, min_q, max_q, k])`: per
+    * element, the signed distance past the Tukey fences
+    * `[Q(minQ) − k·IQR, Q(maxQ) + k·IQR]` (0.0 inside the fences —
+    * non-outliers score zero, outliers score how FAR out they sit,
+    * negative below / positive above). Quantiles are type-7
+    * interpolated (the engine-wide convention; see
+    * [[sortedQuantile]] — a documented refinement of CH's internal
+    * estimator, chosen so the oracle replays every cell exactly).
+    * Series shorter than 4 → NULL (CH's minimum). Defined for
+    * NULL-free series (groupArray output never holds NULLs).
+    */
+  def seriesOutliersDetectTukey(arr: Column, minQ: Double = 0.25,
+      maxQ: Double = 0.75, k: Double = 1.5): Column = {
+    require(minQ >= 0 && maxQ <= 1 && minQ < maxQ,
+      s"seriesOutliersDetectTukey: need 0 <= minQ < maxQ <= 1, " +
+        s"got ($minQ, $maxQ)")
+    val xs = transform(arr, x => x.cast("double"))
+    val n = size(xs)
+    val sorted = array_sort(xs)
+    val q1 = sortedQuantile(sorted, n, minQ)
+    val q3 = sortedQuantile(sorted, n, maxQ)
+    val iqr = q3 - q1
+    val loF = q1 - lit(k) * iqr
+    val hiF = q3 + lit(k) * iqr
+    when(n >= 4, transform(xs, x =>
+      when(x < loF, x - loF)
+        .when(x > hiF, x - hiF)
+        .otherwise(lit(0.0))))
+  }
+
+  /** CH `seriesPeriodDetectFFT(series)`: the dominant period, found as
+    * `n / k*` where `k*` is the argmax of the mean-centered DFT
+    * periodogram `P(k) = (Σᵢ yᵢ cos(2πki/n))² + (Σᵢ yᵢ sin(2πki/n))²`
+    * over k = 1 … ⌊n/2⌋ (a documented refinement of CH's
+    * Welch-windowed estimator: same answer on any clearly periodic
+    * series, exactly specified arithmetic). Ties break to the SMALLEST
+    * k (longest period — `array_position` finds the first max). n < 4
+    * → NULL; a (near-)constant series (max power ≤ 1e-9) → 0.0, the
+    * "not periodic" sentinel. O(n²) per row — series are per-group
+    * aggregates (thousands of points), never the raw event stream.
+    */
+  def seriesPeriodDetectFFT(arr: Column): Column = {
+    val xs = transform(arr, x => x.cast("double"))
+    val n = size(xs)
+    val mean = aggregate(xs, lit(0.0), (a, x) => a + x) /
+      n.cast("double")
+    val idx = sequence(lit(0), n - 1)
+    val ks = sequence(lit(1), floor(n / 2).cast("int"))
+    val power = transform(ks, kk => {
+      val ang = lit(2.0 * math.Pi) * kk.cast("double") / n.cast("double")
+      val re = aggregate(idx, lit(0.0), (a, i) =>
+        a + (element_at(xs, i + 1) - mean) * cos(ang * i.cast("double")))
+      val im = aggregate(idx, lit(0.0), (a, i) =>
+        a + (element_at(xs, i + 1) - mean) * sin(ang * i.cast("double")))
+      re * re + im * im
+    })
+    val kStar = array_position(power, array_max(power)).cast("double")
+    when(n >= 4,
+      when(array_max(power) > lit(1e-9), n.cast("double") / kStar)
+        .otherwise(lit(0.0)))
+  }
+
+  /** CH `seriesDecomposeSTL(series, period)`: additive decomposition
+    * into `[seasonal, trend, residual, baseline]` (CH's four-array
+    * return shape; baseline = seasonal + trend). A documented
+    * refinement of CH's STL/loess internals with exactly specified
+    * arithmetic: trend is the boundary-clipped symmetric moving
+    * average of half-width ⌊p/2⌋; the seasonal component is the
+    * per-phase mean of the detrended series, centered by subtracting
+    * the mean of the p phase means; residual is
+    * `(x − trend) − seasonal` in that association order. Requires
+    * p ≥ 2 and n ≥ 2p, else NULL.
+    */
+  def seriesDecomposeSTL(arr: Column, period: Column): Column = {
+    val xs = transform(arr, x => x.cast("double"))
+    val n = size(xs)
+    val p = period.cast("int")
+    val h = floor(p / 2).cast("int")
+    val idx0 = sequence(lit(0), n - 1)
+    val trend = transform(idx0, i => {
+      val loI = greatest(i - h, lit(0))
+      val hiI = least(i + h, n - 1)
+      val win = slice(xs, loI + 1, hiI - loI + 1)
+      aggregate(win, lit(0.0), (a, x) => a + x) / size(win).cast("double")
+    })
+    val det = zip_with(xs, trend, (x, t) => x - t)
+    val phases = sequence(lit(0), p - 1)
+    val sRaw = transform(phases, s => {
+      val masked = zip_with(det, idx0,
+        (d, i) => when(pmod(i, p) === s, d))
+      val vals = filter(masked, v => v.isNotNull)
+      aggregate(vals, lit(0.0), (a, x) => a + x) / size(vals).cast("double")
+    })
+    val sMean = aggregate(sRaw, lit(0.0), (a, x) => a + x) /
+      p.cast("double")
+    val seasonal = transform(idx0,
+      i => element_at(sRaw, pmod(i, p) + 1) - sMean)
+    val resid = zip_with(det, seasonal, (d, s) => d - s)
+    val baseline = zip_with(seasonal, trend, (s, t) => s + t)
+    when(p >= 2 && n >= p * 2,
+      array(seasonal, trend, resid, baseline))
+  }
 }

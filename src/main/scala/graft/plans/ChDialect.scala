@@ -2251,6 +2251,64 @@ object ChDialect {
     // this very registration and loop the analyzer.
     "base64Encode" -> (args => ex(base64(col(args.head)))),
     "base64Decode" -> (args => ex(unbase64(col(args.head)).cast("string"))),
+    // ---- round-11 dialect fill #4 (X182) ----
+    // nonNegativeDerivative(metric, ts[, interval_seconds]): rate of
+    // change per interval clamped at 0 — a window function (CH's
+    // classification; the O(1)-state NonNegDerivAgg). The optional
+    // third argument is numeric seconds or an INTERVAL literal.
+    "nonNegativeDerivative" -> (args => {
+      val iv = if (args.length < 3) 1.0 else args(2) match {
+        case Literal(v: Long, _: org.apache.spark.sql.types
+            .DayTimeIntervalType) => v / 1e6
+        case other => litDouble(other, "nonNegativeDerivative interval")
+      }
+      NonNegDerivAgg(Cast(args.head, DoubleType),
+        Cast(args(1), DoubleType), iv).toAggregateExpression()
+    }),
+    "groupArrayIntersect" -> (args =>
+      ex(ch.groupArrayIntersect(col(args.head)))),
+    "sumWithOverflow" -> (args =>
+      ex(ch.sumWithOverflow(col(args.head)))),
+    "tokens" -> (args => ex(ch.tokens(col(args.head)))),
+    "toUnixTimestamp64Milli" -> (args =>
+      ex(ch.toUnixTimestamp64Milli(col(args.head)))),
+    "toUnixTimestamp64Micro" -> (args =>
+      ex(ch.toUnixTimestamp64Micro(col(args.head)))),
+    "toUnixTimestamp64Nano" -> (args =>
+      ex(ch.toUnixTimestamp64Nano(col(args.head)))),
+    "fromUnixTimestamp64Milli" -> (args =>
+      ex(ch.fromUnixTimestamp64Milli(col(args.head)))),
+    "fromUnixTimestamp64Micro" -> (args =>
+      ex(ch.fromUnixTimestamp64Micro(col(args.head)))),
+    "fromUnixTimestamp64Nano" -> (args =>
+      ex(ch.fromUnixTimestamp64Nano(col(args.head)))),
+    "toDaysSinceYearZero" -> (args =>
+      ex(ch.toDaysSinceYearZero(col(args.head)))),
+    "toModifiedJulianDay" -> (args =>
+      ex(ch.toModifiedJulianDay(col(args.head)))),
+    "fromModifiedJulianDay" -> (args =>
+      ex(ch.fromModifiedJulianDay(col(args.head)))),
+    "timeSlots" -> (args =>
+      if (args.length >= 3)
+        ex(ch.timeSlots(col(args.head), col(args(1)), col(args(2))))
+      else ex(ch.timeSlots(col(args.head), col(args(1))))),
+    // ---- round-11 time-series family (X180) ----
+    // seriesOutliersDetectTukey(arr[, minQ, maxQ, k]): signed
+    // distance past the Tukey fences, 0.0 inside (graft.functions.ch)
+    "seriesOutliersDetectTukey" -> (args => args.length match {
+      case 1 => ex(ch.seriesOutliersDetectTukey(col(args.head)))
+      case 4 => ex(ch.seriesOutliersDetectTukey(col(args.head),
+        litDouble(args(1), "seriesOutliersDetectTukey min_percentile"),
+        litDouble(args(2), "seriesOutliersDetectTukey max_percentile"),
+        litDouble(args(3), "seriesOutliersDetectTukey k")))
+      case n => throw new IllegalArgumentException(
+        "seriesOutliersDetectTukey takes (series) or " +
+          s"(series, min_percentile, max_percentile, k), got $n args")
+    }),
+    "seriesPeriodDetectFFT" -> (args =>
+      ex(ch.seriesPeriodDetectFFT(col(args.head)))),
+    "seriesDecomposeSTL" -> (args =>
+      ex(ch.seriesDecomposeSTL(col(args.head), col(args(1))))),
     // ---- round-11 dialect fill #3 (X174) ----
     // tryBase64Decode: '' on malformed input (the CH try* contract) —
     // the RFC-4648 shape is validated FIRST because Spark's unbase64

@@ -905,6 +905,105 @@ object ExpDecayAgg {
       mx: Double, empty: Boolean)
 }
 
+/** ClickHouse window function `nonNegativeDerivative(metric, ts
+  * [, interval])` (X182, round 11): at row i of the frame,
+  * `max(0, (mᵢ − mᵢ₋₁) / (tᵢ − tᵢ₋₁) · interval_seconds)` — the
+  * rate-of-change-per-interval, clamped at zero (counters that reset
+  * must never report a negative rate). The first frame row, a
+  * non-positive time step, and NULL inputs all yield 0.0 (the
+  * runningDifference first-row convention; NULL rows are skipped and
+  * do not advance the previous point).
+  *
+  * State is the last two (metric, ts) points — O(1) per row of a
+  * growing window frame, same as [[ExpDecayAgg]]. ORDER CONTRACT:
+  * window-frame use only (CH defines it as a window function);
+  * GROUP BY use is documented nondeterministic, same stance as CH's
+  * deltaSum caveat.
+  */
+case class NonNegDerivAgg(
+    xChild: Expression,
+    tChild: Expression,
+    intervalSec: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[NonNegDerivAgg.State]
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
+
+  require(intervalSec > 0.0,
+    "nonNegativeDerivative: interval must be positive")
+
+  override def left: Expression = xChild
+  override def right: Expression = tChild
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nonNegativeDerivative"
+
+  override def createAggregationBuffer(): NonNegDerivAgg.State =
+    NonNegDerivAgg.State(Double.NaN, Double.NaN, Double.NaN, Double.NaN, 0)
+
+  override def update(b: NonNegDerivAgg.State,
+      input: InternalRow): NonNegDerivAgg.State = {
+    val xv = xChild.eval(input)
+    val tv = tChild.eval(input)
+    if (xv == null || tv == null) return b
+    val x = xv.asInstanceOf[Double]
+    val t = tv.asInstanceOf[Double]
+    if (b.n == 0) NonNegDerivAgg.State(Double.NaN, Double.NaN, x, t, 1)
+    else NonNegDerivAgg.State(b.cx, b.ct, x, t, 2)
+  }
+
+  /** Merge keeps time order by the states' newest points — exact for
+    * time-split partials; the GROUP BY caveat above applies.
+    */
+  override def merge(a: NonNegDerivAgg.State,
+      b: NonNegDerivAgg.State): NonNegDerivAgg.State = {
+    if (a.n == 0) return b
+    if (b.n == 0) return a
+    val (early, late) = if (a.ct <= b.ct) (a, b) else (b, a)
+    if (late.n >= 2) late
+    else NonNegDerivAgg.State(early.cx, early.ct, late.cx, late.ct, 2)
+  }
+
+  override def eval(b: NonNegDerivAgg.State): Any =
+    if (b.n < 2) 0.0
+    else {
+      val dt = b.ct - b.pt
+      if (dt <= 0.0) 0.0
+      else math.max(0.0, (b.cx - b.px) / dt * intervalSec)
+    }
+
+  override def serialize(b: NonNegDerivAgg.State): Array[Byte] = {
+    val bb = ByteBuffer.allocate(36)
+    bb.putDouble(b.px); bb.putDouble(b.pt)
+    bb.putDouble(b.cx); bb.putDouble(b.ct)
+    bb.putInt(b.n)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): NonNegDerivAgg.State = {
+    val bb = ByteBuffer.wrap(bytes)
+    NonNegDerivAgg.State(bb.getDouble, bb.getDouble, bb.getDouble,
+      bb.getDouble, bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): NonNegDerivAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): NonNegDerivAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NonNegDerivAgg =
+    copy(xChild = newLeft, tChild = newRight)
+}
+
+object NonNegDerivAgg {
+  /** The frame's last two accepted (metric, ts) points; n counts
+    * accepted rows, capped at 2.
+    */
+  final case class State(px: Double, pt: Double, cx: Double, ct: Double,
+      n: Int)
+}
+
 /** t-digest quantile sketch (X176, round 11) — Dunning & Ertl,
   * "Computing Extremely Accurate Quantiles Using t-Digests"
   * (arXiv:1902.04023): centroids sized by the k1 scale function, so

@@ -489,7 +489,11 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
       // CH's quoted-unit dateDiff('day', ...) parses fine and dies at
       // analysis (Spark's grammar special-cases 3-arg dateDiff with a
       // BARE unit before the registry) — same trap class as quantile
-      dateDiffQuoted.findFirstIn(masked).isDefined
+      dateDiffQuoted.findFirstIn(masked).isDefined ||
+      // `(sub) PASTE JOIN (x) AS b` would mis-parse with PASTE as the
+      // left side's alias and a condition-less (cartesian) join —
+      // the silent-mis-parse trap class; intercept unconditionally
+      pasteRe.findFirstIn(masked).isDefined
   }
 
   // `dateDiff('unit', a, b)` / `date_diff(...)` with the unit as a
@@ -945,6 +949,119 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
     d == 0
   }
 
+  // ---------------------------------------------------------------
+  // CH `PASTE JOIN` (23.11+): horizontal concatenation of two result
+  // sets by row POSITION, truncated to the shorter side. Block order
+  // is nondeterministic in a distributed engine (and in CH itself),
+  // so this engine's form requires both sides to be parenthesized
+  // subqueries with an explicit `AS alias` and a top-level ORDER BY —
+  // row position is then DEFINED as the rank under that ordering, and
+  // the rewrite zips the sides with row_number() windows joined on
+  // the index (inner join = min-length truncation). One PASTE JOIN
+  // per statement, depth 0 only; out-of-contract shapes raise the
+  // dialect's own error. The rewrite MUST intercept the keyword:
+  // Spark's grammar would otherwise read `PASTE` as a table alias and
+  // build a condition-less (cartesian) join — the `FROM t FINAL`
+  // silent-mis-parse trap class. Each side pays one global sort of
+  // its own RESULT SET (not its inputs) — the inherent cost of a
+  // positional zip; PASTE JOIN is a report-shaping op over bounded
+  // aggregate results, not a fact-table join.
+  private val pasteRe = """(?i)\bPASTE\s+JOIN\b""".r
+
+  private def pasteErr(what: String): Nothing =
+    throw new TotalsParser.DialectContractException(
+      "PASTE JOIN requires `(SELECT ... ORDER BY ...) AS a PASTE JOIN " +
+        s"(SELECT ... ORDER BY ...) AS b` — $what")
+
+  private def matchParenFwd(text: String, openIdx: Int): Int = {
+    var d = 0
+    var i = openIdx
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') { d -= 1; if (d == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  private def matchParenBack(text: String, closeIdx: Int): Int = {
+    var d = 0
+    var i = closeIdx
+    while (i >= 0) {
+      val c = text.charAt(i)
+      if (c == ')') d += 1
+      else if (c == '(') { d -= 1; if (d == 0) return i }
+      i -= 1
+    }
+    -1
+  }
+
+  private def rewritePasteJoin(text: String): String = {
+    val ms = pasteRe.findAllMatchIn(text).toList
+    if (ms.isEmpty) return text
+    if (ms.size > 1) pasteErr("one PASTE JOIN per statement")
+    val m = ms.head
+    if (!depth0(text, m.start)) pasteErr("supported at depth 0 only")
+    // right side: ( sub ) AS alias
+    var i = m.end
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    if (i >= text.length || text.charAt(i) != '(')
+      pasteErr("the right side must be a parenthesized subquery")
+    val openR = i
+    val closeR = matchParenFwd(text, openR)
+    if (closeR < 0) pasteErr("unbalanced parentheses on the right side")
+    val aliasRe = """(?is)\s*AS\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+    val afterR = text.substring(closeR + 1)
+    val mR = aliasRe.findPrefixMatchOf(afterR).getOrElse(
+      pasteErr("the right side needs an explicit `AS alias`"))
+    val aliasR = mR.group(1)
+    val endR = closeR + 1 + mR.end
+    // left side: ( sub ) AS alias, scanned back from the keyword
+    var j = m.start - 1
+    while (j >= 0 && text.charAt(j).isWhitespace) j -= 1
+    val aliasEnd = j + 1
+    while (j >= 0 && (text.charAt(j).isLetterOrDigit ||
+      text.charAt(j) == '_')) j -= 1
+    val aliasL = text.substring(j + 1, aliasEnd)
+    if (aliasL.isEmpty || !(aliasL.head.isLetter || aliasL.head == '_'))
+      pasteErr("the left side needs an explicit `AS alias`")
+    while (j >= 0 && text.charAt(j).isWhitespace) j -= 1
+    if (j < 1 || !text.substring(j - 1, j + 1).equalsIgnoreCase("AS"))
+      pasteErr("the left side needs an explicit `AS alias`")
+    j -= 2
+    while (j >= 0 && text.charAt(j).isWhitespace) j -= 1
+    if (j < 0 || text.charAt(j) != ')')
+      pasteErr("the left side must be a parenthesized subquery")
+    val closeL = j
+    val openL = matchParenBack(text, closeL)
+    if (openL < 0) pasteErr("unbalanced parentheses on the left side")
+    val subL = text.substring(openL + 1, closeL)
+    val subR = text.substring(openR + 1, closeR)
+    def orderKeys(sub: String, side: String): String = {
+      val hit = """(?is)\bORDER\s+BY\b""".r.findAllMatchIn(sub)
+        .find(o => depth0(sub, o.start))
+        .getOrElse(pasteErr(s"the $side side has no top-level ORDER BY" +
+          " — row position must be defined"))
+      val tail = sub.substring(hit.end)
+      val stop = """(?is)\b(LIMIT|OFFSET|SETTINGS|FORMAT)\b""".r
+        .findAllMatchIn(tail).find(s => depth0(tail, s.start))
+        .map(_.start).getOrElse(tail.length)
+      val keys = tail.substring(0, stop).trim
+      if (keys.isEmpty) pasteErr(s"the $side side's ORDER BY has no keys")
+      keys
+    }
+    val kL = orderKeys(subL, "left")
+    val kR = orderKeys(subR, "right")
+    val frag =
+      s"(SELECT *, row_number() OVER (ORDER BY $kL) AS __paste_rn " +
+        s"FROM ($subL) __graft_pl) AS $aliasL JOIN " +
+        s"(SELECT *, row_number() OVER (ORDER BY $kR) AS __paste_rn " +
+        s"FROM ($subR) __graft_pr) AS $aliasR " +
+        s"ON $aliasL.__paste_rn = $aliasR.__paste_rn"
+    text.substring(0, openL) + frag + text.substring(endR)
+  }
+
   private def rewriteQualify(text: String): String = {
     val matches = qualifyKw.findAllMatchIn(text).toList
     // contract error for out-of-scope use (round 11, verdict ask #6):
@@ -1000,10 +1117,18 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         case e: TotalsParser.DialectContractException => throw e
         case _: Exception => m0w
       }
+    // PASTE JOIN restructures its two FROM items in place — before the
+    // clause extractions so the synthesized row_number windows are
+    // ordinary text to everything downstream
+    val m0p =
+      try rewritePasteJoin(m0) catch {
+        case e: TotalsParser.DialectContractException => throw e
+        case _: Exception => m0
+      }
     // marker-clause extraction runs FIRST: `LIMIT o, n BY` must not be
     // half-eaten by the limitOffset rewrite below
     val (m1, lbWrap) =
-      try extractLimitBy(m0, lits) catch { case _: Exception => (m0, None) }
+      try extractLimitBy(m0p, lits) catch { case _: Exception => (m0p, None) }
     val (m1d, doWrap) =
       try extractDistinctOn(m1, lits) catch { case _: Exception => (m1, None) }
     val (m2, fillWrap) =

@@ -5561,11 +5561,331 @@ object DialectQueries {
       FROM (SELECT DISTINCT user_id FROM events) u
       LEFT JOIN m USING (user_id)"""))
 
+  // ---------------------------------------------------------------------
+  // X180: CH time-series family — seriesOutliersDetectTukey (signed
+  // distance past the Tukey fences, type-7 quantiles), and
+  // seriesPeriodDetectFFT / seriesDecomposeSTL as documented
+  // refinements with exactly specified arithmetic (mean-centered DFT
+  // periodogram argmax; clipped-MA + centered per-phase-mean additive
+  // decomposition). The series are CONSTRUCTED per group from the
+  // group key (period p = 3 + len(event_type) % 4), so the oracle can
+  // replay everything relationally: Tukey cells exactly (integer-
+  // valued doubles, identical interpolation arithmetic), the FFT
+  // period as the planted ground truth the engine must recover, and
+  // the decomposition's aggregate surfaces at 6 dp (sum order differs
+  // between the engine's index-ordered array folds and DuckDB's row
+  // aggregation — ulps on O(100) values, invisible at 6 dp).
+  // Reconstruction (baseline + residual == series) and the n < 2p
+  // NULL contract ride as boolean cells.
+  val q270Series = QueryDef(
+    "q270_ch_series",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v270")
+      s.sql("""
+        WITH grp AS (
+          SELECT event_type, toInt64(count(1)) AS n_ev,
+                 CAST(3 + length(event_type) % 4 AS INT) AS p
+          FROM events_v270 GROUP BY event_type
+        ), ser AS (
+          SELECT event_type, n_ev, p,
+                 seriesPeriodDetectFFT(transform(sequence(0, p*12 - 1),
+                   i -> CAST(i % p AS DOUBLE) * 10.0D)) AS fft_p,
+                 seriesPeriodDetectFFT(transform(sequence(0, 19),
+                   i -> 5.0D)) AS fft_const,
+                 seriesOutliersDetectTukey(transform(sequence(0, 23),
+                   i -> CAST(i % 7 AS DOUBLE)
+                        + CASE WHEN i = 11 THEN 100.0D ELSE 0.0D END
+                        + CASE WHEN i = 17 THEN -100.0D ELSE 0.0D END))
+                   AS tk,
+                 seriesOutliersDetectTukey(transform(sequence(0, 23),
+                   i -> CAST(i % 7 AS DOUBLE)
+                        + CASE WHEN i = 11 THEN 100.0D ELSE 0.0D END
+                        + CASE WHEN i = 17 THEN -100.0D ELSE 0.0D END),
+                   0.1, 0.9, 3.0) AS tk2,
+                 seriesDecomposeSTL(transform(sequence(0, p*12 - 1),
+                   i -> CAST(i % p AS DOUBLE) * 10.0D + CAST(i AS DOUBLE)),
+                   p) AS stl
+          FROM grp
+        )
+        SELECT event_type, n_ev, toInt64(p) AS p, fft_p, fft_const,
+               toInt64(size(filter(tk, v -> v <> 0.0D))) AS tk_nz,
+               round(aggregate(tk, 0.0D, (a, x) -> a + x), 6) AS tk_sum,
+               round(array_max(tk), 6) AS tk_max,
+               round(array_min(tk), 6) AS tk_min,
+               toInt64(size(filter(tk2, v -> v <> 0.0D))) AS tk2_nz,
+               round(aggregate(element_at(stl, 1), 0.0D,
+                 (a, x) -> a + x * x), 6) AS seas2,
+               round(aggregate(element_at(stl, 2), 0.0D,
+                 (a, x) -> a + x), 6) AS trsum,
+               round(array_max(transform(element_at(stl, 3),
+                 r -> abs(r))), 6) AS residmax,
+               CASE WHEN array_max(zip_with(
+                      zip_with(element_at(stl, 4), element_at(stl, 3),
+                        (b, r) -> b + r),
+                      transform(sequence(0, p*12 - 1),
+                        i -> CAST(i % p AS DOUBLE) * 10.0D
+                             + CAST(i AS DOUBLE)),
+                      (y, x) -> abs(y - x))) < 1e-9D
+                    THEN 1 ELSE 0 END AS recon_ok,
+               CASE WHEN seriesDecomposeSTL(transform(sequence(0, 23),
+                      i -> CAST(i % 7 AS DOUBLE)), 100) IS NULL
+                    THEN 1 ELSE 0 END AS null_ok
+        FROM ser ORDER BY event_type""")
+    },
+    Some("""
+      WITH grp AS (
+        SELECT event_type, CAST(count(1) AS BIGINT) AS n_ev,
+               CAST(3 + length(event_type) % 4 AS INT) AS p
+        FROM events GROUP BY event_type
+      ), tser AS (
+        SELECT i, CAST(i % 7 AS DOUBLE)
+               + CASE WHEN i = 11 THEN 100.0 ELSE 0.0 END
+               + CASE WHEN i = 17 THEN -100.0 ELSE 0.0 END AS x
+        FROM generate_series(0, 23) t(i)
+      ), tsrt AS (
+        SELECT list(x ORDER BY x) AS s, CAST(count(*) AS INT) AS n
+        FROM tser
+      ), tfen AS (
+        SELECT
+          s[CAST(floor((n-1)*0.25) AS INT)+1]
+            + ((n-1)*0.25 - floor((n-1)*0.25))
+            * (s[least(CAST(floor((n-1)*0.25) AS INT)+2, n)]
+               - s[CAST(floor((n-1)*0.25) AS INT)+1]) AS q1,
+          s[CAST(floor((n-1)*0.75) AS INT)+1]
+            + ((n-1)*0.75 - floor((n-1)*0.75))
+            * (s[least(CAST(floor((n-1)*0.75) AS INT)+2, n)]
+               - s[CAST(floor((n-1)*0.75) AS INT)+1]) AS q3,
+          s[CAST(floor((n-1)*0.1) AS INT)+1]
+            + ((n-1)*0.1 - floor((n-1)*0.1))
+            * (s[least(CAST(floor((n-1)*0.1) AS INT)+2, n)]
+               - s[CAST(floor((n-1)*0.1) AS INT)+1]) AS q1b,
+          s[CAST(floor((n-1)*0.9) AS INT)+1]
+            + ((n-1)*0.9 - floor((n-1)*0.9))
+            * (s[least(CAST(floor((n-1)*0.9) AS INT)+2, n)]
+               - s[CAST(floor((n-1)*0.9) AS INT)+1]) AS q3b
+        FROM tsrt
+      ), tsc AS (
+        SELECT CASE WHEN t.x < q1 - 1.5*(q3-q1)
+                      THEN t.x - (q1 - 1.5*(q3-q1))
+                    WHEN t.x > q3 + 1.5*(q3-q1)
+                      THEN t.x - (q3 + 1.5*(q3-q1))
+                    ELSE 0.0 END AS sc,
+               CASE WHEN t.x < q1b - 3.0*(q3b-q1b)
+                      THEN t.x - (q1b - 3.0*(q3b-q1b))
+                    WHEN t.x > q3b + 3.0*(q3b-q1b)
+                      THEN t.x - (q3b + 3.0*(q3b-q1b))
+                    ELSE 0.0 END AS sc2
+        FROM tser t CROSS JOIN tfen
+      ), tagg AS (
+        SELECT CAST(count(CASE WHEN sc <> 0.0 THEN 1 END) AS BIGINT)
+                 AS tk_nz,
+               round(sum(sc), 6) AS tk_sum,
+               round(max(sc), 6) AS tk_max,
+               round(min(sc), 6) AS tk_min,
+               CAST(count(CASE WHEN sc2 <> 0.0 THEN 1 END) AS BIGINT)
+                 AS tk2_nz
+        FROM tsc
+      ), sidx AS (
+        SELECT g.event_type, g.p, i.i,
+               CAST(i.i % g.p AS DOUBLE)*10.0 + CAST(i.i AS DOUBLE) AS x
+        FROM grp g, generate_series(0, 59) i(i)
+        WHERE i.i < 12*g.p
+      ), strend AS (
+        SELECT a.event_type, a.p, a.i, a.x, sum(b.x)/count(*) AS tr
+        FROM sidx a JOIN sidx b ON a.event_type = b.event_type
+          AND b.i BETWEEN greatest(a.i - a.p//2, 0)
+                      AND least(a.i + a.p//2, 12*a.p - 1)
+        GROUP BY a.event_type, a.p, a.i, a.x
+      ), sphase AS (
+        SELECT event_type, i % p AS ph, sum(x - tr)/count(*) AS praw
+        FROM strend GROUP BY event_type, i % p
+      ), smean AS (
+        SELECT event_type, sum(praw)/count(*) AS sm
+        FROM sphase GROUP BY event_type
+      ), sagg AS (
+        SELECT d.event_type,
+               round(sum((ph.praw - m.sm)*(ph.praw - m.sm)), 6) AS seas2,
+               round(sum(d.tr), 6) AS trsum,
+               round(max(abs((d.x - d.tr) - (ph.praw - m.sm))), 6)
+                 AS residmax
+        FROM strend d
+        JOIN sphase ph ON d.event_type = ph.event_type
+                      AND d.i % d.p = ph.ph
+        JOIN smean m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+      )
+      SELECT g.event_type, g.n_ev, CAST(g.p AS BIGINT) AS p,
+             CAST(g.p AS DOUBLE) AS fft_p, 0.0 AS fft_const,
+             t.tk_nz, t.tk_sum, t.tk_max, t.tk_min, t.tk2_nz,
+             a.seas2, a.trsum, a.residmax,
+             1 AS recon_ok, 1 AS null_ok
+      FROM grp g CROSS JOIN tagg t
+      JOIN sagg a ON g.event_type = a.event_type
+      ORDER BY g.event_type"""))
+
+  // ---------------------------------------------------------------------
+  // X181: CH `PASTE JOIN` — horizontal concatenation by row position,
+  // under this engine's ordered-subquery contract (block order is
+  // nondeterministic in CH too; both sides must carry a top-level
+  // ORDER BY that DEFINES position — the rewrite zips them with
+  // row_number windows, inner-joined = min-length truncation). The
+  // entry pastes the event-type count ranking against the
+  // order-priority count ranking (both 5 rows — rank-aligned
+  // comparison, the classic PASTE use); the oracle replays the
+  // row_number zip explicitly.
+  val q271PasteJoin = QueryDef(
+    "q271_ch_paste_join",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v271")
+      Graft.table(s, dir, "orders").createOrReplaceTempView("orders_v271")
+      s.sql("""
+        SELECT a.event_type, a.ev_n, b.o_orderpriority, b.ord_n,
+               toInt64(a.ev_n - b.ord_n) AS gap
+        FROM (SELECT event_type, toInt64(count(1)) AS ev_n
+              FROM events_v271 GROUP BY event_type
+              ORDER BY ev_n DESC, event_type) AS a
+        PASTE JOIN
+             (SELECT o_orderpriority, toInt64(count(1)) AS ord_n
+              FROM orders_v271 GROUP BY o_orderpriority
+              ORDER BY ord_n DESC, o_orderpriority) AS b
+        ORDER BY a.ev_n DESC, a.event_type""")
+    },
+    Some("""
+      SELECT a.event_type, a.ev_n, b.o_orderpriority, b.ord_n,
+             CAST(a.ev_n - b.ord_n AS BIGINT) AS gap
+      FROM (SELECT event_type, ev_n,
+                   row_number() OVER (ORDER BY ev_n DESC, event_type)
+                     AS rn
+            FROM (SELECT event_type, CAST(count(1) AS BIGINT) AS ev_n
+                  FROM events GROUP BY event_type)) a
+      JOIN (SELECT o_orderpriority, ord_n,
+                   row_number() OVER (ORDER BY ord_n DESC,
+                     o_orderpriority) AS rn
+            FROM (SELECT o_orderpriority,
+                         CAST(count(1) AS BIGINT) AS ord_n
+                  FROM orders GROUP BY o_orderpriority)) b
+        USING (rn)
+      ORDER BY a.ev_n DESC, a.event_type"""))
+
+  // ---------------------------------------------------------------------
+  // X182: round-11 dialect fill #4 — nonNegativeDerivative (the O(1)-
+  // state window rate-of-change, clamped at 0; interval as numeric
+  // seconds or INTERVAL literal), groupArrayIntersect (sorted — CH's
+  // order is unspecified), sumWithOverflow (two's-complement Int64
+  // wrap via a Decimal(38) sum reduced mod 2^64 — map-side
+  // combinable, replayed in DuckDB's HUGEINT), tokens (maximal
+  // alphanumeric-ASCII runs), the toUnixTimestamp64*/
+  // fromUnixTimestamp64* family, toDaysSinceYearZero (epoch days +
+  // 719528 — CH pins 1970-01-01 = 719528), toModifiedJulianDay /
+  // fromModifiedJulianDay, and timeSlots (slot grid covering
+  // [start, start+duration]). The nonNegativeDerivative cells replay
+  // bit-identically: the engine's cast(ts AS DOUBLE) is micros/1e6,
+  // DuckDB's epoch_us(ts)/1000000.0 the same division, and the
+  // derivative chain is spelled in the same operation order.
+  val q272DialectRound11b = QueryDef(
+    "q272_ch_dialect_round11b",
+    (s, dir) => {
+      Graft.table(s, dir, "events").createOrReplaceTempView("events_v272")
+      s.sql("""
+        WITH w AS (
+          SELECT event_type, event_id, user_id, ts, value, props,
+                 nonNegativeDerivative(value, ts) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id)
+                   AS nnd,
+                 nonNegativeDerivative(value, ts, INTERVAL 5 SECOND)
+                   OVER (PARTITION BY event_type
+                         ORDER BY ts, event_id) AS nnd5
+          FROM events_v272
+        )
+        SELECT event_type,
+               round(sum(nnd), 4) AS nnd_sum,
+               round(sum(nnd5), 4) AS nnd5_sum,
+               toInt64(size(groupArrayIntersect(sequence(0,
+                 3 + length(event_type) % 3
+                   + CAST(event_id % 3 AS INT))))) AS gai_n,
+               toInt64(element_at(groupArrayIntersect(sequence(0,
+                 3 + length(event_type) % 3
+                   + CAST(event_id % 3 AS INT))),
+                 size(groupArrayIntersect(sequence(0,
+                   3 + length(event_type) % 3
+                     + CAST(event_id % 3 AS INT)))))) AS gai_max,
+               sumWithOverflow(user_id * 9000000000000) AS swo,
+               toInt64(sum(size(tokens(props)))) AS tok_n,
+               min(element_at(tokens(props), 1)) AS tok_first,
+               toInt64(sum(toUnixTimestamp64Milli(ts) % 1000003))
+                 AS ms_sum,
+               toInt64(min(CASE WHEN fromUnixTimestamp64Micro(
+                 toUnixTimestamp64Micro(ts)) = ts
+                 THEN 1 ELSE 0 END)) AS rt_ok,
+               toInt64(max(toDaysSinceYearZero(ts))) AS days_max,
+               toInt64(max(toModifiedJulianDay(ts))) AS mjd_max,
+               toInt64(min(CASE WHEN fromModifiedJulianDay(
+                 toModifiedJulianDay(ts)) = CAST(ts AS DATE)
+                 THEN 1 ELSE 0 END)) AS mjd_rt_ok,
+               toInt64(sum(size(timeSlots(ts,
+                 toInt64(round(value * 60)), 600)))) AS slots_sum,
+               toInt64(count(1)) AS n
+        FROM w GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""
+      WITH w AS (
+        SELECT event_type, event_id, user_id, ts, value, props,
+          CASE WHEN lag(value) OVER win IS NULL THEN 0.0
+               WHEN epoch_us(ts)/1000000.0
+                    - epoch_us(lag(ts) OVER win)/1000000.0 <= 0 THEN 0.0
+               ELSE greatest(0.0, (value - lag(value) OVER win)
+                    / (epoch_us(ts)/1000000.0
+                       - epoch_us(lag(ts) OVER win)/1000000.0) * 1.0)
+               END AS nnd,
+          CASE WHEN lag(value) OVER win IS NULL THEN 0.0
+               WHEN epoch_us(ts)/1000000.0
+                    - epoch_us(lag(ts) OVER win)/1000000.0 <= 0 THEN 0.0
+               ELSE greatest(0.0, (value - lag(value) OVER win)
+                    / (epoch_us(ts)/1000000.0
+                       - epoch_us(lag(ts) OVER win)/1000000.0) * 5.0)
+               END AS nnd5
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+      )
+      SELECT event_type,
+             round(sum(nnd), 4) AS nnd_sum,
+             round(sum(nnd5), 4) AS nnd5_sum,
+             CAST(min(3 + length(event_type) % 3 + event_id % 3) + 1
+               AS BIGINT) AS gai_n,
+             CAST(min(3 + length(event_type) % 3 + event_id % 3)
+               AS BIGINT) AS gai_max,
+             CAST((CASE WHEN ((sum(user_id * 9000000000000)
+                     % 18446744073709551616) + 18446744073709551616)
+                     % 18446744073709551616 >= 9223372036854775808
+                   THEN ((sum(user_id * 9000000000000)
+                     % 18446744073709551616) + 18446744073709551616)
+                     % 18446744073709551616 - 18446744073709551616
+                   ELSE ((sum(user_id * 9000000000000)
+                     % 18446744073709551616) + 18446744073709551616)
+                     % 18446744073709551616 END) AS BIGINT) AS swo,
+             CAST(sum(len(list_filter(string_split_regex(props,
+               '[^A-Za-z0-9]+'), x -> x <> ''))) AS BIGINT) AS tok_n,
+             min(list_filter(string_split_regex(props,
+               '[^A-Za-z0-9]+'), x -> x <> '')[1]) AS tok_first,
+             CAST(sum(epoch_ms(ts) % 1000003) AS BIGINT) AS ms_sum,
+             CAST(1 AS BIGINT) AS rt_ok,
+             CAST(max((CAST(ts AS DATE) - DATE '1970-01-01') + 719528)
+               AS BIGINT) AS days_max,
+             CAST(max(CAST(ts AS DATE) - DATE '1858-11-17')
+               AS BIGINT) AS mjd_max,
+             CAST(1 AS BIGINT) AS mjd_rt_ok,
+             CAST(sum(CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) % 600
+               + CAST(round(value * 60, 0) AS BIGINT)) / 600.0)
+               AS BIGINT) + 1) AS BIGINT) AS slots_sum,
+             CAST(count(1) AS BIGINT) AS n
+      FROM w GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q251Hll, q252DialectRound10b, q256IfCombinators, q261Qualify,
       q262SystemColumns, q264DialectRound11, q266TDigest, q267CorrMatrix,
-      q268FunnelModes, q269SeqMatchTimed,
+      q268FunnelModes, q269SeqMatchTimed, q270Series, q271PasteJoin,
+      q272DialectRound11b,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,

@@ -123,12 +123,17 @@ class PlanAuditSpec extends SparkSpec {
       s"a shuffle slipped below the unroll:\n$p")
   }
 
-  test("q91: FINAL compacts with ONE exchange on the entity key") {
-    // latest-live-versions = anti-join + window, both partitioned by
-    // the entity key: AQE reuses one shuffle; a second distinct
-    // partitioning would double the wire cost of every FINAL read
+  test("q91: FINAL compacts with ZERO entity-key exchanges off the " +
+      "bucketed warehouse") {
+    // round 11 (X168 applied to the Metrica hot path): the versioned
+    // warehouse is bucketed on the collapse key and latestVersions is
+    // window-only, so the collapse windows run DIRECTLY over the
+    // bucketed scan — no hashpartitioning(eid exchange at all (the
+    // pay-the-shuffle-once contract; Round11Spec pins the same shape)
     val p = plan("q91_ch_final_sql")
-    assert(p.contains("hashpartitioning(eid"), p)
+    assert(!p.contains("hashpartitioning(eid"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q101: SQL ASOF JOIN takes the prefix-scan shape, not a pair blowup") {
@@ -204,19 +209,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q113: scaled FINAL + ARRAY JOIN — one fact shuffle, broadcast " +
-      "cancels, map-side collapse trim, Sign pushed to the scan") {
-    // the composed Metrica hot path at scale: the collapse must cost
-    // ONE entity-key exchange of the state rows (cancels broadcast to
-    // the anti-join; row_number(=1) trims partial BEFORE the shuffle),
+  test("q113: scaled FINAL + ARRAY JOIN — zero fact exchanges off the " +
+      "bucketed warehouse, single-pass window collapse") {
+    // the composed Metrica hot path at scale, round-11 shape: the
+    // warehouse is bucketed on VisitID and latestVersions is
+    // window-only, so the collapse costs ZERO fact exchanges (the
+    // cancelled-version collect_set + row_number windows both run over
+    // the bucketed scan's partitioning), the anti-join branch is gone,
     // and the goals unroll is a Generate that adds no exchange of its
-    // own — the plan shape that keeps FINAL reads one-pass at 100 TB
+    // own. The Sign=1 scan pushdown of the old two-branch form is
+    // structurally impossible here — the cancelled-version window must
+    // SEE the Sign=-1 rows — the documented trade for reading the
+    // fact once instead of twice.
     val p = plan("q113_goals_final_scaled")
     assert(p.contains("Generate inline"), p)
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
-    assert("WindowGroupLimit".r.findAllIn(p).size == 2, p) // Partial+Final
-    assert("Exchange hashpartitioning\\(VisitID".r.findAllIn(p).size == 1, p)
-    assert(p.contains("EqualTo(Sign,1)"), p) // live-rows scan pushdown
+    assert(!p.contains("Exchange hashpartitioning(VisitID"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("LeftAnti"), p) // the anti-join form is gone
   }
 
   test("q141: split assignment + shard shuffle never exchange the corpus") {
