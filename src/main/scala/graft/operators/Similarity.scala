@@ -939,4 +939,38 @@ object Similarity {
       col("c1len"), col("c2len"),
       (bp * sqrt(p1 * p2)).as("bleu"))
   }
+
+  // -------------------------------------------------------------------
+  // Cluster-balanced corpus curation (X183, round 11) — the
+  // SemDeDup/DataComp-style balancing pass one level ABOVE pairwise
+  // dedup: embed → cluster → cap every cluster at a quota, so
+  // over-represented semantic regions (boilerplate genres, template
+  // farms) stop dominating the training mixture without any pairwise
+  // comparison at all.
+
+  /** Cell assignment as a PROJECTION: every row gains its
+    * nearest-centroid `cell` via the inline argmax-cosine kernel over
+    * the broadcast centroid literal — the corpus is never shuffled to
+    * be clustered ([[assignCell]]'s contract; centroids from
+    * [[seedCentroids]] for oracle-replayable runs or
+    * [[kmeansCentroids]] for the data-adaptive production path).
+    */
+  def clusterAssign(vecs: DataFrame, idCol: String, embCol: String,
+      cents: Array[(Long, Seq[Double])]): DataFrame =
+    vecs.withColumn("cell", assignCell(col(s"`$embCol`"), cents))
+
+  /** Cluster-balanced sample: assign cells, then keep at most `quota`
+    * rows per cell, chosen by the engine-portable hash order (ties by
+    * id) — `Mix.stratifiedSample`'s threshold+window shape, so the
+    * window only ever sees ~1.3x-quota survivors per cell, never the
+    * corpus. Deterministic end to end: the assignment is a pure
+    * function of (embedding, centroids) and the draw a pure function
+    * of the ids. At 100 TB this is one projection + one bounded trim —
+    * no pairwise candidate generation, no corpus-wide shuffle.
+    */
+  def clusterBalancedSample(vecs: DataFrame, idCol: String,
+      embCol: String, cents: Array[(Long, Seq[Double])],
+      quota: Int): DataFrame =
+    graft.operators.Mix.stratifiedSample(
+      clusterAssign(vecs, idCol, embCol, cents), "cell", idCol, quota)
 }

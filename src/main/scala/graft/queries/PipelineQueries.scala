@@ -5762,7 +5762,80 @@ object PipelineQueries {
                AS jw_sum
       FROM f GROUP BY 1 ORDER BY n_pairs DESC, block LIMIT 10"""))
 
+  // ---------------------------------------------------------------------
+  // X183: cluster-balanced corpus curation — the SemDeDup/DataComp-
+  // style balancing pass one level ABOVE pairwise dedup: embed →
+  // cluster (inline argmax projection over broadcast centroids — the
+  // corpus is never shuffled to be clustered) → cap every cluster at
+  // a quota via the threshold+window stratified draw. The card rows
+  // (per-cluster population, label mass, sampled count/ids) are the
+  // curation report a mixture pipeline consumes. The oracle replays
+  // the ENTIRE structure: centroid selection, cosine argmax cell
+  // assignment (q37's proven parity), the portable-hash quota draw
+  // (q110's semantic definition), and both aggregate layers.
+  val q273ClusterBalance = QueryDef(
+    "q273_cluster_balance",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val modulus = math.ceil(math.sqrt(
+        vecs.select(col("vec_id")).count().toDouble)).toInt
+      val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding",
+        modulus = modulus)
+      val assigned = Similarity.clusterAssign(vecs, "vec_id",
+        "embedding", cents)
+      val sampled = Similarity.clusterBalancedSample(vecs, "vec_id",
+        "embedding", cents, quota = 15)
+      val cards = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("label")).cast("long").as("label_sum"))
+      val samp = sampled.groupBy(col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_samp"),
+          sum(col("vec_id")).cast("long").as("id_sum"))
+      cards.join(samp, "cell").orderBy(col("cell"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                 embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cent_id, e AS ce, n AS cn FROM v
+        WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                        FROM v) = 0
+      ), sim0 AS (
+        SELECT v.vec_id, v.label, c.cent_id,
+               CASE WHEN v.n > 0 AND c.cn > 0
+                    THEN list_dot_product(v.e, c.ce) / (v.n * c.cn)
+                    ELSE 0.0 END AS sim
+        FROM v CROSS JOIN c
+      ), ranked AS (
+        SELECT vec_id, label, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM sim0
+      ), cells AS (
+        SELECT vec_id, label, cent_id AS cell FROM ranked WHERE rn = 1
+      ), f AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY ((vec_id % 65536) * 2654435761) % 4294967296,
+                          vec_id) AS rk
+        FROM cells
+      )
+      SELECT c1.cell, c1.n_docs, c1.label_sum, c2.n_samp, c2.id_sum
+      FROM (SELECT cell, CAST(count(1) AS BIGINT) AS n_docs,
+                   CAST(sum(label) AS BIGINT) AS label_sum
+            FROM cells GROUP BY cell) c1
+      JOIN (SELECT cell, CAST(count(1) AS BIGINT) AS n_samp,
+                   CAST(sum(vec_id) AS BIGINT) AS id_sum
+            FROM f WHERE rk <= 15 GROUP BY cell) c2
+        ON c1.cell = c2.cell
+      ORDER BY c1.cell"""),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
+    q273ClusterBalance,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
     q254RobustStats, q255MutualKnn, q263MutualKnnIvf, q265ZOrderLayout,
     q258TemplateSentences,

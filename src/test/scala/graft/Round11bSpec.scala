@@ -284,6 +284,39 @@ class Round11bSpec extends SparkSpec {
     assert(r.getInt(1) == 7) // 10:00..11:00 on a 600 s grid, inclusive
   }
 
+  // ---- cluster-balanced curation (X183) ----
+
+  test("clusterBalancedSample: every cluster capped at the quota, " +
+      "draw deterministic, assignment a pure projection") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Graft.table(spark, dir, "embeddings")
+    val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding", 7)
+    val s1 = Similarity.clusterBalancedSample(vecs, "vec_id",
+      "embedding", cents, quota = 5)
+    val byCell = s1.groupBy("cell").count().collect()
+    assert(byCell.forall(_.getLong(1) <= 5L), byCell.mkString(","))
+    // deterministic: same ids both runs
+    val ids1 = s1.select("vec_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Similarity.clusterBalancedSample(vecs, "vec_id",
+      "embedding", cents, quota = 5)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+    // exact per-cluster size: min(quota, |cluster|)
+    val pop = Similarity.clusterAssign(vecs, "vec_id", "embedding", cents)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = byCell.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pop.foreach { case (cell, n) =>
+      assert(got.getOrElse(cell, 0L) == math.min(5L, n),
+        s"cell $cell: pop $n, sampled ${got.getOrElse(cell, 0L)}")
+    }
+    // the assignment itself never shuffles: a pure projection plan
+    val ap = Similarity.clusterAssign(vecs, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("Exchange") && !ap.contains("Join"), ap)
+  }
+
   test("series functions resolve through the SQL surface") {
     val r = spark.sql("""
       SELECT seriesPeriodDetectFFT(transform(sequence(0, 23),
