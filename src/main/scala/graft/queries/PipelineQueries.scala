@@ -5834,8 +5834,57 @@ object PipelineQueries {
       ORDER BY c1.cell"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X184: idempotent partition-level backfill — Warehouse.backfill
+  // (dynamic partition-overwrite scoped to one write). The entry
+  // PROVES the two properties that make a pipeline rerunnable:
+  // (1) surgical overwrite — only the corrected week's partitions
+  // change (the doubled values show up in exactly one week; static
+  // overwrite would have truncated every other week away);
+  // (2) idempotency — the backfill runs TWICE, and the second run
+  // must replace, not append (append would double the week's count).
+  // The oracle recomputes the corrected table from the raw events.
+  val q274BackfillIdempotent = QueryDef(
+    "q274_backfill_idempotent",
+    (s, dir) => {
+      import graft.sources.Warehouse
+      import graft.functions.ch
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_q274_${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val ev = Graft.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      Warehouse.write(ev, out, "ts", Seq("event_id"))
+      val minWeek = ev.agg(min(ch.toMonday(col("ts"))).as("w"))
+        .collect().head.getDate(0)
+      val fixed = ev.filter(ch.toMonday(col("ts")) === lit(minWeek))
+        .withColumn("value", col("value") * 2)
+      Warehouse.backfill(fixed, out, "ts", Seq("event_id"))
+      Warehouse.backfill(fixed, out, "ts", Seq("event_id")) // rerun
+      Warehouse.read(s, out)
+        .groupBy(col("week"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(round(col("value") * 100).cast("long")).cast("long")
+            .as("cents"))
+        .orderBy(col("week"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week, value
+        FROM events
+      ), mn AS (SELECT min(week) AS mw FROM w)
+      SELECT week, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value *
+               (CASE WHEN week = (SELECT mw FROM mn)
+                     THEN 200 ELSE 100 END), 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM w GROUP BY week ORDER BY week"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q273ClusterBalance,
+    q273ClusterBalance, q274BackfillIdempotent,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
     q254RobustStats, q255MutualKnn, q263MutualKnnIvf, q265ZOrderLayout,
     q258TemplateSentences,

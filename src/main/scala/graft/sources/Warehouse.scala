@@ -59,6 +59,34 @@ object Warehouse {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
 
+  /** Idempotent partition-level backfill (X184, round 11): overwrite
+    * ONLY the week partitions present in `df`, leaving every other
+    * partition's files physically untouched — Spark's DYNAMIC
+    * partition-overwrite mode, scoped to this one write and restored
+    * after. This is the lever that makes a daily pipeline RERUNNABLE
+    * at 100 TB: a failed-and-retried (or accidentally duplicated) job
+    * rewrites its own day's partitions to the same content instead of
+    * appending duplicates — exactly-once BY IDEMPOTENCY, with no
+    * transaction log to coordinate. Static overwrite (the default
+    * mode) would instead TRUNCATE THE WHOLE TABLE to write one week —
+    * the classic backfill footgun this wrapper exists to make
+    * impossible. Same physical layout as [[write]]: range-partitioned
+    * sorted runs inside week directories, the WeekBounds pruning
+    * stamp on the date column.
+    */
+  def backfill(df: DataFrame, tableDir: String, dateCol: String,
+      orderKey: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try write(df, tableDir, dateCol, orderKey, mode = "overwrite")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Periodic compaction (SURVEY §2.8 ST4): rewrite the versioned
     * append-only table so only the latest live version of each entity
     * remains — the engine's scheduled analogue of

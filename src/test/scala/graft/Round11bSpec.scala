@@ -317,6 +317,49 @@ class Round11bSpec extends SparkSpec {
     assert(!ap.contains("Exchange") && !ap.contains("Join"), ap)
   }
 
+  // ---- idempotent backfill (X184) ----
+
+  test("backfill: untouched week partitions keep their PHYSICAL files; " +
+      "the target week is replaced, not appended") {
+    import graft.sources.Warehouse
+    import graft.functions.ch
+    val dir = "/root/testdata/sf0.001"
+    val out = sys.props("java.io.tmpdir") + "/graft_r11b_backfill"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val ev = Graft.table(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    Warehouse.write(ev, out, "ts", Seq("event_id"))
+    val weeks = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("week=")).map(_.getName).sorted
+    assert(weeks.length >= 2, weeks.mkString(","))
+    val target = weeks.head.stripPrefix("week=")
+    val other = weeks.last
+    def snapshot(week: String): Seq[(String, Long, Long)] =
+      new java.io.File(s"$out/$week").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sorted.toSeq
+    val otherBefore = snapshot(other)
+    val targetBefore = snapshot(s"week=$target")
+    val fixed = ev
+      .filter(ch.toMonday(col("ts")) === to_date(lit(target)))
+      .withColumn("value", col("value") * 2)
+    val nFixed = fixed.count()
+    assert(nFixed > 0)
+    Warehouse.backfill(fixed, out, "ts", Seq("event_id"))
+    // non-target week: byte-identical files, untouched mtimes
+    assert(snapshot(other) == otherBefore)
+    // target week: physically rewritten
+    assert(snapshot(s"week=$target") != targetBefore)
+    // idempotent rerun: row count stays exactly the week's population
+    Warehouse.backfill(fixed, out, "ts", Seq("event_id"))
+    val back = Warehouse.read(spark, out)
+    assert(back.filter(col("week") === to_date(lit(target))).count()
+      == nFixed)
+    assert(back.count() == ev.count())
+  }
+
   test("series functions resolve through the SQL surface") {
     val r = spark.sql("""
       SELECT seriesPeriodDetectFFT(transform(sequence(0, 23),
