@@ -1166,8 +1166,114 @@ object StreamingQueries {
       FROM c JOIN cnt ON cnt.event_type = c.event_type
       ORDER BY c.event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X185: streaming anomaly gate — the round-11 time-series kernels
+  // (X180) composed over a STREAMED daily rollup: micro-batch ingest →
+  // windowed per-day counts in complete-mode state → after the drain,
+  // each event type's ordered daily-count series gets Tukey outlier
+  // scores. A spike is PLANTED on the first day (+1e5 via the
+  // two-arg indexed transform) so the gate provably fires; everything
+  // — window starts, counts, fences, scores — replays exactly in the
+  // oracle from the raw events (integer-valued doubles end to end).
+  val q275StreamAnomaly = QueryDef(
+    "q275_stream_anomaly",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q275_" +
+        new java.io.File(dir).getName
+      val srcDir = s"$base/src"
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.repartition(5).write.mode("overwrite").parquet(srcDir)
+      // the events.ts two-layout branch (nanos BIGINT at GenScale
+      // dirs, µs timestamp in the driver's) — same policy as
+      // Graft.table, applied to the streaming frame
+      val tsCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts DIV 1000"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp")
+        case _ => col("ts")
+      }
+      val q = s.readStream.schema(raw.schema).parquet(srcDir)
+        .withColumn("ts", tsCol)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("graft_q275_state")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ser = s.table("graft_q275_state")
+        .select(col("window.start").cast("date").as("day"),
+          col("event_type"), col("n"))
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("n"))))
+          .as("p"))
+        .select(col("event_type"),
+          transform(col("p"), (x, i) =>
+            x.getField("n").cast("double") +
+              when(i === 0, lit(100000.0)).otherwise(lit(0.0)))
+            .as("v"))
+      ser.select(col("event_type"),
+          size(col("v")).cast("long").as("n_days"),
+          graft.functions.ch.seriesOutliersDetectTukey(col("v"))
+            .as("tk"))
+        .select(col("event_type"), col("n_days"),
+          size(filter(col("tk"), t => t =!= 0.0)).cast("long")
+            .as("tk_nz"),
+          (element_at(col("tk"), 1) > 0.0).cast("int").as("spike_ok"),
+          round(aggregate(col("tk"), lit(0.0), (a, x) => a + x), 6)
+            .as("score_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+      ), s AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i
+        FROM d
+      ), x AS (
+        SELECT event_type, i,
+               CAST(n AS DOUBLE)
+                 + CASE WHEN i = 1 THEN 100000.0 ELSE 0.0 END AS v
+        FROM s
+      ), srt AS (
+        SELECT event_type, list(v ORDER BY v) AS sv,
+               CAST(count(*) AS INT) AS cnt
+        FROM x GROUP BY 1
+      ), fen AS (
+        SELECT event_type, cnt,
+          sv[CAST(floor((cnt-1)*0.25) AS INT)+1]
+            + ((cnt-1)*0.25 - floor((cnt-1)*0.25))
+            * (sv[least(CAST(floor((cnt-1)*0.25) AS INT)+2, cnt)]
+               - sv[CAST(floor((cnt-1)*0.25) AS INT)+1]) AS q1,
+          sv[CAST(floor((cnt-1)*0.75) AS INT)+1]
+            + ((cnt-1)*0.75 - floor((cnt-1)*0.75))
+            * (sv[least(CAST(floor((cnt-1)*0.75) AS INT)+2, cnt)]
+               - sv[CAST(floor((cnt-1)*0.75) AS INT)+1]) AS q3
+        FROM srt
+      ), sc AS (
+        SELECT x.event_type, x.i, f.cnt,
+               CASE WHEN x.v < f.q1 - 1.5*(f.q3-f.q1)
+                      THEN x.v - (f.q1 - 1.5*(f.q3-f.q1))
+                    WHEN x.v > f.q3 + 1.5*(f.q3-f.q1)
+                      THEN x.v - (f.q3 + 1.5*(f.q3-f.q1))
+                    ELSE 0.0 END AS sc
+        FROM x JOIN fen f ON x.event_type = f.event_type
+      )
+      SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_days,
+             CAST(count(CASE WHEN sc <> 0.0 THEN 1 END) AS BIGINT)
+               AS tk_nz,
+             CAST(max(CASE WHEN i = 1 AND sc > 0.0 THEN 1 ELSE 0 END)
+               AS INT) AS spike_ok,
+             round(sum(sc), 6) AS score_sum
+      FROM sc GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q257StreamSketch,
+    Seq(q257StreamSketch, q275StreamAnomaly,
       q31StreamIngest, q48StreamSourceAgg, q52CompactWarehouse,
       q57StreamWindowedAgg, q58StreamSessionize, q71StreamDedup,
       q80StreamStreamJoin, q95StreamMvRollup, q112StreamIntake,
