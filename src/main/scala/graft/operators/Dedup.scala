@@ -874,17 +874,34 @@ object Dedup {
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cell: Column): DataFrame = {
     import graft.operators.Similarity.norm
+    // the float→double widening is hoisted to ONE transform per ROW:
+    // left to the analyzer it becomes a Cast that materializes a
+    // fresh 64-element double array per PAIR inside the join
+    // condition — the dominant cost of this entry at sf1 (measured
+    // 11 s → ~3 s). Hoisted doubles also beat the float-native kernel
+    // path here (4.0 s): the per-pair loop reads contiguous doubles
+    // with no widening. Both forms are value-identical.
+    val dv = transform(col(vecCol), x => x.cast("double"))
     val a = vecs.select(col(idCol).as("__sd_a"),
-      col(vecCol).as("__sd_av"), norm(col(vecCol)).as("__sd_an"),
+      dv.as("__sd_av"), norm(col(vecCol)).as("__sd_an"),
       cell.as("__sd_cell"))
     val b = vecs.select(col(idCol).as("__sd_b"),
-      col(vecCol).as("__sd_bv"), norm(col(vecCol)).as("__sd_bn"),
+      dv.as("__sd_bv"), norm(col(vecCol)).as("__sd_bn"),
       cell.as("__sd_cell"))
     // ONE scoring definition engine-wide: the zero-norm-guarded
     // cosine every similarity operator routes through
     val sim = Similarity.guardedSim(col("__sd_av"), col("__sd_bv"),
       col("__sd_an"), col("__sd_bn"))
-    val victims = a.join(b, "__sd_cell")
+    // Parallelism guard (round 11): the cell join broadcasts the
+    // (small) b side, so the pair-scoring stage inherits the A SIDE'S
+    // partitioning — and a compact parquet corpus scans as one or two
+    // partitions, serializing the entire O(Σ|cell|²) dot-product work
+    // through one core (measured at sf1: the whole entry was a single
+    // 78M-pair task). One cheap row-level shuffle of the probe side
+    // (ids + vectors, linear in N) spreads the quadratic stage across
+    // the cluster; output is row-identical.
+    val victims = a.repartition(col("__sd_cell"), col("__sd_a"))
+      .join(b, "__sd_cell")
       .filter(col("__sd_a") < col("__sd_b"))
       .filter(sim >= threshold)
       .select(col("__sd_b").as(idCol))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native vector-math kernel for the similarity operators.
   *
@@ -94,9 +94,24 @@ object NativeMath {
 case class DotProduct64Expr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
-  // inferred Seq[ArrayType] <: Seq[AbstractDataType] (which is
+  // FLOAT-NATIVE inputs (round 11): a float32 side is declared AS
+  // float, so the analyzer inserts no Cast — the old unconditional
+  // ArrayType(DoubleType) declaration materialized a fresh double
+  // array per EVALUATION (per candidate pair inside join conditions;
+  // see MathKernels.dotAny). Every other element type still coerces
+  // to array<double> exactly as before. Per-element float→double
+  // widening is exact, so results are bit-identical either way.
+  // (inferred Seq[ArrayType] <: Seq[AbstractDataType], which is
   // private[sql], so it cannot be named here)
-  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  private def sideType(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) => ArrayType(FloatType)
+    case _ => ArrayType(DoubleType)
+  }
+  private def isF(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def inputTypes = Seq(sideType(left), sideType(right))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot64"
 
@@ -107,13 +122,15 @@ case class DotProduct64Expr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (MathKernels.dotDefined(x, y)) MathKernels.dot(x, y) else null
+    if (MathKernels.dotDefined(x, y))
+      MathKernels.dotAny(x, isF(left), y, isF(right))
+    else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       if (graft.plans.MathKernels.dotDefined($a, $b)) {
-        ${ev.value} = graft.plans.MathKernels.dot($a, $b);
+        ${ev.value} = graft.plans.MathKernels.dotAny($a, ${isF(left)}, $b, ${isF(right)});
       } else {
         ${ev.isNull} = true;
       }""")
@@ -383,6 +400,31 @@ object MathKernels {
     var i = 0
     while (i < n) {
       acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** [[dot]] with per-side element width flags — the float-native
+    * path (round 11): a float32 embedding column used to reach the
+    * kernel through an analyzer-inserted `Cast(array<float> →
+    * array<double>)`, which MATERIALIZES a fresh 64-element double
+    * array per EVALUATION — once per candidate pair inside a join
+    * condition, the dominant cost of the semantic-dedup sf1 entry
+    * (measured: hoisting the cast took q123 from 11 s to ~3 s).
+    * Reading floats in place and widening per element produces the
+    * SAME doubles ((double)(float) is exact), so results stay
+    * bit-identical; the flag branches are loop-invariant and
+    * JIT-specialize away.
+    */
+  def dotAny(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
       i += 1
     }
     acc

@@ -329,7 +329,12 @@ class Round11Spec extends SparkSpec {
     // covering 1/64 of z space (~1-2 of 64, +1 for a range boundary)
     assert(zTouch < linTouch,
       s"z-order touched $zTouch files vs linear $linTouch")
-    assert(zTouch <= 3, s"z-order box should be ~1/64 of 64 files, got $zTouch")
+    // <= 4, not <= 3: repartitionByRange SAMPLES its boundaries with a
+    // seed derived from the global RDD id, so the exact split points
+    // shift by one file depending on what ran earlier in the shared
+    // test session (caught as an order-dependent flake in round 11) —
+    // the property under test is the ~1/64-vs-1/8 gap, not the ±1
+    assert(zTouch <= 4, s"z-order box should be ~1/64 of 64 files, got $zTouch")
     assert(linTouch >= 6, s"linear layout should touch ~1/8 of 64 files, got $linTouch")
     // and the layout is only a layout: same rows back
     assert(spark.read.parquet(s"$tmp/z").count() === 65536L)
