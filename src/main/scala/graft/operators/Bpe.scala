@@ -133,4 +133,23 @@ object Bpe {
         e => e.getField("__bpe_toks"))).as("bpe_tokens"))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
+
+  /** Decode a BPE token stream back to text (X186, round 11 — the
+    * inverse closing the X56/X69 loop): subword pieces concatenate,
+    * the `</w>` end-of-word markers become word boundaries, words
+    * join with single spaces. By CONSTRUCTION
+    * `decodeTokens(encode(text)) == the whitespace-normalized
+    * lowercase text` for ANY merge table — every word's pieces
+    * concatenate to the word and every word ends in exactly one
+    * marker — so the round-trip is a structural identity a pipeline
+    * can assert cheaply after re-tokenizing (q276 pins it corpus-wide
+    * at both SFs). Caveat shared with the original formulation: a
+    * word containing the literal marker string would collide; the
+    * tokenizer's inputs (whitespace-split lowercase words) make that
+    * a data-quality signal, not a decode bug.
+    */
+  def decodeTokens(tokens: Column): Column =
+    array_join(
+      filter(split(concat_ws("", tokens), "</w>"), w => w =!= ""),
+      " ")
 }

@@ -39,7 +39,28 @@ case class ChSystemRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .map(_.toLowerCase(java.util.Locale.ROOT)) ==
             Seq("system", "columns") =>
         columnsRelation
+      case u: UnresolvedRelation
+          if u.multipartIdentifier
+            .map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("system", "functions") =>
+        functionsRelation
     }
+
+  /** CH `system.functions` (X187, round 11) — one row per
+    * ClickHouse-named function this dialect registers, straight from
+    * the `ChDialect.functions` registry (the same Seq the
+    * registry-uniqueness lint guards), alphabetical. The runbook
+    * query "is function X available here" answers itself instead of
+    * grepping source. Spark's own built-ins are deliberately absent —
+    * `SHOW FUNCTIONS` already lists them; this relation is the CH
+    * SURFACE inventory.
+    */
+  private def functionsRelation: LogicalPlan = {
+    val rows = ChDialect.functions.map(_._1).distinct.sorted
+      .map(n => (n, "ChDialect"))
+    import spark.implicits._
+    rows.toDF("name", "origin").queryExecution.analyzed
+  }
 
   private def tablesRelation: LogicalPlan = {
     val bindings = graft.sources.Catalog.bindings.map(b =>

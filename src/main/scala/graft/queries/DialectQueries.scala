@@ -5880,12 +5880,42 @@ object DialectQueries {
              CAST(count(1) AS BIGINT) AS n
       FROM w GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // X187: CH `system.functions` — the dialect-surface inventory next
+  // to system.tables/parts/columns/projections: one row per
+  // ClickHouse-named function the engine registers, read from the
+  // registry itself. The oracle pins a cross-family sample of names
+  // (every round's fills show up here by construction) and the
+  // depth of the surface as a >=-400 floor boolean — the exact count
+  // moves every round and must not be hashed.
+  val q277SystemFunctions = QueryDef(
+    "q277_system_functions",
+    (s, _) => {
+      s.sql("""
+        SELECT name,
+               CASE WHEN (SELECT count(1) FROM system.functions) >= 400
+                    THEN 1 ELSE 0 END AS deep
+        FROM system.functions
+        WHERE name IN ('toMonday', 'uniqExact', 'windowFunnel',
+          'quantileTDigest', 'seriesPeriodDetectFFT', 'sumWithOverflow',
+          'nonNegativeDerivative', 'arrayFold', 'mortonEncode',
+          'uniqHLL12', 'transform', 'dictGet')
+        ORDER BY name""")
+    },
+    Some("""
+      SELECT name, 1 AS deep FROM (VALUES ('arrayFold'), ('dictGet'),
+        ('mortonEncode'), ('nonNegativeDerivative'),
+        ('quantileTDigest'), ('seriesPeriodDetectFFT'),
+        ('sumWithOverflow'), ('toMonday'), ('transform'),
+        ('uniqExact'), ('uniqHLL12'), ('windowFunnel')) t(name)
+      ORDER BY name"""))
+
   val defs: Seq[QueryDef] =
     Seq(q224CatAssociation, q225QuantileTiming, q226AucBitmapBar,
       q251Hll, q252DialectRound10b, q256IfCombinators, q261Qualify,
       q262SystemColumns, q264DialectRound11, q266TDigest, q267CorrMatrix,
       q268FunnelModes, q269SeqMatchTimed, q270Series, q271PasteJoin,
-      q272DialectRound11b,
+      q272DialectRound11b, q277SystemFunctions,
       q229NetEncoding, q230ZTests, q231ExpDecay, q232SeqNextNode,
       q234FuzzyMatch, q236PlannersTypes, q239MapArraySugar,
       q243ThetaSetAlgebra, q244KeyedArraySort, q245HashSketchContracts,

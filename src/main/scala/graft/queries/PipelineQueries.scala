@@ -5883,8 +5883,67 @@ object PipelineQueries {
                AS cents
       FROM w GROUP BY week ORDER BY week"""))
 
+  // ---------------------------------------------------------------------
+  // X186: BPE decode — the inverse closing the X56/X69 tokenizer loop.
+  // decode(encode(text)) == whitespace-normalized lowercase text is a
+  // STRUCTURAL identity for any merge table (pieces concatenate to
+  // words, markers to boundaries), asserted corpus-wide as the rt_ok
+  // cell; dlen and n_toks replay independently in DuckDB (normalized
+  // rebuild + the q156 segmentation machinery).
+  val q276BpeRoundtrip = QueryDef(
+    "q276_bpe_roundtrip",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val docs = Graft.table(s, dir, "documents")
+      val words = Bpe.wordTable(docs, "text")
+      val trained = q156Merges.foldLeft(words) { case (w, (a, b)) =>
+        w.withColumn("symbols", Bpe.mergeSymbols(col("symbols"), a, b))
+      }
+      val enc = Bpe.encodeCorpus(docs, "doc_id", "text", trained)
+        .withColumn("decoded", Bpe.decodeTokens(col("bpe_tokens")))
+      val normed = docs.select(col("doc_id"), col("lang"),
+        array_join(filter(text.tokenize(col("text")),
+          w => length(w) > 0), " ").as("norm"))
+      enc.join(normed, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("decoded") === col("norm"), 1L).otherwise(0L))
+            .cast("long").as("rt_ok"),
+          sum(length(col("decoded"))).cast("long").as("dlen"),
+          sum(col("n_bpe_tokens")).cast("long").as("n_toks"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ), dw AS (
+        SELECT doc_id, u.i AS pos, toks[u.i] AS word
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        WHERE length(toks[u.i]) > 0
+      ), seg AS (
+        SELECT word, $q156SegSql AS syms
+        FROM (SELECT DISTINCT word FROM dw)
+      ), enc AS (
+        SELECT dw.doc_id, CAST(sum(len(seg.syms)) AS BIGINT) AS ntok
+        FROM dw JOIN seg USING (word)
+        GROUP BY dw.doc_id
+      ), n AS (
+        SELECT doc_id, lang,
+               length(array_to_string(list_filter(toks,
+                 w -> length(w) > 0), ' ')) AS dlen
+        FROM t
+      )
+      SELECT n.lang, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(count(1) AS BIGINT) AS rt_ok,
+             CAST(sum(n.dlen) AS BIGINT) AS dlen,
+             CAST(sum(e.ntok) AS BIGINT) AS n_toks
+      FROM n JOIN enc e USING (doc_id)
+      GROUP BY n.lang ORDER BY n.lang"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q273ClusterBalance, q274BackfillIdempotent,
+    q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
     q254RobustStats, q255MutualKnn, q263MutualKnnIvf, q265ZOrderLayout,
     q258TemplateSentences,

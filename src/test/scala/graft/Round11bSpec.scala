@@ -360,6 +360,38 @@ class Round11bSpec extends SparkSpec {
     assert(back.count() == ev.count())
   }
 
+  // ---- BPE decode (X186) ----
+
+  test("decodeTokens inverts any segmentation: pieces concat to " +
+      "words, markers to single spaces") {
+    import graft.operators.Bpe
+    val r = spark.range(1).select(Bpe.decodeTokens(typedLit(Seq(
+      "he", "ll", "o", "</w>", "wor", "ld</w>", "x</w>"))).as("d"))
+      .collect().head.getString(0)
+    assert(r == "hello world x")
+    // empty stream -> empty text
+    val e = spark.range(1)
+      .select(Bpe.decodeTokens(typedLit(Seq.empty[String])).as("d"))
+      .collect().head.getString(0)
+    assert(e == "")
+  }
+
+  // ---- system.functions (X187) ----
+
+  test("system.functions lists the dialect registry, alphabetical " +
+      "and duplicate-free") {
+    val rows = spark.sql(
+      "SELECT name, origin FROM system.functions").collect()
+    val names = rows.map(_.getString(0)).toSeq
+    assert(names == names.sorted, "not alphabetical")
+    assert(names.distinct.size == names.size, "duplicates")
+    assert(names.size >= 400, s"registry unexpectedly small: ${names.size}")
+    assert(rows.forall(_.getString(1) == "ChDialect"))
+    // this round's additions are visible
+    Seq("seriesDecomposeSTL", "timeSlots", "groupArrayIntersect",
+      "tokens").foreach(n => assert(names.contains(n), n))
+  }
+
   test("series functions resolve through the SQL surface") {
     val r = spark.sql("""
       SELECT seriesPeriodDetectFFT(transform(sequence(0, 23),
