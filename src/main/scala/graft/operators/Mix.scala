@@ -64,16 +64,25 @@ object Mix {
     require(counts.length <= maxStrata,
       s"stratifiedSample: more than $maxStrata strata — a continuous " +
         "stratum column? Bucket it first.")
-    // threshold = share of the 32-bit hash space that yields ~1.3x the
-    // quota; full space when the stratum is smaller than the quota
+    // threshold = share of the 32-bit hash space expected to yield
+    // quota + 4·√quota + 8 rows — a ≥4-sigma binomial headroom, so the
+    // verified-fallback redo (a full extra scan of the shortfall
+    // strata) is a near-impossibility instead of a ~13%-per-stratum
+    // event at small quotas (round 11: with quota 15 over ~140-row
+    // clusters the old flat 1.3x headroom undershot ~1 stratum in 8,
+    // and the redo pass dominated the cluster-balance entry). The
+    // threshold only shapes the CANDIDATE superset — the window trims
+    // to the same lowest-hash rows under any sufficient threshold, so
+    // output is invariant. Full space when the stratum is small.
     val expected = counts.map(r => (r.get(0), math.min(quota.toLong,
       r.getLong(1)))).toMap
     val thresholds = counts.map { r =>
       val n = r.getLong(1)
+      val want = quota + 4.0 * math.sqrt(quota.toDouble) + 8.0
       val t =
         if (n <= quota) 4294967296L
         else math.min(4294967296L,
-          (4294967296L * 1.3 * quota / n).toLong + 1)
+          (4294967296L * math.min(1.0, want / n)).toLong + 1)
       (r.get(0), t)
     }
     // thresholds ride a BROADCAST join, never a when-chain: a

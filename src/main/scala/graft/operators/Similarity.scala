@@ -385,11 +385,22 @@ object Similarity {
   }
 
   /** The `nprobe` best cells for a probe vector, ranked by centroid
-    * cosine (desc) with centroid order as tie-break — as an inline
-    * array expression, mirroring [[assignCell]].
+    * cosine (desc) with centroid order as tie-break — the native
+    * `TopCellsExpr` kernel (round 11: the combinator form re-derived
+    * every centroid norm per row through interpreted lambdas — the
+    * measured hot loop of the IVF candidate generator at √N
+    * centroids). [[probeCellsColumn]] keeps the combinator as the
+    * value-identical reference; SimilaritySpec pins the equality.
     */
   private def probeCells(v: Column, cents: Array[(Long, Seq[Double])],
-      nprobe: Int): Column = {
+      nprobe: Int): Column =
+    graft.plans.NativeMath.topCells(v, cents, nprobe)
+
+  /** Reference combinator formulation of [[probeCells]]
+    * (value-identical; SimilaritySpec proves it).
+    */
+  private[graft] def probeCellsColumn(v: Column,
+      cents: Array[(Long, Seq[Double])], nprobe: Int): Column = {
     val centVecs = typedLit(cents.map(_._2).toSeq)
     val centIds = typedLit(cents.map(_._1).toSeq)
     val scored = zip_with(centIds, centVecs, (cid, c) => {

@@ -89,6 +89,16 @@ object NativeMath {
     GraftSqlBridge.column(
       ArrayAucExpr(GraftSqlBridge.expression(scores),
         GraftSqlBridge.expression(labels)))
+
+  /** The `nprobe` best centroid ids for a vector, ranked by cosine
+    * desc with centroid id as tie-break — the native form of the IVF
+    * probe ranking (see [[TopCellsExpr]]); value-identical to the
+    * `zip_with` + `array_sort` combinator it replaces.
+    */
+  def topCells(v: Column, cents: Array[(Long, Seq[Double])],
+      nprobe: Int): Column =
+    GraftSqlBridge.column(TopCellsExpr(GraftSqlBridge.expression(v),
+      cents.map(_._2.toArray), cents.map(_._1), nprobe))
 }
 
 case class DotProduct64Expr(left: Expression, right: Expression)
@@ -178,16 +188,84 @@ case class ArgMaxCosineExpr(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_argmax_cosine"
 
+  // Centroid tables are literals in every caller (the broadcast-
+  // assignment pattern) — precompute the per-centroid primitive
+  // arrays and norms ONCE instead of per row (round 11: at √N ≈ 224
+  // centroids the per-row norm recomputation and ArrayData unwrapping
+  // doubled the cell-assignment pass; sim arithmetic is unchanged —
+  // same dot order, same sqrt — so assignments are bit-identical).
+  @transient private lazy val preCents: Array[Array[Double]] = {
+    val cs = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(cs.numElements()) { i =>
+      cs.getArray(i).toDoubleArray()
+    }
+  }
+  @transient private lazy val preNorms: Array[Double] =
+    preCents.map(c => math.sqrt(MathKernels.dotArr(c, c)))
+
   override protected def nullSafeEval(v: Any, cents: Any): Any =
-    MathKernels.argmaxCosine(v.asInstanceOf[ArrayData],
-      cents.asInstanceOf[ArrayData])
+    if (right.foldable)
+      MathKernels.argmaxCosinePre(v.asInstanceOf[ArrayData],
+        preCents, preNorms)
+    else
+      MathKernels.argmaxCosine(v.asInstanceOf[ArrayData],
+        cents.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
+    if (right.foldable) {
+      val centsRef = ctx.addReferenceObj("graftAmcCents", preCents,
+        "double[][]")
+      val normsRef = ctx.addReferenceObj("graftAmcNorms", preNorms,
+        "double[]")
+      nullSafeCodeGen(ctx, ev, (v, _) => s"""
+        ${ev.value} = graft.plans.MathKernels.argmaxCosinePre($v,
+          $centsRef, $normsRef);""")
+    } else defineCodeGen(ctx, ev,
       (v, c) => s"graft.plans.MathKernels.argmaxCosine($v, $c)")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** The `nprobe` best centroid ids for a vector — cosine desc,
+  * centroid id ascending as tie-break, zero-norm sides scoring 0.0 —
+  * in one codegen'd pass over a precomputed primitive centroid table.
+  * Value-identical (same dot/norm doubles, same total order) to the
+  * `zip_with(ids, cents, …)` + `array_sort(comparator)` + `slice`
+  * combinator it replaces, which evaluated interpreted lambdas per
+  * centroid per row and re-derived every centroid norm per row — the
+  * measured hot loop of the IVF candidate generator at √N centroids.
+  * The centroid table lives IN the expression (reference objects in
+  * codegen), not as a child literal.
+  */
+case class TopCellsExpr(child: Expression, cents: Array[Array[Double]],
+    ids: Array[Long], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  require(nprobe >= 1, "topCells: nprobe >= 1")
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_top_cells"
+
+  @transient private lazy val norms: Array[Double] =
+    cents.map(c => math.sqrt(MathKernels.dotArr(c, c)))
+
+  override protected def nullSafeEval(v: Any): Any =
+    MathKernels.topCells(v.asInstanceOf[ArrayData], cents, norms, ids,
+      nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftTcCents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("graftTcNorms", norms, "double[]")
+    val idsRef = ctx.addReferenceObj("graftTcIds", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.plans.MathKernels.topCells($v, $centsRef,
+        $normsRef, $idsRef, $nprobe);""")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
 }
 
 object MathKernels {
@@ -451,6 +529,68 @@ object MathKernels {
     * cosine is `dot/(|v||c|)` with 0 for zero-norm sides — the same
     * doubles as the combinator formulation.
     */
+  /** Self/pair dot over primitive double arrays — the precomputed-
+    * centroid path's building block (index order identical to [[dot]]).
+    */
+  def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Row-vector (ArrayData) × primitive centroid — same accumulation
+    * order as [[dot]] reading both sides from ArrayData, so cosines
+    * are bit-identical between the cached and uncached paths.
+    */
+  def dotAD(v: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += v.getDouble(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** [[argmaxCosine]] with the centroid table and norms precomputed
+    * once (round 11) — identical arithmetic per centroid, so the
+    * winning index never differs from the uncached form.
+    */
+  def argmaxCosinePre(v: ArrayData, cents: Array[Array[Double]],
+      norms: Array[Double]): Int = {
+    val vn = math.sqrt(dot(v, v))
+    var best = Double.NegativeInfinity
+    var bestI = 0
+    var i = 0
+    while (i < cents.length) {
+      val sim =
+        if (vn > 0 && norms(i) > 0) dotAD(v, cents(i)) / (vn * norms(i))
+        else 0.0
+      if (sim > best) { best = sim; bestI = i }
+      i += 1
+    }
+    bestI
+  }
+
+  /** The `nprobe` best centroid IDS by (cosine desc, id asc) — the
+    * native IVF probe ranking (see [[graft.plans.TopCellsExpr]]).
+    */
+  def topCells(v: ArrayData, cents: Array[Array[Double]],
+      norms: Array[Double], ids: Array[Long], nprobe: Int): ArrayData = {
+    val vn = math.sqrt(dot(v, v))
+    val n = cents.length
+    val sims = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      sims(i) =
+        if (vn > 0 && norms(i) > 0) dotAD(v, cents(i)) / (vn * norms(i))
+        else 0.0
+      i += 1
+    }
+    val idx = Array.range(0, n).sortBy(j => (-sims(j), ids(j)))
+    new GenericArrayData(idx.take(math.min(nprobe, n)).map(j => ids(j)))
+  }
+
   def argmaxCosine(v: ArrayData, cents: ArrayData): Int = {
     val vn = math.sqrt(dot(v, v))
     var best = Double.NegativeInfinity

@@ -392,6 +392,27 @@ class Round11bSpec extends SparkSpec {
       "tokens").foreach(n => assert(names.contains(n), n))
   }
 
+  // ---- native IVF probe ranking (round-11 perf) ----
+
+  test("native topCells equals the combinator probe ranking, " +
+      "cell-for-cell, including ties and zero norms") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Graft.table(spark, dir, "embeddings")
+    val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding", 9)
+    val both = vecs.select(col("vec_id"),
+      graft.plans.NativeMath.topCells(col("embedding"), cents, 4)
+        .as("nat"),
+      Similarity.probeCellsColumn(col("embedding"), cents, 4).as("ref"))
+    val bad = both.filter(not(col("nat") === col("ref"))).count()
+    assert(bad == 0L)
+    // zero vector: all sims 0.0, ranking falls to centroid id order
+    val z = spark.range(1).select(graft.plans.NativeMath.topCells(
+      typedLit(Seq.fill(cents.head._2.length)(0.0)), cents, 3).as("v"))
+      .collect().head.getSeq[Long](0)
+    assert(z == cents.map(_._1).sorted.take(3).toSeq)
+  }
+
   test("series functions resolve through the SQL surface") {
     val r = spark.sql("""
       SELECT seriesPeriodDetectFFT(transform(sequence(0, 23),
