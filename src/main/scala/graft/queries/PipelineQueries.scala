@@ -5942,8 +5942,165 @@ object PipelineQueries {
       FROM n JOIN enc e USING (doc_id)
       GROUP BY n.lang ORDER BY n.lang"""))
 
+  // ---------------------------------------------------------------------
+  // X188: prep-pipeline v3 — the round-10/11 operators chained the way
+  // a production curation run uses them: 8-gram eval-set
+  // DECONTAMINATION (X156) → TEMPLATE-DOC drop (X167's digit-masked
+  // skeleton detection, recomputed on the decontaminated survivors,
+  // with a template PLANTED on doc_id % 7 = 3 so the stage provably
+  // fires) → integral-score TOKEN-BUDGET selection (X52) at half the
+  // surviving token mass, rolled up per source. Every stage's
+  // arithmetic replays in the oracle (q248's gram intersect, q258's
+  // skeleton machinery, q116's greedy-budget prefix), so the
+  // composition does too. Scale shape is the stages' own: broadcast
+  // eval grams, one sentence-keyed shuffle, histogram-bounded budget.
+  val q278PrepPipelineV3 = QueryDef(
+    "q278_prep_pipeline_v3",
+    (s, dir) => {
+      import graft.operators.Select
+      val base = Graft.table(s, dir, "documents")
+        .withColumn("text", when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(". Order "),
+            (col("doc_id") % 999).cast("string"),
+            lit(" shipped to zone "),
+            (col("doc_id") % 45).cast("string"), lit(".")))
+          .otherwise(col("text")))
+      val corpus = base.where(col("doc_id") % 37 =!= 0)
+      val s1 = Dedup.decontaminate(corpus,
+          base.where(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 8)
+        .where(!col("contaminated"))
+      val tpl = Dedup.templateSentences(s1, "doc_id", "text",
+        minDocs = 10).select(col("template"))
+      val sk = s1.select(col("doc_id"),
+          explode(text.sentences(col("text"))).as("__s"))
+        .select(col("doc_id"),
+          regexp_replace(lower(trim(col("__s"))), "[0-9]+", "0")
+            .as("__t"))
+        .where(length(col("__t")) >= 8)
+      val owners = sk.join(tpl, sk("__t") === tpl("template"),
+        "left_semi").select(col("doc_id")).distinct()
+      val s2 = s1.join(owners, Seq("doc_id"), "left_anti")
+      val toksArr = filter(text.tokenize(col("text")), t => t =!= "")
+      val scored = s2.select(col("doc_id"), col("source"),
+          size(toksArr).cast("long").as("nt"),
+          size(array_distinct(toksArr)).cast("long").as("dt"))
+        .withColumn("score",
+          expr("CAST(dt * 1000000 DIV greatest(nt, 1) AS BIGINT)"))
+      val budget = scored.agg(coalesce(sum(col("nt")), lit(0L)))
+        .head().getLong(0) / 2
+      val kept = Select.byTokenBudget(scored, "score", "nt", "doc_id",
+        budget)
+      val a = corpus.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_in"))
+      val b = s1.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_clean"))
+      val c = s2.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_detpl"))
+      val d = kept.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("nt")).cast("long").as("tok_kept"))
+      a.join(b, Seq("source"), "left")
+        .join(c, Seq("source"), "left")
+        .join(d, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_detpl"), lit(0L)).as("n_detpl"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 3
+                    THEN text || '. Order '
+                         || CAST(doc_id % 999 AS VARCHAR)
+                         || ' shipped to zone '
+                         || CAST(doc_id % 45 AS VARCHAR) || '.'
+                    ELSE text END AS text
+        FROM documents
+      ), tok AS (
+        SELECT doc_id, source, text,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM base
+      ), g AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(l[i:i+7], ' ')
+                 for i in generate_series(1, len(l) - 7)]) AS gs
+        FROM tok
+      ), eg AS (
+        SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 37 = 0
+      ), dg AS (
+        SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 37 <> 0
+      ), bad AS (
+        SELECT DISTINCT dg.doc_id FROM dg JOIN eg ON dg.gr = eg.gr
+      ), s1 AS (
+        SELECT t.doc_id, t.source, t.text,
+               [x for x in t.l if x <> ''] AS toks
+        FROM tok t
+        WHERE t.doc_id % 37 <> 0
+          AND t.doc_id NOT IN (SELECT doc_id FROM bad)
+      ), se AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(x)), '[0-9]+', '0', 'g') AS tpl
+        FROM (SELECT doc_id, unnest([trim(x) for x in
+                regexp_extract_all(text, '[^.!?]+(?:[.!?]+|$)')
+                if trim(x) <> '']) AS x
+              FROM s1)
+      ), sef AS (
+        SELECT doc_id, tpl FROM se WHERE len(tpl) >= 8
+      ), tplq AS (
+        SELECT tpl FROM sef GROUP BY tpl
+        HAVING count(DISTINCT doc_id) >= 10
+      ), owners AS (
+        SELECT DISTINCT doc_id FROM sef
+        WHERE tpl IN (SELECT tpl FROM tplq)
+      ), s2 AS (
+        SELECT * FROM s1
+        WHERE doc_id NOT IN (SELECT doc_id FROM owners)
+      ), scored AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS nt,
+               CAST(len(list_distinct(toks)) * 1000000
+                 // greatest(len(toks), 1) AS BIGINT) AS score
+        FROM s2
+      ), budget AS (
+        SELECT CAST(coalesce(sum(nt), 0) // 2 AS BIGINT) AS b
+        FROM scored
+      ), ranked AS (
+        SELECT *, sum(nt) OVER (ORDER BY score DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored
+      ), kept AS (
+        SELECT * FROM ranked WHERE cum <= (SELECT b FROM budget)
+      ), srcin AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_in
+        FROM base WHERE doc_id % 37 <> 0 GROUP BY 1
+      ), c1 AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_clean
+        FROM s1 GROUP BY 1
+      ), c2 AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_detpl
+        FROM s2 GROUP BY 1
+      ), c3 AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_kept,
+               CAST(sum(nt) AS BIGINT) AS tok_kept
+        FROM kept GROUP BY 1
+      )
+      SELECT srcin.source, srcin.n_in,
+             CAST(coalesce(c1.n_clean, 0) AS BIGINT) AS n_clean,
+             CAST(coalesce(c2.n_detpl, 0) AS BIGINT) AS n_detpl,
+             CAST(coalesce(c3.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(coalesce(c3.tok_kept, 0) AS BIGINT) AS tok_kept
+      FROM srcin LEFT JOIN c1 USING (source)
+      LEFT JOIN c2 USING (source) LEFT JOIN c3 USING (source)
+      ORDER BY srcin.source"""),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
+    q278PrepPipelineV3,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
     q254RobustStats, q255MutualKnn, q263MutualKnnIvf, q265ZOrderLayout,
     q258TemplateSentences,
