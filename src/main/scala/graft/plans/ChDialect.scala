@@ -2589,9 +2589,10 @@ object ChDialect {
       val c = col(args(1))
       ex(when(s.endsWith(c), s).otherwise(concat(s, c)))
     }),
-    // tokens(s): CH's default tokenizer — maximal alphanumeric runs
-    "tokens" -> (args =>
-      ex(filter(split(col(args.head), "[^A-Za-z0-9]+"), t => t =!= ""))),
+    // (tokens(s) — CH's default tokenizer — is registered with the
+    // round-11 fill #4, delegating to the shared ch.tokens combinator;
+    // a second inline copy here was caught by the registry-uniqueness
+    // lint and removed)
     "currentDatabase" -> (_ => ex(lit("default"))),
     // URL hierarchy / authority family (functions/url.scala): the
     // Metrica drill-down vocabulary over page URLs
