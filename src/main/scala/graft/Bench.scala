@@ -182,10 +182,10 @@ object Bench {
           "q240_prep_pipeline_v2", "q263_mutual_knn_ivf",
           // round-11 additions: cluster-balanced curation (assignment
           // projection + bounded trim — the no-shuffle curve should be
-          // near-flat) and the fixed-cell semantic dedup's sibling is
-          // already above; q273's 10x point proves the balancing pass
-          // scales like the report it is
-          "q273_cluster_balance",
+          // near-flat) and the v3 curation funnel (broadcast-gram
+          // decontamination + skeleton detection + budget histogram —
+          // every stage linear in corpus tokens)
+          "q273_cluster_balance", "q278_prep_pipeline_v3",
           // round-9 leg: the X94 union-sketch SIBLING of q182 — the
           // designated 100 TB path; its sf1 number belongs next to the
           // exact form's so the "sketch ≪ exact" scale claim is

@@ -376,4 +376,58 @@ object Retrieval {
         col("__id").as("id"))
   }
 
+  /** Ranking-quality evaluation (X189, round 11) — the metric suite a
+    * retrieval pipeline grades its runs with: per query,
+    * `recall@k = |hits≤k| / |gold|`, `MRR = 1/first-hit-rank`,
+    * `AP@k = (Σⱼ j/rⱼ) / min(|gold|, k)` over the sorted hit ranks rⱼ
+    * (precision-at-each-hit — the standard binary-relevance form),
+    * and `nDCG@k = Σ 1/log₂(rⱼ+1) / Σᵢ≤min(|gold|,k) 1/log₂(i+1)`.
+    * Queries with no hits score 0 on everything; gold rows are
+    * distinct'd first.
+    *
+    * Shapes for scale: one (query, doc) equi-join of the run against
+    * the gold table, then per-query bounded state (≤ k hit ranks via
+    * sort_array(collect_list)) — nothing corpus-sized. All metrics
+    * are rational arithmetic over integer ranks except the nDCG
+    * discounts (the one ln each engine computes; compared surfaces
+    * round — the idf policy).
+    * Inputs: `runs(query_id, doc_id, rank)`, `gold(query_id, doc_id)`.
+    * Output per query: (query_id, n_gold, first_hit [0 = none],
+    * recall_k, mrr, ap_k, ndcg_k).
+    */
+  def evalRanking(runs: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "evalRanking: k >= 1")
+    val disc = typedLit((1 to k).map(i =>
+      1.0 / (math.log(i + 1.0) / math.log(2.0))))
+    val g = gold.select(col("query_id"), col("doc_id")).distinct()
+    val ng = g.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_gold"))
+    val hits = runs.filter(col("rank") <= k)
+      .join(g, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("rank").cast("int"))).as("__hr"))
+    val hr = coalesce(col("__hr"), typedLit(Seq.empty[Int]))
+    val nHits = size(hr).cast("double")
+    val prec = aggregate(
+      zip_with(hr, sequence(lit(1), greatest(size(hr), lit(1))),
+        (r, j) => j.cast("double") / r.cast("double")),
+      lit(0.0), (a, x) => a + x)
+    val dcg = aggregate(hr, lit(0.0),
+      (a, r) => a + element_at(disc, r))
+    val idcg = aggregate(
+      slice(disc, lit(1), least(col("n_gold"), lit(k)).cast("int")),
+      lit(0.0), (a, x) => a + x)
+    ng.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_gold"),
+        coalesce(element_at(col("__hr"), 1), lit(0)).cast("long")
+          .as("first_hit"),
+        (nHits / col("n_gold").cast("double")).as("recall_k"),
+        when(size(hr) > 0,
+          lit(1.0) / element_at(hr, 1).cast("double"))
+          .otherwise(lit(0.0)).as("mrr"),
+        when(size(hr) > 0,
+          prec / least(col("n_gold"), lit(k.toLong)).cast("double"))
+          .otherwise(lit(0.0)).as("ap_k"),
+        when(size(hr) > 0, dcg / idcg).otherwise(lit(0.0)).as("ndcg_k"))
+  }
 }

@@ -6098,9 +6098,109 @@ object PipelineQueries {
       ORDER BY srcin.source"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X189: retrieval-run evaluation — recall@k / MRR / AP@k / nDCG@k
+  // over a known-item benchmark built FROM the corpus: each query is
+  // a 6-token snippet (tokens 4–9) of a sampled document, the gold is
+  // that document, the run is the q147 fixed-point BM25 pipeline. The
+  // oracle re-derives the query terms from the same slice, replays
+  // BM25 end to end, and computes the closed-form |gold|=1 metrics
+  // (the multi-gold arithmetic is spec-pinned on a hand dataset).
+  val q279RetrievalEval = QueryDef(
+    "q279_retrieval_eval",
+    (s, dir) => {
+      import graft.operators.Retrieval
+      import s.implicits._
+      val docs = Graft.table(s, dir, "documents")
+      val queries = docs.where(col("doc_id") % 131 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(text.tokenize(col("text")), 4, 12))
+            .as("q"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+        .sortBy(_._1)
+      val runs = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+        k = 10)
+      val gold = queries.map(_._1).toDF("query_id")
+        .withColumn("doc_id", col("query_id"))
+      Retrieval.evalRanking(runs, gold, k = 10)
+        .select(col("query_id"), col("n_gold"), col("first_hit"),
+          round(col("recall_k"), 6).as("recall_k"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("ap_k"), 6).as("ap_k"),
+          round(col("ndcg_k"), 6).as("ndcg_k"))
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), st AS (
+        SELECT CAST(count(1) AS DOUBLE) AS nd,
+               CAST(sum(len(toks)) AS DOUBLE) / count(1) AS avgdl
+        FROM t
+      ), q AS (
+        SELECT doc_id AS query_id, toks[4:15] AS qtoks
+        FROM t WHERE doc_id % 131 = 0
+      ), qt AS (
+        SELECT DISTINCT query_id, u.term
+        FROM q, unnest(qtoks) AS u(term)
+        WHERE u.term <> ''
+      ), p AS (
+        SELECT u.t AS term, doc_id, len(toks) AS dl,
+               CAST(count(1) AS BIGINT) AS tf
+        FROM t, unnest(toks) AS u(t)
+        WHERE u.t IN (SELECT term FROM qt)
+        GROUP BY 1, 2, 3
+      ), dft AS (
+        SELECT term,
+               CAST(round(ln(((SELECT nd FROM st) - count(DISTINCT doc_id)
+                              + 0.5)
+                             / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                          * 1000000.0) AS BIGINT) AS idf_fp
+        FROM p GROUP BY term
+      ), sc AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(sum(CAST(round(
+                 (dft.idf_fp / 1000000.0) *
+                 (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(p.tf AS DOUBLE)
+                   + (1.0 - 0.75 + 0.75 * p.dl
+                        / (SELECT avgdl FROM st)) * 1.2)
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS score_fp
+        FROM p
+        JOIN dft USING (term)
+        JOIN qt USING (term)
+        GROUP BY 1, 2
+      ), rk AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM sc
+      ), ev AS (
+        SELECT q.query_id,
+               coalesce(max(CASE WHEN r.doc_id = q.query_id
+                                  AND r.rank <= 10
+                                 THEN r.rank END), 0) AS fh
+        FROM q LEFT JOIN rk r ON r.query_id = q.query_id
+        GROUP BY q.query_id
+      )
+      SELECT query_id, CAST(1 AS BIGINT) AS n_gold,
+             CAST(fh AS BIGINT) AS first_hit,
+             round(CASE WHEN fh > 0 THEN 1.0 ELSE 0.0 END, 6)
+               AS recall_k,
+             round(CASE WHEN fh > 0 THEN 1.0 / fh ELSE 0.0 END, 6)
+               AS mrr,
+             round(CASE WHEN fh > 0 THEN 1.0 / fh ELSE 0.0 END, 6)
+               AS ap_k,
+             round(CASE WHEN fh > 0
+                        THEN 1.0 / (ln(fh + 1.0) / ln(2.0))
+                        ELSE 0.0 END, 6) AS ndcg_k
+      FROM ev ORDER BY query_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
-    q278PrepPipelineV3,
+    q278PrepPipelineV3, q279RetrievalEval,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
     q254RobustStats, q255MutualKnn, q263MutualKnnIvf, q265ZOrderLayout,
     q258TemplateSentences,

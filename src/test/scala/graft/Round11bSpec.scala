@@ -413,6 +413,37 @@ class Round11bSpec extends SparkSpec {
     assert(z == cents.map(_._1).sorted.take(3).toSeq)
   }
 
+  // ---- retrieval-run evaluation (X189) ----
+
+  test("evalRanking: multi-gold metrics match the hand-computed " +
+      "values; no-hit queries score zero") {
+    import graft.operators.Retrieval
+    // query 1: gold {10,20,30}, hits at ranks 2 and 5 (docs 10, 20)
+    // query 2: gold {40}, no hits in the run
+    val runs = Seq(
+      (1L, 99L, 1L), (1L, 10L, 2L), (1L, 98L, 3L), (1L, 97L, 4L),
+      (1L, 20L, 5L),
+      (2L, 96L, 1L), (2L, 95L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val gold = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 40L))
+      .toDF("query_id", "doc_id")
+    val r = Retrieval.evalRanking(runs, gold, k = 10)
+      .orderBy("query_id").collect()
+    val q1 = r(0)
+    assert(q1.getLong(1) == 3L && q1.getLong(2) == 2L)
+    assert(math.abs(q1.getDouble(3) - 2.0 / 3) < 1e-12)     // recall
+    assert(math.abs(q1.getDouble(4) - 0.5) < 1e-12)          // mrr
+    // AP = (1/2 + 2/5) / min(3, 10) = 0.3
+    assert(math.abs(q1.getDouble(5) - 0.3) < 1e-12)
+    // nDCG = (d2 + d5) / (d1 + d2 + d3)
+    def d(i: Int) = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+    assert(math.abs(q1.getDouble(6) - (d(2) + d(5)) / (d(1) + d(2) + d(3)))
+      < 1e-12)
+    val q2 = r(1)
+    assert(q2.getLong(2) == 0L)
+    assert(Seq(3, 4, 5, 6).forall(i => q2.getDouble(i) == 0.0))
+  }
+
   test("series functions resolve through the SQL surface") {
     val r = spark.sql("""
       SELECT seriesPeriodDetectFFT(transform(sequence(0, 23),
