@@ -98,6 +98,34 @@ object Round11bProps extends Properties("round11b") {
       out.forall(_.getBoolean(0))
     }
 
+  property("evalRanking: metrics bounded in [0,1], perfect runs " +
+      "score 1.0 everywhere, and recall@k is monotone in k") =
+    forAll(Gen.choose(1, 6), Gen.choose(1, 10), Gen.choose(0L, 100L)) {
+      (nGold, nNoise, seed) =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        import graft.operators.Retrieval
+        // a run that ranks all gold docs first, then noise
+        val goldIds = (0 until nGold).map(i => seed * 100 + i)
+        val noise = (0 until nNoise).map(i => 10000L + i)
+        val runRows = (goldIds ++ noise).zipWithIndex
+          .map { case (d, i) => (1L, d, (i + 1).toLong) }
+        val runs = runRows.toDF("query_id", "doc_id", "rank")
+        val gold = goldIds.map(d => (1L, d)).toDF("query_id", "doc_id")
+        val perfect = Retrieval.evalRanking(runs, gold, k = 10)
+          .collect().head
+        val ms = Seq(3, 4, 5, 6).map(perfect.getDouble)
+        // perfect when every gold fits in k
+        (nGold > 10 || ms.forall(m => math.abs(m - 1.0) < 1e-12)) &&
+          ms.forall(m => m >= 0.0 && m <= 1.0 + 1e-12) && {
+            // recall monotone in k
+            val rs = Seq(1, 3, 10).map(k =>
+              Retrieval.evalRanking(runs, gold, k)
+                .collect().head.getDouble(3))
+            rs.sliding(2).forall(p => p.head <= p(1) + 1e-12)
+          }
+    }
+
   property("nonNegativeDerivative telescopes on an increasing " +
       "unit-spaced series") =
     forAll(Gen.choose(3, 30), Gen.choose(1, 9)) { (n, step) =>
