@@ -807,14 +807,20 @@ object Similarity {
     val pairs = candidates match {
       case None => a.join(b, col("i") =!= col("j"))
       case Some(c) =>
-        // symmetrize + dedup the candidate set (one shuffle over the
-        // CANDIDATE volume, not the corpus), then two id-keyed
-        // equi-joins pull the quantized vectors — no non-equi product
-        // anywhere in this branch
+        // dedup on the CANONICAL (min, max) pair FIRST, then emit both
+        // directions (round 11: distinct-after-union shuffled twice
+        // the rows — IVF candidates arrive in both directions whenever
+        // two vectors probe each other's cells, so the canonical form
+        // halves the dedup volume for the identical symmetric
+        // closure); then two id-keyed equi-joins pull the quantized
+        // vectors — no non-equi product anywhere in this branch
         val p0 = c.select(col("i").cast("long").as("i"),
           col("j").cast("long").as("j"))
-        val sym = p0.union(p0.select(col("j").as("i"), col("i").as("j")))
-          .where(col("i") =!= col("j")).distinct()
+          .where(col("i") =!= col("j"))
+        val und = p0.select(least(col("i"), col("j")).as("u"),
+          greatest(col("i"), col("j")).as("v")).distinct()
+        val sym = und.select(col("u").as("i"), col("v").as("j"))
+          .union(und.select(col("v").as("i"), col("u").as("j")))
         sym.join(a, "i").join(b, "j")
     }
     // exact int64 fold as the codegen'd kernel (round 11): identical
