@@ -6118,10 +6118,14 @@ object PipelineQueries {
       import graft.operators.Retrieval
       import s.implicits._
       val docs = Graft.table(s, dir, "documents")
+      // the benchmark query set is DRIVER-BOUNDED by contract (the
+      // bm25TopK query-literal design — a benchmark is dictionary-
+      // sized, never corpus-sized); the limit makes the bound explicit
       val queries = docs.where(col("doc_id") % 131 === 0)
         .select(col("doc_id"),
           concat_ws(" ", slice(text.tokenize(col("text")), 4, 12))
             .as("q"))
+        .orderBy(col("doc_id")).limit(1000)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
         .sortBy(_._1)
       val runs = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
@@ -6148,6 +6152,7 @@ object PipelineQueries {
       ), q AS (
         SELECT doc_id AS query_id, toks[4:15] AS qtoks
         FROM t WHERE doc_id % 131 = 0
+        ORDER BY doc_id LIMIT 1000
       ), qt AS (
         SELECT DISTINCT query_id, u.term
         FROM q, unnest(qtoks) AS u(term)
