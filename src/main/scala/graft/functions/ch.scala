@@ -1434,14 +1434,18 @@ object ch {
     * sort makes this engine's replayable; same policy as
     * groupBitmapState). NULL arrays are skipped (aggregate NULL-skip
     * convention); an all-NULL/empty group yields NULL. Group-bounded
-    * state (the collect_list fold), the windowFunnel caveat.
+    * state (the collect_list fold), the windowFunnel caveat. The seed
+    * is intersected with itself so a SINGLE-array group deduplicates
+    * exactly like a multi-array group (set semantics; round-12
+    * ADVICE — the raw seed kept duplicates).
     */
   def groupArrayIntersect(arr: Column): Column = {
     val cl = collect_list(arr)
+    val seed = array_intersect(try_element_at(cl, lit(1)),
+      try_element_at(cl, lit(1)))
     when(size(cl) > 0,
       array_sort(aggregate(slice(cl, lit(2), size(cl)),
-        try_element_at(cl, lit(1)),
-        (acc, x) => array_intersect(acc, x))))
+        seed, (acc, x) => array_intersect(acc, x))))
   }
 
   /** CH `sumWithOverflow(x)`: integer sum with two's-complement WRAP

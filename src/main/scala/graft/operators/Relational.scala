@@ -446,33 +446,45 @@ object Relational {
     * cancel row (sign=-1) with the same (id, version) exists; the current
     * state of an entity is its live row with the highest version.
     *
-    * Shuffle analysis (round-11 form): liveness is a WINDOW over
-    * `idCols` — the per-entity cancelled-version set rides a
-    * collect_set frame (bounded: an entity's version count is the
-    * per-key state bound this table class guarantees) — and the
-    * latest-version pick is a row_number over the SAME partitioning,
-    * so the whole collapse costs ONE hash exchange of the fact. The
-    * previous anti-join form required (idCols, versionCol)
-    * co-partitioning for the join and idCols for the window — TWO
-    * fact exchanges, and the stricter join distribution made the
-    * planner discard a bucketed scan's HashPartitioning(idCols)
-    * (Round11Spec pins the q113 plan). On an idCols-bucketed
-    * warehouse this form collapses with NO Exchange at all.
+    * Shuffle analysis (round-12 form): two hash aggregations, no
+    * join, no window, no sort —
+    *  stage 1 groups on (idCols, versionCol): `min(sign) = 1` marks a
+    *  live version (a cancel in the group drags the min to -1; a
+    *  cancel with no state row never reaches 1) and `max_by(payload,
+    *  sign)` carries the STATE row's payload through the group
+    *  (sign=+1 beats its own cancel copy);
+    *  stage 2 groups on idCols alone and `max_by(..., version)` picks
+    *  the highest live version.
+    * Both aggregations partial-combine map-side, and both grouping
+    * sets have idCols as a prefix, so an idCols-bucketed warehouse
+    * satisfies BOTH with its scan partitioning: ZERO Exchange and
+    * zero sorts end to end (PlanAuditSpec pins the q91/q113 plans).
+    * Unbucketed input pays one (idCols, versionCol) exchange, reused
+    * by stage 2. The round-11 window form paid a full-fact window
+    * SORT this form does not, and this form needs no sign-split
+    * double scan as the pre-round-11 anti-join form did. State is
+    * bounded by the per-key version count this table class
+    * guarantees. Null entity keys group together, exactly as the
+    * window form partitioned them.
     */
   def latestVersions(df: DataFrame, idCols: Seq[String], versionCol: String,
       signCol: String): DataFrame = {
-    val w0 = Window.partitionBy(idCols.map(col): _*)
-    val live = df
-      .withColumn("__cx",
-        collect_set(when(col(signCol) === -1, col(versionCol))).over(w0))
-      .filter(col(signCol) === 1 &&
-        !array_contains(coalesce(col("__cx"), array().cast(
-            org.apache.spark.sql.types.ArrayType(
-              df.schema(versionCol).dataType))),
-          col(versionCol)))
-    val w = Window.partitionBy(idCols.map(col): _*)
-      .orderBy(col(versionCol).desc)
-    live.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "__cx")
+    val others = df.columns.toIndexedSeq
+      .filterNot(c => idCols.contains(c) || c == versionCol)
+    val stage1 = df
+      .groupBy((idCols :+ versionCol).map(c => col(s"`$c`")): _*)
+      .agg(min(col(s"`$signCol`")).as("__mn"),
+        max_by(struct(others.map(c => col(s"`$c`")): _*),
+          col(s"`$signCol`")).as("__st"))
+      .filter(col("__mn") === 1)
+    val top = stage1
+      .groupBy(idCols.map(c => col(s"`$c`")): _*)
+      .agg(max_by(struct(col(s"`$versionCol`").as("__v"), col("__st")),
+        col(s"`$versionCol`")).as("__top"))
+    top.select(df.columns.toIndexedSeq.map { c =>
+      if (idCols.contains(c)) col(s"`$c`")
+      else if (c == versionCol) col("__top").getField("__v").as(c)
+      else col("__top").getField("__st").getField(c).as(c)
+    }: _*)
   }
 }

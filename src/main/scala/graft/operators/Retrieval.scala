@@ -390,7 +390,11 @@ object Retrieval {
     * sort_array(collect_list)) — nothing corpus-sized. All metrics
     * are rational arithmetic over integer ranks except the nDCG
     * discounts (the one ln each engine computes; compared surfaces
-    * round — the idf policy).
+    * round — the idf policy). Runs are deduplicated on
+    * (query_id, doc_id) keeping the MINIMUM rank before the gold
+    * join (round-12 ADVICE: a duplicate retrieved doc would join the
+    * gold row twice, inflating recall@k past 1.0 and corrupting
+    * AP/nDCG).
     * Inputs: `runs(query_id, doc_id, rank)`, `gold(query_id, doc_id)`.
     * Output per query: (query_id, n_gold, first_hit [0 = none],
     * recall_k, mrr, ap_k, ndcg_k).
@@ -403,6 +407,8 @@ object Retrieval {
     val ng = g.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("long").as("n_gold"))
     val hits = runs.filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("rank")).as("rank"))
       .join(g, Seq("query_id", "doc_id"))
       .groupBy(col("query_id"))
       .agg(sort_array(collect_list(col("rank").cast("int"))).as("__hr"))

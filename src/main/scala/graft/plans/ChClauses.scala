@@ -75,9 +75,10 @@ case class ChSample(fraction: Double, child: LogicalPlan,
   * version wins, nothing cancels). `tables` carries the names that
   * were marked FINAL in the text, so OTHER stamped tables in the
   * same query stay raw. The expansion reuses
-  * [[graft.operators.Relational.latestVersions]] — one shuffle on
-  * the entity key, state bounded per (key) group, the same shape
-  * `Warehouse.compact` runs at scale.
+  * [[graft.operators.Relational.latestVersions]] — every stage
+  * clusters on the entity key (zero Exchange off a key-bucketed
+  * warehouse, one fact shuffle otherwise), state bounded per (key)
+  * group, the same shape `Warehouse.compact` runs at scale.
   */
 case class ChFinal(tables: Seq[String], child: LogicalPlan)
     extends UnaryNode {
@@ -446,8 +447,19 @@ case class ChClauseRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 W.partitionBy(keys.map(fcol): _*).orderBy(fcol(ver).desc)))
               .filter(fcol("__graft_rn") === 1).drop("__graft_rn")
         }
-        fin.select(rel.output.map(a => fcol(s"`${a.name}`")): _*)
+        // same re-alias dance as the sum branch: the round-12
+        // latestVersions is aggregation-shaped and mints fresh
+        // attribute ids in its output Project, while outer operators
+        // still reference the ORIGINAL relation's ids
+        val collapsed = fin
+          .select(rel.output.map(a => fcol(s"`${a.name}`")): _*)
           .queryExecution.analyzed
+        Project(rel.output.map { old =>
+          val fresh = collapsed.output.find(_.name == old.name).get
+          Alias(fresh, old.name)(exprId = old.exprId,
+            qualifier = old.qualifier,
+            explicitMetadata = Some(old.metadata))
+        }, collapsed)
       }
     }
     def stamped(p: LogicalPlan): Boolean =

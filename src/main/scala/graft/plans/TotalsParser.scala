@@ -1000,6 +1000,21 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
   private def rewritePasteJoin(text: String): String = {
     val ms = pasteRe.findAllMatchIn(text).toList
     if (ms.isEmpty) return text
+    // FAIL CLOSED from here on (round-12 ADVICE): the keyword matched,
+    // so falling back to the unrewritten text would hand Spark's
+    // grammar `PASTE` as a table alias — a silent condition-less
+    // cartesian join, the exact mis-parse the interception exists to
+    // prevent. Any non-contract exception becomes a contract error.
+    try rewritePasteJoinMatched(text, ms)
+    catch {
+      case e: TotalsParser.DialectContractException => throw e
+      case e: Exception => pasteErr(
+        s"rewrite failed (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+  }
+
+  private def rewritePasteJoinMatched(text: String,
+      ms: List[scala.util.matching.Regex.Match]): String = {
     if (ms.size > 1) pasteErr("one PASTE JOIN per statement")
     val m = ms.head
     if (!depth0(text, m.start)) pasteErr("supported at depth 0 only")
@@ -1049,17 +1064,64 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         .map(_.start).getOrElse(tail.length)
       val keys = tail.substring(0, stop).trim
       if (keys.isEmpty) pasteErr(s"the $side side's ORDER BY has no keys")
+      // ordinal keys (ORDER BY 1 DESC) are positional in the
+      // subquery's own ORDER BY, but transplanted into a
+      // row_number() OVER (...) window spec an integer literal is a
+      // CONSTANT — the numbering would be nondeterministic and the
+      // paste silently wrong (round-12 ADVICE). Contract error.
+      def depth0Splits(s: String): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < s.length) {
+          if (s.charAt(i) == ',' && depth0(s, i)) out += i
+          i += 1
+        }
+        (Seq(-1) ++ out ++ Seq(s.length)).sliding(2).map {
+          case Seq(a, b) => s.substring(a + 1, b)
+        }.toSeq
+      }
+      depth0Splits(keys).foreach { k =>
+        val bare = k.trim
+          .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
+          .replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "").trim
+        if (bare.nonEmpty && bare.forall(_.isDigit))
+          pasteErr(s"the $side side's ORDER BY key `$bare` is ordinal — " +
+            "inside the synthesized row-position window an integer " +
+            "literal is a constant, not a position; name the column")
+      }
       keys
     }
     val kL = orderKeys(subL, "left")
     val kR = orderKeys(subR, "right")
+    // USING (not ON) so the helper rank column exists ONCE in the
+    // join output — a bare `SELECT *` over the paste would otherwise
+    // return two ambiguous __paste_rn columns (round-12 ADVICE);
+    // qualified side references (a.x, b.y) still resolve through the
+    // retained aliases
     val frag =
       s"(SELECT *, row_number() OVER (ORDER BY $kL) AS __paste_rn " +
         s"FROM ($subL) __graft_pl) AS $aliasL JOIN " +
         s"(SELECT *, row_number() OVER (ORDER BY $kR) AS __paste_rn " +
         s"FROM ($subR) __graft_pr) AS $aliasR " +
-        s"ON $aliasL.__paste_rn = $aliasR.__paste_rn"
-    text.substring(0, openL) + frag + text.substring(endR)
+        s"USING (__paste_rn)"
+    // hide the helper from a bare `SELECT *` owner: CH's PASTE JOIN
+    // output is exactly left-cols ++ right-cols. Patch the LAST
+    // depth-0 select list before the left side to `* EXCEPT (...)`.
+    val selStar = """(?is)\bSELECT\b""".r.findAllMatchIn(text)
+      .filter(s => s.end < openL && depth0(text, s.start))
+      .toList.lastOption.flatMap { s =>
+        """(?is)\bFROM\b""".r.findAllMatchIn(text)
+          .find(f => f.start > s.end && f.start < openL &&
+            depth0(text, f.start))
+          .map(f => (s.end, f.start))
+      }.filter { case (a, b) => text.substring(a, b).trim == "*" }
+    selStar match {
+      case Some((a, b)) =>
+        text.substring(0, a) + " * EXCEPT (__paste_rn) " +
+          text.substring(b, openL) + frag + text.substring(endR)
+      case None =>
+        text.substring(0, openL) + frag + text.substring(endR)
+    }
   }
 
   private def rewriteQualify(text: String): String = {

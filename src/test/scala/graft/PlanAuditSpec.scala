@@ -126,14 +126,16 @@ class PlanAuditSpec extends SparkSpec {
   test("q91: FINAL compacts with ZERO entity-key exchanges off the " +
       "bucketed warehouse") {
     // round 11 (X168 applied to the Metrica hot path): the versioned
-    // warehouse is bucketed on the collapse key and latestVersions is
-    // window-only, so the collapse windows run DIRECTLY over the
-    // bucketed scan — no hashpartitioning(eid exchange at all (the
+    // warehouse is bucketed on the collapse key; the round-12
+    // latestVersions ((id, ver) liveness aggregate + per-id max_by)
+    // clusters every stage on that key, so the whole collapse runs
+    // DIRECTLY over the bucketed scan — no hashpartitioning(eid
+    // exchange at all, and no window sort either (the
     // pay-the-shuffle-once contract; Round11Spec pins the same shape)
     val p = plan("q91_ch_final_sql")
     assert(!p.contains("hashpartitioning(eid"), p)
     assert(p.contains("Bucketed: true"), p)
-    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("max_by"), p)
   }
 
   test("q101: SQL ASOF JOIN takes the prefix-scan shape, not a pair blowup") {
@@ -210,23 +212,26 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q113: scaled FINAL + ARRAY JOIN — zero fact exchanges off the " +
-      "bucketed warehouse, single-pass window collapse") {
-    // the composed Metrica hot path at scale, round-11 shape: the
-    // warehouse is bucketed on VisitID and latestVersions is
-    // window-only, so the collapse costs ZERO fact exchanges (the
-    // cancelled-version collect_set + row_number windows both run over
-    // the bucketed scan's partitioning), the anti-join branch is gone,
-    // and the goals unroll is a Generate that adds no exchange of its
-    // own. The Sign=1 scan pushdown of the old two-branch form is
-    // structurally impossible here — the cancelled-version window must
-    // SEE the Sign=-1 rows — the documented trade for reading the
-    // fact once instead of twice.
+      "bucketed warehouse, sort-free aggregation collapse") {
+    // the composed Metrica hot path at scale, round-12 shape: the
+    // warehouse is bucketed on VisitID and latestVersions is TWO hash
+    // aggregations — (VisitID, ver) liveness via min(Sign), then
+    // per-VisitID max_by — both of whose grouping sets have VisitID
+    // as a prefix, so the bucketed scan's HashPartitioning satisfies
+    // them with ZERO fact exchanges AND zero sorts. The round-11
+    // window form paid a full-fact window SORT here (the suspected
+    // 21 s sf1 driver outlier: measured 6-7 s as a sorted join form,
+    // ~2 s as this aggregation form); the pre-r11 anti-join form paid
+    // a sign-split DOUBLE scan. One unfiltered scan + hash aggs beats
+    // both. The goals unroll remains a Generate that adds no exchange
+    // of its own.
     val p = plan("q113_goals_final_scaled")
     assert(p.contains("Generate inline"), p)
     assert(!p.contains("Exchange hashpartitioning(VisitID"), p)
     assert(p.contains("Bucketed: true"), p)
-    assert(p.contains("WindowGroupLimit"), p)
-    assert(!p.contains("LeftAnti"), p) // the anti-join form is gone
+    assert(!p.contains("WindowGroupLimit"), p) // no window, no sort
+    assert(!p.contains("LeftAnti"), p) // the (id, ver) anti-join form is gone
+    assert(p.contains("max_by"), p) // the aggregation collapse
   }
 
   test("q141: split assignment + shard shuffle never exchange the corpus") {

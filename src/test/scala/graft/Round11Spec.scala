@@ -87,16 +87,17 @@ class Round11Spec extends SparkSpec {
 
   // ---- bucketed Metrica hot path: Exchange-free FINAL collapse ----
 
-  test("q91: the FINAL collapse window reads the bucketed warehouse " +
+  test("q91: the FINAL collapse reads the bucketed warehouse " +
       "with no Exchange on the collapse key") {
     val df = graft.queries.DialectQueries.q91ChFinalSql
       .fn(spark, "/root/testdata/sf0.001")
     assert(df.collect().nonEmpty)
     val plan = df.queryExecution.executedPlan.toString
-    // the window partitions on eid; with the bucketed scan providing
-    // HashPartitioning(eid, 32) no Exchange may re-partition on it
-    // (the aggregate/order exchanges partition on event_type)
-    assert(plan.contains("Window"), plan.take(1200))
+    // the collapse aggregations group on eid(, ver); with the bucketed
+    // scan providing HashPartitioning(eid, 32) no Exchange may
+    // re-partition on it (the aggregate/order exchanges partition on
+    // event_type)
+    assert(plan.contains("max_by"), plan.take(1200))
     assert(!plan.contains("hashpartitioning(eid"), plan.take(2000))
   }
 

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 first-wave pins — the round-11 ADVICE findings:
+  *
+  *  - PASTE JOIN: ordinal ORDER BY keys raise the contract error
+  *    (transplanted into the row_number window spec an integer
+  *    literal is a constant — nondeterministic pairing); a matched
+  *    keyword NEVER falls back to the silent-cartesian parse; a bare
+  *    `SELECT *` over the paste returns exactly left-cols ++
+  *    right-cols (no helper column).
+  *  - groupArrayIntersect deduplicates a single-array group exactly
+  *    like a multi-array group (set semantics).
+  *  - evalRanking deduplicates duplicate (query_id, doc_id) run rows
+  *    on the minimum rank — recall@k can never exceed 1.0.
+  */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- PASTE JOIN hardening ----
+
+  test("paste join: an ordinal ORDER BY key raises the contract error, " +
+      "never a constant-ordered (nondeterministic) window") {
+    val e = intercept[Exception] {
+      spark.sql("""
+        SELECT a.x, b.y FROM
+          (SELECT id AS x FROM range(5) ORDER BY 1 DESC) AS a
+        PASTE JOIN
+          (SELECT id AS y FROM range(5) ORDER BY y) AS b
+      """).collect()
+    }
+    assert(e.getMessage.contains("ordinal"), e.getMessage)
+    assert(e.getMessage.contains("PASTE JOIN"), e.getMessage)
+  }
+
+  test("paste join: unparenthesized sides fail closed with the contract " +
+      "error — never Spark's PASTE-as-alias cartesian parse") {
+    spark.range(3).toDF("id").createOrReplaceTempView("r12_paste_l")
+    spark.range(3).toDF("id").createOrReplaceTempView("r12_paste_r")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM r12_paste_l PASTE JOIN r12_paste_r").collect()
+    }
+    assert(e.getMessage.contains("PASTE JOIN"), e.getMessage)
+  }
+
+  test("paste join: SELECT * returns exactly left-cols ++ right-cols — " +
+      "the helper rank column never leaks") {
+    val df = spark.sql("""
+      SELECT * FROM
+        (SELECT id AS x FROM range(4) ORDER BY x) AS a
+      PASTE JOIN
+        (SELECT id * 2 AS y FROM range(4) ORDER BY y DESC) AS b
+      ORDER BY x
+    """)
+    assert(df.columns.toSeq == Seq("x", "y"), df.columns.mkString(","))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 6L), (1L, 4L), (2L, 2L), (3L, 0L)))
+  }
+
+  test("paste join: qualified side references still resolve alongside " +
+      "the USING-joined helper") {
+    val r = spark.sql("""
+      SELECT b.y, a.x FROM
+        (SELECT id AS x FROM range(3) ORDER BY x) AS a
+      PASTE JOIN
+        (SELECT id + 10 AS y FROM range(3) ORDER BY y) AS b
+      ORDER BY a.x
+    """).collect()
+    assert(r.map(w => (w.getLong(0), w.getLong(1))).toSeq ==
+      Seq((10L, 0L), (11L, 1L), (12L, 2L)))
+  }
+
+  // ---- groupArrayIntersect set semantics ----
+
+  test("groupArrayIntersect: a single-array group deduplicates (set " +
+      "semantics, same as multi-array groups)") {
+    val one = spark.sql(
+      "SELECT groupArrayIntersect(a) AS g FROM VALUES (array(3, 1, 3, 1)) t(a)")
+      .collect().head.getSeq[Int](0)
+    assert(one == Seq(1, 3), one)
+    // and the multi-array behavior it must match
+    val two = spark.sql("""SELECT groupArrayIntersect(a) AS g FROM VALUES
+      (array(3, 1, 3, 1)), (array(1, 3, 5)) t(a)""")
+      .collect().head.getSeq[Int](0)
+    assert(two == Seq(1, 3), two)
+  }
+
+  // ---- evalRanking run dedup ----
+
+  test("evalRanking: duplicate (query, doc) run rows keep the minimum " +
+      "rank — recall@k stays <= 1.0 and MRR uses the best rank") {
+    val runs = Seq(
+      ("q1", "d1", 3L), ("q1", "d1", 1L), // duplicate retrieved doc
+      ("q1", "d2", 2L),
+      ("q2", "d9", 1L)).toDF("query_id", "doc_id", "rank")
+    val gold = Seq(("q1", "d1"), ("q1", "d2"), ("q2", "d9"))
+      .toDF("query_id", "doc_id")
+    val out = graft.operators.Retrieval.evalRanking(runs, gold, k = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q1 = out("q1")
+    assert(q1.getAs[Double]("recall_k") == 1.0, q1)
+    assert(q1.getAs[Double]("mrr") == 1.0, q1) // best rank of d1 is 1
+    assert(q1.getAs[Long]("first_hit") == 1L, q1)
+    // AP with hit ranks {1, 2}: (1/1 + 2/2) / 2 = 1.0
+    assert(q1.getAs[Double]("ap_k") == 1.0, q1)
+    val q2 = out("q2")
+    assert(q2.getAs[Double]("recall_k") == 1.0, q2)
+  }
+}
