@@ -120,6 +120,36 @@ object Graft {
     convertTs(filtered)
   }
 
+  /** Eagerly materialize a multi-consumer pipeline stage so its
+    * subtree executes ONCE (the shared-lineage recompute trap: a
+    * frame feeding N downstream consumers otherwise re-executes its
+    * whole lineage N times).
+    *
+    * Durability is conf-gated (round 12, verdict ask #7): the default
+    * `localCheckpoint` is eager and executor-local — the right
+    * single-node/bench choice, but its blocks die with an executor,
+    * which on a 1000-executor 100 TB run means a mid-pipeline
+    * failure cannot recompute (lineage is truncated). Setting
+    * `spark.graft.reliableCheckpoint=true` switches every stage to a
+    * fault-tolerant `checkpoint()` into
+    * `spark.graft.checkpointDir` (or the SparkContext's existing
+    * checkpoint dir; point it at durable shared storage on a real
+    * cluster). Both paths produce identical frames — pinned by
+    * Round12Spec.
+    */
+  def stage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf
+      .getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
+    if (reliable) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(spark.conf
+          .getOption("spark.graft.checkpointDir")
+          .getOrElse(sys.props("java.io.tmpdir") + "/graft_checkpoint"))
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   /** ISO date / date-time as a session-local (UTC) timestamp string. */
   private def isoLocal(iso: String): String =
     if (iso.length == 10) iso + " 00:00:00" else iso.replace("T", " ")

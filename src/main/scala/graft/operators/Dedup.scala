@@ -436,7 +436,7 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minSharedShingles: Int = 5, maxDf: Int = 1000,
-      minContainment: Double = 0.9): DataFrame = {
+      minContainment: Double = 0.9, materialize: Boolean = true): DataFrame = {
     import graft.functions.text
     require(minContainment > 0.0 && minContainment <= 1.0,
       "containmentPairs: minContainment in (0, 1]")
@@ -485,21 +485,34 @@ object Dedup {
       .select(col(idCol).as("__pid"), col("__g"),
         col("__nc").as("__pnc"),
         (pLen - floor(fr * col("__nc"))).as("__thr"))
+    // the bound is a MIN-SIDE fact: a probing side's threshold applies
+    // only when it is no larger than its partner (on ties both sides
+    // are min sides and either suffices). Carrying the partner's size
+    // ON the index side lets the min-side cut run on the JOIN FAN-OUT
+    // rows, BEFORE the pair-keyed aggregation shuffle — every
+    // larger-side probe row (half the symmetric volume) drops
+    // map-side instead of riding the shuffle and a post-group join.
+    val index = ec.join(sizes, Seq(idCol))
+      .select(col(idCol).as("__iid"), col("__g"), col("__nc").as("__inc"))
     val hits = probes
-      .join(ec.select(col(idCol).as("__iid"), col("__g")), Seq("__g"))
-      .filter(col("__pid") =!= col("__iid"))
+      .join(index, Seq("__g"))
+      .filter(col("__pid") =!= col("__iid") &&
+        col("__pnc") <= col("__inc"))
       .groupBy(col("__pid"), col("__iid"), col("__pnc"), col("__thr"))
       .agg(count(lit(1)).as("__h"))
-    // the bound is a MIN-SIDE fact: apply a probing side's threshold
-    // only when it is no larger than its partner (on ties both sides
-    // are min sides and either suffices)
-    val cands = hits
-      .join(sizes.select(col(idCol).as("__iid"), col("__nc").as("__inc")),
-        Seq("__iid"))
-      .filter(col("__pnc") <= col("__inc") && col("__h") >= col("__thr"))
+    val cands0 = hits
+      .filter(col("__h") >= col("__thr"))
       .select(least(col("__pid"), col("__iid")).as("id_a"),
         greatest(col("__pid"), col("__iid")).as("id_b"))
       .distinct()
+    // the candidate frame feeds BOTH the verify join's pair side and
+    // (through candidateIds) the candDocs semi-join — without an
+    // eager stage the whole index+probe+hits subtree executes TWICE
+    // (measured at sf1: ~23 s → ~13 s). The frame is true-pair-sized
+    // (bounded by the recall contract), so the materialization is
+    // tiny; `materialize = false` keeps the full plan inspectable
+    // for the plan-audit specs.
+    val cands = if (materialize) graft.Graft.stage(cands0) else cands0
     // verify ships 64-BIT HASHED shingle sets, not strings: candidate
     // volume × ~30-byte shingles × set size is the dominant shuffle
     // (measured: it, not CPU, owned the sf1 wall-time), and an 8-byte

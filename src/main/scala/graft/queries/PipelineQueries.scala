@@ -5972,9 +5972,12 @@ object PipelineQueries {
         .where(!col("contaminated"))
       // the s1 lineage feeds the skeleton pass, the template pass,
       // the funnel count AND (through s2) everything downstream —
-      // checkpoint it once or the whole decontamination subtree
-      // re-executes per consumer (measured: 6.7 s sf0.1 headline)
-      val s1c = s1.localCheckpoint()
+      // stage it once or the whole decontamination subtree
+      // re-executes per consumer (measured: 6.7 s sf0.1 headline).
+      // Graft.stage is conf-gated: localCheckpoint by default, a
+      // fault-tolerant checkpoint() under
+      // spark.graft.reliableCheckpoint=true (the 100 TB run's choice)
+      val s1c = Graft.stage(s1)
       val tpl = Dedup.templateSentences(s1c, "doc_id", "text",
         minDocs = 10).select(col("template"))
       val sk = s1c.select(col("doc_id"),
@@ -5985,8 +5988,8 @@ object PipelineQueries {
         .where(length(col("__t")) >= 8)
       val owners = sk.join(tpl, sk("__t") === tpl("template"),
         "left_semi").select(col("doc_id")).distinct()
-      val s2 = s1c.join(owners, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      val s2 = Graft.stage(
+        s1c.join(owners, Seq("doc_id"), "left_anti"))
       val toksArr = filter(text.tokenize(col("text")), t => t =!= "")
       val scored = s2.select(col("doc_id"), col("source"),
           size(toksArr).cast("long").as("nt"),

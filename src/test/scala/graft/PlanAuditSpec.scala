@@ -358,13 +358,21 @@ class PlanAuditSpec extends SparkSpec {
   test("q192: containment candidates come from equi-joins only, and " +
       "the prefix-rank window partitions per document (no global " +
       "single-partition window)") {
-    val p = plan("q192_containment_pairs")
+    // materialize = false: the production form eagerly stages the
+    // candidate frame (the shared-lineage fix), which truncates the
+    // inspectable plan above it — audit the full un-staged plan
+    val p = graft.operators.Dedup.containmentPairs(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", shingleN = 3, minSharedShingles = 5,
+        maxDf = 1000, minContainment = 0.9, materialize = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the rarest-shingle rank must partition by the document id —
     // an empty PARTITION BY here would funnel the corpus into one task
     val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windowLines.forall(_.contains("windowspecdefinition(doc_id")),
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(_.contains("windowspecdefinition(doc_id")),
       windowLines.mkString("\n"))
   }
 

@@ -87,6 +87,42 @@ class Round12Spec extends SparkSpec {
     assert(two == Seq(1, 3), two)
   }
 
+  // ---- conf-gated durable pipeline stages (verdict ask #7) ----
+
+  test("Graft.stage: the reliable checkpoint() path and the default " +
+      "localCheckpoint path produce identical frames") {
+    val base = spark.range(500).toDF("id")
+      .withColumn("v", col("id") % 7)
+      .groupBy(col("v")).agg(sum(col("id")).as("s"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val localRows = rows(Graft.stage(base))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_spec").toString
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val staged = Graft.stage(base)
+      assert(rows(staged) == localRows)
+      // the reliable path really wrote to the durable dir
+      assert(new java.io.File(dir).listFiles().nonEmpty, dir)
+    } finally {
+      spark.conf.set("spark.graft.reliableCheckpoint", "false")
+    }
+  }
+
+  test("q278 runs green under the reliable-checkpoint conf (same " +
+      "rows as the default path)") {
+    val sf = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q278_prep_pipeline_v3")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val dflt = canon(q(spark, sf))
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try assert(canon(q(spark, sf)) == dflt)
+    finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
+  }
+
   // ---- evalRanking run dedup ----
 
   test("evalRanking: duplicate (query, doc) run rows keep the minimum " +
