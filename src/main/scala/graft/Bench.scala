@@ -275,7 +275,12 @@ object Bench {
           // verifier form, and the BM25 index+query composition
           "q174_dedup_clusters_dist", "q184_clean_pipeline_e2e",
           "q209_pq_adc_ann", "q255_mutual_knn_graph",
-          "q153_bm25_index_topk")
+          "q153_bm25_index_topk",
+          // round-12 (verdict ask #5): the IVF curation dress
+          // rehearsal — every stage candidate/broadcast/bounded, so
+          // the 10x curve should track corpus tokens + IVF candidate
+          // volume (≈ nprobe·√N per row), never a quadratic
+          "q280_ivf_curation_chain")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

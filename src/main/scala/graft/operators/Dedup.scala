@@ -922,6 +922,46 @@ object Dedup {
     vecs.join(victims, Seq(idCol), "left_anti")
   }
 
+  /** [[semanticDedup]] with the pair generator as a PARAMETER (round
+    * 12 — the `mutualKnnGraph` candidates pattern applied to the
+    * dedup family): `candidates(i, j)` is ANY pair DataFrame — the
+    * IVF probe join ([[Similarity.knnCandidatesIvf]]), LSH buckets, a
+    * previous round's edges — and ONLY those pairs score. Keep-policy
+    * is identical to [[semanticDedup]]: a row is dropped iff a
+    * LOWER-id candidate neighbor clears `threshold` (greedy in id
+    * order, deterministic). Pairs are canonicalized (min, max) and
+    * deduplicated BEFORE the two id-keyed vector joins, so a
+    * symmetric generator costs nothing extra and no non-equi product
+    * exists anywhere. At 100 TB this is the dress-rehearsal shape:
+    * candidate volume ≈ nprobe·√N per row (the generator's contract),
+    * victim ids travel alone, and the survivors leave through one
+    * anti-join.
+    */
+  def semanticDedupCandidates(vecs: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      candidates: DataFrame): DataFrame = {
+    import graft.operators.Similarity.norm
+    // per-ROW widening hoist, same rationale as semanticDedup
+    val dv = transform(col(vecCol), x => x.cast("double"))
+    val a = vecs.select(col(s"`$idCol`").cast("long").as("__sc_a"),
+      dv.as("__sc_av"), norm(col(vecCol)).as("__sc_an"))
+    val b = vecs.select(col(s"`$idCol`").cast("long").as("__sc_b"),
+      dv.as("__sc_bv"), norm(col(vecCol)).as("__sc_bn"))
+    val und = candidates
+      .select(col("i").cast("long").as("__i"), col("j").cast("long").as("__j"))
+      .where(col("__i") =!= col("__j"))
+      .select(least(col("__i"), col("__j")).as("__sc_a"),
+        greatest(col("__i"), col("__j")).as("__sc_b"))
+      .distinct()
+    val sim = Similarity.guardedSim(col("__sc_av"), col("__sc_bv"),
+      col("__sc_an"), col("__sc_bn"))
+    val victims = und.join(a, "__sc_a").join(b, "__sc_b")
+      .filter(sim >= threshold)
+      .select(col("__sc_b").cast(vecs.schema(idCol).dataType).as(idCol))
+      .distinct()
+    vecs.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** C4-style boilerplate line removal: a line (newline-split, compared
     * after trim) that appears in at least `minDocs` DISTINCT documents
     * is boilerplate — navigation chrome, cookie banners, subscribe

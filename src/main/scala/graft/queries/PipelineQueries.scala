@@ -6212,9 +6212,212 @@ object PipelineQueries {
                         ELSE 0.0 END, 6) AS ndcg_k
       FROM ev ORDER BY query_id"""))
 
+  // ---------------------------------------------------------------------
+  // X190 (round 12, verdict ask #5): the FULL curation chain on IVF
+  // candidates end to end — the 100 TB dress rehearsal. Every stage
+  // is a candidate/broadcast/bounded shape; NO all-pairs or
+  // within-cell-quadratic stage exists anywhere in the chain:
+  //   1. decontaminate      — eval grams broadcast (q248's shape)
+  //   2. semantic dedup     — pairs come ONLY from the IVF probe
+  //      equi-join (knnCandidatesIvf ≈ nprobe·√N candidates per row),
+  //      scored with the engine-wide guarded cosine; the cell-bucketed
+  //      q123/q140 forms compare ALL pairs inside a cell — this is
+  //      the candidates-parameter swap-in (semanticDedupCandidates)
+  //   3. cluster balance    — zero-shuffle argmax assignment + bounded
+  //      per-cell quota trim (q273's shape), sharing the SAME IVF
+  //      codebook the dedup candidates used (trained once, reused —
+  //      how production IVF deploys)
+  //   4. token budget       — histogram-bounded greedy prefix (q116)
+  // Inter-stage frames ride Graft.stage (shared-lineage discipline;
+  // durable under spark.graft.reliableCheckpoint). The oracle replays
+  // the entire structure cell-exactly: the 8-gram decontamination,
+  // the IVF probe/bin candidate rule, the guarded cosine at 0.46, the
+  // portable-hash quota draw, and the greedy budget prefix.
+  val q280IvfCurationChain = QueryDef(
+    "q280_ivf_curation_chain",
+    (s, dir) => {
+      import graft.operators.Select
+      val docs = Graft.table(s, dir, "documents")
+      val vecs = Graft.table(s, dir, "embeddings")
+      val modulus = math.ceil(math.sqrt(
+        vecs.select(col("vec_id")).count().toDouble)).toInt
+      val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding",
+        modulus = modulus)
+      // stage 1: decontaminate the corpus against the held-out slice
+      val corpus = docs.where(col("doc_id") % 37 =!= 0)
+      val clean = Graft.stage(Dedup.decontaminate(corpus,
+          docs.where(col("doc_id") % 37 === 0), "doc_id", "text", n = 8)
+        .where(!col("contaminated"))
+        .select(col("doc_id"), col("source"), col("text")))
+      // stage 2: IVF-candidate semantic dedup on surviving embeddings
+      val v = vecs.join(clean.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val cand = Similarity.knnCandidatesIvf(v, "vec_id", "embedding",
+        cents, nprobe = 4)
+      val deduped = Graft.stage(Dedup.semanticDedupCandidates(
+        v, "vec_id", "embedding", threshold = 0.46, cand))
+      // stage 3: cluster-balanced quota over the SAME codebook
+      val balanced = Similarity.clusterBalancedSample(deduped,
+        "vec_id", "embedding", cents, quota = 15)
+      val balIds = Graft.stage(
+        balanced.select(col("vec_id").as("doc_id")))
+      // stage 4: token-budget selection at half the surviving mass
+      val toksArr = filter(text.tokenize(col("text")), t => t =!= "")
+      val scored = Graft.stage(clean
+        .join(balIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"),
+          size(toksArr).cast("long").as("nt"),
+          size(array_distinct(toksArr)).cast("long").as("dt"))
+        .withColumn("score",
+          expr("CAST(dt * 1000000 DIV greatest(nt, 1) AS BIGINT)")))
+      val budget = scored.agg(coalesce(sum(col("nt")), lit(0L)))
+        .head().getLong(0) / 2
+      val kept = Select.byTokenBudget(scored, "score", "nt", "doc_id",
+        budget)
+      // funnel rollup per source
+      def cnt(d: org.apache.spark.sql.DataFrame, as: String) =
+        d.groupBy(col("source")).agg(count(lit(1)).cast("long").as(as))
+      val nIn = cnt(corpus, "n_in")
+      val nClean = cnt(clean, "n_clean")
+      val nDedup = cnt(clean.join(
+        deduped.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), "n_dedup")
+      val nBal = cnt(scored, "n_bal")
+      val nKept = kept.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("nt")).cast("long").as("tok_kept"))
+      nIn.join(nClean, Seq("source"), "left")
+        .join(nDedup, Seq("source"), "left")
+        .join(nBal, Seq("source"), "left")
+        .join(nKept, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_bal"), lit(0L)).as("n_bal"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, source, text,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(l[i:i+7], ' ')
+                 for i in generate_series(1, len(l) - 7)]) AS gs
+        FROM tok
+      ), eg AS (
+        SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 37 = 0
+      ), dg AS (
+        SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 37 <> 0
+      ), bad AS (
+        SELECT DISTINCT dg.doc_id FROM dg JOIN eg ON dg.gr = eg.gr
+      ), s1 AS (
+        SELECT t.doc_id, t.source,
+               [x for x in t.l if x <> ''] AS toks
+        FROM tok t
+        WHERE t.doc_id % 37 <> 0
+          AND t.doc_id NOT IN (SELECT doc_id FROM bad)
+      ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                 embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cent_id, e AS ce, n AS cn FROM v
+        WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                        FROM v) = 0
+      ), vv AS (
+        SELECT v.* FROM v WHERE v.vec_id IN (SELECT doc_id FROM s1)
+      ), sim0 AS (
+        SELECT vv.vec_id, c.cent_id,
+               CASE WHEN vv.n > 0 AND c.cn > 0
+                    THEN list_dot_product(vv.e, c.ce) / (vv.n * c.cn)
+                    ELSE 0.0 END AS sim
+        FROM vv CROSS JOIN c
+      ), ranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM sim0
+      ), cells AS (
+        SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1
+      ), pcells AS (
+        SELECT vec_id, cent_id AS cell FROM ranked WHERE rn <= 4
+      ), cand AS (
+        SELECT p.vec_id AS i, ce.vec_id AS j
+        FROM pcells p JOIN cells ce ON ce.cell = p.cell
+        WHERE p.vec_id <> ce.vec_id
+      ), und AS (
+        SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b FROM cand
+      ), vict AS (
+        SELECT DISTINCT u.b FROM und u
+        JOIN v va ON va.vec_id = u.a
+        JOIN v vb ON vb.vec_id = u.b
+        WHERE (CASE WHEN va.n > 0 AND vb.n > 0
+                    THEN list_dot_product(va.e, vb.e) / (va.n * vb.n)
+                    ELSE 0.0 END) >= 0.46
+      ), surv AS (
+        SELECT vec_id FROM vv
+        WHERE vec_id NOT IN (SELECT b FROM vict)
+      ), f AS (
+        SELECT ce.vec_id, ce.cell,
+               row_number() OVER (PARTITION BY ce.cell
+                 ORDER BY ((ce.vec_id % 65536) * 2654435761) % 4294967296,
+                          ce.vec_id) AS rk
+        FROM cells ce
+        WHERE ce.vec_id IN (SELECT vec_id FROM surv)
+      ), bal AS (
+        SELECT vec_id FROM f WHERE rk <= 15
+      ), scored AS (
+        SELECT s1.doc_id, s1.source,
+               CAST(len(s1.toks) AS BIGINT) AS nt,
+               CAST(len(list_distinct(s1.toks)) * 1000000
+                 // greatest(len(s1.toks), 1) AS BIGINT) AS score
+        FROM s1 WHERE s1.doc_id IN (SELECT vec_id FROM bal)
+      ), budget AS (
+        SELECT CAST(coalesce(sum(nt), 0) // 2 AS BIGINT) AS b
+        FROM scored
+      ), rankedb AS (
+        SELECT *, sum(nt) OVER (ORDER BY score DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored
+      ), kept AS (
+        SELECT * FROM rankedb WHERE cum <= (SELECT b FROM budget)
+      ), srcin AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_in
+        FROM tok WHERE doc_id % 37 <> 0 GROUP BY 1
+      ), c1 AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_clean
+        FROM s1 GROUP BY 1
+      ), c2 AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_dedup
+        FROM s1 WHERE doc_id IN (SELECT vec_id FROM surv) GROUP BY 1
+      ), c3 AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_bal
+        FROM scored GROUP BY 1
+      ), c4 AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n_kept,
+               CAST(sum(nt) AS BIGINT) AS tok_kept
+        FROM kept GROUP BY 1
+      )
+      SELECT srcin.source, srcin.n_in,
+             CAST(coalesce(c1.n_clean, 0) AS BIGINT) AS n_clean,
+             CAST(coalesce(c2.n_dedup, 0) AS BIGINT) AS n_dedup,
+             CAST(coalesce(c3.n_bal, 0) AS BIGINT) AS n_bal,
+             CAST(coalesce(c4.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(coalesce(c4.tok_kept, 0) AS BIGINT) AS tok_kept
+      FROM srcin LEFT JOIN c1 USING (source)
+      LEFT JOIN c2 USING (source) LEFT JOIN c3 USING (source)
+      LEFT JOIN c4 USING (source)
+      ORDER BY srcin.source"""),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
-    q278PrepPipelineV3, q279RetrievalEval,
+    q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
     q254RobustStats, q255MutualKnn, q263MutualKnnIvf, q265ZOrderLayout,
     q258TemplateSentences,

@@ -376,6 +376,28 @@ class PlanAuditSpec extends SparkSpec {
       windowLines.mkString("\n"))
   }
 
+  test("q280: the IVF curation chain's semantic-dedup stage scores " +
+      "ONLY candidate pairs — no product, pairs meet through the " +
+      "cell equi-join and two id equi-joins") {
+    // the novel stage of the chain, audited un-staged (Graft.stage
+    // truncates the registered entry's plan): IVF candidates ->
+    // canonical pair dedup -> two id-keyed vector joins -> anti-join
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.operators.Similarity.seedCentroids(
+      vecs, "vec_id", "embedding", modulus = 8)
+    val cand = graft.operators.Similarity.knnCandidatesIvf(
+      vecs, "vec_id", "embedding", cents, nprobe = 4)
+    val p = graft.operators.Dedup.semanticDedupCandidates(
+        vecs, "vec_id", "embedding", 0.46, cand)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // survivors leave through an anti-join of ids (no embedding
+    // payload on that edge)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("q206/q207/q210/q212: the rank-test / regression / histogram / " +
       "LTTB aggregates are single-pass group rollups — no join, no " +
       "window, no cartesian") {

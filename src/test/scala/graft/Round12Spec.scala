@@ -87,6 +87,43 @@ class Round12Spec extends SparkSpec {
     assert(two == Seq(1, 3), two)
   }
 
+  // ---- semanticDedupCandidates (X190's novel stage) ----
+
+  test("semanticDedupCandidates: drops only higher-id members of " +
+      "above-threshold CANDIDATE pairs — a near-dup pair outside the " +
+      "candidate set survives untouched") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // near-dup of 2 (candidate) -> 2 drops
+      (2L, Seq(0.999f, 0.04f)),
+      (3L, Seq(0.0f, 1.0f)),   // near-dup of 4, NOT a candidate pair
+      (4L, Seq(0.04f, 0.999f)),
+      (5L, Seq(-1.0f, 0.0f))   // candidate with 1 but dissimilar
+    ).toDF("vec_id", "embedding")
+    val cand = Seq((1L, 2L), (2L, 1L), (1L, 5L)).toDF("i", "j")
+    val out = graft.operators.Dedup.semanticDedupCandidates(
+        vecs, "vec_id", "embedding", threshold = 0.9, cand)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L, 4L, 5L), out)
+  }
+
+  test("semanticDedupCandidates with the all-pairs candidate set " +
+      "equals semanticDedup with a single cell (policy equivalence)") {
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    val n = vecs.count()
+    val ids = vecs.select(col("vec_id"))
+    val allPairs = ids.select(col("vec_id").as("i"))
+      .crossJoin(ids.select(col("vec_id").as("j")))
+      .where(col("i") =!= col("j"))
+    val viaCand = graft.operators.Dedup.semanticDedupCandidates(
+        vecs, "vec_id", "embedding", 0.46, allPairs)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaCell = graft.operators.Dedup.semanticDedup(
+        vecs, "vec_id", "embedding", 0.46, lit(0))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaCand == viaCell, s"n=$n cand=$viaCand cell=$viaCell")
+  }
+
   // ---- conf-gated durable pipeline stages (verdict ask #7) ----
 
   test("Graft.stage: the reliable checkpoint() path and the default " +
