@@ -279,8 +279,15 @@ object Bench {
           // round-12 (verdict ask #5): the IVF curation dress
           // rehearsal — every stage candidate/broadcast/bounded, so
           // the 10x curve should track corpus tokens + IVF candidate
-          // volume (≈ nprobe·√N per row), never a quadratic
-          "q280_ivf_curation_chain")
+          // volume, never a quadratic
+          "q280_ivf_curation_chain",
+          // round-12 (verdict ask #8): q263 with the per-cell
+          // list-length cap — candidate volume nprobe·64 per probe
+          // regardless of corpus size; its sf1 number belongs next to
+          // the uncapped form's (measured: cpu 80 s -> 42 s, rep
+          // swing 1.27x -> 1.09x) so the cap's effect is measured,
+          // not argued
+          "q281_mutual_knn_ivf_capped")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

@@ -873,9 +873,29 @@ object Similarity {
     * call site (the q54 pattern).
     */
   def knnCandidatesIvf(vecs: DataFrame, idCol: String, embCol: String,
-      cents: Array[(Long, Seq[Double])], nprobe: Int): DataFrame = {
-    val binned = vecs.select(col(s"`$idCol`").cast("long").as("j"),
-      assignCell(col(s"`$embCol`"), cents).as("__cell"))
+      cents: Array[(Long, Seq[Double])], nprobe: Int,
+      maxPerCell: Int = Int.MaxValue): DataFrame = {
+    val binned0 = vecs.select(col(s"`$idCol`").cast("long").as("j"),
+      assignCell(col(s"`$embCol`"), cents).as("__cell"),
+      // the cap's ordering key: micro-quantized norm (engine-exact —
+      // sqrt IS correctly rounded, and the round(·1e6) kills any
+      // borderline-tie cross-engine drift), ties by id
+      round(norm(col(s"`$embCol`")) * 1e6).cast("long").as("__nq"))
+    // per-cell list-length cap (round 12, verdict ask #8 — the
+    // IVF-list-length lever real ANN systems use): candidate volume
+    // per probe is bounded to nprobe·maxPerCell instead of
+    // nprobe·(N/#cells), which pins the candidate-join shuffle volume
+    // regardless of cell skew. Deterministic (norm desc, id) order;
+    // recall vs the exact graph is contract-gated at the call site
+    // (Round12Spec) exactly like the uncapped form's.
+    val binned =
+      if (maxPerCell == Int.MaxValue) binned0.drop("__nq")
+      else binned0
+        .withColumn("__cr", row_number().over(
+          Window.partitionBy(col("__cell"))
+            .orderBy(col("__nq").desc, col("j"))))
+        .where(col("__cr") <= maxPerCell)
+        .drop("__cr", "__nq")
     val probing = vecs.select(col(s"`$idCol`").cast("long").as("i"),
       explode(probeCells(col(s"`$embCol`"), cents, nprobe)).as("__cell"))
     probing.join(binned, "__cell")

@@ -5647,6 +5647,96 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // X191 (round 12, verdict ask #8): q263 with the IVF LIST-LENGTH
+  // CAP — every cell's candidate list is trimmed to its top-64
+  // vectors by (micro-quantized norm desc, id), so candidate-join
+  // volume per probe is nprobe·64 instead of nprobe·(N/#cells): the
+  // shuffle volume the q263 sf1 rep swing rode is PINNED regardless
+  // of cell skew or corpus growth. The oracle replays the cap
+  // cell-exactly; recall vs the exact mutual-kNN graph is
+  // contract-gated in Round12Spec (the q54 pattern).
+  val q281MutualKnnIvfCapped = QueryDef(
+    "q281_mutual_knn_ivf_capped",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val modulus = math.ceil(math.sqrt(
+        vecs.select(col("vec_id")).count().toDouble)).toInt
+      val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding",
+        modulus = modulus)
+      val cand = Similarity.knnCandidatesIvf(vecs, "vec_id", "embedding",
+        cents, nprobe = 4, maxPerCell = 64)
+      Similarity.mutualKnnGraph(vecs, "vec_id", "embedding", k = 5,
+          candidates = Some(cand))
+        .select(col("i"), col("j"), col("d"),
+          col("rk_ij").cast("long").as("rk_ij"),
+          col("rk_ji").cast("long").as("rk_ji"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS n,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cent_id, e AS ce, n AS cn FROM v
+        WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                        FROM v) = 0
+      ), sim0 AS (
+        SELECT v.vec_id, c.cent_id,
+               CASE WHEN v.n > 0 AND c.cn > 0
+                    THEN list_dot_product(v.e, c.ce) / (v.n * c.cn)
+                    ELSE 0.0 END AS sim
+        FROM v CROSS JOIN c
+      ), ranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM sim0
+      ), cells AS (
+        SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1
+      ), pcells AS (
+        SELECT vec_id, cent_id AS cell FROM ranked WHERE rn <= 4
+      ), binned AS (
+        SELECT ce.vec_id, ce.cell,
+               row_number() OVER (PARTITION BY ce.cell
+                 ORDER BY CAST(round(v.n * 1000000) AS BIGINT) DESC,
+                          ce.vec_id) AS cr
+        FROM cells ce JOIN v ON v.vec_id = ce.vec_id
+      ), bcap AS (
+        SELECT vec_id, cell FROM binned WHERE cr <= 64
+      ), cand AS (
+        SELECT p.vec_id AS i, b.vec_id AS j
+        FROM pcells p JOIN bcap b ON b.cell = p.cell
+        WHERE p.vec_id <> b.vec_id
+      ), sym AS (
+        SELECT DISTINCT i, j FROM (
+          SELECT i, j FROM cand
+          UNION ALL SELECT j AS i, i AS j FROM cand)
+      ), d AS (
+        SELECT s.i, s.j,
+               list_sum([a.q[x] * b.q[x]
+                 for x in generate_series(1, len(a.q))]) AS d
+        FROM sym s
+        JOIN v a ON a.vec_id = s.i
+        JOIN v b ON b.vec_id = s.j
+      ), r AS (
+        SELECT i, j, d,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY d DESC, j) AS rk
+        FROM d
+      ), kn AS (SELECT * FROM r WHERE rk <= 5)
+      SELECT x.i, x.j, CAST(x.d AS BIGINT) AS d,
+             CAST(x.rk AS BIGINT) AS rk_ij,
+             CAST(y.rk AS BIGINT) AS rk_ji
+      FROM kn x JOIN kn y ON y.i = x.j AND y.j = x.i
+      WHERE x.i < x.j
+      ORDER BY x.i, x.j"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // X175: Z-order clustered layout — the multi-dimensional file-skip
   // lever (Delta/Iceberg Z-ORDER as a plain parquet layout): both box
   // dimensions are min/max-scaled, Morton-interleaved, and the data
@@ -6252,8 +6342,10 @@ object PipelineQueries {
       // stage 2: IVF-candidate semantic dedup on surviving embeddings
       val v = vecs.join(clean.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi")
+      // maxPerCell = 64: the X191 list-length cap — candidate volume
+      // per row is nprobe·64 whatever the corpus size or cell skew
       val cand = Similarity.knnCandidatesIvf(v, "vec_id", "embedding",
-        cents, nprobe = 4)
+        cents, nprobe = 4, maxPerCell = 64)
       val deduped = Graft.stage(Dedup.semanticDedupCandidates(
         v, "vec_id", "embedding", threshold = 0.46, cand))
       // stage 3: cluster-balanced quota over the SAME codebook
@@ -6346,10 +6438,18 @@ object PipelineQueries {
         SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1
       ), pcells AS (
         SELECT vec_id, cent_id AS cell FROM ranked WHERE rn <= 4
+      ), binned AS (
+        SELECT ce.vec_id, ce.cell,
+               row_number() OVER (PARTITION BY ce.cell
+                 ORDER BY CAST(round(vv.n * 1000000) AS BIGINT) DESC,
+                          ce.vec_id) AS cr
+        FROM cells ce JOIN vv ON vv.vec_id = ce.vec_id
+      ), bcap AS (
+        SELECT vec_id, cell FROM binned WHERE cr <= 64
       ), cand AS (
-        SELECT p.vec_id AS i, ce.vec_id AS j
-        FROM pcells p JOIN cells ce ON ce.cell = p.cell
-        WHERE p.vec_id <> ce.vec_id
+        SELECT p.vec_id AS i, b.vec_id AS j
+        FROM pcells p JOIN bcap b ON b.cell = p.cell
+        WHERE p.vec_id <> b.vec_id
       ), und AS (
         SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b FROM cand
       ), vict AS (
@@ -6419,7 +6519,8 @@ object PipelineQueries {
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
-    q254RobustStats, q255MutualKnn, q263MutualKnnIvf, q265ZOrderLayout,
+    q254RobustStats, q255MutualKnn, q263MutualKnnIvf,
+    q281MutualKnnIvfCapped, q265ZOrderLayout,
     q258TemplateSentences,
     q260RecordLinkage,
     q185BadwordsFilter, q186CanonicalUrlDedup, q187CurriculumShards,

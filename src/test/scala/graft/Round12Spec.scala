@@ -124,6 +124,44 @@ class Round12Spec extends SparkSpec {
     assert(viaCand == viaCell, s"n=$n cand=$viaCand cell=$viaCell")
   }
 
+  // ---- capped IVF candidates: the recall contract (ask #8) ----
+
+  test("knnCandidatesIvf with a per-cell cap: recall vs the exact " +
+      "mutual-kNN graph stays above the contract floor, and the cap " +
+      "really bounds per-cell list length") {
+    import graft.operators.Similarity
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val modulus = math.ceil(math.sqrt(vecs.count().toDouble)).toInt
+    val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding",
+      modulus)
+    def edges(c: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.mutualKnnGraph(vecs, "vec_id", "embedding", k = 5,
+          candidates = c)
+        .select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(None)
+    val capped = edges(Some(Similarity.knnCandidatesIvf(
+      vecs, "vec_id", "embedding", cents, nprobe = 4, maxPerCell = 64)))
+    val uncapped = edges(Some(Similarity.knnCandidatesIvf(
+      vecs, "vec_id", "embedding", cents, nprobe = 4)))
+    val recallCapped = capped.intersect(exact).size.toDouble / exact.size
+    val recallUncapped =
+      uncapped.intersect(exact).size.toDouble / exact.size
+    info(f"exact=${exact.size} uncapped recall=$recallUncapped%.3f " +
+      f"capped recall=$recallCapped%.3f")
+    // the cap may only cost a bounded slice of the uncapped recall
+    assert(recallCapped >= recallUncapped - 0.10,
+      f"capped=$recallCapped%.3f uncapped=$recallUncapped%.3f")
+    assert(recallCapped >= 0.60, f"capped recall $recallCapped%.3f")
+    // and the bound itself holds: no cell contributes > 64 list rows
+    val maxList = Similarity.knnCandidatesIvf(vecs, "vec_id",
+        "embedding", cents, nprobe = 1, maxPerCell = 64)
+      .groupBy(col("i")).agg(countDistinct(col("j")).as("nj"))
+      .agg(max(col("nj"))).collect().head.getLong(0)
+    assert(maxList <= 64L, s"maxList=$maxList")
+  }
+
   // ---- conf-gated durable pipeline stages (verdict ask #7) ----
 
   test("Graft.stage: the reliable checkpoint() path and the default " +
