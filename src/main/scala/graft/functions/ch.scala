@@ -1593,8 +1593,21 @@ object ch {
     * → NULL; a (near-)constant series (max power ≤ 1e-9) → 0.0, the
     * "not periodic" sentinel. O(n²) per row — series are per-group
     * aggregates (thousands of points), never the raw event stream.
+    *
+    * Round 12 (verdict ask #6): evaluates through the native
+    * [[graft.plans.SeriesKernels.periodFFT]] kernel (one codegen'd
+    * loop; the combinator form below ran ~4·n² interpreted closure
+    * calls per row). [[seriesPeriodDetectFFTSpec]] keeps the
+    * combinator as the bit-identical reference — Round12Props pins
+    * the equivalence on random series.
     */
-  def seriesPeriodDetectFFT(arr: Column): Column = {
+  def seriesPeriodDetectFFT(arr: Column): Column =
+    graft.plans.NativeSeries.periodFFT(arr)
+
+  /** The combinator reference for [[seriesPeriodDetectFFT]] — kept
+    * verbatim as the equality-spec oracle (the X173 pattern).
+    */
+  private[graft] def seriesPeriodDetectFFTSpec(arr: Column): Column = {
     val xs = transform(arr, x => x.cast("double"))
     val n = size(xs)
     val mean = aggregate(xs, lit(0.0), (a, x) => a + x) /
@@ -1625,8 +1638,22 @@ object ch {
     * the mean of the p phase means; residual is
     * `(x − trend) − seasonal` in that association order. Requires
     * p ≥ 2 and n ≥ 2p, else NULL.
+    *
+    * Round 12 (verdict ask #6): evaluates through the native
+    * [[graft.plans.SeriesKernels.stl]] kernel (tight loops in
+    * whole-stage codegen; the combinator below chained ~6 interpreted
+    * lambda stages per row). [[seriesDecomposeSTLSpec]] keeps the
+    * combinator as the bit-identical reference — Round12Props pins
+    * the equivalence on random series.
     */
-  def seriesDecomposeSTL(arr: Column, period: Column): Column = {
+  def seriesDecomposeSTL(arr: Column, period: Column): Column =
+    graft.plans.NativeSeries.stl(arr, period)
+
+  /** The combinator reference for [[seriesDecomposeSTL]] — kept
+    * verbatim as the equality-spec oracle (the X173 pattern).
+    */
+  private[graft] def seriesDecomposeSTLSpec(arr: Column,
+      period: Column): Column = {
     val xs = transform(arr, x => x.cast("double"))
     val n = size(xs)
     val p = period.cast("int")
