@@ -356,4 +356,51 @@ object Select {
       .select(col("grp"), col("med"), col("mad"),
         col("winsorized_mean"), col("outliers"), col("n"))
   }
+
+  /** Binned weighted isotonic calibration (X192, round 12 — Zadrozny
+    * & Elkan-style): per `groupCol`, the integer `scoreCol` is
+    * calibrated against the integer `labelCol` by fitting the best
+    * non-decreasing score→label-rate function (PAV). Output: one row
+    * per (group, score) — `n`, `sum_label`, and `calibrated` (the
+    * pooled label rate, non-decreasing in score within each group) —
+    * the table a quality-filter threshold is then read off of.
+    *
+    * Scale shape: stage 1 is a (group, score) aggregation of integer
+    * totals — map-side combinable, output bounded by group × score
+    * cardinality, never corpus-sized; stage 2 collects each group's
+    * score points into ONE bounded array (≤ 4096 by the kernel's
+    * contract — calibrate binned scores, the standard practice) and
+    * runs the native PAV kernel ([[graft.plans.CalibKernels.pav]]);
+    * stage 3 explodes back to rows. Deterministic and
+    * engine-replayable: exact integer block sums, one IEEE division
+    * per block — bit-identical to the minimax identity the DuckDB
+    * oracle computes (Round12Props).
+    */
+  def calibrateIsotonic(df: DataFrame, groupCol: String,
+      scoreCol: String, labelCol: String): DataFrame = {
+    val scoreType = df.schema(scoreCol).dataType.typeName
+    val labelType = df.schema(labelCol).dataType.typeName
+    val integral = Seq("byte", "short", "integer", "long")
+    require(integral.contains(scoreType) && integral.contains(labelType),
+      s"calibrateIsotonic: score '$scoreCol' ($scoreType) and label " +
+        s"'$labelCol' ($labelType) must be integral — bin/scale first " +
+        "(the byTokenBudget rule)")
+    val grp = col(s"`$groupCol`")
+    val pts = df.groupBy(grp, col(s"`$scoreCol`").cast("long").as("score"))
+      .agg(sum(col(s"`$labelCol`").cast("long")).as("sum_label"),
+        count(lit(1)).as("n"))
+    val arrs = pts.groupBy(grp)
+      .agg(array_sort(collect_list(
+        struct(col("score"), col("sum_label"), col("n")))).as("__pts"))
+      .withColumn("__cal", graft.plans.NativeCalib.isotonicFit(
+        transform(col("__pts"), p => p.getField("sum_label")),
+        transform(col("__pts"), p => p.getField("n"))))
+    arrs.select(grp,
+        posexplode(arrays_zip(col("__pts"), col("__cal"))))
+      .select(grp,
+        col("col.__pts.score").as("score"),
+        col("col.__pts.n").as("n"),
+        col("col.__pts.sum_label").as("sum_label"),
+        col("col.__cal").as("calibrated"))
+  }
 }

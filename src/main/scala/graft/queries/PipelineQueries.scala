@@ -6515,7 +6515,69 @@ object PipelineQueries {
       ORDER BY srcin.source"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X192: binned weighted isotonic calibration (Zadrozny & Elkan) —
+  // the quality-classifier calibration step of a model-based filter:
+  // a crude integer quality score (lexical-diversity decile) is
+  // calibrated per source against a length label, yielding the
+  // non-decreasing score -> keep-rate table a threshold is read off
+  // of. The kernel is exact-integer PAV; the oracle replays the
+  // minimax identity max_{s<=i} min_{t>=i} sum(y)/sum(c) — both sides
+  // divide the SAME two integers (Round12Props pins the bit-exact
+  // equivalence on random points).
+  val q282IsotonicCalibration = QueryDef(
+    "q282_isotonic_calibration",
+    (s, dir) => {
+      import graft.operators.Select
+      val docs = Graft.table(s, dir, "documents")
+      val toks = filter(text.tokenize(col("text")), t => t =!= "")
+      val base = docs.select(col("source"),
+          size(toks).cast("long").as("nt"),
+          size(array_distinct(toks)).cast("long").as("dt"),
+          when(col("n_chars") >= 400, 1L).otherwise(0L).as("label"))
+        .withColumn("score",
+          expr("CAST(dt * 10 DIV greatest(nt, 1) AS BIGINT)"))
+      Select.calibrateIsotonic(base, "source", "score", "label")
+        .select(col("source"), col("score"), col("n"), col("sum_label"),
+          round(col("calibrated"), 6).as("calibrated"))
+        .orderBy(col("source"), col("score"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT source,
+               CAST(len(list_distinct(toks)) * 10
+                 // greatest(len(toks), 1) AS BIGINT) AS score,
+               CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS label
+        FROM (SELECT source, n_chars,
+                     [x for x in regexp_split_to_array(trim(lower(text)),
+                        '\s+') if x <> ''] AS toks
+              FROM documents)
+      ), p AS (
+        SELECT source, score, CAST(sum(label) AS BIGINT) AS sum_label,
+               CAST(count(1) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
+      ), a AS (
+        SELECT source,
+               list(score ORDER BY score) AS ss,
+               list(sum_label ORDER BY score) AS ys,
+               list(n ORDER BY score) AS cs
+        FROM p GROUP BY source
+      ), cal AS (
+        SELECT source, ss, ys, cs,
+               [list_max([list_min([
+                  CAST(list_sum(ys[s:t]) AS DOUBLE) / list_sum(cs[s:t])
+                  for t in generate_series(i, len(ys))])
+                 for s in generate_series(1, i)])
+                for i in generate_series(1, len(ys))] AS fit
+        FROM a
+      )
+      SELECT source, ss[u.i] AS score, cs[u.i] AS n,
+             ys[u.i] AS sum_label, round(fit[u.i], 6) AS calibrated
+      FROM cal, unnest(generate_series(1, len(ss))) AS u(i)
+      ORDER BY source, score"""))
+
   val defs: Seq[QueryDef] = Seq(
+    q282IsotonicCalibration,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

@@ -49,6 +49,40 @@ object Round12Props extends Properties("round12") {
         s"spec=${if (r.isNullAt(1)) "null" else r.getDouble(1)}"
     }
 
+  /** Brute-force minimax isotonic fit: ŷᵢ = max_{s≤i} min_{t≥i} of
+    * (Σ y[s..t]) / (Σ c[s..t]) — exact integer sums, one division,
+    * the oracle's form.
+    */
+  private def minimaxFit(ys: Vector[Long], cs: Vector[Long]): Vector[Double] = {
+    val n = ys.size
+    (0 until n).map { i =>
+      (0 to i).map { s =>
+        (i until n).map { t =>
+          ys.slice(s, t + 1).sum.toDouble / cs.slice(s, t + 1).sum.toDouble
+        }.min
+      }.max
+    }.toVector
+  }
+
+  property("isotonic PAV kernel == minimax identity (bit-exact) and " +
+      "is non-decreasing") =
+    Prop.forAll(Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 50L), Gen.choose(1L, 50L))))) { pts =>
+      val spark = SparkSpec.spark
+      val ys = pts.map { case (y, c) => math.min(y, c) }.toVector
+      val cs = pts.map(_._2).toVector
+      val got = spark.range(1).select(
+        graft.plans.NativeCalib.isotonicFit(typedLit(ys), typedLit(cs))
+          .as("f")).collect().head.getSeq[Double](0).toVector
+      val want = minimaxFit(ys, cs)
+      val bitEq = got.size == want.size && got.zip(want).forall {
+        case (a, b) => java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b)
+      }
+      val mono = got.zip(got.drop(1)).forall { case (a, b) => a <= b }
+      (bitEq :| s"pav=$got minimax=$want") && (mono :| s"not monotone: $got")
+    }
+
   property("seriesDecomposeSTL native == combinator (bit-exact, all " +
       "four arrays)") =
     Prop.forAll(seriesGen, Gen.choose(1, 8)) { (xs, p) =>
