@@ -696,12 +696,34 @@ object PipelineQueries {
   val q209PqAdcAnn = QueryDef(
     "q209_pq_adc_ann",
     (s, dir) => {
-      val vecs = Graft.table(s, dir, "embeddings")
+      val raw = Graft.table(s, dir, "embeddings")
+      // UNIT-NORMALIZE before encoding (round 12; the sf1 gate's
+      // first 10x run of this entry caught recall collapsing to
+      // 0.18): the ADC score is an approximate INNER PRODUCT while
+      // the baseline ranks by COSINE — with varying norms the
+      // shortlist prunes by the wrong metric, and at 10x candidate
+      // density the true cosine top-10 drifts out of any affordable
+      // dot-ranked window. On unit vectors IP ≡ cosine, the textbook
+      // cosine-ANN encoding; the final exact re-rank is cosine either
+      // way, so this only moves the recall, never the contract.
+      val nrm = Similarity.norm(col("embedding"))
+      val vecs = raw.select(col("vec_id"),
+        when(nrm > 0, transform(col("embedding"),
+            x => x.cast("double") / nrm))
+          .otherwise(transform(col("embedding"), x => x.cast("double")))
+          .as("embedding"))
       val probes = vecs.filter(col("vec_id") < 5)
+      // k = 256 codewords per subspace (8-bit PQ, the standard code —
+      // the 5-bit k=32 book's distortion swamped the shrunken top-10
+      // gaps at 10x density) and a corpus-scaled re-rank shortlist
+      // (2%, floor 100) instead of a fixed 100 — the refine-factor
+      // lever, linear cost.
       val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
-        m = 16, k = 32, iters = 2)
+        m = 16, k = 256, iters = 2)
+      val n = vecs.count()
+      val shortlist = math.max(100, (n / 50).toInt)
       val pq = Similarity.pqTopK(vecs, probes, "vec_id", "embedding",
-        k = 10, books, shortlist = 100)
+        k = 10, books, shortlist = shortlist)
       val bf = Similarity.bruteForceTopK(vecs, probes, "vec_id",
         "embedding", k = 10)
       val floor = 0.7
@@ -716,7 +738,7 @@ object PipelineQueries {
       val recall = m.getLong(1).toDouble / m.getLong(0)
       require(recall >= floor,
         f"q209: PQ-ADC recall@10 = $recall%.4f fell below the $floor " +
-          f"floor (m=16, k=32, shortlist=100) — quantizer regression")
+          f"floor (m=16, k=256, shortlist=$shortlist) — quantizer regression")
       s.sql("SELECT CAST(16 AS BIGINT) AS m, CAST(0.7 AS DOUBLE) " +
         "AS recall_floor, CAST(1 AS BIGINT) AS recall_ok")
     },

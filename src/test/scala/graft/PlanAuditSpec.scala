@@ -398,6 +398,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q281: the IVF list-length cap trims map-side (WindowGroupLimit " +
+      "on the constant rank) and no product forms") {
+    val p = plan("q281_mutual_knn_ivf_capped")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // maxPerCell is a CONSTANT rank bound, so Spark's WindowGroupLimit
+    // trims each cell's list partially BELOW the window exchange —
+    // the cap costs a bounded per-cell top-M, never a full sort+filter
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q206/q207/q210/q212: the rank-test / regression / histogram / " +
       "LTTB aggregates are single-pass group rollups — no join, no " +
       "window, no cartesian") {
