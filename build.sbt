@@ -34,4 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // managed-table root for bucketing tests (static conf; keep out of the repo)
   "-Dspark.sql.warehouse.dir=/tmp/graft_spark_warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one+ compiled class per query shape; a
+  // Bench/Verify JVM runs ~280 query shapes and the JDK's default
+  // 240 MB code cache SATURATES mid-run, silently falling hot loops
+  // back to the interpreter (round 12, measured: q192's sf1 rep
+  // burned 186 s process-CPU inside the full bench vs 66 s in a fresh
+  // JVM on the identical binary and corpus — the "in-bench slower
+  // than isolated" mystery of three rounds). 1 GB keeps every
+  // generated kernel JIT-resident.
+  "-XX:ReservedCodeCacheSize=1g",
 )
