@@ -4684,12 +4684,18 @@ object PipelineQueries {
             lit(" ��� corrupted �")).otherwise(lit("")),
           lit("\n\nshared quote number "), pmod(col("doc_id"), lit(7)),
           lit(" about data pipelines\n\nunique tail "), col("doc_id")))
-      val denoised = raw
-        .filter(text.charsetNoiseScore(col("text")) <= 0.1)
-      val hosted = Select.hostReputationFilter(denoised, col("url"),
-        text.qualityScore(col("text")),
+      // stage the regex-heavy upstream ONCE (round 12): both
+      // hostReputationFilter and dedupParagraphs consume their input
+      // twice internally (stats + join-back / paragraph votes +
+      // join-back), so without staging the charset-noise and quality
+      // regex projections re-execute ~4x (measured at sf1:
+      // 9.0 -> ~6 s)
+      val denoised = Graft.stage(raw
+        .filter(text.charsetNoiseScore(col("text")) <= 0.1))
+      val hosted = Graft.stage(Select.hostReputationFilter(denoised,
+        col("url"), text.qualityScore(col("text")),
         blocklist = Seq("src3.example.com"),
-        minDocs = 10, minMeanQFp = 530000L)
+        minDocs = 10, minMeanQFp = 530000L))
       val deduped = Dedup.dedupParagraphs(hosted, "doc_id", "text")
       val qualified = deduped
         .filter(text.qualityScore(col("text")) >= 0.45)
