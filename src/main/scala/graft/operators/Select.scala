@@ -376,6 +376,34 @@ object Select {
     * per block — bit-identical to the minimax identity the DuckDB
     * oracle computes (Round12Props).
     */
+  /** Apply a [[calibrateIsotonic]] table to a scored corpus (X193):
+    * each row gains `calibrated` — the fitted value of the LARGEST
+    * calibration score point ≤ its score within its group (the step
+    * function a monotone fit defines), CLAMPED to the group's lowest
+    * point below the calibrated range (the standard extension; a
+    * group absent from the table yields null). The lookup is
+    * [[Relational.asofJoin]] — union + one running-last prefix window
+    * per group, never a per-row range probe — plus one broadcast
+    * join of the group-minimum row for the clamp; the calibration
+    * table is score-point-sized (bounded by the kernel's 4096
+    * contract), so both edges are dictionary-shaped at any corpus
+    * size.
+    */
+  def applyCalibration(df: DataFrame, cal: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val grp = col(s"`$groupCol`")
+    val calT = cal.select(grp, col("score").as("__cal_s"),
+      col("calibrated").as("__cal_v"))
+    val looked = graft.operators.Relational.asofJoin(
+      df, calT, Seq(groupCol), scoreCol, "__cal_s", Seq("__cal_v"))
+    val floorV = calT.groupBy(grp)
+      .agg(min_by(col("__cal_v"), col("__cal_s")).as("__cal_floor"))
+    looked.join(broadcast(floorV), Seq(groupCol), "left")
+      .withColumn("calibrated",
+        coalesce(col("__cal_v"), col("__cal_floor")))
+      .drop("__cal_v", "__cal_floor")
+  }
+
   def calibrateIsotonic(df: DataFrame, groupCol: String,
       scoreCol: String, labelCol: String): DataFrame = {
     val scoreType = df.schema(scoreCol).dataType.typeName

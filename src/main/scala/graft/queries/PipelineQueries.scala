@@ -6604,8 +6604,99 @@ object PipelineQueries {
       FROM cal, unnest(generate_series(1, len(ss))) AS u(i)
       ORDER BY source, score"""))
 
+  // ---------------------------------------------------------------------
+  // X193: calibrated quality FILTERING — X192's table applied as a
+  // step function to a held-out split (train on even ids, apply to
+  // odd ids with scores shifted up AND down so both the above-range
+  // step end and the below-range floor clamp provably fire), then a
+  // calibrated-probability threshold keep. The application is one
+  // asof lookup (union + running-last window over the score axis) +
+  // a broadcast floor clamp — dictionary-shaped edges at any corpus
+  // size. Per-row calibrated values are bit-identical to the oracle's
+  // (the X192 argument), so the keep counts and the fixed-point
+  // calibrated sum compare exactly.
+  val q283CalibratedFilter = QueryDef(
+    "q283_calibrated_filter",
+    (s, dir) => {
+      import graft.operators.Select
+      val docs = Graft.table(s, dir, "documents")
+      val toks = filter(text.tokenize(col("text")), t => t =!= "")
+      val base = docs.select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("nt"),
+          size(array_distinct(toks)).cast("long").as("dt"),
+          when(col("n_chars") >= 400, 1L).otherwise(0L).as("label"))
+        .withColumn("score",
+          expr("CAST(dt * 10 DIV greatest(nt, 1) AS BIGINT)"))
+      val train = base.where(col("doc_id") % 2 === 0)
+      val applyTo = base.where(col("doc_id") % 2 === 1)
+        .withColumn("score", col("score") +
+          when(col("doc_id") % 4 === 1, lit(-2L)).otherwise(lit(1L)))
+      val cal = Select.calibrateIsotonic(train, "source", "score", "label")
+      val applied = Select.applyCalibration(applyTo, cal, "source", "score")
+      applied.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("calibrated") >= 0.5, 1L).otherwise(0L))
+            .cast("long").as("n_keep"),
+          sum(round(col("calibrated") * 1e6).cast("long"))
+            .cast("long").as("cal_fp_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(toks)) * 10
+                 // greatest(len(toks), 1) AS BIGINT) AS score,
+               CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS label
+        FROM (SELECT doc_id, source, n_chars,
+                     [x for x in regexp_split_to_array(trim(lower(text)),
+                        '\s+') if x <> ''] AS toks
+              FROM documents)
+      ), p AS (
+        SELECT source, score, CAST(sum(label) AS BIGINT) AS sum_label,
+               CAST(count(1) AS BIGINT) AS n
+        FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2
+      ), a AS (
+        SELECT source,
+               list(score ORDER BY score) AS ss,
+               list(sum_label ORDER BY score) AS ys,
+               list(n ORDER BY score) AS cs
+        FROM p GROUP BY source
+      ), cal AS (
+        SELECT source, ss,
+               [list_max([list_min([
+                  CAST(list_sum(ys[s:t]) AS DOUBLE) / list_sum(cs[s:t])
+                  for t in generate_series(i, len(ys))])
+                 for s in generate_series(1, i)])
+                for i in generate_series(1, len(ys))] AS fit
+        FROM a
+      ), fitrows AS (
+        SELECT source, ss[u.i] AS score, fit[u.i] AS calibrated
+        FROM cal, unnest(generate_series(1, len(ss))) AS u(i)
+      ), app AS (
+        SELECT doc_id, source,
+               score + CASE WHEN doc_id % 4 = 1 THEN -2 ELSE 1 END
+                 AS score
+        FROM b WHERE doc_id % 2 = 1
+      ), look AS (
+        SELECT a.source, a.doc_id,
+               coalesce(
+                 (SELECT f.calibrated FROM fitrows f
+                  WHERE f.source = a.source AND f.score <= a.score
+                  ORDER BY f.score DESC LIMIT 1),
+                 (SELECT f.calibrated FROM fitrows f
+                  WHERE f.source = a.source
+                  ORDER BY f.score ASC LIMIT 1)) AS calibrated
+        FROM app a
+      )
+      SELECT source, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN calibrated >= 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_keep,
+             CAST(sum(CAST(round(calibrated * 1000000) AS BIGINT))
+               AS BIGINT) AS cal_fp_sum
+      FROM look GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q282IsotonicCalibration,
+    q282IsotonicCalibration, q283CalibratedFilter,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

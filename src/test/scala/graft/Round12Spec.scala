@@ -124,6 +124,28 @@ class Round12Spec extends SparkSpec {
     assert(viaCand == viaCell, s"n=$n cand=$viaCand cell=$viaCell")
   }
 
+  // ---- applyCalibration step semantics (X193) ----
+
+  test("applyCalibration: largest point <= score wins, below-range " +
+      "clamps to the group floor, unknown groups yield null") {
+    val cal = Seq(("a", 2L, 0.2), ("a", 5L, 0.5), ("a", 8L, 0.8))
+      .toDF("g", "score", "calibrated")
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 4L), ("a", 7L),
+      ("a", 9L), ("z", 5L)).toDF("g", "score")
+    val out = graft.operators.Select
+      .applyCalibration(rows, cal, "g", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(out == Set(
+      ("a", 1L, 0.2), // below range -> floor clamp
+      ("a", 2L, 0.2), // exact point
+      ("a", 4L, 0.2), // steps down to 2
+      ("a", 7L, 0.5), // steps down to 5
+      ("a", 9L, 0.8), // above range -> last point
+      ("z", 5L, null) // group absent from the table
+    ), out)
+  }
+
   // ---- capped IVF candidates: the recall contract (ask #8) ----
 
   test("knnCandidatesIvf with a per-cell cap: recall vs the exact " +
