@@ -222,4 +222,103 @@ object Corpus {
           - (col("n_keys") + lit(1L)).cast("double") /
             col("n_keys").cast("double"), 6).as("gini"))
   }
+
+  // -------------------------------------------------------------------
+  // X194 (round 12): deterministic Poisson-bootstrap confidence
+  // intervals — the error bars a corpus report needs before anyone
+  // compares two pipeline versions' per-source statistics. Standard
+  // Poisson(1) bootstrap (the streaming-friendly resample: each row's
+  // weight in replica b is an independent Poisson(1) draw, so a
+  // replica is ONE weighted pass, never a materialized resample), made
+  // engine-exact: the draw is an integer hash — lowbias32-style
+  // avalanche of (id, b) in plain 64-bit arithmetic both engines
+  // evaluate identically — compared against the exact integer
+  // thresholds floor(CDF_Poisson(1)(k) * 2^32), and each replica mean
+  // is an exact integer pair (Σ w·x, Σ w) divided ONCE.
+
+  /** floor(2^32 · P(Poisson(1) ≤ k)) for k = 0..8; a draw ≥ t(8) gets
+    * weight 9 (P ≈ 1.1e-7 — the bounded tail).
+    */
+  private[graft] val poissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L)
+
+  /** 32-bit avalanche of (id, replica) in pure +,*,%,^,>> arithmetic
+    * — every engine computes the identical value (no engine-native
+    * hash anywhere).
+    */
+  private[graft] def mix32(id: Column, b: Column): Column = {
+    val m = lit(4294967296L)
+    val h0 = pmod(id.cast("long") * lit(2654435761L) +
+      b.cast("long") * lit(40503L), m)
+    val h1 = pmod((shiftright(h0, 16).bitwiseXOR(h0)) * lit(0x45d9f3bL), m)
+    val h2 = pmod((shiftright(h1, 16).bitwiseXOR(h1)) * lit(0x45d9f3bL), m)
+    shiftright(h2, 16).bitwiseXOR(h2)
+  }
+
+  /** Poisson(1) weight of row `id` in replica `b` (0..9). */
+  private[graft] def poissonWeight(id: Column, b: Column): Column = {
+    val h = mix32(id, b)
+    poissonThresholds.zipWithIndex.foldRight(lit(9): Column) {
+      case ((t, k), rest) => when(h < lit(t), lit(k)).otherwise(rest)
+    }
+  }
+
+  /** Per-`groupCol` mean of integral `valueCol` with a bootstrap
+    * [lo, hi] interval: `reps` Poisson(1) replicas drawn on the
+    * portable row identity `idCol`, replica mean = exact integer
+    * (Σ w·x) / (Σ w) (one IEEE division), interval = type-7 quantiles
+    * (the engine-wide convention) at (alpha/2, 1−alpha/2) over the
+    * sorted replica means. Scale shape: ONE pass over `reps × rows`
+    * exploded weights, map-side combined into (group, replica)
+    * integer partials — the per-group state is `reps` pairs of longs,
+    * never rows; the quantile runs over a `reps`-sized array per
+    * group. Integral values only (the byTokenBudget rule) so every
+    * sum is exact.
+    */
+  def bootstrapMeanCI(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, reps: Int = 64, alpha: Double = 0.05): DataFrame = {
+    require(reps >= 2 && alpha > 0 && alpha < 1,
+      "bootstrapMeanCI: reps >= 2 and alpha in (0,1)")
+    val vType = df.schema(valueCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(vType),
+      s"bootstrapMeanCI: value column '$valueCol' is $vType — integral " +
+        "values keep the replica sums exact (the byTokenBudget rule)")
+    val grp = col(s"`$groupCol`")
+    val weighted = df.select(grp, col(s"`$idCol`").cast("long").as("__bs_id"),
+        col(s"`$valueCol`").cast("long").as("__bs_x"))
+      .select(grp, col("__bs_id"), col("__bs_x"),
+        explode(sequence(lit(1), lit(reps))).as("__bs_b"))
+      .withColumn("__bs_w", poissonWeight(col("__bs_id"), col("__bs_b")))
+    val repMeans = weighted.groupBy(grp, col("__bs_b"))
+      .agg(sum(col("__bs_w") * col("__bs_x")).as("__bs_wx"),
+        sum(col("__bs_w")).as("__bs_wn"))
+      .withColumn("__bs_mean",
+        when(col("__bs_wn") > 0,
+          col("__bs_wx").cast("double") / col("__bs_wn").cast("double")))
+    val n = size(col("__bs_means"))
+    def q7(q: Double): Column = {
+      val h = (n - 1).cast("double") * lit(q)
+      val lo = floor(h).cast("int")
+      val frac = h - lo.cast("double")
+      element_at(col("__bs_means"), lo + 1) +
+        frac * (element_at(col("__bs_means"), least(lo + 2, n)) -
+          element_at(col("__bs_means"), lo + 1))
+    }
+    val base = df.groupBy(grp)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(s"`$valueCol`").cast("long")).as("__sx"))
+      .withColumn("mean",
+        col("__sx").cast("double") / col("n").cast("double"))
+      .drop("__sx")
+    repMeans
+      .filter(col("__bs_mean").isNotNull) // an all-zero-weight replica
+      .groupBy(grp)
+      .agg(array_sort(collect_list(col("__bs_mean"))).as("__bs_means"))
+      .select(grp, q7(alpha / 2).as("ci_lo"), q7(1 - alpha / 2).as("ci_hi"),
+        size(col("__bs_means")).cast("long").as("reps_used"))
+      .join(base, Seq(groupCol))
+      .select(grp, col("n"), col("mean"), col("ci_lo"), col("ci_hi"),
+        col("reps_used"))
+  }
 }

@@ -6695,8 +6695,91 @@ object PipelineQueries {
                AS BIGINT) AS cal_fp_sum
       FROM look GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------------
+  // X194: deterministic Poisson-bootstrap confidence intervals — the
+  // error bars a corpus report needs before two pipeline versions'
+  // per-source statistics are compared. Poisson(1) weights per
+  // (row, replica) from a pure-arithmetic 32-bit avalanche (no
+  // engine-native hash) against exact integer CDF thresholds; replica
+  // means are exact integer pairs divided once; the interval is the
+  // engine-wide type-7 quantile over the sorted replica means. Every
+  // number replays bit-identically in the oracle.
+  val q284BootstrapCI = QueryDef(
+    "q284_bootstrap_ci",
+    (s, dir) => {
+      import graft.operators.Corpus
+      val docs = Graft.table(s, dir, "documents")
+      val toks = filter(text.tokenize(col("text")), t => t =!= "")
+      val base = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("nt"))
+      Corpus.bootstrapMeanCI(base, "source", "nt", "doc_id",
+          reps = 64, alpha = 0.05)
+        .select(col("source"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"), col("reps_used"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len([x for x in regexp_split_to_array(
+                 trim(lower(text)), '\s+') if x <> '']) AS BIGINT) AS nt
+        FROM documents
+      ), m0 AS (
+        SELECT doc_id, source, nt, t.b,
+               (doc_id * 2654435761 + t.b * 40503) % 4294967296 AS h0
+        FROM d, unnest(generate_series(1, 64)) AS t(b)
+      ), m1 AS (
+        SELECT *, (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1
+        FROM m0
+      ), m2 AS (
+        SELECT *, (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2
+        FROM m1
+      ), w AS (
+        SELECT source, nt, b,
+               CASE WHEN xor(h2 >> 16, h2) < 1580030168 THEN 0
+                    WHEN xor(h2 >> 16, h2) < 3160060337 THEN 1
+                    WHEN xor(h2 >> 16, h2) < 3950075421 THEN 2
+                    WHEN xor(h2 >> 16, h2) < 4213413783 THEN 3
+                    WHEN xor(h2 >> 16, h2) < 4279248373 THEN 4
+                    WHEN xor(h2 >> 16, h2) < 4292415291 THEN 5
+                    WHEN xor(h2 >> 16, h2) < 4294609777 THEN 6
+                    WHEN xor(h2 >> 16, h2) < 4294923276 THEN 7
+                    WHEN xor(h2 >> 16, h2) < 4294962463 THEN 8
+                    ELSE 9 END AS wt
+        FROM m2
+      ), reps AS (
+        SELECT source, b,
+               CAST(sum(wt * nt) AS DOUBLE) / sum(wt) AS m
+        FROM w GROUP BY 1, 2 HAVING sum(wt) > 0
+      ), arr AS (
+        SELECT source, list(m ORDER BY m) AS ms,
+               CAST(count(1) AS INT) AS r
+        FROM reps GROUP BY source
+      ), ci AS (
+        SELECT source, r,
+          ms[CAST(floor((r-1)*0.025) AS INT)+1]
+            + ((r-1)*0.025 - floor((r-1)*0.025))
+            * (ms[least(CAST(floor((r-1)*0.025) AS INT)+2, r)]
+               - ms[CAST(floor((r-1)*0.025) AS INT)+1]) AS lo,
+          ms[CAST(floor((r-1)*0.975) AS INT)+1]
+            + ((r-1)*0.975 - floor((r-1)*0.975))
+            * (ms[least(CAST(floor((r-1)*0.975) AS INT)+2, r)]
+               - ms[CAST(floor((r-1)*0.975) AS INT)+1]) AS hi
+        FROM arr
+      ), base AS (
+        SELECT source, CAST(count(1) AS BIGINT) AS n,
+               CAST(sum(nt) AS DOUBLE) / count(1) AS mean
+        FROM d GROUP BY source
+      )
+      SELECT b.source, b.n, round(b.mean, 6) AS mean,
+             round(c.lo, 6) AS ci_lo, round(c.hi, 6) AS ci_hi,
+             CAST(c.r AS BIGINT) AS reps_used
+      FROM base b JOIN ci c USING (source)
+      ORDER BY b.source"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q282IsotonicCalibration, q283CalibratedFilter,
+    q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

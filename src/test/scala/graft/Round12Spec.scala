@@ -146,6 +146,33 @@ class Round12Spec extends SparkSpec {
     ), out)
   }
 
+  // ---- bootstrap CI (X194) ----
+
+  test("bootstrapMeanCI: Poisson(1) weights average ~1, the interval " +
+      "brackets the sample mean on IID data, and reruns are identical") {
+    import graft.operators.Corpus
+    val df = spark.range(4000)
+      .select(col("id").as("doc_id"), lit("g").as("source"),
+        (col("id") % 17).cast("long").as("v"))
+    // weight sanity: mean weight over many draws ≈ 1 (Poisson(1))
+    val wBar = df.select(explode(sequence(lit(1), lit(16))).as("b"),
+        col("doc_id"))
+      .select(Corpus.poissonWeight(col("doc_id"), col("b")).as("w"))
+      .agg(avg(col("w"))).collect().head.getDouble(0)
+    assert(math.abs(wBar - 1.0) < 0.02, s"mean weight $wBar")
+    val run1 = Corpus.bootstrapMeanCI(df, "source", "v", "doc_id",
+      reps = 32, alpha = 0.1).collect().head
+    val run2 = Corpus.bootstrapMeanCI(df, "source", "v", "doc_id",
+      reps = 32, alpha = 0.1).collect().head
+    assert(run1.toString == run2.toString) // fully deterministic
+    val (mean, lo, hi) = (run1.getAs[Double]("mean"),
+      run1.getAs[Double]("ci_lo"), run1.getAs[Double]("ci_hi"))
+    assert(lo <= hi, run1.toString)
+    assert(lo <= mean && mean <= hi, // IID 4000-row mean sits inside
+      s"mean=$mean outside [$lo, $hi]")
+    assert(run1.getAs[Long]("reps_used") == 32L)
+  }
+
   // ---- capped IVF candidates: the recall contract (ask #8) ----
 
   test("knnCandidatesIvf with a per-cell cap: recall vs the exact " +
