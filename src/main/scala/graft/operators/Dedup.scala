@@ -962,6 +962,51 @@ object Dedup {
     vecs.join(victims, Seq(idCol), "left_anti")
   }
 
+  /** Semantic decontamination (X195, round 12) — the embedding-level
+    * sibling of the n-gram [[decontaminate]]: a corpus row is
+    * contaminated iff its embedding's cosine against ANY eval-set
+    * embedding clears `threshold`. Candidates come from the IVF
+    * structure, asymmetrically: the EVAL side (benchmark-sized, by
+    * contract tiny) probes its `nprobe` best cells, the CORPUS side
+    * is binned once (optionally list-length-capped — note the cap
+    * bounds work but can SKIP a contaminated pair whose corpus row was
+    * trimmed from its cell list; leave it uncapped for the
+    * decontamination use unless the cell-skew risk dominates), and
+    * pairs form through one cell equi-join. Survivors leave through
+    * an id anti-join. At 100 TB this is eval-probes × (corpus/#cells)
+    * candidate volume — never corpus × eval.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      cents: Array[(Long, Seq[Double])], nprobe: Int,
+      maxPerCell: Int = Int.MaxValue): DataFrame = {
+    import graft.operators.Similarity
+    val binned0 = corpus.select(col(s"`$idCol`").cast("long").as("__sd_c"),
+      transform(col(s"`$vecCol`"), x => x.cast("double")).as("__sd_cv"),
+      Similarity.norm(col(s"`$vecCol`")).as("__sd_cn"),
+      Similarity.assignCell(col(s"`$vecCol`"), cents).as("__cell"),
+      round(Similarity.norm(col(s"`$vecCol`")) * 1e6).cast("long").as("__nq"))
+    val binned =
+      if (maxPerCell == Int.MaxValue) binned0.drop("__nq")
+      else binned0
+        .withColumn("__cr", row_number().over(
+          Window.partitionBy(col("__cell"))
+            .orderBy(col("__nq").desc, col("__sd_c"))))
+        .where(col("__cr") <= maxPerCell).drop("__cr", "__nq")
+    val probing = evalVecs.select(
+      transform(col(s"`$vecCol`"), x => x.cast("double")).as("__sd_ev"),
+      Similarity.norm(col(s"`$vecCol`")).as("__sd_en"),
+      explode(graft.plans.NativeMath.topCells(col(s"`$vecCol`"), cents,
+        nprobe)).as("__cell"))
+    val sim = Similarity.guardedSim(col("__sd_cv"), col("__sd_ev"),
+      col("__sd_cn"), col("__sd_en"))
+    val contaminated = binned.join(probing, "__cell")
+      .filter(sim >= threshold)
+      .select(col("__sd_c").cast(corpus.schema(idCol).dataType).as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** C4-style boilerplate line removal: a line (newline-split, compared
     * after trim) that appears in at least `minDocs` DISTINCT documents
     * is boilerplate — navigation chrome, cookie banners, subscribe

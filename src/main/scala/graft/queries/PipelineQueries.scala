@@ -6778,8 +6778,97 @@ object PipelineQueries {
       FROM base b JOIN ci c USING (source)
       ORDER BY b.source"""))
 
+  // ---------------------------------------------------------------------
+  // X195: SEMANTIC decontamination — the embedding-level completion of
+  // the decontamination family (exact 8-gram X156, span X151): corpus
+  // rows whose embedding cosine clears 0.46 against ANY eval-set
+  // embedding are dropped. Candidates ride the IVF structure
+  // ASYMMETRICALLY — the benchmark-sized eval side probes nprobe
+  // cells, the corpus is binned once — so the scale shape is
+  // eval-probes x (corpus/#cells), never corpus x eval. The oracle
+  // replays the full IVF structure + the guarded cosine.
+  val q285SemanticDecontaminate = QueryDef(
+    "q285_semantic_decontaminate",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val modulus = math.ceil(math.sqrt(
+        vecs.select(col("vec_id")).count().toDouble)).toInt
+      val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding",
+        modulus = modulus)
+      val evalV = vecs.where(col("vec_id") % 37 === 0)
+      val corpusV = vecs.where(col("vec_id") % 37 =!= 0)
+      val surv = Dedup.semanticDecontaminate(corpusV, evalV,
+        "vec_id", "embedding", threshold = 0.46, cents, nprobe = 4)
+      val a = corpusV.groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("n_in"))
+      val b = surv.groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("vec_id")).cast("long").as("id_sum"))
+      a.join(b, Seq("label"), "left")
+        .select(col("label").cast("long").as("label"), col("n_in"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                 embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cent_id, e AS ce, n AS cn FROM v
+        WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                        FROM v) = 0
+      ), sim0 AS (
+        SELECT v.vec_id, c.cent_id,
+               CASE WHEN v.n > 0 AND c.cn > 0
+                    THEN list_dot_product(v.e, c.ce) / (v.n * c.cn)
+                    ELSE 0.0 END AS sim
+        FROM v CROSS JOIN c
+      ), ranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM sim0
+      ), ccell AS (
+        SELECT vec_id, cent_id AS cell FROM ranked
+        WHERE rn = 1 AND vec_id % 37 <> 0
+      ), ecell AS (
+        SELECT vec_id, cent_id AS cell FROM ranked
+        WHERE rn <= 4 AND vec_id % 37 = 0
+      ), cand AS (
+        SELECT DISTINCT cc.vec_id AS cid, ec.vec_id AS eid
+        FROM ecell ec JOIN ccell cc ON cc.cell = ec.cell
+      ), cont AS (
+        SELECT DISTINCT cand.cid FROM cand
+        JOIN v a ON a.vec_id = cand.cid
+        JOIN v b ON b.vec_id = cand.eid
+        WHERE (CASE WHEN a.n > 0 AND b.n > 0
+                    THEN list_dot_product(a.e, b.e) / (a.n * b.n)
+                    ELSE 0.0 END) >= 0.46
+      ), corp AS (
+        SELECT vec_id, label FROM v WHERE vec_id % 37 <> 0
+      ), surv AS (
+        SELECT * FROM corp
+        WHERE vec_id NOT IN (SELECT cid FROM cont)
+      ), a1 AS (
+        SELECT label, CAST(count(1) AS BIGINT) AS n_in
+        FROM corp GROUP BY label
+      ), b1 AS (
+        SELECT label, CAST(count(1) AS BIGINT) AS n_kept,
+               CAST(sum(vec_id) AS BIGINT) AS id_sum
+        FROM surv GROUP BY label
+      )
+      SELECT CAST(a1.label AS BIGINT) AS label, a1.n_in,
+             CAST(coalesce(b1.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(coalesce(b1.id_sum, 0) AS BIGINT) AS id_sum
+      FROM a1 LEFT JOIN b1 USING (label)
+      ORDER BY label"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
+    q285SemanticDecontaminate,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
