@@ -137,15 +137,43 @@ object Graft {
     * cluster). Both paths produce identical frames — pinned by
     * Round12Spec.
     */
+  /** Last spark.graft.checkpointDir value [[stage]] applied — the
+    * active SparkContext dir gains a UUID suffix, so change detection
+    * needs the raw conf value.
+    */
+  @volatile private var appliedCheckpointDir: Option[String] = None
+
   def stage(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf
       .getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
     if (reliable) {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(spark.conf
-          .getOption("spark.graft.checkpointDir")
-          .getOrElse(sys.props("java.io.tmpdir") + "/graft_checkpoint"))
+      val sc = spark.sparkContext
+      val confDir = spark.conf.getOption("spark.graft.checkpointDir")
+      // round-13 ADVICE: honor spark.graft.checkpointDir on EVERY
+      // call (a later conf change must not be silently ignored), and
+      // never default to java.io.tmpdir on a real cluster — that path
+      // is executor-local, so the "reliable" checkpoint would not
+      // survive the executor loss it exists for. Checkpoint files
+      // accumulate unless spark.cleaner.referenceTracking
+      // .cleanCheckpoints=true (set it on long-lived sessions).
+      confDir match {
+        // setCheckpointDir appends a UUID subdir, so the active dir
+        // never string-equals the conf value — track the last APPLIED
+        // conf value instead and re-apply only on change
+        case Some(d) if !appliedCheckpointDir.contains(d) =>
+          sc.setCheckpointDir(d)
+          appliedCheckpointDir = Some(d)
+        case None if sc.getCheckpointDir.isEmpty =>
+          require(sc.isLocal,
+            "Graft.stage: spark.graft.reliableCheckpoint=true on a " +
+              "non-local master needs an explicit durable " +
+              "spark.graft.checkpointDir (java.io.tmpdir is " +
+              "executor-local — it cannot survive executor loss)")
+          sc.setCheckpointDir(
+            sys.props("java.io.tmpdir") + "/graft_checkpoint")
+        case _ => ()
+      }
       df.checkpoint()
     } else df.localCheckpoint()
   }

@@ -246,11 +246,24 @@ object Corpus {
   /** 32-bit avalanche of (id, replica) in pure +,*,%,^,>> arithmetic
     * — every engine computes the identical value (no engine-native
     * hash anywhere).
+    *
+    * The id multiply is SPLIT 16/16 (round-13 ADVICE): a direct
+    * `id * 2654435761` overflows signed 64-bit for ids above ~3.4e9 —
+    * Spark silently wraps (non-ANSI) while the DuckDB oracle raises
+    * and ANSI mode would throw. `(id mod 2³²) = ih·2¹⁶ + il`, so
+    * `id·K mod 2³² = ((ih·K mod 2¹⁶)·2¹⁶ + il·K) mod 2³²` with every
+    * intermediate < 2⁴⁸ — overflow-free for ANY long id, and
+    * bit-identical to the old value wherever the old value was
+    * defined (q284's oracle mirrors the same split).
     */
   private[graft] def mix32(id: Column, b: Column): Column = {
     val m = lit(4294967296L)
-    val h0 = pmod(id.cast("long") * lit(2654435761L) +
-      b.cast("long") * lit(40503L), m)
+    val k = lit(2654435761L)
+    val idm = pmod(id.cast("long"), m)
+    val ih = shiftright(idm, 16)
+    val il = pmod(idm, lit(65536L))
+    val prod = pmod(ih * k, lit(65536L)) * lit(65536L) + il * k
+    val h0 = pmod(prod + b.cast("long") * lit(40503L), m)
     val h1 = pmod((shiftright(h0, 16).bitwiseXOR(h0)) * lit(0x45d9f3bL), m)
     val h2 = pmod((shiftright(h1, 16).bitwiseXOR(h1)) * lit(0x45d9f3bL), m)
     shiftright(h2, 16).bitwiseXOR(h2)
@@ -311,14 +324,17 @@ object Corpus {
       .withColumn("mean",
         col("__sx").cast("double") / col("n").cast("double"))
       .drop("__sx")
-    repMeans
+    val ci = repMeans
       .filter(col("__bs_mean").isNotNull) // an all-zero-weight replica
       .groupBy(grp)
       .agg(array_sort(collect_list(col("__bs_mean"))).as("__bs_means"))
       .select(grp, q7(alpha / 2).as("ci_lo"), q7(1 - alpha / 2).as("ci_hi"),
         size(col("__bs_means")).cast("long").as("reps_used"))
-      .join(base, Seq(groupCol))
+    // LEFT from base (round-13 ADVICE): a group whose EVERY replica
+    // drew all-zero Poisson weights (possible only for 1-2 row groups)
+    // must surface with null interval and reps_used = 0, not vanish
+    base.join(ci, Seq(groupCol), "left")
       .select(grp, col("n"), col("mean"), col("ci_lo"), col("ci_hi"),
-        col("reps_used"))
+        coalesce(col("reps_used"), lit(0L)).as("reps_used"))
   }
 }

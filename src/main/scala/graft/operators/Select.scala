@@ -381,27 +381,36 @@ object Select {
     * calibration score point ≤ its score within its group (the step
     * function a monotone fit defines), CLAMPED to the group's lowest
     * point below the calibrated range (the standard extension; a
-    * group absent from the table yields null). The lookup is
-    * [[Relational.asofJoin]] — union + one running-last prefix window
-    * per group, never a per-row range probe — plus one broadcast
-    * join of the group-minimum row for the clamp; the calibration
-    * table is score-point-sized (bounded by the kernel's 4096
-    * contract), so both edges are dictionary-shaped at any corpus
-    * size.
+    * group absent from the table yields null).
+    *
+    * Plan shape (round 13, verdict ask #1 — the earlier asofJoin form
+    * routed the ENTIRE corpus through one window task per group): the
+    * calibration table is ≤ 4096 points per group BY THE PAV KERNEL'S
+    * OWN CONTRACT, so it folds into one sorted (scores[], values[])
+    * array row per group, BROADCASTS, and every corpus row evaluates
+    * the step function as a per-row binary search
+    * ([[graft.plans.NativeCalib.stepLookup]], codegen'd). ZERO
+    * shuffle and zero window over the corpus side — the corpus
+    * never leaves its scan partitioning (PlanAuditSpec pins this;
+    * Round13Spec pins bit-parity against the asofJoin form).
     */
   def applyCalibration(df: DataFrame, cal: DataFrame, groupCol: String,
       scoreCol: String): DataFrame = {
     val grp = col(s"`$groupCol`")
-    val calT = cal.select(grp, col("score").as("__cal_s"),
-      col("calibrated").as("__cal_v"))
-    val looked = graft.operators.Relational.asofJoin(
-      df, calT, Seq(groupCol), scoreCol, "__cal_s", Seq("__cal_v"))
-    val floorV = calT.groupBy(grp)
-      .agg(min_by(col("__cal_v"), col("__cal_s")).as("__cal_floor"))
-    looked.join(broadcast(floorV), Seq(groupCol), "left")
-      .withColumn("calibrated",
-        coalesce(col("__cal_v"), col("__cal_floor")))
-      .drop("__cal_v", "__cal_floor")
+    // one array row per group: sort by score (struct sort = first
+    // field first; scores are distinct per group by construction)
+    val arrs = cal.groupBy(grp)
+      .agg(array_sort(collect_list(struct(
+        col("score").cast("long").as("s"),
+        col("calibrated").as("v")))).as("__cal_p"))
+      .select(grp,
+        transform(col("__cal_p"), p => p.getField("s")).as("__cal_ss"),
+        transform(col("__cal_p"), p => p.getField("v")).as("__cal_vs"))
+    df.join(broadcast(arrs), Seq(groupCol), "left")
+      .withColumn("calibrated", graft.plans.NativeCalib.stepLookup(
+        col("__cal_ss"), col("__cal_vs"),
+        col(s"`$scoreCol`").cast("long")))
+      .drop("__cal_ss", "__cal_vs")
   }
 
   def calibrateIsotonic(df: DataFrame, groupCol: String,

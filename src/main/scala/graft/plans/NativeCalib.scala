@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -31,6 +31,20 @@ object NativeCalib {
   def isotonicFit(sumY: Column, cnt: Column): Column =
     GraftSqlBridge.column(IsotonicFitExpr(
       GraftSqlBridge.expression(sumY), GraftSqlBridge.expression(cnt)))
+
+  /** Step-function evaluation of a calibration table (round 13,
+    * verdict ask #1 — X193's lookup kernel): `scores` is a SORTED
+    * ascending long array, `values` the fitted value per point; the
+    * result is `values[i]` for the LARGEST `scores[i] <= x`, clamped
+    * to `values[0]` below the range (the standard monotone-fit
+    * extension). One binary search per row over a ≤ 4096-point
+    * broadcast array — the shuffle-free replacement for routing a
+    * corpus through an asof window partitioned by the group key.
+    */
+  def stepLookup(scores: Column, values: Column, x: Column): Column =
+    GraftSqlBridge.column(StepLookupExpr(
+      GraftSqlBridge.expression(scores), GraftSqlBridge.expression(values),
+      GraftSqlBridge.expression(x)))
 }
 
 object CalibKernels {
@@ -86,6 +100,30 @@ object CalibKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Binary search: value of the largest score point ≤ x; below-range
+    * x clamps to the first point (the [[graft.operators.Select
+    * .applyCalibration]] floor). Null (java) on malformed arrays
+    * (length mismatch, empty, null element) — the table is built by
+    * `calibrateIsotonic`, which can produce none of these; the guard
+    * keeps hand-built tables fail-soft instead of wrong.
+    */
+  def lookup(scores: ArrayData, values: ArrayData, x: Long): Any = {
+    val n = scores.numElements()
+    if (values.numElements() != n || n == 0) return null
+    var lo = 0
+    var hi = n - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (scores.isNullAt(mid)) return null
+      if (scores.getLong(mid) <= x) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    val i = if (ans < 0) 0 else ans
+    if (values.isNullAt(i)) null
+    else java.lang.Double.valueOf(values.getDouble(i))
+  }
 }
 
 case class IsotonicFitExpr(left: Expression, right: Expression)
@@ -111,4 +149,33 @@ case class IsotonicFitExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+case class StepLookupExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(DoubleType), LongType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_step_lookup"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(scores: Any, values: Any,
+      x: Any): Any =
+    CalibKernels.lookup(scores.asInstanceOf[ArrayData],
+      values.asInstanceOf[ArrayData], x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("stepR")
+    nullSafeCodeGen(ctx, ev, (s, v, x) => s"""
+      Object $r = graft.plans.CalibKernels.lookup($s, $v, $x);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }""")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

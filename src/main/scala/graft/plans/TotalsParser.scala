@@ -1104,20 +1104,50 @@ class TotalsParser(delegate: ParserInterface) extends ParserInterface {
         s"(SELECT *, row_number() OVER (ORDER BY $kR) AS __paste_rn " +
         s"FROM ($subR) __graft_pr) AS $aliasR " +
         s"USING (__paste_rn)"
-    // hide the helper from a bare `SELECT *` owner: CH's PASTE JOIN
-    // output is exactly left-cols ++ right-cols. Patch the LAST
-    // depth-0 select list before the left side to `* EXCEPT (...)`.
-    val selStar = """(?is)\bSELECT\b""".r.findAllMatchIn(text)
+    // hide the helper from EVERY star form in the owner's select list:
+    // CH's PASTE JOIN output is exactly left-cols ++ right-cols, so
+    // `*`, `a.*`, `b.*` and `*, expr` owners (round-13 ADVICE — the
+    // old patch handled only a bare `*`) each gain
+    // `EXCEPT (__paste_rn)`. A star qualified by something OTHER than
+    // the two paste aliases cannot carry the helper and is left alone.
+    val selList = """(?is)\bSELECT\b""".r.findAllMatchIn(text)
       .filter(s => s.end < openL && depth0(text, s.start))
       .toList.lastOption.flatMap { s =>
         """(?is)\bFROM\b""".r.findAllMatchIn(text)
           .find(f => f.start > s.end && f.start < openL &&
             depth0(text, f.start))
           .map(f => (s.end, f.start))
-      }.filter { case (a, b) => text.substring(a, b).trim == "*" }
-    selStar match {
+      }
+    def patchStars(listText: String): String = {
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < listText.length) {
+        if (listText.charAt(i) == ',' && depth0(listText, i)) cuts += i
+        i += 1
+      }
+      val items = (Seq(-1) ++ cuts ++ Seq(listText.length)).sliding(2)
+        .map { case Seq(a, b) => listText.substring(a + 1, b) }.toSeq
+      val qualStar =
+        ("""(?is)^\s*(?:DISTINCT\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)""" +
+          """\s*\.\s*\*\s*$""").r
+      items.map { it =>
+        val t = it.trim
+        if (t == "*" || (t.toUpperCase.startsWith("DISTINCT") &&
+            t.drop(8).trim == "*"))
+          s" $t EXCEPT (__paste_rn) "
+        else qualStar.findFirstMatchIn(it) match {
+          case Some(m)
+              if Set(aliasL, aliasR).exists(a =>
+                a.equalsIgnoreCase(m.group(1)) ||
+                  s"`$a`".equalsIgnoreCase(m.group(1))) =>
+            s" $t EXCEPT (__paste_rn) "
+          case _ => it
+        }
+      }.mkString(",")
+    }
+    selList match {
       case Some((a, b)) =>
-        text.substring(0, a) + " * EXCEPT (__paste_rn) " +
+        text.substring(0, a) + patchStars(text.substring(a, b)) +
           text.substring(b, openL) + frag + text.substring(endR)
       case None =>
         text.substring(0, openL) + frag + text.substring(endR)

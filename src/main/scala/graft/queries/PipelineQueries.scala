@@ -6609,10 +6609,12 @@ object PipelineQueries {
   // step function to a held-out split (train on even ids, apply to
   // odd ids with scores shifted up AND down so both the above-range
   // step end and the below-range floor clamp provably fire), then a
-  // calibrated-probability threshold keep. The application is one
-  // asof lookup (union + running-last window over the score axis) +
-  // a broadcast floor clamp — dictionary-shaped edges at any corpus
-  // size. Per-row calibrated values are bit-identical to the oracle's
+  // calibrated-probability threshold keep. The application (round 13,
+  // verdict ask #1) broadcasts the per-group sorted (score,
+  // calibrated) arrays — ≤ 4096 points by the PAV kernel's contract —
+  // and evaluates the step function as a per-row codegen'd binary
+  // search: zero shuffle, zero window over the corpus side at any
+  // corpus size. Per-row calibrated values are bit-identical to the oracle's
   // (the X192 argument), so the keep counts and the fixed-point
   // calibrated sum compare exactly.
   val q283CalibratedFilter = QueryDef(
@@ -6727,7 +6729,10 @@ object PipelineQueries {
         FROM documents
       ), m0 AS (
         SELECT doc_id, source, nt, t.b,
-               (doc_id * 2654435761 + t.b * 40503) % 4294967296 AS h0
+               (((((doc_id % 4294967296) >> 16) * 2654435761) % 65536)
+                  * 65536
+                + ((doc_id % 4294967296) % 65536) * 2654435761
+                + t.b * 40503) % 4294967296 AS h0
         FROM d, unnest(generate_series(1, 64)) AS t(b)
       ), m1 AS (
         SELECT *, (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1
@@ -6774,8 +6779,8 @@ object PipelineQueries {
       )
       SELECT b.source, b.n, round(b.mean, 6) AS mean,
              round(c.lo, 6) AS ci_lo, round(c.hi, 6) AS ci_hi,
-             CAST(c.r AS BIGINT) AS reps_used
-      FROM base b JOIN ci c USING (source)
+             CAST(coalesce(c.r, 0) AS BIGINT) AS reps_used
+      FROM base b LEFT JOIN ci c USING (source)
       ORDER BY b.source"""))
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 pins — the round-12 verdict asks and ADVICE findings:
+  *
+  *  - X193 `applyCalibration` is shuffle-free over the corpus side:
+  *    per-group calibration arrays broadcast, a codegen'd binary
+  *    search evaluates the step function per row; bit-parity with
+  *    the previous asofJoin form.
+  *  - PASTE JOIN hides `__paste_rn` from EVERY star form (`*`,
+  *    `*, expr`, `a.*`, `a.*, b.*`), not just a bare `*`.
+  *  - mix32 is overflow-free for any long id (split 16/16 multiply),
+  *    unchanged where the old form was defined.
+  *  - bootstrapMeanCI surfaces a group whose every replica drew
+  *    all-zero weights (reps_used = 0, null interval) instead of
+  *    dropping it.
+  *  - Graft.stage honors spark.graft.checkpointDir changes.
+  */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- PASTE JOIN star forms (round-13 ADVICE) ----
+
+  test("paste join: qualified stars a.*, b.* return exactly " +
+      "left-cols ++ right-cols — the helper never leaks") {
+    val df = spark.sql("""
+      SELECT a.*, b.* FROM
+        (SELECT id AS x FROM range(4) ORDER BY x) AS a
+      PASTE JOIN
+        (SELECT id * 2 AS y FROM range(4) ORDER BY y DESC) AS b
+      ORDER BY x
+    """)
+    assert(df.columns.toSeq == Seq("x", "y"), df.columns.mkString(","))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 6L), (1L, 4L), (2L, 2L), (3L, 0L)))
+  }
+
+  test("paste join: the `*, expr` owner form hides the helper too") {
+    val df = spark.sql("""
+      SELECT *, x + y AS s FROM
+        (SELECT id AS x FROM range(3) ORDER BY x) AS a
+      PASTE JOIN
+        (SELECT id * 10 AS y FROM range(3) ORDER BY y) AS b
+      ORDER BY x
+    """)
+    assert(df.columns.toSeq == Seq("x", "y", "s"), df.columns.mkString(","))
+    assert(df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 0L), (1L, 10L, 11L), (2L, 20L, 22L)))
+  }
+
+  test("paste join: a star qualified by a non-paste alias is left " +
+      "untouched (nothing to hide)") {
+    // single-side star plus explicit right column — a.* carries the
+    // helper, the explicit b.y never did
+    val df = spark.sql("""
+      SELECT a.*, b.y FROM
+        (SELECT id AS x FROM range(3) ORDER BY x) AS a
+      PASTE JOIN
+        (SELECT id AS y FROM range(3) ORDER BY y) AS b
+      ORDER BY x
+    """)
+    assert(df.columns.toSeq == Seq("x", "y"), df.columns.mkString(","))
+  }
+
+  // ---- X193 applyCalibration: plan + parity (verdict ask #1) ----
+
+  /** The pre-round-13 form, kept as the parity reference: asofJoin
+    * (union + running-last window per group) + broadcast floor clamp.
+    */
+  private def applyCalibrationAsof(df: org.apache.spark.sql.DataFrame,
+      cal: org.apache.spark.sql.DataFrame, groupCol: String,
+      scoreCol: String): org.apache.spark.sql.DataFrame = {
+    val grp = col(s"`$groupCol`")
+    val calT = cal.select(grp, col("score").as("__cal_s"),
+      col("calibrated").as("__cal_v"))
+    val looked = graft.operators.Relational.asofJoin(
+      df, calT, Seq(groupCol), scoreCol, "__cal_s", Seq("__cal_v"))
+    val floorV = calT.groupBy(grp)
+      .agg(min_by(col("__cal_v"), col("__cal_s")).as("__cal_floor"))
+    looked.join(broadcast(floorV), Seq(groupCol), "left")
+      .withColumn("calibrated",
+        coalesce(col("__cal_v"), col("__cal_floor")))
+      .drop("__cal_v", "__cal_floor")
+  }
+
+  test("applyCalibration: broadcast binary-search form is bit-identical " +
+      "to the asofJoin form on a fitted table (incl. floor clamp and " +
+      "absent groups)") {
+    import graft.operators.Select
+    val base = spark.range(3000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(5))).as("g"),
+      pmod(col("id") * 7 + 3, lit(40)).cast("long").as("score"),
+      when(pmod(col("id") * 13, lit(100)) < pmod(col("id"), lit(40)) + 30,
+        1L).otherwise(0L).as("label"))
+    val cal = Select.calibrateIsotonic(
+      base.where(col("doc_id") % 2 === 0), "g", "score", "label")
+    // shift scores so below-range, between-points, and above-range all
+    // occur; add a group absent from the table
+    val applyTo = base.where(col("doc_id") % 2 === 1)
+      .withColumn("score", col("score") +
+        when(col("doc_id") % 4 === 1, lit(-45L)).otherwise(lit(2L)))
+      .union(base.limit(5).withColumn("g", lit("missing")))
+    val got = Select.applyCalibration(applyTo, cal, "g", "score")
+      .select(col("doc_id"), col("g"), col("score"), col("calibrated"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) "null"
+        else java.lang.Double.doubleToRawLongBits(r.getDouble(3)).toString))
+      .toSet
+    val ref = applyCalibrationAsof(applyTo, cal, "g", "score")
+      .select(col("doc_id"), col("g"), col("score"), col("calibrated"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) "null"
+        else java.lang.Double.doubleToRawLongBits(r.getDouble(3)).toString))
+      .toSet
+    assert(got == ref)
+    assert(got.nonEmpty && got.exists(_._4 == "null"))
+  }
+
+  test("applyCalibration plan: zero window anywhere, zero exchange on " +
+      "the corpus side — the corpus rides a broadcast join only") {
+    import graft.operators.Select
+    val corpus = spark.range(1000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("g"),
+      pmod(col("id"), lit(20)).cast("long").as("score"))
+    val cal = Seq(("s0", 2L, 0.2), ("s0", 5L, 0.5), ("s1", 3L, 0.4))
+      .toDF("g", "score", "calibrated")
+    val applied = Select.applyCalibration(corpus, cal, "g", "score")
+    val p = applied.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus (streamed) side must reach the join without an
+    // exchange. The streamed child prints BEFORE the build side's
+    // BroadcastExchange line, so any shuffle on the corpus path would
+    // appear above it: every hash exchange must sit after the
+    // BroadcastExchange (the dictionary-sized cal aggregation)
+    val lines = p.linesIterator.toSeq
+    val bcast = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(bcast >= 0, p)
+    val corpusShuffles = lines.take(bcast)
+      .filter(_.contains("Exchange hashpartitioning"))
+    assert(corpusShuffles.isEmpty, corpusShuffles.mkString("\n"))
+  }
+
+  test("stepLookup kernel: exact point, between points, below range " +
+      "(floor), above range (last), null x") {
+    val cal = Seq((2L, 0.2), (5L, 0.5), (8L, 0.8))
+    val df = Seq(Some(1L), Some(2L), Some(4L), Some(7L), Some(9L), None)
+      .toDF("x")
+      .select(col("x"),
+        graft.plans.NativeCalib.stepLookup(
+          typedLit(cal.map(_._1)), typedLit(cal.map(_._2)),
+          col("x")).as("v"))
+    val got = df.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSet
+    assert(got == Set((1L, 0.2), (2L, 0.2), (4L, 0.2), (7L, 0.5),
+      (9L, 0.8), (-1L, null)), got)
+  }
+
+  // ---- mix32 overflow (round-13 ADVICE) ----
+
+  test("mix32: split multiply is overflow-free for huge ids and " +
+      "unchanged for 32-bit ids (the old form's domain)") {
+    import graft.operators.Corpus
+    // JVM reference: the ORIGINAL arithmetic, exact where it does not
+    // overflow — mod 2^32 of the wrapped 64-bit product IS the true
+    // mod-2^32 value, so this reference is valid for every id
+    def ref(id: Long, b: Long): Long = {
+      val m = 4294967296L
+      def p(x: Long) = ((x % m) + m) % m
+      val h0 = p(id * 2654435761L + b * 40503L)
+      val h1 = p(((h0 >> 16) ^ h0) * 0x45d9f3bL)
+      val h2 = p(((h1 >> 16) ^ h1) * 0x45d9f3bL)
+      (h2 >> 16) ^ h2
+    }
+    val ids = Seq(0L, 1L, 7L, 65535L, 65536L, 2147483647L,
+      3400000001L, 4294967295L, 4294967296L, 999999999999L,
+      Long.MaxValue / 3)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.operators.Corpus.mix32(col("id"), lit(5L))
+        .as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == ref(id, 5L), s"id=$id got=${got(id)} ref=${ref(id, 5L)}")
+      assert(got(id) >= 0 && got(id) < 4294967296L)
+    }
+    // and the weights stay in the Poisson range
+    val w = Seq(Long.MaxValue / 3).toDF("id")
+      .select(Corpus.poissonWeight(col("id"), lit(1)).as("w"))
+      .collect().head.getInt(0)
+    assert(w >= 0 && w <= 9)
+  }
+
+  test("bootstrapMeanCI: a tiny group whose every replica drew zero " +
+      "weight surfaces with reps_used = 0 and a null interval") {
+    import graft.operators.Corpus
+    // find (deterministically) an id whose 2 replicas BOTH draw w=0
+    def mixRef(id: Long, b: Long): Long = {
+      val m = 4294967296L
+      def p(x: Long) = ((x % m) + m) % m
+      val h0 = p(id * 2654435761L + b * 40503L)
+      val h1 = p(((h0 >> 16) ^ h0) * 0x45d9f3bL)
+      val h2 = p(((h1 >> 16) ^ h1) * 0x45d9f3bL)
+      (h2 >> 16) ^ h2
+    }
+    val zeroId = (1L to 10000L).find(id =>
+      mixRef(id, 1) < 1580030168L && mixRef(id, 2) < 1580030168L)
+    assert(zeroId.nonEmpty, "no all-zero id in range — widen the search")
+    val df = Seq((zeroId.get, "tiny", 7L), (1L, "big", 3L), (2L, "big", 5L),
+      (3L, "big", 4L), (4L, "big", 6L)).toDF("doc_id", "g", "v")
+    val out = Corpus.bootstrapMeanCI(df, "g", "v", "doc_id", reps = 2,
+        alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("mean"), r.isNullAt(3),
+          r.isNullAt(4), r.getLong(5))).toMap
+    assert(out.contains("tiny"), out.keys.mkString(","))
+    val t = out("tiny")
+    assert(t._1 == 1L && t._2 == 7.0 && t._3 && t._4 && t._5 == 0L, t)
+    assert(out("big")._5 > 0L)
+  }
+
+  // ---- Graft.stage checkpoint dir (round-13 ADVICE) ----
+
+  test("Graft.stage honors a spark.graft.checkpointDir change between " +
+      "calls (reliable path)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_r13_ckpt").toString
+    val dirA = s"$tmp/a"
+    val dirB = s"$tmp/b"
+    try {
+      spark.conf.set("spark.graft.reliableCheckpoint", "true")
+      spark.conf.set("spark.graft.checkpointDir", dirA)
+      Graft.stage(spark.range(10).toDF("id")).count()
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(dirA)))
+      spark.conf.set("spark.graft.checkpointDir", dirB)
+      Graft.stage(spark.range(10).toDF("id")).count()
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(dirB)))
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+}
