@@ -51,14 +51,26 @@ object Bench {
   // the machine while the entry ran, the wall time is contaminated.
   // (wall >> cpu/32 alone is NOT evidence: a low-parallelism stage
   // looks identical.)
+  //
+  // Round 13 (verdict ask #2): foreign CPU share is blind to I/O-BOUND
+  // co-tenants — the r12 driver artifact carried a contiguous 9-entry
+  // 2-4.5x block with `contended:{}` because the thief (oracle replays
+  // writing parquet, kernel writeback) stole wall-time via iowait
+  // without burning foreign CPU. The same /proc/stat line carries the
+  // fields: machine iowait+steal jiffies are now read per rep and fold
+  // into the per-entry verdict, so the next driver-vs-builder
+  // divergence self-adjudicates.
   private val hz = 100.0 // USER_HZ; Linux fixes the /proc/stat unit at 100
-  private def busyJiffies(): Long =
+  /** (busy, iowait+steal) machine jiffies; (-1, -1) if unreadable. */
+  private def statJiffies(): (Long, Long) =
     try {
       val l = Files.readAllLines(Paths.get("/proc/stat")).get(0)
       // cpu user nice system idle iowait irq softirq steal ...
       val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-      f.take(3).sum + f.drop(5).take(3).sum // skip idle+iowait
-    } catch { case _: Throwable => -1L }
+      val busy = f.take(3).sum + f.drop(5).take(3).sum // skip idle+iowait
+      val iowStl = f.lift(4).getOrElse(0L) + f.lift(7).getOrElse(0L)
+      (busy, iowStl)
+    } catch { case _: Throwable => (-1L, -1L) }
   private def selfJiffies(): Long =
     try {
       val s = Files.readString(Paths.get("/proc/self/stat"))
@@ -69,23 +81,32 @@ object Bench {
     } catch { case _: Throwable => -1L }
 
   /** One timed rep with full attribution: (wall s, GC s during, own
-    * process-CPU s, OTHER-process CPU s from /proc/stat).
+    * process-CPU s, OTHER-process CPU s from /proc/stat, machine
+    * iowait+steal s from the same read).
     */
   private case class Rep(wall: Double, gc: Double, cpu: Double,
-      other: Double) {
+      other: Double, iow: Double) {
     /** Share of the machine other processes used during the rep. */
     def otherShare(cores: Int): Double =
       if (other < 0 || wall <= 0) 0.0 else other / (wall * cores)
+    /** Share of the machine spent in iowait+steal during the rep —
+      * the I/O-bound co-tenant signal foreign CPU share cannot see.
+      */
+    def ioShare(cores: Int): Double =
+      if (iow < 0 || wall <= 0) 0.0 else iow / (wall * cores)
+    /** The per-entry contamination verdict's magnitude. */
+    def contentionShare(cores: Int): Double =
+      math.max(otherShare(cores), ioShare(cores))
   }
 
   // contended = other processes held >20% of the machine during the
-  // rep AND the entry ran long enough for that to matter. 20% of 32
-  // cores is ~6.4 cores of foreign load — far above the driver's own
-  // bookkeeping noise, and the r11 repro showed ONE such co-resident
-  // process inflating a 21 s entry to 258 s.
+  // rep (CPU or iowait+steal) AND the entry ran long enough for that
+  // to matter. 20% of 32 cores is ~6.4 cores of foreign load — far
+  // above the driver's own bookkeeping noise, and the r11 repro showed
+  // ONE such co-resident process inflating a 21 s entry to 258 s.
   private val contendedShare = 0.20
   private def contendedRep(r: Rep, cores: Int): Boolean =
-    r.wall > 0.5 && r.otherShare(cores) > contendedShare
+    r.wall > 0.5 && r.contentionShare(cores) > contendedShare
 
   /** Corpus fingerprint `rowcount:contenthash` per table — makes
     * run-to-run drift attributable: identical fingerprints mean a
@@ -129,17 +150,18 @@ object Bench {
 
     def timeRep(name: String, dir: String): Option[Rep] = {
       val g0 = gcMillis; val c0 = cpuNanos
-      val b0 = busyJiffies(); val s0 = selfJiffies()
+      val (b0, i0) = statJiffies(); val s0 = selfJiffies()
       val t0 = System.nanoTime()
       try {
         materialize(spark, name, qmap(name), dir)
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (cpuNanos - c0) / 1e9
+        val (b1, i1) = statJiffies()
         val other =
           if (b0 < 0 || s0 < 0) -1.0
-          else math.max(0.0,
-            ((busyJiffies() - b0) - (selfJiffies() - s0)) / hz)
-        Some(Rep(wall, (gcMillis - g0) / 1e3, cpu, other))
+          else math.max(0.0, ((b1 - b0) - (selfJiffies() - s0)) / hz)
+        val iow = if (i0 < 0) -1.0 else math.max(0.0, (i1 - i0) / hz)
+        Some(Rep(wall, (gcMillis - g0) / 1e3, cpu, other, iow))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
@@ -165,7 +187,7 @@ object Bench {
     results.foreach { case (n, r) =>
       r.foreach(s => System.err.println(
         f"[bench] base $n: ${s.wall}%.2fs gc=${s.gc}%.2fs " +
-          f"cpu=${s.cpu}%.1fs other=${s.other}%.1fs"))
+          f"cpu=${s.cpu}%.1fs other=${s.other}%.1fs iow=${s.iow}%.1fs"))
     }
     val failed = results.filter(_._2.isEmpty).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
@@ -175,7 +197,7 @@ object Bench {
     val contended = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     results.foreach { case (n, r) =>
       r.filter(contendedRep(_, cores))
-        .foreach(s => contended(n) = s.otherShare(cores))
+        .foreach(s => contended(n) = s.contentionShare(cores))
     }
     // ---- sf1 section: the heaviest SCALING entries once more at 10x
     // sf0.1 (generated on first use, cached via marker). The fixed-size
@@ -287,7 +309,15 @@ object Bench {
           // the uncapped form's (measured: cpu 80 s -> 42 s, rep
           // swing 1.27x -> 1.09x) so the cap's effect is measured,
           // not argued
-          "q281_mutual_knn_ivf_capped")
+          "q281_mutual_knn_ivf_capped",
+          // round-13 leg (verdict ask #4): the four r12 additions get
+          // their 10x curve — q283 especially: its broadcast
+          // binary-search lookup (the r12 `weak` fix) should scale
+          // FLAT vs corpus size, and the curve is the proof; q284's
+          // reps x rows bootstrap pass and q285's asymmetric IVF
+          // decontamination join are the other two scale claims
+          "q282_isotonic_calibration", "q283_calibrated_filter",
+          "q284_bootstrap_ci", "q285_semantic_decontaminate")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the
@@ -304,14 +334,14 @@ object Bench {
             val st = timeRep(name, sf1Dir)
             st.foreach(s => System.err.println(
               f"[bench] sf1 $name rep$r: ${s.wall}%.2fs gc=${s.gc}%.2fs " +
-                f"cpu=${s.cpu}%.1fs other=${s.other}%.1fs"))
+                f"cpu=${s.cpu}%.1fs other=${s.other}%.1fs iow=${s.iow}%.1fs"))
             st
           }
           if (repStats.nonEmpty) {
             if (sf1RepDetail.nonEmpty) sf1RepDetail.append(",")
             sf1RepDetail.append("\"" + name + "\":[")
               .append(repStats.map(s =>
-                s"[${fmt3(s.wall)},${fmt3(s.gc)},${fmt3(s.cpu)},${fmt3(s.other)}]")
+                s"[${fmt3(s.wall)},${fmt3(s.gc)},${fmt3(s.cpu)},${fmt3(s.other)},${fmt3(s.iow)}]")
                 .mkString(","))
               .append("]")
           }
@@ -319,7 +349,7 @@ object Bench {
           val medianRep = if (byWall.isEmpty) None
                           else Some(byWall(byWall.size / 2))
           medianRep.filter(contendedRep(_, cores))
-            .foreach(s => contended(name) = s.otherShare(cores))
+            .foreach(s => contended(name) = s.contentionShare(cores))
           name -> medianRep.map(_.wall).getOrElse(-1.0)
         }
         sf1CompactLine = sf1Medians
@@ -391,7 +421,7 @@ object Bench {
         r.map(_.wall).getOrElse(-1.0) }
       .mkString("{", ",", "}")
     val baseDetail = results.collect { case (k, Some(s)) =>
-      "\"" + k + s"""\":[${fmt3(s.wall)},${fmt3(s.gc)},${fmt3(s.cpu)},${fmt3(s.other)}]"""
+      "\"" + k + s"""\":[${fmt3(s.wall)},${fmt3(s.gc)},${fmt3(s.cpu)},${fmt3(s.other)},${fmt3(s.iow)}]"""
     }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"base_detail":$baseDetail,"failed":$failed$sf1Section$ccSection,"sf":"$sfDir"}"""

@@ -6602,7 +6602,8 @@ object PipelineQueries {
       SELECT source, ss[u.i] AS score, cs[u.i] AS n,
              ys[u.i] AS sum_label, round(fit[u.i], 6) AS calibrated
       FROM cal, unnest(generate_series(1, len(ss))) AS u(i)
-      ORDER BY source, score"""))
+      ORDER BY source, score"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X193: calibrated quality FILTERING — X192's table applied as a
@@ -6695,7 +6696,8 @@ object PipelineQueries {
                AS BIGINT) AS n_keep,
              CAST(sum(CAST(round(calibrated * 1000000) AS BIGINT))
                AS BIGINT) AS cal_fp_sum
-      FROM look GROUP BY source ORDER BY source"""))
+      FROM look GROUP BY source ORDER BY source"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X194: deterministic Poisson-bootstrap confidence intervals — the
@@ -6781,7 +6783,8 @@ object PipelineQueries {
              round(c.lo, 6) AS ci_lo, round(c.hi, 6) AS ci_hi,
              CAST(coalesce(c.r, 0) AS BIGINT) AS reps_used
       FROM base b LEFT JOIN ci c USING (source)
-      ORDER BY b.source"""))
+      ORDER BY b.source"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X195: SEMANTIC decontamination — the embedding-level completion of
@@ -6869,7 +6872,8 @@ object PipelineQueries {
              CAST(coalesce(b1.n_kept, 0) AS BIGINT) AS n_kept,
              CAST(coalesce(b1.id_sum, 0) AS BIGINT) AS id_sum
       FROM a1 LEFT JOIN b1 USING (label)
-      ORDER BY label"""))
+      ORDER BY label"""),
+    bench = true)
 
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
