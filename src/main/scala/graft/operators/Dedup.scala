@@ -986,13 +986,8 @@ object Dedup {
       Similarity.norm(col(s"`$vecCol`")).as("__sd_cn"),
       Similarity.assignCell(col(s"`$vecCol`"), cents).as("__cell"),
       round(Similarity.norm(col(s"`$vecCol`")) * 1e6).cast("long").as("__nq"))
-    val binned =
-      if (maxPerCell == Int.MaxValue) binned0.drop("__nq")
-      else binned0
-        .withColumn("__cr", row_number().over(
-          Window.partitionBy(col("__cell"))
-            .orderBy(col("__nq").desc, col("__sd_c"))))
-        .where(col("__cr") <= maxPerCell).drop("__cr", "__nq")
+    val binned = Similarity.capCellLists(binned0, "__cell", "__nq",
+      "__sd_c", maxPerCell)
     val probing = evalVecs.select(
       transform(col(s"`$vecCol`"), x => x.cast("double")).as("__sd_ev"),
       Similarity.norm(col(s"`$vecCol`")).as("__sd_en"),

