@@ -975,6 +975,18 @@ object Dedup {
     * pairs form through one cell equi-join. Survivors leave through
     * an id anti-join. At 100 TB this is eval-probes × (corpus/#cells)
     * candidate volume — never corpus × eval.
+    *
+    * Recall contract (planted-pair pinned, Round13Spec): a
+    * contaminated pair whose cosine clears the threshold AND whose
+    * corpus row is binned to a cell the eval probe covers is found
+    * with recall 1.0 — for near-duplicate contamination (the
+    * decontamination case: eval row ≈ corpus row, so both share an
+    * argmax cell) any nprobe ≥ 1 satisfies that; the probabilistic
+    * loss is confined to borderline-cosine pairs straddling a cell
+    * boundary. The CAPPED path misses EXACTLY the contaminated rows
+    * the (norm desc, id) trim drops from their cell list — a loss
+    * bounded by 1 − maxPerCell·#cells/corpus — which is why uncapped
+    * is the safe decontamination default.
     */
   def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
       idCol: String, vecCol: String, threshold: Double,

@@ -298,6 +298,113 @@ class Round13Spec extends SparkSpec {
     assert(jobs == 54, s"q280 job count: $jobs")
   }
 
+  // ---- semanticDecontaminate planted recall (verdict ask #3) ----
+  // q285's oracle replays the same IVF candidate structure, so a
+  // SYSTEMATIC miss (eval probe skips the corpus row's cell; the cap
+  // trims the row from its list) is invisible to correctness. Plant
+  // contaminated rows at controlled cosines and pin both failure
+  // modes the operator documents.
+
+  private def plantedWorld(): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, Array[(Long, Seq[Double])],
+      Set[Long]) = {
+    val dim = 8
+    val cells = 8
+    val cents: Array[(Long, Seq[Double])] =
+      (0 until cells).map { k =>
+        val v = new Array[Double](dim); v(k) = 1.0
+        (k.toLong, v.toSeq)
+      }.toArray
+    // corpus: 64 rows, 8 per cell. Each row = e_k + 0.55·(cosθ e_a +
+    // sinθ e_b) with a UNIQUE phase θ per row within its cell (45°
+    // apart), so within-cell pairwise cosine <= (1 + 0.3025·cos45°)
+    // / 1.3025 ≈ 0.936 — comfortably below the 0.97 threshold: a
+    // planted eval probe contaminates ITS row, never its cell. Norm
+    // scale 1.0-1.6 varies by id so the cap's (norm desc, id) trim
+    // has a real ordering to bite on (cosines are scale-invariant).
+    val corpusRows = (1 to 64).map { i =>
+      val k = i % cells
+      val idx = (i - 1) / cells
+      val th = idx * math.Pi / 4
+      val v = new Array[Double](dim)
+      v(k) = 1.0
+      v((k + 1) % cells) += 0.55 * math.cos(th)
+      v((k + 2) % cells) += 0.55 * math.sin(th)
+      val s = 1.0 + 0.1 * (i % 7)
+      (i.toLong, v.map(x => (x * s).toFloat).toSeq)
+    }
+    // planted contamination: exact-direction copies (cosine 1.0) and
+    // perturbed copies (one fresh orthogonal axis, cosine ≈ 0.985 —
+    // a CONTROLLED cosine above threshold, same argmax cell)
+    val exactIds = Set(8L, 19L, 37L, 50L)
+    val nearIds = Set(13L, 26L, 44L, 58L)
+    val planted = exactIds ++ nearIds
+    val byId = corpusRows.toMap
+    val evalRows =
+      exactIds.toSeq.sorted.map { id =>
+        (1000L + id, byId(id).map(x => x * 1.25f))
+      } ++
+      nearIds.toSeq.sorted.map { id =>
+        val base = byId(id).map(_.toDouble).toArray
+        val k = (id % cells).toInt
+        val mag = math.sqrt(base.map(x => x * x).sum)
+        base((k + 5) % cells) += 0.175 * mag // cos = 1/sqrt(1.030625)
+        (2000L + id, base.map(_.toFloat).toSeq)
+      } ++
+      // clean eval rows: between-cell directions — cosine to every
+      // corpus row <= 1/(sqrt(2)·1.1413) ≈ 0.62, far below threshold
+      (0 until 4).map { j =>
+        val v = new Array[Double](dim)
+        v(j) = 1.0; v((j + 4) % cells) = 1.0
+        (3000L + j, v.map(_.toFloat).toSeq)
+      }
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val evalV = evalRows.toDF("vec_id", "embedding")
+    (corpus, evalV, cents, planted)
+  }
+
+  test("semanticDecontaminate planted recall: uncapped, every planted " +
+      "contaminated row is dropped (recall 1.0) and nothing else is") {
+    val (corpus, evalV, cents, planted) = plantedWorld()
+    val surv = graft.operators.Dedup.semanticDecontaminate(
+      corpus, evalV, "vec_id", "embedding", threshold = 0.97,
+      cents, nprobe = 2)
+    val kept = surv.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = (1L to 64L).toSet -- kept
+    assert(dropped == planted,
+      s"missed=${planted -- dropped} extra=${dropped -- planted}")
+  }
+
+  test("semanticDecontaminate planted recall: the capped path misses " +
+      "EXACTLY the planted rows the cell trim drops — the documented " +
+      "failure mode, nothing more") {
+    import graft.operators.{Dedup, Similarity}
+    val (corpus, evalV, cents, planted) = plantedWorld()
+    val maxPerCell = 4
+    // replicate the trim rule to compute which corpus rows survive
+    // their cell list: top maxPerCell per cell by (round(norm*1e6)
+    // desc, id asc)
+    val binned = corpus.select(col("vec_id"),
+        Similarity.assignCell(col("embedding"), cents).as("cell"),
+        round(Similarity.norm(col("embedding")) * 1e6).cast("long")
+          .as("nq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val capSurvivors = binned.groupBy(_._2).values.flatMap(
+      _.sortBy(t => (-t._3, t._1)).take(maxPerCell).map(_._1)).toSet
+    val surv = Dedup.semanticDecontaminate(
+      corpus, evalV, "vec_id", "embedding", threshold = 0.97,
+      cents, nprobe = 2, maxPerCell = maxPerCell)
+    val dropped = (1L to 64L).toSet --
+      surv.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropped == (planted intersect capSurvivors),
+      s"dropped=$dropped expected=${planted intersect capSurvivors}")
+    // the test must exercise REAL loss: some planted rows trimmed,
+    // some surviving
+    assert((planted -- capSurvivors).nonEmpty, "cap trimmed no planted row")
+    assert((planted intersect capSurvivors).nonEmpty,
+      "cap trimmed every planted row")
+  }
+
   // ---- Graft.stage checkpoint dir (round-13 ADVICE) ----
 
   test("Graft.stage honors a spark.graft.checkpointDir change between " +
