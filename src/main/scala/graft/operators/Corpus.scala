@@ -277,17 +277,36 @@ object Corpus {
     }
   }
 
+  /** Type-7 quantile of the sorted `arr` at `q` — the engine-wide
+    * convention (guarded by the caller for empty arrays).
+    */
+  private def q7(arr: Column, q: Double): Column = {
+    val n = size(arr)
+    val h = (n - 1).cast("double") * lit(q)
+    val lo = floor(h).cast("int")
+    val frac = h - lo.cast("double")
+    element_at(arr, lo + 1) +
+      frac * (element_at(arr, least(lo + 2, n)) - element_at(arr, lo + 1))
+  }
+
   /** Per-`groupCol` mean of integral `valueCol` with a bootstrap
     * [lo, hi] interval: `reps` Poisson(1) replicas drawn on the
     * portable row identity `idCol`, replica mean = exact integer
     * (Σ w·x) / (Σ w) (one IEEE division), interval = type-7 quantiles
     * (the engine-wide convention) at (alpha/2, 1−alpha/2) over the
-    * sorted replica means. Scale shape: ONE pass over `reps × rows`
-    * exploded weights, map-side combined into (group, replica)
-    * integer partials — the per-group state is `reps` pairs of longs,
-    * never rows; the quantile runs over a `reps`-sized array per
-    * group. Integral values only (the byTokenBudget rule) so every
-    * sum is exact.
+    * sorted replica means. A group whose every replica drew all-zero
+    * weights (1-2 row groups only) surfaces with a null interval and
+    * `reps_used = 0`.
+    *
+    * Scale shape (round 13, verdict ask #8 — the native partial): ONE
+    * aggregation pass over the ROWS — each row's `reps` draws happen
+    * inside [[graft.plans.NativeBoot.bootstrapPairs]]'s update, so
+    * the former `explode(sequence(1, reps))` 64× row inflation is
+    * gone; per-group state is `2·reps` longs, map-side combined, and
+    * the base (n, mean) ride the SAME aggregation (no second scan, no
+    * join). Bit-identical to the exploded form (integer sums are
+    * order-free; Round13Spec pins parity). Integral values only (the
+    * byTokenBudget rule) so every sum is exact.
     */
   def bootstrapMeanCI(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, reps: Int = 64, alpha: Double = 0.05): DataFrame = {
@@ -297,6 +316,39 @@ object Corpus {
     require(Seq("byte", "short", "integer", "long").contains(vType),
       s"bootstrapMeanCI: value column '$valueCol' is $vType — integral " +
         "values keep the replica sums exact (the byTokenBudget rule)")
+    val grp = col(s"`$groupCol`")
+    val agg = df.select(grp,
+        col(s"`$idCol`").cast("long").as("__bs_id"),
+        col(s"`$valueCol`").cast("long").as("__bs_x"))
+      .groupBy(grp)
+      .agg(graft.plans.NativeBoot.bootstrapPairs(
+          col("__bs_id"), col("__bs_x"), reps).as("__bs"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("__bs_x")).as("__sx"))
+    // replica means from the (wx, wn) arrays: zero-weight replicas
+    // drop out (null -> filtered), then one sort over a reps-sized
+    // array per GROUP row — never a corpus-sized HOF
+    val means = array_sort(filter(
+      zip_with(col("__bs.wx"), col("__bs.wn"), (wx, wn) =>
+        when(wn > 0, wx.cast("double") / wn.cast("double"))),
+      m => m.isNotNull))
+    agg.withColumn("__bs_means", means)
+      .select(grp, col("n"),
+        (col("__sx").cast("double") / col("n").cast("double")).as("mean"),
+        when(size(col("__bs_means")) > 0, q7(col("__bs_means"), alpha / 2))
+          .as("ci_lo"),
+        when(size(col("__bs_means")) > 0,
+          q7(col("__bs_means"), 1 - alpha / 2)).as("ci_hi"),
+        size(col("__bs_means")).cast("long").as("reps_used"))
+  }
+
+  /** The pre-round-13 exploded form, kept as the parity reference for
+    * the native partial (Round13Spec): `reps × rows` exploded weights,
+    * (group, replica) integer partials, then the same quantiles.
+    */
+  private[graft] def bootstrapMeanCIExploded(df: DataFrame,
+      groupCol: String, valueCol: String, idCol: String, reps: Int,
+      alpha: Double): DataFrame = {
     val grp = col(s"`$groupCol`")
     val weighted = df.select(grp, col(s"`$idCol`").cast("long").as("__bs_id"),
         col(s"`$valueCol`").cast("long").as("__bs_x"))
@@ -309,15 +361,6 @@ object Corpus {
       .withColumn("__bs_mean",
         when(col("__bs_wn") > 0,
           col("__bs_wx").cast("double") / col("__bs_wn").cast("double")))
-    val n = size(col("__bs_means"))
-    def q7(q: Double): Column = {
-      val h = (n - 1).cast("double") * lit(q)
-      val lo = floor(h).cast("int")
-      val frac = h - lo.cast("double")
-      element_at(col("__bs_means"), lo + 1) +
-        frac * (element_at(col("__bs_means"), least(lo + 2, n)) -
-          element_at(col("__bs_means"), lo + 1))
-    }
     val base = df.groupBy(grp)
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col(s"`$valueCol`").cast("long")).as("__sx"))
@@ -328,11 +371,9 @@ object Corpus {
       .filter(col("__bs_mean").isNotNull) // an all-zero-weight replica
       .groupBy(grp)
       .agg(array_sort(collect_list(col("__bs_mean"))).as("__bs_means"))
-      .select(grp, q7(alpha / 2).as("ci_lo"), q7(1 - alpha / 2).as("ci_hi"),
+      .select(grp, q7(col("__bs_means"), alpha / 2).as("ci_lo"),
+        q7(col("__bs_means"), 1 - alpha / 2).as("ci_hi"),
         size(col("__bs_means")).cast("long").as("reps_used"))
-    // LEFT from base (round-13 ADVICE): a group whose EVERY replica
-    // drew all-zero Poisson weights (possible only for 1-2 row groups)
-    // must surface with null interval and reps_used = 0, not vanish
     base.join(ci, Seq(groupCol), "left")
       .select(grp, col("n"), col("mean"), col("ci_lo"), col("ci_hi"),
         coalesce(col("reps_used"), lit(0L)).as("reps_used"))

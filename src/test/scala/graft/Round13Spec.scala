@@ -405,6 +405,63 @@ class Round13Spec extends SparkSpec {
       "cap trimmed every planted row")
   }
 
+  // ---- native bootstrap partial (verdict ask #8) ----
+
+  test("bootstrapMeanCI: the native one-pass partial is bit-identical " +
+      "to the exploded reps x rows form (incl. the reps_used=0 group)") {
+    import graft.operators.Corpus
+    // mixed group sizes, including the 1-row all-zero-weight group the
+    // ADVICE fix surfaces (found deterministically in the earlier test)
+    def mixRef(id: Long, b: Long): Long = {
+      val m = 4294967296L
+      def p(x: Long) = ((x % m) + m) % m
+      val h0 = p(id * 2654435761L + b * 40503L)
+      val h1 = p(((h0 >> 16) ^ h0) * 0x45d9f3bL)
+      val h2 = p(((h1 >> 16) ^ h1) * 0x45d9f3bL)
+      (h2 >> 16) ^ h2
+    }
+    val zeroId = (1L to 10000L).find(id =>
+      mixRef(id, 1) < 1580030168L && mixRef(id, 2) < 1580030168L).get
+    val df = spark.range(3000).select(
+        col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(4))).as("g"),
+        pmod(col("id") * 17 + 5, lit(200)).cast("long").as("v"))
+      .union(Seq((zeroId, "tiny", 7L)).toDF("doc_id", "g", "v"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map { r =>
+        (r.getString(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          if (r.isNullAt(3)) -1L
+          else java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+          if (r.isNullAt(4)) -1L
+          else java.lang.Double.doubleToRawLongBits(r.getDouble(4)),
+          r.getLong(5))
+      }.sortBy(_._1).toSeq
+    val native = canon(Corpus.bootstrapMeanCI(df, "g", "v", "doc_id",
+      reps = 2, alpha = 0.1))
+    val exploded = canon(Corpus.bootstrapMeanCIExploded(df, "g", "v",
+      "doc_id", reps = 2, alpha = 0.1))
+    assert(native == exploded)
+    assert(native.exists(_._6 == 0L), "the reps_used=0 group must appear")
+    // and at the production rep count on real-ish data
+    val native64 = canon(Corpus.bootstrapMeanCI(df, "g", "v", "doc_id",
+      reps = 64, alpha = 0.05))
+    val exploded64 = canon(Corpus.bootstrapMeanCIExploded(df, "g", "v",
+      "doc_id", reps = 64, alpha = 0.05))
+    assert(native64 == exploded64)
+  }
+
+  test("bootstrapMeanCI plan: no Generate (explode) anywhere — the " +
+      "draws happen inside the aggregate") {
+    import graft.operators.Corpus
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      lit("g").as("g"), (col("id") % 7).cast("long").as("v"))
+    val p = Corpus.bootstrapMeanCI(df, "g", "v", "doc_id", reps = 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("graft_bootstrap_pairs"), p)
+  }
+
   // ---- Graft.stage checkpoint dir (round-13 ADVICE) ----
 
   test("Graft.stage honors a spark.graft.checkpointDir change between " +
