@@ -337,6 +337,88 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental NEAR-dup dedup against a persistent LSH store (X199,
+    * round 13) — the streaming form of [[nearDupPairs]], completing
+    * the incremental family next to the exact [[incrementalDedup]]:
+    * a batch keeps only documents that are NOT near-duplicates (exact
+    * Jaccard ≥ `threshold` over distinct `shingleN`-gram shingles) of
+    * any HISTORY document, then appends the survivors' band keys and
+    * shingle sets to the store. Store layout under `storeDir`:
+    * `bands` (band, bkey, __id — the LSH index) and `shingles`
+    * (__id, __sh — the verification sets).
+    *
+    * Scale shape: candidates come from ONE equi-join of the batch's
+    * band keys against the store's band index — |batch|-bounded, never
+    * |batch| × |history|; hot band buckets (template/boilerplate
+    * classes wider than `maxBucket` in the store) are excluded like
+    * [[pairsWithinBuckets]]' cap; each candidate pair is verified with
+    * exact Jaccard against the STORED shingle set, so given the
+    * candidates the drop decision is exact. A re-fetched document
+    * agrees with its own stored signature on EVERY band (Jaccard 1.0)
+    * — recall 1.0 for identical re-crawls, the common case. Documents
+    * with no shingles (< `shingleN` tokens) carry no content to match:
+    * they pass through and are not indexed.
+    */
+  def incrementalNearDedup(batch: DataFrame, idCol: String,
+      textCol: String, storeDir: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    import graft.functions.text
+    val spark = batch.sparkSession
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    val shingled = batch
+      .withColumn("__id", col(s"`$idCol`").cast("long"))
+      .withColumn("__sh",
+        text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN))
+    def bandKeys(frame: DataFrame): DataFrame = {
+      val keys = bindOnce(
+        graft.plans.NativeHashes.minHashSignature64(col("__sh"), numHashes),
+        sig => lshBandKeys(sig, bands, r))
+      frame.filter(size(col("__sh")) > 0)
+        .select(col("__id"), posexplode(keys))
+        .toDF("__id", "band", "bkey")
+    }
+    def readStore(part: String): Option[DataFrame] =
+      try Some(spark.read.parquet(s"$storeDir/$part"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
+    val dupIds = readStore("bands").map { sb0 =>
+      // the hot-bucket cap, on the INDEX side: a band value shared by
+      // > maxBucket stored docs is a boilerplate class, not a dedup
+      // bucket (the pairsWithinBuckets rationale) — its fan-out would
+      // be |batch bucket| x |history bucket|
+      val hot = sb0.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select(col("band"), col("bkey"))
+      val sb = sb0.join(hot, Seq("band", "bkey"), "left_anti")
+        .withColumnRenamed("__id", "__hist")
+      val cands = bandKeys(shingled).join(sb, Seq("band", "bkey"))
+        .select(col("__id"), col("__hist")).distinct()
+      val histSh = readStore("shingles").get
+        .select(col("__id").as("__hist"), col("__sh").as("__sh_b"))
+      cands
+        .join(shingled.select(col("__id"), col("__sh").as("__sh_a")),
+          "__id")
+        .join(histSh, "__hist")
+        .filter(size(array_union(col("__sh_a"), col("__sh_b"))) > 0 &&
+          size(array_intersect(col("__sh_a"), col("__sh_b")))
+            .cast("double") /
+            size(array_union(col("__sh_a"), col("__sh_b"))) >= threshold)
+        .select(col("__id")).distinct()
+    }.getOrElse(shingled.select(col("__id")).filter(lit(false)))
+    val survivors = shingled.join(dupIds, Seq("__id"), "left_anti")
+    // materialize BEFORE appending (the incrementalDedup discipline:
+    // the returned frame must not re-plan against the grown store)
+    val out = survivors.localCheckpoint(true)
+    bandKeys(out).write.mode("append").parquet(s"$storeDir/bands")
+    out.filter(size(col("__sh")) > 0).select(col("__id"), col("__sh"))
+      .write.mode("append").parquet(s"$storeDir/shingles")
+    out.drop("__id", "__sh")
+  }
+
   /** Contrastive training triplets mined from the corpus itself —
     * (anchor, positive, negative) rows for embedding-model training:
     * positives are VERIFIED near-duplicate partners inside a Jaccard

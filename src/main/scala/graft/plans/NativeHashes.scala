@@ -52,6 +52,19 @@ object NativeHashes {
   def rollingHash(s: Column, p: Long): Column =
     GraftSqlBridge.column(RollingHashExpr(GraftSqlBridge.expression(s), p))
 
+  /** `Array[String] tokens -> Long` hashed-feature linear score
+    * (round 13, X198): Σ over tokens of `weights[rollingHash(tok) mod
+    * buckets]` — the fastText/CCNet-style classifier's inference inner
+    * loop as ONE codegen'd kernel over a dense weight array shipped as
+    * a reference object. Value-identical to exploding tokens and
+    * joining a (bucket, weight) table, with zero shuffle and zero
+    * interpreted lambdas. `weights.length` IS the bucket count.
+    */
+  def hashedScore(tokens: Column, weights: IndexedSeq[Long],
+      p: Long): Column =
+    GraftSqlBridge.column(HashedScoreExpr(
+      GraftSqlBridge.expression(tokens), weights, p))
+
   /** `Array[String] tokens -> Long` count of tokens (with repeats) that
     * belong to a fixed word set — value-identical to
     * `size(filter(toks, _.isin(words)))`, whose per-token interpreted
@@ -376,8 +389,51 @@ case class RollingHashExpr(child: Expression, p: Long)
     copy(child = newChild)
 }
 
+case class HashedScoreExpr(child: Expression, weights: IndexedSeq[Long],
+    p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(weights.nonEmpty, "hashedScore: empty weight table")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hashed_score"
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.hashedScore(input.asInstanceOf[ArrayData], wArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("graftHashedWeights", wArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashKernels.hashedScore($c, $wRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Tight-loop kernels shared by interpreted eval and generated code. */
 object HashKernels {
+
+  /** Σ weights[rollingHash(tok) mod weights.length] over non-null
+    * tokens — the hashed linear classifier's inference loop.
+    */
+  def hashedScore(tokens: ArrayData, weights: Array[Long],
+      p: Long): Long = {
+    val n = tokens.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = rollingHash(tokens.getUTF8String(i), p)
+        acc += weights((h % weights.length).toInt)
+      }
+      i += 1
+    }
+    acc
+  }
 
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 

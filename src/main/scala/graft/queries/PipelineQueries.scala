@@ -6975,9 +6975,126 @@ object PipelineQueries {
              CAST(sum(rep) AS BIGINT) AS rep_id_sum
       FROM g GROUP BY kind ORDER BY kind"""))
 
+  // ---------------------------------------------------------------------
+  // X198 (round 13): hashed-feature linear quality classifier — the
+  // fastText/CCNet-style keep-or-drop filter. Train: token buckets
+  // (portable rolling hash mod 4096) -> additive-smoothed log-odds in
+  // 1e-6 fixed point (exact integer counts, one ln, one round — the
+  // BM25 idf_fp precedent). Score: the dense 4096-slot weight array
+  // rides a codegen reference object and each doc's logit is ONE
+  // tight kernel loop over its tokens — zero shuffle over the scored
+  // corpus. Train on even ids, score odd ids; the oracle replays
+  // hashing, counts, ln fixed-point, and the summed logits exactly.
+  val q287HashedClassifier = QueryDef(
+    "q287_hashed_classifier",
+    (s, dir) => {
+      import graft.operators.Classify
+      val docs = Graft.table(s, dir, "documents")
+        .withColumn("label", when(col("n_chars") >= 400, 1L).otherwise(0L))
+      val w = Classify.trainHashedLogOdds(
+        docs.where(col("doc_id") % 2 === 0), "text", "label",
+        buckets = 4096)
+      val scored = Classify.scoreHashedLogOdds(
+        docs.where(col("doc_id") % 2 === 1), "text", w, buckets = 4096)
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("logit_fp")).cast("long").as("logit_sum"),
+          sum(when(col("logit_fp") > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_keep"),
+          sum(when((col("logit_fp") > 0) === (col("label") === 1), 1L)
+            .otherwise(0L)).cast("long").as("n_correct"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS label,
+               [x for x in regexp_split_to_array(trim(lower(text)),
+                  '\s+') if x <> ''] AS toks
+        FROM documents
+      ), tb AS (
+        SELECT doc_id, source, label,
+               list_reduce(list_prepend(0::BIGINT,
+                 [unicode(u.t[i])::BIGINT
+                  for i in range(1, length(u.t) + 1)]),
+                 (a, x) -> (a * 31 + x) % 1000000007) % 4096 AS b
+        FROM d, unnest(toks) AS u(t)
+      ), w AS (
+        SELECT b,
+               CAST(round(ln((sum(label) + 0.5)
+                 / (count(1) - sum(label) + 0.5)) * 1000000) AS BIGINT)
+                 AS w_fp
+        FROM tb WHERE doc_id % 2 = 0 GROUP BY b
+      ), sc AS (
+        SELECT t.doc_id, CAST(sum(coalesce(w.w_fp, 0)) AS BIGINT)
+                 AS logit_fp
+        FROM tb t LEFT JOIN w USING (b)
+        WHERE t.doc_id % 2 = 1
+        GROUP BY 1
+      ), app AS (
+        SELECT d.doc_id, d.source, d.label,
+               coalesce(sc.logit_fp, 0) AS logit_fp
+        FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        WHERE d.doc_id % 2 = 1
+      )
+      SELECT source, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(logit_fp) AS BIGINT) AS logit_sum,
+             CAST(sum(CASE WHEN logit_fp > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_keep,
+             CAST(sum(CASE WHEN (CASE WHEN logit_fp > 0 THEN 1 ELSE 0 END)
+                            = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM app GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
+  // X199 (round 13): incremental NEAR-dup dedup against a persistent
+  // LSH store — the streaming sibling of q46's exact store: round 1
+  // seeds the store with every 3rd doc's band keys + shingle sets,
+  // round 2 feeds the full corpus and keeps only docs that are not
+  // near-duplicates (exact Jaccard >= 0.5) of HISTORY — a re-fetched
+  // doc matches its own stored bands on every key and drops. The
+  // oracle replays the ground truth (all batch x seeded pairs sharing
+  // a shingle, exact Jaccard) — the q22 recall convention.
+  val q288IncrementalNearDedup = QueryDef(
+    "q288_incremental_neardedup",
+    (s, dir) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_nd_store_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(store)
+      val docs = Graft.table(s, dir, "documents")
+      Dedup.incrementalNearDedup(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", store)
+      Dedup.incrementalNearDedup(docs, "doc_id", "text", store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH ${duckShingles(0)},
+      e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      se AS (SELECT doc_id AS sid, g FROM e WHERE doc_id % 3 = 0),
+      inter AS (
+        SELECT a.doc_id AS id, b.sid, count(*) AS ni
+        FROM e a JOIN se b ON a.g = b.g
+        GROUP BY 1, 2
+      ), sz AS (SELECT doc_id, len(sh) AS n FROM s),
+      dup AS (
+        SELECT DISTINCT i.id FROM inter i
+        JOIN sz sa ON sa.doc_id = i.id
+        JOIN sz sb ON sb.doc_id = i.sid
+        WHERE i.ni / (sa.n + sb.n - i.ni) >= 0.5
+      )
+      SELECT lang, CAST(count(1) AS BIGINT) AS n_kept,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM dup)
+      GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
+    q287HashedClassifier, q288IncrementalNearDedup,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

@@ -462,6 +462,68 @@ class Round13Spec extends SparkSpec {
     assert(p.contains("graft_bootstrap_pairs"), p)
   }
 
+  // ---- X198 hashed linear classifier ----
+
+  test("hashed classifier: separable tokens train to the right sign, " +
+      "scoring is shuffle-free through the native kernel") {
+    import graft.operators.Classify
+    // range-based (not a LocalRelation) so the scoring projection
+    // stays in the plan for the shuffle-free pin below
+    val docs = spark.range(1, 401).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0,
+          concat(lit("good solid clean text number "), col("id")))
+        .otherwise(concat(lit("bad spam junk noise number "), col("id")))
+        .as("text"),
+      when(col("id") % 2 === 0, 1L).otherwise(0L).as("label"))
+    val w = Classify.trainHashedLogOdds(docs.where(col("doc_id") <= 300),
+      "text", "label", buckets = 1024)
+    val scored = Classify.scoreHashedLogOdds(
+      docs.where(col("doc_id") > 300), "text", w, buckets = 1024)
+    val got = scored.select(col("label"), col("logit_fp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (label, logit) =>
+      if (label == 1L) assert(logit > 0, s"positive doc scored $logit")
+      else assert(logit < 0, s"negative doc scored $logit")
+    }
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("graft_hashed_score"), p)
+    assert(!p.contains("Exchange"), p) // scoring never shuffles the corpus
+  }
+
+  // ---- X199 incremental near-dup dedup ----
+
+  test("incrementalNearDedup: re-fetches and near-dups of HISTORY drop, " +
+      "novel and sub-shingle docs pass, survivors join the store") {
+    import graft.operators.Dedup
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_r13_nd").toString + "/store"
+    val seed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines here"))
+      .toDF("doc_id", "text")
+    val kept1 = Dedup.incrementalNearDedup(seed, "doc_id", "text", store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(1L, 2L)) // empty store: everything is novel
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // re-fetch of 1
+      (11L, "the quick brown fox jumps over the lazy cat"), // near-dup (J≈0.55)
+      (12L, "an entirely novel document with fresh words only"),
+      (13L, "too short")) // < 3 tokens: no shingles, passes, not indexed
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalNearDedup(batch, "doc_id", "text", store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(12L, 13L), kept2)
+    // survivors were appended: re-feeding 12's text now drops it
+    val batch3 = Seq((20L, "an entirely novel document with fresh words only"),
+      (21L, "the quick brown fox jumps over the lazy cat")) // 11 was DROPPED, never stored -> still novel vs store? no: it near-dups doc 1's stored shingles
+      .toDF("doc_id", "text")
+    val kept3 = Dedup.incrementalNearDedup(batch3, "doc_id", "text", store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept3 == Set.empty[Long], kept3)
+  }
+
   // ---- Graft.stage checkpoint dir (round-13 ADVICE) ----
 
   test("Graft.stage honors a spark.graft.checkpointDir change between " +
