@@ -317,7 +317,11 @@ object Bench {
           // reps x rows bootstrap pass and q285's asymmetric IVF
           // decontamination join are the other two scale claims
           "q282_isotonic_calibration", "q283_calibrated_filter",
-          "q284_bootstrap_ci", "q285_semantic_decontaminate")
+          "q284_bootstrap_ci", "q285_semantic_decontaminate",
+          // round-13 operators with a scale claim worth a 10x curve:
+          // the zero-shuffle hashed-classifier scoring pass and the
+          // LSH-store incremental near-dedup (band-index join)
+          "q287_hashed_classifier", "q288_incremental_neardedup")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

@@ -101,6 +101,90 @@ object Similarity {
         col("id"), col("sim"))
   }
 
+  /** Matryoshka truncation recall curve (X200, round 13): for each
+    * prefix length d in `dims`, the exact top-k under the FIRST d
+    * dimensions' cosine is compared per probe against the
+    * full-dimension exact top-k — recall@k per d, the chart that
+    * decides how many dimensions a 100 TB vector corpus actually
+    * ships (matryoshka-style prefix truncation cuts vector IO d/D
+    * with a measured recall trade). One brute-force pass per d over
+    * the probes (broadcast, bounded), all rankings deterministic
+    * (sim desc, id asc); the denominator is the full top-k row count
+    * computed in-plan (no driver scalar). Exact arithmetic end to
+    * end — the oracle replays slices, cosines, and ranks.
+    */
+  def truncationRecallCurve(vecs: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, dims: Seq[Int],
+      k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0),
+      "truncationRecallCurve: dims must be positive")
+    val full = bruteForceTopK(vecs, probes, idCol, vecCol, k)
+      .select(col("probe_id"), col("id"))
+    val perDim = dims.map { d =>
+      val tv = vecs.select(col(s"`$idCol`").as(idCol),
+        slice(col(s"`$vecCol`"), 1, d).as(vecCol))
+      val tp = probes.select(col(s"`$idCol`").as(idCol),
+        slice(col(s"`$vecCol`"), 1, d).as(vecCol))
+      bruteForceTopK(tv, tp, idCol, vecCol, k)
+        .select(col("probe_id"), col("id"))
+        .join(full, Seq("probe_id", "id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .select(lit(d.toLong).as("dims"), col("hits"))
+    }.reduce(_ unionByName _)
+    val denom = full.agg(count(lit(1)).cast("long").as("__den"))
+    perDim.crossJoin(denom)
+      .select(col("dims"), col("hits"), col("__den").as("n_full"),
+        round(col("hits").cast("double") / col("__den"), 6).as("recall"))
+  }
+
+  /** Binary (sign-bit) embedding ANN (X201, round 13): vectors pack
+    * into sign bits ([[graft.plans.NativeMath.packSignBits]], 64
+    * dims/long — 32× less vector IO than float32), candidates rank by
+    * XOR-popcount Hamming distance (one codegen'd kernel per pair),
+    * and the per-probe `shortlist` re-ranks with the EXACT cosine —
+    * the two-stage shape binary vector stores deploy. Deterministic
+    * throughout: shortlist by (hamming asc, id asc) via the two-stage
+    * [[topKPerKey]] (map-side pre-rank, never one task per probe),
+    * final rank by (sim desc, id asc). Fully structural — the oracle
+    * replays sign bits, Hamming counts, the shortlist cut, and the
+    * exact re-rank.
+    */
+  def binaryHammingTopK(vecs: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, "binaryHammingTopK: shortlist must be >= k")
+    import graft.plans.NativeMath
+    val bits = NativeMath.packSignBits(col(s"`$vecCol`"))
+    val v = vecs.select(col(s"`$idCol`").as("id"), bits.as("__bits"))
+    val p = probes.select(col(s"`$idCol`").as("probe_id"),
+      bits.as("__pbits"))
+    val hammed = v.crossJoin(broadcast(p))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        (lit(0L) - NativeMath.hammingI64(col("__bits"), col("__pbits")))
+          .cast("double").as("sim"))
+    val short = topKPerKey(hammed, "probe_id", shortlist)
+      .select(col("probe_id"), col("id"),
+        (-col("sim")).cast("long").as("hamming"))
+    // exact re-rank over the shortlist only: vectors join back by id
+    // (shortlist-bounded), probes broadcast
+    val a = vecs.select(col(s"`$idCol`").as("id"),
+      transform(col(s"`$vecCol`"), x => x.cast("double")).as("__v"),
+      norm(col(s"`$vecCol`")).as("__vn"))
+    val pb = probes.select(col(s"`$idCol`").as("probe_id"),
+      transform(col(s"`$vecCol`"), x => x.cast("double")).as("__p"),
+      norm(col(s"`$vecCol`")).as("__pn"))
+    val rer = short.join(a, "id").join(broadcast(pb), "probe_id")
+      .withColumn("sim", guardedSim(col("__v"), col("__p"),
+        col("__vn"), col("__pn")))
+    rer.withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("sim"), col("hamming"))
+  }
+
   /** Int8 scalar quantization codes of an embedding: round(127·x/maxAbs)
     * as a tinyint array — 4× less memory/IO than float32 (8× vs the
     * float64 compute form). Cosine is scale-invariant, so ranking by

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -99,6 +99,22 @@ object NativeMath {
       nprobe: Int): Column =
     GraftSqlBridge.column(TopCellsExpr(GraftSqlBridge.expression(v),
       cents.map(_._2.toArray), cents.map(_._1), nprobe))
+
+  /** Sign-bit packing of an embedding (round 13, X201): bit j of word
+    * w = 1 iff `v[64w + j] > 0` — the 1-bit binary quantization real
+    * vector stores ship (64× less vector IO than float64, 32× vs
+    * float32); distance becomes XOR + popcount ([[hammingI64]]).
+    */
+  def packSignBits(v: Column): Column =
+    GraftSqlBridge.column(PackSignBitsExpr(GraftSqlBridge.expression(v)))
+
+  /** Hamming distance of two sign-bit-packed arrays: Σ popcount(a⊕b).
+    * One tight codegen'd loop per PAIR — the candidate-volume hot
+    * path of binary ANN.
+    */
+  def hammingI64(a: Column, b: Column): Column =
+    GraftSqlBridge.column(HammingI64Expr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
 case class DotProduct64Expr(left: Expression, right: Expression)
@@ -269,6 +285,39 @@ case class TopCellsExpr(child: Expression, cents: Array[Array[Double]],
 }
 
 object MathKernels {
+
+
+  /** words = ceil(n/64); bit j of word w = 1 iff v[64w + j] > 0
+    * (nulls count as non-positive — a null dimension carries no sign).
+    */
+  def packSignBits(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val words = (n + 63) / 64
+    val out = new Array[Long](words)
+    var j = 0
+    while (j < n) {
+      if (!v.isNullAt(j) && v.getDouble(j) > 0)
+        out(j / 64) |= 1L << (j % 64)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ popcount(a⊕b) over the common prefix (length mismatch is a
+    * caller bug; the shorter array bounds the loop — same-corpus
+    * packing always matches).
+    */
+  def hammingI64(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
 
   /** Greedy MMR selection over one query's candidate shortlist —
     * parallel arrays (ids, rels, quantized embeddings). Candidates are
@@ -772,4 +821,45 @@ object InvNorm {
         ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
     }
   }
+}
+
+case class PackSignBitsExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pack_sign_bits"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    MathKernels.packSignBits(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MathKernels.packSignBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class HammingI64Expr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hamming_i64"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MathKernels.hammingI64(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.MathKernels.hammingI64($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

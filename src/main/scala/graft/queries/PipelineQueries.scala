@@ -7044,7 +7044,8 @@ object PipelineQueries {
              CAST(sum(CASE WHEN (CASE WHEN logit_fp > 0 THEN 1 ELSE 0 END)
                             = label THEN 1 ELSE 0 END) AS BIGINT)
                AS n_correct
-      FROM app GROUP BY source ORDER BY source"""))
+      FROM app GROUP BY source ORDER BY source"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X199 (round 13): incremental NEAR-dup dedup against a persistent
@@ -7089,12 +7090,129 @@ object PipelineQueries {
              CAST(sum(doc_id) AS BIGINT) AS id_sum
       FROM documents
       WHERE doc_id NOT IN (SELECT id FROM dup)
-      GROUP BY lang ORDER BY lang"""))
+      GROUP BY lang ORDER BY lang"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // X200 (round 13): matryoshka truncation recall curve — for each
+  // prefix length d, exact top-10 under the first-d-dims cosine vs
+  // the full-dimension exact top-10. The chart that decides how many
+  // dimensions a 100 TB vector corpus ships (prefix truncation cuts
+  // vector IO d/D for a measured recall trade). Exact arithmetic end
+  // to end; the oracle replays slices, cosines, ranks, and the
+  // in-plan denominator.
+  val q289TruncationRecall = QueryDef(
+    "q289_truncation_recall",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.where(col("vec_id") < 8)
+      Similarity.truncationRecallCurve(vecs, probes, "vec_id",
+          "embedding", dims = Seq(8, 16, 32), k = 10)
+        .orderBy(col("dims"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                 embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), p AS (
+        SELECT vec_id AS pid, e AS pe, n AS pn FROM v WHERE vec_id < 8
+      ), fsc AS (
+        SELECT p.pid, v.vec_id AS id,
+               CASE WHEN v.n > 0 AND p.pn > 0
+                    THEN list_dot_product(v.e, p.pe) / (v.n * p.pn)
+                    ELSE 0.0 END AS sim
+        FROM v CROSS JOIN p WHERE v.vec_id <> p.pid
+      ), fullk AS (
+        SELECT pid, id FROM (
+          SELECT pid, id, row_number() OVER (PARTITION BY pid
+            ORDER BY sim DESC, id ASC) AS rn FROM fsc) WHERE rn <= 10
+      ), ds AS (SELECT unnest([8, 16, 32]) AS d
+      ), tsc AS (
+        SELECT ds.d, p.pid, v.vec_id AS id,
+               CASE WHEN sqrt(list_dot_product(v.e[1:ds.d],
+                      v.e[1:ds.d])) > 0
+                     AND sqrt(list_dot_product(p.pe[1:ds.d],
+                      p.pe[1:ds.d])) > 0
+                    THEN list_dot_product(v.e[1:ds.d], p.pe[1:ds.d])
+                         / (sqrt(list_dot_product(v.e[1:ds.d],
+                             v.e[1:ds.d]))
+                            * sqrt(list_dot_product(p.pe[1:ds.d],
+                               p.pe[1:ds.d])))
+                    ELSE 0.0 END AS sim
+        FROM ds, v CROSS JOIN p WHERE v.vec_id <> p.pid
+      ), trun AS (
+        SELECT d, pid, id FROM (
+          SELECT d, pid, id, row_number() OVER (PARTITION BY d, pid
+            ORDER BY sim DESC, id ASC) AS rn FROM tsc) WHERE rn <= 10
+      ), hits AS (
+        SELECT t.d, CAST(count(1) AS BIGINT) AS hits
+        FROM trun t JOIN fullk f ON f.pid = t.pid AND f.id = t.id
+        GROUP BY t.d
+      ), den AS (SELECT CAST(count(1) AS BIGINT) AS n_full FROM fullk)
+      SELECT CAST(ds.d AS BIGINT) AS dims,
+             CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             den.n_full,
+             round(coalesce(h.hits, 0)::DOUBLE / den.n_full, 6) AS recall
+      FROM ds LEFT JOIN hits h ON h.d = ds.d, den
+      ORDER BY dims"""))
+
+  // ---------------------------------------------------------------------
+  // X201 (round 13): binary sign-bit embedding ANN — vectors pack to
+  // sign bits (64 dims per long, 32x less vector IO than float32),
+  // candidates rank by XOR-popcount Hamming (codegen'd kernel per
+  // pair), the 64-wide shortlist re-ranks with the exact cosine. The
+  // oracle replays sign bits, Hamming counts, the shortlist cut, and
+  // the exact re-rank — fully structural.
+  val q290BinaryHammingAnn = QueryDef(
+    "q290_binary_hamming_ann",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+      val probes = vecs.where(col("vec_id") < 5)
+      Similarity.binaryHammingTopK(vecs, probes, "vec_id", "embedding",
+          k = 10, shortlist = 64)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("sim"), 6).as("sim"), col("hamming"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                 embedding::DOUBLE[])) AS n
+        FROM embeddings
+      ), p AS (
+        SELECT vec_id AS pid, e AS pe, n AS pn FROM v WHERE vec_id < 5
+      ), hm AS (
+        SELECT p.pid, v.vec_id AS id,
+               len([i for i in generate_series(1, len(v.e))
+                    if (v.e[i] > 0) <> (p.pe[i] > 0)]) AS ham
+        FROM v CROSS JOIN p WHERE v.vec_id <> p.pid
+      ), short AS (
+        SELECT pid, id, ham FROM (
+          SELECT pid, id, ham, row_number() OVER (PARTITION BY pid
+            ORDER BY ham ASC, id ASC) AS srn FROM hm) WHERE srn <= 64
+      ), sc AS (
+        SELECT s.pid, s.id, s.ham,
+               CASE WHEN v.n > 0 AND p.pn > 0
+                    THEN list_dot_product(v.e, p.pe) / (v.n * p.pn)
+                    ELSE 0.0 END AS sim
+        FROM short s JOIN v ON v.vec_id = s.id JOIN p ON p.pid = s.pid
+      ), r AS (
+        SELECT pid, id, ham, sim, row_number() OVER (PARTITION BY pid
+          ORDER BY sim DESC, id ASC) AS rank
+        FROM sc
+      )
+      SELECT pid AS probe_id, CAST(rank AS BIGINT) AS rank, id,
+             round(sim, 6) AS sim, CAST(ham AS BIGINT) AS hamming
+      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
 
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
     q287HashedClassifier, q288IncrementalNearDedup,
+    q289TruncationRecall, q290BinaryHammingAnn,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

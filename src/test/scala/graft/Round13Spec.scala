@@ -524,6 +524,60 @@ class Round13Spec extends SparkSpec {
     assert(kept3 == Set.empty[Long], kept3)
   }
 
+  // ---- X200/X201 binary + truncated embeddings ----
+
+  test("packSignBits / hammingI64 kernels: known bit patterns") {
+    import graft.plans.NativeMath
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.0f, 3.0f), Seq(1.0f, 2.0f, -1.0f, 3.0f)))
+      .toDF("id", "a", "b")
+      .select(NativeMath.packSignBits(col("a")).as("pa"),
+        NativeMath.packSignBits(col("b")).as("pb"),
+        NativeMath.hammingI64(NativeMath.packSignBits(col("a")),
+          NativeMath.packSignBits(col("b"))).as("ham"))
+    val r = df.collect().head
+    // a: bits {0, 3} set (1.0, 3.0 positive; -2.0 and 0.0 are not)
+    assert(r.getSeq[Long](0) == Seq(9L), r.getSeq[Long](0))
+    // b: bits {0, 1, 3} set
+    assert(r.getSeq[Long](1) == Seq(11L), r.getSeq[Long](1))
+    assert(r.getLong(2) == 1L) // differ only at bit 1
+    // 65-dim vector packs into two words
+    val wide = Seq((1L, (0 until 65).map(i => if (i == 64) 1.0f else -1.0f)))
+      .toDF("id", "v")
+      .select(NativeMath.packSignBits(col("v")).as("p"))
+      .collect().head.getSeq[Long](0)
+    assert(wide == Seq(0L, 1L), wide)
+  }
+
+  test("binaryHammingTopK: recall@10 vs the exact top-10 clears the " +
+      "contract floor on the real embeddings (shortlist 64)") {
+    import graft.operators.Similarity
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probes = vecs.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(vecs, probes, "vec_id",
+        "embedding", k = 10)
+      .select(col("probe_id"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = Similarity.binaryHammingTopK(vecs, probes, "vec_id",
+        "embedding", k = 10, shortlist = 64)
+      .select(col("probe_id"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect bin).size.toDouble / exact.size
+    assert(recall >= 0.6, s"binary recall $recall < 0.6 (measured 0.74)")
+  }
+
+  test("truncationRecallCurve: the full-prefix curve point is exact " +
+      "recall 1.0 and shorter prefixes stay in (0, 1]") {
+    import graft.operators.Similarity
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probes = vecs.where(col("vec_id") < 8)
+    val got = Similarity.truncationRecallCurve(vecs, probes, "vec_id",
+        "embedding", dims = Seq(8, 64), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(64L) == 1.0, got) // 64 = the full dimension: identical ranks
+    assert(got(8L) > 0.0 && got(8L) <= 1.0, got)
+  }
+
   // ---- Graft.stage checkpoint dir (round-13 ADVICE) ----
 
   test("Graft.stage honors a spark.graft.checkpointDir change between " +
