@@ -450,4 +450,27 @@ object text {
     lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59)
   }
 
+  /** HTML-to-text extraction (X202, round 13) — the first step of a
+    * web-corpus pipeline (the rule-based core of trafilatura/jusText-
+    * class extractors): `<script>`/`<style>` blocks and comments drop
+    * whole, remaining tags strip, the common entities decode (`&amp;`
+    * LAST so `&amp;lt;` yields the literal `&lt;`, the standard
+    * order), whitespace collapses. Regex/replace-only with patterns in
+    * the Java-regex ∩ RE2 common subset, so the DuckDB oracle replays
+    * the extraction byte-identically; Spark evaluates the chain as
+    * codegen'd RegExpReplace — one map-side projection at any scale.
+    */
+  def stripHtml(c: Column): Column = {
+    val noBlock = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) =>
+        regexp_replace(acc, k, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
 }

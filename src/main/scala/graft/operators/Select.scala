@@ -472,4 +472,45 @@ object Select {
         col("col.__pts.sum_label").as("sum_label"),
         col("col.__cal").as("calibrated"))
   }
+
+  /** Sliding token-window chunking of long documents (X203, round
+    * 13) — the segmentation step of an embedding/long-context
+    * pipeline: `textCol` tokenizes, and windows of `chunkSize` tokens
+    * starting every `chunkSize − overlap` tokens emit one row each
+    * (`chunk_idx`, `n_tokens`, `chunk_text` — tokens space-joined).
+    * Chunk count = 1 for 0 < n ≤ chunkSize, else
+    * ⌈(n − chunkSize)/step⌉ + 1 — full coverage, consecutive chunks
+    * share exactly `overlap` tokens (the last may be shorter, never
+    * empty); an empty document yields zero chunks. Pure map-side
+    * explode (the chunk plan is per-row arithmetic, no shuffle, no
+    * window) — at 100 TB chunking rides the scan. Deterministic
+    * integer arithmetic end to end; the oracle replays slicing.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"chunkByTokens: need 0 <= overlap < chunkSize, got " +
+        s"($chunkSize, $overlap)")
+    val step = chunkSize - overlap
+    val toks = filter(graft.functions.text.tokenize(col(s"`$textCol`")),
+      t => t =!= "")
+    val n = size(toks)
+    val nChunks = when(n <= 0, lit(0))
+      .when(n <= chunkSize, lit(1))
+      .otherwise(ceil((n - chunkSize).cast("double") / step)
+        .cast("int") + 1)
+    // sequence(0, -1) would DESCEND in Spark — guard the empty case
+    val idxs = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(s"`$idCol`"), toks.as("__toks"), idxs.as("__ks"))
+      .select(col(s"`$idCol`"), col("__toks"),
+        explode(col("__ks")).as("chunk_idx"))
+      .select(col(s"`$idCol`"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * step + 1, lit(chunkSize))
+          .as("__c"))
+      .select(col(s"`$idCol`"), col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
 }

@@ -7208,11 +7208,129 @@ object PipelineQueries {
              round(sim, 6) AS sim, CAST(ham AS BIGINT) AS hamming
       FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
 
+  // ---------------------------------------------------------------------
+  // X202 (round 13): HTML-to-text extraction — the first step of a
+  // web-corpus pipeline. Documents wrap into a deterministic HTML
+  // envelope (script/style blocks, attributes, entities, comments),
+  // text.stripHtml extracts: blocks drop whole, tags strip, entities
+  // decode (&amp; last), whitespace collapses. Patterns live in the
+  // Java-regex/RE2 common subset so the oracle replays the chain
+  // byte-identically — the length sum is the whole-string check.
+  val q291HtmlExtract = QueryDef(
+    "q291_html_extract",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>t</title><style>p { color: red }" +
+          "</style><script>var x = 1 && y < 2;</script></head>" +
+          "<body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p class=\"main\">"), col("text"),
+        lit("</p>\n<div id=\"f\">tail &amp; more &lt;ok&gt;&nbsp;end" +
+          "</div><!-- footer --></body></html>"))
+      val stripped = text.stripHtml(html)
+      docs.select(col("source"), stripped.as("__st"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(length(col("__st"))).cast("long").as("len_sum"),
+          sum(size(filter(text.tokenize(col("__st")), t => t =!= "")))
+            .cast("long").as("tok_sum"),
+          sum(when(col("__st").contains("tail & more <ok> end"), 1L)
+            .otherwise(0L)).cast("long").as("n_entity_ok"),
+          sum(when(col("__st").startsWith("Doc "), 1L).otherwise(0L))
+            .cast("long").as("n_head_ok"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT source,
+               '<html><head><title>t</title><style>p { color: red }'
+               || '</style><script>var x = 1 && y < 2;</script></head>'
+               || '<body><h1>Doc ' || doc_id::VARCHAR
+               || '</h1>' || chr(10) || '<p class="main">' || text
+               || '</p>' || chr(10)
+               || '<div id="f">tail &amp; more &lt;ok&gt;&nbsp;end'
+               || '</div><!-- footer --></body></html>' AS html
+        FROM documents
+      ), st AS (
+        SELECT source,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html,
+                    '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>',
+                    ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                '(?s)<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+            '\s+', ' ', 'g')) AS s
+        FROM h
+      )
+      SELECT source, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(length(s)) AS BIGINT) AS len_sum,
+             CAST(sum(len([x for x in regexp_split_to_array(s, '\s+')
+               if x <> ''])) AS BIGINT) AS tok_sum,
+             CAST(sum(CASE WHEN position('tail & more <ok> end' IN s) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_entity_ok,
+             CAST(sum(CASE WHEN s LIKE 'Doc %' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_head_ok
+      FROM st GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
+  // X203 (round 13): sliding token-window chunking — the segmentation
+  // step of an embedding/long-context pipeline: 128-token windows
+  // every 96 tokens (32 overlap), one row per chunk, map-side only
+  // (no shuffle, no window — chunking rides the scan at 100 TB). The
+  // oracle replays the chunk-count formula and slicing exactly.
+  val q292TokenChunks = QueryDef(
+    "q292_token_chunks",
+    (s, dir) => {
+      import graft.operators.Select
+      val docs = Graft.table(s, dir, "documents")
+      val chunks = Select.chunkByTokens(docs, "doc_id", "text",
+        chunkSize = 128, overlap = 32)
+      chunks.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("tok_sum"),
+          sum(when(col("n_tokens") < 128, 1L).otherwise(0L))
+            .cast("long").as("n_short"),
+          sum(col("chunk_idx")).cast("long").as("idx_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               [x for x in regexp_split_to_array(trim(lower(text)),
+                  '\s+') if x <> ''] AS toks
+        FROM documents
+      ), cn AS (
+        SELECT doc_id, source, toks, len(toks) AS n,
+               CASE WHEN len(toks) = 0 THEN 0
+                    WHEN len(toks) <= 128 THEN 1
+                    ELSE CAST(ceil((len(toks) - 128) / 96.0) AS INT) + 1
+               END AS nch
+        FROM d
+      ), ch AS (
+        SELECT doc_id, source, u.k AS chunk_idx,
+               len(toks[u.k*96 + 1 : u.k*96 + 128]) AS n_tokens
+        FROM cn, unnest(generate_series(0, nch - 1)) AS u(k)
+      )
+      SELECT source, CAST(count(1) AS BIGINT) AS n_chunks,
+             CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+             CAST(sum(CASE WHEN n_tokens < 128 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_short,
+             CAST(sum(chunk_idx) AS BIGINT) AS idx_sum
+      FROM ch GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
     q287HashedClassifier, q288IncrementalNearDedup,
     q289TruncationRecall, q290BinaryHammingAnn,
+    q291HtmlExtract, q292TokenChunks,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

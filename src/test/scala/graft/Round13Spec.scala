@@ -578,6 +578,61 @@ class Round13Spec extends SparkSpec {
     assert(got(8L) > 0.0 && got(8L) <= 1.0, got)
   }
 
+  // ---- X202 stripHtml / X203 chunkByTokens ----
+
+  test("stripHtml: blocks drop whole, tags strip, entities decode in " +
+      "the standard order, whitespace collapses") {
+    import graft.functions.text
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("<script>if (a < b && c > d) { x(); }</script>ok", "ok"),
+      ("<style type=\"text/css\">p { }</style>body", "body"),
+      ("a<!-- hidden <b>bold</b> -->b", "a b"),
+      ("x &amp;lt; y", "x &lt; y"), // &amp; decodes LAST: literal &lt;
+      ("5 &lt; 6 &amp;&amp; 7 &gt; 2", "5 < 6 && 7 > 2"),
+      ("a&nbsp;&nbsp;b", "a b"),
+      ("<div\nclass='x'>multi\nline</div>", "multi line"))
+    val got = cases.map(_._1).toDF("h")
+      .select(text.stripHtml(col("h")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.zip(cases.map(_._2)))
+  }
+
+  test("chunkByTokens: full coverage with exact overlap, edge sizes, " +
+      "empty docs emit nothing") {
+    import graft.operators.Select
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, mk(10)), (2L, mk(8)), (3L, mk(9)), (4L, ""),
+      (5L, mk(21))).toDF("doc_id", "text")
+    val ch = Select.chunkByTokens(df, "doc_id", "text",
+        chunkSize = 8, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 2 (n == chunkSize): exactly one chunk
+    assert(ch.filter(_._1 == 2L).map(_._3).toSeq == Seq(8L))
+    // doc 3 (n == chunkSize + 1): two chunks, second starts at step=5
+    assert(ch.filter(_._1 == 3L).map(c => (c._2, c._3)).toSeq ==
+      Seq((0L, 8L), (1L, 4L)))
+    // doc 4 (empty): zero chunks
+    assert(!ch.exists(_._1 == 4L))
+    // coverage invariant: chunk k starts at k*step; dropping each
+    // later chunk's first `overlap` tokens reconstructs the original
+    for (id <- Seq(1L, 3L, 5L)) {
+      val orig = df.where(col("doc_id") === id).collect()
+        .head.getString(1).split(" ").filter(_.nonEmpty).toSeq
+      val chunks = ch.filter(_._1 == id).sortBy(_._2)
+        .map(_._4.split(" ").toSeq)
+      // chunk k starts at k*step — its first `overlap` tokens are
+      // exactly the previous chunk's last tokens at those positions
+      chunks.zipWithIndex.foreach { case (c, k) =>
+        assert(c == orig.slice(k * 5, k * 5 + 8), s"doc $id chunk $k")
+      }
+      // full coverage: the last chunk reaches the final token
+      assert(chunks.size * 5 + 8 - 5 >= orig.length, s"doc $id coverage")
+    }
+  }
+
   // ---- Graft.stage checkpoint dir (round-13 ADVICE) ----
 
   test("Graft.stage honors a spark.graft.checkpointDir change between " +
