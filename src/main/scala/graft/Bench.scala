@@ -321,7 +321,9 @@ object Bench {
           // round-13 operators with a scale claim worth a 10x curve:
           // the zero-shuffle hashed-classifier scoring pass and the
           // LSH-store incremental near-dedup (band-index join)
-          "q287_hashed_classifier", "q288_incremental_neardedup")
+          "q287_hashed_classifier", "q288_incremental_neardedup",
+          // binary-ANN candidate volume and map-side chunking at 10x
+          "q290_binary_hamming_ann", "q292_token_chunks")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

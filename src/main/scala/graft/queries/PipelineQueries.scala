@@ -7156,7 +7156,8 @@ object PipelineQueries {
              den.n_full,
              round(coalesce(h.hits, 0)::DOUBLE / den.n_full, 6) AS recall
       FROM ds LEFT JOIN hits h ON h.d = ds.d, den
-      ORDER BY dims"""))
+      ORDER BY dims"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X201 (round 13): binary sign-bit embedding ANN — vectors pack to
@@ -7206,7 +7207,8 @@ object PipelineQueries {
       )
       SELECT pid AS probe_id, CAST(rank AS BIGINT) AS rank, id,
              round(sim, 6) AS sim, CAST(ham AS BIGINT) AS hamming
-      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""))
+      FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X202 (round 13): HTML-to-text extraction — the first step of a
@@ -7276,7 +7278,8 @@ object PipelineQueries {
                THEN 1 ELSE 0 END) AS BIGINT) AS n_entity_ok,
              CAST(sum(CASE WHEN s LIKE 'Doc %' THEN 1 ELSE 0 END)
                AS BIGINT) AS n_head_ok
-      FROM st GROUP BY source ORDER BY source"""))
+      FROM st GROUP BY source ORDER BY source"""),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // X203 (round 13): sliding token-window chunking — the segmentation
@@ -7323,7 +7326,8 @@ object PipelineQueries {
              CAST(sum(CASE WHEN n_tokens < 128 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_short,
              CAST(sum(chunk_idx) AS BIGINT) AS idx_sum
-      FROM ch GROUP BY source ORDER BY source"""))
+      FROM ch GROUP BY source ORDER BY source"""),
+    bench = true)
 
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
