@@ -212,9 +212,8 @@ object Mix {
     * replaying the assignment must replay the same cumulative sums
     * (left-to-right) before rounding.
     */
-  def assignSplits(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)], seed: Long = 0L,
-      splitCol: String = "split"): DataFrame = {
+  private def splitAssign(h: Column,
+      splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty, "assignSplits: at least one split")
     require(splits.forall(_._2 > 0), "assignSplits: fractions must be > 0")
     require(splits.map(_._1).distinct.length == splits.length,
@@ -224,13 +223,38 @@ object Mix {
     val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.min(4294967296L, math.round(c * 4294967296.0)))
     val named = splits.map(_._1).zip(bounds)
-    val h = col("__mix_sh")
-    val assign = named.init.foldRight(lit(named.last._1): Column) {
+    named.init.foldRight(lit(named.last._1): Column) {
       case ((name, bound), tail) => when(h < lit(bound), lit(name))
         .otherwise(tail)
     }
+  }
+
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 0L,
+      splitCol: String = "split"): DataFrame =
     df.withColumn("__mix_sh", portableHashSeeded(col(s"`$idCol`"), seed))
-      .withColumn(splitCol, assign)
+      .withColumn(splitCol, splitAssign(col("__mix_sh"), splits))
+      .drop("__mix_sh")
+
+  /** GROUP-aware split assignment (X204, round 13 —
+    * GroupShuffleSplit): every row of a GROUP (dedup cluster, domain,
+    * author) lands in the SAME split, so near-duplicate content can
+    * never leak from train into a held-out set — the leakage a
+    * doc-level split provably has (q293 measures both side by side).
+    * The group key is string-safe: it hashes through the portable
+    * rolling hash (code points, mod 1e9+7) and then the same seeded
+    * low-16 multiplicative map and exact cumulative-fraction
+    * boundaries as [[assignSplits]]. A pure projection — no shuffle,
+    * no state; any engine re-derives the identical assignment, which
+    * is what keeps held-out sets held out across pipeline re-builds.
+    */
+  def assignSplitsByGroup(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)], seed: Long = 0L,
+      splitCol: String = "split"): DataFrame = {
+    val gid = graft.plans.NativeHashes.rollingHash(
+      col(s"`$groupCol`").cast("string"), 1000000007L)
+    df.withColumn("__mix_sh", portableHashSeeded(gid, seed))
+      .withColumn(splitCol, splitAssign(col("__mix_sh"), splits))
       .drop("__mix_sh")
   }
 

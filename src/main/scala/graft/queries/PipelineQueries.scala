@@ -7329,12 +7329,121 @@ object PipelineQueries {
       FROM ch GROUP BY source ORDER BY source"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X204 (round 13): group-aware (leakage-free) split assignment — the
+  // GroupShuffleSplit discipline: docs cluster by VERIFIED near-dup
+  // connected components, every cluster lands whole in one split, and
+  // the audit counts near-dup pairs straddling splits — 0 by
+  // construction for the grouped assignment, measurably > 0 for the
+  // doc-level assignment on the same seed (the leakage this operator
+  // exists to prevent). Exact 1/2-1/4-1/4 binary fractions keep the
+  // boundary constants exact in both engines.
+  val q293GroupedSplit = QueryDef(
+    "q293_grouped_split",
+    (s, dir) => {
+      import graft.operators.Mix
+      val docs = Graft.table(s, dir, "documents")
+      val fr = Seq(("test", 0.25), ("train", 0.5), ("val", 0.25))
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val cl = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        tag = "q293")
+      val grouped = docs
+        .join(cl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      val withSplit = Mix.assignSplitsByGroup(grouped, "grp", fr,
+        seed = 7L)
+      val docSplit = Mix.assignSplits(docs, "doc_id", fr, seed = 7L)
+        .select(col("doc_id"), col("split").as("dsplit"))
+      def straddles(assign: org.apache.spark.sql.DataFrame,
+          sCol: String, as: String) = pairs
+        .join(assign.select(col("doc_id").as("id_a"),
+          col(s"`$sCol`").as("__sa")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"),
+          col(s"`$sCol`").as("__sb")), "id_b")
+        .agg(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+          .cast("long").as(as))
+      val leakG = straddles(
+        withSplit.select(col("doc_id"), col("split")), "split",
+        "leaked_grouped")
+      val leakD = straddles(docSplit, "dsplit", "leaked_doc")
+      withSplit.groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          count_distinct(col("grp")).cast("long").as("n_groups"))
+        .crossJoin(leakG).crossJoin(leakD)
+        .orderBy(col("split"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${duckNearDupCtes("0.5")},
+      nodes AS (SELECT DISTINCT id FROM
+        (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)),
+      bi AS (SELECT id_a AS u, id_b AS v FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, b.v FROM reach r JOIN bi b ON b.u = r.dst
+      ),
+      lab AS (SELECT src AS id, min(dst) AS cluster_id
+              FROM reach GROUP BY src),
+      g AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS grp
+        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+      ),
+      gh AS (
+        SELECT doc_id, grp,
+               ((list_reduce(list_prepend(0::BIGINT,
+                   [unicode((grp::VARCHAR)[i])::BIGINT
+                    for i in range(1, length(grp::VARCHAR) + 1)]),
+                   (a, x) -> (a * 31 + x) % 1000000007)
+                 + 7) % 65536) * 2654435761 % 4294967296 AS h
+        FROM g
+      ),
+      sp AS (
+        SELECT doc_id, grp,
+               CASE WHEN h < 1073741824 THEN 'test'
+                    WHEN h < 3221225472 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM gh
+      ),
+      dh AS (
+        SELECT doc_id,
+               ((doc_id + 7) % 65536) * 2654435761 % 4294967296 AS h
+        FROM documents
+      ),
+      dsp AS (
+        SELECT doc_id,
+               CASE WHEN h < 1073741824 THEN 'test'
+                    WHEN h < 3221225472 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM dh
+      ),
+      lg AS (
+        SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+          AS BIGINT) AS leaked_grouped
+        FROM pr JOIN sp a ON a.doc_id = pr.id_a
+        JOIN sp b ON b.doc_id = pr.id_b
+      ),
+      ld AS (
+        SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+          AS BIGINT) AS leaked_doc
+        FROM pr JOIN dsp a ON a.doc_id = pr.id_a
+        JOIN dsp b ON b.doc_id = pr.id_b
+      )
+      SELECT sp.split, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+             lg.leaked_grouped, ld.leaked_doc
+      FROM sp, lg, ld
+      GROUP BY sp.split, lg.leaked_grouped, ld.leaked_doc
+      ORDER BY sp.split"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
     q287HashedClassifier, q288IncrementalNearDedup,
     q289TruncationRecall, q290BinaryHammingAnn,
-    q291HtmlExtract, q292TokenChunks,
+    q291HtmlExtract, q292TokenChunks, q293GroupedSplit,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

@@ -633,6 +633,35 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ---- X204 group-aware splits ----
+
+  test("assignSplitsByGroup: a group never straddles splits, fractions " +
+      "land near target, and string group keys hash portably") {
+    import graft.operators.Mix
+    val df = spark.range(6000).select(
+      col("id").as("doc_id"),
+      concat(lit("grp"), pmod(col("id"), lit(997))).as("g"))
+    val out = Mix.assignSplitsByGroup(df, "g",
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)), seed = 3L)
+    // group integrity: one distinct split per group
+    val maxSplits = out.groupBy(col("g"))
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).collect().head.getLong(0)
+    assert(maxSplits == 1L)
+    // fractions: each split holds a material share (hash balance)
+    val shares = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares.keySet == Set("train", "val", "test"), shares)
+    assert(shares("train") > 2000 && shares("val") > 800 &&
+      shares("test") > 800, shares)
+    // determinism across re-evaluation
+    val again = Mix.assignSplitsByGroup(df, "g",
+        Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)), seed = 3L)
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == shares)
+  }
+
   // ---- Graft.stage checkpoint dir (round-13 ADVICE) ----
 
   test("Graft.stage honors a spark.graft.checkpointDir change between " +
