@@ -323,7 +323,10 @@ object Bench {
           // LSH-store incremental near-dedup (band-index join)
           "q287_hashed_classifier", "q288_incremental_neardedup",
           // binary-ANN candidate volume and map-side chunking at 10x
-          "q290_binary_hamming_ann", "q292_token_chunks")
+          "q290_binary_hamming_ann", "q292_token_chunks",
+          // the calibrated quality-filter dress rehearsal: every
+          // stage individually flat at 10x — the composition should be too
+          "q294_quality_filter_e2e")
         // no separate warmup: the same query shapes just ran at sfDir.
         // MEDIAN of 3 reps per query: single-shot sf1 timings swing up
         // to 3x run-to-run (GC/JIT pressure in a JVM that just ran the

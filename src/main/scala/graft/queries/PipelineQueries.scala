@@ -7438,12 +7438,127 @@ object PipelineQueries {
       GROUP BY sp.split, lg.leaked_grouped, ld.leaked_doc
       ORDER BY sp.split"""))
 
+  // ---------------------------------------------------------------------
+  // X205 (round 13): calibrated model-based quality filtering END TO
+  // END — the dress rehearsal of the quality-filter family, the way
+  // production filters deploy: X198's hashed classifier trains on the
+  // labeled half, scores the WHOLE corpus shuffle-free, logits bin to
+  // bounded integer buckets (trunc DIV — both engines truncate toward
+  // zero), X192's exact-integer PAV calibrates the binned logit per
+  // source on the train half, X193's broadcast binary-search lookup
+  // applies the step function to the held-out half, and a calibrated
+  // keep-probability threshold selects. Funnel report per source.
+  // Every stage replays in the oracle: token hashing, ln fixed-point
+  // weights, logit sums, binning, the PAV minimax identity, the step
+  // lookup, and the threshold.
+  val q294QualityFilterE2e = QueryDef(
+    "q294_quality_filter_e2e",
+    (s, dir) => {
+      import graft.operators.{Classify, Select}
+      val docs = Graft.table(s, dir, "documents")
+        .withColumn("label", when(col("n_chars") >= 400, 1L).otherwise(0L))
+      val w = Classify.trainHashedLogOdds(
+        docs.where(col("doc_id") % 2 === 0), "text", "label",
+        buckets = 4096)
+      val scored = Classify.scoreHashedLogOdds(docs, "text", w,
+          buckets = 4096)
+        .withColumn("score_b", expr("logit_fp DIV 5000000"))
+      val cal = Select.calibrateIsotonic(
+        scored.where(col("doc_id") % 2 === 0), "source", "score_b",
+        "label")
+      val applied = Select.applyCalibration(
+        scored.where(col("doc_id") % 2 === 1), cal, "source", "score_b")
+      applied.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_apply"),
+          sum(when(col("calibrated") >= 0.5, 1L).otherwise(0L))
+            .cast("long").as("n_keep"),
+          sum(when((col("calibrated") >= 0.5) === (col("label") === 1),
+            1L).otherwise(0L)).cast("long").as("n_correct"),
+          sum(round(col("calibrated") * 1e6).cast("long")).cast("long")
+            .as("cal_fp_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS label,
+               [x for x in regexp_split_to_array(trim(lower(text)),
+                  '\s+') if x <> ''] AS toks
+        FROM documents
+      ), tb AS (
+        SELECT doc_id, source, label,
+               list_reduce(list_prepend(0::BIGINT,
+                 [unicode(u.t[i])::BIGINT
+                  for i in range(1, length(u.t) + 1)]),
+                 (a, x) -> (a * 31 + x) % 1000000007) % 4096 AS b
+        FROM d, unnest(toks) AS u(t)
+      ), w AS (
+        SELECT b,
+               CAST(round(ln((sum(label) + 0.5)
+                 / (count(1) - sum(label) + 0.5)) * 1000000) AS BIGINT)
+                 AS w_fp
+        FROM tb WHERE doc_id % 2 = 0 GROUP BY b
+      ), lg AS (
+        SELECT t.doc_id, CAST(sum(coalesce(w.w_fp, 0)) AS BIGINT)
+                 AS logit_fp
+        FROM tb t LEFT JOIN w USING (b)
+        GROUP BY 1
+      ), sc AS (
+        SELECT d.doc_id, d.source, d.label,
+               coalesce(lg.logit_fp, 0) // 5000000 AS score_b
+        FROM d LEFT JOIN lg ON lg.doc_id = d.doc_id
+      ), p AS (
+        SELECT source, score_b AS score,
+               CAST(sum(label) AS BIGINT) AS sum_label,
+               CAST(count(1) AS BIGINT) AS n
+        FROM sc WHERE doc_id % 2 = 0 GROUP BY 1, 2
+      ), a AS (
+        SELECT source,
+               list(score ORDER BY score) AS ss,
+               list(sum_label ORDER BY score) AS ys,
+               list(n ORDER BY score) AS cs
+        FROM p GROUP BY source
+      ), calt AS (
+        SELECT source, ss,
+               [list_max([list_min([
+                  CAST(list_sum(ys[s2:t2]) AS DOUBLE)
+                    / list_sum(cs[s2:t2])
+                  for t2 in generate_series(i, len(ys))])
+                 for s2 in generate_series(1, i)])
+                for i in generate_series(1, len(ys))] AS fit
+        FROM a
+      ), fitrows AS (
+        SELECT source, ss[u.i] AS score, fit[u.i] AS calibrated
+        FROM calt, unnest(generate_series(1, len(ss))) AS u(i)
+      ), look AS (
+        SELECT s.source, s.doc_id, s.label,
+               coalesce(
+                 (SELECT f.calibrated FROM fitrows f
+                  WHERE f.source = s.source AND f.score <= s.score_b
+                  ORDER BY f.score DESC LIMIT 1),
+                 (SELECT f.calibrated FROM fitrows f
+                  WHERE f.source = s.source
+                  ORDER BY f.score ASC LIMIT 1)) AS calibrated
+        FROM sc s WHERE s.doc_id % 2 = 1
+      )
+      SELECT source, CAST(count(1) AS BIGINT) AS n_apply,
+             CAST(sum(CASE WHEN calibrated >= 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_keep,
+             CAST(sum(CASE WHEN (calibrated >= 0.5)
+                            = (label = 1) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+             CAST(sum(CAST(round(calibrated * 1000000) AS BIGINT))
+               AS BIGINT) AS cal_fp_sum
+      FROM look GROUP BY source ORDER BY source"""),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
     q287HashedClassifier, q288IncrementalNearDedup,
     q289TruncationRecall, q290BinaryHammingAnn,
     q291HtmlExtract, q292TokenChunks, q293GroupedSplit,
+    q294QualityFilterE2e,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
