@@ -185,6 +185,52 @@ object Similarity {
         col("id"), col("sim"), col("hamming"))
   }
 
+  /** Per-group embedding centroid drift (X206, round 13) — the
+    * distribution-shift monitor a continuously re-embedded corpus
+    * needs: for two PERIODS of a group (old crawl vs new, model v1 vs
+    * v2), the cosine between the periods' centroids plus both row
+    * counts. Determinism: per-dimension sums are EXACT fixed-point
+    * longs (round(x·1e6) — float sums reorder across partitions,
+    * integer sums cannot), and the cosine compares the SUM vectors —
+    * cosine is scale-invariant, so cos(Σa, Σb) ≡ cos(mean a, mean b)
+    * with no division anywhere before the one final cosine. Scale
+    * shape: one map-side-combined (group, period, dim) rollup —
+    * output bounded by groups × periods × dims, never rows; the
+    * centroid arrays assemble per group and the cosine is one
+    * codegen'd dot. The oracle replays the fixed-point sums and the
+    * same double fold.
+    */
+  def centroidDrift(vecs: DataFrame, groupCol: String, periodCol: String,
+      vecCol: String): DataFrame = {
+    val grp = col(s"`$groupCol`")
+    val per = col(s"`$periodCol`").cast("long")
+    val byDim = vecs
+      .select(grp.as("__g"), per.as("__p"),
+        posexplode(col(s"`$vecCol`")).as(Seq("__d", "__x")))
+      .groupBy(col("__g"), col("__p"), col("__d"))
+      .agg(sum(round(col("__x").cast("double") * 1e6).cast("long"))
+        .as("__s"))
+    val arrs = byDim.groupBy(col("__g"), col("__p"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("__d"), col("__s")))),
+        e => e.getField("__s").cast("double")).as("__v"))
+    val counts = vecs.groupBy(grp.as("__g"), per.as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val sides = arrs.join(counts, Seq("__g", "__p"))
+    val a = sides.filter(col("__p") === 0)
+      .select(col("__g"), col("__v").as("__va"), col("__n").as("n_a"))
+    val b = sides.filter(col("__p") === 1)
+      .select(col("__g"), col("__v").as("__vb"), col("__n").as("n_b"))
+    a.join(b, Seq("__g"), "outer")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("__va").isNotNull && col("__vb").isNotNull,
+          guardedSim(col("__va"), col("__vb"),
+            norm(col("__va")), norm(col("__vb"))))
+          .as("drift_cos"))
+  }
+
   /** Int8 scalar quantization codes of an embedding: round(127·x/maxAbs)
     * as a tinyint array — 4× less memory/IO than float32 (8× vs the
     * float64 compute form). Cosine is scale-invariant, so ranking by

@@ -7552,13 +7552,70 @@ object PipelineQueries {
       FROM look GROUP BY source ORDER BY source"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // X206 (round 13): per-group embedding centroid drift — the
+  // distribution-shift monitor for a continuously re-embedded corpus:
+  // per label, the cosine between the even-id and odd-id halves'
+  // centroids. Per-dim sums are exact fixed-point longs (float sums
+  // reorder across partitions; integer sums cannot) and the cosine
+  // compares SUM vectors (scale-invariant ≡ mean cosine, zero
+  // divisions before the final one). The oracle replays the
+  // fixed-point sums and the same double fold.
+  val q295CentroidDrift = QueryDef(
+    "q295_centroid_drift",
+    (s, dir) => {
+      val vecs = Graft.table(s, dir, "embeddings")
+        .withColumn("period", pmod(col("vec_id"), lit(2)))
+      Similarity.centroidDrift(vecs, "label", "period", "embedding")
+        .select(col("label").cast("long").as("label"), col("n_a"),
+          col("n_b"), round(col("drift_cos"), 6).as("drift_cos"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, vec_id % 2 AS p,
+               embedding::DOUBLE[] AS e
+        FROM embeddings
+      ), fp AS (
+        SELECT label, p, u.i AS d,
+               CAST(sum(CAST(round(e[u.i] * 1000000) AS BIGINT))
+                 AS BIGINT) AS s
+        FROM v, unnest(generate_series(1, len(e))) AS u(i)
+        GROUP BY 1, 2, 3
+      ), arr AS (
+        SELECT label, p, list(s::DOUBLE ORDER BY d) AS vv
+        FROM fp GROUP BY 1, 2
+      ), cnt AS (
+        SELECT label, p, CAST(count(1) AS BIGINT) AS n
+        FROM v GROUP BY 1, 2
+      ), sa AS (
+        SELECT arr.label, vv AS va, n AS n_a
+        FROM arr JOIN cnt USING (label, p) WHERE p = 0
+      ), sb AS (
+        SELECT arr.label, vv AS vb, n AS n_b
+        FROM arr JOIN cnt USING (label, p) WHERE p = 1
+      )
+      SELECT CAST(coalesce(sa.label, sb.label) AS BIGINT) AS label,
+             CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+             CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+             round(CASE
+               WHEN va IS NULL OR vb IS NULL THEN NULL
+               WHEN sqrt(list_dot_product(va, va)) > 0
+                AND sqrt(list_dot_product(vb, vb)) > 0
+               THEN list_dot_product(va, vb)
+                    / (sqrt(list_dot_product(va, va))
+                       * sqrt(list_dot_product(vb, vb)))
+               ELSE 0.0 END, 6) AS drift_cos
+      FROM sa FULL OUTER JOIN sb ON sa.label = sb.label
+      ORDER BY label"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
     q287HashedClassifier, q288IncrementalNearDedup,
     q289TruncationRecall, q290BinaryHammingAnn,
     q291HtmlExtract, q292TokenChunks, q293GroupedSplit,
-    q294QualityFilterE2e,
+    q294QualityFilterE2e, q295CentroidDrift,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
