@@ -7609,13 +7609,75 @@ object PipelineQueries {
       FROM sa FULL OUTER JOIN sb ON sa.label = sb.label
       ORDER BY label"""))
 
+  // ---------------------------------------------------------------------
+  // X207 (round 13): training-shard export with a verifiable
+  // manifest — the pipeline's last mile: rows shard by the PORTABLE
+  // id hash (any engine re-derives placement without reading data),
+  // order within a shard is the deterministic hash "epoch shuffle",
+  // and the manifest carries per-shard counts, token sums, and a
+  // content checksum. The entry writes real parquet shards, re-reads
+  // them, RECOMPUTES the manifest from the files, and emits both —
+  // columns match iff the write round-trips exactly; the oracle
+  // computes the same manifest analytically from the table.
+  val q296ShardExport = QueryDef(
+    "q296_shard_export",
+    (s, dir) => {
+      import graft.sources.Warehouse
+      val out = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(out)
+      val docs = Graft.table(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        size(filter(text.tokenize(col("text")), t => t =!= ""))
+          .cast("long").as("nt"))
+      val manifest = Warehouse.exportShards(base, "doc_id", "nt",
+        out, nShards = 8)
+      // audit: recompute the same manifest FROM THE WRITTEN FILES
+      val readBack = s.read.parquet(out)
+      val h = graft.operators.Mix.portableHash(col("doc_id").cast("long"))
+      val audit = readBack.groupBy(col("__shard").cast("long").as("shard"))
+        .agg(count(lit(1)).cast("long").as("rb_rows"),
+          sum(col("nt")).cast("long").as("rb_tokens"),
+          sum(pmod(pmod(h, lit(1000000007L)) * lit(2654435761L) +
+            pmod(col("doc_id").cast("long"), lit(1000000007L)),
+            lit(1000000007L))).cast("long").as("rb_checksum"))
+      manifest.withColumn("shard", col("shard").cast("long"))
+        .join(audit, Seq("shard"))
+        .select(col("shard"), col("n_rows"), col("n_tokens"),
+          col("checksum"),
+          (col("n_rows") === col("rb_rows") &&
+            col("n_tokens") === col("rb_tokens") &&
+            col("checksum") === col("rb_checksum")).cast("int")
+            .as("roundtrip_ok"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len([x for x in regexp_split_to_array(
+                 trim(lower(text)), '\s+') if x <> '']) AS BIGINT) AS nt
+        FROM documents
+      ), h AS (
+        SELECT doc_id, nt,
+               (doc_id % 65536) * 2654435761 % 4294967296 AS h
+        FROM d
+      )
+      SELECT CAST(h % 8 AS BIGINT) AS shard,
+             CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(((h % 1000000007) * 2654435761
+               + doc_id % 1000000007) % 1000000007) AS BIGINT)
+               AS checksum,
+             CAST(1 AS INT) AS roundtrip_ok
+      FROM h GROUP BY 1 ORDER BY shard"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
     q287HashedClassifier, q288IncrementalNearDedup,
     q289TruncationRecall, q290BinaryHammingAnn,
     q291HtmlExtract, q292TokenChunks, q293GroupedSplit,
-    q294QualityFilterE2e, q295CentroidDrift,
+    q294QualityFilterE2e, q295CentroidDrift, q296ShardExport,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

@@ -401,4 +401,44 @@ object Warehouse {
       .drop("__graft_z")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** Training-shard export with a verifiable manifest (X207, round
+    * 13) — the last mile of a data pipeline: rows land in `nShards`
+    * shard directories by the PORTABLE hash of their id (so ANY
+    * engine — or a later re-run — re-derives which shard holds a
+    * document without reading data), ordered within a shard by
+    * (hash, id) (the deterministic "epoch shuffle": hash order is
+    * pseudorandom with respect to every corpus attribute), and the
+    * returned MANIFEST carries per shard: row count, token sum, and
+    * a content checksum (sum of portable row fingerprints mod 2⁶¹−1)
+    * any engine can recompute to audit a shard without trusting the
+    * writer. One hash-partitioned shuffle total; shard files are
+    * written shard-at-a-time via partitionBy, never collected.
+    */
+  def exportShards(df: DataFrame, idCol: String, tokenCol: String,
+      outDir: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "exportShards: nShards must be positive")
+    import org.apache.spark.sql.functions._
+    val id = col(s"`$idCol`")
+    val h = graft.operators.Mix.portableHash(id.cast("long"))
+    val sharded = df
+      .withColumn("__shard", pmod(h, lit(nShards.toLong)).cast("int"))
+      .withColumn("__h", h)
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__h"), id)
+    sharded.drop("__h")
+      .write.mode("overwrite").partitionBy("__shard").parquet(outDir)
+    sharded
+      .groupBy(col("__shard").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col(s"`$tokenCol`").cast("long")).cast("long").as("n_tokens"),
+        // overflow-safe fingerprint: reduce both factors below 2^31
+        // before the multiply (h < 2^32 times the Knuth constant would
+        // overflow a long), reduce each row's fingerprint mod 1e9+7 so
+        // the SUM stays exact far past 10^9 rows per shard
+        sum(pmod(pmod(col("__h"), lit(1000000007L)) * lit(2654435761L) +
+          pmod(id.cast("long"), lit(1000000007L)),
+          lit(1000000007L))).cast("long").as("checksum"))
+  }
+
 }
