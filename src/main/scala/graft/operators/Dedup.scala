@@ -1917,4 +1917,53 @@ object Dedup {
       .withColumn("contaminated", col("eval_hits") >= minHits)
       .drop("__dc_id", "__dc_hits")
   }
+
+  /** [[decontaminate]] behind a BLOOM pre-filter (X208, round 13) —
+    * RESULT-IDENTICAL (a Bloom filter has no false negatives; false
+    * positives fall through to the exact broadcast join), different
+    * 100 TB cost shape: with a LARGE eval suite the corpus's exploded
+    * gram stream is the volume — here every corpus gram probes a
+    * bytes-sized sketch MAP-SIDE and non-matching grams (the
+    * overwhelming majority of a clean corpus) drop BEFORE the exact
+    * join, so the join's probe volume shrinks from all corpus grams
+    * to ~the contaminated ones plus fpp noise; the exact eval-gram
+    * join then settles every survivor. `fpp` trades sketch bytes
+    * (shipped with the task binary) against exact-join traffic.
+    * Parity with [[decontaminate]] pinned in Round13Spec.
+    */
+  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minHits: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.text
+    require(n >= 1 && minHits >= 1,
+      "decontaminateBloom: need n >= 1 and minHits >= 1")
+    def grams(d: DataFrame, cols: Seq[Column]): DataFrame =
+      d.select(cols :+ explode(text.ngrams(
+        text.tokenize(col(s"`$textCol`")), n)).as("__dc_g"): _*)
+    val evalGrams = grams(evalDocs, Seq.empty)
+      .select(xxhash64(col("__dc_g")).as("__dc_gh")).distinct()
+      .persist() // feeds the bloom build's count + sketch + the join
+    try {
+      val nGrams = math.max(evalGrams.count(), 1L)
+      val bf = evalGrams.stat.bloomFilter("__dc_gh", nGrams, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe = graft.plans.NativeHashes.bloomMightContain(
+        col("__dc_gh"), bos.toByteArray)
+      val hits = grams(docs, Seq(col(s"`$idCol`").as("__dc_id")))
+        .select(col("__dc_id"), xxhash64(col("__dc_g")).as("__dc_gh"))
+        .filter(probe) // map-side: most grams never reach the join
+        .join(broadcast(evalGrams), Seq("__dc_gh"))
+        .groupBy(col("__dc_id"))
+        .agg(count(lit(1)).as("__dc_hits"))
+      val out = docs
+        .join(hits, col(s"`$idCol`") === col("__dc_id"), "left")
+        .withColumn("eval_hits", coalesce(col("__dc_hits"), lit(0L)))
+        .withColumn("contaminated", col("eval_hits") >= minHits)
+        .drop("__dc_id", "__dc_hits")
+      // materialize before unpersist: the returned frame must not
+      // re-plan against an evicted cache
+      out.localCheckpoint(true)
+    } finally evalGrams.unpersist()
+  }
 }

@@ -7671,6 +7671,57 @@ object PipelineQueries {
              CAST(1 AS INT) AS roundtrip_ok
       FROM h GROUP BY 1 ORDER BY shard"""))
 
+  // ---------------------------------------------------------------------
+  // X208 (round 13): Bloom-gated decontamination — decontaminate's
+  // 100 TB cost shape for LARGE eval suites: every corpus gram probes
+  // a bytes-sized Bloom sketch map-side, non-matching grams (the
+  // overwhelming majority of a clean corpus) drop before the exact
+  // eval-gram join, which then settles every survivor exactly —
+  // result-identical by the one-sided-error argument (parity also
+  // spec-pinned). The oracle replays the exact ground truth on gram
+  // strings.
+  val q297DecontaminateBloom = QueryDef(
+    "q297_decontaminate_bloom",
+    (s, dir) => {
+      val docs = Graft.table(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 23 =!= 0)
+      val evalD = docs.where(col("doc_id") % 23 === 0)
+      Dedup.decontaminateBloom(corpus, evalD, "doc_id", "text", n = 8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).cast("long")
+            .as("n_cont"),
+          sum(col("eval_hits")).cast("long").as("hit_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+      ), g AS (
+        SELECT doc_id, source,
+               CASE WHEN len(l) >= 8
+                 THEN list_distinct([array_to_string(l[i:i+7], ' ')
+                   for i in generate_series(1, len(l) - 7)])
+                 ELSE [] END AS gs
+        FROM tok
+      ), eg AS (
+        SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 23 = 0
+      ), dg AS (
+        SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 23 <> 0
+      ), hits AS (
+        SELECT dg.doc_id, CAST(count(1) AS BIGINT) AS h
+        FROM dg JOIN eg USING (gr) GROUP BY 1
+      )
+      SELECT g.source, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN coalesce(h.h, 0) >= 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cont,
+             CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS hit_sum
+      FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id
+      WHERE g.doc_id % 23 <> 0
+      GROUP BY g.source ORDER BY g.source"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
@@ -7678,6 +7729,7 @@ object PipelineQueries {
     q289TruncationRecall, q290BinaryHammingAnn,
     q291HtmlExtract, q292TokenChunks, q293GroupedSplit,
     q294QualityFilterE2e, q295CentroidDrift, q296ShardExport,
+    q297DecontaminateBloom,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,

@@ -633,6 +633,27 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ---- X208 bloom-gated decontamination ----
+
+  test("decontaminateBloom is result-identical to decontaminate " +
+      "(one-sided error: false positives settle at the exact join)") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 23 =!= 0)
+    val evalD = docs.where(col("doc_id") % 23 === 0)
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), col("eval_hits"), col("contaminated"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val exact = canon(Dedup.decontaminate(corpus, evalD, "doc_id",
+      "text", n = 8))
+    val bloom = canon(Dedup.decontaminateBloom(corpus, evalD, "doc_id",
+      "text", n = 8, fpp = 0.05)) // aggressive fpp: parity must hold anyway
+    assert(bloom == exact)
+    assert(exact.exists(_._3), "fixture has no contamination to detect")
+  }
+
   // ---- X204 group-aware splits ----
 
   test("assignSplitsByGroup: a group never straddles splits, fractions " +
