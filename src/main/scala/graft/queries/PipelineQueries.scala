@@ -7722,6 +7722,75 @@ object PipelineQueries {
       WHERE g.doc_id % 23 <> 0
       GROUP BY g.source ORDER BY g.source"""))
 
+  // ---------------------------------------------------------------------
+  // X209 (round 13): REAL media decode UNDER Structured Streaming —
+  // the binary-column path through the streaming engine: encoded
+  // PPM/WAV payloads staged as parquet, drained in multiple
+  // micro-batches (maxFilesPerTrigger), each batch decoded
+  // byte-for-byte in foreachBatch (the batched mapPartitions path on
+  // streaming frames), features appended to a warehouse, then the
+  // WAREHOUSE aggregates — lossless iff the binary payloads and the
+  // decode survive the stream round-trip. Batch-boundary independent
+  // by construction (per-row decode, append sink). The oracle replays
+  // the generator formulas incl. the content-fingerprint distinct.
+  val q298StreamMediaDecode = QueryDef(
+    "q298_stream_media_decode",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q298_" +
+        new java.io.File(dir).getName
+      graft.FsUtil.rmTree(base)
+      val docs = Graft.table(s, dir, "documents")
+      val media = Multimodal.mediaFromDocuments(s, docs)
+      media.toDF().repartition(4).write.parquet(s"$base/src")
+      val q = s.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
+        .writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val sp = b.sparkSession
+          import sp.implicits._
+          Multimodal.extractFeatures(b.as[Multimodal.MediaRow]).toDF()
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_units")).cast("long").as("units_total"),
+          sum(col("unit_sum")).cast("long").as("unit_sum_total"),
+          count_distinct(col("content_fp")).cast("long").as("n_unique"))
+        .orderBy(col("kind"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id AS id FROM documents),
+      e AS (
+        SELECT id,
+               CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CASE WHEN id % 2 = 0 THEN
+                 [((id % 16)*31 + 7*p) % 256
+                  for p in generate_series(0,
+                    3*(8 + id % 8)*(6 + id % 5) - 1)]
+               ELSE
+                 [((id % 12)*7919 + i*104729) % 65536
+                  for i in generate_series(0, (40 + id % 50)*8 - 1)]
+               END AS us
+        FROM d
+      ), f AS (
+        SELECT id, kind, CAST(len(us) AS BIGINT) AS units,
+               CAST(list_sum(us) AS BIGINT) AS usum,
+               list_reduce(list_prepend(0::BIGINT, us),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        FROM e
+      )
+      SELECT kind, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(units) AS BIGINT) AS units_total,
+             CAST(sum(usum) AS BIGINT) AS unit_sum_total,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+      FROM f GROUP BY kind ORDER BY kind"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
@@ -7729,7 +7798,7 @@ object PipelineQueries {
     q289TruncationRecall, q290BinaryHammingAnn,
     q291HtmlExtract, q292TokenChunks, q293GroupedSplit,
     q294QualityFilterE2e, q295CentroidDrift, q296ShardExport,
-    q297DecontaminateBloom,
+    q297DecontaminateBloom, q298StreamMediaDecode,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
