@@ -7791,6 +7791,56 @@ object PipelineQueries {
              CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
       FROM f GROUP BY kind ORDER BY kind"""))
 
+  // ---------------------------------------------------------------------
+  // X210 (round 13): the codec loop CLOSED — decode → nearest-neighbor
+  // resize → re-encode → re-DECODE → pixel statistics of the resized
+  // image. The oracle replays the resample arithmetic itself (source
+  // pixel (x·inW/outW, y·inH/outH), truncating division — identical in
+  // both engines) against the generator formula, so a one-pixel bug
+  // anywhere in the encode/resize/decode chain breaks the gate.
+  val q299ResizeRoundtrip = QueryDef(
+    "q299_resize_roundtrip",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val docs = Graft.table(s, dir, "documents")
+      val media = Multimodal.mediaFromDocuments(s, docs)
+        .filter(m => m.format == "ppm")
+      val resized = Multimodal.resize(media, 6, 6)
+      import s.implicits._
+      val asMedia = resized.map(r => Multimodal.MediaRow(
+        r.media_id, r.kind, r.payload, "ppm", r.width, r.height, 0, 0L))
+      Multimodal.extractFeatures(asMedia).toDF()
+        .groupBy(col("width"), col("height"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_units")).cast("long").as("units_total"),
+          sum(col("unit_sum")).cast("long").as("unit_sum_total"))
+        .orderBy(col("width"), col("height"))
+    },
+    Some("""
+      WITH im AS (
+        SELECT doc_id AS id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
+               doc_id % 16 AS seed
+        FROM documents WHERE doc_id % 2 = 0
+      ), dims AS (
+        SELECT id, w, h, seed,
+               greatest(1, CAST(round(w * least(1.0, 6.0/w, 6.0/h))
+                 AS INT)) AS rw,
+               greatest(1, CAST(round(h * least(1.0, 6.0/w, 6.0/h))
+                 AS INT)) AS rh
+        FROM im
+      ), px AS (
+        SELECT id, rw, rh,
+               ((seed*31 + 7*(((u.p // 3) // rw * h // rh) * w
+                  + ((u.p // 3) % rw) * w // rw) * 3
+                 + 7*(u.p % 3)) % 256) AS v
+        FROM dims, unnest(generate_series(0, 3*rw*rh - 1)) AS u(p)
+      )
+      SELECT CAST(rw AS INT) AS width, CAST(rh AS INT) AS height,
+             CAST(count(DISTINCT id) AS BIGINT) AS n,
+             CAST(count(1) AS BIGINT) AS units_total,
+             CAST(sum(v) AS BIGINT) AS unit_sum_total
+      FROM px GROUP BY 1, 2 ORDER BY width, height"""))
+
   val defs: Seq[QueryDef] = Seq(
     q282IsotonicCalibration, q283CalibratedFilter, q284BootstrapCI,
     q285SemanticDecontaminate, q286MediaDecodeDedup,
@@ -7799,6 +7849,7 @@ object PipelineQueries {
     q291HtmlExtract, q292TokenChunks, q293GroupedSplit,
     q294QualityFilterE2e, q295CentroidDrift, q296ShardExport,
     q297DecontaminateBloom, q298StreamMediaDecode,
+    q299ResizeRoundtrip,
     q273ClusterBalance, q274BackfillIdempotent, q276BpeRoundtrip,
     q278PrepPipelineV3, q279RetrievalEval, q280IvfCurationChain,
     q248Decontaminate, q249Readability, q250PairBleu, q253KeySkew,
