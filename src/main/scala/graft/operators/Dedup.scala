@@ -322,12 +322,23 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 10000,
-      obs: Option[Observation] = None): DataFrame = {
+      obs: Option[Observation] = None,
+      materialize: Boolean = true): DataFrame = {
     import graft.functions.text
     def shingled(base: DataFrame) = base.select(col(idCol),
       text.ngrams(text.tokenize(col(textCol)), shingleN).as("__sh"))
-    val cands = lshCandidatePairs(shingled(df), idCol, "__sh",
+    val cands0 = lshCandidatePairs(shingled(df), idCol, "__sh",
       numHashes, bands, maxBucket, obs)
+    // the candidate frame feeds BOTH the verify join's pair side and
+    // (through candidateIds) the candDocs semi-join — without an eager
+    // stage the whole shingle+signature+bucket subtree executes TWICE
+    // (the q192/containmentPairs finding, round 13: one shared
+    // consumer-facing frame per expensive subtree). The frame is
+    // true-pair-sized (LSH-bounded), so the materialization is tiny;
+    // staging also makes the optional bucket-cap Observation fire
+    // exactly once. `materialize = false` keeps the full plan
+    // inspectable for plan-audit specs.
+    val cands = if (materialize) graft.Graft.stage(cands0) else cands0
     // no broadcast hint: the candidate id set is usually tiny (AQE will
     // broadcast it), but a boilerplate-heavy corpus can push it past
     // the broadcast ceiling — let the planner decide
@@ -437,29 +448,36 @@ object Dedup {
     */
   def contrastiveTriplets(df: DataFrame, idCol: String, textCol: String,
       loJ: Double, hiJ: Double, shingleN: Int = 3, numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16, materialize: Boolean = true): DataFrame = {
     import graft.functions.text
     require(loJ > 0.0 && loJ < hiJ && hiJ <= 1.0,
       "contrastiveTriplets: need 0 < loJ < hiJ <= 1")
+    def stage(d: DataFrame) = if (materialize) graft.Graft.stage(d) else d
     val pos = nearDupPairs(df, idCol, textCol, shingleN, numHashes,
-        bands, threshold = loJ)
+        bands, threshold = loJ, materialize = materialize)
       .filter(col("jaccard") < hiJ)
       .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"),
         col("jaccard").as("pos_jaccard"))
     val idSpace = df.agg(max(col(idCol).cast("long"))).head().getLong(0) + 1L
     val half = idSpace / 2L
-    val withNeg = pos
+    // triplet-bounded, consumed twice (the negative-id set below AND
+    // the final verify join) — stage it or the whole nearDupPairs
+    // verify lineage executes twice (round 13; the q192 discipline)
+    val withNeg = stage(pos
       .withColumn("neg_id", pmod(col("anchor_id") + half, lit(idSpace)))
       .filter(col("neg_id") =!= col("anchor_id") &&
-        col("neg_id") =!= col("pos_id"))
+        col("neg_id") =!= col("pos_id")))
     val ids = withNeg
       .select(explode(array(col("anchor_id"), col("neg_id"))).as(idCol))
       .distinct()
-    val sets = df.join(ids, Seq(idCol), "left_semi")
+    // candidate-bounded hashed shingle sets, consumed twice (anchor
+    // side and negative side of the verify join) — stage so the
+    // corpus semi-join + re-shingle runs once, not per side
+    val sets = stage(df.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol).cast("long").as(idCol),
         array_sort(array_distinct(transform(
           text.ngrams(text.tokenize(col(s"`$textCol`")), shingleN),
-          g => xxhash64(g)))).as("__hs"))
+          g => xxhash64(g)))).as("__hs")))
     val a = sets.select(col(idCol).as("anchor_id"),
       col("__hs").as("__ha"))
     val b = sets.select(col(idCol).as("neg_id"), col("__hs").as("__hb"))

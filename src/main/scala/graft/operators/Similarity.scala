@@ -118,8 +118,13 @@ object Similarity {
       k: Int): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ > 0),
       "truncationRecallCurve: dims must be positive")
-    val full = bruteForceTopK(vecs, probes, idCol, vecCol, k)
-      .select(col("probe_id"), col("id"))
+    // probes×k-bounded, consumed |dims|+1 times (every per-dim recall
+    // semi-join AND the denominator) — stage it or the full-dimension
+    // brute-force corpus scan re-executes once per consumer (round 13,
+    // the q192/shared-lineage discipline)
+    val full = graft.Graft.stage(
+      bruteForceTopK(vecs, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("id")))
     val perDim = dims.map { d =>
       val tv = vecs.select(col(s"`$idCol`").as(idCol),
         slice(col(s"`$vecCol`"), 1, d).as(vecCol))
@@ -707,11 +712,15 @@ object Similarity {
     */
   def pqCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int,
-      maxTrainRows: Long = 100000L): Array[Array[Seq[Double]]] = {
+      maxTrainRows: Long = 100000L,
+      totalRows: Option[Long] = None): Array[Array[Seq[Double]]] = {
     val dim = vecs.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
     val sub = dim / m
-    val total = vecs.select(col(idCol)).count()
+    // callers that already know |vecs| pass it in — the count is only
+    // the train-sample denominator, and a second full count job over
+    // the corpus is driver latency for nothing (round 13, guide §5)
+    val total = totalRows.getOrElse(vecs.select(col(idCol)).count())
     val denom = math.max(1L, total / math.max(1L, maxTrainRows))
     val train0 =
       if (denom == 1L) vecs

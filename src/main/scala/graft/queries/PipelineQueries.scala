@@ -718,9 +718,12 @@ object PipelineQueries {
       // gaps at 10x density) and a corpus-scaled re-rank shortlist
       // (2%, floor 100) instead of a fixed 100 — the refine-factor
       // lever, linear cost.
-      val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
-        m = 16, k = 256, iters = 2)
+      // one count job, shared: the PQ train-sample denominator and the
+      // shortlist scale both need |vecs| (round 13 — previously two
+      // separate count jobs over the same frame, guide §5)
       val n = vecs.count()
+      val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+        m = 16, k = 256, iters = 2, totalRows = Some(n))
       val shortlist = math.max(100, (n / 50).toInt)
       val pq = Similarity.pqTopK(vecs, probes, "vec_id", "embedding",
         k = 10, books, shortlist = shortlist)
@@ -1851,13 +1854,17 @@ object PipelineQueries {
       import graft.operators.{Lm, Select}
       val docs = Graft.table(s, dir, "documents")
       val m = Lm.trainUnigram(docs, "text", "lm_q116", topV = 16)
-      val scored = docs.select(col("doc_id"), col("lang"),
+      // stage the scored frame (round 13): byTokenBudget consumes its
+      // input three times (histogram, above-cut filter, boundary
+      // subset), so the per-token LM scoring fold otherwise re-executes
+      // per consumer; and take the half-mass budget off byTokenBudget's
+      // own bounded histogram (the fraction form, parity-pinned in
+      // Round13Spec) instead of a separate corpus-scan agg job
+      val scored = Graft.stage(docs.select(col("doc_id"), col("lang"),
         text.tokenCountWs(col("text")).as("n_tok"),
-        Lm.logProbScore(m, col("text")).as("lp_i"))
-      val budget =
-        scored.agg(coalesce(sum(col("n_tok")), lit(0L)))
-          .head().getLong(0) / 2
-      Select.byTokenBudget(scored, "lp_i", "n_tok", "doc_id", budget)
+        Lm.logProbScore(m, col("text")).as("lp_i")))
+      Select.byTokenBudgetFraction(scored, "lp_i", "n_tok", "doc_id",
+          1L, 2L)
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n"),
@@ -4271,6 +4278,14 @@ object PipelineQueries {
       val ranked = graft.operators.Select.ensembleQualityRank(
           sig, "doc_id", Seq("nt", "nc", "dt"), threshold = 0.4)
         .select(col("id").as("doc_id"), col("keep"))
+      // NOT staged (round 13, measured): the funnel's consumers DO
+      // re-execute the rank/dedup lineage, but both staging variants
+      // measured SLOWER at sf0.1 (corpus-frame checkpoints: 1.99 →
+      // 2.18 s; small keep-id + dedup checkpoints: 1.99 → 3.2 s) —
+      // the eager materialization barriers serialize a pipeline whose
+      // branches otherwise overlap, and the re-executed subtrees are
+      // map-side-cheap at every scale (rank windows are
+      // score-cardinality-bounded, the dedup shuffle is key-hashed).
       val kept = docs.join(ranked.filter(col("keep") === 1), "doc_id")
       val deduped = Dedup.exactDedup(kept, col("text"), "doc_id")
       val pairs = graft.operators.Pack.spanCorruptionPairs(
@@ -4951,9 +4966,16 @@ object PipelineQueries {
   val q187CurriculumShards = QueryDef(
     "q187_curriculum_shards",
     (s, dir) => {
-      val docs = Graft.table(s, dir, "documents")
-        .withColumn("score_fp",
-          round(text.qualityScore(col("text")) * 1e6d).cast("long"))
+      // project to (doc_id, score_fp) BEFORE the shard mapping and
+      // stage it (round 13): curriculumShards consumes its input twice
+      // (score histogram + the mapping join), so the regex-heavy
+      // qualityScore otherwise evaluates twice over the corpus — and
+      // the staged frame is two longs per row instead of carrying text
+      // through the join (guide §2.3: project before the exchange)
+      val docs = Graft.stage(Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(text.qualityScore(col("text")) * 1e6d).cast("long")
+            .as("score_fp")))
       graft.operators.Mix.curriculumShards(docs, "score_fp", "doc_id",
           numShards = 8, seed = 7L)
         .groupBy(col("shard"))
